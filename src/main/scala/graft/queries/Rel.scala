@@ -1,0 +1,495 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational operator inventory (SURVEY.md §2.3): the Spark SQL surface the
+  * reference exposes through its `select` statement
+  * (reference: streamingpro-core/.../dsl/adaptor/SelectAdaptor.scala:70 —
+  * the whole body goes to `sparkSession.sql`). Re-expressed here Spark-first
+  * with the DataFrame API; each query has a DuckDB oracle.
+  *
+  * Scale notes: dimension joins broadcast explicitly; fact-fact joins shuffle
+  * on join keys and rely on AQE; all filters/projections stay declarative so
+  * they reach the parquet scan (verified via explain in BenchSpec).
+  */
+object Rel {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ---- aggregation: partial+final hash agg over a pushed-down filter ----
+    QuerySpec.sql("q1_agg", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_shipdate" <= lit("1998-09-02"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          // fixed-decimal data is summed via DECIMAL (exact in both engines),
+          // then cast to double — bit-identical cross-engine, no rounding.
+          sum($"l_quantity").cast("long").as("sum_qty"),
+          sum($"l_extendedprice".cast("decimal(18,2)")).cast("double").as("sum_base"),
+          sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast("decimal(18,4)")).cast("double").as("sum_disc"),
+          sum(($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")).cast("decimal(18,6)")).cast("double").as("sum_charge"),
+          (sum($"l_quantity") / count(lit(1))).as("avg_qty"),
+          (sum($"l_extendedprice".cast("decimal(18,2)")).cast("double") / count(lit(1))).as("avg_price"),
+          (sum($"l_discount".cast("decimal(18,2)")).cast("double") / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("cnt"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc,
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        | SUM(l_quantity) / COUNT(*) AS avg_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        | CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+        | COUNT(*) AS cnt
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+
+    // ---- projection + filter; predicates and pruning reach the scan ----
+    QuerySpec.sql("q2_filter_project", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_shipdate" >= lit("2000-01-01") && $"l_shipdate" < lit("2000-04-01") && $"l_discount" > 0.05)
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+          ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        | l_extendedprice * (1 - l_discount) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_shipdate < TIMESTAMP '2000-04-01' AND l_discount > 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
+    // ---- 3-way inner join (fact-fact shuffle join + dim join) ----
+    QuerySpec.sql("q3_join_inner", (s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      l.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(
+          sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast("decimal(18,4)")).cast("double").as("revenue"),
+          countDistinct($"o_orderkey").as("n_orders"),
+          count(lit(1)).as("n_lines"))
+        .orderBy($"c_mktsegment")
+    },
+      """SELECT c_mktsegment,
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        | COUNT(DISTINCT o_orderkey) AS n_orders,
+        | COUNT(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+
+    // ---- left outer join with extra ON-clause predicate ----
+    QuerySpec.sql("q4_join_left", (s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      o.join(l, $"o_orderkey" === $"l_orderkey" && $"l_quantity" > 45, "left")
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"), count($"l_orderkey").as("n_matched"))
+        .orderBy($"o_orderstatus")
+    },
+      """SELECT o_orderstatus, COUNT(*) AS n_rows, COUNT(l_orderkey) AS n_matched
+        |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey AND l_quantity > 45
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+
+    // ---- right outer join ----
+    QuerySpec.sql("q5_join_right", (s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem").filter($"l_returnflag" === "R")
+      l.join(o, $"l_orderkey" === $"o_orderkey", "right")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"), count($"l_orderkey").as("n_returned"))
+        .orderBy($"o_orderpriority")
+    },
+      """SELECT o_orderpriority, COUNT(*) AS n_rows, COUNT(l_orderkey) AS n_returned
+        |FROM (SELECT * FROM lineitem WHERE l_returnflag = 'R') l
+        |RIGHT JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+
+    // ---- full outer join ----
+    QuerySpec.sql("q6_join_full", (s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter($"o_totalprice" > 300000.0)
+      c.join(o, $"c_custkey" === $"o_custkey", "full")
+        .groupBy(coalesce($"c_nationkey", lit(-1)).as("nk"))
+        .agg(countDistinct($"c_custkey").as("n_cust"), count($"o_orderkey").as("n_big_orders"))
+        .orderBy($"nk")
+    },
+      """SELECT COALESCE(c_nationkey, -1) AS nk,
+        | COUNT(DISTINCT c_custkey) AS n_cust, COUNT(o_orderkey) AS n_big_orders
+        |FROM customer FULL JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) o
+        |ON c_custkey = o_custkey
+        |GROUP BY COALESCE(c_nationkey, -1) ORDER BY nk""".stripMargin),
+
+    // ---- left semi join (EXISTS) ----
+    QuerySpec.sql("q7_join_semi", (s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter($"o_orderpriority" === "1-URGENT")
+      c.join(o, $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", $"c_mktsegment")
+        .orderBy($"c_custkey")
+    },
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin),
+
+    // ---- left anti join (NOT EXISTS) ----
+    QuerySpec.sql("q8_join_anti", (s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_nationkey")
+        .orderBy($"c_custkey")
+    },
+      """SELECT c_custkey, c_nationkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin),
+
+    // ---- cross join (small dims only; never on facts) ----
+    QuerySpec.sql("q9_join_cross", (s, dir) => {
+      import s.implicits._
+      val r = t(s, dir, "region").select($"r_name")
+      val n = t(s, dir, "nation").select($"n_name")
+      r.crossJoin(n).orderBy($"r_name", $"n_name")
+    },
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin),
+
+    // ---- distinct aggregation ----
+    QuerySpec.sql("q10_agg_distinct", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .agg(countDistinct($"o_custkey").as("u_cust"),
+          countDistinct($"o_orderstatus").as("u_status"),
+          count(lit(1)).as("n"))
+        .orderBy($"o_orderpriority")
+    },
+      """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS u_cust,
+        | COUNT(DISTINCT o_orderstatus) AS u_status, COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+
+    // ---- GROUPING SETS (SQL surface, like the reference's select body) ----
+    QuerySpec.sql("q11_grouping_sets", (s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+          | COUNT(*) AS n, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+          |ORDER BY rf, ls""".stripMargin)
+    },
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+        | COUNT(*) AS n, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY rf, ls""".stripMargin),
+
+    // ---- ROLLUP ----
+    QuerySpec.sql("q12_rollup", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer")
+        .rollup($"c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          (sum($"c_acctbal".cast("decimal(18,2)")).cast("double") / count(lit(1))).as("avg_bal"))
+        .select(coalesce($"c_mktsegment", lit("ALL")).as("seg"), $"n", $"avg_bal")
+        .orderBy($"seg")
+    },
+      """SELECT COALESCE(c_mktsegment, 'ALL') AS seg, COUNT(*) AS n,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+        |FROM customer GROUP BY ROLLUP (c_mktsegment) ORDER BY seg""".stripMargin),
+
+    // ---- CUBE ----
+    QuerySpec.sql("q13_cube", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce($"l_returnflag", lit("ALL")).as("rf"),
+          coalesce($"l_linestatus", lit("ALL")).as("ls"), $"n")
+        .orderBy($"rf", $"ls")
+    },
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls, COUNT(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) ORDER BY rf, ls""".stripMargin),
+
+    // ---- ranking window functions, unique tie-break ----
+    QuerySpec.sql("q14_window_rank", (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"c_mktsegment").orderBy($"c_acctbal".desc, $"c_custkey")
+      t(s, dir, "customer")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("rk", rank().over(w))
+        .withColumn("drk", dense_rank().over(w))
+        .filter($"rn" <= 5)
+        .select($"c_mktsegment", $"rn", $"rk", $"drk", $"c_custkey", $"c_acctbal")
+        .orderBy($"c_mktsegment", $"rn")
+    },
+      """SELECT c_mktsegment, rn, rk, drk, c_custkey, c_acctbal FROM (
+        | SELECT c_mktsegment, c_custkey, c_acctbal,
+        |  ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn,
+        |  RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rk,
+        |  DENSE_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS drk
+        | FROM customer) WHERE rn <= 5
+        |ORDER BY c_mktsegment, rn""".stripMargin),
+
+    // ---- running aggregate with explicit ROWS frame ----
+    QuerySpec.sql("q15_window_running", (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .filter($"o_custkey" < 50)
+        .withColumn("running_spend", sum($"o_totalprice".cast("decimal(18,2)")).over(w).cast("double"))
+        .withColumn("order_seq", row_number().over(
+          Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")))
+        .select($"o_custkey", $"order_seq", $"o_orderkey", $"running_spend")
+        .orderBy($"o_custkey", $"order_seq")
+    },
+      """SELECT o_custkey, order_seq, o_orderkey, running_spend FROM (
+        | SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+        |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
+        | FROM orders WHERE o_custkey < 50)
+        |ORDER BY o_custkey, order_seq""".stripMargin),
+
+    // ---- lead/lag analytics ----
+    QuerySpec.sql("q16_window_leadlag", (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"event_id")
+      t(s, dir, "events")
+        .filter($"user_id" < 10)
+        .withColumn("prev_val", lag($"value", 1).over(w))
+        .withColumn("next_val", lead($"value", 1).over(w))
+        .withColumn("delta", $"value" - coalesce(lag($"value", 1).over(w), lit(0.0)))
+        .select($"user_id", $"event_id", $"value", $"prev_val", $"next_val", $"delta")
+        .orderBy($"user_id", $"event_id")
+    },
+      """SELECT user_id, event_id, value,
+        | LAG(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_val,
+        | LEAD(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS next_val,
+        | value - COALESCE(LAG(value, 1) OVER (PARTITION BY user_id ORDER BY event_id), 0) AS delta
+        |FROM events WHERE user_id < 10
+        |ORDER BY user_id, event_id""".stripMargin),
+
+    // ---- global sort + limit (TakeOrderedAndProject) ----
+    QuerySpec.sql("q17_topn", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .limit(20)
+    },
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin),
+
+    // ---- UNION ALL ----
+    QuerySpec.sql("q18_union", (s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer").select($"c_nationkey".as("nk"))
+      val sup = t(s, dir, "supplier").select($"s_nationkey".as("nk"))
+      c.unionAll(sup).groupBy($"nk").agg(count(lit(1)).as("n")).orderBy($"nk")
+    },
+      """SELECT nk, COUNT(*) AS n FROM (
+        | SELECT c_nationkey AS nk FROM customer
+        | UNION ALL SELECT s_nationkey AS nk FROM supplier)
+        |GROUP BY nk ORDER BY nk""".stripMargin),
+
+    // ---- INTERSECT ----
+    QuerySpec.sql("q19_intersect", (s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer").select($"c_nationkey".as("nk"))
+      val sup = t(s, dir, "supplier").select($"s_nationkey".as("nk"))
+      c.intersect(sup).orderBy($"nk")
+    },
+      """SELECT c_nationkey AS nk FROM customer
+        |INTERSECT SELECT s_nationkey FROM supplier ORDER BY nk""".stripMargin),
+
+    // ---- EXCEPT ----
+    QuerySpec.sql("q20_except", (s, dir) => {
+      import s.implicits._
+      val n = t(s, dir, "nation").select($"n_nationkey".as("nk"))
+      val sup = t(s, dir, "supplier").select($"s_nationkey".as("nk"))
+      n.except(sup).orderBy($"nk")
+    },
+      """SELECT n_nationkey AS nk FROM nation
+        |EXCEPT SELECT s_nationkey FROM supplier ORDER BY nk""".stripMargin),
+
+    // ---- HAVING ----
+    QuerySpec.sql("q21_having", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_orders"), sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("spend"))
+        .filter($"n_orders" >= 12)
+        .orderBy($"o_custkey")
+    },
+      """SELECT o_custkey, COUNT(*) AS n_orders, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12 ORDER BY o_custkey""".stripMargin),
+
+    // ---- IN subquery ----
+    QuerySpec.sql("q22_in_subquery", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT l_orderkey, COUNT(*) AS n_lines, CAST(SUM(l_quantity) AS BIGINT) AS qty
+          |FROM lineitem
+          |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000)
+          |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)
+    },
+      """SELECT l_orderkey, COUNT(*) AS n_lines, CAST(SUM(l_quantity) AS BIGINT) AS qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000)
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin),
+
+    // ---- scalar subquery ----
+    QuerySpec.sql("q23_scalar_subquery", (s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      s.sql(
+        """SELECT c_custkey, c_acctbal FROM customer
+          |WHERE c_acctbal > 2 * (SELECT AVG(c_acctbal) FROM customer)
+          |ORDER BY c_custkey""".stripMargin)
+    },
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE c_acctbal > 2 * (SELECT AVG(c_acctbal) FROM customer)
+        |ORDER BY c_custkey""".stripMargin),
+
+    // ---- correlated EXISTS ----
+    QuerySpec.sql("q24_correlated_exists", (s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT o_orderpriority, COUNT(*) AS n FROM orders
+          |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    },
+      """SELECT o_orderpriority, COUNT(*) AS n FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+
+    // ---- CASE WHEN bucketing ----
+    QuerySpec.sql("q25_case_when", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .withColumn("band",
+          when($"o_totalprice" < 100000.0, "small")
+            .when($"o_totalprice" < 300000.0, "medium")
+            .otherwise("large"))
+        .groupBy($"band")
+        .agg(count(lit(1)).as("n"), (sum($"o_totalprice".cast("decimal(18,2)")).cast("double") / count(lit(1))).as("avg_price"))
+        .orderBy($"band")
+    },
+      """SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
+        |  WHEN o_totalprice < 300000 THEN 'medium' ELSE 'large' END AS band,
+        | COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+        |FROM orders GROUP BY 1 ORDER BY band""".stripMargin),
+
+    // ---- pivot (reference ET `Pivot`, external/mlsql-ets/Pivot.scala:20-35) ----
+    QuerySpec.sql("q26_pivot", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum($"l_quantity").cast("long"))
+        .orderBy($"l_linestatus")
+    },
+      """SELECT l_linestatus,
+        | CAST(SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity END) AS BIGINT) AS "A",
+        | CAST(SUM(CASE WHEN l_returnflag = 'N' THEN l_quantity END) AS BIGINT) AS "N",
+        | CAST(SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS BIGINT) AS "R"
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin),
+
+    // ---- SELECT DISTINCT ----
+    QuerySpec.sql("q27_distinct", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem").select($"l_returnflag", $"l_linestatus")
+        .distinct().orderBy($"l_returnflag", $"l_linestatus")
+    },
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+
+    // ---- ntile / percent_rank / cume_dist ----
+    QuerySpec.sql("q28_window_dist", (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"c_mktsegment").orderBy($"c_acctbal", $"c_custkey")
+      t(s, dir, "customer")
+        .filter($"c_custkey" <= 100)
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .select($"c_mktsegment", $"c_custkey", $"quartile", $"pr", $"cd")
+        .orderBy($"c_mktsegment", $"c_custkey")
+    },
+      """SELECT c_mktsegment, c_custkey,
+        | NTILE(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS quartile,
+        | PERCENT_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS pr,
+        | CUME_DIST() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS cd
+        |FROM customer WHERE c_custkey <= 100
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin),
+
+    // ---- first/last value over full-partition frame ----
+    QuerySpec.sql("q29_window_firstlast", (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .filter($"o_custkey" < 30)
+        .withColumn("first_order", first($"o_orderkey").over(w))
+        .withColumn("last_order", last($"o_orderkey").over(w))
+        .select($"o_custkey", $"o_orderkey", $"first_order", $"last_order")
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+      """SELECT o_custkey, o_orderkey,
+        | FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_order,
+        | LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order
+        |FROM orders WHERE o_custkey < 30
+        |ORDER BY o_custkey, o_orderkey""".stripMargin),
+
+    // ---- 5-way star join: broadcast all dims, shuffle only fact-fact ----
+    QuerySpec.sql("q30_star_join", (s, dir) => {
+      import s.implicits._
+      val r = t(s, dir, "region")
+      val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      l.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name")
+        .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast("decimal(18,4)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy($"r_name")
+    },
+      """SELECT r_name,
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin)
+  )
+}
