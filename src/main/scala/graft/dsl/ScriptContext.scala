@@ -1,0 +1,41 @@
+package graft.dsl
+
+import java.util.concurrent.ConcurrentHashMap
+import scala.collection.mutable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Per-script execution state (reference: `ScriptSQLExecListener`'s `_env` /
+  * `lastSelectTable`, streaming/dsl/ScriptSQLExec.scala:181,243-252).
+  *
+  * `env` holds `set` variables used by `${...}` templating; `lastTable` is
+  * the result table of the most recent table-producing statement;
+  * `connections` mirrors the reference's `ConnectMeta` (format,alias) →
+  * option-map store (ScriptSQLExec.scala:420-445).
+  */
+final class ScriptContext(val spark: SparkSession, val pathPrefix: String = "") {
+  val env: mutable.LinkedHashMap[String, String] = mutable.LinkedHashMap()
+  var lastTable: Option[String] = None
+
+  /** `set streamName="x"` marks the script as streaming (LoadAdaptor.scala:72-78). */
+  def streamName: Option[String] = env.get("streamName").filter(_.nonEmpty)
+
+  def resolvePath(p: String): String =
+    if (pathPrefix.isEmpty || p.startsWith("/") || p.contains("://")) p
+    else s"$pathPrefix/$p"
+
+  def lastDataFrame: Option[DataFrame] = lastTable.map(spark.table)
+
+  def setLast(name: String, df: DataFrame): Unit = {
+    df.createOrReplaceTempView(name)
+    lastTable = Some(name)
+  }
+}
+
+/** Global (engine-lifetime) `connect` alias store. */
+object ConnectMeta {
+  private val options = new ConcurrentHashMap[(String, String), Map[String, String]]()
+  def put(format: String, alias: String, opts: Map[String, String]): Unit =
+    options.put((format, alias), opts)
+  def get(format: String, alias: String): Option[Map[String, String]] =
+    Option(options.get((format, alias)))
+}
