@@ -1,26 +1,44 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every SparkEntry query against
+  * `SPARK_GRAFT_SF_DIR`, timing a full materialization through the `noop`
+  * sink (NOT `count()` — Catalyst elides sorts and prunes projections under
+  * a count, which under-measures the real work). Failures are surfaced in
+  * the JSON (`failed` list + negative time) instead of being swallowed.
+  * One warmup query amortizes JVM/codegen startup out of the first timing.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val spark = GraftSession.getOrCreate()
+
+    def runOnce(name: String): Either[String, Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          Left(e.getClass.getSimpleName)
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // warmup: one cheap query end-to-end (JIT, codegen, parquet footer cache)
+    runOnce("q1_agg")
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val results = names.map(n => n -> runOnce(n))
+    val failed = results.collect { case (n, Left(_)) => n }
+    val qs = results.map {
+      case (k, Right(v)) => s""""$k":$v"""
+      case (k, Left(_))  => s""""$k":-1"""
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, Right(v)) => v }.sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

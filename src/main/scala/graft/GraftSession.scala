@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single place every entry point (Verify, Bench, tests, CLI) builds its
+  * SparkSession, so session-critical config (UTC, nanosAsLong for the
+  * events fixture, shuffle partitions sized to the local core count) cannot
+  * drift between entry points.
+  *
+  * Scale note: `spark.sql.shuffle.partitions` is set to the local core
+  * count for the test harness; on a real cluster leave it unset and rely on
+  * AQE coalescing (enabled by default on Spark 4).
+  */
+object GraftSession {
+
+  def defaultCpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+  def builder(cpus: String = defaultCpus): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(graft.functions.VecExpressions.inject)
+
+  /** Build (or reuse) the session and register the engine's built-in UDF
+    * pack, exactly as the reference registers its function classes at
+    * runtime startup (reference: streamingpro-mlsql/src/main/java/streaming/
+    * core/strategy/platform/SparkRuntime.scala:186-195).
+    */
+  def getOrCreate(cpus: String = defaultCpus): SparkSession = {
+    val spark = builder(cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.UDFPack.register(spark)
+    spark
+  }
+}

@@ -7,8 +7,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Scale notes (100 TB design): every reader here is a plain parquet scan —
   * Catalyst pushes filters/column pruning into the scan, so downstream
   * operators must keep predicates declarative (no opaque closures before the
-  * first filter). Dimension tables (`region`, `nation`, `supplier`, `part`)
-  * stay small at any SF and are always broadcast-joined.
+  * first filter). Only `region` (5 rows) and `nation` (25 rows) are
+  * constant-size and safe to broadcast unconditionally; `customer`,
+  * `supplier` and `part` grow linearly with SF, so joins against them rely
+  * on AQE's size-based broadcast decision rather than an explicit hint.
   */
 object Tables {
   val fact: Seq[String] = Seq("lineitem", "orders", "events", "documents", "embeddings")
@@ -19,16 +21,25 @@ object Tables {
 
   /** `events.parquet` carries a TIMESTAMP(NANOS) column, which Spark's
     * parquet reader only accepts as a long when
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (set by [[graft.Verify]],
-    * [[graft.Bench]] and [[graft.GraftSession]]). We re-expose `ts` as a
-    * micros-precision timestamp (truncating division, matching the DuckDB
-    * oracle's `epoch_ns(ts)//1000`).
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (set by
+    * [[graft.GraftSession]]). We re-expose `ts` as a micros-precision
+    * timestamp using floor division (DuckDB's `epoch_ns(ts)//1000` floors,
+    * and `div` truncates toward zero, so the two diverge on pre-1970
+    * nanos values). Fails loudly on an unexpected `ts` type so a fixture
+    * change can't silently skip the rewrite.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(path(dir, name))
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    if (name != "events") df
+    else df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(CASE WHEN ts % 1000 < 0 THEN ts div 1000 - 1 ELSE ts div 1000 END)"))
+      case _: org.apache.spark.sql.types.TimestampType => df
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unexpected type $other; expected LongType (nanosAsLong) or TimestampType")
+    }
   }
 
   /** Register every fixture table as a temp view named after itself. */

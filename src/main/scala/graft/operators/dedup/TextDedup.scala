@@ -1,0 +1,118 @@
+package graft.operators.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate text detection operators over a document table.
+  *
+  * Scale guidance (100 TB):
+  *  - [[shingles]] / all per-document steps are pure per-row Catalyst
+  *    expressions — no shuffle, no UDFs.
+  *  - [[jaccardSelfJoin]] (inverted index) shuffles once on the shingle and
+  *    once on the pair key. Its Achilles heel is posting-list skew: a
+  *    shingle present in k documents emits k² pairs, so hot shingles
+  *    (boilerplate) square. `maxDocFreq` caps the posting list — standard
+  *    df-capping; near-dup pairs share many shingles, so dropping the few
+  *    ultra-common ones does not lose true pairs in practice.
+  *  - [[minHashSelfJoin]] is the banded-LSH scale path: signature size is
+  *    constant per document (shuffle volume linear in corpus size, not in
+  *    pair count), candidates collide only on full r-hash bands, and exact
+  *    Jaccard re-verification keeps the output exact up to the configured
+  *    miss probability.
+  */
+object TextDedup {
+
+  /** Distinct word n-gram shingles per document (per-row, no shuffle). */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val words = split(col(textCol), " ")
+    val joined = (0 until n).map(i => s"w[i+$i]").mkString("concat_ws(' ', ", ", ", ")")
+    df.select(col(idCol).as("doc_id"), words.as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), expr(
+        s"array_distinct(transform(sequence(0, size(w) - $n), i -> $joined))").as("shingles"))
+  }
+
+  /** Exact Jaccard self-join via an inverted shingle index, with a
+    * document-frequency cap on shingles (skew guard). Returns pairs with
+    * `jaccard >= threshold` computed over ALL shingles of each doc (the cap
+    * only prunes candidate generation; `n_common` counts capped shingles, so
+    * the cap must be mirrored in any oracle).
+    */
+  def jaccardSelfJoin(sh: DataFrame, threshold: Double, maxDocFreq: Int = 500): DataFrame = {
+    val counts = sh.select(col("doc_id"), size(col("shingles")).as("n_sh"))
+    val inv = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    // df-cap: drop shingles appearing in more than maxDocFreq docs BEFORE
+    // pairing — a shingle in k docs otherwise yields k² pair rows.
+    val qualified = inv.groupBy(col("sh")).count().filter(col("count") <= maxDocFreq).select("sh")
+    val inv2 = inv.join(qualified, "sh")
+    val pairs = inv2.as("x").join(inv2.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(counts.select(col("doc_id").as("a_id"), col("n_sh").as("a_n")), "a_id")
+      .join(counts.select(col("doc_id").as("b_id"), col("n_sh").as("b_n")), "b_id")
+      .withColumn("jaccard", round(col("n_common").cast("double") /
+        (col("a_n") + col("b_n") - col("n_common")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("n_common"), col("jaccard"))
+  }
+
+  /** Banded MinHash-LSH self-join: signature → bands of `r` hashes →
+    * equi-join on (band, band-slice) → dedup → exact Jaccard verify via
+    * `array_intersect` on the full shingle sets. Output == exact output for
+    * pairs above `threshold` up to the banding miss probability
+    * ((1 − t^r)^b; e.g. t=0.8, r=4, b=24 → ~3e-6).
+    */
+  def minHashSelfJoin(sh: DataFrame, threshold: Double,
+                      bands: Int = 24, rowsPerBand: Int = 4): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sig = sh.withColumn("sig",
+      expr(s"transform(sequence(0, ${numHashes - 1}), " +
+        s"i -> array_min(transform(shingles, s -> xxhash64(s, i))))"))
+    // one row per (doc, band); band key = the band's r-hash slice
+    val keyed = sig.select(col("doc_id"), col("shingles"),
+      posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
+        s"b -> slice(sig, b * $rowsPerBand + 1, $rowsPerBand))")).as(Seq("band", "key")))
+    val candidates = keyed.as("x").join(keyed.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val docs = sh.select(col("doc_id"), col("shingles"))
+    candidates
+      .join(docs.select(col("doc_id").as("a_id"), col("shingles").as("a_sh")), "a_id")
+      .join(docs.select(col("doc_id").as("b_id"), col("shingles").as("b_sh")), "b_id")
+      .withColumn("n_common", size(array_intersect(col("a_sh"), col("b_sh"))))
+      .withColumn("jaccard", round(col("n_common").cast("double") /
+        (size(col("a_sh")) + size(col("b_sh")) - col("n_common")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
+  /** SimHash near-dup candidates: 64-bit signature per doc (via the native
+    * [[graft.functions.SimHash64]] expression), pairs within `maxHamming`
+    * bits. Banding for scale: split the 64-bit signature into `16-bit`
+    * chunks — any pair within Hamming distance 3 shares at least one exact
+    * chunk (pigeonhole), so the join is an equi-join on (chunk index, chunk
+    * value), never all-pairs.
+    */
+  def simHashSelfJoin(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4 chunks of 16 bits guarantee recall only up to hamming 3")
+    val sigs = df.select(col(idCol).as("doc_id"),
+      call_function("simhash64", split(col(textCol), " ")).as("sig"))
+    val chunked = sigs.select(col("doc_id"), col("sig"),
+      posexplode(expr(
+        "transform(sequence(0, 3), i -> (sig >> (i * 16)) & 65535)")).as(Seq("chunk", "ckey")))
+    chunked.as("x").join(chunked.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.ckey") === col("y.ckey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        col("x.sig").as("a_sig"), col("y.sig").as("b_sig"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("a_sig").bitwiseXOR(col("b_sig"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+}

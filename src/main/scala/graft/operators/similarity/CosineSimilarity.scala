@@ -1,0 +1,140 @@
+package graft.operators.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cosine-similarity operators over an embedding column (`array<float>` or
+  * `array<double>`), built on the codegen'd [[graft.functions.ArrCosine]]
+  * expression.
+  *
+  * Scale guidance (100 TB):
+  *  - [[annTopK]] broadcasts the (small) query set and streams the corpus
+  *    ONCE with no corpus shuffle — linear in corpus size, the right shape
+  *    for batch scoring. Per-pair cost is one codegen'd loop.
+  *  - [[exactSelfJoin]] is inherently O(n²) pairs — use it only when the
+  *    corpus (or a pre-blocked bucket of it) is small. It exists as the
+  *    correctness baseline and as the in-bucket verifier for the LSH path.
+  *  - [[lshSelfJoin]] is the scale path for high thresholds (≥ ~0.7): only
+  *    pairs that collide in some band get the exact cosine, so the quadratic
+  *    blowup is confined to LSH buckets. NOTE a fundamental LSH property:
+  *    for LOW thresholds (e.g. 0.45, angle ≈ 63°, barely tighter than the
+  *    90° of random vectors) no data-independent banding prunes — the
+  *    collision probability of a random pair (0.5 per bit) is too close to
+  *    that of a threshold pair. Parameters are derived from the threshold
+  *    and a target recall; when the math says banding cannot prune we fail
+  *    fast rather than silently run a slower-than-exact plan.
+  */
+object CosineSimilarity {
+
+  private def cosine(a: Column, b: Column): Column =
+    call_function("arr_cosine", a, b)
+
+  /** Exact all-pairs self-join above `threshold`. O(n²) candidate pairs —
+    * one broadcast of the smaller side, one codegen'd loop per pair,
+    * NO per-pair HOF lambdas. `sim` is rounded to 6 decimals for
+    * cross-engine determinism.
+    */
+  def exactSelfJoin(df: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("a_id"), col(vecCol).cast("array<double>").as("av"))
+    val b = df.select(col(idCol).as("b_id"), col(vecCol).cast("array<double>").as("bv"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("sim", round(cosine(col("av"), col("bv")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("a_id"), col("b_id"), col("sim"))
+  }
+
+  /** Brute-force top-k neighbors for a (small, broadcast) query set against
+    * the corpus. Corpus is scanned once, never shuffled; the only shuffle is
+    * the per-query top-k window over candidate rows.
+    */
+  def annTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, qIdCol: String, qVecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    corpus.join(broadcast(queries), col(idCol) =!= col(qIdCol))
+      .withColumn("sim", round(cosine(col(qVecCol).cast("array<double>"),
+        col(vecCol).cast("array<double>")), 6))
+      .withColumn("nrank", row_number().over(
+        Window.partitionBy(col(qIdCol)).orderBy(col("sim").desc, col(idCol))))
+      .filter(col("nrank") <= k)
+      .select(col(qIdCol).as("qid"), col("nrank"), col(idCol).as("neighbor"), col("sim"))
+  }
+
+  /** Random-hyperplane LSH parameters for a threshold + recall target.
+    *
+    * p(bit agrees | sim = t) = 1 − acos(t)/π. With `r` bits per band and
+    * `b` bands, P(miss) = (1 − p^r)^b ≤ missProb. `r` also shards buckets:
+    * 2^r possible keys per band. Returns (rowsPerBand, bands).
+    */
+  def lshParams(threshold: Double, missProb: Double = 1e-5, rowsPerBand: Int = 8): (Int, Int) = {
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    val pr = math.pow(p, rowsPerBand)
+    require(pr > 1e-9,
+      s"threshold $threshold too low for $rowsPerBand-bit bands (p=$p); " +
+        "banding cannot prune at this threshold — use exactSelfJoin")
+    val bands = math.ceil(math.log(missProb) / math.log(1.0 - pr)).toInt
+    (rowsPerBand, bands)
+  }
+
+  /** Deterministic random hyperplanes (seeded Gaussian), `nBits × dim`. */
+  private[similarity] def hyperplanes(nBits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Banded-LSH self-join above `threshold`: sign-bit signatures from seeded
+    * random hyperplanes → one band key per (row, band) → equi-join on
+    * (band, key) → dedup candidate pairs → exact codegen'd cosine verify.
+    * Output == exact output up to the configured miss probability.
+    *
+    * Shuffle shape at scale: explode factor = `bands` (linear), candidate
+    * join is an equi-join on the band key (shuffle-hash/sort-merge, AQE
+    * skew-split applies), exact verify only inside buckets.
+    */
+  def lshSelfJoin(df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+                  missProb: Double = 1e-5, rowsPerBand: Int = 8,
+                  seed: Long = 42L): DataFrame = {
+    val (r, bands) = lshParams(threshold, missProb, rowsPerBand)
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val planes = hyperplanes(r * bands, dim, seed)
+
+    val bandKeysUdf = udf { (v: Seq[Double]) =>
+      val keys = new Array[Long](bands)
+      var band = 0
+      while (band < bands) {
+        var key = 0L
+        var bit = 0
+        while (bit < r) {
+          val plane = planes(band * r + bit)
+          var dot = 0.0
+          var i = 0
+          val n = math.min(plane.length, v.length)
+          while (i < n) { dot += plane(i) * v(i); i += 1 }
+          if (dot > 0) key |= (1L << bit)
+          bit += 1
+        }
+        keys(band) = key
+        band += 1
+      }
+      keys
+    }
+
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val keyed = vecs
+      .withColumn("band_keys", bandKeysUdf(col("v")))
+      .select(col("id"), posexplode(col("band_keys")).as(Seq("band", "key")))
+
+    val candidates = keyed.as("x").join(keyed.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
+      .distinct()
+
+    candidates
+      .join(vecs.select(col("id").as("a_id"), col("v").as("av")), "a_id")
+      .join(vecs.select(col("id").as("b_id"), col("v").as("bv")), "b_id")
+      .withColumn("sim", round(cosine(col("av"), col("bv")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("a_id"), col("b_id"), col("sim"))
+  }
+}

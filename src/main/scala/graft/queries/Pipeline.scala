@@ -10,11 +10,17 @@ import graft.Tables
   * closest surface is its text ETs, e.g. streamingpro-mlsql/.../algs/
   * SQLTfIdfInPlace.scala and SQLRawSimilarInPlace.scala).
   *
-  * Scale notes per operator are inline; the O(n²) brute-force variants are
-  * the *correctness baseline* — the LSH/banded variants in
-  * [[graft.operators]] are the 100 TB path.
+  * Scale notes per operator are inline. The similarity/dedup entries are
+  * thin query shells over the reusable operators in
+  * [[graft.operators.similarity.CosineSimilarity]] and
+  * [[graft.operators.dedup.TextDedup]]: p7/p8 exercise the exact
+  * (codegen'd single-pass cosine) paths, p11/p12/p13 exercise the banded
+  * LSH / MinHash / SimHash scale paths against the same exact oracles.
   */
 object Pipeline {
+  import graft.operators.dedup.TextDedup
+  import graft.operators.similarity.CosineSimilarity
+
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
 
   val specs: Seq[QuerySpec] = Seq(
@@ -113,24 +119,15 @@ object Pipeline {
         | CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS n_ws_tokens
         |FROM documents ORDER BY doc_id""".stripMargin),
 
-    // ---- brute-force cosine top-k ANN (correctness baseline).
+    // ---- brute-force cosine top-k ANN (exact baseline).
     //      Queries broadcast, corpus streamed: one pass over the corpus per
-    //      batch of queries, no shuffle of the corpus. The 100 TB path is the
-    //      LSH-bucketed variant in graft.operators.similarity. ----
+    //      batch of queries, no shuffle of the corpus; per-pair cost is ONE
+    //      codegen'd loop (arr_cosine), not three interpreted HOF lambdas. ----
     QuerySpec.sql("p7_ann_bruteforce", (s, dir) => {
       import s.implicits._
-      val e = t(s, dir, "embeddings")
-        .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      val q = e.filter($"vec_id" < 10).select($"vec_id".as("qid"), $"v".as("qv"))
-      val dot = "aggregate(zip_with(qv, v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)"
-      val nq = "sqrt(aggregate(transform(qv, x -> x * x), CAST(0.0 AS DOUBLE), (acc, z) -> acc + z))"
-      val nv = "sqrt(aggregate(transform(v, x -> x * x), CAST(0.0 AS DOUBLE), (acc, z) -> acc + z))"
-      e.join(broadcast(q), $"vec_id" =!= $"qid")
-        .withColumn("sim", round(expr(s"$dot / ($nq * $nv)"), 6))
-        .withColumn("nrank", row_number().over(
-          Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id")))
-        .filter($"nrank" <= 5)
-        .select($"qid", $"nrank", $"vec_id".as("neighbor"), $"sim")
+      val e = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+      val q = e.filter($"vec_id" < 10).select($"vec_id".as("qid"), $"embedding".as("qv"))
+      CosineSimilarity.annTopK(e, q, "vec_id", "embedding", "qid", "qv", 5)
         .orderBy($"qid", $"nrank")
     },
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -146,20 +143,17 @@ object Pipeline {
         | FROM q JOIN e ON e.vec_id <> q.qid) t
         |WHERE nrank <= 5 ORDER BY qid, nrank""".stripMargin),
 
-    // ---- embedding near-duplicate pairs above a cosine threshold ----
+    // ---- embedding near-duplicate pairs above a cosine threshold.
+    //      Exact all-pairs — inherently O(n²) candidates at ANY threshold
+    //      this low (0.45 ≈ 63°, barely tighter than random's 90°: no
+    //      data-independent banding can prune it; see the scaladoc on
+    //      CosineSimilarity.lshSelfJoin). The cost fix vs round 1 is the
+    //      single-pass codegen'd arr_cosine per pair. p12 runs the SAME
+    //      query through the banded-LSH path to prove the scale machinery
+    //      against this exact oracle. ----
     QuerySpec.sql("p8_neardup_embedding", (s, dir) => {
       import s.implicits._
-      val e = t(s, dir, "embeddings")
-        .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      val a = e.select($"vec_id".as("a_id"), $"v".as("av"))
-      val b = e.select($"vec_id".as("b_id"), $"v".as("bv"))
-      val dot = "aggregate(zip_with(av, bv, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)"
-      val na = "sqrt(aggregate(transform(av, x -> x * x), CAST(0.0 AS DOUBLE), (acc, z) -> acc + z))"
-      val nb = "sqrt(aggregate(transform(bv, x -> x * x), CAST(0.0 AS DOUBLE), (acc, z) -> acc + z))"
-      a.join(b, $"a_id" < $"b_id")
-        .withColumn("sim", round(expr(s"$dot / ($na * $nb)"), 6))
-        .filter($"sim" >= 0.45)
-        .select($"a_id", $"b_id", $"sim")
+      CosineSimilarity.exactSelfJoin(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
         .orderBy($"a_id", $"b_id")
     },
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
@@ -171,28 +165,14 @@ object Pipeline {
         |   (SQRT(LIST_INNER_PRODUCT(a.v, a.v)) * SQRT(LIST_INNER_PRODUCT(b.v, b.v))), 6) >= 0.45
         |ORDER BY a_id, b_id""".stripMargin),
 
-    // ---- n-gram (word 3-shingle) Jaccard near-dup candidates.
-    //      Shuffle shape: explode shingles -> group by shingle (inverted
-    //      index) -> pair counts -> Jaccard. Only docs sharing a shingle are
-    //      paired, so the n² blowup is bounded by shingle co-occurrence. ----
+    // ---- n-gram (word 3-shingle) Jaccard near-dup candidates via an
+    //      inverted shingle index WITH a document-frequency cap (skew
+    //      guard: a shingle in k docs otherwise emits k² pair rows). The
+    //      cap is mirrored in the oracle. See TextDedup.jaccardSelfJoin. ----
     QuerySpec.sql("p9_ngram_jaccard", (s, dir) => {
       import s.implicits._
-      val sh = t(s, dir, "documents")
-        .select($"doc_id", split($"text", " ").as("w"))
-        .filter(size($"w") >= 3)
-        .select($"doc_id", expr(
-          "array_distinct(transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2])))").as("shingles"))
-      val counts = sh.select($"doc_id", size($"shingles").as("n_sh"))
-      val inv = sh.select($"doc_id", explode($"shingles").as("sh"))
-      val pairs = inv.as("x").join(inv.as("y"), $"x.sh" === $"y.sh" && $"x.doc_id" < $"y.doc_id")
-        .groupBy($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id"))
-        .agg(count(lit(1)).as("n_common"))
-      pairs
-        .join(counts.select($"doc_id".as("a_id"), $"n_sh".as("a_n")), "a_id")
-        .join(counts.select($"doc_id".as("b_id"), $"n_sh".as("b_n")), "b_id")
-        .withColumn("jaccard", round($"n_common".cast("double") / ($"a_n" + $"b_n" - $"n_common"), 4))
-        .filter($"jaccard" >= 0.8)
-        .select($"a_id", $"b_id", $"n_common", $"jaccard")
+      val sh = TextDedup.shingles(t(s, dir, "documents"), "doc_id", "text", 3)
+      TextDedup.jaccardSelfJoin(sh, 0.8, maxDocFreq = 500)
         .orderBy($"a_id", $"b_id")
     },
       """WITH sh AS (
@@ -202,7 +182,9 @@ object Pipeline {
         |  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents)
         |  WHERE LEN(w) >= 3) t),
         |counts AS (SELECT doc_id, LEN(shingles) AS n_sh FROM sh),
-        |inv AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+        |inv0 AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+        |qualified AS (SELECT s FROM inv0 GROUP BY s HAVING COUNT(*) <= 500),
+        |inv AS (SELECT inv0.* FROM inv0 JOIN qualified USING (s)),
         |pairs AS (
         | SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS n_common
         | FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id < y.doc_id
@@ -228,6 +210,68 @@ object Pipeline {
       """SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS n_langs,
         | CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         | CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS total_tokens
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin)
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin),
+
+    // ---- MinHash-LSH near-dup (the 100 TB text-dedup path): banded
+    //      signatures -> equi-join on (band, slice) -> exact Jaccard verify.
+    //      Verified against the EXACT all-shingle oracle: at t=0.8, r=4,
+    //      b=24, P(miss) = (1 - 0.8^4)^24 ≈ 3e-6 per true pair. Shuffle
+    //      volume is linear in docs (constant signature size), never in
+    //      pairs. ----
+    QuerySpec.sql("p11_minhash_lsh", (s, dir) => {
+      import s.implicits._
+      val sh = TextDedup.shingles(t(s, dir, "documents"), "doc_id", "text", 3)
+      TextDedup.minHashSelfJoin(sh, 0.8, bands = 24, rowsPerBand = 4)
+        .orderBy($"a_id", $"b_id")
+    },
+      """WITH sh AS (
+        | SELECT doc_id, LIST_DISTINCT(ngrams) AS shingles FROM (
+        |  SELECT doc_id,
+        |   [ARRAY_TO_STRING(w[i:i+2], ' ') FOR i IN RANGE(1, LEN(w) - 1)] AS ngrams
+        |  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents)
+        |  WHERE LEN(w) >= 3) t),
+        |counts AS (SELECT doc_id, LEN(shingles) AS n_sh FROM sh),
+        |inv AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+        |pairs AS (
+        | SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS n_common
+        | FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id < y.doc_id
+        | GROUP BY 1, 2)
+        |SELECT a_id, b_id,
+        | ROUND(CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common), 4) AS jaccard
+        |FROM pairs JOIN counts ca ON pairs.a_id = ca.doc_id
+        |JOIN counts cb ON pairs.b_id = cb.doc_id
+        |WHERE ROUND(CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common), 4) >= 0.8
+        |ORDER BY a_id, b_id""".stripMargin),
+
+    // ---- banded random-hyperplane LSH self-join, verified against the
+    //      SAME exact oracle as p8 (recall parameters sized for miss ≤ 1e-5
+    //      per true pair at t=0.45: r=4 bits, 60 bands). At this low
+    //      threshold banding cannot prune (see CosineSimilarity scaladoc) —
+    //      this entry proves the scale machinery's CORRECTNESS; its perf
+    //      win appears at realistic near-dup thresholds. ----
+    QuerySpec.sql("p12_cosine_lsh", (s, dir) => {
+      import s.implicits._
+      CosineSimilarity.lshSelfJoin(t(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.45, missProb = 1e-5, rowsPerBand = 4)
+        .orderBy($"a_id", $"b_id")
+    },
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        | ROUND(LIST_INNER_PRODUCT(a.v, b.v) /
+        |   (SQRT(LIST_INNER_PRODUCT(a.v, a.v)) * SQRT(LIST_INNER_PRODUCT(b.v, b.v))), 6) AS sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE ROUND(LIST_INNER_PRODUCT(a.v, b.v) /
+        |   (SQRT(LIST_INNER_PRODUCT(a.v, a.v)) * SQRT(LIST_INNER_PRODUCT(b.v, b.v))), 6) >= 0.45
+        |ORDER BY a_id, b_id""".stripMargin),
+
+    // ---- SimHash near-dup: 64-bit signature per doc, 16-bit chunk
+    //      banding (pigeonhole-complete for hamming ≤ 3). Spark-side
+    //      xxhash64 has no DuckDB equivalent, so this is a rows-level
+    //      check only (deterministic across runs). ----
+    QuerySpec.noOracle("p13_simhash", (s, dir) => {
+      import s.implicits._
+      TextDedup.simHashSelfJoin(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+        .orderBy($"a_id", $"b_id")
+    })
   )
 }

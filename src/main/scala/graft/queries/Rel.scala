@@ -73,8 +73,10 @@ object Rel {
       val c = t(s, dir, "customer")
       val o = t(s, dir, "orders")
       val l = t(s, dir, "lineitem")
+      // customer grows with SF (SF*150k rows) — no explicit broadcast hint;
+      // AQE picks broadcast when the dim is actually small enough.
       l.join(o, $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .join(c, $"o_custkey" === $"c_custkey")
         .groupBy($"c_mktsegment")
         .agg(
           sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast("decimal(18,4)")).cast("double").as("revenue"),
@@ -465,7 +467,9 @@ object Rel {
         |FROM orders WHERE o_custkey < 30
         |ORDER BY o_custkey, o_orderkey""".stripMargin),
 
-    // ---- 5-way star join: broadcast all dims, shuffle only fact-fact ----
+    // ---- 5-way star join: broadcast the constant-size dims (region 5 rows,
+    //      nation 25 rows); customer scales with SF so AQE decides for it;
+    //      shuffle only fact-fact ----
     QuerySpec.sql("q30_star_join", (s, dir) => {
       import s.implicits._
       val r = t(s, dir, "region")
@@ -474,7 +478,7 @@ object Rel {
       val o = t(s, dir, "orders")
       val l = t(s, dir, "lineitem")
       l.join(o, $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .join(c, $"o_custkey" === $"c_custkey")
         .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
         .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
         .groupBy($"r_name")
