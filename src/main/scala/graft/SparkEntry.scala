@@ -13,11 +13,13 @@ import graft.queries._
 object SparkEntry {
 
   /** All query specs, in family order. */
-  def specs: Seq[QuerySpec] = Rel.specs ++ Funcs.specs ++ Pipeline.specs
+  def specs: Seq[QuerySpec] = Rel.specs ++ Funcs.specs ++ Pipeline.specs ++ Scripts.specs
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: the q30 star join executed end-to-end through the Graft DSL
+    * script runner on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("q30_star_join")(spark, "/root/testdata/sf0.001")
+    queries("s2_script_star_join")(spark, "/root/testdata/sf0.001")
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -16,6 +16,12 @@ final class ScriptContext(val spark: SparkSession, val pathPrefix: String = "") 
   val env: mutable.LinkedHashMap[String, String] = mutable.LinkedHashMap()
   var lastTable: Option[String] = None
 
+  /** Streaming queries started by this script, keyed by streamName
+    * (reference: MLSQLStreamManager.scala:68-80).
+    */
+  val streams: mutable.Map[String, org.apache.spark.sql.streaming.StreamingQuery] =
+    mutable.LinkedHashMap()
+
   /** `set streamName="x"` marks the script as streaming (LoadAdaptor.scala:72-78). */
   def streamName: Option[String] = env.get("streamName").filter(_.nonEmpty)
 

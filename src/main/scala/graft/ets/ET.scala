@@ -1,0 +1,56 @@
+package graft.ets
+
+import scala.collection.concurrent.TrieMap
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import graft.dsl.ScriptContext
+
+/** Estimator/Transformer plugin contract behind `train`/`run`/`predict`/
+  * `register` (reference: streamingpro-core/src/main/java/streaming/dsl/
+  * mmlib/SQLAlg.scala:28-65 — `train`/`batchPredict`/`load`/`predict`).
+  *
+  * `train` and `batchPredict` are whole-DataFrame transforms; `load` +
+  * `predict` back `register Alg.`path` as fn` prediction UDFs.
+  */
+trait ET {
+  /** Registry name, e.g. "Pivot" (looked up by `train t as Pivot.`...``). */
+  def name: String
+
+  def train(ctx: ScriptContext, df: DataFrame, path: String,
+            params: Map[String, String]): DataFrame
+
+  /** `predict` statement: defaults to the same transform as `train`
+    * (reference: TrainAdaptor.scala:92-110 routes run→train,
+    * predict→batchPredict).
+    */
+  def batchPredict(ctx: ScriptContext, df: DataFrame, path: String,
+                   params: Map[String, String]): DataFrame =
+    train(ctx, df, path, params)
+
+  /** Load a model/artifact for `register`. */
+  def load(spark: SparkSession, path: String, params: Map[String, String]): Any =
+    throw new UnsupportedOperationException(s"ET '$name' does not support load/register")
+
+  /** Build the prediction UDF for `register Alg.`path` as fn`. */
+  def predict(spark: SparkSession, model: Any, udfName: String,
+              params: Map[String, String]): UserDefinedFunction =
+    throw new UnsupportedOperationException(s"ET '$name' does not support predict UDFs")
+}
+
+/** Name → ET instance registry (reference: TrainAdaptor.scala:124-191
+  * `MLMapping` + tech/mlsql/ets/register/ETRegister.scala:24-48).
+  */
+object ETRegistry {
+  private val ets = TrieMap[String, ET]()
+
+  def register(et: ET): Unit = ets.put(et.name.toLowerCase, et)
+
+  def lookup(name: String): ET = ets.getOrElse(name.toLowerCase,
+    throw new IllegalArgumentException(
+      s"unknown ET '$name'; registered: ${ets.keys.toSeq.sorted.mkString(", ")}"))
+
+  def registered: Seq[String] = ets.values.map(_.name).toSeq.sorted
+
+  UtilityETs.all.foreach(register)
+  MlETs.all.foreach(register)
+}

@@ -1,0 +1,235 @@
+package graft.ets
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import graft.dsl.ScriptContext
+
+/** Data-manipulation ETs (reference: the utility modules listed in
+  * SURVEY.md §2.4 — Pivot, TableRepartition, RateSampler, CacheExt,
+  * ShowCommand/SchemaCommand, PrintCommand, HDFSCommand, WaterMarkInPlace,
+  * RunScript).
+  */
+object UtilityETs {
+  def all: Seq[ET] = Seq(PivotET, TableRepartitionET, RateSamplerET, CacheExtET,
+    ShowCommandET, SchemaCommandET, PrintCommandET, HDFSCommandET,
+    WaterMarkInPlaceET, RunScriptET, TableToMapET)
+
+  private[ets] def oneRowTable(spark: SparkSession, cols: (String, String)*): DataFrame = {
+    val schema = StructType(cols.map(c => StructField(c._1, StringType)))
+    spark.createDataFrame(java.util.List.of(Row(cols.map(_._2): _*)), schema)
+  }
+}
+
+/** `run t as Pivot.`` where groupBy="a" and pivot="b" and agg="sum" and
+  * aggCol="c" [and values="v1,v2"]` →
+  * `df.groupBy(a).pivot(b[, values]).agg(sum(c))`
+  * (reference: external/mlsql-ets/.../Pivot.scala:20-35).
+  * Passing explicit `values` skips the extra distinct-scan Spark otherwise
+  * runs to discover pivot columns — always set it at scale.
+  */
+object PivotET extends ET {
+  override def name = "Pivot"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    val groupCols = params("groupBy").split(",").map(c => col(c.trim)).toSeq
+    val pivotCol = params("pivot")
+    val aggFn = params.getOrElse("agg", "sum")
+    val aggCol = params("aggCol")
+    val grouped = df.groupBy(groupCols: _*)
+    val pivoted = params.get("values") match {
+      case Some(vs) => grouped.pivot(pivotCol, vs.split(",").map(_.trim).toSeq)
+      case None => grouped.pivot(pivotCol)
+    }
+    pivoted.agg(expr(s"$aggFn(`$aggCol`)"))
+  }
+}
+
+/** `run t as TableRepartition.`` where partitionNum="32"
+  * [and partitionCols="a,b"] [and shuffle="false"]` — `repartition` /
+  * `coalesce` (reference: external/mlsql-ets/.../TableRepartition.scala:19-49).
+  */
+object TableRepartitionET extends ET {
+  override def name = "TableRepartition"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    val num = params.get("partitionNum").map(_.toInt)
+    val cols = params.get("partitionCols").toSeq
+      .flatMap(_.split(",")).map(c => col(c.trim))
+    (num, cols) match {
+      case (Some(n), Nil) =>
+        if (params.get("shuffle").contains("false")) df.coalesce(n) else df.repartition(n)
+      case (Some(n), cs) => df.repartition(n, cs: _*)
+      case (None, cs) if cs.nonEmpty => df.repartition(cs: _*)
+      case _ => throw new IllegalArgumentException(
+        "TableRepartition requires partitionNum and/or partitionCols")
+    }
+  }
+}
+
+/** `run t as RateSampler.`` where labelCol="label" and
+  * sampleRate="0.8,0.2" [and seed="42"]` — stratified split adding a
+  * `__split__` column (reference: SQLRateSampler.scala:34-136).
+  *
+  * Scale note: implemented as a per-row Bernoulli assignment
+  * (`rand(seed)` bucketed by the cumulative rates) exactly like
+  * `randomSplit` — no shuffle, no per-label window, so label skew is
+  * irrelevant. Proportions are exact in expectation (sampling, not
+  * exact-count splitting), which is the reference's behavior too.
+  */
+object RateSamplerET extends ET {
+  override def name = "RateSampler"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    val rates = params.getOrElse("sampleRate", "0.9,0.1").split(",").map(_.trim.toDouble)
+    require(math.abs(rates.sum - 1.0) < 1e-9, s"sampleRate must sum to 1, got ${rates.mkString(",")}")
+    val seed = params.getOrElse("seed", "42").toLong
+    val cum = rates.scanLeft(0.0)(_ + _).tail // upper bound per split
+    val r = rand(seed)
+    val splitCol = cum.init.zipWithIndex.foldRight(lit(cum.length - 1): org.apache.spark.sql.Column) {
+      case ((ub, idx), acc) => when(r < ub, idx).otherwise(acc)
+    }
+    df.withColumn("__split__", splitCol)
+  }
+}
+
+/** `!cache t` / `run t as CacheExt.`` where execute="cache" and
+  * isEager="true"` (reference: SQLCacheExt.scala:38-92).
+  */
+object CacheExtET extends ET {
+  override def name = "CacheExt"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    params.getOrElse("execute", "cache") match {
+      case "uncache" => df.unpersist()
+      case _ =>
+        df.persist()
+        if (params.getOrElse("isEager", "false").toBoolean) df.count()
+    }
+    df
+  }
+}
+
+/** `!show tables` → catalog introspection tables
+  * (reference: tech/mlsql/ets/ShowCommand.scala).
+  */
+object ShowCommandET extends ET {
+  override def name = "ShowCommand"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    val spark = ctx.spark
+    path match {
+      case "tables" => spark.sql("show tables")
+      case "databases" => spark.sql("show databases")
+      case "functions" => spark.sql("show functions")
+      case "ets" => {
+        import spark.implicits._
+        ETRegistry.registered.toDF("name")
+      }
+      case "version" => UtilityETs.oneRowTable(spark,
+        "engine" -> "graft", "spark" -> spark.version)
+      case other => throw new IllegalArgumentException(
+        s"!show supports tables|databases|functions|ets|version, got '$other'")
+    }
+  }
+}
+
+/** `!desc t` — one row per column of the table's schema
+  * (reference: external/mlsql-ets/.../SchemaCommand.scala).
+  */
+object SchemaCommandET extends ET {
+  override def name = "SchemaCommand"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame =
+    ctx.spark.sql(s"describe table ${if (path.nonEmpty) path else params("table")}")
+}
+
+/** `!println '''msg'''` (reference: tech/mlsql/ets/PrintCommand.scala). */
+object PrintCommandET extends ET {
+  override def name = "PrintCommand"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    val content = params.getOrElse("content", path)
+    // scalastyle:off println
+    println(content)
+    // scalastyle:on println
+    UtilityETs.oneRowTable(ctx.spark, "content" -> content)
+  }
+}
+
+/** `!fs ls /path` / `!fs rm /path` — Hadoop FileSystem ops returning a
+  * table (reference: tech/mlsql/ets/HDFSCommand.scala).
+  */
+object HDFSCommandET extends ET {
+  override def name = "HDFSCommand"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    val spark = ctx.spark
+    val args = params.getOrElse("parameters", path).split("\\s+").filter(_.nonEmpty)
+    require(args.nonEmpty, "!fs requires a subcommand: ls|rm|mkdir")
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    import spark.implicits._
+    args(0) match {
+      case "ls" =>
+        fs.listStatus(new Path(args(1))).toSeq
+          .map(st => (st.getPath.toString, st.getLen, st.isDirectory))
+          .toDF("path", "size", "is_dir")
+      case "rm" | "-rmr" =>
+        val recursive = args.contains("-r") || args(0) == "-rmr"
+        val target = args.last
+        val ok = fs.delete(new Path(target), recursive)
+        Seq((target, ok)).toDF("path", "deleted")
+      case "mkdir" =>
+        val ok = fs.mkdirs(new Path(args.last))
+        Seq((args.last, ok)).toDF("path", "created")
+      case other => throw new IllegalArgumentException(s"!fs: unsupported subcommand '$other'")
+    }
+  }
+}
+
+/** `run t as WaterMarkInPlace.`` where eventTimeCol="ts" and
+  * delayThreshold="10 seconds"` — re-registers the SAME view with a
+  * watermark (reference: SQLWaterMarkInPlace.scala:28-47).
+  */
+object WaterMarkInPlaceET extends ET {
+  override def name = "WaterMarkInPlace"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame =
+    df.withWatermark(params("eventTimeCol"), params("delayThreshold"))
+}
+
+/** `run t as RunScript.`` where inputCol="content"` — execute Graft script
+  * text held in the (single-row) input table
+  * (reference: tech/mlsql/ets/RunScript.scala).
+  */
+object RunScriptET extends ET {
+  override def name = "RunScript"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    val colName = params.getOrElse("inputCol", "content")
+    val script = df.select(colName).head().getString(0)
+    val sub = graft.dsl.ScriptRunner.run(script, ctx.spark, ctx.pathPrefix)
+    sub.lastDataFrame.getOrElse(ctx.spark.emptyDataFrame)
+  }
+}
+
+/** `run t as TableToMap.`` — collect a small 2-column table to a broadcast
+  * map and register a lookup UDF named by `udfName`
+  * (reference: SQLTableToMap.scala:30). The input MUST be dimension-sized:
+  * it is collected to the driver and broadcast.
+  */
+object TableToMapET extends ET {
+  override def name = "TableToMap"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    val keyCol = params.getOrElse("keyCol", df.columns(0))
+    val valCol = params.getOrElse("valueCol", df.columns(1))
+    val m = df.select(col(keyCol).cast("string"), col(valCol).cast("string"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val bc = ctx.spark.sparkContext.broadcast(m)
+    val udfName = params.getOrElse("udfName", "table_map_lookup")
+    ctx.spark.udf.register(udfName, (k: String) => bc.value.get(k))
+    df
+  }
+}

@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.dsl.ScriptRunner
+
+/** Script-level correctness entries: the SAME semantics as selected q/f
+  * queries, but executed end-to-end through the Graft DSL runner
+  * (load/select/set/save/run statements → [[graft.dsl.ScriptRunner]]),
+  * proving the engine spine against the DuckDB oracles.
+  */
+object Scripts {
+
+  private def script(s: SparkSession, text: String): DataFrame =
+    ScriptRunner.runToDF(text, s)
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ---- q1 aggregation re-expressed as a DSL script ----
+    QuerySpec.sql("s1_script_agg", (s, dir) => script(s,
+      s"""load parquet.`$dir/lineitem.parquet` as lineitem;
+         |select l_returnflag, l_linestatus,
+         | CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+         | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc,
+         | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+         | SUM(l_quantity) / COUNT(*) AS avg_qty,
+         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+         | CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+         | COUNT(*) AS cnt
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus
+         |as s1_out;""".stripMargin),
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc,
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        | SUM(l_quantity) / COUNT(*) AS avg_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        | CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+        | COUNT(*) AS cnt
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+
+    // ---- q30 star join as a script; dims broadcast via SQL hint ----
+    QuerySpec.sql("s2_script_star_join", (s, dir) => script(s,
+      s"""load parquet.`$dir/region.parquet` as region;
+         |load parquet.`$dir/nation.parquet` as nation;
+         |load parquet.`$dir/customer.parquet` as customer;
+         |load parquet.`$dir/orders.parquet` as orders;
+         |load parquet.`$dir/lineitem.parquet` as lineitem;
+         |select /*+ BROADCAST(nation), BROADCAST(region) */ r_name,
+         | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+         | COUNT(*) AS n_lines
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name ORDER BY r_name
+         |as s2_out;""".stripMargin),
+      """SELECT r_name,
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin),
+
+    // ---- set type=sql + ${} templating driving a later statement ----
+    QuerySpec.sql("s3_script_set_sql", (s, dir) => script(s,
+      s"""load parquet.`$dir/region.parquet` as region;
+         |load parquet.`$dir/nation.parquet` as nation;
+         |set mx = '''select max(r_regionkey) from region''' where type="sql";
+         |select n_nationkey, n_name from nation
+         |  where n_regionkey <= $${mx} - 2 order by n_nationkey
+         |as s3_out;""".stripMargin),
+      """SELECT n_nationkey, n_name FROM nation
+        |WHERE n_regionkey <= (SELECT MAX(r_regionkey) FROM region) - 2
+        |ORDER BY n_nationkey""".stripMargin),
+
+    // ---- jsonStr source from a set variable (oracle: VALUES literal) ----
+    QuerySpec.sql("s4_script_jsonstr", (s, dir) => script(s,
+      """set rawdata = '''{"id":1,"tag":"alpha"}
+        |{"id":2,"tag":"beta"}
+        |{"id":3,"tag":"gamma"}''';
+        |load jsonStr.`rawdata` as jt;
+        |select id, tag from jt order by id as s4_out;""".stripMargin),
+      """SELECT CAST(id AS BIGINT) AS id, tag
+        |FROM (VALUES (1, 'alpha'), (2, 'beta'), (3, 'gamma')) t(id, tag)
+        |ORDER BY id""".stripMargin),
+
+    // ---- Pivot ET through the run statement ----
+    QuerySpec.sql("s5_script_pivot", (s, dir) => script(s,
+      s"""load parquet.`$dir/nation.parquet` as nation;
+         |select n_regionkey, n_nationkey % 2 as parity, n_nationkey as v
+         |  from nation as base;
+         |run base as Pivot.`` where groupBy="n_regionkey" and pivot="parity"
+         |  and agg="sum" and aggCol="v" and values="0,1" as pv;
+         |select * from pv order by n_regionkey as s5_out;""".stripMargin),
+      """SELECT n_regionkey,
+        | CAST(SUM(CASE WHEN n_nationkey % 2 = 0 THEN n_nationkey END) AS BIGINT) AS "0",
+        | CAST(SUM(CASE WHEN n_nationkey % 2 = 1 THEN n_nationkey END) AS BIGINT) AS "1"
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin),
+
+    // ---- TableRepartition ET is row-preserving ----
+    QuerySpec.sql("s6_script_repartition", (s, dir) => script(s,
+      s"""load parquet.`$dir/nation.parquet` as nation;
+         |run nation as TableRepartition.`` where partitionNum="5" as rp;
+         |select n_nationkey, n_name from rp order by n_nationkey as s6_out;""".stripMargin),
+      "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey"),
+
+    // ---- !if/!else branching on a data-dependent condition ----
+    QuerySpec.sql("s7_script_branch", (s, dir) => script(s,
+      s"""load parquet.`$dir/region.parquet` as region;
+         |!if '''(select count(*) from region) = 5''';
+         |select 'five' as verdict as s7_out;
+         |!else;
+         |select 'other' as verdict as s7_out;
+         |!fi;""".stripMargin),
+      "SELECT 'five' AS verdict"),
+
+    // ---- save → load round-trip through the sink path ----
+    QuerySpec.sql("s8_script_save_roundtrip", (s, dir) => script(s,
+      s"""load parquet.`$dir/nation.parquet` as nation;
+         |select n_nationkey, n_regionkey, n_name from nation as picked;
+         |save overwrite picked as parquet.`/tmp/graft_rt/s8` where fileNum="2";
+         |load parquet.`/tmp/graft_rt/s8` as back;
+         |select n_regionkey, count(*) as n, min(n_name) as first_name
+         |  from back group by n_regionkey order by n_regionkey as s8_out;""".stripMargin),
+      """SELECT n_regionkey, COUNT(*) AS n, MIN(n_name) AS first_name
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin),
+
+    // ---- RateSampler: rows-only (random assignment has no SQL oracle) ----
+    QuerySpec.noOracle("s9_script_split", (s, dir) => script(s,
+      s"""load parquet.`$dir/orders.parquet` as orders;
+         |run orders as RateSampler.`` where labelCol="o_orderstatus"
+         |  and sampleRate="0.8,0.2" and seed="42" as sp;
+         |select o_orderkey, __split__ from sp order by o_orderkey as s9_out;""".stripMargin))
+  )
+}

@@ -1,0 +1,165 @@
+package graft.sources
+
+import scala.collection.concurrent.TrieMap
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import graft.dsl.ScriptContext
+
+/** Pluggable source/sink registry resolving `load fmt.`path``  and
+  * `save t as fmt.`path`` (reference: streamingpro-core/src/main/java/
+  * streaming/core/datasource/DataSourceRegistry.scala:30-86 and the impl
+  * classes under streaming/core/datasource/impl/).
+  *
+  * Resolution rule matches the reference: a registered short name wins;
+  * anything unregistered falls through to
+  * `spark.read.format(fmt).options(...).load(path)` — so every Spark
+  * built-in and any DSv2 connector on the classpath works without a
+  * registry entry (reference: LoadAdaptor.scala:125-130).
+  */
+trait GraftSource {
+  def shortName: String
+
+  /** Batch read. `path` is already path-prefix-resolved and templated. */
+  def load(ctx: ScriptContext, path: String, opts: Map[String, String]): DataFrame =
+    throw new UnsupportedOperationException(s"source '$shortName' does not support load")
+
+  /** Batch write. */
+  def save(ctx: ScriptContext, df: DataFrame, mode: SaveMode, path: String,
+           opts: Map[String, String], partitionBy: Seq[String]): Unit =
+    throw new UnsupportedOperationException(s"sink '$shortName' does not support save")
+}
+
+object DataSourceRegistry {
+  private val sources = TrieMap[String, GraftSource]()
+
+  def register(s: GraftSource): Unit = sources.put(s.shortName.toLowerCase, s)
+  def lookup(format: String): Option[GraftSource] = sources.get(format.toLowerCase)
+
+  // built-ins registered once at class-load (same effect as the reference's
+  // classpath scan, DataSourceRegistry.scala:83-85, without the scan)
+  Seq(new JsonStrSource, new CsvStrSource, new ScriptSource, new ConsoleSink,
+    new HiveSource, new JdbcSource)
+    .foreach(register)
+
+  /** Batch load with registry resolution + fallback to the Spark reader. */
+  def load(ctx: ScriptContext, format: String, path: String,
+           opts: Map[String, String]): DataFrame =
+    lookup(format) match {
+      case Some(s) => s.load(ctx, path, opts)
+      case None =>
+        val reader = ctx.spark.read.format(format).options(opts)
+        if (path.isEmpty) reader.load() else reader.load(ctx.resolvePath(path))
+    }
+
+  /** Batch save with registry resolution + fallback to the Spark writer.
+    * `fileNum` repartitions before the write (reference:
+    * SaveAdaptor.scala:109-111).
+    */
+  def save(ctx: ScriptContext, df0: DataFrame, format: String, mode: SaveMode,
+           path: String, opts: Map[String, String], partitionBy: Seq[String]): Unit = {
+    val df = opts.get("fileNum").map(n => df0.repartition(n.toInt)).getOrElse(df0)
+    lookup(format) match {
+      case Some(s) => s.save(ctx, df, mode, path, opts, partitionBy)
+      case None =>
+        val w0 = df.write.format(format).mode(mode).options(opts - "fileNum")
+        val w = if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0
+        if (path.isEmpty) w.save() else w.save(ctx.resolvePath(path))
+    }
+  }
+}
+
+/** `load jsonStr.`varName`` — parse a `set` variable holding JSON lines
+  * (reference: MLSQLJSonStr.scala:16-22). The variable body is split on
+  * newlines; driver-local data, intended for tiny literal fixtures.
+  */
+final class JsonStrSource extends GraftSource {
+  override def shortName = "jsonstr"
+  override def load(ctx: ScriptContext, path: String, opts: Map[String, String]): DataFrame = {
+    val text = ctx.env.getOrElse(path,
+      throw new IllegalArgumentException(s"jsonStr: no `set $path = ...` variable in scope"))
+    import ctx.spark.implicits._
+    ctx.spark.read.json(ctx.spark.createDataset(text.split("\n").toSeq.filter(_.trim.nonEmpty)))
+  }
+}
+
+/** `load csvStr.`varName`` (reference: MLSQLCsvStr.scala). */
+final class CsvStrSource extends GraftSource {
+  override def shortName = "csvstr"
+  override def load(ctx: ScriptContext, path: String, opts: Map[String, String]): DataFrame = {
+    val text = ctx.env.getOrElse(path,
+      throw new IllegalArgumentException(s"csvStr: no `set $path = ...` variable in scope"))
+    import ctx.spark.implicits._
+    ctx.spark.read.options(opts)
+      .csv(ctx.spark.createDataset(text.split("\n").toSeq.filter(_.trim.nonEmpty)))
+  }
+}
+
+/** `load script.`varName`` — one-row (content) table holding a script text
+  * (reference: MLSQLScript.scala).
+  */
+final class ScriptSource extends GraftSource {
+  override def shortName = "script"
+  override def load(ctx: ScriptContext, path: String, opts: Map[String, String]): DataFrame = {
+    val text = ctx.env.getOrElse(path,
+      throw new IllegalArgumentException(s"script: no `set $path = ...` variable in scope"))
+    import ctx.spark.implicits._
+    Seq(text).toDF("content")
+  }
+}
+
+/** `save t as console.`` ` — print up to `numRows` (default 20) rows; batch
+  * analog of the reference's console sink (MLSQLConsole.scala).
+  */
+final class ConsoleSink extends GraftSource {
+  override def shortName = "console"
+  override def save(ctx: ScriptContext, df: DataFrame, mode: SaveMode, path: String,
+                    opts: Map[String, String], partitionBy: Seq[String]): Unit =
+    df.show(opts.getOrElse("numRows", "20").toInt, truncate = false)
+}
+
+/** `load hive.`db.table`` / `save t as hive.`db.table``
+  * (reference: MLSQLHive.scala).
+  */
+final class HiveSource extends GraftSource {
+  override def shortName = "hive"
+  override def load(ctx: ScriptContext, path: String, opts: Map[String, String]): DataFrame =
+    ctx.spark.table(path)
+  override def save(ctx: ScriptContext, df: DataFrame, mode: SaveMode, path: String,
+                    opts: Map[String, String], partitionBy: Seq[String]): Unit = {
+    val w0 = df.write.mode(mode).options(opts)
+    val w = if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0
+    w.saveAsTable(path)
+  }
+}
+
+/** `connect jdbc where url="..." ... as db; load jdbc.`db.table` as t;`
+  * — resolves `connect` aliases and the `directQuery` passthrough
+  * (reference: MLSQLJDBC.scala + MLSQLDirectJDBC.scala:54-68: directQuery
+  * becomes `dbtable = "(<query>) temp"`). Requires a JDBC driver on the
+  * classpath at runtime; option mapping is testable without one.
+  */
+final class JdbcSource extends GraftSource {
+  override def shortName = "jdbc"
+
+  /** Merge connect-alias options with statement options; statement wins. */
+  def resolveOptions(path: String, opts: Map[String, String]): Map[String, String] = {
+    val dot = path.indexOf('.')
+    val (alias, table) = if (dot < 0) ("", path) else (path.substring(0, dot), path.substring(dot + 1))
+    val base = if (alias.isEmpty) Map.empty[String, String]
+      else graft.dsl.ConnectMeta.get("jdbc", alias).getOrElse(
+        throw new IllegalArgumentException(s"jdbc: no `connect jdbc ... as $alias` in scope"))
+    val merged = base ++ opts
+    merged.get("directQuery") match {
+      case Some(q) => merged - "directQuery" + ("query" -> q)
+      case None if table.nonEmpty && !merged.contains("dbtable") && !merged.contains("query") =>
+        merged + ("dbtable" -> table)
+      case None => merged
+    }
+  }
+
+  override def load(ctx: ScriptContext, path: String, opts: Map[String, String]): DataFrame =
+    ctx.spark.read.format("jdbc").options(resolveOptions(path, opts)).load()
+
+  override def save(ctx: ScriptContext, df: DataFrame, mode: SaveMode, path: String,
+                    opts: Map[String, String], partitionBy: Seq[String]): Unit =
+    df.write.format("jdbc").mode(mode).options(resolveOptions(path, opts)).save()
+}

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.dsl.ScriptContext
+
+/** Streaming sources for `load` (reference: LoadAdaptor.scala:72-78,146 —
+  * a stream-source format makes the whole script a streaming job; the
+  * script must carry `set streamName="..."`).
+  */
+object StreamSources {
+
+  /** Streaming formats get a `readStream` DataFrame; batch formats → None. */
+  def loadIfStreaming(ctx: ScriptContext, format: String, path: String,
+                      opts: Map[String, String]): Option[DataFrame] =
+    format.toLowerCase match {
+      case "mockstream" => Some(mockStream(ctx, path, opts))
+      case "rate" =>
+        Some(ctx.spark.readStream.format("rate").options(opts).load())
+      case "streamparquet" | "streamcsv" | "streamjson" | "streamtext" =>
+        val fmt = format.toLowerCase.stripPrefix("stream")
+        val reader = ctx.spark.readStream.format(fmt).options(opts - "schema")
+        val withSchema = opts.get("schema") match {
+          case Some(ddl) => reader.schema(ddl)
+          case None => reader
+        }
+        Some(withSchema.load(ctx.resolvePath(path)))
+      case "kafka" if !kafkaOnClasspath(ctx) =>
+        throw new IllegalStateException(
+          "kafka source requires spark-sql-kafka on the classpath (not bundled offline)")
+      case "kafka" =>
+        Some(ctx.spark.readStream.format("kafka").options(opts).load())
+      case _ => None
+    }
+
+  private def kafkaOnClasspath(ctx: ScriptContext): Boolean =
+    try { Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider"); true }
+    catch { case _: ClassNotFoundException => false }
+
+  /** `load mockStream.`batchTable` as s` — replay an existing batch temp
+    * view as a stream via MemoryStream (reference: MLSQLMockStream.scala,
+    * re-designed on the built-in MemoryStream per SURVEY §2.2). Rows are
+    * collected to the driver — TEST fixture scale only, exactly like the
+    * reference's mock source.
+    */
+  private def mockStream(ctx: ScriptContext, table: String,
+                         opts: Map[String, String]): DataFrame = {
+    val spark = ctx.spark
+    val batch = spark.table(table)
+    implicit val enc = Encoders.row(batch.schema)
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[Row]
+    val rows = batch.collect().toSeq
+    val stepSize = opts.get("stepSize").map(_.toInt).getOrElse(rows.size.max(1))
+    rows.grouped(stepSize).foreach(chunk => ms.addData(chunk))
+    ms.toDF()
+  }
+}
+
+/** Streaming sink contract for `save` on a streaming table (reference:
+  * MLSQLBaseStreamSource.scala:43-88): requires `mode` (append/complete/
+  * update) and `checkpointLocation`; `duration` (seconds) sets a
+  * ProcessingTime trigger (-1 = continuous availability default);
+  * the query is named by `set streamName="..."`.
+  */
+object StreamSinks {
+
+  def start(ctx: ScriptContext, df: DataFrame, format: String, path: String,
+            opts: Map[String, String], partitionBy: Seq[String]): StreamingQuery = {
+    val outputMode = opts.getOrElse("mode",
+      throw new IllegalArgumentException(
+        "streaming save requires mode=\"append|complete|update\""))
+    val checkpoint = opts.getOrElse("checkpointLocation",
+      throw new IllegalArgumentException("streaming save requires checkpointLocation"))
+    val name = ctx.streamName.getOrElse(
+      throw new IllegalArgumentException(
+        "streaming scripts require `set streamName=\"...\"` before save"))
+    val fmt = format.toLowerCase match {
+      case "streamparquet" => "parquet"
+      case "streamcsv" => "csv"
+      case "streamjson" => "json"
+      case other => other
+    }
+    val w0 = df.writeStream
+      .format(fmt)
+      .outputMode(outputMode)
+      .queryName(name)
+      .options(opts - "mode" - "duration" - "checkpointLocation")
+      .option("checkpointLocation", ctx.resolvePath(checkpoint))
+    val w1 = if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0
+    val w2 = opts.get("duration") match {
+      case Some(d) if d.toLong >= 0 => w1.trigger(Trigger.ProcessingTime(d.toLong * 1000))
+      case _ => w1
+    }
+    val query = if (Set("parquet", "csv", "json", "text", "orc").contains(fmt))
+      w2.start(ctx.resolvePath(path))
+    else w2.start()
+    ctx.streams(name) = query
+    query
+  }
+}

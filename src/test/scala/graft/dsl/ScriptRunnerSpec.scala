@@ -1,0 +1,224 @@
+package graft.dsl
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** End-to-end script tests in the reference's DslSpec style (script →
+  * collect → assert; reference: tech/mlsql/test/dsl/DslSpec.scala).
+  */
+class ScriptRunnerSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def runDF(script: String) = ScriptRunner.runToDF(script, spark)
+
+  test("load + select + trailing-as registers views and tracks lastTable") {
+    val df = runDF(
+      s"""load parquet.`$sf/region.parquet` as region_v;
+         |select r_regionkey, r_name from region_v order by r_regionkey as out;""".stripMargin)
+    assert(df.count() == 5)
+    assert(df.columns.toSeq == Seq("r_regionkey", "r_name"))
+  }
+
+  test("set text + templating in later statements") {
+    val df = runDF(
+      s"""set tbl = "nation_v";
+         |set minKey = "20";
+         |load parquet.`$sf/nation.parquet` as ${"${tbl}"};
+         |select n_nationkey from ${"${tbl}"} where n_nationkey >= ${"${minKey}"} as out;""".stripMargin)
+    assert(df.count() == 5)
+  }
+
+  test("set type=sql evaluates row0/col0") {
+    val df = runDF(
+      s"""load parquet.`$sf/region.parquet` as r1;
+         |set maxKey = '''select max(r_regionkey) from r1''' where type="sql";
+         |select ${"${maxKey}"} as k as out;""".stripMargin)
+    assert(df.head().get(0).toString == "4")
+  }
+
+  test("set type=defaultParam does not overwrite") {
+    val ctx = ScriptRunner.run(
+      """set a = "original";
+        |set a = "ignored" where type="defaultParam";
+        |set b = "applied" where type="defaultParam";""".stripMargin, spark)
+    assert(ctx.env("a") == "original")
+    assert(ctx.env("b") == "applied")
+  }
+
+  test("set type=conf reaches the SQL conf") {
+    ScriptRunner.run("""set spark.sql.cbo.enabled = "true" where type="conf";""", spark)
+    assert(spark.conf.get("spark.sql.cbo.enabled") == "true")
+  }
+
+  test("jsonStr source parses a set variable") {
+    val df = runDF(
+      """set rawdata = '''{"a":1,"b":"x"}
+        |{"a":2,"b":"y"}''';
+        |load jsonStr.`rawdata` as jt;
+        |select a, b from jt order by a as out;""".stripMargin)
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
+  test("csvStr source with header option") {
+    val df = runDF(
+      """set csvdata = '''a,b
+        |1,x
+        |2,y''';
+        |load csvStr.`csvdata` where header="true" as ct;
+        |select a, b from ct order by a as out;""".stripMargin)
+    assert(df.count() == 2)
+    assert(df.columns.toSeq == Seq("a", "b"))
+  }
+
+  test("script source yields one-row content table") {
+    val df = runDF(
+      """set myscript = '''select 1 as one''';
+        |load script.`myscript` as st;
+        |select content from st as out;""".stripMargin)
+    assert(df.head().getString(0).contains("select 1"))
+  }
+
+  test("save parquet + load round-trip preserves rows") {
+    val dir = Files.createTempDirectory("graft_save").toString
+    val df = runDF(
+      s"""load parquet.`$sf/nation.parquet` as n1;
+         |select n_nationkey, n_name from n1 as picked;
+         |save overwrite picked as parquet.`$dir/out`;
+         |load parquet.`$dir/out` as back;
+         |select count(*) as c from back as out;""".stripMargin)
+    assert(df.head().getLong(0) == 25)
+  }
+
+  test("save csv respects options and partitionBy writes directories") {
+    val dir = Files.createTempDirectory("graft_csv").toString
+    runDF(
+      s"""load parquet.`$sf/region.parquet` as r2;
+         |save overwrite r2 as csv.`$dir/out` where header="true" partitionBy r_regionkey;""".stripMargin)
+    val sub = new java.io.File(s"$dir/out").listFiles().map(_.getName)
+    assert(sub.exists(_.startsWith("r_regionkey=")))
+  }
+
+  test("save fileNum controls output file count") {
+    val dir = Files.createTempDirectory("graft_fn").toString
+    runDF(
+      s"""load parquet.`$sf/lineitem.parquet` as l1;
+         |save overwrite l1 as parquet.`$dir/out` where fileNum="1";""".stripMargin)
+    val parts = new java.io.File(s"$dir/out").listFiles().count(_.getName.startsWith("part-"))
+    assert(parts == 1)
+  }
+
+  test("insert/create/drop passthrough") {
+    val df = runDF(
+      s"""load parquet.`$sf/region.parquet` as rsrc;
+         |create table graft_t1 using parquet as select * from rsrc;
+         |select count(*) as c from graft_t1 as out;""".stripMargin)
+    assert(df.head().getLong(0) == 5)
+    ScriptRunner.run("drop table graft_t1;", spark)
+  }
+
+  test("connect + jdbc option merge resolves alias and directQuery") {
+    ScriptRunner.run(
+      """connect jdbc where url="jdbc:h2:mem:db1" and driver="org.h2.Driver" as db1;""",
+      spark)
+    val src = new graft.sources.JdbcSource
+    val opts = src.resolveOptions("db1.mytable", Map("fetchsize" -> "100"))
+    assert(opts("url") == "jdbc:h2:mem:db1")
+    assert(opts("dbtable") == "mytable")
+    assert(opts("fetchsize") == "100")
+    val direct = src.resolveOptions("db1.x", Map("directQuery" -> "select 1"))
+    assert(direct("query") == "select 1" && !direct.contains("dbtable"))
+  }
+
+  test("include local splices a script file") {
+    val f = Files.createTempFile("graft_inc", ".mlsql")
+    Files.writeString(f, s"load parquet.`$sf/region.parquet` as inc_r;")
+    val df = runDF(
+      s"""include local.`$f`;
+         |select count(*) as c from inc_r as out;""".stripMargin)
+    assert(df.head().getLong(0) == 5)
+  }
+
+  test("!if/!else/!fi executes only the taken branch") {
+    val df = runDF(
+      """!if ''' 1 = 1 ''';
+        |select 'then' as branch as out;
+        |!else;
+        |select 'else' as branch as out;
+        |!fi;""".stripMargin)
+    assert(df.head().getString(0) == "then")
+  }
+
+  test("!if false -> !elif true branch") {
+    val df = runDF(
+      """!if ''' 1 = 2 ''';
+        |select 'a' as b as out;
+        |!elif ''' 2 = 2 ''';
+        |select 'b' as b as out;
+        |!else;
+        |select 'c' as b as out;
+        |!fi;""".stripMargin)
+    assert(df.head().getString(0) == "b")
+  }
+
+  test("nested !if blocks") {
+    val df = runDF(
+      """!if ''' 1 = 1 ''';
+        |!if ''' 1 = 2 ''';
+        |select 'inner-then' as b as out;
+        |!else;
+        |select 'inner-else' as b as out;
+        |!fi;
+        |!fi;""".stripMargin)
+    assert(df.head().getString(0) == "inner-else")
+  }
+
+  test("!if condition sees set variables") {
+    val df = runDF(
+      """set flag = "yes";
+        |!if ''' '${flag}' = 'yes' ''';
+        |select 'on' as b as out;
+        |!else;
+        |select 'off' as b as out;
+        |!fi;""".stripMargin)
+    assert(df.head().getString(0) == "on")
+  }
+
+  test("unclosed !if fails loudly") {
+    intercept[IllegalStateException] {
+      ScriptRunner.run("!if ''' 1=1 '''; select 1 as x;", spark)
+    }
+  }
+
+  test("unknown statement fails loudly") {
+    intercept[IllegalArgumentException] {
+      ScriptRunner.run("frobnicate the data;", spark)
+    }
+  }
+
+  test("!println macro and PrintCommand") {
+    val df = runDF("""!println '''hello graft''';""")
+    assert(df.head().getString(0) == "hello graft")
+  }
+
+  test("!show ets lists registered ETs") {
+    val df = runDF("!show ets;")
+    val names = df.collect().map(_.getString(0)).toSet
+    assert(names.contains("Pivot") && names.contains("TableRepartition"))
+  }
+
+  test("!desc shows a table schema") {
+    val df = runDF(
+      s"""load parquet.`$sf/region.parquet` as r3;
+         |!desc r3;""".stripMargin)
+    val cols = df.collect().map(_.getString(0)).toSet
+    assert(cols.contains("r_regionkey") && cols.contains("r_name"))
+  }
+
+  test("!fs ls lists files") {
+    val df = runDF(s"!fs ls $sf;")
+    assert(df.count() > 0)
+    assert(df.columns.toSeq == Seq("path", "size", "is_dir"))
+  }
+}

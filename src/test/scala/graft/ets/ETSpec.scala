@@ -1,0 +1,107 @@
+package graft.ets
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.dsl.ScriptRunner
+
+class ETSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def runDF(script: String) = ScriptRunner.runToDF(script, spark)
+
+  test("Pivot ET matches groupBy.pivot.agg") {
+    val df = runDF(
+      s"""load parquet.`$sf/nation.parquet` as n_et;
+         |select n_regionkey, n_nationkey % 2 as parity, n_nationkey as v from n_et as base;
+         |run base as Pivot.`` where groupBy="n_regionkey" and pivot="parity"
+         |  and agg="sum" and aggCol="v" and values="0,1" as pv;
+         |select * from pv order by n_regionkey as out;""".stripMargin)
+    assert(df.columns.toSeq == Seq("n_regionkey", "0", "1"))
+    assert(df.count() == 5)
+  }
+
+  test("TableRepartition ET changes partition count, preserves rows") {
+    val df = runDF(
+      s"""load parquet.`$sf/lineitem.parquet` as l_et;
+         |run l_et as TableRepartition.`` where partitionNum="3" as rp;""".stripMargin)
+    assert(df.rdd.getNumPartitions == 3)
+    assert(df.count() == spark.read.parquet(s"$sf/lineitem.parquet").count())
+  }
+
+  test("RateSampler ET: stratified split adds __split__ with all splits present") {
+    val df = runDF(
+      s"""load parquet.`$sf/orders.parquet` as o_et;
+         |select o_orderkey, o_orderstatus as label from o_et as labeled;
+         |run labeled as RateSampler.`` where labelCol="label" and sampleRate="0.8,0.2" as sp;""".stripMargin)
+    val splits = df.groupBy("__split__").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(splits.keySet == Set(0, 1))
+    val total = splits.values.sum.toDouble
+    assert(splits(0) / total > 0.6 && splits(0) / total < 0.95) // ~0.8 in expectation
+    assert(df.count() == spark.table("labeled").count())       // row-preserving
+  }
+
+  test("RateSampler is deterministic for a fixed seed") {
+    val a = runDF(
+      s"""load parquet.`$sf/orders.parquet` as o_et2;
+         |run o_et2 as RateSampler.`` where labelCol="o_orderstatus" and sampleRate="0.5,0.5" and seed="7" as s1;""".stripMargin)
+      .select("o_orderkey", "__split__").collect().toSet
+    val b = runDF(
+      s"""run o_et2 as RateSampler.`` where labelCol="o_orderstatus" and sampleRate="0.5,0.5" and seed="7" as s2;""".stripMargin)
+      .select("o_orderkey", "__split__").collect().toSet
+    assert(a == b)
+  }
+
+  test("CacheExt ET caches and uncaches") {
+    val ctx = ScriptRunner.run(
+      s"""load parquet.`$sf/region.parquet` as r_et;
+         |!cache r_et;""".stripMargin, spark)
+    assert(spark.catalog.isCached("r_et"))
+    ScriptRunner.run("!uncache r_et;", spark)
+    assert(!spark.catalog.isCached("r_et"))
+  }
+
+  test("WaterMarkInPlace ET applies a watermark on a streaming table") {
+    val ctx = ScriptRunner.run(
+      s"""load parquet.`$sf/events.parquet` as ev_batch0;
+         |select timestamp_micros(ts div 1000) as ts, event_id from ev_batch0 as ev_batch;
+         |load mockStream.`ev_batch` as ev_s;
+         |run ev_s as WaterMarkInPlace.`` where eventTimeCol="ts" and delayThreshold="10 seconds" as ev_w;""".stripMargin,
+      spark)
+    val plan = spark.table("ev_w").queryExecution.analyzed.toString
+    assert(plan.contains("EventTimeWatermark"))
+  }
+
+  test("RunScript ET executes script text from a table") {
+    val df = runDF(
+      """set sub = '''select 41 + 1 as answer as subout''';
+        |load script.`sub` as subtbl;
+        |run subtbl as RunScript.`` as final;
+        |select answer from subout as out;""".stripMargin)
+    assert(df.head().get(0).toString == "42")
+  }
+
+  test("TableToMap ET registers a lookup UDF") {
+    val df = runDF(
+      s"""load parquet.`$sf/region.parquet` as r_m;
+         |select r_regionkey, r_name from r_m as kv;
+         |run kv as TableToMap.`` where keyCol="r_regionkey" and valueCol="r_name" and udfName="region_name" as m;
+         |select region_name('0') as n as out;""".stripMargin)
+    assert(df.head().getString(0) != null)
+  }
+
+  test("!repartition macro routes through TableRepartition") {
+    val df = runDF(
+      s"""load parquet.`$sf/nation.parquet` as n_rp;
+         |!repartition 2 n_rp;
+         |select * from n_rp as out;""".stripMargin)
+    assert(spark.table("n_rp").rdd.getNumPartitions == 2)
+  }
+
+  test("unknown ET fails with the registered list") {
+    val e = intercept[IllegalArgumentException] {
+      ScriptRunner.run("run x as NoSuchET.`` as y;", spark)
+    }
+    assert(e.getMessage.contains("unknown ET"))
+  }
+}

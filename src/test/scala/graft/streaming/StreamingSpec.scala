@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.dsl.ScriptRunner
+
+/** Streaming E2E on MemoryStream — no sleeps; `processAllAvailable`
+  * (SURVEY §5 rebuild strategy).
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("mockStream -> memory sink end-to-end with streamName contract") {
+    val ctx = ScriptRunner.run(
+      s"""set streamName = "s1";
+         |load parquet.`$sf/region.parquet` as r_batch;
+         |load mockStream.`r_batch` as r_stream;
+         |select r_regionkey, r_name from r_stream as projected;
+         |save append projected as memory.`` where mode="append"
+         |  and checkpointLocation="${java.nio.file.Files.createTempDirectory("ck_s1")}" and duration="0";""".stripMargin,
+      spark)
+    val q = ctx.streams("s1")
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("s1").count() == 5)
+  }
+
+  test("streaming save without streamName fails loudly") {
+    val e = intercept[IllegalArgumentException] {
+      ScriptRunner.run(
+        s"""load parquet.`$sf/region.parquet` as rb2;
+           |load mockStream.`rb2` as rs2;
+           |save append rs2 as memory.`` where mode="append" and checkpointLocation="/tmp/graft_ck_x";""".stripMargin,
+        spark)
+    }
+    assert(e.getMessage.contains("streamName"))
+  }
+
+  test("streaming save without checkpointLocation fails loudly") {
+    val e = intercept[IllegalArgumentException] {
+      ScriptRunner.run(
+        s"""set streamName = "s3";
+           |load parquet.`$sf/region.parquet` as rb3;
+           |load mockStream.`rb3` as rs3;
+           |save append rs3 as memory.`` where mode="append";""".stripMargin,
+        spark)
+    }
+    assert(e.getMessage.contains("checkpointLocation"))
+  }
+
+  test("windowed aggregation with watermark over mockStream") {
+    val ctx2 = ScriptRunner.run(
+      s"""set streamName = "s4";
+         |load parquet.`$sf/events.parquet` as ev_raw;
+         |select timestamp_micros(ts div 1000) as ts, event_id from ev_raw as ev_b;
+         |load mockStream.`ev_b` where eventTimeCol="ts" and delayThreshold="1 minute" as ev_s;
+         |select window(ts, '1 minute').start as w, count(*) as c
+         |  from ev_s group by window(ts, '1 minute') as agged;
+         |save append agged as memory.`` where mode="complete"
+         |  and checkpointLocation="${java.nio.file.Files.createTempDirectory("ck_s4")}";""".stripMargin,
+      spark)
+    val q = ctx2.streams("s4")
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("s4").count()
+    assert(rows > 0)
+  }
+
+  test("rate source loads as a streaming frame") {
+    val ctx = ScriptRunner.run(
+      """load rate.`` where rowsPerSecond="5" as r_rate;""", spark)
+    assert(spark.table("r_rate").isStreaming)
+  }
+}
