@@ -53,4 +53,5 @@ object ETRegistry {
 
   UtilityETs.all.foreach(register)
   MlETs.all.foreach(register)
+  register(ScriptUDFET)
 }

@@ -1,13 +1,180 @@
 package graft.functions
 
+import java.security.MessageDigest
+import java.text.SimpleDateFormat
+import java.util.TimeZone
+import org.apache.spark.ml.linalg.{DenseMatrix, DenseVector, Matrix, SparseVector, Vector, Vectors}
 import org.apache.spark.sql.SparkSession
 
-/** Built-in UDF pack, registered once per session by [[graft.GraftSession]].
-  * Populated by the function families in this package (vector algebra,
-  * array helpers, time, misc). Placeholder list grows with each family.
+/** Built-in UDF pack (reference: streaming/core/compositor/spark/udf/
+  * Functions.scala:42-537 and tech/mlsql/crawler/udf/Functions.scala:89 —
+  * same names and semantics, re-implemented as plain Scala closures over
+  * `org.apache.spark.ml.linalg` types).
+  *
+  * Omissions vs the reference, per SURVEY §2.5: crawler egress functions
+  * (network), `sleep`, `parse` (word segmentation — needs an NLP jar), and
+  * names that now collide with Spark built-ins (`array_intersect`,
+  * `array_slice`→`slice`, `array_concat`→`concat`) where the native,
+  * codegen'd version is strictly better.
+  *
+  * Scale note: per-row closures (no state, no driver data); vector math is
+  * O(d) per row. For the similarity hot paths prefer the codegen'd
+  * [[graft.functions.VecExpressions]] (`arr_cosine` etc.) — these UDFs
+  * exist for reference capability parity on `ml.linalg` Vector columns.
   */
 object UDFPack {
+
+  private def fmt(pattern: String): SimpleDateFormat = {
+    val f = new SimpleDateFormat(pattern)
+    f.setTimeZone(TimeZone.getTimeZone("UTC"))
+    f
+  }
+
   def register(spark: SparkSession): Unit = {
-    // families register themselves; filled in by graft.functions.*
+    if (spark.conf.getOption("spark.graft.udfpack.registered").contains("true")) return
+    val u = spark.udf
+
+    // ---- vector algebra (Functions.scala:69-300) ----
+    u.register("vec_dense", (a: Seq[Double]) => Vectors.dense(a.toArray))
+    u.register("vec_array", (v: Vector) => v.toArray.toSeq)
+    u.register("vec_sparse", (size: Int, kv: Map[Int, Double]) =>
+      Vectors.sparse(size, kv.toSeq))
+    u.register("vec_argmax", (v: Vector) => v.argmax)
+    u.register("vec_norm", (v: Vector, p: Double) => Vectors.norm(v, p))
+    u.register("vec_sqdist", (a: Vector, b: Vector) => Vectors.sqdist(a, b))
+    u.register("vec_mk_string", (sep: String, v: Vector) => v.toArray.mkString(sep))
+    u.register("vec_concat", (vs: Seq[Vector]) =>
+      Vectors.dense(vs.flatMap(_.toArray).toArray))
+    u.register("vec_slice", (v: Vector, indices: Seq[Int]) =>
+      Vectors.dense(indices.map(v.apply).toArray))
+    u.register("vec_range", (v: Vector, from: Int, until: Int) =>
+      Vectors.dense(v.toArray.slice(from, until)))
+    u.register("vec_cosine", (a: Vector, b: Vector) => {
+      val x = a.toArray; val y = b.toArray
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) { dot += x(i) * y(i); na += x(i) * x(i); nb += y(i) * y(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    })
+    def wise(f: (Double, Double) => Double): (Vector, Vector) => Vector =
+      (a, b) => Vectors.dense(a.toArray.zip(b.toArray).map { case (x, y) => f(x, y) })
+    u.register("vec_wise_mul", wise(_ * _))
+    u.register("vec_wise_add", wise(_ + _))
+    u.register("vec_wise_dif", wise(_ - _))
+    u.register("vec_wise_mod", wise(_ % _))
+    u.register("vec_inplace_add", (v: Vector, x: Double) =>
+      Vectors.dense(v.toArray.map(_ + x)))
+    u.register("vec_inplace_ew_mul", (v: Vector, x: Double) =>
+      Vectors.dense(v.toArray.map(_ * x)))
+    u.register("vec_ceil", (v: Vector) => Vectors.dense(v.toArray.map(math.ceil)))
+    u.register("vec_floor", (v: Vector) => Vectors.dense(v.toArray.map(math.floor)))
+    u.register("vec_mean", (v: Vector) => v.toArray.sum / v.size)
+    u.register("vec_stddev", (v: Vector) => {
+      val arr = v.toArray
+      val m = arr.sum / arr.length
+      math.sqrt(arr.map(x => (x - m) * (x - m)).sum / (arr.length - 1))
+    })
+
+    // ---- matrices (Functions.scala:157,240,257) ----
+    u.register("matrix_dense", (rows: Seq[Seq[Double]]) => {
+      val nr = rows.length; val nc = if (nr == 0) 0 else rows.head.length
+      new DenseMatrix(nr, nc, Array.tabulate(nr * nc)(i => rows(i % nr)(i / nr)))
+    })
+    u.register("matrix_array", (m: Matrix) =>
+      m.rowIter.map(_.toArray.toSeq).toSeq)
+    u.register("matrix_sum", (m: Matrix, axis: Int) => {
+      val rows = m.rowIter.map(_.toArray).toArray
+      if (axis == 0) rows.transpose.map(_.sum).toSeq else rows.map(_.sum).toSeq
+    })
+
+    // ---- one-hot encoding (Functions.scala:290,378) ----
+    u.register("onehot", (i: Int, size: Int) =>
+      Vectors.sparse(size, Seq((i, 1.0))))
+    u.register("array_onehot", (is: Seq[Int], size: Int) =>
+      Vectors.sparse(size, is.distinct.sorted.map(i => (i, 1.0))))
+
+    // ---- array helpers (Functions.scala:304-431) ----
+    u.register("array_index", (a: Seq[String], x: String) => a.indexOf(x))
+    u.register("array_number_concat", (a: Seq[Seq[Double]]) => a.flatten)
+    u.register("array_number_to_string", (a: Seq[Double]) => a.map(_.toString))
+    u.register("array_string_to_double", (a: Seq[String]) => a.map(_.toDouble))
+    u.register("array_string_to_float", (a: Seq[String]) => a.map(_.toFloat))
+    u.register("array_string_to_int", (a: Seq[String]) => a.map(_.toInt))
+    u.register("to_array_double", (a: Seq[Any]) => a.map {
+      case d: Double => d
+      case f: Float => f.toDouble
+      case l: Long => l.toDouble
+      case i: Int => i.toDouble
+      case s: String => s.toDouble
+      case other => throw new IllegalArgumentException(s"to_array_double: $other")
+    })
+    u.register("padding_int_array", (a: Seq[Int], len: Int, fill: Int) =>
+      if (a.length >= len) a.take(len) else a ++ Seq.fill(len - a.length)(fill))
+    u.register("ngram", (a: Seq[String], n: Int) =>
+      if (a.length < n) Seq.empty[String] else a.sliding(n).map(_.mkString(" ")).toSeq)
+
+    // ---- maps ----
+    u.register("map_value_int_to_double", (m: Map[String, Int]) =>
+      m.map { case (k, v) => k -> v.toDouble })
+
+    // ---- misc (Functions.scala:51,57,414,435; crawler Functions.scala:89) ----
+    u.register("mkString", (sep: String, a: Seq[String]) => a.mkString(sep))
+    u.register("uuid", () => java.util.UUID.randomUUID().toString.replace("-", ""))
+    u.register("keepChinese", (s: String, keepPunct: Boolean, keep: Seq[String]) => {
+      val sb = new StringBuilder
+      s.foreach { c =>
+        val isCjk = Character.UnicodeScript.of(c) == Character.UnicodeScript.HAN
+        val isPunct = "，。！？；：、《》（）".indexOf(c) >= 0
+        if (isCjk || (keepPunct && isPunct) || (keep != null && keep.contains(c.toString))) sb.append(c)
+      }
+      sb.toString
+    })
+    u.register("crawler_md5", (s: String) =>
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)
+    u.register("byteStringAsBytes", (s: String) => parseByteString(s, 1L))
+    u.register("byteStringAsKb", (s: String) => parseByteString(s, 1L) / 1024)
+    u.register("byteStringAsMb", (s: String) => parseByteString(s, 1L) / (1024 * 1024))
+    u.register("byteStringAsGb", (s: String) => parseByteString(s, 1L) / (1024L * 1024 * 1024))
+
+    // ---- time (Functions.scala:505-537) ----
+    u.register("parseDateAsLong", (dt: String, pattern: String) =>
+      fmt(pattern).parse(dt).getTime)
+    u.register("parseLongAsDate", (ms: Long, pattern: String) =>
+      fmt(pattern).format(new java.util.Date(ms)))
+    u.register("timePlus", (ms: Long, amount: String) => ms + parseDuration(amount))
+    u.register("timeMinus", (ms: Long, amount: String) => ms - parseDuration(amount))
+    u.register("timeAgo", (amount: String) => System.currentTimeMillis() - parseDuration(amount))
+
+    spark.conf.set("spark.graft.udfpack.registered", "true")
+  }
+
+  /** "3 day" / "2 hour" / "30 minute" / "10 second" → millis. */
+  private[functions] def parseDuration(s: String): Long = {
+    val Array(n, unit) = s.trim.split("\\s+", 2)
+    val ms = unit.toLowerCase.stripSuffix("s") match {
+      case "day" => 86400000L
+      case "hour" => 3600000L
+      case "minute" => 60000L
+      case "second" => 1000L
+      case "milli" | "millisecond" => 1L
+      case other => throw new IllegalArgumentException(s"unknown time unit '$other'")
+    }
+    n.toLong * ms
+  }
+
+  /** "1kb"/"10 mb"/"3g"/"42" → bytes (reference byteStringAsBytes). */
+  private[functions] def parseByteString(s: String, default: Long): Long = {
+    val m = "(?i)^\\s*(\\d+)\\s*([kmgtp]?)b?\\s*$".r.findFirstMatchIn(s)
+      .getOrElse(throw new IllegalArgumentException(s"bad byte string '$s'"))
+    val mult = m.group(2).toLowerCase match {
+      case "" => 1L
+      case "k" => 1024L
+      case "m" => 1024L * 1024
+      case "g" => 1024L * 1024 * 1024
+      case "t" => 1024L * 1024 * 1024 * 1024
+      case "p" => 1024L * 1024 * 1024 * 1024 * 1024
+    }
+    m.group(1).toLong * mult
   }
 }

@@ -225,6 +225,55 @@ object Funcs {
     },
       """SELECT DATE_TRUNC('hour', MAKE_TIMESTAMP(EPOCH_NS(ts) // 1000)) AS hour_bucket, event_type,
         | COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
-        |FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type""".stripMargin)
+        |FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type""".stripMargin),
+
+    // ---- built-in UDF pack (graft.functions.UDFPack; reference
+    //      streaming/core/compositor/spark/udf/Functions.scala). These run
+    //      through spark.sql so registration is exercised end-to-end. ----
+    QuerySpec.sql("f12_udf_vec_cosine", (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+          | ROUND(vec_cosine(vec_dense(CAST(a.embedding AS array<double>)),
+          |                  vec_dense(CAST(b.embedding AS array<double>))), 6) AS cos,
+          | ROUND(vec_mean(vec_dense(CAST(a.embedding AS array<double>))), 6) AS mean_a
+          |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+          |WHERE a.vec_id < 50 ORDER BY a_id""".stripMargin)
+    },
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        | ROUND(LIST_INNER_PRODUCT(a.v, b.v) /
+        |   (SQRT(LIST_INNER_PRODUCT(a.v, a.v)) * SQRT(LIST_INNER_PRODUCT(b.v, b.v))), 6) AS cos,
+        | ROUND(LIST_SUM(a.v) / LEN(a.v), 6) AS mean_a
+        |FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+        |WHERE a.vec_id < 50 ORDER BY a_id""".stripMargin),
+
+    QuerySpec.sql("f13_udf_misc", (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT doc_id, crawler_md5(text) AS h,
+          | mkString('-', array(lang, source)) AS tag,
+          | byteStringAsBytes('1kb') + doc_id AS b
+          |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)
+    },
+      """SELECT doc_id, MD5(text) AS h,
+        | lang || '-' || source AS tag,
+        | 1024 + doc_id AS b
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin),
+
+    QuerySpec.sql("f14_udf_time", (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT r_regionkey,
+          | parseDateAsLong(concat('2020-01-0', cast(r_regionkey + 1 as string)), 'yyyy-MM-dd') AS ms,
+          | timePlus(parseDateAsLong('2020-01-01', 'yyyy-MM-dd'), concat(cast(r_regionkey as string), ' hour')) AS plus_ms,
+          | parseLongAsDate(cast(r_regionkey as bigint) * 86400000, 'yyyy-MM-dd') AS d
+          |FROM region ORDER BY r_regionkey""".stripMargin)
+    },
+      """SELECT r_regionkey,
+        | EPOCH_MS(STRPTIME('2020-01-0' || CAST(r_regionkey + 1 AS VARCHAR), '%Y-%m-%d')) AS ms,
+        | EPOCH_MS(STRPTIME('2020-01-01', '%Y-%m-%d')) + r_regionkey * 3600000 AS plus_ms,
+        | STRFTIME(TO_TIMESTAMP(r_regionkey * 86400), '%Y-%m-%d') AS d
+        |FROM region ORDER BY r_regionkey""".stripMargin)
   )
 }

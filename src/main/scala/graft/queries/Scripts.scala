@@ -135,6 +135,16 @@ object Scripts {
       """SELECT n_regionkey, COUNT(*) AS n, MIN(n_name) AS first_name
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin),
 
+    // ---- runtime-compiled ScriptUDF through register + select ----
+    QuerySpec.sql("s10_script_udf", (s, dir) => script(s,
+      s"""load parquet.`$dir/nation.parquet` as nation;
+         |register ScriptUDF.`` as keyScore where
+         |  code='''def apply(k: Int, r: Int): Int = k * 2 + r''';
+         |select n_nationkey, keyScore(n_nationkey, n_regionkey) as score
+         |  from nation order by n_nationkey as s10_out;""".stripMargin),
+      """SELECT n_nationkey, n_nationkey * 2 + n_regionkey AS score
+        |FROM nation ORDER BY n_nationkey""".stripMargin),
+
     // ---- RateSampler: rows-only (random assignment has no SQL oracle) ----
     QuerySpec.noOracle("s9_script_split", (s, dir) => script(s,
       s"""load parquet.`$dir/orders.parquet` as orders;
