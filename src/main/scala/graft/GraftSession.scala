@@ -33,6 +33,7 @@ object GraftSession {
     val spark = builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.UDFPack.register(spark)
+    graft.operators.multimodal.Multimodal.register(spark)
     spark
   }
 }

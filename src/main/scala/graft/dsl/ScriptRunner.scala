@@ -102,9 +102,10 @@ object ScriptRunner {
     val opts = Template.parseOptions(optsClause, ctx.env)
     val df0 = graft.streaming.StreamSources.loadIfStreaming(ctx, ref.format, ref.path, opts)
       .getOrElse(DataSourceRegistry.load(ctx, ref.format, ref.path, opts))
+    val df1 = graft.streaming.StreamSources.decodeValue(df0, opts)
     val df = (opts.get("eventTimeCol"), opts.get("delayThreshold")) match {
-      case (Some(c), Some(d)) => df0.withWatermark(c, d)
-      case _ => df0
+      case (Some(c), Some(d)) => df1.withWatermark(c, d)
+      case _ => df1
     }
     ctx.setLast(tableName, df)
   }
@@ -249,8 +250,8 @@ object ScriptRunner {
     */
   private def executeMacro(stmt: String, ctx: ScriptContext): Unit = {
     val (bang, rest) = headWord(stmt)
-    val cmd = bang.substring(1)
-    val template = CommandMacros.table.getOrElse(cmd,
+    val cmd = bang.substring(1).toLowerCase
+    val template = CommandMacros.byLowerName.getOrElse(cmd,
       throw new IllegalArgumentException(
         s"unknown command !$cmd; known: ${CommandMacros.table.keys.toSeq.sorted.mkString(", ")}"))
     val args = tokenizeArgs(rest)
@@ -340,8 +341,13 @@ object CommandMacros {
     "hdfs" -> "run command as HDFSCommand.`` where parameters='''{:all}'''",
     "split" -> ("run {} as RateSampler.`` where labelCol=\"{}\" " +
       "and sampleRate=\"{}\" as {}"),
-    "repartition" -> "run {1} as TableRepartition.`` where partitionNum=\"{0}\" as {1}"
+    "repartition" -> "run {1} as TableRepartition.`` where partitionNum=\"{0}\" as {1}",
+    "streamJobs" -> "run command as StreamCommand.`list`",
+    "killStream" -> "run command as StreamCommand.`kill` where parameters='''{:all}'''"
   )
+
+  /** Case-insensitive view (statement head words are lowercased). */
+  val byLowerName: Map[String, String] = table.map { case (k, v) => k.toLowerCase -> v }
 
   def fill(template: String, args: Seq[String]): String = {
     var next = 0

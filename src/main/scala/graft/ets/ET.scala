@@ -54,4 +54,6 @@ object ETRegistry {
   UtilityETs.all.foreach(register)
   MlETs.all.foreach(register)
   register(ScriptUDFET)
+  register(StreamCommandET)
+  PipelineETs.all.foreach(register)
 }

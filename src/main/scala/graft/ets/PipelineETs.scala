@@ -1,0 +1,115 @@
+package graft.ets
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.dsl.ScriptContext
+import graft.operators.dedup.TextDedup
+import graft.operators.similarity.CosineSimilarity
+
+/** DSL surface for the training-data pipeline operators
+  * ([[graft.operators.dedup.TextDedup]] /
+  * [[graft.operators.similarity.CosineSimilarity]] /
+  * [[graft.operators.multimodal.Multimodal]]), so a script user can run
+  * them without writing Scala — the "first-class operator" surface the
+  * builder prompt requires beyond the reference's own ETs.
+  */
+object PipelineETs {
+  def all: Seq[ET] = Seq(DedupET, SimilarityJoinET, AnnTopKET, BinaryMetaInPlaceET)
+}
+
+/** `run docs as Dedup.`` where method="exact|fingerprint|minhash|simhash"
+  * and idCol="doc_id" and textCol="text" [and threshold="0.8"]` —
+  * returns the SURVIVING documents (first id per duplicate group).
+  * Scale notes per method are on [[graft.operators.dedup.TextDedup]].
+  */
+object DedupET extends ET {
+  override def name = "Dedup"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    val idCol = params.getOrElse("idCol", "doc_id")
+    val textCol = params.getOrElse("textCol", "text")
+    params.getOrElse("method", "exact") match {
+      case "exact" =>
+        df.withColumn("__h__", md5(col(textCol)))
+          .withColumn("__keep__", min(col(idCol)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("__h__"))))
+          .filter(col(idCol) === col("__keep__"))
+          .drop("__h__", "__keep__")
+      case "fingerprint" =>
+        df.withColumn("__h__", md5(regexp_replace(lower(col(textCol)), "[^a-z0-9]", "")))
+          .withColumn("__keep__", min(col(idCol)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("__h__"))))
+          .filter(col(idCol) === col("__keep__"))
+          .drop("__h__", "__keep__")
+      case "minhash" =>
+        val threshold = params.getOrElse("threshold", "0.8").toDouble
+        val n = params.getOrElse("ngram", "3").toInt
+        val sh = TextDedup.shingles(df.select(col(idCol), col(textCol)), idCol, textCol, n)
+        val pairs = TextDedup.minHashSelfJoin(sh, threshold)
+        // drop the larger id of every near-dup pair
+        val losers = pairs.select(col("b_id").as(idCol)).distinct()
+        df.join(losers, Seq(idCol), "left_anti")
+      case "simhash" =>
+        val maxHamming = params.getOrElse("maxHamming", "3").toInt
+        val pairs = TextDedup.simHashSelfJoin(df.select(col(idCol), col(textCol)),
+          idCol, textCol, maxHamming)
+        val losers = pairs.select(col("b_id").as(idCol)).distinct()
+        df.join(losers, Seq(idCol), "left_anti")
+      case other => throw new IllegalArgumentException(
+        s"Dedup method must be exact|fingerprint|minhash|simhash, got '$other'")
+    }
+  }
+}
+
+/** `run embs as SimilarityJoin.`` where idCol="vec_id" and vecCol="embedding"
+  * and threshold="0.8" [and method="lsh|exact"]` — near-duplicate pairs
+  * above a cosine threshold. `lsh` is the 100 TB path (banded
+  * random-hyperplane signatures); `exact` is the all-pairs baseline.
+  */
+object SimilarityJoinET extends ET {
+  override def name = "SimilarityJoin"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    val idCol = params.getOrElse("idCol", "vec_id")
+    val vecCol = params.getOrElse("vecCol", "embedding")
+    val threshold = params.getOrElse("threshold", "0.8").toDouble
+    params.getOrElse("method", "lsh") match {
+      case "lsh" => CosineSimilarity.lshSelfJoin(df, idCol, vecCol, threshold,
+        missProb = params.getOrElse("missProb", "1e-5").toDouble,
+        rowsPerBand = params.getOrElse("rowsPerBand", "8").toInt)
+      case "exact" => CosineSimilarity.exactSelfJoin(df, idCol, vecCol, threshold)
+      case other => throw new IllegalArgumentException(
+        s"SimilarityJoin method must be lsh|exact, got '$other'")
+    }
+  }
+}
+
+/** `run embs as AnnTopK.`` where queryTable="q" and k="5" ...` — brute-force
+  * cosine top-k of a broadcast query set against the corpus table.
+  */
+object AnnTopKET extends ET {
+  override def name = "AnnTopK"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    val idCol = params.getOrElse("idCol", "vec_id")
+    val vecCol = params.getOrElse("vecCol", "embedding")
+    val queries = ctx.spark.table(params.getOrElse("queryTable",
+      throw new IllegalArgumentException("AnnTopK requires queryTable")))
+    CosineSimilarity.annTopK(df, queries, idCol, vecCol,
+      params.getOrElse("qIdCol", "qid"), params.getOrElse("qVecCol", "qv"),
+      params.getOrElse("k", "10").toInt)
+  }
+}
+
+/** `run bins as BinaryMetaInPlace.`` [where binaryCol="content"]` — attach
+  * the multimodal metadata struct (format sniff + stubbed decode).
+  */
+object BinaryMetaInPlaceET extends ET {
+  override def name = "BinaryMetaInPlace"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    graft.operators.multimodal.Multimodal.register(ctx.spark)
+    graft.operators.multimodal.Multimodal.withImageMeta(df,
+      params.getOrElse("binaryCol", "content"))
+  }
+}

@@ -145,6 +145,15 @@ object Scripts {
       """SELECT n_nationkey, n_nationkey * 2 + n_regionkey AS score
         |FROM nation ORDER BY n_nationkey""".stripMargin),
 
+    // ---- Dedup ET (exact): survivors are min-id per content hash ----
+    QuerySpec.sql("s11_script_dedup", (s, dir) => script(s,
+      s"""load parquet.`$dir/documents.parquet` as documents;
+         |run documents as Dedup.`` where method="exact" as surv;
+         |select doc_id from surv order by doc_id as s11_out;""".stripMargin),
+      """SELECT doc_id FROM documents
+        |WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY MD5(text))
+        |ORDER BY doc_id""".stripMargin),
+
     // ---- RateSampler: rows-only (random assignment has no SQL oracle) ----
     QuerySpec.noOracle("s9_script_split", (s, dir) => script(s,
       s"""load parquet.`$dir/orders.parquet` as orders;

@@ -33,12 +33,18 @@ object DataSourceRegistry {
 
   def register(s: GraftSource): Unit = sources.put(s.shortName.toLowerCase, s)
   def lookup(format: String): Option[GraftSource] = sources.get(format.toLowerCase)
+  def registeredNames: Seq[String] = sources.keys.toSeq.sorted
 
   // built-ins registered once at class-load (same effect as the reference's
   // classpath scan, DataSourceRegistry.scala:83-85, without the scan)
   Seq(new JsonStrSource, new CsvStrSource, new ScriptSource, new ConsoleSink,
-    new HiveSource, new JdbcSource)
+    new HiveSource, new JdbcSource, new SystemTableSource, new ModelParamsSource)
     .foreach(register)
+  // registry slots for connectors whose jars are not available offline —
+  // fail with a clear message instead of a ClassNotFoundException
+  // (SURVEY §7: "keep registry slots + clear errors")
+  Seq("delta", "es", "mongo", "solr", "hbase", "redis", "carbondata", "crawlersql")
+    .foreach(n => register(new UnavailableSource(n)))
 
   /** Batch load with registry resolution + fallback to the Spark reader. */
   def load(ctx: ScriptContext, format: String, path: String,
@@ -129,6 +135,21 @@ final class HiveSource extends GraftSource {
     val w = if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0
     w.saveAsTable(path)
   }
+}
+
+/** Placeholder for a connector whose jar is not on the offline classpath:
+  * the format name resolves (so scripts parse and error messages are
+  * actionable) but load/save explain what is missing.
+  */
+final class UnavailableSource(override val shortName: String) extends GraftSource {
+  private def unavailable = throw new UnsupportedOperationException(
+    s"source '$shortName' requires its connector jar, which is not bundled " +
+      "in this offline build; add the jar to the classpath to enable it")
+  override def load(ctx: ScriptContext, path: String, opts: Map[String, String]): DataFrame =
+    unavailable
+  override def save(ctx: ScriptContext, df: DataFrame, mode: SaveMode, path: String,
+                    opts: Map[String, String], partitionBy: Seq[String]): Unit =
+    unavailable
 }
 
 /** `connect jdbc where url="..." ... as db; load jdbc.`db.table` as t;`

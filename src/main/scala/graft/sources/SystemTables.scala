@@ -1,0 +1,42 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import graft.dsl.ScriptContext
+
+/** System/introspection tables (reference: MLSQLSystemTables.scala:19-101 —
+  * `load _mlsql_.`jobs/...``, plus `modelParams` model introspection via
+  * LoadAdaptor.scala:127).
+  *
+  * Paths: `_mlsql_.`jobs`` (active streaming queries), `_mlsql_.`ets``,
+  * `_mlsql_.`datasources``, `_mlsql_.`functions``, `_mlsql_.`version``.
+  */
+final class SystemTableSource extends GraftSource {
+  override def shortName = "_mlsql_"
+
+  override def load(ctx: ScriptContext, path: String, opts: Map[String, String]): DataFrame = {
+    val spark = ctx.spark
+    import spark.implicits._
+    path.split("/")(0) match {
+      case "jobs" =>
+        spark.streams.active.toSeq
+          .map(q => (Option(q.name).getOrElse(""), q.id.toString, q.isActive))
+          .toDF("name", "id", "is_active")
+      case "ets" => graft.ets.ETRegistry.registered.toDF("name")
+      case "datasources" => DataSourceRegistry.registeredNames.toDF("name")
+      case "functions" => spark.sql("show functions")
+      case "version" =>
+        Seq(("graft", spark.version)).toDF("engine", "spark_version")
+      case other => throw new IllegalArgumentException(
+        s"unknown system table '_mlsql_.`$other`' (jobs|ets|datasources|functions|version)")
+    }
+  }
+}
+
+/** `load modelParams.`/model/path`` — read a saved spark.ml model's
+  * metadata as a table (reference: ModelSelfExplain via LoadAdaptor:127).
+  */
+final class ModelParamsSource extends GraftSource {
+  override def shortName = "modelparams"
+  override def load(ctx: ScriptContext, path: String, opts: Map[String, String]): DataFrame =
+    ctx.spark.read.json(ctx.resolvePath(path) + "/metadata")
+}

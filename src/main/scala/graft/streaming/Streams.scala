@@ -34,6 +34,34 @@ object StreamSources {
       case _ => None
     }
 
+  /** Kafka-style value decoding (reference: LoadAdaptor.scala:167-199 +
+    * WowJsonToStructs/WowCsvToStructs — re-expressed with the public
+    * `from_json`/`from_csv`, per SURVEY §2.7): with
+    * `valueSchema="a int, b string"` and `valueFormat="json"|"csv"`, the
+    * binary/string `value` column is parsed against the DDL schema and
+    * flattened to top-level columns; the raw fields are kept in a
+    * `kafkaValue` struct.
+    */
+  def decodeValue(df: org.apache.spark.sql.DataFrame, opts: Map[String, String]): org.apache.spark.sql.DataFrame =
+    (opts.get("valueSchema"), opts.get("valueFormat")) match {
+      case (Some(ddl), Some(format)) =>
+        import org.apache.spark.sql.functions._
+        require(df.columns.contains("value"), "valueSchema requires a `value` column")
+        val raw = col("value").cast("string")
+        val parsed = format match {
+          case "json" => from_json(raw, ddl, Map.empty[String, String])
+          case "csv" => from_csv(raw, org.apache.spark.sql.types.StructType.fromDDL(ddl),
+            Map.empty[String, String])
+          case other => throw new IllegalArgumentException(
+            s"valueFormat must be json|csv, got '$other'")
+        }
+        val meta = df.columns.filter(_ != "value").map(col)
+        df.withColumn("__parsed__", parsed)
+          .withColumn("kafkaValue", struct(meta.toSeq: _*))
+          .selectExpr("__parsed__.*", "kafkaValue")
+      case _ => df
+    }
+
   private def kafkaOnClasspath(ctx: ScriptContext): Boolean =
     try { Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider"); true }
     catch { case _: ClassNotFoundException => false }

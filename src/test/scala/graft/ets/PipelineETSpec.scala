@@ -1,0 +1,151 @@
+package graft.ets
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.dsl.ScriptRunner
+
+class PipelineETSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+  private def runDF(script: String) = ScriptRunner.runToDF(script, spark)
+
+  test("Dedup exact keeps one doc per identical text") {
+    val df = runDF(
+      """set dd = '''{"doc_id":1,"text":"same text"}
+        |{"doc_id":2,"text":"same text"}
+        |{"doc_id":3,"text":"other text"}''';
+        |load jsonStr.`dd` as ddt;
+        |run ddt as Dedup.`` where method="exact" as dedup1;
+        |select doc_id from dedup1 order by doc_id as out;""".stripMargin)
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+  }
+
+  test("Dedup fingerprint ignores case and punctuation") {
+    val df = runDF(
+      """set dd2 = '''{"doc_id":1,"text":"Hello, World!"}
+        |{"doc_id":2,"text":"hello world"}
+        |{"doc_id":3,"text":"different"}''';
+        |load jsonStr.`dd2` as ddt2;
+        |run ddt2 as Dedup.`` where method="fingerprint" as dedup2;
+        |select doc_id from dedup2 order by doc_id as out;""".stripMargin)
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+  }
+
+  test("Dedup minhash drops near-duplicate documents") {
+    val df = runDF(
+      s"""load parquet.`$sf/documents.parquet` as docs_dd;
+         |run docs_dd as Dedup.`` where method="minhash" and threshold="0.8" as dedup3;""".stripMargin)
+    val before = spark.table("docs_dd").count()
+    val after = df.count()
+    assert(after > 0 && after < before)
+  }
+
+  test("SimilarityJoin exact and lsh agree at threshold 0.45") {
+    val exact = runDF(
+      s"""load parquet.`$sf/embeddings.parquet` as embs;
+         |run embs as SimilarityJoin.`` where method="exact" and threshold="0.45" as pe;
+         |select a_id, b_id from pe order by a_id, b_id as out;""".stripMargin).collect().toSeq
+    val lsh = runDF(
+      s"""run embs as SimilarityJoin.`` where method="lsh" and threshold="0.45"
+         |  and rowsPerBand="4" as pl;
+         |select a_id, b_id from pl order by a_id, b_id as out;""".stripMargin).collect().toSeq
+    assert(exact == lsh)
+  }
+
+  test("AnnTopK returns k neighbors per query") {
+    val df = runDF(
+      s"""load parquet.`$sf/embeddings.parquet` as embs2;
+         |select vec_id as qid, embedding as qv from embs2 where vec_id < 3 as qset;
+         |run embs2 as AnnTopK.`` where queryTable="qset" and k="4" as ann;
+         |select qid, nrank, neighbor from ann order by qid, nrank as out;""".stripMargin)
+    val rows = df.collect()
+    assert(rows.length == 12) // 3 queries x 4 neighbors
+  }
+
+  test("binaryFile load + BinaryMetaInPlace sniffs real magic bytes") {
+    val dir = Files.createTempDirectory("graft_bin")
+    Files.write(dir.resolve("a.png"),
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10) ++ Array.fill[Byte](64)(7))
+    Files.write(dir.resolve("b.jpg"),
+      Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte) ++ Array.fill[Byte](64)(9))
+    Files.write(dir.resolve("c.wav"),
+      "RIFF0000WAVE".getBytes ++ Array.fill[Byte](64)(1))
+    val df = runDF(
+      s"""load binaryFile.`$dir` as bins;
+         |run bins as BinaryMetaInPlace.`` as meta;
+         |select path, media_meta.format as fmt, media_meta.width as w,
+         |  media_meta.size_bytes as sz from meta order by path as out;""".stripMargin)
+    val fmts = df.collect().map(r => r.getString(0).split("/").last -> r.getString(1)).toMap
+    assert(fmts("a.png") == "png" && fmts("b.jpg") == "jpeg" && fmts("c.wav") == "wav")
+    assert(df.collect().forall(_.getInt(2) >= 64)) // stub dims are bounded
+  }
+
+  test("mm_frame_sample slices deterministically") {
+    val df = spark.sql(
+      "select mm_frame_sample(cast('0123456789abcdef' as binary), 4, 4) as frames")
+    val frames = df.head().getSeq[Array[Byte]](0)
+    assert(frames.length == 4)
+    assert(new String(frames.head) == "0123")
+  }
+
+  test("system tables: _mlsql_ ets/datasources/jobs") {
+    val ets = runDF("load _mlsql_.`ets` as e; select * from e as out;")
+    assert(ets.collect().map(_.getString(0)).contains("Dedup"))
+    val ds = runDF("load _mlsql_.`datasources` as d; select * from d as out;")
+    assert(ds.collect().map(_.getString(0)).contains("jsonstr"))
+    val jobs = runDF("load _mlsql_.`jobs` as j; select * from j as out;")
+    assert(jobs.columns.toSeq == Seq("name", "id", "is_active"))
+  }
+
+  test("modelParams reads saved model metadata") {
+    val path = Files.createTempDirectory("graft_mp").toString
+    runDF(
+      s"""set td = '''{"a":1.0,"label":0.0}
+         |{"a":2.0,"label":1.0}''';
+         |load jsonStr.`td` as tdt;
+         |select vec_dense(array(a)) as features, label from tdt as mp_train;
+         |train mp_train as LogisticRegressor.`$path` as ts;""".stripMargin)
+    val df = runDF(s"load modelParams.`$path` as mp; select class from mp as out;")
+    assert(df.head().getString(0).contains("LogisticRegression"))
+  }
+
+  test("unavailable connector fails with actionable message") {
+    val e = intercept[UnsupportedOperationException] {
+      runDF("load delta.`/tmp/x` as d;")
+    }
+    assert(e.getMessage.contains("connector jar"))
+  }
+
+  test("valueSchema/valueFormat decode json value column on a stream") {
+    val ctx = ScriptRunner.run(
+      s"""set streamName = "vdec";
+         |set vdata = '''{"value":"{\\"a\\":1,\\"b\\":\\"x\\"}","offset":1}
+         |{"value":"{\\"a\\":2,\\"b\\":\\"y\\"}","offset":2}''';
+         |load jsonStr.`vdata` as vbatch;
+         |load mockStream.`vbatch` where valueSchema="a int, b string"
+         |  and valueFormat="json" as vstream;
+         |save append vstream as memory.`` where mode="append"
+         |  and checkpointLocation="${Files.createTempDirectory("ck_v")}";""".stripMargin,
+      spark)
+    val q = ctx.streams("vdec")
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("vdec")
+    assert(out.columns.toSeq == Seq("a", "b", "kafkaValue"))
+    assert(out.count() == 2)
+  }
+
+  test("!streamJobs macro lists and !killStream stops a query") {
+    val ctx = ScriptRunner.run(
+      s"""set streamName = "managed1";
+         |load parquet.`$sf/region.parquet` as r_mgr;
+         |load mockStream.`r_mgr` as r_ms;
+         |save append r_ms as memory.`` where mode="append"
+         |  and checkpointLocation="${Files.createTempDirectory("ck_m")}";""".stripMargin,
+      spark)
+    val jobs = runDF("!streamJobs;")
+    assert(jobs.collect().map(_.getString(0)).contains("managed1"))
+    runDF("!killStream managed1;")
+    assert(!spark.streams.active.exists(_.name == "managed1"))
+  }
+}
