@@ -55,5 +55,9 @@ object ETRegistry {
   MlETs.all.foreach(register)
   register(ScriptUDFET)
   register(StreamCommandET)
+  register(IteratorCommandET)
   PipelineETs.all.foreach(register)
+  register(new UnavailableET("KafkaCommand", "the spark-sql-kafka connector jar"))
+  register(new UnavailableET("DeltaCommand", "the delta-spark jar"))
+  register(new UnavailableET("SendMessage", "an SMTP gateway (network egress)"))
 }

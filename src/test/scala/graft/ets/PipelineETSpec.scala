@@ -135,6 +135,23 @@ class PipelineETSpec extends AnyFunSuite {
     assert(out.count() == 2)
   }
 
+  test("IteratorCommand executes a templated statement per row") {
+    runDF(
+      s"""set iterdata = '''{"tname":"it_a","v":1}
+         |{"tname":"it_b","v":2}''';
+         |load jsonStr.`iterdata` as itert;
+         |run itert as IteratorCommand.`` where sql='''select $${v} as v as $${tname}''' as itdone;""".stripMargin)
+    assert(spark.table("it_a").head().get(0).toString == "1")
+    assert(spark.table("it_b").head().get(0).toString == "2")
+  }
+
+  test("unavailable ETs fail with what is missing") {
+    val e = intercept[UnsupportedOperationException] {
+      runDF("run command as KafkaCommand.`` as k;")
+    }
+    assert(e.getMessage.contains("kafka"))
+  }
+
   test("!streamJobs macro lists and !killStream stops a query") {
     val ctx = ScriptRunner.run(
       s"""set streamName = "managed1";
