@@ -76,7 +76,8 @@ object SimilarityJoinET extends ET {
     params.getOrElse("method", "lsh") match {
       case "lsh" => CosineSimilarity.lshSelfJoin(df, idCol, vecCol, threshold,
         missProb = params.getOrElse("missProb", "1e-5").toDouble,
-        rowsPerBand = params.getOrElse("rowsPerBand", "8").toInt)
+        rowsPerBand = params.getOrElse("rowsPerBand", "8").toInt,
+        forceBanding = params.getOrElse("forceBanding", "false").toBoolean)
       case "exact" => CosineSimilarity.exactSelfJoin(df, idCol, vecCol, threshold)
       case other => throw new IllegalArgumentException(
         s"SimilarityJoin method must be lsh|exact, got '$other'")

@@ -45,6 +45,9 @@ object VecExpressions {
     ext.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(tokens) - 64-bit SimHash of an array of strings"),
       (cs: Seq[Expression]) => SimHash64(cs(0))))
+    ext.injectFunction((FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(tokens, k) - k-element MinHash signature of an array of strings"),
+      (cs: Seq[Expression]) => MinHashSig(cs(0), cs(1))))
   }
 
   /** Callers cast inputs to array<double> explicitly; reject anything else
@@ -193,4 +196,50 @@ case class SimHash64(child: Expression)
   }
 
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+}
+
+/** k-element MinHash signature over an `array<string>` token set using the
+  * standard double-hashing family g_i(s) = h1(s) + i·h2(s) (Kirsch &
+  * Mitzenmacher): TWO xxhash64 evaluations per token instead of k — the
+  * difference between 2·|tokens| and k·|tokens| hash calls per row, which
+  * made the HOF formulation the corpus-dedup bottleneck. Per-row work, no
+  * shuffle; interpreted eval is fine (one tight loop per row).
+  */
+case class MinHashSig(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback with Serializable {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig requires (array<string>, int), got ($l, $r)")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(tokens: Any, k: Any): Any = {
+    val arr = tokens.asInstanceOf[ArrayData]
+    val numHashes = k.asInstanceOf[Int]
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val h1 = XxHash64Function.hash(s, StringType, 42L)
+        val h2 = XxHash64Function.hash(s, StringType, 77L) | 1L // odd -> full-period
+        var j = 0
+        var g = h1
+        while (j < numHashes) {
+          if (g < sig(j)) sig(j) = g
+          g += h2
+          j += 1
+        }
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(sig)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MinHashSig =
+    copy(left = l, right = r)
 }

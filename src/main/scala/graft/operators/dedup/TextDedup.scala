@@ -41,13 +41,20 @@ object TextDedup {
   def jaccardSelfJoin(sh: DataFrame, threshold: Double, maxDocFreq: Int = 500): DataFrame = {
     val counts = sh.select(col("doc_id"), size(col("shingles")).as("n_sh"))
     val inv = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
-    // df-cap: drop shingles appearing in more than maxDocFreq docs BEFORE
-    // pairing — a shingle in k docs otherwise yields k² pair rows.
-    val qualified = inv.groupBy(col("sh")).count().filter(col("count") <= maxDocFreq).select("sh")
-    val inv2 = inv.join(qualified, "sh")
-    val pairs = inv2.as("x").join(inv2.as("y"),
-        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+    // Posting-list formulation: ONE shuffle builds the per-shingle doc list;
+    // the df-cap is a free filter on the list size (a shingle in k docs
+    // otherwise yields k² pair rows); ordered pairs are generated inside
+    // each list, then one shuffle aggregates pair co-occurrence counts.
+    // (The naive inverted-index SELF-JOIN shuffles the index twice more
+    // and needs a separate doc-frequency aggregation for the cap.)
+    val postings = inv.groupBy(col("sh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) <= maxDocFreq && size(col("ds")) >= 2)
+    val pairs = postings
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds)), y -> struct(x as a, y as b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.a").as("a_id"), col("p.b").as("b_id"))
       .agg(count(lit(1)).as("n_common"))
     pairs
       .join(counts.select(col("doc_id").as("a_id"), col("n_sh").as("a_n")), "a_id")
@@ -67,9 +74,9 @@ object TextDedup {
   def minHashSelfJoin(sh: DataFrame, threshold: Double,
                       bands: Int = 24, rowsPerBand: Int = 4): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sig = sh.withColumn("sig",
-      expr(s"transform(sequence(0, ${numHashes - 1}), " +
-        s"i -> array_min(transform(shingles, s -> xxhash64(s, i))))"))
+    // native double-hashing signature (graft.functions.MinHashSig): 2 hash
+    // evals per shingle, not numHashes — see the expression's scaladoc
+    val sig = sh.withColumn("sig", expr(s"minhash_sig(shingles, $numHashes)"))
     // one row per (doc, band); band key = the band's r-hash slice
     val keyed = sig.select(col("doc_id"), col("shingles"),
       posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +

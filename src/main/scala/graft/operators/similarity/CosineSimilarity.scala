@@ -91,12 +91,60 @@ object CosineSimilarity {
     * join is an equi-join on the band key (shuffle-hash/sort-merge, AQE
     * skew-split applies), exact verify only inside buckets.
     */
+  /** Expected fraction of all pairs that collide in ≥1 band, estimated
+    * from a driver-side sample's actual band keys (Σ over buckets (k/s)²
+    * per band, union-bounded over bands). This is the DATA-dependent
+    * check the threshold-only math can't do: correlated embeddings (e.g.
+    * all-positive components) collide far more than the random-vector
+    * model predicts.
+    */
+  private[graft] def estimateCandidateFraction(
+      sample: Array[Array[Double]], planes: Array[Array[Double]],
+      r: Int, bands: Int): Double = {
+    val s = sample.length
+    if (s < 2) return 0.0
+    val keys = sample.map { v =>
+      Array.tabulate(bands) { band =>
+        var key = 0L; var bit = 0
+        while (bit < r) {
+          val plane = planes(band * r + bit)
+          var dot = 0.0; var i = 0
+          val n = math.min(plane.length, v.length)
+          while (i < n) { dot += plane(i) * v(i); i += 1 }
+          if (dot > 0) key |= (1L << bit)
+          bit += 1
+        }
+        key
+      }
+    }
+    val perBand = (0 until bands).map { b =>
+      keys.groupBy(_(b)).values.map(g => (g.size.toDouble / s) * (g.size.toDouble / s)).sum
+    }
+    math.min(1.0, perBand.sum) // union bound
+  }
+
   def lshSelfJoin(df: DataFrame, idCol: String, vecCol: String, threshold: Double,
                   missProb: Double = 1e-5, rowsPerBand: Int = 8,
-                  seed: Long = 42L): DataFrame = {
+                  seed: Long = 42L, forceBanding: Boolean = false): DataFrame = {
     val (r, bands) = lshParams(threshold, missProb, rowsPerBand)
     val dim = df.select(size(col(vecCol))).head().getInt(0)
     val planes = hyperplanes(r * bands, dim, seed)
+
+    // Adaptive degeneration guard: when the sampled candidate fraction says
+    // banding prunes (almost) nothing — low threshold and/or correlated
+    // data — the banded join would SCORE EVERY PAIR ANYWAY, plus explode/
+    // join overhead. Same output, strictly less work: exact all-pairs.
+    if (!forceBanding) {
+      val sample = df.select(col(vecCol).cast("array<double>"))
+        .limit(500).collect().map(_.getSeq[Double](0).toArray)
+      val frac = estimateCandidateFraction(sample, planes, r, bands)
+      if (frac > 0.3) {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          f"lshSelfJoin: sampled candidate fraction $frac%.2f > 0.3 — banding cannot " +
+            "prune at this threshold on this data; falling back to exactSelfJoin")
+        return exactSelfJoin(df, idCol, vecCol, threshold)
+      }
+    }
 
     val bandKeysUdf = udf { (v: Seq[Double]) =>
       val keys = new Array[Long](bands)
@@ -128,13 +176,17 @@ object CosineSimilarity {
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
-      .distinct()
 
+    // Verify BEFORE dedup: a pair colliding in m bands is scored m times
+    // (cheap — one codegen'd loop each), but the distinct then runs on the
+    // few ABOVE-threshold rows instead of shuffling every candidate pair.
+    // (The reverse order cost a full extra shuffle of the candidate set.)
     candidates
       .join(vecs.select(col("id").as("a_id"), col("v").as("av")), "a_id")
       .join(vecs.select(col("id").as("b_id"), col("v").as("bv")), "b_id")
       .withColumn("sim", round(cosine(col("av"), col("bv")), 6))
       .filter(col("sim") >= threshold)
       .select(col("a_id"), col("b_id"), col("sim"))
+      .distinct()
   }
 }

@@ -245,10 +245,11 @@ object Pipeline {
 
     // ---- banded random-hyperplane LSH self-join, verified against the
     //      SAME exact oracle as p8 (recall parameters sized for miss ≤ 1e-5
-    //      per true pair at t=0.45: r=4 bits, 60 bands). At this low
-    //      threshold banding cannot prune (see CosineSimilarity scaladoc) —
-    //      this entry proves the scale machinery's CORRECTNESS; its perf
-    //      win appears at realistic near-dup thresholds. ----
+    //      per true pair at t=0.45: r=4 bits, 60 bands). The operator
+    //      samples the data first; at this low threshold banding cannot
+    //      prune, so it auto-falls back to the exact path (same output,
+    //      strictly less work — see CosineSimilarity.lshSelfJoin). The
+    //      forced-banding path is correctness-tested in PipelineETSpec. ----
     QuerySpec.sql("p12_cosine_lsh", (s, dir) => {
       import s.implicits._
       CosineSimilarity.lshSelfJoin(t(s, dir, "embeddings"), "vec_id", "embedding",

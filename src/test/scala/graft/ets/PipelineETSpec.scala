@@ -53,6 +53,27 @@ class PipelineETSpec extends AnyFunSuite {
     assert(exact == lsh)
   }
 
+  test("SimilarityJoin forced banding matches exact output (no fallback)") {
+    val exact = runDF(
+      s"""load parquet.`$sf/embeddings.parquet` as embs_f;
+         |run embs_f as SimilarityJoin.`` where method="exact" and threshold="0.45" as fe;
+         |select a_id, b_id, sim from fe order by a_id, b_id as out;""".stripMargin).collect().toSeq
+    val banded = runDF(
+      s"""run embs_f as SimilarityJoin.`` where method="lsh" and threshold="0.45"
+         |  and rowsPerBand="4" and forceBanding="true" as fb;
+         |select a_id, b_id, sim from fb order by a_id, b_id as out;""".stripMargin).collect().toSeq
+    assert(banded == exact)
+  }
+
+  test("lsh degeneration guard estimates high candidate fraction on correlated data") {
+    import graft.operators.similarity.CosineSimilarity
+    val planes = Array.fill(240)(Array.fill(8)(new scala.util.Random(1).nextGaussian()))
+    // identical vectors -> every pair collides in every band -> fraction 1
+    val sample = Array.fill(50)(Array.fill(8)(0.5))
+    val frac = CosineSimilarity.estimateCandidateFraction(sample, planes, 4, 60)
+    assert(frac > 0.9)
+  }
+
   test("AnnTopK returns k neighbors per query") {
     val df = runDF(
       s"""load parquet.`$sf/embeddings.parquet` as embs2;
