@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkEntry, TestSpark}
+
+/** Physical-plan audits: assert the plans we designed for are the plans
+  * Catalyst actually produces — pushdown reaching the scans, broadcast on
+  * constant-size dims, no stray cartesian products, codegen on the hot
+  * expressions. These are the 100 TB design invariants; a regression here
+  * is a perf bug even while results stay correct.
+  */
+class BenchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q2 filter + projection push into the parquet scan") {
+    val p = plan("q2_filter_project")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("l_shipdate"), p)
+    // pruned read schema: no unused wide columns like l_comment
+    assert(!p.contains("l_comment"), p)
+  }
+
+  test("q30 star join broadcasts the constant-size dims") {
+    val p = plan("q30_star_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q1 agg keeps partial aggregation (map-side combine)") {
+    val p = plan("q1_agg")
+    assert(p.contains("HashAggregate"), p)
+    assert(p.toLowerCase.contains("partial"), p)
+  }
+
+  test("p1 exact dedup is a single hash aggregation, no join") {
+    val p = plan("p1_dedup_exact")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("p7 ANN broadcasts the query side, corpus not shuffled") {
+    val p = plan("p7_ann_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("p9 jaccard plan has no self-join of the inverted index") {
+    val p = plan("p9_ngram_jaccard")
+    // posting-list formulation: joins only against the per-doc counts
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("p11 minhash banding joins on an equi band key") {
+    val p = plan("p11_minhash_lsh")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("arr_cosine participates in whole-stage codegen") {
+    val df = spark.range(3).selectExpr(
+      "arr_cosine(array(cast(id as double), 2.0d), array(2.0d, 3.0d)) as c")
+    val p = df.queryExecution.executedPlan.toString
+    // the `*(n)` prefix marks a WholeStageCodegen span containing the Project
+    assert("\\*\\(\\d+\\) Project \\[arr_cosine".r.findFirstIn(p).isDefined, p)
+    assert(math.abs(df.collect()(1).getDouble(0) - 0.99227) < 1e-4)
+  }
+
+  test("scripted star join produces the same physical shape as the DF version") {
+    val p = plan("s2_script_star_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+}
