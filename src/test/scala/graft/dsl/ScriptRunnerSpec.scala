@@ -197,6 +197,14 @@ class ScriptRunnerSpec extends AnyFunSuite {
     }
   }
 
+  test("pathPrefix re-roots relative paths (multi-tenancy helper)") {
+    val df = ScriptRunner.runToDF(
+      """load parquet.`region.parquet` as r_rel;
+        |select count(*) as c from r_rel as out;""".stripMargin,
+      spark, pathPrefix = sf)
+    assert(df.head().getLong(0) == 5)
+  }
+
   test("!println macro and PrintCommand") {
     val df = runDF("""!println '''hello graft''';""")
     assert(df.head().getString(0) == "hello graft")

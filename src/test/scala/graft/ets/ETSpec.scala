@@ -98,6 +98,14 @@ class ETSpec extends AnyFunSuite {
     assert(spark.table("n_rp").rdd.getNumPartitions == 2)
   }
 
+  test("!split macro stratifies via RateSampler") {
+    val df = runDF(
+      s"""load parquet.`$sf/orders.parquet` as o_sp;
+         |!split o_sp o_orderstatus 0.7,0.3 o_splits;
+         |select count(distinct __split__) as n from o_splits as out;""".stripMargin)
+    assert(df.head().getLong(0) == 2)
+  }
+
   test("unknown ET fails with the registered list") {
     val e = intercept[IllegalArgumentException] {
       ScriptRunner.run("run x as NoSuchET.`` as y;", spark)

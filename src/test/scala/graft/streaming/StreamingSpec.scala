@@ -67,6 +67,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows > 0)
   }
 
+  test("batch-over-stream: stream writes parquet, batch script reads it back") {
+    val outDir = java.nio.file.Files.createTempDirectory("stream_pq")
+    val ctx = ScriptRunner.run(
+      s"""set streamName = "s5";
+         |load parquet.`$sf/nation.parquet` as n_b;
+         |load mockStream.`n_b` as n_s;
+         |select n_nationkey, n_name from n_s as n_proj;
+         |save append n_proj as streamParquet.`$outDir/out` where mode="append"
+         |  and checkpointLocation="${java.nio.file.Files.createTempDirectory("ck_s5")}";""".stripMargin,
+      spark)
+    val q = ctx.streams("s5")
+    q.processAllAvailable()
+    q.stop()
+    val back = ScriptRunner.runToDF(
+      s"""load parquet.`$outDir/out` as n_back;
+         |select count(*) as c from n_back as out;""".stripMargin, spark)
+    assert(back.head().getLong(0) == 25)
+  }
+
   test("rate source loads as a streaming frame") {
     val ctx = ScriptRunner.run(
       """load rate.`` where rowsPerSecond="5" as r_rate;""", spark)
