@@ -343,6 +343,7 @@ object CommandMacros {
       "and sampleRate=\"{}\" as {}"),
     "repartition" -> "run {1} as TableRepartition.`` where partitionNum=\"{0}\" as {1}",
     "streamJobs" -> "run command as StreamCommand.`list`",
+    "schemaInfer" -> "run {0} as SchemaInferCommand.`` where varName=\"{1}\"",
     "killStream" -> "run command as StreamCommand.`kill` where parameters='''{:all}'''"
   )
 

@@ -13,7 +13,8 @@ import graft.dsl.ScriptContext
 object UtilityETs {
   def all: Seq[ET] = Seq(PivotET, TableRepartitionET, RateSamplerET, CacheExtET,
     ShowCommandET, SchemaCommandET, PrintCommandET, HDFSCommandET,
-    WaterMarkInPlaceET, RunScriptET, TableToMapET)
+    WaterMarkInPlaceET, RunScriptET, TableToMapET, MapValuesET,
+    DicOrTableToArrayET, SchemaInferCommandET)
 
   private[ets] def oneRowTable(spark: SparkSession, cols: (String, String)*): DataFrame = {
     val schema = StructType(cols.map(c => StructField(c._1, StringType)))
@@ -211,6 +212,72 @@ object RunScriptET extends ET {
     val script = df.select(colName).head().getString(0)
     val sub = graft.dsl.ScriptRunner.run(script, ctx.spark, ctx.pathPrefix)
     sub.lastDataFrame.getOrElse(ctx.spark.emptyDataFrame)
+  }
+}
+
+/** `run t as MapValues.`` where mapTable="dict" and inputCol="k" — map a
+  * column through a (small, broadcast) key→value dictionary table, with an
+  * optional `defaultValue` (reference: SQLMapValues.scala:29). The
+  * dictionary MUST be dimension-sized; the data table is never shuffled.
+  */
+object MapValuesET extends ET {
+  override def name = "MapValues"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    val dict = ctx.spark.table(params.getOrElse("mapTable",
+      throw new IllegalArgumentException("MapValues requires mapTable")))
+    val keyCol = params.getOrElse("keyCol", dict.columns(0))
+    val valCol = params.getOrElse("valueCol", dict.columns(1))
+    val inputCol = params.getOrElse("inputCol",
+      throw new IllegalArgumentException("MapValues requires inputCol"))
+    val outputCol = params.getOrElse("outputCol", inputCol + "_mapped")
+    val joined = df.join(
+      org.apache.spark.sql.functions.broadcast(
+        dict.select(col(keyCol).as("__k__"), col(valCol).as("__v__"))),
+      df(inputCol) === col("__k__"), "left")
+    val withDefault = params.get("defaultValue") match {
+      case Some(d) => joined.withColumn(outputCol, coalesce(col("__v__"), lit(d)))
+      case None => joined.withColumn(outputCol, col("__v__"))
+    }
+    withDefault.drop("__k__", "__v__")
+  }
+}
+
+/** `run dict as DicOrTableToArray.`` where inputCol="w" and udfName="f" —
+  * collect one small column to a broadcast array and register a no-arg UDF
+  * returning it (reference: SQLDicOrTableToArray.scala:56).
+  */
+object DicOrTableToArrayET extends ET {
+  override def name = "DicOrTableToArray"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    val inputCol = params.getOrElse("inputCol", df.columns(0))
+    val arr = df.select(col(inputCol).cast("string")).collect().map(_.getString(0)).toSeq
+    val bc = ctx.spark.sparkContext.broadcast(arr)
+    ctx.spark.udf.register(params.getOrElse("udfName", "dic_array"), () => bc.value)
+    df
+  }
+}
+
+/** `!schemaInfer t as varName` — infer a JSON schema from a table's string
+  * `value` column (sampled) and stash its DDL in the script env for later
+  * `valueSchema="${varName}"` stream loads. Re-creates the reference's
+  * `!kafkaTool registerSchema` flow (KafkaCommand.scala:65-115) without
+  * requiring a Kafka broker: the sampling source is any table.
+  */
+object SchemaInferCommandET extends ET {
+  override def name = "SchemaInferCommand"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    val sampleN = params.getOrElse("sampleSize", "100").toInt
+    val varName = params.getOrElse("varName", "inferredSchema")
+    val spark = ctx.spark
+    import spark.implicits._
+    val values = df.select(col("value").cast("string")).limit(sampleN)
+      .collect().map(_.getString(0)).toSeq
+    val ddl = spark.read.json(spark.createDataset(values)).schema.toDDL
+    ctx.env(varName) = ddl
+    UtilityETs.oneRowTable(spark, "varName" -> varName, "schema" -> ddl)
   }
 }
 

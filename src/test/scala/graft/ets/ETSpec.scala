@@ -98,6 +98,42 @@ class ETSpec extends AnyFunSuite {
     assert(spark.table("n_rp").rdd.getNumPartitions == 2)
   }
 
+  test("MapValues maps through a broadcast dictionary with default") {
+    val df = runDF(
+      """set dict = '''{"k":"a","v":"alpha"}
+        |{"k":"b","v":"beta"}''';
+        |load jsonStr.`dict` as mv_dict;
+        |set data = '''{"x":"a"}
+        |{"x":"b"}
+        |{"x":"c"}''';
+        |load jsonStr.`data` as mv_data;
+        |run mv_data as MapValues.`` where mapTable="mv_dict" and inputCol="x"
+        |  and defaultValue="unknown" as mapped;
+        |select x, x_mapped from mapped order by x as out;""".stripMargin)
+    val m = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m == Map("a" -> "alpha", "b" -> "beta", "c" -> "unknown"))
+  }
+
+  test("DicOrTableToArray registers a broadcast-array UDF") {
+    val df = runDF(
+      """set words = '''{"w":"x"}
+        |{"w":"y"}''';
+        |load jsonStr.`words` as dic_t;
+        |run dic_t as DicOrTableToArray.`` where inputCol="w" and udfName="my_dic" as d;
+        |select size(my_dic()) as n, array_contains(my_dic(), 'y') as has_y as out;""".stripMargin)
+    val r = df.head()
+    assert(r.getInt(0) == 2 && r.getBoolean(1))
+  }
+
+  test("!schemaInfer stores a DDL the stream load can template") {
+    val ctx = ScriptRunner.run(
+      """set sdata = '''{"value":"{\"a\":1,\"b\":\"x\"}"}''';
+        |load jsonStr.`sdata` as s_infer;
+        |!schemaInfer s_infer mySchema;""".stripMargin, spark)
+    assert(ctx.env("mySchema").contains("a BIGINT"))
+    assert(ctx.env("mySchema").contains("b STRING"))
+  }
+
   test("!split macro stratifies via RateSampler") {
     val df = runDF(
       s"""load parquet.`$sf/orders.parquet` as o_sp;

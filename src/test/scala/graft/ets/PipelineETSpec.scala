@@ -154,6 +154,8 @@ class PipelineETSpec extends AnyFunSuite {
     val out = spark.table("vdec")
     assert(out.columns.toSeq == Seq("a", "b", "kafkaValue"))
     assert(out.count() == 2)
+    val decoded = out.orderBy("a").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(decoded == Seq((1, "x"), (2, "y")))
   }
 
   test("IteratorCommand executes a templated statement per row") {
