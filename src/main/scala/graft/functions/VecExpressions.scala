@@ -48,6 +48,9 @@ object VecExpressions {
     ext.injectFunction((FunctionIdentifier("minhash_sig"),
       info("minhash_sig", "minhash_sig(tokens, k) - k-element MinHash signature of an array of strings"),
       (cs: Seq[Expression]) => MinHashSig(cs(0), cs(1))))
+    ext.injectFunction((FunctionIdentifier("winnow_fingerprints"),
+      info("winnow_fingerprints", "winnow_fingerprints(text, k, w) - winnowing document fingerprints"),
+      (cs: Seq[Expression]) => WinnowFingerprints(cs(0), cs(1), cs(2))))
   }
 
   /** Callers cast inputs to array<double> explicitly; reject anything else
@@ -242,4 +245,68 @@ case class MinHashSig(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): MinHashSig =
     copy(left = l, right = r)
+}
+
+/** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+  * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD'03):
+  * Rabin-Karp rolling hash over every k-char gram, then the minimum hash of
+  * each w-length window (rightmost occurrence on ties) — guaranteeing any
+  * shared substring of length ≥ w+k−1 yields a shared fingerprint. Returns
+  * the distinct fingerprints sorted. Per-row work, no shuffle; downstream
+  * dedup is an inverted-index/banded join over the fingerprint array.
+  */
+case class WinnowFingerprints(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback with Serializable {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (StringType, IntegerType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"winnow_fingerprints requires (string, int, int), got ($a, $b, $c)")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprints"
+
+  override protected def nullSafeEval(textAny: Any, kAny: Any, wAny: Any): Any = {
+    val s = textAny.asInstanceOf[UTF8String].toString
+    val k = kAny.asInstanceOf[Int]
+    val w = wAny.asInstanceOf[Int]
+    require(k >= 1 && w >= 1, "winnow_fingerprints: k and w must be >= 1")
+    val n = s.length - k + 1
+    if (n <= 0) return org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array.empty[Long])
+    // Rabin-Karp: h(i) = Σ s(i+j)·B^(k-1-j) mod M (computed in Long space)
+    val B = 1000003L
+    var pow = 1L
+    var j = 1
+    while (j < k) { pow *= B; j += 1 }
+    val hashes = new Array[Long](n)
+    var h = 0L
+    var i = 0
+    while (i < k) { h = h * B + s.charAt(i); i += 1 }
+    hashes(0) = h
+    i = 1
+    while (i < n) {
+      h = (h - s.charAt(i - 1) * pow) * B + s.charAt(i + k - 1)
+      hashes(i) = h
+      i += 1
+    }
+    val out = scala.collection.mutable.SortedSet[Long]()
+    var start = 0
+    val lastStart = math.max(n - w, 0)
+    while (start <= lastStart) {
+      val end = math.min(start + w, n)
+      var minIdx = start
+      var idx = start + 1
+      while (idx < end) {
+        if (hashes(idx) <= hashes(minIdx)) minIdx = idx // rightmost min
+        idx += 1
+      }
+      out += hashes(minIdx)
+      start += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out.toArray)
+  }
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): WinnowFingerprints =
+    copy(first = f, second = s, third = t)
 }

@@ -97,6 +97,32 @@ object TextDedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** Winnowing-fingerprint near-dup candidates (via the native
+    * [[graft.functions.WinnowFingerprints]] expression): pairs of documents
+    * sharing ≥ `minShared` fingerprints. Guarantee (SIGMOD'03): any shared
+    * substring of length ≥ w+k−1 chars produces a shared fingerprint, so
+    * copy-paste plagiarism cannot hide. Same posting-list shuffle shape as
+    * [[jaccardSelfJoin]] — fingerprints are just pre-hashed shingles with
+    * provable coverage at a fraction of the index size.
+    */
+  def winnowSelfJoin(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 8, w: Int = 4, minShared: Int = 2,
+                     maxDocFreq: Int = 500): DataFrame = {
+    val fps = df.select(col(idCol).as("doc_id"),
+      expr(s"winnow_fingerprints($textCol, $k, $w)").as("fps"))
+    val inv = fps.select(col("doc_id"), explode(col("fps")).as("fp"))
+    val postings = inv.groupBy(col("fp"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) <= maxDocFreq && size(col("ds")) >= 2)
+    postings
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds)), y -> struct(x as a, y as b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.a").as("a_id"), col("p.b").as("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** SimHash near-dup candidates: 64-bit signature per doc (via the native
     * [[graft.functions.SimHash64]] expression), pairs within `maxHamming`
     * bits. Banding for scale: split the 64-bit signature into `16-bit`

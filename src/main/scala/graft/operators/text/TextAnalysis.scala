@@ -1,0 +1,45 @@
+package graft.operators.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over a document table (builder-prompt north
+  * star: language-ID, quality scoring, token counting — quality/tokens live
+  * in [[graft.queries.Pipeline]] p4–p6; this adds the lang-ID heuristic).
+  */
+object TextAnalysis {
+
+  /** Stopword profiles for the n-gram/stopword language heuristic. Kept
+    * deliberately small and DuckDB-mirrorable — the CORRECTNESS oracle
+    * computes the same counts in SQL; swap in real profiles (or fastText)
+    * for production use.
+    */
+  val profiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "en" -> Seq("the", "a", "and", "of", "to"),
+    "es" -> Seq("el", "los", "y", "que", "es"),
+    "fr" -> Seq("le", "la", "et", "les", "est"))
+
+  private def score(textCol: String, words: Seq[String]): Column = {
+    val set = words.map(w => s"'$w'").mkString(", ")
+    size(expr(s"filter(split(lower($textCol), ' '), w -> w IN ($set))"))
+  }
+
+  /** Predicted language by max stopword-profile hits; ties break by profile
+    * order (alphabetical); all-zero → 'unknown'. Pure per-row Catalyst
+    * expressions — no UDF, no shuffle, codegen-friendly.
+    */
+  def withLangId(df: DataFrame, textCol: String, outCol: String = "lang_pred"): DataFrame = {
+    val scored = profiles.foldLeft(df) { case (d, (lang, words)) =>
+      d.withColumn(s"__s_$lang", score(textCol, words))
+    }
+    val best = profiles.map { case (lang, _) => col(s"__s_$lang") }
+      .reduce((a, b) => greatest(a, b))
+    // first (alphabetical) profile achieving the max wins the tie
+    val pred = profiles.reverse.foldLeft(lit("unknown")) { case (acc, (lang, _)) =>
+      when(col(s"__s_$lang") === best && best > 0, lang).otherwise(acc)
+    }
+    scored.withColumn(outCol, pred)
+      .drop(profiles.map { case (l, _) => s"__s_$l" }: _*)
+  }
+}

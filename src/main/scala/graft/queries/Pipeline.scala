@@ -265,6 +265,45 @@ object Pipeline {
         |   (SQRT(LIST_INNER_PRODUCT(a.v, a.v)) * SQRT(LIST_INNER_PRODUCT(b.v, b.v))), 6) >= 0.45
         |ORDER BY a_id, b_id""".stripMargin),
 
+    // ---- language-ID heuristic (stopword profiles; per-row, no UDF).
+    //      The oracle computes the SAME deterministic heuristic in SQL —
+    //      correctness is heuristic parity, not label recovery (the
+    //      fixture's text is synthetic). ----
+    QuerySpec.sql("p14_lang_id", (s, dir) => {
+      import s.implicits._
+      graft.operators.text.TextAnalysis
+        .withLangId(t(s, dir, "documents"), "text")
+        .select($"doc_id", $"lang_pred")
+        .orderBy($"doc_id")
+    }, {
+      val scores = graft.operators.text.TextAnalysis.profiles.map { case (lang, ws) =>
+        val set = ws.map(w => s"'$w'").mkString(", ")
+        s"CAST(LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w IN ($set))) AS INT) AS s_$lang"
+      }.mkString(",\n ")
+      val langs = graft.operators.text.TextAnalysis.profiles.map(_._1)
+      val m = langs.map(l => s"s_$l").mkString("GREATEST(", ", ", ")")
+      val cases = langs.map(l => s"WHEN s_$l = m AND m > 0 THEN '$l'").mkString(" ")
+      s"""SELECT doc_id, CASE $cases ELSE 'unknown' END AS lang_pred
+         |FROM (SELECT doc_id, $m AS m, t.* FROM (SELECT doc_id,
+         | $scores
+         |FROM documents) t)
+         |ORDER BY doc_id""".stripMargin
+    }),
+
+    // ---- winnowing fingerprint near-dup (SIGMOD'03 rolling-hash window
+    //      minima via the native WinnowFingerprints expression; no DuckDB
+    //      analog of the hash -> rows-level determinism check only). ----
+    //      Parameters sized for the fixture's tiny vocabulary: short char
+    //      grams are corpus-wide here, so k=24 (~4 words) with a tight
+    //      df-cap keeps the posting lists selective — the same tuning a
+    //      boilerplate-heavy web corpus needs at 100 TB.
+    QuerySpec.noOracle("p15_winnow_fingerprint", (s, dir) => {
+      import s.implicits._
+      TextDedup.winnowSelfJoin(t(s, dir, "documents"), "doc_id", "text",
+          k = 24, w = 8, minShared = 2, maxDocFreq = 50)
+        .orderBy($"a_id", $"b_id")
+    }),
+
     // ---- SimHash near-dup: 64-bit signature per doc, 16-bit chunk
     //      banding (pigeonhole-complete for hamming ≤ 3). Spark-side
     //      xxhash64 has no DuckDB equivalent, so this is a rows-level
