@@ -96,9 +96,17 @@ object AnnTopKET extends ET {
     val vecCol = params.getOrElse("vecCol", "embedding")
     val queries = ctx.spark.table(params.getOrElse("queryTable",
       throw new IllegalArgumentException("AnnTopK requires queryTable")))
-    CosineSimilarity.annTopK(df, queries, idCol, vecCol,
-      params.getOrElse("qIdCol", "qid"), params.getOrElse("qVecCol", "qv"),
-      params.getOrElse("k", "10").toInt)
+    val k = params.getOrElse("k", "10").toInt
+    val qId = params.getOrElse("qIdCol", "qid")
+    val qVec = params.getOrElse("qVecCol", "qv")
+    params.getOrElse("method", "brute") match {
+      case "brute" => CosineSimilarity.annTopK(df, queries, idCol, vecCol, qId, qVec, k)
+      case "ivf" => CosineSimilarity.ivfTopK(df, queries, idCol, vecCol, qId, qVec, k,
+        nlist = params.getOrElse("nlist", "64").toInt,
+        nprobe = params.getOrElse("nprobe", "8").toInt)
+      case other => throw new IllegalArgumentException(
+        s"AnnTopK method must be brute|ivf, got '$other'")
+    }
   }
 }
 

@@ -60,6 +60,49 @@ object CosineSimilarity {
       .select(col(qIdCol).as("qid"), col("nrank"), col(idCol).as("neighbor"), col("sim"))
   }
 
+  /** IVF (inverted-file) approximate top-k: KMeans-partition the corpus
+    * into `nlist` cells once, then each query probes only its `nprobe`
+    * nearest cells — the classic FAISS-style index re-expressed as Spark
+    * joins. At 100 TB the corpus is scanned ONCE to build assignments
+    * (reusable across query batches), and each query batch touches
+    * ~nprobe/nlist of the corpus via an EQUI-join on the cell id (hash
+    * shuffle, AQE-skew-safe) instead of a full scan per batch.
+    * Approximate: recall depends on nprobe/nlist (test-pinned on the
+    * fixtures); [[annTopK]] is the exact baseline.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              qIdCol: String, qVecCol: String, k: Int,
+              nlist: Int = 64, nprobe: Int = 8, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.sql.expressions.Window
+    val fv = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__arr__"))
+      .withColumn("__features__", array_to_vector(col("__arr__")))
+    val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("__features__")
+      .fit(fv)
+    val cells = model.transform(fv)
+      .select(col(idCol), col("__arr__").as("cvec"), col("prediction").as("cell"))
+    val centers = model.clusterCenters.map(_.toArray)
+    val probeUdf = udf { (v: Seq[Double]) =>
+      centers.zipWithIndex.map { case (c, i) =>
+        var d = 0.0; var j = 0
+        val n = math.min(c.length, v.length)
+        while (j < n) { val t = c(j) - v(j); d += t * t; j += 1 }
+        (d, i)
+      }.sortBy(_._1).take(nprobe).map(_._2)
+    }
+    val probed = queries
+      .select(col(qIdCol), col(qVecCol).cast("array<double>").as("qvec"))
+      .withColumn("cell", explode(probeUdf(col("qvec"))))
+    probed.join(cells, Seq("cell"))
+      .filter(col(qIdCol) =!= col(idCol))
+      .withColumn("sim", round(cosine(col("qvec"), col("cvec")), 6))
+      .withColumn("nrank", row_number().over(
+        Window.partitionBy(col(qIdCol)).orderBy(col("sim").desc, col(idCol))))
+      .filter(col("nrank") <= k)
+      .select(col(qIdCol).as("qid"), col("nrank"), col(idCol).as("neighbor"), col("sim"))
+  }
+
   /** Random-hyperplane LSH parameters for a threshold + recall target.
     *
     * p(bit agrees | sim = t) = 1 − acos(t)/π. With `r` bits per band and

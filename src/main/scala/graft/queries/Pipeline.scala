@@ -265,6 +265,20 @@ object Pipeline {
         |   (SQRT(LIST_INNER_PRODUCT(a.v, a.v)) * SQRT(LIST_INNER_PRODUCT(b.v, b.v))), 6) >= 0.45
         |ORDER BY a_id, b_id""".stripMargin),
 
+    // ---- IVF approximate ANN (FAISS-style cell pruning as Spark joins):
+    //      the query-time scale path p7's brute force cannot be — each
+    //      query batch touches ~nprobe/nlist of the corpus via an
+    //      equi-join on the KMeans cell id. Approximate -> rows-level
+    //      check; recall vs exact is pinned in PipelineETSpec. ----
+    QuerySpec.noOracle("p16_ann_ivf", (s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+      val q = e.filter($"vec_id" < 10).select($"vec_id".as("qid"), $"embedding".as("qv"))
+      CosineSimilarity.ivfTopK(e, q, "vec_id", "embedding", "qid", "qv",
+          k = 5, nlist = 16, nprobe = 6)
+        .orderBy($"qid", $"nrank")
+    }),
+
     // ---- language-ID heuristic (stopword profiles; per-row, no UDF).
     //      The oracle computes the SAME deterministic heuristic in SQL —
     //      correctness is heuristic parity, not label recovery (the

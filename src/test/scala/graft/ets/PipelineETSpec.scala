@@ -84,6 +84,23 @@ class PipelineETSpec extends AnyFunSuite {
     assert(rows.length == 12) // 3 queries x 4 neighbors
   }
 
+  test("AnnTopK ivf: cell-pruned search reaches high recall vs exact") {
+    val exact = runDF(
+      s"""load parquet.`$sf/embeddings.parquet` as embs3;
+         |select vec_id as qid, embedding as qv from embs3 where vec_id < 20 as qset3;
+         |run embs3 as AnnTopK.`` where queryTable="qset3" and k="5" as exact_ann;
+         |select qid, neighbor from exact_ann as out;""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = runDF(
+      s"""run embs3 as AnnTopK.`` where queryTable="qset3" and k="5" and method="ivf"
+         |  and nlist="8" and nprobe="4" as ivf_ann;
+         |select qid, neighbor from ivf_ann as out;""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(ivf.nonEmpty)
+    assert(recall >= 0.5, s"IVF recall $recall too low vs exact")
+  }
+
   test("binaryFile load + BinaryMetaInPlace sniffs real magic bytes") {
     val dir = Files.createTempDirectory("graft_bin")
     Files.write(dir.resolve("a.png"),
