@@ -121,10 +121,57 @@ object StreamSinks {
       case Some(d) if d.toLong >= 0 => w1.trigger(Trigger.ProcessingTime(d.toLong * 1000))
       case _ => w1
     }
-    val query = if (Set("parquet", "csv", "json", "text", "orc").contains(fmt))
-      w2.start(ctx.resolvePath(path))
-    else w2.start()
+    val query = fmt match {
+      case "upsertparquet" =>
+        // CDC-style keyed upsert (reference: MLSQLMultiDelta.scala:33-120 —
+        // foreachBatch routing rows into a Delta MERGE by idCols). With no
+        // Delta jar offline, the merge target is a parquet dir rewritten
+        // per batch: read-modify-overwrite keyed by `idCols`, newest row
+        // wins. Same foreachBatch plumbing; swap the merge body for Delta
+        // `MERGE INTO` when the jar is present (it is transactional, this
+        // rewrite is not — batch-scale CDC demo only).
+        val idCols = opts.getOrElse("idCols",
+          throw new IllegalArgumentException("upsertParquet requires idCols=\"k1[,k2]\""))
+          .split(",").map(_.trim).toSeq
+        val target = ctx.resolvePath(path)
+        w2.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          UpsertParquet.merge(batch, target, idCols)
+        }.start()
+      case f if Set("parquet", "csv", "json", "text", "orc").contains(f) =>
+        w2.start(ctx.resolvePath(path))
+      case _ => w2.start()
+    }
     ctx.streams(name) = query
     query
+  }
+}
+
+/** Keyed parquet upsert used by the `upsertParquet` streaming sink. */
+object UpsertParquet {
+  def merge(batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            target: String, idCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = batch.sparkSession
+    val deduped = batch // newest row per key within the batch
+      .withColumn("__rn__", monotonically_increasing_id())
+      .withColumn("__max__", max(col("__rn__")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(idCols.map(col): _*)))
+      .filter(col("__rn__") === col("__max__")).drop("__rn__", "__max__")
+    val exists = try {
+      spark.read.parquet(target).limit(1).count(); true
+    } catch { case _: Throwable => false }
+    val merged = if (!exists) deduped else {
+      val current = spark.read.parquet(target)
+      current.join(deduped.select(idCols.map(col): _*), idCols, "left_anti")
+        .unionByName(deduped)
+    }
+    // rewrite via a temp dir: the target cannot be overwritten while being read
+    val tmp = target + "__tmp__"
+    merged.write.mode("overwrite").parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(conf)
+    val targetPath = new org.apache.hadoop.fs.Path(target)
+    fs.delete(targetPath, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), targetPath)
   }
 }

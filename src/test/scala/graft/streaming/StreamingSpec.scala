@@ -86,6 +86,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(back.head().getLong(0) == 25)
   }
 
+  test("upsertParquet sink: CDC-style keyed merge, newest row wins") {
+    val target = java.nio.file.Files.createTempDirectory("ups").resolve("t").toString
+    def runBatch(name: String, data: String): Unit = {
+      val ctx = ScriptRunner.run(
+        s"""set streamName = "$name";
+           |set cdc = '''$data''';
+           |load jsonStr.`cdc` as cdc_b;
+           |load mockStream.`cdc_b` as cdc_s;
+           |save append cdc_s as upsertParquet.`$target` where mode="append"
+           |  and idCols="id"
+           |  and checkpointLocation="${java.nio.file.Files.createTempDirectory("ck_u")}";""".stripMargin,
+        spark)
+      val q = ctx.streams(name)
+      q.processAllAvailable(); q.stop()
+    }
+    runBatch("u1", """{"id":1,"v":"a"}
+                     |{"id":2,"v":"b"}""".stripMargin)
+    runBatch("u2", """{"id":2,"v":"b2"}
+                     |{"id":3,"v":"c"}""".stripMargin)
+    val result = spark.read.parquet(target).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(result == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+  }
+
+  test("session_window aggregation over a stream") {
+    val ctx = ScriptRunner.run(
+      s"""set streamName = "s6";
+         |load parquet.`$sf/events.parquet` as ev6_raw;
+         |select timestamp_micros(ts div 1000) as ts, user_id from ev6_raw as ev6_b;
+         |load mockStream.`ev6_b` where eventTimeCol="ts" and delayThreshold="1 minute" as ev6_s;
+         |select session_window(ts, '5 minutes').start as w_start, user_id, count(*) as n
+         |  from ev6_s group by session_window(ts, '5 minutes'), user_id as ev6_agg;
+         |save append ev6_agg as memory.`` where mode="complete"
+         |  and checkpointLocation="${java.nio.file.Files.createTempDirectory("ck_s6")}";""".stripMargin,
+      spark)
+    val q = ctx.streams("s6")
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("s6").count() > 0)
+  }
+
   test("rate source loads as a streaming frame") {
     val ctx = ScriptRunner.run(
       """load rate.`` where rowsPerSecond="5" as r_rate;""", spark)
