@@ -14,7 +14,20 @@ import graft.operators.similarity.CosineSimilarity
   * builder prompt requires beyond the reference's own ETs.
   */
 object PipelineETs {
-  def all: Seq[ET] = Seq(DedupET, SimilarityJoinET, AnnTopKET, BinaryMetaInPlaceET)
+  def all: Seq[ET] = Seq(DedupET, SimilarityJoinET, AnnTopKET, BinaryMetaInPlaceET, LangIdET)
+}
+
+/** `run docs as LangId.`` [where textCol="text" and outputCol="lang_pred"]`
+  * — stopword-profile language identification
+  * (see [[graft.operators.text.TextAnalysis.withLangId]]).
+  */
+object LangIdET extends ET {
+  override def name = "LangId"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame =
+    graft.operators.text.TextAnalysis.withLangId(df,
+      params.getOrElse("textCol", "text"),
+      params.getOrElse("outputCol", "lang_pred"))
 }
 
 /** `run docs as Dedup.`` where method="exact|fingerprint|minhash|simhash"

@@ -154,6 +154,39 @@ object Scripts {
         |WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY MD5(text))
         |ORDER BY doc_id""".stripMargin),
 
+    // ---- MapValues ET: broadcast-dictionary mapping through the DSL ----
+    QuerySpec.sql("s12_script_mapvalues", (s, dir) => script(s,
+      s"""load parquet.`$dir/region.parquet` as region;
+         |load parquet.`$dir/nation.parquet` as nation;
+         |run nation as MapValues.`` where mapTable="region" and keyCol="r_regionkey"
+         |  and valueCol="r_name" and inputCol="n_regionkey"
+         |  and outputCol="region_name" as mapped;
+         |select n_nationkey, region_name from mapped order by n_nationkey as s12_out;""".stripMargin),
+      """SELECT n_nationkey, r_name AS region_name
+        |FROM nation LEFT JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin),
+
+    // ---- LangId ET: same oracle shape as p14, through the run statement ----
+    QuerySpec.sql("s13_script_langid", (s, dir) => script(s,
+      s"""load parquet.`$dir/documents.parquet` as documents;
+         |run documents as LangId.`` as lp;
+         |select lang_pred, count(*) as n from lp
+         |  group by lang_pred order by lang_pred as s13_out;""".stripMargin), {
+      val scores = graft.operators.text.TextAnalysis.profiles.map { case (lang, ws) =>
+        val set = ws.map(w => s"'$w'").mkString(", ")
+        s"CAST(LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w IN ($set))) AS INT) AS s_$lang"
+      }.mkString(",\n ")
+      val langs = graft.operators.text.TextAnalysis.profiles.map(_._1)
+      val m = langs.map(l => s"s_$l").mkString("GREATEST(", ", ", ")")
+      val cases = langs.map(l => s"WHEN s_$l = m AND m > 0 THEN '$l'").mkString(" ")
+      s"""SELECT lang_pred, COUNT(*) AS n FROM (
+         |SELECT CASE $cases ELSE 'unknown' END AS lang_pred
+         |FROM (SELECT $m AS m, t.* FROM (SELECT
+         | $scores
+         |FROM documents) t))
+         |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
+    }),
+
     // ---- RateSampler: rows-only (random assignment has no SQL oracle) ----
     QuerySpec.noOracle("s9_script_split", (s, dir) => script(s,
       s"""load parquet.`$dir/orders.parquet` as orders;
