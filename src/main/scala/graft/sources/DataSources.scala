@@ -180,7 +180,71 @@ final class JdbcSource extends GraftSource {
   override def load(ctx: ScriptContext, path: String, opts: Map[String, String]): DataFrame =
     ctx.spark.read.format("jdbc").options(resolveOptions(path, opts)).load()
 
+  /** With `idCol` set the write is an UPSERT executed row-by-row through a
+    * foreachPartition JDBC batch (reference: MLSQLJDBC.scala upsert via
+    * UpsertUtils); otherwise a plain Spark jdbc write.
+    */
   override def save(ctx: ScriptContext, df: DataFrame, mode: SaveMode, path: String,
-                    opts: Map[String, String], partitionBy: Seq[String]): Unit =
-    df.write.format("jdbc").mode(mode).options(resolveOptions(path, opts)).save()
+                    opts: Map[String, String], partitionBy: Seq[String]): Unit = {
+    val resolved = resolveOptions(path, opts)
+    resolved.get("idCol") match {
+      case Some(_) => JdbcUpsert.upsert(df, resolved)
+      case None =>
+        df.write.format("jdbc").mode(mode).options(resolved).save()
+    }
+  }
+}
+
+/** Keyed JDBC upsert: dialect-aware statement generation + executor-side
+  * batched execution. The SQL builder is unit-tested offline; execution
+  * requires a driver jar on the classpath at runtime.
+  */
+object JdbcUpsert {
+
+  /** Build the dialect's upsert statement for `table(cols)` keyed by
+    * `idCols` — MySQL `ON DUPLICATE KEY UPDATE`, PostgreSQL/SQLite
+    * `ON CONFLICT ... DO UPDATE`.
+    */
+  def buildStatement(url: String, table: String, cols: Seq[String],
+                     idCols: Seq[String]): String = {
+    val collist = cols.mkString(", ")
+    val params = cols.map(_ => "?").mkString(", ")
+    val nonKey = cols.filterNot(idCols.contains)
+    if (url.startsWith("jdbc:mysql")) {
+      val updates = nonKey.map(c => s"$c = VALUES($c)").mkString(", ")
+      s"INSERT INTO $table ($collist) VALUES ($params) ON DUPLICATE KEY UPDATE $updates"
+    } else {
+      val updates = nonKey.map(c => s"$c = EXCLUDED.$c").mkString(", ")
+      val conflict = idCols.mkString(", ")
+      s"INSERT INTO $table ($collist) VALUES ($params) ON CONFLICT ($conflict) DO UPDATE SET $updates"
+    }
+  }
+
+  def upsert(df: DataFrame, opts: Map[String, String]): Unit = {
+    val url = opts("url")
+    val table = opts.getOrElse("dbtable",
+      throw new IllegalArgumentException("jdbc upsert requires dbtable"))
+    val idCols = opts("idCol").split(",").map(_.trim).toSeq
+    val cols = df.columns.toSeq
+    val sql = buildStatement(url, table, cols, idCols)
+    val props = opts - "idCol"
+    df.rdd.foreachPartition { rows =>
+      val conn = java.sql.DriverManager.getConnection(url, {
+        val p = new java.util.Properties()
+        props.foreach { case (k, v) => p.setProperty(k, v) }
+        p
+      })
+      try {
+        val stmt = conn.prepareStatement(sql)
+        var n = 0
+        rows.foreach { row =>
+          cols.indices.foreach(i => stmt.setObject(i + 1, row.get(i)))
+          stmt.addBatch()
+          n += 1
+          if (n % 1000 == 0) stmt.executeBatch()
+        }
+        stmt.executeBatch()
+      } finally conn.close()
+    }
+  }
 }

@@ -131,6 +131,16 @@ class ScriptRunnerSpec extends AnyFunSuite {
     assert(direct("query") == "select 1" && !direct.contains("dbtable"))
   }
 
+  test("jdbc upsert statement generation per dialect") {
+    import graft.sources.JdbcUpsert
+    val my = JdbcUpsert.buildStatement("jdbc:mysql://h/db", "t", Seq("id", "a", "b"), Seq("id"))
+    assert(my == "INSERT INTO t (id, a, b) VALUES (?, ?, ?) " +
+      "ON DUPLICATE KEY UPDATE a = VALUES(a), b = VALUES(b)")
+    val pg = JdbcUpsert.buildStatement("jdbc:postgresql://h/db", "t", Seq("id", "a"), Seq("id"))
+    assert(pg == "INSERT INTO t (id, a) VALUES (?, ?) " +
+      "ON CONFLICT (id) DO UPDATE SET a = EXCLUDED.a")
+  }
+
   test("include local splices a script file") {
     val f = Files.createTempFile("graft_inc", ".mlsql")
     Files.writeString(f, s"load parquet.`$sf/region.parquet` as inc_r;")
