@@ -12,7 +12,8 @@ object Run {
     val spark = GraftSession.getOrCreate()
     val ctx = graft.dsl.ScriptRunner.run(script, spark,
       if (args.length > 1) args(1) else "")
-    ctx.lastDataFrame.foreach(_.show(20, truncate = false))
+    // streaming last-tables cannot be show()n — their sink is the query
+    ctx.lastDataFrame.filterNot(_.isStreaming).foreach(_.show(20, truncate = false))
     // streaming scripts: wait for the named queries to finish
     ctx.streams.values.foreach(_.awaitTermination())
     spark.stop()

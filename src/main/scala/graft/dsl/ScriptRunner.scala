@@ -40,9 +40,9 @@ object ScriptRunner {
 
   /** Textual `include` splice, looping to a fixpoint, max 10 passes
     * (reference: ScriptSQLExec.scala:95-109 + IncludeAdaptor.scala:28-83).
-    * Supported sources: `local` (absolute file path) and `script` (a prior
-    * `set` variable — resolved at execute time instead, since includes are
-    * purely textual here).
+    * Supported source: `local` (absolute file path; relative resolved
+    * against the pathPrefix). The reference's hdfs/http/store sources are
+    * out of scope offline.
     */
   @tailrec
   private[dsl] def expandIncludes(script: String, ctx: ScriptContext, depth: Int = 0): String = {
@@ -57,8 +57,11 @@ object ScriptRunner {
           val ref = parsePathRef(nextToken(rest)._1)
           ref.format match {
             case "local" =>
-              new String(java.nio.file.Files.readAllBytes(
+              val content = new String(java.nio.file.Files.readAllBytes(
                 java.nio.file.Paths.get(ctx.resolvePath(ref.path))), "UTF-8")
+              // terminate the splice: a file whose last statement lacks a
+              // trailing ';' must not fuse with the parent's next statement
+              if (content.trim.endsWith(";")) content else content + "\n;"
             case other => throw new IllegalArgumentException(
               s"include source '$other' not supported (use local.`/abs/path`)")
           }
@@ -237,7 +240,8 @@ object ScriptRunner {
     val ref = parsePathRef(nextToken(refPart2)._1)
     val params = Template.parseOptions(optsClause, ctx.env)
     val et = ETRegistry.lookup(ref.format)
-    val path = if (ref.path.isEmpty) "" else ctx.resolvePath(ref.path)
+    val path = if (ref.path.isEmpty || !et.needsPathResolution) ref.path
+      else ctx.resolvePath(ref.path)
     val model = et.load(ctx.spark, path, params)
     val fn = et.predict(ctx.spark, model, fname, params)
     ctx.spark.udf.register(fname, fn)
@@ -343,7 +347,7 @@ object CommandMacros {
       "and sampleRate=\"{}\" as {}"),
     "repartition" -> "run {1} as TableRepartition.`` where partitionNum=\"{0}\" as {1}",
     "streamJobs" -> "run command as StreamCommand.`list`",
-    "schemaInfer" -> "run {0} as SchemaInferCommand.`` where varName=\"{1}\"",
+    "schemaInfer" -> "run {0} as SchemaInferCommand.`` where parameters='''{:all}'''",
     "killStream" -> "run command as StreamCommand.`kill` where parameters='''{:all}'''"
   )
 

@@ -16,6 +16,12 @@ trait ET {
   /** Registry name, e.g. "Pivot" (looked up by `train t as Pivot.`...``). */
   def name: String
 
+  /** Whether the statement's `.`path`` part is a filesystem path the
+    * runner should re-root under the script's pathPrefix. ETs whose path
+    * is a TABLE NAME (e.g. ScriptUDF's code table) override to false.
+    */
+  def needsPathResolution: Boolean = true
+
   def train(ctx: ScriptContext, df: DataFrame, path: String,
             params: Map[String, String]): DataFrame
 

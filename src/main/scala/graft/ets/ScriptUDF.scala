@@ -32,6 +32,9 @@ import org.apache.spark.sql.types.DataType
 object ScriptUDFET extends ET {
   override def name = "ScriptUDF"
 
+  /** The path part names a temp view holding code, never a filesystem path. */
+  override def needsPathResolution: Boolean = false
+
   override def train(ctx: graft.dsl.ScriptContext, df: org.apache.spark.sql.DataFrame,
                      path: String, params: Map[String, String]): org.apache.spark.sql.DataFrame =
     throw new UnsupportedOperationException(

@@ -69,14 +69,16 @@ object TableRepartitionET extends ET {
 }
 
 /** `run t as RateSampler.`` where labelCol="label" and
-  * sampleRate="0.8,0.2" [and seed="42"]` — stratified split adding a
+  * sampleRate="0.8,0.2" [and seed="42"]` — random split adding a
   * `__split__` column (reference: SQLRateSampler.scala:34-136).
   *
-  * Scale note: implemented as a per-row Bernoulli assignment
-  * (`rand(seed)` bucketed by the cumulative rates) exactly like
-  * `randomSplit` — no shuffle, no per-label window, so label skew is
-  * irrelevant. Proportions are exact in expectation (sampling, not
-  * exact-count splitting), which is the reference's behavior too.
+  * Semantics note: per-row Bernoulli assignment (`rand(seed)` bucketed by
+  * the cumulative rates), like `randomSplit`/`sampleByKey` — per-label
+  * proportions hold IN EXPECTATION only; a rare label can deviate (it can
+  * in the reference too, which samples per label with the same Bernoulli
+  * draw). No shuffle, no per-label window, so label skew is irrelevant at
+  * 100 TB. `labelCol` is accepted for reference-script compatibility and
+  * reserved for an exact-quota mode.
   */
 object RateSamplerET extends ET {
   override def name = "RateSampler"
@@ -259,18 +261,23 @@ object DicOrTableToArrayET extends ET {
   }
 }
 
-/** `!schemaInfer t as varName` — infer a JSON schema from a table's string
-  * `value` column (sampled) and stash its DDL in the script env for later
-  * `valueSchema="${varName}"` stream loads. Re-creates the reference's
-  * `!kafkaTool registerSchema` flow (KafkaCommand.scala:65-115) without
-  * requiring a Kafka broker: the sampling source is any table.
+/** `!schemaInfer t varName` (or `!schemaInfer t as varName`) — infer a
+  * JSON schema from a table's string `value` column (sampled) and stash its
+  * DDL in the script env for later `valueSchema="${varName}"` stream loads.
+  * Re-creates the reference's `!kafkaTool registerSchema` flow
+  * (KafkaCommand.scala:65-115) without requiring a Kafka broker: the
+  * sampling source is any table.
   */
 object SchemaInferCommandET extends ET {
   override def name = "SchemaInferCommand"
   override def train(ctx: ScriptContext, df: DataFrame, path: String,
                      params: Map[String, String]): DataFrame = {
     val sampleN = params.getOrElse("sampleSize", "100").toInt
-    val varName = params.getOrElse("varName", "inferredSchema")
+    // macro passes the raw arg list; the var name is the LAST token, which
+    // also tolerates the `t as varName` form
+    val varName = params.get("varName")
+      .orElse(params.get("parameters").map(_.trim.split("\\s+").last).filter(_.nonEmpty))
+      .getOrElse("inferredSchema")
     val spark = ctx.spark
     import spark.implicits._
     val values = df.select(col("value").cast("string")).limit(sampleN)

@@ -32,6 +32,17 @@ object TextDedup {
         s"array_distinct(transform(sequence(0, size(w) - $n), i -> $joined))").as("shingles"))
   }
 
+  /** Ordered in-list pair generation + co-occurrence count shared by the
+    * posting-list joins: `ds` must be a SORTED id array per row.
+    */
+  private def pairCounts(postings: DataFrame, countName: String): DataFrame =
+    postings
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds)), y -> struct(x as a, y as b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.a").as("a_id"), col("p.b").as("b_id"))
+      .agg(count(lit(1)).as(countName))
+
   /** Exact Jaccard self-join via an inverted shingle index, with a
     * document-frequency cap on shingles (skew guard). Returns pairs with
     * `jaccard >= threshold` computed over ALL shingles of each doc (the cap
@@ -50,12 +61,7 @@ object TextDedup {
     val postings = inv.groupBy(col("sh"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) <= maxDocFreq && size(col("ds")) >= 2)
-    val pairs = postings
-      .select(explode(expr(
-        """flatten(transform(ds, (x, i) ->
-          |  transform(slice(ds, i + 2, size(ds)), y -> struct(x as a, y as b))))""".stripMargin)).as("p"))
-      .groupBy(col("p.a").as("a_id"), col("p.b").as("b_id"))
-      .agg(count(lit(1)).as("n_common"))
+    val pairs = pairCounts(postings, "n_common")
     pairs
       .join(counts.select(col("doc_id").as("a_id"), col("n_sh").as("a_n")), "a_id")
       .join(counts.select(col("doc_id").as("b_id"), col("n_sh").as("b_n")), "b_id")
@@ -114,12 +120,7 @@ object TextDedup {
     val postings = inv.groupBy(col("fp"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) <= maxDocFreq && size(col("ds")) >= 2)
-    postings
-      .select(explode(expr(
-        """flatten(transform(ds, (x, i) ->
-          |  transform(slice(ds, i + 2, size(ds)), y -> struct(x as a, y as b))))""".stripMargin)).as("p"))
-      .groupBy(col("p.a").as("a_id"), col("p.b").as("b_id"))
-      .agg(count(lit(1)).as("n_shared"))
+    pairCounts(postings, "n_shared")
       .filter(col("n_shared") >= minShared)
   }
 

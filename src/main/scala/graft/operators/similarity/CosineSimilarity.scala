@@ -110,7 +110,9 @@ object CosineSimilarity {
     * 2^r possible keys per band. Returns (rowsPerBand, bands).
     */
   def lshParams(threshold: Double, missProb: Double = 1e-5, rowsPerBand: Int = 8): (Int, Int) = {
-    val p = 1.0 - math.acos(threshold) / math.Pi
+    // clamp p below 1 so threshold=1.0 (identical vectors) yields ≥1 band
+    // instead of bands=0 (which would silently return zero pairs)
+    val p = math.min(1.0 - math.acos(threshold) / math.Pi, 1.0 - 1e-9)
     val pr = math.pow(p, rowsPerBand)
     require(pr > 1e-9,
       s"threshold $threshold too low for $rowsPerBand-bit bands (p=$p); " +

@@ -25,6 +25,24 @@ object TextAnalysis {
     size(expr(s"filter(split(lower($textCol), ' '), w -> w IN ($set))"))
   }
 
+  /** DuckDB SQL computing the SAME lang-id heuristic over `documents`,
+    * used by BOTH oracle entries (p14, s13) so heuristic changes cannot
+    * diverge between them. `extraCols` are carried through the subquery.
+    */
+  def duckdbLangPredSubquery(extraCols: Seq[String]): String = {
+    val prefix = extraCols.map(_ + ", ").mkString
+    val scores = profiles.map { case (lang, ws) =>
+      val set = ws.map(w => s"'$w'").mkString(", ")
+      s"CAST(LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w IN ($set))) AS INT) AS s_$lang"
+    }.mkString(",\n ")
+    val m = profiles.map { case (l, _) => s"s_$l" }.mkString("GREATEST(", ", ", ")")
+    val cases = profiles.map { case (l, _) => s"WHEN s_$l = m AND m > 0 THEN '$l'" }.mkString(" ")
+    s"""SELECT ${prefix}CASE $cases ELSE 'unknown' END AS lang_pred
+       |FROM (SELECT $m AS m, t.* FROM (SELECT ${prefix}
+       | $scores
+       |FROM documents) t)""".stripMargin
+  }
+
   /** Predicted language by max stopword-profile hits; ties break by profile
     * order (alphabetical); all-zero → 'unknown'. Pure per-row Catalyst
     * expressions — no UDF, no shuffle, codegen-friendly.

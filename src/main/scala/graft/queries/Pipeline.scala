@@ -289,20 +289,9 @@ object Pipeline {
         .withLangId(t(s, dir, "documents"), "text")
         .select($"doc_id", $"lang_pred")
         .orderBy($"doc_id")
-    }, {
-      val scores = graft.operators.text.TextAnalysis.profiles.map { case (lang, ws) =>
-        val set = ws.map(w => s"'$w'").mkString(", ")
-        s"CAST(LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w IN ($set))) AS INT) AS s_$lang"
-      }.mkString(",\n ")
-      val langs = graft.operators.text.TextAnalysis.profiles.map(_._1)
-      val m = langs.map(l => s"s_$l").mkString("GREATEST(", ", ", ")")
-      val cases = langs.map(l => s"WHEN s_$l = m AND m > 0 THEN '$l'").mkString(" ")
-      s"""SELECT doc_id, CASE $cases ELSE 'unknown' END AS lang_pred
-         |FROM (SELECT doc_id, $m AS m, t.* FROM (SELECT doc_id,
-         | $scores
-         |FROM documents) t)
-         |ORDER BY doc_id""".stripMargin
-    }),
+    },
+      graft.operators.text.TextAnalysis.duckdbLangPredSubquery(Seq("doc_id")) +
+        "\nORDER BY doc_id"),
 
     // ---- winnowing fingerprint near-dup (SIGMOD'03 rolling-hash window
     //      minima via the native WinnowFingerprints expression; no DuckDB

@@ -171,21 +171,10 @@ object Scripts {
       s"""load parquet.`$dir/documents.parquet` as documents;
          |run documents as LangId.`` as lp;
          |select lang_pred, count(*) as n from lp
-         |  group by lang_pred order by lang_pred as s13_out;""".stripMargin), {
-      val scores = graft.operators.text.TextAnalysis.profiles.map { case (lang, ws) =>
-        val set = ws.map(w => s"'$w'").mkString(", ")
-        s"CAST(LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w IN ($set))) AS INT) AS s_$lang"
-      }.mkString(",\n ")
-      val langs = graft.operators.text.TextAnalysis.profiles.map(_._1)
-      val m = langs.map(l => s"s_$l").mkString("GREATEST(", ", ", ")")
-      val cases = langs.map(l => s"WHEN s_$l = m AND m > 0 THEN '$l'").mkString(" ")
+         |  group by lang_pred order by lang_pred as s13_out;""".stripMargin),
       s"""SELECT lang_pred, COUNT(*) AS n FROM (
-         |SELECT CASE $cases ELSE 'unknown' END AS lang_pred
-         |FROM (SELECT $m AS m, t.* FROM (SELECT
-         | $scores
-         |FROM documents) t))
-         |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
-    }),
+         |${graft.operators.text.TextAnalysis.duckdbLangPredSubquery(Nil)})
+         |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin),
 
     // ---- RateSampler: rows-only (random assignment has no SQL oracle) ----
     QuerySpec.noOracle("s9_script_split", (s, dir) => script(s,

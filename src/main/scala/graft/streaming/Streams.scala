@@ -134,8 +134,9 @@ object StreamSinks {
           throw new IllegalArgumentException("upsertParquet requires idCols=\"k1[,k2]\""))
           .split(",").map(_.trim).toSeq
         val target = ctx.resolvePath(path)
+        val orderCol = opts.get("orderCol")
         w2.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          UpsertParquet.merge(batch, target, idCols)
+          UpsertParquet.merge(batch, target, idCols, orderCol)
         }.start()
       case f if Set("parquet", "csv", "json", "text", "orc").contains(f) =>
         w2.start(ctx.resolvePath(path))
@@ -148,15 +149,24 @@ object StreamSinks {
 
 /** Keyed parquet upsert used by the `upsertParquet` streaming sink. */
 object UpsertParquet {
+  /** Within-batch winner per key: by `orderCol` descending when given
+    * (e.g. a binlog offset / event timestamp — the reliable CDC ordering);
+    * without it, falls back to monotonically_increasing_id, which orders
+    * by Spark partition index — fine for single-partition test batches,
+    * NOT a cross-partition arrival order. Always set orderCol in real CDC.
+    */
   def merge(batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-            target: String, idCols: Seq[String]): Unit = {
+            target: String, idCols: Seq[String],
+            orderCol: Option[String] = None): Unit = {
     import org.apache.spark.sql.functions._
     val spark = batch.sparkSession
-    val deduped = batch // newest row per key within the batch
-      .withColumn("__rn__", monotonically_increasing_id())
-      .withColumn("__max__", max(col("__rn__")).over(
+    val ord = orderCol.map(col).getOrElse(monotonically_increasing_id())
+    val deduped = batch
+      .withColumn("__ord__", ord)
+      .withColumn("__max__", max(col("__ord__")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(idCols.map(col): _*)))
-      .filter(col("__rn__") === col("__max__")).drop("__rn__", "__max__")
+      .filter(col("__ord__") === col("__max__")).drop("__ord__", "__max__")
+      .dropDuplicates(idCols)
     val exists = try {
       spark.read.parquet(target).limit(1).count(); true
     } catch { case _: Throwable => false }

@@ -150,6 +150,25 @@ class ScriptRunnerSpec extends AnyFunSuite {
     assert(df.head().getLong(0) == 5)
   }
 
+  test("include file without trailing semicolon does not fuse statements") {
+    val f = Files.createTempFile("graft_inc2", ".mlsql")
+    Files.writeString(f, s"load parquet.`$sf/region.parquet` as inc_r2") // no ';'
+    val df = runDF(
+      s"""include local.`$f`;
+         |select count(*) as c from inc_r2 as out;""".stripMargin)
+    assert(df.head().getLong(0) == 5)
+  }
+
+  test("register ScriptUDF from a code table works under a pathPrefix") {
+    val df = ScriptRunner.runToDF(
+      """set c = '''def apply(x: Int): Int = x + 7''';
+        |load script.`c` as code_t;
+        |register ScriptUDF.`code_t` as plus7;
+        |select plus7(1) as r as out;""".stripMargin,
+      spark, pathPrefix = "/some/prefix")
+    assert(df.head().getInt(0) == 8)
+  }
+
   test("!if/!else/!fi executes only the taken branch") {
     val df = runDF(
       """!if ''' 1 = 1 ''';

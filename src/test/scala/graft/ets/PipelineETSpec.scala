@@ -65,6 +65,12 @@ class PipelineETSpec extends AnyFunSuite {
     assert(banded == exact)
   }
 
+  test("lshParams at threshold 1.0 yields at least one band (exact-dup search)") {
+    import graft.operators.similarity.CosineSimilarity
+    val (r, bands) = CosineSimilarity.lshParams(1.0, 1e-5, 4)
+    assert(bands >= 1)
+  }
+
   test("lsh degeneration guard estimates high candidate fraction on correlated data") {
     import graft.operators.similarity.CosineSimilarity
     val planes = Array.fill(240)(Array.fill(8)(new scala.util.Random(1).nextGaussian()))
