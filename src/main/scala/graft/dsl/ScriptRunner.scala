@@ -348,6 +348,7 @@ object CommandMacros {
     "repartition" -> "run {1} as TableRepartition.`` where partitionNum=\"{0}\" as {1}",
     "streamJobs" -> "run command as StreamCommand.`list`",
     "schemaInfer" -> "run {0} as SchemaInferCommand.`` where parameters='''{:all}'''",
+    "explain" -> "run command as ExplainCommand.`{}`",
     "killStream" -> "run command as StreamCommand.`kill` where parameters='''{:all}'''"
   )
 

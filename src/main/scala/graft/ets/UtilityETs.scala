@@ -14,7 +14,7 @@ object UtilityETs {
   def all: Seq[ET] = Seq(PivotET, TableRepartitionET, RateSamplerET, CacheExtET,
     ShowCommandET, SchemaCommandET, PrintCommandET, HDFSCommandET,
     WaterMarkInPlaceET, RunScriptET, TableToMapET, MapValuesET,
-    DicOrTableToArrayET, SchemaInferCommandET)
+    DicOrTableToArrayET, SchemaInferCommandET, ExplainCommandET)
 
   private[ets] def oneRowTable(spark: SparkSession, cols: (String, String)*): DataFrame = {
     val schema = StructType(cols.map(c => StructField(c._1, StringType)))
@@ -145,6 +145,22 @@ object SchemaCommandET extends ET {
   override def train(ctx: ScriptContext, df: DataFrame, path: String,
                      params: Map[String, String]): DataFrame =
     ctx.spark.sql(s"describe table ${if (path.nonEmpty) path else params("table")}")
+}
+
+/** `!explain t` — the table's formatted physical plan as a one-row table
+  * (engine-native debugging surface for the plan-audit workflow BenchSpec
+  * automates; no direct reference analog — the reference relies on the
+  * Spark UI).
+  */
+object ExplainCommandET extends ET {
+  override def name = "ExplainCommand"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    val target = ctx.spark.table(if (path.nonEmpty) path else params("table"))
+    UtilityETs.oneRowTable(ctx.spark,
+      "plan" -> target.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+  }
 }
 
 /** `!println '''msg'''` (reference: tech/mlsql/ets/PrintCommand.scala). */

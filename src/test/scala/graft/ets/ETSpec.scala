@@ -134,6 +134,16 @@ class ETSpec extends AnyFunSuite {
     assert(ctx.env("mySchema").contains("b STRING"))
   }
 
+  test("!explain returns the formatted physical plan") {
+    val df = runDF(
+      s"""load parquet.`$sf/lineitem.parquet` as l_ex;
+         |select l_orderkey from l_ex where l_linenumber = 1 as l_f;
+         |!explain l_f;""".stripMargin)
+    val plan = df.head().getString(0)
+    assert(plan.contains("Physical Plan"))
+    assert(plan.contains("PushedFilters"))
+  }
+
   test("!split macro stratifies via RateSampler") {
     val df = runDF(
       s"""load parquet.`$sf/orders.parquet` as o_sp;
