@@ -494,6 +494,38 @@ object Rel {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY r_name ORDER BY r_name""".stripMargin)
+        |GROUP BY r_name ORDER BY r_name""".stripMargin),
+
+    // ---- generators / lateral views: per-row explode with ordinality.
+    //      Generator output stays inside whole-stage codegen; no shuffle
+    //      until the final sort. ----
+    QuerySpec.sql("q31_explode_lateral", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .filter($"doc_id" < 20)
+        .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "word")))
+        .filter($"pos" < 5)
+        .orderBy($"doc_id", $"pos")
+    },
+      """SELECT doc_id, CAST(u.pos AS INT) AS pos, u.word AS word FROM (
+        | SELECT doc_id,
+        |  UNNEST([{'pos': i - 1, 'word': w[i]} FOR i IN RANGE(1, LEAST(LEN(w), 5) + 1)]) AS u
+        | FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents WHERE doc_id < 20))
+        |ORDER BY doc_id, pos""".stripMargin),
+
+    // ---- struct construction and field access ----
+    QuerySpec.sql("q32_struct_ops", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "nation")
+        .select(struct($"n_nationkey".as("k"), $"n_name".as("nm")).as("st"), $"n_regionkey")
+        .select($"st.k".as("key"), upper($"st.nm").as("uname"), $"n_regionkey")
+        .filter($"key" % 3 === 0)
+        .orderBy($"key")
+    },
+      """SELECT k AS key, UPPER(nm) AS uname, n_regionkey FROM (
+        | SELECT {'k': n_nationkey, 'nm': n_name} AS st, n_regionkey,
+        |        n_nationkey AS k, n_name AS nm
+        | FROM nation)
+        |WHERE k % 3 = 0 ORDER BY key""".stripMargin)
   )
 }
