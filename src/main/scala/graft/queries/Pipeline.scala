@@ -307,6 +307,35 @@ object Pipeline {
         .orderBy($"a_id", $"b_id")
     }),
 
+    // ---- multimodal binary metadata: binaryFile ingestion + magic-byte
+    //      sniffing + content hash over a DETERMINISTIC generated fixture
+    //      (testdata ships no binary tables); oracle = literal expectations
+    //      for the same bytes. Width/height are the clearly-marked decode
+    //      STUB and excluded from the oracle. ----
+    QuerySpec.sql("p17_multimodal_meta", (s, dir) => {
+      import s.implicits._
+      val fixDir = java.nio.file.Paths.get("/tmp/graft_mm_fixture")
+      java.nio.file.Files.createDirectories(fixDir)
+      def put(name: String, bytes: Array[Byte]): Unit =
+        java.nio.file.Files.write(fixDir.resolve(name), bytes)
+      put("a.png", Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10) ++ Array.fill[Byte](64)(7))
+      put("b.jpg", Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte) ++ Array.fill[Byte](64)(9))
+      put("c.wav", "RIFF0000WAVE".getBytes ++ Array.fill[Byte](64)(1))
+      graft.operators.multimodal.Multimodal.register(s)
+      graft.operators.multimodal.Multimodal
+        .withImageMeta(s.read.format("binaryFile").load(fixDir.toString))
+        .select(element_at(split($"path", "/"), -1).as("name"),
+          $"media_meta.format".as("fmt"),
+          $"media_meta.size_bytes".as("sz"),
+          $"media_meta.content_hash".as("h"))
+        .orderBy($"name")
+    },
+      """SELECT * FROM (VALUES
+        | ('a.png', 'png', CAST(72 AS BIGINT), '6cae86d96a48130075a85d047d8d5378'),
+        | ('b.jpg', 'jpeg', CAST(68 AS BIGINT), '6f0669c9414c0e597f229522a57a75f6'),
+        | ('c.wav', 'wav', CAST(76 AS BIGINT), '1231b6e92d2f5d9c0fa3837a215540b0'))
+        | t(name, fmt, sz, h) ORDER BY name""".stripMargin),
+
     // ---- SimHash near-dup: 64-bit signature per doc, 16-bit chunk
     //      banding (pigeonhole-complete for hamming ≤ 3). Spark-side
     //      xxhash64 has no DuckDB equivalent, so this is a rows-level
