@@ -526,6 +526,37 @@ object Rel {
         | SELECT {'k': n_nationkey, 'nm': n_name} AS st, n_regionkey,
         |        n_nationkey AS k, n_name AS nm
         | FROM nation)
-        |WHERE k % 3 = 0 ORDER BY key""".stripMargin)
+        |WHERE k % 3 = 0 ORDER BY key""".stripMargin),
+
+    // ---- as-of join (no native Spark operator): each click event joined
+    //      to the user's latest purchase at-or-before it, via
+    //      graft.operators.temporal.AsOfJoin (union + ordered window; one
+    //      shuffle, no per-key cartesian). Oracle: DuckDB's native
+    //      ASOF JOIN. Right side pre-aggregated to one row per
+    //      (user, ts) so the pick is deterministic in both engines. ----
+    QuerySpec.sql("q33_asof_join", (s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id", $"user_id", $"ts")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .groupBy($"user_id", $"ts")
+        .agg(round(max($"value"), 4).as("purchase_value"))
+      graft.operators.temporal.AsOfJoin
+        .join(clicks, purchases, Seq("user_id"), "ts", "ts",
+          Seq("ts", "purchase_value"))
+        .select($"event_id", $"user_id",
+          $"asof_ts".as("purchase_ts"), $"asof_purchase_value".as("purchase_value"))
+        .orderBy($"event_id")
+    },
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+        |  MAKE_TIMESTAMP(EPOCH_NS(ts) // 1000) AS t FROM events),
+        |clicks AS (SELECT event_id, user_id, t FROM e WHERE event_type = 'click'),
+        |purchases AS (SELECT user_id, t, ROUND(MAX(value), 4) AS purchase_value
+        |  FROM e WHERE event_type = 'purchase' GROUP BY user_id, t)
+        |SELECT c.event_id, c.user_id, p.t AS purchase_ts, p.purchase_value
+        |FROM clicks c ASOF JOIN purchases p
+        |  ON c.user_id = p.user_id AND c.t >= p.t
+        |ORDER BY c.event_id""".stripMargin)
   )
 }

@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.operators.temporal.AsOfJoin
+
+class AsOfJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("as-of join picks the latest right row at or before each left row") {
+    import spark.implicits._
+    val left = Seq((1L, "u", 10L), (2L, "u", 20L), (3L, "u", 5L), (4L, "v", 10L))
+      .toDF("id", "k", "t")
+    val right = Seq(("u", 8L, "r8"), ("u", 15L, "r15"), ("v", 20L, "r20"))
+      .toDF("k", "t", "payload")
+    val out = AsOfJoin.join(left, right, Seq("k"), "t", "t", Seq("payload"))
+      .select("id", "asof_payload").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "r8", 2L -> "r15")) // id 3: no right <= 5; id 4: none <= 10
+  }
+
+  test("right row at exactly the left timestamp matches (inclusive)") {
+    import spark.implicits._
+    val left = Seq((1L, "u", 10L)).toDF("id", "k", "t")
+    val right = Seq(("u", 10L, "exact")).toDF("k", "t", "payload")
+    val out = AsOfJoin.join(left, right, Seq("k"), "t", "t", Seq("payload")).collect()
+    assert(out.length == 1 && out.head.getString(3) == "exact")
+  }
+
+  test("plan shape: one shuffle on the key, no cartesian/theta join") {
+    import spark.implicits._
+    val left = Seq((1L, "u", 10L)).toDF("id", "k", "t")
+    val right = Seq(("u", 8L, "p")).toDF("k", "t", "payload")
+    val plan = AsOfJoin.join(left, right, Seq("k"), "t", "t", Seq("payload"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("Window"), plan)
+  }
+}
