@@ -557,6 +557,35 @@ object Rel {
         |SELECT c.event_id, c.user_id, p.t AS purchase_ts, p.purchase_value
         |FROM clicks c ASOF JOIN purchases p
         |  ON c.user_id = p.user_id AND c.t >= p.t
-        |ORDER BY c.event_id""".stripMargin)
+        |ORDER BY c.event_id""".stripMargin),
+
+    // ---- range (interval) join via bin optimization: overlapping price
+    //      bands built from nation keys joined to order totals. The bare
+    //      BETWEEN theta-join would plan as BroadcastNestedLoopJoin;
+    //      RangeJoin bins both sides and equi-joins (plan-audited in
+    //      AsOfJoinSpec/BenchSpec family). Oracle: plain BETWEEN. ----
+    QuerySpec.sql("q34_range_join", (s, dir) => {
+      import s.implicits._
+      val bands = t(s, dir, "nation")
+        .filter($"n_nationkey" < 10)
+        .select($"n_nationkey".as("band_id"),
+          ($"n_nationkey" * 40000.0).as("lo"),
+          ($"n_nationkey" * 40000.0 + 60000.0).as("hi"))
+      val pts = t(s, dir, "orders").select($"o_orderkey", $"o_totalprice")
+      graft.operators.temporal.RangeJoin
+        .join(pts, "o_totalprice", bands, "lo", "hi", binWidth = 20000.0)
+        .groupBy($"band_id")
+        .agg(count(lit(1)).as("n_orders"),
+          sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("sum_price"))
+        .orderBy($"band_id")
+    },
+      """WITH bands AS (
+        | SELECT n_nationkey AS band_id, n_nationkey * 40000.0 AS lo,
+        |        n_nationkey * 40000.0 + 60000.0 AS hi
+        | FROM nation WHERE n_nationkey < 10)
+        |SELECT band_id, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN bands ON o_totalprice BETWEEN lo AND hi
+        |GROUP BY band_id ORDER BY band_id""".stripMargin)
   )
 }

@@ -27,6 +27,24 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out.length == 1 && out.head.getString(3) == "exact")
   }
 
+  test("range join matches the BETWEEN predicate and avoids nested loops") {
+    import spark.implicits._
+    import graft.operators.temporal.RangeJoin
+    val pts = Seq((1L, 5.0), (2L, 15.0), (3L, 25.0), (4L, 45.0)).toDF("id", "p")
+    val ivs = Seq(("a", 0.0, 10.0), ("b", 10.0, 30.0), ("c", 20.0, 50.0)).toDF("iv", "lo", "hi")
+    val out = RangeJoin.join(pts, "p", ivs, "lo", "hi", binWidth = 10.0)
+    val got = out.select("id", "iv").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // brute-force expectation
+    val want = (for {
+      (id, p) <- Seq((1L, 5.0), (2L, 15.0), (3L, 25.0), (4L, 45.0))
+      (iv, lo, hi) <- Seq(("a", 0.0, 10.0), ("b", 10.0, 30.0), ("c", 20.0, 50.0))
+      if p >= lo && p <= hi
+    } yield (id, iv)).toSet
+    assert(got == want)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("plan shape: one shuffle on the key, no cartesian/theta join") {
     import spark.implicits._
     val left = Seq((1L, "u", 10L)).toDF("id", "k", "t")
