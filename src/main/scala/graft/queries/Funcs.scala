@@ -274,6 +274,28 @@ object Funcs {
         | EPOCH_MS(STRPTIME('2020-01-0' || CAST(r_regionkey + 1 AS VARCHAR), '%Y-%m-%d')) AS ms,
         | EPOCH_MS(STRPTIME('2020-01-01', '%Y-%m-%d')) + r_regionkey * 3600000 AS plus_ms,
         | STRFTIME(TO_TIMESTAMP(r_regionkey * 86400), '%Y-%m-%d') AS d
-        |FROM region ORDER BY r_regionkey""".stripMargin)
+        |FROM region ORDER BY r_regionkey""".stripMargin),
+
+    // ---- exact percentiles (continuous interpolation — Spark
+    //      `percentile` == DuckDB `quantile_cont`). The approx_percentile
+    //      sketch path exists but is engine-specific, so the gate pins the
+    //      exact variant. ----
+    QuerySpec.sql("f15_percentiles", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+          round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
+          round(expr("percentile(l_extendedprice, 0.25)"), 2).as("p25_price"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 2).as("p99_price"))
+        .orderBy($"l_returnflag")
+    },
+      """SELECT l_returnflag,
+        | ROUND(QUANTILE_CONT(l_quantity, 0.5), 4) AS p50_qty,
+        | ROUND(QUANTILE_CONT(l_quantity, 0.9), 4) AS p90_qty,
+        | ROUND(QUANTILE_CONT(l_extendedprice, 0.25), 2) AS p25_price,
+        | ROUND(QUANTILE_CONT(l_extendedprice, 0.99), 2) AS p99_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   )
 }

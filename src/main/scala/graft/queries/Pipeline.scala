@@ -307,6 +307,52 @@ object Pipeline {
         .orderBy($"a_id", $"b_id")
     }),
 
+    // ---- int8 scalar quantization of embeddings (the 4× storage cut a
+    //      100 TB embedding corpus needs): per-vector symmetric scale,
+    //      q = round(x * 127 / max_abs); reports reconstruction error.
+    //      Pure per-row HOF arithmetic, mirrored exactly in DuckDB. ----
+    QuerySpec.sql("p18_embed_quantize", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "embeddings")
+        .filter($"vec_id" < 200)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        .withColumn("max_abs", expr("aggregate(v, 0d, (m, x) -> greatest(m, abs(x)))"))
+        .withColumn("q", expr("transform(v, x -> cast(round(x * 127.0 / max_abs) as int))"))
+        .withColumn("recon_err", expr(
+          "round(aggregate(zip_with(v, q, (x, qi) -> abs(x - qi * max_abs / 127.0)), 0d, (a, e) -> a + e) / size(v), 8)"))
+        .select($"vec_id", round($"max_abs", 6).as("max_abs"),
+          element_at($"q", 1).as("q0"), element_at($"q", 2).as("q1"), $"recon_err")
+        .orderBy($"vec_id")
+    },
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 200),
+        |scaled AS (SELECT vec_id, v,
+        |  (SELECT MAX(ABS(x)) FROM UNNEST(v) AS t(x)) AS max_abs FROM e),
+        |quant AS (SELECT vec_id, v, max_abs,
+        |  [CAST(ROUND(x * 127.0 / max_abs) AS INT) FOR x IN v] AS q FROM scaled)
+        |SELECT vec_id, ROUND(max_abs, 6) AS max_abs, q[1] AS q0, q[2] AS q1,
+        | ROUND(LIST_SUM([ABS(v[i] - q[i] * max_abs / 127.0) FOR i IN RANGE(1, LEN(v) + 1)]) / LEN(v), 8) AS recon_err
+        |FROM quant ORDER BY vec_id""".stripMargin),
+
+    // ---- corpus-level term statistics: document frequency of the top
+    //      terms (explode + two aggregations; term key shuffle is
+    //      df-capped by nature of top-k). ----
+    QuerySpec.sql("p19_term_stats", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", explode(array_distinct(split(lower($"text"), " "))).as("term"))
+        .filter(length($"term") >= 3)
+        .groupBy($"term")
+        .agg(countDistinct($"doc_id").as("doc_freq"))
+        .orderBy($"doc_freq".desc, $"term")
+        .limit(20)
+    },
+      """SELECT term, COUNT(DISTINCT doc_id) AS doc_freq FROM (
+        | SELECT doc_id, UNNEST(LIST_DISTINCT(STRING_SPLIT(LOWER(text), ' '))) AS term
+        | FROM documents)
+        |WHERE LEN(term) >= 3
+        |GROUP BY term ORDER BY doc_freq DESC, term LIMIT 20""".stripMargin),
+
     // ---- multimodal binary metadata: binaryFile ingestion + magic-byte
     //      sniffing + content hash over a DETERMINISTIC generated fixture
     //      (testdata ships no binary tables); oracle = literal expectations

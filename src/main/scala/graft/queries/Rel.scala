@@ -586,6 +586,43 @@ object Rel {
         |SELECT band_id, COUNT(*) AS n_orders,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders JOIN bands ON o_totalprice BETWEEN lo AND hi
-        |GROUP BY band_id ORDER BY band_id""".stripMargin)
+        |GROUP BY band_id ORDER BY band_id""".stripMargin),
+
+    // ---- batch sessionization: gap-based session ids via lag + running
+    //      sum (the standard two-window formulation; one shuffle on the
+    //      user key, both windows share the partitioning). ----
+    QuerySpec.sql("q35_sessionize", (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      t(s, dir, "events")
+        .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+        .withColumn("new_session",
+          ($"prev_ts".isNull ||
+            unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 1800).cast("int"))
+        .withColumn("session_id", sum($"new_session").over(
+          Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"session_id")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct($"event_type").as("n_types"))
+        .groupBy($"user_id")
+        .agg(max($"session_id").cast("long").as("n_sessions"),
+          max($"n_events").as("max_session_events"),
+          max($"n_types").as("max_session_types"))
+        .orderBy($"user_id")
+    },
+      """WITH t AS (SELECT user_id, event_id, event_type,
+        |  MAKE_TIMESTAMP(EPOCH_NS(ts) // 1000) AS ts FROM events),
+        |lagged AS (SELECT *, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM t),
+        |flagged AS (SELECT *, CASE WHEN prev_ts IS NULL
+        |    OR EPOCH(ts) - EPOCH(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_session FROM lagged),
+        |sess AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS session_id FROM flagged),
+        |per_session AS (SELECT user_id, session_id, COUNT(*) AS n_events,
+        |    COUNT(DISTINCT event_type) AS n_types FROM sess GROUP BY user_id, session_id)
+        |SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+        |  MAX(n_events) AS max_session_events, MAX(n_types) AS max_session_types
+        |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin)
   )
 }
