@@ -51,6 +51,9 @@ object VecExpressions {
     ext.injectFunction((FunctionIdentifier("winnow_fingerprints"),
       info("winnow_fingerprints", "winnow_fingerprints(text, k, w) - winnowing document fingerprints"),
       (cs: Seq[Expression]) => WinnowFingerprints(cs(0), cs(1), cs(2))))
+    ext.injectFunction((FunctionIdentifier("word_shingles"),
+      info("word_shingles", "word_shingles(text, n) - distinct word n-gram shingles"),
+      (cs: Seq[Expression]) => WordShingles(cs(0), cs(1))))
   }
 
   /** Callers cast inputs to array<double> explicitly; reject anything else
@@ -244,6 +247,58 @@ case class MinHashSig(left: Expression, right: Expression)
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): MinHashSig =
+    copy(left = l, right = r)
+}
+
+/** Distinct word n-gram shingles of a space-separated text, in one native
+  * pass (split + sliding-window join + HashSet dedupe). Semantics match
+  * `array_distinct(transform(sequence(0, size(w)-n), i -> concat_ws(' ',
+  * w[i], ...)))` over `split(text, ' ')` — including empty tokens from
+  * consecutive spaces — but without materializing the token array or
+  * running 2 interpreted lambdas per shingle (the shingling step is shared
+  * by every text-dedup operator, so it is the corpus-wide hot loop).
+  * Output preserves first-occurrence order, like array_distinct.
+  */
+case class WordShingles(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback with Serializable {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (StringType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"word_shingles requires (string, int), got ($l, $r)")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override protected def nullSafeEval(textAny: Any, nAny: Any): Any = {
+    val s = textAny.asInstanceOf[UTF8String].toString
+    val n = nAny.asInstanceOf[Int]
+    val words = s.split(" ", -1) // keep empty tokens: matches split(text, ' ')
+    if (words.length < n)
+      return org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array.empty[AnyRef])
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    val last = words.length - n
+    val sb = new java.lang.StringBuilder
+    while (i <= last) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[AnyRef](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): WordShingles =
     copy(left = l, right = r)
 }
 

@@ -22,15 +22,14 @@ import org.apache.spark.sql.functions._
   */
 object TextDedup {
 
-  /** Distinct word n-gram shingles per document (per-row, no shuffle). */
-  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val words = split(col(textCol), " ")
-    val joined = (0 until n).map(i => s"w[i+$i]").mkString("concat_ws(' ', ", ", ", ")")
-    df.select(col(idCol).as("doc_id"), words.as("w"))
-      .filter(size(col("w")) >= n)
-      .select(col("doc_id"), expr(
-        s"array_distinct(transform(sequence(0, size(w) - $n), i -> $joined))").as("shingles"))
-  }
+  /** Distinct word n-gram shingles per document (per-row, no shuffle;
+    * native single-pass [[graft.functions.WordShingles]] expression —
+    * this is the corpus-wide hot loop every text-dedup operator shares).
+    */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        expr(s"word_shingles($textCol, $n)").as("shingles"))
+      .filter(size(col("shingles")) >= 1)
 
   /** Ordered in-list pair generation + co-occurrence count shared by the
     * posting-list joins: `ds` must be a SORTED id array per row.
