@@ -353,6 +353,46 @@ object Pipeline {
         |WHERE LEN(term) >= 3
         |GROUP BY term ORDER BY doc_freq DESC, term LIMIT 20""".stripMargin),
 
+    // ---- corpus TF-IDF: classic smoothed idf over exploded terms; two
+    //      aggregations sharing the term-key shuffle. Top terms per doc
+    //      for a deterministic slice of the corpus. ----
+    QuerySpec.sql("p20_tfidf", (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val nDocs = docs.count()
+      val terms = docs.filter($"doc_id" < 50)
+        .select($"doc_id", explode(split(lower($"text"), " ")).as("term"))
+        .filter(length($"term") >= 3)
+      val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val df_ = docs
+        .select($"doc_id", explode(array_distinct(split(lower($"text"), " "))).as("term"))
+        .filter(length($"term") >= 3)
+        .groupBy($"term").agg(countDistinct($"doc_id").as("df"))
+      tf.join(df_, "term")
+        .withColumn("tfidf", round($"tf" * log((lit(nDocs) + 1.0) / ($"df" + 1.0)), 6))
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
+            .orderBy($"tfidf".desc, $"term")))
+        .filter($"rnk" <= 3)
+        .select($"doc_id", $"rnk", $"term", $"tfidf")
+        .orderBy($"doc_id", $"rnk")
+    },
+      """WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |terms AS (SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS term
+        |  FROM documents WHERE doc_id < 50),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms
+        |  WHERE LEN(term) >= 3 GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM (
+        |  SELECT doc_id, UNNEST(LIST_DISTINCT(STRING_SPLIT(LOWER(text), ' '))) AS term
+        |  FROM documents) WHERE LEN(term) >= 3 GROUP BY term),
+        |scored AS (SELECT tf.doc_id, tf.term,
+        |  ROUND(tf.tf * LN((n.n_docs + 1.0) / (dfreq.df + 1.0)), 6) AS tfidf
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |  ORDER BY tfidf DESC, term) AS rnk FROM scored)
+        |SELECT doc_id, rnk, term, tfidf FROM ranked WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin),
+
     // ---- multimodal binary metadata: binaryFile ingestion + magic-byte
     //      sniffing + content hash over a DETERMINISTIC generated fixture
     //      (testdata ships no binary tables); oracle = literal expectations

@@ -16,6 +16,13 @@ class BenchSpec extends AnyFunSuite {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  test("driver contract: entry() returns rows and every query has an entry") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    assert(SparkEntry.queries.nonEmpty)
+    // every oracle key corresponds to a runnable query
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
   test("q2 filter + projection push into the parquet scan") {
     val p = plan("q2_filter_project")
     assert(p.contains("PushedFilters: ["), p)
