@@ -129,11 +129,31 @@ final class HiveSource extends GraftSource {
   override def shortName = "hive"
   override def load(ctx: ScriptContext, path: String, opts: Map[String, String]): DataFrame =
     ctx.spark.table(path)
+
+  /** `bucketBy="col[,col]"` + `numBuckets="N"` [+ `sortBy`] write a
+    * BUCKETED table — repeated joins/aggregations on the bucket key then
+    * read co-located data with NO shuffle (the 100 TB answer to hot join
+    * keys that are known ahead of time; see ScaleSpec's plan audit).
+    */
   override def save(ctx: ScriptContext, df: DataFrame, mode: SaveMode, path: String,
                     opts: Map[String, String], partitionBy: Seq[String]): Unit = {
-    val w0 = df.write.mode(mode).options(opts)
-    val w = if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0
-    w.saveAsTable(path)
+    val passthrough = opts - "bucketBy" - "numBuckets" - "sortBy"
+    val w0 = df.write.mode(mode).options(passthrough)
+    val w1 = if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0
+    val w2 = opts.get("bucketBy") match {
+      case Some(cols) =>
+        val bucketCols = cols.split(",").map(_.trim)
+        val n = opts.getOrElse("numBuckets", "8").toInt
+        val b = w1.bucketBy(n, bucketCols.head, bucketCols.tail: _*)
+        opts.get("sortBy") match {
+          case Some(sc) =>
+            val sortCols = sc.split(",").map(_.trim)
+            b.sortBy(sortCols.head, sortCols.tail: _*)
+          case None => b
+        }
+      case None => w1
+    }
+    w2.saveAsTable(path)
   }
 }
 
