@@ -26,10 +26,12 @@ object TextDedup {
     * native single-pass [[graft.functions.WordShingles]] expression —
     * this is the corpus-wide hot loop every text-dedup operator shares).
     */
-  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val quoted = "`" + textCol.replace("`", "``") + "`"
     df.select(col(idCol).as("doc_id"),
-        expr(s"word_shingles($textCol, $n)").as("shingles"))
+        expr(s"word_shingles($quoted, $n)").as("shingles"))
       .filter(size(col("shingles")) >= 1)
+  }
 
   /** Ordered in-list pair generation + co-occurrence count shared by the
     * posting-list joins: `ds` must be a SORTED id array per row.
@@ -113,8 +115,9 @@ object TextDedup {
   def winnowSelfJoin(df: DataFrame, idCol: String, textCol: String,
                      k: Int = 8, w: Int = 4, minShared: Int = 2,
                      maxDocFreq: Int = 500): DataFrame = {
+    val quoted = "`" + textCol.replace("`", "``") + "`"
     val fps = df.select(col(idCol).as("doc_id"),
-      expr(s"winnow_fingerprints($textCol, $k, $w)").as("fps"))
+      expr(s"winnow_fingerprints($quoted, $k, $w)").as("fps"))
     val inv = fps.select(col("doc_id"), explode(col("fps")).as("fp"))
     val postings = inv.groupBy(col("fp"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))

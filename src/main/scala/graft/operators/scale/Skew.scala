@@ -20,6 +20,11 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, keyCols: Seq[String],
                  saltFactor: Int, joinType: String = "inner"): DataFrame = {
     require(saltFactor >= 1, "saltFactor must be >= 1")
+    val allowed = Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti", "cross")
+    require(allowed.contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin supports inner/left join types only, got '$joinType' — " +
+        "right/full outer would emit unmatched small-side rows once PER SALT")
     val saltedBig = big.withColumn("__salt__",
       (rand(42) * saltFactor).cast("int"))
     val saltedSmall = small.withColumn("__salt__",

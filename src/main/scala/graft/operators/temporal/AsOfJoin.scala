@@ -31,11 +31,14 @@ object AsOfJoin {
            leftTime: String, rightTime: String,
            rightPayload: Seq[String]): DataFrame = {
     val keyExprs = keyCols.map(col)
-    val l = left
+    // equality-join semantics: NULL keys never match (the window grouping
+    // would otherwise pair null-key rows with each other)
+    val notNull = keyExprs.map(_.isNotNull).reduce(_ && _)
+    val l = left.filter(notNull)
       .select(keyExprs :+ col(leftTime).as("__t__") :+
         struct(left.columns.map(col).toSeq: _*).as("__lp__"): _*)
       .withColumn("__side__", lit(1))
-    val r = right
+    val r = right.filter(notNull)
       .select(keyExprs :+ col(rightTime).as("__t__") :+
         struct(rightPayload.map(col): _*).as("__rp__"): _*)
       .withColumn("__side__", lit(0))

@@ -316,7 +316,8 @@ object Pipeline {
       t(s, dir, "embeddings")
         .filter($"vec_id" < 200)
         .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-        .withColumn("max_abs", expr("aggregate(v, 0d, (m, x) -> greatest(m, abs(x)))"))
+        .withColumn("max_abs", expr(
+          "greatest(aggregate(v, 0d, (m, x) -> greatest(m, abs(x))), 1e-12d)"))
         .withColumn("q", expr("transform(v, x -> cast(round(x * 127.0 / max_abs) as int))"))
         .withColumn("recon_err", expr(
           "round(aggregate(zip_with(v, q, (x, qi) -> abs(x - qi * max_abs / 127.0)), 0d, (a, e) -> a + e) / size(v), 8)"))
@@ -327,7 +328,7 @@ object Pipeline {
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings WHERE vec_id < 200),
         |scaled AS (SELECT vec_id, v,
-        |  (SELECT MAX(ABS(x)) FROM UNNEST(v) AS t(x)) AS max_abs FROM e),
+        |  GREATEST((SELECT MAX(ABS(x)) FROM UNNEST(v) AS t(x)), 1e-12) AS max_abs FROM e),
         |quant AS (SELECT vec_id, v, max_abs,
         |  [CAST(ROUND(x * 127.0 / max_abs) AS INT) FOR x IN v] AS q FROM scaled)
         |SELECT vec_id, ROUND(max_abs, 6) AS max_abs, q[1] AS q0, q[2] AS q1,
@@ -359,7 +360,7 @@ object Pipeline {
     QuerySpec.sql("p20_tfidf", (s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
-      val nDocs = docs.count()
+      val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
       val terms = docs.filter($"doc_id" < 50)
         .select($"doc_id", explode(split(lower($"text"), " ")).as("term"))
         .filter(length($"term") >= 3)
@@ -369,7 +370,8 @@ object Pipeline {
         .filter(length($"term") >= 3)
         .groupBy($"term").agg(countDistinct($"doc_id").as("df"))
       tf.join(df_, "term")
-        .withColumn("tfidf", round($"tf" * log((lit(nDocs) + 1.0) / ($"df" + 1.0)), 6))
+        .crossJoin(nDocs)
+        .withColumn("tfidf", round($"tf" * log(($"n_docs" + 1.0) / ($"df" + 1.0)), 6))
         .withColumn("rnk", row_number().over(
           org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
             .orderBy($"tfidf".desc, $"term")))
@@ -401,6 +403,10 @@ object Pipeline {
     QuerySpec.sql("p17_multimodal_meta", (s, dir) => {
       import s.implicits._
       val fixDir = java.nio.file.Paths.get("/tmp/graft_mm_fixture")
+      // reset: binaryFile reads EVERY file in the dir, so stale leftovers
+      // from older fixture versions would change the row count
+      if (java.nio.file.Files.exists(fixDir))
+        org.apache.commons.io.FileUtils.deleteDirectory(fixDir.toFile)
       java.nio.file.Files.createDirectories(fixDir)
       def put(name: String, bytes: Array[Byte]): Unit =
         java.nio.file.Files.write(fixDir.resolve(name), bytes)

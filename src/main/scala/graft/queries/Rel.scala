@@ -599,10 +599,9 @@ object Rel {
         .withColumn("prev_ts", lag($"ts", 1).over(byUser))
         .withColumn("new_session",
           ($"prev_ts".isNull ||
-            unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 1800).cast("int"))
+            unix_micros($"ts") - unix_micros($"prev_ts") > 1800L * 1000000).cast("int"))
         .withColumn("session_id", sum($"new_session").over(
-          Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .groupBy($"user_id", $"session_id")
         .agg(count(lit(1)).as("n_events"),
           countDistinct($"event_type").as("n_types"))
@@ -616,7 +615,7 @@ object Rel {
         |  MAKE_TIMESTAMP(EPOCH_NS(ts) // 1000) AS ts FROM events),
         |lagged AS (SELECT *, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM t),
         |flagged AS (SELECT *, CASE WHEN prev_ts IS NULL
-        |    OR EPOCH(ts) - EPOCH(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_session FROM lagged),
+        |    OR EPOCH_US(ts) - EPOCH_US(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_session FROM lagged),
         |sess AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS UNBOUNDED PRECEDING) AS session_id FROM flagged),
         |per_session AS (SELECT user_id, session_id, COUNT(*) AS n_events,
