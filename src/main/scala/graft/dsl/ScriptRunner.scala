@@ -349,6 +349,7 @@ object CommandMacros {
     "streamJobs" -> "run command as StreamCommand.`list`",
     "schemaInfer" -> "run {0} as SchemaInferCommand.`` where parameters='''{:all}'''",
     "explain" -> "run command as ExplainCommand.`{}`",
+    "profile" -> "run {0} as DataProfile.`` as {0}_profile",
     "killStream" -> "run command as StreamCommand.`kill` where parameters='''{:all}'''"
   )
 

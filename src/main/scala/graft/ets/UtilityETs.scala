@@ -14,7 +14,7 @@ object UtilityETs {
   def all: Seq[ET] = Seq(PivotET, TableRepartitionET, RateSamplerET, CacheExtET,
     ShowCommandET, SchemaCommandET, PrintCommandET, HDFSCommandET,
     WaterMarkInPlaceET, RunScriptET, TableToMapET, MapValuesET,
-    DicOrTableToArrayET, SchemaInferCommandET, ExplainCommandET)
+    DicOrTableToArrayET, SchemaInferCommandET, ExplainCommandET, DataProfileET)
 
   private[ets] def oneRowTable(spark: SparkSession, cols: (String, String)*): DataFrame = {
     val schema = StructType(cols.map(c => StructField(c._1, StringType)))
@@ -145,6 +145,38 @@ object SchemaCommandET extends ET {
   override def train(ctx: ScriptContext, df: DataFrame, path: String,
                      params: Map[String, String]): DataFrame =
     ctx.spark.sql(s"describe table ${if (path.nonEmpty) path else params("table")}")
+}
+
+/** `run t as DataProfile.`` — per-column profile: type, null count,
+  * approx distinct, min/max (one pass; approx_count_distinct keeps the
+  * aggregation sketch-sized at any scale). The data-quality first step of
+  * every training-data pipeline.
+  */
+object DataProfileET extends ET {
+  override def name = "DataProfile"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    val spark = ctx.spark
+    import spark.implicits._
+    val total = count(lit(1))
+    val aggs = df.schema.fields.flatMap { f =>
+      val c = col(f.name)
+      Seq(
+        sum(when(c.isNull, 1).otherwise(0)).cast("long").as(s"${f.name}__nulls"),
+        approx_count_distinct(c).as(s"${f.name}__distinct"),
+        min(c).cast("string").as(s"${f.name}__min"),
+        max(c).cast("string").as(s"${f.name}__max"))
+    }
+    val row = df.agg(total.as("__total__"), aggs.toSeq: _*).head()
+    val totalRows = row.getLong(0)
+    df.schema.fields.map { f =>
+      (f.name, f.dataType.simpleString, totalRows,
+        row.getAs[Long](s"${f.name}__nulls"),
+        row.getAs[Long](s"${f.name}__distinct"),
+        row.getAs[String](s"${f.name}__min"),
+        row.getAs[String](s"${f.name}__max"))
+    }.toSeq.toDF("column", "type", "n_rows", "n_nulls", "approx_distinct", "min", "max")
+  }
 }
 
 /** `!explain t` — the table's formatted physical plan as a one-row table

@@ -134,6 +134,18 @@ class ETSpec extends AnyFunSuite {
     assert(ctx.env("mySchema").contains("b STRING"))
   }
 
+  test("!profile produces per-column stats") {
+    val df = runDF(
+      s"""load parquet.`$sf/nation.parquet` as n_pr;
+         |!profile n_pr;
+         |select * from n_pr_profile as out;""".stripMargin)
+    val byCol = df.collect().map(r => r.getString(0) -> r).toMap
+    assert(byCol.keySet.contains("n_nationkey"))
+    val nk = byCol("n_nationkey")
+    assert(nk.getLong(2) == 25 && nk.getLong(3) == 0) // rows, nulls
+    assert(nk.getString(5) == "0" && nk.getString(6) == "24") // min/max
+  }
+
   test("!explain returns the formatted physical plan") {
     val df = runDF(
       s"""load parquet.`$sf/lineitem.parquet` as l_ex;
