@@ -122,6 +122,19 @@ object StreamSinks {
       case _ => w1
     }
     val query = fmt match {
+      case "streamjdbc" =>
+        // streaming JDBC sink (reference: MLSQLStreamJDBC.scala +
+        // spark-3.0.0-adaptor/.../streaming/jdbc.scala): each micro-batch
+        // is written through the batch JDBC path — plain append, or a
+        // keyed upsert when `idCol` is set (graft.sources.JdbcUpsert).
+        // Requires a JDBC driver jar at runtime; option plumbing is the
+        // same as the batch jdbc sink.
+        val jdbcOpts = new graft.sources.JdbcSource()
+          .resolveOptions(path, opts - "mode" - "duration" - "checkpointLocation")
+        w2.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          if (jdbcOpts.contains("idCol")) graft.sources.JdbcUpsert.upsert(batch.toDF(), jdbcOpts)
+          else batch.write.format("jdbc").mode("append").options(jdbcOpts).save()
+        }.start()
       case "upsertparquet" =>
         // CDC-style keyed upsert (reference: MLSQLMultiDelta.scala:33-120 —
         // foreachBatch routing rows into a Delta MERGE by idCols). With no

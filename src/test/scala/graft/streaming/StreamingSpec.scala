@@ -190,6 +190,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("ssj").count() == spark.table("ev8_b").count())
   }
 
+  test("streamJDBC sink wires foreachBatch to the jdbc writer (fails on missing driver, not on wiring)") {
+    val ctx = ScriptRunner.run(
+      s"""set streamName = "sj1";
+         |load parquet.`$sf/region.parquet` as rj;
+         |load mockStream.`rj` as rjs;
+         |save append rjs as streamJDBC.`` where mode="append"
+         |  and url="jdbc:nosuchdb://nowhere/db" and dbtable="t"
+         |  and checkpointLocation="${java.nio.file.Files.createTempDirectory("ck_sj")}";""".stripMargin,
+      spark)
+    val q = ctx.streams("sj1")
+    val e = intercept[Exception] { q.processAllAvailable() }
+    q.stop()
+    // the failure is the absent driver INSIDE the batch write — the sink
+    // contract and option plumbing resolved correctly
+    assert(e.getMessage.toLowerCase.contains("jdbc") ||
+      Option(e.getCause).exists(_.getMessage.toLowerCase.contains("driver")), e.getMessage)
+  }
+
   test("rate source loads as a streaming frame") {
     val ctx = ScriptRunner.run(
       """load rate.`` where rowsPerSecond="5" as r_rate;""", spark)
