@@ -37,8 +37,13 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, Right(v)) => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(json)
+    // also persist to a file: stdout capture has truncated the tail of this
+    // (single, long) line before — the file is the lossless copy
+    java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_bench.json"),
+      json.getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -217,7 +217,11 @@ object ScriptRunner {
       if (ctx.spark.catalog.tableExists(inputTable)) ctx.spark.table(inputTable)
       else if (inputTable == "command") ctx.spark.emptyDataFrame
       else throw new IllegalArgumentException(s"$verb: unknown table '$inputTable'")
-    val path = if (ref.path.isEmpty) "" else ctx.resolvePath(ref.path)
+    // only re-root genuine filesystem paths: command/table-name ETs override
+    // needsPathResolution=false (mirrors the register path; reference:
+    // SQLAlg.skipPathPrefix)
+    val path = if (ref.path.isEmpty || !et.needsPathResolution) ref.path
+      else ctx.resolvePath(ref.path)
     val out = verb match {
       case "predict" => et.batchPredict(ctx, df, path, params)
       case _ => et.train(ctx, df, path, params)

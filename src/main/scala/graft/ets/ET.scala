@@ -43,6 +43,14 @@ trait ET {
     throw new UnsupportedOperationException(s"ET '$name' does not support predict UDFs")
 }
 
+/** An ET whose `.`path`` operand is a table name, a command argument, or
+  * unused — NEVER a filesystem path, so the runner must not re-root it
+  * under the script's pathPrefix (reference: SQLAlg.skipPathPrefix).
+  */
+trait NoPathET extends ET {
+  final override def needsPathResolution: Boolean = false
+}
+
 /** Name → ET instance registry (reference: TrainAdaptor.scala:124-191
   * `MLMapping` + tech/mlsql/ets/register/ETRegister.scala:24-48).
   */

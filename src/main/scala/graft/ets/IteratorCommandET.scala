@@ -13,7 +13,7 @@ import graft.dsl.{ScriptContext, ScriptRunner, Template}
   * (e.g. a table of paths to ingest), never a data-plane operator; rows
   * are capped to keep a mistake from flooding the driver.
   */
-object IteratorCommandET extends ET {
+object IteratorCommandET extends NoPathET {
   override def name = "IteratorCommand"
 
   private val MaxRows = 10000

@@ -21,7 +21,7 @@ object PipelineETs {
   * — stopword-profile language identification
   * (see [[graft.operators.text.TextAnalysis.withLangId]]).
   */
-object LangIdET extends ET {
+object LangIdET extends NoPathET {
   override def name = "LangId"
   override def train(ctx: ScriptContext, df: DataFrame, path: String,
                      params: Map[String, String]): DataFrame =
@@ -32,10 +32,50 @@ object LangIdET extends ET {
 
 /** `run docs as Dedup.`` where method="exact|fingerprint|minhash|simhash"
   * and idCol="doc_id" and textCol="text" [and threshold="0.8"]` —
-  * returns the SURVIVING documents (first id per duplicate group).
-  * Scale notes per method are on [[graft.operators.dedup.TextDedup]].
+  * returns the SURVIVING documents (first id per duplicate group, where a
+  * "group" is a CONNECTED COMPONENT of the near-dup pair graph: pairs
+  * (1,2)+(2,3) form one group {1,2,3} surviving as 1, even without the
+  * (1,3) edge — the greedy drop-every-b_id alternative over-deletes on
+  * such chains). Scale notes per method are on
+  * [[graft.operators.dedup.TextDedup]].
   */
-object DedupET extends ET {
+object DedupET extends NoPathET {
+
+  /** Keep the min id of each connected component of `pairs` (a_id, b_id),
+    * plus every row in no pair. Components are found by iterative min-label
+    * propagation over the (symmetrized) edge list — O(component diameter)
+    * joins, each an equi-join on the id; near-dup components are shallow
+    * (duplicates of a common ancestor), so convergence is fast and checked.
+    */
+  private[ets] def keepComponentMin(df: DataFrame, idCol: String,
+                                    pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).cache()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 25) {
+      // each node adopts the min label among itself and its neighbors
+      val nbrMin = edges.join(labels.select(col("id").as("dst"), col("label")), "dst")
+        .groupBy(col("src").as("id")).agg(min("label").as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .cache()
+      changed = next.join(labels.select(col("id"), col("label").as("prev")), "id")
+        .filter(col("label") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    require(changed == 0, "Dedup: component labeling did not converge in 25 rounds")
+    val losers = labels.filter(col("label") =!= col("id")).select(col("id").as(idCol))
+    val out = df.join(losers, Seq(idCol), "left_anti")
+    edges.unpersist()
+    out
+  }
   override def name = "Dedup"
   override def train(ctx: ScriptContext, df: DataFrame, path: String,
                      params: Map[String, String]): DataFrame = {
@@ -58,16 +98,12 @@ object DedupET extends ET {
         val threshold = params.getOrElse("threshold", "0.8").toDouble
         val n = params.getOrElse("ngram", "3").toInt
         val sh = TextDedup.shingles(df.select(col(idCol), col(textCol)), idCol, textCol, n)
-        val pairs = TextDedup.minHashSelfJoin(sh, threshold)
-        // drop the larger id of every near-dup pair
-        val losers = pairs.select(col("b_id").as(idCol)).distinct()
-        df.join(losers, Seq(idCol), "left_anti")
+        keepComponentMin(df, idCol, TextDedup.minHashSelfJoin(sh, threshold))
       case "simhash" =>
         val maxHamming = params.getOrElse("maxHamming", "3").toInt
-        val pairs = TextDedup.simHashSelfJoin(df.select(col(idCol), col(textCol)),
-          idCol, textCol, maxHamming)
-        val losers = pairs.select(col("b_id").as(idCol)).distinct()
-        df.join(losers, Seq(idCol), "left_anti")
+        keepComponentMin(df, idCol,
+          TextDedup.simHashSelfJoin(df.select(col(idCol), col(textCol)),
+            idCol, textCol, maxHamming))
       case other => throw new IllegalArgumentException(
         s"Dedup method must be exact|fingerprint|minhash|simhash, got '$other'")
     }
@@ -79,7 +115,7 @@ object DedupET extends ET {
   * above a cosine threshold. `lsh` is the 100 TB path (banded
   * random-hyperplane signatures); `exact` is the all-pairs baseline.
   */
-object SimilarityJoinET extends ET {
+object SimilarityJoinET extends NoPathET {
   override def name = "SimilarityJoin"
   override def train(ctx: ScriptContext, df: DataFrame, path: String,
                      params: Map[String, String]): DataFrame = {
@@ -92,8 +128,11 @@ object SimilarityJoinET extends ET {
         rowsPerBand = params.getOrElse("rowsPerBand", "8").toInt,
         forceBanding = params.getOrElse("forceBanding", "false").toBoolean)
       case "exact" => CosineSimilarity.exactSelfJoin(df, idCol, vecCol, threshold)
+      case "ivf" => CosineSimilarity.ivfSelfJoin(df, idCol, vecCol, threshold,
+        nlist = params.getOrElse("nlist", "16").toInt,
+        centroidsPath = params.get("centroidsPath"))
       case other => throw new IllegalArgumentException(
-        s"SimilarityJoin method must be lsh|exact, got '$other'")
+        s"SimilarityJoin method must be lsh|exact|ivf, got '$other'")
     }
   }
 }
@@ -101,7 +140,7 @@ object SimilarityJoinET extends ET {
 /** `run embs as AnnTopK.`` where queryTable="q" and k="5" ...` — brute-force
   * cosine top-k of a broadcast query set against the corpus table.
   */
-object AnnTopKET extends ET {
+object AnnTopKET extends NoPathET {
   override def name = "AnnTopK"
   override def train(ctx: ScriptContext, df: DataFrame, path: String,
                      params: Map[String, String]): DataFrame = {
@@ -116,7 +155,8 @@ object AnnTopKET extends ET {
       case "brute" => CosineSimilarity.annTopK(df, queries, idCol, vecCol, qId, qVec, k)
       case "ivf" => CosineSimilarity.ivfTopK(df, queries, idCol, vecCol, qId, qVec, k,
         nlist = params.getOrElse("nlist", "64").toInt,
-        nprobe = params.getOrElse("nprobe", "8").toInt)
+        nprobe = params.getOrElse("nprobe", "8").toInt,
+        centroidsPath = params.get("centroidsPath"))
       case other => throw new IllegalArgumentException(
         s"AnnTopK method must be brute|ivf, got '$other'")
     }
@@ -126,7 +166,7 @@ object AnnTopKET extends ET {
 /** `run bins as BinaryMetaInPlace.`` [where binaryCol="content"]` — attach
   * the multimodal metadata struct (format sniff + stubbed decode).
   */
-object BinaryMetaInPlaceET extends ET {
+object BinaryMetaInPlaceET extends NoPathET {
   override def name = "BinaryMetaInPlace"
   override def train(ctx: ScriptContext, df: DataFrame, path: String,
                      params: Map[String, String]): DataFrame = {

@@ -7,7 +7,7 @@ import graft.dsl.ScriptContext
   * SQLMLSQLJobExt "Kill"): `!streamJobs` lists active queries,
   * `!killStream name` stops one by queryName.
   */
-object StreamCommandET extends ET {
+object StreamCommandET extends NoPathET {
   override def name = "StreamCommand"
 
   override def train(ctx: ScriptContext, df: DataFrame, path: String,

@@ -29,7 +29,7 @@ object UtilityETs {
   * Passing explicit `values` skips the extra distinct-scan Spark otherwise
   * runs to discover pivot columns — always set it at scale.
   */
-object PivotET extends ET {
+object PivotET extends NoPathET {
   override def name = "Pivot"
   override def train(ctx: ScriptContext, df: DataFrame, path: String,
                      params: Map[String, String]): DataFrame = {
@@ -50,7 +50,7 @@ object PivotET extends ET {
   * [and partitionCols="a,b"] [and shuffle="false"]` — `repartition` /
   * `coalesce` (reference: external/mlsql-ets/.../TableRepartition.scala:19-49).
   */
-object TableRepartitionET extends ET {
+object TableRepartitionET extends NoPathET {
   override def name = "TableRepartition"
   override def train(ctx: ScriptContext, df: DataFrame, path: String,
                      params: Map[String, String]): DataFrame = {
@@ -80,7 +80,7 @@ object TableRepartitionET extends ET {
   * 100 TB. `labelCol` is accepted for reference-script compatibility and
   * reserved for an exact-quota mode.
   */
-object RateSamplerET extends ET {
+object RateSamplerET extends NoPathET {
   override def name = "RateSampler"
   override def train(ctx: ScriptContext, df: DataFrame, path: String,
                      params: Map[String, String]): DataFrame = {
@@ -99,7 +99,7 @@ object RateSamplerET extends ET {
 /** `!cache t` / `run t as CacheExt.`` where execute="cache" and
   * isEager="true"` (reference: SQLCacheExt.scala:38-92).
   */
-object CacheExtET extends ET {
+object CacheExtET extends NoPathET {
   override def name = "CacheExt"
   override def train(ctx: ScriptContext, df: DataFrame, path: String,
                      params: Map[String, String]): DataFrame = {
@@ -116,7 +116,7 @@ object CacheExtET extends ET {
 /** `!show tables` → catalog introspection tables
   * (reference: tech/mlsql/ets/ShowCommand.scala).
   */
-object ShowCommandET extends ET {
+object ShowCommandET extends NoPathET {
   override def name = "ShowCommand"
   override def train(ctx: ScriptContext, df: DataFrame, path: String,
                      params: Map[String, String]): DataFrame = {
@@ -140,7 +140,7 @@ object ShowCommandET extends ET {
 /** `!desc t` — one row per column of the table's schema
   * (reference: external/mlsql-ets/.../SchemaCommand.scala).
   */
-object SchemaCommandET extends ET {
+object SchemaCommandET extends NoPathET {
   override def name = "SchemaCommand"
   override def train(ctx: ScriptContext, df: DataFrame, path: String,
                      params: Map[String, String]): DataFrame =
@@ -152,7 +152,7 @@ object SchemaCommandET extends ET {
   * aggregation sketch-sized at any scale). The data-quality first step of
   * every training-data pipeline.
   */
-object DataProfileET extends ET {
+object DataProfileET extends NoPathET {
   override def name = "DataProfile"
   override def train(ctx: ScriptContext, df: DataFrame, path: String,
                      params: Map[String, String]): DataFrame = {
@@ -184,7 +184,7 @@ object DataProfileET extends ET {
   * automates; no direct reference analog — the reference relies on the
   * Spark UI).
   */
-object ExplainCommandET extends ET {
+object ExplainCommandET extends NoPathET {
   override def name = "ExplainCommand"
   override def train(ctx: ScriptContext, df: DataFrame, path: String,
                      params: Map[String, String]): DataFrame = {
@@ -196,7 +196,7 @@ object ExplainCommandET extends ET {
 }
 
 /** `!println '''msg'''` (reference: tech/mlsql/ets/PrintCommand.scala). */
-object PrintCommandET extends ET {
+object PrintCommandET extends NoPathET {
   override def name = "PrintCommand"
   override def train(ctx: ScriptContext, df: DataFrame, path: String,
                      params: Map[String, String]): DataFrame = {
@@ -243,7 +243,7 @@ object HDFSCommandET extends ET {
   * delayThreshold="10 seconds"` — re-registers the SAME view with a
   * watermark (reference: SQLWaterMarkInPlace.scala:28-47).
   */
-object WaterMarkInPlaceET extends ET {
+object WaterMarkInPlaceET extends NoPathET {
   override def name = "WaterMarkInPlace"
   override def train(ctx: ScriptContext, df: DataFrame, path: String,
                      params: Map[String, String]): DataFrame =
@@ -254,7 +254,7 @@ object WaterMarkInPlaceET extends ET {
   * text held in the (single-row) input table
   * (reference: tech/mlsql/ets/RunScript.scala).
   */
-object RunScriptET extends ET {
+object RunScriptET extends NoPathET {
   override def name = "RunScript"
   override def train(ctx: ScriptContext, df: DataFrame, path: String,
                      params: Map[String, String]): DataFrame = {
@@ -270,7 +270,7 @@ object RunScriptET extends ET {
   * optional `defaultValue` (reference: SQLMapValues.scala:29). The
   * dictionary MUST be dimension-sized; the data table is never shuffled.
   */
-object MapValuesET extends ET {
+object MapValuesET extends NoPathET {
   override def name = "MapValues"
   override def train(ctx: ScriptContext, df: DataFrame, path: String,
                      params: Map[String, String]): DataFrame = {
@@ -297,7 +297,7 @@ object MapValuesET extends ET {
   * collect one small column to a broadcast array and register a no-arg UDF
   * returning it (reference: SQLDicOrTableToArray.scala:56).
   */
-object DicOrTableToArrayET extends ET {
+object DicOrTableToArrayET extends NoPathET {
   override def name = "DicOrTableToArray"
   override def train(ctx: ScriptContext, df: DataFrame, path: String,
                      params: Map[String, String]): DataFrame = {
@@ -316,7 +316,7 @@ object DicOrTableToArrayET extends ET {
   * (KafkaCommand.scala:65-115) without requiring a Kafka broker: the
   * sampling source is any table.
   */
-object SchemaInferCommandET extends ET {
+object SchemaInferCommandET extends NoPathET {
   override def name = "SchemaInferCommand"
   override def train(ctx: ScriptContext, df: DataFrame, path: String,
                      params: Map[String, String]): DataFrame = {
@@ -341,7 +341,7 @@ object SchemaInferCommandET extends ET {
   * (reference: SQLTableToMap.scala:30). The input MUST be dimension-sized:
   * it is collected to the driver and broadcast.
   */
-object TableToMapET extends ET {
+object TableToMapET extends NoPathET {
   override def name = "TableToMap"
   override def train(ctx: ScriptContext, df: DataFrame, path: String,
                      params: Map[String, String]): DataFrame = {

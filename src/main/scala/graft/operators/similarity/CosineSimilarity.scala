@@ -72,19 +72,30 @@ object CosineSimilarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
               qIdCol: String, qVecCol: String, k: Int,
-              nlist: Int = 64, nprobe: Int = 8, seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+              nlist: Int = 64, nprobe: Int = 8, seed: Long = 42L,
+              centroidsPath: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val fv = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__arr__"))
-      .withColumn("__features__", array_to_vector(col("__arr__")))
-    val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("__features__")
-      .fit(fv)
-    val cells = model.transform(fv)
-      .select(col(idCol), col("__arr__").as("cvec"), col("prediction").as("cell"))
-    val centers = model.clusterCenters.map(_.toArray)
+    // centroidsPath amortizes the clustering scan across query batches:
+    // build once, save; later calls load nlist rows instead of re-fitting
+    val centers = fitOrLoadCentroids(corpus, vecCol, nlist, seed, centroidsPath)
+    val bcCenters = corpus.sparkSession.sparkContext.broadcast(centers)
+    // nearest-center (Euclidean, matching the KMeans objective) assignment
+    val assignUdf = udf { (v: Seq[Double]) =>
+      val cs = bcCenters.value
+      var best = 0; var bestD = Double.MaxValue; var i = 0
+      while (i < cs.length) {
+        val c = cs(i); var d = 0.0; var j = 0
+        val n = math.min(c.length, v.length)
+        while (j < n) { val t = c(j) - v(j); d += t * t; j += 1 }
+        if (d < bestD) { bestD = d; best = i }
+        i += 1
+      }
+      best
+    }
+    val cells = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("cvec"))
+      .withColumn("cell", assignUdf(col("cvec")))
     val probeUdf = udf { (v: Seq[Double]) =>
-      centers.zipWithIndex.map { case (c, i) =>
+      bcCenters.value.zipWithIndex.map { case (c, i) =>
         var d = 0.0; var j = 0
         val n = math.min(c.length, v.length)
         while (j < n) { val t = c(j) - v(j); d += t * t; j += 1 }
@@ -172,7 +183,11 @@ object CosineSimilarity {
                   missProb: Double = 1e-5, rowsPerBand: Int = 8,
                   seed: Long = 42L, forceBanding: Boolean = false): DataFrame = {
     val (r, bands) = lshParams(threshold, missProb, rowsPerBand)
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    // empty corpus: no head() to take — the exact path returns the correctly
+    // typed empty (a_id, b_id, sim) frame without needing the dimension
+    val firstRow = df.select(size(col(vecCol))).head(1)
+    if (firstRow.isEmpty) return exactSelfJoin(df, idCol, vecCol, threshold)
+    val dim = firstRow(0).getInt(0)
     val planes = hyperplanes(r * bands, dim, seed)
 
     // Adaptive degeneration guard: when the sampled candidate fraction says
@@ -180,14 +195,21 @@ object CosineSimilarity {
     // data — the banded join would SCORE EVERY PAIR ANYWAY, plus explode/
     // join overhead. Same output, strictly less work: exact all-pairs.
     if (!forceBanding) {
-      val sample = df.select(col(vecCol).cast("array<double>"))
+      // randomized 500-row sample (seeded TakeOrdered over rand — one linear
+      // scan, bounded memory): limit(500) took the FIRST partitions, which
+      // on sorted/clustered inputs is unrepresentative and can defeat or
+      // falsely trigger the fallback
+      val sample = df.select(col(vecCol).cast("array<double>").as("__v__"))
+        .orderBy(rand(seed))
         .limit(500).collect().map(_.getSeq[Double](0).toArray)
       val frac = estimateCandidateFraction(sample, planes, r, bands)
       if (frac > 0.3) {
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
           f"lshSelfJoin: sampled candidate fraction $frac%.2f > 0.3 — banding cannot " +
-            "prune at this threshold on this data; falling back to exactSelfJoin")
-        return exactSelfJoin(df, idCol, vecCol, threshold)
+            "prune at this threshold on this data; falling back to the tiled " +
+            "ivfSelfJoin (same exact output, shuffle-planned instead of a " +
+            "BroadcastNestedLoopJoin)")
+        return ivfSelfJoin(df, idCol, vecCol, threshold)
       }
     }
 
@@ -233,5 +255,142 @@ object CosineSimilarity {
       .filter(col("sim") >= threshold)
       .select(col("a_id"), col("b_id"), col("sim"))
       .distinct()
+  }
+
+  /** Angle (radians) between the directions of two vectors — `acos` of the
+    * clamped cosine. A metric on the unit sphere, which is what makes the
+    * triangle-inequality pruning in [[ivfSelfJoin]] EXACT.
+    */
+  private def angle(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0) math.Pi / 2
+    else math.acos(math.max(-1.0, math.min(1.0, dot / denom)))
+  }
+
+  /** Load KMeans cell centers from `centroidsPath` if present, else fit on a
+    * (bounded) sample of the corpus and save them there when a path is
+    * given — so a 100 TB corpus pays the clustering scan ONCE across query
+    * batches / pipeline runs. ANY centers are correctness-neutral for
+    * [[ivfSelfJoin]] (the radius bound adapts); they only change pruning
+    * power, so a sample fit is safe.
+    */
+  private[graft] def fitOrLoadCentroids(
+      df: DataFrame, vecCol: String, nlist: Int, seed: Long,
+      centroidsPath: Option[String]): Array[Array[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = df.sparkSession
+    centroidsPath.filter { p =>
+      val path = new org.apache.hadoop.fs.Path(p)
+      org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration).exists(path)
+    } match {
+      case Some(p) =>
+        spark.read.parquet(p).orderBy("cell")
+          .collect().map(_.getSeq[Double](1).toArray)
+      case None =>
+        val sample = df.select(col(vecCol).cast("array<double>").as("__arr__"))
+          .orderBy(rand(seed)).limit(4000)
+          .withColumn("__features__", array_to_vector(col("__arr__")))
+        val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(6)
+          .setFeaturesCol("__features__").fit(sample)
+        val centers = model.clusterCenters.map(_.toArray)
+        centroidsPath.foreach { p =>
+          import spark.implicits._
+          centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+            .toDF("cell", "center").repartition(1).write.mode("overwrite").parquet(p)
+        }
+        centers
+    }
+  }
+
+  /** EXACT cosine self-join above `threshold` via KMeans-cell blocking — the
+    * data-adaptive replacement for [[exactSelfJoin]]'s all-pairs
+    * BroadcastNestedLoopJoin (reference gesture: SQLRawSimilarInPlace's
+    * cluster-then-compare blocking; re-designed here with an exactness
+    * guarantee).
+    *
+    * Shape: assign every vector to its nearest of `nlist` KMeans cells (one
+    * corpus scan); compute each cell's angular radius `r_i` = max angle of a
+    * member to its (normalized) center (one aggregation); on the driver,
+    * admit cell pair (i,j) only if `ang(c_i,c_j) ≤ acos(t) + r_i + r_j` —
+    * by the spherical triangle inequality NO qualifying pair can span a
+    * rejected cell pair, so recall is exactly 1 with NO tuning. Candidates
+    * are generated by an EQUI-join of assignments against the (tiny,
+    * broadcast) admissible-cell-pair table, then verified with the
+    * codegen'd `arr_cosine`.
+    *
+    * Scale behavior (100 TB): shuffle volume is |corpus| × avg-degree
+    * (degree = admissible partners per cell, ≤ nlist), NEVER pairs. On
+    * clusterable embedding corpora (the real-world case) most cell pairs
+    * are rejected and the quadratic verify is confined to nearby cells. On
+    * isotropic data at a low threshold — where NO exact method can prune
+    * (the qualifying pairs are the tail of the random-pair distribution) —
+    * every cell pair is admitted and this degenerates gracefully to a TILED
+    * all-pairs equi-join: still exact, still shuffle-planned (no
+    * BroadcastNestedLoopJoin), with nlist² independently schedulable tiles
+    * instead of one nested loop.
+    */
+  def ivfSelfJoin(df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+                  nlist: Int = 16, seed: Long = 42L,
+                  centroidsPath: Option[String] = None): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    if (vecs.head(1).isEmpty) return exactSelfJoin(df, idCol, vecCol, threshold)
+    val centers = fitOrLoadCentroids(df, vecCol, nlist, seed, centroidsPath)
+    val bcCenters = spark.sparkContext.broadcast(centers)
+
+    // nearest cell by ANGLE (consistent with the radius metric) + the angle
+    // to that center, in one pass
+    val assignUdf = udf { (v: Seq[Double]) =>
+      val cs = bcCenters.value
+      val arr = v.toArray
+      var best = 0; var bestAng = Double.MaxValue; var i = 0
+      while (i < cs.length) {
+        val a = angle(arr, cs(i))
+        if (a < bestAng) { bestAng = a; best = i }
+        i += 1
+      }
+      (best, bestAng)
+    }
+    val assigned = vecs.withColumn("__a__", assignUdf(col("v")))
+      .select(col("id"), col("v"), col("__a__._1").as("cell"), col("__a__._2").as("ang"))
+      .cache()
+
+    // per-cell angular radius (nlist rows — driver-sized by construction)
+    val radii = assigned.groupBy("cell").agg(max("ang").as("r"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+
+    // admissible cell pairs (both orientations for i≠j, once for i=j): an
+    // unordered vector pair {x,y} in cells (cx,cy) is generated exactly once
+    // — by whichever orientation matches its id order — so no dedup pass
+    val thrAng = math.acos(math.max(-1.0, math.min(1.0, threshold)))
+    val cellPairs = for {
+      i <- radii.keys.toSeq; j <- radii.keys.toSeq
+      if angle(centers(i), centers(j)) <= thrAng + radii(i) + radii(j)
+    } yield (i, j)
+    val pairsDF = broadcast(cellPairs.toDF("ca", "cb"))
+
+    // candidate generation on SKINNY (id, cell) rows — the exploded join
+    // stream carries ~16 bytes/row instead of two embedding arrays (at 64
+    // dims that's a ~60× shuffle-volume cut); arrays are re-attached by id
+    // only for the surviving candidates (AQE broadcasts the vector side
+    // when it fits, plain shuffle-hash otherwise)
+    val slim = assigned.select(col("id"), col("cell"))
+    val a = slim.select(col("id").as("a_id"), col("cell").as("ca"))
+    val b = slim.select(col("id").as("b_id"), col("cell").as("cb"))
+    val candidates = a.join(pairsDF, "ca")
+      .join(b, Seq("cb"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+    candidates
+      .join(vecs.select(col("id").as("a_id"), col("v").as("av")), "a_id")
+      .join(vecs.select(col("id").as("b_id"), col("v").as("bv")), "b_id")
+      .withColumn("sim", round(cosine(col("av"), col("bv")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("a_id"), col("b_id"), col("sim"))
   }
 }

@@ -143,17 +143,23 @@ object Pipeline {
         | FROM q JOIN e ON e.vec_id <> q.qid) t
         |WHERE nrank <= 5 ORDER BY qid, nrank""".stripMargin),
 
-    // ---- embedding near-duplicate pairs above a cosine threshold.
-    //      Exact all-pairs — inherently O(n²) candidates at ANY threshold
-    //      this low (0.45 ≈ 63°, barely tighter than random's 90°: no
-    //      data-independent banding can prune it; see the scaladoc on
-    //      CosineSimilarity.lshSelfJoin). The cost fix vs round 1 is the
-    //      single-pass codegen'd arr_cosine per pair. p12 runs the SAME
-    //      query through the banded-LSH path to prove the scale machinery
-    //      against this exact oracle. ----
+    // ---- embedding near-duplicate pairs above a cosine threshold, via the
+    //      EXACT KMeans-cell-blocked self-join (CosineSimilarity.ivfSelfJoin):
+    //      cell equi-join candidates + triangle-inequality cell-pair pruning
+    //      + codegen'd arr_cosine verify — recall is exactly 1 by
+    //      construction, so the all-pairs DuckDB oracle still hash-matches.
+    //      On THIS fixture (isotropic vectors, t=0.45 ≈ 63° — the qualifying
+    //      pairs are the tail of the random-pair distribution, so no exact
+    //      method can prune) the cell-pair table admits everything and the
+    //      plan degenerates to a TILED all-pairs equi-join: nlist²
+    //      schedulable tiles, shuffle-planned, no BroadcastNestedLoopJoin
+    //      (plan asserted in BenchSpec). On clusterable corpora the same
+    //      code prunes most tiles. p12 runs the SAME query through the
+    //      banded-LSH path against this exact oracle. ----
     QuerySpec.sql("p8_neardup_embedding", (s, dir) => {
       import s.implicits._
-      CosineSimilarity.exactSelfJoin(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
+      CosineSimilarity.ivfSelfJoin(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45,
+          nlist = 16)
         .orderBy($"a_id", $"b_id")
     },
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

@@ -188,13 +188,23 @@ object UpsertParquet {
       current.join(deduped.select(idCols.map(col): _*), idCols, "left_anti")
         .unionByName(deduped)
     }
-    // rewrite via a temp dir: the target cannot be overwritten while being read
+    // rewrite via a temp dir: the target cannot be overwritten while being
+    // read. Swap order matters for crash safety: move the OLD target aside
+    // first, then promote tmp, then drop the old copy — a crash between any
+    // two steps leaves either the old or the new table recoverable on disk
+    // (delete-then-rename could lose the whole accumulated target). Still
+    // not transactional — Delta MERGE is, when its jar is available.
     val tmp = target + "__tmp__"
     merged.write.mode("overwrite").parquet(tmp)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = org.apache.hadoop.fs.FileSystem.get(conf)
     val targetPath = new org.apache.hadoop.fs.Path(target)
-    fs.delete(targetPath, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), targetPath)
+    val oldPath = new org.apache.hadoop.fs.Path(target + "__old__")
+    if (fs.exists(oldPath)) fs.delete(oldPath, true)
+    if (fs.exists(targetPath))
+      require(fs.rename(targetPath, oldPath), s"upsertParquet: cannot move $target aside")
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), targetPath),
+      s"upsertParquet: cannot promote $tmp to $target")
+    fs.delete(oldPath, true)
   }
 }

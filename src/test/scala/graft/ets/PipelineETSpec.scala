@@ -65,6 +65,66 @@ class PipelineETSpec extends AnyFunSuite {
     assert(banded == exact)
   }
 
+  test("SimilarityJoin ivf (radius-bound cell blocking) matches exact output") {
+    val exact = runDF(
+      s"""load parquet.`$sf/embeddings.parquet` as embs_ivf;
+         |run embs_ivf as SimilarityJoin.`` where method="exact" and threshold="0.45" as ie;
+         |select a_id, b_id, sim from ie order by a_id, b_id as out;""".stripMargin).collect().toSeq
+    val ivf = runDF(
+      s"""run embs_ivf as SimilarityJoin.`` where method="ivf" and threshold="0.45"
+         |  and nlist="8" as ii;
+         |select a_id, b_id, sim from ii order by a_id, b_id as out;""".stripMargin).collect().toSeq
+    assert(ivf == exact)
+    assert(ivf.nonEmpty)
+  }
+
+  test("ivfSelfJoin on an empty corpus returns an empty typed frame") {
+    import graft.operators.similarity.CosineSimilarity
+    val empty = spark.emptyDataFrame
+      .sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL("vec_id long, embedding array<double>"))
+    val out = CosineSimilarity.ivfSelfJoin(empty, "vec_id", "embedding", 0.5)
+    assert(out.columns.toSeq == Seq("a_id", "b_id", "sim"))
+    assert(out.count() == 0)
+    assert(CosineSimilarity.lshSelfJoin(empty, "vec_id", "embedding", 0.8).count() == 0)
+  }
+
+  test("ivf centroids persist to centroidsPath and reload identically") {
+    import graft.operators.similarity.CosineSimilarity
+    val path = Files.createTempDirectory("graft_cent").toString + "/centroids"
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val first = CosineSimilarity.ivfSelfJoin(embs, "vec_id", "embedding", 0.45,
+      nlist = 8, centroidsPath = Some(path)).orderBy("a_id", "b_id").collect().toSeq
+    assert(Files.exists(Paths.get(path)))
+    val second = CosineSimilarity.ivfSelfJoin(embs, "vec_id", "embedding", 0.45,
+      nlist = 8, centroidsPath = Some(path)).orderBy("a_id", "b_id").collect().toSeq
+    assert(first == second)
+    val topk = CosineSimilarity.ivfTopK(embs,
+      embs.selectExpr("vec_id as qid", "embedding as qv").filter("qid < 3"),
+      "vec_id", "embedding", "qid", "qv", k = 3, nlist = 8, nprobe = 3,
+      centroidsPath = Some(path))
+    assert(topk.count() == 9)
+  }
+
+  test("Dedup survivors are one per connected component (chain case)") {
+    import spark.implicits._
+    // pairs (1,2) and (2,3) with no (1,3) edge: the group is {1,2,3} -> keep 1;
+    // 4 is untouched. Greedy b_id-dropping would also have kept only 1 here,
+    // but on chain (2,3) alone after dropping 2 it must NOT drop 3.
+    val df = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
+    val kept = DedupET.keepComponentMin(df, "doc_id", pairs)
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(1L, 4L))
+    // two separate components keep their own minima
+    val pairs2 = Seq((5L, 6L), (8L, 7L)).toDF("a_id", "b_id")
+    val df2 = Seq(5L, 6L, 7L, 8L).toDF("doc_id")
+    val kept2 = DedupET.keepComponentMin(df2, "doc_id", pairs2)
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept2 == Seq(5L, 7L))
+  }
+
   test("lshParams at threshold 1.0 yields at least one band (exact-dup search)") {
     import graft.operators.similarity.CosineSimilarity
     val (r, bands) = CosineSimilarity.lshParams(1.0, 1e-5, 4)

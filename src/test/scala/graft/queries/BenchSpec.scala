@@ -61,6 +61,14 @@ class BenchSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("p8 ivf self-join plans as equi-joins — no BroadcastNestedLoopJoin, no cartesian") {
+    val p = plan("p8_neardup_embedding")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
   test("p11 minhash banding joins on an equi band key") {
     val p = plan("p11_minhash_lsh")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
