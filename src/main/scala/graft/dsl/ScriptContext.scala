@@ -16,6 +16,23 @@ final class ScriptContext(val spark: SparkSession, val pathPrefix: String = "") 
   val env: mutable.LinkedHashMap[String, String] = mutable.LinkedHashMap()
   var lastTable: Option[String] = None
 
+  /** Keys set with `scope="un_select"` — substituted everywhere EXCEPT into
+    * `select` statement bodies (credential-style variables; reference:
+    * ParameterScope.UN_SELECT, SelectAdaptor.scala:46-51).
+    */
+  val unSelectKeys: mutable.Set[String] = mutable.Set()
+
+  /** Keys whose value was computed in the compile (preprocess) stage via
+    * `set k = "<sql>" where type="sql" and mode="compile"` — the physical
+    * pass must neither re-evaluate nor overwrite them
+    * (reference: SetAdaptor.scala:87-104).
+    */
+  val compileStaged: mutable.Set[String] = mutable.Set()
+
+  /** Env view for templating a `select` body: un_select keys hidden. */
+  def selectEnv: collection.Map[String, String] =
+    if (unSelectKeys.isEmpty) env else env.filter { case (k, _) => !unSelectKeys.contains(k) }
+
   /** Streaming queries started by this script, keyed by streamName
     * (reference: MLSQLStreamManager.scala:68-80).
     */

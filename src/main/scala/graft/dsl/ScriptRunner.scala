@@ -22,13 +22,30 @@ object ScriptRunner {
   def run(script: String, spark: SparkSession, pathPrefix: String = ""): ScriptContext = {
     val ctx = new ScriptContext(spark, pathPrefix)
     val statements = StatementSplitter.split(expandIncludes(script, ctx))
-    val branches = new BranchStack
+    // compile (preprocess) stage: every `set` runs once here — except
+    // type="sql" & mode="runtime" (deferred to the physical pass) — so
+    // mode="compile" SQL is evaluated before ANY physical statement, exactly
+    // like the reference's preProcess listener pass (SetAdaptor.scala:87-104;
+    // branch keywords are ignored at this stage there too)
     statements.foreach { raw =>
-      val head = headWord(raw)._1
-      if (BranchStack.isBranchKeyword(head)) branches.handle(raw, ctx)
-      else if (branches.active) execute(raw, ctx)
+      if (headWord(raw)._1 == "set")
+        executeSet(headWord(Template.merge(raw, ctx.env))._2, ctx, preprocess = true)
     }
-    branches.requireClosed()
+    // the physical pass runs inside a Spark job group so `!kill <name>` /
+    // JobManager.kill can cancel it from another thread; the job name comes
+    // from `set jobName="..."` when given (evaluated in the preprocess pass
+    // above, so it is already in env here)
+    val jobName = ctx.env.getOrElse("jobName", "graft-" + java.util.UUID.randomUUID())
+    val groupId = JobManager.register(spark, jobName)
+    try {
+      val branches = new BranchStack
+      statements.foreach { raw =>
+        val head = headWord(raw)._1
+        if (BranchStack.isBranchKeyword(head)) branches.handle(raw, ctx)
+        else if (branches.active) execute(raw, ctx)
+      }
+      branches.requireClosed()
+    } finally JobManager.deregister(spark, groupId)
     ctx
   }
 
@@ -73,7 +90,11 @@ object ScriptRunner {
 
   /** Execute one (already branch-filtered) statement. */
   private[dsl] def execute(raw: String, ctx: ScriptContext): Unit = {
-    val stmt = Template.merge(raw, ctx.env)
+    // select bodies never see un_select-scoped variables (credentials);
+    // every other statement templates against the full env
+    val envView =
+      if (headWord(raw)._1 == "select") ctx.selectEnv else ctx.env
+    val stmt = Template.merge(raw, envView)
     val (head, rest) = headWord(stmt)
     head match {
       case "load" => executeLoad(rest, ctx)
@@ -151,12 +172,24 @@ object ScriptRunner {
     ctx.lastTable = Some(tableName)
   }
 
-  /** `set k = v [where type="..." and mode="..."]`
+  /** `set k = v [where type="..." and mode="..." and scope="..."]`
     * (reference: SetAdaptor.scala:35-199). Types: text (default), sql
     * (evaluate, take row0/col0), conf (`spark.sql("set k=v")`),
     * defaultParam (only set if absent), shell (NOT supported — fails).
+    *
+    * Staging (SetAdaptor.scala:87-104): `type="sql"` honors
+    * `mode="compile"|"runtime"` (default runtime). Compile-mode SQL is
+    * evaluated ONCE, in the preprocess pass — before any physical
+    * statement runs — and the physical pass must not overwrite the value;
+    * runtime-mode SQL is evaluated in statement order in the physical
+    * pass. All other types run in both passes (idempotent), matching the
+    * reference's two-listener design.
+    *
+    * Scope (ParameterScope): `scope="un_select"` marks the key as hidden
+    * from `select` bodies (credentials in load/connect options).
     */
-  private def executeSet(rest: String, ctx: ScriptContext): Unit = {
+  private[dsl] def executeSet(rest: String, ctx: ScriptContext,
+                              preprocess: Boolean = false): Unit = {
     val eq = maskQuoted(rest).indexOf('=')
     require(eq > 0, s"set: expected `k = v`, got '$rest'")
     val key = rest.substring(0, eq).trim
@@ -164,19 +197,37 @@ object ScriptRunner {
     val opts = Template.parseOptions(optsClause, ctx.env)
     val rawValue = unquoteValue(valuePart)
     val tpe = opts.getOrElse("type", "text")
-    val value = tpe match {
-      case "text" | "defaultParam" => rawValue
+    val mode = opts.getOrElse("mode", "runtime")
+    if (opts.get("scope").exists(_.split(",").map(_.trim).contains("un_select")))
+      ctx.unSelectKeys += key
+    val value: Option[String] = tpe match {
+      case "text" | "defaultParam" => Some(rawValue)
       case "sql" =>
-        val row = ctx.spark.sql(rawValue).head()
-        if (row.isNullAt(0)) "" else row.get(0).toString
+        (mode, preprocess) match {
+          case ("compile", true) | ("runtime", false) =>
+            val row = ctx.spark.sql(rawValue).head()
+            Some(if (row.isNullAt(0)) "" else row.get(0).toString)
+          case ("compile", false) | ("runtime", true) => None // other stage owns it
+          case (other, _) => throw new IllegalArgumentException(
+            s"set: mode must be compile|runtime, got '$other'")
+        }
       case "conf" =>
         ctx.spark.sql(s"set $key = $rawValue")
-        rawValue
+        Some(rawValue)
       case "shell" => throw new UnsupportedOperationException(
         "set type=\"shell\" is not supported (no shell execution in this engine)")
       case other => throw new IllegalArgumentException(s"set: unknown type '$other'")
     }
-    if (tpe != "defaultParam" || !ctx.env.contains(key)) ctx.env(key) = value
+    val isCompileSql = tpe == "sql" && mode == "compile"
+    if (isCompileSql && preprocess) ctx.compileStaged += key
+    // defaultParam never overwrites; the compile-sql statement itself must
+    // not clobber its preprocess-computed value when replayed physically
+    // (a LATER unrelated `set` of the same key still may — the reference's
+    // overwrite flag is per-statement, SetAdaptor.scala:99-104)
+    val overwrite = tpe != "defaultParam" && !(isCompileSql && !preprocess)
+    value.foreach { v =>
+      if (overwrite || !ctx.env.contains(key)) ctx.env(key) = v
+    }
   }
 
   /** Strip one level of quoting from a `set` value: `"..."`, `'...'`, or
@@ -354,7 +405,9 @@ object CommandMacros {
     "schemaInfer" -> "run {0} as SchemaInferCommand.`` where parameters='''{:all}'''",
     "explain" -> "run command as ExplainCommand.`{}`",
     "profile" -> "run {0} as DataProfile.`` as {0}_profile",
-    "killStream" -> "run command as StreamCommand.`kill` where parameters='''{:all}'''"
+    "killStream" -> "run command as StreamCommand.`kill` where parameters='''{:all}'''",
+    "jobs" -> "run command as JobCommand.`list`",
+    "kill" -> "run command as JobCommand.`kill` where parameters='''{:all}'''"
   )
 
   /** Case-insensitive view (statement head words are lowercased). */

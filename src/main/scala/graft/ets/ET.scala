@@ -69,6 +69,7 @@ object ETRegistry {
   MlETs.all.foreach(register)
   register(ScriptUDFET)
   register(StreamCommandET)
+  register(JobCommandET)
   register(IteratorCommandET)
   PipelineETs.all.foreach(register)
   register(new UnavailableET("KafkaCommand", "the spark-sql-kafka connector jar"))

@@ -32,3 +32,30 @@ object StreamCommandET extends NoPathET {
     }
   }
 }
+
+/** Batch-job lifecycle (reference: SQLMLSQLJobExt — `!kill` cancels a
+  * script run's Spark job group; JobManager in RestController.scala:119-131
+  * is the registry): `!jobs` lists running script runs, `!kill <name|id>`
+  * cancels one. Streaming queries have their own `!killStream`.
+  */
+object JobCommandET extends NoPathET {
+  override def name = "JobCommand"
+
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    val spark = ctx.spark
+    import spark.implicits._
+    path match {
+      case "list" =>
+        graft.dsl.JobManager.list
+          .map(j => (j.name, j.groupId, new java.sql.Timestamp(j.startMs)))
+          .toDF("name", "group_id", "started_at")
+      case "kill" =>
+        val target = params.getOrElse("parameters", "").trim
+        require(target.nonEmpty, "!kill requires a job name or group id")
+        graft.dsl.JobManager.kill(spark, target).toDF("cancelled_group")
+      case other => throw new IllegalArgumentException(
+        s"JobCommand supports list|kill, got '$other'")
+    }
+  }
+}

@@ -176,6 +176,20 @@ object Scripts {
          |${graft.operators.text.TextAnalysis.duckdbLangPredSubquery(Nil)})
          |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin),
 
+    // ---- compile-staged set: the variable is evaluated in the preprocess
+    //      pass (SetAdaptor mode="compile" fidelity) and drives a physical
+    //      filter; defaultParam proves the no-overwrite rule in the same
+    //      script ----
+    QuerySpec.sql("s14_script_set_compile", (s, dir) => script(s,
+      s"""set lim = '''select 2 + 1''' where type="sql" and mode="compile";
+         |set lim = "99" where type="defaultParam";
+         |load parquet.`$dir/nation.parquet` as nation;
+         |select n_nationkey, n_name from nation
+         |  where n_regionkey < $${lim} order by n_nationkey
+         |as s14_out;""".stripMargin),
+      """SELECT n_nationkey, n_name FROM nation
+        |WHERE n_regionkey < 3 ORDER BY n_nationkey""".stripMargin),
+
     // ---- RateSampler: rows-only (random assignment has no SQL oracle) ----
     QuerySpec.noOracle("s9_script_split", (s, dir) => script(s,
       s"""load parquet.`$dir/orders.parquet` as orders;

@@ -18,9 +18,12 @@ final class SystemTableSource extends GraftSource {
     import spark.implicits._
     path.split("/")(0) match {
       case "jobs" =>
-        spark.streams.active.toSeq
-          .map(q => (Option(q.name).getOrElse(""), q.id.toString, q.isActive))
-          .toDF("name", "id", "is_active")
+        // both surfaces: streaming queries AND running batch script runs
+        (spark.streams.active.toSeq
+          .map(q => (Option(q.name).getOrElse(""), q.id.toString, q.isActive, "stream")) ++
+          graft.dsl.JobManager.list
+            .map(j => (j.name, j.groupId, true, "batch")))
+          .toDF("name", "id", "is_active", "kind")
       case "ets" => graft.ets.ETRegistry.registered.toDF("name")
       case "datasources" => DataSourceRegistry.registeredNames.toDF("name")
       case "functions" => spark.sql("show functions")

@@ -80,6 +80,106 @@ class ScriptRunnerSpec extends AnyFunSuite {
     assert(df.head().getString(0).contains("select 1"))
   }
 
+  test("set mode=compile evaluates in the preprocess pass, before any load") {
+    // the compile-stage SQL runs before the physical pass, so a later
+    // text set templated from it already sees the value at ITS preprocess run
+    val ctx = ScriptRunner.run(
+      s"""set base = '''select 40 + 2''' where type="sql" and mode="compile";
+         |set derived = "${"${base}"}x";
+         |load parquet.`$sf/region.parquet` as r_cmp;
+         |select ${"${base}"} as v from r_cmp limit 1 as out;""".stripMargin, spark)
+    assert(ctx.env("base") == "42")
+    assert(ctx.env("derived") == "42x")
+    assert(ctx.compileStaged.contains("base"))
+    assert(ctx.lastDataFrame.get.head().get(0).toString == "42")
+  }
+
+  test("set mode=compile cannot see views loaded later; runtime can") {
+    intercept[Exception] {
+      ScriptRunner.run(
+        s"""set mx = '''select max(r_regionkey) from r_late''' where type="sql" and mode="compile";
+           |load parquet.`$sf/region.parquet` as r_late;""".stripMargin, spark)
+    }
+    // same statement with (default) runtime mode works: evaluated in order
+    val ctx = ScriptRunner.run(
+      s"""load parquet.`$sf/region.parquet` as r_late2;
+         |set mx = '''select max(r_regionkey) from r_late2''' where type="sql" and mode="runtime";""".stripMargin,
+      spark)
+    assert(ctx.env("mx") == "4")
+  }
+
+  test("set physical replay does not clobber compile value; later set does overwrite") {
+    val ctx = ScriptRunner.run(
+      s"""set v = '''select 7''' where type="sql" and mode="compile";
+         |load parquet.`$sf/region.parquet` as r_ow;
+         |set v = "later";""".stripMargin, spark)
+    // the trailing text set runs physically AFTER the compile statement's
+    // physical replay (which must be a no-op), so "later" wins
+    assert(ctx.env("v") == "later")
+  }
+
+  test("set defaultParam only fills absent keys") {
+    val ctx = ScriptRunner.run(
+      """set a = "explicit";
+        |set a = "fallback" where type="defaultParam";
+        |set b = "fallback" where type="defaultParam";""".stripMargin, spark)
+    assert(ctx.env("a") == "explicit")
+    assert(ctx.env("b") == "fallback")
+  }
+
+  test("scope=un_select hides a variable from select bodies only") {
+    // (named "vaultdir", not "secret"/"password": Spark's own SQL variable
+    // substitution redacts ${...} names matching its redaction regex, which
+    // would obscure what THIS test asserts — graft-level scoping)
+    val ctx = ScriptRunner.run(
+      s"""set vaultdir = "sf0.001" where scope="un_select";
+         |set open = "r_name";
+         |load parquet.`/root/testdata/${"${vaultdir}"}/region.parquet` as r_sc;
+         |select '${"${vaultdir}"}' as leaked, ${"${open}"} from r_sc limit 1 as out;""".stripMargin,
+      spark)
+    val row = ctx.lastDataFrame.get.head()
+    // the load path resolved (table exists, row produced) but graft left the
+    // select body's placeholder unsubstituted — Spark's OWN variable
+    // substitution then blanks the unknown ${...}, so assert the value
+    // never leaked rather than the placeholder's exact residue
+    assert(row.getString(0) != "sf0.001", row.getString(0))
+    assert(ctx.unSelectKeys.contains("vaultdir"))
+  }
+
+  test("!kill cancels a running batch script from a second thread") {
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val t = new Thread(() => {
+      try ScriptRunner.run(
+        // ~1e13 md5s of real per-row work (a bare cartesian count codegens
+        // to an empty loop and finishes in seconds) — must die by
+        // cancellation. The broadcast side is SMALL (100) on purpose: the
+        // codegen'd range loop polls killTaskIfInterrupted about once per
+        // 1000 outer rows, so per-outer-row work must stay tiny for the
+        // task-kill to land promptly (a 1e6-row inner side pushed the poll
+        // interval past minutes and made this test time out).
+        """set jobName = "victim";
+          |select sum(length(md5(concat(cast(a.id as string), cast(b.id as string))))) as c
+          |  from range(100000000000) a cross join range(100) b as out;
+          |save overwrite out as parquet.`/tmp/graft_victim_out`;""".stripMargin,
+        spark)
+      catch { case e: Throwable => err.set(e) }
+    })
+    t.start()
+    var waited = 0
+    while (!graft.dsl.JobManager.list.exists(_.name == "victim") && waited < 200) {
+      Thread.sleep(50); waited += 1
+    }
+    assert(graft.dsl.JobManager.list.exists(_.name == "victim"))
+    val jobs = runDF("!jobs;")
+    assert(jobs.collect().map(_.getString(0)).contains("victim"))
+    Thread.sleep(500) // let the doomed stage actually launch
+    runDF("!kill victim;")
+    t.join(60000)
+    assert(!t.isAlive, "cancelled script thread still running")
+    assert(err.get() != null, "cancelled script should surface an error")
+    assert(!graft.dsl.JobManager.list.exists(_.name == "victim"))
+  }
+
   test("save parquet + load round-trip preserves rows") {
     val dir = Files.createTempDirectory("graft_save").toString
     val df = runDF(

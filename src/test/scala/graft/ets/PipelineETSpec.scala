@@ -199,7 +199,9 @@ class PipelineETSpec extends AnyFunSuite {
     val ds = runDF("load _mlsql_.`datasources` as d; select * from d as out;")
     assert(ds.collect().map(_.getString(0)).contains("jsonstr"))
     val jobs = runDF("load _mlsql_.`jobs` as j; select * from j as out;")
-    assert(jobs.columns.toSeq == Seq("name", "id", "is_active"))
+    assert(jobs.columns.toSeq == Seq("name", "id", "is_active", "kind"))
+    // the script reading the table is itself a registered batch job
+    assert(jobs.collect().exists(_.getString(3) == "batch"))
   }
 
   test("modelParams reads saved model metadata") {
