@@ -11,11 +11,21 @@ import org.apache.spark.sql.SparkSession
   * same names and semantics, re-implemented as plain Scala closures over
   * `org.apache.spark.ml.linalg` types).
   *
-  * Omissions vs the reference, per SURVEY §2.5: crawler egress functions
-  * (network), `sleep`, `parse` (word segmentation — needs an NLP jar), and
-  * names that now collide with Spark built-ins (`array_intersect`,
-  * `array_slice`→`slice`, `array_concat`→`concat`) where the native,
-  * codegen'd version is strictly better.
+  * Deliberate deviations vs the reference, per SURVEY §2.5:
+  *  - `array_intersect` is NOT re-registered: Spark's codegen'd builtin of
+  *    the same name covers it (difference: the builtin dedups the result,
+  *    the reference's `Seq.intersect` keeps multiplicity — scripts relying
+  *    on duplicate survivors must dedup explicitly);
+  *  - network-egress crawler functions (`crawler_http`, `crawler_request`,
+  *    `crawler_request_image`) are registered but fail with a clear
+  *    offline-build error on use;
+  *  - `parse` (ansj NLP segmentation) loads ansj reflectively exactly like
+  *    the reference and falls back to a deterministic CJK-char/whitespace
+  *    segmenter when the jar is absent;
+  *  - `crawler_auto_extract_body` (boilerpipe in the reference) is an
+  *    honest tag-stripping heuristic, `crawler_extract_xpath` (JsoupXpath)
+  *    handles well-formed XML only (null on unparseable input, as the
+  *    reference returns null on extraction failure).
   *
   * Scale note: per-row closures (no state, no driver data); vector math is
   * O(d) per row. For the similarity hot paths prefer the codegen'd
@@ -146,7 +156,101 @@ object UDFPack {
     u.register("timeMinus", (ms: Long, amount: String) => ms - parseDuration(amount))
     u.register("timeAgo", (amount: String) => System.currentTimeMillis() - parseDuration(amount))
 
+    // ---- reference Functions.scala tail (:41-48 parse, :62-67 sleep,
+    //      :316-339 array_slice/array_concat, :407-412 decodeKafka,
+    //      :459-462 two-arg byteStringAs) ----
+    u.register("sleep", (ms: Long) => { Thread.sleep(ms); "" })
+    u.register("parse", (s: String) => segment(s))
+    u.register("decodeKafka", (b: Array[Byte]) => new String(b, "UTF-8"))
+    u.register("array_slice", (a: Seq[String], from: Int, to: Int) =>
+      if (to == -1) a.slice(from, a.length) else a.slice(from, to))
+    u.register("array_concat", (a: Seq[Seq[String]]) => a.flatten)
+    u.register("byteStringAs", (s: String, unit: String) =>
+      parseByteString(s, 1L) / (unit.toUpperCase match {
+        case "BYTE" | "B" => 1L
+        case "KiB" | "KIB" | "KB" => 1024L
+        case "MiB" | "MIB" | "MB" => 1024L * 1024
+        case "GiB" | "GIB" | "GB" => 1024L * 1024 * 1024
+        case "TiB" | "TIB" | "TB" => 1024L * 1024 * 1024 * 1024
+        case other => throw new IllegalArgumentException(s"unknown byte unit '$other'")
+      }))
+
+    // ---- crawler pack (reference: tech/mlsql/crawler/udf/Functions.scala) ----
+    u.register("crawler_auto_extract_title", (html: String) =>
+      if (html == null) null
+      else "(?is)<title[^>]*>(.*?)</title>".r.findFirstMatchIn(html)
+        .map(_.group(1).trim).orNull)
+    u.register("crawler_auto_extract_body", (html: String) =>
+      if (html == null) null else extractBody(html))
+    u.register("crawler_extract_xpath", (html: String, xpath: String) =>
+      extractXpath(html, xpath))
+    def egress(name: String): String => String = (_: String) =>
+      throw new UnsupportedOperationException(
+        s"$name requires network egress, which is not available in this offline build")
+    u.register("crawler_http", (url: String, method: String, params: Map[String, String]) =>
+      egress("crawler_http")(url))
+    u.register("crawler_request", egress("crawler_request"))
+    u.register("crawler_request_image", egress("crawler_request_image"))
+
     spark.conf.set("spark.graft.udfpack.registered", "true")
+  }
+
+  /** `parse`: ansj NLP segmentation via reflection when the jar is present
+    * (exactly the reference's loading strategy, Functions.scala:42-48);
+    * otherwise a deterministic fallback — CJK codepoints one token each,
+    * latin/digit runs whitespace-delimited.
+    */
+  private[functions] def segment(s: String): Seq[String] = {
+    if (s == null) return null
+    try {
+      val parseMethod = Class.forName("org.ansj.splitWord.analysis.NlpAnalysis")
+        .getMethod("parse", classOf[String])
+      val tmp = parseMethod.invoke(null, s)
+      val terms = tmp.getClass.getMethod("getTerms").invoke(tmp)
+        .asInstanceOf[java.util.List[AnyRef]]
+      import scala.jdk.CollectionConverters._
+      terms.asScala.toSeq.map(t => t.getClass.getMethod("getName").invoke(t).toString)
+    } catch {
+      case _: ClassNotFoundException =>
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        val cur = new StringBuilder
+        def flush(): Unit = if (cur.nonEmpty) { out += cur.toString; cur.clear() }
+        s.foreach { ch =>
+          if (Character.isIdeographic(ch)) { flush(); out += ch.toString }
+          else if (Character.isLetterOrDigit(ch)) cur.append(ch)
+          else flush()
+        }
+        flush()
+        out.toSeq
+    }
+  }
+
+  /** Tag-stripping article-text heuristic standing in for the reference's
+    * boilerpipe ArticleExtractor (no such jar offline): drop script/style
+    * subtrees, strip tags, decode the common entities, collapse whitespace.
+    */
+  private[functions] def extractBody(html: String): String =
+    html.replaceAll("(?is)<(script|style)[^>]*>.*?</\\1>", " ")
+      .replaceAll("(?s)<!--.*?-->", " ")
+      .replaceAll("(?s)<[^>]+>", " ")
+      .replace("&nbsp;", " ").replace("&amp;", "&")
+      .replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
+      .replaceAll("\\s+", " ").trim
+
+  /** XPath 1.0 over well-formed XML via the JDK's parser; null when the
+    * input does not parse or the expression matches nothing (the reference
+    * returns null on extraction failure too).
+    */
+  private[functions] def extractXpath(html: String, xpath: String): String = {
+    if (html == null) return null
+    try {
+      val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+        .newDocumentBuilder()
+        .parse(new java.io.ByteArrayInputStream(html.getBytes("UTF-8")))
+      val res = javax.xml.xpath.XPathFactory.newInstance().newXPath()
+        .evaluate(xpath, doc)
+      if (res == null || res.isEmpty) null else res
+    } catch { case _: Exception => null }
   }
 
   /** "3 day" / "2 hour" / "30 minute" / "10 second" → millis. */

@@ -296,6 +296,36 @@ object Funcs {
         | ROUND(QUANTILE_CONT(l_quantity, 0.9), 4) AS p90_qty,
         | ROUND(QUANTILE_CONT(l_extendedprice, 0.25), 2) AS p25_price,
         | ROUND(QUANTILE_CONT(l_extendedprice, 0.99), 2) AS p99_price
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // ---- UDF-pack tail (p17 technique: deterministic inputs -> literal
+    //      VALUES oracle, since these run graft-registered UDFs DuckDB
+    //      lacks): parse fallback segmentation, array_slice/array_concat,
+    //      decodeKafka, byteStringAs, crawler title/body/xpath ----
+    QuerySpec.sql("f16_udf_tail", (s, dir) => {
+      graft.functions.UDFPack.register(s)
+      s.sql(
+        """SELECT id,
+          |  array_join(parse(txt), '|') AS parsed,
+          |  array_join(array_slice(split(txt, ' '), 0, 2), '|') AS sliced,
+          |  array_join(array_concat(array(split(txt, ' '), array('z'))), '|') AS concatted,
+          |  decodeKafka(cast(txt as binary)) AS decoded,
+          |  byteStringAs(bytes, 'KB') AS kb,
+          |  crawler_auto_extract_title(html) AS title,
+          |  crawler_auto_extract_body(html) AS body,
+          |  crawler_extract_xpath(html, '/html/body/p') AS xp
+          |FROM VALUES
+          |  (1, 'alpha beta gamma', '2048', '<html><head><title>T1</title></head><body><p>Hello</p></body></html>'),
+          |  (2, 'one two', '1mb', '<html><head><title> T2 </title><style>p{}</style></head><body><p>World</p></body></html>')
+          |  t(id, txt, bytes, html)
+          |ORDER BY id""".stripMargin)
+    },
+      """SELECT * FROM (VALUES
+        | (1, 'alpha|beta|gamma', 'alpha|beta', 'alpha|beta|gamma|z', 'alpha beta gamma',
+        |  CAST(2 AS BIGINT), 'T1', 'T1 Hello', 'Hello'),
+        | (2, 'one|two', 'one|two', 'one|two|z', 'one two',
+        |  CAST(1024 AS BIGINT), 'T2', 'T2 World', 'World'))
+        | t(id, parsed, sliced, concatted, decoded, kb, title, body, xp)
+        |ORDER BY id""".stripMargin)
   )
 }

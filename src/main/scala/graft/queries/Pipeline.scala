@@ -271,19 +271,34 @@ object Pipeline {
         |   (SQRT(LIST_INNER_PRODUCT(a.v, a.v)) * SQRT(LIST_INNER_PRODUCT(b.v, b.v))), 6) >= 0.45
         |ORDER BY a_id, b_id""".stripMargin),
 
-    // ---- IVF approximate ANN (FAISS-style cell pruning as Spark joins):
-    //      the query-time scale path p7's brute force cannot be — each
-    //      query batch touches ~nprobe/nlist of the corpus via an
-    //      equi-join on the KMeans cell id. Approximate -> rows-level
-    //      check; recall vs exact is pinned in PipelineETSpec. ----
-    QuerySpec.noOracle("p16_ann_ivf", (s, dir) => {
+    // ---- IVF ANN (FAISS-style cell pruning as Spark joins): the
+    //      query-time scale path p7's brute force cannot be — each query
+    //      batch touches ~nprobe/nlist of the corpus via an equi-join on
+    //      the KMeans cell id. The gate runs FULL-PROBE (nprobe = nlist):
+    //      every cell is visited, so the result provably equals exact
+    //      brute-force top-k and the p7 oracle verifies the whole IVF
+    //      plumbing (assignment, probe explode, cell join, ranking)
+    //      hash-exact. Pruned-probe recall is pinned in PipelineETSpec. ----
+    QuerySpec.sql("p16_ann_ivf", (s, dir) => {
       import s.implicits._
       val e = t(s, dir, "embeddings").select($"vec_id", $"embedding")
       val q = e.filter($"vec_id" < 10).select($"vec_id".as("qid"), $"embedding".as("qv"))
       CosineSimilarity.ivfTopK(e, q, "vec_id", "embedding", "qid", "qv",
-          k = 5, nlist = 16, nprobe = 6)
+          k = 5, nlist = 16, nprobe = 16)
         .orderBy($"qid", $"nrank")
-    }),
+    },
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10)
+        |SELECT qid, nrank, neighbor, sim FROM (
+        | SELECT q.qid, e.vec_id AS neighbor,
+        |  ROUND(LIST_INNER_PRODUCT(q.qv, e.v) /
+        |    (SQRT(LIST_INNER_PRODUCT(q.qv, q.qv)) * SQRT(LIST_INNER_PRODUCT(e.v, e.v))), 6) AS sim,
+        |  ROW_NUMBER() OVER (PARTITION BY q.qid
+        |    ORDER BY ROUND(LIST_INNER_PRODUCT(q.qv, e.v) /
+        |      (SQRT(LIST_INNER_PRODUCT(q.qv, q.qv)) * SQRT(LIST_INNER_PRODUCT(e.v, e.v))), 6) DESC,
+        |      e.vec_id) AS nrank
+        | FROM q JOIN e ON e.vec_id <> q.qid) t
+        |WHERE nrank <= 5 ORDER BY qid, nrank""".stripMargin),
 
     // ---- language-ID heuristic (stopword profiles; per-row, no UDF).
     //      The oracle computes the SAME deterministic heuristic in SQL —
@@ -298,20 +313,6 @@ object Pipeline {
     },
       graft.operators.text.TextAnalysis.duckdbLangPredSubquery(Seq("doc_id")) +
         "\nORDER BY doc_id"),
-
-    // ---- winnowing fingerprint near-dup (SIGMOD'03 rolling-hash window
-    //      minima via the native WinnowFingerprints expression; no DuckDB
-    //      analog of the hash -> rows-level determinism check only). ----
-    //      Parameters sized for the fixture's tiny vocabulary: short char
-    //      grams are corpus-wide here, so k=24 (~4 words) with a tight
-    //      df-cap keeps the posting lists selective — the same tuning a
-    //      boilerplate-heavy web corpus needs at 100 TB.
-    QuerySpec.noOracle("p15_winnow_fingerprint", (s, dir) => {
-      import s.implicits._
-      TextDedup.winnowSelfJoin(t(s, dir, "documents"), "doc_id", "text",
-          k = 24, w = 8, minShared = 2, maxDocFreq = 50)
-        .orderBy($"a_id", $"b_id")
-    }),
 
     // ---- int8 scalar quantization of embeddings (the 4× storage cut a
     //      100 TB embedding corpus needs): per-vector symmetric scale,
@@ -436,12 +437,45 @@ object Pipeline {
 
     // ---- SimHash near-dup: 64-bit signature per doc, 16-bit chunk
     //      banding (pigeonhole-complete for hamming ≤ 3). Spark-side
-    //      xxhash64 has no DuckDB equivalent, so this is a rows-level
-    //      check only (deterministic across runs). ----
-    QuerySpec.noOracle("p13_simhash", (s, dir) => {
+    //      xxhash64 has no DuckDB equivalent, so the oracle is the p17
+    //      technique: a FIXED fixture (2 near-dup groups + an exact dup +
+    //      singletons) with the operator's deterministic output pinned as
+    //      literals — real hash_match instead of the old rows-only check.
+    //      Corpus-scale behavior stays covered by the Dedup ET + specs. ----
+    QuerySpec.sql("p13_simhash", (s, dir) => {
       import s.implicits._
-      TextDedup.simHashSelfJoin(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+      TextDedup.simHashSelfJoin(pinFixture(s), "doc_id", "text", maxHamming = 3)
         .orderBy($"a_id", $"b_id")
-    })
+    },
+      """SELECT * FROM (VALUES (1, 2, 2), (1, 4, 0), (2, 4, 2))
+        | t(a_id, b_id, hamming) ORDER BY a_id, b_id""".stripMargin),
+
+    // ---- winnowing fingerprints (SIGMOD'03 rolling-hash window minima via
+    //      the native WinnowFingerprints expression): same pinned-fixture
+    //      oracle technique as p13 — the identical pair (1,4) shares all 11
+    //      selected fingerprints, the one-word-change pairs share the same
+    //      prefix windows, the tail-change pair (3,6) shares 17. ----
+    QuerySpec.sql("p15_winnow_fingerprint", (s, dir) => {
+      import s.implicits._
+      TextDedup.winnowSelfJoin(pinFixture(s), "doc_id", "text",
+          k = 16, w = 8, minShared = 2, maxDocFreq = 50)
+        .orderBy($"a_id", $"b_id")
+    },
+      """SELECT * FROM (VALUES (1, 2, CAST(11 AS BIGINT)), (1, 4, CAST(11 AS BIGINT)),
+        | (2, 4, CAST(11 AS BIGINT)), (3, 6, CAST(17 AS BIGINT)))
+        | t(a_id, b_id, n_shared) ORDER BY a_id, b_id""".stripMargin)
   )
+
+  /** Fixed 6-doc fixture for the hash-less operators' pinned oracles
+    * (p13/p15): two near-dup groups, one exact duplicate, two singletons.
+    */
+  private def pinFixture(s: SparkSession): DataFrame = s.sql(
+    """SELECT * FROM VALUES
+      | (1, 'the quick brown fox jumps over the lazy dog and runs far away into the night'),
+      | (2, 'the quick brown fox jumps over the lazy dog and runs far away into the day'),
+      | (3, 'completely different content about spark distributed query engines and caching layers'),
+      | (4, 'the quick brown fox jumps over the lazy dog and runs far away into the night'),
+      | (5, 'unrelated short text snippet'),
+      | (6, 'completely different content about spark distributed query engines and caching towers')
+      | t(doc_id, text)""".stripMargin)
 }

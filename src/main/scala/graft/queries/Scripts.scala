@@ -190,11 +190,21 @@ object Scripts {
       """SELECT n_nationkey, n_name FROM nation
         |WHERE n_regionkey < 3 ORDER BY n_nationkey""".stripMargin),
 
-    // ---- RateSampler: rows-only (random assignment has no SQL oracle) ----
-    QuerySpec.noOracle("s9_script_split", (s, dir) => script(s,
+    // ---- RateSampler: the per-row random assignment has no SQL oracle,
+    //      but its CONTRACT does — row preservation and the 80/20 split
+    //      ratio within a Bernoulli tolerance. The Spark side reduces the
+    //      split to those checkable facts; DuckDB independently supplies
+    //      the expected row count and the literal bounds verdicts. ----
+    QuerySpec.sql("s9_script_split", (s, dir) => script(s,
       s"""load parquet.`$dir/orders.parquet` as orders;
          |run orders as RateSampler.`` where labelCol="o_orderstatus"
          |  and sampleRate="0.8,0.2" and seed="42" as sp;
-         |select o_orderkey, __split__ from sp order by o_orderkey as s9_out;""".stripMargin))
+         |select count(*) as n_rows,
+         |  count(distinct __split__) as n_splits,
+         |  abs(avg(case when __split__ = 0 then 1.0 else 0.0 end) - 0.8) < 0.02 as share0_ok,
+         |  abs(avg(case when __split__ = 1 then 1.0 else 0.0 end) - 0.2) < 0.02 as share1_ok
+         |from sp as s9_out;""".stripMargin),
+      """SELECT (SELECT COUNT(*) FROM orders) AS n_rows,
+        | CAST(2 AS BIGINT) AS n_splits, true AS share0_ok, true AS share1_ok""".stripMargin)
   )
 }

@@ -57,6 +57,29 @@ class UDFPackSpec extends AnyFunSuite {
     assert(one("select length(uuid())") == 32)
   }
 
+  test("udf tail: parse fallback, sleep, array_slice/concat, decodeKafka, byteStringAs") {
+    assert(one("select parse('hello world42 x')") == Seq("hello", "world42", "x"))
+    // CJK codepoints segment one char each in the fallback
+    assert(one("select parse('天气nice')") == Seq("天", "气", "nice"))
+    assert(one("select array_slice(array('a','b','c','d'), 1, -1)") == Seq("b", "c", "d"))
+    assert(one("select array_slice(array('a','b','c','d'), 0, 2)") == Seq("a", "b"))
+    assert(one("select array_concat(array(array('a'), array('b','c')))") == Seq("a", "b", "c"))
+    assert(one("select decodeKafka(cast('abc' as binary))") == "abc")
+    assert(one("select byteStringAs('1g', 'MB')") == 1024L)
+    assert(one("select sleep(1)") == "")
+  }
+
+  test("crawler pack: title/body/xpath heuristics; egress functions fail clearly") {
+    val html = "<html><head><title>A Title</title><script>var x=1;</script></head>" +
+      "<body><p>Body &amp; text</p></body></html>"
+    assert(one(s"select crawler_auto_extract_title('$html')") == "A Title")
+    assert(one(s"select crawler_auto_extract_body('$html')") == "A Title Body & text")
+    assert(one(s"select crawler_extract_xpath('$html', '/html/body/p')") == "Body & text")
+    assert(one("select crawler_extract_xpath('not <valid', '/a')") == null)
+    val e = intercept[Exception] { one("select crawler_request('http://x')") }
+    assert(e.getMessage.contains("egress") || e.getCause != null)
+  }
+
   test("time functions") {
     assert(one("select parseDateAsLong('19700101 00:00:01', 'yyyyMMdd HH:mm:ss')") == 1000L)
     assert(one("select parseLongAsDate(1000, 'yyyyMMdd HH:mm:ss')") == "19700101 00:00:01")
