@@ -54,6 +54,25 @@ final class ScriptContext(val spark: SparkSession, val pathPrefix: String = "") 
   }
 }
 
+/** Engine-lifetime named script fragments for `include view.`name`` /
+  * `include function.`name`` (offline analog of the reference's
+  * analyst-console include sources, IncludeAdaptor.scala:74-82 — there the
+  * store is an HTTP service, here an in-session registry fed by the
+  * ScriptFragment ET). Includes are TEXTUAL and resolve at parse time, so
+  * a fragment must be registered by an earlier script run (or an earlier
+  * statement of a wrapping RunScript), same as the reference's
+  * save-then-include flow.
+  */
+object ScriptFragmentStore {
+  private val fragments = new ConcurrentHashMap[String, String]()
+  def put(name: String, content: String): Unit = fragments.put(name, content)
+  def get(name: String): Option[String] = Option(fragments.get(name))
+  def names: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    fragments.keySet().asScala.toSeq.sorted
+  }
+}
+
 /** Global (engine-lifetime) `connect` alias store. */
 object ConnectMeta {
   private val options = new ConcurrentHashMap[(String, String), Map[String, String]]()

@@ -57,9 +57,11 @@ object ScriptRunner {
 
   /** Textual `include` splice, looping to a fixpoint, max 10 passes
     * (reference: ScriptSQLExec.scala:95-109 + IncludeAdaptor.scala:28-83).
-    * Supported source: `local` (absolute file path; relative resolved
-    * against the pathPrefix). The reference's hdfs/http/store sources are
-    * out of scope offline.
+    * Sources: `local` (file path; relative resolved against the
+    * pathPrefix) and `view`/`function` (named in-session fragments from
+    * [[ScriptFragmentStore]] — the offline analog of the reference's
+    * analyst-console includes, whose backing store there is an HTTP
+    * service). hdfs/http/store remain out of scope offline.
     */
   @tailrec
   private[dsl] def expandIncludes(script: String, ctx: ScriptContext, depth: Int = 0): String = {
@@ -72,16 +74,20 @@ object ScriptRunner {
         if (head != "include") s + ";"
         else {
           val ref = parsePathRef(nextToken(rest)._1)
-          ref.format match {
+          val content = ref.format match {
             case "local" =>
-              val content = new String(java.nio.file.Files.readAllBytes(
+              new String(java.nio.file.Files.readAllBytes(
                 java.nio.file.Paths.get(ctx.resolvePath(ref.path))), "UTF-8")
-              // terminate the splice: a file whose last statement lacks a
-              // trailing ';' must not fuse with the parent's next statement
-              if (content.trim.endsWith(";")) content else content + "\n;"
+            case "view" | "function" =>
+              ScriptFragmentStore.get(ref.path).getOrElse(throw new IllegalArgumentException(
+                s"no script fragment named '${ref.path}' — register one with " +
+                  "`run <codeTable> as ScriptFragment.`" + ref.path + "``"))
             case other => throw new IllegalArgumentException(
-              s"include source '$other' not supported (use local.`/abs/path`)")
+              s"include source '$other' not supported (local|view|function)")
           }
+          // terminate the splice: a fragment whose last statement lacks a
+          // trailing ';' must not fuse with the parent's next statement
+          if (content.trim.endsWith(";")) content else content + "\n;"
         }
       }.mkString("\n")
       expandIncludes(expanded, ctx, depth + 1)

@@ -14,7 +14,8 @@ object UtilityETs {
   def all: Seq[ET] = Seq(PivotET, TableRepartitionET, RateSamplerET, CacheExtET,
     ShowCommandET, SchemaCommandET, PrintCommandET, HDFSCommandET,
     WaterMarkInPlaceET, RunScriptET, TableToMapET, MapValuesET,
-    DicOrTableToArrayET, SchemaInferCommandET, ExplainCommandET, DataProfileET)
+    DicOrTableToArrayET, SchemaInferCommandET, ExplainCommandET, DataProfileET,
+    ScriptFragmentET)
 
   private[ets] def oneRowTable(spark: SparkSession, cols: (String, String)*): DataFrame = {
     val schema = StructType(cols.map(c => StructField(c._1, StringType)))
@@ -148,9 +149,11 @@ object SchemaCommandET extends NoPathET {
 }
 
 /** `run t as DataProfile.`` — per-column profile: type, null count,
-  * approx distinct, min/max (one pass; approx_count_distinct keeps the
-  * aggregation sketch-sized at any scale). The data-quality first step of
-  * every training-data pipeline.
+  * approx distinct, min/max, and (numeric columns) approx quantiles
+  * p25/p50/p75/p95 — still ONE pass: every statistic is a sketch-sized
+  * aggregate (approx_count_distinct HLL, approx_percentile KLL) in a
+  * single `agg`, so the profile costs one scan at any scale. The
+  * data-quality first step of every training-data pipeline.
   */
 object DataProfileET extends NoPathET {
   override def name = "DataProfile"
@@ -158,24 +161,62 @@ object DataProfileET extends NoPathET {
                      params: Map[String, String]): DataFrame = {
     val spark = ctx.spark
     import spark.implicits._
+    import org.apache.spark.sql.types.NumericType
     val total = count(lit(1))
+    val numeric = df.schema.fields
+      .filter(_.dataType.isInstanceOf[NumericType]).map(_.name).toSet
+    val accuracy = params.getOrElse("percentileAccuracy", "10000")
     val aggs = df.schema.fields.flatMap { f =>
       val c = col(f.name)
-      Seq(
+      val base = Seq(
         sum(when(c.isNull, 1).otherwise(0)).cast("long").as(s"${f.name}__nulls"),
         approx_count_distinct(c).as(s"${f.name}__distinct"),
         min(c).cast("string").as(s"${f.name}__min"),
         max(c).cast("string").as(s"${f.name}__max"))
+      if (numeric(f.name))
+        base :+ expr(
+          s"approx_percentile(`${f.name}`, array(0.25, 0.5, 0.75, 0.95), $accuracy)")
+          .cast("array<double>").as(s"${f.name}__pct")
+      else base
     }
     val row = df.agg(total.as("__total__"), aggs.toSeq: _*).head()
     val totalRows = row.getLong(0)
     df.schema.fields.map { f =>
+      val pct =
+        if (numeric(f.name)) Option(row.getAs[scala.collection.Seq[Double]](s"${f.name}__pct"))
+        else None
       (f.name, f.dataType.simpleString, totalRows,
         row.getAs[Long](s"${f.name}__nulls"),
         row.getAs[Long](s"${f.name}__distinct"),
         row.getAs[String](s"${f.name}__min"),
-        row.getAs[String](s"${f.name}__max"))
-    }.toSeq.toDF("column", "type", "n_rows", "n_nulls", "approx_distinct", "min", "max")
+        row.getAs[String](s"${f.name}__max"),
+        pct.map(_(0)).map(Double.box).orNull,
+        pct.map(_(1)).map(Double.box).orNull,
+        pct.map(_(2)).map(Double.box).orNull,
+        pct.map(_(3)).map(Double.box).orNull)
+    }.toSeq.toDF("column", "type", "n_rows", "n_nulls", "approx_distinct",
+      "min", "max", "p25", "p50", "p75", "p95")
+  }
+}
+
+/** `run codeTable as ScriptFragment.`name`` (or `where code='''...'''`) —
+  * register a named script fragment for later `include view.`name`` /
+  * `include function.`name`` splices ([[graft.dsl.ScriptFragmentStore]]).
+  * The code comes from the `code` param or the input table's single-row
+  * `content` column (the `load script.`...`` shape).
+  */
+object ScriptFragmentET extends NoPathET {
+  override def name = "ScriptFragment"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    require(path.nonEmpty, "ScriptFragment requires a fragment name: ScriptFragment.`name`")
+    val code = params.getOrElse("code", {
+      val colName = params.getOrElse("inputCol", "content")
+      df.select(colName).head().getString(0)
+    })
+    graft.dsl.ScriptFragmentStore.put(path, code)
+    UtilityETs.oneRowTable(ctx.spark, "fragment" -> path,
+      "chars" -> code.length.toString)
   }
 }
 

@@ -25,12 +25,18 @@ final class SystemTableSource extends GraftSource {
             .map(j => (j.name, j.groupId, true, "batch")))
           .toDF("name", "id", "is_active", "kind")
       case "ets" => graft.ets.ETRegistry.registered.toDF("name")
+      case "streamEvents" | "streamevents" =>
+        // also installs the listener, so a monitoring script attaching
+        // before any stream starts still sees every event
+        graft.streaming.StreamEventLog.install(spark)
+        graft.streaming.StreamEventLog.toDF(spark)
       case "datasources" => DataSourceRegistry.registeredNames.toDF("name")
       case "functions" => spark.sql("show functions")
       case "version" =>
         Seq(("graft", spark.version)).toDF("engine", "spark_version")
       case other => throw new IllegalArgumentException(
-        s"unknown system table '_mlsql_.`$other`' (jobs|ets|datasources|functions|version)")
+        s"unknown system table '_mlsql_.`$other`' " +
+          "(jobs|ets|datasources|functions|version|streamEvents)")
     }
   }
 }

@@ -104,6 +104,9 @@ object StreamSinks {
     val name = ctx.streamName.getOrElse(
       throw new IllegalArgumentException(
         "streaming scripts require `set streamName=\"...\"` before save"))
+    // lifecycle events (started/progress/terminated) recorded to the
+    // _mlsql_.streamEvents system table; attach BEFORE the query starts
+    StreamEventLog.install(ctx.spark)
     val fmt = format.toLowerCase match {
       case "streamparquet" => "parquet"
       case "streamcsv" => "csv"

@@ -144,6 +144,28 @@ class ETSpec extends AnyFunSuite {
     val nk = byCol("n_nationkey")
     assert(nk.getLong(2) == 25 && nk.getLong(3) == 0) // rows, nulls
     assert(nk.getString(5) == "0" && nk.getString(6) == "24") // min/max
+    // numeric columns carry one-pass approx quantiles; strings stay null
+    assert(nk.getDouble(8) == 12.0) // p50 of 0..24
+    assert(nk.getDouble(7) <= nk.getDouble(9) && nk.getDouble(9) <= nk.getDouble(10))
+    assert(byCol("n_name").isNullAt(8))
+  }
+
+  test("ScriptFragment ET + include view splices a registered fragment") {
+    runDF(
+      s"""run command as ScriptFragment.`mkRegions` where
+         |  code='''load parquet.`$sf/region.parquet` as regions_frag''' as fr;""".stripMargin)
+    val df = runDF(
+      """include view.`mkRegions`;
+        |select count(*) as n from regions_frag as out;""".stripMargin)
+    assert(df.head().getLong(0) == 5)
+    // include twice in one script still resolves (fixpoint splice)
+    val df2 = runDF(
+      """include view.`mkRegions`;
+        |include function.`mkRegions`;
+        |select count(*) as n from regions_frag as out;""".stripMargin)
+    assert(df2.head().getLong(0) == 5)
+    val e = intercept[IllegalArgumentException] { runDF("include view.`missing_frag`;") }
+    assert(e.getMessage.contains("no script fragment"))
   }
 
   test("!explain returns the formatted physical plan") {

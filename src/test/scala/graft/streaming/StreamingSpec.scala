@@ -27,6 +27,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("s1").count() == 5)
   }
 
+  test("stream lifecycle events land in the _mlsql_.streamEvents system table") {
+    val ctx = ScriptRunner.run(
+      s"""set streamName = "evlog1";
+         |load parquet.`$sf/region.parquet` as r_ev;
+         |load mockStream.`r_ev` as r_evs;
+         |save append r_evs as memory.`` where mode="append"
+         |  and checkpointLocation="${java.nio.file.Files.createTempDirectory("ck_ev")}";""".stripMargin,
+      spark)
+    val q = ctx.streams("evlog1")
+    q.processAllAvailable()
+    q.stop()
+    // listener delivery is async; poll briefly for the terminated event
+    def events() = ScriptRunner.runToDF(
+      """load _mlsql_.`streamEvents` as ev;
+        |select name, id, event from ev as out;""".stripMargin, spark).collect()
+    var tries = 0
+    while (tries < 50 && !events().exists(r =>
+      r.getString(1) == q.id.toString && r.getString(2).startsWith("terminated"))) {
+      Thread.sleep(100); tries += 1
+    }
+    val evs = events().filter(_.getString(1) == q.id.toString)
+    assert(evs.exists(r => r.getString(2) == "started" && r.getString(0) == "evlog1"))
+    assert(evs.exists(_.getString(2) == "progress"))
+    assert(evs.exists(_.getString(2).startsWith("terminated")))
+  }
+
   test("streaming save without streamName fails loudly") {
     val e = intercept[IllegalArgumentException] {
       ScriptRunner.run(
