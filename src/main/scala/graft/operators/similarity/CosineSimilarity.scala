@@ -280,8 +280,6 @@ object CosineSimilarity {
   private[graft] def fitOrLoadCentroids(
       df: DataFrame, vecCol: String, nlist: Int, seed: Long,
       centroidsPath: Option[String]): Array[Array[Double]] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val spark = df.sparkSession
     centroidsPath.filter { p =>
       val path = new org.apache.hadoop.fs.Path(p)
@@ -291,12 +289,14 @@ object CosineSimilarity {
         spark.read.parquet(p).orderBy("cell")
           .collect().map(_.getSeq[Double](1).toArray)
       case None =>
+        // seeded Lloyd's over a bounded driver-side sample (≤4000 rows,
+        // one randomized scan to collect): centers only steer PRUNING —
+        // correctness never depends on them — so a driver mini-fit beats
+        // paying spark.ml pipeline overhead per call by ~1s at every scale
         val sample = df.select(col(vecCol).cast("array<double>").as("__arr__"))
           .orderBy(rand(seed)).limit(4000)
-          .withColumn("__features__", array_to_vector(col("__arr__")))
-        val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(6)
-          .setFeaturesCol("__features__").fit(sample)
-        val centers = model.clusterCenters.map(_.toArray)
+          .collect().map(_.getSeq[Double](0).toArray)
+        val centers = lloyd(sample, nlist, seed, iters = 8)
         centroidsPath.foreach { p =>
           import spark.implicits._
           centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
@@ -304,6 +304,54 @@ object CosineSimilarity {
         }
         centers
     }
+  }
+
+  /** Seeded Lloyd's iterations on an in-memory sample. Deterministic;
+    * empty clusters keep their previous center. Returns ≤ k centers
+    * (k capped at the sample size).
+    */
+  private[graft] def lloyd(points: Array[Array[Double]], k: Int, seed: Long,
+                           iters: Int): Array[Array[Double]] = {
+    require(points.nonEmpty, "lloyd: empty sample")
+    val n = points.length
+    val kk = math.min(k, n)
+    val rnd = new java.util.Random(seed)
+    // seeded init: k distinct sample points (shuffled index prefix)
+    val idx = rnd.ints(0, n).distinct().limit(kk).toArray
+    var centers = idx.map(points(_).clone())
+    val assign = new Array[Int](n)
+    var it = 0
+    while (it < iters) {
+      var i = 0
+      while (i < n) {
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < centers.length) {
+          val ctr = centers(c); var d = 0.0; var j = 0
+          val dim = math.min(ctr.length, points(i).length)
+          while (j < dim) { val t = ctr(j) - points(i)(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        assign(i) = best
+        i += 1
+      }
+      val sums = Array.fill(centers.length)(new Array[Double](points(0).length))
+      val counts = new Array[Int](centers.length)
+      i = 0
+      while (i < n) {
+        val a = assign(i); val p = points(i); var j = 0
+        val dim = math.min(sums(a).length, p.length)
+        while (j < dim) { sums(a)(j) += p(j); j += 1 }
+        counts(a) += 1
+        i += 1
+      }
+      centers = centers.indices.map { c =>
+        if (counts(c) == 0) centers(c)
+        else sums(c).map(_ / counts(c))
+      }.toArray
+      it += 1
+    }
+    centers
   }
 
   /** EXACT cosine self-join above `threshold` via KMeans-cell blocking — the
@@ -339,7 +387,7 @@ object CosineSimilarity {
     val spark = df.sparkSession
     import spark.implicits._
     val vecs = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-    if (vecs.head(1).isEmpty) return exactSelfJoin(df, idCol, vecCol, threshold)
+    if (df.isEmpty) return exactSelfJoin(df, idCol, vecCol, threshold)
     val centers = fitOrLoadCentroids(df, vecCol, nlist, seed, centroidsPath)
     val bcCenters = spark.sparkContext.broadcast(centers)
 
@@ -386,9 +434,13 @@ object CosineSimilarity {
       .join(b, Seq("cb"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))
+    // arrays re-attached from the CACHED assignment (not a fresh source
+    // scan); both sides are the deduped corpus projection, so AQE
+    // broadcasts them when they fit
+    val withVec = assigned.select(col("id"), col("v"))
     candidates
-      .join(vecs.select(col("id").as("a_id"), col("v").as("av")), "a_id")
-      .join(vecs.select(col("id").as("b_id"), col("v").as("bv")), "b_id")
+      .join(withVec.select(col("id").as("a_id"), col("v").as("av")), "a_id")
+      .join(withVec.select(col("id").as("b_id"), col("v").as("bv")), "b_id")
       .withColumn("sim", round(cosine(col("av"), col("bv")), 6))
       .filter(col("sim") >= threshold)
       .select(col("a_id"), col("b_id"), col("sim"))
