@@ -15,7 +15,7 @@ object UtilityETs {
     ShowCommandET, SchemaCommandET, PrintCommandET, HDFSCommandET,
     WaterMarkInPlaceET, RunScriptET, TableToMapET, MapValuesET,
     DicOrTableToArrayET, SchemaInferCommandET, ExplainCommandET, DataProfileET,
-    ScriptFragmentET)
+    ScriptFragmentET, TableCompactionET)
 
   private[ets] def oneRowTable(spark: SparkSession, cols: (String, String)*): DataFrame = {
     val schema = StructType(cols.map(c => StructField(c._1, StringType)))
@@ -73,13 +73,15 @@ object TableRepartitionET extends NoPathET {
   * sampleRate="0.8,0.2" [and seed="42"]` — random split adding a
   * `__split__` column (reference: SQLRateSampler.scala:34-136).
   *
-  * Semantics note: per-row Bernoulli assignment (`rand(seed)` bucketed by
-  * the cumulative rates), like `randomSplit`/`sampleByKey` — per-label
-  * proportions hold IN EXPECTATION only; a rare label can deviate (it can
-  * in the reference too, which samples per label with the same Bernoulli
-  * draw). No shuffle, no per-label window, so label skew is irrelevant at
-  * 100 TB. `labelCol` is accepted for reference-script compatibility and
-  * reserved for an exact-quota mode.
+  * Semantics note: the default is per-row Bernoulli assignment
+  * (`rand(seed)` bucketed by the cumulative rates), like
+  * `randomSplit`/`sampleByKey` — per-label proportions hold IN EXPECTATION
+  * only (as in the reference, which samples per label with the same
+  * Bernoulli draw), and there is NO shuffle, so label skew is irrelevant
+  * at 100 TB. `strategy="exact"` instead fills per-label quotas exactly
+  * (row_number over a seeded shuffle within each label): one window
+  * shuffle on `labelCol` — use when a rare label must hit its fraction to
+  * the row, and salt/split upstream if one label dominates the corpus.
   */
 object RateSamplerET extends NoPathET {
   override def name = "RateSampler"
@@ -89,11 +91,26 @@ object RateSamplerET extends NoPathET {
     require(math.abs(rates.sum - 1.0) < 1e-9, s"sampleRate must sum to 1, got ${rates.mkString(",")}")
     val seed = params.getOrElse("seed", "42").toLong
     val cum = rates.scanLeft(0.0)(_ + _).tail // upper bound per split
-    val r = rand(seed)
-    val splitCol = cum.init.zipWithIndex.foldRight(lit(cum.length - 1): org.apache.spark.sql.Column) {
-      case ((ub, idx), acc) => when(r < ub, idx).otherwise(acc)
+    params.getOrElse("strategy", "bernoulli") match {
+      case "bernoulli" =>
+        val r = rand(seed)
+        val splitCol = cum.init.zipWithIndex.foldRight(lit(cum.length - 1): org.apache.spark.sql.Column) {
+          case ((ub, idx), acc) => when(r < ub, idx).otherwise(acc)
+        }
+        df.withColumn("__split__", splitCol)
+      case "exact" =>
+        val label = col(params.getOrElse("labelCol",
+          throw new IllegalArgumentException("strategy=\"exact\" requires labelCol")))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(label)
+        val frac = (row_number().over(w.orderBy(rand(seed))) - lit(1)).cast("double") /
+          count(lit(1)).over(w)
+        val splitCol = cum.init.zipWithIndex.foldRight(lit(cum.length - 1): org.apache.spark.sql.Column) {
+          case ((ub, idx), acc) => when(frac < ub, idx).otherwise(acc)
+        }
+        df.withColumn("__split__", splitCol)
+      case other => throw new IllegalArgumentException(
+        s"RateSampler strategy must be bernoulli|exact, got '$other'")
     }
-    df.withColumn("__split__", splitCol)
   }
 }
 
@@ -196,6 +213,56 @@ object DataProfileET extends NoPathET {
         pct.map(_(3)).map(Double.box).orNull)
     }.toSeq.toDF("column", "type", "n_rows", "n_nulls", "approx_distinct",
       "min", "max", "p25", "p50", "p75", "p95")
+  }
+}
+
+/** `run command as TableCompaction.`/warehouse/t`` — small-file compaction
+  * for a parquet/orc/json/csv directory: rewrite to
+  * ceil(totalBytes / targetFileSizeMB) files, optionally range-sorted by
+  * `sortBy` columns so min/max footer stats prune scans afterwards. The
+  * housekeeping operator every long-lived 100 TB table needs (streaming
+  * sinks and frequent small batches accrete KB-sized files whose per-file
+  * open/seek overhead dominates scans; the reference defers this to Delta's
+  * OPTIMIZE, which needs the delta jar). The rewrite goes to a temp dir
+  * and is promoted with the same move-aside swap as the CDC sink.
+  */
+object TableCompactionET extends ET {
+  override def name = "TableCompaction"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    require(path.nonEmpty, "TableCompaction requires a directory path")
+    val spark = ctx.spark
+    val fmt = params.getOrElse("format", "parquet")
+    val targetMB = params.getOrElse("targetFileSizeMB", "128").toLong
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new Path(path)
+    // count DATA files only (skip _SUCCESS/.crc markers), recursively
+    def dataFiles(p: Path): Long = fs.listStatus(p).map { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory) dataFiles(st.getPath)
+      else if (n.startsWith("_") || n.startsWith(".")) 0L
+      else 1L
+    }.sum
+    val nFiles = dataFiles(target)
+    val bytes = fs.getContentSummary(target).getLength
+    val nOut = math.max(1L, math.ceil(bytes.toDouble / (targetMB * 1024 * 1024)).toLong).toInt
+    val data = spark.read.format(fmt).load(path)
+    val sorted = params.get("sortBy").map(_.split(",").map(c => col(c.trim)).toSeq) match {
+      case Some(cols) => data.repartitionByRange(nOut, cols: _*).sortWithinPartitions(cols: _*)
+      case None => data.repartition(nOut)
+    }
+    val tmp = path.stripSuffix("/") + "__compact_tmp__"
+    sorted.write.mode("overwrite").format(fmt).save(tmp)
+    val old = new Path(path.stripSuffix("/") + "__compact_old__")
+    if (fs.exists(old)) fs.delete(old, true)
+    require(fs.rename(target, old), s"compaction: cannot move $path aside")
+    require(fs.rename(new Path(tmp), target), s"compaction: cannot promote $tmp")
+    fs.delete(old, true)
+    UtilityETs.oneRowTable(spark,
+      "path" -> path, "files_before" -> nFiles.toString,
+      "files_after" -> dataFiles(target).toString,
+      "bytes" -> bytes.toString, "target_files" -> nOut.toString)
   }
 }
 

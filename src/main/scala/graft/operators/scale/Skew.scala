@@ -50,4 +50,41 @@ object Skew {
       .groupBy(keyCols.map(col): _*)
       .agg(sum(col("__partial__")).as(s"sum_$valueCol"))
   }
+
+  /** Bloom-filter semi-join reduction: build a Bloom filter over the
+    * (small) build side's join key, broadcast it, and pre-filter the big
+    * probe side BEFORE the shuffle join. At 100 TB this is the standard
+    * way to avoid shuffling probe rows that cannot match — the filter is
+    * KBs–MBs for millions of keys, and false positives only cost a little
+    * extra shuffle (the exact join afterwards removes them), so the final
+    * result is EXACTLY the plain join's. Expected items are taken from
+    * `expectedItems` or counted with one scan of the build side.
+    */
+  def bloomFilteredJoin(big: DataFrame, small: DataFrame, keyCol: String,
+                        joinType: String = "inner", fpp: Double = 0.01,
+                        expectedItems: Long = -1L): DataFrame = {
+    val allowed = Set("inner", "left_semi", "leftsemi")
+    require(allowed.contains(joinType.toLowerCase.replace(" ", "")),
+      s"bloomFilteredJoin supports inner/left_semi, got '$joinType' — outer " +
+        "joins must keep non-matching probe rows, which the filter drops")
+    val n = if (expectedItems > 0) expectedItems else small.select(keyCol).distinct().count()
+    val bloom = small.stat.bloomFilter(keyCol, math.max(n, 1L), fpp)
+    val bc = big.sparkSession.sparkContext.broadcast(bloom)
+    // probe with the same representation stat.bloomFilter inserted:
+    // longs for integral key types, strings for string keys
+    import org.apache.spark.sql.types._
+    val pred = big.schema(keyCol).dataType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
+          .apply(col(keyCol).cast("long"))
+      case StringType =>
+        udf((k: String) => k != null && bc.value.mightContainString(k)).apply(col(keyCol))
+      case other => throw new IllegalArgumentException(
+        s"bloomFilteredJoin: unsupported key type $other (integral or string)")
+    }
+    val prefiltered = big.filter(pred)
+    if (Set("left_semi", "leftsemi").contains(joinType.toLowerCase.replace(" ", "")))
+      prefiltered.join(small.select(keyCol).distinct(), Seq(keyCol), "left_semi")
+    else prefiltered.join(small, Seq(keyCol), joinType)
+  }
 }

@@ -622,6 +622,32 @@ object Rel {
         |    COUNT(DISTINCT event_type) AS n_types FROM sess GROUP BY user_id, session_id)
         |SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions,
         |  MAX(n_events) AS max_session_events, MAX(n_types) AS max_session_types
-        |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin)
+        |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin),
+
+    // ---- bloom-filtered join: build a Bloom filter over the (selective)
+    //      build side's key, broadcast it, pre-filter the probe side BEFORE
+    //      its shuffle — at 100 TB the probe rows that cannot match never
+    //      leave their input partitions. The exact join afterwards removes
+    //      bloom false positives, so the result (and this oracle) is
+    //      EXACTLY the plain join's. ----
+    QuerySpec.sql("q36_bloom_join", (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders").filter($"o_totalprice" > 400000)
+        .select($"o_orderkey", $"o_totalprice")
+      val lineitem = t(s, dir, "lineitem")
+        .select($"l_orderkey".as("o_orderkey"), $"l_quantity", $"l_extendedprice")
+      graft.operators.scale.Skew.bloomFilteredJoin(lineitem, orders, "o_orderkey")
+        .groupBy($"o_orderkey")
+        .agg(count(lit(1)).as("n_lines"),
+          sum($"l_quantity").cast("long").as("sum_qty"),
+          max($"o_totalprice").as("price"))
+        .orderBy($"o_orderkey")
+    },
+      """SELECT l.l_orderkey AS o_orderkey, COUNT(*) AS n_lines,
+        | CAST(SUM(l.l_quantity) AS BIGINT) AS sum_qty,
+        | MAX(o.o_totalprice) AS price
+        |FROM lineitem l JOIN (SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_totalprice > 400000) o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 }

@@ -36,4 +36,28 @@ object Stateful {
           KeyCount(key, updated._1, updated._2)
       }
   }
+
+  case class Threshold(key: Long, total: Long)
+
+  /** flatMapGroupsWithState surface: emit a row ONLY when a key's running
+    * total crosses a multiple of `every` (0..n rows per key per batch —
+    * the shape mapGroupsWithState's exactly-one-row contract cannot
+    * express). Append output mode; state is one long per key.
+    */
+  def thresholdAlerts(df: DataFrame, keyCol: String, every: Long): Dataset[Threshold] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("long")).as[Long]
+      .groupByKey(identity)
+      .flatMapGroupsWithState[Long, Threshold](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[Long]) =>
+          val before = state.getOption.getOrElse(0L)
+          val after = before + rows.size
+          state.update(after)
+          // one alert per multiple of `every` crossed within this batch
+          ((before / every + 1) to (after / every))
+            .map(m => Threshold(key, m * every)).iterator
+      }
+  }
 }

@@ -33,6 +33,62 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("bloomFilteredJoin matches the plain join result (long and string keys)") {
+    import spark.implicits._
+    val big = (1 to 5000).map(i => (i.toLong % 500, s"k${i % 500}", i)).toDF("id", "sid", "v")
+    val small = Seq((3L, "k3", "x"), (7L, "k7", "y"), (999L, "k999", "z"))
+      .toDF("id", "sid", "name")
+    val plain = big.join(small.select("id", "name"), Seq("id"))
+      .collect().map(_.toString).sorted.toSeq
+    val bloomed = Skew.bloomFilteredJoin(big, small.select("id", "name"), "id")
+      .collect().map(_.toString).sorted.toSeq
+    assert(bloomed == plain && bloomed.nonEmpty)
+    val plainS = big.join(small.select("sid", "name"), Seq("sid"))
+      .collect().map(_.toString).sorted.toSeq
+    val bloomedS = Skew.bloomFilteredJoin(big, small.select("sid", "name"), "sid")
+      .collect().map(_.toString).sorted.toSeq
+    assert(bloomedS == plainS && bloomedS.nonEmpty)
+    // left_semi keeps probe rows once
+    val semi = Skew.bloomFilteredJoin(big, small.select("id", "name"), "id", "left_semi")
+    assert(semi.columns.toSeq == Seq("id", "sid", "v"))
+    assert(semi.count() == big.filter($"id".isin(3L, 7L)).count())
+    intercept[IllegalArgumentException] {
+      Skew.bloomFilteredJoin(big, small, "id", "full_outer")
+    }
+  }
+
+  test("TableCompaction rewrites many small files into the target count") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    (1 to 2000).map(i => (i, s"row$i")).toDF("id", "s")
+      .repartition(64).write.parquet(dir)
+    val filesBefore = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(filesBefore == 64)
+    val report = ScriptRunner.runToDF(
+      s"""run command as TableCompaction.`$dir` where targetFileSizeMB="128" and sortBy="id";""",
+      spark).head()
+    assert(report.getString(1).toLong == 64) // files_before
+    val filesAfter = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(filesAfter == 1, s"expected 1 compacted file, got $filesAfter")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 2000)
+    assert(back.agg(org.apache.spark.sql.functions.sum("id")).head().getLong(0) == 2000L * 2001 / 2)
+  }
+
+  test("RateSampler strategy=exact fills per-label quotas to the row") {
+    import spark.implicits._
+    ((1 to 800).map(i => (i, "common")) ++ (1 to 40).map(i => (i + 1000, "rare")))
+      .toDF("id", "lbl").createOrReplaceTempView("rs_exact_in")
+    val out = ScriptRunner.runToDF(
+      """run rs_exact_in as RateSampler.`` where strategy="exact" and labelCol="lbl"
+        |  and sampleRate="0.8,0.2" and seed="7" as rs_exact;
+        |select lbl, __split__, count(*) as n from rs_exact group by lbl, __split__ as out;""".stripMargin,
+      spark)
+    val counts = out.collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(counts(("common", 0)) == 640 && counts(("common", 1)) == 160)
+    assert(counts(("rare", 0)) == 32 && counts(("rare", 1)) == 8)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     Seq("b_orders", "b_customer").foreach { t =>
       spark.sql(s"drop table if exists $t")

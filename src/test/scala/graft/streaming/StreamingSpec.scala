@@ -178,6 +178,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(fin(2L) == (2L, 2))
   }
 
+  test("flatMapGroupsWithState threshold alerts emit 0..n rows per key per batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[Long]
+    ms.addData(Seq.fill(5)(1L) ++ Seq.fill(2)(2L)) // key1: 5, key2: 2
+    val q = Stateful.thresholdAlerts(ms.toDF().withColumnRenamed("value", "k"), "k", every = 3)
+      .writeStream.format("memory").queryName("alerts").outputMode("append").start()
+    q.processAllAvailable()
+    ms.addData(Seq.fill(4)(2L)) // key2 total 6: crosses 3 and 6 in one batch
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("alerts").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows == Set((1L, 3L), (2L, 3L), (2L, 6L)))
+  }
+
   test("streaming dropDuplicates with watermark dedupes across batches") {
     val ctx = ScriptRunner.run(
       s"""set streamName = "s7";
