@@ -75,5 +75,7 @@ object ETRegistry {
   register(new UnavailableET("KafkaCommand", "the spark-sql-kafka connector jar"))
   register(new UnavailableET("DeltaCommand", "the delta-spark jar"))
   register(new UnavailableET("SendMessage", "an SMTP gateway (network egress)"))
-  register(new UnavailableET("EventCallback", "HTTP egress (the reference's !callback stream-lifecycle webhooks)"))
+  register(new UnavailableET("EventCallback", "HTTP egress (the reference's !callback " +
+    "stream-lifecycle webhooks); the offline equivalent is the lifecycle event log: " +
+    "load _mlsql_.`streamEvents`"))
 }

@@ -248,9 +248,15 @@ object TableCompactionET extends ET {
     val bytes = fs.getContentSummary(target).getLength
     val nOut = math.max(1L, math.ceil(bytes.toDouble / (targetMB * 1024 * 1024)).toLong).toInt
     val data = spark.read.format(fmt).load(path)
-    val sorted = params.get("sortBy").map(_.split(",").map(c => col(c.trim)).toSeq) match {
-      case Some(cols) => data.repartitionByRange(nOut, cols: _*).sortWithinPartitions(cols: _*)
-      case None => data.repartition(nOut)
+    val sorted = (params.get("zorderBy"), params.get("sortBy")) match {
+      case (Some(zc), _) =>
+        // multi-dimensional clustering: see graft.operators.scale.ZOrder
+        graft.operators.scale.ZOrder.cluster(data,
+          zc.split(",").map(_.trim).toSeq, nOut)
+      case (None, Some(sc)) =>
+        val cols = sc.split(",").map(c => col(c.trim)).toSeq
+        data.repartitionByRange(nOut, cols: _*).sortWithinPartitions(cols: _*)
+      case _ => data.repartition(nOut)
     }
     val tmp = path.stripSuffix("/") + "__compact_tmp__"
     sorted.write.mode("overwrite").format(fmt).save(tmp)

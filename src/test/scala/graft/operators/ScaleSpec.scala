@@ -89,6 +89,38 @@ class ScaleSpec extends AnyFunSuite {
     assert(counts(("rare", 0)) == 32 && counts(("rare", 1)) == 8)
   }
 
+  test("Z-order clustering confines a box query to few files; rows preserved") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val data = (1 to 16384).map(_ => (rnd.nextInt(64), rnd.nextInt(64), rnd.nextLong()))
+      .toDF("a", "b", "payload")
+    val base = java.nio.file.Files.createTempDirectory("graft_z").toString
+    // baseline layout: 16 arbitrary (round-robin) files
+    data.repartition(16).write.parquet(s"$base/plain")
+    graft.operators.scale.ZOrder.cluster(data, Seq("a", "b"), nOut = 16)
+      .write.parquet(s"$base/zorder")
+    def filesHit(dir: String): Long = spark.read.parquet(dir)
+      .filter($"a" < 8 && $"b" < 8)
+      .select(org.apache.spark.sql.functions.input_file_name()).distinct().count()
+    val plainHit = filesHit(s"$base/plain")
+    val zHit = filesHit(s"$base/zorder")
+    // the corner box spreads over every round-robin file but clusters on
+    // the z-curve; at 64x64 with 8-bit buckets the 8x8 corner is one
+    // curve-contiguous region spanning at most a couple of range files
+    assert(plainHit == 16, s"baseline expected to spread, hit $plainHit")
+    assert(zHit <= 3, s"z-order expected <=3 files for the corner box, hit $zHit")
+    val z = spark.read.parquet(s"$base/zorder")
+    assert(z.count() == 16384)
+    assert(z.agg(org.apache.spark.sql.functions.sum($"a".cast("long"))).head().getLong(0) ==
+      data.agg(org.apache.spark.sql.functions.sum($"a".cast("long"))).head().getLong(0))
+    // TableCompaction routes zorderBy through the same path
+    val rep = ScriptRunner.runToDF(
+      s"""run command as TableCompaction.`$base/plain` where targetFileSizeMB="1" and zorderBy="a,b";""",
+      spark).head()
+    assert(rep.getString(1).toLong == 16)
+    assert(spark.read.parquet(s"$base/plain").count() == 16384)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     Seq("b_orders", "b_customer").foreach { t =>
       spark.sql(s"drop table if exists $t")
