@@ -413,7 +413,10 @@ object CommandMacros {
     "profile" -> "run {0} as DataProfile.`` as {0}_profile",
     "killStream" -> "run command as StreamCommand.`kill` where parameters='''{:all}'''",
     "jobs" -> "run command as JobCommand.`list`",
-    "kill" -> "run command as JobCommand.`kill` where parameters='''{:all}'''"
+    "kill" -> "run command as JobCommand.`kill` where parameters='''{:all}'''",
+    "resource" -> "run command as EngineResource.``",
+    "jdbc" -> "run command as JDBC.`{}`",
+    "compact" -> "run command as TableCompaction.`{1}` where targetFileSizeMB=\"{0}\""
   )
 
   /** Case-insensitive view (statement head words are lowercased). */

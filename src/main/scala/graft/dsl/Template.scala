@@ -10,7 +10,25 @@ import scala.util.matching.Regex
 object Template {
   private val Var: Regex = """\$\{\s*([\w\.\-]+)\s*\}""".r
 
-  def merge(text: String, env: collection.Map[String, String]): String =
+  /** Substitute to a (bounded) fixpoint: the reference re-merges the whole
+    * env after every `set`, so a variable whose VALUE contains `${other}`
+    * resolves transitively (`set b="${a}"` then `${b}` → a's value). Ten
+    * passes bound pathological self-referential chains; unknown variables
+    * stay verbatim, which also terminates the loop.
+    */
+  def merge(text: String, env: collection.Map[String, String]): String = {
+    var cur = text
+    var i = 0
+    while (i < 10) {
+      val next = mergeOnce(cur, env)
+      if (next == cur) return cur
+      cur = next
+      i += 1
+    }
+    cur
+  }
+
+  private def mergeOnce(text: String, env: collection.Map[String, String]): String =
     Var.replaceAllIn(text, m => {
       val k = m.group(1)
       Regex.quoteReplacement(env.getOrElse(k, m.matched))

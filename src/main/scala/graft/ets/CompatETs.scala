@@ -1,0 +1,210 @@
+package graft.ets
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.dsl.ScriptContext
+
+/** Reference-name compatibility ETs — the SURVEY §2.4 rows not already
+  * covered by [[UtilityETs]]/[[MlETs]]/[[PipelineETs]]: `Kill`, `JDBC`
+  * (`!jdbc`), `Map`→MapValues alias territory, `VecMapInPlace`,
+  * `Word2ArrayInPlace`, `FeatureExtractInPlace`, `RawSimilarInPlace`,
+  * `ReduceFeaturesInPlace`, `EngineResource` (`!resource`),
+  * `RepartitionExt`. Each is re-designed Spark-first; reference citations
+  * inline.
+  */
+object CompatETs {
+  def all: Seq[ET] = Seq(KillET, JdbcCommandET, VecMapInPlaceET,
+    Word2ArrayInPlaceET, FeatureExtractInPlaceET, RawSimilarInPlaceET,
+    ReduceFeaturesInPlaceET, EngineResourceET, RepartitionExtET)
+}
+
+/** `run command as Kill.`jobName`` — reference statement form of `!kill`
+  * (SQLMLSQLJobExt); same JobManager cancellation as JobCommand.
+  */
+object KillET extends NoPathET {
+  override def name = "Kill"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    val spark = ctx.spark
+    import spark.implicits._
+    val target = if (path.nonEmpty) path else params.getOrElse("jobName", "")
+    require(target.nonEmpty, "Kill requires a job name: Kill.`jobName`")
+    graft.dsl.JobManager.kill(spark, target).toDF("cancelled_group")
+  }
+}
+
+/** `run command as JDBC.`alias` where driver-statement-0="..."` — execute
+  * raw DDL/DML statements on a remote database through the `connect`
+  * alias's options (reference: SQLJDBC.scala / `!jdbc`). Statements run in
+  * index order on the driver via java.sql.DriverManager; requires the JDBC
+  * driver jar at runtime (same gating as the jdbc datasource — the offline
+  * build fails with the driver-not-found error at execute).
+  */
+object JdbcCommandET extends NoPathET {
+  override def name = "JDBC"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    val spark = ctx.spark
+    import spark.implicits._
+    val opts = graft.dsl.ConnectMeta.get("jdbc", path)
+      .map(_ ++ params).getOrElse(params)
+    val url = opts.getOrElse("url",
+      throw new IllegalArgumentException(
+        s"JDBC ET needs a `connect jdbc ... as $path` alias or a url option"))
+    val statements = opts.keys.filter(_.startsWith("driver-statement-")).toSeq
+      .sortBy(k => k.stripPrefix("driver-statement-").toInt)
+      .map(opts)
+    require(statements.nonEmpty, "JDBC ET requires driver-statement-0..N options")
+    opts.get("driver").foreach(Class.forName)
+    val props = new java.util.Properties()
+    opts.get("user").foreach(props.setProperty("user", _))
+    opts.get("password").foreach(props.setProperty("password", _))
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val results = statements.map { s =>
+        val st = conn.createStatement()
+        try { s -> st.execute(s) } finally st.close()
+      }
+      results.map { case (s, hadResultSet) => (s, hadResultSet) }
+        .toDF("statement", "had_result_set")
+    } finally conn.close()
+  }
+}
+
+/** `run t as VecMapInPlace.`` where inputCol="m"` — map<string,double> →
+  * ml Vector over the (collected, dimension-sized) global key vocabulary
+  * (reference: SQLVecMapInPlace.scala). One distinct-keys pass builds the
+  * index; the mapping itself is per-row.
+  */
+object VecMapInPlaceET extends NoPathET {
+  override def name = "VecMapInPlace"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    val inputCol = params.getOrElse("inputCol", "feature")
+    val keys = df.select(explode(map_keys(col(inputCol))).as("k"))
+      .distinct().orderBy("k").collect().map(_.getString(0))
+    val index = keys.zipWithIndex.toMap
+    val bc = ctx.spark.sparkContext.broadcast(index)
+    val toVec = udf { (m: Map[String, Double]) =>
+      val idx = bc.value
+      val pairs = m.toSeq.flatMap { case (k, v) => idx.get(k).map(_ -> v) }
+        .sortBy(_._1)
+      org.apache.spark.ml.linalg.Vectors.sparse(idx.size, pairs)
+    }
+    df.withColumn(inputCol, toVec(col(inputCol)))
+  }
+}
+
+/** `run t as Word2ArrayInPlace.`` where inputCol="text"` — segment text to
+  * a token array (reference: SQLWord2ArrayInPlace.scala, which routes
+  * through the ansj segmenter; here [[graft.functions.UDFPack.segment]] —
+  * ansj reflectively when present, deterministic CJK/whitespace fallback
+  * otherwise).
+  */
+object Word2ArrayInPlaceET extends NoPathET {
+  override def name = "Word2ArrayInPlace"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    val inputCol = params.getOrElse("inputCol", "text")
+    val seg = udf((s: String) => graft.functions.UDFPack.segment(s))
+    df.withColumn(inputCol, seg(col(inputCol)))
+  }
+}
+
+/** `run docs as FeatureExtractInPlace.`` where inputCol="doc"` — per-row
+  * raw-text features (reference: SQLFeatureExtractInPlace.scala:40-120:
+  * phone/email/url/qq counts, length, blank/chinese/punct percents).
+  * Pure native expressions — no UDF, no shuffle.
+  */
+object FeatureExtractInPlaceET extends NoPathET {
+  override def name = "FeatureExtractInPlace"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    val c = col(params.getOrElse("inputCol", "doc"))
+    val len = length(c)
+    def count(pattern: String) = size(regexp_extract_all(c, lit(pattern), lit(0)))
+    df.withColumn("phone", count("1[3-9]\\d{9}"))
+      .withColumn("email", count("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"))
+      .withColumn("url", count("https?://[\\w./?=&%-]+"))
+      .withColumn("length", len)
+      .withColumn("blank_percent", round(
+        size(regexp_extract_all(c, lit("\\s"), lit(0))) * lit(100.0) / greatest(len, lit(1)), 2))
+      .withColumn("chinese_percent", round(
+        size(regexp_extract_all(c, lit("[\\x{4e00}-\\x{9fa5}]"), lit(0))) * lit(100.0) / greatest(len, lit(1)), 2))
+      .withColumn("punct_percent", round(
+        size(regexp_extract_all(c, lit("[\\p{Punct}]"), lit(0))) * lit(100.0) / greatest(len, lit(1)), 2))
+  }
+}
+
+/** `run docs as RawSimilarInPlace.`` where idCol="doc_id" and
+  * textCol="text" [and threshold="0.8"]` — mark near-duplicate GROUPS: a
+  * `__group__` column holding the component-min id of each doc's near-dup
+  * cluster (its own id when unique). Reference: SQLRawSimilarInPlace.scala
+  * (pairwise compare inside categories); re-designed on the MinHash-LSH
+  * pair generation + connected components, which is the shape that
+  * survives 100 TB.
+  */
+object RawSimilarInPlaceET extends NoPathET {
+  override def name = "RawSimilarInPlace"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    val idCol = params.getOrElse("idCol", "doc_id")
+    val textCol = params.getOrElse("textCol", "text")
+    val threshold = params.getOrElse("threshold", "0.8").toDouble
+    val n = params.getOrElse("ngram", "3").toInt
+    val sh = graft.operators.dedup.TextDedup.shingles(
+      df.select(col(idCol), col(textCol)), idCol, textCol, n)
+    val pairs = graft.operators.dedup.TextDedup.minHashSelfJoin(sh, threshold)
+    val labels = graft.operators.dedup.Components.labels(pairs)
+      .select(col("id").as(idCol), col("label").as("__group__"))
+    df.join(labels, Seq(idCol), "left")
+      .withColumn("__group__", coalesce(col("__group__"), col(idCol)))
+  }
+}
+
+/** `run t as ReduceFeaturesInPlace.`` where inputCol="features" and
+  * k="8"` — PCA dimensionality reduction in place (reference:
+  * SQLReduceFeaturesInPlace — re-expressed on spark.ml PCA).
+  */
+object ReduceFeaturesInPlaceET extends NoPathET {
+  override def name = "ReduceFeaturesInPlace"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    val inputCol = params.getOrElse("inputCol", "features")
+    val k = params.getOrElse("k", "8").toInt
+    val pca = new org.apache.spark.ml.feature.PCA()
+      .setInputCol(inputCol).setOutputCol("__reduced__").setK(k)
+      .fit(df)
+    pca.transform(df).drop(inputCol).withColumnRenamed("__reduced__", inputCol)
+  }
+}
+
+/** `!resource` — report the engine's compute resources (reference:
+  * EngineResource/`!resource` dynamically resizes executors via the
+  * cluster manager; local mode can only REPORT, and says so).
+  */
+object EngineResourceET extends NoPathET {
+  override def name = "EngineResource"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    val sc = ctx.spark.sparkContext
+    require(!params.contains("cpus") && !params.contains("executorSize"),
+      "EngineResource resize requires a dynamic-allocation cluster manager; " +
+        "this deployment is local-mode (report-only)")
+    UtilityETs.oneRowTable(ctx.spark,
+      "master" -> sc.master,
+      "default_parallelism" -> sc.defaultParallelism.toString,
+      "executors" -> sc.statusTracker.getExecutorInfos.length.toString,
+      "app_id" -> sc.applicationId)
+  }
+}
+
+/** Alias: the reference registers `RepartitionExt` alongside
+  * `TableRepartition` with the same behavior.
+  */
+object RepartitionExtET extends NoPathET {
+  override def name = "RepartitionExt"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame =
+    TableRepartitionET.train(ctx, df, path, params)
+}

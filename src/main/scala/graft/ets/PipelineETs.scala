@@ -42,39 +42,14 @@ object LangIdET extends NoPathET {
 object DedupET extends NoPathET {
 
   /** Keep the min id of each connected component of `pairs` (a_id, b_id),
-    * plus every row in no pair. Components are found by iterative min-label
-    * propagation over the (symmetrized) edge list — O(component diameter)
-    * joins, each an equi-join on the id; near-dup components are shallow
-    * (duplicates of a common ancestor), so convergence is fast and checked.
+    * plus every row in no pair (see
+    * [[graft.operators.dedup.Components.labels]]).
     */
   private[ets] def keepComponentMin(df: DataFrame, idCol: String,
                                     pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .distinct().cache()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).cache()
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < 25) {
-      // each node adopts the min label among itself and its neighbors
-      val nbrMin = edges.join(labels.select(col("id").as("dst"), col("label")), "dst")
-        .groupBy(col("src").as("id")).agg(min("label").as("nbr_min"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-        .cache()
-      changed = next.join(labels.select(col("id"), col("label").as("prev")), "id")
-        .filter(col("label") =!= col("prev")).count()
-      labels.unpersist()
-      labels = next
-      iter += 1
-    }
-    require(changed == 0, "Dedup: component labeling did not converge in 25 rounds")
-    val losers = labels.filter(col("label") =!= col("id")).select(col("id").as(idCol))
-    val out = df.join(losers, Seq(idCol), "left_anti")
-    edges.unpersist()
-    out
+    val losers = graft.operators.dedup.Components.labels(pairs)
+      .filter(col("label") =!= col("id")).select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
   }
   override def name = "Dedup"
   override def train(ctx: ScriptContext, df: DataFrame, path: String,

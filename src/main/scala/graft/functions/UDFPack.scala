@@ -200,7 +200,7 @@ object UDFPack {
     * otherwise a deterministic fallback — CJK codepoints one token each,
     * latin/digit runs whitespace-delimited.
     */
-  private[functions] def segment(s: String): Seq[String] = {
+  private[graft] def segment(s: String): Seq[String] = {
     if (s == null) return null
     try {
       val parseMethod = Class.forName("org.ansj.splitWord.analysis.NlpAnalysis")

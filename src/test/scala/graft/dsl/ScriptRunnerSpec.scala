@@ -80,6 +80,21 @@ class ScriptRunnerSpec extends AnyFunSuite {
     assert(df.head().getString(0).contains("select 1"))
   }
 
+  test("nested variable references resolve transitively at use time") {
+    val ctx = ScriptRunner.run(
+      s"""set base = "/root/testdata";
+         |set dir = "${"${base}"}/sf0.001";
+         |load parquet.`${"${dir}"}/region.parquet` as r_nested;
+         |select count(*) as n from r_nested as out;""".stripMargin, spark)
+    assert(ctx.lastDataFrame.get.head().getLong(0) == 5)
+    // a value referencing a var set only LATER resolves when finally used
+    val ctx2 = ScriptRunner.run(
+      """set tpl = "${late}-suffix";
+        |set late = "resolved";
+        |!println '''${tpl}''';""".stripMargin, spark)
+    assert(Template.merge("${tpl}", ctx2.env) == "resolved-suffix")
+  }
+
   test("set mode=compile evaluates in the preprocess pass, before any load") {
     // the compile-stage SQL runs before the physical pass, so a later
     // text set templated from it already sees the value at ITS preprocess run

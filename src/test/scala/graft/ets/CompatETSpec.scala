@@ -1,0 +1,100 @@
+package graft.ets
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.dsl.ScriptRunner
+
+class CompatETSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+  private def runDF(script: String) = ScriptRunner.runToDF(script, spark)
+
+  test("Kill ET cancels by reference statement form") {
+    // nothing named this is running: result is an empty cancellation list
+    val df = runDF("run command as Kill.`no_such_job` as k;")
+    assert(df.columns.toSeq == Seq("cancelled_group"))
+    assert(df.count() == 0)
+  }
+
+  test("JDBC ET fails actionably without a connect alias / driver") {
+    val e = intercept[IllegalArgumentException] {
+      runDF("""run command as JDBC.`nope` where driver-statement-0="create table x(a int)";""")
+    }
+    assert(e.getMessage.contains("connect"))
+  }
+
+  test("VecMapInPlace builds sparse vectors over the global key space") {
+    val df = runDF(
+      """select map('a', 1.0, 'c', 3.0) as feature
+        |union all select map('b', 2.0, 'c', 4.0) as feature
+        |as vm_in;
+        |run vm_in as VecMapInPlace.`` as vm_out;
+        |select feature from vm_out as out;""".stripMargin)
+    val vecs = df.collect().map(_.getAs[org.apache.spark.ml.linalg.Vector](0))
+    assert(vecs.forall(_.size == 3)) // keys a,b,c
+    assert(vecs.map(_.toArray.sum).sorted.toSeq == Seq(4.0, 6.0))
+  }
+
+  test("Word2ArrayInPlace segments text in place") {
+    val df = runDF(
+      """select 'hello spark world' as text as w2a_in;
+        |run w2a_in as Word2ArrayInPlace.`` as w2a_out;
+        |select text from w2a_out as out;""".stripMargin)
+    assert(df.head().getSeq[String](0) == Seq("hello", "spark", "world"))
+  }
+
+  test("FeatureExtractInPlace computes phone/email/url/length features") {
+    val df = runDF(
+      """select 'reach me at bob@example.com or 13912345678, see https://x.io/a now' as doc as fe_in;
+        |run fe_in as FeatureExtractInPlace.`` as fe_out;
+        |select phone, email, url, length, blank_percent from fe_out as out;""".stripMargin)
+    val r = df.head()
+    assert(r.getInt(0) == 1 && r.getInt(1) == 1 && r.getInt(2) == 1)
+    assert(r.getInt(3) > 40 && r.getDouble(4) > 0)
+  }
+
+  test("RawSimilarInPlace assigns one __group__ per near-dup cluster") {
+    val df = runDF(
+      s"""load parquet.`$sf/documents.parquet` as rs_docs;
+         |run rs_docs as RawSimilarInPlace.`` where threshold="0.8" as rs_out;
+         |select doc_id, __group__ from rs_out as out;""".stripMargin)
+    val rows = df.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.nonEmpty)
+    // groups are labeled by their min member
+    assert(rows.forall { case (id, g) => g <= id })
+    // at least one real cluster exists in the fixture, and singletons keep their id
+    assert(rows.exists { case (id, g) => g < id })
+    assert(rows.exists { case (id, g) => g == id })
+  }
+
+  test("ReduceFeaturesInPlace reduces vector dimensionality via PCA") {
+    val df = runDF(
+      """select vec_dense(array(1.0, 2.0, 3.0, 4.0)) as features
+        |union all select vec_dense(array(2.0, 3.0, 4.0, 5.0)) as features
+        |union all select vec_dense(array(5.0, 4.0, 3.0, 1.0)) as features
+        |as rf_in;
+        |run rf_in as ReduceFeaturesInPlace.`` where k="2" as rf_out;
+        |select features from rf_out as out;""".stripMargin)
+    val vecs = df.collect().map(_.getAs[org.apache.spark.ml.linalg.Vector](0))
+    assert(vecs.length == 3 && vecs.forall(_.size == 2))
+  }
+
+  test("!resource reports local-mode compute; resize refused clearly") {
+    val df = runDF("!resource;")
+    val r = df.head()
+    assert(r.getString(0).startsWith("local"))
+    assert(r.getString(1).toInt > 0)
+    val e = intercept[IllegalArgumentException] {
+      runDF("""run command as EngineResource.`` where cpus="8" as r2;""")
+    }
+    assert(e.getMessage.contains("local-mode"))
+  }
+
+  test("RepartitionExt aliases TableRepartition") {
+    val df = runDF(
+      s"""load parquet.`$sf/region.parquet` as rext_in;
+         |run rext_in as RepartitionExt.`` where partitionNum="3" as rext_out;""".stripMargin)
+    assert(df.rdd.getNumPartitions == 3)
+    assert(df.count() == 5)
+  }
+}
