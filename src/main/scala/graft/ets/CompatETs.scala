@@ -15,7 +15,130 @@ import graft.dsl.ScriptContext
 object CompatETs {
   def all: Seq[ET] = Seq(KillET, JdbcCommandET, VecMapInPlaceET,
     Word2ArrayInPlaceET, FeatureExtractInPlaceET, RawSimilarInPlaceET,
-    ReduceFeaturesInPlaceET, EngineResourceET, RepartitionExtET)
+    ReduceFeaturesInPlaceET, EngineResourceET, RepartitionExtET,
+    TreeBuildExtET, CorpusExplainInPlaceET)
+}
+
+/** `run edges as TreeBuildExt.`` where idCol="id" and parentIdCol="pid"
+  * [and treeType="treePerRow|nodeTreePerRow"]` — tree analytics over an
+  * (id, parentId) edge table (reference: SQLTreeBuildExt.scala:41-160 +
+  * TreeBuildExtSpec).
+  *
+  * Re-designed distributed: the reference COLLECTS every edge to the
+  * driver and builds nested objects recursively — a dead end past
+  * dimension scale. Here levels and descendant sets propagate through
+  * depth-bounded iterative equi-joins (O(depth) rounds, convergence
+  * checked), and `treePerRow` returns one row per ROOT with its subtree
+  * height and flat descendant array (the reference's depth-dependent
+  * nested-JSON schema is deliberately not reproduced — a recursive schema
+  * cannot be stable across rows in a typed engine); `nodeTreePerRow`
+  * matches the reference: every node with its subtree height + all
+  * transitive descendants.
+  */
+object TreeBuildExtET extends NoPathET {
+  override def name = "TreeBuildExt"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    val idCol = params.getOrElse("idCol",
+      throw new IllegalArgumentException("TreeBuildExt requires idCol"))
+    val parentCol = params.getOrElse("parentIdCol",
+      throw new IllegalArgumentException("TreeBuildExt requires parentIdCol"))
+    val topMark = params.get("topLevelMark")
+    val maxDepth = params.getOrElse("recurringDependencyBreakTimes", "1000").toInt.min(50)
+    val pairs = df.select(col(idCol).cast("string").as("c"),
+      col(parentCol).cast("string").as("p"))
+    val rootParent = topMark match {
+      case Some(m) => col("p").isNull || col("p") === m
+      case None => col("p").isNull
+    }
+    val edges = pairs
+      .filter(col("c") =!= coalesce(col("p"), lit("")))
+      .filter(!rootParent).distinct()
+
+    // descendants by upward propagation: desc := direct-children ∪
+    // desc-of-children, iterated to a (depth-bounded, checked) fixpoint
+    var desc = edges.select(col("p").as("id"), col("c").as("d")).distinct().cache()
+    var size = desc.count()
+    var grew = true
+    var iter = 0
+    while (grew && iter < maxDepth) {
+      val next = desc
+        .union(edges.join(desc.select(col("id").as("c"), col("d")), "c")
+          .select(col("p").as("id"), col("d")))
+        .distinct().cache()
+      val nextSize = next.count()
+      grew = nextSize > size
+      desc.unpersist()
+      desc = next
+      size = nextSize
+      iter += 1
+    }
+    require(iter < maxDepth || !grew,
+      s"TreeBuildExt: dependency cycle deeper than $maxDepth levels")
+
+    val nodes = pairs.select(col("c").as("id"), rootParent.as("is_root")).distinct()
+    // subtree height = longest root-ward chain inside the descendant set:
+    // level(x) = number of iterations x kept acquiring new descendants ≈
+    // recompute directly: level = max path length below x
+    val heights = levelsOf(edges, maxDepth)
+    val withLevel = nodes
+      .join(heights, Seq("id"), "left")
+      .withColumn("level", coalesce(col("level"), lit(0)))
+      .join(desc.groupBy("id").agg(collect_set(col("d")).as("children")), Seq("id"), "left")
+      .withColumn("children", coalesce(col("children"), array().cast("array<string>")))
+    val out = params.getOrElse("treeType", "treePerRow") match {
+      case "treePerRow" => withLevel.filter(col("is_root")).drop("is_root")
+      case "nodeTreePerRow" => withLevel.drop("is_root")
+      case other => throw new IllegalArgumentException(
+        s"treeType must be treePerRow|nodeTreePerRow, got '$other'")
+    }
+    out.select(col("id"), col("level"), col("children"))
+  }
+
+  /** level(x) = subtree height: 0 for leaves, else 1 + max(children). */
+  private def levelsOf(edges: DataFrame, maxDepth: Int): DataFrame = {
+    var levels = edges.select(col("p").as("id")).union(edges.select(col("c").as("id")))
+      .distinct().withColumn("level", lit(0)).cache()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxDepth) {
+      val parentLevel = edges.join(levels.select(col("id").as("c"), col("level")), "c")
+        .groupBy(col("p").as("id")).agg(max(col("level") + 1).as("child_based"))
+      val next = levels.join(parentLevel, Seq("id"), "left")
+        .select(col("id"),
+          greatest(col("level"), coalesce(col("child_based"), col("level"))).as("level"))
+        .cache()
+      changed = next.join(levels.select(col("id"), col("level").as("prev")), "id")
+        .filter(col("level") =!= col("prev")).count()
+      levels.unpersist()
+      levels = next
+      iter += 1
+    }
+    levels
+  }
+}
+
+/** `train corpus as CorpusExplainInPlace.`path` where labelCol="label"` —
+  * classification-corpus label distribution: per-label count, inverse
+  * weight (total/labelCount, the class-weight input), percent, total
+  * (reference: SQLCorpusExplainInPlace.scala:29-56; one aggregation, and
+  * the result is RETURNED as well as saved when a path is given).
+  */
+object CorpusExplainInPlaceET extends ET {
+  override def name = "CorpusExplainInPlace"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    val labelCol = params.getOrElse("labelCol",
+      throw new IllegalArgumentException("CorpusExplainInPlace requires labelCol"))
+    val stats = df.groupBy(col(labelCol))
+      .agg(count(lit(1)).as("labelCount"))
+      .crossJoin(broadcast(df.agg(count(lit(1)).as("total"))))
+      .withColumn("weight", col("total").cast("double") / col("labelCount"))
+      .withColumn("percent", col("labelCount").cast("double") / col("total"))
+      .select(col(labelCol), col("labelCount"), col("weight"), col("percent"), col("total"))
+    if (path.nonEmpty) stats.write.mode("overwrite").parquet(path + "/data")
+    stats
+  }
 }
 
 /** `run command as Kill.`jobName`` — reference statement form of `!kill`

@@ -90,6 +90,56 @@ class CompatETSpec extends AnyFunSuite {
     assert(e.getMessage.contains("local-mode"))
   }
 
+  test("TreeBuildExt: roots, heights, transitive descendants (reference fixture)") {
+    val script =
+      """set treedata = '''{"id":0,"parentId":null}
+        |{"id":1,"parentId":null}
+        |{"id":2,"parentId":1}
+        |{"id":3,"parentId":1}
+        |{"id":7,"parentId":0}
+        |{"id":199,"parentId":1}''';
+        |load jsonStr.`treedata` as tree_in;
+        |""".stripMargin
+    // treePerRow: one row per root (the reference spec asserts count == 2)
+    val roots = runDF(script +
+      """run tree_in as TreeBuildExt.`` where idCol="id" and parentIdCol="parentId" as r1;
+        |select id, level, children from r1 order by id as out;""".stripMargin).collect()
+    assert(roots.length == 2)
+    val byId = roots.map(r => r.getString(0) -> r).toMap
+    assert(byId("0").getInt(1) == 1 && byId("0").getSeq[String](2).toSet == Set("7"))
+    assert(byId("1").getInt(1) == 1 && byId("1").getSeq[String](2).toSet == Set("2", "3", "199"))
+    // nodeTreePerRow: every node, leaves at level 0 with no descendants
+    val nodes = runDF(script +
+      """run tree_in as TreeBuildExt.`` where idCol="id" and parentIdCol="parentId"
+        |  and treeType="nodeTreePerRow" as r2;
+        |select id, level, children from r2 order by id as out;""".stripMargin).collect()
+    assert(nodes.length == 6)
+    val n = nodes.map(r => r.getString(0) -> r).toMap
+    assert(n("2").getInt(1) == 0 && n("2").getSeq[String](2).isEmpty)
+    // deep chain exercises the iterative propagation
+    val deep = runDF(
+      """set chain = '''{"id":1,"pid":null}
+        |{"id":2,"pid":1}
+        |{"id":3,"pid":2}
+        |{"id":4,"pid":3}
+        |{"id":5,"pid":4}''';
+        |load jsonStr.`chain` as chain_in;
+        |run chain_in as TreeBuildExt.`` where idCol="id" and parentIdCol="pid" as r3;
+        |select id, level, children from r3 as out;""".stripMargin).head()
+    assert(deep.getInt(1) == 4 && deep.getSeq[String](2).toSet == Set("2", "3", "4", "5"))
+  }
+
+  test("CorpusExplainInPlace returns the label distribution") {
+    val df = runDF(
+      """select explode(array('a','a','a','b')) as lbl as ce_in;
+        |run ce_in as CorpusExplainInPlace.`` where labelCol="lbl" as ce_out;
+        |select lbl, labelCount, weight, percent, total from ce_out order by lbl as out;""".stripMargin)
+    val rows = df.collect()
+    assert(rows.length == 2)
+    assert(rows(0).getLong(1) == 3 && math.abs(rows(0).getDouble(3) - 0.75) < 1e-9)
+    assert(rows(1).getDouble(2) == 4.0 && rows(1).getLong(4) == 4)
+  }
+
   test("RepartitionExt aliases TableRepartition") {
     val df = runDF(
       s"""load parquet.`$sf/region.parquet` as rext_in;
