@@ -38,7 +38,8 @@ object DataSourceRegistry {
   // built-ins registered once at class-load (same effect as the reference's
   // classpath scan, DataSourceRegistry.scala:83-85, without the scan)
   Seq(new JsonStrSource, new CsvStrSource, new ScriptSource, new ConsoleSink,
-    new HiveSource, new JdbcSource, new SystemTableSource, new ModelParamsSource)
+    new HiveSource, new JdbcSource, new SystemTableSource, new ModelParamsSource,
+    new ModelSource, new ConfSource, new UnStructuredSource)
     .foreach(register)
   // registry slots for connectors whose jars are not available offline —
   // fail with a clear message instead of a ClassNotFoundException

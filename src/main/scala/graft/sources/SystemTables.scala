@@ -49,3 +49,40 @@ final class ModelParamsSource extends GraftSource {
   override def load(ctx: ScriptContext, path: String, opts: Map[String, String]): DataFrame =
     ctx.spark.read.json(ctx.resolvePath(path) + "/metadata")
 }
+
+/** `load model.`/model/path`` — reference short name for model
+  * introspection (MLSQLModel.scala); same metadata surface as modelParams.
+  */
+final class ModelSource extends GraftSource {
+  override def shortName = "model"
+  override def load(ctx: ScriptContext, path: String, opts: Map[String, String]): DataFrame =
+    ctx.spark.read.json(ctx.resolvePath(path) + "/metadata")
+}
+
+/** `load mlsqlConf.`[prefix]`` — engine/Spark conf introspection
+  * (reference: MLSQLConf source); optional path filters by key prefix.
+  */
+final class ConfSource extends GraftSource {
+  override def shortName = "mlsqlconf"
+  override def load(ctx: ScriptContext, path: String, opts: Map[String, String]): DataFrame = {
+    val spark = ctx.spark
+    import spark.implicits._
+    val all = spark.conf.getAll.toSeq.sortBy(_._1)
+    val filtered = if (path.isEmpty) all else all.filter(_._1.startsWith(path))
+    filtered.toDF("key", "value")
+  }
+}
+
+/** `load unStructured.`/docs/dir`` — whole-file text ingestion: one row
+  * per file with (file, content) (reference: MLSQLUnStructured — the raw
+  * corpus on-ramp; re-expressed with Spark's wholetext text reader).
+  */
+final class UnStructuredSource extends GraftSource {
+  override def shortName = "unstructured"
+  override def load(ctx: ScriptContext, path: String, opts: Map[String, String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    ctx.spark.read.option("wholetext", "true").options(opts)
+      .text(ctx.resolvePath(path))
+      .select(input_file_name().as("file"), col("value").as("content"))
+  }
+}

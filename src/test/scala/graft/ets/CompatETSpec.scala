@@ -140,6 +140,27 @@ class CompatETSpec extends AnyFunSuite {
     assert(rows(1).getDouble(2) == 4.0 && rows(1).getLong(4) == 4)
   }
 
+  test("mlsqlConf / unStructured / model sources") {
+    val conf = runDF("load mlsqlConf.`spark.sql.shuffle` as c; select * from c as out;")
+    assert(conf.collect().exists(r => r.getString(0) == "spark.sql.shuffle.partitions"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_unst")
+    java.nio.file.Files.write(dir.resolve("a.txt"), "line one\nline two".getBytes)
+    java.nio.file.Files.write(dir.resolve("b.txt"), "solo".getBytes)
+    val un = runDF(s"load unStructured.`$dir` as u; select file, content from u as out;")
+    val byFile = un.collect().map(r => r.getString(0).split("/").last -> r.getString(1)).toMap
+    assert(byFile("a.txt") == "line one\nline two" && byFile("b.txt") == "solo")
+    // model is the reference's short name for the modelParams surface
+    val mp = java.nio.file.Files.createTempDirectory("graft_model").toString
+    runDF(
+      s"""set td2 = '''{"a":1.0,"label":0.0}
+         |{"a":2.0,"label":1.0}''';
+         |load jsonStr.`td2` as tdt2;
+         |select vec_dense(array(a)) as features, label from tdt2 as m_train;
+         |train m_train as LogisticRegressor.`$mp` as ts2;""".stripMargin)
+    val m = runDF(s"load model.`$mp` as mm; select class from mm as out;")
+    assert(m.head().getString(0).contains("LogisticRegression"))
+  }
+
   test("RepartitionExt aliases TableRepartition") {
     val df = runDF(
       s"""load parquet.`$sf/region.parquet` as rext_in;
