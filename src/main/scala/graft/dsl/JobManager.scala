@@ -45,6 +45,12 @@ object JobManager {
 
   def list: Seq[JobInfo] = jobs.values.toSeq.sortBy(_.startMs)
 
+  /** Rename a running job once its script-declared name is known
+    * (`set jobName` evaluates in the preprocess pass, after registration).
+    */
+  def rename(groupId: String, name: String): Unit =
+    jobs.updateWith(groupId)(_.map(_.copy(name = name)))
+
   /** Cancel every running script whose name OR group id matches; returns
     * the cancelled group ids. Cancels future jobs of the group too — a
     * script is a SEQUENCE of Spark jobs, and a kill between two of them

@@ -22,22 +22,23 @@ object ScriptRunner {
   def run(script: String, spark: SparkSession, pathPrefix: String = ""): ScriptContext = {
     val ctx = new ScriptContext(spark, pathPrefix)
     val statements = StatementSplitter.split(expandIncludes(script, ctx))
-    // compile (preprocess) stage: every `set` runs once here — except
-    // type="sql" & mode="runtime" (deferred to the physical pass) — so
-    // mode="compile" SQL is evaluated before ANY physical statement, exactly
-    // like the reference's preProcess listener pass (SetAdaptor.scala:87-104;
-    // branch keywords are ignored at this stage there too)
-    statements.foreach { raw =>
-      if (headWord(raw)._1 == "set")
-        executeSet(headWord(Template.merge(raw, ctx.env))._2, ctx, preprocess = true)
-    }
-    // the physical pass runs inside a Spark job group so `!kill <name>` /
-    // JobManager.kill can cancel it from another thread; the job name comes
-    // from `set jobName="..."` when given (evaluated in the preprocess pass
-    // above, so it is already in env here)
-    val jobName = ctx.env.getOrElse("jobName", "graft-" + java.util.UUID.randomUUID())
-    val groupId = JobManager.register(spark, jobName)
+    // the WHOLE run — including compile-stage `set` SQL, which can launch
+    // real Spark jobs — executes inside one job group so `!kill <name>` /
+    // JobManager.kill can cancel it from another thread. Registered under a
+    // placeholder first, then renamed once `set jobName` (a preprocess-pass
+    // statement itself) has run.
+    val groupId = JobManager.register(spark, "graft-" + java.util.UUID.randomUUID())
     try {
+      // compile (preprocess) stage: every `set` runs once here — except
+      // type="sql" & mode="runtime" (deferred to the physical pass) — so
+      // mode="compile" SQL is evaluated before ANY physical statement,
+      // exactly like the reference's preProcess listener pass
+      // (SetAdaptor.scala:87-104; branch keywords are ignored there too)
+      statements.foreach { raw =>
+        if (headWord(raw)._1 == "set")
+          executeSet(headWord(Template.merge(raw, ctx.env))._2, ctx, preprocess = true)
+      }
+      ctx.env.get("jobName").foreach(JobManager.rename(groupId, _))
       val branches = new BranchStack
       statements.foreach { raw =>
         val head = headWord(raw)._1

@@ -44,7 +44,10 @@ object TreeBuildExtET extends NoPathET {
     val parentCol = params.getOrElse("parentIdCol",
       throw new IllegalArgumentException("TreeBuildExt requires parentIdCol"))
     val topMark = params.get("topLevelMark")
-    val maxDepth = params.getOrElse("recurringDependencyBreakTimes", "1000").toInt.min(50)
+    // honor the user's bound (reference default 1000); transitive closure
+    // always converges in ≤ longest-path rounds, so this only trips on
+    // trees deeper than the configured limit
+    val maxDepth = params.getOrElse("recurringDependencyBreakTimes", "1000").toInt
     val pairs = df.select(col(idCol).cast("string").as("c"),
       col(parentCol).cast("string").as("p"))
     val rootParent = topMark match {

@@ -161,10 +161,15 @@ object UDFPack {
     //      :459-462 two-arg byteStringAs) ----
     u.register("sleep", (ms: Long) => { Thread.sleep(ms); "" })
     u.register("parse", (s: String) => segment(s))
-    u.register("decodeKafka", (b: Array[Byte]) => new String(b, "UTF-8"))
+    // null value = Kafka tombstone record — pass the null through
+    u.register("decodeKafka", (b: Array[Byte]) =>
+      if (b == null) null else new String(b, "UTF-8"))
     u.register("array_slice", (a: Seq[String], from: Int, to: Int) =>
-      if (to == -1) a.slice(from, a.length) else a.slice(from, to))
-    u.register("array_concat", (a: Seq[Seq[String]]) => a.flatten)
+      if (a == null) null
+      else if (to == -1) a.slice(from, a.length)
+      else a.slice(from, to))
+    u.register("array_concat", (a: Seq[Seq[String]]) =>
+      if (a == null) null else a.filter(_ != null).flatten)
     u.register("byteStringAs", (s: String, unit: String) =>
       parseByteString(s, 1L) / (unit.toUpperCase match {
         case "BYTE" | "B" => 1L
@@ -200,18 +205,24 @@ object UDFPack {
     * otherwise a deterministic fallback — CJK codepoints one token each,
     * latin/digit runs whitespace-delimited.
     */
+  // ansj resolved ONCE per JVM (this runs per row on the parse /
+  // Word2ArrayInPlace hot path — a per-row Class.forName miss plus thrown
+  // ClassNotFoundException would dominate the actual work)
+  private lazy val ansjParse: Option[java.lang.reflect.Method] =
+    try Some(Class.forName("org.ansj.splitWord.analysis.NlpAnalysis")
+      .getMethod("parse", classOf[String]))
+    catch { case _: ClassNotFoundException => None }
+
   private[graft] def segment(s: String): Seq[String] = {
     if (s == null) return null
-    try {
-      val parseMethod = Class.forName("org.ansj.splitWord.analysis.NlpAnalysis")
-        .getMethod("parse", classOf[String])
-      val tmp = parseMethod.invoke(null, s)
-      val terms = tmp.getClass.getMethod("getTerms").invoke(tmp)
-        .asInstanceOf[java.util.List[AnyRef]]
-      import scala.jdk.CollectionConverters._
-      terms.asScala.toSeq.map(t => t.getClass.getMethod("getName").invoke(t).toString)
-    } catch {
-      case _: ClassNotFoundException =>
+    ansjParse match {
+      case Some(parseMethod) =>
+        val tmp = parseMethod.invoke(null, s)
+        val terms = tmp.getClass.getMethod("getTerms").invoke(tmp)
+          .asInstanceOf[java.util.List[AnyRef]]
+        import scala.jdk.CollectionConverters._
+        terms.asScala.toSeq.map(t => t.getClass.getMethod("getName").invoke(t).toString)
+      case None =>
         val out = scala.collection.mutable.ArrayBuffer[String]()
         val cur = new StringBuilder
         def flush(): Unit = if (cur.nonEmpty) { out += cur.toString; cur.clear() }
@@ -244,8 +255,15 @@ object UDFPack {
   private[functions] def extractXpath(html: String, xpath: String): String = {
     if (html == null) return null
     try {
-      val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
-        .newDocumentBuilder()
+      // the input is UNTRUSTED corpus content: disable doctypes/external
+      // entities outright (XXE file reads, billion-laughs expansion)
+      val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+      f.setFeature("http://xml.org/sax/features/external-general-entities", false)
+      f.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
+      f.setXIncludeAware(false)
+      f.setExpandEntityReferences(false)
+      val doc = f.newDocumentBuilder()
         .parse(new java.io.ByteArrayInputStream(html.getBytes("UTF-8")))
       val res = javax.xml.xpath.XPathFactory.newInstance().newXPath()
         .evaluate(xpath, doc)

@@ -4,12 +4,12 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Connected components over a near-dup pair graph (a_id, b_id) by
-  * iterative min-label propagation: each node repeatedly adopts the
-  * smallest label among itself and its neighbors — O(component diameter)
-  * rounds, each one equi-join + aggregation, convergence checked.
-  * Near-dup components are shallow (duplicates of a common ancestor), so
-  * this converges in a few rounds; the 25-round bound catches pathological
-  * chains loudly instead of looping.
+  * min-label propagation WITH pointer-doubling: each round every node
+  * adopts the smallest label among itself and its neighbors, then
+  * shortcuts to its label's label (`label := label(label)`), which halves
+  * chain lengths — O(log diameter) rounds, each a couple of equi-joins,
+  * convergence checked. The 25-round bound therefore covers any component
+  * diameter up to ~2^25 before failing loudly.
   */
 object Components {
 
@@ -20,23 +20,29 @@ object Components {
       .distinct().cache()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).cache()
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < 25) {
-      val nbrMin = edges.join(labels.select(col("id").as("dst"), col("label")), "dst")
-        .groupBy(col("src").as("id")).agg(min("label").as("nbr_min"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-        .cache()
-      changed = next.join(labels.select(col("id"), col("label").as("prev")), "id")
-        .filter(col("label") =!= col("prev")).count()
-      labels.unpersist()
-      labels = next
-      iter += 1
-    }
-    require(changed == 0, "component labeling did not converge in 25 rounds")
-    edges.unpersist()
-    labels
+    try {
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 25) {
+        val nbrMin = edges.join(labels.select(col("id").as("dst"), col("label")), "dst")
+          .groupBy(col("src").as("id")).agg(min("label").as("nbr_min"))
+        val propagated = labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        // pointer doubling: follow the label one more hop
+        val next = propagated.as("x")
+          .join(propagated.select(col("id").as("label"), col("label").as("ll")).as("y"),
+            Seq("label"), "left")
+          .select(col("id"), least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
+          .cache()
+        changed = next.join(labels.select(col("id"), col("label").as("prev")), "id")
+          .filter(col("label") =!= col("prev")).count()
+        labels.unpersist()
+        labels = next
+        iter += 1
+      }
+      require(changed == 0, "component labeling did not converge in 25 doubling rounds")
+      labels
+    } finally edges.unpersist()
   }
 }

@@ -29,6 +29,13 @@ object CosineSimilarity {
   private def cosine(a: Column, b: Column): Column =
     call_function("arr_cosine", a, b)
 
+  /** The most recent [[ivfSelfJoin]] assignment cache — kept so each call
+    * can release its predecessor's storage instead of accreting cached
+    * corpus projections over a long-lived session.
+    */
+  private val lastAssignmentCache =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
   /** Exact all-pairs self-join above `threshold`. O(n²) candidate pairs —
     * one broadcast of the smaller side, one codegen'd loop per pair,
     * NO per-pair HOF lambdas. `sim` is rounded to 6 decimals for
@@ -283,7 +290,9 @@ object CosineSimilarity {
     val spark = df.sparkSession
     centroidsPath.filter { p =>
       val path = new org.apache.hadoop.fs.Path(p)
-      org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration).exists(path)
+      // the path's OWN filesystem — FileSystem.get(conf) breaks for any
+      // scheme other than fs.defaultFS (s3a:// path on an HDFS cluster)
+      path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
     } match {
       case Some(p) =>
         spark.read.parquet(p).orderBy("cell")
@@ -407,6 +416,10 @@ object CosineSimilarity {
     val assigned = vecs.withColumn("__a__", assignUdf(col("v")))
       .select(col("id"), col("v"), col("__a__._1").as("cell"), col("__a__._2").as("ang"))
       .cache()
+    // bound the cache footprint across calls: release the PREVIOUS
+    // invocation's assignment (the returned plan recomputes if a caller
+    // re-materializes it later — correctness unaffected)
+    Option(lastAssignmentCache.getAndSet(assigned)).foreach(_.unpersist(false))
 
     // per-cell angular radius (nlist rows — driver-sized by construction)
     val radii = assigned.groupBy("cell").agg(max("ang").as("r"))

@@ -19,11 +19,20 @@ object StreamEventLog {
 
   private val MaxEvents = 10000
   private val events = new ConcurrentLinkedDeque[Event]()
-  private val installed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // ConcurrentLinkedDeque.size() is O(n); track it ourselves — add() runs
+  // on the shared listener-bus thread for every progress event
+  private val approxSize = new java.util.concurrent.atomic.AtomicInteger(0)
+  // identity-keyed weak set: no hash collisions (identityHashCode isn't
+  // unique), and a GC'd session's manager doesn't pin the entry
+  private val installed = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.streaming.StreamingQueryManager, java.lang.Boolean]())
 
   private def add(e: Event): Unit = {
     events.addLast(e)
-    while (events.size() > MaxEvents) events.pollFirst()
+    if (approxSize.incrementAndGet() > MaxEvents) {
+      events.pollFirst()
+      approxSize.decrementAndGet()
+    }
   }
 
   /** Idempotently attach the listener to this session's stream manager.
@@ -31,7 +40,7 @@ object StreamEventLog {
     * covered from its first event.
     */
   def install(spark: SparkSession): Unit = {
-    if (!installed.add(System.identityHashCode(spark.streams).toString)) return
+    if (installed.putIfAbsent(spark.streams, java.lang.Boolean.TRUE) != null) return
     spark.streams.addListener(new StreamingQueryListener {
       override def onQueryStarted(ev: StreamingQueryListener.QueryStartedEvent): Unit =
         add(Event(Option(ev.name).getOrElse(""), ev.id.toString, ev.runId.toString,
@@ -55,5 +64,5 @@ object StreamEventLog {
       .toDF("name", "id", "run_id", "event", "batch_id", "ts")
   }
 
-  private[graft] def clear(): Unit = events.clear()
+  private[graft] def clear(): Unit = { events.clear(); approxSize.set(0) }
 }
