@@ -1,0 +1,34 @@
+package graft.dsl
+
+import scala.collection.concurrent.TrieMap
+import org.apache.spark.sql.SparkSession
+
+/** Multi-tenant script execution — the engine-side half of the reference's
+  * per-user session manager (MLSQLSparkSession.scala:114 `cloneSession` +
+  * `ScriptSQLExecListener.pathPrefix` home-dir re-rooting;
+  * ScriptSQLExec.scala:271-291) without the REST server around it.
+  *
+  * Each owner gets ONE `SparkSession.newSession()` — isolated temp views,
+  * UDF registrations and SQL conf over the shared SparkContext (shared
+  * cluster resources, separate catalogs) — and a home-dir path prefix that
+  * re-roots every relative path their scripts touch.
+  */
+final class Engine(root: SparkSession, homeBase: String) {
+  private val sessions = TrieMap[String, SparkSession]()
+
+  def sessionFor(owner: String): SparkSession =
+    sessions.getOrElseUpdate(owner, {
+      val s = root.newSession()
+      // each tenant session carries the full engine surface (the native
+      // VecExpressions arrive via the builder's SparkSessionExtensions,
+      // which newSession() inherits; session UDFs must re-register)
+      graft.functions.UDFPack.register(s)
+      s
+    })
+
+  def homeFor(owner: String): String = s"$homeBase/$owner"
+
+  /** Run a script as `owner`: their session, their home-dir prefix. */
+  def run(owner: String, script: String): ScriptContext =
+    ScriptRunner.run(script, sessionFor(owner), homeFor(owner))
+}

@@ -341,6 +341,27 @@ class ScriptRunnerSpec extends AnyFunSuite {
     }
   }
 
+  test("Engine isolates tenants: separate temp views, shared context, own home dirs") {
+    val base = java.nio.file.Files.createTempDirectory("graft_engine").toString
+    val engine = new Engine(spark, base)
+    engine.run("alice", s"""load parquet.`$sf/region.parquet` as mine;
+      |select count(*) as n from mine as out;""".stripMargin)
+    // bob's session does not see alice's view
+    val e = intercept[Exception] { engine.run("bob", "select * from mine as out;") }
+    assert(e.getMessage.toLowerCase.contains("mine"))
+    // relative paths re-root under the owner's home
+    engine.run("alice", s"""load parquet.`$sf/region.parquet` as r2;
+      |save overwrite r2 as parquet.`kept/regions`;""".stripMargin)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base/alice/kept/regions")))
+    // same owner gets the same session back (state persists across runs)
+    val ctx = engine.run("alice", "select count(*) as n from mine as out;")
+    assert(ctx.lastDataFrame.get.head().getLong(0) == 5)
+    // native expressions (session extensions) work in tenant sessions
+    val cos = engine.run("alice",
+      "select arr_cosine(array(1.0d, 0d), array(1.0d, 0d)) as c as out;")
+    assert(math.abs(cos.lastDataFrame.get.head().getDouble(0) - 1.0) < 1e-9)
+  }
+
   test("pathPrefix re-roots relative paths (multi-tenancy helper)") {
     val df = ScriptRunner.runToDF(
       """load parquet.`region.parquet` as r_rel;
