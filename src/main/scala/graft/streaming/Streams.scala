@@ -141,18 +141,26 @@ object StreamSinks {
       case "upsertparquet" =>
         // CDC-style keyed upsert (reference: MLSQLMultiDelta.scala:33-120 —
         // foreachBatch routing rows into a Delta MERGE by idCols). With no
-        // Delta jar offline, the merge target is a parquet dir rewritten
-        // per batch: read-modify-overwrite keyed by `idCols`, newest row
-        // wins. Same foreachBatch plumbing; swap the merge body for Delta
-        // `MERGE INTO` when the jar is present (it is transactional, this
-        // rewrite is not — batch-scale CDC demo only).
+        // Delta jar offline there are two merge layouts:
+        //  - default: whole-directory read-modify-swap (simple; O(table)
+        //    per batch — demo scale);
+        //  - numBuckets="N": the target is hash-bucket-partitioned on the
+        //    key, and each micro-batch rewrites ONLY the partitions its
+        //    keys hash into — O(|batch| × table/N) per batch, the layout
+        //    that survives 100 TB without a transactional MERGE.
+        // Swap in Delta MERGE when the jar is present (transactional;
+        // neither rewrite here is).
         val idCols = opts.getOrElse("idCols",
           throw new IllegalArgumentException("upsertParquet requires idCols=\"k1[,k2]\""))
           .split(",").map(_.trim).toSeq
         val target = ctx.resolvePath(path)
         val orderCol = opts.get("orderCol")
+        val numBuckets = opts.get("numBuckets").map(_.toInt)
         w2.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          UpsertParquet.merge(batch, target, idCols, orderCol)
+          numBuckets match {
+            case Some(n) => UpsertParquet.mergeBucketed(batch, target, idCols, n, orderCol)
+            case None => UpsertParquet.merge(batch, target, idCols, orderCol)
+          }
         }.start()
       case f if Set("parquet", "csv", "json", "text", "orc").contains(f) =>
         w2.start(ctx.resolvePath(path))
@@ -165,24 +173,70 @@ object StreamSinks {
 
 /** Keyed parquet upsert used by the `upsertParquet` streaming sink. */
 object UpsertParquet {
+
+  /** Bucket-partitioned merge: the target lives as
+    * `target/__bucket__=k/` (k = pmod(xxhash64(keys), n)), and a batch
+    * touches only the partitions its keys hash into — read those with
+    * partition pruning, anti-join + union, overwrite JUST those partitions
+    * via dynamic partition overwrite. Per-batch cost is proportional to
+    * |touched buckets| × bucket size, not table size. Readers see an extra
+    * `__bucket__` column (drop it, or treat it as the physical layout it
+    * is). Not transactional — a crash mid-commit can leave a partition
+    * replaced and another not; Delta MERGE is the transactional upgrade.
+    */
+  def mergeBucketed(batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                    target: String, idCols: Seq[String], numBuckets: Int,
+                    orderCol: Option[String] = None): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = batch.sparkSession
+    val bucket = pmod(xxhash64(idCols.map(col): _*), lit(numBuckets)).cast("int")
+    val deduped = newestPerKey(batch.toDF(), idCols, orderCol)
+      .withColumn("__bucket__", bucket)
+    val fs = new org.apache.hadoop.fs.Path(target)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(new org.apache.hadoop.fs.Path(target))
+    val merged = if (!exists) deduped else {
+      val touched = deduped.select("__bucket__").distinct()
+        .collect().map(_.getInt(0))
+      val current = spark.read.parquet(target)
+        .filter(col("__bucket__").isin(touched.map(Integer.valueOf).toSeq: _*))
+      current.join(deduped.select(idCols.map(col): _*), idCols, "left_anti")
+        .unionByName(deduped)
+    }
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try merged.write.mode("overwrite").partitionBy("__bucket__").parquet(target)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   /** Within-batch winner per key: by `orderCol` descending when given
     * (e.g. a binlog offset / event timestamp — the reliable CDC ordering);
     * without it, falls back to monotonically_increasing_id, which orders
     * by Spark partition index — fine for single-partition test batches,
     * NOT a cross-partition arrival order. Always set orderCol in real CDC.
     */
-  def merge(batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-            target: String, idCols: Seq[String],
-            orderCol: Option[String] = None): Unit = {
+  private def newestPerKey(batch: org.apache.spark.sql.DataFrame,
+                           idCols: Seq[String],
+                           orderCol: Option[String]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    val spark = batch.sparkSession
     val ord = orderCol.map(col).getOrElse(monotonically_increasing_id())
-    val deduped = batch
+    batch
       .withColumn("__ord__", ord)
       .withColumn("__max__", max(col("__ord__")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(idCols.map(col): _*)))
       .filter(col("__ord__") === col("__max__")).drop("__ord__", "__max__")
       .dropDuplicates(idCols)
+  }
+
+  def merge(batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            target: String, idCols: Seq[String],
+            orderCol: Option[String] = None): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = batch.sparkSession
+    val deduped = newestPerKey(batch.toDF(), idCols, orderCol)
     val exists = try {
       spark.read.parquet(target).limit(1).count(); true
     } catch { case _: Throwable => false }

@@ -137,6 +137,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(result == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
   }
 
+  test("upsertParquet numBuckets: only touched bucket partitions are rewritten") {
+    val target = java.nio.file.Files.createTempDirectory("upsb").resolve("t").toString
+    def runBatch(name: String, data: String): Unit = {
+      val ctx = ScriptRunner.run(
+        s"""set streamName = "$name";
+           |set cdc = '''$data''';
+           |load jsonStr.`cdc` as cdcb_b;
+           |load mockStream.`cdcb_b` as cdcb_s;
+           |save append cdcb_s as upsertParquet.`$target` where mode="append"
+           |  and idCols="id" and numBuckets="8"
+           |  and checkpointLocation="${java.nio.file.Files.createTempDirectory("ck_ub")}";""".stripMargin,
+        spark)
+      val q = ctx.streams(name)
+      q.processAllAvailable(); q.stop()
+    }
+    runBatch("ub1",
+      (1 to 40).map(i => s"""{"id":$i,"v":"a$i"}""").mkString("\n"))
+    // snapshot per-partition file listings, then upsert ONE key
+    def files(): Map[String, Set[String]] =
+      new java.io.File(target).listFiles().filter(_.getName.startsWith("__bucket__="))
+        .map(d => d.getName -> d.listFiles().map(f => f.getName + ":" + f.lastModified()).toSet)
+        .toMap
+    val before = files()
+    assert(before.size > 1, s"expected multiple bucket partitions, got ${before.keys}")
+    runBatch("ub2", """{"id":7,"v":"updated"}""")
+    val after = files()
+    val changed = after.keys.filter(k => before.get(k) != after.get(k))
+    assert(changed.size == 1, s"expected exactly 1 rewritten bucket, got $changed")
+    val result = spark.read.parquet(target)
+    assert(result.count() == 40)
+    assert(result.filter("id = 7").head().getAs[String]("v") == "updated")
+    assert(result.columns.contains("__bucket__"))
+  }
+
   test("session_window aggregation over a stream") {
     val ctx = ScriptRunner.run(
       s"""set streamName = "s6";
