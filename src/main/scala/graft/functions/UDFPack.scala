@@ -57,8 +57,12 @@ object UDFPack {
       Vectors.dense(vs.flatMap(_.toArray).toArray))
     u.register("vec_slice", (v: Vector, indices: Seq[Int]) =>
       Vectors.dense(indices.map(v.apply).toArray))
-    u.register("vec_range", (v: Vector, from: Int, until: Int) =>
-      Vectors.dense(v.toArray.slice(from, until)))
+    // reference signature: the range comes as a 2-element array
+    // (Functions.scala:126-134 — vec_range(vec, array(start, end)))
+    u.register("vec_range", (v: Vector, inds: Seq[Int]) => {
+      require(inds.size == 2, "vec_range expects array(start, end)")
+      Vectors.dense(v.toArray.slice(inds(0), inds(1)))
+    })
     u.register("vec_cosine", (a: Vector, b: Vector) => {
       val x = a.toArray; val y = b.toArray
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0

@@ -15,6 +15,13 @@ class UDFPackSpec extends AnyFunSuite {
     assert(one("select vec_argmax(vec_sparse(5, map(3, 9.0)))") == 3)
   }
 
+  test("vec_slice by indices and vec_range by [start,end) pair (reference signatures)") {
+    assert(one("select vec_array(vec_slice(vec_dense(array(1.0,2.0,3.0,4.0)), array(0, 2)))")
+      == Seq(1.0, 3.0))
+    assert(one("select vec_array(vec_range(vec_dense(array(1.0,2.0,3.0,4.0)), array(1, 3)))")
+      == Seq(2.0, 3.0))
+  }
+
   test("vector algebra") {
     assert(one("select vec_sqdist(vec_dense(array(0.0, 0.0)), vec_dense(array(3.0, 4.0)))") == 25.0)
     assert(one("select vec_norm(vec_dense(array(3.0, 4.0)), 2.0)") == 5.0)
