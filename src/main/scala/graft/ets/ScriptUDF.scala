@@ -53,6 +53,11 @@ object ScriptUDFET extends ET {
   override def predict(spark: SparkSession, model: Any, udfName: String,
                        params: Map[String, String]): UserDefinedFunction = {
     val (code, p) = model.asInstanceOf[(String, Map[String, String])]
+    p.get("lang").filter(_ != "scala").foreach { l =>
+      throw new UnsupportedOperationException(
+        s"ScriptUDF lang=\"$l\" is not supported in this build (the reference's " +
+          "python path needs a Jython jar); use lang=\"scala\"")
+    }
     val udfType = p.getOrElse("udfType", "udf")
     val methodName = p.getOrElse("methodName", "apply")
     val className = p.get("className")
