@@ -16,8 +16,17 @@ import org.apache.spark.sql.SparkSession
 final class Engine(root: SparkSession, homeBase: String) {
   private val sessions = TrieMap[String, SparkSession]()
 
+  /** Owner strings become path segments — reject separator/traversal
+    * characters so `../../x` cannot relocate a home outside [[homeBase]].
+    */
+  private def checkOwner(owner: String): String = {
+    require(owner.nonEmpty && owner.matches("[A-Za-z0-9._@-]+") && !owner.contains(".."),
+      s"invalid owner '$owner' (allowed: letters, digits, . _ @ -)")
+    owner
+  }
+
   def sessionFor(owner: String): SparkSession =
-    sessions.getOrElseUpdate(owner, {
+    sessions.getOrElseUpdate(checkOwner(owner), {
       val s = root.newSession()
       // each tenant session carries the full engine surface (the native
       // VecExpressions arrive via the builder's SparkSessionExtensions,
@@ -26,7 +35,7 @@ final class Engine(root: SparkSession, homeBase: String) {
       s
     })
 
-  def homeFor(owner: String): String = s"$homeBase/$owner"
+  def homeFor(owner: String): String = s"$homeBase/${checkOwner(owner)}"
 
   /** Run a script as `owner`: their session, their home-dir prefix. */
   def run(owner: String, script: String): ScriptContext =

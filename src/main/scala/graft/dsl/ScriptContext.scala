@@ -42,9 +42,22 @@ final class ScriptContext(val spark: SparkSession, val pathPrefix: String = "") 
   /** `set streamName="x"` marks the script as streaming (LoadAdaptor.scala:72-78). */
   def streamName: Option[String] = env.get("streamName").filter(_.nonEmpty)
 
+  /** Re-root a relative path under the script's prefix (tenant home dir).
+    * The joined path is normalized and must STAY under the prefix — a
+    * `../other-tenant/...` escape is an error, not a silent write into
+    * someone else's home. Absolute and scheme-qualified paths pass through
+    * by design (shared read datasets); restricting those needs a
+    * deployment-level allowlist, not path surgery.
+    */
   def resolvePath(p: String): String =
     if (pathPrefix.isEmpty || p.startsWith("/") || p.contains("://")) p
-    else s"$pathPrefix/$p"
+    else {
+      val joined = java.nio.file.Paths.get(pathPrefix, p).normalize().toString
+      val root = java.nio.file.Paths.get(pathPrefix).normalize().toString
+      require(joined == root || joined.startsWith(root + "/"),
+        s"path '$p' escapes the script's home prefix '$pathPrefix'")
+      joined
+    }
 
   def lastDataFrame: Option[DataFrame] = lastTable.map(spark.table)
 
@@ -64,20 +77,31 @@ final class ScriptContext(val spark: SparkSession, val pathPrefix: String = "") 
   * save-then-include flow.
   */
 object ScriptFragmentStore {
-  private val fragments = new ConcurrentHashMap[String, String]()
-  def put(name: String, content: String): Unit = fragments.put(name, content)
-  def get(name: String): Option[String] = Option(fragments.get(name))
+  // namespaced like ConnectMeta: a tenant's fragments are code later
+  // SPLICED into scripts — cross-tenant visibility would be code injection
+  private val fragments = new ConcurrentHashMap[(String, String), String]()
+  def put(ns: String, name: String, content: String): Unit =
+    fragments.put((ns, name), content)
+  def get(ns: String, name: String): Option[String] =
+    Option(fragments.get((ns, name)))
+      .orElse(if (ns.isEmpty) None else Option(fragments.get(("", name))))
   def names: Seq[String] = {
     import scala.jdk.CollectionConverters._
-    fragments.keySet().asScala.toSeq.sorted
+    fragments.keySet().asScala.toSeq.map(_._2).sorted
   }
 }
 
-/** Global (engine-lifetime) `connect` alias store. */
+/** Engine-lifetime `connect` alias store, namespaced by the registering
+  * script's path prefix (= tenant home under [[Engine]]): an alias carries
+  * CREDENTIALS, so one tenant's `connect ... as db1` must not be reachable
+  * from another tenant's session. Aliases registered with no prefix (the
+  * single-tenant runner / an admin bootstrap script) are visible to all.
+  */
 object ConnectMeta {
-  private val options = new ConcurrentHashMap[(String, String), Map[String, String]]()
-  def put(format: String, alias: String, opts: Map[String, String]): Unit =
-    options.put((format, alias), opts)
-  def get(format: String, alias: String): Option[Map[String, String]] =
-    Option(options.get((format, alias)))
+  private val options = new ConcurrentHashMap[(String, String, String), Map[String, String]]()
+  def put(ns: String, format: String, alias: String, opts: Map[String, String]): Unit =
+    options.put((ns, format, alias), opts)
+  def get(ns: String, format: String, alias: String): Option[Map[String, String]] =
+    Option(options.get((ns, format, alias)))
+      .orElse(if (ns.isEmpty) None else Option(options.get(("", format, alias))))
 }

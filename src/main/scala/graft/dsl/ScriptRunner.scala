@@ -80,7 +80,7 @@ object ScriptRunner {
               new String(java.nio.file.Files.readAllBytes(
                 java.nio.file.Paths.get(ctx.resolvePath(ref.path))), "UTF-8")
             case "view" | "function" =>
-              ScriptFragmentStore.get(ref.path).getOrElse(throw new IllegalArgumentException(
+              ScriptFragmentStore.get(ctx.pathPrefix, ref.path).getOrElse(throw new IllegalArgumentException(
                 s"no script fragment named '${ref.path}' — register one with " +
                   "`run <codeTable> as ScriptFragment.`" + ref.path + "``"))
             case other => throw new IllegalArgumentException(
@@ -255,7 +255,7 @@ object ScriptRunner {
     val aliasName = alias.getOrElse(throw new IllegalArgumentException("connect requires `as <alias>`"))
     val (fmtPart, optsClause) = splitOptionsClause(body)
     val format = nextToken(fmtPart)._1
-    ConnectMeta.put(format, aliasName, Template.parseOptions(optsClause, ctx.env))
+    ConnectMeta.put(ctx.pathPrefix, format, aliasName, Template.parseOptions(optsClause, ctx.env))
   }
 
   /** `train|run|predict t as Alg.`path` [where opts] [as out]`

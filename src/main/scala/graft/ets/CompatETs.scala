@@ -172,7 +172,7 @@ object JdbcCommandET extends NoPathET {
                      params: Map[String, String]): DataFrame = {
     val spark = ctx.spark
     import spark.implicits._
-    val opts = graft.dsl.ConnectMeta.get("jdbc", path)
+    val opts = graft.dsl.ConnectMeta.get(ctx.pathPrefix, "jdbc", path)
       .map(_ ++ params).getOrElse(params)
     val url = opts.getOrElse("url",
       throw new IllegalArgumentException(

@@ -287,7 +287,7 @@ object ScriptFragmentET extends NoPathET {
       val colName = params.getOrElse("inputCol", "content")
       df.select(colName).head().getString(0)
     })
-    graft.dsl.ScriptFragmentStore.put(path, code)
+    graft.dsl.ScriptFragmentStore.put(ctx.pathPrefix, path, code)
     UtilityETs.oneRowTable(ctx.spark, "fragment" -> path,
       "chars" -> code.length.toString)
   }

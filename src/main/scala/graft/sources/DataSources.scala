@@ -182,12 +182,16 @@ final class UnavailableSource(override val shortName: String) extends GraftSourc
 final class JdbcSource extends GraftSource {
   override def shortName = "jdbc"
 
-  /** Merge connect-alias options with statement options; statement wins. */
-  def resolveOptions(path: String, opts: Map[String, String]): Map[String, String] = {
+  /** Merge connect-alias options with statement options; statement wins.
+    * `ns` scopes the alias lookup to the registering tenant (empty = the
+    * shared/global namespace).
+    */
+  def resolveOptions(path: String, opts: Map[String, String],
+                     ns: String = ""): Map[String, String] = {
     val dot = path.indexOf('.')
     val (alias, table) = if (dot < 0) ("", path) else (path.substring(0, dot), path.substring(dot + 1))
     val base = if (alias.isEmpty) Map.empty[String, String]
-      else graft.dsl.ConnectMeta.get("jdbc", alias).getOrElse(
+      else graft.dsl.ConnectMeta.get(ns, "jdbc", alias).getOrElse(
         throw new IllegalArgumentException(s"jdbc: no `connect jdbc ... as $alias` in scope"))
     val merged = base ++ opts
     merged.get("directQuery") match {
@@ -199,7 +203,7 @@ final class JdbcSource extends GraftSource {
   }
 
   override def load(ctx: ScriptContext, path: String, opts: Map[String, String]): DataFrame =
-    ctx.spark.read.format("jdbc").options(resolveOptions(path, opts)).load()
+    ctx.spark.read.format("jdbc").options(resolveOptions(path, opts, ctx.pathPrefix)).load()
 
   /** With `idCol` set the write is an UPSERT executed row-by-row through a
     * foreachPartition JDBC batch (reference: MLSQLJDBC.scala upsert via
@@ -207,7 +211,7 @@ final class JdbcSource extends GraftSource {
     */
   override def save(ctx: ScriptContext, df: DataFrame, mode: SaveMode, path: String,
                     opts: Map[String, String], partitionBy: Seq[String]): Unit = {
-    val resolved = resolveOptions(path, opts)
+    val resolved = resolveOptions(path, opts, ctx.pathPrefix)
     resolved.get("idCol") match {
       case Some(_) => JdbcUpsert.upsert(df, resolved)
       case None =>

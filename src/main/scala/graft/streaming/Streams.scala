@@ -133,7 +133,7 @@ object StreamSinks {
         // Requires a JDBC driver jar at runtime; option plumbing is the
         // same as the batch jdbc sink.
         val jdbcOpts = new graft.sources.JdbcSource()
-          .resolveOptions(path, opts - "mode" - "duration" - "checkpointLocation")
+          .resolveOptions(path, opts - "mode" - "duration" - "checkpointLocation", ctx.pathPrefix)
         w2.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
           if (jdbcOpts.contains("idCol")) graft.sources.JdbcUpsert.upsert(batch.toDF(), jdbcOpts)
           else batch.write.format("jdbc").mode("append").options(jdbcOpts).save()
@@ -189,27 +189,54 @@ object UpsertParquet {
                     orderCol: Option[String] = None): Unit = {
     import org.apache.spark.sql.functions._
     val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(target)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the bucket count is part of the PHYSICAL layout: rows are located by
+    // pmod(hash, n), so merging with a different n would silently duplicate
+    // keys (old row never read). A marker file pins it; mismatch is a hard
+    // error telling the user to compact/rewrite.
+    val marker = new org.apache.hadoop.fs.Path(target + "/_graft_buckets")
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val stored = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+      require(stored == numBuckets.toString,
+        s"upsertParquet target $target was written with numBuckets=$stored; " +
+          s"cannot merge with numBuckets=$numBuckets — rewrite the target first")
+    }
     val bucket = pmod(xxhash64(idCols.map(col): _*), lit(numBuckets)).cast("int")
     val deduped = newestPerKey(batch.toDF(), idCols, orderCol)
       .withColumn("__bucket__", bucket)
-    val fs = new org.apache.hadoop.fs.Path(target)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val exists = fs.exists(new org.apache.hadoop.fs.Path(target))
-    val merged = if (!exists) deduped else {
-      val touched = deduped.select("__bucket__").distinct()
-        .collect().map(_.getInt(0))
-      val current = spark.read.parquet(target)
-        .filter(col("__bucket__").isin(touched.map(Integer.valueOf).toSeq: _*))
-      current.join(deduped.select(idCols.map(col): _*), idCols, "left_anti")
-        .unionByName(deduped)
-    }
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try merged.write.mode("overwrite").partitionBy("__bucket__").parquet(target)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+      // reused three times per batch (touched-bucket collect, anti-join
+      // probe, union/write) — one computation, not three
+      .persist()
+    try {
+      // read-based existence probe (an empty or _SUCCESS-only dir is "not
+      // there yet"); also rejects a non-bucketed layout loudly
+      val current0 =
+        try Some(spark.read.parquet(target)) catch { case _: Throwable => None }
+      current0.foreach(c => require(c.columns.contains("__bucket__"),
+        s"upsertParquet target $target holds a non-bucketed layout; " +
+          "remove numBuckets or rewrite the target"))
+      val merged = current0 match {
+        case None => deduped
+        case Some(current) =>
+          val touched = deduped.select("__bucket__").distinct()
+            .collect().map(_.getInt(0))
+          current.filter(col("__bucket__").isin(touched.map(Integer.valueOf).toSeq: _*))
+            .join(deduped.select(idCols.map(col): _*), idCols, "left_anti")
+            .unionByName(deduped)
+      }
+      // per-writer option (NOT the session conf, which would race with
+      // concurrent foreachBatch sinks on the same session): only the
+      // touched partitions are replaced
+      merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__bucket__").parquet(target)
+      if (!fs.exists(marker)) {
+        val out = fs.create(marker, true)
+        try out.write(numBuckets.toString.getBytes("UTF-8")) finally out.close()
+      }
+    } finally deduped.unpersist(false)
   }
 
   /** Within-batch winner per key: by `orderCol` descending when given

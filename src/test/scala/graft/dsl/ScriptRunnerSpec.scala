@@ -362,6 +362,38 @@ class ScriptRunnerSpec extends AnyFunSuite {
     assert(math.abs(cos.lastDataFrame.get.head().getDouble(0) - 1.0) < 1e-9)
   }
 
+  test("tenant isolation: path escapes, connect aliases, fragments, owner names") {
+    val base = java.nio.file.Files.createTempDirectory("graft_iso").toString
+    val engine = new Engine(spark, base)
+    // ../ escape out of the home prefix is an error, not a silent write
+    val esc = intercept[Exception] {
+      engine.run("alice", s"""load parquet.`$sf/region.parquet` as r_esc;
+        |save overwrite r_esc as parquet.`../bob/stolen`;""".stripMargin)
+    }
+    assert(esc.getMessage.contains("escapes"))
+    // owner strings cannot traverse out of homeBase
+    intercept[IllegalArgumentException] { engine.run("../../tmp", "select 1 as x as out;") }
+    // connect aliases are namespaced: alice's credentials are not bob's
+    engine.run("alice",
+      """connect jdbc where url="jdbc:h2:mem:alicedb" and user="alice" as shared_name;""")
+    val e2 = intercept[IllegalArgumentException] {
+      new graft.sources.JdbcSource().resolveOptions("shared_name.t", Map(), engine.homeFor("bob"))
+    }
+    assert(e2.getMessage.contains("no `connect"))
+    assert(new graft.sources.JdbcSource()
+      .resolveOptions("shared_name.t", Map(), engine.homeFor("alice"))("user") == "alice")
+    // fragments are namespaced the same way; global (un-prefixed) ones are shared
+    engine.run("alice",
+      "run command as ScriptFragment.`mine_frag` where code='''select 1 as v as frag_out''';")
+    val e3 = intercept[IllegalArgumentException] { engine.run("bob", "include view.`mine_frag`;") }
+    assert(e3.getMessage.contains("no script fragment"))
+    ScriptRunner.run(
+      "run command as ScriptFragment.`global_frag` where code='''select 2 as v as gfrag_out''';",
+      spark)
+    val ctx = engine.run("bob", "include view.`global_frag`;")
+    assert(ctx.lastDataFrame.get.head().getInt(0) == 2)
+  }
+
   test("pathPrefix re-roots relative paths (multi-tenancy helper)") {
     val df = ScriptRunner.runToDF(
       """load parquet.`region.parquet` as r_rel;
