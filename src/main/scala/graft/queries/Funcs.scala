@@ -282,13 +282,19 @@ object Funcs {
     //      exact variant. ----
     QuerySpec.sql("f15_percentiles", (s, dir) => {
       import s.implicits._
+      // one percentile aggregate per COLUMN (array of fractions): the
+      // per-group value buffer is built and sorted once per column instead
+      // of once per requested fraction
       t(s, dir, "lineitem")
         .groupBy($"l_returnflag")
         .agg(
-          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
-          round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
-          round(expr("percentile(l_extendedprice, 0.25)"), 2).as("p25_price"),
-          round(expr("percentile(l_extendedprice, 0.99)"), 2).as("p99_price"))
+          expr("percentile(l_quantity, array(0.5, 0.9))").as("q_pcts"),
+          expr("percentile(l_extendedprice, array(0.25, 0.99))").as("p_pcts"))
+        .select($"l_returnflag",
+          round(element_at($"q_pcts", 1), 4).as("p50_qty"),
+          round(element_at($"q_pcts", 2), 4).as("p90_qty"),
+          round(element_at($"p_pcts", 1), 2).as("p25_price"),
+          round(element_at($"p_pcts", 2), 2).as("p99_price"))
         .orderBy($"l_returnflag")
     },
       """SELECT l_returnflag,
