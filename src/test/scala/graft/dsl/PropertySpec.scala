@@ -35,6 +35,31 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("template merge resolves variable chains transitively (fixpoint)") {
+    val g = for {
+      names <- Gen.listOfN(6, ident).map(_.distinct).suchThat(_.size >= 2)
+      leaf <- Gen.alphaNumStr.suchThat(_.nonEmpty)
+    } yield (names, leaf)
+    check(Prop.forAll(g) { case (names, leaf) =>
+      // names(0) -> ${names(1)} -> ... -> leaf
+      val env = names.init.zip(names.tail).map { case (a, b) => a -> s"$${$b}" }.toMap +
+        (names.last -> leaf)
+      Template.merge(s"$${${names.head}}", env) == leaf
+    })
+  }
+
+  test("resolvePath with a prefix never yields a path outside it for relative inputs") {
+    val seg = Gen.oneOf(ident, Gen.const(".."), Gen.const("."))
+    val rel = Gen.nonEmptyListOf(seg).map(_.mkString("/"))
+    val ctx = new ScriptContext(null, "/home/tenant")
+    check(Prop.forAll(rel) { p =>
+      try {
+        val r = ctx.resolvePath(p)
+        r == "/home/tenant" || r.startsWith("/home/tenant/")
+      } catch { case _: IllegalArgumentException => true } // escape rejected
+    })
+  }
+
   test("parseOptions round-trips generated key/value pairs") {
     val kv = for {
       k <- ident
