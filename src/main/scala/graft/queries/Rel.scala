@@ -624,6 +624,28 @@ object Rel {
         |  MAX(n_events) AS max_session_events, MAX(n_types) AS max_session_types
         |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin),
 
+    // ---- UNPIVOT (melt): wide metric columns -> (metric, val) rows —
+    //      the normalization step feature-wide tables need before
+    //      per-metric aggregation; native relational operator in both
+    //      engines (no explode/stack UDF detour). ----
+    QuerySpec.sql("q37_unpivot", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .filter($"o_orderkey" < 100)
+        .select($"o_orderkey",
+          $"o_totalprice".cast("double").as("totalprice"),
+          $"o_custkey".cast("double").as("custkey"))
+        .unpivot(Array($"o_orderkey"), Array($"totalprice", $"custkey"),
+          "metric", "val")
+        .orderBy($"o_orderkey", $"metric")
+    },
+      """SELECT o_orderkey, metric, val FROM (
+        | SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS totalprice,
+        |  CAST(o_custkey AS DOUBLE) AS custkey
+        | FROM orders WHERE o_orderkey < 100)
+        |UNPIVOT (val FOR metric IN (totalprice, custkey))
+        |ORDER BY o_orderkey, metric""".stripMargin),
+
     // ---- bloom-filtered join: build a Bloom filter over the (selective)
     //      build side's key, broadcast it, pre-filter the probe side BEFORE
     //      its shuffle — at 100 TB the probe rows that cannot match never
