@@ -13,7 +13,12 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  def defaultCpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+  /** All local cores unless SPARK_GRAFT_CPUS overrides — the driver
+    * contract is local[32] with shuffle.partitions matching; a hardcoded
+    * small default silently under-parallelized every run on this box.
+    */
+  def defaultCpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+    math.min(32, Runtime.getRuntime.availableProcessors()).toString)
 
   def builder(cpus: String = defaultCpus): SparkSession.Builder =
     SparkSession.builder()

@@ -417,7 +417,20 @@ object CommandMacros {
     "kill" -> "run command as JobCommand.`kill` where parameters='''{:all}'''",
     "resource" -> "run command as EngineResource.``",
     "jdbc" -> "run command as JDBC.`{}`",
-    "compact" -> "run command as TableCompaction.`{1}` where targetFileSizeMB=\"{0}\""
+    "compact" -> "run command as TableCompaction.`{1}` where targetFileSizeMB=\"{0}\"",
+    // reference CommandCollection.scala:48 — `!model history /path`
+    "model" -> "run command as ModelCommand.`{1}` where action=\"{0}\"",
+    // reference :58 (register form); here run + re-register in place
+    "withWartermark" -> ("run {0} as WaterMarkInPlace.`` where " +
+      "eventTimeCol=\"{1}\" and delayThreshold=\"{2}\" as {0}"),
+    // reference :67 — our RunScript ET reads the script from a table
+    "runScript" -> "run {0} as RunScript.``",
+    // `!iterator t '''sql'''` (quote-aware arg tokenization)
+    "iterator" -> "run {0} as IteratorCommand.`` where sql='''{1}'''",
+    // jar/egress-gated: route to the registry slots' actionable errors
+    "delta" -> "run command as DeltaCommand.`` where parameters='''{:all}'''",
+    "kafkaTool" -> "run command as KafkaCommand.`` where parameters='''{:all}'''",
+    "callback" -> "run command as EventCallback.`` where parameters='''{:all}'''"
   )
 
   /** Case-insensitive view (statement head words are lowercased). */

@@ -16,7 +16,45 @@ object CompatETs {
   def all: Seq[ET] = Seq(KillET, JdbcCommandET, VecMapInPlaceET,
     Word2ArrayInPlaceET, FeatureExtractInPlaceET, RawSimilarInPlaceET,
     ReduceFeaturesInPlaceET, EngineResourceET, RepartitionExtET,
-    TreeBuildExtET, CorpusExplainInPlaceET)
+    TreeBuildExtET, CorpusExplainInPlaceET,
+    MapET, AutoIncrementKeyExtET, HashTfIdfET, TfIdfET,
+    CommunityBasedSimilityInPlaceET, ModelExplainInPlaceET,
+    TokenAnalysisET, TokenExtractET, NothingET, ModelCommandET)
+}
+
+/** `run t as NothingET.``` — the reference's no-op placeholder ET
+  * (tech/mlsql/ets/NothingET.scala: returns a one-empty-string table).
+  */
+object NothingET extends NoPathET {
+  override def name = "NothingET"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    val spark = ctx.spark
+    import spark.implicits._
+    Seq("").toDF("value")
+  }
+}
+
+/** `!model history /model/path` — list a saved spark.ml artifact's
+  * self-description (reference: tech/mlsql/ets/ModelCommand.scala, which
+  * walks its `_model_N/meta/0` version layout; this engine saves models
+  * through the standard ml writer, so "history" is the artifact's
+  * `metadata/` record — one row per saved version dir when the path
+  * contains several).
+  */
+object ModelCommandET extends ET {
+  override def name = "ModelCommand"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    params.getOrElse("action", "history") match {
+      case "history" | "params" =>
+        ctx.spark.read.json(path + "/metadata")
+          .select(lit(path).as("modelPath"), col("class"), col("uid"),
+            col("sparkVersion"), to_json(col("paramMap")).as("params"))
+      case other => throw new IllegalArgumentException(
+        s"!model supports history|params, got '$other'")
+    }
+  }
 }
 
 /** `run edges as TreeBuildExt.`` where idCol="id" and parentIdCol="pid"
@@ -333,4 +371,350 @@ object RepartitionExtET extends NoPathET {
   override def train(ctx: ScriptContext, df: DataFrame, path: String,
                      params: Map[String, String]): DataFrame =
     TableRepartitionET.train(ctx, df, path, params)
+}
+
+/** `train _ as Map.`dictTable`; register Map.`dictTable` as lookup;` —
+  * broadcast a one-row table as a string→string lookup UDF (reference:
+  * SQLMap.scala:33-50 — first row via toJSON.head, predict = `res(a)`).
+  * Deviation: a missing key returns null instead of throwing, so the UDF
+  * is usable inside SQL without killing the job on unseen keys.
+  */
+object MapET extends NoPathET {
+  override def name = "Map"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = df
+
+  override def load(spark: org.apache.spark.sql.SparkSession, path: String,
+                    params: Map[String, String]): Any = {
+    val row = spark.table(path).head()
+    row.schema.fieldNames.zipWithIndex.map { case (f, i) =>
+      f -> (if (row.isNullAt(i)) null else String.valueOf(row.get(i)))
+    }.toMap
+  }
+
+  override def predict(spark: org.apache.spark.sql.SparkSession, model: Any,
+                       udfName: String, params: Map[String, String])
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val m = model.asInstanceOf[Map[String, String]]
+    udf((k: String) => if (k == null) null else m.getOrElse(k, null))
+  }
+}
+
+/** `run t as AutoIncrementKeyExt.`` [where idCol="id"]` — append a unique
+  * long id per row (reference: SQLAutoIncrementKeyExt.scala:10-17, RDD
+  * zipWithUniqueId). Re-designed on `monotonically_increasing_id()` — the
+  * same contract (unique, NOT contiguous), but codegen'd with no
+  * Row-serialization round trip through an RDD.
+  */
+object AutoIncrementKeyExtET extends NoPathET {
+  override def name = "AutoIncrementKeyExt"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    val idCol = params.getOrElse("idCol", "id")
+    require(!df.columns.contains(idCol),
+      s"AutoIncrementKeyExt: column '$idCol' already exists; set idCol=...")
+    df.withColumn(idCol, monotonically_increasing_id())
+  }
+}
+
+/** `train docs as HashTfIdf.`/model/path` where inputCol="words"` — fit an
+  * IDF over hashed term frequencies and save it; `register` builds a
+  * words→tf-idf-vector UDF (reference: SQLHashTfIdf.scala:25-55).
+  * The UDF hashes with the SAME ml HashingTF.indexOf as training, so
+  * train/predict vectors agree (the reference's predict hardcodes
+  * binary=true against a binary=false train default; here `binary` applies
+  * to both sides consistently).
+  */
+object HashTfIdfET extends ET {
+  override def name = "HashTfIdf"
+
+  private def tfParams(params: Map[String, String]) = (
+    params.getOrElse("inputCol", "words"),
+    params.getOrElse("numFeatures", (1 << 18).toString).toInt,
+    params.getOrElse("binary", "false").toBoolean)
+
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    val (inputCol, numFeatures, binary) = tfParams(params)
+    val tf = new org.apache.spark.ml.feature.HashingTF()
+      .setInputCol(inputCol).setOutputCol("__tf__")
+      .setNumFeatures(numFeatures).setBinary(binary)
+    val idf = new org.apache.spark.ml.feature.IDF()
+      .setInputCol("__tf__").setOutputCol("__tfidf__")
+      .setMinDocFreq(params.getOrElse("minDocFreq", "0").toInt)
+    val model = idf.fit(tf.transform(df))
+    model.write.overwrite().save(path)
+    UtilityETs.oneRowTable(ctx.spark, "status" -> "success", "path" -> path)
+  }
+
+  override def batchPredict(ctx: ScriptContext, df: DataFrame, path: String,
+                            params: Map[String, String]): DataFrame = {
+    val (inputCol, _, _) = tfParams(params)
+    val fn = predict(ctx.spark, load(ctx.spark, path, params), "tfidf", params)
+    df.withColumn(inputCol + "_tfidf", fn(col(inputCol)))
+  }
+
+  override def load(spark: org.apache.spark.sql.SparkSession, path: String,
+                    params: Map[String, String]): Any =
+    org.apache.spark.ml.feature.IDFModel.load(path)
+
+  override def predict(spark: org.apache.spark.sql.SparkSession, model: Any,
+                       udfName: String, params: Map[String, String])
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val idf = model.asInstanceOf[org.apache.spark.ml.feature.IDFModel].idf.toArray
+    val binary = params.getOrElse("binary", "false").toBoolean
+    val hasher = new org.apache.spark.ml.feature.HashingTF()
+      .setNumFeatures(idf.length).setBinary(binary)
+    udf { (words: Seq[String]) =>
+      if (words == null) null
+      else {
+        val counts = scala.collection.mutable.HashMap.empty[Int, Double]
+        words.foreach { w =>
+          val i = hasher.indexOf(w)
+          counts.update(i, if (binary) 1.0 else counts.getOrElse(i, 0.0) + 1.0)
+        }
+        org.apache.spark.ml.linalg.Vectors.sparse(idf.length,
+          counts.iterator.map { case (i, tf) => i -> tf * idf(i) }.toSeq.sortBy(_._1))
+      }
+    }
+  }
+}
+
+/** `train docs as TfIdf.`/model/path` where inputCol="wordIds"` — like
+  * [[HashTfIdfET]] but over PRE-INDEXED integer word ids: the tf vector
+  * has the count at index = id, no hashing (reference: SQLTfIdf.scala with
+  * its patched `IntTF`, mllib/feature/IntTF.scala `transform`: index is
+  * the term id itself). `numFeatures` must exceed the max word id.
+  */
+object TfIdfET extends ET {
+  override def name = "TfIdf"
+
+  private def tfVec(numFeatures: Int, binary: Boolean) = udf { (ids: Seq[Int]) =>
+    if (ids == null) null
+    else {
+      val counts = scala.collection.mutable.HashMap.empty[Int, Double]
+      ids.foreach { i =>
+        counts.update(i, if (binary) 1.0 else counts.getOrElse(i, 0.0) + 1.0)
+      }
+      org.apache.spark.ml.linalg.Vectors.sparse(numFeatures,
+        counts.toSeq.sortBy(_._1))
+    }
+  }
+
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    val inputCol = params.getOrElse("inputCol", "words")
+    val numFeatures = params.getOrElse("numFeatures", (1 << 18).toString).toInt
+    val binary = params.getOrElse("binary", "false").toBoolean
+    val withTf = df.withColumn("__tf__", tfVec(numFeatures, binary)(col(inputCol)))
+    val idf = new org.apache.spark.ml.feature.IDF()
+      .setInputCol("__tf__").setOutputCol("__tfidf__")
+      .setMinDocFreq(params.getOrElse("minDocFreq", "0").toInt)
+    val model = idf.fit(withTf)
+    model.write.overwrite().save(path)
+    UtilityETs.oneRowTable(ctx.spark, "status" -> "success", "path" -> path)
+  }
+
+  override def load(spark: org.apache.spark.sql.SparkSession, path: String,
+                    params: Map[String, String]): Any =
+    org.apache.spark.ml.feature.IDFModel.load(path)
+
+  override def predict(spark: org.apache.spark.sql.SparkSession, model: Any,
+                       udfName: String, params: Map[String, String])
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val idf = model.asInstanceOf[org.apache.spark.ml.feature.IDFModel].idf.toArray
+    val binary = params.getOrElse("binary", "false").toBoolean
+    udf { (ids: Seq[Int]) =>
+      if (ids == null) null
+      else {
+        val counts = scala.collection.mutable.HashMap.empty[Int, Double]
+        ids.foreach { i =>
+          counts.update(i, if (binary) 1.0 else counts.getOrElse(i, 0.0) + 1.0)
+        }
+        org.apache.spark.ml.linalg.Vectors.sparse(idf.length,
+          counts.iterator.map { case (i, tf) => i -> tf * idf(i) }.toSeq.sortBy(_._1))
+      }
+    }
+  }
+}
+
+/** `run edges as CommunityBasedSimilityInPlace.`path` where rowNum="i"
+  * and columnNum="j" and edgeValue="v"` — communities = connected
+  * components of the similarity graph restricted to edges above
+  * `minSimilarity`, keeping components larger than
+  * max(round(|V| * minCommunityPercent), minCommunitySize)
+  * (reference: SQLCommunityBasedSimilityInPlace.scala:20-45, GraphX
+  * subgraph + connectedComponents). Re-designed on the repo's
+  * pointer-doubling DataFrame CC ([[graft.operators.dedup.Components]]) —
+  * no GraphX, same one-shuffle-per-round shape.
+  *
+  * Scale note: `vertexIds` is a per-community collect_list, same output
+  * shape as the reference; at 100 TB keep `minCommunityPercent` sane or
+  * consume the (vertex, group) pairs upstream of the grouping instead.
+  */
+object CommunityBasedSimilityInPlaceET extends ET {
+  override def name = "CommunityBasedSimilityInPlace"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    val rowNum = params.getOrElse("rowNum", "i")
+    val columnNum = params.getOrElse("columnNum", "j")
+    val edgeValue = params.getOrElse("edgeValue", "v")
+    val minSimilarity = params.getOrElse("minSimilarity", "0.7").toDouble
+    val minCommunitySize = params.getOrElse("minCommunitySize", "10").toLong
+    val minCommunityPercent = params.getOrElse("minCommunityPercent", "0.1").toDouble
+
+    val vertices = df.select(col(rowNum).cast("long").as("id"))
+      .union(df.select(col(columnNum).cast("long").as("id"))).distinct()
+    val minSize = math.max(math.round(vertices.count() * minCommunityPercent),
+      minCommunitySize)
+
+    val pairs = df.filter(col(edgeValue) > minSimilarity)
+      .select(col(rowNum).cast("long").as("a_id"), col(columnNum).cast("long").as("b_id"))
+    val groups = graft.operators.dedup.Components.labels(pairs)
+      .groupBy(col("label").as("group"))
+      .agg(collect_list(col("id")).as("vertexIds"), count(lit(1)).as("__n__"))
+      .filter(col("__n__") > minSize)
+      .select(col("group"), col("vertexIds"))
+    if (path.nonEmpty)
+      groups.write.mode("overwrite").parquet(path + "/data")
+    groups
+  }
+}
+
+/** `run _ as ModelExplainInPlace.`out` where modelPath="/model/x" and
+  * modelType="sparkmllib"` — surface a saved spark.ml model's metadata
+  * (class, uid, params, spark version) as a table (reference:
+  * SQLModelExplainInPlace.scala:30-37 `sparkmllibTrain`, which hardcodes
+  * BisectingKMeansModel; here any spark.ml artifact works — the writer's
+  * `metadata/` JSON is the universal self-description). The reference's
+  * default `sklearn` mode shells out to Python — out of scope offline,
+  * clear error.
+  */
+object ModelExplainInPlaceET extends ET {
+  override def name = "ModelExplainInPlace"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    params.getOrElse("modelType", "sparkmllib") match {
+      case "sparkmllib" =>
+        val modelPath = params.getOrElse("modelPath",
+          if (path.nonEmpty) path
+          else throw new IllegalArgumentException(
+            "ModelExplainInPlace requires modelPath=... (a saved spark.ml model dir)"))
+        ctx.spark.read.json(modelPath + "/metadata")
+          .select(col("class"), col("uid"), col("sparkVersion"),
+            to_json(col("paramMap")).as("params"))
+      case other => throw new UnsupportedOperationException(
+        s"ModelExplainInPlace modelType='$other' needs an external Python " +
+          "runtime (reference sklearnTrain); this build supports modelType=\"sparkmllib\"")
+    }
+  }
+}
+
+/** `run docs as TokenAnalysis.`` where inputCol="text" [and split=" "]` —
+  * replace a text column with its token array (reference:
+  * SQLTokenAnalysis.scala:20-55: `split` regex when given, ansj NLP
+  * segmentation otherwise, via an RDD mapPartitions). Re-designed as
+  * column expressions: native `split` for the regex path (codegen'd), the
+  * shared [[graft.functions.UDFPack.segment]] dispatcher otherwise (ansj
+  * by reflection when the jar exists, deterministic CJK/latin fallback
+  * offline — dictionary params like wordsArray/dic.paths only apply on
+  * the ansj path).
+  */
+object TokenAnalysisET extends ET {
+  override def name = "TokenAnalysis"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    val inputCol = params.getOrElse("inputCol",
+      throw new IllegalArgumentException("TokenAnalysis requires inputCol"))
+    val tokens = params.get("split") match {
+      // limit=0 = Java String.split semantics (trailing empties dropped),
+      // matching the reference's content.split(split)
+      case Some(sep) => split(col(inputCol), sep, 0)
+      case None => udf((s: String) => graft.functions.UDFPack.segment(s))
+        .apply(col(inputCol))
+    }
+    val out = df.withColumn(inputCol, tokens)
+    // reference persists (keywords, id) to the path when idCol is given
+    params.get("idCol").filter(_ => path.nonEmpty).foreach { id =>
+      out.select(col(inputCol).as("keywords"), col(id))
+        .write.mode("overwrite").parquet(path)
+    }
+    out
+  }
+}
+
+/** `run docs as TokenExtract.`out` where dic.paths="/dict.txt" and
+  * inputCol="text" and idCol="id"` — per doc, every dictionary word that
+  * occurs in the text (reference: SQLTokenExtract.scala:16-50, ansj trie
+  * Forest + extractAllWords). Re-designed with a plain Scala prefix trie
+  * built once from the (dictionary-sized, bounded) word list and shipped
+  * in the UDF closure: matching scans each start offset through the trie,
+  * O(len · maxWordLen) per row, no ansj dependency.
+  */
+object TokenExtractET extends ET {
+  override def name = "TokenExtract"
+
+  private[ets] final class WordTrie(words: Iterable[String]) extends Serializable {
+    private val root = new java.util.HashMap[Char, AnyRef]()
+    // NUL never appears in a sane dictionary word, so the end-marker slot
+    // cannot collide with a child edge (multi-word entries like "new york"
+    // contain spaces, so a space sentinel would corrupt the trie)
+    private val WORD_END = '\u0000'
+    words.filter(w => w != null && w.nonEmpty).foreach { w =>
+      var node = root
+      w.foreach { ch =>
+        var next = node.get(ch).asInstanceOf[java.util.HashMap[Char, AnyRef]]
+        if (next == null) {
+          next = new java.util.HashMap[Char, AnyRef]()
+          node.put(ch, next)
+        }
+        node = next
+      }
+      node.put(WORD_END, w)
+    }
+
+    /** All dictionary words occurring in `text`, in match order. */
+    def extractAll(text: String, dedup: Boolean): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      val seen = scala.collection.mutable.HashSet[String]()
+      var start = 0
+      while (start < text.length) {
+        var node = root
+        var i = start
+        while (node != null) {
+          val w = node.get(WORD_END)
+          if (w != null) {
+            val word = w.asInstanceOf[String]
+            if (!dedup || seen.add(word)) out += word
+          }
+          if (i < text.length) {
+            node = node.get(text.charAt(i)).asInstanceOf[java.util.HashMap[Char, AnyRef]]
+            i += 1
+          } else node = null
+        }
+        start += 1
+      }
+      out.toSeq
+    }
+  }
+
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    val spark = ctx.spark
+    val dicPaths = params.getOrElse("dic.paths",
+      throw new IllegalArgumentException("TokenExtract requires dic.paths"))
+    val inputCol = params.getOrElse("inputCol",
+      throw new IllegalArgumentException("TokenExtract requires inputCol"))
+    val idCol = params.getOrElse("idCol",
+      throw new IllegalArgumentException("TokenExtract requires idCol"))
+    val dedup = params.getOrElse("deduplicateResult", "false").toBoolean
+    val words = spark.read.textFile(dicPaths.split(","): _*).collect()
+    val trie = new WordTrie(words)
+    val extract = udf { (text: String) =>
+      if (text == null) Seq.empty[String] else trie.extractAll(text, dedup)
+    }
+    val out = df.select(col(idCol).as("id"), extract(col(inputCol)).as("keywords"))
+    if (path.nonEmpty) out.write.mode("overwrite").parquet(path)
+    out
+  }
 }

@@ -149,8 +149,18 @@ object ShowCommandET extends NoPathET {
       }
       case "version" => UtilityETs.oneRowTable(spark,
         "engine" -> "graft", "spark" -> spark.version)
+      // reference: SQLDataSourceExt lists the registered source formats;
+      // built-in file formats resolve through the reader fallback rather
+      // than the registry, so list both kinds explicitly
+      case "datasources" => {
+        import spark.implicits._
+        val builtin = Seq("parquet", "csv", "json", "text", "orc",
+          "binaryFile", "avro").map(_ -> "builtin-fallback")
+        (graft.sources.DataSourceRegistry.registeredNames.map(_ -> "registered")
+          ++ builtin).toDF("name", "kind")
+      }
       case other => throw new IllegalArgumentException(
-        s"!show supports tables|databases|functions|ets|version, got '$other'")
+        s"!show supports tables|databases|functions|ets|datasources|version, got '$other'")
     }
   }
 }

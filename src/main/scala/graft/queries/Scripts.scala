@@ -205,6 +205,41 @@ object Scripts {
          |  abs(avg(case when __split__ = 1 then 1.0 else 0.0 end) - 0.2) < 0.02 as share1_ok
          |from sp as s9_out;""".stripMargin),
       """SELECT (SELECT COUNT(*) FROM orders) AS n_rows,
-        | CAST(2 AS BIGINT) AS n_splits, true AS share0_ok, true AS share1_ok""".stripMargin)
+        | CAST(2 AS BIGINT) AS n_splits, true AS share0_ok, true AS share1_ok""".stripMargin),
+
+    // ---- TokenExtract ET (dictionary trie matching) through the DSL,
+    //      pinned-fixture oracle (the p13/p17 technique): matches appear
+    //      in start-offset order, overlaps included ("lazy dog" and "dog"
+    //      both hit). The dict file is (re)written before each run so the
+    //      entry is self-contained. ----
+    QuerySpec.sql("s15_script_token_extract", (s, dir) => {
+      java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_dic_s15.txt"),
+        java.util.Arrays.asList("fox", "lazy dog", "dog"))
+      script(s,
+        """select 1 as doc_id, 'the quick brown fox jumps over the lazy dog' as text
+          | union all select 2 as doc_id, 'no dictionary words here' as text as s15_in;
+          |run s15_in as TokenExtract.`` where dic.paths="/tmp/graft_dic_s15.txt"
+          |  and inputCol="text" and idCol="doc_id" as s15_toks;
+          |select id, concat_ws(',', keywords) as kw from s15_toks order by id as s15_out;""".stripMargin)
+    },
+      """SELECT * FROM (VALUES (1, 'fox,lazy dog,dog'), (2, ''))
+        | t(id, kw) ORDER BY id""".stripMargin),
+
+    // ---- CommunityBasedSimilityInPlace through the DSL: connected
+    //      components over the >minSimilarity subgraph; pinned oracle —
+    //      {1,2,3} joined transitively, {10,11} direct, the 0.3 edge
+    //      filtered out. ----
+    QuerySpec.sql("s16_script_community", (s, dir) => script(s,
+      """select CAST(1 AS BIGINT) as i, CAST(2 AS BIGINT) as j, 0.9 as v
+        | union all select CAST(2 AS BIGINT), CAST(3 AS BIGINT), 0.95
+        | union all select CAST(10 AS BIGINT), CAST(11 AS BIGINT), 0.8
+        | union all select CAST(20 AS BIGINT), CAST(21 AS BIGINT), 0.3 as s16_edges;
+        |run s16_edges as CommunityBasedSimilityInPlace.`` where
+        |  minCommunitySize="1" and minCommunityPercent="0.0" as s16_groups;
+        |select `group`, array_join(transform(sort_array(vertexIds),
+        |  x -> cast(x as string)), ',') as members
+        |  from s16_groups order by `group` as s16_out;""".stripMargin),
+      """SELECT * FROM (VALUES (CAST(1 AS BIGINT), '1,2,3'), (CAST(10 AS BIGINT), '10,11'))
+        | t("group", members) ORDER BY "group"""".stripMargin)
   )
 }

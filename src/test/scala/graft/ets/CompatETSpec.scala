@@ -168,4 +168,159 @@ class CompatETSpec extends AnyFunSuite {
     assert(df.rdd.getNumPartitions == 3)
     assert(df.count() == 5)
   }
+
+  test("Map ET registers a first-row string lookup UDF") {
+    val df = runDF(
+      """select 'v1' as k1, 'v2' as k2 as map_dict;
+        |register Map.`map_dict` as dict_lookup;
+        |select dict_lookup('k2') as hit, dict_lookup('nope') as miss as out;""".stripMargin)
+    val r = df.head()
+    assert(r.getString(0) == "v2")
+    assert(r.isNullAt(1))
+  }
+
+  test("AutoIncrementKeyExt appends a unique long id per row") {
+    val df = runDF(
+      s"""load parquet.`$sf/nation.parquet` as aik_in;
+         |run aik_in as AutoIncrementKeyExt.`` as aik_out;""".stripMargin)
+    assert(df.columns.contains("id"))
+    assert(df.select("id").distinct().count() == df.count())
+  }
+
+  test("HashTfIdf: register UDF agrees with the ml-pipeline transform") {
+    val path = java.nio.file.Files.createTempDirectory("graft_htfidf").toString
+    val df = runDF(
+      s"""select split('spark makes data fast', ' ') as words
+         |union all select split('spark and spark again', ' ') as words
+         |union all select split('tiny docs here', ' ') as words as htf_in;
+         |train htf_in as HashTfIdf.`$path` where inputCol="words" and numFeatures="64";
+         |register HashTfIdf.`$path` as htfidf where numFeatures="64";
+         |select htfidf(split('spark and spark again', ' ')) as v as out;""".stripMargin)
+    val got = df.head().getAs[org.apache.spark.ml.linalg.Vector](0)
+    // oracle: the standard ml pipeline on the same doc
+    val model = org.apache.spark.ml.feature.IDFModel.load(path)
+    import spark.implicits._
+    val tf = new org.apache.spark.ml.feature.HashingTF()
+      .setInputCol("words").setOutputCol("__tf__").setNumFeatures(64)
+    val expected = model.setInputCol("__tf__").setOutputCol("__tfidf__")
+      .transform(tf.transform(Seq(Tuple1(Seq("spark", "and", "spark", "again"))).toDF("words")))
+      .select("__tfidf__").head().getAs[org.apache.spark.ml.linalg.Vector](0)
+    assert(got == expected)
+  }
+
+  test("TfIdf indexes tf by the integer word id itself") {
+    val path = java.nio.file.Files.createTempDirectory("graft_tfidf").toString
+    val df = runDF(
+      s"""select array(1, 3, 3) as words
+         |union all select array(2, 3) as words as tfidf_in;
+         |train tfidf_in as TfIdf.`$path` where inputCol="words" and numFeatures="8";
+         |register TfIdf.`$path` as int_tfidf;
+         |select int_tfidf(array(1, 3, 3)) as v as out;""".stripMargin)
+    val v = df.head().getAs[org.apache.spark.ml.linalg.Vector](0)
+    assert(v.size == 8)
+    val nz = v.toArray.zipWithIndex.filter(_._1 != 0.0).map(_._2).toSeq
+    assert(nz == Seq(1)) // id 3 is in every doc -> idf ln((2+1)/(2+1)) = 0
+    assert(v(1) > 0)
+  }
+
+  test("CommunityBasedSimilityInPlace groups connected high-similarity edges") {
+    val df = runDF(
+      """select 1L as i, 2L as j, 0.9 as v
+        |union all select 2L as i, 3L as j, 0.95 as v
+        |union all select 10L as i, 11L as j, 0.8 as v
+        |union all select 20L as i, 21L as j, 0.3 as v
+        |as cb_edges;
+        |run cb_edges as CommunityBasedSimilityInPlace.`` where
+        |minCommunitySize="1" and minCommunityPercent="0.0" as cb_out;
+        |select `group`, vertexIds from cb_out as out;""".stripMargin)
+    val groups = df.collect().map(r => r.getSeq[Long](1).sorted).sortBy(_.head)
+    assert(groups.toSeq == Seq(Seq(1L, 2L, 3L), Seq(10L, 11L)))
+  }
+
+  test("ModelExplainInPlace surfaces saved spark.ml model metadata") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mexp").toString
+    val df = runDF(
+      s"""select split('a b', ' ') as words as mexp_in;
+         |train mexp_in as HashTfIdf.`$path` where inputCol="words" and numFeatures="16";
+         |run mexp_in as ModelExplainInPlace.`` where modelPath="$path" as mexp_out;
+         |select class, params from mexp_out as out;""".stripMargin)
+    val r = df.head()
+    assert(r.getString(0).contains("IDFModel"))
+    assert(r.getString(1).contains("minDocFreq"))
+  }
+
+  test("TokenAnalysis honors split regex and segment fallback") {
+    val bySplit = runDF(
+      """select 'a,b,,c' as text as ta_in;
+        |run ta_in as TokenAnalysis.`` where inputCol="text" and split="," as ta_out;""".stripMargin)
+    assert(bySplit.head().getSeq[String](0) == Seq("a", "b", "", "c"))
+    val bySegment = runDF(
+      """select 'hello spark' as text as ta2_in;
+        |run ta2_in as TokenAnalysis.`` where inputCol="text" as ta2_out;""".stripMargin)
+    assert(bySegment.head().getSeq[String](0) == Seq("hello", "spark"))
+  }
+
+  test("TokenExtract matches dictionary words via the trie") {
+    val dicDir = java.nio.file.Files.createTempDirectory("graft_dic")
+    val dic = dicDir.resolve("words.txt")
+    java.nio.file.Files.write(dic,
+      java.util.Arrays.asList("spark", "data", "big data"))
+    val df = runDF(
+      s"""select 1 as doc_id, 'big data needs spark, spark needs data' as text as te_in;
+         |run te_in as TokenExtract.`` where dic.paths="$dic"
+         |and inputCol="text" and idCol="doc_id" as te_out;""".stripMargin)
+    val kws = df.head().getSeq[String](1)
+    // every occurrence of every dictionary word, overlaps included
+    assert(kws.count(_ == "spark") == 2)
+    assert(kws.count(_ == "data") == 2) // inside "big data" + the final standalone one
+    assert(kws.count(_ == "big data") == 1)
+    val dedup = runDF(
+      s"""select 1 as doc_id, 'spark spark data' as text as te2_in;
+         |run te2_in as TokenExtract.`` where dic.paths="$dic"
+         |and inputCol="text" and idCol="doc_id" and deduplicateResult="true" as te2_out;""".stripMargin)
+    assert(dedup.head().getSeq[String](1) == Seq("spark", "data"))
+  }
+
+  test("!show datasources lists the registered source formats") {
+    val df = runDF("!show datasources;")
+    val names = df.collect().map(_.getString(0)).toSet
+    assert(names.contains("parquet") && names.contains("jsonStr".toLowerCase))
+  }
+
+  test("NothingET returns the reference's one-empty-string table") {
+    val df = runDF("run command as NothingET.`` as n_out;")
+    assert(df.columns.toSeq == Seq("value"))
+    assert(df.head().getString(0) == "")
+  }
+
+  test("!model history lists a saved model's metadata") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mc").toString
+    val df = runDF(
+      s"""select split('a b', ' ') as words as mc_in;
+         |train mc_in as HashTfIdf.`$path` where inputCol="words" and numFeatures="16";
+         |!model history $path;""".stripMargin)
+    val r = df.head()
+    assert(r.getString(0) == path)
+    assert(r.getString(1).contains("IDFModel"))
+  }
+
+  test("!iterator and !runScript macros drive their ETs") {
+    val it = runDF(
+      s"""select 2 as n as it_in;
+         |!iterator it_in '''select cast($${n} * 10 as int) as v as it_view''';
+         |select v from it_view as it_out;""".stripMargin)
+    assert(it.head().getInt(0) == 20)
+    val rs = runDF(
+      """select 'select 41 + 1 as answer as rs_inner;' as content as rs_in;
+        |!runScript rs_in;""".stripMargin)
+    assert(rs.head().getInt(0) == 42)
+  }
+
+  test("!withWartermark macro re-registers the view with a watermark") {
+    val df = runDF(
+      """select current_timestamp() as ts, 1 as v as wm_in;
+        |!withWartermark wm_in ts '10 seconds';
+        |select v from wm_in as wm_out;""".stripMargin)
+    assert(df.count() == 1)
+  }
 }
