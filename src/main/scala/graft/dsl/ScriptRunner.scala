@@ -427,6 +427,8 @@ object CommandMacros {
     "runScript" -> "run {0} as RunScript.``",
     // `!iterator t '''sql'''` (quote-aware arg tokenization)
     "iterator" -> "run {0} as IteratorCommand.`` where sql='''{1}'''",
+    // versioned-parquet table management (offline analog of `!delta`)
+    "vtable" -> "run command as VParquetCommand.`` where parameters='''{:all}'''",
     // jar/egress-gated: route to the registry slots' actionable errors
     "delta" -> "run command as DeltaCommand.`` where parameters='''{:all}'''",
     "kafkaTool" -> "run command as KafkaCommand.`` where parameters='''{:all}'''",

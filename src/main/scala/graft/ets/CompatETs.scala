@@ -19,7 +19,37 @@ object CompatETs {
     TreeBuildExtET, CorpusExplainInPlaceET,
     MapET, AutoIncrementKeyExtET, HashTfIdfET, TfIdfET,
     CommunityBasedSimilityInPlaceET, ModelExplainInPlaceET,
-    TokenAnalysisET, TokenExtractET, NothingET, ModelCommandET)
+    TokenAnalysisET, TokenExtractET, NothingET, ModelCommandET,
+    VParquetCommandET)
+}
+
+/** `!vtable history <path>` / `!vtable vacuum <path> <retainVersions>` —
+  * management commands for [[graft.sources.VParquet]] versioned tables
+  * (the offline analog of the reference's `!delta history/compact`,
+  * DeltaCommandWrapper.scala / DeltaCompactionCommand.scala).
+  */
+object VParquetCommandET extends NoPathET {
+  override def name = "VParquetCommand"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    val args = params.getOrElse("parameters", "").trim.split("\\s+").filter(_.nonEmpty)
+    require(args.nonEmpty,
+      "usage: !vtable history <path> | !vtable vacuum <path> <retainVersions>")
+    args(0) match {
+      case "history" =>
+        require(args.length == 2, "usage: !vtable history <path>")
+        graft.sources.VParquet.history(ctx.spark, ctx.resolvePath(args(1)))
+      case "vacuum" =>
+        require(args.length == 3, "usage: !vtable vacuum <path> <retainVersions>")
+        val (droppedManifests, deletedFiles) = graft.sources.VParquet
+          .vacuum(ctx.spark, ctx.resolvePath(args(1)), args(2).toInt)
+        UtilityETs.oneRowTable(ctx.spark,
+          "dropped_versions" -> droppedManifests.toString,
+          "deleted_files" -> deletedFiles.toString)
+      case other => throw new IllegalArgumentException(
+        s"!vtable supports history|vacuum, got '$other'")
+    }
+  }
 }
 
 /** `run t as NothingET.``` — the reference's no-op placeholder ET
@@ -386,7 +416,10 @@ object MapET extends NoPathET {
 
   override def load(spark: org.apache.spark.sql.SparkSession, path: String,
                     params: Map[String, String]): Any = {
-    val row = spark.table(path).head()
+    val rows = spark.table(path).take(1)
+    require(rows.nonEmpty, s"Map: dictionary table '$path' is empty — " +
+      "register needs one row whose columns are the lookup keys")
+    val row = rows.head
     row.schema.fieldNames.zipWithIndex.map { case (f, i) =>
       f -> (if (row.isNullAt(i)) null else String.valueOf(row.get(i)))
     }.toMap
@@ -417,65 +450,109 @@ object AutoIncrementKeyExtET extends NoPathET {
   }
 }
 
+/** Shared tf(-idf) vector construction for [[HashTfIdfET]]/[[TfIdfET]] —
+  * one implementation of the count-then-scale logic so binary semantics
+  * and sparse-vector assembly cannot drift between the two ETs' train and
+  * predict paths.
+  */
+private[ets] object TfIdfSupport {
+  /** Sparse term vector over `indices`: counts (or 0/1 when `binary`),
+    * multiplied elementwise by `idf` when given.
+    */
+  def vec(numFeatures: Int, indices: Iterator[Int], binary: Boolean,
+          idf: Array[Double]): org.apache.spark.ml.linalg.Vector = {
+    val counts = scala.collection.mutable.HashMap.empty[Int, Double]
+    indices.foreach { i =>
+      counts.update(i, if (binary) 1.0 else counts.getOrElse(i, 0.0) + 1.0)
+    }
+    val entries =
+      if (idf == null) counts.toSeq
+      else counts.iterator.map { case (i, tf) => i -> tf * idf(i) }.toSeq
+    org.apache.spark.ml.linalg.Vectors.sparse(numFeatures, entries.sortBy(_._1))
+  }
+
+  /** The train-time `binary` flag is persisted NEXT TO the model so
+    * register/predict reproduce the fitted representation without the user
+    * re-passing it (a predict with mismatched binary silently produces
+    * vectors inconsistent with the fitted IDF).
+    */
+  def saveBinaryFlag(spark: org.apache.spark.sql.SparkSession, path: String,
+                     binary: Boolean): Unit = {
+    import spark.implicits._
+    Seq(binary).toDF("binary").write.mode("overwrite")
+      .parquet(path + "/graft_meta")
+  }
+
+  def loadBinaryFlag(spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
+    try spark.read.parquet(path + "/graft_meta").head().getBoolean(0)
+    catch { case _: org.apache.spark.sql.AnalysisException => false } // pre-flag model dirs
+
+  def fitAndSaveIdf(spark: org.apache.spark.sql.SparkSession, withTf: DataFrame,
+                    path: String, binary: Boolean,
+                    params: Map[String, String]): Unit = {
+    val idf = new org.apache.spark.ml.feature.IDF()
+      .setInputCol("__tf__").setOutputCol("__tfidf__")
+      .setMinDocFreq(params.getOrElse("minDocFreq", "0").toInt)
+    idf.fit(withTf).write.overwrite().save(path)
+    saveBinaryFlag(spark, path, binary)
+  }
+
+  /** load() result for both ETs: the fitted model + its train-time binary. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession, path: String)
+      : (org.apache.spark.ml.feature.IDFModel, Boolean) =
+    (org.apache.spark.ml.feature.IDFModel.load(path), loadBinaryFlag(spark, path))
+
+  /** Predict-side binary: explicit param wins, else the persisted flag. */
+  def unpack(model: Any, params: Map[String, String]): (Array[Double], Boolean) = {
+    val (m, trainedBinary) =
+      model.asInstanceOf[(org.apache.spark.ml.feature.IDFModel, Boolean)]
+    (m.idf.toArray, params.get("binary").map(_.toBoolean).getOrElse(trainedBinary))
+  }
+}
+
 /** `train docs as HashTfIdf.`/model/path` where inputCol="words"` — fit an
   * IDF over hashed term frequencies and save it; `register` builds a
   * words→tf-idf-vector UDF (reference: SQLHashTfIdf.scala:25-55).
-  * The UDF hashes with the SAME ml HashingTF.indexOf as training, so
-  * train/predict vectors agree (the reference's predict hardcodes
-  * binary=true against a binary=false train default; here `binary` applies
-  * to both sides consistently).
+  * The UDF hashes with the SAME ml HashingTF.indexOf as training, and the
+  * train-time `binary` flag is persisted with the model so both sides
+  * always agree (the reference's predict hardcodes binary=true against a
+  * binary=false train default).
   */
 object HashTfIdfET extends ET {
   override def name = "HashTfIdf"
 
-  private def tfParams(params: Map[String, String]) = (
-    params.getOrElse("inputCol", "words"),
-    params.getOrElse("numFeatures", (1 << 18).toString).toInt,
-    params.getOrElse("binary", "false").toBoolean)
-
   override def train(ctx: ScriptContext, df: DataFrame, path: String,
                      params: Map[String, String]): DataFrame = {
-    val (inputCol, numFeatures, binary) = tfParams(params)
+    val inputCol = params.getOrElse("inputCol", "words")
+    val numFeatures = params.getOrElse("numFeatures", (1 << 18).toString).toInt
+    val binary = params.getOrElse("binary", "false").toBoolean
     val tf = new org.apache.spark.ml.feature.HashingTF()
       .setInputCol(inputCol).setOutputCol("__tf__")
       .setNumFeatures(numFeatures).setBinary(binary)
-    val idf = new org.apache.spark.ml.feature.IDF()
-      .setInputCol("__tf__").setOutputCol("__tfidf__")
-      .setMinDocFreq(params.getOrElse("minDocFreq", "0").toInt)
-    val model = idf.fit(tf.transform(df))
-    model.write.overwrite().save(path)
+    TfIdfSupport.fitAndSaveIdf(ctx.spark, tf.transform(df), path, binary, params)
     UtilityETs.oneRowTable(ctx.spark, "status" -> "success", "path" -> path)
   }
 
   override def batchPredict(ctx: ScriptContext, df: DataFrame, path: String,
                             params: Map[String, String]): DataFrame = {
-    val (inputCol, _, _) = tfParams(params)
+    val inputCol = params.getOrElse("inputCol", "words")
     val fn = predict(ctx.spark, load(ctx.spark, path, params), "tfidf", params)
     df.withColumn(inputCol + "_tfidf", fn(col(inputCol)))
   }
 
   override def load(spark: org.apache.spark.sql.SparkSession, path: String,
                     params: Map[String, String]): Any =
-    org.apache.spark.ml.feature.IDFModel.load(path)
+    TfIdfSupport.loadModel(spark, path)
 
   override def predict(spark: org.apache.spark.sql.SparkSession, model: Any,
                        udfName: String, params: Map[String, String])
       : org.apache.spark.sql.expressions.UserDefinedFunction = {
-    val idf = model.asInstanceOf[org.apache.spark.ml.feature.IDFModel].idf.toArray
-    val binary = params.getOrElse("binary", "false").toBoolean
+    val (idf, binary) = TfIdfSupport.unpack(model, params)
     val hasher = new org.apache.spark.ml.feature.HashingTF()
       .setNumFeatures(idf.length).setBinary(binary)
     udf { (words: Seq[String]) =>
       if (words == null) null
-      else {
-        val counts = scala.collection.mutable.HashMap.empty[Int, Double]
-        words.foreach { w =>
-          val i = hasher.indexOf(w)
-          counts.update(i, if (binary) 1.0 else counts.getOrElse(i, 0.0) + 1.0)
-        }
-        org.apache.spark.ml.linalg.Vectors.sparse(idf.length,
-          counts.iterator.map { case (i, tf) => i -> tf * idf(i) }.toSeq.sortBy(_._1))
-      }
+      else TfIdfSupport.vec(idf.length, words.iterator.map(hasher.indexOf), binary, idf)
     }
   }
 }
@@ -489,51 +566,31 @@ object HashTfIdfET extends ET {
 object TfIdfET extends ET {
   override def name = "TfIdf"
 
-  private def tfVec(numFeatures: Int, binary: Boolean) = udf { (ids: Seq[Int]) =>
-    if (ids == null) null
-    else {
-      val counts = scala.collection.mutable.HashMap.empty[Int, Double]
-      ids.foreach { i =>
-        counts.update(i, if (binary) 1.0 else counts.getOrElse(i, 0.0) + 1.0)
-      }
-      org.apache.spark.ml.linalg.Vectors.sparse(numFeatures,
-        counts.toSeq.sortBy(_._1))
-    }
-  }
-
   override def train(ctx: ScriptContext, df: DataFrame, path: String,
                      params: Map[String, String]): DataFrame = {
     val inputCol = params.getOrElse("inputCol", "words")
     val numFeatures = params.getOrElse("numFeatures", (1 << 18).toString).toInt
     val binary = params.getOrElse("binary", "false").toBoolean
-    val withTf = df.withColumn("__tf__", tfVec(numFeatures, binary)(col(inputCol)))
-    val idf = new org.apache.spark.ml.feature.IDF()
-      .setInputCol("__tf__").setOutputCol("__tfidf__")
-      .setMinDocFreq(params.getOrElse("minDocFreq", "0").toInt)
-    val model = idf.fit(withTf)
-    model.write.overwrite().save(path)
+    val tfVec = udf { (ids: Seq[Int]) =>
+      if (ids == null) null
+      else TfIdfSupport.vec(numFeatures, ids.iterator, binary, null)
+    }
+    val withTf = df.withColumn("__tf__", tfVec(col(inputCol)))
+    TfIdfSupport.fitAndSaveIdf(ctx.spark, withTf, path, binary, params)
     UtilityETs.oneRowTable(ctx.spark, "status" -> "success", "path" -> path)
   }
 
   override def load(spark: org.apache.spark.sql.SparkSession, path: String,
                     params: Map[String, String]): Any =
-    org.apache.spark.ml.feature.IDFModel.load(path)
+    TfIdfSupport.loadModel(spark, path)
 
   override def predict(spark: org.apache.spark.sql.SparkSession, model: Any,
                        udfName: String, params: Map[String, String])
       : org.apache.spark.sql.expressions.UserDefinedFunction = {
-    val idf = model.asInstanceOf[org.apache.spark.ml.feature.IDFModel].idf.toArray
-    val binary = params.getOrElse("binary", "false").toBoolean
+    val (idf, binary) = TfIdfSupport.unpack(model, params)
     udf { (ids: Seq[Int]) =>
       if (ids == null) null
-      else {
-        val counts = scala.collection.mutable.HashMap.empty[Int, Double]
-        ids.foreach { i =>
-          counts.update(i, if (binary) 1.0 else counts.getOrElse(i, 0.0) + 1.0)
-        }
-        org.apache.spark.ml.linalg.Vectors.sparse(idf.length,
-          counts.iterator.map { case (i, tf) => i -> tf * idf(i) }.toSeq.sortBy(_._1))
-      }
+      else TfIdfSupport.vec(idf.length, ids.iterator, binary, idf)
     }
   }
 }
@@ -547,6 +604,11 @@ object TfIdfET extends ET {
   * subgraph + connectedComponents). Re-designed on the repo's
   * pointer-doubling DataFrame CC ([[graft.operators.dedup.Components]]) —
   * no GraphX, same one-shuffle-per-round shape.
+  *
+  * Both thresholds are STRICT (`size > minSize`, `v > minSimilarity`),
+  * matching the reference's observable behavior exactly
+  * (SQLCommunityBasedSimilityInPlace.scala:28,36) — a community of exactly
+  * minCommunitySize is dropped there too.
   *
   * Scale note: `vertexIds` is a per-community collect_list, same output
   * shape as the reference; at 100 TB keep `minCommunityPercent` sane or
@@ -563,10 +625,16 @@ object CommunityBasedSimilityInPlaceET extends ET {
     val minCommunitySize = params.getOrElse("minCommunitySize", "10").toLong
     val minCommunityPercent = params.getOrElse("minCommunityPercent", "0.1").toDouble
 
-    val vertices = df.select(col(rowNum).cast("long").as("id"))
-      .union(df.select(col(columnNum).cast("long").as("id"))).distinct()
-    val minSize = math.max(math.round(vertices.count() * minCommunityPercent),
-      minCommunitySize)
+    // the |V| count is only needed for the percent bound — skip the extra
+    // distinct-shuffle pass over the edge table when percent can't matter
+    val minSize =
+      if (minCommunityPercent <= 0.0) minCommunitySize
+      else {
+        val vertices = df.select(col(rowNum).cast("long").as("id"))
+          .union(df.select(col(columnNum).cast("long").as("id"))).distinct()
+        math.max(math.round(vertices.count() * minCommunityPercent),
+          minCommunitySize)
+      }
 
     val pairs = df.filter(col(edgeValue) > minSimilarity)
       .select(col(rowNum).cast("long").as("a_id"), col(columnNum).cast("long").as("b_id"))
@@ -596,7 +664,9 @@ object ModelExplainInPlaceET extends ET {
                      params: Map[String, String]): DataFrame = {
     params.getOrElse("modelType", "sparkmllib") match {
       case "sparkmllib" =>
-        val modelPath = params.getOrElse("modelPath",
+        // modelPath goes through the same tenant re-rooting + containment
+        // check as statement paths (the `path` operand arrives pre-resolved)
+        val modelPath = params.get("modelPath").map(ctx.resolvePath).getOrElse(
           if (path.nonEmpty) path
           else throw new IllegalArgumentException(
             "ModelExplainInPlace requires modelPath=... (a saved spark.ml model dir)"))
@@ -660,7 +730,9 @@ object TokenExtractET extends ET {
     // cannot collide with a child edge (multi-word entries like "new york"
     // contain spaces, so a space sentinel would corrupt the trie)
     private val WORD_END = '\u0000'
-    words.filter(w => w != null && w.nonEmpty).foreach { w =>
+    // a dictionary word containing NUL would alias the end-marker slot —
+    // exclude it at build time rather than corrupt the trie
+    words.filter(w => w != null && w.nonEmpty && !w.contains(WORD_END)).foreach { w =>
       var node = root
       w.foreach { ch =>
         var next = node.get(ch).asInstanceOf[java.util.HashMap[Char, AnyRef]]
@@ -688,7 +760,13 @@ object TokenExtractET extends ET {
             if (!dedup || seen.add(word)) out += word
           }
           if (i < text.length) {
-            node = node.get(text.charAt(i)).asInstanceOf[java.util.HashMap[Char, AnyRef]]
+            // the TEXT may legitimately contain NUL (dirty corpora are the
+            // norm here): node.get(' ') would return the String end
+            // marker, so type-check instead of casting blindly
+            node = node.get(text.charAt(i)) match {
+              case m: java.util.HashMap[Char @unchecked, AnyRef @unchecked] => m
+              case _ => null
+            }
             i += 1
           } else node = null
         }
@@ -708,7 +786,10 @@ object TokenExtractET extends ET {
     val idCol = params.getOrElse("idCol",
       throw new IllegalArgumentException("TokenExtract requires idCol"))
     val dedup = params.getOrElse("deduplicateResult", "false").toBoolean
-    val words = spark.read.textFile(dicPaths.split(","): _*).collect()
+    // dictionary paths are tenant paths too: re-root + containment-check
+    // each one exactly like the statement path
+    val words = spark.read.textFile(
+      dicPaths.split(",").map(p => ctx.resolvePath(p.trim)): _*).collect()
     val trie = new WordTrie(words)
     val extract = udf { (text: String) =>
       if (text == null) Seq.empty[String] else trie.extractAll(text, dedup)

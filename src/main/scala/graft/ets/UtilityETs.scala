@@ -149,15 +149,11 @@ object ShowCommandET extends NoPathET {
       }
       case "version" => UtilityETs.oneRowTable(spark,
         "engine" -> "graft", "spark" -> spark.version)
-      // reference: SQLDataSourceExt lists the registered source formats;
-      // built-in file formats resolve through the reader fallback rather
-      // than the registry, so list both kinds explicitly
+      // reference: SQLDataSourceExt lists the source formats; one shared
+      // listing with the `_mlsql_.datasources` system table
       case "datasources" => {
         import spark.implicits._
-        val builtin = Seq("parquet", "csv", "json", "text", "orc",
-          "binaryFile", "avro").map(_ -> "builtin-fallback")
-        (graft.sources.DataSourceRegistry.registeredNames.map(_ -> "registered")
-          ++ builtin).toDF("name", "kind")
+        graft.sources.DataSourceRegistry.listing.toDF("name", "kind")
       }
       case other => throw new IllegalArgumentException(
         s"!show supports tables|databases|functions|ets|datasources|version, got '$other'")

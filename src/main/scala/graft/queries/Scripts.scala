@@ -240,6 +240,32 @@ object Scripts {
         |  x -> cast(x as string)), ',') as members
         |  from s16_groups order by `group` as s16_out;""".stripMargin),
       """SELECT * FROM (VALUES (CAST(1 AS BIGINT), '1,2,3'), (CAST(10 AS BIGINT), '10,11'))
-        | t("group", members) ORDER BY "group"""".stripMargin)
+        | t("group", members) ORDER BY "group"""".stripMargin),
+
+    // ---- vparquet versioned table through the DSL: overwrite commit,
+    //      keyed MERGE commit, then read BOTH the merged snapshot and the
+    //      version-0 snapshot via time travel. The table dir is recreated
+    //      per run so versions are deterministic; oracle pinned. ----
+    QuerySpec.sql("s17_script_vparquet", (s, dir) => {
+      val t = "/tmp/graft_s17_vtable"
+      val p = new org.apache.hadoop.fs.Path(t)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      script(s,
+        s"""select 1 as k, 'a' as v union all select 2, 'b' as s17_base;
+           |save overwrite s17_base as vparquet.`$t`;
+           |select 2 as k, 'B2' as v union all select 3, 'c' as s17_cdc;
+           |save append s17_cdc as vparquet.`$t` where idCols="k";
+           |load vparquet.`$t` as s17_cur;
+           |load vparquet.`$t` where versionAsOf="0" as s17_v0;
+           |select k, v, 'current' as snap from s17_cur
+           |union all
+           |select k, v, 'v0' as snap from s17_v0
+           |order by snap, k as s17_out;""".stripMargin)
+    },
+      """SELECT * FROM (VALUES
+        | (1, 'a', 'current'), (2, 'B2', 'current'), (3, 'c', 'current'),
+        | (1, 'a', 'v0'), (2, 'b', 'v0'))
+        | t(k, v, snap) ORDER BY snap, k""".stripMargin)
   )
 }

@@ -35,11 +35,22 @@ object DataSourceRegistry {
   def lookup(format: String): Option[GraftSource] = sources.get(format.toLowerCase)
   def registeredNames: Seq[String] = sources.keys.toSeq.sorted
 
+  /** (name, kind) rows for the datasource listings (`!show datasources`,
+    * `load _mlsql_.`datasources``) — registry entries plus the file formats
+    * that resolve through the DataFrameReader fallback. One list so the two
+    * surfaces cannot drift; avro is NOT included (no spark-avro jar in this
+    * deployment — it would fail with Spark's raw module-missing error).
+    */
+  def listing: Seq[(String, String)] =
+    registeredNames.map(_ -> "registered") ++
+      Seq("parquet", "csv", "json", "text", "orc", "binaryFile")
+        .map(_ -> "builtin-fallback")
+
   // built-ins registered once at class-load (same effect as the reference's
   // classpath scan, DataSourceRegistry.scala:83-85, without the scan)
   Seq(new JsonStrSource, new CsvStrSource, new ScriptSource, new ConsoleSink,
     new HiveSource, new JdbcSource, new SystemTableSource, new ModelParamsSource,
-    new ModelSource, new ConfSource, new UnStructuredSource)
+    new ModelSource, new ConfSource, new UnStructuredSource, new VParquetSource)
     .foreach(register)
   // registry slots for connectors whose jars are not available offline —
   // fail with a clear message instead of a ClassNotFoundException
@@ -165,7 +176,11 @@ final class HiveSource extends GraftSource {
 final class UnavailableSource(override val shortName: String) extends GraftSource {
   private def unavailable = throw new UnsupportedOperationException(
     s"source '$shortName' requires its connector jar, which is not bundled " +
-      "in this offline build; add the jar to the classpath to enable it")
+      "in this offline build; add the jar to the classpath to enable it" +
+      (if (shortName == "delta")
+        " — or use `vparquet`, the built-in versioned-parquet table " +
+          "(time travel via versionAsOf/timestampAsOf, keyed MERGE via idCols)"
+      else ""))
   override def load(ctx: ScriptContext, path: String, opts: Map[String, String]): DataFrame =
     unavailable
   override def save(ctx: ScriptContext, df: DataFrame, mode: SaveMode, path: String,

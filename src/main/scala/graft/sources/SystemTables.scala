@@ -30,7 +30,7 @@ final class SystemTableSource extends GraftSource {
         // before any stream starts still sees every event
         graft.streaming.StreamEventLog.install(spark)
         graft.streaming.StreamEventLog.toDF(spark)
-      case "datasources" => DataSourceRegistry.registeredNames.toDF("name")
+      case "datasources" => DataSourceRegistry.listing.toDF("name", "kind")
       case "functions" => spark.sql("show functions")
       case "version" =>
         Seq(("graft", spark.version)).toDF("engine", "spark_version")

@@ -1,0 +1,307 @@
+package graft.sources
+
+import java.util.UUID
+
+import scala.util.Try
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Versioned parquet tables: the offline stand-in for the reference's
+  * `delta` source (MLSQLDelta.scala:14-178 — read/write, time travel,
+  * streaming upsert target; MLSQLMultiDelta.scala:33-120 — CDC MERGE by
+  * idCols). No Delta jar exists in this environment, so this is a
+  * from-scratch re-design of the capability set on plain parquet plus a
+  * tiny manifest log — NOT a Delta-protocol implementation:
+  *
+  *  - layout: `table/_vlog/v%016d.json` manifests + `table/data/<commit>/`
+  *    parquet files. A manifest lists the data files (with their hash
+  *    bucket when bucketed) that make up one immutable snapshot.
+  *  - commit = write data files, then create the next manifest with
+  *    create-exclusive semantics: two racing writers cannot both claim
+  *    version N+1 — the loser gets a clear concurrent-write error and no
+  *    torn state (readers only ever see fully-written manifests).
+  *  - snapshot isolation: a reader resolves its manifest ONCE, then reads
+  *    only files that manifest names; concurrent commits never mutate or
+  *    delete them (vacuum is the explicit, retention-bounded exception).
+  *  - time travel: `versionAsOf` / `timestampAsOf` pick an older manifest.
+  *  - keyed MERGE: upsert by `idCols`. With `numBuckets`, rows live in
+  *    pmod(xxhash64(keys), n) buckets recorded per file in the manifest,
+  *    and a merge REWRITES ONLY the buckets the batch touches while the
+  *    new manifest carries the untouched files forward by reference —
+  *    per-batch cost is |touched buckets| × bucket size, not table size.
+  *    That reference-not-copy carry-forward is what makes this layout
+  *    survive 100 TB CDC.
+  *
+  * Single-writer-per-table is the supported regime (same as the streaming
+  * CDC sink); the create-exclusive manifest turns a violation into an
+  * error instead of corruption. Schema is assumed stable across versions.
+  */
+object VParquet {
+
+  case class FileEntry(path: String, bucket: Int)
+  case class Manifest(version: Long, op: String, ts: Long, numBuckets: Int,
+                      files: Seq[FileEntry])
+
+  private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
+
+  private def fs(spark: SparkSession, table: String): FileSystem =
+    new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def vlogDir(table: String) = new Path(table + "/_vlog")
+  private def manifestPath(table: String, v: Long) =
+    new Path(vlogDir(table), f"v$v%016d.json")
+
+  private def versions(f: FileSystem, table: String): Seq[Long] = {
+    val dir = vlogDir(table)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .flatMap(n => Try(n.stripPrefix("v").stripSuffix(".json").toLong).toOption)
+      .sorted
+  }
+
+  def latestVersion(spark: SparkSession, table: String): Option[Long] =
+    versions(fs(spark, table), table).lastOption
+
+  def readManifest(spark: SparkSession, table: String, v: Long): Manifest = {
+    val in = fs(spark, table).open(manifestPath(table, v))
+    try mapper.readValue(in: java.io.InputStream, classOf[Manifest])
+    finally in.close()
+  }
+
+  /** Claim version `v` atomically; IOException/FileAlreadyExists = lost race. */
+  private[sources] def writeManifest(spark: SparkSession, table: String, m: Manifest): Unit = {
+    val f = fs(spark, table)
+    f.mkdirs(vlogDir(table))
+    val p = manifestPath(table, m.version)
+    val out =
+      try f.create(p, /*overwrite=*/ false)
+      catch { case e: java.io.IOException => throw new IllegalStateException(
+        s"vparquet: concurrent write detected on $table (version ${m.version} " +
+          "already claimed) — this table is single-writer; retry the operation", e) }
+    try out.write(mapper.writeValueAsBytes(m)) finally out.close()
+  }
+
+  /** Write `df` into a fresh commit dir; returns manifest entries.
+    * `bucketed=Some(n)` partitions by a `__bucket__` column that must
+    * already be on `df` — partitionBy keeps it OUT of the data files, so
+    * readers see the clean schema and the bucket only lives in the path.
+    */
+  private def writeData(df: DataFrame, table: String,
+                        bucketed: Boolean): Seq[FileEntry] = {
+    val commit = "data/" + UUID.randomUUID().toString
+    val dir = table + "/" + commit
+    if (bucketed) df.write.partitionBy("__bucket__").parquet(dir)
+    else df.write.parquet(dir)
+    val f = fs(df.sparkSession, table)
+    val it = f.listFiles(new Path(dir), /*recursive=*/ true)
+    val entries = scala.collection.mutable.ArrayBuffer[FileEntry]()
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (st.isFile && name.endsWith(".parquet")) {
+        val parent = st.getPath.getParent.getName
+        val bucket =
+          if (parent.startsWith("__bucket__=")) parent.stripPrefix("__bucket__=").toInt
+          else -1
+        val rel = commit + st.getPath.toString.stripPrefix(
+          f.makeQualified(new Path(dir)).toString)
+        entries += FileEntry(rel, bucket)
+      }
+    }
+    entries.toSeq
+  }
+
+  private def absFiles(table: String, files: Seq[FileEntry]): Seq[String] =
+    files.map(f => table + "/" + f.path)
+
+  /** Plain overwrite/append commit (no keys). Returns the new version. */
+  def write(df: DataFrame, table: String, overwrite: Boolean): Long = {
+    val spark = df.sparkSession
+    val prev = latestVersion(spark, table)
+    val newFiles = writeData(df.drop("__bucket__"), table, bucketed = false)
+    val (carry, nb) = prev match {
+      case Some(v) if !overwrite =>
+        val m = readManifest(spark, table, v)
+        (m.files, -1) // appended files are unbucketed → table degrades to -1
+      case _ => (Seq.empty[FileEntry], -1)
+    }
+    val version = prev.map(_ + 1).getOrElse(0L)
+    writeManifest(spark, table, Manifest(version,
+      if (overwrite) "overwrite" else "append",
+      System.currentTimeMillis(), nb, carry ++ newFiles))
+    version
+  }
+
+  /** Keyed upsert commit. Without `numBuckets`: read-all, anti-join,
+    * full rewrite (correct anywhere, O(table) per merge). With
+    * `numBuckets=n`: rewrite only touched buckets; files of other buckets
+    * are carried forward by reference. Unbucketed files in the current
+    * snapshot (from plain appends / a layout change) are always read and
+    * re-bucketed, so a bucketed merge also converges the table to the
+    * bucketed layout.
+    */
+  def merge(batch: DataFrame, table: String, idCols: Seq[String],
+            numBuckets: Option[Int], orderCol: Option[String]): Long = {
+    val spark = batch.sparkSession
+    val prev = latestVersion(spark, table)
+    val current = prev.map(v => readManifest(spark, table, v))
+    current.filter(_.numBuckets > 0).zip(numBuckets).foreach { case (m, n) =>
+      require(m.numBuckets == n,
+        s"vparquet: $table is bucketed with numBuckets=${m.numBuckets}; " +
+          s"cannot merge with numBuckets=$n (rows would be located in the wrong bucket)")
+    }
+    val deduped = graft.streaming.UpsertParquet
+      .newestPerKey(batch.toDF(), idCols, orderCol)
+    val version = prev.map(_ + 1).getOrElse(0L)
+
+    numBuckets match {
+      case Some(n) =>
+        val bucketOf = pmod(xxhash64(idCols.map(col): _*), lit(n)).cast("int")
+        val batchB = deduped.withColumn("__bucket__", bucketOf).persist()
+        try {
+          val touched = batchB.select("__bucket__").distinct()
+            .collect().map(_.getInt(0)).toSet
+          val oldFiles = current.map(_.files).getOrElse(Seq.empty)
+          // unbucketed (-1) files can hold any key → always in scope
+          val (inScope, carry) = oldFiles.partition(f =>
+            f.bucket < 0 || touched.contains(f.bucket))
+          val merged =
+            if (inScope.isEmpty) batchB
+            else spark.read.parquet(absFiles(table, inScope): _*)
+              .withColumn("__bucket__", bucketOf)
+              .join(batchB.select(idCols.map(col): _*), idCols, "left_anti")
+              .unionByName(batchB)
+          val newFiles = writeData(merged, table, bucketed = true)
+          writeManifest(spark, table, Manifest(version, "merge",
+            System.currentTimeMillis(), n, carry ++ newFiles))
+        } finally batchB.unpersist()
+      case None =>
+        val oldFiles = current.map(_.files).getOrElse(Seq.empty)
+        val merged =
+          if (oldFiles.isEmpty) deduped
+          else spark.read.parquet(absFiles(table, oldFiles): _*)
+            .join(deduped.select(idCols.map(col): _*), idCols, "left_anti")
+            .unionByName(deduped)
+        val newFiles = writeData(merged, table, bucketed = false)
+        writeManifest(spark, table, Manifest(version, "merge",
+          System.currentTimeMillis(), -1, newFiles))
+    }
+    version
+  }
+
+  /** Snapshot read; `versionAsOf` wins over `timestampAsOf` (latest
+    * manifest committed at or before the timestamp — millis or
+    * "yyyy-MM-dd HH:mm:ss[.f]").
+    */
+  def loadVersion(spark: SparkSession, table: String,
+                  versionAsOf: Option[Long],
+                  timestampAsOf: Option[String]): DataFrame = {
+    val f = fs(spark, table)
+    val all = versions(f, table)
+    require(all.nonEmpty, s"vparquet: $table has no committed versions")
+    val v = versionAsOf match {
+      case Some(x) =>
+        require(all.contains(x),
+          s"vparquet: $table has no version $x (have ${all.mkString(", ")})")
+        x
+      case None => timestampAsOf match {
+        case Some(t) =>
+          val millis = Try(t.toLong)
+            .getOrElse(java.sql.Timestamp.valueOf(t).getTime)
+          val eligible = all.map(readManifest(spark, table, _))
+            .filter(_.ts <= millis)
+          require(eligible.nonEmpty,
+            s"vparquet: no version of $table existed at or before $t")
+          eligible.map(_.version).max
+        case None => all.last
+      }
+    }
+    spark.read.parquet(absFiles(table, readManifest(spark, table, v).files): _*)
+  }
+
+  /** One row per committed version (the `!vtable history` surface). */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val f = fs(spark, table)
+    versions(f, table).map(readManifest(spark, table, _))
+      .map(m => (m.version, m.op,
+        new java.sql.Timestamp(m.ts), m.numBuckets, m.files.size))
+      .toDF("version", "op", "ts", "num_buckets", "n_files")
+      .orderBy(desc("version"))
+  }
+
+  /** Drop manifests older than the newest `retainVersions` and delete
+    * every data file no retained manifest references (this also collects
+    * orphans from commits that crashed before claiming a manifest).
+    * Returns (#manifests dropped, #data files deleted).
+    */
+  def vacuum(spark: SparkSession, table: String, retainVersions: Int): (Int, Int) = {
+    require(retainVersions >= 1, "vparquet vacuum must retain >= 1 version")
+    val f = fs(spark, table)
+    val all = versions(f, table)
+    require(all.nonEmpty, s"vparquet: $table has no committed versions")
+    val (drop, keep) = all.splitAt(math.max(0, all.size - retainVersions))
+    val referenced = keep.flatMap(v => readManifest(spark, table, v).files)
+      .map(e => f.makeQualified(new Path(table + "/" + e.path)).toString).toSet
+    var deleted = 0
+    val dataDir = new Path(table + "/data")
+    if (f.exists(dataDir)) {
+      val it = f.listFiles(dataDir, /*recursive=*/ true)
+      val victims = scala.collection.mutable.ArrayBuffer[Path]()
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".parquet") &&
+            !referenced.contains(f.makeQualified(st.getPath).toString))
+          victims += st.getPath
+      }
+      victims.foreach { p => if (f.delete(p, false)) deleted += 1 }
+      // sweep now-empty commit dirs (ignore failures — next vacuum retries)
+      f.listStatus(dataDir).foreach { d =>
+        if (d.isDirectory && !f.listFiles(d.getPath, true).hasNext)
+          f.delete(d.getPath, true)
+      }
+    }
+    drop.foreach(v => f.delete(manifestPath(table, v), false))
+    (drop.size, deleted)
+  }
+}
+
+/** `load vparquet.`path` [where versionAsOf="2" | timestampAsOf="..." |
+  * action="history"]` / `save overwrite|append t as vparquet.`path`
+  * [where idCols="k1,k2" and numBuckets="64" and orderCol="ts"]`.
+  * With idCols the save is a keyed MERGE regardless of mode.
+  */
+final class VParquetSource extends GraftSource {
+  override def shortName = "vparquet"
+
+  override def load(ctx: graft.dsl.ScriptContext, path: String,
+                    opts: Map[String, String]): DataFrame = {
+    val table = ctx.resolvePath(path)
+    opts.get("action") match {
+      case Some("history") => VParquet.history(ctx.spark, table)
+      case Some(other) => throw new IllegalArgumentException(
+        s"vparquet load action '$other' not supported (history)")
+      case None => VParquet.loadVersion(ctx.spark, table,
+        opts.get("versionAsOf").map(_.toLong), opts.get("timestampAsOf"))
+    }
+  }
+
+  override def save(ctx: graft.dsl.ScriptContext, df: DataFrame,
+                    mode: org.apache.spark.sql.SaveMode, path: String,
+                    opts: Map[String, String], partitionBy: Seq[String]): Unit = {
+    require(partitionBy.isEmpty,
+      "vparquet does not support partitionBy — use numBuckets for layout")
+    val table = ctx.resolvePath(path)
+    opts.get("idCols") match {
+      case Some(ks) => VParquet.merge(df, table, ks.split(",").map(_.trim).toSeq,
+        opts.get("numBuckets").map(_.toInt), opts.get("orderCol"))
+      case None => VParquet.write(df, table,
+        overwrite = mode == org.apache.spark.sql.SaveMode.Overwrite)
+    }
+  }
+}

@@ -162,6 +162,25 @@ object StreamSinks {
             case None => UpsertParquet.merge(batch, target, idCols, orderCol)
           }
         }.start()
+      case "vparquet" =>
+        // transactional analog of the upsertParquet sink: each micro-batch
+        // is one atomic manifest commit (merge when idCols given, append
+        // otherwise), so a batch reader mid-stream always sees a complete
+        // snapshot — the stream→table→batch bridge the reference runs
+        // through Delta (StreamSubBatchQuerySuite.scala:30-45)
+        val target = ctx.resolvePath(path)
+        val mergeKeys = opts.get("idCols").map(_.split(",").map(_.trim).toSeq)
+        val orderC = opts.get("orderCol")
+        val nBuckets = opts.get("numBuckets").map(_.toInt)
+        w2.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          mergeKeys match {
+            case Some(ks) =>
+              graft.sources.VParquet.merge(batch.toDF(), target, ks, nBuckets, orderC)
+            case None =>
+              graft.sources.VParquet.write(batch.toDF(), target, overwrite = false)
+          }
+          ()
+        }.start()
       case f if Set("parquet", "csv", "json", "text", "orc").contains(f) =>
         w2.start(ctx.resolvePath(path))
       case _ => w2.start()
@@ -245,9 +264,9 @@ object UpsertParquet {
     * by Spark partition index — fine for single-partition test batches,
     * NOT a cross-partition arrival order. Always set orderCol in real CDC.
     */
-  private def newestPerKey(batch: org.apache.spark.sql.DataFrame,
-                           idCols: Seq[String],
-                           orderCol: Option[String]): org.apache.spark.sql.DataFrame = {
+  private[graft] def newestPerKey(batch: org.apache.spark.sql.DataFrame,
+                                  idCols: Seq[String],
+                                  orderCol: Option[String]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     val ord = orderCol.map(col).getOrElse(monotonically_increasing_id())
     batch

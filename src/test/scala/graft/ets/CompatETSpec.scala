@@ -316,6 +316,45 @@ class CompatETSpec extends AnyFunSuite {
     assert(rs.head().getInt(0) == 42)
   }
 
+  test("HashTfIdf persists the train-time binary flag for register") {
+    val path = java.nio.file.Files.createTempDirectory("graft_htfb").toString
+    val df = runDF(
+      s"""select split('x x y', ' ') as words
+         |union all select split('y z', ' ') as words as htfb_in;
+         |train htfb_in as HashTfIdf.`$path` where inputCol="words"
+         |  and numFeatures="32" and binary="true";
+         |register HashTfIdf.`$path` as htfb;
+         |select htfb(split('x x y', ' ')) as v as out;""".stripMargin)
+    val v = df.head().getAs[org.apache.spark.ml.linalg.Vector](0)
+    // binary tf: the duplicated 'x' contributes 1, not 2 — so the vector
+    // must equal the one for the deduplicated doc
+    val model = org.apache.spark.ml.feature.IDFModel.load(path)
+    import spark.implicits._
+    val tf = new org.apache.spark.ml.feature.HashingTF()
+      .setInputCol("words").setOutputCol("__tf__").setNumFeatures(32).setBinary(true)
+    val expected = model.setInputCol("__tf__").setOutputCol("__tfidf__")
+      .transform(tf.transform(Seq(Tuple1(Seq("x", "x", "y"))).toDF("words")))
+      .select("__tfidf__").head().getAs[org.apache.spark.ml.linalg.Vector](0)
+    assert(v == expected)
+  }
+
+  test("TokenExtract survives NUL bytes in the text; Map rejects empty dicts") {
+    val dicDir = java.nio.file.Files.createTempDirectory("graft_dic2")
+    val dic = dicDir.resolve("w.txt")
+    java.nio.file.Files.write(dic, java.util.Arrays.asList("ab"))
+    val df = runDF(
+      s"""select 1 as doc_id, concat('ab', char(0), 'ab') as text as nul_in;
+         |run nul_in as TokenExtract.`` where dic.paths="$dic"
+         |and inputCol="text" and idCol="doc_id" as nul_out;""".stripMargin)
+    assert(df.head().getSeq[String](1) == Seq("ab", "ab"))
+    val e = intercept[Exception] {
+      runDF(
+        """select 1 as k where 1 = 0 as empty_dict;
+          |register Map.`empty_dict` as empty_lookup;""".stripMargin)
+    }
+    assert(e.getMessage.contains("empty"))
+  }
+
   test("!withWartermark macro re-registers the view with a watermark") {
     val df = runDF(
       """select current_timestamp() as ts, 1 as v as wm_in;

@@ -1,0 +1,137 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.dsl.ScriptRunner
+
+/** Versioned-parquet table format: snapshot commits, time travel, keyed
+  * MERGE with bucket-level rewrite, history/vacuum, and the streaming
+  * upsert sink.
+  */
+class VParquetSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def runDF(script: String) = ScriptRunner.runToDF(script, spark)
+  private def tmp(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
+
+  test("overwrite/append create versions; versionAsOf time-travels") {
+    val t = tmp("vp_basic")
+    runDF(s"""select 1 as k, 'a' as v as vp_in;
+             |save overwrite vp_in as vparquet.`$t`;""".stripMargin)
+    runDF(s"""select 2 as k, 'b' as v as vp_in2;
+             |save append vp_in2 as vparquet.`$t`;""".stripMargin)
+    val latest = runDF(s"load vparquet.`$t` as cur; select k, v from cur order by k as out;")
+    assert(latest.collect().map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq(1 -> "a", 2 -> "b"))
+    val v0 = runDF(s"""load vparquet.`$t` where versionAsOf="0" as old;
+                      |select k, v from old as out;""".stripMargin)
+    assert(v0.collect().map(_.getInt(0)).toSeq == Seq(1))
+  }
+
+  test("keyed merge upserts; bucketed merge rewrites only touched buckets") {
+    val t = tmp("vp_merge")
+    import spark.implicits._
+    val base = (0 until 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    VParquet.merge(base, t, Seq("k"), numBuckets = Some(8), orderCol = None)
+    val m1 = VParquet.readManifest(spark, t, 0)
+    assert(m1.numBuckets == 8)
+    assert(m1.files.forall(_.bucket >= 0))
+
+    // update 2 keys → only their buckets rewritten, rest carried by reference
+    val batch = Seq((1L, "NEW1"), (2L, "NEW2")).toDF("k", "v")
+    VParquet.merge(batch, t, Seq("k"), numBuckets = Some(8), orderCol = None)
+    val m2 = VParquet.readManifest(spark, t, 1)
+    val carried = m2.files.map(_.path).toSet intersect m1.files.map(_.path).toSet
+    assert(carried.nonEmpty, "untouched bucket files must be carried forward by reference")
+
+    val cur = VParquet.loadVersion(spark, t, None, None)
+    assert(cur.count() == 100)
+    assert(cur.filter($"k" === 1L).head().getString(1) == "NEW1")
+    assert(VParquet.loadVersion(spark, t, Some(0L), None)
+      .filter($"k" === 1L).head().getString(1) == "v1")
+
+    // mismatched bucket count is a hard error, not silent corruption
+    val e = intercept[IllegalArgumentException] {
+      VParquet.merge(batch, t, Seq("k"), numBuckets = Some(16), orderCol = None)
+    }
+    assert(e.getMessage.contains("numBuckets"))
+  }
+
+  test("merge picks the newest row per key by orderCol") {
+    val t = tmp("vp_order")
+    import spark.implicits._
+    val batch = Seq((1L, "old", 10L), (1L, "new", 20L)).toDF("k", "v", "ts")
+    VParquet.merge(batch, t, Seq("k"), numBuckets = None, orderCol = Some("ts"))
+    assert(VParquet.loadVersion(spark, t, None, None).head().getString(1) == "new")
+  }
+
+  test("history lists versions; vacuum drops old versions and orphans") {
+    val t = tmp("vp_hist")
+    runDF(s"""select 1 as k as vh_in; save overwrite vh_in as vparquet.`$t`;""")
+    runDF(s"""select 2 as k as vh_in2; save overwrite vh_in2 as vparquet.`$t`;""")
+    runDF(s"""select 3 as k as vh_in3; save overwrite vh_in3 as vparquet.`$t`;""")
+    val hist = runDF(s"!vtable history $t;")
+    assert(hist.columns.toSeq ==
+      Seq("version", "op", "ts", "num_buckets", "n_files"))
+    assert(hist.collect().map(_.getLong(0)).toSeq == Seq(2L, 1L, 0L))
+
+    val vac = runDF(s"!vtable vacuum $t 1;")
+    assert(vac.head().getString(0) == "2") // versions 0 and 1 dropped
+    // latest still readable; old version gone
+    assert(VParquet.loadVersion(spark, t, None, None).head().getInt(0) == 3)
+    intercept[IllegalArgumentException] {
+      VParquet.loadVersion(spark, t, Some(0L), None)
+    }
+    // all remaining data files are referenced by the surviving manifest
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(t + "/data"), true)
+    var n = 0
+    while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+    assert(n == VParquet.readManifest(spark, t,
+      VParquet.latestVersion(spark, t).get).files.size)
+  }
+
+  test("concurrent version claim fails loudly instead of corrupting") {
+    val t = tmp("vp_race")
+    runDF(s"""select 1 as k as vr_in; save overwrite vr_in as vparquet.`$t`;""")
+    // two writers that both resolved latest=0 race for version 1: the
+    // second create-exclusive claim must fail with the concurrency error
+    val m = VParquet.Manifest(1L, "overwrite", 123L, -1, Seq.empty)
+    VParquet.writeManifest(spark, t, m)
+    val e = intercept[IllegalStateException] {
+      VParquet.writeManifest(spark, t, m)
+    }
+    assert(e.getMessage.contains("concurrent write"))
+  }
+
+  test("streaming vparquet sink commits one snapshot per micro-batch (CDC)") {
+    val t = tmp("vp_stream")
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    mem.toDF().toDF("k", "v", "ts").createOrReplaceTempView("vp_cdc_stream")
+    mem.addData((1L, "a", 1L), (2L, "b", 1L))
+    val ctx = ScriptRunner.run(
+      s"""set streamName = "vps1";
+         |save append vp_cdc_stream as vparquet.`$t` where mode="append"
+         |  and checkpointLocation="${java.nio.file.Files.createTempDirectory("ck_vp")}"
+         |  and duration="0" and idCols="k" and orderCol="ts";""".stripMargin,
+      spark)
+    val q = ctx.streams("vps1")
+    try {
+      q.processAllAvailable()
+      mem.addData((1L, "a2", 2L)) // second micro-batch: update key 1
+      q.processAllAvailable()
+      val cur = VParquet.loadVersion(spark, t, None, None).orderBy("k")
+      assert(cur.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+        Seq(1L -> "a2", 2L -> "b"))
+      // each micro-batch was one atomic version commit
+      assert(VParquet.latestVersion(spark, t).contains(1L))
+      // batch-over-stream bridge: time travel to the first batch's snapshot
+      assert(VParquet.loadVersion(spark, t, Some(0L), None)
+        .filter($"k" === 1L).head().getString(1) == "a")
+    } finally q.stop()
+  }
+}
