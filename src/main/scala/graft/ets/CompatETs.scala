@@ -34,11 +34,17 @@ object VParquetCommandET extends NoPathET {
                      params: Map[String, String]): DataFrame = {
     val args = params.getOrElse("parameters", "").trim.split("\\s+").filter(_.nonEmpty)
     require(args.nonEmpty,
-      "usage: !vtable history <path> | !vtable vacuum <path> <retainVersions>")
+      "usage: !vtable history <path> | !vtable compact <path> <targetFileSizeMB> " +
+        "| !vtable vacuum <path> <retainVersions>")
     args(0) match {
       case "history" =>
         require(args.length == 2, "usage: !vtable history <path>")
         graft.sources.VParquet.history(ctx.spark, ctx.resolvePath(args(1)))
+      case "compact" =>
+        require(args.length == 3, "usage: !vtable compact <path> <targetFileSizeMB>")
+        val v = graft.sources.VParquet
+          .compact(ctx.spark, ctx.resolvePath(args(1)), args(2).toInt)
+        UtilityETs.oneRowTable(ctx.spark, "compacted_version" -> v.toString)
       case "vacuum" =>
         require(args.length == 3, "usage: !vtable vacuum <path> <retainVersions>")
         val (droppedManifests, deletedFiles) = graft.sources.VParquet
@@ -47,7 +53,7 @@ object VParquetCommandET extends NoPathET {
           "dropped_versions" -> droppedManifests.toString,
           "deleted_files" -> deletedFiles.toString)
       case other => throw new IllegalArgumentException(
-        s"!vtable supports history|vacuum, got '$other'")
+        s"!vtable supports history|compact|vacuum, got '$other'")
     }
   }
 }

@@ -43,10 +43,17 @@ import org.apache.spark.sql.functions._
 object VParquet {
 
   case class FileEntry(path: String, bucket: Int)
+  /** `keyCols` records the merge keys so maintenance operations (compact)
+    * can recompute bucket assignments without the caller re-supplying
+    * them; empty for unkeyed tables.
+    */
   case class Manifest(version: Long, op: String, ts: Long, numBuckets: Int,
-                      files: Seq[FileEntry])
+                      files: Seq[FileEntry], keyCols: Seq[String] = Seq.empty)
 
   private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
+    // older manifests may lack newer fields and vice versa — evolve forward
+    .configure(com.fasterxml.jackson.databind.DeserializationFeature
+      .FAIL_ON_UNKNOWN_PROPERTIES, false)
 
   private def fs(spark: SparkSession, table: String): FileSystem =
     new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -69,8 +76,10 @@ object VParquet {
 
   def readManifest(spark: SparkSession, table: String, v: Long): Manifest = {
     val in = fs(spark, table).open(manifestPath(table, v))
-    try mapper.readValue(in: java.io.InputStream, classOf[Manifest])
+    val m = try mapper.readValue(in: java.io.InputStream, classOf[Manifest])
     finally in.close()
+    // Jackson leaves missing Seq fields null on pre-field manifests
+    if (m.keyCols == null) m.copy(keyCols = Seq.empty) else m
   }
 
   /** Claim version `v` atomically; IOException/FileAlreadyExists = lost race. */
@@ -124,16 +133,16 @@ object VParquet {
     val spark = df.sparkSession
     val prev = latestVersion(spark, table)
     val newFiles = writeData(df.drop("__bucket__"), table, bucketed = false)
-    val (carry, nb) = prev match {
+    val (carry, keyCols) = prev match {
       case Some(v) if !overwrite =>
         val m = readManifest(spark, table, v)
-        (m.files, -1) // appended files are unbucketed → table degrades to -1
-      case _ => (Seq.empty[FileEntry], -1)
+        (m.files, m.keyCols) // appended files are unbucketed → numBuckets -1
+      case _ => (Seq.empty[FileEntry], Seq.empty[String])
     }
     val version = prev.map(_ + 1).getOrElse(0L)
     writeManifest(spark, table, Manifest(version,
       if (overwrite) "overwrite" else "append",
-      System.currentTimeMillis(), nb, carry ++ newFiles))
+      System.currentTimeMillis(), -1, carry ++ newFiles, keyCols))
     version
   }
 
@@ -176,9 +185,13 @@ object VParquet {
               .withColumn("__bucket__", bucketOf)
               .join(batchB.select(idCols.map(col): _*), idCols, "left_anti")
               .unionByName(batchB)
-          val newFiles = writeData(merged, table, bucketed = true)
+          // co-locate each bucket in one task → one file per touched
+          // bucket per merge, not shuffle-partitions × buckets small files
+          val newFiles = writeData(
+            merged.repartition(math.max(1, touched.size), col("__bucket__")),
+            table, bucketed = true)
           writeManifest(spark, table, Manifest(version, "merge",
-            System.currentTimeMillis(), n, carry ++ newFiles))
+            System.currentTimeMillis(), n, carry ++ newFiles, idCols))
         } finally batchB.unpersist()
       case None =>
         val oldFiles = current.map(_.files).getOrElse(Seq.empty)
@@ -189,7 +202,45 @@ object VParquet {
             .unionByName(deduped)
         val newFiles = writeData(merged, table, bucketed = false)
         writeManifest(spark, table, Manifest(version, "merge",
-          System.currentTimeMillis(), -1, newFiles))
+          System.currentTimeMillis(), -1, newFiles, idCols))
+    }
+    version
+  }
+
+  /** Rewrite the latest snapshot into ~`targetFileSizeMB`-sized files as a
+    * new version (the CDC small-file cure: every merge adds files to the
+    * touched buckets; compaction folds them back down). Bucket layout and
+    * key columns are preserved — buckets are recomputed from the manifest's
+    * recorded keyCols, so callers don't re-supply them. Old versions remain
+    * time-travelable until vacuumed.
+    */
+  def compact(spark: SparkSession, table: String, targetFileSizeMB: Int): Long = {
+    require(targetFileSizeMB > 0, "targetFileSizeMB must be positive")
+    val prev = latestVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"vparquet: $table has no committed versions"))
+    val m = readManifest(spark, table, prev)
+    require(m.files.nonEmpty, s"vparquet: version $prev of $table has no data files")
+    val f = fs(spark, table)
+    val totalBytes = m.files.map(e =>
+      f.getFileStatus(new Path(table + "/" + e.path)).getLen).sum
+    val df = spark.read.parquet(absFiles(table, m.files): _*)
+    val version = prev + 1
+    if (m.numBuckets > 0) {
+      require(m.keyCols.nonEmpty,
+        s"vparquet: $table is bucketed but its manifest records no keyCols; re-merge once to upgrade it")
+      val bucketOf = pmod(xxhash64(m.keyCols.map(col): _*), lit(m.numBuckets)).cast("int")
+      // one output partition per bucket → one file per bucket dir
+      val rebucketed = df.withColumn("__bucket__", bucketOf)
+        .repartition(m.numBuckets, col("__bucket__"))
+      val newFiles = writeData(rebucketed, table, bucketed = true)
+      writeManifest(spark, table, Manifest(version, "compact",
+        System.currentTimeMillis(), m.numBuckets, newFiles, m.keyCols))
+    } else {
+      val parts = math.max(1L,
+        (totalBytes + targetFileSizeMB * 1024L * 1024 - 1) / (targetFileSizeMB * 1024L * 1024)).toInt
+      val newFiles = writeData(df.repartition(parts), table, bucketed = false)
+      writeManifest(spark, table, Manifest(version, "compact",
+        System.currentTimeMillis(), -1, newFiles, m.keyCols))
     }
     version
   }

@@ -92,6 +92,54 @@ class VParquetSpec extends AnyFunSuite {
       VParquet.latestVersion(spark, t).get).files.size)
   }
 
+  test("compact folds append-accumulated small files") {
+    val t = tmp("vp_compact_a")
+    import spark.implicits._
+    (0 until 4).foreach { i =>
+      VParquet.write(Seq((i.toLong, s"r$i")).toDF("k", "v"), t, overwrite = false)
+    }
+    val before = VParquet.readManifest(spark, t,
+      VParquet.latestVersion(spark, t).get)
+    assert(before.files.size >= 4)
+    val v = runDF(s"!vtable compact $t 128;")
+    assert(v.head().getString(0) == (before.version + 1).toString)
+    val after = VParquet.readManifest(spark, t,
+      VParquet.latestVersion(spark, t).get)
+    assert(after.op == "compact")
+    assert(after.files.size == 1, "tiny table folds to a single file")
+    assert(VParquet.loadVersion(spark, t, None, None)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("compact preserves bucket layout; merges keep one file per bucket") {
+    val t = tmp("vp_compact_b")
+    import spark.implicits._
+    (0 until 4).foreach { i =>
+      val batch = (0 until 20).map(k => (k.toLong, s"r$i-$k")).toDF("k", "v")
+      VParquet.merge(batch, t, Seq("k"), numBuckets = Some(4), orderCol = None)
+    }
+    val before = VParquet.readManifest(spark, t,
+      VParquet.latestVersion(spark, t).get)
+    // merge repartitions by bucket before writing: never more files than buckets
+    assert(before.files.size <= 4)
+    val beforeData = VParquet.loadVersion(spark, t, None, None)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    runDF(s"!vtable compact $t 128;")
+    val after = VParquet.readManifest(spark, t,
+      VParquet.latestVersion(spark, t).get)
+    assert(after.numBuckets == 4 && after.keyCols == Seq("k"))
+    assert(after.files.size <= 4, "at most one file per bucket after compaction")
+    val afterData = VParquet.loadVersion(spark, t, None, None)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(afterData == beforeData)
+    // a follow-up merge still locates rows correctly in the compacted layout
+    VParquet.merge(Seq((3L, "FINAL")).toDF("k", "v"), t, Seq("k"),
+      numBuckets = Some(4), orderCol = None)
+    val cur = VParquet.loadVersion(spark, t, None, None)
+    assert(cur.count() == 20)
+    assert(cur.filter($"k" === 3L).head().getString(1) == "FINAL")
+  }
+
   test("concurrent version claim fails loudly instead of corrupting") {
     val t = tmp("vp_race")
     runDF(s"""select 1 as k as vr_in; save overwrite vr_in as vparquet.`$t`;""")

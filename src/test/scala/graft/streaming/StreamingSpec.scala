@@ -289,4 +289,5 @@ class StreamingSpec extends AnyFunSuite {
       """load rate.`` where rowsPerSecond="5" as r_rate;""", spark)
     assert(spark.table("r_rate").isStreaming)
   }
+
 }
