@@ -45,10 +45,13 @@ object VParquet {
   case class FileEntry(path: String, bucket: Int)
   /** `keyCols` records the merge keys so maintenance operations (compact)
     * can recompute bucket assignments without the caller re-supplying
-    * them; empty for unkeyed tables.
+    * them; empty for unkeyed tables. `txn` is the streaming micro-batch id
+    * that produced this commit (None for batch commits) — the sink uses it
+    * to recognize an at-least-once re-delivery and skip the duplicate.
     */
   case class Manifest(version: Long, op: String, ts: Long, numBuckets: Int,
-                      files: Seq[FileEntry], keyCols: Seq[String] = Seq.empty)
+                      files: Seq[FileEntry], keyCols: Seq[String] = Seq.empty,
+                      txn: Option[Long] = None)
 
   private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
     // older manifests may lack newer fields and vice versa — evolve forward
@@ -78,21 +81,38 @@ object VParquet {
     val in = fs(spark, table).open(manifestPath(table, v))
     val m = try mapper.readValue(in: java.io.InputStream, classOf[Manifest])
     finally in.close()
-    // Jackson leaves missing Seq fields null on pre-field manifests
-    if (m.keyCols == null) m.copy(keyCols = Seq.empty) else m
+    // Jackson leaves missing AnyRef fields null on pre-field manifests
+    val m2 = if (m.keyCols == null) m.copy(keyCols = Seq.empty) else m
+    if (m2.txn == null) m2.copy(txn = None) else m2
   }
 
-  /** Claim version `v` atomically; IOException/FileAlreadyExists = lost race. */
+  /** Claim version `v` atomically. The manifest is FULLY WRITTEN to a temp
+    * file first and only then renamed (no-overwrite) to its final name, so
+    * a concurrent reader can never observe a half-written manifest — the
+    * file either doesn't exist or is complete. A failed rename = another
+    * writer claimed the version first.
+    */
   private[sources] def writeManifest(spark: SparkSession, table: String, m: Manifest): Unit = {
     val f = fs(spark, table)
     f.mkdirs(vlogDir(table))
-    val p = manifestPath(table, m.version)
-    val out =
-      try f.create(p, /*overwrite=*/ false)
-      catch { case e: java.io.IOException => throw new IllegalStateException(
-        s"vparquet: concurrent write detected on $table (version ${m.version} " +
-          "already claimed) — this table is single-writer; retry the operation", e) }
+    val tmp = new Path(vlogDir(table), s".tmp-${UUID.randomUUID()}.json")
+    val out = f.create(tmp, /*overwrite=*/ true)
     try out.write(mapper.writeValueAsBytes(m)) finally out.close()
+    val p = manifestPath(table, m.version)
+    // Rename.NONE = fail if the destination exists (atomic claim on HDFS;
+    // on object stores / local FS the window is the FS's rename semantics,
+    // which the single-writer regime covers)
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        new Path(table).toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.NONE)
+    } catch {
+      case e: java.io.IOException =>
+        f.delete(tmp, false)
+        throw new IllegalStateException(
+          s"vparquet: concurrent write detected on $table (version ${m.version} " +
+            "already claimed) — this table is single-writer; retry the operation", e)
+    }
   }
 
   /** Write `df` into a fresh commit dir; returns manifest entries.
@@ -107,6 +127,7 @@ object VParquet {
     if (bucketed) df.write.partitionBy("__bucket__").parquet(dir)
     else df.write.parquet(dir)
     val f = fs(df.sparkSession, table)
+    val base = f.makeQualified(new Path(dir)).toString
     val it = f.listFiles(new Path(dir), /*recursive=*/ true)
     val entries = scala.collection.mutable.ArrayBuffer[FileEntry]()
     while (it.hasNext) {
@@ -117,9 +138,12 @@ object VParquet {
         val bucket =
           if (parent.startsWith("__bucket__=")) parent.stripPrefix("__bucket__=").toInt
           else -1
-        val rel = commit + st.getPath.toString.stripPrefix(
-          f.makeQualified(new Path(dir)).toString)
-        entries += FileEntry(rel, bucket)
+        // qualify BOTH sides through the same fs so scheme/authority agree;
+        // a prefix mismatch must fail the commit, not corrupt the manifest
+        val q = f.makeQualified(st.getPath).toString
+        require(q.startsWith(base),
+          s"vparquet: listed file $q is outside its commit dir $base")
+        entries += FileEntry(commit + q.stripPrefix(base), bucket)
       }
     }
     entries.toSeq
@@ -128,21 +152,39 @@ object VParquet {
   private def absFiles(table: String, files: Seq[FileEntry]): Seq[String] =
     files.map(f => table + "/" + f.path)
 
-  /** Plain overwrite/append commit (no keys). Returns the new version. */
-  def write(df: DataFrame, table: String, overwrite: Boolean): Long = {
+  private def requireNoReservedCols(df: DataFrame): Unit =
+    require(!df.columns.contains("__bucket__"),
+      "vparquet: '__bucket__' is a reserved column name (it carries the " +
+        "hash-bucket layout) — rename the column before writing")
+
+  /** Plain overwrite/append commit (no keys). Returns the committed
+    * version — or the already-committed version unchanged when `txn` is
+    * given and the latest manifest already carries it (at-least-once
+    * streaming re-delivery).
+    *
+    * An append onto a bucketed table keeps the manifest's numBuckets (so a
+    * later merge still hard-errors on a bucket-count mismatch); the
+    * appended files themselves are tagged unbucketed and every merge reads
+    * them unconditionally.
+    */
+  def write(df: DataFrame, table: String, overwrite: Boolean,
+            txn: Option[Long] = None): Long = {
+    requireNoReservedCols(df)
     val spark = df.sparkSession
     val prev = latestVersion(spark, table)
-    val newFiles = writeData(df.drop("__bucket__"), table, bucketed = false)
-    val (carry, keyCols) = prev match {
-      case Some(v) if !overwrite =>
-        val m = readManifest(spark, table, v)
-        (m.files, m.keyCols) // appended files are unbucketed → numBuckets -1
-      case _ => (Seq.empty[FileEntry], Seq.empty[String])
+    val prevManifest = prev.map(readManifest(spark, table, _))
+    txn.flatMap(t => prevManifest.filter(_.txn.contains(t))).foreach { _ =>
+      return prev.get // this micro-batch already committed — skip duplicate
+    }
+    val newFiles = writeData(df, table, bucketed = false)
+    val (carry, nb, keyCols) = prevManifest match {
+      case Some(m) if !overwrite => (m.files, m.numBuckets, m.keyCols)
+      case _ => (Seq.empty[FileEntry], -1, Seq.empty[String])
     }
     val version = prev.map(_ + 1).getOrElse(0L)
     writeManifest(spark, table, Manifest(version,
       if (overwrite) "overwrite" else "append",
-      System.currentTimeMillis(), -1, carry ++ newFiles, keyCols))
+      System.currentTimeMillis(), nb, carry ++ newFiles, keyCols, txn))
     version
   }
 
@@ -155,10 +197,15 @@ object VParquet {
     * bucketed layout.
     */
   def merge(batch: DataFrame, table: String, idCols: Seq[String],
-            numBuckets: Option[Int], orderCol: Option[String]): Long = {
+            numBuckets: Option[Int], orderCol: Option[String],
+            txn: Option[Long] = None): Long = {
+    requireNoReservedCols(batch)
     val spark = batch.sparkSession
     val prev = latestVersion(spark, table)
     val current = prev.map(v => readManifest(spark, table, v))
+    txn.flatMap(t => current.filter(_.txn.contains(t))).foreach { _ =>
+      return prev.get // re-delivered micro-batch — already committed
+    }
     current.filter(_.numBuckets > 0).zip(numBuckets).foreach { case (m, n) =>
       require(m.numBuckets == n,
         s"vparquet: $table is bucketed with numBuckets=${m.numBuckets}; " +
@@ -166,6 +213,11 @@ object VParquet {
     }
     val deduped = graft.streaming.UpsertParquet
       .newestPerKey(batch.toDF(), idCols, orderCol)
+    // an empty batch must not commit an empty (unreadable) first snapshot;
+    // it is a no-op: the current version on an existing table, -1 (nothing
+    // committed) on a brand-new one — important for streams whose first
+    // micro-batch is empty
+    if (deduped.isEmpty) return prev.getOrElse(-1L)
     val version = prev.map(_ + 1).getOrElse(0L)
 
     numBuckets match {
@@ -191,7 +243,7 @@ object VParquet {
             merged.repartition(math.max(1, touched.size), col("__bucket__")),
             table, bucketed = true)
           writeManifest(spark, table, Manifest(version, "merge",
-            System.currentTimeMillis(), n, carry ++ newFiles, idCols))
+            System.currentTimeMillis(), n, carry ++ newFiles, idCols, txn))
         } finally batchB.unpersist()
       case None =>
         val oldFiles = current.map(_.files).getOrElse(Seq.empty)
@@ -202,7 +254,7 @@ object VParquet {
             .unionByName(deduped)
         val newFiles = writeData(merged, table, bucketed = false)
         writeManifest(spark, table, Manifest(version, "merge",
-          System.currentTimeMillis(), -1, newFiles, idCols))
+          System.currentTimeMillis(), -1, newFiles, idCols, txn))
     }
     version
   }
@@ -220,9 +272,6 @@ object VParquet {
       throw new IllegalArgumentException(s"vparquet: $table has no committed versions"))
     val m = readManifest(spark, table, prev)
     require(m.files.nonEmpty, s"vparquet: version $prev of $table has no data files")
-    val f = fs(spark, table)
-    val totalBytes = m.files.map(e =>
-      f.getFileStatus(new Path(table + "/" + e.path)).getLen).sum
     val df = spark.read.parquet(absFiles(table, m.files): _*)
     val version = prev + 1
     if (m.numBuckets > 0) {
@@ -236,6 +285,11 @@ object VParquet {
       writeManifest(spark, table, Manifest(version, "compact",
         System.currentTimeMillis(), m.numBuckets, newFiles, m.keyCols))
     } else {
+      // size only the unbucketed branch (the bucketed one is shaped by
+      // bucket count, not target size) — one metadata call per file
+      val f = fs(spark, table)
+      val totalBytes = m.files.map(e =>
+        f.getFileStatus(new Path(table + "/" + e.path)).getLen).sum
       val parts = math.max(1L,
         (totalBytes + targetFileSizeMB * 1024L * 1024 - 1) / (targetFileSizeMB * 1024L * 1024)).toInt
       val newFiles = writeData(df.repartition(parts), table, bucketed = false)

@@ -172,12 +172,18 @@ object StreamSinks {
         val mergeKeys = opts.get("idCols").map(_.split(",").map(_.trim).toSeq)
         val orderC = opts.get("orderCol")
         val nBuckets = opts.get("numBuckets").map(_.toInt)
-        w2.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // batchId is recorded in each committed manifest so an
+        // at-least-once re-delivery (crash between manifest commit and
+        // checkpoint offset commit) is recognized and skipped — the sink
+        // is exactly-once end to end
+        w2.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
           mergeKeys match {
             case Some(ks) =>
-              graft.sources.VParquet.merge(batch.toDF(), target, ks, nBuckets, orderC)
+              graft.sources.VParquet.merge(batch.toDF(), target, ks, nBuckets,
+                orderC, txn = Some(batchId))
             case None =>
-              graft.sources.VParquet.write(batch.toDF(), target, overwrite = false)
+              graft.sources.VParquet.write(batch.toDF(), target,
+                overwrite = false, txn = Some(batchId))
           }
           ()
         }.start()

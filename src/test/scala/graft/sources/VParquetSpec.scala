@@ -140,6 +140,86 @@ class VParquetSpec extends AnyFunSuite {
     assert(cur.filter($"k" === 3L).head().getString(1) == "FINAL")
   }
 
+  test("randomized merge/compact sequences equal the in-memory upsert model") {
+    import spark.implicits._
+    // seeded model check: any sequence of keyed upsert batches (with an
+    // occasional compact) must leave the table equal to a Map fold —
+    // catches carry-forward, bucket-location, and dedup bugs that a fixed
+    // fixture can miss
+    for (seed <- Seq(7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val t = tmp(s"vp_model_$seed")
+      val buckets = if (rnd.nextBoolean()) Some(4) else None
+      val model = scala.collection.mutable.Map[Long, String]()
+      var seq = 0L
+      for (round <- 0 until 4) {
+        val updates = (0 until (1 + rnd.nextInt(8))).map { _ =>
+          val k = rnd.nextInt(30).toLong
+          seq += 1
+          (k, s"s$seed-r$round-$seq", seq)
+        }
+        // model applies in ts order — exactly the orderCol contract
+        updates.sortBy(_._3).foreach { case (k, v, _) => model(k) = v }
+        VParquet.merge(updates.toDF("k", "v", "ts"), t, Seq("k"),
+          buckets, orderCol = Some("ts"))
+        if (rnd.nextBoolean())
+          VParquet.compact(spark, t, targetFileSizeMB = 128)
+        val got = VParquet.loadVersion(spark, t, None, None)
+          .select("k", "v").collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+        assert(got == model.toMap,
+          s"seed=$seed round=$round buckets=$buckets diverged from model")
+      }
+    }
+  }
+
+  test("bucket-count guard survives an intervening plain append") {
+    val t = tmp("vp_guard")
+    import spark.implicits._
+    VParquet.merge(Seq((1L, "a")).toDF("k", "v"), t, Seq("k"),
+      numBuckets = Some(8), orderCol = None)
+    // plain append must NOT reset the manifest's bucket pin
+    VParquet.write(Seq((99L, "x")).toDF("k", "v"), t, overwrite = false)
+    assert(VParquet.readManifest(spark, t,
+      VParquet.latestVersion(spark, t).get).numBuckets == 8)
+    val e = intercept[IllegalArgumentException] {
+      VParquet.merge(Seq((1L, "b")).toDF("k", "v"), t, Seq("k"),
+        numBuckets = Some(16), orderCol = None)
+    }
+    assert(e.getMessage.contains("numBuckets"))
+    // same-bucket merge absorbs the appended (unbucketed) file correctly
+    VParquet.merge(Seq((1L, "b")).toDF("k", "v"), t, Seq("k"),
+      numBuckets = Some(8), orderCol = None)
+    val rows = VParquet.loadVersion(spark, t, None, None).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq(1L -> "b", 99L -> "x"))
+  }
+
+  test("txn makes commits idempotent; empty merge batches are no-ops") {
+    val t = tmp("vp_txn")
+    import spark.implicits._
+    val v0 = VParquet.write(Seq(1L).toDF("k"), t, overwrite = false, txn = Some(0L))
+    // at-least-once re-delivery of the same micro-batch: skipped
+    val again = VParquet.write(Seq(1L).toDF("k"), t, overwrite = false, txn = Some(0L))
+    assert(v0 == 0L && again == 0L)
+    assert(VParquet.loadVersion(spark, t, None, None).count() == 1)
+    assert(VParquet.write(Seq(2L).toDF("k"), t, overwrite = false, txn = Some(1L)) == 1L)
+    // empty merge: no commit on an existing table, -1 on a fresh one
+    val empty = Seq.empty[(Long, String)].toDF("k", "v")
+    assert(VParquet.merge(empty, t, Seq("k"), None, None) == 1L)
+    assert(VParquet.latestVersion(spark, t).contains(1L))
+    assert(VParquet.merge(empty, tmp("vp_txn2"), Seq("k"), None, None) == -1L)
+  }
+
+  test("a reserved __bucket__ column is rejected loudly") {
+    import spark.implicits._
+    val df = Seq((1L, 0)).toDF("k", "__bucket__")
+    val e = intercept[IllegalArgumentException] {
+      VParquet.write(df, tmp("vp_resv"), overwrite = true)
+    }
+    assert(e.getMessage.contains("__bucket__"))
+  }
+
   test("concurrent version claim fails loudly instead of corrupting") {
     val t = tmp("vp_race")
     runDF(s"""select 1 as k as vr_in; save overwrite vr_in as vparquet.`$t`;""")
