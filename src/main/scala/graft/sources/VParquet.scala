@@ -213,11 +213,11 @@ object VParquet {
     }
     val deduped = graft.streaming.UpsertParquet
       .newestPerKey(batch.toDF(), idCols, orderCol)
-    // an empty batch must not commit an empty (unreadable) first snapshot;
+    // An empty batch must not commit an empty (unreadable) first snapshot;
     // it is a no-op: the current version on an existing table, -1 (nothing
     // committed) on a brand-new one — important for streams whose first
-    // micro-batch is empty
-    if (deduped.isEmpty) return prev.getOrElse(-1L)
+    // micro-batch is empty. The bucketed path detects this from the
+    // touched-bucket collect it needs anyway (no extra Spark job).
     val version = prev.map(_ + 1).getOrElse(0L)
 
     numBuckets match {
@@ -227,6 +227,7 @@ object VParquet {
         try {
           val touched = batchB.select("__bucket__").distinct()
             .collect().map(_.getInt(0)).toSet
+          if (touched.isEmpty) return prev.getOrElse(-1L)
           val oldFiles = current.map(_.files).getOrElse(Seq.empty)
           // unbucketed (-1) files can hold any key → always in scope
           val (inScope, carry) = oldFiles.partition(f =>
@@ -246,6 +247,7 @@ object VParquet {
             System.currentTimeMillis(), n, carry ++ newFiles, idCols, txn))
         } finally batchB.unpersist()
       case None =>
+        if (deduped.isEmpty) return prev.getOrElse(-1L)
         val oldFiles = current.map(_.files).getOrElse(Seq.empty)
         val merged =
           if (oldFiles.isEmpty) deduped
