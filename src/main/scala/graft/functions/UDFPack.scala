@@ -133,7 +133,11 @@ object UDFPack {
 
     // ---- misc (Functions.scala:51,57,414,435; crawler Functions.scala:89) ----
     u.register("mkString", (sep: String, a: Seq[String]) => a.mkString(sep))
-    u.register("uuid", () => java.util.UUID.randomUUID().toString.replace("-", ""))
+    // nondeterministic: without the marking, subexpression elimination
+    // would collapse `SELECT uuid() a, uuid() b` into ONE value, and
+    // re-evaluation across retries/pushdowns would change ids per row
+    u.register("uuid", org.apache.spark.sql.functions.udf(
+      () => java.util.UUID.randomUUID().toString.replace("-", "")).asNondeterministic())
     u.register("keepChinese", (s: String, keepPunct: Boolean, keep: Seq[String]) => {
       val sb = new StringBuilder
       s.foreach { c =>
@@ -158,12 +162,17 @@ object UDFPack {
       fmt(pattern).format(new java.util.Date(ms)))
     u.register("timePlus", (ms: Long, amount: String) => ms + parseDuration(amount))
     u.register("timeMinus", (ms: Long, amount: String) => ms - parseDuration(amount))
-    u.register("timeAgo", (amount: String) => System.currentTimeMillis() - parseDuration(amount))
+    // wall-clock-dependent → nondeterministic (same reasoning as uuid)
+    u.register("timeAgo", org.apache.spark.sql.functions.udf(
+      (amount: String) => System.currentTimeMillis() - parseDuration(amount))
+      .asNondeterministic())
 
     // ---- reference Functions.scala tail (:41-48 parse, :62-67 sleep,
     //      :316-339 array_slice/array_concat, :407-412 decodeKafka,
     //      :459-462 two-arg byteStringAs) ----
-    u.register("sleep", (ms: Long) => { Thread.sleep(ms); "" })
+    // side-effecting → must not be elided/collapsed by the optimizer
+    u.register("sleep", org.apache.spark.sql.functions.udf(
+      (ms: Long) => { Thread.sleep(ms); "" }).asNondeterministic())
     u.register("parse", (s: String) => segment(s))
     // null value = Kafka tombstone record — pass the null through
     u.register("decodeKafka", (b: Array[Byte]) =>
@@ -256,9 +265,11 @@ object UDFPack {
     * input does not parse or the expression matches nothing (the reference
     * returns null on extraction failure too).
     */
-  private[functions] def extractXpath(html: String, xpath: String): String = {
-    if (html == null) return null
-    try {
+  // factory construction does a ServiceLoader classpath scan — done once
+  // per thread, never per row (DocumentBuilder/XPath instances themselves
+  // are not thread-safe, hence ThreadLocal rather than a shared instance)
+  private val xmlFactory =
+    ThreadLocal.withInitial[javax.xml.parsers.DocumentBuilderFactory](() => {
       // the input is UNTRUSTED corpus content: disable doctypes/external
       // entities outright (XXE file reads, billion-laughs expansion)
       val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
@@ -267,10 +278,18 @@ object UDFPack {
       f.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
       f.setXIncludeAware(false)
       f.setExpandEntityReferences(false)
-      val doc = f.newDocumentBuilder()
+      f
+    })
+  private val xpathFactory =
+    ThreadLocal.withInitial[javax.xml.xpath.XPathFactory](() =>
+      javax.xml.xpath.XPathFactory.newInstance())
+
+  private[functions] def extractXpath(html: String, xpath: String): String = {
+    if (html == null) return null
+    try {
+      val doc = xmlFactory.get().newDocumentBuilder()
         .parse(new java.io.ByteArrayInputStream(html.getBytes("UTF-8")))
-      val res = javax.xml.xpath.XPathFactory.newInstance().newXPath()
-        .evaluate(xpath, doc)
+      val res = xpathFactory.get().newXPath().evaluate(xpath, doc)
       if (res == null || res.isEmpty) null else res
     } catch { case _: Exception => null }
   }

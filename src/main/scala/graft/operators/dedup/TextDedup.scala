@@ -84,8 +84,11 @@ object TextDedup {
     // native double-hashing signature (graft.functions.MinHashSig): 2 hash
     // evals per shingle, not numHashes — see the expression's scaladoc
     val sig = sh.withColumn("sig", expr(s"minhash_sig(shingles, $numHashes)"))
-    // one row per (doc, band); band key = the band's r-hash slice
-    val keyed = sig.select(col("doc_id"), col("shingles"),
+    // one row per (doc, band); band key = the band's r-hash slice. SKINNY
+    // rows only — dragging the full shingle array through both sides of
+    // the banded self-join would multiply its shuffle volume by 2×bands;
+    // shingles are re-joined from `docs` just for the surviving candidates
+    val keyed = sig.select(col("doc_id"),
       posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
         s"b -> slice(sig, b * $rowsPerBand + 1, $rowsPerBand))")).as(Seq("band", "key")))
     val candidates = keyed.as("x").join(keyed.as("y"),

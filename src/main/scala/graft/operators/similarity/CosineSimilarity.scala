@@ -32,6 +32,12 @@ object CosineSimilarity {
   /** The most recent [[ivfSelfJoin]] assignment cache — kept so each call
     * can release its predecessor's storage instead of accreting cached
     * corpus projections over a long-lived session.
+    *
+    * Contract: one in-flight ivfSelfJoin CONSUMER per JVM. Concurrent
+    * calls stay CORRECT (the returned plan recomputes deterministically if
+    * its cached assignment was released by a later call), but the second
+    * call silently forfeits the first one's caching benefit — don't rely
+    * on the cache across interleaved invocations.
     */
   private val lastAssignmentCache =
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
@@ -190,9 +196,12 @@ object CosineSimilarity {
                   missProb: Double = 1e-5, rowsPerBand: Int = 8,
                   seed: Long = 42L, forceBanding: Boolean = false): DataFrame = {
     val (r, bands) = lshParams(threshold, missProb, rowsPerBand)
-    // empty corpus: no head() to take — the exact path returns the correctly
-    // typed empty (a_id, b_id, sim) frame without needing the dimension
-    val firstRow = df.select(size(col(vecCol))).head(1)
+    // empty corpus (or all-null embeddings): no head() to take — the exact
+    // path returns the correctly typed empty (a_id, b_id, sim) frame
+    // without needing the dimension. The isNotNull probe also prevents an
+    // NPE when the first-scanned row's embedding happens to be null.
+    val firstRow = df.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).head(1)
     if (firstRow.isEmpty) return exactSelfJoin(df, idCol, vecCol, threshold)
     val dim = firstRow(0).getInt(0)
     val planes = hyperplanes(r * bands, dim, seed)
@@ -241,7 +250,11 @@ object CosineSimilarity {
       keys
     }
 
-    val vecs = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    // null embeddings can match nothing (exact path: arr_cosine yields
+    // null → filtered); dropping them here keeps outputs identical and
+    // prevents an NPE inside the band-key loop
+    val vecs = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
     val keyed = vecs
       .withColumn("band_keys", bandKeysUdf(col("v")))
       .select(col("id"), posexplode(col("band_keys")).as(Seq("band", "key")))

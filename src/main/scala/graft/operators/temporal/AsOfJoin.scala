@@ -38,7 +38,10 @@ object AsOfJoin {
       .select(keyExprs :+ col(leftTime).as("__t__") :+
         struct(left.columns.map(col).toSeq: _*).as("__lp__"): _*)
       .withColumn("__side__", lit(1))
-    val r = right.filter(notNull)
+    // a NULL right time satisfies no `rightTime <= t` predicate, but would
+    // sort first (ASC NULLS FIRST) and become a carried-forward match —
+    // drop such rows up front
+    val r = right.filter(notNull && col(rightTime).isNotNull)
       .select(keyExprs :+ col(rightTime).as("__t__") :+
         struct(rightPayload.map(col): _*).as("__rp__"): _*)
       .withColumn("__side__", lit(0))

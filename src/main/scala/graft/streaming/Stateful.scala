@@ -25,7 +25,10 @@ object Stateful {
   def runningCounts(df: DataFrame, keyCol: String): Dataset[KeyCount] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(keyCol).cast("long")).as[Long]
+    // a null (or non-numeric) key would fail the non-nullable Long
+    // encoder INSIDE the micro-batch and kill the whole query — one
+    // poison record must not take the stream down
+    df.select(col(keyCol).cast("long")).filter(col(keyCol).isNotNull).as[Long]
       .groupByKey(identity)
       .mapGroupsWithState[(Int, Long), KeyCount](GroupStateTimeout.NoTimeout) {
         case (key, rows, state: GroupState[(Int, Long)]) =>
@@ -45,9 +48,10 @@ object Stateful {
     * express). Append output mode; state is one long per key.
     */
   def thresholdAlerts(df: DataFrame, keyCol: String, every: Long): Dataset[Threshold] = {
+    require(every > 0, s"thresholdAlerts: every must be positive, got $every")
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(keyCol).cast("long")).as[Long]
+    df.select(col(keyCol).cast("long")).filter(col(keyCol).isNotNull).as[Long]
       .groupByKey(identity)
       .flatMapGroupsWithState[Long, Threshold](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {

@@ -235,10 +235,12 @@ object UpsertParquet {
       // probe, union/write) — one computation, not three
       .persist()
     try {
-      // read-based existence probe (an empty or _SUCCESS-only dir is "not
-      // there yet"); also rejects a non-bucketed layout loudly
+      // fs-based existence probe: a transient READ failure must propagate,
+      // not be mistaken for "table absent" (which would replace every
+      // touched bucket with batch-only rows); an empty/_SUCCESS-only dir
+      // still counts as absent. Also rejects a non-bucketed layout loudly.
       val current0 =
-        try Some(spark.read.parquet(target)) catch { case _: Throwable => None }
+        if (hasParquetData(fs, target)) Some(spark.read.parquet(target)) else None
       current0.foreach(c => require(c.columns.contains("__bucket__"),
         s"upsertParquet target $target holds a non-bucketed layout; " +
           "remove numBuckets or rewrite the target"))
@@ -283,16 +285,35 @@ object UpsertParquet {
       .dropDuplicates(idCols)
   }
 
+  /** True iff the dir exists and holds at least one parquet data file —
+    * an fs-level probe, so a transient read error propagates instead of
+    * being mistaken for "table absent" (which would silently truncate the
+    * accumulated upsert target to the current batch).
+    */
+  private def hasParquetData(fs: org.apache.hadoop.fs.FileSystem,
+                             target: String): Boolean = {
+    val tp = new org.apache.hadoop.fs.Path(target)
+    if (!fs.exists(tp)) return false
+    val it = fs.listFiles(tp, /*recursive=*/ true)
+    while (it.hasNext) {
+      if (it.next().getPath.getName.endsWith(".parquet")) return true
+    }
+    false
+  }
+
   def merge(batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
             target: String, idCols: Seq[String],
             orderCol: Option[String] = None): Unit = {
     import org.apache.spark.sql.functions._
     val spark = batch.sparkSession
     val deduped = newestPerKey(batch.toDF(), idCols, orderCol)
-    val exists = try {
-      spark.read.parquet(target).limit(1).count(); true
-    } catch { case _: Throwable => false }
-    val merged = if (!exists) deduped else {
+    // resolve through the TARGET's fs, not the default fs — an s3a:// or
+    // hdfs:// target on a different default filesystem must work (the
+    // bucketed sibling already does this)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val targetPath = new org.apache.hadoop.fs.Path(target)
+    val fs = targetPath.getFileSystem(conf)
+    val merged = if (!hasParquetData(fs, target)) deduped else {
       val current = spark.read.parquet(target)
       current.join(deduped.select(idCols.map(col): _*), idCols, "left_anti")
         .unionByName(deduped)
@@ -305,9 +326,6 @@ object UpsertParquet {
     // not transactional — Delta MERGE is, when its jar is available.
     val tmp = target + "__tmp__"
     merged.write.mode("overwrite").parquet(tmp)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = org.apache.hadoop.fs.FileSystem.get(conf)
-    val targetPath = new org.apache.hadoop.fs.Path(target)
     val oldPath = new org.apache.hadoop.fs.Path(target + "__old__")
     if (fs.exists(oldPath)) fs.delete(oldPath, true)
     if (fs.exists(targetPath))

@@ -93,4 +93,10 @@ class UDFPackSpec extends AnyFunSuite {
     assert(one("select timePlus(0, '1 hour')") == 3600000L)
     assert(one("select timeMinus(7200000, '1 hour')") == 3600000L)
   }
+
+  test("uuid is nondeterministic: two calls in one projection differ") {
+    val r = spark.sql("select uuid() as a, uuid() as b").head()
+    assert(r.getString(0) != r.getString(1),
+      "subexpression elimination collapsed uuid() — it must be registered nondeterministic")
+  }
 }

@@ -54,4 +54,14 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(plan.contains("Window"), plan)
   }
+
+  test("a NULL right time never matches (it would sort first and carry forward)") {
+    import spark.implicits._
+    val left = Seq((1L, "u", 5L)).toDF("id", "k", "t")
+    val right = Seq(("u", Option.empty[Long], "ghost"), ("u", Some(99L), "late"))
+      .toDF("k", "t", "payload")
+    val out = AsOfJoin.join(left, right, Seq("k"), "t", "t", Seq("payload"))
+    // no real right row at time <= 5 -> inner as-of drops the left row
+    assert(out.count() == 0)
+  }
 }
