@@ -22,6 +22,10 @@ final class Engine(root: SparkSession, homeBase: String) {
   private def checkOwner(owner: String): String = {
     require(owner.nonEmpty && owner.matches("[A-Za-z0-9._@-]+") && !owner.contains(".."),
       s"invalid owner '$owner' (allowed: letters, digits, . _ @ -)")
+    // "." passes the charset but normalizes homeBase/. == homeBase itself,
+    // which would put this tenant's home ABOVE everyone else's
+    require(owner.exists(_ != '.'),
+      s"invalid owner '$owner' (must contain a non-dot character)")
     owner
   }
 

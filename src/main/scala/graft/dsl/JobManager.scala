@@ -17,7 +17,12 @@ import org.apache.spark.sql.SparkSession
   * script fails at its next action with a cancellation error.
   */
 object JobManager {
-  final case class JobInfo(groupId: String, name: String, startMs: Long)
+  /** `owner` = the registering script's pathPrefix: the tenant namespace
+    * for list/kill (ConnectMeta and ScriptFragmentStore scope the same
+    * way). Empty = the un-prefixed engine-level context.
+    */
+  final case class JobInfo(groupId: String, name: String, startMs: Long,
+                           owner: String = "")
 
   private val jobs = TrieMap[String, JobInfo]()
   // parent job-group id per registered group: a NESTED ScriptRunner.run
@@ -25,12 +30,12 @@ object JobManager {
   // on exit, not clear it — else the outer run becomes unkillable
   private val parents = TrieMap[String, String]()
 
-  def register(spark: SparkSession, name: String): String = {
+  def register(spark: SparkSession, name: String, owner: String = ""): String = {
     val groupId = java.util.UUID.randomUUID().toString
     Option(spark.sparkContext.getLocalProperty("spark.jobGroup.id"))
       .foreach(parents.put(groupId, _))
     spark.sparkContext.setJobGroup(groupId, s"graft-script:$name", interruptOnCancel = true)
-    jobs.put(groupId, JobInfo(groupId, name, System.currentTimeMillis()))
+    jobs.put(groupId, JobInfo(groupId, name, System.currentTimeMillis(), owner))
     groupId
   }
 
@@ -43,7 +48,15 @@ object JobManager {
     }
   }
 
-  def list: Seq[JobInfo] = jobs.values.toSeq.sortBy(_.startMs)
+  /** Jobs visible to `owner`: a tenant (non-empty prefix) sees ONLY its
+    * own runs — another tenant's job names and group ids are kill handles
+    * and must not leak. The un-prefixed engine context is the admin view
+    * and sees everything.
+    */
+  def list(owner: String = ""): Seq[JobInfo] = {
+    val all = jobs.values.toSeq.sortBy(_.startMs)
+    if (owner.isEmpty) all else all.filter(_.owner == owner)
+  }
 
   /** Rename a running job once its script-declared name is known
     * (`set jobName` evaluates in the preprocess pass, after registration).
@@ -58,9 +71,10 @@ object JobManager {
     * current stage. The registry entry is removed by the owning thread's
     * deregister when the cancelled run unwinds.
     */
-  def kill(spark: SparkSession, nameOrGroup: String): Seq[String] = {
-    val targets = jobs.values.filter(j => j.name == nameOrGroup || j.groupId == nameOrGroup)
+  def kill(spark: SparkSession, nameOrGroup: String, owner: String = ""): Seq[String] = {
+    val targets = list(owner)
+      .filter(j => j.name == nameOrGroup || j.groupId == nameOrGroup)
     targets.foreach(j => spark.sparkContext.cancelJobGroupAndFutureJobs(j.groupId))
-    targets.map(_.groupId).toSeq
+    targets.map(_.groupId)
   }
 }

@@ -21,13 +21,10 @@ final class ScriptContext(val spark: SparkSession, val pathPrefix: String = "") 
     * ParameterScope.UN_SELECT, SelectAdaptor.scala:46-51).
     */
   val unSelectKeys: mutable.Set[String] = mutable.Set()
-
-  /** Keys whose value was computed in the compile (preprocess) stage via
-    * `set k = "<sql>" where type="sql" and mode="compile"` — the physical
-    * pass must neither re-evaluate nor overwrite them
-    * (reference: SetAdaptor.scala:87-104).
-    */
-  val compileStaged: mutable.Set[String] = mutable.Set()
+  // NOTE: compile-stage set protection (a compile-sql statement neither
+  // re-evaluates nor overwrites its preprocess value in the physical pass,
+  // reference SetAdaptor.scala:87-104) is enforced per-statement in
+  // ScriptRunner.executeSet — no context state needed
 
   /** Env view for templating a `select` body: un_select keys hidden. */
   def selectEnv: collection.Map[String, String] =

@@ -27,7 +27,8 @@ object ScriptRunner {
     // JobManager.kill can cancel it from another thread. Registered under a
     // placeholder first, then renamed once `set jobName` (a preprocess-pass
     // statement itself) has run.
-    val groupId = JobManager.register(spark, "graft-" + java.util.UUID.randomUUID())
+    val groupId = JobManager.register(spark,
+      "graft-" + java.util.UUID.randomUUID(), pathPrefix)
     try {
       // compile (preprocess) stage: every `set` runs once here — except
       // type="sql" & mode="runtime" (deferred to the physical pass) — so
@@ -226,7 +227,6 @@ object ScriptRunner {
       case other => throw new IllegalArgumentException(s"set: unknown type '$other'")
     }
     val isCompileSql = tpe == "sql" && mode == "compile"
-    if (isCompileSql && preprocess) ctx.compileStaged += key
     // defaultParam never overwrites; the compile-sql statement itself must
     // not clobber its preprocess-computed value when replayed physically
     // (a LATER unrelated `set` of the same key still may — the reference's

@@ -84,7 +84,7 @@ object ModelCommandET extends ET {
                      params: Map[String, String]): DataFrame = {
     params.getOrElse("action", "history") match {
       case "history" | "params" =>
-        ctx.spark.read.json(path + "/metadata")
+        graft.sources.ModelMeta.read(ctx.spark, path)
           .select(lit(path).as("modelPath"), col("class"), col("uid"),
             col("sparkVersion"), to_json(col("paramMap")).as("params"))
       case other => throw new IllegalArgumentException(
@@ -153,7 +153,15 @@ object TreeBuildExtET extends NoPathET {
     require(iter < maxDepth || !grew,
       s"TreeBuildExt: dependency cycle deeper than $maxDepth levels")
 
-    val nodes = pairs.select(col("c").as("id"), rootParent.as("is_root")).distinct()
+    // node set = every id appearing as a child OR as a real (non-marker)
+    // parent; a node is a root iff it is never a child of a real edge —
+    // this keeps roots that only occur in the parent column, and collapses
+    // nodes with mixed root/non-root rows to ONE row
+    val childIds = edges.select(col("c").as("id")).distinct()
+    val nodes = pairs.select(col("c").as("id"))
+      .union(edges.select(col("p").as("id"))).distinct()
+      .join(childIds.withColumn("__child__", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("__child__").isNull.as("is_root"))
     // subtree height = longest root-ward chain inside the descendant set:
     // level(x) = number of iterations x kept acquiring new descendants ≈
     // recompute directly: level = max path length below x
@@ -229,7 +237,8 @@ object KillET extends NoPathET {
     import spark.implicits._
     val target = if (path.nonEmpty) path else params.getOrElse("jobName", "")
     require(target.nonEmpty, "Kill requires a job name: Kill.`jobName`")
-    graft.dsl.JobManager.kill(spark, target).toDF("cancelled_group")
+    graft.dsl.JobManager.kill(spark, target, ctx.pathPrefix)
+      .toDF("cancelled_group")
   }
 }
 
@@ -286,10 +295,13 @@ object VecMapInPlaceET extends NoPathET {
     val index = keys.zipWithIndex.toMap
     val bc = ctx.spark.sparkContext.broadcast(index)
     val toVec = udf { (m: Map[String, Double]) =>
-      val idx = bc.value
-      val pairs = m.toSeq.flatMap { case (k, v) => idx.get(k).map(_ -> v) }
-        .sortBy(_._1)
-      org.apache.spark.ml.linalg.Vectors.sparse(idx.size, pairs)
+      if (m == null) null
+      else {
+        val idx = bc.value
+        val pairs = m.toSeq.flatMap { case (k, v) => idx.get(k).map(_ -> v) }
+          .sortBy(_._1)
+        org.apache.spark.ml.linalg.Vectors.sparse(idx.size, pairs)
+      }
     }
     df.withColumn(inputCol, toVec(col(inputCol)))
   }
@@ -676,7 +688,7 @@ object ModelExplainInPlaceET extends ET {
           if (path.nonEmpty) path
           else throw new IllegalArgumentException(
             "ModelExplainInPlace requires modelPath=... (a saved spark.ml model dir)"))
-        ctx.spark.read.json(modelPath + "/metadata")
+        graft.sources.ModelMeta.read(ctx.spark, modelPath)
           .select(col("class"), col("uid"), col("sparkVersion"),
             to_json(col("paramMap")).as("params"))
       case other => throw new UnsupportedOperationException(
@@ -767,7 +779,7 @@ object TokenExtractET extends ET {
           }
           if (i < text.length) {
             // the TEXT may legitimately contain NUL (dirty corpora are the
-            // norm here): node.get(' ') would return the String end
+            // norm here): node.get(WORD_END) would return the String end
             // marker, so type-check instead of casting blindly
             node = node.get(text.charAt(i)) match {
               case m: java.util.HashMap[Char @unchecked, AnyRef @unchecked] => m

@@ -47,13 +47,14 @@ object JobCommandET extends NoPathET {
     import spark.implicits._
     path match {
       case "list" =>
-        graft.dsl.JobManager.list
+        graft.dsl.JobManager.list(ctx.pathPrefix)
           .map(j => (j.name, j.groupId, new java.sql.Timestamp(j.startMs)))
           .toDF("name", "group_id", "started_at")
       case "kill" =>
         val target = params.getOrElse("parameters", "").trim
         require(target.nonEmpty, "!kill requires a job name or group id")
-        graft.dsl.JobManager.kill(spark, target).toDF("cancelled_group")
+        graft.dsl.JobManager.kill(spark, target, ctx.pathPrefix)
+          .toDF("cancelled_group")
       case other => throw new IllegalArgumentException(
         s"JobCommand supports list|kill, got '$other'")
     }

@@ -91,23 +91,26 @@ object RateSamplerET extends NoPathET {
     require(math.abs(rates.sum - 1.0) < 1e-9, s"sampleRate must sum to 1, got ${rates.mkString(",")}")
     val seed = params.getOrElse("seed", "42").toLong
     val cum = rates.scanLeft(0.0)(_ + _).tail // upper bound per split
+    // ONE materialized draw per row, compared against every bound: putting
+    // the raw rand()/window expression inside each `when` branch would give
+    // every occurrence its own (short-circuit-desynchronized) RNG stream,
+    // skewing 3+-way splits (e.g. 0.8/0.1/0.1 silently became 0.8/0.18/...)
+    def assign(withDraw: DataFrame): DataFrame = {
+      val splitCol = cum.init.zipWithIndex.foldRight(lit(cum.length - 1): org.apache.spark.sql.Column) {
+        case ((ub, idx), acc) => when(col("__draw__") < ub, idx).otherwise(acc)
+      }
+      withDraw.withColumn("__split__", splitCol).drop("__draw__")
+    }
     params.getOrElse("strategy", "bernoulli") match {
       case "bernoulli" =>
-        val r = rand(seed)
-        val splitCol = cum.init.zipWithIndex.foldRight(lit(cum.length - 1): org.apache.spark.sql.Column) {
-          case ((ub, idx), acc) => when(r < ub, idx).otherwise(acc)
-        }
-        df.withColumn("__split__", splitCol)
+        assign(df.withColumn("__draw__", rand(seed)))
       case "exact" =>
         val label = col(params.getOrElse("labelCol",
           throw new IllegalArgumentException("strategy=\"exact\" requires labelCol")))
         val w = org.apache.spark.sql.expressions.Window.partitionBy(label)
         val frac = (row_number().over(w.orderBy(rand(seed))) - lit(1)).cast("double") /
           count(lit(1)).over(w)
-        val splitCol = cum.init.zipWithIndex.foldRight(lit(cum.length - 1): org.apache.spark.sql.Column) {
-          case ((ub, idx), acc) => when(frac < ub, idx).otherwise(acc)
-        }
-        df.withColumn("__split__", splitCol)
+        assign(df.withColumn("__draw__", frac))
       case other => throw new IllegalArgumentException(
         s"RateSampler strategy must be bernoulli|exact, got '$other'")
     }
@@ -190,7 +193,10 @@ object DataProfileET extends NoPathET {
       .filter(_.dataType.isInstanceOf[NumericType]).map(_.name).toSet
     val accuracy = params.getOrElse("percentileAccuracy", "10000")
     val aggs = df.schema.fields.flatMap { f =>
-      val c = col(f.name)
+      // backtick-quote: a column literally named "user.id" must not be
+      // parsed as a nested field reference (the percentile expr below
+      // already quotes for the same reason)
+      val c = col(s"`${f.name}`")
       val base = Seq(
         sum(when(c.isNull, 1).otherwise(0)).cast("long").as(s"${f.name}__nulls"),
         approx_count_distinct(c).as(s"${f.name}__distinct"),
@@ -341,19 +347,24 @@ object HDFSCommandET extends ET {
     require(args.nonEmpty, "!fs requires a subcommand: ls|rm|mkdir")
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     import spark.implicits._
+    // every target goes through the tenant re-rooting + containment check —
+    // `!fs rm -r <path>` from a prefixed script must not reach another
+    // tenant's home (the same rule every path-taking ET follows)
+    def resolved(p: String) = ctx.resolvePath(p)
     args(0) match {
       case "ls" =>
-        fs.listStatus(new Path(args(1))).toSeq
+        fs.listStatus(new Path(resolved(args(1)))).toSeq
           .map(st => (st.getPath.toString, st.getLen, st.isDirectory))
           .toDF("path", "size", "is_dir")
       case "rm" | "-rmr" =>
         val recursive = args.contains("-r") || args(0) == "-rmr"
-        val target = args.last
+        val target = resolved(args.last)
         val ok = fs.delete(new Path(target), recursive)
         Seq((target, ok)).toDF("path", "deleted")
       case "mkdir" =>
-        val ok = fs.mkdirs(new Path(args.last))
-        Seq((args.last, ok)).toDF("path", "created")
+        val target = resolved(args.last)
+        val ok = fs.mkdirs(new Path(target))
+        Seq((target, ok)).toDF("path", "created")
       case other => throw new IllegalArgumentException(s"!fs: unsupported subcommand '$other'")
     }
   }

@@ -19,9 +19,10 @@ final class SystemTableSource extends GraftSource {
     path.split("/")(0) match {
       case "jobs" =>
         // both surfaces: streaming queries AND running batch script runs
+        // (batch list is tenant-scoped — see JobManager.list)
         (spark.streams.active.toSeq
           .map(q => (Option(q.name).getOrElse(""), q.id.toString, q.isActive, "stream")) ++
-          graft.dsl.JobManager.list
+          graft.dsl.JobManager.list(ctx.pathPrefix)
             .map(j => (j.name, j.groupId, true, "batch")))
           .toDF("name", "id", "is_active", "kind")
       case "ets" => graft.ets.ETRegistry.registered.toDF("name")
@@ -41,13 +42,23 @@ final class SystemTableSource extends GraftSource {
   }
 }
 
+/** THE reader for a saved spark.ml artifact's `metadata/` self-description
+  * — shared by every model-introspection surface (model/modelParams
+  * sources, `!model`, ModelExplainInPlace) so the metadata layout is
+  * interpreted in exactly one place.
+  */
+object ModelMeta {
+  def read(spark: org.apache.spark.sql.SparkSession, modelPath: String): DataFrame =
+    spark.read.json(modelPath + "/metadata")
+}
+
 /** `load modelParams.`/model/path`` — read a saved spark.ml model's
   * metadata as a table (reference: ModelSelfExplain via LoadAdaptor:127).
   */
 final class ModelParamsSource extends GraftSource {
   override def shortName = "modelparams"
   override def load(ctx: ScriptContext, path: String, opts: Map[String, String]): DataFrame =
-    ctx.spark.read.json(ctx.resolvePath(path) + "/metadata")
+    ModelMeta.read(ctx.spark, ctx.resolvePath(path))
 }
 
 /** `load model.`/model/path`` — reference short name for model
@@ -56,7 +67,7 @@ final class ModelParamsSource extends GraftSource {
 final class ModelSource extends GraftSource {
   override def shortName = "model"
   override def load(ctx: ScriptContext, path: String, opts: Map[String, String]): DataFrame =
-    ctx.spark.read.json(ctx.resolvePath(path) + "/metadata")
+    ModelMeta.read(ctx.spark, ctx.resolvePath(path))
 }
 
 /** `load mlsqlConf.`[prefix]`` — engine/Spark conf introspection

@@ -105,7 +105,6 @@ class ScriptRunnerSpec extends AnyFunSuite {
          |select ${"${base}"} as v from r_cmp limit 1 as out;""".stripMargin, spark)
     assert(ctx.env("base") == "42")
     assert(ctx.env("derived") == "42x")
-    assert(ctx.compileStaged.contains("base"))
     assert(ctx.lastDataFrame.get.head().get(0).toString == "42")
   }
 
@@ -181,10 +180,10 @@ class ScriptRunnerSpec extends AnyFunSuite {
     })
     t.start()
     var waited = 0
-    while (!graft.dsl.JobManager.list.exists(_.name == "victim") && waited < 200) {
+    while (!graft.dsl.JobManager.list().exists(_.name == "victim") && waited < 200) {
       Thread.sleep(50); waited += 1
     }
-    assert(graft.dsl.JobManager.list.exists(_.name == "victim"))
+    assert(graft.dsl.JobManager.list().exists(_.name == "victim"))
     val jobs = runDF("!jobs;")
     assert(jobs.collect().map(_.getString(0)).contains("victim"))
     Thread.sleep(500) // let the doomed stage actually launch
@@ -192,7 +191,7 @@ class ScriptRunnerSpec extends AnyFunSuite {
     t.join(60000)
     assert(!t.isAlive, "cancelled script thread still running")
     assert(err.get() != null, "cancelled script should surface an error")
-    assert(!graft.dsl.JobManager.list.exists(_.name == "victim"))
+    assert(!graft.dsl.JobManager.list().exists(_.name == "victim"))
   }
 
   test("save parquet + load round-trip preserves rows") {
@@ -371,8 +370,16 @@ class ScriptRunnerSpec extends AnyFunSuite {
         |save overwrite r_esc as parquet.`../bob/stolen`;""".stripMargin)
     }
     assert(esc.getMessage.contains("escapes"))
-    // owner strings cannot traverse out of homeBase
+    // owner strings cannot traverse out of homeBase; "." would BE homeBase
     intercept[IllegalArgumentException] { engine.run("../../tmp", "select 1 as x as out;") }
+    intercept[IllegalArgumentException] { engine.run(".", "select 1 as x as out;") }
+    // !fs paths are re-rooted + containment-checked like every other path
+    val fsEsc = intercept[Exception] { engine.run("alice", "!fs ls ../bob;") }
+    assert(fsEsc.getMessage.contains("escapes"))
+    // batch-job visibility is tenant-scoped: alice's (finished) runs never
+    // appear in bob's !jobs, and bob's !kill by name can't touch them
+    assert(graft.dsl.JobManager.list(engine.homeFor("bob"))
+      .forall(_.owner == engine.homeFor("bob")))
     // connect aliases are namespaced: alice's credentials are not bob's
     engine.run("alice",
       """connect jdbc where url="jdbc:h2:mem:alicedb" and user="alice" as shared_name;""")

@@ -169,6 +169,34 @@ class CompatETSpec extends AnyFunSuite {
     assert(df.count() == 5)
   }
 
+  test("TreeBuildExt keeps roots that only appear in the parent column") {
+    // pure edge list — no explicit (root, null) declaration rows
+    val roots = runDF(
+      """select 'b' as id, 'a' as pid
+        |union all select 'c', 'a'
+        |union all select 'd', 'b'
+        |as tree_edges;
+        |run tree_edges as TreeBuildExt.`` where idCol="id" and parentIdCol="pid" as te_r;
+        |select id, level, children from te_r as out;""".stripMargin).collect()
+    assert(roots.map(_.getString(0)).toSeq == Seq("a"))
+    assert(roots.head.getInt(1) == 2)
+    assert(roots.head.getSeq[String](2).toSet == Set("b", "c", "d"))
+  }
+
+  test("RateSampler 3-way bernoulli split matches the declared rates") {
+    val df = runDF(
+      s"""load parquet.`$sf/orders.parquet` as rs3_in;
+         |run rs3_in as RateSampler.`` where sampleRate="0.8,0.1,0.1"
+         |  and seed="42" as rs3_out;
+         |select __split__, count(*) as n from rs3_out group by __split__ as out;""".stripMargin)
+    val total = df.collect().map(_.getLong(1)).sum.toDouble
+    val shares = df.collect().map(r => r.getInt(0) -> r.getLong(1) / total).toMap
+    // a desynchronized per-branch RNG gave split 1 ~0.18 instead of 0.1
+    assert(math.abs(shares(0) - 0.8) < 0.03, shares.toString)
+    assert(math.abs(shares(1) - 0.1) < 0.03, shares.toString)
+    assert(math.abs(shares(2) - 0.1) < 0.03, shares.toString)
+  }
+
   test("Map ET registers a first-row string lookup UDF") {
     val df = runDF(
       """select 'v1' as k1, 'v2' as k2 as map_dict;
