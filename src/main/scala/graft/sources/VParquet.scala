@@ -48,10 +48,15 @@ object VParquet {
     * them; empty for unkeyed tables. `txn` is the streaming micro-batch id
     * that produced this commit (None for batch commits) — the sink uses it
     * to recognize an at-least-once re-delivery and skip the duplicate.
+    * `txnAppId` scopes that marker to one writer identity (the sink uses
+    * its checkpoint location): micro-batch ids restart at 0 for every new
+    * query, so an UNSCOPED id would make a second stream's first batch
+    * look like a re-delivery of the first stream's (same idempotence
+    * contract as Delta's txnAppId/txnVersion).
     */
   case class Manifest(version: Long, op: String, ts: Long, numBuckets: Int,
                       files: Seq[FileEntry], keyCols: Seq[String] = Seq.empty,
-                      txn: Option[Long] = None)
+                      txn: Option[Long] = None, txnAppId: Option[String] = None)
 
   private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
     // older manifests may lack newer fields and vice versa — evolve forward
@@ -83,8 +88,16 @@ object VParquet {
     finally in.close()
     // Jackson leaves missing AnyRef fields null on pre-field manifests
     val m2 = if (m.keyCols == null) m.copy(keyCols = Seq.empty) else m
-    if (m2.txn == null) m2.copy(txn = None) else m2
+    val m3 = if (m2.txn == null) m2.copy(txn = None) else m2
+    if (m3.txnAppId == null) m3.copy(txnAppId = None) else m3
   }
+
+  /** True iff `m` already carries this writer's (txnAppId, txn) marker —
+    * i.e. the commit about to be made is an at-least-once re-delivery.
+    */
+  private def alreadyCommitted(m: Manifest, txn: Option[Long],
+                               txnAppId: Option[String]): Boolean =
+    txn.exists(t => m.txn.contains(t) && m.txnAppId == txnAppId)
 
   /** Claim version `v` atomically. The manifest is FULLY WRITTEN to a temp
     * file first and only then renamed (no-overwrite) to its final name, so
@@ -168,12 +181,12 @@ object VParquet {
     * them unconditionally.
     */
   def write(df: DataFrame, table: String, overwrite: Boolean,
-            txn: Option[Long] = None): Long = {
+            txn: Option[Long] = None, txnAppId: Option[String] = None): Long = {
     requireNoReservedCols(df)
     val spark = df.sparkSession
     val prev = latestVersion(spark, table)
     val prevManifest = prev.map(readManifest(spark, table, _))
-    txn.flatMap(t => prevManifest.filter(_.txn.contains(t))).foreach { _ =>
+    prevManifest.filter(alreadyCommitted(_, txn, txnAppId)).foreach { _ =>
       return prev.get // this micro-batch already committed — skip duplicate
     }
     val newFiles = writeData(df, table, bucketed = false)
@@ -184,7 +197,7 @@ object VParquet {
     val version = prev.map(_ + 1).getOrElse(0L)
     writeManifest(spark, table, Manifest(version,
       if (overwrite) "overwrite" else "append",
-      System.currentTimeMillis(), nb, carry ++ newFiles, keyCols, txn))
+      System.currentTimeMillis(), nb, carry ++ newFiles, keyCols, txn, txnAppId))
     version
   }
 
@@ -198,12 +211,12 @@ object VParquet {
     */
   def merge(batch: DataFrame, table: String, idCols: Seq[String],
             numBuckets: Option[Int], orderCol: Option[String],
-            txn: Option[Long] = None): Long = {
+            txn: Option[Long] = None, txnAppId: Option[String] = None): Long = {
     requireNoReservedCols(batch)
     val spark = batch.sparkSession
     val prev = latestVersion(spark, table)
     val current = prev.map(v => readManifest(spark, table, v))
-    txn.flatMap(t => current.filter(_.txn.contains(t))).foreach { _ =>
+    current.filter(alreadyCommitted(_, txn, txnAppId)).foreach { _ =>
       return prev.get // re-delivered micro-batch — already committed
     }
     current.filter(_.numBuckets > 0).zip(numBuckets).foreach { case (m, n) =>
@@ -244,7 +257,7 @@ object VParquet {
             merged.repartition(math.max(1, touched.size), col("__bucket__")),
             table, bucketed = true)
           writeManifest(spark, table, Manifest(version, "merge",
-            System.currentTimeMillis(), n, carry ++ newFiles, idCols, txn))
+            System.currentTimeMillis(), n, carry ++ newFiles, idCols, txn, txnAppId))
         } finally batchB.unpersist()
       case None =>
         if (deduped.isEmpty) return prev.getOrElse(-1L)
@@ -256,7 +269,7 @@ object VParquet {
             .unionByName(deduped)
         val newFiles = writeData(merged, table, bucketed = false)
         writeManifest(spark, table, Manifest(version, "merge",
-          System.currentTimeMillis(), -1, newFiles, idCols, txn))
+          System.currentTimeMillis(), -1, newFiles, idCols, txn, txnAppId))
     }
     version
   }

@@ -140,28 +140,57 @@ object StreamSinks {
         }.start()
       case "upsertparquet" =>
         // CDC-style keyed upsert (reference: MLSQLMultiDelta.scala:33-120 —
-        // foreachBatch routing rows into a Delta MERGE by idCols). With no
-        // Delta jar offline there are two merge layouts:
-        //  - default: whole-directory read-modify-swap (simple; O(table)
-        //    per batch — demo scale);
-        //  - numBuckets="N": the target is hash-bucket-partitioned on the
-        //    key, and each micro-batch rewrites ONLY the partitions its
-        //    keys hash into — O(|batch| × table/N) per batch, the layout
-        //    that survives 100 TB without a transactional MERGE.
-        // Swap in Delta MERGE when the jar is present (transactional;
-        // neither rewrite here is).
+        // foreachBatch routing rows into a Delta MERGE by idCols). Two
+        // merge layouts:
+        //  - default: delegate to the transactional vparquet MERGE
+        //    (manifest-committed snapshots, exactly-once via the batchId
+        //    txn marker, time travel). numBuckets defaults to 64 so each
+        //    micro-batch rewrites only the hash buckets its keys touch —
+        //    O(|batch| × table/N) per batch, never O(table). Read the
+        //    target back with `load vparquet.`path`` (same relationship the
+        //    reference has between its CDC sink and `load delta.`).
+        //  - layout="plain": bucket-partitioned bare-parquet directory
+        //    (readable by any plain `spark.read.parquet`); requires
+        //    numBuckets because the unbucketed variant of this layout was
+        //    an O(table)-per-batch read-modify-swap — a scale-killer with
+        //    a non-atomic commit, deliberately not offered.
         val idCols = opts.getOrElse("idCols",
           throw new IllegalArgumentException("upsertParquet requires idCols=\"k1[,k2]\""))
           .split(",").map(_.trim).toSeq
         val target = ctx.resolvePath(path)
         val orderCol = opts.get("orderCol")
         val numBuckets = opts.get("numBuckets").map(_.toInt)
-        w2.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          numBuckets match {
-            case Some(n) => UpsertParquet.mergeBucketed(batch, target, idCols, n, orderCol)
-            case None => UpsertParquet.merge(batch, target, idCols, orderCol)
-          }
-        }.start()
+        opts.getOrElse("layout", "vparquet").toLowerCase match {
+          case "plain" =>
+            val n = numBuckets.getOrElse(throw new IllegalArgumentException(
+              "upsertParquet layout=\"plain\" requires numBuckets=\"N\" — the " +
+                "unbucketed plain layout rewrites the whole table per batch; " +
+                "omit layout to get the transactional vparquet merge instead"))
+            w2.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+              UpsertParquet.mergeBucketed(batch, target, idCols, n, orderCol)
+            }.start()
+          case "vparquet" =>
+            // txn is scoped by the checkpoint location: batch ids restart
+            // at 0 per query, so the writer identity must be part of the
+            // idempotence key (Delta's txnAppId/txnVersion contract)
+            val appId = ctx.resolvePath(checkpoint)
+            w2.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+              // bucket-count default, resolved per batch: an explicit
+              // numBuckets wins (a mismatch with the table's recorded
+              // layout is a loud error in the merge); otherwise adopt the
+              // existing table's bucket count, or 64 on a fresh table
+              val spark = batch.sparkSession
+              val n = numBuckets.orElse(
+                graft.sources.VParquet.latestVersion(spark, target)
+                  .map(v => graft.sources.VParquet.readManifest(spark, target, v).numBuckets)
+                  .filter(_ > 0)).getOrElse(64)
+              graft.sources.VParquet.merge(batch.toDF(), target, idCols, Some(n),
+                orderCol, txn = Some(batchId), txnAppId = Some(appId))
+              ()
+            }.start()
+          case other => throw new IllegalArgumentException(
+            s"upsertParquet layout must be vparquet|plain, got '$other'")
+        }
       case "vparquet" =>
         // transactional analog of the upsertParquet sink: each micro-batch
         // is one atomic manifest commit (merge when idCols given, append
@@ -172,18 +201,20 @@ object StreamSinks {
         val mergeKeys = opts.get("idCols").map(_.split(",").map(_.trim).toSeq)
         val orderC = opts.get("orderCol")
         val nBuckets = opts.get("numBuckets").map(_.toInt)
-        // batchId is recorded in each committed manifest so an
-        // at-least-once re-delivery (crash between manifest commit and
+        // (checkpoint, batchId) is recorded in each committed manifest so
+        // an at-least-once re-delivery (crash between manifest commit and
         // checkpoint offset commit) is recognized and skipped — the sink
-        // is exactly-once end to end
+        // is exactly-once end to end. The checkpoint scopes the marker:
+        // batch ids restart at 0 for every new query.
+        val appId = Some(ctx.resolvePath(checkpoint))
         w2.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
           mergeKeys match {
             case Some(ks) =>
               graft.sources.VParquet.merge(batch.toDF(), target, ks, nBuckets,
-                orderC, txn = Some(batchId))
+                orderC, txn = Some(batchId), txnAppId = appId)
             case None =>
               graft.sources.VParquet.write(batch.toDF(), target,
-                overwrite = false, txn = Some(batchId))
+                overwrite = false, txn = Some(batchId), txnAppId = appId)
           }
           ()
         }.start()
@@ -301,37 +332,4 @@ object UpsertParquet {
     false
   }
 
-  def merge(batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-            target: String, idCols: Seq[String],
-            orderCol: Option[String] = None): Unit = {
-    import org.apache.spark.sql.functions._
-    val spark = batch.sparkSession
-    val deduped = newestPerKey(batch.toDF(), idCols, orderCol)
-    // resolve through the TARGET's fs, not the default fs — an s3a:// or
-    // hdfs:// target on a different default filesystem must work (the
-    // bucketed sibling already does this)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val targetPath = new org.apache.hadoop.fs.Path(target)
-    val fs = targetPath.getFileSystem(conf)
-    val merged = if (!hasParquetData(fs, target)) deduped else {
-      val current = spark.read.parquet(target)
-      current.join(deduped.select(idCols.map(col): _*), idCols, "left_anti")
-        .unionByName(deduped)
-    }
-    // rewrite via a temp dir: the target cannot be overwritten while being
-    // read. Swap order matters for crash safety: move the OLD target aside
-    // first, then promote tmp, then drop the old copy — a crash between any
-    // two steps leaves either the old or the new table recoverable on disk
-    // (delete-then-rename could lose the whole accumulated target). Still
-    // not transactional — Delta MERGE is, when its jar is available.
-    val tmp = target + "__tmp__"
-    merged.write.mode("overwrite").parquet(tmp)
-    val oldPath = new org.apache.hadoop.fs.Path(target + "__old__")
-    if (fs.exists(oldPath)) fs.delete(oldPath, true)
-    if (fs.exists(targetPath))
-      require(fs.rename(targetPath, oldPath), s"upsertParquet: cannot move $target aside")
-    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), targetPath),
-      s"upsertParquet: cannot promote $tmp to $target")
-    fs.delete(oldPath, true)
-  }
 }

@@ -211,6 +211,24 @@ class VParquetSpec extends AnyFunSuite {
     assert(VParquet.merge(empty, tmp("vp_txn2"), Seq("k"), None, None) == -1L)
   }
 
+  test("txn markers are scoped by txnAppId: a new writer's batch 0 is not a re-delivery") {
+    val t = tmp("vp_txn_app")
+    import spark.implicits._
+    // writer A commits its micro-batch 0
+    VParquet.merge(Seq((1L, "a")).toDF("k", "v"), t, Seq("k"), None, None,
+      txn = Some(0L), txnAppId = Some("ckA"))
+    // writer B (fresh checkpoint) also starts at batch 0 — MUST commit
+    val vB = VParquet.merge(Seq((2L, "b")).toDF("k", "v"), t, Seq("k"), None, None,
+      txn = Some(0L), txnAppId = Some("ckB"))
+    assert(vB == 1L)
+    assert(VParquet.loadVersion(spark, t, None, None).count() == 2)
+    // but B re-delivering ITS batch 0 is skipped
+    val dup = VParquet.merge(Seq((2L, "b")).toDF("k", "v"), t, Seq("k"), None, None,
+      txn = Some(0L), txnAppId = Some("ckB"))
+    assert(dup == 1L)
+    assert(VParquet.latestVersion(spark, t).contains(1L))
+  }
+
   test("a reserved __bucket__ column is rejected loudly") {
     import spark.implicits._
     val df = Seq((1L, 0)).toDF("k", "__bucket__")

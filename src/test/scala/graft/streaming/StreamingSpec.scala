@@ -132,12 +132,37 @@ class StreamingSpec extends AnyFunSuite {
                      |{"id":2,"v":"b"}""".stripMargin)
     runBatch("u2", """{"id":2,"v":"b2"}
                      |{"id":3,"v":"c"}""".stripMargin)
-    val result = spark.read.parquet(target).collect()
-      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // default layout is a transactional vparquet table: read it back
+    // through the vparquet source, like the reference reads its CDC
+    // target through `load delta.`
+    val result = ScriptRunner.runToDF(
+      s"""load vparquet.`$target` as cdc_back;
+         |select id, v from cdc_back as out;""".stripMargin, spark)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(result == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+    // each micro-batch is one manifest commit; v0 time-travels to pre-u2
+    val v0 = graft.sources.VParquet.loadVersion(spark, target, Some(0L), None)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("v")).toMap
+    assert(v0 == Map(1L -> "a", 2L -> "b"))
   }
 
-  test("upsertParquet numBuckets: only touched bucket partitions are rewritten") {
+  test("upsertParquet rejects the unbucketed plain layout") {
+    val target = java.nio.file.Files.createTempDirectory("upsp").resolve("t").toString
+    val err = intercept[Exception] {
+      ScriptRunner.run(
+        s"""set streamName = "up_err";
+           |set cdc = '''{"id":1,"v":"a"}''';
+           |load jsonStr.`cdc` as cdce_b;
+           |load mockStream.`cdce_b` as cdce_s;
+           |save append cdce_s as upsertParquet.`$target` where mode="append"
+           |  and idCols="id" and layout="plain"
+           |  and checkpointLocation="${java.nio.file.Files.createTempDirectory("ck_ue")}";""".stripMargin,
+        spark)
+    }
+    assert(err.getMessage.contains("requires numBuckets"))
+  }
+
+  test("upsertParquet layout=plain numBuckets: only touched bucket partitions are rewritten") {
     val target = java.nio.file.Files.createTempDirectory("upsb").resolve("t").toString
     def runBatch(name: String, data: String): Unit = {
       val ctx = ScriptRunner.run(
@@ -146,7 +171,7 @@ class StreamingSpec extends AnyFunSuite {
            |load jsonStr.`cdc` as cdcb_b;
            |load mockStream.`cdcb_b` as cdcb_s;
            |save append cdcb_s as upsertParquet.`$target` where mode="append"
-           |  and idCols="id" and numBuckets="8"
+           |  and idCols="id" and numBuckets="8" and layout="plain"
            |  and checkpointLocation="${java.nio.file.Files.createTempDirectory("ck_ub")}";""".stripMargin,
         spark)
       val q = ctx.streams(name)
