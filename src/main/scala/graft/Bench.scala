@@ -6,6 +6,12 @@ package graft
   * a count, which under-measures the real work). Failures are surfaced in
   * the JSON (`failed` list + negative time) instead of being swallowed.
   * One warmup query amortizes JVM/codegen startup out of the first timing.
+  *
+  * Isolation: the cache is cleared between timed runs (outside the timer).
+  * Without this, DataFrames cached by earlier queries accumulate in storage
+  * memory across the 180-run sweep and later queries pay eviction/GC churn
+  * that is harness state, not plan cost — measured 4-7x inflation on the
+  * tail of the alphabetical order (s16 19.8 s swept vs 2.7 s isolated).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -22,7 +28,7 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           Left(e.getClass.getSimpleName)
-      }
+      } finally spark.catalog.clearCache() // not timed; see scaladoc
     }
 
     // warmup: one cheap query end-to-end (JIT, codegen, parquet footer cache)
@@ -33,28 +39,28 @@ object Bench {
     // classes, JIT of the expression paths) that are not plan costs and do
     // not recur in a long-lived session — measured skew was >20x on
     // light string queries (0.45 s steady vs 11.5 s cold-swept). The cold
-    // pass is kept in the JSON under "cold" for transparency.
+    // pass is kept in the file JSON under "cold" for transparency.
     val names = SparkEntry.queries.keys.toSeq.sorted
     val cold = names.map(n => n -> runOnce(n))
     val results = names.map(n => n -> runOnce(n))
     val failed = results.collect { case (n, Left(_)) => n }
-    val qs = results.map {
-      case (k, Right(v)) => s""""$k":$v"""
-      case (k, Left(_))  => s""""$k":-1"""
-    }.mkString("{", ",", "}")
-    val coldJson = cold.map {
-      case (k, Right(v)) => s""""$k":$v"""
+    def fmt(rs: Seq[(String, Either[String, Double])]): String = rs.map {
+      case (k, Right(v)) => f""""$k":$v%.3f"""
       case (k, Left(_))  => s""""$k":-1"""
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, Right(v)) => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // stdout line stays under ~2.5 KB (3-decimal times, no cold object):
+    // the driver tail-captures a bounded window of stdout and a longer line
+    // loses its head — BENCH_r04 was unparseable for exactly this reason.
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$coldJson,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${fmt(results)},"failed":$failedJson,"sf":"$sfDir"}"""
     println(json)
-    // also persist to a file: stdout capture has truncated the tail of this
-    // (single, long) line before — the file is the lossless copy
+    // the file copy is lossless: full precision plus the cold sweep
+    val fileJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results)},"cold":${fmt(cold)},"failed":$failedJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_bench.json"),
-      json.getBytes("UTF-8"))
+      fileJson.getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -20,25 +20,30 @@ object Components {
       .distinct().cache()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).cache()
+    var cached = labels // the frame actually persisted (labels may be a projection of it)
     try {
       var changed = 1L
       var iter = 0
       while (changed > 0 && iter < 25) {
         val nbrMin = edges.join(labels.select(col("id").as("dst"), col("label")), "dst")
           .groupBy(col("src").as("id")).agg(min("label").as("nbr_min"))
+        // `prev` rides along so convergence is a filter over `next` rather
+        // than an extra join back to the previous labels (one fewer
+        // shuffle per round)
         val propagated = labels.join(nbrMin, Seq("id"), "left")
-          .select(col("id"),
+          .select(col("id"), col("label").as("prev"),
             least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
         // pointer doubling: follow the label one more hop
         val next = propagated.as("x")
           .join(propagated.select(col("id").as("label"), col("label").as("ll")).as("y"),
             Seq("label"), "left")
-          .select(col("id"), least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
+          .select(col("id"), col("prev"),
+            least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
           .cache()
-        changed = next.join(labels.select(col("id"), col("label").as("prev")), "id")
-          .filter(col("label") =!= col("prev")).count()
-        labels.unpersist()
-        labels = next
+        changed = next.filter(col("label") =!= col("prev")).count()
+        cached.unpersist()
+        cached = next
+        labels = next.select(col("id"), col("label"))
         iter += 1
       }
       require(changed == 0, "component labeling did not converge in 25 doubling rounds")
