@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output inherits the real stdout/stderr instead of going
+// through sbt's logger: without this every app line gets an "[info] "
+// prefix, and the driver's line-based JSON parse of Bench's one-line
+// result never sees a line starting with '{'.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -47,7 +47,15 @@ object Components {
         iter += 1
       }
       require(changed == 0, "component labeling did not converge in 25 doubling rounds")
-      labels
+      // Cache (and materialize) the id/label projection itself before
+      // releasing the loop's working frame, so the caller's .unpersist() on
+      // the returned DataFrame actually frees the storage — returning a
+      // projection of `cached` would make that unpersist a silent no-op and
+      // pin the extra `prev` column until clearCache.
+      val out = labels.cache()
+      out.count() // materialize: the loop lineage is about to lose its cache
+      cached.unpersist()
+      out
     } finally edges.unpersist()
   }
 }
