@@ -14,7 +14,62 @@ import graft.operators.similarity.CosineSimilarity
   * builder prompt requires beyond the reference's own ETs.
   */
 object PipelineETs {
-  def all: Seq[ET] = Seq(DedupET, SimilarityJoinET, AnnTopKET, BinaryMetaInPlaceET, LangIdET)
+  def all: Seq[ET] = Seq(DedupET, SimilarityJoinET, AnnTopKET, BinaryMetaInPlaceET, LangIdET,
+    DecontaminateET, RepetitionInPlaceET, PiiScrubInPlaceET)
+}
+
+/** `run train as Decontaminate.`` where evalTable="benchmarks" [and
+  * mode="clean|flag" and idCol="doc_id" and textCol="text" and ngram="8"
+  * and minOverlap="1"]` — drop (`clean`, default) or list (`flag`) train
+  * docs sharing n-gram shingles with the eval/benchmark table
+  * (see [[graft.operators.dedup.Decontaminate]]; the eval side is
+  * broadcast, the corpus never shuffles).
+  */
+object DecontaminateET extends NoPathET {
+  override def name = "Decontaminate"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    val eval = ctx.spark.table(params.getOrElse("evalTable",
+      throw new IllegalArgumentException("Decontaminate requires evalTable")))
+    val idCol = params.getOrElse("idCol", "doc_id")
+    val textCol = params.getOrElse("textCol", "text")
+    val n = params.getOrElse("ngram", "8").toInt
+    val minOverlap = params.getOrElse("minOverlap", "1").toInt
+    params.getOrElse("mode", "clean") match {
+      case "clean" => graft.operators.dedup.Decontaminate.clean(df, eval, idCol, textCol, n, minOverlap)
+      case "flag"  => graft.operators.dedup.Decontaminate.overlap(df, eval, idCol, textCol, n, minOverlap)
+      case other => throw new IllegalArgumentException(
+        s"Decontaminate mode must be clean|flag, got '$other'")
+    }
+  }
+}
+
+/** `run docs as RepetitionInPlace.`` [where textCol="text" and ngram="3"
+  * and maxRatio="0.2"]` — appends repeated-n-gram stats + `is_repetitive`
+  * (see [[graft.operators.text.TextAnalysis.repetitionStats]]).
+  */
+object RepetitionInPlaceET extends NoPathET {
+  override def name = "RepetitionInPlace"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame =
+    graft.operators.text.TextAnalysis.repetitionStats(df,
+      params.getOrElse("textCol", "text"),
+      params.getOrElse("ngram", "3").toInt,
+      params.getOrElse("maxRatio", "0.2").toDouble)
+}
+
+/** `run docs as PiiScrubInPlace.`` [where textCol="text" and
+  * outputCol="text_scrubbed"]` — redacts emails/phones/IPv4s into tokens
+  * and appends per-category counts
+  * (see [[graft.operators.text.PiiScrub]]).
+  */
+object PiiScrubInPlaceET extends NoPathET {
+  override def name = "PiiScrubInPlace"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame =
+    graft.operators.text.PiiScrub.scrub(df,
+      params.getOrElse("textCol", "text"),
+      params.getOrElse("outputCol", "text_scrubbed"))
 }
 
 /** `run docs as LangId.`` [where textCol="text" and outputCol="lang_pred"]`

@@ -1,0 +1,55 @@
+package graft.operators.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: flag (or drop) training documents that share
+  * word n-gram shingles with an evaluation/benchmark corpus. This is the
+  * standard contamination guard in LLM training-data pipelines (GPT-3
+  * appendix C / PaLM-style n-gram overlap): a training document that
+  * contains verbatim benchmark n-grams leaks the test set.
+  *
+  * Scale design (100 TB train side, MB–GB eval side):
+  *  - The eval shingle set is bounded by the benchmark size, which is tiny
+  *    relative to the corpus — it is `broadcast()` so the train side is a
+  *    map-side hash semi-join: ONE scan of the corpus, no shuffle of it.
+  *  - Only matching (train doc, shingle) rows — a vanishing fraction —
+  *    reach the `groupBy(doc)` overlap count; that shuffle is sized by the
+  *    contamination volume, not the corpus.
+  *  - Shingling is the shared per-row [[graft.functions.WordShingles]]
+  *    native expression (no UDF, distinct shingles per doc).
+  *
+  * Reference scope note: the reference has no decontamination operator;
+  * this is part of the beyond-reference LLM-pipeline surface the builder
+  * prompt requires (same family as [[TextDedup]]).
+  */
+object Decontaminate {
+
+  /** (doc_id, n_overlap) for every train document sharing at least
+    * `minOverlap` DISTINCT n-gram shingles with ANY eval document.
+    * `n_overlap` counts distinct contaminated shingles (not eval docs).
+    */
+  def overlap(train: DataFrame, eval: DataFrame, idCol: String, textCol: String,
+              n: Int = 8, minOverlap: Int = 1): DataFrame = {
+    val trainSh = TextDedup.shingles(train.select(col(idCol), col(textCol)), idCol, textCol, n)
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val evalSh = TextDedup.shingles(eval.select(col(idCol), col(textCol)), idCol, textCol, n)
+      .select(explode(col("shingles")).as("sh")).distinct()
+    trainSh
+      .join(broadcast(evalSh), Seq("sh")) // map-side: corpus never shuffles
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap")) // shingles are distinct per doc already
+      .filter(col("n_overlap") >= minOverlap)
+  }
+
+  /** The train table minus contaminated documents (left_anti on
+    * [[overlap]]; the anti-join key is the bounded flagged set, so this
+    * composes with the broadcast shape above).
+    */
+  def clean(train: DataFrame, eval: DataFrame, idCol: String, textCol: String,
+            n: Int = 8, minOverlap: Int = 1): DataFrame = {
+    val flagged = overlap(train, eval, idCol, textCol, n, minOverlap)
+      .select(col("doc_id").as(idCol))
+    train.join(broadcast(flagged), Seq(idCol), "left_anti")
+  }
+}

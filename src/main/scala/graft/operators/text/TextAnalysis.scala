@@ -43,6 +43,33 @@ object TextAnalysis {
        |FROM documents) t)""".stripMargin
   }
 
+  /** Repeated n-gram stats per document — the Gopher/C4-style degenerate-
+    * text signal (boilerplate, keyword stuffing, decoding loops repeat
+    * n-grams; natural prose rarely does). Appends:
+    *  - `n_ngrams`: total word n-grams (`max(words − n + 1, 0)`),
+    *  - `n_distinct_ngrams`: distinct n-grams (native
+    *    [[graft.functions.WordShingles]] expression — the same corpus-wide
+    *    hot loop the dedup family shares),
+    *  - `dup_ngram_ratio`: `1 − distinct/total` rounded to 4 places (0.0
+    *    when the doc has no n-gram),
+    *  - `is_repetitive`: `dup_ngram_ratio > maxRatio`.
+    * Pure per-row Catalyst expressions — no shuffle, no UDF: this filter
+    * runs at full scan speed on 100 TB.
+    */
+  def repetitionStats(df: DataFrame, textCol: String, n: Int = 3,
+                      maxRatio: Double = 0.2): DataFrame = {
+    val quoted = "`" + textCol.replace("`", "``") + "`"
+    df.withColumn("n_ngrams",
+        greatest(size(split(col(textCol), " ")) - (n - 1), lit(0)).cast("long"))
+      .withColumn("n_distinct_ngrams",
+        size(expr(s"word_shingles($quoted, $n)")).cast("long"))
+      .withColumn("dup_ngram_ratio",
+        when(col("n_ngrams") > 0,
+          round(lit(1.0) - col("n_distinct_ngrams").cast("double") / col("n_ngrams"), 4))
+          .otherwise(lit(0.0)))
+      .withColumn("is_repetitive", col("dup_ngram_ratio") > maxRatio)
+  }
+
   /** Predicted language by max stopword-profile hits; ties break by profile
     * order (alphabetical); all-zero → 'unknown'. Pure per-row Catalyst
     * expressions — no UDF, no shuffle, codegen-friendly.

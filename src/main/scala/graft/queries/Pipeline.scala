@@ -463,7 +463,99 @@ object Pipeline {
     },
       """SELECT * FROM (VALUES (1, 2, CAST(11 AS BIGINT)), (1, 4, CAST(11 AS BIGINT)),
         | (2, 4, CAST(11 AS BIGINT)), (3, 6, CAST(17 AS BIGINT)))
-        | t(a_id, b_id, n_shared) ORDER BY a_id, b_id""".stripMargin)
+        | t(a_id, b_id, n_shared) ORDER BY a_id, b_id""".stripMargin),
+
+    // ---- benchmark decontamination (GPT-3 appendix C-style n-gram
+    //      overlap): train docs sharing any 8-gram shingle with the "eval"
+    //      split (doc_id % 20 == 0 here; a real benchmark table in
+    //      production). The eval shingle set is broadcast — the corpus side
+    //      never shuffles; see Decontaminate scaladoc. ----
+    QuerySpec.sql("p21_decontaminate", (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      graft.operators.dedup.Decontaminate.overlap(
+          docs.filter($"doc_id" % 20 =!= 0), docs.filter($"doc_id" % 20 === 0),
+          "doc_id", "text", n = 8)
+        .orderBy($"doc_id")
+    },
+      """WITH sh AS (
+        | SELECT doc_id, LIST_DISTINCT(ngrams) AS shingles FROM (
+        |  SELECT doc_id,
+        |   [ARRAY_TO_STRING(w[i:i+7], ' ') FOR i IN RANGE(1, LEN(w) - 6)] AS ngrams
+        |  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents)
+        |  WHERE LEN(w) >= 8) t),
+        |ev AS (SELECT DISTINCT UNNEST(shingles) AS s FROM sh WHERE doc_id % 20 = 0),
+        |tr AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh WHERE doc_id % 20 != 0)
+        |SELECT tr.doc_id, COUNT(*) AS n_overlap FROM tr JOIN ev USING (s)
+        |GROUP BY tr.doc_id HAVING COUNT(*) >= 1 ORDER BY doc_id""".stripMargin),
+
+    // ---- repeated-n-gram ratio (Gopher/C4 degenerate-text filter): pure
+    //      per-row expressions (shared word_shingles hot loop), no shuffle —
+    //      runs at scan speed at 100 TB. Booleans cast to INT for the
+    //      cross-engine hash. ----
+    QuerySpec.sql("p22_repetition", (s, dir) => {
+      import s.implicits._
+      graft.operators.text.TextAnalysis.repetitionStats(
+          t(s, dir, "documents").select($"doc_id", $"text"), "text", n = 3, maxRatio = 0.2)
+        .select($"doc_id", $"n_ngrams", $"n_distinct_ngrams", $"dup_ngram_ratio",
+          $"is_repetitive".cast("int").as("is_repetitive"))
+        .orderBy($"doc_id")
+    },
+      """WITH g AS (
+        | SELECT doc_id, GREATEST(LEN(w) - 2, 0) AS n_ngrams,
+        |  LEN(LIST_DISTINCT([ARRAY_TO_STRING(w[i:i+2], ' ') FOR i IN RANGE(1, LEN(w) - 1)])) AS n_distinct
+        | FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents))
+        |SELECT doc_id, CAST(n_ngrams AS BIGINT) AS n_ngrams,
+        | CAST(n_distinct AS BIGINT) AS n_distinct_ngrams,
+        | CASE WHEN n_ngrams > 0
+        |  THEN ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_ngrams, 4) ELSE 0.0 END AS dup_ngram_ratio,
+        | CAST(CASE WHEN n_ngrams > 0
+        |  AND ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_ngrams, 4) > 0.2
+        |  THEN 1 ELSE 0 END AS INT) AS is_repetitive
+        |FROM g ORDER BY doc_id""".stripMargin),
+
+    // ---- PII scrub (emails / NANP phones / IPv4 → tokens + counts): the
+    //      synthetic corpus carries no PII, so both engines inject the SAME
+    //      deterministic fake PII per doc_id, then the operator scrubs it.
+    //      Patterns live in PiiScrub.patterns (Java-regex/RE2-identical
+    //      subset, mirrored verbatim in the oracle). Per-row, no shuffle. ----
+    QuerySpec.sql("p23_pii_scrub", (s, dir) => {
+      import s.implicits._
+      val withPii = t(s, dir, "documents").select($"doc_id",
+        concat($"text",
+          when($"doc_id" % 3 === 0,
+            concat(lit(" contact user"), $"doc_id".cast("string"), lit("@example.com")))
+            .otherwise(lit("")),
+          when($"doc_id" % 4 === 0,
+            concat(lit(" call 415-555-"), lpad(($"doc_id" % 10000).cast("string"), 4, "0")))
+            .otherwise(lit("")),
+          when($"doc_id" % 5 === 0,
+            concat(lit(" from 10.0."), ($"doc_id" % 256).cast("string"), lit("."),
+              (($"doc_id" * 7) % 256).cast("string")))
+            .otherwise(lit(""))).as("text"))
+      graft.operators.text.PiiScrub.scrub(withPii, "text")
+        .select($"doc_id", $"n_emails", $"n_phones", $"n_ips",
+          md5($"text_scrubbed").as("h"))
+        .orderBy($"doc_id")
+    },
+      """WITH raw AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 3 = 0
+        |   THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+        |  CASE WHEN doc_id % 4 = 0
+        |   THEN ' call 415-555-' || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+        |  CASE WHEN doc_id % 5 = 0
+        |   THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+        |   ELSE '' END AS t
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(LEN(REGEXP_EXTRACT_ALL(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        | CAST(LEN(REGEXP_EXTRACT_ALL(t, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS BIGINT) AS n_phones,
+        | CAST(LEN(REGEXP_EXTRACT_ALL(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        | MD5(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(t,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g'),
+        |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS h
+        |FROM raw ORDER BY doc_id""".stripMargin)
   )
 
   /** Fixed 6-doc fixture for the hash-less operators' pinned oracles

@@ -260,6 +260,32 @@ class PipelineETSpec extends AnyFunSuite {
     assert(e.getMessage.contains("kafka"))
   }
 
+  test("Decontaminate ET cleans train docs overlapping the eval table") {
+    val df = runDF(
+      """set trn = '''{"doc_id":1,"text":"alpha beta gamma delta epsilon zeta eta theta"}
+        |{"doc_id":2,"text":"one two three four five six seven eight"}''';
+        |set ev = '''{"doc_id":10,"text":"xx alpha beta gamma delta epsilon zeta eta theta yy"}''';
+        |load jsonStr.`trn` as trn_t;
+        |load jsonStr.`ev` as ev_t;
+        |run trn_t as Decontaminate.`` where evalTable="ev_t" as cleaned;
+        |select doc_id from cleaned as out;""".stripMargin)
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("RepetitionInPlace and PiiScrubInPlace ETs append their columns") {
+    val df = runDF(
+      """set pp = '''{"doc_id":1,"text":"spam spam spam spam mail me bob@x.org now"}''';
+        |load jsonStr.`pp` as pp_t;
+        |run pp_t as RepetitionInPlace.`` as rep;
+        |run rep as PiiScrubInPlace.`` as scrubbed;
+        |select doc_id, dup_ngram_ratio, n_emails, text_scrubbed from scrubbed as out;""".stripMargin)
+    val r = df.head()
+    assert(r.getAs[Double]("dup_ngram_ratio") > 0.0)
+    assert(r.getAs[Long]("n_emails") == 1L)
+    assert(r.getAs[String]("text_scrubbed").contains("<EMAIL>"))
+    assert(!r.getAs[String]("text_scrubbed").contains("bob@x.org"))
+  }
+
   test("!streamJobs macro lists and !killStream stops a query") {
     val ctx = ScriptRunner.run(
       s"""set streamName = "managed1";

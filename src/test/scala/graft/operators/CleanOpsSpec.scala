@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.operators.dedup.Decontaminate
+import graft.operators.text.{PiiScrub, TextAnalysis}
+
+/** Corpus-cleaning operators: decontamination, repetition filter, PII
+  * scrub (the p21–p23 CORRECTNESS entries cover the oracle parity; these
+  * pin the operator-level edge semantics).
+  */
+class CleanOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  // ---- Decontaminate ----
+
+  test("decontaminate flags only train docs sharing an n-gram with eval") {
+    val train = docs(
+      1L -> "alpha beta gamma delta epsilon zeta", // shares 4-gram with eval doc
+      2L -> "one two three four five six",         // clean
+      3L -> "alpha beta gamma delta other words")  // shares the same 4-gram
+    val eval = docs(10L -> "prefix alpha beta gamma delta suffix")
+    val flagged = Decontaminate.overlap(train, eval, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged.keySet == Set(1L, 3L))
+    assert(flagged(1L) == 1L) // exactly one shared distinct 4-gram
+  }
+
+  test("decontaminate clean drops flagged docs and keeps the rest intact") {
+    val train = docs(1L -> "a b c d e f", 2L -> "g h i j k l")
+    val eval = docs(10L -> "x a b c d y")
+    val kept = Decontaminate.clean(train, eval, "doc_id", "text", n = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L))
+  }
+
+  test("decontaminate minOverlap raises the bar") {
+    val train = docs(1L -> "a b c d x y z w") // shares 'a b c d' only
+    val eval = docs(10L -> "a b c d q r s t")
+    assert(Decontaminate.overlap(train, eval, "doc_id", "text", n = 4, minOverlap = 2).count() == 0)
+    assert(Decontaminate.overlap(train, eval, "doc_id", "text", n = 4, minOverlap = 1).count() == 1)
+  }
+
+  test("decontaminate never shuffles the train side (broadcast eval)") {
+    val train = docs(1L -> "a b c d e f")
+    val eval = docs(10L -> "a b c d q r")
+    val plan = Decontaminate.clean(train, eval, "doc_id", "text", n = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
+  }
+
+  // ---- repetitionStats ----
+
+  test("repetitionStats: fully repeated text scores high, varied text zero") {
+    val out = TextAnalysis.repetitionStats(
+      docs(1L -> "spam spam spam spam spam spam spam spam",
+           2L -> "each word here appears exactly once total"), "text")
+      .select("doc_id", "n_ngrams", "n_distinct_ngrams", "dup_ngram_ratio", "is_repetitive")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val spam = out(1L)
+    assert(spam.getLong(1) == 6L && spam.getLong(2) == 1L) // 6 trigrams, all 'spam spam spam'
+    assert(spam.getDouble(3) > 0.8 && spam.getBoolean(4))
+    val varied = out(2L)
+    assert(varied.getDouble(3) == 0.0 && !varied.getBoolean(4))
+  }
+
+  test("repetitionStats: docs shorter than n have zero ngrams and ratio 0") {
+    val r = TextAnalysis.repetitionStats(docs(1L -> "two words"), "text").head()
+    assert(r.getAs[Long]("n_ngrams") == 0L && r.getAs[Double]("dup_ngram_ratio") == 0.0)
+    assert(!r.getAs[Boolean]("is_repetitive"))
+  }
+
+  // ---- PiiScrub ----
+
+  test("pii scrub redacts and counts each category") {
+    val r = PiiScrub.scrub(docs(
+      1L -> "mail a.user+tag@sub.example.org call 415-555-0042 host 192.168.1.10 end"),
+      "text").head()
+    assert(r.getAs[Long]("n_emails") == 1L)
+    assert(r.getAs[Long]("n_phones") == 1L)
+    assert(r.getAs[Long]("n_ips") == 1L)
+    assert(r.getAs[String]("text_scrubbed") ==
+      "mail <EMAIL> call <PHONE> host <IP> end")
+  }
+
+  test("pii scrub: digits inside an email count once, as an email") {
+    val r = PiiScrub.scrub(docs(1L -> "user123@example.com"), "text").head()
+    assert(r.getAs[Long]("n_emails") == 1L && r.getAs[Long]("n_phones") == 0L)
+    assert(r.getAs[String]("text_scrubbed") == "<EMAIL>")
+  }
+
+  test("pii scrub leaves clean text untouched with zero counts") {
+    val r = PiiScrub.scrub(docs(1L -> "no pii here just words"), "text").head()
+    assert(r.getAs[Long]("n_emails") == 0L && r.getAs[Long]("n_phones") == 0L &&
+      r.getAs[Long]("n_ips") == 0L)
+    assert(r.getAs[String]("text_scrubbed") == "no pii here just words")
+  }
+
+  test("pii scrub stays whole-stage-codegen (no UDF in the plan)") {
+    // a parquet-backed frame, not a literal Seq — Catalyst folds literals
+    // into a LocalTableScan with no codegen stage to inspect
+    val src = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val plan = PiiScrub.scrub(src, "text")
+      .queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark whole-stage-codegen stages in the plan string
+    assert(plan.contains("*(1) Project"))
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
+  }
+}
