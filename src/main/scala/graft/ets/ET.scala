@@ -59,9 +59,21 @@ object ETRegistry {
 
   def register(et: ET): Unit = ets.put(et.name.toLowerCase, et)
 
-  def lookup(name: String): ET = ets.getOrElse(name.toLowerCase,
-    throw new IllegalArgumentException(
-      s"unknown ET '$name'; registered: ${ets.keys.toSeq.sorted.mkString(", ")}"))
+  /** Exact name first, then the reference's naming conventions
+    * (TrainAdaptor.scala:176-178 auto-resolves `SQL<Name>InPlace` /
+    * `SQL<Name>Ext`): a script written against the reference may say
+    * `ALSInPlace` where this registry says `ALS` (and vice versa), so try
+    * the name with the suffix stripped and with each suffix appended.
+    */
+  def lookup(name: String): ET = {
+    val n = name.toLowerCase
+    val candidates = n +:
+      Seq("inplace", "ext").collect { case s if n.endsWith(s) => n.dropRight(s.length) } ++:
+      Seq(n + "inplace", n + "ext")
+    candidates.iterator.flatMap(ets.get).nextOption().getOrElse(
+      throw new IllegalArgumentException(
+        s"unknown ET '$name'; registered: ${ets.keys.toSeq.sorted.mkString(", ")}"))
+  }
 
   def registered: Seq[String] = ets.values.map(_.name).toSeq.sorted
 

@@ -192,4 +192,12 @@ class ETSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("unknown ET"))
   }
+
+  test("lookup resolves the reference's InPlace/Ext naming conventions") {
+    // reference scripts say ALSInPlace (SQLALSInPlace.scala); registry says ALS
+    assert(ETRegistry.lookup("ALSInPlace").name == "ALS")
+    // stripping must never shadow an exact registration
+    assert(ETRegistry.lookup("TfIdfInPlace").name == "TfIdfInPlace")
+    assert(ETRegistry.lookup("RateSampler").name == "RateSampler")
+  }
 }

@@ -315,4 +315,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("r_rate").isStreaming)
   }
 
+  test("per-row cleaning ETs compose with a stream (PII scrub + repetition on ingest)") {
+    // the streaming-ingest shape of the corpus-cleaning pipeline: purely
+    // per-row ETs must apply to an unbounded frame with no extra plan
+    // surgery — this is how the 100 TB pipeline filters at ingest instead
+    // of re-scanning the corpus later
+    val ctx = ScriptRunner.run(
+      s"""set streamName = "cleanstream";
+         |set cs = '''{"doc_id":1,"text":"mail bob@x.org spam spam spam spam spam"}
+         |{"doc_id":2,"text":"regular words only here nothing repeats"}''';
+         |load jsonStr.`cs` as cs_batch;
+         |load mockStream.`cs_batch` as cs_stream;
+         |run cs_stream as PiiScrubInPlace.`` as cs_scrubbed;
+         |run cs_scrubbed as RepetitionInPlace.`` as cs_stats;
+         |save append cs_stats as memory.`` where mode="append"
+         |  and checkpointLocation="${java.nio.file.Files.createTempDirectory("ck_cl")}";""".stripMargin,
+      spark)
+    val q = ctx.streams("cleanstream")
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("cleanstream")
+      .select("doc_id", "n_emails", "text_scrubbed", "is_repetitive")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getLong(1) == 1L)
+    assert(rows(1L).getString(2).contains("<EMAIL>"))
+    assert(rows(1L).getBoolean(3)) // 'spam spam spam ...' repeats
+    assert(rows(2L).getLong(1) == 0L && !rows(2L).getBoolean(3))
+  }
+
 }
