@@ -10,14 +10,33 @@ import org.apache.spark.sql.functions._
   * chain lengths — O(log diameter) rounds, each a couple of equi-joins,
   * convergence checked. The 25-round bound therefore covers any component
   * diameter up to ~2^25 before failing loudly.
+  *
+  * Graphs at or under [[Components.DriverEdgeCap]] distinct directed edges
+  * take a driver union-find fast path instead: each distributed round is
+  * 2-3 shuffles plus a job-launch, so a small pair graph (the common case —
+  * near-dup PAIRS are sparse relative to the corpus even at 100 TB) pays
+  * seconds of fixed overhead for microseconds of work. The cap bounds the
+  * collect at ~2M edge rows; past it the doubling loop runs unchanged.
   */
 object Components {
 
-  /** (id, label) for every id appearing in `pairs`; label = component min. */
-  def labels(pairs: DataFrame): DataFrame = {
+  /** Max distinct directed edges collected to the driver for the union-find
+    * fast path (~2M rows × 2 ids ≈ tens of MB — bounded, not O(corpus)). */
+  val DriverEdgeCap: Long = 2L * 1000 * 1000
+
+  /** (id, label) for every id appearing in `pairs`; label = component min.
+    * Id type is preserved (the union-find keys on the raw values). */
+  def labels(pairs: DataFrame): DataFrame = labels(pairs, DriverEdgeCap)
+
+  /** Cap-injectable variant so tests can force the distributed path. */
+  private[graft] def labels(pairs: DataFrame, driverCap: Long): DataFrame = {
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .distinct().cache()
+    val edgeCount = edges.count()
+    if (edgeCount <= driverCap) {
+      try return driverUnionFind(edges) finally edges.unpersist()
+    }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).cache()
     var cached = labels // the frame actually persisted (labels may be a projection of it)
@@ -57,5 +76,45 @@ object Components {
       cached.unpersist()
       out
     } finally edges.unpersist()
+  }
+
+  /** Union-find with path compression + union-by-min over the collected
+    * edge list. Keys on the raw id values, so Int/Long/String id columns
+    * all work and the output schema mirrors the input id type. Label
+    * ordering matches the distributed path: component representative =
+    * the minimum id under the column's natural ordering.
+    */
+  private def driverUnionFind(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    val idType = edges.schema("src").dataType
+    val ord: Ordering[Any] = idType match {
+      case _: org.apache.spark.sql.types.StringType.type =>
+        Ordering.String.asInstanceOf[Ordering[Any]]
+      case _ => // numeric id columns (the near-dup graphs are long-keyed)
+        Ordering.by[Any, Double] { case n: Number => n.doubleValue() }
+    }
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    edges.collect().foreach { row =>
+      val (a, b) = (row.get(0), row.get(1))
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { // union by min so the root IS the component label
+        if (ord.lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val rows = parent.keysIterator
+      .map(id => org.apache.spark.sql.Row(id, find(id))).toSeq
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType),
+      org.apache.spark.sql.types.StructField("label", idType)))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
   }
 }
