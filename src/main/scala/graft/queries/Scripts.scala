@@ -266,6 +266,51 @@ object Scripts {
       """SELECT * FROM (VALUES
         | (1, 'a', 'current'), (2, 'B2', 'current'), (3, 'c', 'current'),
         | (1, 'a', 'v0'), (2, 'b', 'v0'))
-        | t(k, v, snap) ORDER BY snap, k""".stripMargin)
+        | t(k, v, snap) ORDER BY snap, k""".stripMargin),
+
+    // ---- End-to-end near-dup REMOVAL through the DSL: MinHash-LSH
+    //      candidate pairs -> exact-Jaccard verify -> connected components
+    //      -> keep the min doc_id per component. This is the full corpus
+    //      dedup a training pipeline runs, oracle-checked: the DuckDB side
+    //      computes the exact >=0.8 pair graph (same CTE as p11) and its
+    //      transitive closure with a recursive CTE (UNION dedup terminates
+    //      on cycles), then drops every doc that can reach a smaller id.
+    //      Valid because the operator verifies candidates with exact
+    //      Jaccard, so its pair graph equals the exact one up to LSH miss
+    //      probability ~3e-6 per true pair (24 bands x 4 rows at t=0.8).
+    //      Scale: pairs are sparse relative to the corpus, components take
+    //      the bounded driver union-find (or doubling loop past the cap),
+    //      survivors are one anti-join — no O(n^2) stage anywhere. ----
+    QuerySpec.sql("s18_script_neardup_pipeline", (s, dir) => script(s,
+      s"""load parquet.`$dir/documents.parquet` as documents;
+         |run documents as Dedup.`` where method="minhash"
+         |  and threshold="0.8" and ngram="3" as s18_surv;
+         |select doc_id from s18_surv order by doc_id as s18_out;""".stripMargin),
+      """WITH RECURSIVE sh AS (
+        | SELECT doc_id, LIST_DISTINCT(ngrams) AS shingles FROM (
+        |  SELECT doc_id,
+        |   [ARRAY_TO_STRING(w[i:i+2], ' ') FOR i IN RANGE(1, LEN(w) - 1)] AS ngrams
+        |  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents)
+        |  WHERE LEN(w) >= 3) t),
+        |counts AS (SELECT doc_id, LEN(shingles) AS n_sh FROM sh),
+        |inv AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+        |cand AS (
+        | SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS n_common
+        | FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id < y.doc_id
+        | GROUP BY 1, 2),
+        |jpairs AS (
+        | SELECT a_id, b_id FROM cand
+        | JOIN counts ca ON cand.a_id = ca.doc_id
+        | JOIN counts cb ON cand.b_id = cb.doc_id
+        | WHERE CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common) >= 0.8),
+        |edges AS (SELECT a_id AS s, b_id AS d FROM jpairs
+        |          UNION SELECT b_id, a_id FROM jpairs),
+        |reach(s, d) AS (
+        | SELECT s, d FROM edges
+        | UNION
+        | SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT s FROM reach WHERE d < s)
+        |ORDER BY doc_id""".stripMargin)
   )
 }
