@@ -414,6 +414,8 @@ object CommandMacros {
     "profile" -> "run {0} as DataProfile.`` as {0}_profile",
     "killStream" -> "run command as StreamCommand.`kill` where parameters='''{:all}'''",
     "jobs" -> "run command as JobCommand.`list`",
+    // reference LastCommand: `!last named t` re-exposes the previous result
+    "last" -> "run command as LastCommand.`` where parameters='''{:all}'''",
     "kill" -> "run command as JobCommand.`kill` where parameters='''{:all}'''",
     "resource" -> "run command as EngineResource.``",
     "jdbc" -> "run command as JDBC.`{}`",

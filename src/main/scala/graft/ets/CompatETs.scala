@@ -20,7 +20,8 @@ object CompatETs {
     MapET, AutoIncrementKeyExtET, HashTfIdfET, TfIdfET,
     CommunityBasedSimilityInPlaceET, ModelExplainInPlaceET,
     TokenAnalysisET, TokenExtractET, NothingET, ModelCommandET,
-    VParquetCommandET)
+    VParquetCommandET, EmptyTableET, LastCommandET, SaveBinaryAsFileET,
+    SendMessageET)
 }
 
 /** `!vtable history <path>` / `!vtable vacuum <path> <retainVersions>` —
@@ -816,4 +817,75 @@ object TokenExtractET extends ET {
     if (path.nonEmpty) out.write.mode("overwrite").parquet(path)
     out
   }
+}
+
+/** `run t as EmptyTable.`` ` — constant empty result, used by reference
+  * scripts as a no-op terminal statement (reference:
+  * tech/mlsql/plugins/ets/EmptyTable.scala:31-33).
+  */
+object EmptyTableET extends NoPathET {
+  override def name = "EmptyTable"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame =
+    ctx.spark.emptyDataFrame
+}
+
+/** `!last named <t>` — re-expose the PREVIOUS statement's result table
+  * under a new name (reference: tech/mlsql/plugins/ets/LastCommand.scala:
+  * 28-44 reads `getLastSelectTable`; here [[ScriptContext.lastTable]],
+  * which the runner updates only after this train returns, so it still
+  * points at the prior statement).
+  */
+object LastCommandET extends NoPathET {
+  override def name = "LastCommand"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    val args = params.getOrElse("parameters", "").trim.split("\\s+").filter(_.nonEmpty)
+    require(args.length == 2 && args(0) == "named", "usage: !last named <tableName>")
+    val prev = ctx.lastTable.getOrElse(throw new IllegalStateException(
+      "!last: no table produced by a previous statement"))
+    val out = ctx.spark.table(prev)
+    out.createOrReplaceTempView(args(1))
+    out
+  }
+}
+
+/** `run t as SaveBinaryAsFile.`` where filePath="..."` — write the FIRST
+  * row's binary column to a single file (model blobs, exported images —
+  * one payload by contract, so the single-row collect is bounded;
+  * reference: tech/mlsql/plugins/ets/SaveBinaryAsFile.scala:33-41).
+  */
+object SaveBinaryAsFileET extends NoPathET {
+  override def name = "SaveBinaryAsFile"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    val target = ctx.resolvePath(params.getOrElse("filePath",
+      throw new IllegalArgumentException("SaveBinaryAsFile requires filePath")))
+    val row = df.limit(1).collect().headOption.getOrElse(
+      throw new IllegalArgumentException("SaveBinaryAsFile: input table is empty"))
+    val bytes = row.get(0) match {
+      case b: Array[Byte] => b
+      case other => throw new IllegalArgumentException(
+        s"SaveBinaryAsFile: first column must be binary, got ${df.schema.head.dataType}")
+    }
+    val p = new org.apache.hadoop.fs.Path(target)
+    val fs = p.getFileSystem(ctx.spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(p, true)
+    try os.write(bytes) finally os.close()
+    UtilityETs.oneRowTable(ctx.spark,
+      "path" -> target, "bytes" -> bytes.length.toString)
+  }
+}
+
+/** `run t as SendMessage.`` ` — the reference mails query results over
+  * SMTP (SQLSendMessage.scala). Outbound network is unavailable in this
+  * build, so the slot fails loudly instead of silently dropping mail.
+  */
+object SendMessageET extends NoPathET {
+  override def name = "SendMessage"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame =
+    throw new UnsupportedOperationException(
+      "SendMessage requires outbound SMTP, which this offline build does " +
+        "not ship; save the table and deliver it with an external mailer")
 }

@@ -390,4 +390,36 @@ class CompatETSpec extends AnyFunSuite {
         |select v from wm_in as wm_out;""".stripMargin)
     assert(df.count() == 1)
   }
+
+  test("EmptyTable returns an empty frame") {
+    val df = runDF(
+      """select 1 as a as et_in;
+        |run et_in as EmptyTable.`` as et_out;""".stripMargin)
+    assert(df.count() == 0 && df.columns.isEmpty)
+  }
+
+  test("!last named re-exposes the previous statement's table") {
+    val df = runDF(
+      """select 42 as answer as last_in;
+        |!last named renamed_tbl;
+        |select answer from renamed_tbl as last_out;""".stripMargin)
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(42))
+  }
+
+  test("SaveBinaryAsFile writes the first row's binary column") {
+    val out = "/tmp/graft_sbaf_test.bin"
+    val df = runDF(
+      s"""select cast('payload' as binary) as content as sb_in;
+         |run sb_in as SaveBinaryAsFile.`` where filePath="$out" as sb_out;""".stripMargin)
+    assert(df.columns.toSeq == Seq("path", "bytes"))
+    val written = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(out))
+    assert(new String(written, "UTF-8") == "payload")
+  }
+
+  test("SendMessage fails loudly as an offline stub") {
+    val e = intercept[UnsupportedOperationException] {
+      runDF("""select 1 as a as sm_in; run sm_in as SendMessage.`` as sm_out;""")
+    }
+    assert(e.getMessage.contains("SMTP"))
+  }
 }
