@@ -15,7 +15,35 @@ import graft.operators.similarity.CosineSimilarity
   */
 object PipelineETs {
   def all: Seq[ET] = Seq(DedupET, SimilarityJoinET, AnnTopKET, BinaryMetaInPlaceET, LangIdET,
-    DecontaminateET, RepetitionInPlaceET, PiiScrubInPlaceET)
+    DecontaminateET, RepetitionInPlaceET, PiiScrubInPlaceET, CorpusMixET)
+}
+
+/** `run docs as CorpusMix.`` where weights="en:0.5,zh:2.25" [and
+  * domainCol="lang" and idCol="doc_id" and seed="42" and
+  * defaultWeight="1.0"]` — deterministic domain re-weighting
+  * (see [[graft.operators.sampling.CorpusMix]]: hash-Bernoulli
+  * down-sampling + integer-copy up-sampling, no shuffle, reproducible on
+  * any partitioning).
+  */
+object CorpusMixET extends NoPathET {
+  override def name = "CorpusMix"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    val weights = params.getOrElse("weights",
+      throw new IllegalArgumentException(
+        "CorpusMix requires weights=\"domain:w,domain:w\"")).split(",")
+      .map(_.trim).filter(_.nonEmpty).map { kv =>
+        val i = kv.lastIndexOf(':')
+        require(i > 0 && i < kv.length - 1,
+          s"CorpusMix weight '$kv' is not domain:weight")
+        kv.substring(0, i) -> kv.substring(i + 1).toDouble
+      }.toMap
+    graft.operators.sampling.CorpusMix.mix(df,
+      params.getOrElse("domainCol", "lang"), weights,
+      params.getOrElse("idCol", "doc_id"),
+      params.getOrElse("seed", "42").toLong,
+      params.getOrElse("defaultWeight", "1.0").toDouble)
+  }
 }
 
 /** `run train as Decontaminate.`` where evalTable="benchmarks" [and

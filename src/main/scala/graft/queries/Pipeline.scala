@@ -555,7 +555,35 @@ object Pipeline {
         |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |   '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g'),
         |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS h
-        |FROM raw ORDER BY doc_id""".stripMargin)
+        |FROM raw ORDER BY doc_id""".stripMargin),
+
+    // ---- domain-weighted corpus mixing (CorpusMix): en down-sampled to
+    //      0.5x, zh up-sampled to 2.25x (2 guaranteed copies + 25%-chance
+    //      third), others default 1x. The Bernoulli draw is md5-hash-based
+    //      (u = first 8 hex digits of md5("id:seed") / 2^32) so DuckDB
+    //      mirrors it EXACTLY — both engines agree on md5, and 0.5/0.25
+    //      thresholds are binary-exact. Plan: scan -> project -> explode,
+    //      no shuffle, reproducible on any partitioning at any scale. ----
+    QuerySpec.sql("p24_corpus_mix", (s, dir) => {
+      import s.implicits._
+      graft.operators.sampling.CorpusMix.mix(t(s, dir, "documents"),
+          "lang", Map("en" -> 0.5, "zh" -> 2.25), "doc_id", seed = 42L)
+        .select($"doc_id", $"lang", $"copy_idx")
+        .orderBy($"doc_id", $"copy_idx")
+    },
+      """WITH w AS (
+        | SELECT doc_id, lang,
+        |  CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 2.25 ELSE 1.0 END AS w,
+        |  CAST(CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(CAST(doc_id AS VARCHAR), ':', '42')), 1, 8))
+        |   AS UBIGINT) AS DOUBLE) / 4294967296.0 AS u
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id, lang,
+        |  CAST(FLOOR(w) + CASE WHEN u < w - FLOOR(w) THEN 1 ELSE 0 END AS BIGINT) AS copies
+        | FROM w)
+        |SELECT doc_id, lang, UNNEST(RANGE(1, copies + 1)) AS copy_idx
+        |FROM c
+        |ORDER BY doc_id, copy_idx""".stripMargin)
   )
 
   /** Fixed 6-doc fixture for the hash-less operators' pinned oracles

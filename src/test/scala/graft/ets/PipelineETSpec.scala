@@ -299,4 +299,39 @@ class PipelineETSpec extends AnyFunSuite {
     runDF("!killStream managed1;")
     assert(!spark.streams.active.exists(_.name == "managed1"))
   }
+
+  test("CorpusMix up-samples with integer copies and is deterministic") {
+    val df = runDF(
+      s"""load parquet.`$sf/documents.parquet` as cm_docs;
+         |run cm_docs as CorpusMix.`` where weights="en:3.0,de:0.0" as cm_out;
+         |select lang, count(*) as n, count(distinct doc_id) as nd,
+         |  max(copy_idx) as mx from cm_out group by lang order by lang as out;""".stripMargin)
+    val byLang = df.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // w=3.0: every en doc exactly 3 copies; w=0.0: de fully dropped
+    assert(!byLang.contains("de"))
+    val (enN, enD, enMx) = byLang("en")
+    assert(enN == enD * 3 && enMx == 3L)
+    // default 1x domains: one copy each
+    byLang.filterKeys(k => k != "en").values.foreach { case (n, nd, mx) =>
+      assert(n == nd && mx == 1L)
+    }
+    // determinism: a second run yields the identical multiset of rows
+    def rows() = runDF(
+      s"""load parquet.`$sf/documents.parquet` as cm_docs2;
+         |run cm_docs2 as CorpusMix.`` where weights="en:3.0,de:0.0" as cm2;
+         |select doc_id, copy_idx from cm2 order by doc_id, copy_idx as out2;""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows() == rows())
+  }
+
+  test("CorpusMix fractional weight keeps E[copies] near w") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val docs = spark.range(10000).select($"id".as("doc_id"), lit("en").as("lang"))
+    val out = graft.operators.sampling.CorpusMix.mix(
+      docs.toDF(), "lang", Map("en" -> 0.5), "doc_id")
+    val share = out.count().toDouble / 10000
+    assert(math.abs(share - 0.5) < 0.03, s"share $share far from 0.5")
+  }
 }
