@@ -15,7 +15,23 @@ import graft.operators.similarity.CosineSimilarity
   */
 object PipelineETs {
   def all: Seq[ET] = Seq(DedupET, SimilarityJoinET, AnnTopKET, BinaryMetaInPlaceET, LangIdET,
-    DecontaminateET, RepetitionInPlaceET, PiiScrubInPlaceET, CorpusMixET)
+    DecontaminateET, RepetitionInPlaceET, PiiScrubInPlaceET, CorpusMixET,
+    ParagraphDedupInPlaceET)
+}
+
+/** `run docs as ParagraphDedupInPlace.`` [where idCol="doc_id" and
+  * textCol="text" and sep="\n\n"]` — corpus-wide first-occurrence
+  * paragraph dedup, rebuilt in place
+  * (see [[graft.operators.dedup.TextDedup.dedupParagraphs]]).
+  */
+object ParagraphDedupInPlaceET extends NoPathET {
+  override def name = "ParagraphDedupInPlace"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame =
+    TextDedup.dedupParagraphs(df,
+      params.getOrElse("idCol", "doc_id"),
+      params.getOrElse("textCol", "text"),
+      params.getOrElse("sep", "\n\n"))
 }
 
 /** `run docs as CorpusMix.`` where weights="en:0.5,zh:2.25" [and

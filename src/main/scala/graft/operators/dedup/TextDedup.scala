@@ -154,4 +154,46 @@ object TextDedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("hamming"))
   }
+
+  /** Corpus-wide PARAGRAPH dedup (the RefinedWeb/FineWeb "line dedup"
+    * stage): split every document on `sep`, keep each distinct paragraph
+    * only at its FIRST occurrence corpus-wide (ordered by (id, position)),
+    * and reassemble documents from their surviving paragraphs in original
+    * order. Boilerplate (nav bars, subscribe footers) that repeats across
+    * millions of pages disappears everywhere but its first sighting.
+    *
+    * Output: id, `text_dedup` (possibly empty), `n_kept`, `n_paras`.
+    *
+    * Scale shape: first-occurrence selection is a groupBy on md5(para) —
+    * map-side partial min makes a boilerplate paragraph repeated a billion
+    * times combine to one row per map task, so hot paragraphs do NOT skew
+    * the shuffle (a window over the hash would buffer the hot partition
+    * instead). The winner set is SKINNY (hash + (id, pos)); paragraph text
+    * shuffles twice (winner join, regroup), which is the floor for a
+    * content-keyed global dedup that must rebuild documents. md5 stands in
+    * for paragraph equality, same as the exact-dedup operator.
+    */
+  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
+                      sep: String = "\n\n"): DataFrame = {
+    val splitPat = java.util.regex.Pattern.quote(sep)
+    val paras = df
+      .select(col(idCol),
+        posexplode(split(col(textCol), splitPat)).as(Seq("pos", "para")))
+      .withColumn("h", md5(col("para")))
+    val winners = paras.groupBy("h")
+      .agg(min(struct(col(idCol), col("pos"))).as("w"))
+    val kept = paras.join(winners, "h")
+      .filter(struct(col(idCol), col("pos")) === col("w"))
+    val rebuilt = kept.groupBy(idCol)
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("para")))),
+            x => x.getField("para")),
+          sep).as("text_dedup"),
+        count(lit(1)).as("n_kept"))
+    df.select(col(idCol), size(split(col(textCol), splitPat)).as("n_paras"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("text_dedup"), lit("")).as("text_dedup"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("n_paras"))
+  }
 }

@@ -583,7 +583,47 @@ object Pipeline {
         | FROM w)
         |SELECT doc_id, lang, UNNEST(RANGE(1, copies + 1)) AS copy_idx
         |FROM c
-        |ORDER BY doc_id, copy_idx""".stripMargin)
+        |ORDER BY doc_id, copy_idx""".stripMargin),
+
+    // ---- corpus-wide paragraph dedup (the RefinedWeb "line dedup" stage):
+    //      each doc is given 3 paragraphs — a corpus-wide boilerplate
+    //      banner, its own text, a per-lang footer — so the operator must
+    //      keep the banner once globally, each footer once per lang, and
+    //      own text at its first occurrence. Oracle mirrors with
+    //      ROW_NUMBER over md5(para) ordered by (doc_id, pos) + ordered
+    //      STRING_AGG rebuild. '<p>' separator avoids cross-engine escape
+    //      ambiguity of '\n'. ----
+    QuerySpec.sql("p25_paragraph_dedup", (s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "documents").select($"doc_id",
+        concat_ws("<p>", lit("SHARED BOILERPLATE SUBSCRIBE NOW"), $"text",
+          concat(lit("footer for lang "), $"lang")).as("text"))
+      graft.operators.dedup.TextDedup.dedupParagraphs(base, "doc_id", "text", "<p>")
+        .select($"doc_id", md5($"text_dedup").as("h"), $"n_kept",
+          $"n_paras".cast("long").as("n_paras"))
+        .orderBy($"doc_id")
+    },
+      """WITH base AS (
+        | SELECT doc_id,
+        |  'SHARED BOILERPLATE SUBSCRIBE NOW' || '<p>' || text ||
+        |  '<p>' || 'footer for lang ' || lang AS t2
+        | FROM documents),
+        |s AS (SELECT doc_id, STRING_SPLIT(t2, '<p>') AS arr FROM base),
+        |px AS (SELECT doc_id, UNNEST(RANGE(1, LEN(arr) + 1)) AS p, arr FROM s),
+        |paras AS (SELECT doc_id, p - 1 AS pos, arr[p] AS para FROM px),
+        |kept AS (
+        | SELECT doc_id, pos, para,
+        |  ROW_NUMBER() OVER (PARTITION BY MD5(para) ORDER BY doc_id, pos) AS rn
+        | FROM paras),
+        |reb AS (
+        | SELECT doc_id, STRING_AGG(para, '<p>' ORDER BY pos) AS txt,
+        |  COUNT(*) AS n_kept
+        | FROM kept WHERE rn = 1 GROUP BY doc_id)
+        |SELECT s.doc_id, MD5(COALESCE(reb.txt, '')) AS h,
+        | CAST(COALESCE(reb.n_kept, 0) AS BIGINT) AS n_kept,
+        | CAST(LEN(s.arr) AS BIGINT) AS n_paras
+        |FROM s LEFT JOIN reb ON s.doc_id = reb.doc_id
+        |ORDER BY s.doc_id""".stripMargin)
   )
 
   /** Fixed 6-doc fixture for the hash-less operators' pinned oracles

@@ -55,4 +55,25 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(3L) == "fr")
     assert(out(4L) == "unknown")
   }
+
+  test("dedupParagraphs keeps first corpus-wide occurrence and rebuilds in order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "A<p>B"), (2L, "B<p>C"), (3L, "A<p>C<p>D")).toDF("doc_id", "text")
+    val out = TextDedup.dedupParagraphs(docs, "doc_id", "text", "<p>")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(out(1L) == (("A<p>B", 2L, 2)))   // both first occurrences
+    assert(out(2L) == (("C", 1L, 2)))       // B already seen in doc 1
+    assert(out(3L) == (("D", 1L, 3)))       // A and C already seen
+  }
+
+  test("dedupParagraphs: a fully-duplicate doc survives with empty text") {
+    import spark.implicits._
+    val docs = Seq((1L, "X<p>Y"), (2L, "X<p>Y")).toDF("doc_id", "text")
+    val out = TextDedup.dedupParagraphs(docs, "doc_id", "text", "<p>")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) == (("X<p>Y", 2L)))
+    assert(out(2L) == (("", 0L)))
+  }
 }
