@@ -88,4 +88,23 @@ class BenchSpec extends AnyFunSuite {
     val p = plan("s2_script_star_join")
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("p24 corpus mix is shuffle-free: scan -> project -> generate") {
+    // the orderBy in the query spec is presentation; audit the operator
+    val df = graft.operators.sampling.CorpusMix.mix(
+      spark.read.parquet(s"$sf/documents.parquet"),
+      "lang", Map("en" -> 0.5, "zh" -> 2.25), "doc_id")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("Generate"), p)
+  }
+
+  test("p25 paragraph dedup keeps partial aggregation on the winner min") {
+    val p = plan("p25_paragraph_dedup")
+    // first-occurrence selection must be an aggregate (map-side combinable),
+    // not a window over the paragraph hash (hot-paragraph skew buffer)
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+    assert(p.toLowerCase.contains("partial"), p)
+    assert(!p.contains("Window"), p)
+  }
 }
