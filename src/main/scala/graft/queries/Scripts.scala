@@ -311,6 +311,71 @@ object Scripts {
         | SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT s FROM reach WHERE d < s)
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin),
+
+    // ---- FLAGSHIP cleaning pipeline through the DSL: language filter ->
+    //      MinHash near-dup removal -> deterministic domain mixing, each
+    //      stage an ET, value-checked end to end. The oracle chains the
+    //      three stages' existing oracle patterns (stopword lang heuristic,
+    //      exact pair graph + recursive-CTE closure, md5-hash Bernoulli
+    //      copies) over the SAME intermediate sets, so a drift in any stage
+    //      breaks the final hash. ----
+    QuerySpec.sql("s19_script_clean_corpus", (s, dir) => script(s,
+      s"""load parquet.`$dir/documents.parquet` as documents;
+         |run documents as LangId.`` as s19_lang;
+         |select doc_id, text, source from s19_lang
+         |  where lang_pred = 'en' as s19_en;
+         |run s19_en as Dedup.`` where method="minhash"
+         |  and threshold="0.8" and ngram="3" as s19_dedup;
+         |run s19_dedup as CorpusMix.`` where domainCol="source"
+         |  and weights="src0:2.5,src1:0.0" and idCol="doc_id" as s19_mix;
+         |select doc_id, source, copy_idx from s19_mix
+         |  order by doc_id, copy_idx as s19_out;""".stripMargin),
+      """WITH RECURSIVE en AS (
+        | SELECT doc_id, text, source FROM (
+        |""".stripMargin +
+        graft.operators.text.TextAnalysis
+          .duckdbLangPredSubquery(Seq("doc_id", "text", "source")) +
+        """
+        | ) lp WHERE lang_pred = 'en'),
+        |sh AS (
+        | SELECT doc_id, LIST_DISTINCT(ngrams) AS shingles FROM (
+        |  SELECT doc_id,
+        |   [ARRAY_TO_STRING(w[i:i+2], ' ') FOR i IN RANGE(1, LEN(w) - 1)] AS ngrams
+        |  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM en)
+        |  WHERE LEN(w) >= 3) t),
+        |counts AS (SELECT doc_id, LEN(shingles) AS n_sh FROM sh),
+        |inv AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+        |cand AS (
+        | SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS n_common
+        | FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id < y.doc_id
+        | GROUP BY 1, 2),
+        |jpairs AS (
+        | SELECT a_id, b_id FROM cand
+        | JOIN counts ca ON cand.a_id = ca.doc_id
+        | JOIN counts cb ON cand.b_id = cb.doc_id
+        | WHERE CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common) >= 0.8),
+        |edges AS (SELECT a_id AS s, b_id AS d FROM jpairs
+        |          UNION SELECT b_id, a_id FROM jpairs),
+        |reach(s, d) AS (
+        | SELECT s, d FROM edges
+        | UNION
+        | SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+        |surv AS (
+        | SELECT doc_id, source FROM en
+        | WHERE doc_id NOT IN (SELECT s FROM reach WHERE d < s)),
+        |w AS (
+        | SELECT doc_id, source,
+        |  CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.0 ELSE 1.0 END AS w,
+        |  CAST(CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(CAST(doc_id AS VARCHAR), ':', '42')), 1, 8))
+        |   AS UBIGINT) AS DOUBLE) / 4294967296.0 AS u
+        | FROM surv),
+        |c AS (
+        | SELECT doc_id, source,
+        |  CAST(FLOOR(w) + CASE WHEN u < w - FLOOR(w) THEN 1 ELSE 0 END AS BIGINT) AS copies
+        | FROM w)
+        |SELECT doc_id, source, UNNEST(RANGE(1, copies + 1)) AS copy_idx
+        |FROM c
+        |ORDER BY doc_id, copy_idx""".stripMargin)
   )
 }
