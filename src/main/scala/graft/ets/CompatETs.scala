@@ -365,13 +365,18 @@ object RawSimilarInPlaceET extends NoPathET {
     val textCol = params.getOrElse("textCol", "text")
     val threshold = params.getOrElse("threshold", "0.8").toDouble
     val n = params.getOrElse("ngram", "3").toInt
+    // cached for the pair computation (4 reads through the banded/verify
+    // joins); Components.labels materializes eagerly, so the returned lazy
+    // plan no longer references the shingles — see DedupET's minhash path
     val sh = graft.operators.dedup.TextDedup.shingles(
-      df.select(col(idCol), col(textCol)), idCol, textCol, n)
-    val pairs = graft.operators.dedup.TextDedup.minHashSelfJoin(sh, threshold)
-    val labels = graft.operators.dedup.Components.labels(pairs)
-      .select(col("id").as(idCol), col("label").as("__group__"))
-    df.join(labels, Seq(idCol), "left")
-      .withColumn("__group__", coalesce(col("__group__"), col(idCol)))
+      df.select(col(idCol), col(textCol)), idCol, textCol, n).cache()
+    try {
+      val pairs = graft.operators.dedup.TextDedup.minHashSelfJoin(sh, threshold)
+      val labels = graft.operators.dedup.Components.labels(pairs)
+        .select(col("id").as(idCol), col("label").as("__group__"))
+      df.join(labels, Seq(idCol), "left")
+        .withColumn("__group__", coalesce(col("__group__"), col(idCol)))
+    } finally sh.unpersist()
   }
 }
 

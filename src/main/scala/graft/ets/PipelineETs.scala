@@ -171,8 +171,16 @@ object DedupET extends NoPathET {
       case "minhash" =>
         val threshold = params.getOrElse("threshold", "0.8").toDouble
         val n = params.getOrElse("ngram", "3").toInt
+        // cache the shingles for the pair computation: the banded self-join
+        // and the exact-verify join each read them TWICE, and behind a
+        // non-trivial upstream plan (e.g. a LangId stage) every re-read
+        // re-runs that plan. Components.labels materializes the pair graph
+        // eagerly, so by the time keepComponentMin returns, the surviving
+        // lazy plan references only df + the labels — unpersist is safe.
         val sh = TextDedup.shingles(df.select(col(idCol), col(textCol)), idCol, textCol, n)
-        keepComponentMin(df, idCol, TextDedup.minHashSelfJoin(sh, threshold))
+          .cache()
+        try keepComponentMin(df, idCol, TextDedup.minHashSelfJoin(sh, threshold))
+        finally sh.unpersist()
       case "simhash" =>
         val maxHamming = params.getOrElse("maxHamming", "3").toInt
         keepComponentMin(df, idCol,
