@@ -16,7 +16,41 @@ import graft.operators.similarity.CosineSimilarity
 object PipelineETs {
   def all: Seq[ET] = Seq(DedupET, SimilarityJoinET, AnnTopKET, BinaryMetaInPlaceET, LangIdET,
     DecontaminateET, RepetitionInPlaceET, PiiScrubInPlaceET, CorpusMixET,
-    ParagraphDedupInPlaceET)
+    ParagraphDedupInPlaceET, UnigramLmET, BpeTrainET)
+}
+
+/** `run docs as UnigramLm.`` [where idCol="doc_id" and textCol="text" and
+  * topV="0"]` — per-document cross-entropy under a corpus-fitted unigram
+  * LM (the CCNet-style perplexity-filter signal; see
+  * [[graft.operators.text.UnigramLm]]). `topV > 0` caps the vocabulary so
+  * the model broadcasts at scale (OOV tokens pool into one UNK mass).
+  */
+object UnigramLmET extends NoPathET {
+  override def name = "UnigramLm"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame =
+    graft.operators.text.UnigramLm.crossEntropy(df,
+      params.getOrElse("idCol", "doc_id"),
+      params.getOrElse("textCol", "text"),
+      params.getOrElse("topV", "0").toInt)
+}
+
+/** `train docs as BpeTrain.`path` [where textCol="text" and
+  * numMerges="1000"]` — learn BPE merges from the corpus (Sennrich'16;
+  * pair statistics on the unique-word dictionary — see
+  * [[graft.operators.text.BpeTrain]]). The merge table is returned and,
+  * when `path` is non-empty, persisted for later encode stages.
+  */
+object BpeTrainET extends ET {
+  override def name = "BpeTrain"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    val merges = graft.operators.text.BpeTrain.learnMerges(df,
+      params.getOrElse("textCol", "text"),
+      params.getOrElse("numMerges", "1000").toInt)
+    if (path.nonEmpty) merges.write.mode("overwrite").parquet(path + "/data")
+    merges
+  }
 }
 
 /** `run docs as ParagraphDedupInPlace.`` [where idCol="doc_id" and

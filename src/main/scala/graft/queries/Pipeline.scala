@@ -623,8 +623,75 @@ object Pipeline {
         | CAST(COALESCE(reb.n_kept, 0) AS BIGINT) AS n_kept,
         | CAST(LEN(s.arr) AS BIGINT) AS n_paras
         |FROM s LEFT JOIN reb ON s.doc_id = reb.doc_id
-        |ORDER BY s.doc_id""".stripMargin)
+        |ORDER BY s.doc_id""".stripMargin),
+
+    // ---- corpus-trained unigram-LM cross-entropy (the CCNet/RedPajama
+    //      perplexity-filter stage): fit = one token-count shuffle, score =
+    //      model join + one per-doc agg shuffle. topV=0 keeps the exact
+    //      vocabulary so DuckDB mirrors the math token-for-token; at scale
+    //      pass topV to broadcast the model (see UnigramLm scaladoc). ----
+    QuerySpec.sql("p26_unigram_lm", (s, dir) => {
+      import s.implicits._
+      graft.operators.text.UnigramLm.crossEntropy(
+          t(s, dir, "documents"), "doc_id", "text")
+        .orderBy($"doc_id")
+    },
+      """WITH w AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents),
+        |w2 AS (SELECT doc_id, word FROM w WHERE word <> ''),
+        |c AS (SELECT word, COUNT(*) AS c FROM w2 GROUP BY word),
+        |n AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM c)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        | ROUND(-AVG(LN(CAST(c.c AS DOUBLE) / n.n)), 4) AS xent
+        |FROM w2 JOIN c USING (word) CROSS JOIN n
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // ---- distributed BPE merge learning (Sennrich'16) on a pinned corpus:
+    //      pair statistics run on the unique-word dictionary (one corpus
+    //      shuffle + k dictionary-only rounds; see BpeTrain scaladoc). The
+    //      oracle pins the full deterministic merge table — max pair count,
+    //      ties lexicographic — computed by an independent reference
+    //      implementation (the p13/p15 fixed-fixture technique: BPE's
+    //      iterative re-segmentation is not expressible in one SQL pass). ----
+    QuerySpec.sql("p27_bpe_merges", (s, dir) =>
+      graft.operators.text.BpeTrain.learnMerges(bpeFixture(s), "text", 6)
+        .orderBy("rank"),
+      """SELECT * FROM (VALUES
+        | (1, 'a', 't', CAST(10 AS BIGINT)), (2, 'h', 'e', CAST(6 AS BIGINT)),
+        | (3, 't', 'he', CAST(6 AS BIGINT)), (4, 'at', 's', CAST(4 AS BIGINT)),
+        | (5, 'a', 'n', CAST(2 AS BIGINT)), (6, 'an', 'd', CAST(2 AS BIGINT)))
+        | t(rank, "left", "right", pair_count) ORDER BY rank""".stripMargin),
+
+    // ---- BPE encode with the merges learned above: train -> encode end to
+    //      end. The k-row merge table is the only collect; token counting is
+    //      pure per-row nested HOFs (no shuffle, no UDF — scan speed). ----
+    QuerySpec.sql("p28_bpe_encode", (s, dir) => {
+      import s.implicits._
+      val merges = graft.operators.text.BpeTrain
+        .learnMerges(bpeFixture(s), "text", 6)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.operators.text.BpeTrain
+        .withBpeTokenCount(bpeFixture(s), "text", merges)
+        .select($"doc_id", $"n_bpe_tokens")
+        .orderBy($"doc_id")
+    },
+      """SELECT * FROM (VALUES
+        | (1, CAST(10 AS BIGINT)), (2, CAST(10 AS BIGINT)),
+        | (3, CAST(7 AS BIGINT)), (4, CAST(7 AS BIGINT)))
+        | t(doc_id, n_bpe_tokens) ORDER BY doc_id""".stripMargin)
   )
+
+  /** Fixed 4-doc corpus for the BPE entries' pinned oracles (expected
+    * merges/token counts verified against an independent reference
+    * implementation of Sennrich'16 with the same tie-breaking).
+    */
+  private def bpeFixture(s: SparkSession): DataFrame = s.sql(
+    """SELECT * FROM VALUES
+      | (1, 'the cat sat on the mat'),
+      | (2, 'the cats sat on the mats'),
+      | (3, 'a cat and a rat'),
+      | (4, 'the rats and the cats')
+      | t(doc_id, text)""".stripMargin)
 
   /** Fixed 6-doc fixture for the hash-less operators' pinned oracles
     * (p13/p15): two near-dup groups, one exact duplicate, two singletons.
