@@ -670,6 +670,36 @@ object Rel {
         | MAX(o.o_totalprice) AS price
         |FROM lineitem l JOIN (SELECT o_orderkey, o_totalprice FROM orders
         |  WHERE o_totalprice > 400000) o ON l.l_orderkey = o.o_orderkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ---- WITH RECURSIVE (Spark 4 UnionLoopExec): BOM-style hierarchy walk
+    //      over an implicit binary tree on p_partkey (children of k are 2k,
+    //      2k+1 — deterministic, no synthetic table needed). Identical ANSI
+    //      text runs on both engines. Each recursion level is one bounded
+    //      join; depth caps the loop — the 100 TB shape is levels × an
+    //      equi-join on the key, never a cross product. ----
+    QuerySpec.sql("q38_recursive_cte", (s, dir) => {
+      t(s, dir, "part").createOrReplaceTempView("part")
+      s.sql(recursiveCteSql)
+    },
+      recursiveCteSql)
   )
+
+  /** Shared Spark/DuckDB text for q38 (dialect-identical). The DECIMAL cast
+    * before SUM keeps money exact cross-engine (see QuerySpec scaladoc).
+    * A `def`: `specs` initializes first, so a val here would still be null
+    * when the spec list captures it.
+    */
+  private def recursiveCteSql =
+    """WITH RECURSIVE tree(pk, depth) AS (
+      | SELECT CAST(1 AS BIGINT), 0
+      | UNION ALL
+      | SELECT p.p_partkey, t.depth + 1
+      | FROM part p JOIN tree t ON p.p_partkey IN (t.pk * 2, t.pk * 2 + 1)
+      | WHERE t.depth < 6
+      |)
+      |SELECT depth, COUNT(*) AS n_parts,
+      | CAST(SUM(CAST(p.p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS subtree_price
+      |FROM tree JOIN part p ON p.p_partkey = tree.pk
+      |GROUP BY depth ORDER BY depth""".stripMargin
 }

@@ -107,4 +107,21 @@ class BenchSpec extends AnyFunSuite {
     assert(p.toLowerCase.contains("partial"), p)
     assert(!p.contains("Window"), p)
   }
+
+  test("p26 capped-vocab LM scoring broadcasts the model, no cartesian blowup") {
+    // the scale path: top-V model + 1-row totals are broadcast; the only
+    // non-broadcast exchange left is the per-doc aggregation
+    val df = graft.operators.text.UnigramLm.crossEntropy(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text", topV = 64)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q38 recursive CTE plans as a bounded loop of equi-joins") {
+    val p = plan("q38_recursive_cte")
+    assert(p.contains("UnionLoop"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
