@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Custom stateful streaming operators over `KeyValueGroupedDataset`
   * (SURVEY §2.7 "stateful ops": the reference exposes only what Spark SQL
@@ -63,5 +64,51 @@ object Stateful {
           ((before / every + 1) to (after / every))
             .map(m => Threshold(key, m * every)).iterator
       }
+  }
+
+  case class DistinctCount(key: Long, n_distinct: Long)
+
+  /** Spark 4 `transformWithState` processor: incremental per-key distinct
+    * counting. The seen-value set lives in a [[MapState]] — each batch
+    * reads/writes ONLY the values it touches, which is the point of the
+    * new API: `mapGroupsWithState` would deserialize and re-serialize the
+    * whole per-key set every batch, so its cost grows with state size
+    * while this stays O(batch). Requires the RocksDB state store provider
+    * (see [[Stateful.distinctCounts]]).
+    */
+  class DistinctCountProcessor extends StatefulProcessor[Long, (Long, String), DistinctCount] {
+    @transient private var seen: MapState[String, Boolean] = _
+    @transient private var cnt: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      seen = getHandle.getMapState[String, Boolean](
+        "seen", Encoders.STRING, Encoders.scalaBoolean, TTLConfig.NONE)
+      cnt = getHandle.getValueState[Long]("cnt", Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+                                 timerValues: TimerValues): Iterator[DistinctCount] = {
+      var c = if (cnt.exists()) cnt.get() else 0L
+      rows.foreach { case (_, v) =>
+        if (!seen.containsKey(v)) { seen.updateValue(v, true); c += 1 }
+      }
+      cnt.update(c)
+      Iterator.single(DistinctCount(key, c))
+    }
+  }
+
+  /** Running per-key DISTINCT-value counts across micro-batches via
+    * `transformWithState` (Update mode; one row per touched key per
+    * batch). Caller must run with
+    * `spark.sql.streaming.stateStore.providerClass =
+    * ...state.RocksDBStateStoreProvider` — the new API is RocksDB-only.
+    */
+  def distinctCounts(df: DataFrame, keyCol: String, valueCol: String): Dataset[DistinctCount] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("long"), col(valueCol).cast("string"))
+      .filter(col(keyCol).isNotNull && col(valueCol).isNotNull)
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new DistinctCountProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 }

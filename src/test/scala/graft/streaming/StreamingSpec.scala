@@ -253,6 +253,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Set((1L, 3L), (2L, 3L), (2L, 6L)))
   }
 
+  test("transformWithState distinct counts accumulate via RocksDB MapState") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[(Long, String)]
+      val q = Stateful.distinctCounts(
+          ms.toDF().toDF("k", "v"), "k", "v")
+        .writeStream.format("memory").queryName("tws").outputMode("update")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ck_tws").toString)
+        .start()
+      ms.addData((1L, "a"), (1L, "b"), (1L, "a"), (2L, "x"))
+      q.processAllAvailable()
+      ms.addData((1L, "b"), (1L, "c"), (2L, "x")) // only c is new for key 1
+      q.processAllAvailable()
+      q.stop()
+      val fin = spark.table("tws").groupBy("key")
+        .agg(org.apache.spark.sql.functions.max("n_distinct").as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fin(1L) == 3L) // a, b, c
+      assert(fin(2L) == 1L) // x seen twice, counted once
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   test("streaming dropDuplicates with watermark dedupes across batches") {
     val ctx = ScriptRunner.run(
       s"""set streamName = "s7";
