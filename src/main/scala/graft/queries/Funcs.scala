@@ -332,6 +332,40 @@ object Funcs {
         | (2, 'one|two', 'one|two', 'one|two|z', 'one two',
         |  CAST(1024 AS BIGINT), 'T2', 'T2 World', 'World'))
         | t(id, parsed, sliced, concatted, decoded, kb, title, body, xp)
-        |ORDER BY id""".stripMargin)
+        |ORDER BY id""".stripMargin),
+
+    // ---- VARIANT (Spark 4 semi-structured type): build identical JSON
+    //      text in both engines by string concat (int/string fields only —
+    //      float-to-string formatting is engine-specific), then
+    //      parse_json -> typed variant_get paths incl. array indexing;
+    //      DuckDB mirrors with json_extract. Per-row, codegen-friendly,
+    //      shredding-ready at scale. ----
+    QuerySpec.sql("f17_variant", (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT o_orderkey,
+          | variant_get(v, '$.c', 'bigint') AS cust,
+          | variant_get(v, '$.s', 'string') AS status,
+          | variant_get(v, '$.a[1]', 'bigint') AS second_elem,
+          | cast(variant_get(v, '$.missing', 'string') is null as int) AS missing_is_null
+          |FROM (
+          | SELECT o_orderkey, parse_json(concat(
+          |   '{"c":', o_custkey, ',"s":"', o_orderstatus, '",',
+          |   '"a":[', o_orderkey, ',', o_custkey + 1, ']}')) AS v
+          | FROM orders WHERE o_orderkey < 200)
+          |ORDER BY o_orderkey""".stripMargin)
+    },
+      """SELECT o_orderkey,
+        | CAST(j->>'$.c' AS BIGINT) AS cust,
+        | j->>'$.s' AS status,
+        | CAST(j->>'$.a[1]' AS BIGINT) AS second_elem,
+        | CAST(CASE WHEN json_extract(j, '$.missing') IS NULL THEN 1 ELSE 0 END AS INT)
+        |   AS missing_is_null
+        |FROM (
+        | SELECT o_orderkey,
+        |  '{"c":' || o_custkey || ',"s":"' || o_orderstatus || '","a":[' ||
+        |  o_orderkey || ',' || (o_custkey + 1) || ']}' AS j
+        | FROM orders WHERE o_orderkey < 200)
+        |ORDER BY o_orderkey""".stripMargin)
   )
 }
