@@ -682,7 +682,28 @@ object Rel {
       t(s, dir, "part").createOrReplaceTempView("part")
       s.sql(recursiveCteSql)
     },
-      recursiveCteSql)
+      recursiveCteSql),
+
+    // ---- SQL pipe syntax (Spark 4): same logical plan as the classic
+    //      form — Catalyst sees identical operators, so pushdown/pruning
+    //      are unaffected; this audits the parser surface a script user
+    //      can reach through `select`. Oracle is the classic rendering. ----
+    QuerySpec.sql("q39_pipe_syntax", (s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(
+        """FROM lineitem
+          ||> WHERE l_quantity >= 30
+          ||> EXTEND l_extendedprice * (1 - l_discount) AS disc_price
+          ||> AGGREGATE COUNT(*) AS n,
+          |    CAST(SUM(CAST(disc_price AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+          |   GROUP BY l_returnflag
+          ||> ORDER BY l_returnflag""".stripMargin)
+    },
+      """SELECT l_returnflag, COUNT(*) AS n,
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+        |  AS revenue
+        |FROM lineitem WHERE l_quantity >= 30
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   )
 
   /** Shared Spark/DuckDB text for q38 (dialect-identical). The DECIMAL cast
