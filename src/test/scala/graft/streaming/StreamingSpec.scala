@@ -285,6 +285,35 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("statestore source reads a stopped query's state through the DSL") {
+    // stateful agg -> checkpoint; then `load statestore.` introspects the
+    // state (Spark 4 state reader through the registry's format fallback)
+    val ck = java.nio.file.Files.createTempDirectory("ck_ss").toString
+    val ctx = ScriptRunner.run(
+      s"""set streamName = "ss1";
+         |load parquet.`$sf/region.parquet` as r_ss;
+         |load mockStream.`r_ss` as r_sss;
+         |select r_regionkey % 2 as k, count(*) as n from r_sss group by r_regionkey % 2 as agg_ss;
+         |save append agg_ss as memory.`` where mode="complete"
+         |  and checkpointLocation="$ck";""".stripMargin,
+      spark)
+    val q = ctx.streams("ss1")
+    q.processAllAvailable(); q.stop()
+    val state = ScriptRunner.runToDF(
+      s"""load statestore.`$ck` as st;
+         |select key.`_groupingexpression` as k, value.count as n
+         |from st as state_rows;""".stripMargin, spark)
+      .collect().map(r => r.getAs[Number](0).longValue -> r.getAs[Number](1).longValue).toMap
+    // 5 regions: keys 0,1,2,3,4 -> k=0 {0,2,4}, k=1 {1,3}
+    assert(state == Map(0L -> 3L, 1L -> 2L))
+    // state-metadata companion format lists the stateful operator
+    val meta = ScriptRunner.runToDF(
+      s"""load state-metadata.`$ck` as sm;
+         |select operatorName from sm as meta_rows;""".stripMargin, spark)
+      .collect().map(_.getString(0))
+    assert(meta.contains("stateStoreSave"))
+  }
+
   test("streaming dropDuplicates with watermark dedupes across batches") {
     val ctx = ScriptRunner.run(
       s"""set streamName = "s7";
