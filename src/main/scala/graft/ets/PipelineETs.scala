@@ -178,8 +178,8 @@ object DedupET extends NoPathET {
     * plus every row in no pair (see
     * [[graft.operators.dedup.Components.labels]]).
     */
-  private[ets] def keepComponentMin(df: DataFrame, idCol: String,
-                                    pairs: DataFrame): DataFrame = {
+  private[graft] def keepComponentMin(df: DataFrame, idCol: String,
+                                      pairs: DataFrame): DataFrame = {
     val losers = graft.operators.dedup.Components.labels(pairs)
       .filter(col("label") =!= col("id")).select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
@@ -220,8 +220,18 @@ object DedupET extends NoPathET {
         keepComponentMin(df, idCol,
           TextDedup.simHashSelfJoin(df.select(col(idCol), col(textCol)),
             idCol, textCol, maxHamming))
+      case "embedding" =>
+        // SemDeDup-style semantic dedup: exact radius-bound IVF-blocked
+        // cosine self-join above `threshold`, then keep one doc per
+        // connected component — the embedding-space analog of `minhash`
+        val threshold = params.getOrElse("threshold", "0.9").toDouble
+        val vecCol = params.getOrElse("vecCol", "embedding")
+        keepComponentMin(df, idCol,
+          CosineSimilarity.ivfSelfJoin(df, idCol, vecCol, threshold,
+            nlist = params.getOrElse("nlist", "16").toInt)
+            .select(col("a_id"), col("b_id")))
       case other => throw new IllegalArgumentException(
-        s"Dedup method must be exact|fingerprint|minhash|simhash, got '$other'")
+        s"Dedup method must be exact|fingerprint|minhash|simhash|embedding, got '$other'")
     }
   }
 }

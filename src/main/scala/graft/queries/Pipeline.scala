@@ -678,7 +678,38 @@ object Pipeline {
       """SELECT * FROM (VALUES
         | (1, CAST(10 AS BIGINT)), (2, CAST(10 AS BIGINT)),
         | (3, CAST(7 AS BIGINT)), (4, CAST(7 AS BIGINT)))
-        | t(doc_id, n_bpe_tokens) ORDER BY doc_id""".stripMargin)
+        | t(doc_id, n_bpe_tokens) ORDER BY doc_id""".stripMargin),
+
+    // ---- SemDeDup-style embedding near-dup SURVIVORS: the p8 exact pair
+    //      graph (IVF cell-blocked, never a cartesian) -> connected
+    //      components -> keep each component's min id. Oracle = exact
+    //      all-pairs graph + recursive-CTE transitive closure (the s18
+    //      technique), so chains {a~b, b~c} survive as {a} even without an
+    //      a~c edge — greedy pair-drop semantics would over-delete. ----
+    QuerySpec.sql("p29_embed_neardup_survivors", (s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val pairs = CosineSimilarity.ivfSelfJoin(emb, "vec_id", "embedding", 0.45, nlist = 16)
+        .select($"a_id", $"b_id")
+      graft.ets.DedupET.keepComponentMin(emb, "vec_id", pairs)
+        .select($"vec_id")
+        .orderBy($"vec_id")
+    },
+      """WITH RECURSIVE e AS (
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (
+        | SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        | FROM e a JOIN e b ON a.vec_id < b.vec_id
+        | WHERE ROUND(LIST_INNER_PRODUCT(a.v, b.v) /
+        |   (SQRT(LIST_INNER_PRODUCT(a.v, a.v)) * SQRT(LIST_INNER_PRODUCT(b.v, b.v))), 6) >= 0.45),
+        |edges AS (SELECT a_id AS s, b_id AS d FROM p UNION SELECT b_id, a_id FROM p),
+        |reach(s, d) AS (
+        | SELECT s, d FROM edges
+        | UNION
+        | SELECT r.s, e2.d FROM reach r JOIN edges e2 ON r.d = e2.s)
+        |SELECT vec_id FROM embeddings
+        |WHERE vec_id NOT IN (SELECT s FROM reach WHERE d < s)
+        |ORDER BY vec_id""".stripMargin)
   )
 
   /** Fixed 4-doc corpus for the BPE entries' pinned oracles (expected

@@ -107,6 +107,24 @@ class PipelineETSpec extends AnyFunSuite {
     assert(topk.count() == 9)
   }
 
+  test("Dedup method=embedding keeps one vector per semantic cluster") {
+    val df = runDF(
+      s"""load parquet.`$sf/embeddings.parquet` as embs_dd;
+         |run embs_dd as Dedup.`` where method="embedding" and idCol="vec_id"
+         |  and vecCol="embedding" and threshold="0.45" as dedup_e;
+         |select vec_id from dedup_e order by vec_id as out;""".stripMargin)
+    val before = spark.table("embs_dd").count()
+    val after = df.count()
+    assert(after > 0 && after < before)
+    // survivors are exactly the non-losers of the exact pair graph
+    val pairs = graft.operators.similarity.CosineSimilarity.exactSelfJoin(
+      spark.table("embs_dd"), "vec_id", "embedding", 0.45)
+      .select("a_id", "b_id")
+    val expect = DedupET.keepComponentMin(spark.table("embs_dd"), "vec_id", pairs)
+      .select("vec_id").orderBy("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(df.collect().map(_.getLong(0)).toSeq == expect)
+  }
+
   test("Dedup survivors are one per connected component (chain case)") {
     import spark.implicits._
     // pairs (1,2) and (2,3) with no (1,3) edge: the group is {1,2,3} -> keep 1;
