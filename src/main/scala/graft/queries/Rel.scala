@@ -703,8 +703,30 @@ object Rel {
         | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
         |  AS revenue
         |FROM lineitem WHERE l_quantity >= 30
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // ---- correlated LATERAL subquery (top-2 orders per customer): a
+    //      different operator from q31's generator-lateral — Catalyst
+    //      plans a LateralJoin whose inner query re-evaluates per outer
+    //      row, then decorrelates it into a ranked window; unique-id
+    //      tie-break keeps the top-2 deterministic. Dialect-identical
+    //      text runs on both engines. ----
+    QuerySpec.sql("q40_lateral_subquery", (s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(lateralSql)
+    },
+      lateralSql)
   )
+
+  private def lateralSql =
+    """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+      |FROM customer c, LATERAL (
+      | SELECT o_orderkey, o_totalprice FROM orders
+      | WHERE o_custkey = c.c_custkey
+      | ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+      |WHERE c.c_custkey < 50
+      |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin
 
   /** Shared Spark/DuckDB text for q38 (dialect-identical). The DECIMAL cast
     * before SUM keeps money exact cross-engine (see QuerySpec scaladoc).
