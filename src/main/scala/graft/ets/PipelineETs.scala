@@ -51,6 +51,22 @@ object BpeTrainET extends ET {
     if (path.nonEmpty) merges.write.mode("overwrite").parquet(path + "/data")
     merges
   }
+
+  /** `predict docs as BpeTrain.`path`` — encode with the merges saved by
+    * `train` (rank order): appends `n_bpe_tokens` per row. The merge
+    * table is vocabulary-sized — the k-row collect is the model load, not
+    * a data collect.
+    */
+  override def batchPredict(ctx: ScriptContext, df: DataFrame, path: String,
+                            params: Map[String, String]): DataFrame = {
+    require(path.nonEmpty, "predict ... as BpeTrain.`path` needs the trained merge dir")
+    val merges = ctx.spark.read.parquet(path + "/data")
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+    graft.operators.text.BpeTrain.withBpeTokenCount(df,
+      params.getOrElse("textCol", "text"), merges,
+      params.getOrElse("outputCol", "n_bpe_tokens"))
+  }
 }
 
 /** `run docs as ParagraphDedupInPlace.`` [where idCol="doc_id" and

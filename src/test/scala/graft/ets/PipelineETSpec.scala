@@ -107,6 +107,21 @@ class PipelineETSpec extends AnyFunSuite {
     assert(topk.count() == 9)
   }
 
+  test("BpeTrain train -> predict round-trips merges through the model path") {
+    val model = Files.createTempDirectory("bpe_model").toString
+    val df = runDF(
+      s"""set bpedocs = '''{"doc_id":1,"text":"the cat sat on the mat"}
+         |{"doc_id":2,"text":"the cats sat on the mats"}
+         |{"doc_id":3,"text":"a cat and a rat"}
+         |{"doc_id":4,"text":"the rats and the cats"}''';
+         |load jsonStr.`bpedocs` as bpe_in;
+         |train bpe_in as BpeTrain.`$model` where numMerges="6" as bpe_m;
+         |predict bpe_in as BpeTrain.`$model` as bpe_enc;
+         |select doc_id, n_bpe_tokens from bpe_enc order by doc_id as out;""".stripMargin)
+    assert(df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 10L, 2L -> 10L, 3L -> 7L, 4L -> 7L))
+  }
+
   test("Dedup method=embedding keeps one vector per semantic cluster") {
     val df = runDF(
       s"""load parquet.`$sf/embeddings.parquet` as embs_dd;
