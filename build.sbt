@@ -32,4 +32,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A 100+-query sweep generates thousands of Janino codegen classes; the
+  // JDK-17 default 240 MB code cache fills up mid-sweep and the JVM
+  // silently stops JIT-compiling, degrading every later query (measured
+  // 2-20x on the warm half of a 210-run sweep). 512 MB + flushing keeps
+  // the compiler active for the whole run.
+  "-XX:ReservedCodeCacheSize=512m",
+  "-XX:+UseCodeCacheFlushing",
 )

@@ -34,15 +34,20 @@ object Bench {
     // warmup: one cheap query end-to-end (JIT, codegen, parquet footer cache)
     runOnce("q1_agg")
 
-    // Each query runs twice; the SECOND run is reported. The first run of a
-    // query shape pays one-time JVM costs (Janino compilation of its codegen
-    // classes, JIT of the expression paths) that are not plan costs and do
-    // not recur in a long-lived session — measured skew was >20x on
-    // light string queries (0.45 s steady vs 11.5 s cold-swept). The cold
-    // pass is kept in the file JSON under "cold" for transparency.
+    // Each query runs twice BACK-TO-BACK; the SECOND (warm) run is reported.
+    // The first run of a query shape pays one-time JVM costs (Janino
+    // compilation of its codegen classes, JIT of the expression paths) that
+    // are not plan costs and do not recur in a long-lived session — measured
+    // skew was >20x on light string queries (0.45 s steady vs 11.5 s
+    // cold-swept). Cold/warm MUST be adjacent per query, not two full
+    // sweeps: in the two-sweep layout the warm pass starts after ~105 prior
+    // runs of accumulated JVM degradation, and r6 measured 11-39 s "warm"
+    // vs 0.4-2.8 s cold on six trivially-correct queries purely from sweep
+    // position. The cold pass is kept in the file JSON for transparency.
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val cold = names.map(n => n -> runOnce(n))
-    val results = names.map(n => n -> runOnce(n))
+    val timed = names.map(n => n -> (runOnce(n), runOnce(n)))
+    val cold = timed.map { case (n, (c, _)) => n -> c }
+    val results = timed.map { case (n, (_, w)) => n -> w }
     val failed = results.collect { case (n, Left(_)) => n }
     // explicit ROOT locale: the f"" interpolator is default-locale-dependent
     // and a comma-decimal locale would emit invalid JSON

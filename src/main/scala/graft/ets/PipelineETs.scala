@@ -242,9 +242,13 @@ object DedupET extends NoPathET {
         // connected component — the embedding-space analog of `minhash`
         val threshold = params.getOrElse("threshold", "0.9").toDouble
         val vecCol = params.getOrElse("vecCol", "embedding")
+        // centroids="path" persists/reuses the IVF cell centers so a
+        // pipeline that dedups repeatedly (or a 100 TB corpus split into
+        // runs) pays the clustering sample-fit once, not per call
         keepComponentMin(df, idCol,
           CosineSimilarity.ivfSelfJoin(df, idCol, vecCol, threshold,
-            nlist = params.getOrElse("nlist", "16").toInt)
+            nlist = params.getOrElse("nlist", "16").toInt,
+            centroidsPath = params.get("centroids").orElse(params.get("centroidsPath")))
             .select(col("a_id"), col("b_id")))
       case other => throw new IllegalArgumentException(
         s"Dedup method must be exact|fingerprint|minhash|simhash|embedding, got '$other'")

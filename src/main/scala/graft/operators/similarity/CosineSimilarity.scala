@@ -215,7 +215,8 @@ object CosineSimilarity {
       // scan, bounded memory): limit(500) took the FIRST partitions, which
       // on sorted/clustered inputs is unrepresentative and can defeat or
       // falsely trigger the fallback
-      val sample = df.select(col(vecCol).cast("array<double>").as("__v__"))
+      val sample = df.filter(col(vecCol).isNotNull)
+        .select(col(vecCol).cast("array<double>").as("__v__"))
         .orderBy(rand(seed))
         .limit(500).collect().map(_.getSeq[Double](0).toArray)
       val frac = estimateCandidateFraction(sample, planes, r, bands)
@@ -315,7 +316,8 @@ object CosineSimilarity {
         // one randomized scan to collect): centers only steer PRUNING —
         // correctness never depends on them — so a driver mini-fit beats
         // paying spark.ml pipeline overhead per call by ~1s at every scale
-        val sample = df.select(col(vecCol).cast("array<double>").as("__arr__"))
+        val sample = df.filter(col(vecCol).isNotNull)
+          .select(col(vecCol).cast("array<double>").as("__arr__"))
           .orderBy(rand(seed)).limit(4000)
           .collect().map(_.getSeq[Double](0).toArray)
         val centers = lloyd(sample, nlist, seed, iters = 8)
@@ -408,9 +410,14 @@ object CosineSimilarity {
                   centroidsPath: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val vecs = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-    if (df.isEmpty) return exactSelfJoin(df, idCol, vecCol, threshold)
-    val centers = fitOrLoadCentroids(df, vecCol, nlist, seed, centroidsPath)
+    // null embeddings can match nothing (exact path: arr_cosine yields null
+    // → filtered), so drop them up front — identical output, and the assign
+    // UDF / centroid sample never see a null (NPE otherwise; lshSelfJoin
+    // applies the same filter for the same reason)
+    val vecs = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    if (vecs.isEmpty) return exactSelfJoin(df, idCol, vecCol, threshold)
+    val centers = fitOrLoadCentroids(vecs, "v", nlist, seed, centroidsPath)
     val bcCenters = spark.sparkContext.broadcast(centers)
 
     // nearest cell by ANGLE (consistent with the radius metric) + the angle

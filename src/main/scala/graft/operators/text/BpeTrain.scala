@@ -72,7 +72,7 @@ object BpeTrain {
       if (driverDictCap > 0 && dict.limit(driverDictCap + 1).count() <= driverDictCap)
         driverLearnMerges(
           dict.as[(String, Long)].collect(), numMerges)
-      else distributedLearnMerges(dict, numMerges)
+      else distributedLearnMerges(dict, numMerges)._1
     merges.toDF("rank", "left", "right", "pair_count")
   }
 
@@ -104,44 +104,149 @@ object BpeTrain {
     merges.toSeq
   }
 
-  private def distributedLearnMerges(dict: DataFrame,
-                                     numMerges: Int): Seq[(Int, String, String, Long)] = {
+  /** Distributed merge learning, BATCHED: each Spark round computes the
+    * pair-count table once and applies a PREFIX of the (-cnt, l, r)-sorted
+    * candidates in one projection, instead of one round per merge — cutting
+    * the job count per merge from ~3 to ~3/|batch| (a 30k-merge tokenizer
+    * training stops being ~100k tiny jobs).
+    *
+    * The batch is EXACTLY equivalent to the sequential algorithm — not the
+    * usual lossy approximation — because a candidate is admitted only while
+    * two guards hold, which together imply it would still be the argmax at
+    * its sequential turn:
+    *
+    *  1. interaction: its symbols are disjoint from every already-selected
+    *     merge's `{l, r, l+r}` — so earlier batch members change neither
+    *     its count nor its occurrences;
+    *  2. new-pair dominance: its count strictly exceeds every pair a prior
+    *     selected merge could CREATE. A merge (l,r) only creates pairs
+    *     `(x, lr)` (count ≤ current cnt(x, l)) and `(lr, y)` (count ≤
+    *     current cnt(r, y)), so `max(rightMax(l), leftMax(r))` over the
+    *     selected merges bounds every created pair; `≤` stops the batch
+    *     (a tie could win the (l, r) tie-break).
+    *
+    * Selection stops at the first rejected candidate (prefix property:
+    * every unselected pair with unchanged count stays ranked behind every
+    * selected one). Asserted equal to the driver reference path in
+    * LmTokenizerSpec, including on seeded random corpora.
+    */
+  private[graft] def distributedLearnMerges(
+      dict: DataFrame, numMerges: Int,
+      batchCap: Int = 32): (Seq[(Int, String, String, Long)], Int) = {
     var cur = dict.withColumn("syms", charsOf(col("word")))
       .select("syms", "freq").cache()
     cur.count() // materialize before the rounds reuse it
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rounds = 0
+    var exhausted = false
     try {
-      for (rank <- 1 to numMerges if merges.length == rank - 1) {
-        val top = cur.select(explode(pairsOf(col("syms"))).as("p"), col("freq"))
+      while (merges.length < numMerges && !exhausted) {
+        val pairCounts = cur.select(explode(pairsOf(col("syms"))).as("p"), col("freq"))
           .groupBy(col("p.l"), col("p.r")).agg(sum("freq").as("cnt"))
-          .orderBy(col("cnt").desc, col("l"), col("r"))
-          .limit(1).collect()
-        if (top.nonEmpty) {
-          val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-          merges += ((rank, l, r, cnt))
-          val next = cur
-            .withColumn("syms", applyMerge(col("syms"), l, r))
-            .cache()
-          next.count()
-          cur.unpersist()
+          .cache()
+        val budget = math.min(batchCap, numMerges - merges.length)
+        val top = pairCounts.orderBy(col("cnt").desc, col("l"), col("r"))
+          .limit(budget).collect()
+          .map(t => (t.getString(0), t.getString(1), t.getLong(2)))
+        if (top.isEmpty) { exhausted = true; pairCounts.unpersist(); }
+        else {
+          // per-symbol adjacency maxima for guard 2 — vocab-sized
+          // (alphabet + merges so far), never corpus-sized
+          val leftMax = pairCounts.groupBy("l").agg(max("cnt"))
+            .collect().map(t => t.getString(0) -> t.getLong(1)).toMap
+          val rightMax = pairCounts.groupBy("r").agg(max("cnt"))
+            .collect().map(t => t.getString(0) -> t.getLong(1)).toMap
+          pairCounts.unpersist()
+          val sel = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+          val usedSyms = scala.collection.mutable.HashSet.empty[String]
+          var createdBound = Long.MinValue
+          var stop = false
+          for ((l, r, cnt) <- top if !stop) {
+            val interacts = usedSyms.contains(l) || usedSyms.contains(r)
+            if (sel.nonEmpty && (interacts || cnt <= createdBound)) stop = true
+            else {
+              sel += ((l, r, cnt))
+              usedSyms ++= Seq(l, r, l + r)
+              createdBound = math.max(createdBound,
+                math.max(rightMax.getOrElse(l, 0L), leftMax.getOrElse(r, 0L)))
+            }
+          }
+          for ((l, r, cnt) <- sel) merges += ((merges.length + 1, l, r, cnt))
+          // one projection applies the whole batch in rank order (the fold
+          // nests ≤ batchCap HOFs — bounded, unlike a per-merge plan chain)
+          var next = cur.withColumn("syms",
+            sel.foldLeft(col("syms")) { case (s, (l, r, _)) => applyMerge(s, l, r) })
+          rounds += 1
+          // truncate lineage periodically: each round adds one projection to
+          // the logical plan, so analysis cost would grow O(rounds²) over a
+          // long training run even though execution reads the cache
+          if (rounds % 16 == 0) {
+            next = next.localCheckpoint(true)
+            cur.unpersist()
+          } else {
+            next = next.cache()
+            next.count()
+            cur.unpersist()
+          }
           cur = next
         }
       }
     } finally cur.unpersist()
-    merges.toSeq
+    (merges.toSeq, rounds)
   }
 
+  /** Above this merge-table size the HOF encode switches to the UDF path:
+    * the fold builds one NESTED `aggregate` expression per merge, and at
+    * the documented numMerges=1000 default that ~1000-deep tree
+    * stack-overflows Catalyst analysis (and would be a codegen blowup even
+    * where it survived). 16 nested HOFs analyze and codegen comfortably.
+    */
+  private val hofMergeCap = 16
+
   /** Token count per row after applying `merges` (in rank order) to every
-    * whitespace word — pure per-row nested HOFs, no shuffle, no UDF.
+    * whitespace word. Small merge tables run as pure per-row nested HOFs
+    * (whole-stage codegen, no UDF); past [[hofMergeCap]] the identical
+    * greedy left-to-right algorithm runs as a Scala loop inside a UDF over
+    * the (driver-side, vocabulary-sized) merge table — same output,
+    * asserted in LmTokenizerSpec. Either way: no shuffle, scan speed.
     */
   def withBpeTokenCount(df: DataFrame, textCol: String,
                         merges: Seq[(String, String)],
-                        outCol: String = "n_bpe_tokens"): DataFrame = {
-    def encodeWord(w: Column): Column =
-      merges.foldLeft(charsOf(w)) { case (syms, (l, r)) => applyMerge(syms, l, r) }
-    val words = F.filter(F.split(col(textCol), " "), _ =!= "")
-    df.withColumn(outCol,
-      F.aggregate(F.transform(words, w => F.size(encodeWord(w))),
-        F.lit(0), (acc, n) => acc + n).cast("long"))
-  }
+                        outCol: String = "n_bpe_tokens"): DataFrame =
+    if (merges.size <= hofMergeCap) {
+      def encodeWord(w: Column): Column =
+        merges.foldLeft(charsOf(w)) { case (syms, (l, r)) => applyMerge(syms, l, r) }
+      val words = F.filter(F.split(col(textCol), " "), _ =!= "")
+      df.withColumn(outCol,
+        F.aggregate(F.transform(words, w => F.size(encodeWord(w))),
+          F.lit(0), (acc, n) => acc + n).cast("long"))
+    } else {
+      val table = merges.toArray
+      val enc = F.udf { (text: String) =>
+        // Option return ⇒ null text stays null, matching the HOF path
+        Option(text).map { t =>
+          var total = 0L
+          for (w <- t.split(" ") if w.nonEmpty) {
+            var syms: Array[String] = w.split("")
+            var m = 0
+            while (m < table.length && syms.length > 1) {
+              val (l, r) = table(m)
+              val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+              var j = 0
+              while (j < syms.length) {
+                if (out.nonEmpty && out(out.length - 1) == l && syms(j) == r)
+                  out(out.length - 1) = l + r
+                else out += syms(j)
+                j += 1
+              }
+              syms = out.toArray
+              m += 1
+            }
+            total += syms.length
+          }
+          total
+        }
+      }
+      df.withColumn(outCol, enc(col(textCol)))
+    }
 }

@@ -140,6 +140,59 @@ class PipelineETSpec extends AnyFunSuite {
     assert(df.collect().map(_.getLong(0)).toSeq == expect)
   }
 
+  test("Dedup method=embedding: null-embedding rows survive (no NPE)") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)),
+      (2L, Seq(1.0, 0.0, 0.0)),   // dup of 1
+      (3L, null),                  // must pass through, not crash the assign UDF
+      (4L, Seq(0.0, 1.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    rows.createOrReplaceTempView("null_embs")
+    val kept = runDF(
+      """run null_embs as Dedup.`` where method="embedding" and idCol="vec_id"
+        |  and vecCol="embedding" and threshold="0.9" as ne_out;
+        |select vec_id from ne_out order by vec_id as out;""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(1L, 3L, 4L))
+  }
+
+  test("Dedup embedding reuses persisted centroids (build once, query twice)") {
+    val path = Files.createTempDirectory("graft_dd_cent").toString + "/centroids"
+    def survivors() = runDF(
+      s"""load parquet.`$sf/embeddings.parquet` as embs_cc;
+         |run embs_cc as Dedup.`` where method="embedding" and idCol="vec_id"
+         |  and vecCol="embedding" and threshold="0.45" and centroids="$path" as dd_cc;
+         |select vec_id from dd_cc order by vec_id as out;""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    val first = survivors()
+    assert(Files.exists(Paths.get(path)), "centroids were not persisted")
+    val mtime = Files.getLastModifiedTime(Paths.get(path))
+    val second = survivors()
+    assert(first == second)
+    // second run LOADED the centroids instead of re-fitting/re-writing
+    assert(Files.getLastModifiedTime(Paths.get(path)) == mtime)
+  }
+
+  test("lshSelfJoin on a tiny corpus (sample >= corpus) matches exact") {
+    import spark.implicits._
+    import graft.operators.similarity.CosineSimilarity
+    // 10 rows: the 500-row guard sample IS the whole table; the estimate
+    // divides by the actual sample size, so the guard must neither divide
+    // by zero nor mis-trigger, and output must still equal exact
+    val rnd = new scala.util.Random(11)
+    val tiny = (1L to 10L).map(i => i -> Seq.fill(8)(rnd.nextGaussian()))
+      .toDF("vec_id", "embedding")
+    val exact = CosineSimilarity.exactSelfJoin(tiny, "vec_id", "embedding", 0.7)
+      .orderBy("a_id", "b_id").collect().toSeq
+    val lsh = CosineSimilarity.lshSelfJoin(tiny, "vec_id", "embedding", 0.7)
+      .orderBy("a_id", "b_id").collect().toSeq
+    assert(lsh == exact)
+    // n < 2 edge: guard's s < 2 short-circuit
+    val one = Seq(1L -> Seq(1.0, 0.0)).toDF("vec_id", "embedding")
+    assert(CosineSimilarity.lshSelfJoin(one, "vec_id", "embedding", 0.7).count() == 0)
+  }
+
   test("Dedup survivors are one per connected component (chain case)") {
     import spark.implicits._
     // pairs (1,2) and (2,3) with no (1,3) edge: the group is {1,2,3} -> keep 1;

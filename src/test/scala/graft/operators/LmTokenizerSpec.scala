@@ -90,4 +90,69 @@ class LmTokenizerSpec extends AnyFunSuite {
       .collect()(0).getLong(2)
     assert(n == 5L)
   }
+
+  test("UDF encode path (large merge table) equals the HOF path") {
+    val corpus = docs(
+      1L -> "the cat sat on the mat",
+      2L -> "the cats sat on the mats",
+      3L -> null.asInstanceOf[String])
+    val learned = BpeTrain.learnMerges(corpus, "text", 6)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    // padding with never-matching merges pushes the table past hofMergeCap
+    // (switching to the UDF path) without changing the encoding
+    val padded = learned ++ (1 to 40).map(i => (s"Q$i", s"Z$i"))
+    val hof = BpeTrain.withBpeTokenCount(corpus, "text", learned)
+      .select("doc_id", "n_bpe_tokens").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    val viaUdf = BpeTrain.withBpeTokenCount(corpus, "text", padded)
+      .select("doc_id", "n_bpe_tokens").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    assert(hof == viaUdf)
+    assert(viaUdf(3L) == null) // null text stays null on both paths
+  }
+
+  test("encode survives a ~1000-entry merge table (no analysis stack overflow)") {
+    val merges = (1 to 1000).map(i => (s"L$i", s"R$i"))
+    val n = BpeTrain.withBpeTokenCount(docs(1L -> "ab cde"), "text", merges)
+      .collect()(0).getLong(2)
+    assert(n == 5L) // none of the merges match: character count
+  }
+
+  test("batched distributed path equals driver on seeded random corpora") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcd"
+    def word() = (1 to (1 + rnd.nextInt(5)))
+      .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val rows = (1L to 8L).map(i => i -> (1 to 40).map(_ => word()).mkString(" "))
+    val corpus = docs(rows: _*)
+    val driver = BpeTrain.learnMerges(corpus, "text", 12)
+      .orderBy("rank").collect().map(_.toSeq).toSeq
+    val dist = BpeTrain.learnMerges(corpus, "text", 12, driverDictCap = 0)
+      .orderBy("rank").collect().map(_.toSeq).toSeq
+    assert(driver == dist)
+  }
+
+  test("batching collapses non-interacting merges into few rounds") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 64 two-symbol words over disjoint alphabets with strictly decreasing
+    // frequencies: every merge is independent, so the whole table should
+    // learn in ~numMerges/batchCap rounds, not one round per merge
+    val corpus = (0 until 64).map { i =>
+      // word i = two unique chars from a 128-char space, freq = 1000 - i
+      val l = (0x4E00 + 2 * i).toChar.toString
+      val r = (0x4E00 + 2 * i + 1).toChar.toString
+      (i.toLong, Seq.fill(64 - i)(l + r).mkString(" "))
+    }.toDF("doc_id", "text")
+    val (merges, rounds) = BpeTrain.distributedLearnMerges(
+      corpus.select(org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.split($"text", " ")).as("word"))
+        .filter($"word" =!= "")
+        .groupBy("word").agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("freq")),
+      numMerges = 64)
+    assert(merges.length == 64)
+    assert(rounds <= 4, s"expected batched rounds <= 4, got $rounds")
+  }
 }
