@@ -36,11 +36,22 @@ import org.apache.spark.sql.functions._
   *    That reference-not-copy carry-forward is what makes this layout
   *    survive 100 TB CDC.
   *
-  * Single-writer-per-table is the supported regime (same as the streaming
-  * CDC sink); the create-exclusive manifest turns a violation into an
-  * error instead of corruption. Schema is assumed stable across versions.
+  * Concurrency: the create-exclusive manifest makes every commit atomic.
+  * Bucketed merges add OPTIMISTIC retry on top — a writer that loses the
+  * version claim re-reads the new head and, if the interleaved commits
+  * didn't touch the buckets it read, rebases its already-written data
+  * files onto the next version (so CDC writers sharded by key range run
+  * concurrently). Overlapping writers and non-merge commits keep the loud
+  * single-writer error. Schema is assumed stable across versions.
   */
 object VParquet {
+
+  /** A manifest-version claim lost to another writer. Subclasses
+    * IllegalStateException so pre-existing callers that caught the
+    * single-writer error still do.
+    */
+  final class ConcurrentWriteException(msg: String, cause: Throwable)
+    extends IllegalStateException(msg, cause)
 
   case class FileEntry(path: String, bucket: Int)
   /** `keyCols` records the merge keys so maintenance operations (compact)
@@ -122,9 +133,10 @@ object VParquet {
     } catch {
       case e: java.io.IOException =>
         f.delete(tmp, false)
-        throw new IllegalStateException(
+        throw new ConcurrentWriteException(
           s"vparquet: concurrent write detected on $table (version ${m.version} " +
-            "already claimed) — this table is single-writer; retry the operation", e)
+            "already claimed) — bucketed merges on disjoint buckets rebase and " +
+            "retry automatically; other operations must be retried by the caller", e)
     }
   }
 
@@ -256,8 +268,42 @@ object VParquet {
           val newFiles = writeData(
             merged.repartition(math.max(1, touched.size), col("__bucket__")),
             table, bucketed = true)
-          writeManifest(spark, table, Manifest(version, "merge",
-            System.currentTimeMillis(), n, carry ++ newFiles, idCols, txn, txnAppId))
+          // Optimistic-concurrency commit: losing the version claim to
+          // another writer is recoverable IFF the interleaved commits left
+          // every file this merge READ (its in-scope buckets + unbucketed
+          // files) untouched — then the rewritten output is still valid and
+          // the commit REBASES onto the new head: same data files, new
+          // carry set, next version. Writers on disjoint buckets therefore
+          // both commit (multi-writer CDC sharded by key range); writers
+          // overlapping in scope still get the loud single-writer error.
+          var v = version
+          var carryNow = carry
+          var attempts = 0
+          while (true) {
+            try {
+              writeManifest(spark, table, Manifest(v, "merge",
+                System.currentTimeMillis(), n, carryNow ++ newFiles, idCols, txn, txnAppId))
+              return v
+            } catch {
+              case e: ConcurrentWriteException =>
+                attempts += 1
+                if (attempts > 8) throw e
+                val latest = latestVersion(spark, table).getOrElse(throw e)
+                val lm = readManifest(spark, table, latest)
+                if (alreadyCommitted(lm, txn, txnAppId)) return latest
+                val lmInScope = lm.files.filter(f =>
+                  f.bucket < 0 || touched.contains(f.bucket))
+                if (lm.numBuckets != n || lmInScope.toSet != inScope.toSet)
+                  throw new ConcurrentWriteException(
+                    s"vparquet: concurrent write on $table touched this merge's " +
+                      s"buckets (${touched.toSeq.sorted.mkString(",")}) or changed " +
+                      "the bucket layout — cannot rebase; retry the merge against " +
+                      "the new snapshot", e)
+                carryNow = lm.files.filterNot(f =>
+                  f.bucket < 0 || touched.contains(f.bucket))
+                v = latest + 1
+            }
+          }
         } finally batchB.unpersist()
       case None =>
         if (deduped.isEmpty) return prev.getOrElse(-1L)

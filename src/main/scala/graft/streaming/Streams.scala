@@ -26,6 +26,21 @@ object StreamSources {
           case None => reader
         }
         Some(withSchema.load(ctx.resolvePath(path)))
+      case "vparquet" if opts.contains("startingVersion") || opts.get("stream").contains("true") =>
+        // change-feed read of a vparquet table's manifest log (the `load
+        // delta.` streaming-read capability): `load vparquet.`t` where
+        // startingVersion="0" as feed;` — see
+        // [[graft.sources.VParquetChangeSource]] for the offset/emission
+        // contract (versions are offsets; merges re-deliver their touched
+        // buckets, Delta ignoreChanges semantics)
+        val reader = ctx.spark.readStream
+          .format(classOf[graft.sources.VParquetStreamProvider].getName)
+          .options(opts - "schema")
+        val withSchema = opts.get("schema") match {
+          case Some(ddl) => reader.schema(ddl)
+          case None => reader
+        }
+        Some(withSchema.load(ctx.resolvePath(path)))
       case "kafka" if !kafkaOnClasspath(ctx) =>
         throw new IllegalStateException(
           "kafka source requires spark-sql-kafka on the classpath (not bundled offline)")

@@ -251,6 +251,39 @@ class VParquetSpec extends AnyFunSuite {
     assert(e.getMessage.contains("concurrent write"))
   }
 
+  test("concurrent bucketed merges on disjoint buckets both commit (rebase)") {
+    val t = tmp("vp_cc")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+    // resolve which bucket each candidate key hashes into, with the same
+    // expression the merge uses
+    val probe = spark.range(200)
+      .select($"id".as("k"), pmod(xxhash64($"id"), lit(4)).cast("int").as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1))
+    def keysIn(b: Int, n: Int) = probe.filter(_._2 == b).map(_._1).take(n).toSeq
+    val seed = (keysIn(2, 5) ++ keysIn(3, 5)).map(k => (k, "seed")).toDF("k", "v")
+    VParquet.merge(seed, t, Seq("k"), numBuckets = Some(4), orderCol = None)
+
+    // two writers race for version 1 on DISJOINT buckets: the claim loser
+    // must rebase onto the winner's manifest and commit version 2 — both
+    // merges succeed, nobody's rows are lost
+    val a = keysIn(0, 5).map(k => (k, "A")).toDF("k", "v")
+    val b = keysIn(1, 5).map(k => (k, "B")).toDF("k", "v")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val fa = Future(VParquet.merge(a, t, Seq("k"), Some(4), None))
+    val fb = Future(VParquet.merge(b, t, Seq("k"), Some(4), None))
+    val va = Await.result(fa, 180.seconds)
+    val vb = Await.result(fb, 180.seconds)
+    assert(Set(va, vb) == Set(1L, 2L), s"expected versions {1,2}, got {$va,$vb}")
+    val cur = VParquet.loadVersion(spark, t, None, None)
+    assert(cur.count() == 20)
+    assert(cur.filter($"v" === "A").count() == 5)
+    assert(cur.filter($"v" === "B").count() == 5)
+    assert(cur.filter($"v" === "seed").count() == 10)
+  }
+
   test("streaming vparquet sink commits one snapshot per micro-batch (CDC)") {
     val t = tmp("vp_stream")
     import spark.implicits._

@@ -53,6 +53,88 @@ class StreamingSpec extends AnyFunSuite {
     assert(evs.exists(_.getString(2).startsWith("terminated")))
   }
 
+  test("vparquet change-feed source follows commits with _commit_version") {
+    val t = java.nio.file.Files.createTempDirectory("vp_feed").toString + "/t"
+    ScriptRunner.runToDF(
+      s"""set cf0 = '''{"k":1,"v":"a"}
+         |{"k":2,"v":"b"}''';
+         |load jsonStr.`cf0` as cf_in;
+         |save overwrite cf_in as vparquet.`$t`;""".stripMargin, spark)
+    val ctx = ScriptRunner.run(
+      s"""set streamName = "vpcf";
+         |load vparquet.`$t` where startingVersion="0" as feed;
+         |save append feed as memory.`` where mode="append"
+         |  and checkpointLocation="${java.nio.file.Files.createTempDirectory("ck_cf")}"
+         |  and duration="0";""".stripMargin, spark)
+    val q = ctx.streams("vpcf")
+    try {
+      q.processAllAvailable()
+      // v0 replay: the initial snapshot, tagged with its commit version
+      assert(spark.table("vpcf").count() == 2)
+      assert(spark.table("vpcf").select("_commit_version").distinct()
+        .collect().map(_.getLong(0)).toSeq == Seq(0L))
+      // a new commit while the stream is live is picked up incrementally
+      ScriptRunner.runToDF(
+        s"""set cf1 = '''{"k":3,"v":"c"}''';
+           |load jsonStr.`cf1` as cf_in2;
+           |save append cf_in2 as vparquet.`$t`;""".stripMargin, spark)
+      q.processAllAvailable()
+      val rows = spark.table("vpcf").orderBy("k")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      assert(rows == Seq((1L, "a", 0L), (2L, "b", 0L), (3L, "c", 1L)))
+    } finally q.stop()
+  }
+
+  test("stream -> vparquet -> stream round-trip (CDC in, change feed out)") {
+    val t = java.nio.file.Files.createTempDirectory("vp_rt").toString + "/t"
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    mem.toDF().toDF("k", "v", "ts").createOrReplaceTempView("rt_src")
+    mem.addData((1L, "a", 1L), (2L, "b", 1L))
+    // stream 1: CDC merge into the vparquet table
+    val ctx1 = ScriptRunner.run(
+      s"""set streamName = "rt_in";
+         |save append rt_src as vparquet.`$t` where mode="append"
+         |  and checkpointLocation="${java.nio.file.Files.createTempDirectory("ck_rt1")}"
+         |  and duration="0" and idCols="k" and orderCol="ts";""".stripMargin, spark)
+    val q1 = ctx1.streams("rt_in")
+    try {
+      q1.processAllAvailable() // v0 exists -> the change feed can resolve its schema
+      // stream 2: change feed of the same table out to a memory sink
+      val ctx2 = ScriptRunner.run(
+        s"""set streamName = "rt_out";
+           |load vparquet.`$t` where startingVersion="0" as rt_feed;
+           |select k, v, _commit_version from rt_feed as rt_p;
+           |save append rt_p as memory.`` where mode="append"
+           |  and checkpointLocation="${java.nio.file.Files.createTempDirectory("ck_rt2")}"
+           |  and duration="0";""".stripMargin, spark)
+      val q2 = ctx2.streams("rt_out")
+      try {
+        q2.processAllAvailable()
+        assert(spark.table("rt_out").count() == 2)
+        // update key 1 upstream: the merge rewrites its bucket, and the
+        // feed re-delivers that bucket's rows (ignoreChanges semantics) —
+        // the new value MUST be among them, tagged with the merge commit
+        mem.addData((1L, "a2", 2L))
+        q1.processAllAvailable()
+        q2.processAllAvailable()
+        val v1rows = spark.table("rt_out").filter($"_commit_version" === 1L)
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+        assert(v1rows.contains(1L -> "a2"))
+        // last-version row set per key equals the table's current snapshot
+        val latest = spark.table("rt_out")
+          .withColumn("__r__", org.apache.spark.sql.functions.row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("k")
+              .orderBy(col("_commit_version").desc)))
+          .filter(col("__r__") === 1).select("k", "v")
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+        assert(latest == Set(1L -> "a2", 2L -> "b"))
+      } finally q2.stop()
+    } finally q1.stop()
+  }
+
   test("streaming save without streamName fails loudly") {
     val e = intercept[IllegalArgumentException] {
       ScriptRunner.run(
