@@ -294,6 +294,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("s6").count() > 0)
   }
 
+  test("session_window watermark expires sessions end-to-end (emit + state eviction)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{count, lit, session_window}
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, String)]
+    val ck = java.nio.file.Files.createTempDirectory("ck_swev").toString
+    def t(s: Int) = new java.sql.Timestamp(s * 1000L)
+    val agg = ms.toDF().toDF("ts", "user")
+      .withWatermark("ts", "5 seconds")
+      .groupBy(session_window($"ts", "5 seconds"), $"user")
+      .agg(count(lit(1)).as("n"))
+      .select($"session_window.start".as("w_start"), $"user", $"n")
+    val q = agg.writeStream.format("memory").queryName("sw_ev")
+      .outputMode("append")
+      .option("checkpointLocation", ck).start()
+    try {
+      ms.addData(t(10) -> "A", t(12) -> "A") // one session [10, 17) for A
+      q.processAllAvailable()
+      // watermark (7 s) hasn't passed the session end: nothing emitted yet
+      assert(spark.table("sw_ev").count() == 0)
+      ms.addData(t(100) -> "B") // advances the watermark to 95 s
+      q.processAllAvailable()
+      ms.addData(t(102) -> "B") // extends B's open session; commits A's eviction
+      q.processAllAvailable()
+    } finally q.stop()
+    // A's two events merged into ONE closed session row; B's session is
+    // still open (watermark 97 < its end), so it must not have emitted
+    val out = spark.table("sw_ev").collect()
+      .map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq("A" -> 2L))
+    // checkpointed state after the last commit: the expired session (A) is
+    // EVICTED from the store; only B's live session remains
+    val state = ScriptRunner.runToDF(
+      s"""load statestore.`$ck` as swst;
+         |select to_json(struct(*)) as j from swst as srows;""".stripMargin, spark)
+      .collect().map(_.getString(0))
+    assert(state.nonEmpty, "session-window state store should hold the live session")
+    assert(!state.exists(_.contains("\"A\"")),
+      s"expired session state for A must be evicted, got: ${state.mkString("; ")}")
+    assert(state.exists(_.contains("\"B\"")))
+  }
+
   test("mapGroupsWithState running counts accumulate across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
