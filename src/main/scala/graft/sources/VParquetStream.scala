@@ -110,6 +110,11 @@ final class VParquetChangeSource(sqlContext: SQLContext, table: String,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(versionOf(_) + 1).getOrElse(startingVersion)
     val to = versionOf(end)
+    // restart-from-checkpoint recovery calls getBatch with the PREVIOUS
+    // run's offsets before any getOffset: fold them into the rate-limit
+    // cursor so a small maxVersionsPerTrigger can never offer an offset
+    // BEHIND what the checkpoint already committed
+    if (to > lastOffered) lastOffered = to
     val all = (from to to).filter(v =>
       try { VParquet.readManifest(spark, table, v); true }
       catch { case _: java.io.FileNotFoundException => false })
