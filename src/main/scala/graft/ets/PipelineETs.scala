@@ -16,7 +16,7 @@ import graft.operators.similarity.CosineSimilarity
 object PipelineETs {
   def all: Seq[ET] = Seq(DedupET, SimilarityJoinET, AnnTopKET, BinaryMetaInPlaceET, LangIdET,
     DecontaminateET, RepetitionInPlaceET, PiiScrubInPlaceET, CorpusMixET,
-    ParagraphDedupInPlaceET, UnigramLmET, BpeTrainET)
+    ParagraphDedupInPlaceET, UnigramLmET, BpeTrainET, SequencePackET)
 }
 
 /** `run docs as UnigramLm.`` [where idCol="doc_id" and textCol="text" and
@@ -66,6 +66,30 @@ object BpeTrainET extends ET {
     graft.operators.text.BpeTrain.withBpeTokenCount(df,
       params.getOrElse("textCol", "text"), merges,
       params.getOrElse("outputCol", "n_bpe_tokens"))
+  }
+}
+
+/** `run docs as SequencePack.`` [where idCol="doc_id" and seqLen="2048"
+  * and (tokenCol="n_tok" | textCol="text")]` — GPT-style concatenate-and-
+  * chunk training-sequence layout (see
+  * [[graft.operators.text.SequencePack.chunkLayout]]: distributed
+  * two-phase prefix sum, no global single-partition sort). With `textCol`
+  * the whitespace token count is computed on the fly.
+  */
+object SequencePackET extends NoPathET {
+  override def name = "SequencePack"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    val idCol = params.getOrElse("idCol", "doc_id")
+    val seqLen = params.getOrElse("seqLen", "2048").toInt
+    val (frame, tokenCol) = params.get("tokenCol") match {
+      case Some(tc) => (df, tc)
+      case None =>
+        val textCol = params.getOrElse("textCol", "text")
+        (df.withColumn("__n_tok__", size(split(col(textCol), " "))), "__n_tok__")
+    }
+    graft.operators.text.SequencePack.chunkLayout(frame, idCol, tokenCol, seqLen,
+      partitions = params.getOrElse("partitions", "0").toInt)
   }
 }
 

@@ -709,7 +709,35 @@ object Pipeline {
         | SELECT r.s, e2.d FROM reach r JOIN edges e2 ON r.d = e2.s)
         |SELECT vec_id FROM embeddings
         |WHERE vec_id NOT IN (SELECT s FROM reach WHERE d < s)
-        |ORDER BY vec_id""".stripMargin)
+        |ORDER BY vec_id""".stripMargin),
+
+    // ---- GPT-style "concatenate and chunk" training-sequence layout:
+    //      prefix-sum token counts in doc order, cut the stream into
+    //      seqLen windows, report each doc's span. The Spark side is the
+    //      distributed two-phase prefix sum (range partition -> subtotal
+    //      collect -> within-partition window); the naive global ordered
+    //      window would single-partition at 100 TB. Oracle: the same math
+    //      as one DuckDB ordered window. ----
+    QuerySpec.sql("p30_sequence_pack", (s, dir) => {
+      import s.implicits._
+      graft.operators.text.SequencePack.chunkLayout(
+        t(s, dir, "documents").withColumn("n_tok", size(split($"text", " "))),
+        "doc_id", "n_tok", seqLen = 2048)
+        .orderBy($"doc_id")
+    },
+      """WITH toks AS (
+        | SELECT doc_id, CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+        | FROM documents WHERE LEN(STRING_SPLIT(text, ' ')) > 0
+        |), c AS (
+        | SELECT doc_id, n_tokens,
+        |  CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tok_end
+        | FROM toks
+        |)
+        |SELECT doc_id, n_tokens, tok_end - n_tokens AS tok_start,
+        | (tok_end - n_tokens) // 2048 AS first_chunk,
+        | (tok_end - 1) // 2048 AS last_chunk,
+        | (tok_end - n_tokens) % 2048 AS offset_in_chunk
+        |FROM c ORDER BY doc_id""".stripMargin)
   )
 
   /** Fixed 4-doc corpus for the BPE entries' pinned oracles (expected

@@ -114,7 +114,8 @@ class SurveyCoverageSpec extends AnyFunSuite {
       // LLM-pipeline operators (builder-prompt additions)
       "Dedup", "SimilarityJoin", "AnnTopK", "BinaryMetaInPlace", "LangId",
       "Decontaminate", "RepetitionInPlace", "PiiScrubInPlace", "CorpusMix",
-      "ParagraphDedupInPlace", "UnigramLm", "BpeTrain", "StreamCommand")
+      "ParagraphDedupInPlace", "UnigramLm", "BpeTrain", "SequencePack",
+      "StreamCommand")
     val missing = names.filter(n =>
       scala.util.Try(ETRegistry.lookup(n)).isFailure)
     assert(missing.isEmpty, s"ET registry missing: ${missing.mkString(", ")}")
@@ -147,7 +148,7 @@ class SurveyCoverageSpec extends AnyFunSuite {
       "p19_term_stats", "p20_tfidf", "p21_decontaminate",
       "p22_repetition", "p23_pii_scrub", "p24_corpus_mix",
       "p25_paragraph_dedup", "p26_unigram_lm", "p27_bpe_merges",
-      "p28_bpe_encode", "p29_embed_neardup_survivors",
+      "p28_bpe_encode", "p29_embed_neardup_survivors", "p30_sequence_pack",
       "s11_script_dedup", "s18_script_neardup_pipeline",
       "s19_script_clean_corpus"))
   }

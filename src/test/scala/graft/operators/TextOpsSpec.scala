@@ -76,4 +76,32 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(1L) == (("X<p>Y", 2L)))
     assert(out(2L) == (("", 0L)))
   }
+
+  test("SequencePack layout equals the naive prefix sum on any partitioning") {
+    import spark.implicits._
+    import graft.operators.text.SequencePack
+    val rnd = new scala.util.Random(5)
+    val rows = (1L to 500L).map(i => (i, 1L + rnd.nextInt(50)))
+    // scrambled input partitioning + a forced 5-way range layout: the
+    // two-phase prefix sum must still equal the sequential reference
+    val df = rows.toDF("doc_id", "n_tok").repartition(7)
+    val out = SequencePack.chunkLayout(df, "doc_id", "n_tok", seqLen = 64, partitions = 5)
+      .orderBy("doc_id").collect()
+    assert(out.length == rows.length)
+    var off = 0L
+    rows.zip(out).foreach { case ((id, n), r) =>
+      assert(r.getLong(0) == id)
+      assert(r.getLong(1) == n, s"n_tokens for doc $id")
+      assert(r.getLong(2) == off, s"tok_start for doc $id")
+      assert(r.getLong(3) == off / 64, s"first_chunk for doc $id")
+      assert(r.getLong(4) == (off + n - 1) / 64, s"last_chunk for doc $id")
+      assert(r.getLong(5) == off % 64, s"offset_in_chunk for doc $id")
+      off += n
+    }
+    // a doc spanning chunks reports the full range; zero-token rows drop
+    val tiny = Seq((1L, 10L), (2L, 0L), (3L, 130L)).toDF("doc_id", "n_tok")
+    val t = SequencePack.chunkLayout(tiny, "doc_id", "n_tok", seqLen = 64)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    assert(t.toSeq == Seq((1L, 0L, 0L), (3L, 0L, 2L))) // 10..139 spans chunks 0-2
+  }
 }
