@@ -16,7 +16,8 @@ import graft.operators.similarity.CosineSimilarity
 object PipelineETs {
   def all: Seq[ET] = Seq(DedupET, SimilarityJoinET, AnnTopKET, BinaryMetaInPlaceET, LangIdET,
     DecontaminateET, RepetitionInPlaceET, PiiScrubInPlaceET, CorpusMixET,
-    ParagraphDedupInPlaceET, UnigramLmET, BpeTrainET, SequencePackET)
+    ParagraphDedupInPlaceET, UnigramLmET, BpeTrainET, SequencePackET,
+    IncrementalDedupET)
 }
 
 /** `run docs as UnigramLm.`` [where idCol="doc_id" and textCol="text" and
@@ -66,6 +67,32 @@ object BpeTrainET extends ET {
     graft.operators.text.BpeTrain.withBpeTokenCount(df,
       params.getOrElse("textCol", "text"), merges,
       params.getOrElse("outputCol", "n_bpe_tokens"))
+  }
+}
+
+/** `run batch as IncrementalDedup.`store` [where idCol="doc_id" and
+  * textCol="text" and threshold="0.8" and bands="24" and rowsPerBand="4"
+  * and ngram="3" and update="true"]` — rolling-ingestion near-dup removal
+  * against a persistent MinHash signature store (a vparquet table; see
+  * [[graft.operators.dedup.SignatureStore]]). Returns the batch docs that
+  * survive both within-batch dedup and the store comparison; with
+  * `update="true"` (default) their signatures join the store atomically,
+  * so re-submitting a batch yields zero survivors.
+  */
+object IncrementalDedupET extends ET {
+  override def name = "IncrementalDedup"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    require(path.nonEmpty, "IncrementalDedup requires the signature-store path")
+    graft.operators.dedup.SignatureStore.dedupAgainst(df,
+      params.getOrElse("idCol", "doc_id"),
+      params.getOrElse("textCol", "text"),
+      path,
+      params.getOrElse("threshold", "0.8").toDouble,
+      params.getOrElse("bands", "24").toInt,
+      params.getOrElse("rowsPerBand", "4").toInt,
+      params.getOrElse("ngram", "3").toInt,
+      params.getOrElse("update", "true").toBoolean)
   }
 }
 

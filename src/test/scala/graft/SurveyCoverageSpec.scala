@@ -115,7 +115,7 @@ class SurveyCoverageSpec extends AnyFunSuite {
       "Dedup", "SimilarityJoin", "AnnTopK", "BinaryMetaInPlace", "LangId",
       "Decontaminate", "RepetitionInPlace", "PiiScrubInPlace", "CorpusMix",
       "ParagraphDedupInPlace", "UnigramLm", "BpeTrain", "SequencePack",
-      "StreamCommand")
+      "IncrementalDedup", "StreamCommand")
     val missing = names.filter(n =>
       scala.util.Try(ETRegistry.lookup(n)).isFailure)
     assert(missing.isEmpty, s"ET registry missing: ${missing.mkString(", ")}")

@@ -193,6 +193,32 @@ class PipelineETSpec extends AnyFunSuite {
     assert(CosineSimilarity.lshSelfJoin(one, "vec_id", "embedding", 0.7).count() == 0)
   }
 
+  test("IncrementalDedup: rolling batches dedup against the signature store") {
+    val store = Files.createTempDirectory("sig_store").toString + "/sigs"
+    def run(view: String) = runDF(
+      s"""run $view as IncrementalDedup.`$store` where threshold="0.8" as inc_out;
+         |select doc_id from inc_out order by doc_id as out;""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    // batch 1: one within-batch near-dup pair (1 ~ 2), one singleton
+    runDF(
+      """set b1 = '''{"doc_id":1,"text":"the quick brown fox jumps over the lazy dog and runs far away into the night"}
+        |{"doc_id":2,"text":"the quick brown fox jumps over the lazy dog and runs far away into the day"}
+        |{"doc_id":3,"text":"completely different content about spark distributed query engines"}''';
+        |load jsonStr.`b1` as inc_b1;""".stripMargin)
+    assert(run("inc_b1") == Seq(1L, 3L)) // 2 lost within-batch to 1
+    // batch 2: 11 near-dups stored doc 1 -> dropped by the STORE comparison;
+    // 12 is genuinely new -> survives and joins the store
+    runDF(
+      """set b2 = '''{"doc_id":11,"text":"the quick brown fox jumps over the lazy dog and runs far away into the night"}
+        |{"doc_id":12,"text":"a wholly new document with nothing in common with anything stored before"}''';
+        |load jsonStr.`b2` as inc_b2;""".stripMargin)
+    assert(run("inc_b2") == Seq(12L))
+    // idempotent ingestion: re-submitting batch 2 yields zero survivors
+    assert(run("inc_b2").isEmpty)
+    // the store is a versioned vparquet table: one commit per updating run
+    assert(graft.sources.VParquet.latestVersion(spark, store).contains(2L))
+  }
+
   test("Dedup survivors are one per connected component (chain case)") {
     import spark.implicits._
     // pairs (1,2) and (2,3) with no (1,3) edge: the group is {1,2,3} -> keep 1;
