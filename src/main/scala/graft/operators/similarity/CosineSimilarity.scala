@@ -105,7 +105,10 @@ object CosineSimilarity {
       }
       best
     }
-    val cells = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("cvec"))
+    // null embeddings can be neighbors of nothing (arr_cosine → null →
+    // below every threshold/rank) — drop them before the assign UDF
+    val cells = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol).cast("array<double>").as("cvec"))
       .withColumn("cell", assignUdf(col("cvec")))
     val probeUdf = udf { (v: Seq[Double]) =>
       bcCenters.value.zipWithIndex.map { case (c, i) =>

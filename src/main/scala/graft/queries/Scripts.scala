@@ -376,6 +376,29 @@ object Scripts {
         | FROM w)
         |SELECT doc_id, source, UNNEST(RANGE(1, copies + 1)) AS copy_idx
         |FROM c
-        |ORDER BY doc_id, copy_idx""".stripMargin)
+        |ORDER BY doc_id, copy_idx""".stripMargin),
+
+    // ---- SequencePack through the DSL: the GPT-style concat-and-chunk
+    //      layout as a script stage (p30 covers the operator; this covers
+    //      the ET + script plumbing). Same ordered-window oracle. ----
+    QuerySpec.sql("s20_script_seqpack", (s, dir) => script(s,
+      s"""load parquet.`$dir/documents.parquet` as documents;
+         |run documents as SequencePack.`` where idCol="doc_id"
+         |  and textCol="text" and seqLen="1024" as s20_packed;
+         |select doc_id, n_tokens, tok_start, first_chunk, last_chunk,
+         |  offset_in_chunk from s20_packed order by doc_id as s20_out;""".stripMargin),
+      """WITH toks AS (
+        | SELECT doc_id, CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+        | FROM documents WHERE LEN(STRING_SPLIT(text, ' ')) > 0
+        |), c AS (
+        | SELECT doc_id, n_tokens,
+        |  CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tok_end
+        | FROM toks
+        |)
+        |SELECT doc_id, n_tokens, tok_end - n_tokens AS tok_start,
+        | (tok_end - n_tokens) // 1024 AS first_chunk,
+        | (tok_end - 1) // 1024 AS last_chunk,
+        | (tok_end - n_tokens) % 1024 AS offset_in_chunk
+        |FROM c ORDER BY doc_id""".stripMargin)
   )
 }

@@ -360,6 +360,38 @@ object VParquet {
     version
   }
 
+  /** Batch CHANGES read: the rows of data files ADDED in versions
+    * [from, to], tagged `_commit_version` — the batch twin of the
+    * streaming change feed (same emission semantics: appends contribute
+    * exactly their rows, merges their rewritten buckets). Delta's
+    * startingVersion/endingVersion batch read, on the manifest log.
+    */
+  def loadChanges(spark: SparkSession, table: String, from: Long, to: Long): DataFrame = {
+    val f = fs(spark, table)
+    val all = versions(f, table)
+    require(all.nonEmpty, s"vparquet: $table has no committed versions")
+    require(from <= to, s"vparquet: startingVersion $from > endingVersion $to")
+    val range = all.filter(v => v >= from && v <= to)
+    require(range.length == to - from + 1,
+      s"vparquet: versions [$from, $to] of $table are not all present " +
+        s"(have ${all.mkString(", ")}) — vacuumed or never committed")
+    val perVersion = range.flatMap { v =>
+      val files = readManifest(spark, table, v).files.map(_.path).toSet
+      val prev =
+        if (v == 0 || !all.contains(v - 1)) Set.empty[String]
+        else readManifest(spark, table, v - 1).files.map(_.path).toSet
+      val added = (files -- prev).toSeq.sorted.map(p => table + "/" + p)
+      if (added.isEmpty) None
+      else Some(spark.read.parquet(added: _*).withColumn("_commit_version", lit(v)))
+    }
+    perVersion.reduceOption(_ unionByName _).getOrElse {
+      val schema = spark.read.parquet(
+        absFiles(table, readManifest(spark, table, all.last).files): _*)
+        .schema.add("_commit_version", "long")
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    }
+  }
+
   /** Snapshot read; `versionAsOf` wins over `timestampAsOf` (latest
     * manifest committed at or before the timestamp — millis or
     * "yyyy-MM-dd HH:mm:ss[.f]").
@@ -452,6 +484,13 @@ final class VParquetSource extends GraftSource {
       case Some("history") => VParquet.history(ctx.spark, table)
       case Some(other) => throw new IllegalArgumentException(
         s"vparquet load action '$other' not supported (history)")
+      // batch changes read: BOTH bounds given (startingVersion alone is the
+      // STREAMING change feed, dispatched before the registry — see
+      // StreamSources.loadIfStreaming)
+      case None if opts.contains("endingVersion") =>
+        val to = opts("endingVersion").toLong
+        VParquet.loadChanges(ctx.spark, table,
+          opts.get("startingVersion").map(_.toLong).getOrElse(0L), to)
       case None => VParquet.loadVersion(ctx.spark, table,
         opts.get("versionAsOf").map(_.toLong), opts.get("timestampAsOf"))
     }

@@ -26,7 +26,10 @@ object StreamSources {
           case None => reader
         }
         Some(withSchema.load(ctx.resolvePath(path)))
-      case "vparquet" if opts.contains("startingVersion") || opts.get("stream").contains("true") =>
+      case "vparquet" if (opts.contains("startingVersion") && !opts.contains("endingVersion")) ||
+          opts.get("stream").contains("true") =>
+        // startingVersion alone = STREAMING change feed; with endingVersion
+        // it's the BATCH changes read handled by the registry source
         // change-feed read of a vparquet table's manifest log (the `load
         // delta.` streaming-read capability): `load vparquet.`t` where
         // startingVersion="0" as feed;` — see

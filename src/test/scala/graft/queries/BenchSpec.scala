@@ -119,6 +119,22 @@ class BenchSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("p30 sequence pack never plans a single-partition global window") {
+    // the scale trap this operator exists to avoid: sum() over (order by id)
+    // with no partitionBy compiles to Exchange SinglePartition + one sorted
+    // partition. The two-phase prefix sum must show a hash exchange on the
+    // range-partition id instead.
+    val df = graft.operators.text.SequencePack.chunkLayout(
+      spark.read.parquet(s"$sf/documents.parquet")
+        .withColumn("n_tok", org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.col("text"), " "))),
+      "doc_id", "n_tok", seqLen = 2048)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("hashpartitioning(__pid__"), p)
+  }
+
   test("q38 recursive CTE plans as a bounded loop of equi-joins") {
     val p = plan("q38_recursive_cte")
     assert(p.contains("UnionLoop"), p)

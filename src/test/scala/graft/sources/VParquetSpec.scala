@@ -251,6 +251,29 @@ class VParquetSpec extends AnyFunSuite {
     assert(e.getMessage.contains("concurrent write"))
   }
 
+  test("batch changes read: startingVersion + endingVersion via the DSL") {
+    val t = tmp("vp_chg")
+    runDF(s"""select 1 as k, 'a' as v as ch0; save overwrite ch0 as vparquet.`$t`;""")
+    runDF(s"""select 2 as k, 'b' as v as ch1; save append ch1 as vparquet.`$t`;""")
+    runDF(s"""select 3 as k, 'c' as v as ch2; save append ch2 as vparquet.`$t`;""")
+    val all = runDF(
+      s"""load vparquet.`$t` where startingVersion="0" and endingVersion="2" as chg;
+         |select k, _commit_version from chg order by k as out;""".stripMargin)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toSeq
+    assert(all == Seq(1 -> 0L, 2 -> 1L, 3 -> 2L))
+    // a sub-range excludes commits outside it
+    val mid = runDF(
+      s"""load vparquet.`$t` where startingVersion="1" and endingVersion="1" as chg1;
+         |select k from chg1 as out;""".stripMargin)
+      .collect().map(_.getInt(0)).toSeq
+    assert(mid == Seq(2))
+    // missing versions in the range fail loudly
+    val e = intercept[IllegalArgumentException] {
+      VParquet.loadChanges(spark, t, 0, 9)
+    }
+    assert(e.getMessage.contains("not all present"))
+  }
+
   test("concurrent bucketed merges on disjoint buckets both commit (rebase)") {
     val t = tmp("vp_cc")
     import spark.implicits._
