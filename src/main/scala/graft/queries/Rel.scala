@@ -716,8 +716,48 @@ object Rel {
       t(s, dir, "orders").createOrReplaceTempView("orders")
       s.sql(lateralSql)
     },
-      lateralSql)
+      lateralSql),
+
+    // ---- GROUP BY ALL / ORDER BY ALL (DuckDB-originated sugar adopted by
+    //      Spark 4): every non-aggregate select item groups implicitly.
+    //      Dialect-identical text both sides. ----
+    QuerySpec.sql("q41_group_by_all", (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(groupByAllSql)
+    },
+      groupByAllSql),
+
+    // ---- INTERSECT ALL / EXCEPT ALL: bag semantics (multiplicity =
+    //      min/difference of counts), vs the q19/q20 set semantics. ----
+    QuerySpec.sql("q42_bag_set_ops", (s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "supplier").createOrReplaceTempView("supplier")
+      s.sql(bagOpsSql)
+    },
+      bagOpsSql)
   )
+
+  /** Shared Spark/DuckDB text for q41 (dialect-identical). */
+  private def groupByAllSql =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY ALL
+      |ORDER BY ALL""".stripMargin
+
+  /** Shared Spark/DuckDB text for q42: nation keys as bags — customers'
+    * nations INTERSECT ALL suppliers' (multiplicity = min of the counts),
+    * then EXCEPT ALL back out the supplier bag (multiplicity difference).
+    */
+  private def bagOpsSql =
+    """WITH cn AS (SELECT c_nationkey AS nk FROM customer),
+      |     sn AS (SELECT s_nationkey AS nk FROM supplier),
+      |     both_bags AS (SELECT nk FROM cn INTERSECT ALL SELECT nk FROM sn),
+      |     leftover AS (SELECT nk FROM cn EXCEPT ALL SELECT nk FROM sn)
+      |SELECT 'intersect_all' AS op, nk, COUNT(*) AS n FROM both_bags GROUP BY nk
+      |UNION ALL
+      |SELECT 'except_all' AS op, nk, COUNT(*) AS n FROM leftover GROUP BY nk
+      |ORDER BY op, nk""".stripMargin
 
   private def lateralSql =
     """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice

@@ -78,7 +78,8 @@ class SurveyCoverageSpec extends AnyFunSuite {
       "q14_window_rank", "q15_window_running", "q16_window_leadlag",
       "q28_window_dist", "q29_window_firstlast",                  // windows
       "q17_topn",                                                 // top-k
-      "q18_union", "q19_intersect", "q20_except",                 // set ops
+      "q18_union", "q19_intersect", "q20_except", "q42_bag_set_ops", // set ops
+      "q41_group_by_all",                                         // GROUP/ORDER BY ALL
       "q22_in_subquery", "q23_scalar_subquery", "q24_correlated_exists", // subqueries
       "q26_pivot", "q37_unpivot",                                 // pivot/unpivot
       "q31_explode_lateral", "q40_lateral_subquery",              // lateral/generators
