@@ -46,17 +46,29 @@ object BpeTrainET extends ET {
   override def name = "BpeTrain"
   override def train(ctx: ScriptContext, df: DataFrame, path: String,
                      params: Map[String, String]): DataFrame = {
+    import ctx.spark.implicits._
+    val textCol = params.getOrElse("textCol", "text")
     val merges = graft.operators.text.BpeTrain.learnMerges(df,
-      params.getOrElse("textCol", "text"),
-      params.getOrElse("numMerges", "1000").toInt)
-    if (path.nonEmpty) merges.write.mode("overwrite").parquet(path + "/data")
+      textCol, params.getOrElse("numMerges", "1000").toInt)
+    if (path.nonEmpty) {
+      merges.write.mode("overwrite").parquet(path + "/data")
+      // vocab = alphabet + merge outputs, id-ordered — saved with the
+      // model so `predict ... output="ids"` maps symbols without the
+      // training corpus
+      val mergeSeq = merges.orderBy("rank").collect()
+        .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+      graft.operators.text.BpeTrain.vocabOf(df, textCol, mergeSeq)
+        .toDF("id", "token").repartition(1)
+        .write.mode("overwrite").parquet(path + "/vocab")
+    }
     merges
   }
 
-  /** `predict docs as BpeTrain.`path`` — encode with the merges saved by
-    * `train` (rank order): appends `n_bpe_tokens` per row. The merge
-    * table is vocabulary-sized — the k-row collect is the model load, not
-    * a data collect.
+  /** `predict docs as BpeTrain.`path` [where output="count"|"ids"]` —
+    * encode with the merges saved by `train` (rank order): appends
+    * `n_bpe_tokens` (default) or the full `bpe_ids` token-id array (OOV
+    * symbols → -1). The merge/vocab tables are vocabulary-sized — the
+    * k-row collects are the model load, not a data collect.
     */
   override def batchPredict(ctx: ScriptContext, df: DataFrame, path: String,
                             params: Map[String, String]): DataFrame = {
@@ -64,9 +76,19 @@ object BpeTrainET extends ET {
     val merges = ctx.spark.read.parquet(path + "/data")
       .orderBy("rank").collect()
       .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
-    graft.operators.text.BpeTrain.withBpeTokenCount(df,
-      params.getOrElse("textCol", "text"), merges,
-      params.getOrElse("outputCol", "n_bpe_tokens"))
+    val textCol = params.getOrElse("textCol", "text")
+    params.getOrElse("output", "count") match {
+      case "count" =>
+        graft.operators.text.BpeTrain.withBpeTokenCount(df, textCol, merges,
+          params.getOrElse("outputCol", "n_bpe_tokens"))
+      case "ids" =>
+        val vocab = ctx.spark.read.parquet(path + "/vocab")
+          .collect().map(r => r.getAs[String]("token") -> r.getAs[Long]("id")).toMap
+        graft.operators.text.BpeTrain.withBpeTokenIds(df, textCol, merges, vocab,
+          params.getOrElse("outputCol", "bpe_ids"))
+      case other => throw new IllegalArgumentException(
+        s"BpeTrain predict output must be count|ids, got '$other'")
+    }
   }
 }
 

@@ -249,4 +249,56 @@ object BpeTrain {
       }
       df.withColumn(outCol, enc(col(textCol)))
     }
+
+  /** Vocabulary induced by a training run: base alphabet (every distinct
+    * character of the corpus' words, sorted) gets ids 0..|A|-1, then each
+    * merge's output symbol in rank order — the standard BPE id layout.
+    */
+  def vocabOf(df: DataFrame, textCol: String,
+              merges: Seq[(String, String)]): Seq[(Long, String)] = {
+    val alphabet = df
+      .select(explode(split(regexp_replace(col(textCol), " ", ""), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .distinct().collect().map(_.getString(0)).sorted
+    val tokens = alphabet.toSeq ++ merges.map { case (l, r) => l + r }
+    tokens.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+  }
+
+  /** Encode each row's text to BPE token IDS (words greedily merged in
+    * rank order, symbols mapped through `vocab`, word encodings
+    * concatenated in order). Symbols outside the vocabulary — characters
+    * never seen at train time — encode as -1, so OOV is visible instead of
+    * silently dropped. Always the UDF path: the vocab map is driver-side
+    * model state either way. No shuffle; scan speed.
+    */
+  def withBpeTokenIds(df: DataFrame, textCol: String,
+                      merges: Seq[(String, String)], vocab: Map[String, Long],
+                      outCol: String = "bpe_ids"): DataFrame = {
+    val table = merges.toArray
+    val enc = F.udf { (text: String) =>
+      Option(text).map { t =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+        for (w <- t.split(" ") if w.nonEmpty) {
+          var syms: Array[String] = w.split("")
+          var m = 0
+          while (m < table.length && syms.length > 1) {
+            val (l, r) = table(m)
+            val merged = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+            var j = 0
+            while (j < syms.length) {
+              if (merged.nonEmpty && merged(merged.length - 1) == l && syms(j) == r)
+                merged(merged.length - 1) = l + r
+              else merged += syms(j)
+              j += 1
+            }
+            syms = merged.toArray
+            m += 1
+          }
+          syms.foreach(sym => out += vocab.getOrElse(sym, -1L))
+        }
+        out.toSeq
+      }
+    }
+    df.withColumn(outCol, enc(col(textCol)))
+  }
 }

@@ -737,7 +737,38 @@ object Pipeline {
         | (tok_end - n_tokens) // 2048 AS first_chunk,
         | (tok_end - 1) // 2048 AS last_chunk,
         | (tok_end - n_tokens) % 2048 AS offset_in_chunk
-        |FROM c ORDER BY doc_id""".stripMargin)
+        |FROM c ORDER BY doc_id""".stripMargin),
+
+    // ---- BPE encode to token IDS (the tokenizer-apply stage): vocab =
+    //      sorted alphabet {a..t}=0..10 then merge outputs at(11) he(12)
+    //      the(13) ats(14) an(15) and(16). Oracle rows hand-derived by
+    //      applying the 6 pinned merges (p27) word by word; exploded to
+    //      (doc_id, pos, token_id) scalars so the driver's hash compare
+    //      sees no array-literal formatting differences. ----
+    QuerySpec.sql("p31_bpe_token_ids", (s, dir) => {
+      import s.implicits._
+      val fixture = bpeFixture(s)
+      val merges = graft.operators.text.BpeTrain
+        .learnMerges(fixture, "text", 6)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val vocab = graft.operators.text.BpeTrain
+        .vocabOf(fixture, "text", merges).map(_.swap).toMap
+      graft.operators.text.BpeTrain
+        .withBpeTokenIds(fixture, "text", merges, vocab)
+        .select($"doc_id", posexplode($"bpe_ids").as(Seq("pos", "token_id")))
+        .orderBy($"doc_id", $"pos")
+    },
+      """SELECT doc_id, pos, CAST(token_id AS BIGINT) AS token_id FROM (VALUES
+        | (1, 0, 13), (1, 1, 1), (1, 2, 11), (1, 3, 9), (1, 4, 11),
+        | (1, 5, 7), (1, 6, 6), (1, 7, 13), (1, 8, 5), (1, 9, 11),
+        | (2, 0, 13), (2, 1, 1), (2, 2, 14), (2, 3, 9), (2, 4, 11),
+        | (2, 5, 7), (2, 6, 6), (2, 7, 13), (2, 8, 5), (2, 9, 14),
+        | (3, 0, 0), (3, 1, 1), (3, 2, 11), (3, 3, 16), (3, 4, 0),
+        | (3, 5, 8), (3, 6, 11),
+        | (4, 0, 13), (4, 1, 8), (4, 2, 14), (4, 3, 16), (4, 4, 13),
+        | (4, 5, 1), (4, 6, 14))
+        | t(doc_id, pos, token_id) ORDER BY doc_id, pos""".stripMargin)
   )
 
   /** Fixed 4-doc corpus for the BPE entries' pinned oracles (expected

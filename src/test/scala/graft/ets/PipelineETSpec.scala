@@ -120,6 +120,17 @@ class PipelineETSpec extends AnyFunSuite {
          |select doc_id, n_bpe_tokens from bpe_enc order by doc_id as out;""".stripMargin)
     assert(df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
       Map(1L -> 10L, 2L -> 10L, 3L -> 7L, 4L -> 7L))
+    // output="ids": full token-id encoding through the saved vocab; OOV
+    // characters (unseen at train time) surface as -1, not silence
+    val ids = ScriptRunner.runToDF(
+      s"""set bpenew = '''{"doc_id":9,"text":"a cat zap"}''';
+         |load jsonStr.`bpenew` as bpe_new;
+         |predict bpe_new as BpeTrain.`$model` where output="ids" as bpe_ids_out;
+         |select bpe_ids from bpe_ids_out as out;""".stripMargin, spark)
+      .head().getSeq[Long](0)
+    // a=0, c+at=[1,11]; zap: z is OOV -> [-1, 0, -1]? no: z,a,p chars with
+    // no applicable merges -> [-1, 0, -1] (p also unseen)
+    assert(ids == Seq(0L, 1L, 11L, -1L, 0L, -1L))
   }
 
   test("Dedup method=embedding keeps one vector per semantic cluster") {
