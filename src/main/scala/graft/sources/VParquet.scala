@@ -99,16 +99,38 @@ object VParquet {
     finally in.close()
     // Jackson leaves missing AnyRef fields null on pre-field manifests
     val m2 = if (m.keyCols == null) m.copy(keyCols = Seq.empty) else m
-    val m3 = if (m2.txn == null) m2.copy(txn = None) else m2
+    // erasure: Jackson materializes Option[Long] as Option[Integer] for
+    // small values — normalize to Long or any numeric unboxing CCEs
+    val m3 =
+      if (m2.txn == null) m2.copy(txn = None)
+      else m2.copy(txn = m2.txn.asInstanceOf[Option[Any]]
+        .map { case n: java.lang.Number => n.longValue })
     if (m3.txnAppId == null) m3.copy(txnAppId = None) else m3
   }
 
-  /** True iff `m` already carries this writer's (txnAppId, txn) marker —
-    * i.e. the commit about to be made is an at-least-once re-delivery.
+  /** Multi-writer-safe re-delivery check: scan manifests NEWEST-first for
+    * this writer identity's most recent marker and compare batch ids.
+    * Checking only the latest manifest is wrong once concurrent writers
+    * exist — another writer's commit landing after ours would bury our
+    * marker and a crash-replayed micro-batch would commit twice. The scan
+    * stops at the first manifest carrying our appId (one hit for a live
+    * stream; bounded by retained versions otherwise — driver-side JSON
+    * reads, no Spark jobs).
     */
-  private def alreadyCommitted(m: Manifest, txn: Option[Long],
-                               txnAppId: Option[String]): Boolean =
-    txn.exists(t => m.txn.contains(t) && m.txnAppId == txnAppId)
+  private def alreadyCommittedAnyVersion(spark: SparkSession, table: String,
+                                         txn: Option[Long],
+                                         txnAppId: Option[String]): Boolean =
+    txn match {
+      case Some(t) =>
+        // an unscoped marker (txnAppId = None) matches only unscoped
+        // manifests — the pre-appId single-writer contract; batch commits
+        // (no txn at all) are transparent to the scan
+        versions(fs(spark, table), table).reverseIterator
+          .map(v => readManifest(spark, table, v))
+          .collectFirst { case m if m.txnAppId == txnAppId && m.txn.isDefined => m }
+          .exists(_.txn.exists(_ >= t))
+      case None => false
+    }
 
   /** Claim version `v` atomically. The manifest is FULLY WRITTEN to a temp
     * file first and only then renamed (no-overwrite) to its final name, so
@@ -198,9 +220,8 @@ object VParquet {
     val spark = df.sparkSession
     val prev = latestVersion(spark, table)
     val prevManifest = prev.map(readManifest(spark, table, _))
-    prevManifest.filter(alreadyCommitted(_, txn, txnAppId)).foreach { _ =>
+    if (alreadyCommittedAnyVersion(spark, table, txn, txnAppId))
       return prev.get // this micro-batch already committed — skip duplicate
-    }
     val newFiles = writeData(df, table, bucketed = false)
     val (carry, nb, keyCols) = prevManifest match {
       case Some(m) if !overwrite => (m.files, m.numBuckets, m.keyCols)
@@ -228,9 +249,8 @@ object VParquet {
     val spark = batch.sparkSession
     val prev = latestVersion(spark, table)
     val current = prev.map(v => readManifest(spark, table, v))
-    current.filter(alreadyCommitted(_, txn, txnAppId)).foreach { _ =>
+    if (alreadyCommittedAnyVersion(spark, table, txn, txnAppId))
       return prev.get // re-delivered micro-batch — already committed
-    }
     current.filter(_.numBuckets > 0).zip(numBuckets).foreach { case (m, n) =>
       require(m.numBuckets == n,
         s"vparquet: $table is bucketed with numBuckets=${m.numBuckets}; " +
@@ -290,7 +310,8 @@ object VParquet {
                 if (attempts > 8) throw e
                 val latest = latestVersion(spark, table).getOrElse(throw e)
                 val lm = readManifest(spark, table, latest)
-                if (alreadyCommitted(lm, txn, txnAppId)) return latest
+                if (alreadyCommittedAnyVersion(spark, table, txn, txnAppId))
+                  return latest
                 val lmInScope = lm.files.filter(f =>
                   f.bucket < 0 || touched.contains(f.bucket))
                 if (lm.numBuckets != n || lmInScope.toSet != inScope.toSet)

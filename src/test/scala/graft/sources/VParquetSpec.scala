@@ -251,6 +251,30 @@ class VParquetSpec extends AnyFunSuite {
     assert(e.getMessage.contains("concurrent write"))
   }
 
+  test("re-delivery is recognized even when another writer buried the marker") {
+    val t = tmp("vp_buried")
+    import spark.implicits._
+    // writer A commits batch 0, then writer B commits its own batch 0:
+    // A's txn marker is no longer on the LATEST manifest
+    VParquet.merge(Seq((1L, "a")).toDF("k", "v"), t, Seq("k"), Some(4), None,
+      txn = Some(0L), txnAppId = Some("writerA"))
+    VParquet.merge(Seq((2L, "b")).toDF("k", "v"), t, Seq("k"), Some(4), None,
+      txn = Some(0L), txnAppId = Some("writerB"))
+    assert(VParquet.latestVersion(spark, t).contains(1L))
+    // A crash-replays batch 0 — the backward scan must find A's buried
+    // marker and skip the duplicate instead of committing version 2
+    val v = VParquet.merge(Seq((1L, "a")).toDF("k", "v"), t, Seq("k"), Some(4), None,
+      txn = Some(0L), txnAppId = Some("writerA"))
+    assert(v == 1L)
+    assert(VParquet.latestVersion(spark, t).contains(1L),
+      "replayed batch must not create a new version")
+    // a genuinely NEW batch from A still commits
+    val v2 = VParquet.merge(Seq((3L, "c")).toDF("k", "v"), t, Seq("k"), Some(4), None,
+      txn = Some(1L), txnAppId = Some("writerA"))
+    assert(v2 == 2L)
+    assert(VParquet.loadVersion(spark, t, None, None).count() == 3)
+  }
+
   test("batch changes read: startingVersion + endingVersion via the DSL") {
     val t = tmp("vp_chg")
     runDF(s"""select 1 as k, 'a' as v as ch0; save overwrite ch0 as vparquet.`$t`;""")
