@@ -376,8 +376,17 @@ object AnnTopKET extends NoPathET {
         nlist = params.getOrElse("nlist", "64").toInt,
         nprobe = params.getOrElse("nprobe", "8").toInt,
         centroidsPath = params.get("centroidsPath"))
+      case "pq" =>
+        // product-quantized scan + exact re-rank (see ProductQuantization):
+        // the 100 TB memory path — m bytes per corpus vector
+        import graft.operators.similarity.ProductQuantization
+        val model = ProductQuantization.fit(df, vecCol,
+          m = params.getOrElse("m", "8").toInt,
+          k = params.getOrElse("pqK", "256").toInt)
+        ProductQuantization.topK(df, queries, idCol, vecCol, qId, qVec, k, model,
+          rerank = params.getOrElse("rerank", "64").toInt)
       case other => throw new IllegalArgumentException(
-        s"AnnTopK method must be brute|ivf, got '$other'")
+        s"AnnTopK method must be brute|ivf|pq, got '$other'")
     }
   }
 }

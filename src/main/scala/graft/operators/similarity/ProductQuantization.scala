@@ -1,0 +1,159 @@
+package graft.operators.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Product quantization for embedding search at corpus scales where raw
+  * vectors don't fit — the FAISS PQ/ADC design re-expressed as Spark
+  * plans. A d-dim float vector becomes `m` one-byte codes (one k=256
+  * KMeans codebook per d/m-dim subspace): 64-dim × 8 bytes → 8 bytes per
+  * vector, a 64× memory cut, which at 100 TB is the difference between an
+  * index that fits in cluster RAM and one that doesn't.
+  *
+  * Search = ADC (asymmetric distance computation): the query stays
+  * unquantized; per query one m×256 inner-product table is precomputed
+  * against the codebooks, and each corpus vector's score is m table
+  * lookups on its codes — no float vector is ever read at query time.
+  * Vectors are L2-NORMALIZED at encode/query time so inner product equals
+  * cosine and the ADC score estimates the cosine directly.
+  *
+  * ADC ranks approximately; [[topK]] therefore over-fetches `rerank`
+  * candidates by ADC and re-ranks JUST those with the exact cosine
+  * against the raw vectors (the standard PQ + exact-rerank pipeline:
+  * O(corpus) byte-lookups + O(rerank) float work per query).
+  *
+  * No reference counterpart; builder-prompt north-star ("similarity
+  * search: ... a scale path") extension alongside the IVF index.
+  */
+object ProductQuantization {
+
+  /** m codebooks of k centroids each over d/m-dim subvectors. */
+  case class PqModel(m: Int, subDim: Int, codebooks: Array[Array[Array[Double]]]) {
+    def numCentroids: Int = codebooks(0).length
+  }
+
+  private def normalize(v: Array[Double]): Array[Double] = {
+    var n = 0.0; var i = 0
+    while (i < v.length) { n += v(i) * v(i); i += 1 }
+    val inv = if (n == 0) 0.0 else 1.0 / math.sqrt(n)
+    v.map(_ * inv)
+  }
+
+  /** Fit codebooks on a bounded, seeded corpus sample (codebooks steer
+    * RANKING quality only — the exact re-rank keeps final scores honest —
+    * so a driver mini-fit is safe, same argument as
+    * [[CosineSimilarity.fitOrLoadCentroids]]).
+    */
+  def fit(df: DataFrame, vecCol: String, m: Int = 8, k: Int = 256,
+          sampleN: Int = 4000, seed: Long = 42L): PqModel = {
+    val sample = df.filter(col(vecCol).isNotNull)
+      .select(col(vecCol).cast("array<double>"))
+      .orderBy(rand(seed)).limit(sampleN)
+      .collect().map(r => normalize(r.getSeq[Double](0).toArray))
+    require(sample.nonEmpty, "PQ fit: empty corpus")
+    val d = sample(0).length
+    require(d % m == 0, s"PQ: dim $d not divisible by m=$m subspaces")
+    val subDim = d / m
+    val codebooks = Array.tabulate(m) { s =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
+      CosineSimilarity.lloyd(sub, k, seed + s, iters = 8)
+    }
+    PqModel(m, subDim, codebooks)
+  }
+
+  /** (id, code byte[m]) per corpus row — the compact index. One scan, no
+    * shuffle; nearest-centroid per subspace by L2 on the normalized
+    * subvector (the KMeans objective).
+    */
+  def encode(df: DataFrame, idCol: String, vecCol: String, model: PqModel): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(model)
+    val enc = udf { (v: Seq[Double]) =>
+      val mm = bc.value
+      val x = normalize(v.toArray)
+      val code = new Array[Byte](mm.m)
+      var s = 0
+      while (s < mm.m) {
+        val cb = mm.codebooks(s)
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < cb.length) {
+          var dist = 0.0; var j = 0
+          while (j < mm.subDim) {
+            val t = cb(c)(j) - x(s * mm.subDim + j); dist += t * t; j += 1
+          }
+          if (dist < bestD) { bestD = dist; best = c }
+          c += 1
+        }
+        code(s) = best.toByte
+        s += 1
+      }
+      code
+    }
+    df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), enc(col(vecCol).cast("array<double>")).as("code"))
+  }
+
+  /** Approximate top-k per query: ADC scoring over the byte codes →
+    * `rerank` candidates per query → exact cosine re-rank on the raw
+    * vectors of just those candidates. Queries are collected (a bounded
+    * query BATCH is the contract, as in [[CosineSimilarity.annTopK]]) so
+    * each query's m×256 ADC table is built once and broadcast.
+    */
+  def topK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+           qIdCol: String, qVecCol: String, k: Int, model: PqModel,
+           rerank: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = corpus.sparkSession
+    val codes = encode(corpus, idCol, vecCol, model)
+    // per-query ADC tables: |queries| × m × 256 doubles, driver-built
+    val qRows = queries.filter(col(qVecCol).isNotNull)
+      .select(col(qIdCol).cast("long"), col(qVecCol).cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> normalize(r.getSeq[Double](1).toArray))
+    val tables: Map[Long, Array[Double]] = qRows.map { case (qid, q) =>
+      val t = new Array[Double](model.m * model.numCentroids)
+      var s = 0
+      while (s < model.m) {
+        var c = 0
+        while (c < model.numCentroids) {
+          var ip = 0.0; var j = 0
+          while (j < model.subDim) {
+            ip += q(s * model.subDim + j) * model.codebooks(s)(c)(j); j += 1
+          }
+          t(s * model.numCentroids + c) = ip
+          c += 1
+        }
+        s += 1
+      }
+      qid -> t
+    }.toMap
+    val bcTables = spark.sparkContext.broadcast(tables)
+    val nc = model.numCentroids
+    val adc = udf { (qid: Long, code: Array[Byte]) =>
+      val t = bcTables.value(qid)
+      var score = 0.0; var s = 0
+      while (s < code.length) {
+        score += t(s * nc + (code(s) & 0xff)); s += 1
+      }
+      score
+    }
+    import spark.implicits._
+    val qIds = qRows.map(_._1).toSeq.toDF("qid")
+    val candidates = codes.join(broadcast(qIds), col("id") =!= col("qid"))
+      .withColumn("adc", adc(col("qid"), col("code")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("id"))))
+      .filter(col("crank") <= rerank)
+      .select(col("qid"), col("id"))
+    // exact re-rank of the surviving candidates only
+    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val qVecs = queries.select(col(qIdCol).cast("long").as("qid"),
+      col(qVecCol).cast("array<double>").as("qv"))
+    candidates
+      .join(vecs, "id")
+      .join(broadcast(qVecs), "qid")
+      .withColumn("sim", round(call_function("arr_cosine", col("qv"), col("v")), 6))
+      .withColumn("nrank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))))
+      .filter(col("nrank") <= k)
+      .select(col("qid"), col("nrank"), col("id").as("neighbor"), col("sim"))
+  }
+}

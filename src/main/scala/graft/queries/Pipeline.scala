@@ -768,7 +768,36 @@ object Pipeline {
         | (3, 5, 8), (3, 6, 11),
         | (4, 0, 13), (4, 1, 8), (4, 2, 14), (4, 3, 16), (4, 4, 13),
         | (4, 5, 1), (4, 6, 14))
-        | t(doc_id, pos, token_id) ORDER BY doc_id, pos""".stripMargin)
+        | t(doc_id, pos, token_id) ORDER BY doc_id, pos""".stripMargin),
+
+    // ---- product-quantization ANN (FAISS PQ/ADC re-expressed in Spark):
+    //      8-byte codes instead of 512-byte vectors (64x memory), ADC
+    //      byte-lookup scoring, exact cosine re-rank of the top `rerank`
+    //      candidates. With re-rank coverage the output EQUALS the exact
+    //      top-k, so the p7 exact oracle applies verbatim — the entry
+    //      proves the compressed index loses nothing the re-rank can't
+    //      recover at this scale. ----
+    QuerySpec.sql("p32_ann_pq", (s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+      val q = e.filter($"vec_id" < 10).select($"vec_id".as("qid"), $"embedding".as("qv"))
+      val model = graft.operators.similarity.ProductQuantization.fit(e, "embedding", m = 8)
+      graft.operators.similarity.ProductQuantization
+        .topK(e, q, "vec_id", "embedding", "qid", "qv", 5, model, rerank = 200)
+        .orderBy($"qid", $"nrank")
+    },
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10)
+        |SELECT qid, nrank, neighbor, sim FROM (
+        | SELECT q.qid, e.vec_id AS neighbor,
+        |  ROUND(LIST_INNER_PRODUCT(q.qv, e.v) /
+        |    (SQRT(LIST_INNER_PRODUCT(q.qv, q.qv)) * SQRT(LIST_INNER_PRODUCT(e.v, e.v))), 6) AS sim,
+        |  ROW_NUMBER() OVER (PARTITION BY q.qid
+        |    ORDER BY ROUND(LIST_INNER_PRODUCT(q.qv, e.v) /
+        |      (SQRT(LIST_INNER_PRODUCT(q.qv, q.qv)) * SQRT(LIST_INNER_PRODUCT(e.v, e.v))), 6) DESC,
+        |      e.vec_id) AS nrank
+        | FROM q JOIN e ON e.vec_id <> q.qid) t
+        |WHERE nrank <= 5 ORDER BY qid, nrank""".stripMargin)
   )
 
   /** Fixed 4-doc corpus for the BPE entries' pinned oracles (expected

@@ -273,6 +273,34 @@ class PipelineETSpec extends AnyFunSuite {
     assert(rows.length == 12) // 3 queries x 4 neighbors
   }
 
+  test("AnnTopK pq: full re-rank coverage equals exact; codes are m bytes") {
+    import graft.operators.similarity.ProductQuantization
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = embs.selectExpr("vec_id as qid", "embedding as qv").filter("qid < 5")
+    val model = ProductQuantization.fit(embs, "embedding", m = 8)
+    // 8 one-byte codes replace the 64-double vector
+    val codes = ProductQuantization.encode(embs, "vec_id", "embedding", model)
+    assert(codes.selectExpr("length(code) as l").distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(8))
+    // invariant: with rerank >= corpus, the exact re-rank sees every row,
+    // so PQ output EQUALS the exact baseline regardless of code quality
+    val n = embs.count().toInt
+    val exact = graft.operators.similarity.CosineSimilarity
+      .annTopK(embs, q, "vec_id", "embedding", "qid", "qv", 5)
+      .orderBy("qid", "nrank").collect().map(_.toSeq).toSeq
+    val pq = ProductQuantization
+      .topK(embs, q, "vec_id", "embedding", "qid", "qv", 5, model, rerank = n)
+      .orderBy("qid", "nrank").collect().map(_.toSeq).toSeq
+    assert(pq == exact)
+    // and the honest approximate regime still finds most true neighbors
+    val approx = ProductQuantization
+      .topK(embs, q, "vec_id", "embedding", "qid", "qv", 5, model, rerank = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val truth = exact.map(r => (r.head.asInstanceOf[Long], r(2).asInstanceOf[Long])).toSet
+    val recall = (approx intersect truth).size.toDouble / truth.size
+    assert(recall >= 0.6, s"PQ recall $recall too low at rerank=20")
+  }
+
   test("AnnTopK ivf: cell-pruned search reaches high recall vs exact") {
     val exact = runDF(
       s"""load parquet.`$sf/embeddings.parquet` as embs3;
