@@ -380,9 +380,10 @@ object AnnTopKET extends NoPathET {
         // product-quantized scan + exact re-rank (see ProductQuantization):
         // the 100 TB memory path — m bytes per corpus vector
         import graft.operators.similarity.ProductQuantization
-        val model = ProductQuantization.fit(df, vecCol,
+        val model = ProductQuantization.fitOrLoad(df, vecCol,
           m = params.getOrElse("m", "8").toInt,
-          k = params.getOrElse("pqK", "256").toInt)
+          k = params.getOrElse("pqK", "256").toInt,
+          modelPath = params.get("modelPath"))
         ProductQuantization.topK(df, queries, idCol, vecCol, qId, qVec, k, model,
           rerank = params.getOrElse("rerank", "64").toInt)
       case other => throw new IllegalArgumentException(

@@ -61,6 +61,47 @@ object ProductQuantization {
     PqModel(m, subDim, codebooks)
   }
 
+  /** Persist codebooks as a parquet table (sub, cell, center) so query
+    * batches against a static corpus skip the sample fit — the PQ analog
+    * of [[CosineSimilarity.fitOrLoadCentroids]]'s `centroidsPath`.
+    */
+  def save(spark: org.apache.spark.sql.SparkSession, model: PqModel, path: String): Unit = {
+    import spark.implicits._
+    model.codebooks.zipWithIndex.flatMap { case (cb, s) =>
+      cb.zipWithIndex.map { case (c, cell) => (s, cell, c.toSeq) }
+    }.toSeq.toDF("sub", "cell", "center")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): PqModel = {
+    val rows = spark.read.parquet(path)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = rows.map(_._1).max + 1
+    val codebooks = Array.tabulate(m) { s =>
+      rows.filter(_._1 == s).sortBy(_._2).map(_._3)
+    }
+    PqModel(m, codebooks(0)(0).length, codebooks)
+  }
+
+  /** Load from `modelPath` when present, else fit and (when a path is
+    * given) save — one clustering scan per corpus, not per query batch.
+    */
+  def fitOrLoad(df: DataFrame, vecCol: String, m: Int = 8, k: Int = 256,
+                sampleN: Int = 4000, seed: Long = 42L,
+                modelPath: Option[String] = None): PqModel = {
+    val spark = df.sparkSession
+    modelPath.filter { p =>
+      val path = new org.apache.hadoop.fs.Path(p)
+      path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
+    } match {
+      case Some(p) => load(spark, p)
+      case None =>
+        val model = fit(df, vecCol, m, k, sampleN, seed)
+        modelPath.foreach(save(spark, model, _))
+        model
+    }
+  }
+
   /** (id, code byte[m]) per corpus row — the compact index. One scan, no
     * shuffle; nearest-centroid per subspace by L2 on the normalized
     * subvector (the KMeans objective).

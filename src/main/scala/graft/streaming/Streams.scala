@@ -225,6 +225,14 @@ object StreamSinks {
         // is exactly-once end to end. The checkpoint scopes the marker:
         // batch ids restart at 0 for every new query.
         val appId = Some(ctx.resolvePath(checkpoint))
+        // autoCompactEvery="N": every N committed versions, fold the
+        // accumulated per-batch files back down (merges add files to their
+        // touched buckets forever otherwise — the operational small-file
+        // decay of every CDC sink). Runs inline in foreachBatch, so it
+        // shares the stream's exactly-once commit path; a compact commit
+        // is itself one atomic version.
+        val compactEvery = opts.get("autoCompactEvery").map(_.toLong)
+        require(compactEvery.forall(_ >= 1), "autoCompactEvery must be >= 1")
         w2.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
           mergeKeys match {
             case Some(ks) =>
@@ -233,6 +241,14 @@ object StreamSinks {
             case None =>
               graft.sources.VParquet.write(batch.toDF(), target,
                 overwrite = false, txn = Some(batchId), txnAppId = appId)
+          }
+          val spark = batch.sparkSession
+          compactEvery.foreach { n =>
+            graft.sources.VParquet.latestVersion(spark, target).foreach { v =>
+              if (v > 0 && (v + 1) % n == 0 &&
+                  graft.sources.VParquet.readManifest(spark, target, v).op != "compact")
+                graft.sources.VParquet.compact(spark, target, targetFileSizeMB = 128)
+            }
           }
           ()
         }.start()

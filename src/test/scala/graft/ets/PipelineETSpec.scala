@@ -301,6 +301,23 @@ class PipelineETSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"PQ recall $recall too low at rerank=20")
   }
 
+  test("PQ model persists to modelPath and reloads identically") {
+    import graft.operators.similarity.ProductQuantization
+    val path = Files.createTempDirectory("pq_model").toString + "/model"
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val m1 = ProductQuantization.fitOrLoad(embs, "embedding", modelPath = Some(path))
+    assert(Files.exists(Paths.get(path)))
+    val m2 = ProductQuantization.fitOrLoad(embs, "embedding", modelPath = Some(path))
+    assert(m1.m == m2.m && m1.subDim == m2.subDim)
+    assert(m1.codebooks.flatten.flatten.toSeq == m2.codebooks.flatten.flatten.toSeq)
+    val q = embs.selectExpr("vec_id as qid", "embedding as qv").filter("qid < 3")
+    val a = ProductQuantization.topK(embs, q, "vec_id", "embedding", "qid", "qv", 3, m1)
+      .orderBy("qid", "nrank").collect().map(_.toSeq).toSeq
+    val b = ProductQuantization.topK(embs, q, "vec_id", "embedding", "qid", "qv", 3, m2)
+      .orderBy("qid", "nrank").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("AnnTopK ivf: cell-pruned search reaches high recall vs exact") {
     val exact = runDF(
       s"""load parquet.`$sf/embeddings.parquet` as embs3;

@@ -251,6 +251,37 @@ class VParquetSpec extends AnyFunSuite {
     assert(e.getMessage.contains("concurrent write"))
   }
 
+  test("vparquet sink auto-compacts every N versions") {
+    val t = tmp("vp_ac")
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    mem.toDF().toDF("k", "v", "ts").createOrReplaceTempView("ac_stream")
+    mem.addData((1L, "a", 1L))
+    val ctx = ScriptRunner.run(
+      s"""set streamName = "vpac";
+         |save append ac_stream as vparquet.`$t` where mode="append"
+         |  and checkpointLocation="${java.nio.file.Files.createTempDirectory("ck_ac")}"
+         |  and duration="0" and idCols="k" and orderCol="ts"
+         |  and autoCompactEvery="2";""".stripMargin, spark)
+    val q = ctx.streams("vpac")
+    try {
+      q.processAllAvailable()              // v0: merge ((0+1)%2 != 0)
+      mem.addData((2L, "b", 2L))
+      q.processAllAvailable()              // v1: merge -> v2: compact
+      mem.addData((1L, "a2", 3L))
+      q.processAllAvailable()              // v3: merge ((3+1)%2 == 0 -> v4 compact)
+    } finally q.stop()
+    val ops = VParquet.history(spark, t).orderBy("version")
+      .collect().map(_.getString(1)).toSeq
+    assert(ops.count(_ == "compact") >= 1, s"expected compactions in $ops")
+    // content survives compaction; newest row per key wins
+    val cur = VParquet.loadVersion(spark, t, None, None).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(cur == Seq(1L -> "a2", 2L -> "b"))
+  }
+
   test("re-delivery is recognized even when another writer buried the marker") {
     val t = tmp("vp_buried")
     import spark.implicits._
