@@ -397,13 +397,20 @@ object VParquet {
       s"vparquet: versions [$from, $to] of $table are not all present " +
         s"(have ${all.mkString(", ")}) — vacuumed or never committed")
     val perVersion = range.flatMap { v =>
-      val files = readManifest(spark, table, v).files.map(_.path).toSet
-      val prev =
-        if (v == 0 || !all.contains(v - 1)) Set.empty[String]
-        else readManifest(spark, table, v - 1).files.map(_.path).toSet
-      val added = (files -- prev).toSeq.sorted.map(p => table + "/" + p)
-      if (added.isEmpty) None
-      else Some(spark.read.parquet(added: _*).withColumn("_commit_version", lit(v)))
+      val manifest = readManifest(spark, table, v)
+      // compact commits rewrite files without changing data — skip, or the
+      // range read re-delivers the whole table per compaction (the
+      // streaming feed applies the same rule)
+      if (manifest.op == "compact") None
+      else {
+        val files = manifest.files.map(_.path).toSet
+        val prev =
+          if (v == 0 || !all.contains(v - 1)) Set.empty[String]
+          else readManifest(spark, table, v - 1).files.map(_.path).toSet
+        val added = (files -- prev).toSeq.sorted.map(p => table + "/" + p)
+        if (added.isEmpty) None
+        else Some(spark.read.parquet(added: _*).withColumn("_commit_version", lit(v)))
+      }
     }
     perVersion.reduceOption(_ unionByName _).getOrElse {
       val schema = spark.read.parquet(

@@ -280,6 +280,17 @@ class VParquetSpec extends AnyFunSuite {
     val cur = VParquet.loadVersion(spark, t, None, None).orderBy("k")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(cur == Seq(1L -> "a2", 2L -> "b"))
+    // change reads SKIP compaction commits (they rewrite files, not data):
+    // no row may carry a compact version's tag
+    import org.apache.spark.sql.functions.col
+    val compactVersions = VParquet.history(spark, t)
+      .filter(col("op") === "compact").collect().map(_.getLong(0)).toSet
+    assert(compactVersions.nonEmpty)
+    val tagged = VParquet.loadChanges(spark, t, 0,
+        VParquet.latestVersion(spark, t).get)
+      .select("_commit_version").distinct().collect().map(_.getLong(0)).toSet
+    assert((tagged intersect compactVersions).isEmpty,
+      s"compact versions $compactVersions leaked into the change feed: $tagged")
   }
 
   test("re-delivery is recognized even when another writer buried the marker") {
