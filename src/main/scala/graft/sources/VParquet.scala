@@ -53,7 +53,15 @@ object VParquet {
   final class ConcurrentWriteException(msg: String, cause: Throwable)
     extends IllegalStateException(msg, cause)
 
-  case class FileEntry(path: String, bucket: Int)
+  /** `size`/`stats` are recorded at commit time (file length from the
+    * commit-dir listing; min/max/null/row counts from the parquet footer)
+    * so snapshot reads plan with ZERO per-file filesystem calls and
+    * selective filters prune files at the manifest (see [[DataSkipping]]).
+    * Both are absent (0 / None) on manifests written before the fields
+    * existed — readers fall back gracefully.
+    */
+  case class FileEntry(path: String, bucket: Int, size: Long = 0L,
+                       stats: Option[DataSkipping.FileStats] = None)
   /** `keyCols` records the merge keys so maintenance operations (compact)
     * can recompute bucket assignments without the caller re-supplying
     * them; empty for unkeyed tables. `txn` is the streaming micro-batch id
@@ -67,7 +75,8 @@ object VParquet {
     */
   case class Manifest(version: Long, op: String, ts: Long, numBuckets: Int,
                       files: Seq[FileEntry], keyCols: Seq[String] = Seq.empty,
-                      txn: Option[Long] = None, txnAppId: Option[String] = None)
+                      txn: Option[Long] = None, txnAppId: Option[String] = None,
+                      schemaJson: Option[String] = None)
 
   private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
     // older manifests may lack newer fields and vice versa — evolve forward
@@ -105,7 +114,12 @@ object VParquet {
       if (m2.txn == null) m2.copy(txn = None)
       else m2.copy(txn = m2.txn.asInstanceOf[Option[Any]]
         .map { case n: java.lang.Number => n.longValue })
-    if (m3.txnAppId == null) m3.copy(txnAppId = None) else m3
+    val m4 = if (m3.txnAppId == null) m3.copy(txnAppId = None) else m3
+    val m5 = if (m4.schemaJson == null) m4.copy(schemaJson = None) else m4
+    m5.copy(files = m5.files.map { e =>
+      if (e.stats == null) e.copy(stats = None)
+      else e.copy(stats = e.stats.map(DataSkipping.normalize))
+    })
   }
 
   /** Multi-writer-safe re-delivery check: scan manifests NEWEST-first for
@@ -190,7 +204,9 @@ object VParquet {
         val q = f.makeQualified(st.getPath).toString
         require(q.startsWith(base),
           s"vparquet: listed file $q is outside its commit dir $base")
-        entries += FileEntry(commit + q.stripPrefix(base), bucket)
+        entries += FileEntry(commit + q.stripPrefix(base), bucket, st.getLen,
+          DataSkipping.fromFooter(
+            df.sparkSession.sparkContext.hadoopConfiguration, st.getPath))
       }
     }
     entries.toSeq
@@ -198,6 +214,13 @@ object VParquet {
 
   private def absFiles(table: String, files: Seq[FileEntry]): Seq[String] =
     files.map(f => table + "/" + f.path)
+
+  /** Recorded in the manifest so readers plan without touching any file.
+    * Nullable-widened: parquet reads always surface nullable columns.
+    */
+  private def schemaJsonOf(df: DataFrame): Option[String] =
+    Some(org.apache.spark.sql.types.StructType(
+      df.schema.filterNot(_.name == "__bucket__").map(_.copy(nullable = true))).json)
 
   private def requireNoReservedCols(df: DataFrame): Unit =
     require(!df.columns.contains("__bucket__"),
@@ -230,7 +253,8 @@ object VParquet {
     val version = prev.map(_ + 1).getOrElse(0L)
     writeManifest(spark, table, Manifest(version,
       if (overwrite) "overwrite" else "append",
-      System.currentTimeMillis(), nb, carry ++ newFiles, keyCols, txn, txnAppId))
+      System.currentTimeMillis(), nb, carry ++ newFiles, keyCols, txn, txnAppId,
+      schemaJsonOf(df)))
     version
   }
 
@@ -302,7 +326,8 @@ object VParquet {
           while (true) {
             try {
               writeManifest(spark, table, Manifest(v, "merge",
-                System.currentTimeMillis(), n, carryNow ++ newFiles, idCols, txn, txnAppId))
+                System.currentTimeMillis(), n, carryNow ++ newFiles, idCols, txn, txnAppId,
+                schemaJsonOf(deduped)))
               return v
             } catch {
               case e: ConcurrentWriteException =>
@@ -336,7 +361,8 @@ object VParquet {
             .unionByName(deduped)
         val newFiles = writeData(merged, table, bucketed = false)
         writeManifest(spark, table, Manifest(version, "merge",
-          System.currentTimeMillis(), -1, newFiles, idCols, txn, txnAppId))
+          System.currentTimeMillis(), -1, newFiles, idCols, txn, txnAppId,
+          schemaJsonOf(deduped)))
     }
     version
   }
@@ -365,7 +391,8 @@ object VParquet {
         .repartition(m.numBuckets, col("__bucket__"))
       val newFiles = writeData(rebucketed, table, bucketed = true)
       writeManifest(spark, table, Manifest(version, "compact",
-        System.currentTimeMillis(), m.numBuckets, newFiles, m.keyCols))
+        System.currentTimeMillis(), m.numBuckets, newFiles, m.keyCols,
+        schemaJson = schemaJsonOf(df)))
     } else {
       // size only the unbucketed branch (the bucketed one is shaped by
       // bucket count, not target size) — one metadata call per file
@@ -376,7 +403,8 @@ object VParquet {
         (totalBytes + targetFileSizeMB * 1024L * 1024 - 1) / (targetFileSizeMB * 1024L * 1024)).toInt
       val newFiles = writeData(df.repartition(parts), table, bucketed = false)
       writeManifest(spark, table, Manifest(version, "compact",
-        System.currentTimeMillis(), -1, newFiles, m.keyCols))
+        System.currentTimeMillis(), -1, newFiles, m.keyCols,
+        schemaJson = schemaJsonOf(df)))
     }
     version
   }
@@ -403,13 +431,17 @@ object VParquet {
       // streaming feed applies the same rule)
       if (manifest.op == "compact") None
       else {
-        val files = manifest.files.map(_.path).toSet
         val prev =
           if (v == 0 || !all.contains(v - 1)) Set.empty[String]
           else readManifest(spark, table, v - 1).files.map(_.path).toSet
-        val added = (files -- prev).toSeq.sorted.map(p => table + "/" + p)
+        val added = manifest.files.filterNot(e => prev.contains(e.path))
+          .sortBy(_.path)
         if (added.isEmpty) None
-        else Some(spark.read.parquet(added: _*).withColumn("_commit_version", lit(v)))
+        // stats-pruned scan of just this version's added files: a
+        // filtered change read (e.g. one key range) skips non-matching
+        // files per version
+        else Some(VParquetScan.scan(spark, table, manifest.copy(files = added))
+          .withColumn("_commit_version", lit(v)))
       }
     }
     perVersion.reduceOption(_ unionByName _).getOrElse {
@@ -447,7 +479,9 @@ object VParquet {
         case None => all.last
       }
     }
-    spark.read.parquet(absFiles(table, readManifest(spark, table, v).files): _*)
+    // skipping scan: files with manifest stats refuting the query's
+    // filters are pruned before task planning (VParquetSkipping.scala)
+    VParquetScan.scan(spark, table, readManifest(spark, table, v))
   }
 
   /** One row per committed version (the `!vtable history` surface). */

@@ -1,0 +1,190 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Manifest-level file skipping: stats harvested at commit, files pruned
+  * from the query's data filters before task planning.
+  */
+class DataSkippingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def tmp(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): FileSourceScanExec = {
+    def find(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(find)
+    }
+    find(df.queryExecution.executedPlan).head
+  }
+
+  private def numFilesScanned(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect() // execute so metrics are populated
+    scanOf(df).metrics("numFiles").value
+  }
+
+  // ---- unit-level: mayContain on hand-built stats ----
+
+  private val stats = DataSkipping.FileStats(
+    numRecords = 100L,
+    minValues = Map("k" -> "10", "s" -> "delta"),
+    maxValues = Map("k" -> "20", "s" -> "kafka"),
+    nullCounts = Map("k" -> 0L, "s" -> 5L))
+  private val k = AttributeReference("k", LongType)()
+  private val s = AttributeReference("s", StringType)()
+
+  test("mayContain: numeric range proofs prune, unknowns keep") {
+    assert(!DataSkipping.mayContain(stats, EqualTo(k, Literal(9L))))
+    assert(DataSkipping.mayContain(stats, EqualTo(k, Literal(10L))))
+    assert(DataSkipping.mayContain(stats, EqualTo(k, Literal(15L))))
+    assert(!DataSkipping.mayContain(stats, EqualTo(k, Literal(21L))))
+    assert(!DataSkipping.mayContain(stats, GreaterThan(k, Literal(20L))))
+    assert(DataSkipping.mayContain(stats, GreaterThanOrEqual(k, Literal(20L))))
+    assert(!DataSkipping.mayContain(stats, LessThan(k, Literal(10L))))
+    // reversed operand order: 15 < k means k > 15 → satisfiable
+    assert(DataSkipping.mayContain(stats, LessThan(Literal(15L), k)))
+    assert(!DataSkipping.mayContain(stats, LessThan(Literal(20L), k)))
+    // a column with no recorded stats never proves anything
+    val z = AttributeReference("z", LongType)()
+    assert(DataSkipping.mayContain(stats, EqualTo(z, Literal(123L))))
+  }
+
+  test("mayContain: And/Or/In/IsNull compose; strings compare lexically") {
+    assert(!DataSkipping.mayContain(stats,
+      And(EqualTo(k, Literal(15L)), EqualTo(k, Literal(25L)))))
+    assert(DataSkipping.mayContain(stats,
+      Or(EqualTo(k, Literal(25L)), EqualTo(k, Literal(15L)))))
+    assert(!DataSkipping.mayContain(stats,
+      In(k, Seq(Literal(1L), Literal(2L)))))
+    assert(DataSkipping.mayContain(stats,
+      In(k, Seq(Literal(1L), Literal(12L)))))
+    assert(DataSkipping.mayContain(stats, IsNull(s)))
+    assert(!DataSkipping.mayContain(stats, IsNull(k)))
+    assert(DataSkipping.mayContain(stats, IsNotNull(k)))
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(!DataSkipping.mayContain(stats,
+      EqualTo(s, Literal(UTF8String.fromString("zzz"), StringType))))
+    assert(DataSkipping.mayContain(stats,
+      EqualTo(s, Literal(UTF8String.fromString("hive"), StringType))))
+    assert(!DataSkipping.mayContain(stats,
+      StartsWith(s, Literal(UTF8String.fromString("zz"), StringType))))
+    assert(DataSkipping.mayContain(stats,
+      StartsWith(s, Literal(UTF8String.fromString("ka"), StringType))))
+    // prefix shorter than min but covering the range
+    assert(DataSkipping.mayContain(stats,
+      StartsWith(s, Literal(UTF8String.fromString("d"), StringType))))
+  }
+
+  // ---- end-to-end through commit + read ----
+
+  test("selective filter scans only matching files; results unchanged") {
+    val t = tmp("vp_skip")
+    import spark.implicits._
+    // 4 files with disjoint k ranges (range partitioning sorts per file)
+    val df = (0L until 400L).map(i => (i, s"name$i")).toDF("k", "v")
+      .repartitionByRange(4, $"k")
+    VParquet.write(df, t, overwrite = true)
+    val m = VParquet.readManifest(spark, t, 0)
+    assert(m.files.size == 4)
+    assert(m.files.forall(_.size > 0))
+    assert(m.files.forall(_.stats.exists(st =>
+      st.minValues.contains("k") && st.maxValues.contains("k"))))
+    assert(m.schemaJson.isDefined)
+
+    val point = VParquet.loadVersion(spark, t, None, None).filter($"k" === 250L)
+    assert(numFilesScanned(point) == 1L, "point lookup must scan one file")
+    assert(point.select("v").head().getString(0) == "name250")
+
+    // expected file count from the recorded ranges themselves: range
+    // partitioning samples boundaries, so [150, 350) may straddle 2 or 3
+    // of the 4 files — what matters is scan == overlap, not a guess
+    val overlapping = m.files.count(_.stats.exists(st =>
+      st.minValues("k").toLong < 350L && st.maxValues("k").toLong >= 150L))
+    assert(overlapping < 4, "fixture: the range must not cover every file")
+    val range = VParquet.loadVersion(spark, t, None, None)
+      .filter($"k" >= 150L && $"k" < 350L)
+    assert(numFilesScanned(range) == overlapping.toLong,
+      s"range filter must scan exactly the $overlapping overlapping files")
+    assert(range.count() == 200L)
+
+    // no filter → all files, all rows
+    val full = VParquet.loadVersion(spark, t, None, None)
+    assert(numFilesScanned(full) == 4L)
+    assert(full.count() == 400L)
+
+    // string stats prune too
+    val sPoint = VParquet.loadVersion(spark, t, None, None)
+      .filter($"v" === "name250")
+    assert(numFilesScanned(sPoint) <= 4L) // names aren't range-clustered
+    assert(sPoint.count() == 1L)
+  }
+
+  test("non-ASCII string stats are dropped, file is kept (no wrong prune)") {
+    val t = tmp("vp_skip_utf")
+    import spark.implicits._
+    val df = Seq((1L, "café"), (2L, "zzü")).toDF("k", "v").coalesce(1)
+    VParquet.write(df, t, overwrite = true)
+    val m = VParquet.readManifest(spark, t, 0)
+    assert(m.files.head.stats.exists(st => !st.minValues.contains("v")),
+      "non-ASCII min/max must not be recorded")
+    // the filter still works (file read, filter applied by Catalyst)
+    val out = VParquet.loadVersion(spark, t, None, None).filter($"v" === "café")
+    assert(out.count() == 1L)
+  }
+
+  test("null-count stats prove IS NULL empty; nulls survive reads") {
+    val t = tmp("vp_skip_null")
+    import spark.implicits._
+    val noNulls = (0 until 10).map(i => (i.toLong, Some(s"v$i"))).toDF("k", "v")
+      .coalesce(1)
+    VParquet.write(noNulls, t, overwrite = true)
+    val q = VParquet.loadVersion(spark, t, None, None).filter($"v".isNull)
+    assert(numFilesScanned(q) == 0L, "a file with zero nulls cannot satisfy IS NULL")
+    assert(q.count() == 0L)
+  }
+
+  test("legacy manifests without size/stats still read (fallback path)") {
+    val t = tmp("vp_skip_legacy")
+    import spark.implicits._
+    VParquet.write((0 until 20).map(i => (i.toLong, s"v$i")).toDF("k", "v"), t,
+      overwrite = true)
+    val m = VParquet.readManifest(spark, t, 0)
+    // strip the new fields, as a pre-skipping writer would have produced
+    val stripped = m.copy(version = 1, files = m.files.map(_.copy(size = 0L, stats = None)),
+      schemaJson = None)
+    VParquet.writeManifest(spark, t, stripped)
+    val df = VParquet.loadVersion(spark, t, Some(1L), None)
+    assert(df.count() == 20L)
+    assert(df.filter($"k" === 3L).count() == 1L)
+  }
+
+  test("filtered change-feed read prunes per version") {
+    val t = tmp("vp_skip_cdc")
+    import spark.implicits._
+    VParquet.write((0L until 100L).map(i => (i, "a")).toDF("k", "v")
+      .repartitionByRange(2, $"k"), t, overwrite = true)
+    VParquet.write((100L until 200L).map(i => (i, "b")).toDF("k", "v")
+      .repartitionByRange(2, $"k"), t, overwrite = false)
+    val changes = VParquet.loadChanges(spark, t, 0, 1).filter($"k" === 150L)
+    assert(changes.select("_commit_version").head().getLong(0) == 1L)
+    // 4 files total across versions; the filter reaches both unioned scans
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    changes.collect()
+    val scanned = scans(changes.queryExecution.executedPlan)
+      .map(_.metrics("numFiles").value).sum
+    assert(scanned == 1L, s"expected 1 file scanned across versions, got $scanned")
+  }
+}
