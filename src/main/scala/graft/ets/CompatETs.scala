@@ -53,8 +53,17 @@ object VParquetCommandET extends NoPathET {
         UtilityETs.oneRowTable(ctx.spark,
           "dropped_versions" -> droppedManifests.toString,
           "deleted_files" -> deletedFiles.toString)
+      case "zorder" =>
+        // OPTIMIZE ZORDER analog: rewrite the snapshot along the Z-curve
+        // of the given columns so filters on any of them skip files
+        require(args.length == 4,
+          "usage: !vtable zorder <path> <targetFileSizeMB> <col1,col2,...>")
+        val v = graft.sources.VParquet.compact(ctx.spark,
+          ctx.resolvePath(args(1)), args(2).toInt,
+          zorderBy = args(3).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        UtilityETs.oneRowTable(ctx.spark, "zordered_version" -> v.toString)
       case other => throw new IllegalArgumentException(
-        s"!vtable supports history|compact|vacuum, got '$other'")
+        s"!vtable supports history|compact|vacuum|zorder, got '$other'")
     }
   }
 }

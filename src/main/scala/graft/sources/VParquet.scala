@@ -238,14 +238,22 @@ object VParquet {
     * them unconditionally.
     */
   def write(df: DataFrame, table: String, overwrite: Boolean,
-            txn: Option[Long] = None, txnAppId: Option[String] = None): Long = {
+            txn: Option[Long] = None, txnAppId: Option[String] = None,
+            clusterBy: Seq[String] = Seq.empty, numFiles: Int = 0): Long = {
     requireNoReservedCols(df)
     val spark = df.sparkSession
     val prev = latestVersion(spark, table)
     val prevManifest = prev.map(readManifest(spark, table, _))
     if (alreadyCommittedAnyVersion(spark, table, txn, txnAppId))
       return prev.get // this micro-batch already committed — skip duplicate
-    val newFiles = writeData(df, table, bucketed = false)
+    // range-cluster before writing so per-file min/max on clusterBy cols
+    // are disjoint and the manifest skipping actually prunes
+    val laid =
+      if (clusterBy.isEmpty) df
+      else ZOrder.cluster(df, clusterBy,
+        if (numFiles > 0) numFiles
+        else spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    val newFiles = writeData(laid, table, bucketed = false)
     val (carry, nb, keyCols) = prevManifest match {
       case Some(m) if !overwrite => (m.files, m.numBuckets, m.keyCols)
       case _ => (Seq.empty[FileEntry], -1, Seq.empty[String])
@@ -374,12 +382,16 @@ object VParquet {
     * recorded keyCols, so callers don't re-supply them. Old versions remain
     * time-travelable until vacuumed.
     */
-  def compact(spark: SparkSession, table: String, targetFileSizeMB: Int): Long = {
+  def compact(spark: SparkSession, table: String, targetFileSizeMB: Int,
+              zorderBy: Seq[String] = Seq.empty): Long = {
     require(targetFileSizeMB > 0, "targetFileSizeMB must be positive")
     val prev = latestVersion(spark, table).getOrElse(
       throw new IllegalArgumentException(s"vparquet: $table has no committed versions"))
     val m = readManifest(spark, table, prev)
     require(m.files.nonEmpty, s"vparquet: version $prev of $table has no data files")
+    require(zorderBy.isEmpty || m.numBuckets <= 0,
+      s"vparquet: $table is bucketed by ${m.keyCols.mkString(",")} — its file " +
+        "layout is key-driven; zorder applies to unbucketed tables")
     val df = spark.read.parquet(absFiles(table, m.files): _*)
     val version = prev + 1
     if (m.numBuckets > 0) {
@@ -395,13 +407,21 @@ object VParquet {
         schemaJson = schemaJsonOf(df)))
     } else {
       // size only the unbucketed branch (the bucketed one is shaped by
-      // bucket count, not target size) — one metadata call per file
-      val f = fs(spark, table)
+      // bucket count, not target size); manifest-recorded sizes when
+      // present, one metadata call per legacy file otherwise
+      lazy val f = fs(spark, table)
       val totalBytes = m.files.map(e =>
-        f.getFileStatus(new Path(table + "/" + e.path)).getLen).sum
+        if (e.size > 0) e.size
+        else f.getFileStatus(new Path(table + "/" + e.path)).getLen).sum
       val parts = math.max(1L,
         (totalBytes + targetFileSizeMB * 1024L * 1024 - 1) / (targetFileSizeMB * 1024L * 1024)).toInt
-      val newFiles = writeData(df.repartition(parts), table, bucketed = false)
+      // OPTIMIZE ZORDER analog: same compact commit (data unchanged — the
+      // change feed skips it), but laid out along the Z-curve so filters
+      // on any zorderBy column skip files
+      val laid =
+        if (zorderBy.isEmpty) df.repartition(parts)
+        else ZOrder.layout(df, zorderBy, parts)
+      val newFiles = writeData(laid, table, bucketed = false)
       writeManifest(spark, table, Manifest(version, "compact",
         System.currentTimeMillis(), -1, newFiles, m.keyCols,
         schemaJson = schemaJsonOf(df)))
@@ -568,7 +588,10 @@ final class VParquetSource extends GraftSource {
       case Some(ks) => VParquet.merge(df, table, ks.split(",").map(_.trim).toSeq,
         opts.get("numBuckets").map(_.toInt), opts.get("orderCol"))
       case None => VParquet.write(df, table,
-        overwrite = mode == org.apache.spark.sql.SaveMode.Overwrite)
+        overwrite = mode == org.apache.spark.sql.SaveMode.Overwrite,
+        clusterBy = opts.get("clusterBy").toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
+        numFiles = opts.get("fileNum").map(_.toInt).getOrElse(0))
     }
   }
 }

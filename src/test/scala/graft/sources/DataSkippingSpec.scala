@@ -167,6 +167,58 @@ class DataSkippingSpec extends AnyFunSuite {
     assert(df.filter($"k" === 3L).count() == 1L)
   }
 
+  test("clusterBy write makes point filters single-file through the DSL") {
+    val t = tmp("vp_cluster")
+    import spark.implicits._
+    (0L until 400L).map(i => (i, s"v$i")).toDF("k", "v")
+      .createOrReplaceTempView("cl_in")
+    graft.dsl.ScriptRunner.runToDF(
+      s"""select * from cl_in as cl_src;
+         |save overwrite cl_src as vparquet.`$t` where clusterBy="k" and fileNum="4";
+         |""".stripMargin, spark)
+    val m = VParquet.readManifest(spark, t, 0)
+    assert(m.files.size == 4)
+    // clustered ranges are DISJOINT → any point filter hits exactly 1 file
+    val q = VParquet.loadVersion(spark, t, None, None).filter($"k" === 321L)
+    assert(numFilesScanned(q) == 1L)
+    assert(q.head().getString(1) == "v321")
+  }
+
+  test("zorder compact: filters on EITHER column skip files") {
+    val t = tmp("vp_zorder")
+    import spark.implicits._
+    // 256x256 grid with a high-entropy payload (so the table exceeds one
+    // 1MB target file), written in a skip-hostile layout: shuffled, every
+    // file spans the full domain of both columns
+    val grid = spark.range(256L * 256L).select(
+      (col("id") / 256L).cast("long").as("x"),
+      pmod(col("id"), lit(256L)).as("y"),
+      sha2(col("id").cast("string"), 256).as("payload"))
+    VParquet.write(grid.orderBy(rand(42)).repartition(8), t, overwrite = true)
+    val before = VParquet.loadVersion(spark, t, None, None).filter($"x" === 7L)
+    assert(numFilesScanned(before) == 8L, "shuffled layout must not prune")
+
+    // OPTIMIZE ZORDER BY (x, y) via the DSL command
+    val res = graft.dsl.ScriptRunner.runToDF(
+      s"!vtable zorder $t 1 x,y;", spark).collect()
+    assert(res.head.getString(0) == "1")
+    val m = VParquet.readManifest(spark, t, 1)
+    assert(m.op == "compact" && m.files.size > 1)
+
+    def scanned(c: String, v: Long): Long = {
+      val q = VParquet.loadVersion(spark, t, None, None).filter(col(c) === v)
+      val n = numFilesScanned(q)
+      assert(q.count() == 256L, s"$c=$v must still return a full grid line")
+      n
+    }
+    val total = m.files.size.toLong
+    assert(scanned("x", 7L) < total, "x filter must skip files after zorder")
+    assert(scanned("y", 42L) < total, "y filter must skip files after zorder")
+    // and the change feed ignores the rewrite (no data changed)
+    assert(VParquet.loadChanges(spark, t, 0, 1)
+      .select("_commit_version").distinct().collect().map(_.getLong(0)).toSeq == Seq(0L))
+  }
+
   test("filtered change-feed read prunes per version") {
     val t = tmp("vp_skip_cdc")
     import spark.implicits._
