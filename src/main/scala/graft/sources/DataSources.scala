@@ -48,9 +48,10 @@ object DataSourceRegistry {
 
   // built-ins registered once at class-load (same effect as the reference's
   // classpath scan, DataSourceRegistry.scala:83-85, without the scan)
-  Seq(new JsonStrSource, new CsvStrSource, new ScriptSource, new ConsoleSink,
-    new HiveSource, new JdbcSource, new SystemTableSource, new ModelParamsSource,
-    new ModelSource, new ConfSource, new UnStructuredSource, new VParquetSource)
+  Seq(new JsonStrSource, new CsvStrSource, new XmlStrSource, new ScriptSource,
+    new ConsoleSink, new HiveSource, new JdbcSource, new SystemTableSource,
+    new ModelParamsSource, new ModelSource, new ConfSource,
+    new UnStructuredSource, new VParquetSource)
     .foreach(register)
   // registry slots for connectors whose jars are not available offline —
   // fail with a clear message instead of a ClassNotFoundException
@@ -108,6 +109,29 @@ final class CsvStrSource extends GraftSource {
     import ctx.spark.implicits._
     ctx.spark.read.options(opts)
       .csv(ctx.spark.createDataset(text.split("\n").toSeq.filter(_.trim.nonEmpty)))
+  }
+}
+
+/** `load xmlStr.`varName` [where rowTag="row"]` — parse a `set` variable
+  * holding an XML document through Spark 4's built-in XML parser (the
+  * file-path `xml` format needs no registration: it resolves through the
+  * DataFrameReader fallback like every other built-in). Sibling of
+  * jsonStr/csvStr (reference: MLSQLJSonStr.scala:16-22 pattern).
+  */
+final class XmlStrSource extends GraftSource {
+  override def shortName = "xmlstr"
+  override def load(ctx: ScriptContext, path: String, opts: Map[String, String]): DataFrame = {
+    val text = ctx.env.getOrElse(path,
+      throw new IllegalArgumentException(s"xmlStr: no `set $path = ...` variable in scope"))
+    // the Dataset[String] overload treats each string as ONE row fragment;
+    // a variable holds a whole document, so stage it as a file and let the
+    // path reader split on rowTag (driver-local tiny fixtures, like jsonStr)
+    val tmp = java.nio.file.Files.createTempDirectory("xmlstr")
+    val file = tmp.resolve(path + ".xml")
+    java.nio.file.Files.write(file, text.getBytes("UTF-8"))
+    ctx.spark.read.options(opts)
+      .option("rowTag", opts.getOrElse("rowTag", "row"))
+      .xml(file.toString)
   }
 }
 

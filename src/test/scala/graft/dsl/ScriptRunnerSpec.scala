@@ -72,6 +72,26 @@ class ScriptRunnerSpec extends AnyFunSuite {
     assert(df.columns.toSeq == Seq("a", "b"))
   }
 
+  test("xmlStr source parses a set variable; xml files via the fallback") {
+    val df = runDF(
+      """set xmldata = '''<books><book><a>1</a><b>x</b></book>
+        |<book><a>2</a><b>y</b></book></books>''';
+        |load xmlStr.`xmldata` where rowTag="book" as xt;
+        |select a, b from xt order by a as out;""".stripMargin)
+    assert(df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq(1L -> "x", 2L -> "y"))
+    // the file-path xml format needs no registration: save + load through
+    // the DataFrameReader/Writer fallback (Spark 4 built-in XML source)
+    val dir = java.nio.file.Files.createTempDirectory("xml_rt").toString + "/books"
+    val back = runDF(
+      s"""set xmldata2 = '''<r><a>7</a></r>''';
+         |load xmlStr.`xmldata2` where rowTag="r" as x2;
+         |save overwrite x2 as xml.`$dir` where rowTag="r";
+         |load xml.`$dir` where rowTag="r" as x3;
+         |select a from x3 as out;""".stripMargin)
+    assert(back.head().getLong(0) == 7L)
+  }
+
   test("script source yields one-row content table") {
     val df = runDF(
       """set myscript = '''select 1 as one''';
