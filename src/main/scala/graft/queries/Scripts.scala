@@ -399,6 +399,30 @@ object Scripts {
         | (tok_end - n_tokens) // 1024 AS first_chunk,
         | (tok_end - 1) // 1024 AS last_chunk,
         | (tok_end - n_tokens) % 1024 AS offset_in_chunk
-        |FROM c ORDER BY doc_id""".stripMargin)
+        |FROM c ORDER BY doc_id""".stripMargin),
+
+    // ---- data-skipping round-trip: clusterBy write → zorder rewrite →
+    //      selective read. The oracle sees only the original parquet, so a
+    //      wrong prune (a file dropped that held matching rows) would
+    //      hash-mismatch; the layout machinery must be result-invisible. ----
+    QuerySpec.sql("s21_script_dataskip", (s, dir) => {
+      val t = "/tmp/graft_s21_vtable"
+      val p = new org.apache.hadoop.fs.Path(t)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      script(s,
+        s"""load parquet.`$dir/documents.parquet` as documents;
+           |select doc_id, lang, source, n_chars from documents as s21_proj;
+           |save overwrite s21_proj as vparquet.`$t`
+           |  where clusterBy="doc_id" and fileNum="8";
+           |!vtable zorder $t 1 doc_id,n_chars;
+           |load vparquet.`$t` as s21_v;
+           |select doc_id, lang, source, n_chars from s21_v
+           |  where doc_id >= 100 and doc_id < 200 and n_chars >= 500
+           |order by doc_id as s21_out;""".stripMargin)
+    },
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id >= 100 AND doc_id < 200 AND n_chars >= 500
+        |ORDER BY doc_id""".stripMargin)
   )
 }

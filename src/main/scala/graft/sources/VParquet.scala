@@ -504,6 +504,28 @@ object VParquet {
     VParquetScan.scan(spark, table, readManifest(spark, table, v))
   }
 
+  /** One row per data file of the latest (or given) snapshot, with its
+    * recorded size/rows/stats — the observability surface for data
+    * skipping (Delta's DESCRIBE DETAIL + per-file stats, as a table).
+    */
+  def detail(spark: SparkSession, table: String, versionAsOf: Option[Long]): DataFrame = {
+    import spark.implicits._
+    val all = versions(fs(spark, table), table)
+    require(all.nonEmpty, s"vparquet: $table has no committed versions")
+    val v = versionAsOf.getOrElse(all.last)
+    val m = readManifest(spark, table, v)
+    m.files.map { e =>
+      val st = e.stats
+      (m.version, e.path, e.bucket, e.size,
+        st.map(_.numRecords).getOrElse(-1L),
+        st.map(s => mapper.writeValueAsString(s.minValues)).orNull,
+        st.map(s => mapper.writeValueAsString(s.maxValues)).orNull,
+        st.map(s => mapper.writeValueAsString(s.nullCounts)).orNull)
+    }.toDF("version", "file", "bucket", "size_bytes", "num_rows",
+      "min_values", "max_values", "null_counts")
+      .orderBy("file")
+  }
+
   /** One row per committed version (the `!vtable history` surface). */
   def history(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._
@@ -564,8 +586,10 @@ final class VParquetSource extends GraftSource {
     val table = ctx.resolvePath(path)
     opts.get("action") match {
       case Some("history") => VParquet.history(ctx.spark, table)
+      case Some("detail") => VParquet.detail(ctx.spark, table,
+        opts.get("versionAsOf").map(_.toLong))
       case Some(other) => throw new IllegalArgumentException(
-        s"vparquet load action '$other' not supported (history)")
+        s"vparquet load action '$other' not supported (history, detail)")
       // batch changes read: BOTH bounds given (startingVersion alone is the
       // STREAMING change feed, dispatched before the registry — see
       // StreamSources.loadIfStreaming)

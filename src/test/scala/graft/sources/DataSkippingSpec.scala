@@ -219,6 +219,20 @@ class DataSkippingSpec extends AnyFunSuite {
       .select("_commit_version").distinct().collect().map(_.getLong(0)).toSeq == Seq(0L))
   }
 
+  test("action=detail exposes per-file stats through the DSL") {
+    val t = tmp("vp_detail")
+    import spark.implicits._
+    VParquet.write((0L until 100L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartitionByRange(2, $"k"), t, overwrite = true)
+    val d = graft.dsl.ScriptRunner.runToDF(
+      s"""load vparquet.`$t` where action="detail" as dt;
+         |select * from dt as out;""".stripMargin, spark)
+    val rows = d.collect()
+    assert(rows.length == 2)
+    assert(rows.forall(_.getAs[Long]("num_rows") == 50L))
+    assert(rows.forall(r => r.getAs[String]("min_values").contains("\"k\"")))
+  }
+
   test("filtered change-feed read prunes per version") {
     val t = tmp("vp_skip_cdc")
     import spark.implicits._
