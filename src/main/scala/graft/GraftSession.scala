@@ -28,6 +28,9 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .withExtensions(graft.functions.VecExpressions.inject)
+      // metadata-only COUNT/MIN/MAX over vparquet snapshots (answers from
+      // manifest stats, no scan — see graft.plans.MetadataOnlyAgg)
+      .withExtensions(graft.plans.MetadataOnlyAgg.inject)
 
   /** Build (or reuse) the session and register the engine's built-in UDF
     * pack, exactly as the reference registers its function classes at

@@ -259,6 +259,12 @@ final class VParquetFileIndex(spark: SparkSession, table: String,
                               manifest: VParquet.Manifest,
                               dataSchema: StructType) extends FileIndex {
 
+  /** The manifest entries (with their stats) this index scans — read by
+    * [[graft.plans.MetadataOnlyAgg]] to answer whole-table aggregates
+    * without any scan at all.
+    */
+  def manifestEntries: Seq[VParquet.FileEntry] = manifest.files
+
   private val tablePath = new Path(table)
 
   // legacy manifests (no size recorded) fall back to one getFileStatus per

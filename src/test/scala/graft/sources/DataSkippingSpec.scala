@@ -219,6 +219,43 @@ class DataSkippingSpec extends AnyFunSuite {
       .select("_commit_version").distinct().collect().map(_.getLong(0)).toSeq == Seq(0L))
   }
 
+  test("metadata-only COUNT/MIN/MAX: answered from the manifest, no scan") {
+    val t = tmp("vp_metaagg")
+    import spark.implicits._
+    val rows = (0L until 300L).map(i =>
+      (i, if (i % 3 == 0) null else f"s$i%03d"))
+    VParquet.write(rows.toDF("k", "v").repartition(4), t, overwrite = true)
+
+    val snap = VParquet.loadVersion(spark, t, None, None)
+    val agg = snap.agg(
+      count(lit(1)).as("n"), count($"v").as("nv"),
+      min($"k").as("mnk"), max($"k").as("mxk"),
+      min($"v").as("mnv"), max($"v").as("mxv"))
+    // the optimized plan must be a bare LocalRelation — no scan at all
+    val opt = agg.queryExecution.optimizedPlan.toString
+    assert(opt.trim.startsWith("LocalRelation") && !opt.contains("parquet"),
+      s"expected metadata-only plan, got:\n$opt")
+    val r = agg.head()
+    assert(r.getLong(0) == 300L)
+    assert(r.getLong(1) == 200L) // every third v is null
+    assert(r.getLong(2) == 0L && r.getLong(3) == 299L)
+    assert(r.getString(4) == "s001" && r.getString(5) == "s299")
+
+    // df.count() itself takes the metadata path
+    assert(snap.count() == 300L)
+
+    // a filter blocks the rewrite: normal (pruned) scan, correct result
+    val filtered = snap.filter($"k" >= 100L).agg(count(lit(1)).as("n"))
+    assert(filtered.queryExecution.optimizedPlan.toString.contains("parquet"),
+      "filtered aggregate must scan")
+    assert(filtered.head().getLong(0) == 200L)
+
+    // an unanswerable function blocks the rewrite and stays correct
+    val avg = snap.agg(org.apache.spark.sql.functions.avg($"k").as("a"))
+    assert(avg.queryExecution.optimizedPlan.toString.contains("parquet"))
+    assert(avg.head().getDouble(0) == 149.5)
+  }
+
   test("action=detail exposes per-file stats through the DSL") {
     val t = tmp("vp_detail")
     import spark.implicits._
