@@ -222,6 +222,45 @@ object VParquet {
     Some(org.apache.spark.sql.types.StructType(
       df.schema.filterNot(_.name == "__bucket__").map(_.copy(nullable = true))).json)
 
+  /** Append-time schema reconciliation (Delta's mergeSchema semantics).
+    * Same name must mean same type — always a hard error otherwise. Added
+    * or missing columns are rejected unless `mergeSchema`; with it, the
+    * manifest records the UNION schema (old columns first, new appended,
+    * all nullable) and the parquet reader surfaces nulls for columns a
+    * given file predates — no rewrite of old files, ever.
+    */
+  private def reconcileSchema(prevJson: Option[String], df: DataFrame,
+                              mergeSchema: Boolean, table: String): Option[String] = {
+    import org.apache.spark.sql.types.StructType
+    val next = StructType(df.schema.filterNot(_.name == "__bucket__")
+      .map(_.copy(nullable = true)))
+    prevJson match {
+      case None => Some(next.json) // legacy table without a recorded schema
+      case Some(j) =>
+        val prev = org.apache.spark.sql.types.DataType.fromJson(j).asInstanceOf[StructType]
+        val prevByName = prev.map(f => f.name -> f).toMap
+        next.foreach { f =>
+          prevByName.get(f.name).foreach { pf =>
+            require(pf.dataType == f.dataType,
+              s"vparquet: column '${f.name}' of $table is ${pf.dataType.simpleString} " +
+                s"but the appended batch has ${f.dataType.simpleString} — changing a " +
+                "column's type requires rewriting the table (overwrite)")
+          }
+        }
+        val added = next.filterNot(f => prevByName.contains(f.name))
+        val missing = prev.filterNot(f => next.fieldNames.contains(f.name))
+        if (added.isEmpty && missing.isEmpty) Some(prev.json)
+        else {
+          require(mergeSchema,
+            s"vparquet: appended batch schema differs from $table " +
+              s"(added: ${added.map(_.name).mkString(", ")}; missing: " +
+              s"${missing.map(_.name).mkString(", ")}) — pass mergeSchema=\"true\" " +
+              "to evolve the table schema to the union")
+          Some(StructType(prev ++ added).json)
+        }
+    }
+  }
+
   private def requireNoReservedCols(df: DataFrame): Unit =
     require(!df.columns.contains("__bucket__"),
       "vparquet: '__bucket__' is a reserved column name (it carries the " +
@@ -239,7 +278,8 @@ object VParquet {
     */
   def write(df: DataFrame, table: String, overwrite: Boolean,
             txn: Option[Long] = None, txnAppId: Option[String] = None,
-            clusterBy: Seq[String] = Seq.empty, numFiles: Int = 0): Long = {
+            clusterBy: Seq[String] = Seq.empty, numFiles: Int = 0,
+            mergeSchema: Boolean = false): Long = {
     requireNoReservedCols(df)
     val spark = df.sparkSession
     val prev = latestVersion(spark, table)
@@ -258,11 +298,14 @@ object VParquet {
       case Some(m) if !overwrite => (m.files, m.numBuckets, m.keyCols)
       case _ => (Seq.empty[FileEntry], -1, Seq.empty[String])
     }
+    val schema =
+      if (overwrite || prevManifest.isEmpty) schemaJsonOf(df)
+      else reconcileSchema(prevManifest.get.schemaJson, df, mergeSchema, table)
     val version = prev.map(_ + 1).getOrElse(0L)
     writeManifest(spark, table, Manifest(version,
       if (overwrite) "overwrite" else "append",
       System.currentTimeMillis(), nb, carry ++ newFiles, keyCols, txn, txnAppId,
-      schemaJsonOf(df)))
+      schema))
     version
   }
 
@@ -615,7 +658,8 @@ final class VParquetSource extends GraftSource {
         overwrite = mode == org.apache.spark.sql.SaveMode.Overwrite,
         clusterBy = opts.get("clusterBy").toSeq
           .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
-        numFiles = opts.get("fileNum").map(_.toInt).getOrElse(0))
+        numFiles = opts.get("fileNum").map(_.toInt).getOrElse(0),
+        mergeSchema = opts.get("mergeSchema").exists(_.toBoolean))
     }
   }
 }

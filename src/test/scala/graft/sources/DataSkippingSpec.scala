@@ -256,6 +256,38 @@ class DataSkippingSpec extends AnyFunSuite {
     assert(avg.head().getDouble(0) == 149.5)
   }
 
+  test("mergeSchema append evolves the table; old files read as null") {
+    val t = tmp("vp_evolve")
+    import spark.implicits._
+    VParquet.write(Seq((1L, "a")).toDF("k", "v"), t, overwrite = true)
+    // strict by default: a widened batch is rejected loudly
+    val e = intercept[IllegalArgumentException] {
+      VParquet.write(Seq((2L, "b", 9L)).toDF("k", "v", "extra"), t, overwrite = false)
+    }
+    assert(e.getMessage.contains("mergeSchema"))
+    // same-name different-type is NEVER mergeable
+    val e2 = intercept[IllegalArgumentException] {
+      VParquet.write(Seq((3L, 42)).toDF("k", "v"), t, overwrite = false,
+        mergeSchema = true)
+    }
+    assert(e2.getMessage.contains("type") || e2.getMessage.contains("int"))
+    // with mergeSchema through the DSL: union schema, old rows null-filled
+    Seq((2L, "b", 9L)).toDF("k", "v", "extra").createOrReplaceTempView("ev_in")
+    graft.dsl.ScriptRunner.runToDF(
+      s"""select * from ev_in as ev_src;
+         |save append ev_src as vparquet.`$t` where mergeSchema="true";""".stripMargin,
+      spark)
+    val out = VParquet.loadVersion(spark, t, None, None).orderBy("k").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq(1L -> "a", 2L -> "b"))
+    assert(out(0).isNullAt(2) && out(1).getLong(2) == 9L)
+    // a narrower batch (missing the new column) also needs mergeSchema,
+    // then reads back null for it
+    VParquet.write(Seq((3L, "c")).toDF("k", "v"), t, overwrite = false,
+      mergeSchema = true)
+    val out2 = VParquet.loadVersion(spark, t, None, None).orderBy("k").collect()
+    assert(out2.length == 3 && out2(2).isNullAt(2))
+  }
+
   test("action=detail exposes per-file stats through the DSL") {
     val t = tmp("vp_detail")
     import spark.implicits._
