@@ -423,6 +423,32 @@ object Scripts {
     },
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id >= 100 AND doc_id < 200 AND n_chars >= 500
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin),
+
+    // ---- metadata-only aggregation vs ground truth: count/min/max over a
+    //      vparquet snapshot are answered from manifest stats (no scan —
+    //      MetadataOnlyAgg); the DuckDB oracle computes the same numbers
+    //      from the raw parquet, so a wrong stat is a hash mismatch. ----
+    QuerySpec.sql("s22_script_metaagg", (s, dir) => {
+      val t = "/tmp/graft_s22_vtable"
+      val p = new org.apache.hadoop.fs.Path(t)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      script(s,
+        s"""load parquet.`$dir/documents.parquet` as documents;
+           |select doc_id, lang, n_chars from documents as s22_proj;
+           |save overwrite s22_proj as vparquet.`$t` where fileNum="4" and clusterBy="doc_id";
+           |load vparquet.`$t` as s22_v;
+           |select count(*) as n, count(lang) as n_lang,
+           |  min(doc_id) as mn_id, max(doc_id) as mx_id,
+           |  min(lang) as mn_lang, max(lang) as mx_lang,
+           |  min(n_chars) as mn_chars, max(n_chars) as mx_chars
+           |from s22_v as s22_out;""".stripMargin)
+    },
+      """SELECT COUNT(*) AS n, COUNT(lang) AS n_lang,
+        | MIN(doc_id) AS mn_id, MAX(doc_id) AS mx_id,
+        | MIN(lang) AS mn_lang, MAX(lang) AS mx_lang,
+        | MIN(n_chars) AS mn_chars, MAX(n_chars) AS mx_chars
+        |FROM documents""".stripMargin)
   )
 }

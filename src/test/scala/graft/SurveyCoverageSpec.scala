@@ -49,7 +49,7 @@ class SurveyCoverageSpec extends AnyFunSuite {
       // file formats via fallback
       "parquet", "csv", "json", "text", "orc", "binaryfile",
       // string/inline sources
-      "jsonstr", "csvstr", "script",
+      "jsonstr", "csvstr", "xmlstr", "script",
       // storage/system
       "hive", "jdbc", "console", "_mlsql_", "modelparams", "model",
       "mlsqlconf", "unstructured", "vparquet",
@@ -66,6 +66,11 @@ class SurveyCoverageSpec extends AnyFunSuite {
     }
     // state introspection fallback formats
     assert(classOf[graft.sources.VParquetStreamProvider] != null)
+    // vparquet capability tail: data skipping + layout + metadata-only agg
+    assertQueries(Seq("s17_script_vparquet", "s21_script_dataskip",
+      "s22_script_metaagg"))
+    assert(classOf[graft.sources.VParquetFileIndex] != null)
+    assert(graft.plans.MetadataOnlyAgg != null)
   }
 
   test("§2.3 all 14 relational operator families have oracle-checked queries") {
