@@ -435,41 +435,78 @@ object VParquet {
     require(zorderBy.isEmpty || m.numBuckets <= 0,
       s"vparquet: $table is bucketed by ${m.keyCols.mkString(",")} — its file " +
         "layout is key-driven; zorder applies to unbucketed tables")
-    val df = spark.read.parquet(absFiles(table, m.files): _*)
-    val version = prev + 1
-    if (m.numBuckets > 0) {
-      require(m.keyCols.nonEmpty,
-        s"vparquet: $table is bucketed but its manifest records no keyCols; re-merge once to upgrade it")
-      val bucketOf = pmod(xxhash64(m.keyCols.map(col): _*), lit(m.numBuckets)).cast("int")
-      // one output partition per bucket → one file per bucket dir
-      val rebucketed = df.withColumn("__bucket__", bucketOf)
-        .repartition(m.numBuckets, col("__bucket__"))
-      val newFiles = writeData(rebucketed, table, bucketed = true)
-      writeManifest(spark, table, Manifest(version, "compact",
-        System.currentTimeMillis(), m.numBuckets, newFiles, m.keyCols,
-        schemaJson = schemaJsonOf(df)))
-    } else {
-      // size only the unbucketed branch (the bucketed one is shaped by
-      // bucket count, not target size); manifest-recorded sizes when
-      // present, one metadata call per legacy file otherwise
-      lazy val f = fs(spark, table)
-      val totalBytes = m.files.map(e =>
-        if (e.size > 0) e.size
-        else f.getFileStatus(new Path(table + "/" + e.path)).getLen).sum
-      val parts = math.max(1L,
-        (totalBytes + targetFileSizeMB * 1024L * 1024 - 1) / (targetFileSizeMB * 1024L * 1024)).toInt
-      // OPTIMIZE ZORDER analog: same compact commit (data unchanged — the
-      // change feed skips it), but laid out along the Z-curve so filters
-      // on any zorderBy column skip files
-      val laid =
-        if (zorderBy.isEmpty) df.repartition(parts)
-        else ZOrder.layout(df, zorderBy, parts)
-      val newFiles = writeData(laid, table, bucketed = false)
-      writeManifest(spark, table, Manifest(version, "compact",
-        System.currentTimeMillis(), -1, newFiles, m.keyCols,
-        schemaJson = schemaJsonOf(df)))
+    lazy val f = fs(spark, table)
+    def sizeOf(e: FileEntry): Long =
+      if (e.size > 0) e.size
+      else f.getFileStatus(new Path(table + "/" + e.path)).getLen
+
+    val newManifestFiles: Seq[FileEntry] =
+      if (m.numBuckets > 0) {
+        require(m.keyCols.nonEmpty,
+          s"vparquet: $table is bucketed but its manifest records no keyCols; re-merge once to upgrade it")
+        val df = spark.read.parquet(absFiles(table, m.files): _*)
+        val bucketOf = pmod(xxhash64(m.keyCols.map(col): _*), lit(m.numBuckets)).cast("int")
+        // one output partition per bucket → one file per bucket dir
+        val rebucketed = df.withColumn("__bucket__", bucketOf)
+          .repartition(m.numBuckets, col("__bucket__"))
+        writeData(rebucketed, table, bucketed = true)
+      } else {
+        // SELECTIVE compaction (size only the unbucketed branch — the
+        // bucketed one is shaped by bucket count): only files under half
+        // the target are rewritten; right-sized files carry forward by
+        // reference, so the cost of a compaction cycle is proportional to
+        // the small-file backlog, not the table. A zorder rewrite is a
+        // LAYOUT change and always takes the whole snapshot.
+        val target = targetFileSizeMB * 1024L * 1024
+        val (smallFiles, keep) =
+          if (zorderBy.nonEmpty) (m.files, Seq.empty[FileEntry])
+          else m.files.partition(e => sizeOf(e) < target / 2)
+        if (smallFiles.size <= 1 && zorderBy.isEmpty)
+          return prev // nothing to fold — no empty commit
+        val df = spark.read.parquet(absFiles(table, smallFiles): _*)
+        val totalBytes = smallFiles.map(sizeOf).sum
+        val parts = math.max(1L, (totalBytes + target - 1) / target).toInt
+        val laid =
+          if (zorderBy.isEmpty) df.repartition(parts)
+          else ZOrder.layout(df, zorderBy, parts)
+        keep ++ writeData(laid, table, bucketed = false)
+      }
+
+    // Optimistic commit: losing the version claim is recoverable iff the
+    // interleaved commits only ADDED files (appends) — every file this
+    // compaction read is still in the head. Then the rewrite is still
+    // valid and rebases: same output, head's extra files carried, next
+    // version (and the head's schema, which may have evolved under
+    // mergeSchema appends). Anything that replaced files (merge,
+    // overwrite, another compact) aborts loudly.
+    val basePaths = m.files.map(_.path).toSet
+    var v = prev + 1
+    var extra = Seq.empty[FileEntry]
+    var schema = m.schemaJson
+    var attempts = 0
+    while (true) {
+      try {
+        writeManifest(spark, table, Manifest(v, "compact",
+          System.currentTimeMillis(), m.numBuckets, newManifestFiles ++ extra,
+          m.keyCols, schemaJson = schema))
+        return v
+      } catch {
+        case e: ConcurrentWriteException =>
+          attempts += 1
+          if (attempts > 8) throw e
+          val latest = latestVersion(spark, table).getOrElse(throw e)
+          val lm = readManifest(spark, table, latest)
+          if (lm.numBuckets != m.numBuckets ||
+              !basePaths.subsetOf(lm.files.map(_.path).toSet))
+            throw new ConcurrentWriteException(
+              s"vparquet: a concurrent commit replaced files of $table while it " +
+                "was being compacted — re-run the compaction against the new snapshot", e)
+          extra = lm.files.filterNot(x => basePaths.contains(x.path))
+          schema = lm.schemaJson.orElse(schema)
+          v = latest + 1
+      }
     }
-    version
+    -1L // unreachable
   }
 
   /** Batch CHANGES read: the rows of data files ADDED in versions

@@ -238,6 +238,13 @@ object DataSkipping {
         stats.nullCounts.get(a.name).forall(_ > 0)
       case IsNotNull(a: AttributeReference) =>
         stats.nullCounts.get(a.name).forall(_ < stats.numRecords)
+      case Not(EqualTo(a: AttributeReference, Literal(v, _))) if v != null =>
+        // k != v is empty when every NON-NULL value is v (nulls never
+        // satisfy != under 3-valued logic, so they don't block the prune)
+        !(min(a.name).flatMap(cmp(a.dataType, _, v)).contains(0) &&
+          max(a.name).flatMap(cmp(a.dataType, _, v)).contains(0))
+      case Not(EqualTo(Literal(v, _), a: AttributeReference)) if v != null =>
+        mayContain(stats, Not(EqualTo(a, Literal(v, a.dataType))))
       case StartsWith(a: AttributeReference, Literal(v, _)) if v != null =>
         val p = v.toString
         // range overlaps [p, p∞): max >= p and min's p-length prefix <= p

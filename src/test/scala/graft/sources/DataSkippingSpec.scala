@@ -70,6 +70,12 @@ class DataSkippingSpec extends AnyFunSuite {
     assert(DataSkipping.mayContain(stats, IsNull(s)))
     assert(!DataSkipping.mayContain(stats, IsNull(k)))
     assert(DataSkipping.mayContain(stats, IsNotNull(k)))
+    // != prunes only constant files
+    assert(DataSkipping.mayContain(stats, Not(EqualTo(k, Literal(15L)))))
+    val const = DataSkipping.FileStats(10L,
+      Map("k" -> "7"), Map("k" -> "7"), Map("k" -> 3L))
+    assert(!DataSkipping.mayContain(const, Not(EqualTo(k, Literal(7L)))))
+    assert(DataSkipping.mayContain(const, Not(EqualTo(k, Literal(8L)))))
     import org.apache.spark.unsafe.types.UTF8String
     assert(!DataSkipping.mayContain(stats,
       EqualTo(s, Literal(UTF8String.fromString("zzz"), StringType))))
@@ -300,6 +306,56 @@ class DataSkippingSpec extends AnyFunSuite {
     assert(rows.length == 2)
     assert(rows.forall(_.getAs[Long]("num_rows") == 50L))
     assert(rows.forall(r => r.getAs[String]("min_values").contains("\"k\"")))
+  }
+
+  test("selective compaction: right-sized files carry forward by reference") {
+    val t = tmp("vp_selcompact")
+    import spark.implicits._
+    // one ~1.3MB file (above half the 1MB target → kept) + 3 tiny appends
+    val big = spark.range(20000).select($"id".as("k"),
+      sha2($"id".cast("string"), 256).as("v")).coalesce(1)
+    VParquet.write(big, t, overwrite = true)
+    val bigPath = VParquet.readManifest(spark, t, 0).files.head.path
+    (0 until 3).foreach { i =>
+      VParquet.write(Seq((100000L + i, s"t$i")).toDF("k", "v"), t, overwrite = false)
+    }
+    val v = VParquet.compact(spark, t, targetFileSizeMB = 1)
+    val after = VParquet.readManifest(spark, t, v)
+    assert(after.files.map(_.path).contains(bigPath),
+      "the right-sized file must be carried by reference, not rewritten")
+    assert(after.files.size == 2, s"3 tiny files fold into 1: ${after.files.size}")
+    assert(VParquet.loadVersion(spark, t, None, None).count() == 20003L)
+    // compacting again: nothing under half-target left → no empty commit
+    assert(VParquet.compact(spark, t, targetFileSizeMB = 1) == v)
+  }
+
+  test("compact survives a concurrent append (rebase); no data lost") {
+    val t = tmp("vp_compact_race")
+    import spark.implicits._
+    (0 until 4).foreach { i =>
+      VParquet.write(Seq((i.toLong, s"r$i")).toDF("k", "v"), t, overwrite = false)
+    }
+    import scala.concurrent.{Await, Future, blocking}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val fc = Future(blocking(VParquet.compact(spark, t, targetFileSizeMB = 128)))
+    // the appender retries on a lost claim (the documented contract for
+    // non-merge writers); the compactor must REBASE around it
+    def appendWithRetry(tries: Int = 20): Long =
+      try VParquet.write(Seq((99L, "late")).toDF("k", "v"), t, overwrite = false)
+      catch {
+        case _: VParquet.ConcurrentWriteException if tries > 0 =>
+          Thread.sleep(50); appendWithRetry(tries - 1)
+      }
+    val va = appendWithRetry()
+    val vc = Await.result(fc, 180.seconds)
+    assert(va != vc, "append and compact must land as distinct versions")
+    // invariant under ANY interleaving: nothing lost, both commits present
+    val cur = VParquet.loadVersion(spark, t, None, None)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(cur == Map(0L -> "r0", 1L -> "r1", 2L -> "r2", 3L -> "r3", 99L -> "late"))
+    val ops = VParquet.history(spark, t).collect().map(_.getString(1)).toSeq
+    assert(ops.count(_ == "compact") == 1 && ops.count(_ == "append") == 5)
   }
 
   test("filtered change-feed read prunes per version") {
