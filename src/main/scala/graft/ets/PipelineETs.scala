@@ -15,7 +15,7 @@ import graft.operators.similarity.CosineSimilarity
   */
 object PipelineETs {
   def all: Seq[ET] = Seq(DedupET, SimilarityJoinET, AnnTopKET, BinaryMetaInPlaceET, LangIdET,
-    DecontaminateET, RepetitionInPlaceET, PiiScrubInPlaceET, CorpusMixET,
+    DecontaminateET, RepetitionInPlaceET, PiiScrubInPlaceET, CorpusMixET, CorpusSplitET,
     ParagraphDedupInPlaceET, UnigramLmET, BpeTrainET, SequencePackET,
     IncrementalDedupET)
 }
@@ -182,6 +182,46 @@ object CorpusMixET extends NoPathET {
       params.getOrElse("idCol", "doc_id"),
       params.getOrElse("seed", "42").toLong,
       params.getOrElse("defaultWeight", "1.0").toDouble)
+  }
+}
+
+/** `run docs as CorpusSplit.`` where splits="train:0.8,valid:0.1,test:0.1"
+  * [and keyCol="doc_id" and groupCol="cluster" and seed="42" and
+  * method="hash|neardup" and textCol="text" and threshold="0.8" and
+  * ngram="3" and splitCol="split"]` — deterministic leakage-safe
+  * train/valid/test assignment (see
+  * [[graft.operators.sampling.CorpusSplit]]: hash draw on the row or
+  * group identity; `method="neardup"` groups by MinHash near-dup
+  * component so near-duplicates never straddle splits).
+  */
+object CorpusSplitET extends NoPathET {
+  override def name = "CorpusSplit"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    val splits = params.getOrElse("splits",
+      throw new IllegalArgumentException(
+        "CorpusSplit requires splits=\"name:w,name:w\"")).split(",")
+      .map(_.trim).filter(_.nonEmpty).toSeq.map { kv =>
+        val i = kv.lastIndexOf(':')
+        require(i > 0 && i < kv.length - 1,
+          s"CorpusSplit split '$kv' is not name:weight")
+        kv.substring(0, i) -> kv.substring(i + 1).toDouble
+      }
+    val keyCol = params.getOrElse("keyCol", "doc_id")
+    val seed = params.getOrElse("seed", "42").toLong
+    val splitCol = params.getOrElse("splitCol", "split")
+    params.getOrElse("method", "hash") match {
+      case "hash" =>
+        graft.operators.sampling.CorpusSplit.split(df, keyCol, splits,
+          seed, params.get("groupCol"), splitCol)
+      case "neardup" =>
+        graft.operators.sampling.CorpusSplit.splitByNearDup(df, keyCol,
+          params.getOrElse("textCol", "text"), splits,
+          params.getOrElse("threshold", "0.8").toDouble,
+          params.getOrElse("ngram", "3").toInt, seed, splitCol)
+      case other => throw new IllegalArgumentException(
+        s"CorpusSplit method must be hash|neardup, got '$other'")
+    }
   }
 }
 

@@ -797,7 +797,41 @@ object Pipeline {
         |      (SQRT(LIST_INNER_PRODUCT(q.qv, q.qv)) * SQRT(LIST_INNER_PRODUCT(e.v, e.v))), 6) DESC,
         |      e.vec_id) AS nrank
         | FROM q JOIN e ON e.vec_id <> q.qid) t
-        |WHERE nrank <= 5 ORDER BY qid, nrank""".stripMargin)
+        |WHERE nrank <= 5 ORDER BY qid, nrank""".stripMargin),
+
+    // ---- leakage-safe corpus split (CorpusSplit): train/valid/test by a
+    //      hash draw on the GROUP identity (here md5(text): exact-dup
+    //      clusters co-assign — the same mechanism carries near-dup
+    //      components via splitByNearDup, asserted in PipelineETSpec).
+    //      Oracle mirrors the md5-uniform draw and the left-to-right
+    //      cumulative-weight thresholds bit for bit: both engines parse
+    //      the same literals and perform the same IEEE adds/divide, so
+    //      the CASE boundaries are identical doubles. Plan: scan ->
+    //      project, no shuffle, reproducible on any partitioning. ----
+    QuerySpec.sql("p33_corpus_split", (s, dir) => {
+      import s.implicits._
+      graft.operators.sampling.CorpusSplit.split(
+          t(s, dir, "documents").withColumn("grp", md5($"text")),
+          "doc_id", Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1),
+          seed = 7L, groupCol = Some("grp"))
+        .select($"doc_id", $"split")
+        .orderBy($"doc_id")
+    },
+      """WITH g AS (
+        | SELECT doc_id,
+        |  CASE WHEN text IS NULL THEN 'r:' || CAST(doc_id AS VARCHAR)
+        |       ELSE 'g:' || MD5(text) END AS gk
+        | FROM documents),
+        |u AS (
+        | SELECT doc_id,
+        |  CAST(CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(gk, ':', '7')), 1, 8))
+        |    AS UBIGINT) AS DOUBLE) / 4294967296.0 AS u
+        | FROM g)
+        |SELECT doc_id,
+        | CASE WHEN u < 0.8 / ((0.8 + 0.1) + 0.1) THEN 'train'
+        |      WHEN u < (0.8 + 0.1) / ((0.8 + 0.1) + 0.1) THEN 'valid'
+        |      ELSE 'test' END AS split
+        |FROM u ORDER BY doc_id""".stripMargin)
   )
 
   /** Fixed 4-doc corpus for the BPE entries' pinned oracles (expected

@@ -493,6 +493,55 @@ class PipelineETSpec extends AnyFunSuite {
     assert(rows() == rows())
   }
 
+  test("CorpusSplit groups co-assign; partition-layout independent") {
+    val df = runDF(
+      s"""load parquet.`$sf/documents.parquet` as cs_docs;
+         |select *, md5(text) as grp from cs_docs as cs_g;
+         |run cs_g as CorpusSplit.`` where splits="train:8,valid:1,test:1"
+         |  and groupCol="grp" as cs_out;
+         |select grp, count(distinct split) as ns from cs_out group by grp as out;""".stripMargin)
+    // leakage safety: every group lives in exactly one split
+    assert(df.collect().forall(_.getLong(1) == 1L))
+    // weights normalize (8/1/1 = 0.8/0.1/0.1) and roughly hold
+    val byName = runDF("select split, count(*) as n from cs_out group by split as o2;")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = byName.values.sum.toDouble
+    assert(math.abs(byName("train") / total - 0.8) < 0.06, s"$byName")
+    assert(byName.keySet == Set("train", "valid", "test"))
+    // determinism is identity-based: a repartitioned input assigns identically
+    import org.apache.spark.sql.functions.{col, md5}
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("grp", md5(col("text")))
+    def assign(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.sampling.CorpusSplit.split(d, "doc_id",
+          Seq("train" -> 8.0, "valid" -> 1.0, "test" -> 1.0),
+          groupCol = Some("grp"))
+        .select("doc_id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(assign(base) == assign(base.repartition(7, col("lang"))))
+  }
+
+  test("CorpusSplit neardup: no near-dup pair straddles splits") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val out = graft.operators.sampling.CorpusSplit.splitByNearDup(
+      docs, "doc_id", "text",
+      Seq("train" -> 0.9, "test" -> 0.1), threshold = 0.7)
+    val splitOf = out.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(splitOf.size == docs.count(), "split preserves every row once")
+    val sh = graft.operators.dedup.TextDedup.shingles(docs, "doc_id", "text", 3)
+    val pairs = graft.operators.dedup.TextDedup.minHashSelfJoin(sh, 0.7)
+      .select("a_id", "b_id").collect()
+    assert(pairs.nonEmpty, "fixture must actually contain near-dup pairs")
+    pairs.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(splitOf(a) == splitOf(b), s"pair ($a,$b) straddles splits")
+    }
+  }
+
   test("CorpusMix fractional weight keeps E[copies] near w") {
     import spark.implicits._
     import org.apache.spark.sql.functions.lit
