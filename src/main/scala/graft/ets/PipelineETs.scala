@@ -17,7 +17,7 @@ object PipelineETs {
   def all: Seq[ET] = Seq(DedupET, SimilarityJoinET, AnnTopKET, BinaryMetaInPlaceET, LangIdET,
     DecontaminateET, RepetitionInPlaceET, PiiScrubInPlaceET, CorpusMixET, CorpusSplitET,
     ParagraphDedupInPlaceET, UnigramLmET, BpeTrainET, SequencePackET,
-    IncrementalDedupET)
+    IncrementalDedupET, DocChunkET, GroupCapET)
 }
 
 /** `run docs as UnigramLm.`` [where idCol="doc_id" and textCol="text" and
@@ -221,6 +221,53 @@ object CorpusSplitET extends NoPathET {
           params.getOrElse("ngram", "3").toInt, seed, splitCol)
       case other => throw new IllegalArgumentException(
         s"CorpusSplit method must be hash|neardup, got '$other'")
+    }
+  }
+}
+
+/** `run docs as GroupCap.`` where groupCol="lang" and cap="1000" [and
+  * idCol="doc_id" and seed="42"]` — keep at most `cap` rows per group,
+  * chosen by the deterministic identity draw (see
+  * [[graft.operators.sampling.GroupCap]]: verified pre-filter keeps the
+  * exact-window sort skew-proof at 100 TB).
+  */
+object GroupCapET extends NoPathET {
+  override def name = "GroupCap"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame =
+    graft.operators.sampling.GroupCap.capPerGroup(df,
+      params.getOrElse("groupCol",
+        throw new IllegalArgumentException("GroupCap requires groupCol")),
+      params.getOrElse("cap",
+        throw new IllegalArgumentException("GroupCap requires cap")).toInt,
+      params.getOrElse("idCol", "doc_id"),
+      params.getOrElse("seed", "42").toLong)
+}
+
+/** `run docs as DocChunk.`` where size="512" [and overlap="64" and
+  * unit="chars|tokens" and textCol="text" and idCol="chunk_id" and
+  * outCol="chunk"]` — sliding-window chunking (see
+  * [[graft.operators.text.DocChunk]]): shuffle-free per-row generate;
+  * `unit="tokens"` windows over the whitespace-token stream instead of
+  * characters.
+  */
+object DocChunkET extends NoPathET {
+  override def name = "DocChunk"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    val size = params.getOrElse("size",
+      throw new IllegalArgumentException("DocChunk requires size=\"N\"")).toInt
+    val overlap = params.getOrElse("overlap", "0").toInt
+    val textCol = params.getOrElse("textCol", "text")
+    val idCol = params.getOrElse("idCol", "chunk_id")
+    val outCol = params.getOrElse("outCol", "chunk")
+    params.getOrElse("unit", "chars") match {
+      case "chars" => graft.operators.text.DocChunk.chunkByChars(
+        df, textCol, size, overlap, idCol, outCol)
+      case "tokens" => graft.operators.text.DocChunk.chunkByTokens(
+        df, textCol, size, overlap, idCol, outCol)
+      case other => throw new IllegalArgumentException(
+        s"DocChunk unit must be chars|tokens, got '$other'")
     }
   }
 }

@@ -1,0 +1,76 @@
+package graft.operators.sampling
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic per-group cap — "at most N documents per language /
+  * domain / source", the stratified-balance step of a training-data
+  * pipeline (the per-domain cap of RefinedWeb-style pipelines).
+  *
+  * Which rows survive is decided by the same identity-keyed md5 draw as
+  * [[CorpusMix]]/[[CorpusSplit]]: each row draws u = uniform("id:seed"),
+  * and the cap keeps the `cap` smallest u per group (ties broken by id).
+  * Deterministic in row identity alone — independent of partitioning,
+  * cluster size, and re-runs; an incremental re-run keeps the same rows.
+  *
+  * Scale shape: the naive plan (global window per group) sorts every
+  * row of the hottest group in one task — the classic skew trap when one
+  * domain is half the corpus. Instead: (1) aggregate per-group counts
+  * (map-side combinable, output = #groups rows, broadcast back); (2)
+  * pre-filter u < margin·cap/n, which keeps ~margin·cap candidates per
+  * over-cap group REGARDLESS of group size — the only rows the exact
+  * window ever sorts; (3) row_number over the survivors. The pre-filter
+  * is verified, not trusted: if some group ended up with fewer than
+  * min(cap, n) candidates (Chernoff-tail improbable at margin 4, but
+  * "improbable" is not "never"), the margin doubles and the filter
+  * re-runs, so the result is EXACTLY the cap-smallest draws per group on
+  * every input. Groups are assumed driver-sized (languages, domains —
+  * the counts collect is #groups rows).
+  */
+object GroupCap {
+
+  /** uniform [0,1) from the row id: 32 bits of md5("id:seed") / 2^32 —
+    * identical construction to [[CorpusMix.mix]].
+    */
+  private def draw(idCol: String, seed: Long): Column =
+    conv(substring(md5(concat_ws(":",
+        col(idCol).cast("string"), lit(seed.toString))), 1, 8), 16, 10)
+      .cast("long").cast("double") / lit(4294967296.0)
+
+  def capPerGroup(df: DataFrame, groupCol: String, cap: Int, idCol: String,
+                  seed: Long = 42L): DataFrame = {
+    require(cap > 0, "group cap must be positive")
+    val withU = df.withColumn("__u__", draw(idCol, seed))
+
+    // #groups rows; null group is its own stratum (groupBy keeps it)
+    val counts = withU.groupBy(col(groupCol).as("__g__"))
+      .agg(count(lit(1)).as("__n__")).collect()
+      .map(r => Option(r.get(0)) -> r.getLong(1)).toMap
+    val needs = counts.map { case (g, n) => g -> math.min(cap.toLong, n) }
+
+    var margin = 4.0
+    var pre: DataFrame = null
+    var enough = false
+    while (!enough) {
+      val thresholds = counts.map { case (g, n) =>
+        g -> math.min(1.0, margin * cap / math.max(n, 1L)) }
+      val thrExpr = thresholds.foldLeft(lit(1.0)) { case (acc, (g, t)) =>
+        g.fold(when(col(groupCol).isNull, lit(t)).otherwise(acc)) { v =>
+          when(col(groupCol) === lit(v), lit(t)).otherwise(acc) }
+      }
+      pre = withU.filter(col("__u__") < thrExpr)
+      val got = pre.groupBy(col(groupCol).as("__g__"))
+        .agg(count(lit(1)).as("__n__")).collect()
+        .map(r => Option(r.get(0)) -> r.getLong(1)).toMap
+      enough = needs.forall { case (g, need) => got.getOrElse(g, 0L) >= need }
+      if (!enough) margin *= 2
+    }
+
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__u__"), col(idCol))
+    pre.withColumn("__rn__", row_number().over(w))
+      .filter(col("__rn__") <= cap)
+      .drop("__u__", "__rn__")
+  }
+}

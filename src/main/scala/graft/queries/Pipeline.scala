@@ -831,7 +831,48 @@ object Pipeline {
         | CASE WHEN u < 0.8 / ((0.8 + 0.1) + 0.1) THEN 'train'
         |      WHEN u < (0.8 + 0.1) / ((0.8 + 0.1) + 0.1) THEN 'valid'
         |      ELSE 'test' END AS split
-        |FROM u ORDER BY doc_id""".stripMargin)
+        |FROM u ORDER BY doc_id""".stripMargin),
+
+    // ---- sliding-window chunking (DocChunk): 64-char windows, 16-char
+    //      overlap (stride 48). Plan: scan -> posexplode(transform(
+    //      sequence)), all codegen, no shuffle — the oracle enumerates
+    //      the identical start offsets with generate_series. ----
+    QuerySpec.sql("p34_doc_chunk", (s, dir) => {
+      import s.implicits._
+      graft.operators.text.DocChunk
+        .chunkByChars(t(s, dir, "documents"), "text", size = 64, overlap = 16)
+        .select($"doc_id", $"chunk_id", $"chunk")
+        .orderBy($"doc_id", $"chunk_id")
+    },
+      """WITH c AS (
+        | SELECT doc_id, text, UNNEST(RANGE(0, LENGTH(text), 48)) AS s
+        | FROM documents WHERE text IS NOT NULL AND LENGTH(text) > 0)
+        |SELECT doc_id, s // 48 AS chunk_id, SUBSTR(text, s + 1, 64) AS chunk
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin),
+
+    // ---- per-group cap (GroupCap): at most 30 docs per lang, chosen by
+    //      the identity md5 draw. Oracle replays the draw and the
+    //      row_number tiebreak (u, then doc_id) verbatim; Spark's
+    //      verified pre-filter only narrows the window's input, never
+    //      the winners, so results agree exactly. ----
+    QuerySpec.sql("p35_group_cap", (s, dir) => {
+      import s.implicits._
+      graft.operators.sampling.GroupCap
+        .capPerGroup(t(s, dir, "documents"), "lang", cap = 30,
+          idCol = "doc_id", seed = 11L)
+        .select($"doc_id", $"lang")
+        .orderBy($"lang", $"doc_id")
+    },
+      """WITH u AS (
+        | SELECT doc_id, lang,
+        |  CAST(CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(CAST(doc_id AS VARCHAR), ':', '11')), 1, 8))
+        |    AS UBIGINT) AS DOUBLE) / 4294967296.0 AS u
+        | FROM documents),
+        |r AS (
+        | SELECT doc_id, lang,
+        |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rn
+        | FROM u)
+        |SELECT doc_id, lang FROM r WHERE rn <= 30 ORDER BY lang, doc_id""".stripMargin)
   )
 
   /** Fixed 4-doc corpus for the BPE entries' pinned oracles (expected

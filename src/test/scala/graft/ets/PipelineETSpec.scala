@@ -542,6 +542,96 @@ class PipelineETSpec extends AnyFunSuite {
     }
   }
 
+  test("DocChunk chars: stride/overlap invariants, short tail, null/empty dropped") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "abcdefghij"),   // len 10: starts 0,3,6,9 at size=4/overlap=1
+      (2L, "xy"),           // shorter than size: one whole chunk
+      (3L, ""),             // empty: no chunks
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = graft.operators.text.DocChunk
+      .chunkByChars(docs, "text", size = 4, overlap = 1)
+    assert(!out.columns.contains("text"), "text column must be dropped")
+    val rows = out.orderBy("doc_id", "chunk_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(rows.toSeq == Seq(
+      (1L, 0, "abcd"), (1L, 1, "defg"), (1L, 2, "ghij"), (1L, 3, "j"),
+      (2L, 0, "xy")))
+    // consecutive chunks share exactly `overlap` chars; stride slices rebuild the doc
+    assert(rows.filter(_._1 == 1L).sliding(2).forall {
+      case Array((_, _, a), (_, _, b)) => a.takeRight(1) == b.take(1)
+      case _ => true
+    })
+    assert(rows.filter(_._1 == 1L).map(_._3.take(3)).mkString.take(10) == "abcdefghij")
+  }
+
+  test("DocChunk tokens: windows over whitespace-normalized token stream") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "  one two\tthree\nfour five  "),
+      (2L, "   \t  ") // whitespace-only: no chunks
+    ).toDF("doc_id", "text")
+    val out = graft.operators.text.DocChunk
+      .chunkByTokens(docs, "text", size = 3, overlap = 1)
+      .orderBy("doc_id", "chunk_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(out.toSeq == Seq(
+      (1L, 0, "one two three"), (1L, 1, "three four five"), (1L, 2, "five")))
+  }
+
+  test("DocChunk DSL surface chunks the documents table shuffle-free") {
+    val df = runDF(
+      s"""load parquet.`$sf/documents.parquet` as dc_docs;
+         |run dc_docs as DocChunk.`` where size="128" and overlap="32"
+         |  and unit="tokens" as dc_out;""".stripMargin)
+    assert(df.count() >= spark.table("dc_docs").count(),
+      "every non-empty doc yields at least one chunk")
+    // shuffle-free plan: a generate over the scan, no Exchange
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
+
+  test("GroupCap keeps exactly min(cap, n) per group; layout-independent") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val before = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(before.values.exists(_ > 7), "fixture needs an over-cap group")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.sampling.GroupCap.capPerGroup(d, "lang", cap = 7,
+        idCol = "doc_id", seed = 3L)
+    val out = run(docs)
+    val after = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after == before.map { case (g, n) => g -> math.min(7L, n) })
+    // identity-keyed draw: same survivors on any partitioning
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(out) == ids(run(docs.repartition(13, col("source")))))
+    assert(out.columns.toSeq == docs.columns.toSeq, "schema passes through")
+  }
+
+  test("GroupCap: null group is its own stratum") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "a"),
+      (4L, null.asInstanceOf[String]), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "g")
+    val out = graft.operators.sampling.GroupCap
+      .capPerGroup(df, "g", cap = 2, idCol = "doc_id")
+    val byG = out.collect().groupBy(r => Option(r.getString(1)))
+      .view.mapValues(_.length).toMap
+    assert(byG == Map(Some("a") -> 2, None -> 2))
+  }
+
+  test("GroupCap DSL surface caps per source") {
+    val df = runDF(
+      s"""load parquet.`$sf/documents.parquet` as gc_docs;
+         |run gc_docs as GroupCap.`` where groupCol="source" and cap="5" as gc_out;
+         |select source, count(*) as n from gc_out group by source as out;""".stripMargin)
+    assert(df.collect().forall(_.getLong(1) <= 5L))
+  }
+
   test("CorpusMix fractional weight keeps E[copies] near w") {
     import spark.implicits._
     import org.apache.spark.sql.functions.lit
