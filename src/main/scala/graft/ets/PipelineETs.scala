@@ -17,7 +17,7 @@ object PipelineETs {
   def all: Seq[ET] = Seq(DedupET, SimilarityJoinET, AnnTopKET, BinaryMetaInPlaceET, LangIdET,
     DecontaminateET, RepetitionInPlaceET, PiiScrubInPlaceET, CorpusMixET, CorpusSplitET,
     ParagraphDedupInPlaceET, UnigramLmET, BpeTrainET, SequencePackET,
-    IncrementalDedupET, DocChunkET, GroupCapET)
+    IncrementalDedupET, DocChunkET, GroupCapET, CorpusShuffleET)
 }
 
 /** `run docs as UnigramLm.`` [where idCol="doc_id" and textCol="text" and
@@ -225,23 +225,44 @@ object CorpusSplitET extends NoPathET {
   }
 }
 
+/** `run docs as CorpusShuffle.`` [where idCol="doc_id" and seed="42"]` —
+  * deterministic global training-order shuffle (see
+  * [[graft.operators.sampling.CorpusShuffle]]); re-seed for a fresh
+  * epoch permutation.
+  */
+object CorpusShuffleET extends NoPathET {
+  override def name = "CorpusShuffle"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame =
+    graft.operators.sampling.CorpusShuffle.shuffle(df,
+      params.getOrElse("idCol", "doc_id"),
+      params.getOrElse("seed", "42").toLong)
+}
+
 /** `run docs as GroupCap.`` where groupCol="lang" and cap="1000" [and
-  * idCol="doc_id" and seed="42"]` — keep at most `cap` rows per group,
-  * chosen by the deterministic identity draw (see
-  * [[graft.operators.sampling.GroupCap]]: verified pre-filter keeps the
-  * exact-window sort skew-proof at 100 TB).
+  * idCol="doc_id" and seed="42" and orderCol="score" and order="desc"]` —
+  * keep at most `cap` rows per group: by the deterministic identity draw
+  * (default), or the cap BEST by `orderCol` when given (see
+  * [[graft.operators.sampling.GroupCap]]: verified pre-filter /
+  * two-phase top-k keep the exact-window sort skew-proof at 100 TB).
   */
 object GroupCapET extends NoPathET {
   override def name = "GroupCap"
   override def train(ctx: ScriptContext, df: DataFrame, path: String,
-                     params: Map[String, String]): DataFrame =
-    graft.operators.sampling.GroupCap.capPerGroup(df,
-      params.getOrElse("groupCol",
-        throw new IllegalArgumentException("GroupCap requires groupCol")),
-      params.getOrElse("cap",
-        throw new IllegalArgumentException("GroupCap requires cap")).toInt,
-      params.getOrElse("idCol", "doc_id"),
-      params.getOrElse("seed", "42").toLong)
+                     params: Map[String, String]): DataFrame = {
+    val groupCol = params.getOrElse("groupCol",
+      throw new IllegalArgumentException("GroupCap requires groupCol"))
+    val cap = params.getOrElse("cap",
+      throw new IllegalArgumentException("GroupCap requires cap")).toInt
+    val idCol = params.getOrElse("idCol", "doc_id")
+    params.get("orderCol") match {
+      case Some(oc) => graft.operators.sampling.GroupCap.capPerGroupBy(
+        df, groupCol, cap, oc,
+        descending = params.getOrElse("order", "desc") == "desc", idCol)
+      case None => graft.operators.sampling.GroupCap.capPerGroup(
+        df, groupCol, cap, idCol, params.getOrElse("seed", "42").toLong)
+    }
+  }
 }
 
 /** `run docs as DocChunk.`` where size="512" [and overlap="64" and

@@ -73,4 +73,37 @@ object GroupCap {
       .filter(col("__rn__") <= cap)
       .drop("__u__", "__rn__")
   }
+
+  /** Keep the `cap` BEST rows per group by an explicit score column
+    * ("top 1000 highest-quality docs per domain") instead of a random
+    * draw; ties broken by id so the result is deterministic.
+    *
+    * Skew safety without distribution assumptions (the md5-threshold
+    * pre-filter above needs a uniform key): two-phase top-k. Phase 1
+    * caps each (group, input-partition) slice with a window keyed on
+    * `spark_partition_id()` — a hot group splits across ~P slices, so no
+    * task ever sorts more than one partition's share. The group's true
+    * global top-cap is a subset of the union of per-slice top-caps, so
+    * phase 2's exact window sorts ≤ P·cap survivors per group. Both
+    * phases are plain shuffles + bounded sorts at any scale.
+    */
+  def capPerGroupBy(df: DataFrame, groupCol: String, cap: Int,
+                    orderCol: String, descending: Boolean = true,
+                    idCol: String = "doc_id"): DataFrame = {
+    require(cap > 0, "group cap must be positive")
+    // null scores sort last in both directions: never capped in over nulls
+    val ord: Seq[Column] =
+      Seq(if (descending) col(orderCol).desc_nulls_last
+          else col(orderCol).asc_nulls_last,
+        col(idCol))
+    val w1 = Window.partitionBy(col(groupCol), col("__pid__")).orderBy(ord: _*)
+    val survivors = df.withColumn("__pid__", spark_partition_id())
+      .withColumn("__rn__", row_number().over(w1))
+      .filter(col("__rn__") <= cap)
+      .drop("__pid__", "__rn__")
+    val w2 = Window.partitionBy(col(groupCol)).orderBy(ord: _*)
+    survivors.withColumn("__rn__", row_number().over(w2))
+      .filter(col("__rn__") <= cap)
+      .drop("__rn__")
+  }
 }

@@ -872,7 +872,44 @@ object Pipeline {
         | SELECT doc_id, lang,
         |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rn
         | FROM u)
-        |SELECT doc_id, lang FROM r WHERE rn <= 30 ORDER BY lang, doc_id""".stripMargin)
+        |SELECT doc_id, lang FROM r WHERE rn <= 30 ORDER BY lang, doc_id""".stripMargin),
+
+    // ---- deterministic epoch shuffle (CorpusShuffle): the first 25 docs
+    //      of the seeded permutation. limit-after-sort plans as
+    //      TakeOrderedAndProject (distributed top-k, no full sort
+    //      materialization); the surviving row SET depends entirely on
+    //      the permutation prefix, so the driver's order-insensitive
+    //      hash still verifies the shuffle order. ----
+    QuerySpec.sql("p36_corpus_shuffle", (s, dir) => {
+      import s.implicits._
+      graft.operators.sampling.CorpusShuffle
+        .shuffle(t(s, dir, "documents"), "doc_id", seed = 5L)
+        .limit(25)
+        .select($"doc_id", $"lang")
+    },
+      """SELECT doc_id, lang FROM documents
+        |ORDER BY CAST(CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(CAST(doc_id AS VARCHAR), ':', '5')), 1, 8))
+        |  AS UBIGINT) AS DOUBLE) / 4294967296.0, doc_id
+        |LIMIT 25""".stripMargin),
+
+    // ---- best-N per group (GroupCap orderCol): 20 longest docs per
+    //      lang, ties by doc_id. Spark runs the skew-safe two-phase
+    //      top-k; the oracle's single window is the same selection by
+    //      subset-closure of per-slice top-k. ----
+    QuerySpec.sql("p37_group_topk", (s, dir) => {
+      import s.implicits._
+      graft.operators.sampling.GroupCap
+        .capPerGroupBy(t(s, dir, "documents"), "lang", cap = 20,
+          orderCol = "n_chars", descending = true, idCol = "doc_id")
+        .select($"doc_id", $"lang", $"n_chars")
+        .orderBy($"lang", $"doc_id")
+    },
+      """WITH r AS (
+        | SELECT doc_id, lang, n_chars,
+        |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+        | FROM documents)
+        |SELECT doc_id, lang, n_chars FROM r WHERE rn <= 20
+        |ORDER BY lang, doc_id""".stripMargin)
   )
 
   /** Fixed 4-doc corpus for the BPE entries' pinned oracles (expected

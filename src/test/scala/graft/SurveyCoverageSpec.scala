@@ -156,7 +156,8 @@ class SurveyCoverageSpec extends AnyFunSuite {
       "p25_paragraph_dedup", "p26_unigram_lm", "p27_bpe_merges",
       "p28_bpe_encode", "p29_embed_neardup_survivors", "p30_sequence_pack",
       "p31_bpe_token_ids", "p32_ann_pq", "p33_corpus_split",
-      "p34_doc_chunk", "p35_group_cap",
+      "p34_doc_chunk", "p35_group_cap", "p36_corpus_shuffle",
+      "p37_group_topk",
       "s11_script_dedup", "s18_script_neardup_pipeline",
       "s19_script_clean_corpus"))
   }

@@ -624,12 +624,51 @@ class PipelineETSpec extends AnyFunSuite {
     assert(byG == Map(Some("a") -> 2, None -> 2))
   }
 
+  test("GroupCap orderCol keeps the best-N per group; equals single-window top-k") {
+    import org.apache.spark.sql.functions.{col, row_number}
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = graft.operators.sampling.GroupCap
+      .capPerGroupBy(docs, "lang", cap = 4, orderCol = "n_chars",
+        descending = true, idCol = "doc_id")
+    val naive = docs.withColumn("__rn__", row_number().over(
+        Window.partitionBy("lang")
+          .orderBy(col("n_chars").desc_nulls_last, col("doc_id"))))
+      .filter(col("__rn__") <= 4).drop("__rn__")
+    def key(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(key(out) == key(naive))
+    assert(key(out) == key(graft.operators.sampling.GroupCap
+      .capPerGroupBy(docs.repartition(9, col("source")), "lang", 4,
+        "n_chars", descending = true, idCol = "doc_id")),
+      "two-phase selection is partition-layout independent")
+  }
+
   test("GroupCap DSL surface caps per source") {
     val df = runDF(
       s"""load parquet.`$sf/documents.parquet` as gc_docs;
          |run gc_docs as GroupCap.`` where groupCol="source" and cap="5" as gc_out;
          |select source, count(*) as n from gc_out group by source as out;""".stripMargin)
     assert(df.collect().forall(_.getLong(1) <= 5L))
+  }
+
+  test("CorpusShuffle: deterministic permutation, layout-independent, top-k plan") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def order(d: org.apache.spark.sql.DataFrame, seed: Long) =
+      graft.operators.sampling.CorpusShuffle.shuffle(d, "doc_id", seed)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val o1 = order(docs, 9L)
+    assert(o1.sorted == docs.select("doc_id").collect().map(_.getLong(0)).toSeq.sorted,
+      "shuffle is a permutation — same multiset of rows")
+    assert(o1 == order(docs.repartition(11, col("lang")), 9L),
+      "identity-keyed order is partition-layout independent")
+    assert(o1 != order(docs, 10L), "different seed gives a different epoch order")
+    assert(o1 != o1.sorted, "shuffled order is not the ingest order")
+    // prefix consumption is a distributed top-k, not a full global sort
+    val plan = graft.operators.sampling.CorpusShuffle.shuffle(docs, "doc_id", 9L)
+      .limit(25).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
   }
 
   test("CorpusMix fractional weight keeps E[copies] near w") {
