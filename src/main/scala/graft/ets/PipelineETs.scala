@@ -17,7 +17,7 @@ object PipelineETs {
   def all: Seq[ET] = Seq(DedupET, SimilarityJoinET, AnnTopKET, BinaryMetaInPlaceET, LangIdET,
     DecontaminateET, RepetitionInPlaceET, PiiScrubInPlaceET, CorpusMixET, CorpusSplitET,
     ParagraphDedupInPlaceET, UnigramLmET, BpeTrainET, SequencePackET,
-    IncrementalDedupET, DocChunkET, GroupCapET, CorpusShuffleET)
+    IncrementalDedupET, DocChunkET, GroupCapET, CorpusShuffleET, ResampleET)
 }
 
 /** `run docs as UnigramLm.`` [where idCol="doc_id" and textCol="text" and
@@ -222,6 +222,49 @@ object CorpusSplitET extends NoPathET {
       case other => throw new IllegalArgumentException(
         s"CorpusSplit method must be hash|neardup, got '$other'")
     }
+  }
+}
+
+/** `run events as Resample.`` where keyCols="event_type" and tsCol="ts"
+  * and interval="3600" [and aggs="count:*,sum:value" and
+  * fill="null|zero|ffill" and bucketCol="bucket"]` — fixed-interval
+  * downsampling with a dense gap-filled per-key bucket axis (see
+  * [[graft.operators.temporal.Resample]]). Agg spec is
+  * `fn:col[,fn:col...]` with fn in count/sum/avg/min/max; output column
+  * `fn_col` (`count:*` → `n`).
+  */
+object ResampleET extends NoPathET {
+  override def name = "Resample"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    val keyCols = params.getOrElse("keyCols",
+      throw new IllegalArgumentException("Resample requires keyCols"))
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val interval = params.getOrElse("interval",
+      throw new IllegalArgumentException(
+        "Resample requires interval (seconds)")).toLong
+    val aggs = params.getOrElse("aggs", "count:*").split(",")
+      .map(_.trim).filter(_.nonEmpty).toSeq.map { spec =>
+        spec.split(":") match {
+          case Array("count", _) => "n" -> count(lit(1))
+          case Array(fn, c) =>
+            val in = col(c)
+            s"${fn}_$c" -> (fn match {
+              case "sum" => sum(in)
+              case "avg" => avg(in)
+              case "min" => min(in)
+              case "max" => max(in)
+              case other => throw new IllegalArgumentException(
+                s"Resample agg '$other' not in count/sum/avg/min/max")
+            })
+          case _ => throw new IllegalArgumentException(
+            s"Resample agg spec '$spec' is not fn:col")
+        }
+      }
+    graft.operators.temporal.Resample.resample(df, keyCols,
+      params.getOrElse("tsCol", "ts"), interval, aggs,
+      params.getOrElse("fill", "null"),
+      params.getOrElse("bucketCol", "bucket"))
   }
 }
 

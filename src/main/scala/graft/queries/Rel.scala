@@ -734,7 +734,37 @@ object Rel {
       t(s, dir, "supplier").createOrReplaceTempView("supplier")
       s.sql(bagOpsSql)
     },
-      bagOpsSql)
+      bagOpsSql),
+
+    // ---- time-series resample + gap-fill (operators.temporal.Resample):
+    //      per-event-type hourly buckets, dense axis between each type's
+    //      first and last hour, zero-filled sums (decimal-summed per the
+    //      cross-engine float discipline) and counts. The oracle builds
+    //      the same dense axis with UNNEST(RANGE(min, max+1, step)). ----
+    QuerySpec.sql("q43_resample_gapfill", (s, dir) => {
+      import s.implicits._
+      graft.operators.temporal.Resample.resample(
+          t(s, dir, "events"), Seq("event_type"), "ts", intervalSec = 3600L,
+          aggs = Seq(
+            "n" -> count(lit(1)),
+            "sum_v" -> sum($"value".cast("decimal(18,2)")).cast("double")),
+          fill = "zero")
+        .withColumn("bucket_us", unix_micros($"bucket"))
+        .select($"event_type", $"bucket_us", $"n", $"sum_v")
+        .orderBy($"event_type", $"bucket_us")
+    },
+      """WITH t AS (SELECT event_type, MAKE_TIMESTAMP(EPOCH_NS(ts) // 1000) AS ts, value FROM events),
+        |b AS (SELECT event_type,
+        |  EPOCH_US(ts) // 3600000000 * 3600000000 AS bucket_us,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        | FROM t GROUP BY 1, 2),
+        |k AS (SELECT event_type, MIN(bucket_us) AS mn, MAX(bucket_us) AS mx FROM b GROUP BY 1),
+        |axis AS (SELECT event_type, UNNEST(RANGE(mn, mx + 1, 3600000000)) AS bucket_us FROM k)
+        |SELECT a.event_type, a.bucket_us,
+        |  COALESCE(b.n, 0) AS n, COALESCE(b.sum_v, 0) AS sum_v
+        |FROM axis a LEFT JOIN b USING (event_type, bucket_us)
+        |ORDER BY event_type, bucket_us""".stripMargin)
   )
 
   /** Shared Spark/DuckDB text for q41 (dialect-identical). */
