@@ -17,7 +17,8 @@ object PipelineETs {
   def all: Seq[ET] = Seq(DedupET, SimilarityJoinET, AnnTopKET, BinaryMetaInPlaceET, LangIdET,
     DecontaminateET, RepetitionInPlaceET, PiiScrubInPlaceET, CorpusMixET, CorpusSplitET,
     ParagraphDedupInPlaceET, UnigramLmET, BpeTrainET, SequencePackET,
-    IncrementalDedupET, DocChunkET, GroupCapET, CorpusShuffleET, ResampleET)
+    IncrementalDedupET, DocChunkET, GroupCapET, CorpusShuffleET, ResampleET,
+    CorpusStatsET)
 }
 
 /** `run docs as UnigramLm.`` [where idCol="doc_id" and textCol="text" and
@@ -222,6 +223,26 @@ object CorpusSplitET extends NoPathET {
       case other => throw new IllegalArgumentException(
         s"CorpusSplit method must be hash|neardup, got '$other'")
     }
+  }
+}
+
+/** `train docs as CorpusStats.`/state/path` where cols="doc_id,lang"
+  * [and batchId="2026-08-13"]` — merge this batch into the incremental
+  * corpus-statistics store and return the running totals (see
+  * [[graft.operators.stats.CorpusStats]]: mergeable HLL sketches in a
+  * vparquet state table; `batchId` gives exactly-once semantics).
+  */
+object CorpusStatsET extends ET {
+  override def name = "CorpusStats"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    require(path.nonEmpty, "CorpusStats requires a state path")
+    graft.operators.stats.CorpusStats.update(df,
+      params.getOrElse("cols",
+        throw new IllegalArgumentException("CorpusStats requires cols"))
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+      path, params.get("batchId"),
+      params.getOrElse("lgK", "12").toInt)
   }
 }
 
