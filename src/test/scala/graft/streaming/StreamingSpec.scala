@@ -565,4 +565,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(2L).getLong(1) == 0L && !rows(2L).getBoolean(3))
   }
 
+  test("chunk-on-ingest: DocChunk generator composes with a stream") {
+    // chunking is a per-row GENERATE (posexplode of a computed array):
+    // legal on an unbounded frame with no watermark/state, so the 100 TB
+    // pipeline can chunk at ingest rather than re-scan the corpus later
+    val ctx = ScriptRunner.run(
+      s"""set streamName = "chunkstream";
+         |set dc = '''{"doc_id":1,"text":"abcdefghijklmnopqrstuvwxyz"}
+         |{"doc_id":2,"text":"0123456789"}
+         |{"doc_id":3,"text":""}''';
+         |load jsonStr.`dc` as dc_batch;
+         |load mockStream.`dc_batch` as dc_stream;
+         |run dc_stream as DocChunk.`` where size="10" and overlap="2" as dc_chunks;
+         |save append dc_chunks as memory.`` where mode="append"
+         |  and checkpointLocation="${java.nio.file.Files.createTempDirectory("ck_dc")}";""".stripMargin,
+      spark)
+    val q = ctx.streams("chunkstream")
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("chunkstream")
+      .select("doc_id", "chunk_id", "chunk").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted
+    assert(rows.toSeq == Seq(
+      (1L, 0, "abcdefghij"), (1L, 1, "ijklmnopqr"), (1L, 2, "qrstuvwxyz"),
+      (1L, 3, "yz"), (2L, 0, "0123456789"), (2L, 1, "89")),
+      "stride-8 windows per doc; the empty doc 3 yields no chunks")
+  }
+
 }
