@@ -449,6 +449,32 @@ object Scripts {
         | MIN(doc_id) AS mn_id, MAX(doc_id) AS mx_id,
         | MIN(lang) AS mn_lang, MAX(lang) AS mx_lang,
         | MIN(n_chars) AS mn_chars, MAX(n_chars) AS mx_chars
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin),
+
+    // ---- chunking pipeline through the DSL: length filter -> per-lang
+    //      deterministic cap (GroupCap draw, seed 19) -> 80/20 sliding
+    //      chunks (stride 60). The oracle replays the identical draw,
+    //      window, and start offsets, so every stage's semantics are
+    //      pinned end-to-end, not just the final operator's. ----
+    QuerySpec.sql("s23_script_chunk_pipeline", (s, dir) => script(s,
+      s"""load parquet.`$dir/documents.parquet` as documents;
+         |select doc_id, lang, text from documents where n_chars >= 100 as s23_filtered;
+         |run s23_filtered as GroupCap.`` where groupCol="lang" and cap="25"
+         |  and seed="19" as s23_capped;
+         |run s23_capped as DocChunk.`` where size="80" and overlap="20" as s23_chunks;
+         |select doc_id, chunk_id, chunk from s23_chunks
+         |  order by doc_id, chunk_id as s23_out;""".stripMargin),
+      """WITH f AS (SELECT doc_id, lang, text FROM documents WHERE n_chars >= 100),
+        |u AS (SELECT doc_id, lang, text,
+        |  CAST(CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(CAST(doc_id AS VARCHAR), ':', '19')), 1, 8))
+        |    AS UBIGINT) AS DOUBLE) / 4294967296.0 AS u
+        | FROM f),
+        |r AS (SELECT doc_id, text,
+        |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rn FROM u),
+        |c AS (SELECT doc_id, text FROM r WHERE rn <= 25),
+        |e AS (SELECT doc_id, text, UNNEST(RANGE(0, LENGTH(text), 60)) AS s
+        | FROM c WHERE LENGTH(text) > 0)
+        |SELECT doc_id, s // 60 AS chunk_id, SUBSTR(text, s + 1, 80) AS chunk
+        |FROM e ORDER BY doc_id, chunk_id""".stripMargin)
   )
 }

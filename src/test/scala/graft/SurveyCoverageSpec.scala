@@ -159,6 +159,6 @@ class SurveyCoverageSpec extends AnyFunSuite {
       "p34_doc_chunk", "p35_group_cap", "p36_corpus_shuffle",
       "p37_group_topk",
       "s11_script_dedup", "s18_script_neardup_pipeline",
-      "s19_script_clean_corpus"))
+      "s19_script_clean_corpus", "s23_script_chunk_pipeline"))
   }
 }
