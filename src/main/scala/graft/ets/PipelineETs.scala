@@ -18,7 +18,7 @@ object PipelineETs {
     DecontaminateET, RepetitionInPlaceET, PiiScrubInPlaceET, CorpusMixET, CorpusSplitET,
     ParagraphDedupInPlaceET, UnigramLmET, BpeTrainET, SequencePackET,
     IncrementalDedupET, DocChunkET, GroupCapET, CorpusShuffleET, ResampleET,
-    CorpusStatsET)
+    CorpusStatsET, TokenBudgetET)
 }
 
 /** `run docs as UnigramLm.`` [where idCol="doc_id" and textCol="text" and
@@ -224,6 +224,25 @@ object CorpusSplitET extends NoPathET {
         s"CorpusSplit method must be hash|neardup, got '$other'")
     }
   }
+}
+
+/** `run docs as TokenBudget.`` where tokenCol="n_tokens" and
+  * budget="50000000000" [and idCol="doc_id" and seed="42"]` — the
+  * whole-document prefix of the shuffled corpus whose cumulative token
+  * cost fits the budget (see [[graft.operators.sampling.TokenBudget]]:
+  * distributed prefix sum, budget-sized window cost).
+  */
+object TokenBudgetET extends NoPathET {
+  override def name = "TokenBudget"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame =
+    graft.operators.sampling.TokenBudget.take(df,
+      params.getOrElse("idCol", "doc_id"),
+      params.getOrElse("tokenCol",
+        throw new IllegalArgumentException("TokenBudget requires tokenCol")),
+      params.getOrElse("budget",
+        throw new IllegalArgumentException("TokenBudget requires budget")).toLong,
+      params.getOrElse("seed", "42").toLong)
 }
 
 /** `train docs as CorpusStats.`/state/path` where cols="doc_id,lang"

@@ -909,7 +909,31 @@ object Pipeline {
         |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
         | FROM documents)
         |SELECT doc_id, lang, n_chars FROM r WHERE rn <= 20
-        |ORDER BY lang, doc_id""".stripMargin)
+        |ORDER BY lang, doc_id""".stripMargin),
+
+    // ---- token-budget prefix (TokenBudget): whole docs of the seeded
+    //      shuffle order until 40k chars of budget are used. Spark runs
+    //      the distributed two-phase prefix sum; the oracle's global
+    //      running-sum window is the same cutoff by construction. ----
+    QuerySpec.sql("p38_token_budget", (s, dir) => {
+      import s.implicits._
+      graft.operators.sampling.TokenBudget
+        .take(t(s, dir, "documents"), "doc_id", "n_chars",
+          budget = 40000L, seed = 13L)
+        .select($"doc_id", $"n_chars")
+        .orderBy($"doc_id")
+    },
+      """WITH u AS (
+        | SELECT doc_id, n_chars,
+        |  CAST(CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(CAST(doc_id AS VARCHAR), ':', '13')), 1, 8))
+        |    AS UBIGINT) AS DOUBLE) / 4294967296.0 AS u
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id, n_chars,
+        |  SUM(GREATEST(COALESCE(n_chars, 0), 0))
+        |    OVER (ORDER BY u, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        | FROM u)
+        |SELECT doc_id, n_chars FROM c WHERE cum <= 40000 ORDER BY doc_id""".stripMargin)
   )
 
   /** Fixed 4-doc corpus for the BPE entries' pinned oracles (expected

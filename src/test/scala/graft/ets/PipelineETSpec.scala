@@ -671,6 +671,32 @@ class PipelineETSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
   }
 
+  test("TokenBudget keeps the maximal whole-doc prefix of the shuffle order") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def take(d: org.apache.spark.sql.DataFrame, b: Long) =
+      graft.operators.sampling.TokenBudget.take(d, "doc_id", "n_chars", b, seed = 2L)
+    val out = take(docs, 5000L)
+    val used = out.agg(org.apache.spark.sql.functions.sum("n_chars"))
+      .collect().head.getLong(0)
+    assert(used <= 5000L, s"budget overshot: $used")
+    // maximality: the next doc in shuffle order would overshoot
+    val order = graft.operators.sampling.CorpusShuffle
+      .shuffle(docs, "doc_id", 2L).select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(order.map(_._1).takeWhile(kept).toSet == kept,
+      "kept docs are a PREFIX of the shuffle order")
+    val next = order.drop(kept.size).headOption
+    next.foreach { case (_, c) => assert(used + c > 5000L, "prefix is maximal") }
+    // layout independence
+    assert(take(docs.repartition(17, col("lang")), 5000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == kept)
+    // degenerate budgets
+    assert(take(docs, 0L).count() == 0L)
+    assert(take(docs, Long.MaxValue / 4).count() == docs.count())
+  }
+
   test("CorpusMix fractional weight keeps E[copies] near w") {
     import spark.implicits._
     import org.apache.spark.sql.functions.lit
