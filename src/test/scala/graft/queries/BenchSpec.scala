@@ -140,4 +140,42 @@ class BenchSpec extends AnyFunSuite {
     assert(p.contains("UnionLoop"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("p33 corpus split and p34 doc chunk are shuffle-free per-row plans") {
+    import org.apache.spark.sql.functions.{col, md5}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val split = graft.operators.sampling.CorpusSplit.split(
+      docs.withColumn("grp", md5(col("text"))), "doc_id",
+      Seq("train" -> 0.9, "test" -> 0.1), groupCol = Some("grp"))
+    val ps = split.queryExecution.executedPlan.toString
+    assert(!ps.contains("Exchange"), ps)
+    val chunk = graft.operators.text.DocChunk
+      .chunkByChars(docs, "text", size = 64, overlap = 16)
+    val pc = chunk.queryExecution.executedPlan.toString
+    assert(!pc.contains("Exchange"), pc)
+    assert(pc.contains("Generate"), pc)
+  }
+
+  test("p37 two-phase group top-k and p38 token budget never single-partition") {
+    // both exist to dodge the same trap as p30: a window with a global
+    // order (or one hot group) collapsing to Exchange SinglePartition
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val topk = graft.operators.sampling.GroupCap.capPerGroupBy(
+      docs, "lang", cap = 4, orderCol = "n_chars", idCol = "doc_id")
+    val pt = topk.queryExecution.executedPlan.toString
+    assert(!pt.contains("SinglePartition"), pt)
+    assert(pt.contains("hashpartitioning"), pt)
+    val take = graft.operators.sampling.TokenBudget.take(
+      docs, "doc_id", "n_chars", budget = 5000L)
+    val pb = take.queryExecution.executedPlan.toString
+    assert(!pb.contains("SinglePartition"), pb)
+    assert(pb.contains("hashpartitioning(__pid__"), pb)
+  }
+
+  test("q43 resample gap-fill joins the axis on equi-keys, no nested loops") {
+    val p = plan("q43_resample_gapfill")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
 }
