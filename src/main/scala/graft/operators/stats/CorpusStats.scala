@@ -85,9 +85,38 @@ object CorpusStats {
 
   /** Current totals: (col_name, n_rows, n_nonnull, approx_distinct). */
   def summary(spark: SparkSession, statePath: String): DataFrame =
-    VParquet.loadVersion(spark, statePath, None, None)
+    summaryAt(spark, statePath, None)
+
+  /** Totals as of an earlier state version — each [[update]] is one
+    * vparquet commit, so the stats history is time-travelable for free.
+    */
+  def summaryAt(spark: SparkSession, statePath: String,
+                version: Option[Long]): DataFrame =
+    VParquet.loadVersion(spark, statePath, version, None)
       .select(col("col_name"), col("n_rows"), col("n_nonnull"),
         coalesce(hll_sketch_estimate(col("sketch")), lit(0L))
           .as("approx_distinct"))
       .orderBy("col_name")
+
+  /** Version-over-version drift: per tracked column, rows/nonnull/
+    * distinct added between two state versions (`to` = None for
+    * latest) — "what did the last week of ingestion add to corpus
+    * cardinality" without touching the corpus. Distinct growth is the
+    * difference of HLL estimates, so it carries the sketches' ~±2 %
+    * beyond the exact range.
+    */
+  def drift(spark: SparkSession, statePath: String, fromVersion: Long,
+            toVersion: Option[Long] = None): DataFrame = {
+    val a = summaryAt(spark, statePath, Some(fromVersion))
+      .select(col("col_name"), col("n_rows").as("__ar__"),
+        col("n_nonnull").as("__an__"), col("approx_distinct").as("__ad__"))
+    summaryAt(spark, statePath, toVersion)
+      .join(a, Seq("col_name"), "left")
+      .select(col("col_name"),
+        (col("n_rows") - coalesce(col("__ar__"), lit(0L))).as("rows_added"),
+        (col("n_nonnull") - coalesce(col("__an__"), lit(0L))).as("nonnull_added"),
+        (col("approx_distinct") - coalesce(col("__ad__"), lit(0L)))
+          .as("distinct_added"))
+      .orderBy("col_name")
+  }
 }

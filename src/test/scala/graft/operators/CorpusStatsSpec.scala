@@ -48,6 +48,21 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(VParquet.latestVersion(spark, state) == v, "no new commit")
   }
 
+  test("drift between state versions reports what a batch added") {
+    import spark.implicits._
+    val state = Files.createTempDirectory("cstats").toString + "/state"
+    CorpusStats.update(Seq((1L, "en"), (2L, "en")).toDF("doc_id", "lang"),
+      Seq("doc_id", "lang"), state, Some("b1"))
+    val v1 = VParquet.latestVersion(spark, state).get
+    CorpusStats.update(Seq((3L, "de"), (4L, "en")).toDF("doc_id", "lang"),
+      Seq("doc_id", "lang"), state, Some("b2"))
+    val d = CorpusStats.drift(spark, state, fromVersion = v1)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(d("doc_id") == ((2L, 2L, 2L)))
+    assert(d("lang") == ((2L, 2L, 1L)), "only 'de' is new to the lang column")
+  }
+
   test("DSL surface: train ... as CorpusStats.`path`") {
     val state = Files.createTempDirectory("cstats").toString + "/state"
     val df = graft.dsl.ScriptRunner.runToDF(
