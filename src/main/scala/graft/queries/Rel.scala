@@ -764,7 +764,35 @@ object Rel {
         |SELECT a.event_type, a.bucket_us,
         |  COALESCE(b.n, 0) AS n, COALESCE(b.sum_v, 0) AS sum_v
         |FROM axis a LEFT JOIN b USING (event_type, bucket_us)
-        |ORDER BY event_type, bucket_us""".stripMargin)
+        |ORDER BY event_type, bucket_us""".stripMargin),
+
+    // ---- RANGE-frame window (value-based frame bounds — the window
+    //      class q14–q16's ROWS frames don't cover): per-user trailing
+    //      one-hour count/sum at every event. Both engines frame on the
+    //      numeric micros axis; the sum is decimal-cast so its value is
+    //      order-independent (window-frame accumulation order is
+    //      engine-private). ----
+    QuerySpec.sql("q44_range_frame_window", (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id").orderBy(unix_micros($"ts"))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      t(s, dir, "events")
+        .withColumn("trailing_n", count(lit(1)).over(w))
+        .withColumn("trailing_v",
+          sum($"value".cast("decimal(18,2)")).over(w).cast("double"))
+        .select($"event_id", $"user_id", $"trailing_n", $"trailing_v")
+        .orderBy($"event_id")
+    },
+      """WITH t AS (SELECT event_id, user_id,
+        |  EPOCH_NS(ts) // 1000 AS us, value FROM events)
+        |SELECT event_id, user_id,
+        | COUNT(*) OVER w AS trailing_n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS trailing_v
+        |FROM t
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin)
   )
 
   /** Shared Spark/DuckDB text for q41 (dialect-identical). */

@@ -81,7 +81,8 @@ class SurveyCoverageSpec extends AnyFunSuite {
       "q3_join_inner", "q4_join_left", "q5_join_right", "q6_join_full",
       "q7_join_semi", "q8_join_anti", "q9_join_cross", "q30_star_join", // joins
       "q14_window_rank", "q15_window_running", "q16_window_leadlag",
-      "q28_window_dist", "q29_window_firstlast",                  // windows
+      "q28_window_dist", "q29_window_firstlast",
+      "q44_range_frame_window",                                   // windows
       "q17_topn",                                                 // top-k
       "q18_union", "q19_intersect", "q20_except", "q42_bag_set_ops", // set ops
       "q41_group_by_all",                                         // GROUP/ORDER BY ALL
