@@ -583,15 +583,25 @@ object AnnTopKET extends NoPathET {
   }
 }
 
-/** `run bins as BinaryMetaInPlace.`` [where binaryCol="content"]` — attach
-  * the multimodal metadata struct (format sniff + stubbed decode).
+/** `run bins as BinaryMetaInPlace.`` [where binaryCol="content" and
+  * embed="64"]` — attach the multimodal metadata struct (format sniff +
+  * stubbed decode); `embed=dim` also attaches the STUB `embedding`
+  * column, bridging binary media into the Dedup/AnnTopK/SimilarityJoin
+  * stack (identical bytes embed identically — exact-dup semantics are
+  * real even though the vector values are fake).
   */
 object BinaryMetaInPlaceET extends NoPathET {
   override def name = "BinaryMetaInPlace"
   override def train(ctx: ScriptContext, df: DataFrame, path: String,
                      params: Map[String, String]): DataFrame = {
     graft.operators.multimodal.Multimodal.register(ctx.spark)
-    graft.operators.multimodal.Multimodal.withImageMeta(df,
-      params.getOrElse("binaryCol", "content"))
+    val binaryCol = params.getOrElse("binaryCol", "content")
+    val withMeta = graft.operators.multimodal.Multimodal
+      .withImageMeta(df, binaryCol)
+    params.get("embed").map(_.toInt) match {
+      case Some(dim) => graft.operators.multimodal.Multimodal
+        .withEmbedding(withMeta, binaryCol, dim)
+      case None => withMeta
+    }
   }
 }

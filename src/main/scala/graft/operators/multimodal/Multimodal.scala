@@ -66,8 +66,40 @@ object Multimodal {
     spark.udf.register("mm_content_hash", (b: Array[Byte]) =>
       java.security.MessageDigest.getInstance("MD5").digest(b)
         .map("%02x".format(_)).mkString)
+    // STUB featurizer: deterministic pseudo-embedding (content-hash-seeded
+    // xorshift, L2-normalized) so multimodal -> embedding -> ANN pipelines
+    // compose end-to-end. Identical bytes embed identically (exact-dup
+    // property is REAL); the vector VALUES are fake — swap in a real
+    // vision/audio encoder in production. The contract that matters at
+    // scale (per-row, fixed dim, Array[Float] schema CosineSimilarity
+    // consumes) is exercised for real.
+    spark.udf.register("mm_embed", (b: Array[Byte], dim: Int) => {
+      var h = 1125899906842597L
+      var i = 0
+      while (i < math.min(b.length, 1024)) { h = 31 * h + b(i); i += 1 }
+      var s = h | 1L
+      val out = new Array[Float](dim)
+      var norm = 0.0
+      var j = 0
+      while (j < dim) {
+        s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+        val v = (s.toDouble / Long.MaxValue).toFloat
+        out(j) = v
+        norm += v.toDouble * v
+        j += 1
+      }
+      val inv = (1.0 / math.sqrt(norm)).toFloat
+      out.map(_ * inv)
+    })
     spark.conf.set("spark.graft.multimodal.registered", "true")
   }
+
+  /** Attach a STUB `embedding` column (see `mm_embed` notes): the bridge
+    * from binary media into the [[graft.operators.similarity]] stack.
+    */
+  def withEmbedding(df: DataFrame, binaryCol: String = "content",
+                    dim: Int = 64): DataFrame =
+    df.withColumn("embedding", expr(s"mm_embed($binaryCol, $dim)"))
 
   /** Attach a typed metadata struct to a binary column: format (sniffed),
     * width/height (STUB decode), size, content hash. Pure per-row work.

@@ -353,6 +353,27 @@ class PipelineETSpec extends AnyFunSuite {
     assert(df.collect().forall(_.getInt(2) >= 64)) // stub dims are bounded
   }
 
+  test("binary media -> stub embedding -> ANN dedup composes end-to-end") {
+    val dir = Files.createTempDirectory("graft_bin_emb")
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10) ++
+      Array.fill[Byte](64)(7)
+    Files.write(dir.resolve("orig.png"), png)
+    Files.write(dir.resolve("copy.png"), png) // byte-identical duplicate
+    Files.write(dir.resolve("other.jpg"),
+      Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte) ++
+        Array.fill[Byte](64)(9))
+    val df = runDF(
+      s"""load binaryFile.`$dir` as emb_bins;
+         |run emb_bins as BinaryMetaInPlace.`` where embed="32" as emb_meta;
+         |select path, media_meta.content_hash as h, embedding from emb_meta as emb_rows;
+         |run emb_rows as SimilarityJoin.`` where idCol="path" and vecCol="embedding"
+         |  and threshold="0.999" and method="exact" as emb_pairs;""".stripMargin)
+    val pairs = df.select("a_id", "b_id").collect()
+      .map(r => Set(r.getString(0).split("/").last, r.getString(1).split("/").last))
+    assert(pairs.toSeq == Seq(Set("orig.png", "copy.png")),
+      "byte-identical media pair found, unrelated media not paired")
+  }
+
   test("mm_frame_sample slices deterministically") {
     val df = spark.sql(
       "select mm_frame_sample(cast('0123456789abcdef' as binary), 4, 4) as frames")
