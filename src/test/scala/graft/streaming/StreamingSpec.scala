@@ -565,6 +565,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(2L).getLong(1) == 0L && !rows(2L).getBoolean(3))
   }
 
+  test("streaming CorpusStats: exactly-once stats maintenance via foreachBatch batchId") {
+    // the streaming face of incremental corpus statistics: each
+    // micro-batch folds into the vparquet stats store keyed by its
+    // batchId, so Structured Streaming's at-least-once foreachBatch
+    // redelivery cannot double-count (the store's txn watermark absorbs
+    // replays — same mechanism the CorpusStatsSpec no-op test pins)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.{Dataset, Row}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val state = java.nio.file.Files.createTempDirectory("cstats_stream")
+      .toString + "/state"
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "lang").writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        graft.operators.stats.CorpusStats.update(batch.toDF(),
+          Seq("doc_id", "lang"), state, Some(s"stream-$batchId"))
+        ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ck_cstats").toString)
+      .start()
+    in.addData((1L, "en"), (2L, "de"))
+    q.processAllAvailable()
+    in.addData((3L, "en"))
+    q.processAllAvailable()
+    q.stop()
+    val out = graft.operators.stats.CorpusStats.summary(spark, state)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(out("doc_id") == ((3L, 3L)))
+    assert(out("lang") == ((3L, 2L)))
+  }
+
   test("chunk-on-ingest: DocChunk generator composes with a stream") {
     // chunking is a per-row GENERATE (posexplode of a computed array):
     // legal on an unbounded frame with no watermark/state, so the 100 TB
