@@ -91,4 +91,34 @@ object Resample {
           d.withColumn(n, last(col(n), ignoreNulls = true).over(w)) }
     }
   }
+
+  /** Trailing-window anomaly score over an (already resampled or
+    * otherwise regular) series: z = (v − mean) / stddev of the
+    * `lookback` rows BEFORE the current one, per key. NULL until the
+    * trailing window has ≥ 2 rows or while it has zero variance (a
+    * constant baseline admits no z-score), so warm-up rows never fire a
+    * detector. The variance is computed EXPLICITLY from sum / sum-of-
+    * squares window aggregates rather than `stddev(...)` — over integer
+    * inputs those sums are exact, making the score a fixed sequence of
+    * double ops that any engine reproduces bit-for-bit (the property the
+    * q45 oracle pins); `stddev`'s internal accumulation order is
+    * engine-private. Per-key windows only — distributed like every other
+    * window here, never a global sort.
+    */
+  def anomalyScore(df: DataFrame, keyCols: Seq[String], orderCol: String,
+                   valueCol: String, lookback: Int,
+                   outCol: String = "z_score"): DataFrame = {
+    require(lookback >= 2, "anomaly lookback must be >= 2")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(orderCol)).rowsBetween(-lookback, -1)
+    val v = col(valueCol).cast("double")
+    val n = count(v).over(w).cast("double")
+    val s = sum(v).over(w)
+    val ss = sum(v * v).over(w)
+    val mean = s / n
+    val variance = (ss - n * mean * mean) / (n - 1)
+    df.withColumn(outCol,
+      when(count(v).over(w) >= 2 && variance > 0,
+        (v - mean) / sqrt(variance)))
+  }
 }

@@ -792,7 +792,48 @@ object Rel {
         |FROM t
         |WINDOW w AS (PARTITION BY user_id ORDER BY us
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin),
+
+    // ---- rate-anomaly detection: hourly per-type event counts (dense
+    //      zero-filled axis, q43's shape) scored by a trailing-24-bucket
+    //      z-score. The variance comes from exact integer window sums
+    //      through an EXPLICIT formula mirrored verbatim in the oracle —
+    //      engine-private stddev accumulation never enters (see
+    //      Resample.anomalyScore). ----
+    QuerySpec.sql("q45_rate_anomaly", (s, dir) => {
+      import s.implicits._
+      val filled = graft.operators.temporal.Resample.resample(
+        t(s, dir, "events"), Seq("event_type"), "ts", intervalSec = 3600L,
+        aggs = Seq("n" -> count(lit(1))), fill = "zero")
+      graft.operators.temporal.Resample
+        .anomalyScore(filled, Seq("event_type"), "bucket", "n", lookback = 24)
+        .withColumn("bucket_us", unix_micros($"bucket"))
+        .select($"event_type", $"bucket_us", $"n", $"z_score")
+        .orderBy($"event_type", $"bucket_us")
+    },
+      """WITH t AS (SELECT event_type, EPOCH_NS(ts) // 1000 AS us FROM events),
+        |b AS (SELECT event_type, us // 3600000000 * 3600000000 AS bucket_us,
+        |  COUNT(*) AS n FROM t GROUP BY 1, 2),
+        |k AS (SELECT event_type, MIN(bucket_us) AS mn, MAX(bucket_us) AS mx FROM b GROUP BY 1),
+        |axis AS (SELECT event_type, UNNEST(RANGE(mn, mx + 1, 3600000000)) AS bucket_us FROM k),
+        |filled AS (SELECT a.event_type, a.bucket_us, COALESCE(b.n, 0) AS n
+        | FROM axis a LEFT JOIN b USING (event_type, bucket_us)),
+        |win AS (SELECT event_type, bucket_us, n,
+        |  COUNT(*) OVER tw AS c,
+        |  SUM(CAST(n AS DOUBLE)) OVER tw AS s,
+        |  SUM(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) OVER tw AS ss
+        | FROM filled
+        | WINDOW tw AS (PARTITION BY event_type ORDER BY bucket_us
+        |   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, bucket_us, n,
+        | CASE WHEN c >= 2 AND
+        |   (ss - CAST(c AS DOUBLE) * (s / CAST(c AS DOUBLE)) * (s / CAST(c AS DOUBLE)))
+        |     / (CAST(c AS DOUBLE) - 1) > 0
+        |  THEN (CAST(n AS DOUBLE) - s / CAST(c AS DOUBLE)) /
+        |   SQRT((ss - CAST(c AS DOUBLE) * (s / CAST(c AS DOUBLE)) * (s / CAST(c AS DOUBLE)))
+        |     / (CAST(c AS DOUBLE) - 1))
+        | END AS z_score
+        |FROM win ORDER BY event_type, bucket_us""".stripMargin)
   )
 
   /** Shared Spark/DuckDB text for q41 (dialect-identical). */

@@ -91,7 +91,7 @@ class SurveyCoverageSpec extends AnyFunSuite {
       "q31_explode_lateral", "q40_lateral_subquery",              // lateral/generators
       "q32_struct_ops",                                           // structs
       "q33_asof_join", "q34_range_join", "q36_bloom_join",        // temporal/range/bloom
-      "q35_sessionize", "q43_resample_gapfill",                   // sessionize/resample
+      "q35_sessionize", "q43_resample_gapfill", "q45_rate_anomaly", // sessionize/resample/anomaly
       "q38_recursive_cte", "q39_pipe_syntax"))                    // recursive CTE / pipes
   }
 

@@ -46,6 +46,26 @@ class ResampleSpec extends AnyFunSuite {
     assert(collect("null").toSeq.contains(("a", 2, Some(4.0))))
   }
 
+  test("anomalyScore: warm-up and constant baselines stay NULL, spikes score high") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // key a: noisy-but-stable baseline then a spike; key b: too short;
+    // key c: constant (zero variance admits no z-score, spike included)
+    val rows = (1 to 10).map(i => ("a", i.toLong, if (i % 2 == 0) 6.0 else 4.0)) :+
+      ("a", 11L, 50.0) :+
+      ("b", 1L, 1.0) :+ ("b", 2L, 9.0) :+
+      ("c", 1L, 5.0) :+ ("c", 2L, 5.0) :+ ("c", 3L, 5.0) :+ ("c", 4L, 50.0)
+    val df = rows.toDF("k", "pos", "v")
+    val out = Resample.anomalyScore(df, Seq("k"), "pos", "v", lookback = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    assert(out(("a", 1L)).isEmpty, "no trailing rows yet")
+    assert(out(("a", 11L)).isEmpty == false && out(("a", 11L)).get > 3,
+      s"spike must score high, got ${out(("a", 11L))}")
+    assert(out(("b", 2L)).isEmpty, "single trailing row is not enough")
+    assert(out(("c", 4L)).isEmpty, "constant baseline has zero variance")
+  }
+
   test("DSL surface: Resample ET with fn:col agg spec") {
     import org.apache.spark.sql.functions._
     fixture.createOrReplaceTempView("rs_events")
