@@ -20,6 +20,9 @@ import org.apache.spark.sql.functions._
   * badly skewed by ingest order. Downstream writers preserve the order
   * per output file, and [[graft.operators.text.SequencePack]] consumes
   * the shuffled order via its own range repartition on the same key.
+  *
+  * No reference counterpart (closest: TableRepartition, which
+  * re-buckets but does not order); builder-prompt north-star extension.
   */
 object CorpusShuffle {
 

@@ -24,6 +24,9 @@ import org.apache.spark.sql.functions._
   * discipline): pair graph → connected components → component label as
   * the group. The component step is the only shuffle; the assignment
   * stays per-row codegen.
+  *
+  * No reference counterpart (closest surface: RateSampler's
+  * labelCol-stratified fractions); builder-prompt north-star extension.
   */
 object CorpusSplit {
 

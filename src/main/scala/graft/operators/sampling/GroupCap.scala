@@ -27,6 +27,8 @@ import org.apache.spark.sql.functions._
   * re-runs, so the result is EXACTLY the cap-smallest draws per group on
   * every input. Groups are assumed driver-sized (languages, domains —
   * the counts collect is #groups rows).
+  *
+  * No reference counterpart; builder-prompt north-star extension.
   */
 object GroupCap {
 

@@ -27,6 +27,8 @@ import org.apache.spark.sql.functions._
   * is wanted). Rows with null/non-positive cost occupy no budget and are
   * kept when reached. Deterministic in (identity, seed) like the rest of
   * the sampling suite.
+  *
+  * No reference counterpart; builder-prompt north-star extension.
   */
 object TokenBudget {
 

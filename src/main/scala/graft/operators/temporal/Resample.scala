@@ -26,6 +26,8 @@ import org.apache.spark.sql.functions._
   * inherent to gap-filling (the output really has those rows), and it
   * stays distributed because the explode happens on the key's row, not
   * the driver.
+  *
+  * No reference counterpart; builder-prompt north-star extension.
   */
 object Resample {
 

@@ -24,6 +24,8 @@ import org.apache.spark.sql.functions._
   * produce NO chunks (explicitly filtered — a null document has no
   * trainable content). The text column is dropped from the output so the
   * full document is not duplicated once per chunk.
+  *
+  * No reference counterpart; builder-prompt north-star extension.
   */
 object DocChunk {
 
