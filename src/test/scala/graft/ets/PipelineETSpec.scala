@@ -718,6 +718,23 @@ class PipelineETSpec extends AnyFunSuite {
     assert(take(docs, Long.MaxValue / 4).count() == docs.count())
   }
 
+  test("CorpusShuffle and TokenBudget DSL surfaces compose in one script") {
+    val df = runDF(
+      s"""load parquet.`$sf/documents.parquet` as tb_docs;
+         |run tb_docs as TokenBudget.`` where tokenCol="n_chars"
+         |  and budget="8000" and seed="2" as tb_take;
+         |run tb_take as CorpusShuffle.`` where seed="2" as tb_shuffled;
+         |select doc_id, n_chars from tb_shuffled as out;""".stripMargin)
+    val rows = df.collect()
+    assert(rows.map(_.getLong(1)).sum <= 8000L, "budget respected through the DSL")
+    assert(rows.nonEmpty)
+    // the shuffle pass re-orders but never changes membership
+    val direct = graft.operators.sampling.TokenBudget.take(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "n_chars",
+      8000L, seed = 2L).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getLong(0)).toSet == direct)
+  }
+
   test("CorpusMix fractional weight keeps E[copies] near w") {
     import spark.implicits._
     import org.apache.spark.sql.functions.lit
