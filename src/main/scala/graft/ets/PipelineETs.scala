@@ -235,14 +235,34 @@ object CorpusSplitET extends NoPathET {
 object TokenBudgetET extends NoPathET {
   override def name = "TokenBudget"
   override def train(ctx: ScriptContext, df: DataFrame, path: String,
-                     params: Map[String, String]): DataFrame =
-    graft.operators.sampling.TokenBudget.take(df,
-      params.getOrElse("idCol", "doc_id"),
-      params.getOrElse("tokenCol",
-        throw new IllegalArgumentException("TokenBudget requires tokenCol")),
-      params.getOrElse("budget",
-        throw new IllegalArgumentException("TokenBudget requires budget")).toLong,
-      params.getOrElse("seed", "42").toLong)
+                     params: Map[String, String]): DataFrame = {
+    val idCol = params.getOrElse("idCol", "doc_id")
+    val tokenCol = params.getOrElse("tokenCol",
+      throw new IllegalArgumentException("TokenBudget requires tokenCol"))
+    val seed = params.getOrElse("seed", "42").toLong
+    params.get("groupCol") match {
+      case Some(g) =>
+        // budgets="en:20000,zh:8000"; groups not listed get defaultBudget
+        // (negative = dropped — a mixture recipe names its components)
+        val budgets = params.getOrElse("budgets",
+          throw new IllegalArgumentException(
+            "TokenBudget with groupCol requires budgets=\"g:B,...\""))
+          .split(",").map(_.trim).filter(_.nonEmpty).map { kv =>
+            val i = kv.lastIndexOf(':')
+            require(i > 0 && i < kv.length - 1,
+              s"TokenBudget budget '$kv' is not group:budget")
+            kv.substring(0, i) -> kv.substring(i + 1).toLong
+          }.toMap
+        graft.operators.sampling.TokenBudget.takePerGroup(df, g, idCol,
+          tokenCol, budgets,
+          params.getOrElse("defaultBudget", "-1").toLong, seed)
+      case None =>
+        graft.operators.sampling.TokenBudget.take(df, idCol, tokenCol,
+          params.getOrElse("budget",
+            throw new IllegalArgumentException(
+              "TokenBudget requires budget")).toLong, seed)
+    }
+  }
 }
 
 /** `train docs as CorpusStats.`/state/path` where cols="doc_id,lang"

@@ -933,7 +933,33 @@ object Pipeline {
         |  SUM(GREATEST(COALESCE(n_chars, 0), 0))
         |    OVER (ORDER BY u, doc_id ROWS UNBOUNDED PRECEDING) AS cum
         | FROM u)
-        |SELECT doc_id, n_chars FROM c WHERE cum <= 40000 ORDER BY doc_id""".stripMargin)
+        |SELECT doc_id, n_chars FROM c WHERE cum <= 40000 ORDER BY doc_id""".stripMargin),
+
+    // ---- per-group token budgets (TokenBudget.takePerGroup): the
+    //      mixture-recipe contract — en capped at 20k chars, zh at 8k,
+    //      every unlisted lang dropped (defaultBudget = -1). The oracle's
+    //      per-lang running-sum window is the same per-group cutoff the
+    //      two-phase (group, draw)-ranged prefix sum computes. ----
+    QuerySpec.sql("p39_group_token_budget", (s, dir) => {
+      import s.implicits._
+      graft.operators.sampling.TokenBudget
+        .takePerGroup(t(s, dir, "documents"), "lang", "doc_id", "n_chars",
+          budgets = Map("en" -> 20000L, "zh" -> 8000L), seed = 3L)
+        .select($"doc_id", $"lang", $"n_chars")
+        .orderBy($"doc_id")
+    },
+      """WITH b AS (
+        | SELECT doc_id, lang, n_chars,
+        |  CASE lang WHEN 'en' THEN 20000 WHEN 'zh' THEN 8000 ELSE -1 END AS bud,
+        |  CAST(CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(CAST(doc_id AS VARCHAR), ':', '3')), 1, 8))
+        |    AS UBIGINT) AS DOUBLE) / 4294967296.0 AS u
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id, lang, n_chars, bud,
+        |  SUM(GREATEST(COALESCE(n_chars, 0), 0))
+        |    OVER (PARTITION BY lang ORDER BY u, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        | FROM b WHERE bud >= 0)
+        |SELECT doc_id, lang, n_chars FROM c WHERE cum <= bud ORDER BY doc_id""".stripMargin)
   )
 
   /** Fixed 4-doc corpus for the BPE entries' pinned oracles (expected

@@ -158,7 +158,7 @@ class SurveyCoverageSpec extends AnyFunSuite {
       "p28_bpe_encode", "p29_embed_neardup_survivors", "p30_sequence_pack",
       "p31_bpe_token_ids", "p32_ann_pq", "p33_corpus_split",
       "p34_doc_chunk", "p35_group_cap", "p36_corpus_shuffle",
-      "p37_group_topk", "p38_token_budget",
+      "p37_group_topk", "p38_token_budget", "p39_group_token_budget",
       "s11_script_dedup", "s18_script_neardup_pipeline",
       "s19_script_clean_corpus", "s23_script_chunk_pipeline"))
   }

@@ -718,6 +718,32 @@ class PipelineETSpec extends AnyFunSuite {
     assert(take(docs, Long.MaxValue / 4).count() == docs.count())
   }
 
+  test("TokenBudget per-group budgets: each component capped, unlisted dropped") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.sampling.TokenBudget.takePerGroup(
+        d, "lang", "doc_id", "n_chars",
+        budgets = Map("en" -> 6000L, "zh" -> 2000L), seed = 4L)
+    val out = run(docs)
+    val used = out.groupBy("lang")
+      .agg(org.apache.spark.sql.functions.sum("n_chars").as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(used.keySet == Set("en", "zh"), s"unlisted langs dropped: $used")
+    assert(used("en") <= 6000L && used("zh") <= 2000L, s"$used")
+    assert(used("en") > 0L && used("zh") > 0L)
+    // per-group prefix semantics match the global operator run per slice
+    val enOnly = graft.operators.sampling.TokenBudget.take(
+      docs.filter(col("lang") === "en"), "doc_id", "n_chars", 6000L, seed = 4L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.filter(col("lang") === "en").select("doc_id")
+      .collect().map(_.getLong(0)).toSet == enOnly)
+    // layout independence
+    assert(run(docs.repartition(19, col("source"))).select("doc_id")
+      .collect().map(_.getLong(0)).toSet ==
+      out.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("CorpusShuffle and TokenBudget DSL surfaces compose in one script") {
     val df = runDF(
       s"""load parquet.`$sf/documents.parquet` as tb_docs;
