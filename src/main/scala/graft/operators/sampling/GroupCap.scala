@@ -17,16 +17,19 @@ import org.apache.spark.sql.functions._
   * Scale shape: the naive plan (global window per group) sorts every
   * row of the hottest group in one task — the classic skew trap when one
   * domain is half the corpus. Instead: (1) aggregate per-group counts
-  * (map-side combinable, output = #groups rows, broadcast back); (2)
-  * pre-filter u < margin·cap/n, which keeps ~margin·cap candidates per
-  * over-cap group REGARDLESS of group size — the only rows the exact
-  * window ever sorts; (3) row_number over the survivors. The pre-filter
-  * is verified, not trusted: if some group ended up with fewer than
-  * min(cap, n) candidates (Chernoff-tail improbable at margin 4, but
-  * "improbable" is not "never"), the margin doubles and the filter
-  * re-runs, so the result is EXACTLY the cap-smallest draws per group on
-  * every input. Groups are assumed driver-sized (languages, domains —
-  * the counts collect is #groups rows).
+  * (map-side combinable, output = #groups rows) and KEEP THEM
+  * DISTRIBUTED — real per-domain caps mean 10^5–10^7 groups, so the
+  * counts are a DataFrame joined back on the group key (AQE broadcasts
+  * it when small, shuffles it when not), never a driver collect or a
+  * #groups-deep expression; (2) pre-filter u < margin·cap/n, which keeps
+  * ~margin·cap candidates per over-cap group REGARDLESS of group size —
+  * the only rows the exact window ever sorts; (3) row_number over the
+  * survivors. The pre-filter is verified, not trusted: if some group
+  * ended up with fewer than min(cap, n) candidates (Chernoff-tail
+  * improbable at margin 4, but "improbable" is not "never"), the margin
+  * doubles and the filter re-runs off the same joined frame — the
+  * deficiency check itself is one small aggregate-join job whose result
+  * is a single boolean, so no per-group state ever lands on the driver.
   *
   * No reference counterpart; builder-prompt north-star extension.
   */
@@ -45,28 +48,37 @@ object GroupCap {
     require(cap > 0, "group cap must be positive")
     val withU = df.withColumn("__u__", draw(idCol, seed))
 
-    // #groups rows; null group is its own stratum (groupBy keeps it)
+    // #groups rows, kept distributed; null group is its own stratum
+    // (groupBy keeps it, and the join below is null-safe)
     val counts = withU.groupBy(col(groupCol).as("__g__"))
-      .agg(count(lit(1)).as("__n__")).collect()
-      .map(r => Option(r.get(0)) -> r.getLong(1)).toMap
-    val needs = counts.map { case (g, n) => g -> math.min(cap.toLong, n) }
+      .agg(count(lit(1)).as("__n__"))
+
+    // join the per-group count onto every row; the threshold is then a
+    // single arithmetic expression over __n__ with margin as a literal —
+    // depth O(1) regardless of #groups, and retries only swap the literal
+    def preFiltered(margin: Double): DataFrame =
+      withU.join(counts, col(groupCol) <=> col("__g__"))
+        .filter(col("__u__") <
+          least(lit(1.0), lit(margin * cap) / col("__n__").cast("double")))
+        .drop("__g__", "__n__")
+
+    // true iff some group kept fewer than min(cap, n) candidates — one
+    // aggregate-join job, single-row answer; a group absent from `pre`
+    // counts as 0 via the left join
+    def deficient(pre: DataFrame): Boolean = {
+      val got = pre.groupBy(col(groupCol).as("__gg__"))
+        .agg(count(lit(1)).as("__got__"))
+      !counts.join(got, col("__g__") <=> col("__gg__"), "left")
+        .filter(coalesce(col("__got__"), lit(0L)) <
+          least(lit(cap.toLong), col("__n__")))
+        .isEmpty
+    }
 
     var margin = 4.0
-    var pre: DataFrame = null
-    var enough = false
-    while (!enough) {
-      val thresholds = counts.map { case (g, n) =>
-        g -> math.min(1.0, margin * cap / math.max(n, 1L)) }
-      val thrExpr = thresholds.foldLeft(lit(1.0)) { case (acc, (g, t)) =>
-        g.fold(when(col(groupCol).isNull, lit(t)).otherwise(acc)) { v =>
-          when(col(groupCol) === lit(v), lit(t)).otherwise(acc) }
-      }
-      pre = withU.filter(col("__u__") < thrExpr)
-      val got = pre.groupBy(col(groupCol).as("__g__"))
-        .agg(count(lit(1)).as("__n__")).collect()
-        .map(r => Option(r.get(0)) -> r.getLong(1)).toMap
-      enough = needs.forall { case (g, need) => got.getOrElse(g, 0L) >= need }
-      if (!enough) margin *= 2
+    var pre = preFiltered(margin)
+    while (deficient(pre)) {
+      margin *= 2
+      pre = preFiltered(margin)
     }
 
     val w = Window.partitionBy(col(groupCol))

@@ -121,6 +121,21 @@ class ScaleSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$base/plain").count() == 16384)
   }
 
+  test("GroupCap.capPerGroup handles 50k distinct groups without blowing up") {
+    // per-domain caps mean high group cardinality; the joined-threshold
+    // plan must stay O(1) expression depth where a literal when-chain
+    // would hit analyzer/codegen limits long before 50k groups
+    import org.apache.spark.sql.functions.{col, count, lit, max}
+    val df = spark.range(200000).select(
+      (col("id") % 50000).cast("string").as("g"), col("id").as("doc_id"))
+    val out = graft.operators.sampling.GroupCap
+      .capPerGroup(df, "g", cap = 2, idCol = "doc_id")
+    // 4 rows per group, cap 2 -> exactly 2 survivors in each of 50k groups
+    assert(out.count() == 100000L)
+    assert(out.groupBy("g").agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head().getLong(0) == 2L)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     Seq("b_orders", "b_customer").foreach { t =>
       spark.sql(s"drop table if exists $t")

@@ -172,6 +172,19 @@ class BenchSpec extends AnyFunSuite {
     assert(pb.contains("hashpartitioning(__pid__"), pb)
   }
 
+  test("p35 group cap joins per-group thresholds, not a #groups-deep CaseWhen") {
+    // the threshold must arrive via a join on the group key (AQE picks
+    // broadcast vs shuffle), never as an inlined per-group literal chain —
+    // at per-domain cardinality (1e5+ groups) that chain is an
+    // analyzer/codegen blowup
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val capped = graft.operators.sampling.GroupCap.capPerGroup(
+      docs, "lang", cap = 4, idCol = "doc_id")
+    val p = capped.queryExecution.executedPlan.toString
+    assert(p.contains("Join"), p)
+    assert(!p.contains("CASE WHEN"), p)
+  }
+
   test("q43 resample gap-fill joins the axis on equi-keys, no nested loops") {
     val p = plan("q43_resample_gapfill")
     assert(!p.contains("CartesianProduct"), p)
