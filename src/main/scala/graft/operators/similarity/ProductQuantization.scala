@@ -135,62 +135,92 @@ object ProductQuantization {
 
   /** Approximate top-k per query: ADC scoring over the byte codes →
     * `rerank` candidates per query → exact cosine re-rank on the raw
-    * vectors of just those candidates. Queries are collected (a bounded
-    * query BATCH is the contract, as in [[CosineSimilarity.annTopK]]) so
-    * each query's m×256 ADC table is built once and broadcast.
+    * vectors of just those candidates.
+    *
+    * Driver state is BOUNDED by `queryBatch` regardless of query-side
+    * size: queries are hash-bucketed into ceil(|queries|/queryBatch)
+    * batches and only one batch's ADC tables (queryBatch × m×256
+    * doubles) ever lives on the driver at a time. Each query's top-k is
+    * independent, so per-batch candidate sets union losslessly and one
+    * exact re-rank join at the end scans the raw corpus vectors ONCE,
+    * not per batch. A "PQ self-search the corpus" call (query side =
+    * corpus) therefore streams through in corpus/queryBatch rounds of
+    * bounded work instead of OOMing the driver; the codes frame is
+    * persisted across rounds so the corpus is encoded once.
     */
   def topK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
            qIdCol: String, qVecCol: String, k: Int, model: PqModel,
-           rerank: Int = 64): DataFrame = {
+           rerank: Int = 64, queryBatch: Int = 1024): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(queryBatch > 0, "queryBatch must be positive")
     val spark = corpus.sparkSession
-    val codes = encode(corpus, idCol, vecCol, model)
-    // per-query ADC tables: |queries| × m × 256 doubles, driver-built
-    val qRows = queries.filter(col(qVecCol).isNotNull)
-      .select(col(qIdCol).cast("long"), col(qVecCol).cast("array<double>"))
-      .collect().map(r => r.getLong(0) -> normalize(r.getSeq[Double](1).toArray))
-    val tables: Map[Long, Array[Double]] = qRows.map { case (qid, q) =>
-      val t = new Array[Double](model.m * model.numCentroids)
-      var s = 0
-      while (s < model.m) {
-        var c = 0
-        while (c < model.numCentroids) {
-          var ip = 0.0; var j = 0
-          while (j < model.subDim) {
-            ip += q(s * model.subDim + j) * model.codebooks(s)(c)(j); j += 1
-          }
-          t(s * model.numCentroids + c) = ip
-          c += 1
-        }
-        s += 1
-      }
-      qid -> t
-    }.toMap
-    val bcTables = spark.sparkContext.broadcast(tables)
-    val nc = model.numCentroids
-    val adc = udf { (qid: Long, code: Array[Byte]) =>
-      val t = bcTables.value(qid)
-      var score = 0.0; var s = 0
-      while (s < code.length) {
-        score += t(s * nc + (code(s) & 0xff)); s += 1
-      }
-      score
-    }
     import spark.implicits._
-    val qIds = qRows.map(_._1).toSeq.toDF("qid")
-    val candidates = codes.join(broadcast(qIds), col("id") =!= col("qid"))
-      .withColumn("adc", adc(col("qid"), col("code")))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("id"))))
-      .filter(col("crank") <= rerank)
-      .select(col("qid"), col("id"))
-    // exact re-rank of the surviving candidates only
-    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val nc = model.numCentroids
+
+    val q = queries.filter(col(qVecCol).isNotNull)
+      .select(col(qIdCol).cast("long").as("qid"),
+        col(qVecCol).cast("array<double>").as("qv"))
+    val nBatches = math.max(1,
+      math.ceil(q.count().toDouble / queryBatch).toInt)
+    val codes0 = encode(corpus, idCol, vecCol, model)
+    val codes = if (nBatches > 1)
+      codes0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else codes0
+
+    // ADC candidates for ONE bounded batch of queries: the batch's m×256
+    // tables are driver-built (≤ queryBatch of them) and broadcast
+    def batchCandidates(qRows: Array[(Long, Array[Double])]): DataFrame = {
+      val tables: Map[Long, Array[Double]] = qRows.map { case (qid, qn) =>
+        val t = new Array[Double](model.m * nc)
+        var s = 0
+        while (s < model.m) {
+          var c = 0
+          while (c < nc) {
+            var ip = 0.0; var j = 0
+            while (j < model.subDim) {
+              ip += qn(s * model.subDim + j) * model.codebooks(s)(c)(j); j += 1
+            }
+            t(s * nc + c) = ip
+            c += 1
+          }
+          s += 1
+        }
+        qid -> t
+      }.toMap
+      val bcTables = spark.sparkContext.broadcast(tables)
+      val adc = udf { (qid: Long, code: Array[Byte]) =>
+        val t = bcTables.value(qid)
+        var score = 0.0; var s = 0
+        while (s < code.length) {
+          score += t(s * nc + (code(s) & 0xff)); s += 1
+        }
+        score
+      }
+      val qIds = qRows.map(_._1).toSeq.toDF("qid")
+      codes.join(broadcast(qIds), col("id") =!= col("qid"))
+        .withColumn("adc", adc(col("qid"), col("code")))
+        .withColumn("crank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("id"))))
+        .filter(col("crank") <= rerank)
+        .select(col("qid"), col("id"))
+    }
+
+    val candidates = (0 until nBatches).map { b =>
+      val qRows = q.filter(pmod(hash(col("qid")), lit(nBatches)) === lit(b))
+        .collect()
+        .map(r => r.getLong(0) -> normalize(r.getSeq[Double](1).toArray))
+      batchCandidates(qRows)
+    }.reduce(_.union(_))
+
+    // exact re-rank of the surviving candidates only — one corpus-vector
+    // join for ALL batches; AQE broadcasts the small candidate side
+    val vecs = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
     val qVecs = queries.select(col(qIdCol).cast("long").as("qid"),
       col(qVecCol).cast("array<double>").as("qv"))
     candidates
       .join(vecs, "id")
-      .join(broadcast(qVecs), "qid")
+      .join(qVecs, "qid")
       .withColumn("sim", round(call_function("arr_cosine", col("qv"), col("v")), 6))
       .withColumn("nrank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))))

@@ -301,6 +301,27 @@ class PipelineETSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"PQ recall $recall too low at rerank=20")
   }
 
+  test("PQ self-search: query side = full corpus, bounded per-batch driver state") {
+    // the unbounded-query-side case the driver-built-tables design OOMed
+    // on: every corpus row is also a query. queryBatch=64 forces 8
+    // hash-bucketed rounds; per-query results are independent, so the
+    // batched union must be bit-identical to the one-batch plan
+    import graft.operators.similarity.ProductQuantization
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = embs.selectExpr("vec_id as qid", "embedding as qv")
+    val model = ProductQuantization.fit(embs, "embedding", m = 8)
+    val batched = ProductQuantization
+      .topK(embs, q, "vec_id", "embedding", "qid", "qv", 3, model,
+        rerank = 20, queryBatch = 64)
+      .orderBy("qid", "nrank").collect().map(_.toSeq).toSeq
+    val oneShot = ProductQuantization
+      .topK(embs, q, "vec_id", "embedding", "qid", "qv", 3, model,
+        rerank = 20, queryBatch = 1000000)
+      .orderBy("qid", "nrank").collect().map(_.toSeq).toSeq
+    assert(batched == oneShot)
+    assert(batched.length == embs.count() * 3)
+  }
+
   test("PQ model persists to modelPath and reloads identically") {
     import graft.operators.similarity.ProductQuantization
     val path = Files.createTempDirectory("pq_model").toString + "/model"
