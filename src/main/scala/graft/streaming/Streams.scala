@@ -192,20 +192,27 @@ object StreamSinks {
             // at 0 per query, so the writer identity must be part of the
             // idempotence key (Delta's txnAppId/txnVersion contract)
             val appId = ctx.resolvePath(checkpoint)
-            w2.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-              // bucket-count default, resolved per batch: an explicit
-              // numBuckets wins (a mismatch with the table's recorded
-              // layout is a loud error in the merge); otherwise adopt the
-              // existing table's bucket count, or 64 on a fresh table
-              val spark = batch.sparkSession
-              val n = numBuckets.orElse(
-                graft.sources.VParquet.latestVersion(spark, target)
-                  .map(v => graft.sources.VParquet.readManifest(spark, target, v).numBuckets)
-                  .filter(_ > 0)).getOrElse(64)
-              graft.sources.VParquet.merge(batch.toDF(), target, idCols, Some(n),
-                orderCol, txn = Some(batchId), txnAppId = Some(appId))
-              ()
-            }.start()
+            opts.get("tableCol") match {
+              case Some(tc) =>
+                // multi-table routing: `path` is a base directory and each
+                // row's tableCol value picks the vparquet table under it
+                w2.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+                  UpsertParquet.routeMerge(batch.toDF(), target, tc, idCols,
+                    numBuckets, orderCol, batchId, appId)
+                }.start()
+              case None =>
+                w2.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+                  // bucket-count default, resolved per batch: an explicit
+                  // numBuckets wins (a mismatch with the table's recorded
+                  // layout is a loud error in the merge); otherwise adopt the
+                  // existing table's bucket count, or 64 on a fresh table
+                  val spark = batch.sparkSession
+                  val n = UpsertParquet.resolveBuckets(spark, target, numBuckets)
+                  graft.sources.VParquet.merge(batch.toDF(), target, idCols, Some(n),
+                    orderCol, txn = Some(batchId), txnAppId = Some(appId))
+                  ()
+                }.start()
+            }
           case other => throw new IllegalArgumentException(
             s"upsertParquet layout must be vparquet|plain, got '$other'")
         }
@@ -263,6 +270,58 @@ object StreamSinks {
 
 /** Keyed parquet upsert used by the `upsertParquet` streaming sink. */
 object UpsertParquet {
+
+  /** Explicit numBuckets wins; otherwise adopt the target table's
+    * recorded bucket count, or 64 on a fresh table.
+    */
+  private[streaming] def resolveBuckets(spark: org.apache.spark.sql.SparkSession,
+                                        target: String,
+                                        numBuckets: Option[Int]): Int =
+    numBuckets.orElse(
+      graft.sources.VParquet.latestVersion(spark, target)
+        .map(v => graft.sources.VParquet.readManifest(spark, target, v).numBuckets)
+        .filter(_ > 0)).getOrElse(64)
+
+  /** Multi-table CDC routing (reference: MLSQLMultiDelta.scala:56-120 —
+    * one stream's rows fan out into several Delta tables by their
+    * db/table columns inside a single foreachBatch). Here each row's
+    * `tableCol` value picks a vparquet table under `base`; every routed
+    * target gets ONE transactional merge per micro-batch, idempotent per
+    * (target, txnAppId, batchId). A crash between two targets' commits
+    * re-delivers the whole batch: the already-committed target sees its
+    * txn marker and no-ops while the lagging one catches up — so the
+    * sink stays exactly-once PER TABLE even though targets commit
+    * sequentially. Route values become directory names and are
+    * validated against a conservative charset (no separators, no `..`).
+    */
+  def routeMerge(batch: org.apache.spark.sql.DataFrame, base: String,
+                 tableCol: String, idCols: Seq[String],
+                 numBuckets: Option[Int], orderCol: Option[String],
+                 batchId: Long, appId: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = batch.sparkSession
+    require(batch.columns.contains(tableCol),
+      s"tableCol '$tableCol' not in stream schema ${batch.columns.mkString(",")}")
+    // reused once per routed target — cache the micro-batch, not the source
+    val cached = batch.persist()
+    try {
+      val names = cached.select(col(tableCol).cast("string")).distinct()
+        .collect().map(_.getString(0)).sorted
+      names.foreach { n =>
+        require(n != null, s"tableCol '$tableCol' holds a null route value")
+        require(n.matches("[A-Za-z0-9_][A-Za-z0-9_.-]*"),
+          s"tableCol value '$n' is not a safe table name")
+      }
+      names.foreach { name =>
+        val sub = cached.filter(col(tableCol).cast("string") === name).drop(tableCol)
+        val tgt = base.stripSuffix("/") + "/" + name
+        graft.sources.VParquet.merge(sub, tgt, idCols,
+          Some(resolveBuckets(spark, tgt, numBuckets)), orderCol,
+          txn = Some(batchId), txnAppId = Some(appId))
+      }
+    } finally cached.unpersist(false)
+    ()
+  }
 
   /** Bucket-partitioned merge: the target lives as
     * `target/__bucket__=k/` (k = pmod(xxhash64(keys), n)), and a batch

@@ -264,6 +264,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(v0 == Map(1L -> "a", 2L -> "b"))
   }
 
+  test("upsertParquet tableCol: one stream routes into multiple vparquet tables, exactly-once each") {
+    // multiDelta parity: rows fan out by their table column into per-table
+    // transactional merges inside a single foreachBatch
+    val base = java.nio.file.Files.createTempDirectory("multi_cdc").resolve("base").toString
+    val ck = java.nio.file.Files.createTempDirectory("ck_mt").toString
+    val ctx = ScriptRunner.run(
+      s"""set streamName = "mt1";
+         |set cdc = '''{"tbl":"users","id":1,"v":"u1"}
+         |{"tbl":"users","id":2,"v":"u2"}
+         |{"tbl":"orders","id":1,"v":"o1"}''';
+         |load jsonStr.`cdc` as mt_b;
+         |load mockStream.`mt_b` as mt_s;
+         |save append mt_s as upsertParquet.`$base` where mode="append"
+         |  and idCols="id" and tableCol="tbl"
+         |  and checkpointLocation="$ck";""".stripMargin,
+      spark)
+    val q = ctx.streams("mt1")
+    q.processAllAvailable(); q.stop()
+    def snap(t: String): Map[Long, String] = ScriptRunner.runToDF(
+      s"""load vparquet.`$base/$t` as mt_back;
+         |select id, v from mt_back as out;""".stripMargin, spark)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(snap("users") == Map(1L -> "u1", 2L -> "u2"))
+    assert(snap("orders") == Map(1L -> "o1"))
+    val vU = graft.sources.VParquet.latestVersion(spark, s"$base/users").get
+    val vO = graft.sources.VParquet.latestVersion(spark, s"$base/orders").get
+    // simulated at-least-once re-delivery (crash between the per-table
+    // commits and the checkpoint offset commit): same appId + batchId
+    // must recognize the txn marker and no-op on BOTH tables
+    import spark.implicits._
+    val redelivered = Seq(("users", 1L, "u1"), ("users", 2L, "u2"),
+      ("orders", 1L, "o1")).toDF("tbl", "id", "v")
+    UpsertParquet.routeMerge(redelivered, base, "tbl", Seq("id"),
+      numBuckets = None, orderCol = None, batchId = 0L, appId = ck)
+    assert(graft.sources.VParquet.latestVersion(spark, s"$base/users").get == vU)
+    assert(graft.sources.VParquet.latestVersion(spark, s"$base/orders").get == vO)
+    assert(snap("users") == Map(1L -> "u1", 2L -> "u2"))
+    assert(snap("orders") == Map(1L -> "o1"))
+    // route values become directory names: traversal-shaped names refuse
+    val bad = Seq(("../evil", 9L, "x")).toDF("tbl", "id", "v")
+    val err = intercept[Exception] {
+      UpsertParquet.routeMerge(bad, base, "tbl", Seq("id"), None, None, 1L, ck)
+    }
+    assert(err.getMessage.contains("not a safe table name"))
+  }
+
   test("upsertParquet rejects the unbucketed plain layout") {
     val target = java.nio.file.Files.createTempDirectory("upsp").resolve("t").toString
     val err = intercept[Exception] {
