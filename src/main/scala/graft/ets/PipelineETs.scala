@@ -100,7 +100,10 @@ object BpeTrainET extends ET {
   * [[graft.operators.dedup.SignatureStore]]). Returns the batch docs that
   * survive both within-batch dedup and the store comparison; with
   * `update="true"` (default) their signatures join the store atomically,
-  * so re-submitting a batch yields zero survivors.
+  * so re-submitting a batch yields zero survivors. Every
+  * `maintainEvery="16"` commits the store auto-compacts and vacuums to
+  * `retainVersions="8"` so posting reads stay bounded over any number of
+  * ingest batches (`maintainEvery="0"` disables).
   */
 object IncrementalDedupET extends ET {
   override def name = "IncrementalDedup"
@@ -115,7 +118,9 @@ object IncrementalDedupET extends ET {
       params.getOrElse("bands", "24").toInt,
       params.getOrElse("rowsPerBand", "4").toInt,
       params.getOrElse("ngram", "3").toInt,
-      params.getOrElse("update", "true").toBoolean)
+      params.getOrElse("update", "true").toBoolean,
+      params.getOrElse("maintainEvery", "16").toInt,
+      params.getOrElse("retainVersions", "8").toInt)
   }
 }
 

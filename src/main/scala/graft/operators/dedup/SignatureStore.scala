@@ -43,11 +43,21 @@ object SignatureStore {
     * store in one atomic commit (re-submitting the same batch then yields
     * ZERO survivors — idempotent ingestion). A missing/empty store means
     * "first batch": only the within-batch dedup applies.
+    *
+    * Store maintenance: every append adds a file-per-partition tail, so
+    * an unmaintained store's posting-list read degrades O(#batches) in
+    * file count and its manifest log grows without bound. Every
+    * `maintainEvery` committed versions the store auto-compacts (one
+    * atomic rewrite of the accumulated small files) and vacuums history
+    * older than `retainVersions` — keeping reads O(files-compacted) over
+    * any number of ingest batches. `maintainEvery=0` disables (callers
+    * owning their own maintenance window).
     */
   def dedupAgainst(batch: DataFrame, idCol: String, textCol: String,
                    storePath: String, threshold: Double,
                    bands: Int = 24, rowsPerBand: Int = 4, shingleN: Int = 3,
-                   update: Boolean = true): DataFrame = {
+                   update: Boolean = true, maintainEvery: Int = 16,
+                   retainVersions: Int = 8): DataFrame = {
     val spark = batch.sparkSession
     val numHashes = bands * rowsPerBand
     val sh = TextDedup.shingles(batch, idCol, textCol, shingleN)
@@ -96,7 +106,15 @@ object SignatureStore {
       if (update) {
         val newRows = sigs.join(
           vsStore.select(col(idCol).as("doc_id")), Seq("doc_id"), "left_semi")
-        VParquet.write(newRows, storePath, overwrite = false)
+        val v = VParquet.write(newRows, storePath, overwrite = false)
+        // cadence maintenance: fold the per-batch file tail back down and
+        // drop vacuumable history so posting reads stay bounded; the
+        // compact lands as version v+1, so the next trigger is N appends out
+        if (maintainEvery > 0 && v > 0 && (v + 1) % maintainEvery == 0) {
+          VParquet.compact(spark, storePath, targetFileSizeMB = 128)
+          VParquet.vacuum(spark, storePath, retainVersions)
+          ()
+        }
       }
       vsStore
   }
