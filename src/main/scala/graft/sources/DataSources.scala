@@ -126,12 +126,33 @@ final class XmlStrSource extends GraftSource {
     // the Dataset[String] overload treats each string as ONE row fragment;
     // a variable holds a whole document, so stage it as a file and let the
     // path reader split on rowTag (driver-local tiny fixtures, like jsonStr)
-    val tmp = java.nio.file.Files.createTempDirectory("xmlstr")
-    val file = tmp.resolve(path + ".xml")
-    java.nio.file.Files.write(file, text.getBytes("UTF-8"))
+    val file = XmlStrSource.stage(path, text)
     ctx.spark.read.options(opts)
       .option("rowTag", opts.getOrElse("rowTag", "row"))
-      .xml(file.toString)
+      .xml(file)
+  }
+}
+
+object XmlStrSource {
+  // one JVM-wide staging dir, files content-addressed: re-running the same
+  // script re-uses its staged file instead of leaking a fresh temp dir per
+  // load, while a lazily-evaluated earlier DataFrame keeps reading ITS
+  // content even after the variable changes; everything dies with the JVM
+  private lazy val stagingDir = {
+    val d = java.nio.file.Files.createTempDirectory("xmlstr")
+    d.toFile.deleteOnExit()
+    d
+  }
+
+  private def stage(name: String, text: String): String = synchronized {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val file = stagingDir.resolve(s"$name-$digest.xml")
+    if (!java.nio.file.Files.exists(file)) {
+      java.nio.file.Files.write(file, text.getBytes("UTF-8"))
+      file.toFile.deleteOnExit()
+    }
+    file.toString
   }
 }
 

@@ -72,11 +72,24 @@ object VParquet {
     * query, so an UNSCOPED id would make a second stream's first batch
     * look like a re-delivery of the first stream's (same idempotence
     * contract as Delta's txnAppId/txnVersion).
+    *
+    * `txnSeen` is the accumulated (appId -> newest txn) ledger carried
+    * forward by every commit, so the re-delivery check reads ONE manifest
+    * instead of walking the log — crucial for writer identities that
+    * never committed (e.g. a fresh appId per batch), where proving
+    * absence used to cost O(versions) per commit and quadratic over a
+    * store's lifetime. It also survives vacuum, which deletes the old
+    * manifests the walk relied on. `txnSeenOk` marks the ledger
+    * complete-since-table-creation; manifests written before the field
+    * existed leave it false, and the first commit on such a table folds
+    * the retained log into the ledger once (upgrade-on-write).
     */
   case class Manifest(version: Long, op: String, ts: Long, numBuckets: Int,
                       files: Seq[FileEntry], keyCols: Seq[String] = Seq.empty,
                       txn: Option[Long] = None, txnAppId: Option[String] = None,
-                      schemaJson: Option[String] = None)
+                      schemaJson: Option[String] = None,
+                      txnSeen: Map[String, Long] = Map.empty,
+                      txnSeenOk: Boolean = false)
 
   private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
     // older manifests may lack newer fields and vice versa — evolve forward
@@ -116,35 +129,90 @@ object VParquet {
         .map { case n: java.lang.Number => n.longValue })
     val m4 = if (m3.txnAppId == null) m3.copy(txnAppId = None) else m3
     val m5 = if (m4.schemaJson == null) m4.copy(schemaJson = None) else m4
-    m5.copy(files = m5.files.map { e =>
+    // pre-ledger manifests: null map (and Jackson Integers for small longs)
+    val m6 =
+      if (m5.txnSeen == null) m5.copy(txnSeen = Map.empty)
+      else m5.copy(txnSeen = m5.txnSeen.asInstanceOf[Map[String, Any]].map {
+        case (k, n: java.lang.Number) => k -> n.longValue
+      })
+    m6.copy(files = m6.files.map { e =>
       if (e.stats == null) e.copy(stats = None)
       else e.copy(stats = e.stats.map(DataSkipping.normalize))
     })
   }
 
+  /** Unscoped markers (txnAppId = None, the pre-appId single-writer
+    * contract) live in the ledger under this key — appIds are paths, so
+    * the empty string can't collide with a real identity.
+    */
+  private def seenKey(txnAppId: Option[String]): String = txnAppId.getOrElse("")
+
   /** Multi-writer-safe re-delivery check: scan manifests NEWEST-first for
     * this writer identity's most recent marker and compare batch ids.
-    * Checking only the latest manifest is wrong once concurrent writers
-    * exist — another writer's commit landing after ours would bury our
-    * marker and a crash-replayed micro-batch would commit twice. The scan
-    * stops at the first manifest carrying our appId (one hit for a live
-    * stream; bounded by retained versions otherwise — driver-side JSON
-    * reads, no Spark jobs).
+    * Checking only the latest manifest's own marker is wrong once
+    * concurrent writers exist — another writer's commit landing after
+    * ours would bury our marker and a crash-replayed micro-batch would
+    * commit twice. The txnSeen ledger keeps this O(1): every new-format
+    * commit carries the full (appId -> newest txn) map, so the scan
+    * answers at the head both when the appId IS there (compare) and when
+    * it ISN'T but the ledger is complete (never committed) — absent
+    * appIds no longer force a full-log walk. Only pre-ledger manifests
+    * fall through to older versions (driver-side JSON reads, no Spark
+    * jobs, and upgraded away by the next commit).
     */
   private def alreadyCommittedAnyVersion(spark: SparkSession, table: String,
                                          txn: Option[Long],
                                          txnAppId: Option[String]): Boolean =
     txn match {
       case Some(t) =>
-        // an unscoped marker (txnAppId = None) matches only unscoped
-        // manifests — the pre-appId single-writer contract; batch commits
-        // (no txn at all) are transparent to the scan
+        val key = seenKey(txnAppId)
         versions(fs(spark, table), table).reverseIterator
           .map(v => readManifest(spark, table, v))
-          .collectFirst { case m if m.txnAppId == txnAppId && m.txn.isDefined => m }
-          .exists(_.txn.exists(_ >= t))
+          .map { m =>
+            if (m.txnAppId == txnAppId && m.txn.isDefined)
+              Some(m.txn.exists(_ >= t))
+            else m.txnSeen.get(key) match {
+              case Some(hw) => Some(hw >= t)
+              case None if m.txnSeenOk => Some(false)
+              case None => None // pre-ledger manifest: keep walking
+            }
+          }
+          .collectFirst { case Some(answer) => answer }
+          .getOrElse(false)
       case None => false
     }
+
+  /** The (ledger, complete?) pair the NEXT commit should carry: the head's
+    * ledger plus this commit's own marker. A pre-ledger head triggers a
+    * one-time fold of every retained manifest (markers vacuumed before the
+    * upgrade are gone either way — the old walk couldn't see them either);
+    * afterwards the ledger is complete and every commit is O(1).
+    */
+  private def nextTxnSeen(spark: SparkSession, table: String,
+                          prev: Option[Manifest], txn: Option[Long],
+                          txnAppId: Option[String]): (Map[String, Long], Boolean) = {
+    val base: Map[String, Long] = prev match {
+      case None => Map.empty
+      case Some(h) if h.txnSeenOk => h.txnSeen
+      case Some(_) =>
+        val acc = collection.mutable.Map[String, Long]()
+        def fold(k: String, v: Long): Unit =
+          acc(k) = math.max(v, acc.getOrElse(k, Long.MinValue))
+        versions(fs(spark, table), table).foreach { ver =>
+          val m = readManifest(spark, table, ver)
+          m.txn.foreach(fold(seenKey(m.txnAppId), _))
+          m.txnSeen.foreach { case (k, v) => fold(k, v) }
+        }
+        acc.toMap
+    }
+    val withOwn = txn match {
+      case Some(t) =>
+        val k = seenKey(txnAppId)
+        base + (k -> math.max(t, base.getOrElse(k, Long.MinValue)))
+      case None => base
+    }
+    (withOwn, true)
+  }
 
   /** Claim version `v` atomically. The manifest is FULLY WRITTEN to a temp
     * file first and only then renamed (no-overwrite) to its final name, so
@@ -302,10 +370,11 @@ object VParquet {
       if (overwrite || prevManifest.isEmpty) schemaJsonOf(df)
       else reconcileSchema(prevManifest.get.schemaJson, df, mergeSchema, table)
     val version = prev.map(_ + 1).getOrElse(0L)
+    val (seen, seenOk) = nextTxnSeen(spark, table, prevManifest, txn, txnAppId)
     writeManifest(spark, table, Manifest(version,
       if (overwrite) "overwrite" else "append",
       System.currentTimeMillis(), nb, carry ++ newFiles, keyCols, txn, txnAppId,
-      schema))
+      schema, seen, seenOk))
     version
   }
 
@@ -373,12 +442,15 @@ object VParquet {
           // overlapping in scope still get the loud single-writer error.
           var v = version
           var carryNow = carry
+          // the ledger must rebase too: a concurrent commit may have
+          // advanced other writers' markers past what `current` carried
+          var seenNow = nextTxnSeen(spark, table, current, txn, txnAppId)
           var attempts = 0
           while (true) {
             try {
               writeManifest(spark, table, Manifest(v, "merge",
                 System.currentTimeMillis(), n, carryNow ++ newFiles, idCols, txn, txnAppId,
-                schemaJsonOf(deduped)))
+                schemaJsonOf(deduped), seenNow._1, seenNow._2))
               return v
             } catch {
               case e: ConcurrentWriteException =>
@@ -398,6 +470,7 @@ object VParquet {
                       "the new snapshot", e)
                 carryNow = lm.files.filterNot(f =>
                   f.bucket < 0 || touched.contains(f.bucket))
+                seenNow = nextTxnSeen(spark, table, Some(lm), txn, txnAppId)
                 v = latest + 1
             }
           }
@@ -411,9 +484,10 @@ object VParquet {
             .join(deduped.select(idCols.map(col): _*), idCols, "left_anti")
             .unionByName(deduped)
         val newFiles = writeData(merged, table, bucketed = false)
+        val (seen, seenOk) = nextTxnSeen(spark, table, current, txn, txnAppId)
         writeManifest(spark, table, Manifest(version, "merge",
           System.currentTimeMillis(), -1, newFiles, idCols, txn, txnAppId,
-          schemaJsonOf(deduped)))
+          schemaJsonOf(deduped), seen, seenOk))
     }
     version
   }
@@ -483,12 +557,15 @@ object VParquet {
     var v = prev + 1
     var extra = Seq.empty[FileEntry]
     var schema = m.schemaJson
+    // carry the txn ledger: compact+vacuum deletes the old manifests the
+    // re-delivery walk would otherwise have found markers in
+    var seen = nextTxnSeen(spark, table, Some(m), None, None)
     var attempts = 0
     while (true) {
       try {
         writeManifest(spark, table, Manifest(v, "compact",
           System.currentTimeMillis(), m.numBuckets, newManifestFiles ++ extra,
-          m.keyCols, schemaJson = schema))
+          m.keyCols, schemaJson = schema, txnSeen = seen._1, txnSeenOk = seen._2))
         return v
       } catch {
         case e: ConcurrentWriteException =>
@@ -503,6 +580,7 @@ object VParquet {
                 "was being compacted — re-run the compaction against the new snapshot", e)
           extra = lm.files.filterNot(x => basePaths.contains(x.path))
           schema = lm.schemaJson.orElse(schema)
+          seen = nextTxnSeen(spark, table, Some(lm), None, None)
           v = latest + 1
       }
     }
@@ -524,6 +602,15 @@ object VParquet {
     require(range.length == to - from + 1,
       s"vparquet: versions [$from, $to] of $table are not all present " +
         s"(have ${all.mkString(", ")}) — vacuumed or never committed")
+    // `from`'s additions are computed by diffing against from-1; with that
+    // manifest vacuumed the diff would silently degrade to "every carried
+    // file is new" and re-deliver the whole table as version `from`'s
+    // changes. The streaming source opts into that as its documented
+    // initial-snapshot start; the batch API refuses loudly instead.
+    require(from == 0 || all.contains(from - 1),
+      s"vparquet: version ${from - 1} of $table is vacuumed, so the changes " +
+        s"of version $from cannot be computed — start from an un-vacuumed " +
+        "version, or read a full snapshot via versionAsOf instead")
     val perVersion = range.flatMap { v =>
       val manifest = readManifest(spark, table, v)
       // compact commits rewrite files without changing data — skip, or the

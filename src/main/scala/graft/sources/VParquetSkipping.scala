@@ -104,9 +104,15 @@ object DataSkipping {
           val prim = c.getPrimitiveType
           val logical = prim.getLogicalTypeAnnotation
           def isDecimal = logical.isInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation]
-          // empty row group (all nulls): contributes no min/max but does
-          // not invalidate the file range
-          if (st.hasNonNullValue && !dead.contains(name)) {
+          // min/max absent: a PROVABLY all-null row group (null_count ==
+          // row_count) contributes no range without invalidating the file,
+          // but parquet-mr also omits min/max — while keeping null_count —
+          // when values blow the 4KB stats cap, and then the file range
+          // would not cover those values: drop the column's stats entirely
+          if (!st.hasNonNullValue) {
+            if (!(st.isNumNullsSet && st.getNumNulls == b.getRowCount))
+              dead += name
+          } else if (!dead.contains(name)) {
             val range: Option[(String, String)] = prim.getPrimitiveTypeName match {
               case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 if !isDecimal =>
                 val (lo, hi) = (st.genericGetMin, st.genericGetMax) match {

@@ -317,6 +317,53 @@ class VParquetSpec extends AnyFunSuite {
     assert(VParquet.loadVersion(spark, t, None, None).count() == 3)
   }
 
+  test("txn ledger: re-delivery is recognized after compact + vacuum removed the marker's manifest") {
+    val t = tmp("vp_ledger")
+    import spark.implicits._
+    // writer A's marker lands in version 0; a pile of other writers and a
+    // compact+vacuum then DELETE that manifest from the log
+    VParquet.merge(Seq((1L, "a")).toDF("k", "v"), t, Seq("k"), None, None,
+      txn = Some(7L), txnAppId = Some("writerA"))
+    (0 until 4).foreach { i =>
+      VParquet.merge(Seq((10L + i, s"x$i")).toDF("k", "v"), t, Seq("k"), None, None,
+        txn = Some(0L), txnAppId = Some(s"other$i"))
+    }
+    VParquet.compact(spark, t, targetFileSizeMB = 128)
+    VParquet.vacuum(spark, t, retainVersions = 2)
+    val head = VParquet.latestVersion(spark, t).get
+    // the ledger in the HEAD manifest carries every writer's high-water
+    // mark, complete — so the check never needs the vacuumed manifests
+    val hm = VParquet.readManifest(spark, t, head)
+    assert(hm.txnSeenOk)
+    assert(hm.txnSeen.get("writerA").contains(7L))
+    // A crash-replays txn 7 → no-op, even though v0 is gone
+    val v = VParquet.merge(Seq((1L, "a")).toDF("k", "v"), t, Seq("k"), None, None,
+      txn = Some(7L), txnAppId = Some("writerA"))
+    assert(v == head)
+    assert(VParquet.latestVersion(spark, t).contains(head))
+    // and A's NEXT batch still commits
+    val v2 = VParquet.merge(Seq((2L, "b")).toDF("k", "v"), t, Seq("k"), None, None,
+      txn = Some(8L), txnAppId = Some("writerA"))
+    assert(v2 == head + 1)
+  }
+
+  test("loadChanges refuses a start just above the vacuum horizon") {
+    val t = tmp("vp_chg_vac")
+    runDF(s"""select 1 as k as cv0; save overwrite cv0 as vparquet.`$t`;""")
+    (2 to 5).foreach { i =>
+      runDF(s"""select $i as k as cv$i; save append cv$i as vparquet.`$t`;""")
+    }
+    VParquet.vacuum(spark, t, retainVersions = 2)
+    // v3..v4 retained; v3's changes would diff against vacuumed v2 and
+    // silently re-deliver the whole table — must refuse instead
+    val e = intercept[IllegalArgumentException] {
+      VParquet.loadChanges(spark, t, 3, 4).collect()
+    }
+    assert(e.getMessage.contains("vacuumed"))
+    // a fully-retained range still reads
+    assert(VParquet.loadChanges(spark, t, 4, 4).count() >= 1)
+  }
+
   test("batch changes read: startingVersion + endingVersion via the DSL") {
     val t = tmp("vp_chg")
     runDF(s"""select 1 as k, 'a' as v as ch0; save overwrite ch0 as vparquet.`$t`;""")
