@@ -68,6 +68,13 @@ object Bench {
     val cold = timed.map { case (n, (c, _)) => n -> c }
     val results = timed.map { case (n, (_, w)) => n -> w }
     val failed = results.collect { case (n, Left(_)) => n }
+    // loud stall accounting: a warm time still >3x its own cold (and >2 s)
+    // AFTER the retry is a harness-health signal, not a plan cost — surface
+    // the list instead of letting a silent retry mask a sick sweep
+    val stalls = timed.collect {
+      case (n, (Right(cv), Right(wv))) if wv > 3 * cv && wv > 2.0 => n
+    }
+    stalls.foreach(n => System.err.println(s"[bench] STALL retained: $n"))
     // explicit ROOT locale: the f"" interpolator is default-locale-dependent
     // and a comma-decimal locale would emit invalid JSON
     def num(v: Double): String =
@@ -80,6 +87,8 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, Right(v)) => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val stallsJson = stalls.map("\"" + _.split("_").head + "\"").mkString("[", ",", "]")
+    val stallsFullJson = stalls.map("\"" + _ + "\"").mkString("[", ",", "]")
     // The driver tail-captures the LAST 2000 chars of stdout (measured from
     // BENCH_r05), and sbt appends its own ~80-char "[success]" line, so the
     // stdout JSON must stay well under ~1.9 KB or it loses its head and the
@@ -88,12 +97,12 @@ object Bench {
     // unique short ids (q1/p8/s16/f3: the prefix before the first '_'),
     // ~1.3 KB total; the file copy below keeps full names.
     val json =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${fmt(results, key = _.split("_").head)},"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${fmt(results, key = _.split("_").head)},"failed":$failedJson,"stalls":$stallsJson,"sf":"$sfDir"}"""
     println(json)
     // file copy: full query names, full precision (Double.toString is
     // locale-independent), plus the cold sweep
     val fileJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results, value = _.toString)},"cold":${fmt(cold, value = _.toString)},"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results, value = _.toString)},"cold":${fmt(cold, value = _.toString)},"failed":$failedJson,"stalls":$stallsFullJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_bench.json"),
       fileJson.getBytes("UTF-8"))
     spark.stop()

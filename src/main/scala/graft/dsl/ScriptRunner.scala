@@ -304,9 +304,21 @@ object ScriptRunner {
     val et = ETRegistry.lookup(ref.format)
     val path = if (ref.path.isEmpty || !et.needsPathResolution) ref.path
       else ctx.resolvePath(ref.path)
-    val model = et.load(ctx.spark, path, params)
-    val fn = et.predict(ctx.spark, model, fname, params)
-    ctx.spark.udf.register(fname, fn)
+    // re-running a script re-registers its UDFs; for PATH-LESS functions
+    // (ScriptUDF — the definition is entirely in the statement) an
+    // identical definition is a guaranteed no-op, so skip it instead of
+    // tripping Spark's "replaced a previously registered function" WARN
+    // on every run. Path-backed registers always refresh: the model file
+    // may have been retrained between registers.
+    val fpKey = s"graft.register.fp.$fname"
+    val fp = s"${ref.format}|${params.toSeq.sortBy(_._1).mkString("&")}"
+    val unchanged = path.isEmpty && ctx.spark.conf.getOption(fpKey).contains(fp)
+    if (!unchanged) {
+      val model = et.load(ctx.spark, path, params)
+      val fn = et.predict(ctx.spark, model, fname, params)
+      ctx.spark.udf.register(fname, fn)
+      if (path.isEmpty) ctx.spark.conf.set(fpKey, fp)
+    }
   }
 
   /** `!cmd a b c` macro expansion (reference: CommandAdaptor.scala:21-69 +
