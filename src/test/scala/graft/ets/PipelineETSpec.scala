@@ -133,6 +133,33 @@ class PipelineETSpec extends AnyFunSuite {
     assert(ids == Seq(0L, 1L, 11L, -1L, 0L, -1L))
   }
 
+  test("BpeTrain DSL at the documented default numMerges=1000 matches direct encode") {
+    // the real-corpus regime: a merge table far past hofMergeCap (16), so
+    // the DSL predict exercises the UDF encode switch end to end, pinned
+    // against the operator-level path on the same saved merges
+    val model = Files.createTempDirectory("bpe_model_1k").toString
+    val viaDsl = runDF(
+      s"""load parquet.`$sf/documents.parquet` as bpe1k_in;
+         |select doc_id, text from bpe1k_in where text is not null as bpe1k_docs;
+         |train bpe1k_docs as BpeTrain.`$model` where numMerges="1000" as bpe1k_m;
+         |predict bpe1k_docs as BpeTrain.`$model` as bpe1k_enc;
+         |select doc_id, n_bpe_tokens from bpe1k_enc order by doc_id as out;""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val merges = spark.read.parquet(model + "/data").orderBy("rank").collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+    // the synthetic corpus exhausts its pair space before 1000 (learning
+    // stops when no pair repeats) — what matters is the table is far past
+    // hofMergeCap=16, so predict runs the UDF encode switch end to end
+    assert(merges.size > 16, s"expected the UDF-path regime, got ${merges.size} merges")
+    val direct = graft.operators.text.BpeTrain.withBpeTokenCount(
+      spark.read.parquet(s"$sf/documents.parquet").filter("text is not null"),
+      "text", merges)
+      .select("doc_id", "n_bpe_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDsl == direct)
+    assert(viaDsl.nonEmpty)
+  }
+
   test("Dedup method=embedding keeps one vector per semantic cluster") {
     val df = runDF(
       s"""load parquet.`$sf/embeddings.parquet` as embs_dd;
@@ -228,6 +255,33 @@ class PipelineETSpec extends AnyFunSuite {
     assert(run("inc_b2").isEmpty)
     // the store is a versioned vparquet table: one commit per updating run
     assert(graft.sources.VParquet.latestVersion(spark, store).contains(2L))
+  }
+
+  test("IncrementalDedup store maintenance bounds files and history over 20 batches") {
+    // an unmaintained store adds a file tail + one manifest per ingest
+    // batch forever; the cadence compaction/vacuum must keep both bounded
+    import spark.implicits._
+    val store = Files.createTempDirectory("sig_maint").toString + "/sigs"
+    (1 to 20).foreach { i =>
+      val b = Seq((i.toLong,
+        s"unique document number $i about topic$i with deliberately " +
+          s"distinct content token$i and payload$i trailing words here"))
+        .toDF("doc_id", "text")
+      graft.operators.dedup.SignatureStore.dedupAgainst(b, "doc_id", "text",
+        store, threshold = 0.8, maintainEvery = 5, retainVersions = 3).count()
+    }
+    // nothing lost: every unique doc's signature is in the live snapshot
+    assert(graft.sources.VParquet.loadVersion(spark, store, None, None)
+      .count() == 20)
+    def countFiles(f: java.io.File, suffix: String): Int =
+      if (f.isDirectory) f.listFiles().map(countFiles(_, suffix)).sum
+      else if (f.getName.endsWith(suffix) && !f.getName.startsWith(".")) 1 else 0
+    // 20 unmaintained appends would leave >=20 data files and 20 manifests;
+    // compact-every-5 + vacuum-to-3 keeps both well under that
+    val dataFiles = countFiles(new java.io.File(store), ".parquet")
+    assert(dataFiles <= 10, s"store holds $dataFiles data files after 20 batches")
+    val manifests = countFiles(new java.io.File(store, "_vlog"), ".json")
+    assert(manifests <= 6, s"store holds $manifests manifests after 20 batches")
   }
 
   test("Dedup survivors are one per connected component (chain case)") {
