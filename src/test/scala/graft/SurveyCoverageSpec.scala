@@ -64,6 +64,9 @@ class SurveyCoverageSpec extends AnyFunSuite {
         "upsertparquet", "streamjdbc").foreach { s =>
       assert(streamsSrc.toLowerCase.contains(s), s"stream dispatch lost $s")
     }
+    // multiDelta parity: the CDC sink's multi-table routing (one stream
+    // fans out into per-table transactional merges by tableCol)
+    assert(streamsSrc.contains("routeMerge"), "upsertParquet lost tableCol routing")
     // state introspection fallback formats
     assert(classOf[graft.sources.VParquetStreamProvider] != null)
     // vparquet capability tail: data skipping + layout + metadata-only agg
