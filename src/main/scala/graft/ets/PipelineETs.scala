@@ -18,7 +18,33 @@ object PipelineETs {
     DecontaminateET, RepetitionInPlaceET, PiiScrubInPlaceET, CorpusMixET, CorpusSplitET,
     ParagraphDedupInPlaceET, UnigramLmET, BpeTrainET, SequencePackET,
     IncrementalDedupET, DocChunkET, GroupCapET, CorpusShuffleET, ResampleET,
-    CorpusStatsET, TokenBudgetET)
+    CorpusStatsET, TokenBudgetET, SubstringDedupInPlaceET)
+}
+
+/** `run docs as SubstringDedupInPlace.`` [where idCol="doc_id" and
+  * textCol="text" and k="50" and action="remove"|"spans"]` — exact
+  * substring dedup: trim token spans duplicated anywhere in the corpus,
+  * keeping the first occurrence (see
+  * [[graft.operators.text.SubstringDedup]]; Lee et al. 2022's
+  * exact-substring method as hashed stride-1 windows). `action="spans"`
+  * returns the span table instead of rewriting the text.
+  */
+object SubstringDedupInPlaceET extends NoPathET {
+  override def name = "SubstringDedupInPlace"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    val idCol = params.getOrElse("idCol", "doc_id")
+    val textCol = params.getOrElse("textCol", "text")
+    val k = params.getOrElse("k", "50").toInt
+    params.getOrElse("action", "remove") match {
+      case "remove" =>
+        graft.operators.text.SubstringDedup.removeSpans(df, idCol, textCol, k)
+      case "spans" =>
+        graft.operators.text.SubstringDedup.duplicateSpans(df, idCol, textCol, k)
+      case other => throw new IllegalArgumentException(
+        s"SubstringDedupInPlace action must be remove|spans, got '$other'")
+    }
+  }
 }
 
 /** `run docs as UnigramLm.`` [where idCol="doc_id" and textCol="text" and

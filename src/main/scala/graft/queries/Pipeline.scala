@@ -959,7 +959,74 @@ object Pipeline {
         |  SUM(GREATEST(COALESCE(n_chars, 0), 0))
         |    OVER (PARTITION BY lang ORDER BY u, doc_id ROWS UNBOUNDED PRECEDING) AS cum
         | FROM b WHERE bud >= 0)
-        |SELECT doc_id, lang, n_chars FROM c WHERE cum <= bud ORDER BY doc_id""".stripMargin)
+        |SELECT doc_id, lang, n_chars FROM c WHERE cum <= bud ORDER BY doc_id""".stripMargin),
+
+    // ---- exact substring dedup (SubstringDedup, Lee et al. 2022's
+    //      exact-substring method as hashed stride-1 k-token windows): a
+    //      corpus-wide boilerplate sentence is appended to every doc, so
+    //      the operator must trim it everywhere except its single
+    //      canonical (min doc_id) occurrence — plus whatever organic
+    //      cross-doc repeats the synthetic corpus already contains. The
+    //      oracle mirrors the whole span algebra in SQL: windows by
+    //      content, ROW_NUMBER canonical, islands merge, token rebuild;
+    //      untouched docs keep their ORIGINAL (unnormalized) text exactly
+    //      like the operator. ----
+    QuerySpec.sql("p40_substring_dedup", (s, dir) => {
+      import s.implicits._
+      val boiler =
+        "GLOBAL LICENSE HEADER APPEARS EVERYWHERE IN THIS CORPUS VERBATIM EXACTLY"
+      val base = t(s, dir, "documents").select($"doc_id",
+        concat_ws(" ", $"text", lit(boiler)).as("text"))
+      graft.operators.text.SubstringDedup.removeSpans(base, "doc_id", "text", k = 5)
+        .select($"doc_id", $"n_dup_spans", md5($"text").as("h"))
+        .orderBy($"doc_id")
+    },
+      """WITH base AS (
+        | SELECT doc_id,
+        |  CASE WHEN text IS NULL
+        |   THEN 'GLOBAL LICENSE HEADER APPEARS EVERYWHERE IN THIS CORPUS VERBATIM EXACTLY'
+        |   ELSE text || ' GLOBAL LICENSE HEADER APPEARS EVERYWHERE IN THIS CORPUS VERBATIM EXACTLY'
+        |  END AS t2
+        | FROM documents),
+        |w AS (SELECT doc_id, t2,
+        |  LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(t2, '\s+'), x -> LEN(x) > 0) AS ws
+        | FROM base),
+        |pos AS (SELECT doc_id, UNNEST(RANGE(0, LEN(ws) - 4)) AS p, ws
+        | FROM w WHERE LEN(ws) >= 5),
+        |wins AS (SELECT doc_id, p,
+        |  ARRAY_TO_STRING(LIST_SLICE(ws, p + 1, p + 5), ' ') AS wkey FROM pos),
+        |marked AS (
+        | SELECT doc_id, p,
+        |  ROW_NUMBER() OVER (PARTITION BY wkey ORDER BY doc_id, p) AS rn,
+        |  COUNT(*) OVER (PARTITION BY wkey) AS cnt
+        | FROM wins),
+        |dups AS (SELECT doc_id, p FROM marked WHERE cnt > 1 AND rn > 1),
+        |isl AS (
+        | SELECT doc_id, p,
+        |  CASE WHEN p > COALESCE(MAX(p + 5) OVER (PARTITION BY doc_id ORDER BY p
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |   THEN 1 ELSE 0 END AS brk
+        | FROM dups),
+        |isl2 AS (SELECT doc_id, p,
+        |  SUM(brk) OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS island
+        | FROM isl),
+        |spans AS (SELECT doc_id, MIN(p) AS s, MAX(p) + 5 AS e
+        | FROM isl2 GROUP BY doc_id, island),
+        |tok AS (SELECT doc_id, UNNEST(RANGE(0, LEN(ws))) AS i, ws FROM w),
+        |kept AS (
+        | SELECT t.doc_id, t.i, t.ws[t.i + 1] AS tokn FROM tok t
+        | WHERE NOT EXISTS (SELECT 1 FROM spans s
+        |   WHERE s.doc_id = t.doc_id AND t.i >= s.s AND t.i < s.e)),
+        |reb AS (SELECT doc_id, STRING_AGG(tokn, ' ' ORDER BY i) AS txt
+        | FROM kept GROUP BY doc_id),
+        |cnts AS (SELECT doc_id, COUNT(*) AS n_spans FROM spans GROUP BY doc_id)
+        |SELECT b.doc_id,
+        | CAST(COALESCE(c.n_spans, 0) AS INTEGER) AS n_dup_spans,
+        | MD5(CASE WHEN c.n_spans IS NULL THEN b.t2 ELSE COALESCE(r.txt, '') END) AS h
+        |FROM base b
+        |LEFT JOIN cnts c USING (doc_id)
+        |LEFT JOIN reb r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)
   )
 
   /** Fixed 4-doc corpus for the BPE entries' pinned oracles (expected

@@ -125,7 +125,7 @@ class SurveyCoverageSpec extends AnyFunSuite {
       "Dedup", "SimilarityJoin", "AnnTopK", "BinaryMetaInPlace", "LangId",
       "Decontaminate", "RepetitionInPlace", "PiiScrubInPlace", "CorpusMix",
       "ParagraphDedupInPlace", "UnigramLm", "BpeTrain", "SequencePack",
-      "IncrementalDedup", "StreamCommand")
+      "IncrementalDedup", "SubstringDedupInPlace", "StreamCommand")
     val missing = names.filter(n =>
       scala.util.Try(ETRegistry.lookup(n)).isFailure)
     assert(missing.isEmpty, s"ET registry missing: ${missing.mkString(", ")}")
@@ -162,6 +162,7 @@ class SurveyCoverageSpec extends AnyFunSuite {
       "p31_bpe_token_ids", "p32_ann_pq", "p33_corpus_split",
       "p34_doc_chunk", "p35_group_cap", "p36_corpus_shuffle",
       "p37_group_topk", "p38_token_budget", "p39_group_token_budget",
+      "p40_substring_dedup",
       "s11_script_dedup", "s18_script_neardup_pipeline",
       "s19_script_clean_corpus", "s23_script_chunk_pipeline"))
   }

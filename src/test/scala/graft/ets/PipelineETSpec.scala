@@ -284,6 +284,24 @@ class PipelineETSpec extends AnyFunSuite {
     assert(manifests <= 6, s"store holds $manifests manifests after 20 batches")
   }
 
+  test("SubstringDedupInPlace DSL trims corpus-duplicated spans") {
+    val df = runDF(
+      s"""set ssd = '''{"doc_id":1,"text":"alpha beta gamma delta epsilon"}
+         |{"doc_id":2,"text":"zzz alpha beta gamma delta qqq"}''';
+         |load jsonStr.`ssd` as ssd_in;
+         |run ssd_in as SubstringDedupInPlace.`` where k="3" as ssd_out;
+         |select doc_id, text, n_dup_spans from ssd_out order by doc_id as out;""".stripMargin)
+    val rows = df.collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(rows(1L) == ("alpha beta gamma delta epsilon", 0))
+    assert(rows(2L) == ("zzz qqq", 1))
+    // action="spans" surfaces the span table instead
+    val spans = runDF(
+      s"""run ssd_in as SubstringDedupInPlace.`` where k="3" and action="spans" as ssd_sp;
+         |select doc_id, span_start, span_end from ssd_sp as out;""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(spans == Set((2L, 1, 5)))
+  }
+
   test("Dedup survivors are one per connected component (chain case)") {
     import spark.implicits._
     // pairs (1,2) and (2,3) with no (1,3) edge: the group is {1,2,3} -> keep 1;

@@ -8,6 +8,51 @@ import graft.operators.text.TextAnalysis
 class TextOpsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("SubstringDedup: cross-doc span trimmed, first occurrence kept, self-repeat caught") {
+    import spark.implicits._
+    import graft.operators.text.SubstringDedup
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "zzz alpha beta gamma delta qqq"),    // shares a 4-token run with 1
+      (3L, "mmm nnn ooo mmm nnn ooo"),           // repeats itself
+      (4L, "unique words only here"),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val spans = SubstringDedup.duplicateSpans(docs, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    // doc 2: dup windows at pos 1 ("alpha beta gamma") and 2 ("beta gamma
+    // delta") merge into one maximal span [1,5); doc 3: the second
+    // "mmm nnn ooo" is [3,6); doc 1 holds every canonical occurrence
+    assert(spans == Set((2L, 1, 5), (3L, 3, 6)))
+    val cleaned = SubstringDedup.removeSpans(docs, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(cleaned(1L) == ("alpha beta gamma delta epsilon", 0))
+    assert(cleaned(2L) == ("zzz qqq", 1))
+    assert(cleaned(3L) == ("mmm nnn ooo", 1))
+    assert(cleaned(4L) == ("unique words only here", 0))
+    assert(cleaned(5L)._1 == null && cleaned(5L)._2 == 0)
+  }
+
+  test("SubstringDedup: result is partitioning-independent and idempotent") {
+    import spark.implicits._
+    import graft.operators.text.SubstringDedup
+    val docs = (1L to 20L).map { i =>
+      val boiler = "this exact license header appears in many files verbatim"
+      (i, if (i % 3 == 0) s"body $i text $boiler tail $i" else s"body $i text only tail $i")
+    }.toDF("doc_id", "text")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val once = SubstringDedup.removeSpans(docs, "doc_id", "text", k = 5)
+    assert(key(once) ==
+      key(SubstringDedup.removeSpans(docs.repartition(13), "doc_id", "text", k = 5)))
+    // idempotent: a second pass finds nothing left to trim
+    val twice = SubstringDedup.removeSpans(
+      once.drop("n_dup_spans"), "doc_id", "text", k = 5)
+    assert(twice.filter("n_dup_spans > 0").count() == 0)
+    // exactly one canonical copy of the boiler text survives corpus-wide
+    val holders = once.filter("text like '%license header%'").count()
+    assert(holders == 1)
+  }
+
   test("winnow_fingerprints: shared substring of length >= w+k-1 shares a fingerprint") {
     val df = spark.sql(
       """select winnow_fingerprints('xxxx SHARED-CHUNK-OF-TEXT yyyy', 8, 4) as a,

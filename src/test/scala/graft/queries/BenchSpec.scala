@@ -185,6 +185,16 @@ class BenchSpec extends AnyFunSuite {
     assert(!p.contains("CASE WHEN"), p)
   }
 
+  test("p40 substring dedup: combinable canonical pick, no cartesian, no global window") {
+    val p = plan("p40_substring_dedup")
+    // canonical-occurrence selection must be an aggregate (map-side
+    // combinable under hot-window skew), never a window over the key
+    assert(p.toLowerCase.contains("partial"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the only window is the per-document islands merge
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("q43 resample gap-fill joins the axis on equi-keys, no nested loops") {
     val p = plan("q43_resample_gapfill")
     assert(!p.contains("CartesianProduct"), p)
