@@ -54,6 +54,9 @@ object VecExpressions {
     ext.injectFunction((FunctionIdentifier("word_shingles"),
       info("word_shingles", "word_shingles(text, n) - distinct word n-gram shingles"),
       (cs: Seq[Expression]) => WordShingles(cs(0), cs(1))))
+    ext.injectFunction((FunctionIdentifier("word_window_hashes"),
+      info("word_window_hashes", "word_window_hashes(text, k) - md5 of every stride-1 k-word window"),
+      (cs: Seq[Expression]) => WordWindowHashes(cs(0), cs(1))))
   }
 
   /** Callers cast inputs to array<double> explicitly; reject anything else
@@ -299,6 +302,66 @@ case class WordShingles(left: Expression, right: Expression)
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): WordShingles =
+    copy(left = l, right = r)
+}
+
+/** Per-position k-word window fingerprints of a text, in one native pass:
+  * md5 hex of the space-joined tokens of every stride-1 window over the
+  * whitespace-split (empties dropped) token stream. Semantics match
+  * `transform(sequence(0, size(w)-k), i -> md5(array_join(slice(w, i+1,
+  * k), ' ')))` over `filter(split(text, '\s+'), x -> length(x) > 0)`,
+  * but without allocating a slice array + joined string + expression-tree
+  * walk per window — this is [[graft.operators.text.SubstringDedup]]'s
+  * corpus-wide hot loop (every token position of every document). Docs
+  * shorter than k yield an empty array.
+  */
+case class WordWindowHashes(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback with Serializable {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (StringType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"word_window_hashes requires (string, int), got ($l, $r)")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_window_hashes"
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  override protected def nullSafeEval(textAny: Any, kAny: Any): Any = {
+    val s = textAny.asInstanceOf[UTF8String].toString
+    val k = kAny.asInstanceOf[Int]
+    val words = s.split("\\s+").filter(_.nonEmpty)
+    if (k <= 0 || words.length < k)
+      return org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array.empty[AnyRef])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[AnyRef](words.length - k + 1)
+    val space = " ".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val wordBytes = words.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var i = 0
+    while (i < out.length) {
+      md.reset()
+      var j = 0
+      while (j < k) {
+        if (j > 0) md.update(space)
+        md.update(wordBytes(i + j))
+        j += 1
+      }
+      val digest = md.digest()
+      val hex = new Array[Char](32)
+      var b = 0
+      while (b < 16) {
+        hex(2 * b) = hexDigits((digest(b) >> 4) & 0xf)
+        hex(2 * b + 1) = hexDigits(digest(b) & 0xf)
+        b += 1
+      }
+      out(i) = UTF8String.fromString(new String(hex))
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): WordWindowHashes =
     copy(left = l, right = r)
 }
 

@@ -45,15 +45,18 @@ object SubstringDedup {
     filter(split(col(textCol), "\\s+"), w => length(w) > 0)
 
   /** (id, pos, window-key) for every k-window start; docs shorter than k
-    * contribute nothing (and can therefore never be span-trimmed).
+    * contribute nothing (and can therefore never be span-trimmed). The
+    * hashing runs in the native one-pass
+    * [[graft.functions.WordWindowHashes]] expression — one md5 per
+    * position without a slice array + joined string + HOF tree walk per
+    * window (this is the operator's corpus-wide hot loop).
     */
   private def positions(df: DataFrame, idCol: String, textCol: String,
                         k: Int): DataFrame = {
-    val ws = words(textCol)
-    val wins = transform(sequence(lit(0), array_size(ws) - k),
-      i => md5(array_join(slice(ws, i + 1, lit(k)), " ")))
-    df.filter(col(textCol).isNotNull && array_size(ws) >= k)
-      .select(col(idCol), posexplode(wins).as(Seq("pos", "wh")))
+    // posexplode of an empty/null window array emits no rows, which is
+    // exactly the short-doc/null-text contract — no separate filter
+    val wins = call_function("word_window_hashes", col(textCol), lit(k))
+    df.select(col(idCol), posexplode(wins).as(Seq("pos", "wh")))
   }
 
   /** Maximal duplicated token spans per document: `(id, span_start,

@@ -142,7 +142,7 @@ class SurveyCoverageSpec extends AnyFunSuite {
       "decodeKafka", "keepChinese", "byteStringAsBytes", // misc tail
       "parseDateAsLong", "timeAgo", "timePlus",          // time
       "crawler_md5", "crawler_extract_xpath",            // crawler (pure)
-      "arr_cosine")                                      // codegen expression
+      "arr_cosine", "word_window_hashes")                // native expressions
     val missing = reps.filterNot(f => spark.catalog.functionExists(f))
     assert(missing.isEmpty, s"session functions missing: ${missing.mkString(", ")}")
   }

@@ -8,6 +8,23 @@ import graft.operators.text.TextAnalysis
 class TextOpsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("word_window_hashes matches the HOF construction exactly") {
+    val df = spark.sql(
+      """select word_window_hashes('  the   quick\tbrown fox  ', 2) as fast,
+        |  transform(sequence(0, size(filter(split('  the   quick\tbrown fox  ', '\\s+'),
+        |    x -> length(x) > 0)) - 2),
+        |    i -> md5(array_join(slice(filter(split('  the   quick\tbrown fox  ', '\\s+'),
+        |      x -> length(x) > 0), i + 1, 2), ' '))) as slow""".stripMargin)
+    val r = df.head()
+    assert(r.getSeq[String](0) == r.getSeq[String](1))
+    assert(r.getSeq[String](0).length == 3)
+    // short text and k <= 0 yield empty, null yields null
+    assert(spark.sql("select word_window_hashes('one two', 5) as f")
+      .head().getSeq[String](0).isEmpty)
+    assert(spark.sql("select word_window_hashes(cast(null as string), 3) as f")
+      .head().isNullAt(0))
+  }
+
   test("SubstringDedup: cross-doc span trimmed, first occurrence kept, self-repeat caught") {
     import spark.implicits._
     import graft.operators.text.SubstringDedup
