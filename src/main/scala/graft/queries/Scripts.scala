@@ -475,6 +475,67 @@ object Scripts {
         |e AS (SELECT doc_id, text, UNNEST(RANGE(0, LENGTH(text), 60)) AS s
         | FROM c WHERE LENGTH(text) > 0)
         |SELECT doc_id, s // 60 AS chunk_id, SUBSTR(text, s + 1, 80) AS chunk
-        |FROM e ORDER BY doc_id, chunk_id""".stripMargin)
+        |FROM e ORDER BY doc_id, chunk_id""".stripMargin),
+
+    // ---- substring-dedup cleanup through the DSL: a corpus-wide
+    //      boilerplate sentence is stamped onto every doc, the
+    //      SubstringDedupInPlace ET trims every non-canonical copy, and
+    //      the output pins the numeric effect (span count + surviving
+    //      token count per doc). The oracle replays the full span
+    //      algebra and counts the kept tokens independently. ----
+    QuerySpec.sql("s24_script_substring_dedup", (s, dir) => script(s,
+      s"""load parquet.`$dir/documents.parquet` as documents;
+         |select doc_id, concat_ws(' ', text,
+         |  'GLOBAL LICENSE HEADER APPEARS EVERYWHERE IN THIS CORPUS VERBATIM EXACTLY')
+         |  as text from documents as s24_base;
+         |run s24_base as SubstringDedupInPlace.`` where k="5" as s24_clean;
+         |select doc_id, n_dup_spans,
+         |  size(filter(split(text, '\\\\s+'), x -> length(x) > 0)) as n_tok
+         |from s24_clean order by doc_id as s24_out;""".stripMargin),
+      """WITH base AS (
+        | SELECT doc_id,
+        |  CASE WHEN text IS NULL
+        |   THEN 'GLOBAL LICENSE HEADER APPEARS EVERYWHERE IN THIS CORPUS VERBATIM EXACTLY'
+        |   ELSE text || ' GLOBAL LICENSE HEADER APPEARS EVERYWHERE IN THIS CORPUS VERBATIM EXACTLY'
+        |  END AS t2
+        | FROM documents),
+        |w AS (SELECT doc_id,
+        |  LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(t2, '\s+'), x -> LEN(x) > 0) AS ws
+        | FROM base),
+        |pos AS (SELECT doc_id, UNNEST(RANGE(0, LEN(ws) - 4)) AS p, ws
+        | FROM w WHERE LEN(ws) >= 5),
+        |wins AS (SELECT doc_id, p,
+        |  ARRAY_TO_STRING(LIST_SLICE(ws, p + 1, p + 5), ' ') AS wkey FROM pos),
+        |marked AS (
+        | SELECT doc_id, p,
+        |  ROW_NUMBER() OVER (PARTITION BY wkey ORDER BY doc_id, p) AS rn,
+        |  COUNT(*) OVER (PARTITION BY wkey) AS cnt
+        | FROM wins),
+        |dups AS (SELECT doc_id, p FROM marked WHERE cnt > 1 AND rn > 1),
+        |isl AS (
+        | SELECT doc_id, p,
+        |  CASE WHEN p > COALESCE(MAX(p + 5) OVER (PARTITION BY doc_id ORDER BY p
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |   THEN 1 ELSE 0 END AS brk
+        | FROM dups),
+        |isl2 AS (SELECT doc_id, p,
+        |  SUM(brk) OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS island
+        | FROM isl),
+        |spans AS (SELECT doc_id, MIN(p) AS s, MAX(p) + 5 AS e
+        | FROM isl2 GROUP BY doc_id, island),
+        |tok AS (SELECT doc_id, UNNEST(RANGE(0, LEN(ws))) AS i, ws FROM w),
+        |kept AS (
+        | SELECT t.doc_id, t.i FROM tok t
+        | WHERE NOT EXISTS (SELECT 1 FROM spans s
+        |   WHERE s.doc_id = t.doc_id AND t.i >= s.s AND t.i < s.e)),
+        |keptCnt AS (SELECT doc_id, COUNT(*) AS n_tok FROM kept GROUP BY doc_id),
+        |cnts AS (SELECT doc_id, COUNT(*) AS n_spans FROM spans GROUP BY doc_id)
+        |SELECT b.doc_id,
+        | CAST(COALESCE(c.n_spans, 0) AS INTEGER) AS n_dup_spans,
+        | CAST(COALESCE(k.n_tok, 0) AS INTEGER) AS n_tok
+        |FROM base b
+        |LEFT JOIN cnts c USING (doc_id)
+        |LEFT JOIN keptCnt k USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)
   )
 }

@@ -164,6 +164,7 @@ class SurveyCoverageSpec extends AnyFunSuite {
       "p37_group_topk", "p38_token_budget", "p39_group_token_budget",
       "p40_substring_dedup",
       "s11_script_dedup", "s18_script_neardup_pipeline",
-      "s19_script_clean_corpus", "s23_script_chunk_pipeline"))
+      "s19_script_clean_corpus", "s23_script_chunk_pipeline",
+      "s24_script_substring_dedup"))
   }
 }
