@@ -61,9 +61,12 @@ object SubstringDedup {
 
   /** Maximal duplicated token spans per document: `(id, span_start,
     * span_end)` half-open token ranges covering every NON-canonical
-    * occurrence of a duplicated k-window. The first occurrence (minimum
-    * (id, pos) across the corpus) is never spanned — dedup keeps one
-    * copy, it doesn't erase the content from the corpus.
+    * occurrence of a duplicated k-window. A window's first occurrence
+    * (minimum (id, pos) across the corpus) never starts a span itself,
+    * so one copy of each duplicated run survives — though a span from a
+    * DIFFERENT overlapping duplicated window may still trim through it
+    * (the same boundary behavior as the suffix-array formulation, which
+    * also cuts every duplicated byte range it finds).
     */
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
                      k: Int): DataFrame = {
