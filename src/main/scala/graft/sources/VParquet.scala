@@ -697,10 +697,16 @@ object VParquet {
   def history(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._
     val f = fs(spark, table)
+    // txn/txn_app_id surface the streaming sink's exactly-once markers so
+    // an operator can audit which micro-batch of which writer produced each
+    // version (`!vtable history` is the operational entry point; batch
+    // commits show null for both).
     versions(f, table).map(readManifest(spark, table, _))
       .map(m => (m.version, m.op,
-        new java.sql.Timestamp(m.ts), m.numBuckets, m.files.size))
-      .toDF("version", "op", "ts", "num_buckets", "n_files")
+        new java.sql.Timestamp(m.ts), m.numBuckets, m.files.size,
+        m.txn, m.txnAppId))
+      .toDF("version", "op", "ts", "num_buckets", "n_files",
+        "txn", "txn_app_id")
       .orderBy(desc("version"))
   }
 

@@ -72,8 +72,10 @@ class VParquetSpec extends AnyFunSuite {
     runDF(s"""select 3 as k as vh_in3; save overwrite vh_in3 as vparquet.`$t`;""")
     val hist = runDF(s"!vtable history $t;")
     assert(hist.columns.toSeq ==
-      Seq("version", "op", "ts", "num_buckets", "n_files"))
+      Seq("version", "op", "ts", "num_buckets", "n_files", "txn", "txn_app_id"))
     assert(hist.collect().map(_.getLong(0)).toSeq == Seq(2L, 1L, 0L))
+    // batch commits carry no exactly-once markers
+    assert(hist.collect().forall(r => r.isNullAt(5) && r.isNullAt(6)))
 
     val vac = runDF(s"!vtable vacuum $t 1;")
     assert(vac.head().getString(0) == "2") // versions 0 and 1 dropped
@@ -227,6 +229,11 @@ class VParquetSpec extends AnyFunSuite {
       txn = Some(0L), txnAppId = Some("ckB"))
     assert(dup == 1L)
     assert(VParquet.latestVersion(spark, t).contains(1L))
+    // history surfaces the exactly-once markers per committed version
+    val marks = VParquet.history(spark, t).orderBy("version")
+      .select("version", "txn", "txn_app_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(marks == Seq((0L, 0L, "ckA"), (1L, 0L, "ckB")))
   }
 
   test("a reserved __bucket__ column is rejected loudly") {
