@@ -31,6 +31,9 @@ object GraftSession {
       // metadata-only COUNT/MIN/MAX over vparquet snapshots (answers from
       // manifest stats, no scan — see graft.plans.MetadataOnlyAgg)
       .withExtensions(graft.plans.MetadataOnlyAgg.inject)
+      // join/aggregate/top-k subtrees over same-connection JDBC scans run
+      // in the database as one generated query (graft.plans.JdbcPushdown)
+      .withExtensions(graft.plans.JdbcPushdown.inject)
 
   /** Build (or reuse) the session and register the engine's built-in UDF
     * pack, exactly as the reference registers its function classes at
