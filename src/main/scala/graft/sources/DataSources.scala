@@ -281,8 +281,10 @@ final class JdbcSource extends GraftSource {
 }
 
 /** Keyed JDBC upsert: dialect-aware statement generation + executor-side
-  * batched execution. The SQL builder is unit-tested offline; execution
-  * requires a driver jar on the classpath at runtime.
+  * batched execution (reference: MLSQLJDBC.scala upsert via UpsertUtils).
+  * Engines with a native upsert clause get one statement per row batch;
+  * everything else (incl. embedded Derby, which the tests run end-to-end)
+  * gets the standard-SQL update-then-insert fallback.
   */
 object JdbcUpsert {
 
@@ -305,30 +307,113 @@ object JdbcUpsert {
     }
   }
 
+  /** URLs with a native single-statement upsert clause. Anything else goes
+    * through the standard-SQL update-then-insert fallback.
+    */
+  private def hasNativeUpsert(url: String): Boolean =
+    url.startsWith("jdbc:mysql") || url.startsWith("jdbc:postgresql") ||
+      url.startsWith("jdbc:sqlite")
+
   def upsert(df: DataFrame, opts: Map[String, String]): Unit = {
     val url = opts("url")
     val table = opts.getOrElse("dbtable",
       throw new IllegalArgumentException("jdbc upsert requires dbtable"))
     val idCols = opts("idCol").split(",").map(_.trim).toSeq
     val cols = df.columns.toSeq
-    val sql = buildStatement(url, table, cols, idCols)
     val props = opts - "idCol"
+    if (hasNativeUpsert(url))
+      runBatched(df, url, props, buildStatement(url, table, cols, idCols),
+        row => cols.indices.map(row.get))
+    else updateThenInsert(df, url, props, table, cols, idCols)
+  }
+
+  private def connect(url: String, props: Map[String, String]): java.sql.Connection =
+    java.sql.DriverManager.getConnection(url, {
+      val p = new java.util.Properties()
+      props.foreach { case (k, v) => p.setProperty(k, v) }
+      p
+    })
+
+  private def runBatched(df: DataFrame, url: String, props: Map[String, String],
+                         sql: String, bind: org.apache.spark.sql.Row => Seq[Any]): Unit =
     df.rdd.foreachPartition { rows =>
-      val conn = java.sql.DriverManager.getConnection(url, {
-        val p = new java.util.Properties()
-        props.foreach { case (k, v) => p.setProperty(k, v) }
-        p
-      })
+      val conn = connect(url, props)
       try {
         val stmt = conn.prepareStatement(sql)
         var n = 0
         rows.foreach { row =>
-          cols.indices.foreach(i => stmt.setObject(i + 1, row.get(i)))
+          bind(row).zipWithIndex.foreach { case (v, i) => stmt.setObject(i + 1, v) }
           stmt.addBatch()
           n += 1
           if (n % 1000 == 0) stmt.executeBatch()
         }
         stmt.executeBatch()
+      } finally conn.close()
+    }
+
+  /** Standard-SQL upsert for engines with no native clause (Derby, DB2,
+    * Oracle without MERGE-able sources): batch every row as an UPDATE,
+    * read the per-row update counts, and batch an INSERT for exactly the
+    * rows no UPDATE touched — two statements per 1000-row batch instead
+    * of a round trip per row. Identifiers are dialect-quoted (Spark-
+    * written tables have case-sensitive lowercase columns on Derby).
+    * Rows whose driver reports SUCCESS_NO_INFO are treated as updated —
+    * the engines routed here return real counts.
+    */
+  private def updateThenInsert(df: DataFrame, url: String,
+                               props: Map[String, String], table: String,
+                               cols: Seq[String], idCols: Seq[String]): Unit = {
+    val q: String => String =
+      org.apache.spark.sql.jdbc.JdbcDialects.get(url).quoteIdentifier
+    val nonKey = cols.filterNot(idCols.contains)
+    require(nonKey.nonEmpty, "jdbc upsert requires a non-key column to update")
+    val updateSql = s"UPDATE $table SET ${nonKey.map(c => s"${q(c)} = ?").mkString(", ")}" +
+      s" WHERE ${idCols.map(c => s"${q(c)} = ?").mkString(" AND ")}"
+    val insertSql = s"INSERT INTO $table (${cols.map(q).mkString(", ")})" +
+      s" VALUES (${cols.map(_ => "?").mkString(", ")})"
+    val colIdx = cols.zipWithIndex.toMap
+    val updOrder = (nonKey ++ idCols).map(colIdx)
+    val keyIdx = idCols.map(colIdx)
+    // one partition owns a key: without this, two tasks carrying the same
+    // key can both read update-count 0 and both insert (the single-
+    // statement native paths are per-row atomic; this path is not)
+    val byKey = df.repartition(idCols.map(org.apache.spark.sql.functions.col): _*)
+    byKey.rdd.foreachPartition { rows =>
+      val conn = connect(url, props)
+      try {
+        val upd = conn.prepareStatement(updateSql)
+        val ins = conn.prepareStatement(insertSql)
+        val pending = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+        def flush(): Unit = if (pending.nonEmpty) {
+          // last occurrence of a key wins within the batch — two UPDATEs
+          // for a key not yet in the table would both count 0 and insert
+          // the key twice
+          val deduped = pending.zipWithIndex
+            .groupBy { case (row, _) => keyIdx.map(row.get) }
+            .values.map(_.maxBy(_._2)._1).toSeq
+          deduped.foreach { row =>
+            updOrder.zipWithIndex.foreach { case (src, i) =>
+              upd.setObject(i + 1, row.get(src))
+            }
+            upd.addBatch()
+          }
+          val counts = upd.executeBatch()
+          var inserts = 0
+          counts.zip(deduped).foreach { case (c, row) =>
+            if (c == 0) {
+              cols.indices.foreach(i => ins.setObject(i + 1, row.get(i)))
+              ins.addBatch()
+              inserts += 1
+            }
+          }
+          if (inserts > 0) ins.executeBatch()
+          pending.clear()
+        }
+        rows.foreach { row =>
+          pending += row
+          if (pending.size >= 1000) flush()
+        }
+        flush()
       } finally conn.close()
     }
   }

@@ -74,6 +74,10 @@ class SurveyCoverageSpec extends AnyFunSuite {
       "s22_script_metaagg"))
     assert(classOf[graft.sources.VParquetFileIndex] != null)
     assert(graft.plans.MetadataOnlyAgg != null)
+    // jdbc execution surface (embedded Derby end-to-end): subtree pushdown
+    // rule + standard-SQL upsert fallback must stay registered
+    assert(graft.plans.JdbcPushdown != null)
+    assert(graft.sources.JdbcUpsert != null)
   }
 
   test("§2.3 all 14 relational operator families have oracle-checked queries") {
