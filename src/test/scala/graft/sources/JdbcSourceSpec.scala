@@ -65,6 +65,44 @@ class JdbcSourceSpec extends AnyFunSuite {
     assert(out == Seq((1, "a"), (2, "B"), (3, "C2")))
   }
 
+  test("JDBC command ET executes DDL/DML statements in order") {
+    val url = freshUrl()
+    val df = ScriptRunner.runToDF(
+      s"""connect jdbc where url="$url" as db4;
+         |run command as JDBC.`db4` where
+         |  driver-statement-0="CREATE TABLE CMD(i INT)" and
+         |  driver-statement-1="INSERT INTO CMD VALUES (7), (8)";
+         |load jdbc.`db4.CMD` as cmd_out;""".stripMargin, spark)
+    assert(df.collect().map(_.getInt(0)).sorted.toSeq == Seq(7, 8))
+  }
+
+  test("streamJDBC sink: micro-batches land in the database, idCol re-delivery stays idempotent") {
+    val url = freshUrl()
+    val conn = java.sql.DriverManager.getConnection(url)
+    try conn.createStatement().executeUpdate(
+      """CREATE TABLE SJ ("k" INT PRIMARY KEY, "v" VARCHAR(16))""")
+    finally conn.close()
+    def runOnce(name: String): Unit = {
+      val ctx = ScriptRunner.run(
+        s"""set streamName = "$name";
+           |connect jdbc where url="$url" as db5;
+           |select * from (values (1, 'a'), (2, 'b'), (3, 'c')) as t(k, v) as sj_in;
+           |load mockStream.`sj_in` as sj_stream;
+           |save append sj_stream as streamJDBC.`db5.SJ` where idCol="k"
+           |  and mode="append"
+           |  and checkpointLocation="${Files.createTempDirectory(s"ck_$name")}"
+           |  and duration="0";""".stripMargin, spark)
+      val q = ctx.streams(name)
+      q.processAllAvailable()
+      q.stop()
+    }
+    runOnce("sjdbc1")
+    runOnce("sjdbc2") // same rows again: upsert path, PK proves idempotence
+    val out = spark.read.format("jdbc").option("url", url).option("dbtable", "SJ")
+      .load().collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(out == Seq((1, "a"), (2, "b"), (3, "c")))
+  }
+
   test("upsert of 2500 rows batches across the 1000-row flush boundary") {
     val url = freshUrl()
     spark.range(0, 500).select(col("id").cast("int").as("k"),
