@@ -29,8 +29,8 @@ import org.apache.spark.sql.types._
   * best-effort rewrite. The whitelist is chosen so Spark and ANSI engines
   * agree on semantics:
   *  - nodes: Project / Filter / inner+left+right Join with compilable
-  *    condition / Aggregate with attribute grouping keys / GlobalLimit
-  *    (optionally over Sort for top-k);
+  *    condition / Aggregate with attribute grouping keys / Union (ALL) /
+  *    GlobalLimit (optionally over Sort for top-k);
   *  - expressions: attributes, finite literals of atomic types,
   *    comparisons, AND/OR/NOT, IS [NOT] NULL, IN over literals, LIKE
   *    without escapes, plus/minus/times on int/long/float/double (no decimal — result
@@ -159,6 +159,18 @@ object JdbcPushdown extends Rule[LogicalPlan] {
   private def from(q: Q, alias: String): String =
     if (q.table) s"${q.sql} $alias" else s"(${q.sql}) $alias"
 
+  /** Promote a fragment to a full SELECT (UNION ALL branches can't be bare
+    * table names because their column order must be pinned explicitly).
+    */
+  private def toSelect(q: Q, d: JdbcDialect, gen: AliasGen): Q =
+    if (!q.table) q
+    else {
+      val alias = gen.next()
+      val e = env(q, alias)
+      val (sel, cols) = items(d, q.cols.map { case (id, _) => id -> e(id) })
+      Q(s"SELECT $sel FROM ${from(q, alias)}", table = false, cols)
+    }
+
   private def env(q: Q, alias: String): Map[ExprId, String] =
     q.cols.map { case (id, c) => id -> s"$alias.$c" }.toMap
 
@@ -257,6 +269,19 @@ object JdbcPushdown extends Rule[LogicalPlan] {
           val groupBy = if (groups.isEmpty) "" else s" GROUP BY ${groups.mkString(", ")}"
           Q(s"SELECT $sel FROM ${from(q, alias)}$groupBy", table = false, cols)
         }
+
+      // UNION ALL (Spark's Union node is bag semantics; DISTINCT unions
+      // appear as Aggregate-over-Union and compile through that path).
+      // Children line up positionally — each compiled child emits its
+      // columns in its own output order, which Union already aligned.
+      case u: Union if u.children.size >= 2 =>
+        traverse(u.children)(c => compile(c, d, gen).map(toSelect(_, d, gen)))
+          .map { parts =>
+            val cols = u.output.zip(parts.head.cols).map { case (a, (_, c)) =>
+              a.exprId -> c
+            }
+            Q(parts.map(_.sql).mkString(" UNION ALL "), table = false, cols)
+          }
 
       case GlobalLimit(IntegerLiteral(n), LocalLimit(IntegerLiteral(m), child))
           if n == m =>

@@ -96,6 +96,16 @@ class JdbcPushdownSpec extends AnyFunSuite {
     assert(q.count() == 5)
   }
 
+  test("aggregate over UNION ALL of two jdbc tables pushes as one query") {
+    def q = jdbcTable("ORDERS").select(col("cust").as("g"))
+      .union(jdbcTable("CUSTS").select(col("c_id").as("g")))
+      .groupBy("g").agg(count(lit(1)).as("n"))
+    val opt = q.queryExecution.optimizedPlan
+    assert(opt.collect { case a: Aggregate => a }.isEmpty, opt)
+    assert(jdbcScans(q) == 1, opt)
+    assert(key(q) == withoutPushdown(key(q)))
+  }
+
   test("jdbc x parquet join is NOT rewritten (different sources)") {
     val local = spark.range(0, 7).select(col("id").as("c_id"))
     val q = jdbcTable("CUSTS").join(local, "c_id")
