@@ -72,6 +72,41 @@ object TextDedup {
       .select(col("a_id"), col("b_id"), col("n_common"), col("jaccard"))
   }
 
+  /** Pick `(bands, rowsPerBand)` for a target Jaccard threshold and hash
+    * budget. The banding S-curve's inflection sits at `(1/b)^(1/r)`; among
+    * factorizations with `b*r <= numHashes` (and most of the budget used)
+    * this chooses the one whose inflection lands closest to — without
+    * drifting far above — the threshold, so near-threshold pairs keep a
+    * high collision probability while sub-threshold candidate volume stays
+    * banded away. Standard MMDS ch.3 tuning, exposed so callers stop
+    * hand-picking (24, 4) for every threshold.
+    */
+  def banding(threshold: Double, numHashes: Int = 96): (Int, Int) = {
+    require(threshold > 0 && threshold < 1, "threshold must be in (0,1)")
+    require(numHashes >= 2, "numHashes must be >= 2")
+    val options = for {
+      r <- 1 to numHashes
+      b = numHashes / r
+      if b >= 1 && b * r > numHashes / 2 // don't waste most of the budget
+    } yield (b, r)
+    options.minBy { case (b, r) =>
+      val inflection = math.pow(1.0 / b, 1.0 / r)
+      // drifting above the threshold MISSES true pairs (the expensive
+      // error); drifting below only admits extra verify candidates
+      if (inflection > threshold) 10 * (inflection - threshold)
+      else threshold - inflection
+    }
+  }
+
+  /** [[minHashSelfJoin]] with `(bands, rowsPerBand)` auto-tuned for the
+    * threshold via [[banding]].
+    */
+  def minHashSelfJoinTuned(sh: DataFrame, threshold: Double,
+                           numHashes: Int = 96): DataFrame = {
+    val (b, r) = banding(threshold, numHashes)
+    minHashSelfJoin(sh, threshold, bands = b, rowsPerBand = r)
+  }
+
   /** Banded MinHash-LSH self-join: signature → bands of `r` hashes →
     * equi-join on (band, band-slice) → dedup → exact Jaccard verify via
     * `array_intersect` on the full shingle sets. Output == exact output for

@@ -8,6 +8,37 @@ import graft.operators.text.TextAnalysis
 class TextOpsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("LSH banding auto-tune: inflection tracks the threshold, budget respected") {
+    for (t <- Seq(0.5, 0.7, 0.8, 0.9); n <- Seq(64, 96, 128)) {
+      val (b, r) = TextDedup.banding(t, n)
+      assert(b * r <= n && b * r > n / 2, s"t=$t n=$n got b=$b r=$r")
+      val inflection = math.pow(1.0 / b, 1.0 / r)
+      // within 0.15 of the target, and a near-threshold pair keeps a high
+      // collision probability: 1 - (1 - t^r)^b
+      assert(math.abs(inflection - t) < 0.15, s"t=$t n=$n inflection=$inflection")
+      val pCatch = 1 - math.pow(1 - math.pow(t + 0.1, r), b)
+      assert(pCatch > 0.85, s"t=$t n=$n b=$b r=$r pCatch=$pCatch")
+    }
+    // higher threshold must push toward more rows per band (sharper curve)
+    assert(TextDedup.banding(0.9, 96)._2 > TextDedup.banding(0.5, 96)._2)
+  }
+
+  test("minHashSelfJoinTuned finds the same pairs as the exact jaccard join") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (3L, "completely different content with no overlap to anything else here"),
+      (4L, "yet another unrelated document about spark catalyst optimizer rules")
+    ).toDF("doc_id", "text")
+    val sh = TextDedup.shingles(docs, "doc_id", "text", 3)
+    val tuned = TextDedup.minHashSelfJoinTuned(sh, 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = TextDedup.jaccardSelfJoin(sh, 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tuned == exact && tuned == Set((1L, 2L)))
+  }
+
   test("word_window_hashes matches the HOF construction exactly") {
     val df = spark.sql(
       """select word_window_hashes('  the   quick\tbrown fox  ', 2) as fast,
