@@ -424,6 +424,7 @@ object CommandMacros {
     "schemaInfer" -> "run {0} as SchemaInferCommand.`` where parameters='''{:all}'''",
     "explain" -> "run command as ExplainCommand.`{}`",
     "profile" -> "run {0} as DataProfile.`` as {0}_profile",
+    "audit" -> "run {0} as PlanAudit.`` as {0}_audit",
     "killStream" -> "run command as StreamCommand.`kill` where parameters='''{:all}'''",
     "jobs" -> "run command as JobCommand.`list`",
     // reference LastCommand: `!last named t` re-exposes the previous result

@@ -15,7 +15,7 @@ object UtilityETs {
     ShowCommandET, SchemaCommandET, PrintCommandET, HDFSCommandET,
     WaterMarkInPlaceET, RunScriptET, TableToMapET, MapValuesET,
     DicOrTableToArrayET, SchemaInferCommandET, ExplainCommandET, DataProfileET,
-    ScriptFragmentET, TableCompactionET)
+    ScriptFragmentET, TableCompactionET, PlanAuditET)
 
   private[ets] def oneRowTable(spark: SparkSession, cols: (String, String)*): DataFrame = {
     val schema = StructType(cols.map(c => StructField(c._1, StringType)))
@@ -318,6 +318,76 @@ object ExplainCommandET extends NoPathET {
     UtilityETs.oneRowTable(ctx.spark,
       "plan" -> target.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
+  }
+}
+
+/** `!audit t` — the physical-plan facts that matter at 100 TB, as a
+  * queryable `(metric, value, detail)` table: shuffle/broadcast exchange
+  * counts, single-partition exchanges (the global-window trap),
+  * cartesian/broadcast-nested-loop joins, whole-stage-codegen span count,
+  * and one row per scan with its pushed filters and read schema. The same
+  * audit the BenchSpec plan reviews run from code, exposed to scripts so a
+  * pipeline author can assert their own plans before paying for a run (no
+  * reference analog — the reference points users at the Spark UI).
+  */
+object PlanAuditET extends NoPathET {
+  override def name = "PlanAudit"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    val target =
+      if (path.nonEmpty) ctx.spark.table(path)
+      else params.get("table").map(ctx.spark.table).getOrElse(df)
+    // audit the CLASSIC physical plan (AQE re-planned off): under AQE the
+    // pre-execution tree splits exchange insertion and codegen collapse
+    // across stages that don't exist yet, so no single inspectable tree
+    // carries both. The classic plan is the as-written cost shape; AQE can
+    // only improve on it at runtime (coalesce, skew-split, demote).
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevAqe = ctx.spark.conf.get(aqeKey)
+    ctx.spark.conf.set(aqeKey, "false")
+    val nodes = try {
+      def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => p +: walk(a.initialPlan)
+        case _ => p +: p.children.flatMap(walk)
+      }
+      walk(org.apache.spark.sql.graftshim.PlanShim
+        .ofRows(ctx.spark, target.queryExecution.logical)
+        .queryExecution.executedPlan)
+    } finally ctx.spark.conf.set(aqeKey, prevAqe)
+    val shuffles = nodes.collect { case s: ShuffleExchangeExec => s }
+    val single = shuffles.filter(_.outputPartitioning == SinglePartition)
+    val rows = Seq.newBuilder[(String, String, String)]
+    rows += (("shuffle_exchanges", shuffles.size.toString,
+      shuffles.map(_.outputPartitioning.toString).mkString("; ")))
+    rows += (("single_partition_exchanges", single.size.toString,
+      if (single.isEmpty) "" else "WARNING: a single-partition exchange " +
+        "serializes the whole input through one task"))
+    rows += (("broadcast_exchanges",
+      nodes.count(_.isInstanceOf[BroadcastExchangeExec]).toString, ""))
+    val bnlj = nodes.filter(n => n.nodeName.contains("BroadcastNestedLoopJoin") ||
+      n.nodeName.contains("CartesianProduct"))
+    rows += (("nested_loop_or_cartesian_joins", bnlj.size.toString,
+      if (bnlj.isEmpty) "" else "WARNING: O(n*m) join — " +
+        bnlj.map(_.nodeName).distinct.mkString(", ")))
+    rows += (("wholestage_codegen_spans",
+      nodes.count(_.isInstanceOf[WholeStageCodegenExec]).toString, ""))
+    rows += (("sorts", nodes.count(_.nodeName == "Sort").toString, ""))
+    nodes.collect { case s: DataSourceScanExec => s }.foreach { s =>
+      // the formatted-explain detail block: Output/Location/ReadSchema/
+      // PushedFilters, one line each
+      val detail = s.verboseStringWithOperatorId().linesIterator
+        .map(_.trim).filter(l => l.startsWith("PushedFilters") ||
+          l.startsWith("ReadSchema") || l.startsWith("Location"))
+        .map(_.take(200)).mkString("; ")
+      rows += (("scan", s.nodeName, detail))
+    }
+    val spark = ctx.spark
+    import spark.implicits._
+    rows.result().toDF("metric", "value", "detail")
   }
 }
 

@@ -178,6 +178,35 @@ class ETSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters"))
   }
 
+  test("!audit reports exchanges, scans with pushdown, and flags the global-window trap") {
+    val df = runDF(
+      s"""load parquet.`$sf/orders.parquet` as o_au;
+         |load parquet.`$sf/customer.parquet` as c_au;
+         |select o_orderkey, c_name from o_au, c_au
+         |  where o_au.o_custkey = c_au.c_custkey and o_totalprice > 100 as j_au;
+         |!audit j_au;""".stripMargin)
+    val metrics = df.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getString(2)))
+    def value(m: String) = metrics.find(_._1 == m).get._2
+    assert(value("broadcast_exchanges").toInt >= 1) // customer dim broadcast
+    assert(value("nested_loop_or_cartesian_joins") == "0")
+    assert(value("single_partition_exchanges") == "0")
+    assert(value("wholestage_codegen_spans").toInt >= 1)
+    val scans = metrics.filter(_._1 == "scan")
+    assert(scans.length == 2)
+    assert(scans.exists(s => s._3.contains("PushedFilters") &&
+      s._3.contains("o_totalprice")), scans.mkString("\n"))
+    // the trap the audit exists to catch: a global-order window
+    val warn = runDF(
+      s"""load parquet.`$sf/orders.parquet` as o_au2;
+         |select o_orderkey, row_number() over (order by o_totalprice) as rn
+         |  from o_au2 as w_au;
+         |!audit w_au;""".stripMargin).collect()
+      .find(_.getString(0) == "single_partition_exchanges").get
+    assert(warn.getString(1).toInt >= 1)
+    assert(warn.getString(2).contains("WARNING"))
+  }
+
   test("!split macro stratifies via RateSampler") {
     val df = runDF(
       s"""load parquet.`$sf/orders.parquet` as o_sp;
