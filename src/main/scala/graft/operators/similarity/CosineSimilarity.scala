@@ -73,6 +73,42 @@ object CosineSimilarity {
       .select(col(qIdCol).as("qid"), col("nrank"), col(idCol).as("neighbor"), col("sim"))
   }
 
+  /** Hard-negative mining for contrastive training: per query, the top-k
+    * most-similar corpus items that are NOT the query itself and NOT its
+    * labeled positives — the neighborhood negatives that actually move a
+    * DPR/SimCLR-style loss (random in-batch negatives are mostly easy).
+    * Optional `maxSim` additionally drops candidates above a similarity
+    * ceiling: the very top of the ranking is where unlabeled TRUE
+    * positives hide, and training on them as negatives poisons the model
+    * (the classic false-negative trap).
+    *
+    * Exact by construction: positives and the ceiling are filtered BEFORE
+    * the per-query ranking (no overfetch heuristics), on the same
+    * candidate set [[annTopK]] builds anyway — corpus scanned once, query
+    * and positive sets broadcast, the only shuffle is the per-query top-k
+    * window. For corpus-scale query sets, mine in batches (same contract
+    * as annTopK).
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, positives: DataFrame,
+                    idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
+                    posCol: String, k: Int,
+                    maxSim: Option[Double] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = positives.select(col(qIdCol).as("__pqid__"), col(posCol).as("__pid__"))
+    val cand = corpus.join(broadcast(queries), col(idCol) =!= col(qIdCol))
+      .join(broadcast(pos),
+        col(qIdCol) === col("__pqid__") && col(idCol) === col("__pid__"),
+        "left_anti")
+      .withColumn("sim", round(cosine(col(qVecCol).cast("array<double>"),
+        col(vecCol).cast("array<double>")), 6))
+    val banded = maxSim.map(m => cand.filter(col("sim") <= m)).getOrElse(cand)
+    banded
+      .withColumn("nrank", row_number().over(
+        Window.partitionBy(col(qIdCol)).orderBy(col("sim").desc, col(idCol))))
+      .filter(col("nrank") <= k)
+      .select(col(qIdCol).as("qid"), col("nrank"), col(idCol).as("neg_id"), col("sim"))
+  }
+
   /** IVF (inverted-file) approximate top-k: KMeans-partition the corpus
     * into `nlist` cells once, then each query probes only its `nprobe`
     * nearest cells — the classic FAISS-style index re-expressed as Spark

@@ -143,6 +143,36 @@ object Pipeline {
         | FROM q JOIN e ON e.vec_id <> q.qid) t
         |WHERE nrank <= 5 ORDER BY qid, nrank""".stripMargin),
 
+    // ---- hard-negative mining for contrastive training: top-k neighbors
+    //      that are neither the query nor its labeled positives, with a
+    //      similarity ceiling excluding probable unlabeled positives
+    //      (CosineSimilarity.hardNegatives; no reference counterpart —
+    //      training-data-pipeline extension per the builder prompt)
+    QuerySpec.sql("p41_hard_negatives", (s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+      val q = e.filter($"vec_id" < 8).select($"vec_id".as("qid"), $"embedding".as("qv"))
+      val pos = q.select($"qid", ($"qid" + 40).as("pos_id"))
+      CosineSimilarity.hardNegatives(e, q, pos, "vec_id", "embedding",
+          "qid", "qv", "pos_id", k = 5, maxSim = Some(0.9))
+        .orderBy($"qid", $"nrank")
+    },
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+        |pos AS (SELECT qid, qid + 40 AS pos_id FROM q),
+        |cand AS (
+        | SELECT q.qid, e.vec_id AS neg_id,
+        |  ROUND(LIST_INNER_PRODUCT(q.qv, e.v) /
+        |    (SQRT(LIST_INNER_PRODUCT(q.qv, q.qv)) * SQRT(LIST_INNER_PRODUCT(e.v, e.v))), 6) AS sim
+        | FROM q JOIN e ON e.vec_id <> q.qid
+        | WHERE NOT EXISTS (SELECT 1 FROM pos
+        |                   WHERE pos.qid = q.qid AND pos.pos_id = e.vec_id))
+        |SELECT qid, nrank, neg_id, sim FROM (
+        | SELECT qid, neg_id, sim,
+        |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, neg_id) AS nrank
+        | FROM cand WHERE sim <= 0.9) t
+        |WHERE nrank <= 5 ORDER BY qid, nrank""".stripMargin),
+
     // ---- embedding near-duplicate pairs above a cosine threshold, via the
     //      EXACT KMeans-cell-blocked self-join (CosineSimilarity.ivfSelfJoin):
     //      cell equi-join candidates + triangle-inequality cell-pair pruning
