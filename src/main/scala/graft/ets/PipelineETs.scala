@@ -16,7 +16,7 @@ import graft.operators.similarity.CosineSimilarity
 object PipelineETs {
   def all: Seq[ET] = Seq(DedupET, SimilarityJoinET, AnnTopKET, BinaryMetaInPlaceET, LangIdET,
     DecontaminateET, RepetitionInPlaceET, PiiScrubInPlaceET, CorpusMixET, CorpusSplitET,
-    ParagraphDedupInPlaceET, UnigramLmET, BpeTrainET, SequencePackET,
+    ParagraphDedupInPlaceET, UnigramLmET, BigramLmET, BpeTrainET, SequencePackET,
     IncrementalDedupET, DocChunkET, GroupCapET, CorpusShuffleET, ResampleET,
     CorpusStatsET, TokenBudgetET, SubstringDedupInPlaceET)
 }
@@ -61,6 +61,24 @@ object UnigramLmET extends NoPathET {
       params.getOrElse("idCol", "doc_id"),
       params.getOrElse("textCol", "text"),
       params.getOrElse("topV", "0").toInt)
+}
+
+/** `run docs as BigramLm.`` [where idCol="doc_id" and textCol="text" and
+  * lambda="0.75" and minCount="1"]` — per-document cross-entropy under a
+  * corpus-fitted Jelinek-Mercer interpolated bigram LM (order-sensitive
+  * perplexity signal; see [[graft.operators.text.BigramLm]]). `minCount`
+  * prunes hapax bigrams from the model at scale; pruned bigrams back off
+  * to the unigram term.
+  */
+object BigramLmET extends NoPathET {
+  override def name = "BigramLm"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame =
+    graft.operators.text.BigramLm.crossEntropy(df,
+      params.getOrElse("idCol", "doc_id"),
+      params.getOrElse("textCol", "text"),
+      params.getOrElse("lambda", "0.75").toDouble,
+      params.getOrElse("minCount", "1").toLong)
 }
 
 /** `train docs as BpeTrain.`path` [where textCol="text" and

@@ -675,6 +675,38 @@ object Pipeline {
         |FROM w2 JOIN c USING (word) CROSS JOIN n
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
+    // ---- interpolated bigram-LM cross-entropy (the rung above p26 on the
+    //      CCNet/KenLM perplexity-filter ladder — order sensitivity unigrams
+    //      can't see): per-row zip_with bigram extraction, one bigram-count
+    //      shuffle, equi-join scoring. minCount=2 exercises the pruned-model
+    //      backoff path; lambda=0.75 so both engines' constants are exact
+    //      binary doubles (see BigramLm scaladoc). ----
+    QuerySpec.sql("p42_bigram_lm", (s, dir) => {
+      import s.implicits._
+      graft.operators.text.BigramLm.crossEntropy(
+          t(s, dir, "documents"), "doc_id", "text",
+          lambda = 0.75, minCount = 2L)
+        .orderBy($"doc_id")
+    },
+      """WITH d AS (SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS tk
+        |           FROM documents),
+        |bgl AS (SELECT doc_id, UNNEST(LIST_ZIP(tk[1:LEN(tk)-1], tk[2:LEN(tk)])) AS z
+        |        FROM d WHERE LEN(tk) >= 2),
+        |bg AS (SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM bgl),
+        |cb AS (SELECT w1, w2, COUNT(*) AS cnt FROM bg GROUP BY w1, w2),
+        |cx AS (SELECT w1, SUM(cnt) AS ctx_cnt FROM cb GROUP BY w1),
+        |model AS (SELECT * FROM cb WHERE cnt >= 2),
+        |wt AS (SELECT doc_id, UNNEST(tk) AS word FROM d),
+        |un AS (SELECT word AS w2, COUNT(*) AS uni_cnt FROM wt GROUP BY word),
+        |n AS (SELECT CAST(SUM(uni_cnt) AS DOUBLE) AS n FROM un)
+        |SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+        | ROUND(-AVG(LN(
+        |   0.75 * (CAST(COALESCE(model.cnt, 0) AS DOUBLE) / CAST(cx.ctx_cnt AS DOUBLE))
+        |   + 0.25 * (CAST(un.uni_cnt AS DOUBLE) / n.n))), 4) AS xent
+        |FROM bg LEFT JOIN model USING (w1, w2) JOIN cx USING (w1) JOIN un USING (w2)
+        |CROSS JOIN n
+        |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin),
+
     // ---- distributed BPE merge learning (Sennrich'16) on a pinned corpus:
     //      pair statistics run on the unique-word dictionary (one corpus
     //      shuffle + k dictionary-only rounds; see BpeTrain scaladoc). The

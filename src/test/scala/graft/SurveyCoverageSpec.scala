@@ -128,7 +128,7 @@ class SurveyCoverageSpec extends AnyFunSuite {
       // LLM-pipeline operators (builder-prompt additions)
       "Dedup", "SimilarityJoin", "AnnTopK", "BinaryMetaInPlace", "LangId",
       "Decontaminate", "RepetitionInPlace", "PiiScrubInPlace", "CorpusMix",
-      "ParagraphDedupInPlace", "UnigramLm", "BpeTrain", "SequencePack",
+      "ParagraphDedupInPlace", "UnigramLm", "BigramLm", "BpeTrain", "SequencePack",
       "IncrementalDedup", "SubstringDedupInPlace", "StreamCommand")
     val missing = names.filter(n =>
       scala.util.Try(ETRegistry.lookup(n)).isFailure)

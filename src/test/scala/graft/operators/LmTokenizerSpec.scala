@@ -41,6 +41,46 @@ class LmTokenizerSpec extends AnyFunSuite {
     assert(ids == Set(1L))
   }
 
+  // ---- BigramLm ----
+
+  test("bigram cross-entropy matches hand-computed interpolated values") {
+    // uni a:3 b:4 c:1 N=8; big (a,b):3 (b,a):2 (b,c):1; ctx a:3 b:3
+    // P(b|a)=.75·1+.25·.5  P(a|b)=.75·⅔+.25·⅜  P(c|b)=.75·⅓+.25·⅛
+    val out = graft.operators.text.BigramLm.crossEntropy(
+        docs(1L -> "a b a b", 2L -> "b a b c"), "doc_id", "text", lambda = 0.75)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L) == ((3L, 0.2628)))
+    assert(out(2L) == ((3L, 0.6411)))
+  }
+
+  test("minCount prunes the model and pruned bigrams back off to the unigram term") {
+    // (b,c) has count 1 → pruned at minCount=2 → P(c|b)=.25·⅛ alone
+    val out = graft.operators.text.BigramLm.crossEntropy(
+        docs(1L -> "a b a b", 2L -> "b a b c"), "doc_id", "text",
+        lambda = 0.75, minCount = 2L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(1L) == 0.2628) // retained bigrams unchanged (ctx counted pre-pruning)
+    assert(out(2L) == 1.3735)
+  }
+
+  test("bigram scoring is order-sensitive where unigram scoring is blind") {
+    // same bag of words, different order → same unigram xent, different bigram xent
+    val d = docs(1L -> "a b a b", 2L -> "a a b b")
+    val uni = UnigramLm.crossEntropy(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val big = graft.operators.text.BigramLm.crossEntropy(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(uni(1L) == uni(2L))
+    assert(big(1L) != big(2L))
+  }
+
+  test("documents with fewer than two tokens are dropped by bigram scoring") {
+    val ids = graft.operators.text.BigramLm.crossEntropy(
+        docs(1L -> "a b", 2L -> "a", 3L -> ""), "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L))
+  }
+
   // ---- BpeTrain ----
 
   test("learnMerges reproduces the reference implementation on the pinned corpus") {
