@@ -518,7 +518,9 @@ object LangIdET extends NoPathET {
   * "group" is a CONNECTED COMPONENT of the near-dup pair graph: pairs
   * (1,2)+(2,3) form one group {1,2,3} surviving as 1, even without the
   * (1,3) edge — the greedy drop-every-b_id alternative over-deletes on
-  * such chains). Scale notes per method are on
+  * such chains). `keep="best"` with `scoreCol="..."` keeps each group's
+  * highest-scoring member instead of its first id (quality-aware canonical
+  * selection; ties break to min id). Scale notes per method are on
   * [[graft.operators.dedup.TextDedup]].
   */
 object DedupET extends NoPathET {
@@ -533,24 +535,70 @@ object DedupET extends NoPathET {
       .filter(col("label") =!= col("id")).select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** Keep the highest-`scoreCol` member of each connected component of
+    * `pairs` (ties broken by min id), plus every row in no pair — the
+    * quality-aware canonical selection of RefinedWeb/FineWeb-style
+    * pipelines: inside a near-dup cluster, keep the best document, not an
+    * arbitrary one. The argmax window runs over pair-graph members only
+    * (the duplicate minority at 100 TB), never the whole corpus, and the
+    * corpus-side survivor filter stays one anti-join, exactly like
+    * [[keepComponentMin]].
+    */
+  private[graft] def keepComponentBest(df: DataFrame, idCol: String,
+                                       scoreCol: String,
+                                       pairs: DataFrame): DataFrame = {
+    val labels = graft.operators.dedup.Components.labels(pairs)
+    val scored = labels.join(
+      df.select(col(idCol).as("id"), col(scoreCol).as("__score__")), Seq("id"))
+    val losers = scored
+      .withColumn("__rk__", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("label"))
+          .orderBy(col("__score__").desc, col("id"))))
+      .filter(col("__rk__") > 1).select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Dispatch on `keep`: "min" → [[keepComponentMin]], "best" →
+    * [[keepComponentBest]] (requires `scoreCol`).
+    */
+  private def keepSurvivors(df: DataFrame, idCol: String,
+                            params: Map[String, String])
+                           (pairs: DataFrame): DataFrame =
+    params.getOrElse("keep", "min") match {
+      case "min"  => keepComponentMin(df, idCol, pairs)
+      case "best" => keepComponentBest(df, idCol,
+        params.getOrElse("scoreCol", throw new IllegalArgumentException(
+          """keep="best" needs scoreCol""")), pairs)
+      case other => throw new IllegalArgumentException(
+        s"Dedup keep must be min|best, got '$other'")
+    }
   override def name = "Dedup"
   override def train(ctx: ScriptContext, df: DataFrame, path: String,
                      params: Map[String, String]): DataFrame = {
     val idCol = params.getOrElse("idCol", "doc_id")
     val textCol = params.getOrElse("textCol", "text")
+    // hash-equality dedup with the same keep semantics: the window key is
+    // the content hash itself (no component computation needed)
+    def hashKeep(h: org.apache.spark.sql.Column): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__h__"))
+      val ranked = params.getOrElse("keep", "min") match {
+        case "min"  => df.withColumn("__h__", h)
+          .withColumn("__rk__", row_number().over(w.orderBy(col(idCol))))
+        case "best" => df.withColumn("__h__", h)
+          .withColumn("__rk__", row_number().over(w.orderBy(
+            col(params.getOrElse("scoreCol", throw new IllegalArgumentException(
+              """keep="best" needs scoreCol"""))).desc, col(idCol))))
+        case other => throw new IllegalArgumentException(
+          s"Dedup keep must be min|best, got '$other'")
+      }
+      ranked.filter(col("__rk__") === 1).drop("__h__", "__rk__")
+    }
     params.getOrElse("method", "exact") match {
       case "exact" =>
-        df.withColumn("__h__", md5(col(textCol)))
-          .withColumn("__keep__", min(col(idCol)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy(col("__h__"))))
-          .filter(col(idCol) === col("__keep__"))
-          .drop("__h__", "__keep__")
+        hashKeep(md5(col(textCol)))
       case "fingerprint" =>
-        df.withColumn("__h__", md5(regexp_replace(lower(col(textCol)), "[^a-z0-9]", "")))
-          .withColumn("__keep__", min(col(idCol)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy(col("__h__"))))
-          .filter(col(idCol) === col("__keep__"))
-          .drop("__h__", "__keep__")
+        hashKeep(md5(regexp_replace(lower(col(textCol)), "[^a-z0-9]", "")))
       case "minhash" =>
         val threshold = params.getOrElse("threshold", "0.8").toDouble
         val n = params.getOrElse("ngram", "3").toInt
@@ -562,11 +610,11 @@ object DedupET extends NoPathET {
         // lazy plan references only df + the labels — unpersist is safe.
         val sh = TextDedup.shingles(df.select(col(idCol), col(textCol)), idCol, textCol, n)
           .cache()
-        try keepComponentMin(df, idCol, TextDedup.minHashSelfJoin(sh, threshold))
+        try keepSurvivors(df, idCol, params)(TextDedup.minHashSelfJoin(sh, threshold))
         finally sh.unpersist()
       case "simhash" =>
         val maxHamming = params.getOrElse("maxHamming", "3").toInt
-        keepComponentMin(df, idCol,
+        keepSurvivors(df, idCol, params)(
           TextDedup.simHashSelfJoin(df.select(col(idCol), col(textCol)),
             idCol, textCol, maxHamming))
       case "embedding" =>
@@ -578,7 +626,7 @@ object DedupET extends NoPathET {
         // centroids="path" persists/reuses the IVF cell centers so a
         // pipeline that dedups repeatedly (or a 100 TB corpus split into
         // runs) pays the clustering sample-fit once, not per call
-        keepComponentMin(df, idCol,
+        keepSurvivors(df, idCol, params)(
           CosineSimilarity.ivfSelfJoin(df, idCol, vecCol, threshold,
             nlist = params.getOrElse("nlist", "16").toInt,
             centroidsPath = params.get("centroids").orElse(params.get("centroidsPath")))

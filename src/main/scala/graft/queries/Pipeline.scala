@@ -773,6 +773,46 @@ object Pipeline {
         |WHERE vec_id NOT IN (SELECT s FROM reach WHERE d < s)
         |ORDER BY vec_id""".stripMargin),
 
+    // ---- quality-aware canonical selection: same component graph as p29,
+    //      but each near-dup cluster keeps its BEST member (longest doc,
+    //      ties to min id) instead of its min id — the RefinedWeb/FineWeb
+    //      rule. The argmax window runs over pair-graph members only; the
+    //      corpus-side filter stays one anti-join (DedupET.keepComponentBest). ----
+    QuerySpec.sql("p43_neardup_keep_best", (s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val docs = t(s, dir, "documents").select($"doc_id".as("vec_id"), $"n_chars")
+      val pairs = CosineSimilarity.ivfSelfJoin(emb, "vec_id", "embedding", 0.45, nlist = 16)
+        .select($"a_id", $"b_id")
+      graft.ets.DedupET.keepComponentBest(emb.join(docs, "vec_id"),
+          "vec_id", "n_chars", pairs)
+        .select($"vec_id")
+        .orderBy($"vec_id")
+    },
+      """WITH RECURSIVE e AS (
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (
+        | SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        | FROM e a JOIN e b ON a.vec_id < b.vec_id
+        | WHERE ROUND(LIST_INNER_PRODUCT(a.v, b.v) /
+        |   (SQRT(LIST_INNER_PRODUCT(a.v, a.v)) * SQRT(LIST_INNER_PRODUCT(b.v, b.v))), 6) >= 0.45),
+        |edges AS (SELECT a_id AS s, b_id AS d FROM p UNION SELECT b_id, a_id FROM p),
+        |reach(s, d) AS (
+        | SELECT s, d FROM edges
+        | UNION
+        | SELECT r.s, e2.d FROM reach r JOIN edges e2 ON r.d = e2.s),
+        |comp AS (SELECT s AS id, LEAST(s, MIN(d)) AS comp FROM reach GROUP BY s),
+        |members AS (
+        | SELECT c.id, c.comp, d.n_chars FROM comp c
+        | JOIN documents d ON d.doc_id = c.id),
+        |losers AS (SELECT id FROM (
+        | SELECT id, ROW_NUMBER() OVER (PARTITION BY comp ORDER BY n_chars DESC, id) AS rk
+        | FROM members) t WHERE rk > 1)
+        |SELECT em.vec_id FROM embeddings em
+        |JOIN documents dd ON dd.doc_id = em.vec_id
+        |WHERE em.vec_id NOT IN (SELECT id FROM losers)
+        |ORDER BY em.vec_id""".stripMargin),
+
     // ---- GPT-style "concatenate and chunk" training-sequence layout:
     //      prefix-sum token counts in doc order, cut the stream into
     //      seqLen windows, report each doc's span. The Spark side is the
