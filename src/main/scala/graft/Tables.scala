@@ -36,9 +36,15 @@ object Tables {
         df.withColumn("ts", org.apache.spark.sql.functions.expr(
           "timestamp_micros(CASE WHEN ts % 1000 < 0 THEN ts div 1000 - 1 ELSE ts div 1000 END)"))
       case _: org.apache.spark.sql.types.TimestampType => df
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        // timestamp[us] with isAdjustedToUTC=false: the session runs in UTC
+        // (GraftSession), so NTZ→TZ cast preserves the wall-clock instant and
+        // matches DuckDB's naive TIMESTAMP read of the same file.
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
       case other =>
         throw new IllegalStateException(
-          s"events.ts has unexpected type $other; expected LongType (nanosAsLong) or TimestampType")
+          s"events.ts has unexpected type $other; expected LongType (nanosAsLong), TimestampType, or TimestampNTZType")
     }
   }
 

@@ -64,7 +64,7 @@ class ETSpec extends AnyFunSuite {
   test("WaterMarkInPlace ET applies a watermark on a streaming table") {
     val ctx = ScriptRunner.run(
       s"""load parquet.`$sf/events.parquet` as ev_batch0;
-         |select timestamp_micros(ts div 1000) as ts, event_id from ev_batch0 as ev_batch;
+         |select cast(ts as timestamp) as ts, event_id from ev_batch0 as ev_batch;
          |load mockStream.`ev_batch` as ev_s;
          |run ev_s as WaterMarkInPlace.`` where eventTimeCol="ts" and delayThreshold="10 seconds" as ev_w;""".stripMargin,
       spark)

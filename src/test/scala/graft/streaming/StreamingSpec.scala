@@ -198,7 +198,7 @@ class StreamingSpec extends AnyFunSuite {
     val ctx2 = ScriptRunner.run(
       s"""set streamName = "s4";
          |load parquet.`$sf/events.parquet` as ev_raw;
-         |select timestamp_micros(ts div 1000) as ts, event_id from ev_raw as ev_b;
+         |select cast(ts as timestamp) as ts, event_id from ev_raw as ev_b;
          |load mockStream.`ev_b` where eventTimeCol="ts" and delayThreshold="1 minute" as ev_s;
          |select window(ts, '1 minute').start as w, count(*) as c
          |  from ev_s group by window(ts, '1 minute') as agged;
@@ -364,7 +364,7 @@ class StreamingSpec extends AnyFunSuite {
     val ctx = ScriptRunner.run(
       s"""set streamName = "s6";
          |load parquet.`$sf/events.parquet` as ev6_raw;
-         |select timestamp_micros(ts div 1000) as ts, user_id from ev6_raw as ev6_b;
+         |select cast(ts as timestamp) as ts, user_id from ev6_raw as ev6_b;
          |load mockStream.`ev6_b` where eventTimeCol="ts" and delayThreshold="1 minute" as ev6_s;
          |select session_window(ts, '5 minutes').start as w_start, user_id, count(*) as n
          |  from ev6_s group by session_window(ts, '5 minutes'), user_id as ev6_agg;
@@ -525,7 +525,7 @@ class StreamingSpec extends AnyFunSuite {
     val ctx = ScriptRunner.run(
       s"""set streamName = "s7";
          |load parquet.`$sf/events.parquet` as ev7_raw;
-         |select timestamp_micros(ts div 1000) as ts, event_id % 100 as dup_key from ev7_raw as ev7_b;
+         |select cast(ts as timestamp) as ts, event_id % 100 as dup_key from ev7_raw as ev7_b;
          |load mockStream.`ev7_b` where eventTimeCol="ts" and delayThreshold="1 hour" as ev7_s;""".stripMargin,
       spark)
     // dropDuplicates is a Dataset op; drive it directly over the stream view
@@ -543,7 +543,7 @@ class StreamingSpec extends AnyFunSuite {
   test("stream-stream inner join with watermarks") {
     val ctx = ScriptRunner.run(
       s"""load parquet.`$sf/events.parquet` as ev8_raw;
-         |select timestamp_micros(ts div 1000) as ts, user_id, event_id from ev8_raw as ev8_b;
+         |select cast(ts as timestamp) as ts, user_id, event_id from ev8_raw as ev8_b;
          |load mockStream.`ev8_b` where eventTimeCol="ts" and delayThreshold="1 hour" as ev8_left;
          |load mockStream.`ev8_b` where eventTimeCol="ts" and delayThreshold="1 hour" as ev8_right;""".stripMargin,
       spark)
