@@ -43,6 +43,12 @@ object GraftSession {
   def getOrCreate(cpus: String = defaultCpus): SparkSession = {
     val spark = builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // UDFPack deliberately replaces builtin `uuid` (reference semantics:
+    // hex without dashes) — the one-time "replaced a previously registered
+    // function" WARN is expected noise; keep bench/verify logs signal-only.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry",
+      org.apache.logging.log4j.Level.ERROR)
     graft.functions.UDFPack.register(spark)
     graft.operators.multimodal.Multimodal.register(spark)
     spark

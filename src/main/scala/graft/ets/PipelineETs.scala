@@ -18,7 +18,7 @@ object PipelineETs {
     DecontaminateET, RepetitionInPlaceET, PiiScrubInPlaceET, CorpusMixET, CorpusSplitET,
     ParagraphDedupInPlaceET, UnigramLmET, BigramLmET, BpeTrainET, SequencePackET,
     IncrementalDedupET, DocChunkET, GroupCapET, CorpusShuffleET, ResampleET,
-    CorpusStatsET, TokenBudgetET, SubstringDedupInPlaceET)
+    CorpusStatsET, TokenBudgetET, SubstringDedupInPlaceET, ImportanceSelectET)
 }
 
 /** `run docs as SubstringDedupInPlace.`` [where idCol="doc_id" and
@@ -467,6 +467,41 @@ object DecontaminateET extends NoPathET {
       case "flag"  => graft.operators.dedup.Decontaminate.overlap(df, eval, idCol, textCol, n, minOverlap)
       case other => throw new IllegalArgumentException(
         s"Decontaminate mode must be clean|flag, got '$other'")
+    }
+  }
+}
+
+/** `run raw as ImportanceSelect.`` where targetTable="reference_docs" [and
+  * mode="select|score|sample" and k="1000" and idCol="doc_id" and
+  * textCol="text" and buckets="8192" and alpha="1.0" and seed="42" and
+  * temperature="1.0"]` — DSIR importance-weighted data selection (see
+  * [[graft.operators.sampling.ImportanceSelect]]): score raw docs by
+  * hashed-n-gram log importance weight against the target table; `select`
+  * keeps the top-k, `sample` Gumbel-resamples k ∝ weight, `score` returns
+  * every doc's weight. Scoring is a zero-shuffle map pass.
+  */
+object ImportanceSelectET extends NoPathET {
+  override def name = "ImportanceSelect"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    val target = ctx.spark.table(params.getOrElse("targetTable",
+      throw new IllegalArgumentException("ImportanceSelect requires targetTable")))
+    val idCol = params.getOrElse("idCol", "doc_id")
+    val textCol = params.getOrElse("textCol", "text")
+    val buckets = params.getOrElse("buckets", "8192").toInt
+    val alpha = params.getOrElse("alpha", "1.0").toDouble
+    def k = params.getOrElse("k",
+      throw new IllegalArgumentException("ImportanceSelect select/sample requires k")).toInt
+    import graft.operators.sampling.ImportanceSelect
+    params.getOrElse("mode", "select") match {
+      case "select" => ImportanceSelect.select(df, target, idCol, textCol, k, buckets, alpha)
+      case "sample" => ImportanceSelect.gumbelSelect(df, target, idCol, textCol, k,
+        params.getOrElse("seed", "42").toLong,
+        params.getOrElse("temperature", "1.0").toDouble, buckets, alpha)
+      case "score" => ImportanceSelect.score(df, idCol, textCol,
+        ImportanceSelect.fitLogRatios(target, df, textCol, buckets, alpha), buckets)
+      case other => throw new IllegalArgumentException(
+        s"ImportanceSelect mode must be select|score|sample, got '$other'")
     }
   }
 }

@@ -1,0 +1,162 @@
+package graft.operators.sampling
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import org.apache.spark.sql.functions._
+
+/** DSIR-style importance-weighted data selection (Xie et al. 2023, "Data
+  * Selection for Language Models via Importance Resampling"): score every
+  * raw-corpus document by its log importance weight under hashed-n-gram
+  * bag-of-words models of a small TARGET corpus (the distribution you want
+  * more of — e.g. curated reference text) versus the RAW corpus itself,
+  * then keep the top-k (or Gumbel-resample ∝ weight).
+  *
+  *   log w(doc) = Σ_{g ∈ ngrams(doc)} [ ln p_target(bucket(g))
+  *                                    − ln p_raw(bucket(g)) ]
+  *
+  * with word unigram+bigram features hashed into `buckets` buckets and
+  * add-alpha smoothing on both multinomials.
+  *
+  * Plan shape (100 TB raw side):
+  *   - `fit` is two corpus scans, each `explode → groupBy(bucket)` with
+  *     map-side partial aggregation — the shuffle carries at most `buckets`
+  *     rows per mapper, and the collected model is `buckets` longs
+  *     (8192 by default — a driver-bounded model by construction, NOT
+  *     data-sized; same contract as the BPE vocab tables).
+  *   - `score` is ZERO-shuffle: the per-bucket log-ratio vector rides into
+  *     the plan as one array `Literal` (`typedlit`, a single object — not a
+  *     `CreateArray` of 8192 children, so no codegen blowup), and each row
+  *     sums `element_at` lookups with an `aggregate` HOF over its own
+  *     n-gram array. One map-only pass over the corpus.
+  *   - `select` adds one global top-k (`orderBy.limit` = partial top-k per
+  *     partition + driver merge of k rows, never a full sort at scale).
+  *
+  * The bucket hash must be reproducible in the DuckDB oracle, so it is a
+  * base-131 polynomial over the ASCII codes of the first six hex chars of
+  * `md5(ngram)` — every piece (`md5`, `substring`, `ascii`) evaluates
+  * identically in both engines, and the polynomial stays well inside Long.
+  *
+  * No reference counterpart (the reference has no data-selection
+  * operator); beyond-reference LLM-pipeline surface per the builder
+  * prompt, same family as [[CorpusMix]] / [[GroupCap]].
+  */
+object ImportanceSelect {
+
+  val DefaultBuckets = 8192
+  private val PolyMultipliers = Seq(1L, 131L, 17161L, 2248091L, 294499921L, 38579489651L)
+
+  /** Word unigram+bigram array for one text column — per-row, codegen'd,
+    * no shuffle. Empty-safe: <2 tokens contributes no bigrams.
+    */
+  def ngramsExpr(textCol: String): Column = expr(
+    s"""concat(
+       |  filter(split($textCol, ' '), x -> x <> ''),
+       |  CASE WHEN size(filter(split($textCol, ' '), x -> x <> '')) < 2
+       |       THEN CAST(array() AS array<string>)
+       |       ELSE zip_with(
+       |         slice(filter(split($textCol, ' '), x -> x <> ''), 1,
+       |               size(filter(split($textCol, ' '), x -> x <> '')) - 1),
+       |         slice(filter(split($textCol, ' '), x -> x <> ''), 2,
+       |               size(filter(split($textCol, ' '), x -> x <> '')) - 1),
+       |         (a, b) -> concat(a, ' ', b)) END)""".stripMargin)
+
+  /** Oracle-reproducible bucket of one n-gram string: base-131 polynomial
+    * over ascii(md5 hex[1..6]), mod `buckets`.
+    */
+  def bucketExpr(ng: Column, buckets: Int = DefaultBuckets): Column = {
+    val h = md5(ng)
+    PolyMultipliers.zipWithIndex
+      .map { case (m, i) => ascii(substring(h, i + 1, 1)).cast("long") * lit(m) }
+      .reduce(_ + _)
+      .%(lit(buckets.toLong)).cast("int")
+  }
+
+  /** (bucket, cnt) hashed-n-gram occurrence counts for a corpus — one
+    * map-side-combined shuffle of ≤`buckets` distinct keys.
+    */
+  def bucketCounts(df: DataFrame, textCol: String,
+                   buckets: Int = DefaultBuckets): DataFrame =
+    df.select(explode(ngramsExpr(textCol)).as("__ng__"))
+      .select(bucketExpr(col("__ng__"), buckets).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+
+  /** Smoothed per-bucket log importance ratios
+    * `ln p_target[b] − ln p_raw[b]`, as a bucket-indexed array. The
+    * collect is bounded by `buckets` (model-sized, not data-sized).
+    */
+  def fitLogRatios(target: DataFrame, raw: DataFrame, textCol: String,
+                   buckets: Int = DefaultBuckets,
+                   alpha: Double = 1.0): Array[Double] = {
+    def counts(df: DataFrame): Array[Long] = {
+      val arr = new Array[Long](buckets)
+      bucketCounts(df, textCol, buckets).collect()
+        .foreach(r => arr(r.getInt(0)) = r.getLong(1))
+      arr
+    }
+    val (ct, cr) = (counts(target), counts(raw))
+    val (nt, nr) = (ct.sum.toDouble, cr.sum.toDouble)
+    Array.tabulate(buckets) { b =>
+      math.log((ct(b) + alpha) / (nt + alpha * buckets)) -
+        math.log((cr(b) + alpha) / (nr + alpha * buckets))
+    }
+  }
+
+  /** (idCol, n_grams, log_w) per raw document — map-only (see object doc).
+    * Documents with no tokens are dropped (no features ⇒ no weight).
+    * `log_w` is rounded to 4 dp: per-bucket terms are bit-identical
+    * cross-engine, so only summation-order eps (~1e-13) sits under the
+    * rounding grain.
+    */
+  def score(raw: DataFrame, idCol: String, textCol: String,
+            logRatios: Array[Double],
+            buckets: Int = DefaultBuckets): DataFrame = {
+    require(logRatios.length == buckets,
+      s"logRatios has ${logRatios.length} entries, expected $buckets")
+    val lr = typedlit(logRatios) // ONE ArrayType Literal — codegen-safe
+    raw.select(col(idCol), ngramsExpr(textCol).as("__ngs__"))
+      .filter(size(col("__ngs__")) > 0)
+      .select(
+        col(idCol),
+        size(col("__ngs__")).cast("long").as("n_grams"),
+        F.round(
+          aggregate(
+            transform(col("__ngs__"), ng => bucketExpr(ng, buckets)),
+            lit(0.0),
+            (acc, b) => acc + element_at(lr, b + lit(1))),
+          4).as("log_w"))
+  }
+
+  /** Top-`k` most target-like raw documents (fit + score + global top-k;
+    * ties at the boundary break on `idCol` so the selected SET is
+    * deterministic cross-engine).
+    */
+  def select(raw: DataFrame, target: DataFrame, idCol: String, textCol: String,
+             k: Int, buckets: Int = DefaultBuckets,
+             alpha: Double = 1.0): DataFrame =
+    score(raw, idCol, textCol, fitLogRatios(target, raw, textCol, buckets, alpha), buckets)
+      .orderBy(col("log_w").desc, col(idCol))
+      .limit(k)
+
+  /** Gumbel-top-k resampling: sample `k` documents WITHOUT replacement
+    * with P(doc) ∝ exp(log_w / temperature) by perturbing each weight with
+    * seeded Gumbel(0,1) noise and taking the top k — the distributed
+    * standard for weighted sampling without a driver-side pass. The noise
+    * is a pure function of (idCol, seed) so re-runs are reproducible.
+    */
+  def gumbelSelect(raw: DataFrame, target: DataFrame, idCol: String,
+                   textCol: String, k: Int, seed: Long,
+                   temperature: Double = 1.0,
+                   buckets: Int = DefaultBuckets,
+                   alpha: Double = 1.0): DataFrame = {
+    val scored = score(raw, idCol, textCol,
+      fitLogRatios(target, raw, textCol, buckets, alpha), buckets)
+    // uniform(0,1) from a seeded per-row hash; +0.5 keeps u strictly inside
+    // (0,1) so both logs are finite
+    val u = (pmod(xxhash64(col(idCol), lit(seed)), lit(1000000000L)).cast("double") + lit(0.5)) /
+      lit(1000000000.0)
+    scored
+      .withColumn("__key__", col("log_w") / lit(temperature) - log(-log(u)))
+      .orderBy(col("__key__").desc, col(idCol))
+      .limit(k)
+      .drop("__key__")
+  }
+}

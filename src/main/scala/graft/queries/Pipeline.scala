@@ -1128,7 +1128,53 @@ object Pipeline {
         |FROM base b
         |LEFT JOIN cnts c USING (doc_id)
         |LEFT JOIN reb r USING (doc_id)
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin),
+
+    // ---- DSIR importance-weighted data selection (Xie et al. 2023):
+    //      top-50 raw documents by hashed-n-gram log importance weight
+    //      against an English target slice. Fit = two bounded bucket-count
+    //      shuffles (≤8192 keys); score = ZERO-shuffle map pass (the
+    //      log-ratio vector is one array Literal, summed per row with an
+    //      aggregate HOF); select = global top-k. The bucket hash
+    //      (base-131 polynomial over ascii(md5 hex[1..6])) evaluates
+    //      bit-identically in DuckDB, so the oracle replays the whole
+    //      pipeline. ----
+    QuerySpec.sql("p44_dsir_select", (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      graft.operators.sampling.ImportanceSelect.select(
+        docs, docs.filter($"lang" === "en"), "doc_id", "text", k = 50)
+    },
+      """WITH tk AS (SELECT doc_id, lang,
+        |  LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS tk FROM documents),
+        |uni AS (SELECT doc_id, lang, UNNEST(tk) AS ng FROM tk),
+        |big AS (SELECT doc_id, lang, z[1] || ' ' || z[2] AS ng
+        |  FROM (SELECT doc_id, lang,
+        |          UNNEST(LIST_ZIP(tk[1:LEN(tk)-1], tk[2:LEN(tk)])) AS z
+        |        FROM tk WHERE LEN(tk) >= 2)),
+        |ng AS (SELECT doc_id, lang, ng FROM uni
+        |       UNION ALL SELECT doc_id, lang, ng FROM big),
+        |ngb AS (SELECT doc_id, lang,
+        |  ( CAST(ascii(substring(md5(ng),1,1)) AS BIGINT)
+        |  + CAST(ascii(substring(md5(ng),2,1)) AS BIGINT)*131
+        |  + CAST(ascii(substring(md5(ng),3,1)) AS BIGINT)*17161
+        |  + CAST(ascii(substring(md5(ng),4,1)) AS BIGINT)*2248091
+        |  + CAST(ascii(substring(md5(ng),5,1)) AS BIGINT)*294499921
+        |  + CAST(ascii(substring(md5(ng),6,1)) AS BIGINT)*38579489651) % 8192 AS b
+        | FROM ng),
+        |ct AS (SELECT b, COUNT(*) AS c FROM ngb WHERE lang = 'en' GROUP BY b),
+        |cr AS (SELECT b, COUNT(*) AS c FROM ngb GROUP BY b),
+        |nt AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM ct),
+        |nr AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM cr),
+        |lr AS (SELECT cr.b,
+        |  LN((COALESCE(ct.c, 0) + 1.0) / (nt.n + 8192.0))
+        |  - LN((cr.c + 1.0) / (nr.n + 8192.0)) AS lr
+        | FROM cr LEFT JOIN ct USING (b) CROSS JOIN nt CROSS JOIN nr)
+        |SELECT ngb.doc_id, COUNT(*) AS n_grams, ROUND(SUM(l.lr), 4) AS log_w
+        |FROM ngb JOIN lr l ON ngb.b = l.b
+        |GROUP BY ngb.doc_id
+        |ORDER BY log_w DESC, doc_id
+        |LIMIT 50""".stripMargin)
   )
 
   /** Fixed 4-doc corpus for the BPE entries' pinned oracles (expected

@@ -854,6 +854,23 @@ class PipelineETSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(0)).toSet == direct)
   }
 
+  test("ImportanceSelect DSL surface matches the direct operator") {
+    val df = runDF(
+      s"""load parquet.`$sf/documents.parquet` as is_raw;
+         |select * from is_raw where lang = "en" as is_target;
+         |run is_raw as ImportanceSelect.`` where targetTable="is_target"
+         |  and mode="select" and k="10" as is_sel;
+         |select doc_id, n_grams, log_w from is_sel as out;""".stripMargin)
+    val viaDsl = df.collect().map(_.getLong(0)).toSeq
+    val raw = spark.read.parquet(s"$sf/documents.parquet")
+    val direct = graft.operators.sampling.ImportanceSelect
+      .select(raw, raw.filter(org.apache.spark.sql.functions.col("lang") === "en"),
+        "doc_id", "text", k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaDsl == direct)
+    assert(viaDsl.length == 10)
+  }
+
   test("CorpusMix fractional weight keeps E[copies] near w") {
     import spark.implicits._
     import org.apache.spark.sql.functions.lit
