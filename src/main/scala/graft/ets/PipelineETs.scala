@@ -446,9 +446,11 @@ object DocChunkET extends NoPathET {
 }
 
 /** `run train as Decontaminate.`` where evalTable="benchmarks" [and
-  * mode="clean|flag" and idCol="doc_id" and textCol="text" and ngram="8"
-  * and minOverlap="1"]` — drop (`clean`, default) or list (`flag`) train
-  * docs sharing n-gram shingles with the eval/benchmark table
+  * mode="clean|flag|fuzzy" and idCol="doc_id" and textCol="text" and
+  * ngram="8" and minOverlap="1" and threshold="0.5"]` — drop (`clean`,
+  * default) or list (`flag`) train docs sharing n-gram shingles with the
+  * eval/benchmark table; `fuzzy` lists per-(train, eval) pairs whose
+  * containment |train ∩ eval| / |eval| reaches `threshold`
   * (see [[graft.operators.dedup.Decontaminate]]; the eval side is
   * broadcast, the corpus never shuffles).
   */
@@ -465,8 +467,10 @@ object DecontaminateET extends NoPathET {
     params.getOrElse("mode", "clean") match {
       case "clean" => graft.operators.dedup.Decontaminate.clean(df, eval, idCol, textCol, n, minOverlap)
       case "flag"  => graft.operators.dedup.Decontaminate.overlap(df, eval, idCol, textCol, n, minOverlap)
+      case "fuzzy" => graft.operators.dedup.Decontaminate.containment(df, eval, idCol, textCol, n,
+        params.getOrElse("threshold", "0.5").toDouble)
       case other => throw new IllegalArgumentException(
-        s"Decontaminate mode must be clean|flag, got '$other'")
+        s"Decontaminate mode must be clean|flag|fuzzy, got '$other'")
     }
   }
 }

@@ -42,6 +42,43 @@ object Decontaminate {
       .filter(col("n_overlap") >= minOverlap)
   }
 
+  /** Fuzzy per-pair decontamination by CONTAINMENT ratio — the
+    * Llama/GPT-4-report-style guard: a train doc is contaminated w.r.t. an
+    * eval doc when it contains at least `threshold` of the eval doc's
+    * distinct n-gram shingles (|train ∩ eval| / |eval|). Unlike [[overlap]]
+    * (a corpus-wide shared-shingle count), this scores each (train, eval)
+    * PAIR, so a question fully embedded in a long document is caught even
+    * when the document shares little else with the benchmark.
+    *
+    * Same scale shape as [[overlap]]: both eval-side frames (exploded
+    * shingles, per-doc sizes) are benchmark-bounded and broadcast; the
+    * corpus is scanned once and never shuffled — only matching
+    * (train, eval, shingle) rows reach the pair aggregation.
+    *
+    * Output: (doc_id, eval_id, n_shared, containment∈(0,1] rounded 4dp)
+    * for pairs at or above `threshold`.
+    */
+  def containment(train: DataFrame, eval: DataFrame, idCol: String,
+                  textCol: String, n: Int = 8,
+                  threshold: Double = 0.5): DataFrame = {
+    val trainSh = TextDedup.shingles(train.select(col(idCol), col(textCol)), idCol, textCol, n)
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val evalShingled = TextDedup.shingles(eval.select(col(idCol), col(textCol)), idCol, textCol, n)
+    val evalSh = evalShingled
+      .select(col("doc_id").as("eval_id"), explode(col("shingles")).as("sh"))
+    val evalSizes = evalShingled
+      .select(col("doc_id").as("eval_id"), size(col("shingles")).cast("long").as("n_eval"))
+    trainSh
+      .join(broadcast(evalSh), Seq("sh")) // map-side: corpus never shuffles
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared")) // shingles are distinct per doc
+      .join(broadcast(evalSizes), Seq("eval_id"))
+      .withColumn("containment",
+        round(col("n_shared").cast("double") / col("n_eval").cast("double"), 4))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_id"), col("eval_id"), col("n_shared"), col("containment"))
+  }
+
   /** The train table minus contaminated documents (left_anti on
     * [[overlap]]; the anti-join key is the bounded flagged set, so this
     * composes with the broadcast shape above).

@@ -1174,7 +1174,39 @@ object Pipeline {
         |FROM ngb JOIN lr l ON ngb.b = l.b
         |GROUP BY ngb.doc_id
         |ORDER BY log_w DESC, doc_id
-        |LIMIT 50""".stripMargin)
+        |LIMIT 50""".stripMargin),
+
+    // ---- fuzzy decontamination by per-pair CONTAINMENT ratio (the
+    //      Llama-report-style guard; p21 is the corpus-wide count variant):
+    //      |train ∩ eval| / |eval| over distinct trigram shingles. Both
+    //      eval-side frames broadcast; the corpus scans once, never
+    //      shuffles. Low threshold on the synthetic fixture so the ratio
+    //      path is exercised across hundreds of pairs. ----
+    QuerySpec.sql("p45_decontaminate_fuzzy", (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      graft.operators.dedup.Decontaminate.containment(
+          docs.filter($"doc_id" % 20 =!= 0), docs.filter($"doc_id" % 20 === 0),
+          "doc_id", "text", n = 3, threshold = 0.02)
+        .orderBy($"doc_id", $"eval_id")
+    },
+      """WITH sh AS (
+        | SELECT doc_id, LIST_DISTINCT(ngrams) AS shingles FROM (
+        |  SELECT doc_id,
+        |   [ARRAY_TO_STRING(w[i:i+2], ' ') FOR i IN RANGE(1, LEN(w) - 1)] AS ngrams
+        |  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents)
+        |  WHERE LEN(w) >= 3) t),
+        |ev AS (SELECT doc_id AS eval_id, UNNEST(shingles) AS s FROM sh WHERE doc_id % 20 = 0),
+        |evn AS (SELECT doc_id AS eval_id, CAST(LEN(shingles) AS BIGINT) AS n_eval
+        |        FROM sh WHERE doc_id % 20 = 0),
+        |tr AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh WHERE doc_id % 20 != 0),
+        |p AS (SELECT tr.doc_id, ev.eval_id, COUNT(*) AS n_shared
+        |      FROM tr JOIN ev USING (s) GROUP BY tr.doc_id, ev.eval_id)
+        |SELECT p.doc_id, p.eval_id, p.n_shared,
+        | ROUND(CAST(p.n_shared AS DOUBLE) / CAST(n_eval AS DOUBLE), 4) AS containment
+        |FROM p JOIN evn USING (eval_id)
+        |WHERE ROUND(CAST(p.n_shared AS DOUBLE) / CAST(n_eval AS DOUBLE), 4) >= 0.02
+        |ORDER BY doc_id, eval_id""".stripMargin)
   )
 
   /** Fixed 4-doc corpus for the BPE entries' pinned oracles (expected

@@ -32,6 +32,25 @@ class CleanOpsSpec extends AnyFunSuite {
     assert(flagged(1L) == 1L) // exactly one shared distinct 4-gram
   }
 
+  test("containment scores each (train, eval) pair by |∩|/|eval|") {
+    // eval doc 10 has 3 distinct 4-grams: "q1 q2 q3 q4", "q2 q3 q4 q5",
+    // "q3 q4 q5 q6". Train doc 1 embeds the full question (3/3); doc 2
+    // only its first 4-gram (1/3); doc 3 shares nothing.
+    val train = docs(
+      1L -> "intro words q1 q2 q3 q4 q5 q6 outro",
+      2L -> "only q1 q2 q3 q4 here but nothing else",
+      3L -> "completely unrelated text with other words")
+    val eval = docs(10L -> "q1 q2 q3 q4 q5 q6")
+    val pairs = Decontaminate.containment(train, eval, "doc_id", "text",
+        n = 4, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(pairs.toSet == Set((1L, 10L, 3L, 1.0), (2L, 10L, 1L, 0.3333)))
+    // threshold above 1/3 drops the partial pair
+    val strict = Decontaminate.containment(train, eval, "doc_id", "text",
+        n = 4, threshold = 0.5).collect().map(_.getLong(0)).toSet
+    assert(strict == Set(1L))
+  }
+
   test("decontaminate clean drops flagged docs and keeps the rest intact") {
     val train = docs(1L -> "a b c d e f", 2L -> "g h i j k l")
     val eval = docs(10L -> "x a b c d y")
