@@ -18,7 +18,8 @@ object PipelineETs {
     DecontaminateET, RepetitionInPlaceET, PiiScrubInPlaceET, CorpusMixET, CorpusSplitET,
     ParagraphDedupInPlaceET, UnigramLmET, BigramLmET, BpeTrainET, SequencePackET,
     IncrementalDedupET, DocChunkET, GroupCapET, CorpusShuffleET, ResampleET,
-    CorpusStatsET, TokenBudgetET, SubstringDedupInPlaceET, ImportanceSelectET)
+    CorpusStatsET, TokenBudgetET, SubstringDedupInPlaceET, ImportanceSelectET,
+    ClusterSampleET)
 }
 
 /** `run docs as SubstringDedupInPlace.`` [where idCol="doc_id" and
@@ -506,6 +507,39 @@ object ImportanceSelectET extends NoPathET {
         ImportanceSelect.fitLogRatios(target, df, textCol, buckets, alpha), buckets)
       case other => throw new IllegalArgumentException(
         s"ImportanceSelect mode must be select|score|sample, got '$other'")
+    }
+  }
+}
+
+/** `run embs as ClusterSample.`` where centroidsTable="cents" and m="100"
+  * [and mode="central|spread|assign" and idCol="vec_id" and
+  * vecCol="embedding" and cidCol="cid" and cvecCol="cv"]` —
+  * cluster-balanced diversity sampling (see
+  * [[graft.operators.sampling.ClusterSample]]): zero-shuffle
+  * nearest-centroid assignment + skew-proof per-cluster quota.
+  * `mode="assign"` returns every row with its (cluster, sim) instead of
+  * sampling.
+  */
+object ClusterSampleET extends NoPathET {
+  override def name = "ClusterSample"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    val cents = ctx.spark.table(params.getOrElse("centroidsTable",
+      throw new IllegalArgumentException("ClusterSample requires centroidsTable")))
+    val idCol = params.getOrElse("idCol", "vec_id")
+    val vecCol = params.getOrElse("vecCol", "embedding")
+    val cidCol = params.getOrElse("cidCol", "cid")
+    val cvecCol = params.getOrElse("cvecCol", "cv")
+    def m = params.getOrElse("m",
+      throw new IllegalArgumentException("ClusterSample central/spread requires m")).toInt
+    import graft.operators.sampling.ClusterSample
+    params.getOrElse("mode", "central") match {
+      case "central" => ClusterSample.balanced(df, idCol, vecCol, cents, cidCol, cvecCol, m)
+      case "spread"  => ClusterSample.balanced(df, idCol, vecCol, cents, cidCol, cvecCol, m,
+        central = false)
+      case "assign"  => ClusterSample.assign(df, idCol, vecCol, cents, cidCol, cvecCol)
+      case other => throw new IllegalArgumentException(
+        s"ClusterSample mode must be central|spread|assign, got '$other'")
     }
   }
 }

@@ -1206,7 +1206,39 @@ object Pipeline {
         | ROUND(CAST(p.n_shared AS DOUBLE) / CAST(n_eval AS DOUBLE), 4) AS containment
         |FROM p JOIN evn USING (eval_id)
         |WHERE ROUND(CAST(p.n_shared AS DOUBLE) / CAST(n_eval AS DOUBLE), 4) >= 0.02
-        |ORDER BY doc_id, eval_id""".stripMargin)
+        |ORDER BY doc_id, eval_id""".stripMargin),
+
+    // ---- cluster-balanced diversity sampling (DataComp-style "cluster
+    //      then quota"): nearest-centroid assignment is a zero-shuffle map
+    //      pass (centroid set = ONE array Literal, argmax over rounded
+    //      codegen'd cosines), quota = two-phase skew-proof top-k. The
+    //      centroid set here is a deterministic slice standing in for
+    //      persisted IVF centroids. ----
+    QuerySpec.sql("p46_cluster_balanced", (s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+      val cents = e.filter($"vec_id" % 25 === 0)
+        .select($"vec_id".as("cid"), $"embedding".as("cv"))
+      graft.operators.sampling.ClusterSample.balanced(
+          e, "vec_id", "embedding", cents, "cid", "cv", m = 10)
+        .select($"vec_id", $"cluster", $"sim")
+        .orderBy($"cluster", $"sim".desc, $"vec_id")
+    },
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0),
+        |a AS (SELECT e.vec_id, c.cid,
+        |  ROUND(LIST_INNER_PRODUCT(e.v, c.cv) /
+        |    (SQRT(LIST_INNER_PRODUCT(e.v, e.v)) * SQRT(LIST_INNER_PRODUCT(c.cv, c.cv))), 6) AS s,
+        |  ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |    ORDER BY ROUND(LIST_INNER_PRODUCT(e.v, c.cv) /
+        |      (SQRT(LIST_INNER_PRODUCT(e.v, e.v)) * SQRT(LIST_INNER_PRODUCT(c.cv, c.cv))), 6) DESC,
+        |      c.cid) AS rn
+        | FROM e CROSS JOIN c),
+        |asg AS (SELECT vec_id, CAST(cid AS INTEGER) AS cluster, s AS sim FROM a WHERE rn = 1),
+        |top AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster
+        |          ORDER BY sim DESC, vec_id) AS rn2 FROM asg)
+        |SELECT vec_id, cluster, sim FROM top WHERE rn2 <= 10
+        |ORDER BY cluster, sim DESC, vec_id""".stripMargin)
   )
 
   /** Fixed 4-doc corpus for the BPE entries' pinned oracles (expected
