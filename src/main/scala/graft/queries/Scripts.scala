@@ -536,6 +536,31 @@ object Scripts {
         |FROM base b
         |LEFT JOIN cnts c USING (doc_id)
         |LEFT JOIN keptCnt k USING (doc_id)
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin),
+
+    // ---- cluster-balanced sampling spine through the DSL: ClusterSample
+    //      assign mode → per-cluster histogram (the ET + script-runner
+    //      path over the same zero-shuffle assignment p46 oracles). ----
+    QuerySpec.sql("s25_script_cluster_assign", (s, dir) => script(s,
+      s"""load parquet.`$dir/embeddings.parquet` as s25_embs;
+         |select vec_id as cid, embedding as cv from s25_embs
+         |  where vec_id % 25 = 0 as s25_cents;
+         |run s25_embs as ClusterSample.`` where centroidsTable="s25_cents"
+         |  and mode="assign" as s25_asg;
+         |select cluster, count(*) as n, round(avg(sim), 4) as avg_sim
+         |from s25_asg group by cluster order by cluster as s25_out;""".stripMargin),
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0),
+        |a AS (SELECT e.vec_id, c.cid,
+        |  ROUND(LIST_INNER_PRODUCT(e.v, c.cv) /
+        |    (SQRT(LIST_INNER_PRODUCT(e.v, e.v)) * SQRT(LIST_INNER_PRODUCT(c.cv, c.cv))), 6) AS s,
+        |  ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |    ORDER BY ROUND(LIST_INNER_PRODUCT(e.v, c.cv) /
+        |      (SQRT(LIST_INNER_PRODUCT(e.v, e.v)) * SQRT(LIST_INNER_PRODUCT(c.cv, c.cv))), 6) DESC,
+        |      c.cid) AS rn
+        | FROM e CROSS JOIN c)
+        |SELECT CAST(cid AS INTEGER) AS cluster, COUNT(*) AS n,
+        | ROUND(AVG(s), 4) AS avg_sim
+        |FROM a WHERE rn = 1 GROUP BY cid ORDER BY cluster""".stripMargin)
   )
 }
