@@ -195,6 +195,28 @@ class BenchSpec extends AnyFunSuite {
     assert(!p.contains("SinglePartition"), p)
   }
 
+  test("p44 DSIR scoring and p46 cluster assignment are zero-shuffle map passes") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // score with a prebuilt ratio vector: the corpus pass must not shuffle,
+    // and the 8192-entry model must ride in as ONE literal (no CaseWhen /
+    // CreateArray blowup — the GroupCap/BPE failure class)
+    val lr = new Array[Double](8192)
+    val scored = graft.operators.sampling.ImportanceSelect
+      .score(docs, "doc_id", "text", lr)
+    val psc = scored.queryExecution.executedPlan.toString
+    assert(!psc.contains("Exchange"), psc)
+    assert(!psc.contains("CaseWhen"), psc)
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = embs.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val assigned = graft.operators.sampling.ClusterSample
+      .assign(embs, "vec_id", "embedding", cents, "cid", "cv")
+    val pa = assigned.queryExecution.executedPlan.toString
+    assert(!pa.contains("Exchange"), pa)
+    assert(!pa.contains("Join"), pa)
+  }
+
   test("q43 resample gap-fill joins the axis on equi-keys, no nested loops") {
     val p = plan("q43_resample_gapfill")
     assert(!p.contains("CartesianProduct"), p)
