@@ -136,6 +136,31 @@ class ScaleSpec extends AnyFunSuite {
       .agg(max(col("n"))).head().getLong(0) == 2L)
   }
 
+  test("ImportanceSelect scores 100k rows against a 65536-bucket model; " +
+       "ClusterSample assigns against 500 centroids — no analyzer/codegen blowup") {
+    import org.apache.spark.sql.functions.col
+    // model-sized literals must stay single objects: a 64k-double array
+    // and a 500×16-double centroid set are the contract's upper range
+    val lr = Array.tabulate(65536)(i => (i % 7 - 3) * 0.01)
+    val docs = spark.range(100000).select(col("id").as("doc_id"),
+      org.apache.spark.sql.functions.concat_ws(" ",
+        (col("id") % 997).cast("string"), (col("id") % 89).cast("string"),
+        (col("id") % 11).cast("string")).as("text"))
+    val scored = graft.operators.sampling.ImportanceSelect
+      .score(docs, "doc_id", "text", lr, buckets = 65536)
+    assert(scored.count() == 100000L)
+    import spark.implicits._
+    val vecs = spark.range(20000).map { i =>
+      (i, Array.tabulate(16)(d => math.sin(i * 31 + d).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val cents = vecs.filter(col("vec_id") % 40 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val assigned = graft.operators.sampling.ClusterSample
+      .assign(vecs, "vec_id", "embedding", cents, "cid", "cv")
+    assert(assigned.count() == 20000L)
+    assert(assigned.select("cluster").distinct().count() > 100L)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     Seq("b_orders", "b_customer").foreach { t =>
       spark.sql(s"drop table if exists $t")
