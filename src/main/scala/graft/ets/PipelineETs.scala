@@ -479,7 +479,8 @@ object DecontaminateET extends NoPathET {
 /** `run raw as ImportanceSelect.`` where targetTable="reference_docs" [and
   * mode="select|score|sample" and k="1000" and idCol="doc_id" and
   * textCol="text" and buckets="8192" and alpha="1.0" and seed="42" and
-  * temperature="1.0"]` — DSIR importance-weighted data selection (see
+  * temperature="1.0" and hash="fast|portable"]` — DSIR importance-weighted
+  * data selection (see
   * [[graft.operators.sampling.ImportanceSelect]]): score raw docs by
   * hashed-n-gram log importance weight against the target table; `select`
   * keeps the top-k, `sample` Gumbel-resamples k ∝ weight, `score` returns
@@ -495,16 +496,23 @@ object ImportanceSelectET extends NoPathET {
     val textCol = params.getOrElse("textCol", "text")
     val buckets = params.getOrElse("buckets", "8192").toInt
     val alpha = params.getOrElse("alpha", "1.0").toDouble
+    val portable = params.getOrElse("hash", "fast") match {
+      case "fast" => false
+      case "portable" => true
+      case other => throw new IllegalArgumentException(
+        s"ImportanceSelect hash must be fast|portable, got '$other'")
+    }
     def k = params.getOrElse("k",
       throw new IllegalArgumentException("ImportanceSelect select/sample requires k")).toInt
     import graft.operators.sampling.ImportanceSelect
     params.getOrElse("mode", "select") match {
-      case "select" => ImportanceSelect.select(df, target, idCol, textCol, k, buckets, alpha)
+      case "select" => ImportanceSelect.select(df, target, idCol, textCol, k, buckets, alpha, portable)
       case "sample" => ImportanceSelect.gumbelSelect(df, target, idCol, textCol, k,
         params.getOrElse("seed", "42").toLong,
-        params.getOrElse("temperature", "1.0").toDouble, buckets, alpha)
+        params.getOrElse("temperature", "1.0").toDouble, buckets, alpha, portable)
       case "score" => ImportanceSelect.score(df, idCol, textCol,
-        ImportanceSelect.fitLogRatios(target, df, textCol, buckets, alpha), buckets)
+        ImportanceSelect.fitLogRatios(target, df, textCol, buckets, alpha, portable),
+        buckets, portable)
       case other => throw new IllegalArgumentException(
         s"ImportanceSelect mode must be select|score|sample, got '$other'")
     }

@@ -30,10 +30,11 @@ import org.apache.spark.sql.functions._
   *   - `select` adds one global top-k (`orderBy.limit` = partial top-k per
   *     partition + driver merge of k rows, never a full sort at scale).
   *
-  * The bucket hash must be reproducible in the DuckDB oracle, so it is a
-  * base-131 polynomial over the ASCII codes of the first six hex chars of
-  * `md5(ngram)` — every piece (`md5`, `substring`, `ascii`) evaluates
-  * identically in both engines, and the polynomial stays well inside Long.
+  * The default bucket hash is one codegen'd `xxhash64` per n-gram — the
+  * corpus pays the hash three times (two fit scans + scoring), so at scale
+  * it must be cheap. `portable = true` swaps in an MD5-derived polynomial
+  * that evaluates bit-identically in DuckDB so the p44 oracle can replay
+  * the pipeline cross-engine (see [[bucketExpr]]).
   *
   * No reference counterpart (the reference has no data-selection
   * operator); beyond-reference LLM-pipeline surface per the builder
@@ -59,24 +60,33 @@ object ImportanceSelect {
        |               size(filter(split($textCol, ' '), x -> x <> '')) - 1),
        |         (a, b) -> concat(a, ' ', b)) END)""".stripMargin)
 
-  /** Oracle-reproducible bucket of one n-gram string: base-131 polynomial
-    * over ascii(md5 hex[1..6]), mod `buckets`.
+  /** Bucket of one n-gram string. The default (`portable = false`) is one
+    * codegen'd `xxhash64` — the right hash at 100 TB, where the corpus pays
+    * it three times (two fit scans + scoring). `portable = true` swaps in a
+    * base-131 polynomial over ascii(md5 hex[1..6]) that evaluates
+    * bit-identically in DuckDB, so the p44 oracle can replay the pipeline;
+    * it costs a full MD5 per n-gram and exists for cross-engine checking,
+    * not production.
     */
-  def bucketExpr(ng: Column, buckets: Int = DefaultBuckets): Column = {
-    val h = md5(ng)
-    PolyMultipliers.zipWithIndex
-      .map { case (m, i) => ascii(substring(h, i + 1, 1)).cast("long") * lit(m) }
-      .reduce(_ + _)
-      .%(lit(buckets.toLong)).cast("int")
-  }
+  def bucketExpr(ng: Column, buckets: Int = DefaultBuckets,
+                 portable: Boolean = false): Column =
+    if (!portable) pmod(xxhash64(ng), lit(buckets.toLong)).cast("int")
+    else {
+      val h = md5(ng)
+      PolyMultipliers.zipWithIndex
+        .map { case (m, i) => ascii(substring(h, i + 1, 1)).cast("long") * lit(m) }
+        .reduce(_ + _)
+        .%(lit(buckets.toLong)).cast("int")
+    }
 
   /** (bucket, cnt) hashed-n-gram occurrence counts for a corpus — one
     * map-side-combined shuffle of ≤`buckets` distinct keys.
     */
   def bucketCounts(df: DataFrame, textCol: String,
-                   buckets: Int = DefaultBuckets): DataFrame =
+                   buckets: Int = DefaultBuckets,
+                   portable: Boolean = false): DataFrame =
     df.select(explode(ngramsExpr(textCol)).as("__ng__"))
-      .select(bucketExpr(col("__ng__"), buckets).as("bucket"))
+      .select(bucketExpr(col("__ng__"), buckets, portable).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
 
   /** Smoothed per-bucket log importance ratios
@@ -85,10 +95,11 @@ object ImportanceSelect {
     */
   def fitLogRatios(target: DataFrame, raw: DataFrame, textCol: String,
                    buckets: Int = DefaultBuckets,
-                   alpha: Double = 1.0): Array[Double] = {
+                   alpha: Double = 1.0,
+                   portable: Boolean = false): Array[Double] = {
     def counts(df: DataFrame): Array[Long] = {
       val arr = new Array[Long](buckets)
-      bucketCounts(df, textCol, buckets).collect()
+      bucketCounts(df, textCol, buckets, portable).collect()
         .foreach(r => arr(r.getInt(0)) = r.getLong(1))
       arr
     }
@@ -108,7 +119,8 @@ object ImportanceSelect {
     */
   def score(raw: DataFrame, idCol: String, textCol: String,
             logRatios: Array[Double],
-            buckets: Int = DefaultBuckets): DataFrame = {
+            buckets: Int = DefaultBuckets,
+            portable: Boolean = false): DataFrame = {
     require(logRatios.length == buckets,
       s"logRatios has ${logRatios.length} entries, expected $buckets")
     val lr = typedlit(logRatios) // ONE ArrayType Literal — codegen-safe
@@ -119,7 +131,7 @@ object ImportanceSelect {
         size(col("__ngs__")).cast("long").as("n_grams"),
         F.round(
           aggregate(
-            transform(col("__ngs__"), ng => bucketExpr(ng, buckets)),
+            transform(col("__ngs__"), ng => bucketExpr(ng, buckets, portable)),
             lit(0.0),
             (acc, b) => acc + element_at(lr, b + lit(1))),
           4).as("log_w"))
@@ -131,8 +143,10 @@ object ImportanceSelect {
     */
   def select(raw: DataFrame, target: DataFrame, idCol: String, textCol: String,
              k: Int, buckets: Int = DefaultBuckets,
-             alpha: Double = 1.0): DataFrame =
-    score(raw, idCol, textCol, fitLogRatios(target, raw, textCol, buckets, alpha), buckets)
+             alpha: Double = 1.0, portable: Boolean = false): DataFrame =
+    score(raw, idCol, textCol,
+        fitLogRatios(target, raw, textCol, buckets, alpha, portable),
+        buckets, portable)
       .orderBy(col("log_w").desc, col(idCol))
       .limit(k)
 
@@ -146,9 +160,11 @@ object ImportanceSelect {
                    textCol: String, k: Int, seed: Long,
                    temperature: Double = 1.0,
                    buckets: Int = DefaultBuckets,
-                   alpha: Double = 1.0): DataFrame = {
+                   alpha: Double = 1.0,
+                   portable: Boolean = false): DataFrame = {
     val scored = score(raw, idCol, textCol,
-      fitLogRatios(target, raw, textCol, buckets, alpha), buckets)
+      fitLogRatios(target, raw, textCol, buckets, alpha, portable),
+      buckets, portable)
     // uniform(0,1) from a seeded per-row hash; +0.5 keeps u strictly inside
     // (0,1) so both logs are finite
     val u = (pmod(xxhash64(col(idCol), lit(seed)), lit(1000000000L)).cast("double") + lit(0.5)) /

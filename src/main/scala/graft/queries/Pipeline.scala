@@ -1143,7 +1143,8 @@ object Pipeline {
       import s.implicits._
       val docs = t(s, dir, "documents")
       graft.operators.sampling.ImportanceSelect.select(
-        docs, docs.filter($"lang" === "en"), "doc_id", "text", k = 50)
+        docs, docs.filter($"lang" === "en"), "doc_id", "text", k = 50,
+        portable = true) // oracle-replayable MD5 bucket hash (prod default: xxhash64)
     },
       """WITH tk AS (SELECT doc_id, lang,
         |  LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS tk FROM documents),

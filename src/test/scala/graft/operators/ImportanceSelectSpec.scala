@@ -17,15 +17,19 @@ class ImportanceSelectSpec extends AnyFunSuite {
     rows.toDF("doc_id", "text")
   }
 
-  test("bucketExpr is deterministic and lands in [0, buckets)") {
+  test("bucketExpr is deterministic and lands in [0, buckets) in both hash modes") {
     import spark.implicits._
     val words = Seq("alpha", "beta beta", "语言", "", "x").toDF("w")
-    val b = words.select(ImportanceSelect.bucketExpr(col("w"), 128).as("b"))
-      .collect().map(_.getInt(0))
-    assert(b.forall(x => x >= 0 && x < 128))
-    val again = words.select(ImportanceSelect.bucketExpr(col("w"), 128).as("b"))
-      .collect().map(_.getInt(0))
-    assert(b.sameElements(again))
+    for (portable <- Seq(false, true)) {
+      val b = words.select(
+        ImportanceSelect.bucketExpr(col("w"), 128, portable).as("b"))
+        .collect().map(_.getInt(0))
+      assert(b.forall(x => x >= 0 && x < 128))
+      val again = words.select(
+        ImportanceSelect.bucketExpr(col("w"), 128, portable).as("b"))
+        .collect().map(_.getInt(0))
+      assert(b.sameElements(again))
+    }
   }
 
   test("ngrams = unigrams + bigrams; short and empty docs are safe") {
