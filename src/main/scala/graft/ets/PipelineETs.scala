@@ -19,7 +19,34 @@ object PipelineETs {
     ParagraphDedupInPlaceET, UnigramLmET, BigramLmET, BpeTrainET, SequencePackET,
     IncrementalDedupET, DocChunkET, GroupCapET, CorpusShuffleET, ResampleET,
     CorpusStatsET, TokenBudgetET, SubstringDedupInPlaceET, ImportanceSelectET,
-    ClusterSampleET)
+    ClusterSampleET, ShardExportET)
+}
+
+/** `run docs as ShardExport.`/path/out` where rowsPerShard="100000" [and
+  * idCol="doc_id" and seed="42" and mode="write|assign"]` — deterministic
+  * sharded export (see [[graft.operators.sampling.ShardExport]]): global
+  * shuffle-order ranks via a two-phase prefix count, one parquet file per
+  * `shard=N/` directory, `_manifest/` table returned. `mode="assign"`
+  * skips the write and returns rows with (rank, shard).
+  */
+object ShardExportET extends ET {
+  override def name = "ShardExport"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    val rows = params.getOrElse("rowsPerShard",
+      throw new IllegalArgumentException("ShardExport requires rowsPerShard")).toInt
+    val idCol = params.getOrElse("idCol", "doc_id")
+    val seed = params.getOrElse("seed", "42").toLong
+    params.getOrElse("mode", "write") match {
+      case "write" =>
+        require(path.nonEmpty, "ShardExport write mode requires a path")
+        graft.operators.sampling.ShardExport.write(df, path, idCol, rows, seed)
+      case "assign" =>
+        graft.operators.sampling.ShardExport.assignShards(df, idCol, rows, seed)
+      case other => throw new IllegalArgumentException(
+        s"ShardExport mode must be write|assign, got '$other'")
+    }
+  }
 }
 
 /** `run docs as SubstringDedupInPlace.`` [where idCol="doc_id" and

@@ -26,8 +26,9 @@ import org.apache.spark.sql.functions._
   */
 object CorpusShuffle {
 
-  /** uniform draw, identical construction to [[CorpusMix.mix]]. */
-  private def draw(idCol: String, seed: Long): Column =
+  /** uniform draw, identical construction to [[CorpusMix.mix]] (shared
+    * with [[ShardExport]]). */
+  private[sampling] def draw(idCol: String, seed: Long): Column =
     conv(substring(md5(concat_ws(":",
         col(idCol).cast("string"), lit(seed.toString))), 1, 8), 16, 10)
       .cast("long").cast("double") / lit(4294967296.0)

@@ -1239,7 +1239,32 @@ object Pipeline {
         |top AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster
         |          ORDER BY sim DESC, vec_id) AS rn2 FROM asg)
         |SELECT vec_id, cluster, sim FROM top WHERE rn2 <= 10
-        |ORDER BY cluster, sim DESC, vec_id""".stripMargin)
+        |ORDER BY cluster, sim DESC, vec_id""".stripMargin),
+
+    // ---- sharded export layout: global rank in the seeded shuffle order
+    //      via the two-phase prefix-count (never a single-partition
+    //      row_number), shard = rank / rowsPerShard. The oracle replays
+    //      the identical md5 draw + a window rank in DuckDB and checks
+    //      the per-shard manifest histogram. ----
+    QuerySpec.sql("p47_shard_export", (s, dir) => {
+      import s.implicits._
+      graft.operators.sampling.ShardExport
+        .assignShards(t(s, dir, "documents"), "doc_id", rowsPerShard = 40, seed = 7L)
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"),
+          min($"rank").as("first_rank"), max($"rank").as("last_rank"))
+        .orderBy($"shard")
+    },
+      """WITH r AS (SELECT doc_id, n_chars,
+        |  ROW_NUMBER() OVER (ORDER BY
+        |    CAST(CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(CAST(doc_id AS VARCHAR), ':', '7')), 1, 8))
+        |      AS UBIGINT) AS DOUBLE) / 4294967296.0,
+        |    doc_id) - 1 AS rnk
+        | FROM documents)
+        |SELECT rnk // 40 AS shard, COUNT(*) AS n_docs,
+        | CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        | MIN(rnk) AS first_rank, MAX(rnk) AS last_rank
+        |FROM r GROUP BY 1 ORDER BY shard""".stripMargin)
   )
 
   /** Fixed 4-doc corpus for the BPE entries' pinned oracles (expected

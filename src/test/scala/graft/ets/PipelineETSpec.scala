@@ -871,6 +871,18 @@ class PipelineETSpec extends AnyFunSuite {
     assert(viaDsl.length == 10)
   }
 
+  test("ShardExport DSL surface writes one file per shard and returns the manifest") {
+    val out = Files.createTempDirectory("graft_et_shards").toString + "/shards"
+    val df = runDF(
+      s"""load parquet.`$sf/documents.parquet` as se_docs;
+         |run se_docs as ShardExport.`$out` where rowsPerShard="100" as se_manifest;
+         |select shard, n_rows from se_manifest order by shard as out;""".stripMargin)
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty && rows.init.forall(_._2 == 100L))
+    assert(new java.io.File(s"$out/shard=0").listFiles()
+      .count(_.getName.endsWith(".parquet")) == 1)
+  }
+
   test("CorpusMix fractional weight keeps E[copies] near w") {
     import spark.implicits._
     import org.apache.spark.sql.functions.lit
