@@ -561,6 +561,75 @@ object Scripts {
         | FROM e CROSS JOIN c)
         |SELECT CAST(cid AS INTEGER) AS cluster, COUNT(*) AS n,
         | ROUND(AVG(s), 4) AS avg_sim
-        |FROM a WHERE rn = 1 GROUP BY cid ORDER BY cluster""".stripMargin)
+        |FROM a WHERE rn = 1 GROUP BY cid ORDER BY cluster""".stripMargin),
+
+    // ---- round-9 flagship: the full curation spine through the DSL —
+    //      benchmark decontamination → DSIR importance selection (portable
+    //      hash so the oracle can replay it) → deterministic shard
+    //      assignment — with ONE DuckDB oracle replaying every stage. ----
+    QuerySpec.sql("s26_script_curate_select_shard", (s, dir) => script(s,
+      s"""load parquet.`$dir/documents.parquet` as s26_docs;
+         |select * from s26_docs where doc_id % 20 != 0 as s26_train;
+         |select * from s26_docs where doc_id % 20 = 0 as s26_eval;
+         |run s26_train as Decontaminate.`` where evalTable="s26_eval"
+         |  and ngram="8" as s26_clean;
+         |select * from s26_clean where lang = "en" as s26_target;
+         |run s26_clean as ImportanceSelect.`` where targetTable="s26_target"
+         |  and k="100" and hash="portable" as s26_sel;
+         |run s26_sel as ShardExport.`` where rowsPerShard="25"
+         |  and mode="assign" as s26_shards;
+         |select shard, count(*) as n_docs, min(rank) as first_rank,
+         |  max(rank) as last_rank
+         |from s26_shards group by shard order by shard as s26_out;""".stripMargin),
+      """WITH sh8 AS (
+        | SELECT doc_id, LIST_DISTINCT(ngrams) AS shingles FROM (
+        |  SELECT doc_id,
+        |   [ARRAY_TO_STRING(w[i:i+7], ' ') FOR i IN RANGE(1, LEN(w) - 6)] AS ngrams
+        |  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents)
+        |  WHERE LEN(w) >= 8) t),
+        |ev8 AS (SELECT DISTINCT UNNEST(shingles) AS s8 FROM sh8 WHERE doc_id % 20 = 0),
+        |tr8 AS (SELECT doc_id, UNNEST(shingles) AS s8 FROM sh8 WHERE doc_id % 20 != 0),
+        |contaminated AS (SELECT DISTINCT tr8.doc_id FROM tr8 JOIN ev8 USING (s8)),
+        |clean AS (SELECT d.* FROM documents d
+        |          WHERE d.doc_id % 20 != 0
+        |            AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        |tk AS (SELECT doc_id, lang,
+        |  LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS tk FROM clean),
+        |uni AS (SELECT doc_id, lang, UNNEST(tk) AS ng FROM tk),
+        |big AS (SELECT doc_id, lang, z[1] || ' ' || z[2] AS ng
+        |  FROM (SELECT doc_id, lang,
+        |          UNNEST(LIST_ZIP(tk[1:LEN(tk)-1], tk[2:LEN(tk)])) AS z
+        |        FROM tk WHERE LEN(tk) >= 2)),
+        |ng AS (SELECT doc_id, lang, ng FROM uni
+        |       UNION ALL SELECT doc_id, lang, ng FROM big),
+        |ngb AS (SELECT doc_id, lang,
+        |  ( CAST(ascii(substring(md5(ng),1,1)) AS BIGINT)
+        |  + CAST(ascii(substring(md5(ng),2,1)) AS BIGINT)*131
+        |  + CAST(ascii(substring(md5(ng),3,1)) AS BIGINT)*17161
+        |  + CAST(ascii(substring(md5(ng),4,1)) AS BIGINT)*2248091
+        |  + CAST(ascii(substring(md5(ng),5,1)) AS BIGINT)*294499921
+        |  + CAST(ascii(substring(md5(ng),6,1)) AS BIGINT)*38579489651) % 8192 AS b
+        | FROM ng),
+        |ct AS (SELECT b, COUNT(*) AS c FROM ngb WHERE lang = 'en' GROUP BY b),
+        |cr AS (SELECT b, COUNT(*) AS c FROM ngb GROUP BY b),
+        |nt AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM ct),
+        |nr AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM cr),
+        |lr AS (SELECT cr.b,
+        |  LN((COALESCE(ct.c, 0) + 1.0) / (nt.n + 8192.0))
+        |  - LN((cr.c + 1.0) / (nr.n + 8192.0)) AS lr
+        | FROM cr LEFT JOIN ct USING (b) CROSS JOIN nt CROSS JOIN nr),
+        |sel AS (SELECT ngb.doc_id, ROUND(SUM(l.lr), 4) AS log_w
+        |        FROM ngb JOIN lr l ON ngb.b = l.b
+        |        GROUP BY ngb.doc_id
+        |        ORDER BY log_w DESC, doc_id LIMIT 100),
+        |r AS (SELECT doc_id,
+        |  ROW_NUMBER() OVER (ORDER BY
+        |    CAST(CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(CAST(doc_id AS VARCHAR), ':', '42')), 1, 8))
+        |      AS UBIGINT) AS DOUBLE) / 4294967296.0,
+        |    doc_id) - 1 AS rnk
+        | FROM sel)
+        |SELECT rnk // 25 AS shard, COUNT(*) AS n_docs,
+        | MIN(rnk) AS first_rank, MAX(rnk) AS last_rank
+        |FROM r GROUP BY 1 ORDER BY shard""".stripMargin)
   )
 }
