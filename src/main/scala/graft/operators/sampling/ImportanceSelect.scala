@@ -32,9 +32,9 @@ import org.apache.spark.sql.functions._
   *
   * The default bucket hash is one codegen'd `xxhash64` per n-gram — the
   * corpus pays the hash three times (two fit scans + scoring), so at scale
-  * it must be cheap. `portable = true` swaps in an MD5-derived polynomial
-  * that evaluates bit-identically in DuckDB so the p44 oracle can replay
-  * the pipeline cross-engine (see [[bucketExpr]]).
+  * it must be cheap. `portable = true` swaps in a single-MD5 hex-prefix
+  * bucket that evaluates bit-identically in DuckDB so the p44/s26 oracles
+  * can replay the pipeline cross-engine (see [[bucketExpr]]).
   *
   * No reference counterpart (the reference has no data-selection
   * operator); beyond-reference LLM-pipeline surface per the builder
@@ -43,7 +43,6 @@ import org.apache.spark.sql.functions._
 object ImportanceSelect {
 
   val DefaultBuckets = 8192
-  private val PolyMultipliers = Seq(1L, 131L, 17161L, 2248091L, 294499921L, 38579489651L)
 
   /** Word unigram+bigram array for one text column — per-row, codegen'd,
     * no shuffle. Empty-safe: <2 tokens contributes no bigrams.
@@ -62,22 +61,19 @@ object ImportanceSelect {
 
   /** Bucket of one n-gram string. The default (`portable = false`) is one
     * codegen'd `xxhash64` — the right hash at 100 TB, where the corpus pays
-    * it three times (two fit scans + scoring). `portable = true` swaps in a
-    * base-131 polynomial over ascii(md5 hex[1..6]) that evaluates
-    * bit-identically in DuckDB, so the p44 oracle can replay the pipeline;
-    * it costs a full MD5 per n-gram and exists for cross-engine checking,
-    * not production.
+    * it three times (two fit scans + scoring). `portable = true` swaps in
+    * `conv(md5 hex[1..6], 16, 10) % buckets`, which DuckDB replays
+    * bit-identically (`CAST('0x' || SUBSTR(MD5(..),1,6) AS UBIGINT)`), so
+    * the p44/s26 oracles can re-run the pipeline. ONE md5 per n-gram —
+    * expressions inside HOF lambdas get no common-subexpression
+    * elimination, so a multi-term hash would evaluate one md5 PER TERM.
+    * 24 hash bits mod a power-of-two bucket count stays exactly uniform.
     */
   def bucketExpr(ng: Column, buckets: Int = DefaultBuckets,
                  portable: Boolean = false): Column =
     if (!portable) pmod(xxhash64(ng), lit(buckets.toLong)).cast("int")
-    else {
-      val h = md5(ng)
-      PolyMultipliers.zipWithIndex
-        .map { case (m, i) => ascii(substring(h, i + 1, 1)).cast("long") * lit(m) }
-        .reduce(_ + _)
-        .%(lit(buckets.toLong)).cast("int")
-    }
+    else (conv(substring(md5(ng), 1, 6), 16, 10).cast("long") % lit(buckets.toLong))
+      .cast("int")
 
   /** (bucket, cnt) hashed-n-gram occurrence counts for a corpus — one
     * map-side-combined shuffle of ≤`buckets` distinct keys.

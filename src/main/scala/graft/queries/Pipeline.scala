@@ -1156,12 +1156,7 @@ object Pipeline {
         |ng AS (SELECT doc_id, lang, ng FROM uni
         |       UNION ALL SELECT doc_id, lang, ng FROM big),
         |ngb AS (SELECT doc_id, lang,
-        |  ( CAST(ascii(substring(md5(ng),1,1)) AS BIGINT)
-        |  + CAST(ascii(substring(md5(ng),2,1)) AS BIGINT)*131
-        |  + CAST(ascii(substring(md5(ng),3,1)) AS BIGINT)*17161
-        |  + CAST(ascii(substring(md5(ng),4,1)) AS BIGINT)*2248091
-        |  + CAST(ascii(substring(md5(ng),5,1)) AS BIGINT)*294499921
-        |  + CAST(ascii(substring(md5(ng),6,1)) AS BIGINT)*38579489651) % 8192 AS b
+        |  CAST(CAST(CONCAT('0x', SUBSTR(MD5(ng), 1, 6)) AS UBIGINT) % 8192 AS BIGINT) AS b
         | FROM ng),
         |ct AS (SELECT b, COUNT(*) AS c FROM ngb WHERE lang = 'en' GROUP BY b),
         |cr AS (SELECT b, COUNT(*) AS c FROM ngb GROUP BY b),

@@ -572,7 +572,9 @@ object Scripts {
          |select * from s26_docs where doc_id % 20 != 0 as s26_train;
          |select * from s26_docs where doc_id % 20 = 0 as s26_eval;
          |run s26_train as Decontaminate.`` where evalTable="s26_eval"
-         |  and ngram="8" as s26_clean;
+         |  and ngram="8" as s26_clean0;
+         |run s26_clean0 as CacheExt.`` where execute="cache"
+         |  and isEager="true" as s26_clean;
          |select * from s26_clean where lang = "en" as s26_target;
          |run s26_clean as ImportanceSelect.`` where targetTable="s26_target"
          |  and k="100" and hash="portable" as s26_sel;
@@ -603,12 +605,7 @@ object Scripts {
         |ng AS (SELECT doc_id, lang, ng FROM uni
         |       UNION ALL SELECT doc_id, lang, ng FROM big),
         |ngb AS (SELECT doc_id, lang,
-        |  ( CAST(ascii(substring(md5(ng),1,1)) AS BIGINT)
-        |  + CAST(ascii(substring(md5(ng),2,1)) AS BIGINT)*131
-        |  + CAST(ascii(substring(md5(ng),3,1)) AS BIGINT)*17161
-        |  + CAST(ascii(substring(md5(ng),4,1)) AS BIGINT)*2248091
-        |  + CAST(ascii(substring(md5(ng),5,1)) AS BIGINT)*294499921
-        |  + CAST(ascii(substring(md5(ng),6,1)) AS BIGINT)*38579489651) % 8192 AS b
+        |  CAST(CAST(CONCAT('0x', SUBSTR(MD5(ng), 1, 6)) AS UBIGINT) % 8192 AS BIGINT) AS b
         | FROM ng),
         |ct AS (SELECT b, COUNT(*) AS c FROM ngb WHERE lang = 'en' GROUP BY b),
         |cr AS (SELECT b, COUNT(*) AS c FROM ngb GROUP BY b),
