@@ -217,6 +217,14 @@ class BenchSpec extends AnyFunSuite {
     assert(!pa.contains("Join"), pa)
   }
 
+  test("p47 shard assignment never plans a single-partition global window") {
+    val df = graft.operators.sampling.ShardExport.assignShards(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", rowsPerShard = 40)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("hashpartitioning(__pid__"), p)
+  }
+
   test("q43 resample gap-fill joins the axis on equi-keys, no nested loops") {
     val p = plan("q43_resample_gapfill")
     assert(!p.contains("CartesianProduct"), p)
