@@ -19,7 +19,36 @@ object PipelineETs {
     ParagraphDedupInPlaceET, UnigramLmET, BigramLmET, BpeTrainET, SequencePackET,
     IncrementalDedupET, DocChunkET, GroupCapET, CorpusShuffleET, ResampleET,
     CorpusStatsET, TokenBudgetET, SubstringDedupInPlaceET, ImportanceSelectET,
-    ClusterSampleET, ShardExportET)
+    ClusterSampleET, ShardExportET, GopherRulesET)
+}
+
+/** `run docs as GopherRules.`` [where textCol="text" and mode="annotate|filter"
+  * and minWords="50" and maxWords="100000" and minMeanLen="3.0" and
+  * maxMeanLen="10.0" and maxSymbolRatio="0.1" and maxDigitRatio="0.2" and
+  * minStopHits="2"]` — the Gopher heuristic quality battery (see
+  * [[graft.operators.text.QualityRules]]); `annotate` appends the rule
+  * columns + `gopher_pass`, `filter` keeps only survivors.
+  */
+object GopherRulesET extends NoPathET {
+  override def name = "GopherRules"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    val textCol = params.getOrElse("textCol", "text")
+    def i(k: String, d: Int) = params.getOrElse(k, d.toString).toInt
+    def d(k: String, v: Double) = params.getOrElse(k, v.toString).toDouble
+    val args = (i("minWords", 50), i("maxWords", 100000), d("minMeanLen", 3.0),
+      d("maxMeanLen", 10.0), d("maxSymbolRatio", 0.1), d("maxDigitRatio", 0.2),
+      i("minStopHits", 2))
+    import graft.operators.text.QualityRules
+    params.getOrElse("mode", "annotate") match {
+      case "annotate" => QualityRules.gopher(df, textCol, args._1, args._2,
+        args._3, args._4, args._5, args._6, args._7)
+      case "filter" => QualityRules.gopherFilter(df, textCol, args._1, args._2,
+        args._3, args._4, args._5, args._6, args._7)
+      case other => throw new IllegalArgumentException(
+        s"GopherRules mode must be annotate|filter, got '$other'")
+    }
+  }
 }
 
 /** `run docs as ShardExport.`/path/out` where rowsPerShard="100000" [and

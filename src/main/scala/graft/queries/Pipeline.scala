@@ -1259,7 +1259,38 @@ object Pipeline {
         |SELECT rnk // 40 AS shard, COUNT(*) AS n_docs,
         | CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         | MIN(rnk) AS first_rank, MAX(rnk) AS last_rank
-        |FROM r GROUP BY 1 ORDER BY shard""".stripMargin)
+        |FROM r GROUP BY 1 ORDER BY shard""".stripMargin),
+
+    // ---- Gopher quality-rule battery (Rae et al. 2021 A1.1): word-count
+    //      and mean-word-length bounds, symbol/digit word-ratio caps,
+    //      stopword-hit minimum — pure per-row codegen'd exprs (scan
+    //      speed), ratios rounded before comparison so pass/fail is
+    //      engine-identical. minWords tuned to the fixture's doc length. ----
+    QuerySpec.sql("p48_gopher_rules", (s, dir) => {
+      import s.implicits._
+      graft.operators.text.QualityRules.gopher(
+          t(s, dir, "documents").select($"doc_id", $"text"), "text",
+          minWords = 20)
+        .select($"doc_id", $"n_words", $"mean_word_len", $"symbol_ratio",
+          $"digit_ratio", $"n_stop_hits", $"gopher_pass")
+        .orderBy($"doc_id")
+    },
+      """WITH w AS (SELECT doc_id,
+        |  LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS ws FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(LEN(ws) AS BIGINT) AS n_words,
+        |  ROUND(CAST(LIST_SUM(LIST_TRANSFORM(ws, x -> LENGTH(x))) AS DOUBLE) / LEN(ws), 4) AS mean_word_len,
+        |  ROUND(CAST(LEN(LIST_FILTER(ws, x -> CONTAINS(x, '#') OR CONTAINS(x, '...'))) AS DOUBLE) / LEN(ws), 4) AS symbol_ratio,
+        |  ROUND(CAST(LEN(LIST_FILTER(ws, x -> LENGTH(REGEXP_REPLACE(x, '[0-9]', '', 'g')) = 0)) AS DOUBLE) / LEN(ws), 4) AS digit_ratio,
+        |  CAST(LEN(LIST_FILTER(ws, x -> LIST_CONTAINS(
+        |    ['the','and','of','to','in','is','that','for','with','it'], LOWER(x)))) AS BIGINT) AS n_stop_hits
+        | FROM w)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, digit_ratio, n_stop_hits,
+        | CAST((n_words BETWEEN 20 AND 100000
+        |   AND mean_word_len BETWEEN 3.0 AND 10.0
+        |   AND symbol_ratio <= 0.1 AND digit_ratio <= 0.2
+        |   AND n_stop_hits >= 2) AS INT) AS gopher_pass
+        |FROM m ORDER BY doc_id""".stripMargin)
   )
 
   /** Fixed 4-doc corpus for the BPE entries' pinned oracles (expected

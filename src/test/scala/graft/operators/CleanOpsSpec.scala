@@ -51,6 +51,23 @@ class CleanOpsSpec extends AnyFunSuite {
     assert(strict == Set(1L))
   }
 
+  test("Gopher rules flag each failure mode independently") {
+    import graft.operators.text.QualityRules
+    val good = Seq.fill(6)("the quick brown fox jumps over it and that dog").mkString(" ")
+    val corpus = docs(
+      1L -> good,                                       // passes everything
+      2L -> "short the and",                            // too few words
+      3L -> Seq.fill(30)("####### ###").mkString(" "),  // symbol ratio + no stopwords
+      4L -> (good + " " + Seq.fill(40)("12345").mkString(" ")), // digit ratio
+      5L -> Seq.fill(40)("zz qq ww").mkString(" "))     // no stopword hits
+    val out = QualityRules.gopher(corpus, "text", minWords = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("gopher_pass")).toMap
+    assert(out == Map(1L -> 1, 2L -> 0, 3L -> 0, 4L -> 0, 5L -> 0))
+    val kept = QualityRules.gopherFilter(corpus, "text", minWords = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L))
+  }
+
   test("decontaminate clean drops flagged docs and keeps the rest intact") {
     val train = docs(1L -> "a b c d e f", 2L -> "g h i j k l")
     val eval = docs(10L -> "x a b c d y")
