@@ -129,7 +129,10 @@ class SurveyCoverageSpec extends AnyFunSuite {
       "Dedup", "SimilarityJoin", "AnnTopK", "BinaryMetaInPlace", "LangId",
       "Decontaminate", "RepetitionInPlace", "PiiScrubInPlace", "CorpusMix",
       "ParagraphDedupInPlace", "UnigramLm", "BigramLm", "BpeTrain", "SequencePack",
-      "IncrementalDedup", "SubstringDedupInPlace", "StreamCommand")
+      "IncrementalDedup", "SubstringDedupInPlace", "StreamCommand",
+      "CorpusSplit", "DocChunk", "GroupCap", "CorpusShuffle", "CorpusStats",
+      "TokenBudget", "ImportanceSelect", "ClusterSample", "ShardExport",
+      "GopherRules")
     val missing = names.filter(n =>
       scala.util.Try(ETRegistry.lookup(n)).isFailure)
     assert(missing.isEmpty, s"ET registry missing: ${missing.mkString(", ")}")
