@@ -46,11 +46,16 @@ object GraftSession {
     // UDFPack deliberately replaces builtin `uuid` (reference semantics:
     // hex without dashes) — the one-time "replaced a previously registered
     // function" WARN is expected noise; keep bench/verify logs signal-only.
+    // Scoped to the registration calls only: WARN is restored right after,
+    // so a future ACCIDENTAL builtin shadowing stays visible.
+    val registryLogger = "org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry"
     org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry",
-      org.apache.logging.log4j.Level.ERROR)
-    graft.functions.UDFPack.register(spark)
-    graft.operators.multimodal.Multimodal.register(spark)
+      registryLogger, org.apache.logging.log4j.Level.ERROR)
+    try {
+      graft.functions.UDFPack.register(spark)
+      graft.operators.multimodal.Multimodal.register(spark)
+    } finally org.apache.logging.log4j.core.config.Configurator.setLevel(
+      registryLogger, org.apache.logging.log4j.Level.WARN)
     spark
   }
 }

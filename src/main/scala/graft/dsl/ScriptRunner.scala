@@ -29,7 +29,12 @@ object ScriptRunner {
     // statement itself) has run.
     val groupId = JobManager.register(spark,
       "graft-" + java.util.UUID.randomUUID(), pathPrefix)
-    try {
+    // script-lifetime cache scope: every persist pinned by an ET or
+    // operator during this run (CacheExt, ShardExport, SequencePack, ...)
+    // is unpersisted when the script ends — matching the reference's
+    // SQLCacheExt script-scoped persists (SQLCacheExt.scala:38-92). A
+    // `lifetime="session"` CacheExt opts out (see CacheExtET).
+    try graft.CacheScope.scoped {
       // compile (preprocess) stage: every `set` runs once here — except
       // type="sql" & mode="runtime" (deferred to the physical pass) — so
       // mode="compile" SQL is evaluated before ANY physical statement,
@@ -50,6 +55,7 @@ object ScriptRunner {
     } finally JobManager.deregister(spark, groupId)
     ctx
   }
+
 
   /** Run a script and return its last table (empty DF if none). */
   def runToDF(script: String, spark: SparkSession, pathPrefix: String = ""): DataFrame = {

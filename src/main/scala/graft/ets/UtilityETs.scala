@@ -119,6 +119,13 @@ object RateSamplerET extends NoPathET {
 
 /** `!cache t` / `run t as CacheExt.`` where execute="cache" and
   * isEager="true"` (reference: SQLCacheExt.scala:38-92).
+  *
+  * Lifetime matches the reference's scope semantics: by default the
+  * persist is SCRIPT-scoped — registered with the run's
+  * [[graft.CacheScope]] and unpersisted when the script ends — so
+  * repeated runs of a caching script (the bench's cold/warm/retry loop)
+  * never accrete pinned copies. `lifetime="session"` opts out: the cache
+  * outlives the script and the user releases it with `execute="uncache"`.
   */
 object CacheExtET extends NoPathET {
   override def name = "CacheExt"
@@ -128,6 +135,8 @@ object CacheExtET extends NoPathET {
       case "uncache" => df.unpersist()
       case _ =>
         df.persist()
+        if (params.getOrElse("lifetime", "script") == "script")
+          graft.CacheScope.pinIfScoped(df)
         if (params.getOrElse("isEager", "false").toBoolean) df.count()
     }
     df

@@ -65,7 +65,7 @@ object SignatureStore {
       .withColumn("sig", expr(s"minhash_sig(shingles, $numHashes)"))
       .select(col("doc_id"), col("sig"), size(col("shingles")).as("n_sh"))
       .cache()
-    Option(lastSigCache.getAndSet(sigs)).foreach(_.unpersist(false))
+    graft.CacheScope.pin(sigs, lastSigCache)
 
     // (1) within-batch: exact-verified pairs -> keep component minima
       val batchPairs = TextDedup.minHashSelfJoin(sh, threshold, bands, rowsPerBand)

@@ -36,11 +36,20 @@ object ClusterSample {
     */
   def assign(corpus: DataFrame, idCol: String, vecCol: String,
              centroids: DataFrame, cidCol: String, cvecCol: String): DataFrame = {
-    // centroid-count-bounded collect (model-sized by contract)
-    val cents: Seq[(Int, Seq[Double])] = centroids
-      .select(col(cidCol).cast("int"), col(cvecCol).cast("array<double>"))
-      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
-      .sortBy(_._1)
+    // centroid-count-bounded collect (model-sized by contract). Collect as
+    // LONG and range-check: a silent cast("int") would wrap cids above
+    // Int.MaxValue into corrupted/colliding cluster ids (and the argmax
+    // tie-break below negates, so Int.MinValue is out too).
+    val rawCents = centroids
+      .select(col(cidCol).cast("long"), col(cvecCol).cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    rawCents.find(c => c._1 <= Int.MinValue || c._1 > Int.MaxValue).foreach { c =>
+      throw new IllegalArgumentException(
+        s"ClusterSample centroid id ${c._1} does not fit in Int " +
+          "(re-key the centroid table to dense int ids)")
+    }
+    val cents: Seq[(Int, Seq[Double])] =
+      rawCents.map { case (cid, v) => (cid.toInt, v) }.sortBy(_._1)
     require(cents.nonEmpty, "ClusterSample requires a non-empty centroid set")
     val lit = typedlit(cents) // ONE Literal: array<struct<_1:int,_2:array<double>>>
     val v = col(vecCol).cast("array<double>")

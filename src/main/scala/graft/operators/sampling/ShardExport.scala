@@ -35,8 +35,10 @@ import org.apache.spark.sql.functions._
   */
 object ShardExport {
 
-  // mirror of SequencePack's cache bookkeeping: unpersist the previous
-  // call's ranged frame instead of leaking one cache per invocation
+  // inside a script: pinned to the script's CacheScope (released at script
+  // end, concurrent calls in one script coexist). Outside any scope:
+  // single-flight — unpersist the previous call's ranged frame instead of
+  // leaking one cache per invocation.
   private val lastCache = new AtomicReference[DataFrame](null)
 
   /** Input columns + (rank, shard). `rank` is the row's position in the
@@ -55,7 +57,7 @@ object ShardExport {
       .repartitionByRange(n, col("__d__"), id)
       .withColumn("__pid__", spark_partition_id())
       .cache()
-    Option(lastCache.getAndSet(ranged)).foreach(_.unpersist(false))
+    graft.CacheScope.pin(ranged, lastCache)
 
     // per-partition row counts: numPartitions longs, driver-sized
     val counts = ranged.groupBy("__pid__").agg(count(lit(1)).as("c"))

@@ -58,7 +58,7 @@ object TokenBudget {
       .repartitionByRange(n, col("__u__"), col(idCol))
       .withColumn("__pid__", spark_partition_id())
       .cache()
-    Option(lastCache.getAndSet(ranged)).foreach(_.unpersist(false))
+    graft.CacheScope.pin(ranged, lastCache)
 
     val subtotals = ranged.groupBy("__pid__").agg(sum("__cost__").as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -116,7 +116,7 @@ object TokenBudget {
       .repartitionByRange(n, col(groupCol), col("__u__"), col(idCol))
       .withColumn("__pid__", spark_partition_id())
       .cache()
-    Option(lastCache.getAndSet(ranged)).foreach(_.unpersist(false))
+    graft.CacheScope.pin(ranged, lastCache)
 
     // per-(pid, group) subtotals: bases accumulate along each GROUP's
     // partition run (groups are contiguous under the range keys)

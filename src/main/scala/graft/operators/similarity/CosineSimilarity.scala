@@ -475,10 +475,11 @@ object CosineSimilarity {
     val assigned = vecs.withColumn("__a__", assignUdf(col("v")))
       .select(col("id"), col("v"), col("__a__._1").as("cell"), col("__a__._2").as("ang"))
       .cache()
-    // bound the cache footprint across calls: release the PREVIOUS
+    // bound the cache footprint: in a script, pin to the script's
+    // CacheScope (released at script end); outside, release the PREVIOUS
     // invocation's assignment (the returned plan recomputes if a caller
     // re-materializes it later — correctness unaffected)
-    Option(lastAssignmentCache.getAndSet(assigned)).foreach(_.unpersist(false))
+    graft.CacheScope.pin(assigned, lastAssignmentCache)
 
     // per-cell angular radius (nlist rows — driver-sized by construction)
     val radii = assigned.groupBy("cell").agg(max("ang").as("r"))

@@ -36,7 +36,6 @@ object QualityRules {
              maxSymbolRatio: Double = 0.1, maxDigitRatio: Double = 0.2,
              minStopHits: Int = 2): DataFrame = {
     val words: Column = expr(s"filter(split($textCol, ' '), x -> x <> '')")
-    val nWords = size(words)
     val stopArr = array(StopWords.map(lit): _*)
     val out = df
       .withColumn("__w__", words)

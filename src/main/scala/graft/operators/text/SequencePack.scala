@@ -51,7 +51,7 @@ object SequencePack {
       .repartitionByRange(n, id)
       .withColumn("__pid__", spark_partition_id())
       .cache()
-    Option(lastCache.getAndSet(ranged)).foreach(_.unpersist(false))
+    graft.CacheScope.pin(ranged, lastCache)
 
     // per-partition subtotals: numPartitions rows — driver-sized by
     // construction, independent of corpus size

@@ -1136,7 +1136,7 @@ object Pipeline {
     //      shuffles (≤8192 keys); score = ZERO-shuffle map pass (the
     //      log-ratio vector is one array Literal, summed per row with an
     //      aggregate HOF); select = global top-k. The bucket hash
-    //      (base-131 polynomial over ascii(md5 hex[1..6])) evaluates
+    //      (md5-hex prefix [1..6] parsed base-16, mod buckets) evaluates
     //      bit-identically in DuckDB, so the oracle replays the whole
     //      pipeline. ----
     QuerySpec.sql("p44_dsir_select", (s, dir) => {

@@ -52,10 +52,18 @@ class ETSpec extends AnyFunSuite {
     assert(a == b)
   }
 
-  test("CacheExt ET caches and uncaches") {
-    val ctx = ScriptRunner.run(
+  test("CacheExt ET: script-lifetime by default, session lifetime opt-out") {
+    // default lifetime="script": the persist is released when the run ends
+    // (reference scope semantics, SQLCacheExt.scala:38-92)
+    ScriptRunner.run(
       s"""load parquet.`$sf/region.parquet` as r_et;
          |!cache r_et;""".stripMargin, spark)
+    assert(!spark.catalog.isCached("r_et"),
+      "script-scoped cache must be released at script end")
+    // lifetime="session" survives until an explicit uncache
+    ScriptRunner.run(
+      """run r_et as CacheExt.`` where lifetime="session" and isEager="true" as r_etc;""",
+      spark)
     assert(spark.catalog.isCached("r_et"))
     ScriptRunner.run("!uncache r_et;", spark)
     assert(!spark.catalog.isCached("r_et"))
