@@ -14,13 +14,39 @@ package graft
   * tail of the alphabetical order (s16 19.8 s swept vs 2.7 s isolated).
   */
 object Bench {
+
+  /** JVM-health counters captured around each timed run, so a warm-time
+    * regression can be attributed (GC pause? JIT recompilation storm? code
+    * cache full?) instead of guessed at from the bare seconds — the r9
+    * verdict's "unexplained 3-7x drift" instrumentation ask.
+    */
+  private def gcMillis: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).filter(_ > 0).sum
+  }
+  private def jitMillis: Long =
+    Option(java.lang.management.ManagementFactory.getCompilationMXBean)
+      .filter(_.isCompilationTimeMonitoringSupported)
+      .map(_.getTotalCompilationTime).getOrElse(0L)
+  private def codeCacheUsedMb: Double = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(p => p.getName.contains("CodeHeap") || p.getName.contains("Code Cache"))
+      .map(_.getUsage.getUsed).sum / 1048576.0
+  }
+
+  final case class RunStats(time: Either[String, Double],
+                            gcMs: Long, jitMs: Long, ccMb: Double)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.getOrCreate()
 
-    def runOnce(name: String): Either[String, Double] = {
+    def runOnce(name: String): RunStats = {
+      val g0 = gcMillis; val j0 = jitMillis
       val t0 = System.nanoTime()
-      try {
+      val r: Either[String, Double] = try {
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         Right((System.nanoTime() - t0) / 1e9)
@@ -29,6 +55,7 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           Left(e.getClass.getSimpleName)
       } finally spark.catalog.clearCache() // not timed; see scaladoc
+      RunStats(r, gcMillis - g0, jitMillis - j0, codeCacheUsedMb)
     }
 
     // warmup: one cheap query end-to-end (JIT, codegen, parquet footer cache)
@@ -52,29 +79,76 @@ object Bench {
     // case (observed: the same query's warm time ranging 2 s..31 s across
     // sweeps while every isolated run is fast).
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val timed = names.map { n =>
+    val timed: Seq[(String, (Either[String, Double], RunStats))] = names.map { n =>
       val c = runOnce(n)
       val w1 = runOnce(n)
-      val w = (c, w1) match {
+      val w: RunStats = (c.time, w1.time) match {
         case (Right(cv), Right(wv)) if wv > 3 * cv && wv > 2.0 =>
-          runOnce(n) match {
-            case Right(w2) => Right(math.min(wv, w2))
-            case Left(_) => w1
+          val w2 = runOnce(n)
+          w2.time match {
+            case Right(v2) if v2 < wv => w2
+            case _ => w1
           }
         case _ => w1
       }
-      n -> (c, w)
+      n -> (c.time, w)
     }
     val cold = timed.map { case (n, (c, _)) => n -> c }
-    val results = timed.map { case (n, (_, w)) => n -> w }
+    val results = timed.map { case (n, (_, w)) => n -> w.time }
     val failed = results.collect { case (n, Left(_)) => n }
     // loud stall accounting: a warm time still >3x its own cold (and >2 s)
     // AFTER the retry is a harness-health signal, not a plan cost — surface
     // the list instead of letting a silent retry mask a sick sweep
     val stalls = timed.collect {
-      case (n, (Right(cv), Right(wv))) if wv > 3 * cv && wv > 2.0 => n
+      case (n, (Right(cv), (w: RunStats))) if w.time.exists(wv => wv > 3 * cv && wv > 2.0) => n
     }
     stalls.foreach(n => System.err.println(s"[bench] STALL retained: $n"))
+
+    // cross-round drift gate: compare each warm time against the PREVIOUS
+    // round's official record (BENCH_r*.json in the repo root, short-id
+    // keys) and fail loud — into a "regressions" field plus a stderr line
+    // with the run's GC/JIT deltas — on any query >2x its prior warm with
+    // >0.5 s absolute growth (the floor keeps 0.1 s -> 0.25 s noise out).
+    val priorWarm: Map[String, Double] = {
+      val files = Option(new java.io.File(".").listFiles()).getOrElse(Array())
+        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+      files.sortBy(_.getName).lastOption.map { f =>
+        // the driver's record nests this bench's stdout JSON escaped inside
+        // a "tail" string — unescape before matching; and only compare
+        // same-SF runs (a local sf0.001 smoke vs the official sf0.1 record
+        // would flag pure scale differences)
+        val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+          .replace("\\\"", "\"")
+        val priorSf = """"sf":\s*"?(?:.*?sf)?([0-9.]+)""".r.findFirstMatchIn(txt)
+          .map(_.group(1)).getOrElse("")
+        val thisSf = """sf([0-9.]+)""".r.findFirstMatchIn(sfDir)
+          .map(_.group(1)).getOrElse("?")
+        if (priorSf != thisSf) Map.empty[String, Double]
+        else {
+          val body = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt)
+            .map(_.group(1)).getOrElse("")
+          """"([A-Za-z0-9_]+)":(-?[0-9][0-9.eE+-]*)""".r.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      }.getOrElse(Map.empty)
+    }
+    val regressions = timed.collect {
+      case (n, (_, w: RunStats)) if w.time.exists { wv =>
+        priorWarm.get(n.split("_").head).exists(p => p > 0 && wv > 2 * p && wv - p > 0.5)
+      } => n
+    }
+    regressions.foreach { n =>
+      val w = timed.toMap.apply(n)._2
+      val p = priorWarm(n.split("_").head)
+      val wv = w.time.getOrElse(-1.0)
+      System.err.println(String.format(java.util.Locale.ROOT,
+        "[bench] REGRESSION %s: warm %.2fs vs prior-round %.2fs (%.1fx) gc=%dms jit=%dms codecache=%.0fMB",
+        n, Double.box(wv), Double.box(p), Double.box(wv / p),
+        Long.box(w.gcMs), Long.box(w.jitMs), Double.box(w.ccMb)))
+    }
+    System.err.println(String.format(java.util.Locale.ROOT,
+      "[bench] jvm-health: gc_total=%dms jit_total=%dms codecache_used=%.0fMB",
+      Long.box(gcMillis), Long.box(jitMillis), Double.box(codeCacheUsedMb)))
     // explicit ROOT locale: the f"" interpolator is default-locale-dependent
     // and a comma-decimal locale would emit invalid JSON
     def num(v: Double): String =
@@ -89,6 +163,11 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val stallsJson = stalls.map("\"" + _.split("_").head + "\"").mkString("[", ",", "]")
     val stallsFullJson = stalls.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val regressionsJson = regressions.map("\"" + _.split("_").head + "\"").mkString("[", ",", "]")
+    val regressionsFullJson = regressions.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val warmStats = timed.map { case (n, (_, w)) => n -> w }
+    def statsMap(f: RunStats => String): String =
+      warmStats.map { case (n, w) => s""""$n":${f(w)}""" }.mkString("{", ",", "}")
     // The driver tail-captures the LAST 2000 chars of stdout (measured from
     // BENCH_r05), and sbt appends its own ~80-char "[success]" line, so the
     // stdout JSON must stay well under ~1.9 KB or it loses its head and the
@@ -97,12 +176,13 @@ object Bench {
     // unique short ids (q1/p8/s16/f3: the prefix before the first '_'),
     // ~1.3 KB total; the file copy below keeps full names.
     val json =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${fmt(results, key = _.split("_").head)},"failed":$failedJson,"stalls":$stallsJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${fmt(results, key = _.split("_").head)},"failed":$failedJson,"stalls":$stallsJson,"regressions":$regressionsJson,"sf":"$sfDir"}"""
     println(json)
     // file copy: full query names, full precision (Double.toString is
-    // locale-independent), plus the cold sweep
+    // locale-independent), plus the cold sweep and the per-query JVM-health
+    // deltas (GC/JIT ms inside each warm run, code-cache occupancy after it)
     val fileJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results, value = _.toString)},"cold":${fmt(cold, value = _.toString)},"failed":$failedJson,"stalls":$stallsFullJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results, value = _.toString)},"cold":${fmt(cold, value = _.toString)},"failed":$failedJson,"stalls":$stallsFullJson,"regressions":$regressionsFullJson,"gc_ms":${statsMap(_.gcMs.toString)},"jit_ms":${statsMap(_.jitMs.toString)},"codecache_mb":${statsMap(w => num(w.ccMb))},"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_bench.json"),
       fileJson.getBytes("UTF-8"))
     spark.stop()

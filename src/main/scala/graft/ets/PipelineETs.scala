@@ -588,8 +588,21 @@ object ClusterSampleET extends NoPathET {
   override def name = "ClusterSample"
   override def train(ctx: ScriptContext, df: DataFrame, path: String,
                      params: Map[String, String]): DataFrame = {
-    val cents = ctx.spark.table(params.getOrElse("centroidsTable",
-      throw new IllegalArgumentException("ClusterSample requires centroidsTable")))
+    // centroid source: a table of (cid, cv), OR a fitted spark.ml KMeans
+    // model directory (`train t as KMeans.`p`` earlier in the script) whose
+    // clusterCenters become the centroid set — closing the fit→sample loop
+    // through the DSL without a hand-built centroid table.
+    val cents = params.get("centroidsModel") match {
+      case Some(modelPath) =>
+        import ctx.spark.implicits._
+        org.apache.spark.ml.clustering.KMeansModel.load(ctx.resolvePath(modelPath))
+          .clusterCenters.zipWithIndex
+          .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+          .toDF(params.getOrElse("cidCol", "cid"), params.getOrElse("cvecCol", "cv"))
+      case None => ctx.spark.table(params.getOrElse("centroidsTable",
+        throw new IllegalArgumentException(
+          "ClusterSample requires centroidsTable or centroidsModel")))
+    }
     val idCol = params.getOrElse("idCol", "vec_id")
     val vecCol = params.getOrElse("vecCol", "embedding")
     val cidCol = params.getOrElse("cidCol", "cid")

@@ -151,6 +151,14 @@ object ImportanceSelect {
     * seeded Gumbel(0,1) noise and taking the top k — the distributed
     * standard for weighted sampling without a driver-side pass. The noise
     * is a pure function of (idCol, seed) so re-runs are reproducible.
+    *
+    * `portable = true` additionally swaps the uniform draw from the
+    * codegen'd xxhash64 to the shared md5-hex construction
+    * ([[CorpusShuffle.draw]], already oracle-replayed by p47/s26's rank):
+    * `(CAST(md5-hex[1..8] base-16) + 0.5) / 2^32` evaluates bit-identically
+    * in DuckDB, so the p49 oracle replays the whole resampling pass. The
+    * +0.5 keeps u strictly inside (0,1) so both logs are finite — exactly
+    * representable, since the numerator is a 32-bit integer plus a half.
     */
   def gumbelSelect(raw: DataFrame, target: DataFrame, idCol: String,
                    textCol: String, k: Int, seed: Long,
@@ -163,8 +171,14 @@ object ImportanceSelect {
       buckets, portable)
     // uniform(0,1) from a seeded per-row hash; +0.5 keeps u strictly inside
     // (0,1) so both logs are finite
-    val u = (pmod(xxhash64(col(idCol), lit(seed)), lit(1000000000L)).cast("double") + lit(0.5)) /
-      lit(1000000000.0)
+    val u =
+      if (!portable)
+        (pmod(xxhash64(col(idCol), lit(seed)), lit(1000000000L)).cast("double") + lit(0.5)) /
+          lit(1000000000.0)
+      else
+        (conv(substring(md5(concat_ws(":",
+            col(idCol).cast("string"), lit(seed.toString))), 1, 8), 16, 10)
+          .cast("long").cast("double") + lit(0.5)) / lit(4294967296.0)
     scored
       .withColumn("__key__", col("log_w") / lit(temperature) - log(-log(u)))
       .orderBy(col("__key__").desc, col(idCol))

@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
   */
 object QualityRules {
 
-  /** Gopher's "must contain ≥2 of these" stopword probe set. */
+  /** Gopher's "must contain ≥2 of these" stopword probe set (English). */
   val StopWords: Seq[String] =
     Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "it")
 
@@ -34,9 +34,37 @@ object QualityRules {
              minWords: Int = 50, maxWords: Int = 100000,
              minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
              maxSymbolRatio: Double = 0.1, maxDigitRatio: Double = 0.2,
-             minStopHits: Int = 2): DataFrame = {
+             minStopHits: Int = 2): DataFrame =
+    gopherImpl(df, textCol, array(StopWords.map(lit): _*), minWords, maxWords,
+      minMeanLen, maxMeanLen, maxSymbolRatio, maxDigitRatio, minStopHits)
+
+  /** Multilingual battery: the stopword probe is selected PER ROW from a
+    * `lang → probe list` map that rides into the plan as ONE map Literal
+    * (`typedlit` — a single object, not per-entry children), with
+    * `defaultProbe` for unmapped languages. Every other rule is
+    * language-neutral. Still a per-row codegen'd pass at scan speed: the
+    * map lookup is one `element_at` per row, and the probe arrays are
+    * probe-sized (tens of entries), not corpus-sized.
+    */
+  def gopherByLang(df: DataFrame, textCol: String, langCol: String,
+                   probes: Map[String, Seq[String]],
+                   defaultProbe: Seq[String] = StopWords,
+                   minWords: Int = 50, maxWords: Int = 100000,
+                   minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                   maxSymbolRatio: Double = 0.1, maxDigitRatio: Double = 0.2,
+                   minStopHits: Int = 2): DataFrame = {
+    val probeArr = coalesce(
+      element_at(typedlit(probes), col(langCol)), typedlit(defaultProbe))
+    gopherImpl(df, textCol, probeArr, minWords, maxWords,
+      minMeanLen, maxMeanLen, maxSymbolRatio, maxDigitRatio, minStopHits)
+  }
+
+  private def gopherImpl(df: DataFrame, textCol: String, stopArr: Column,
+                         minWords: Int, maxWords: Int,
+                         minMeanLen: Double, maxMeanLen: Double,
+                         maxSymbolRatio: Double, maxDigitRatio: Double,
+                         minStopHits: Int): DataFrame = {
     val words: Column = expr(s"filter(split($textCol, ' '), x -> x <> '')")
-    val stopArr = array(StopWords.map(lit): _*)
     val out = df
       .withColumn("__w__", words)
       .withColumn("n_words", size(col("__w__")).cast("long"))

@@ -1290,6 +1290,100 @@ object Pipeline {
         |   AND mean_word_len BETWEEN 3.0 AND 10.0
         |   AND symbol_ratio <= 0.1 AND digit_ratio <= 0.2
         |   AND n_stop_hits >= 2) AS INT) AS gopher_pass
+        |FROM m ORDER BY doc_id""".stripMargin),
+
+    // ---- DSIR Gumbel-top-k resampling (the stochastic sibling of p44's
+    //      exact top-k): P(doc) ∝ exp(log_w / T) without replacement via
+    //      seeded Gumbel perturbation — still ZERO-shuffle scoring plus one
+    //      global top-k. portable=true makes BOTH the bucket hash and the
+    //      uniform draw md5-based, so DuckDB replays the entire resampling
+    //      pass (the draw is the p47-shared construction; its +0.5/2^32
+    //      uniform is exactly representable, and the Gumbel key comparison
+    //      is on continuous doubles, so the selected SET is engine-stable).
+    //      Output re-ordered by doc_id so row order never depends on key
+    //      ulps. ----
+    QuerySpec.sql("p49_dsir_gumbel", (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      graft.operators.sampling.ImportanceSelect.gumbelSelect(
+          docs, docs.filter($"lang" === "en"), "doc_id", "text", k = 50,
+          seed = 42L, temperature = 2.0, portable = true)
+        .orderBy($"doc_id")
+    },
+      """WITH tk AS (SELECT doc_id, lang,
+        |  LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS tk FROM documents),
+        |uni AS (SELECT doc_id, lang, UNNEST(tk) AS ng FROM tk),
+        |big AS (SELECT doc_id, lang, z[1] || ' ' || z[2] AS ng
+        |  FROM (SELECT doc_id, lang,
+        |          UNNEST(LIST_ZIP(tk[1:LEN(tk)-1], tk[2:LEN(tk)])) AS z
+        |        FROM tk WHERE LEN(tk) >= 2)),
+        |ng AS (SELECT doc_id, lang, ng FROM uni
+        |       UNION ALL SELECT doc_id, lang, ng FROM big),
+        |ngb AS (SELECT doc_id, lang,
+        |  CAST(CAST(CONCAT('0x', SUBSTR(MD5(ng), 1, 6)) AS UBIGINT) % 8192 AS BIGINT) AS b
+        | FROM ng),
+        |ct AS (SELECT b, COUNT(*) AS c FROM ngb WHERE lang = 'en' GROUP BY b),
+        |cr AS (SELECT b, COUNT(*) AS c FROM ngb GROUP BY b),
+        |nt AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM ct),
+        |nr AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM cr),
+        |lr AS (SELECT cr.b,
+        |  LN((COALESCE(ct.c, 0) + 1.0) / (nt.n + 8192.0))
+        |  - LN((cr.c + 1.0) / (nr.n + 8192.0)) AS lr
+        | FROM cr LEFT JOIN ct USING (b) CROSS JOIN nt CROSS JOIN nr),
+        |sc AS (SELECT ngb.doc_id, COUNT(*) AS n_grams, ROUND(SUM(l.lr), 4) AS log_w
+        |       FROM ngb JOIN lr l ON ngb.b = l.b GROUP BY ngb.doc_id),
+        |g AS (SELECT doc_id, n_grams, log_w,
+        |  log_w / 2.0 - LN(-LN(
+        |    (CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(CAST(doc_id AS VARCHAR), ':', '42')), 1, 8))
+        |       AS UBIGINT) + 0.5) / 4294967296.0)) AS gk
+        | FROM sc)
+        |SELECT doc_id, n_grams, log_w
+        |FROM (SELECT * FROM g ORDER BY gk DESC, doc_id LIMIT 50)
+        |ORDER BY doc_id""".stripMargin),
+
+    // ---- multilingual Gopher battery (p48's language-parameterized
+    //      sibling): the stopword probe is selected PER ROW from one
+    //      lang→probes map Literal (default probe for unmapped langs), so
+    //      every language slice is judged under its own probe set instead
+    //      of failing the English one. Still a zero-shuffle scan-speed
+    //      pass. Probe lists are drawn from the synthetic fixture's
+    //      vocabulary — the mechanism under test is the per-language
+    //      routing, not real linguistics. ----
+    QuerySpec.sql("p50_gopher_multilang", (s, dir) => {
+      import s.implicits._
+      graft.operators.text.QualityRules.gopherByLang(
+          t(s, dir, "documents").select($"doc_id", $"lang", $"text"),
+          "text", "lang",
+          probes = Map(
+            "fr" -> Seq("merge", "table", "stream", "line", "data", "key"),
+            "es" -> Seq("query", "row", "vector", "join", "filter"),
+            "zh" -> Seq("spark", "hash", "batch", "window"),
+            "de" -> Seq("window", "group", "filter", "sort", "part")),
+          minWords = 20)
+        .select($"doc_id", $"lang", $"n_words", $"n_stop_hits", $"gopher_pass")
+        .orderBy($"doc_id")
+    },
+      """WITH w AS (SELECT doc_id, lang,
+        |  LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS ws FROM documents),
+        |m AS (SELECT doc_id, lang,
+        |  CAST(LEN(ws) AS BIGINT) AS n_words,
+        |  ROUND(CAST(LIST_SUM(LIST_TRANSFORM(ws, x -> LENGTH(x))) AS DOUBLE) / LEN(ws), 4) AS mean_word_len,
+        |  ROUND(CAST(LEN(LIST_FILTER(ws, x -> CONTAINS(x, '#') OR CONTAINS(x, '...'))) AS DOUBLE) / LEN(ws), 4) AS symbol_ratio,
+        |  ROUND(CAST(LEN(LIST_FILTER(ws, x -> LENGTH(REGEXP_REPLACE(x, '[0-9]', '', 'g')) = 0)) AS DOUBLE) / LEN(ws), 4) AS digit_ratio,
+        |  CAST(LEN(LIST_FILTER(ws, x -> LIST_CONTAINS(
+        |    CASE lang
+        |      WHEN 'fr' THEN ['merge','table','stream','line','data','key']
+        |      WHEN 'es' THEN ['query','row','vector','join','filter']
+        |      WHEN 'zh' THEN ['spark','hash','batch','window']
+        |      WHEN 'de' THEN ['window','group','filter','sort','part']
+        |      ELSE ['the','and','of','to','in','is','that','for','with','it'] END,
+        |    LOWER(x)))) AS BIGINT) AS n_stop_hits
+        | FROM w)
+        |SELECT doc_id, lang, n_words, n_stop_hits,
+        | CAST((n_words BETWEEN 20 AND 100000
+        |   AND mean_word_len BETWEEN 3.0 AND 10.0
+        |   AND symbol_ratio <= 0.1 AND digit_ratio <= 0.2
+        |   AND n_stop_hits >= 2) AS INT) AS gopher_pass
         |FROM m ORDER BY doc_id""".stripMargin)
   )
 

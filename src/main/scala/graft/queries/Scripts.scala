@@ -627,6 +627,28 @@ object Scripts {
         | FROM sel)
         |SELECT rnk // 25 AS shard, COUNT(*) AS n_docs,
         | MIN(rnk) AS first_rank, MAX(rnk) AS last_rank
-        |FROM r GROUP BY 1 ORDER BY shard""".stripMargin)
+        |FROM r GROUP BY 1 ORDER BY shard""".stripMargin),
+
+    // ---- real-centroid-fit → cluster-balanced sampling, end-to-end
+    //      through the DSL: train spark.ml KMeans on the embeddings, feed
+    //      the fitted model's clusterCenters straight into ClusterSample
+    //      (centroidsModel param), quota per cluster, histogram out. No
+    //      DuckDB oracle — a seeded k-means|| fit is not SQL-replayable —
+    //      so the driver records the rows-only check here; the exact
+    //      per-cluster histogram invariants (k clusters, counts ≤ m,
+    //      run-to-run determinism) are pinned by ClusterSampleSpec, and
+    //      the assignment math itself is oracle-green via p46/s25. ----
+    QuerySpec.noOracle("s27_script_kmeans_cluster_sample", (s, dir) => script(s,
+      s"""load parquet.`$dir/embeddings.parquet` as s27_embs;
+         |select vec_id, embedding,
+         |  vec_dense(to_array_double(embedding)) as features
+         |from s27_embs as s27_feat;
+         |train s27_feat as KMeans.`/tmp/graft_s27_km` where k="8"
+         |  and seed="7" and maxIter="5" as s27_ts;
+         |run s27_embs as ClusterSample.`` where
+         |  centroidsModel="/tmp/graft_s27_km" and mode="central" and m="40"
+         |  as s27_bal;
+         |select cluster, count(*) as n, round(min(sim), 4) as min_sim
+         |from s27_bal group by cluster order by cluster as s27_out;""".stripMargin))
   )
 }

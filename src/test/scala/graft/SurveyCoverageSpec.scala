@@ -169,9 +169,16 @@ class SurveyCoverageSpec extends AnyFunSuite {
       "p31_bpe_token_ids", "p32_ann_pq", "p33_corpus_split",
       "p34_doc_chunk", "p35_group_cap", "p36_corpus_shuffle",
       "p37_group_topk", "p38_token_budget", "p39_group_token_budget",
-      "p40_substring_dedup",
+      "p40_substring_dedup", "p41_hard_negatives", "p42_bigram_lm",
+      "p43_neardup_keep_best", "p44_dsir_select", "p45_decontaminate_fuzzy",
+      "p46_cluster_balanced", "p47_shard_export", "p48_gopher_rules",
+      "p49_dsir_gumbel", "p50_gopher_multilang",
       "s11_script_dedup", "s18_script_neardup_pipeline",
       "s19_script_clean_corpus", "s23_script_chunk_pipeline",
-      "s24_script_substring_dedup"))
+      "s24_script_substring_dedup", "s25_script_cluster_assign",
+      "s26_script_curate_select_shard"))
+    // KMeans fit → ClusterSample through the DSL: rows-only (a seeded
+    // k-means|| fit is not SQL-replayable in DuckDB)
+    assertQueries(Seq("s27_script_kmeans_cluster_sample"), withOracle = false)
   }
 }

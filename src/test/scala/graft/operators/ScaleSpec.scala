@@ -161,6 +161,73 @@ class ScaleSpec extends AnyFunSuite {
     assert(assigned.select("cluster").distinct().count() > 100L)
   }
 
+  test("ClusterSample assigns against 2048 centroids — still one zero-shuffle map pass") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val vecs = spark.range(20000).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 17 + d).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val cents = spark.range(2048).map { i =>
+      (i, Array.tabulate(8)(d => math.cos(i * 13 + d)).toSeq)
+    }.toDF("cid", "cv")
+    val assigned = graft.operators.sampling.ClusterSample
+      .assign(vecs, "vec_id", "embedding", cents, "cid", "cv")
+    // the 2048-centroid set is ONE literal: the assignment plan must stay
+    // a map-only pass — no Exchange anywhere under it
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assign plan shuffles:\n$plan")
+    assert(assigned.count() == 20000L)
+    assert(assigned.select("cluster").distinct().count() > 500L)
+  }
+
+  test("BPE encode cost is independent of merge-table size (32k vs 1k table)") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.text.{BpeTrain, BpeCodec}
+    val docs = spark.range(20000).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 16).map(j =>
+        concat(lit("w"), ((col("id") + j) % 211).cast("string"))): _*).as("text"))
+    val learned = BpeTrain.learnMerges(docs.limit(500), "text", 48)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(learned.size > 16, "need the UDF path (> hofMergeCap)")
+    // identical APPLIED merges; tables padded with inert pairs that never
+    // occur, so any cost difference is pure table-size overhead
+    def padTo(n: Int): Seq[(String, String)] =
+      learned ++ (learned.size until n).map(i => (s"\u0001$i", s"\u0002$i"))
+    def run(ms: Seq[(String, String)]): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val total = BpeTrain.withBpeTokenCount(docs, "text", ms)
+        .agg(sum(col("n_bpe_tokens"))).head().getLong(0)
+      (total, (System.nanoTime() - t0) / 1e9)
+    }
+    run(padTo(1000)) // warm codegen/JIT out of the comparison
+    val (tot1k, s1k) = run(padTo(1000))
+    val (tot32k, s32k) = run(padTo(32000))
+    assert(tot32k == tot1k, "inert padding must not change the encoding")
+    // rank-indexed codec: per-word cost tracks APPLIED merges, not table
+    // size — the old sequential scan was ~32x slower here
+    assert(s32k <= 4 * s1k + 1.0,
+      f"32k-merge encode $s32k%.2fs vs 1k-merge $s1k%.2fs — cost grew with table size")
+    // pin the codec's semantics against a literal rank-order sequential scan
+    val codec = new BpeCodec(learned)
+    def naive(w: String): Seq[String] = {
+      var syms: Array[String] = w.split("")
+      for ((l, r) <- learned if syms.length > 1) {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        for (s <- syms) {
+          if (out.nonEmpty && out.last == l && s == r) out(out.length - 1) = l + r
+          else out += s
+        }
+        syms = out.toArray
+      }
+      syms.toSeq
+    }
+    val words = docs.limit(50).select(explode(split(col("text"), " ")))
+      .collect().map(_.getString(0)).filter(_.nonEmpty)
+    words.foreach { w =>
+      assert(codec.encodeWord(w).toSeq == naive(w), s"codec diverges on '$w'")
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     Seq("b_orders", "b_customer").foreach { t =>
       spark.sql(s"drop table if exists $t")
