@@ -35,16 +35,28 @@ object Bench {
       .filter(p => p.getName.contains("CodeHeap") || p.getName.contains("Code Cache"))
       .map(_.getUsage.getUsed).sum / 1048576.0
   }
+  /** Whole-process CPU seconds — a slow wall-clock with a small CPU delta
+    * means the run was WAITING (scheduler/cleaner interference), a large
+    * one means it was genuinely computing; the key discriminator for
+    * sweep-positional stalls that GC/JIT counters don't explain.
+    */
+  private def cpuSec: Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean =>
+        os.getProcessCpuTime / 1e9
+      case _ => -1.0
+    }
 
   final case class RunStats(time: Either[String, Double],
-                            gcMs: Long, jitMs: Long, ccMb: Double)
+                            gcMs: Long, jitMs: Long, ccMb: Double,
+                            cpuS: Double)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.getOrCreate()
 
     def runOnce(name: String): RunStats = {
-      val g0 = gcMillis; val j0 = jitMillis
+      val g0 = gcMillis; val j0 = jitMillis; val c0 = cpuSec
       val t0 = System.nanoTime()
       val r: Either[String, Double] = try {
         SparkEntry.queries(name)(spark, sfDir)
@@ -55,7 +67,7 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           Left(e.getClass.getSimpleName)
       } finally spark.catalog.clearCache() // not timed; see scaladoc
-      RunStats(r, gcMillis - g0, jitMillis - j0, codeCacheUsedMb)
+      RunStats(r, gcMillis - g0, jitMillis - j0, codeCacheUsedMb, cpuSec - c0)
     }
 
     // warmup: one cheap query end-to-end (JIT, codegen, parquet footer cache)
@@ -102,7 +114,13 @@ object Bench {
     val stalls = timed.collect {
       case (n, (Right(cv), (w: RunStats))) if w.time.exists(wv => wv > 3 * cv && wv > 2.0) => n
     }
-    stalls.foreach(n => System.err.println(s"[bench] STALL retained: $n"))
+    stalls.foreach { n =>
+      val (c, w) = timed.toMap.apply(n)
+      System.err.println(String.format(java.util.Locale.ROOT,
+        "[bench] STALL retained: %s cold=%.2fs warm=%.2fs gc=%dms jit=%dms cpu=%.1fs",
+        n, Double.box(c.getOrElse(-1.0)), Double.box(w.time.getOrElse(-1.0)),
+        Long.box(w.gcMs), Long.box(w.jitMs), Double.box(w.cpuS)))
+    }
 
     // cross-round drift gate: compare each warm time against the PREVIOUS
     // round's official record (BENCH_r*.json in the repo root, short-id
@@ -142,9 +160,9 @@ object Bench {
       val p = priorWarm(n.split("_").head)
       val wv = w.time.getOrElse(-1.0)
       System.err.println(String.format(java.util.Locale.ROOT,
-        "[bench] REGRESSION %s: warm %.2fs vs prior-round %.2fs (%.1fx) gc=%dms jit=%dms codecache=%.0fMB",
+        "[bench] REGRESSION %s: warm %.2fs vs prior-round %.2fs (%.1fx) gc=%dms jit=%dms codecache=%.0fMB cpu=%.1fs",
         n, Double.box(wv), Double.box(p), Double.box(wv / p),
-        Long.box(w.gcMs), Long.box(w.jitMs), Double.box(w.ccMb)))
+        Long.box(w.gcMs), Long.box(w.jitMs), Double.box(w.ccMb), Double.box(w.cpuS)))
     }
     System.err.println(String.format(java.util.Locale.ROOT,
       "[bench] jvm-health: gc_total=%dms jit_total=%dms codecache_used=%.0fMB",
@@ -182,7 +200,7 @@ object Bench {
     // locale-independent), plus the cold sweep and the per-query JVM-health
     // deltas (GC/JIT ms inside each warm run, code-cache occupancy after it)
     val fileJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results, value = _.toString)},"cold":${fmt(cold, value = _.toString)},"failed":$failedJson,"stalls":$stallsFullJson,"regressions":$regressionsFullJson,"gc_ms":${statsMap(_.gcMs.toString)},"jit_ms":${statsMap(_.jitMs.toString)},"codecache_mb":${statsMap(w => num(w.ccMb))},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results, value = _.toString)},"cold":${fmt(cold, value = _.toString)},"failed":$failedJson,"stalls":$stallsFullJson,"regressions":$regressionsFullJson,"gc_ms":${statsMap(_.gcMs.toString)},"jit_ms":${statsMap(_.jitMs.toString)},"codecache_mb":${statsMap(w => num(w.ccMb))},"cpu_s":${statsMap(w => num(w.cpuS))},"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_bench.json"),
       fileJson.getBytes("UTF-8"))
     spark.stop()

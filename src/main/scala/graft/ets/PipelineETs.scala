@@ -45,8 +45,12 @@ object GopherRulesET extends NoPathET {
         args._3, args._4, args._5, args._6, args._7)
       case "filter" => QualityRules.gopherFilter(df, textCol, args._1, args._2,
         args._3, args._4, args._5, args._6, args._7)
+      // the A1.2 repetition battery (top-n-gram / duplicated-5-gram char mass)
+      case "repetition" => QualityRules.repetition(df, textCol,
+        d("maxTop2", 0.20), d("maxTop3", 0.18), d("maxTop4", 0.16),
+        d("maxDup5", 0.15))
       case other => throw new IllegalArgumentException(
-        s"GopherRules mode must be annotate|filter, got '$other'")
+        s"GopherRules mode must be annotate|filter|repetition, got '$other'")
     }
   }
 }

@@ -90,6 +90,79 @@ object QualityRules {
       .drop("__w__")
   }
 
+  /** Gopher's repetition battery (Rae et al. 2021, appendix A1.2): the
+    * fraction of a document's characters claimed by its most frequent word
+    * n-gram (n = 2, 3, 4) and by duplicated 5-grams — the shape of
+    * boilerplate, keyword stuffing and generation loops that the A1.1
+    * doc-shape rules can't see (complementing p22's repeated-n-gram RATIO,
+    * which counts n-grams, not character mass).
+    *
+    * Appends (top2_char_frac, top3_char_frac, top4_char_frac,
+    * dup5_char_frac, rep_pass). Char mass of an n-gram excludes the n−1
+    * joining spaces; fractions are over the document's total word
+    * characters, rounded to 4 dp BEFORE the threshold comparisons
+    * (cross-engine determinism), and dup5 is capped at 1.0 (overlapping
+    * duplicated windows can claim more chars than exist). The top-n
+    * fractions are deliberately NOT capped — overlapping occurrences can
+    * push them past 1.0, which fails every sane threshold, exactly as a
+    * maximally repetitive document should.
+    *
+    * Still per-row expressions only — no shuffle, scan speed. Cost is
+    * O(distinct n-grams × n-grams) per row (a nested filter count, not a
+    * map-build), bounded by document length, independent of corpus size.
+    */
+  def repetition(df: DataFrame, textCol: String,
+                 maxTop2: Double = 0.20, maxTop3: Double = 0.18,
+                 maxTop4: Double = 0.16, maxDup5: Double = 0.15): DataFrame = {
+    def ngrams(n: Int): Column = expr(
+      s"""CASE WHEN size(filter(split($textCol, ' '), x -> x <> '')) < $n
+         |     THEN CAST(array() AS array<string>)
+         |     ELSE transform(
+         |       sequence(1, size(filter(split($textCol, ' '), x -> x <> '')) - ${n - 1}),
+         |       i -> array_join(slice(filter(split($textCol, ' '), x -> x <> ''), i, $n), ' '))
+         |END""".stripMargin)
+    def cnt(all: String, g: Column): Column =
+      size(filter(col(all), y => y === g))
+    // top-|n|-gram char mass in two aligned passes (no struct ordering —
+    // DuckDB's list_max over structs is not portable): max count, then max
+    // char mass among the n-grams achieving it
+    def topFrac(n: Int): Column = {
+      val all = s"__ng${n}__"
+      val d = array_distinct(col(all))
+      val topc = array_max(transform(d, g => cnt(all, g)))
+      val mass = array_max(transform(d, g =>
+        when(cnt(all, g) === topc, cnt(all, g) * (length(g) - lit(n - 1)))
+          .otherwise(lit(0))))
+      coalesce(round(mass.cast("double") / col("__cm__"), 4), lit(0.0))
+    }
+    val dup5Mass = aggregate(
+      transform(array_distinct(col("__ng5__")), g =>
+        when(cnt("__ng5__", g) >= 2, cnt("__ng5__", g) * (length(g) - lit(4)))
+          .otherwise(lit(0))),
+      lit(0), (a, x) => a + x)
+    val out = df
+      .withColumn("__cm__", expr(
+        s"aggregate(filter(split($textCol, ' '), x -> x <> ''), 0, (a, x) -> a + length(x))")
+        .cast("double"))
+      .withColumn("__ng2__", ngrams(2))
+      .withColumn("__ng3__", ngrams(3))
+      .withColumn("__ng4__", ngrams(4))
+      .withColumn("__ng5__", ngrams(5))
+      .withColumn("top2_char_frac", topFrac(2))
+      .withColumn("top3_char_frac", topFrac(3))
+      .withColumn("top4_char_frac", topFrac(4))
+      .withColumn("dup5_char_frac",
+        when(col("__cm__") > 0,
+          round(least(dup5Mass.cast("double") / col("__cm__"), lit(1.0)), 4))
+          .otherwise(lit(0.0)))
+    out
+      .withColumn("rep_pass",
+        (col("top2_char_frac") <= maxTop2 && col("top3_char_frac") <= maxTop3 &&
+          col("top4_char_frac") <= maxTop4 && col("dup5_char_frac") <= maxDup5)
+          .cast("int"))
+      .drop("__cm__", "__ng2__", "__ng3__", "__ng4__", "__ng5__")
+  }
+
   /** Just the survivors (the composable filter form). */
   def gopherFilter(df: DataFrame, textCol: String,
                    minWords: Int = 50, maxWords: Int = 100000,

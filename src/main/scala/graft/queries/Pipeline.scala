@@ -1384,6 +1384,78 @@ object Pipeline {
         |   AND mean_word_len BETWEEN 3.0 AND 10.0
         |   AND symbol_ratio <= 0.1 AND digit_ratio <= 0.2
         |   AND n_stop_hits >= 2) AS INT) AS gopher_pass
+        |FROM m ORDER BY doc_id""".stripMargin),
+
+    // ---- production-vocab BPE encode benchmark: the corpus encoded
+    //      against a 32768-entry merge table through the UDF path. The
+    //      rank-indexed BpeCodec makes per-word cost track APPLIED merges,
+    //      not table size (ScaleSpec pins 32k ≈ 1k throughput; oracle
+    //      parity for the encode algorithm itself is p6/p28/p31) — this
+    //      entry exists to carry the 32k-table time in BENCH_r{N}. The
+    //      table = merges learned from a deterministic slice, padded with
+    //      control-character pairs that cannot occur. No oracle: replaying
+    //      a 32k-merge encode in SQL is out of scope; rows-only check. ----
+    QuerySpec.noOracle("p51_bpe_encode_32k", (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val learned = graft.operators.text.BpeTrain
+        .learnMerges(docs.filter($"doc_id" < 300), "text", 64)
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      val table = learned ++
+        (learned.size until 32768).map(i => (s"\u0001$i", s"\u0002$i"))
+      graft.operators.text.BpeTrain
+        .withBpeTokenCount(docs, "text", table)
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_bpe_tokens").as("total_tokens"))
+    }),
+
+    // ---- Gopher repetition battery (Rae et al. 2021 A1.2, the p48
+    //      doc-shape battery's sibling): char mass of the most frequent
+    //      2/3/4-gram and of duplicated 5-grams, per-row HOF exprs only —
+    //      no shuffle, O(distinct × n-grams) per row, corpus-size
+    //      independent. Top mass computed in two aligned passes (max
+    //      count, then max mass at that count) because struct-max ordering
+    //      is not engine-portable. ----
+    QuerySpec.sql("p52_gopher_repetition", (s, dir) => {
+      import s.implicits._
+      graft.operators.text.QualityRules.repetition(
+          t(s, dir, "documents").select($"doc_id", $"text"), "text")
+        .select($"doc_id", $"top2_char_frac", $"top3_char_frac",
+          $"top4_char_frac", $"dup5_char_frac", $"rep_pass")
+        .orderBy($"doc_id")
+    },
+      """WITH w AS (SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS ws FROM documents),
+        |b AS (SELECT doc_id, ws,
+        |  CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(ws, x -> LENGTH(x))), 0) AS DOUBLE) AS cm FROM w),
+        |g AS (SELECT doc_id, cm,
+        |  [ARRAY_TO_STRING(ws[i:i+1], ' ') FOR i IN RANGE(1, LEN(ws))] AS ng2,
+        |  [ARRAY_TO_STRING(ws[i:i+2], ' ') FOR i IN RANGE(1, LEN(ws) - 1)] AS ng3,
+        |  [ARRAY_TO_STRING(ws[i:i+3], ' ') FOR i IN RANGE(1, LEN(ws) - 2)] AS ng4,
+        |  [ARRAY_TO_STRING(ws[i:i+4], ' ') FOR i IN RANGE(1, LEN(ws) - 3)] AS ng5
+        | FROM b),
+        |c AS (SELECT doc_id, cm, ng2, ng3, ng4, ng5,
+        |  LIST_MAX(LIST_TRANSFORM(LIST_DISTINCT(ng2), g -> LEN(LIST_FILTER(ng2, y -> y = g)))) AS t2,
+        |  LIST_MAX(LIST_TRANSFORM(LIST_DISTINCT(ng3), g -> LEN(LIST_FILTER(ng3, y -> y = g)))) AS t3,
+        |  LIST_MAX(LIST_TRANSFORM(LIST_DISTINCT(ng4), g -> LEN(LIST_FILTER(ng4, y -> y = g)))) AS t4
+        | FROM g),
+        |m AS (SELECT doc_id, cm,
+        |  COALESCE(ROUND(LIST_MAX(LIST_TRANSFORM(LIST_DISTINCT(ng2), g ->
+        |    CASE WHEN LEN(LIST_FILTER(ng2, y -> y = g)) = t2
+        |         THEN LEN(LIST_FILTER(ng2, y -> y = g)) * (LENGTH(g) - 1) ELSE 0 END)) / cm, 4), 0.0) AS top2_char_frac,
+        |  COALESCE(ROUND(LIST_MAX(LIST_TRANSFORM(LIST_DISTINCT(ng3), g ->
+        |    CASE WHEN LEN(LIST_FILTER(ng3, y -> y = g)) = t3
+        |         THEN LEN(LIST_FILTER(ng3, y -> y = g)) * (LENGTH(g) - 2) ELSE 0 END)) / cm, 4), 0.0) AS top3_char_frac,
+        |  COALESCE(ROUND(LIST_MAX(LIST_TRANSFORM(LIST_DISTINCT(ng4), g ->
+        |    CASE WHEN LEN(LIST_FILTER(ng4, y -> y = g)) = t4
+        |         THEN LEN(LIST_FILTER(ng4, y -> y = g)) * (LENGTH(g) - 3) ELSE 0 END)) / cm, 4), 0.0) AS top4_char_frac,
+        |  CASE WHEN cm > 0 THEN ROUND(LEAST(COALESCE(LIST_SUM(LIST_TRANSFORM(LIST_DISTINCT(ng5), g ->
+        |    CASE WHEN LEN(LIST_FILTER(ng5, y -> y = g)) >= 2
+        |         THEN LEN(LIST_FILTER(ng5, y -> y = g)) * (LENGTH(g) - 4) ELSE 0 END)), 0) / cm, 1.0), 4)
+        |  ELSE 0.0 END AS dup5_char_frac
+        | FROM c)
+        |SELECT doc_id, top2_char_frac, top3_char_frac, top4_char_frac, dup5_char_frac,
+        | CAST((top2_char_frac <= 0.20 AND top3_char_frac <= 0.18
+        |   AND top4_char_frac <= 0.16 AND dup5_char_frac <= 0.15) AS INT) AS rep_pass
         |FROM m ORDER BY doc_id""".stripMargin)
   )
 

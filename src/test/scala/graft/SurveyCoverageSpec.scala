@@ -172,13 +172,15 @@ class SurveyCoverageSpec extends AnyFunSuite {
       "p40_substring_dedup", "p41_hard_negatives", "p42_bigram_lm",
       "p43_neardup_keep_best", "p44_dsir_select", "p45_decontaminate_fuzzy",
       "p46_cluster_balanced", "p47_shard_export", "p48_gopher_rules",
-      "p49_dsir_gumbel", "p50_gopher_multilang",
+      "p49_dsir_gumbel", "p50_gopher_multilang", "p52_gopher_repetition",
       "s11_script_dedup", "s18_script_neardup_pipeline",
       "s19_script_clean_corpus", "s23_script_chunk_pipeline",
       "s24_script_substring_dedup", "s25_script_cluster_assign",
       "s26_script_curate_select_shard"))
-    // KMeans fit → ClusterSample through the DSL: rows-only (a seeded
-    // k-means|| fit is not SQL-replayable in DuckDB)
-    assertQueries(Seq("s27_script_kmeans_cluster_sample"), withOracle = false)
+    // rows-only entries: a seeded k-means|| fit and a 32k-merge BPE encode
+    // are not SQL-replayable in DuckDB (their algorithms are oracle-pinned
+    // elsewhere: p46/s25 assignment math, p6/p28/p31 encode parity)
+    assertQueries(Seq("s27_script_kmeans_cluster_sample", "p51_bpe_encode_32k"),
+      withOracle = false)
   }
 }

@@ -68,6 +68,23 @@ class CleanOpsSpec extends AnyFunSuite {
     assert(kept == Set(1L))
   }
 
+  test("Gopher repetition battery: hand-computed char-mass fractions") {
+    import graft.operators.text.QualityRules
+    val corpus = docs(
+      1L -> "spark spark spark data",     // "spark spark" x2, cm=19
+      2L -> "a b c d e a b c d e a")     // "a b c d e" + "b c d e a" dup 5-grams
+    val out = QualityRules.repetition(corpus, "text")
+      .orderBy("doc_id")
+      .select("doc_id", "top2_char_frac", "dup5_char_frac", "rep_pass")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getInt(3)))
+    // doc 1: top 2-gram "spark spark" cnt=2, mass=2*(11-1)=20 over cm=19 —
+    // overlapping occurrences legitimately push the fraction past 1
+    assert(out(0) == (1L, 1.0526, 0.0, 0), s"got ${out(0)}")
+    // doc 2: two distinct duplicated 5-grams, mass 2*5+2*5=20 over cm=11,
+    // capped at 1.0
+    assert(out(1)._1 == 2L && out(1)._3 == 1.0 && out(1)._4 == 0, s"got ${out(1)}")
+  }
+
   test("decontaminate clean drops flagged docs and keeps the rest intact") {
     val train = docs(1L -> "a b c d e f", 2L -> "g h i j k l")
     val eval = docs(10L -> "x a b c d y")

@@ -217,6 +217,37 @@ class BenchSpec extends AnyFunSuite {
     assert(!pa.contains("Join"), pa)
   }
 
+  test("p50/p52 Gopher batteries are zero-shuffle per-row passes; " +
+       "the lang→probes map is ONE literal") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "text")
+    val ml = graft.operators.text.QualityRules.gopherByLang(
+      docs, "text", "lang",
+      probes = Map("fr" -> Seq("merge", "table"), "es" -> Seq("query", "row")))
+    val pml = ml.queryExecution.executedPlan.toString
+    assert(!pml.contains("Exchange"), pml)
+    // per-language routing must be a map-literal lookup, not a probes-deep
+    // CaseWhen chain (the GroupCap failure class)
+    assert(!pml.contains("CaseWhen"), pml)
+    val rep = graft.operators.text.QualityRules.repetition(docs, "text")
+    val prp = rep.queryExecution.executedPlan.toString
+    assert(!prp.contains("Exchange"), prp)
+    assert(!prp.contains("Join"), prp)
+  }
+
+  test("p49 Gumbel resampling is the p44 zero-shuffle score plus ONE top-k") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val sel = graft.operators.sampling.ImportanceSelect.gumbelSelect(
+      docs, docs.filter(col("lang") === "en"), "doc_id", "text",
+      k = 20, seed = 42L, portable = true)
+    val p = sel.queryExecution.executedPlan.toString
+    // global top-k = TakeOrderedAndProject (per-partition partial top-k +
+    // driver merge of k rows), never a full sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("p47 shard assignment never plans a single-partition global window") {
     val df = graft.operators.sampling.ShardExport.assignShards(
       spark.read.parquet(s"$sf/documents.parquet"), "doc_id", rowsPerShard = 40)
