@@ -114,8 +114,9 @@ object Bench {
     val stalls = timed.collect {
       case (n, (Right(cv), (w: RunStats))) if w.time.exists(wv => wv > 3 * cv && wv > 2.0) => n
     }
+    val byName = timed.toMap
     stalls.foreach { n =>
-      val (c, w) = timed.toMap.apply(n)
+      val (c, w) = byName(n)
       System.err.println(String.format(java.util.Locale.ROOT,
         "[bench] STALL retained: %s cold=%.2fs warm=%.2fs gc=%dms jit=%dms cpu=%.1fs",
         n, Double.box(c.getOrElse(-1.0)), Double.box(w.time.getOrElse(-1.0)),
@@ -145,8 +146,17 @@ object Bench {
         else {
           val body = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt)
             .map(_.group(1)).getOrElse("")
+          // a query that STALLED last round carries an inflated warm time —
+          // baselining against it would blind the gate for exactly the
+          // queries that were already sick, so those keys are dropped
+          // (their this-round warm is then simply ungated, like a new query)
+          val priorStalls = """"stalls":\[([^\]]*)\]""".r.findFirstMatchIn(txt)
+            .map(_.group(1)).getOrElse("")
+            .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSet
           """"([A-Za-z0-9_]+)":(-?[0-9][0-9.eE+-]*)""".r.findAllMatchIn(body)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+            .map(m => m.group(1) -> m.group(2).toDouble)
+            .filterNot { case (k, _) => priorStalls.contains(k) }
+            .toMap
         }
       }.getOrElse(Map.empty)
     }
@@ -156,7 +166,7 @@ object Bench {
       } => n
     }
     regressions.foreach { n =>
-      val w = timed.toMap.apply(n)._2
+      val w = byName(n)._2
       val p = priorWarm(n.split("_").head)
       val wv = w.time.getOrElse(-1.0)
       System.err.println(String.format(java.util.Locale.ROOT,
@@ -178,10 +188,20 @@ object Bench {
       case (k, Left(_))  => s""""${key(k)}":-1"""
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, Right(v)) => v }.sum
+    // stdout lists are CAPPED at 8 entries (+"…N" marker): the driver tail
+    // keeps only the LAST ~1.9 KB of stdout, and a sick sweep with dozens
+    // of stall/regression entries must not truncate the JSON head — the
+    // r04/r05 parsed:null failure mode — exactly when the gate matters.
+    // The file copy below keeps the full lists.
+    def shortList(ns: Seq[String]): String = {
+      val ids = ns.map(_.split("_").head)
+      val kept = if (ids.size <= 8) ids else ids.take(8) :+ s"…${ids.size - 8}"
+      kept.map("\"" + _ + "\"").mkString("[", ",", "]")
+    }
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val stallsJson = stalls.map("\"" + _.split("_").head + "\"").mkString("[", ",", "]")
+    val stallsJson = shortList(stalls)
     val stallsFullJson = stalls.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val regressionsJson = regressions.map("\"" + _.split("_").head + "\"").mkString("[", ",", "]")
+    val regressionsJson = shortList(regressions)
     val regressionsFullJson = regressions.map("\"" + _ + "\"").mkString("[", ",", "]")
     val warmStats = timed.map { case (n, (_, w)) => n -> w }
     def statsMap(f: RunStats => String): String =

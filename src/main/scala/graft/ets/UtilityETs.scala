@@ -134,9 +134,12 @@ object CacheExtET extends NoPathET {
     params.getOrElse("execute", "cache") match {
       case "uncache" => df.unpersist()
       case _ =>
+        val lifetime = params.getOrElse("lifetime", "script")
+        require(lifetime == "script" || lifetime == "session",
+          s"CacheExt lifetime must be script|session, got '$lifetime'")
         df.persist()
-        if (params.getOrElse("lifetime", "script") == "script")
-          graft.CacheScope.pinIfScoped(df)
+        if (lifetime == "script") graft.CacheScope.pinIfScoped(df)
+        // lifetime="session": user owns the release (execute="uncache")
         if (params.getOrElse("isEager", "false").toBoolean) df.count()
     }
     df

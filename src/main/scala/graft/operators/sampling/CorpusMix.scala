@@ -33,10 +33,9 @@ object CorpusMix {
     val wExpr = weights.foldLeft(lit(defaultWeight)) { case (acc, (k, v)) =>
       when(col(domainCol) === lit(k), lit(v)).otherwise(acc)
     }
-    // uniform [0,1) from the row id: 32 bits of md5("id:seed") / 2^32
-    val u = conv(substring(md5(concat_ws(":",
-        col(idCol).cast("string"), lit(seed.toString))), 1, 8), 16, 10)
-      .cast("long").cast("double") / lit(4294967296.0)
+    // uniform [0,1) from the row id ([[CorpusShuffle.draw]], the one
+    // shared portable construction)
+    val u = CorpusShuffle.draw(idCol, seed)
     df.withColumn("__w__", wExpr)
       .withColumn("__copies__",
         (floor(col("__w__")) +

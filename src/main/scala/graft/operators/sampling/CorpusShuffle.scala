@@ -26,12 +26,27 @@ import org.apache.spark.sql.functions._
   */
 object CorpusShuffle {
 
-  /** uniform draw, identical construction to [[CorpusMix.mix]] (shared
-    * with [[ShardExport]]). */
-  private[sampling] def draw(idCol: String, seed: Long): Column =
-    conv(substring(md5(concat_ws(":",
-        col(idCol).cast("string"), lit(seed.toString))), 1, 8), 16, 10)
-      .cast("long").cast("double") / lit(4294967296.0)
+  /** THE portable uniform draw — one construction, one place (shared by
+    * CorpusMix, ShardExport, TokenBudget, GroupCap, ImportanceSelect's
+    * Gumbel mode): md5-hex prefix [1..8] parsed base-16, over 2^32. Every
+    * DuckDB oracle replays it bit-exactly
+    * (`CAST(CONCAT('0x', SUBSTR(MD5(id || ':' || seed), 1, 8)) AS UBIGINT)
+    * / 4294967296.0`), so any change here must change them all.
+    * `plusHalf = true` shifts the numerator by +0.5 — u strictly inside
+    * (0,1), exactly representable — for consumers that take log(u).
+    */
+  private[graft] def draw(idCol: String, seed: Long,
+                          plusHalf: Boolean = false): Column =
+    draw(col(idCol).cast("string"), seed, plusHalf)
+
+  /** Column-keyed variant for computed draw keys (CorpusSplit's
+    * group/component keys). */
+  private[graft] def draw(key: Column, seed: Long, plusHalf: Boolean): Column = {
+    val raw = conv(substring(md5(concat_ws(":",
+        key, lit(seed.toString))), 1, 8), 16, 10)
+      .cast("long").cast("double")
+    (if (plusHalf) raw + lit(0.5) else raw) / lit(4294967296.0)
+  }
 
   /** Returns `df` totally ordered by the seeded draw. No position column
     * is materialized — a global row_number would single-partition; when a

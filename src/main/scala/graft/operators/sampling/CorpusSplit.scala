@@ -48,10 +48,9 @@ object CorpusSplit {
         .otherwise(concat(lit("g:"), col(g).cast("string")))
       case None => col(keyCol).cast("string")
     }
-    // uniform [0,1) from the draw key: 32 bits of md5("key:seed") / 2^32
-    val u = conv(substring(md5(concat_ws(":",
-        drawKey, lit(seed.toString))), 1, 8), 16, 10)
-      .cast("long").cast("double") / lit(4294967296.0)
+    // uniform [0,1) from the draw key ([[CorpusShuffle.draw]], the one
+    // shared portable construction)
+    val u = CorpusShuffle.draw(drawKey, seed, plusHalf = false)
     // cumulative thresholds; the fold order here (left-to-right sum) is
     // part of the determinism contract — an oracle mirroring this split
     // must add weights in the same order to get bit-identical doubles

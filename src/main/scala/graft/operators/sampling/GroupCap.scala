@@ -35,13 +35,11 @@ import org.apache.spark.sql.functions._
   */
 object GroupCap {
 
-  /** uniform [0,1) from the row id: 32 bits of md5("id:seed") / 2^32 —
-    * identical construction to [[CorpusMix.mix]].
+  /** uniform [0,1) from the row id — [[CorpusShuffle.draw]], the one
+    * shared portable construction.
     */
   private def draw(idCol: String, seed: Long): Column =
-    conv(substring(md5(concat_ws(":",
-        col(idCol).cast("string"), lit(seed.toString))), 1, 8), 16, 10)
-      .cast("long").cast("double") / lit(4294967296.0)
+    CorpusShuffle.draw(idCol, seed)
 
   def capPerGroup(df: DataFrame, groupCol: String, cap: Int, idCol: String,
                   seed: Long = 42L): DataFrame = {

@@ -175,10 +175,7 @@ object ImportanceSelect {
       if (!portable)
         (pmod(xxhash64(col(idCol), lit(seed)), lit(1000000000L)).cast("double") + lit(0.5)) /
           lit(1000000000.0)
-      else
-        (conv(substring(md5(concat_ws(":",
-            col(idCol).cast("string"), lit(seed.toString))), 1, 8), 16, 10)
-          .cast("long").cast("double") + lit(0.5)) / lit(4294967296.0)
+      else CorpusShuffle.draw(idCol, seed, plusHalf = true)
     scored
       .withColumn("__key__", col("log_w") / lit(temperature) - log(-log(u)))
       .orderBy(col("__key__").desc, col(idCol))

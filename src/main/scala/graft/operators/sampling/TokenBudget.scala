@@ -41,9 +41,7 @@ object TokenBudget {
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
   private def draw(idCol: String, seed: Long): Column =
-    conv(substring(md5(concat_ws(":",
-        col(idCol).cast("string"), lit(seed.toString))), 1, 8), 16, 10)
-      .cast("long").cast("double") / lit(4294967296.0)
+    CorpusShuffle.draw(idCol, seed) // the one shared portable construction
 
   def take(df: DataFrame, idCol: String, tokenCol: String, budget: Long,
            seed: Long = 42L, partitions: Int = 0): DataFrame = {

@@ -114,40 +114,46 @@ object QualityRules {
   def repetition(df: DataFrame, textCol: String,
                  maxTop2: Double = 0.20, maxTop3: Double = 0.18,
                  maxTop4: Double = 0.16, maxDup5: Double = 0.15): DataFrame = {
-    def ngrams(n: Int): Column = expr(
-      s"""CASE WHEN size(filter(split($textCol, ' '), x -> x <> '')) < $n
-         |     THEN CAST(array() AS array<string>)
-         |     ELSE transform(
-         |       sequence(1, size(filter(split($textCol, ' '), x -> x <> '')) - ${n - 1}),
-         |       i -> array_join(slice(filter(split($textCol, ' '), x -> x <> ''), i, $n), ' '))
-         |END""".stripMargin)
+    // HOF lambdas get NO common-subexpression elimination (the
+    // ImportanceSelect portable-hash lesson): every invariant — the word
+    // array, each n-gram array, its distinct set, and the per-n top count —
+    // is materialized as a COLUMN first, so lambdas only reference bound
+    // attributes, never recompute an aggregate per element.
+    def ngrams(n: Int): Column =
+      when(size(col("__w__")) < n, typedlit(Seq.empty[String]))
+        .otherwise(transform(
+          sequence(lit(1), size(col("__w__")) - lit(n - 1)),
+          i => array_join(slice(col("__w__"), i, lit(n)), " ")))
     def cnt(all: String, g: Column): Column =
       size(filter(col(all), y => y === g))
     // top-|n|-gram char mass in two aligned passes (no struct ordering —
-    // DuckDB's list_max over structs is not portable): max count, then max
-    // char mass among the n-grams achieving it
+    // DuckDB's list_max over structs is not portable): max count (its own
+    // column), then max char mass among the n-grams achieving it
+    def topc(n: Int): Column =
+      array_max(transform(col(s"__d${n}__"), g => cnt(s"__ng${n}__", g)))
     def topFrac(n: Int): Column = {
-      val all = s"__ng${n}__"
-      val d = array_distinct(col(all))
-      val topc = array_max(transform(d, g => cnt(all, g)))
-      val mass = array_max(transform(d, g =>
-        when(cnt(all, g) === topc, cnt(all, g) * (length(g) - lit(n - 1)))
+      val mass = array_max(transform(col(s"__d${n}__"), g =>
+        when(cnt(s"__ng${n}__", g) === col(s"__t${n}__"),
+          cnt(s"__ng${n}__", g) * (length(g) - lit(n - 1)))
           .otherwise(lit(0))))
       coalesce(round(mass.cast("double") / col("__cm__"), 4), lit(0.0))
     }
     val dup5Mass = aggregate(
-      transform(array_distinct(col("__ng5__")), g =>
+      transform(col("__d5__"), g =>
         when(cnt("__ng5__", g) >= 2, cnt("__ng5__", g) * (length(g) - lit(4)))
           .otherwise(lit(0))),
       lit(0), (a, x) => a + x)
     val out = df
-      .withColumn("__cm__", expr(
-        s"aggregate(filter(split($textCol, ' '), x -> x <> ''), 0, (a, x) -> a + length(x))")
-        .cast("double"))
-      .withColumn("__ng2__", ngrams(2))
-      .withColumn("__ng3__", ngrams(3))
-      .withColumn("__ng4__", ngrams(4))
-      .withColumn("__ng5__", ngrams(5))
+      .withColumn("__w__", expr(s"filter(split($textCol, ' '), x -> x <> '')"))
+      .withColumn("__cm__",
+        aggregate(col("__w__"), lit(0), (a, x) => a + length(x)).cast("double"))
+      .withColumn("__ng2__", ngrams(2)).withColumn("__d2__", array_distinct(col("__ng2__")))
+      .withColumn("__ng3__", ngrams(3)).withColumn("__d3__", array_distinct(col("__ng3__")))
+      .withColumn("__ng4__", ngrams(4)).withColumn("__d4__", array_distinct(col("__ng4__")))
+      .withColumn("__ng5__", ngrams(5)).withColumn("__d5__", array_distinct(col("__ng5__")))
+      .withColumn("__t2__", topc(2))
+      .withColumn("__t3__", topc(3))
+      .withColumn("__t4__", topc(4))
       .withColumn("top2_char_frac", topFrac(2))
       .withColumn("top3_char_frac", topFrac(3))
       .withColumn("top4_char_frac", topFrac(4))
@@ -160,7 +166,8 @@ object QualityRules {
         (col("top2_char_frac") <= maxTop2 && col("top3_char_frac") <= maxTop3 &&
           col("top4_char_frac") <= maxTop4 && col("dup5_char_frac") <= maxDup5)
           .cast("int"))
-      .drop("__cm__", "__ng2__", "__ng3__", "__ng4__", "__ng5__")
+      .drop("__w__", "__cm__", "__ng2__", "__ng3__", "__ng4__", "__ng5__",
+        "__d2__", "__d3__", "__d4__", "__d5__", "__t2__", "__t3__", "__t4__")
   }
 
   /** Just the survivors (the composable filter form). */
