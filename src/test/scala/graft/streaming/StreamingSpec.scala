@@ -717,4 +717,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(curatedIds() == Seq(1L, 3L), "re-delivery is idempotent")
   }
 
+  test("streaming dedup-on-ingest: per-batch signature-store dedup, re-delivery yields zero") {
+    // rolling ingestion never re-scans history: each micro-batch dedups
+    // against the persistent MinHash signature store (within-batch exact +
+    // against-store estimate), survivors append, and a re-delivered batch
+    // finds its own signatures already committed — zero survivors
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.{Dataset, Row}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("sdedup").toString
+    val store = s"$base/sigs"
+    val curated = s"$base/curated"
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        graft.operators.dedup.SignatureStore
+          .dedupAgainst(batch.toDF(), "doc_id", "text", store, threshold = 0.7)
+          .write.mode("append").parquet(curated)
+        ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ck_sd").toString)
+      .start()
+    val d1 = "the quick brown fox jumps over the lazy dog and runs far away into the night"
+    val d2 = "completely different content about spark distributed query engines and caching layers"
+    val d3 = d1.replace("night", "day") // near-dup of d1 under 3-gram minhash
+    val d4 = "unrelated text about streaming ingestion pipelines and exactly once processing"
+    in.addData((1L, d1), (2L, d2))
+    q.processAllAvailable()
+    in.addData((3L, d3), (4L, d4))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.read.parquet(curated).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 4L),
+      s"near-dup doc 3 must be dropped against the store, got $ids")
+    // simulated at-least-once re-delivery of batch 2: its signatures are
+    // already in the store, so the SAME rows now yield zero survivors
+    val redelivered = graft.operators.dedup.SignatureStore.dedupAgainst(
+      Seq((3L, d3), (4L, d4)).toDF("doc_id", "text"),
+      "doc_id", "text", store, threshold = 0.7)
+    assert(redelivered.count() == 0L, "re-delivered batch must fully dedup")
+  }
+
 }
