@@ -19,7 +19,46 @@ object PipelineETs {
     ParagraphDedupInPlaceET, UnigramLmET, BigramLmET, BpeTrainET, SequencePackET,
     IncrementalDedupET, DocChunkET, GroupCapET, CorpusShuffleET, ResampleET,
     CorpusStatsET, TokenBudgetET, SubstringDedupInPlaceET, ImportanceSelectET,
-    ClusterSampleET, ShardExportET, GopherRulesET)
+    ClusterSampleET, ShardExportET, GopherRulesET, PerplexityBucketsET,
+    TemperatureMixET)
+}
+
+/** `run docs as PerplexityBuckets.`` [where idCol="doc_id" and
+  * textCol="text" and langCol="lang" and nBuckets="3" and lambda="0.75"
+  * and minCount="1"]` — CCNet head/middle/tail perplexity tiers per
+  * language under a corpus-fitted bigram LM (see
+  * [[graft.operators.text.PerplexityBuckets]]: two-phase histogram
+  * cutoffs, no per-language global sort).
+  */
+object PerplexityBucketsET extends NoPathET {
+  override def name = "PerplexityBuckets"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame =
+    graft.operators.text.PerplexityBuckets.assign(df,
+      params.getOrElse("idCol", "doc_id"),
+      params.getOrElse("textCol", "text"),
+      params.getOrElse("langCol", "lang"),
+      params.getOrElse("nBuckets", "3").toInt,
+      params.getOrElse("lambda", "0.75").toDouble,
+      params.getOrElse("minCount", "1").toLong)
+}
+
+/** `run docs as TemperatureMix.`` [where domainCol="lang" and
+  * idCol="doc_id" and alpha="0.3" and targetRows="1000" and seed="42"]`
+  * — XLM-R/mT5 alpha-temperature resampling across domains (see
+  * [[graft.operators.sampling.TemperatureMix]]: #domain-key count agg,
+  * then the deterministic zero-shuffle Bernoulli-copies pass).
+  */
+object TemperatureMixET extends NoPathET {
+  override def name = "TemperatureMix"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame =
+    graft.operators.sampling.TemperatureMix.resample(df,
+      params.getOrElse("domainCol", "lang"),
+      params.getOrElse("idCol", "doc_id"),
+      params.getOrElse("alpha", "0.3").toDouble,
+      params.getOrElse("targetRows", "1000").toLong,
+      params.getOrElse("seed", "42").toLong)
 }
 
 /** `run docs as GopherRules.`` [where textCol="text" and mode="annotate|filter"

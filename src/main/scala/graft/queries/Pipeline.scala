@@ -1456,7 +1456,85 @@ object Pipeline {
         |SELECT doc_id, top2_char_frac, top3_char_frac, top4_char_frac, dup5_char_frac,
         | CAST((top2_char_frac <= 0.20 AND top3_char_frac <= 0.18
         |   AND top4_char_frac <= 0.16 AND dup5_char_frac <= 0.15) AS INT) AS rep_pass
-        |FROM m ORDER BY doc_id""".stripMargin)
+        |FROM m ORDER BY doc_id""".stripMargin),
+
+    // ---- CCNet perplexity bucketing (Wenzek et al. 2020): head/middle/
+    //      tail tiers per language by bigram-LM cross-entropy. NO ntile —
+    //      a per-lang global sort single-tasks the head language at
+    //      100 TB; cutoffs come from a two-phase exact histogram over the
+    //      rounded xent (bounded key space), broadcast back, bucket = a
+    //      codegen'd comparison count. Ties on value share a bucket, so
+    //      the assignment is engine-portable (integer cutoff math; see
+    //      PerplexityBuckets scaladoc). LM params match p42 so the oracle
+    //      reuses its replay. ----
+    QuerySpec.sql("p53_ccnet_buckets", (s, dir) => {
+      import s.implicits._
+      graft.operators.text.PerplexityBuckets.assign(
+          t(s, dir, "documents"), "doc_id", "text", "lang",
+          nBuckets = 3, lambda = 0.75, minCount = 2L)
+        .orderBy($"doc_id")
+    },
+      """WITH d AS (SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS tk
+        |           FROM documents),
+        |bgl AS (SELECT doc_id, UNNEST(LIST_ZIP(tk[1:LEN(tk)-1], tk[2:LEN(tk)])) AS z
+        |        FROM d WHERE LEN(tk) >= 2),
+        |bg AS (SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM bgl),
+        |cb AS (SELECT w1, w2, COUNT(*) AS cnt FROM bg GROUP BY w1, w2),
+        |cx AS (SELECT w1, SUM(cnt) AS ctx_cnt FROM cb GROUP BY w1),
+        |model AS (SELECT * FROM cb WHERE cnt >= 2),
+        |wt AS (SELECT doc_id, UNNEST(tk) AS word FROM d),
+        |un AS (SELECT word AS w2, COUNT(*) AS uni_cnt FROM wt GROUP BY word),
+        |n AS (SELECT CAST(SUM(uni_cnt) AS DOUBLE) AS n FROM un),
+        |sc AS (SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+        |  ROUND(-AVG(LN(
+        |    0.75 * (CAST(COALESCE(model.cnt, 0) AS DOUBLE) / CAST(cx.ctx_cnt AS DOUBLE))
+        |    + 0.25 * (CAST(un.uni_cnt AS DOUBLE) / n.n))), 4) AS xent
+        |  FROM bg LEFT JOIN model USING (w1, w2) JOIN cx USING (w1) JOIN un USING (w2)
+        |  CROSS JOIN n GROUP BY bg.doc_id),
+        |sl AS (SELECT sc.doc_id, doc.lang, sc.n_bigrams, sc.xent
+        |       FROM sc JOIN documents doc USING (doc_id)),
+        |h AS (SELECT lang, xent, COUNT(*) AS c FROM sl GROUP BY lang, xent),
+        |cum AS (SELECT lang, xent, SUM(c) OVER (PARTITION BY lang ORDER BY xent
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h),
+        |tt AS (SELECT lang, SUM(c) AS tot FROM h GROUP BY lang),
+        |cuts AS (SELECT cum.lang,
+        |    MIN(CASE WHEN cum * 3 >= tot * 1 THEN xent END) AS c1,
+        |    MIN(CASE WHEN cum * 3 >= tot * 2 THEN xent END) AS c2
+        |  FROM cum JOIN tt USING (lang) GROUP BY cum.lang)
+        |SELECT sl.doc_id, sl.lang, sl.n_bigrams, sl.xent,
+        |  1 + CASE WHEN sl.xent > c1 THEN 1 ELSE 0 END
+        |    + CASE WHEN sl.xent > c2 THEN 1 ELSE 0 END AS ppl_bucket
+        |FROM sl JOIN cuts USING (lang) ORDER BY doc_id""".stripMargin),
+
+    // ---- temperature (alpha) resampling across languages (XLM-R §3.1 /
+    //      mT5 §3.2): sample q_d ∝ p_d^alpha — alpha=0.3 up-samples
+    //      low-resource langs. One #domains-key count agg, rates rounded
+    //      to 6 dp driver-side (identical doubles in any engine), then
+    //      the p24 zero-shuffle deterministic Bernoulli-copies pass. ----
+    QuerySpec.sql("p54_temperature_mix", (s, dir) => {
+      import s.implicits._
+      graft.operators.sampling.TemperatureMix.resample(
+          t(s, dir, "documents"), "lang", "doc_id",
+          alpha = 0.3, targetRows = 200L, seed = 42L)
+        .select($"doc_id", $"lang", $"copy_idx")
+        .orderBy($"doc_id", $"copy_idx")
+    },
+      """WITH c AS (SELECT lang, COUNT(*) AS nd FROM documents GROUP BY lang),
+        |t AS (SELECT CAST(SUM(nd) AS DOUBLE) AS nt FROM c),
+        |q AS (SELECT lang, nd, POW(CAST(nd AS DOUBLE) / nt, 0.3) AS qr FROM c CROSS JOIN t),
+        |s AS (SELECT SUM(qr) AS sq FROM q),
+        |r AS (SELECT lang, ROUND(200 * qr / sq / CAST(nd AS DOUBLE), 6) AS rate
+        |      FROM q CROSS JOIN s),
+        |w AS (SELECT doc_id, lang, rate AS w,
+        |  CAST(CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(CAST(doc_id AS VARCHAR), ':', '42')), 1, 8))
+        |   AS UBIGINT) AS DOUBLE) / 4294967296.0 AS u
+        | FROM documents JOIN r USING (lang)),
+        |k AS (SELECT doc_id, lang,
+        |  CAST(FLOOR(w) + CASE WHEN u < w - FLOOR(w) THEN 1 ELSE 0 END AS BIGINT) AS copies
+        | FROM w)
+        |SELECT doc_id, lang, UNNEST(RANGE(1, copies + 1)) AS copy_idx
+        |FROM k WHERE copies >= 1
+        |ORDER BY doc_id, copy_idx""".stripMargin)
   )
 
   /** Fixed 4-doc corpus for the BPE entries' pinned oracles (expected
