@@ -57,6 +57,12 @@ object VecExpressions {
     ext.injectFunction((FunctionIdentifier("word_window_hashes"),
       info("word_window_hashes", "word_window_hashes(text, k) - md5 of every stride-1 k-word window"),
       (cs: Seq[Expression]) => WordWindowHashes(cs(0), cs(1))))
+    ext.injectFunction((FunctionIdentifier("ngram_top_mass"),
+      info("ngram_top_mass", "ngram_top_mass(words, n) - char mass of the most frequent word n-gram"),
+      (cs: Seq[Expression]) => NgramTopMass(cs(0), cs(1))))
+    ext.injectFunction((FunctionIdentifier("ngram_dup_mass"),
+      info("ngram_dup_mass", "ngram_dup_mass(words, n) - summed char mass of duplicated word n-grams"),
+      (cs: Seq[Expression]) => NgramDupMass(cs(0), cs(1))))
   }
 
   /** Callers cast inputs to array<double> explicitly; reject anything else
@@ -427,4 +433,123 @@ case class WinnowFingerprints(first: Expression, second: Expression, third: Expr
 
   override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): WinnowFingerprints =
     copy(first = f, second = s, third = t)
+}
+
+/** Shared one-pass n-gram statistics for the Gopher A1.2 repetition
+  * expressions: ONE hash-map build over the stride-1 word n-grams of a
+  * document, keyed by the space-joined gram, valued by (occurrence count,
+  * char mass of one occurrence). Char mass excludes the n−1 joining
+  * spaces — i.e. `length(gram) - (n-1)` of the joined string — matching
+  * the HOF formulation these expressions replaced (which was O(distinct ×
+  * n-grams) per row in interpreted lambdas; this is O(n-grams)).
+  */
+private[functions] object NgramMass {
+  /** gram → Array(count, charMassOfOneOccurrence). Null words are treated
+    * as empty strings (the callers feed `filter(split(text,' '), x -> x <>
+    * '')`, which never yields nulls).
+    */
+  def counts(arr: ArrayData, n: Int): java.util.HashMap[String, Array[Long]] = {
+    val g = arr.numElements()
+    val m = new java.util.HashMap[String, Array[Long]]()
+    if (n <= 0 || g < n) return m
+    val strs = new Array[String](g)
+    val chars = new Array[Long](g)
+    var i = 0
+    while (i < g) {
+      val w = if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i)
+      chars(i) = w.numChars().toLong // code points, = Spark/DuckDB LENGTH()
+      strs(i) = w.toString
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder
+    val last = g - n
+    i = 0
+    while (i <= last) {
+      sb.setLength(0)
+      var mass = 0L
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(strs(i + j))
+        mass += chars(i + j)
+        j += 1
+      }
+      val key = sb.toString
+      val prev = m.get(key)
+      if (prev == null) m.put(key, Array(1L, mass)) else prev(0) += 1L
+      i += 1
+    }
+    m
+  }
+}
+
+/** Char mass claimed by the most frequent word n-gram of a document
+  * (Gopher A1.2's top-n-gram statistic): max occurrence count wins; among
+  * grams tied on count, the larger `count × charMass` wins. Returns 0 when
+  * the document has fewer than n words. Semantics match the former
+  * two-aligned-HOF-passes formulation in
+  * [[graft.operators.text.QualityRules.repetition]] exactly (including the
+  * space-excluded char mass), but in ONE O(n-grams) hash pass per row
+  * instead of O(distinct × n-grams) interpreted lambda evaluations.
+  */
+case class NgramTopMass(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback with Serializable {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"ngram_top_mass requires (array<string>, int), got ($l, $r)")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "ngram_top_mass"
+
+  override protected def nullSafeEval(wordsAny: Any, nAny: Any): Any = {
+    val m = NgramMass.counts(wordsAny.asInstanceOf[ArrayData], nAny.asInstanceOf[Int])
+    var bestCnt = 0L
+    var bestTotal = 0L
+    val it = m.values().iterator()
+    while (it.hasNext) {
+      val v = it.next()
+      val cnt = v(0)
+      val total = cnt * v(1)
+      if (cnt > bestCnt || (cnt == bestCnt && total > bestTotal)) {
+        bestCnt = cnt; bestTotal = total
+      }
+    }
+    bestTotal
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): NgramTopMass =
+    copy(left = l, right = r)
+}
+
+/** Summed char mass of DUPLICATED word n-grams (Gopher A1.2's dup-n-gram
+  * statistic): Σ over distinct grams occurring ≥ 2 times of `count ×
+  * charMass` (spaces excluded, overlaps allowed — callers cap the fraction
+  * at 1.0). Same one-hash-pass cost profile as [[NgramTopMass]].
+  */
+case class NgramDupMass(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback with Serializable {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"ngram_dup_mass requires (array<string>, int), got ($l, $r)")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "ngram_dup_mass"
+
+  override protected def nullSafeEval(wordsAny: Any, nAny: Any): Any = {
+    val m = NgramMass.counts(wordsAny.asInstanceOf[ArrayData], nAny.asInstanceOf[Int])
+    var acc = 0L
+    val it = m.values().iterator()
+    while (it.hasNext) {
+      val v = it.next()
+      if (v(0) >= 2L) acc += v(0) * v(1)
+    }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): NgramDupMass =
+    copy(left = l, right = r)
 }

@@ -107,67 +107,42 @@ object QualityRules {
     * push them past 1.0, which fails every sane threshold, exactly as a
     * maximally repetitive document should.
     *
-    * Still per-row expressions only — no shuffle, scan speed. Cost is
-    * O(distinct n-grams × n-grams) per row (a nested filter count, not a
-    * map-build), bounded by document length, independent of corpus size.
+    * Per-row expressions only — no shuffle. The n-gram counting runs in
+    * the native [[graft.functions.NgramTopMass]]/[[graft.functions.NgramDupMass]]
+    * expressions: ONE hash-map pass over the n-grams per row (O(n-grams),
+    * linear in document length), replacing the r10 HOF formulation that
+    * was O(distinct × n-grams) per row in interpreted lambdas (432 s at
+    * sf0.1 for 5 000 short docs — quadratic in doc length, a scale-killer
+    * on real documents). The DuckDB oracle replays the same semantics
+    * relationally (UNNEST n-grams → GROUP BY → max/sum), so portability is
+    * by construction, not by mirroring the Spark plan.
     */
   def repetition(df: DataFrame, textCol: String,
                  maxTop2: Double = 0.20, maxTop3: Double = 0.18,
                  maxTop4: Double = 0.16, maxDup5: Double = 0.15): DataFrame = {
-    // HOF lambdas get NO common-subexpression elimination (the
-    // ImportanceSelect portable-hash lesson): every invariant — the word
-    // array, each n-gram array, its distinct set, and the per-n top count —
-    // is materialized as a COLUMN first, so lambdas only reference bound
-    // attributes, never recompute an aggregate per element.
-    def ngrams(n: Int): Column =
-      when(size(col("__w__")) < n, typedlit(Seq.empty[String]))
-        .otherwise(transform(
-          sequence(lit(1), size(col("__w__")) - lit(n - 1)),
-          i => array_join(slice(col("__w__"), i, lit(n)), " ")))
-    def cnt(all: String, g: Column): Column =
-      size(filter(col(all), y => y === g))
-    // top-|n|-gram char mass in two aligned passes (no struct ordering —
-    // DuckDB's list_max over structs is not portable): max count (its own
-    // column), then max char mass among the n-grams achieving it
-    def topc(n: Int): Column =
-      array_max(transform(col(s"__d${n}__"), g => cnt(s"__ng${n}__", g)))
-    def topFrac(n: Int): Column = {
-      val mass = array_max(transform(col(s"__d${n}__"), g =>
-        when(cnt(s"__ng${n}__", g) === col(s"__t${n}__"),
-          cnt(s"__ng${n}__", g) * (length(g) - lit(n - 1)))
-          .otherwise(lit(0))))
-      coalesce(round(mass.cast("double") / col("__cm__"), 4), lit(0.0))
-    }
-    val dup5Mass = aggregate(
-      transform(col("__d5__"), g =>
-        when(cnt("__ng5__", g) >= 2, cnt("__ng5__", g) * (length(g) - lit(4)))
-          .otherwise(lit(0))),
-      lit(0), (a, x) => a + x)
+    def topFrac(n: Int): Column =
+      when(col("__cm__") > 0,
+        round(call_function("ngram_top_mass", col("__w__"), lit(n))
+          .cast("double") / col("__cm__"), 4))
+        .otherwise(lit(0.0))
     val out = df
       .withColumn("__w__", expr(s"filter(split($textCol, ' '), x -> x <> '')"))
       .withColumn("__cm__",
         aggregate(col("__w__"), lit(0), (a, x) => a + length(x)).cast("double"))
-      .withColumn("__ng2__", ngrams(2)).withColumn("__d2__", array_distinct(col("__ng2__")))
-      .withColumn("__ng3__", ngrams(3)).withColumn("__d3__", array_distinct(col("__ng3__")))
-      .withColumn("__ng4__", ngrams(4)).withColumn("__d4__", array_distinct(col("__ng4__")))
-      .withColumn("__ng5__", ngrams(5)).withColumn("__d5__", array_distinct(col("__ng5__")))
-      .withColumn("__t2__", topc(2))
-      .withColumn("__t3__", topc(3))
-      .withColumn("__t4__", topc(4))
       .withColumn("top2_char_frac", topFrac(2))
       .withColumn("top3_char_frac", topFrac(3))
       .withColumn("top4_char_frac", topFrac(4))
       .withColumn("dup5_char_frac",
         when(col("__cm__") > 0,
-          round(least(dup5Mass.cast("double") / col("__cm__"), lit(1.0)), 4))
+          round(least(call_function("ngram_dup_mass", col("__w__"), lit(5))
+            .cast("double") / col("__cm__"), lit(1.0)), 4))
           .otherwise(lit(0.0)))
     out
       .withColumn("rep_pass",
         (col("top2_char_frac") <= maxTop2 && col("top3_char_frac") <= maxTop3 &&
           col("top4_char_frac") <= maxTop4 && col("dup5_char_frac") <= maxDup5)
           .cast("int"))
-      .drop("__w__", "__cm__", "__ng2__", "__ng3__", "__ng4__", "__ng5__",
-        "__d2__", "__d3__", "__d4__", "__d5__", "__t2__", "__t3__", "__t4__")
+      .drop("__w__", "__cm__")
   }
 
   /** Just the survivors (the composable filter form). */

@@ -1411,11 +1411,12 @@ object Pipeline {
 
     // ---- Gopher repetition battery (Rae et al. 2021 A1.2, the p48
     //      doc-shape battery's sibling): char mass of the most frequent
-    //      2/3/4-gram and of duplicated 5-grams, per-row HOF exprs only —
-    //      no shuffle, O(distinct × n-grams) per row, corpus-size
-    //      independent. Top mass computed in two aligned passes (max
-    //      count, then max mass at that count) because struct-max ordering
-    //      is not engine-portable. ----
+    //      2/3/4-gram and of duplicated 5-grams. Per-row native
+    //      expressions (ngram_top_mass / ngram_dup_mass): ONE hash-map
+    //      pass over the n-grams per row — no shuffle, O(n-grams) per
+    //      row (linear in doc length), corpus-size independent. The
+    //      oracle replays the semantics relationally (UNNEST n-grams →
+    //      GROUP BY → max/sum with the same count-then-mass tie-break). ----
     QuerySpec.sql("p52_gopher_repetition", (s, dir) => {
       import s.implicits._
       graft.operators.text.QualityRules.repetition(
@@ -1425,34 +1426,38 @@ object Pipeline {
         .orderBy($"doc_id")
     },
       """WITH w AS (SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS ws FROM documents),
-        |b AS (SELECT doc_id, ws,
+        |b AS (SELECT doc_id,
         |  CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(ws, x -> LENGTH(x))), 0) AS DOUBLE) AS cm FROM w),
-        |g AS (SELECT doc_id, cm,
+        |g AS (SELECT doc_id,
         |  [ARRAY_TO_STRING(ws[i:i+1], ' ') FOR i IN RANGE(1, LEN(ws))] AS ng2,
         |  [ARRAY_TO_STRING(ws[i:i+2], ' ') FOR i IN RANGE(1, LEN(ws) - 1)] AS ng3,
         |  [ARRAY_TO_STRING(ws[i:i+3], ' ') FOR i IN RANGE(1, LEN(ws) - 2)] AS ng4,
         |  [ARRAY_TO_STRING(ws[i:i+4], ' ') FOR i IN RANGE(1, LEN(ws) - 3)] AS ng5
-        | FROM b),
-        |c AS (SELECT doc_id, cm, ng2, ng3, ng4, ng5,
-        |  LIST_MAX(LIST_TRANSFORM(LIST_DISTINCT(ng2), g -> LEN(LIST_FILTER(ng2, y -> y = g)))) AS t2,
-        |  LIST_MAX(LIST_TRANSFORM(LIST_DISTINCT(ng3), g -> LEN(LIST_FILTER(ng3, y -> y = g)))) AS t3,
-        |  LIST_MAX(LIST_TRANSFORM(LIST_DISTINCT(ng4), g -> LEN(LIST_FILTER(ng4, y -> y = g)))) AS t4
-        | FROM g),
-        |m AS (SELECT doc_id, cm,
-        |  COALESCE(ROUND(LIST_MAX(LIST_TRANSFORM(LIST_DISTINCT(ng2), g ->
-        |    CASE WHEN LEN(LIST_FILTER(ng2, y -> y = g)) = t2
-        |         THEN LEN(LIST_FILTER(ng2, y -> y = g)) * (LENGTH(g) - 1) ELSE 0 END)) / cm, 4), 0.0) AS top2_char_frac,
-        |  COALESCE(ROUND(LIST_MAX(LIST_TRANSFORM(LIST_DISTINCT(ng3), g ->
-        |    CASE WHEN LEN(LIST_FILTER(ng3, y -> y = g)) = t3
-        |         THEN LEN(LIST_FILTER(ng3, y -> y = g)) * (LENGTH(g) - 2) ELSE 0 END)) / cm, 4), 0.0) AS top3_char_frac,
-        |  COALESCE(ROUND(LIST_MAX(LIST_TRANSFORM(LIST_DISTINCT(ng4), g ->
-        |    CASE WHEN LEN(LIST_FILTER(ng4, y -> y = g)) = t4
-        |         THEN LEN(LIST_FILTER(ng4, y -> y = g)) * (LENGTH(g) - 3) ELSE 0 END)) / cm, 4), 0.0) AS top4_char_frac,
-        |  CASE WHEN cm > 0 THEN ROUND(LEAST(COALESCE(LIST_SUM(LIST_TRANSFORM(LIST_DISTINCT(ng5), g ->
-        |    CASE WHEN LEN(LIST_FILTER(ng5, y -> y = g)) >= 2
-        |         THEN LEN(LIST_FILTER(ng5, y -> y = g)) * (LENGTH(g) - 4) ELSE 0 END)), 0) / cm, 1.0), 4)
-        |  ELSE 0.0 END AS dup5_char_frac
-        | FROM c)
+        | FROM w),
+        |ng AS (SELECT doc_id, 2 AS n, UNNEST(ng2) AS gram FROM g
+        |  UNION ALL SELECT doc_id, 3, UNNEST(ng3) FROM g
+        |  UNION ALL SELECT doc_id, 4, UNNEST(ng4) FROM g
+        |  UNION ALL SELECT doc_id, 5, UNNEST(ng5) FROM g),
+        |c AS (SELECT doc_id, n, gram, COUNT(*) AS cnt,
+        |        LENGTH(gram) - (n - 1) AS mass1
+        |      FROM ng GROUP BY doc_id, n, gram),
+        |t AS (SELECT doc_id, n, MAX(cnt) AS maxc FROM c GROUP BY doc_id, n),
+        |topm AS (SELECT c.doc_id, c.n, MAX(c.cnt * c.mass1) AS topmass
+        |  FROM c JOIN t ON c.doc_id = t.doc_id AND c.n = t.n AND c.cnt = t.maxc
+        |  GROUP BY c.doc_id, c.n),
+        |tp AS (SELECT doc_id,
+        |  MAX(CASE WHEN n = 2 THEN topmass END) AS m2,
+        |  MAX(CASE WHEN n = 3 THEN topmass END) AS m3,
+        |  MAX(CASE WHEN n = 4 THEN topmass END) AS m4
+        | FROM topm GROUP BY doc_id),
+        |dupm AS (SELECT doc_id, SUM(cnt * mass1) AS dupmass
+        |  FROM c WHERE n = 5 AND cnt >= 2 GROUP BY doc_id),
+        |m AS (SELECT b.doc_id,
+        |  CASE WHEN b.cm > 0 THEN ROUND(COALESCE(tp.m2, 0) / b.cm, 4) ELSE 0.0 END AS top2_char_frac,
+        |  CASE WHEN b.cm > 0 THEN ROUND(COALESCE(tp.m3, 0) / b.cm, 4) ELSE 0.0 END AS top3_char_frac,
+        |  CASE WHEN b.cm > 0 THEN ROUND(COALESCE(tp.m4, 0) / b.cm, 4) ELSE 0.0 END AS top4_char_frac,
+        |  CASE WHEN b.cm > 0 THEN ROUND(LEAST(COALESCE(dupm.dupmass, 0) / b.cm, 1.0), 4) ELSE 0.0 END AS dup5_char_frac
+        | FROM b LEFT JOIN tp USING (doc_id) LEFT JOIN dupm USING (doc_id))
         |SELECT doc_id, top2_char_frac, top3_char_frac, top4_char_frac, dup5_char_frac,
         | CAST((top2_char_frac <= 0.20 AND top3_char_frac <= 0.18
         |   AND top4_char_frac <= 0.16 AND dup5_char_frac <= 0.15) AS INT) AS rep_pass

@@ -228,6 +228,38 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("Gopher repetition battery cost is near-linear in document length (1000w vs 100w)") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.text.QualityRules
+    // 100-word vs 1000-word docs, same doc count: the native one-hash-pass
+    // ngram_top_mass/ngram_dup_mass expressions must scale ~10x, not ~100x
+    // (the r10 HOF formulation was O(distinct × n-grams) per row — a
+    // 1000-word doc cost ~400x a 50-word one and p52 took 432s at sf0.1)
+    def mkDocs(nWords: Int) = spark.range(2000).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until nWords).map(j =>
+        concat(lit("w"), ((col("id") * 31 + j * 7) % 211).cast("string"))): _*).as("text"))
+    def run(nWords: Int): Double = {
+      val t0 = System.nanoTime()
+      QualityRules.repetition(mkDocs(nWords), "text")
+        .agg(sum(col("rep_pass"))).head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    run(100) // warm codegen/JIT out of the comparison
+    val t100 = run(100)
+    val t1000 = run(1000)
+    assert(t1000 <= 30 * t100 + 1.0,
+      f"1000-word docs $t1000%.2fs vs 100-word $t100%.2fs — growth is super-linear")
+    // and the battery still measures what it claims on a long doc: a
+    // maximally repetitive 1000-word doc saturates every fraction
+    import spark.implicits._
+    val rep = QualityRules.repetition(
+      Seq((1L, Array.fill(1000)("spam spam").mkString(" "))).toDF("doc_id", "text"),
+      "text").head()
+    assert(rep.getAs[Double]("top2_char_frac") > 0.9)
+    assert(rep.getAs[Double]("dup5_char_frac") == 1.0)
+    assert(rep.getAs[Int]("rep_pass") == 0)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     Seq("b_orders", "b_customer").foreach { t =>
       spark.sql(s"drop table if exists $t")
