@@ -77,11 +77,22 @@ object CacheScope {
   /** Pin a persisted `df` to the enclosing script scope; outside any scope
     * fall back to the operator's single-flight `fallback` register
     * (unpersisting the previous occupant).
+    *
+    * Same-plan guard: Spark's CacheManager keys entries by CANONICALIZED
+    * plan, so when the operator is re-invoked with identical inputs and
+    * parameters the new `df.cache()` re-registers the PREVIOUS entry —
+    * and unpersisting the previous occupant here would evict the cache the
+    * caller just created, silently turning every repeat invocation into a
+    * full recompute (the r10 bench's cold/warm pattern). When the evictee
+    * would take the new cache with it (`sameResult`), keep it: there is
+    * only one entry, so the register swap alone is the right bookkeeping.
     */
   def pin(df: DataFrame, fallback: AtomicReference[DataFrame]): Unit = {
     val s = current.value
     if (s == null || !s.tryPin(df))
-      Option(fallback.getAndSet(df)).foreach(_.unpersist(false))
+      Option(fallback.getAndSet(df))
+        .filterNot(_.queryExecution.analyzed.sameResult(df.queryExecution.analyzed))
+        .foreach(_.unpersist(false))
   }
 
   /** Pin with no fallback register (CacheExt's user-requested persist):

@@ -99,4 +99,25 @@ class CacheScopeSpec extends AnyFunSuite {
   }
 
   private def awaitNoNoise(): Set[Int] = awaitNoNewCached(Set.empty[Int])
+
+  test("repeat invocation with an identical plan keeps its cache (same-plan guard)") {
+    import org.apache.spark.sql.functions._
+    spark.catalog.clearCache()
+    val baseline = awaitNoNoise()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("lang"))
+    // identical input + params -> CacheManager re-registers the SAME entry;
+    // the fallback swap must NOT unpersist it out from under the second call
+    val first = graft.operators.sampling.ShardExport.assignShards(docs, "doc_id", 10)
+    first.count()
+    val second = graft.operators.sampling.ShardExport.assignShards(docs, "doc_id", 10)
+    second.count()
+    assert((cachedIds -- baseline).nonEmpty,
+      "second identical invocation must keep the shared cache entry alive")
+    // and the second run's plan is actually served from the cache
+    val plan = second.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan") || plan.contains("InMemoryRelation"),
+      s"second invocation's plan does not read the cache:\n$plan")
+    spark.catalog.clearCache()
+  }
 }
