@@ -41,17 +41,18 @@ object TemperatureMix {
             targetRows: Long): Map[String, Double] = {
     require(alpha >= 0.0 && alpha <= 1.0, "alpha must be in [0, 1]")
     require(targetRows > 0, "targetRows must be positive")
-    val counts = df.groupBy(col(domainCol).cast("string").as("__d__"))
+    val raw = df.groupBy(col(domainCol).cast("string").as("__d__"))
       .agg(count(lit(1)).as("__n__"))
       .collect().map(r => r.getString(0) -> r.getLong(1))
-      .sortBy(_._1) // fixed summation order → reproducible doubles
+    require(raw.forall(_._1 != null),
+      s"TemperatureMix: domain column '$domainCol' contains nulls — " +
+        "filter or fill them before resampling (CorpusMix's explicit contract)")
+    val counts = raw.sortBy(_._1) // fixed summation order → reproducible doubles
     require(counts.nonEmpty, "TemperatureMix on an empty corpus")
     val n = counts.map(_._2).sum.toDouble
-    val q = counts.map { case (d, c) => d -> math.pow(c / n, alpha) }
-    val z = q.map(_._2).sum
-    q.map { case (d, qd) =>
-      val nd = counts.find(_._1 == d).get._2.toDouble
-      d -> BigDecimal(targetRows * qd / z / nd)
+    val z = counts.map { case (_, c) => math.pow(c / n, alpha) }.sum
+    counts.map { case (d, c) =>
+      d -> BigDecimal(targetRows * math.pow(c / n, alpha) / z / c.toDouble)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     }.toMap
   }

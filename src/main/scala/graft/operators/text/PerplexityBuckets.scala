@@ -39,7 +39,12 @@ import org.apache.spark.sql.functions._
   *
   * Output: (idCol, langCol, n_bigrams, xent, ppl_bucket) — one row per
   * document that has >= 2 tokens (documents without a bigram carry no
-  * LM evidence and are dropped, mirroring p42).
+  * LM evidence and are dropped, mirroring p42). Documents with a NULL
+  * language are likewise dropped — bucket cutoffs are per-language and a
+  * null lang names no language; the equi-join back to the cutoff table
+  * discards them by construction (same semantics as the oracle's `JOIN
+  * ... USING (lang)`). Run language-ID (p14) or `coalesce(lang, 'und')`
+  * upstream if unknown-language docs should be bucketed as a group.
   */
 object PerplexityBuckets {
 
