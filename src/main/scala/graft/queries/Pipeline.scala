@@ -1144,7 +1144,8 @@ object Pipeline {
       val docs = t(s, dir, "documents")
       graft.operators.sampling.ImportanceSelect.select(
         docs, docs.filter($"lang" === "en"), "doc_id", "text", k = 50,
-        portable = true) // oracle-replayable MD5 bucket hash (prod default: xxhash64)
+        portable = true, // oracle-replayable MD5 bucket hash (prod default: xxhash64)
+        minParallelism = s.sparkContext.defaultParallelism)
     },
       """WITH tk AS (SELECT doc_id, lang,
         |  LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS tk FROM documents),
@@ -1270,7 +1271,7 @@ object Pipeline {
       import s.implicits._
       graft.operators.text.QualityRules.gopher(
           t(s, dir, "documents").select($"doc_id", $"text"), "text",
-          minWords = 20)
+          minWords = 20, minParallelism = s.sparkContext.defaultParallelism)
         .select($"doc_id", $"n_words", $"mean_word_len", $"symbol_ratio",
           $"digit_ratio", $"n_stop_hits", $"gopher_pass")
         .orderBy($"doc_id")
@@ -1307,7 +1308,8 @@ object Pipeline {
       val docs = t(s, dir, "documents")
       graft.operators.sampling.ImportanceSelect.gumbelSelect(
           docs, docs.filter($"lang" === "en"), "doc_id", "text", k = 50,
-          seed = 42L, temperature = 2.0, portable = true)
+          seed = 42L, temperature = 2.0, portable = true,
+          minParallelism = s.sparkContext.defaultParallelism)
         .orderBy($"doc_id")
     },
       """WITH tk AS (SELECT doc_id, lang,
@@ -1359,7 +1361,7 @@ object Pipeline {
             "es" -> Seq("query", "row", "vector", "join", "filter"),
             "zh" -> Seq("spark", "hash", "batch", "window"),
             "de" -> Seq("window", "group", "filter", "sort", "part")),
-          minWords = 20)
+          minWords = 20, minParallelism = s.sparkContext.defaultParallelism)
         .select($"doc_id", $"lang", $"n_words", $"n_stop_hits", $"gopher_pass")
         .orderBy($"doc_id")
     },
@@ -1386,25 +1388,30 @@ object Pipeline {
         |   AND n_stop_hits >= 2) AS INT) AS gopher_pass
         |FROM m ORDER BY doc_id""".stripMargin),
 
-    // ---- production-vocab BPE encode benchmark: the corpus encoded
-    //      against a 32768-entry merge table through the UDF path. The
-    //      rank-indexed BpeCodec makes per-word cost track APPLIED merges,
-    //      not table size (ScaleSpec pins 32k ≈ 1k throughput; oracle
-    //      parity for the encode algorithm itself is p6/p28/p31) — this
-    //      entry exists to carry the 32k-table time in BENCH_r{N}. The
-    //      table = merges learned from a deterministic slice, padded with
-    //      control-character pairs that cannot occur. No oracle: replaying
-    //      a 32k-merge encode in SQL is out of scope; rows-only check. ----
-    QuerySpec.noOracle("p51_bpe_encode_32k", (s, dir) => {
+    // ---- production-depth BPE train+encode benchmark: learn a REAL
+    //      4096-merge vocabulary (incremental trainer -- pair-indexed
+    //      counts, exact-delete ordered argmax, O(dict chars + affected
+    //      words) total, NOT one recount per merge) and encode the same
+    //      corpus through the rank-indexed BpeCodec. The vocab corpus is
+    //      customer name+balance digit strings -- the only fixture columns
+    //      with a multi-thousand-word vocabulary (documents has 31
+    //      distinct words; BPE exhausts at 107 merges there, which is why
+    //      the r10 version padded -- the pads proved table-size
+    //      independence but exercised no real merge depth). Every merge
+    //      is learned from and re-applied to this corpus: 100% of the
+    //      table is reachable and applied depth ~ word length. Encode
+    //      parity is p6/p28/p31; trainer parity is LmTokenizerSpec. No
+    //      oracle: replaying 4096 merge rounds in SQL is out of scope;
+    //      rows-only check. ----
+    QuerySpec.noOracle("p51_bpe_encode_4k", (s, dir) => {
       import s.implicits._
-      val docs = t(s, dir, "documents")
+      val cust = t(s, dir, "customer")
+        .select(concat_ws(" ", $"c_name", $"c_acctbal".cast("string")).as("text"))
       val learned = graft.operators.text.BpeTrain
-        .learnMerges(docs.filter($"doc_id" < 300), "text", 64)
+        .learnMerges(cust, "text", 4096)
         .collect().map(r => (r.getString(1), r.getString(2))).toSeq
-      val table = learned ++
-        (learned.size until 32768).map(i => (s"\u0001$i", s"\u0002$i"))
       graft.operators.text.BpeTrain
-        .withBpeTokenCount(docs, "text", table)
+        .withBpeTokenCount(cust, "text", learned)
         .agg(count(lit(1)).as("n_docs"),
           sum($"n_bpe_tokens").as("total_tokens"))
     }),
@@ -1420,7 +1427,8 @@ object Pipeline {
     QuerySpec.sql("p52_gopher_repetition", (s, dir) => {
       import s.implicits._
       graft.operators.text.QualityRules.repetition(
-          t(s, dir, "documents").select($"doc_id", $"text"), "text")
+          t(s, dir, "documents").select($"doc_id", $"text"), "text",
+          minParallelism = s.sparkContext.defaultParallelism)
         .select($"doc_id", $"top2_char_frac", $"top3_char_frac",
           $"top4_char_frac", $"dup5_char_frac", $"rep_pass")
         .orderBy($"doc_id")

@@ -649,6 +649,49 @@ object Scripts {
          |  centroidsModel="/tmp/graft_s27_km" and mode="central" and m="40"
          |  as s27_bal;
          |select cluster, count(*) as n, round(min(sim), 4) as min_sim
-         |from s27_bal group by cluster order by cluster as s27_out;""".stripMargin))
+         |from s27_bal group by cluster order by cluster as s27_out;""".stripMargin)),
+
+    // ---- s27 with the ORACLE BOUNDARY moved to the fitted centroids:
+    //      the seeded k-means|| fit itself is not SQL-replayable (the r10
+    //      verdict's last no_oracle gap), so the script persists the
+    //      model's clusterCenters as a plain parquet table
+    //      (ClusterSample mode="centroids" → save) and every stage
+    //      DOWNSTREAM of that table — nearest-centroid assignment, the
+    //      central per-cluster quota, the histogram — is replayed by
+    //      DuckDB from the saved centroids, s25-style. Full
+    //      rows+schema+hash compare; the fit stays upstream, exercised
+    //      end-to-end but outside the compared region. ----
+    QuerySpec.sql("s28_script_kmeans_oracled_quota", (s, dir) => script(s,
+      s"""load parquet.`$dir/embeddings.parquet` as s28_embs;
+         |select vec_id, embedding,
+         |  vec_dense(to_array_double(embedding)) as features
+         |from s28_embs as s28_feat;
+         |train s28_feat as KMeans.`/tmp/graft_s28_km` where k="8"
+         |  and seed="7" and maxIter="5" as s28_ts;
+         |run s28_embs as ClusterSample.`` where
+         |  centroidsModel="/tmp/graft_s28_km" and mode="centroids" as s28_cents;
+         |save overwrite s28_cents as parquet.`/tmp/graft_s28_cents`;
+         |run s28_embs as ClusterSample.`` where centroidsTable="s28_cents"
+         |  and mode="central" and m="40" as s28_bal;
+         |select cluster, count(*) as n, round(min(sim), 4) as min_sim
+         |from s28_bal group by cluster order by cluster as s28_out;""".stripMargin),
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT cid, CAST(cv AS DOUBLE[]) AS cv
+        |      FROM read_parquet('/tmp/graft_s28_cents/*.parquet')),
+        |a AS (SELECT e.vec_id, c.cid,
+        |  ROUND(LIST_INNER_PRODUCT(e.v, c.cv) /
+        |    (SQRT(LIST_INNER_PRODUCT(e.v, e.v)) * SQRT(LIST_INNER_PRODUCT(c.cv, c.cv))), 6) AS s,
+        |  ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |    ORDER BY ROUND(LIST_INNER_PRODUCT(e.v, c.cv) /
+        |      (SQRT(LIST_INNER_PRODUCT(e.v, e.v)) * SQRT(LIST_INNER_PRODUCT(c.cv, c.cv))), 6) DESC,
+        |      c.cid) AS rn
+        | FROM e CROSS JOIN c),
+        |asg AS (SELECT vec_id, cid, s FROM a WHERE rn = 1),
+        |q AS (SELECT vec_id, cid, s,
+        |  ROW_NUMBER() OVER (PARTITION BY cid ORDER BY s DESC, vec_id) AS qr
+        | FROM asg)
+        |SELECT CAST(cid AS INTEGER) AS cluster, COUNT(*) AS n,
+        | ROUND(MIN(s), 4) AS min_sim
+        |FROM q WHERE qr <= 40 GROUP BY cid ORDER BY cluster""".stripMargin)
   )
 }

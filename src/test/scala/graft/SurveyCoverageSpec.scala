@@ -176,11 +176,15 @@ class SurveyCoverageSpec extends AnyFunSuite {
       "s11_script_dedup", "s18_script_neardup_pipeline",
       "s19_script_clean_corpus", "s23_script_chunk_pipeline",
       "s24_script_substring_dedup", "s25_script_cluster_assign",
-      "s26_script_curate_select_shard"))
-    // rows-only entries: a seeded k-means|| fit and a 32k-merge BPE encode
+      "s26_script_curate_select_shard",
+      "s28_script_kmeans_oracled_quota"))
+    // rows-only entries: a seeded k-means|| fit and a 4096-round BPE train
     // are not SQL-replayable in DuckDB (their algorithms are oracle-pinned
-    // elsewhere: p46/s25 assignment math, p6/p28/p31 encode parity)
-    assertQueries(Seq("s27_script_kmeans_cluster_sample", "p51_bpe_encode_32k"),
+    // elsewhere: p46/s25/s28 assignment+quota math, p6/p28/p31 encode
+    // parity + LmTokenizerSpec trainer equality; s28 moves the oracle
+    // boundary to the persisted centroids and hash-compares everything
+    // downstream of the fit)
+    assertQueries(Seq("s27_script_kmeans_cluster_sample", "p51_bpe_encode_4k"),
       withOracle = false)
   }
 }

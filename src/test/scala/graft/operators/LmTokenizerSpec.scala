@@ -173,6 +173,44 @@ class LmTokenizerSpec extends AnyFunSuite {
     assert(driver == dist)
   }
 
+  test("incremental trainer equals the recount reference on seeded random corpora") {
+    val rnd = new scala.util.Random(13)
+    val alphabet = "abcde"
+    def word() = (1 to (1 + rnd.nextInt(7)))
+      .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    for (trial <- 1 to 5) {
+      val dict = (1 to 120).map(_ => word()).distinct
+        .map(w => w -> (1L + rnd.nextInt(50))).toArray
+      val k = 10 + trial * 15 // past exhaustion on the later trials
+      val ref = BpeTrain.driverLearnMerges(dict, k)
+      val inc = BpeTrain.incrementalLearnMerges(dict, k)
+      assert(inc == ref, s"trial $trial diverged:\ninc=$inc\nref=$ref")
+    }
+  }
+
+  test("incremental trainer learns a 4096-merge vocabulary fast and to full depth") {
+    // production-depth training: thousands of distinct digit-ish words
+    // (the p51 shape). Must finish in seconds (the recount loop needed
+    // ~1.2G symbol visits here) and encode the corpus to near-total
+    // collapse (applied merges per word ~ word length).
+    val rnd = new scala.util.Random(99)
+    val dict = (1 to 8000).map(_ => f"${rnd.nextInt(1000000)}%07d.${rnd.nextInt(100)}%02d")
+      .distinct.map(w => w -> (1L + rnd.nextInt(9))).toArray
+    val t0 = System.nanoTime()
+    val merges = BpeTrain.incrementalLearnMerges(dict, 4096)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(merges.length == 4096, s"only ${merges.length} merges reachable")
+    assert(secs < 20.0, f"incremental 4096-merge train took $secs%.1fs")
+    // deep coverage: encoding the training words applies ~len-1 merges on
+    // the common shapes — total tokens far below total chars
+    val codec = new graft.operators.text.BpeCodec(merges.map(m => (m._2, m._3)))
+    val totalChars = dict.map(_._1.length.toLong).sum
+    val totalTokens = dict.iterator
+      .map { case (w, _) => codec.encodeWord(w).length.toLong }.sum
+    assert(totalTokens < totalChars / 2,
+      s"vocab too shallow: $totalTokens tokens over $totalChars chars")
+  }
+
   test("batching collapses non-interacting merges into few rounds") {
     val spark2 = spark
     import spark2.implicits._

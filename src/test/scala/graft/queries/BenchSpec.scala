@@ -235,6 +235,25 @@ class BenchSpec extends AnyFunSuite {
     assert(!prp.contains("Join"), prp)
   }
 
+  test("minParallelism hatch: no-op when the scan already provides enough " +
+       "partitions; round-robins only when underfilled") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val lr = new Array[Double](8192)
+    // enough partitions (any scan has >= 1): plan keeps its audited
+    // zero-shuffle shape — NO Exchange may appear
+    val enough = graft.operators.sampling.ImportanceSelect
+      .score(docs, "doc_id", "text", lr, minParallelism = 1)
+    val pe = enough.queryExecution.executedPlan.toString
+    assert(!pe.contains("Exchange"), pe)
+    // underfilled: exactly one round-robin repartition, before the projection
+    val want = docs.rdd.getNumPartitions + 8
+    val hatch = graft.operators.sampling.ImportanceSelect
+      .score(docs, "doc_id", "text", lr, minParallelism = want)
+    val ph = hatch.queryExecution.executedPlan.toString
+    assert(ph.toLowerCase.contains("roundrobin"), ph)
+    assert(hatch.rdd.getNumPartitions == want, ph)
+  }
+
   test("p49 Gumbel resampling is the p44 zero-shuffle score plus ONE top-k") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(s"$sf/documents.parquet")
