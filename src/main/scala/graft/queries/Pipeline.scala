@@ -1547,7 +1547,46 @@ object Pipeline {
         | FROM w)
         |SELECT doc_id, lang, UNNEST(RANGE(1, copies + 1)) AS copy_idx
         |FROM k WHERE copies >= 1
-        |ORDER BY doc_id, copy_idx""".stripMargin)
+        |ORDER BY doc_id, copy_idx""".stripMargin),
+
+    // ---- corpus-frequency boilerplate line removal (RefinedWeb §3.2 /
+    //      CCNet §2): lines recurring across >= minDocs documents are
+    //      template chrome, stripped before dedup/scoring. One
+    //      explode+agg shuffle (per-doc array_distinct keeps map-side
+    //      combine), df-capped set collected as ONE array Literal, then a
+    //      zero-shuffle per-row cleaning pass. Fixture injects a shared
+    //      header and per-source footers around each doc. ----
+    QuerySpec.sql("p55_boilerplate_lines", (s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "documents").select($"doc_id",
+        concat_ws("\n", lit("SUBSCRIBE TO OUR NEWSLETTER TODAY"), $"text",
+          concat(lit("(c) 2026 "), $"source", lit(" all rights reserved")))
+          .as("text"))
+      graft.operators.text.BoilerplateLines
+        .removeFrequent(base, "doc_id", "text", minDocs = 10)
+        .select($"doc_id", md5($"text_clean").as("h"), $"n_lines", $"n_kept")
+        .orderBy($"doc_id")
+    },
+      """WITH base AS (
+        | SELECT doc_id,
+        |  'SUBSCRIBE TO OUR NEWSLETTER TODAY' || chr(10) || text || chr(10) ||
+        |  '(c) 2026 ' || source || ' all rights reserved' AS t2
+        | FROM documents),
+        |s AS (SELECT doc_id, STRING_SPLIT(t2, chr(10)) AS arr FROM base),
+        |px AS (SELECT doc_id, UNNEST(RANGE(1, LEN(arr) + 1)) AS p, arr FROM s),
+        |lns AS (SELECT doc_id, p - 1 AS pos, arr[p] AS line, TRIM(arr[p]) AS k FROM px),
+        |freq AS (SELECT k, COUNT(DISTINCT doc_id) AS n_docs FROM lns GROUP BY k),
+        |boiler AS (SELECT k FROM freq WHERE n_docs >= 10 AND LEN(k) >= 6),
+        |kept AS (SELECT doc_id, pos, line FROM lns
+        |         WHERE k NOT IN (SELECT k FROM boiler)),
+        |reb AS (SELECT doc_id, STRING_AGG(line, chr(10) ORDER BY pos) AS txt,
+        |        COUNT(*) AS n_kept
+        |        FROM kept GROUP BY doc_id)
+        |SELECT s.doc_id, MD5(COALESCE(reb.txt, '')) AS h,
+        | CAST(LEN(s.arr) AS BIGINT) AS n_lines,
+        | CAST(COALESCE(reb.n_kept, 0) AS BIGINT) AS n_kept
+        |FROM s LEFT JOIN reb ON s.doc_id = reb.doc_id
+        |ORDER BY s.doc_id""".stripMargin)
   )
 
   /** Fixed 4-doc corpus for the BPE entries' pinned oracles (expected
