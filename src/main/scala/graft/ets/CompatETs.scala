@@ -690,6 +690,15 @@ object CommunityBasedSimilityInPlaceET extends ET {
   * `metadata/` JSON is the universal self-description). The reference's
   * default `sklearn` mode shells out to Python — out of scope offline,
   * clear error.
+  *
+  * `mode="coefficients"` instead dumps a fitted LINEAR model's weights as
+  * rows `(idx, w)` with the intercept at idx = -1 — the oracle boundary
+  * for model-based scoring pipelines (s29): persist the weights as a
+  * plain table and everything downstream of the fit (feature arithmetic,
+  * sigmoid, ranking) is SQL-replayable, exactly the s28
+  * centroids-boundary pattern. Supports LogisticRegression (binomial),
+  * LinearRegression and LinearSVC artifacts; the class is resolved from
+  * the writer's metadata, never guessed from the path.
   */
 object ModelExplainInPlaceET extends ET {
   override def name = "ModelExplainInPlace"
@@ -703,13 +712,43 @@ object ModelExplainInPlaceET extends ET {
           if (path.nonEmpty) path
           else throw new IllegalArgumentException(
             "ModelExplainInPlace requires modelPath=... (a saved spark.ml model dir)"))
-        graft.sources.ModelMeta.read(ctx.spark, modelPath)
-          .select(col("class"), col("uid"), col("sparkVersion"),
-            to_json(col("paramMap")).as("params"))
+        params.getOrElse("mode", "meta") match {
+          case "meta" =>
+            graft.sources.ModelMeta.read(ctx.spark, modelPath)
+              .select(col("class"), col("uid"), col("sparkVersion"),
+                to_json(col("paramMap")).as("params"))
+          case "coefficients" => linearCoefficients(ctx, modelPath)
+          case other => throw new IllegalArgumentException(
+            s"ModelExplainInPlace mode must be meta|coefficients, got '$other'")
+        }
       case other => throw new UnsupportedOperationException(
         s"ModelExplainInPlace modelType='$other' needs an external Python " +
           "runtime (reference sklearnTrain); this build supports modelType=\"sparkmllib\"")
     }
+  }
+
+  private def linearCoefficients(ctx: ScriptContext, modelPath: String): DataFrame = {
+    import ctx.spark.implicits._
+    val cls = graft.sources.ModelMeta.read(ctx.spark, modelPath)
+      .select("class").head().getString(0)
+    val (coef, intercept) = cls match {
+      case "org.apache.spark.ml.classification.LogisticRegressionModel" =>
+        val m = org.apache.spark.ml.classification.LogisticRegressionModel.load(modelPath)
+        require(m.numClasses == 2,
+          s"coefficients mode supports binomial LogisticRegression; model has ${m.numClasses} classes")
+        (m.coefficients.toArray, m.intercept)
+      case "org.apache.spark.ml.regression.LinearRegressionModel" =>
+        val m = org.apache.spark.ml.regression.LinearRegressionModel.load(modelPath)
+        (m.coefficients.toArray, m.intercept)
+      case "org.apache.spark.ml.classification.LinearSVCModel" =>
+        val m = org.apache.spark.ml.classification.LinearSVCModel.load(modelPath)
+        (m.coefficients.toArray, m.intercept)
+      case other => throw new UnsupportedOperationException(
+        s"ModelExplainInPlace mode=coefficients: '$other' is not a supported linear model " +
+          "(LogisticRegression/LinearRegression/LinearSVC)")
+    }
+    (coef.zipWithIndex.map { case (w, i) => (i, w) } :+ (-1, intercept))
+      .toSeq.toDF("idx", "w")
   }
 }
 

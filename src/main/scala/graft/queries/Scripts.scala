@@ -692,6 +692,54 @@ object Scripts {
         | FROM asg)
         |SELECT CAST(cid AS INTEGER) AS cluster, COUNT(*) AS n,
         | ROUND(MIN(s), 4) AS min_sim
-        |FROM q WHERE qr <= 40 GROUP BY cid ORDER BY cluster""".stripMargin)
+        |FROM q WHERE qr <= 40 GROUP BY cid ORDER BY cluster""".stripMargin),
+
+    // ---- model-based quality classifier through the DSL (the fastText-
+    //      style filter of GPT-3 §2.2 / LLaMA §2.1: train a linear
+    //      classifier on a labeled seed, score the whole corpus): portable
+    //      doc-shape features -> spark.ml LogisticRegression -> weights
+    //      persisted via ModelExplainInPlace mode="coefficients" (the
+    //      oracle boundary, like s28's centroids) -> per-row sigmoid
+    //      scoring in fixed-order arithmetic. At 100 TB the fit runs on a
+    //      bounded seed and scoring is a broadcast-weights scan-speed
+    //      projection. ----
+    QuerySpec.sql("s29_script_quality_classifier", (s, dir) => script(s,
+      s"""load parquet.`$dir/documents.parquet` as s29_docs;
+         |select doc_id, lang,
+         |  CAST(size(split(text, ' ', -1)) AS DOUBLE) AS f_words,
+         |  CAST(n_chars AS DOUBLE) / CAST(size(split(text, ' ', -1)) AS DOUBLE) AS f_mwl,
+         |  CAST(size(array_distinct(split(text, ' ', -1))) AS DOUBLE)
+         |    / CAST(size(split(text, ' ', -1)) AS DOUBLE) AS f_distinct
+         |from s29_docs as s29_feats;
+         |select *, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS label,
+         |  vec_dense(to_array_double(array(f_words, f_mwl, f_distinct))) AS features
+         |from s29_feats as s29_train;
+         |train s29_train as LogisticRegressor.`/tmp/graft_s29_lr`
+         |  where maxIter="20" and regParam="0.1" as s29_tr;
+         |run s29_train as ModelExplainInPlace.`` where
+         |  modelPath="/tmp/graft_s29_lr" and mode="coefficients" as s29_w;
+         |save overwrite s29_w as parquet.`/tmp/graft_s29_w`;
+         |select f.doc_id,
+         |  round(1.0 / (1.0 + exp(-(
+         |    (select w from s29_w where idx = 0) * f.f_words +
+         |    (select w from s29_w where idx = 1) * f.f_mwl +
+         |    (select w from s29_w where idx = 2) * f.f_distinct +
+         |    (select w from s29_w where idx = -1)))), 6) as score
+         |from s29_feats f order by doc_id as s29_out;""".stripMargin),
+      """WITH f AS (
+        | SELECT doc_id,
+        |  CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) AS f_words,
+        |  CAST(n_chars AS DOUBLE) / CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) AS f_mwl,
+        |  CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE)
+        |    / CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) AS f_distinct
+        | FROM documents),
+        |w AS (SELECT idx, w FROM read_parquet('/tmp/graft_s29_w/*.parquet'))
+        |SELECT f.doc_id,
+        | ROUND(1.0 / (1.0 + EXP(-(
+        |   (SELECT w FROM w WHERE idx = 0) * f.f_words +
+        |   (SELECT w FROM w WHERE idx = 1) * f.f_mwl +
+        |   (SELECT w FROM w WHERE idx = 2) * f.f_distinct +
+        |   (SELECT w FROM w WHERE idx = -1)))), 6) AS score
+        |FROM f ORDER BY doc_id""".stripMargin)
   )
 }

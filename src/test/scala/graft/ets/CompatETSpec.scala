@@ -277,6 +277,32 @@ class CompatETSpec extends AnyFunSuite {
     assert(r.getString(1).contains("minDocFreq"))
   }
 
+  test("ModelExplainInPlace mode=coefficients dumps linear weights with intercept at idx=-1") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mcoef").toString + "/lr"
+    val df = runDF(
+      s"""select CAST(id AS DOUBLE) as x, CASE WHEN id >= 5 THEN 1.0 ELSE 0.0 END as label,
+         |  vec_dense(to_array_double(array(CAST(id AS DOUBLE)))) as features
+         |from range(10) as mc_in;
+         |train mc_in as LogisticRegressor.`$path` where maxIter="10" as mc_tr;
+         |run mc_in as ModelExplainInPlace.`` where modelPath="$path"
+         |  and mode="coefficients" as mc_out;
+         |select idx, w from mc_out order by idx as out;""".stripMargin)
+    val rows = df.collect().map(r => (r.getInt(0), r.getDouble(1)))
+    assert(rows.map(_._1).toSeq == Seq(-1, 0))
+    // separable on x with a positive slope; intercept negative
+    assert(rows(1)._2 > 0 && rows(0)._2 < 0, rows.mkString(","))
+  }
+
+  test("ModelExplainInPlace mode=coefficients rejects non-linear models") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mcoef2").toString
+    val err = intercept[Exception](runDF(
+      s"""select split('a b', ' ') as words as mc2_in;
+         |train mc2_in as HashTfIdf.`$path` where inputCol="words" and numFeatures="16";
+         |run mc2_in as ModelExplainInPlace.`` where modelPath="$path"
+         |  and mode="coefficients" as mc2_out;""".stripMargin))
+    assert(err.getMessage.contains("not a supported linear model"))
+  }
+
   test("TokenAnalysis honors split regex and segment fallback") {
     val bySplit = runDF(
       """select 'a,b,,c' as text as ta_in;
