@@ -20,7 +20,40 @@ object PipelineETs {
     IncrementalDedupET, DocChunkET, GroupCapET, CorpusShuffleET, ResampleET,
     CorpusStatsET, TokenBudgetET, SubstringDedupInPlaceET, ImportanceSelectET,
     ClusterSampleET, ShardExportET, GopherRulesET, PerplexityBucketsET,
-    TemperatureMixET)
+    TemperatureMixET, BoilerplateCleanET)
+}
+
+/** `run docs as BoilerplateClean.`` [where idCol="doc_id" and
+  * textCol="text" and sep="\n" and minDocs="10" and minChars="6" and
+  * maxBoiler="10000" and minParallelism="0"]` — RefinedWeb/CCNet
+  * corpus-frequency boilerplate line removal (see
+  * [[graft.operators.text.BoilerplateLines]]: one explode+agg shuffle for
+  * the line document frequencies, df-capped set as one array Literal,
+  * zero-shuffle per-row cleaning pass). `mode="frequent"` returns the
+  * boilerplate set itself (line, n_docs) for persistence/inspection —
+  * the frozen-set input of a streaming-ingest cleaning pass.
+  */
+object BoilerplateCleanET extends NoPathET {
+  override def name = "BoilerplateClean"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    val idCol = params.getOrElse("idCol", "doc_id")
+    val textCol = params.getOrElse("textCol", "text")
+    val sep = params.getOrElse("sep", "\n")
+    val minDocs = params.getOrElse("minDocs", "10").toInt
+    val minChars = params.getOrElse("minChars", "6").toInt
+    val maxBoiler = params.getOrElse("maxBoiler", "10000").toInt
+    import graft.operators.text.BoilerplateLines
+    params.getOrElse("mode", "clean") match {
+      case "clean" => BoilerplateLines.removeFrequent(df, idCol, textCol, sep,
+        minDocs, minChars, maxBoiler,
+        params.getOrElse("minParallelism", "0").toInt)
+      case "frequent" => BoilerplateLines.frequentLines(df, idCol, textCol, sep,
+        minDocs, minChars, maxBoiler)
+      case other => throw new IllegalArgumentException(
+        s"BoilerplateClean mode must be clean|frequent, got '$other'")
+    }
+  }
 }
 
 /** `run docs as PerplexityBuckets.`` [where idCol="doc_id" and

@@ -132,7 +132,7 @@ class SurveyCoverageSpec extends AnyFunSuite {
       "IncrementalDedup", "SubstringDedupInPlace", "StreamCommand",
       "CorpusSplit", "DocChunk", "GroupCap", "CorpusShuffle", "CorpusStats",
       "TokenBudget", "ImportanceSelect", "ClusterSample", "ShardExport",
-      "GopherRules", "PerplexityBuckets", "TemperatureMix")
+      "GopherRules", "PerplexityBuckets", "TemperatureMix", "BoilerplateClean")
     val missing = names.filter(n =>
       scala.util.Try(ETRegistry.lookup(n)).isFailure)
     assert(missing.isEmpty, s"ET registry missing: ${missing.mkString(", ")}")

@@ -883,6 +883,27 @@ class PipelineETSpec extends AnyFunSuite {
       .count(_.getName.endsWith(".parquet")) == 1)
   }
 
+  test("BoilerplateClean DSL surface strips corpus-frequent lines; mode=frequent lists them") {
+    val script =
+      """set bp = '''{"doc_id":1,"text":"SHARED HEADER\nbody one"}
+        |{"doc_id":2,"text":"SHARED HEADER\nbody two"}
+        |{"doc_id":3,"text":"SHARED HEADER\nbody three"}''';
+        |load jsonStr.`bp` as bpt;""".stripMargin
+    val cleaned = runDF(script +
+      """
+        |run bpt as BoilerplateClean.`` where minDocs="2" as bp_clean;
+        |select doc_id, text_clean, n_lines, n_kept from bp_clean order by doc_id as out;""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(cleaned.toSeq == Seq((1L, "body one", 2L, 1L),
+      (2L, "body two", 2L, 1L), (3L, "body three", 2L, 1L)))
+    val freq = runDF(script +
+      """
+        |run bpt as BoilerplateClean.`` where minDocs="2" and mode="frequent" as bp_freq;
+        |select line, n_docs from bp_freq as out;""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(freq.toSeq == Seq(("SHARED HEADER", 3L)))
+  }
+
   test("CorpusMix fractional weight keeps E[copies] near w") {
     import spark.implicits._
     import org.apache.spark.sql.functions.lit
