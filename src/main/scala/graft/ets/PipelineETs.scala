@@ -20,7 +20,23 @@ object PipelineETs {
     IncrementalDedupET, DocChunkET, GroupCapET, CorpusShuffleET, ResampleET,
     CorpusStatsET, TokenBudgetET, SubstringDedupInPlaceET, ImportanceSelectET,
     ClusterSampleET, ShardExportET, GopherRulesET, PerplexityBucketsET,
-    TemperatureMixET, BoilerplateCleanET)
+    TemperatureMixET, BoilerplateCleanET, DomainReweightET)
+}
+
+/** `run docs as DomainReweight.`` [where domainCol="lang" and
+  * textCol="text" and temperature="1.0"]` — DoReMi-lite mixture weights
+  * per domain (see [[graft.operators.sampling.DomainReweight]]: one
+  * corpus shuffle, vocabulary-sized KL, #domains-row normalization).
+  * Chain into CorpusMix/TemperatureMix to materialize the mixture.
+  */
+object DomainReweightET extends NoPathET {
+  override def name = "DomainReweight"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame =
+    graft.operators.sampling.DomainReweight.weights(df,
+      params.getOrElse("domainCol", "lang"),
+      params.getOrElse("textCol", "text"),
+      params.getOrElse("temperature", "1.0").toDouble)
 }
 
 /** `run docs as BoilerplateClean.`` [where idCol="doc_id" and

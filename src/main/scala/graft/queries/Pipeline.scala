@@ -1586,7 +1586,41 @@ object Pipeline {
         | CAST(LEN(s.arr) AS BIGINT) AS n_lines,
         | CAST(COALESCE(reb.n_kept, 0) AS BIGINT) AS n_kept
         |FROM s LEFT JOIN reb ON s.doc_id = reb.doc_id
-        |ORDER BY s.doc_id""".stripMargin)
+        |ORDER BY s.doc_id""".stripMargin),
+
+    // ---- DoReMi-lite domain reweighting (Xie 2023): w_d ∝ share_d ·
+    //      exp(KL(domain||corpus)/T) over whitespace unigrams. ONE
+    //      corpus-sized shuffle ((domain,word) counts), everything after
+    //      is vocabulary-sized; normalization is a #domains-row window.
+    //      T=0.5 sharpens toward distinct domains. ----
+    QuerySpec.sql("p56_domain_reweight", (s, dir) => {
+      import s.implicits._
+      graft.operators.sampling.DomainReweight.weights(
+          t(s, dir, "documents"), "lang", "text", temperature = 0.5)
+        .orderBy($"domain")
+    },
+      """WITH tok AS (SELECT lang AS domain, UNNEST(STRING_SPLIT(text, ' ')) AS word
+        |            FROM documents),
+        |dt AS (SELECT domain, word, COUNT(*) AS cd FROM tok
+        |       WHERE word <> '' GROUP BY 1, 2),
+        |g AS (SELECT word, SUM(cd) AS c FROM dt GROUP BY 1),
+        |nd AS (SELECT domain, SUM(cd) AS n_d FROM dt GROUP BY 1),
+        |nt AS (SELECT SUM(cd) AS n FROM dt),
+        |ex AS (SELECT dt.domain, nd.n_d, nt.n,
+        |  ROUND(SUM(CAST(cd AS DOUBLE) *
+        |    LN((CAST(cd AS DOUBLE) / CAST(nd.n_d AS DOUBLE)) /
+        |       (CAST(g.c AS DOUBLE) / CAST(nt.n AS DOUBLE)))) /
+        |    CAST(nd.n_d AS DOUBLE), 4) AS excess
+        | FROM dt JOIN g USING (word) JOIN nd USING (domain) CROSS JOIN nt
+        | GROUP BY dt.domain, nd.n_d, nt.n),
+        |w AS (SELECT domain, n_d, excess,
+        |  ROUND(CAST(n_d AS DOUBLE) / CAST(n AS DOUBLE), 6) AS share,
+        |  (CAST(n_d AS DOUBLE) / CAST(n AS DOUBLE)) * EXP(excess / 0.5) AS wraw
+        | FROM ex),
+        |sw AS (SELECT SUM(wraw) AS sw FROM w)
+        |SELECT domain, CAST(n_d AS BIGINT) AS n_tokens, share, excess,
+        | ROUND(wraw / sw, 6) AS weight
+        |FROM w CROSS JOIN sw ORDER BY domain""".stripMargin)
   )
 
   /** Fixed 4-doc corpus for the BPE entries' pinned oracles (expected
