@@ -20,7 +20,28 @@ object PipelineETs {
     IncrementalDedupET, DocChunkET, GroupCapET, CorpusShuffleET, ResampleET,
     CorpusStatsET, TokenBudgetET, SubstringDedupInPlaceET, ImportanceSelectET,
     ClusterSampleET, ShardExportET, GopherRulesET, PerplexityBucketsET,
-    TemperatureMixET, BoilerplateCleanET, DomainReweightET)
+    TemperatureMixET, BoilerplateCleanET, DomainReweightET, C4RulesET)
+}
+
+/** `run docs as C4Rules.`` [where textCol="text" and sep="\n" and
+  * minWordsPerLine="5" and minSentences="3" and badPhrases="lorem
+  * ipsum,{" and minParallelism="0"]` — the C4 cleaning battery (see
+  * [[graft.operators.text.C4Rules]]: line punctuation/word-count
+  * keepers + document sentence/blocked-phrase predicates, all per-row
+  * codegen'd expressions).
+  */
+object C4RulesET extends NoPathET {
+  override def name = "C4Rules"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame =
+    graft.operators.text.C4Rules.battery(df,
+      params.getOrElse("textCol", "text"),
+      params.getOrElse("sep", "\n"),
+      params.getOrElse("minWordsPerLine", "5").toInt,
+      params.getOrElse("minSentences", "3").toInt,
+      params.get("badPhrases").map(_.split(",").toSeq)
+        .getOrElse(graft.operators.text.C4Rules.BadPhrases),
+      params.getOrElse("minParallelism", "0").toInt)
 }
 
 /** `run docs as DomainReweight.`` [where domainCol="lang" and

@@ -1620,7 +1620,60 @@ object Pipeline {
         |sw AS (SELECT SUM(wraw) AS sw FROM w)
         |SELECT domain, CAST(n_d AS BIGINT) AS n_tokens, share, excess,
         | ROUND(wraw / sw, 6) AS weight
-        |FROM w CROSS JOIN sw ORDER BY domain""".stripMargin)
+        |FROM w CROSS JOIN sw ORDER BY domain""".stripMargin),
+
+    // ---- C4 cleaning battery (Raffel 2020 §2.2): keep lines ending in
+    //      terminal punctuation with >= 5 words; drop docs with < 3
+    //      sentences or a blocked phrase (lorem ipsum / `{`). Per-row
+    //      codegen'd line-array expressions, scan speed. Fixture builds
+    //      6-line docs with kept/dropped lines and parity-injected bad
+    //      phrases. ----
+    QuerySpec.sql("p57_c4_rules", (s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "documents").select($"doc_id",
+        concat_ws("\n",
+          concat($"text", lit(".")),
+          lit("short line."),
+          lit("this line has enough words but no terminal punctuation"),
+          concat(lit("Second sentence with id "), $"doc_id",
+            lit(" and plenty of words! Third one follows right here?")),
+          when($"doc_id" % 7 === 0, lit("{ code marker"))
+            .otherwise(lit("clean closing line with punctuation.")),
+          when($"doc_id" % 11 === 0, lit("Lorem Ipsum dolor sit amet."))
+            .otherwise(lit("Another proper closing sentence right here.")))
+          .as("text"))
+      graft.operators.text.C4Rules.battery(base, "text")
+        .select($"doc_id", md5($"text_c4").as("h"), $"n_lines", $"n_kept",
+          $"n_sentences", $"c4_pass")
+        .orderBy($"doc_id")
+    },
+      """WITH base AS (SELECT doc_id,
+        |  text || '.' || chr(10) ||
+        |  'short line.' || chr(10) ||
+        |  'this line has enough words but no terminal punctuation' || chr(10) ||
+        |  'Second sentence with id ' || CAST(doc_id AS VARCHAR) ||
+        |    ' and plenty of words! Third one follows right here?' || chr(10) ||
+        |  CASE WHEN doc_id % 7 = 0 THEN '{ code marker'
+        |       ELSE 'clean closing line with punctuation.' END || chr(10) ||
+        |  CASE WHEN doc_id % 11 = 0 THEN 'Lorem Ipsum dolor sit amet.'
+        |       ELSE 'Another proper closing sentence right here.' END AS t2
+        | FROM documents),
+        |s AS (SELECT doc_id, STRING_SPLIT(t2, chr(10)) AS arr, t2 FROM base),
+        |k AS (SELECT doc_id, t2, arr,
+        |  LIST_FILTER(arr, l ->
+        |    LEN(LIST_FILTER(STRING_SPLIT(l, ' '), w -> w <> '')) >= 5
+        |    AND REGEXP_MATCHES(TRIM(l), '[.!?"]$')) AS kept FROM s),
+        |c AS (SELECT doc_id, t2, LEN(arr) AS n_lines, LEN(kept) AS n_kept,
+        |  ARRAY_TO_STRING(kept, chr(10)) AS clean FROM k),
+        |f AS (SELECT doc_id, clean, n_lines, n_kept,
+        |  LEN(REGEXP_EXTRACT_ALL(clean, '[.!?]')) AS n_sentences,
+        |  (CONTAINS(LOWER(t2), 'lorem ipsum') OR CONTAINS(LOWER(t2), '{')) AS bad
+        | FROM c)
+        |SELECT doc_id, MD5(clean) AS h, CAST(n_lines AS BIGINT) AS n_lines,
+        | CAST(n_kept AS BIGINT) AS n_kept,
+        | CAST(n_sentences AS BIGINT) AS n_sentences,
+        | (n_sentences >= 3 AND NOT bad) AS c4_pass
+        |FROM f ORDER BY doc_id""".stripMargin)
   )
 
   /** Fixed 4-doc corpus for the BPE entries' pinned oracles (expected
