@@ -87,8 +87,20 @@ object BoilerplateCleanET extends NoPathET {
         params.getOrElse("minParallelism", "0").toInt)
       case "frequent" => BoilerplateLines.frequentLines(df, idCol, textCol, sep,
         minDocs, minChars, maxBoiler)
+      // frozen-set cleaning: strip against a PERSISTED frequent-line table
+      // (computed on the historical corpus) — the streaming-ingest path:
+      // the set resolves once at plan time, so the per-micro-batch work is
+      // a pure projection and the input may be a streaming frame
+      case "strip" =>
+        val tbl = params.getOrElse("frozenTable", throw new IllegalArgumentException(
+          "BoilerplateClean mode=strip requires frozenTable=... (a (line,...) table)"))
+        val boiler = ctx.spark.table(tbl).select("line")
+          .collect().map(_.getString(0)).toSeq
+        require(boiler.size <= maxBoiler,
+          s"frozen set has ${boiler.size} lines > maxBoiler=$maxBoiler")
+        BoilerplateLines.strip(df, textCol, boiler, sep)
       case other => throw new IllegalArgumentException(
-        s"BoilerplateClean mode must be clean|frequent, got '$other'")
+        s"BoilerplateClean mode must be clean|frequent|strip, got '$other'")
     }
   }
 }

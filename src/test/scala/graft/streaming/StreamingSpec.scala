@@ -717,6 +717,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(curatedIds() == Seq(1L, 3L), "re-delivery is idempotent")
   }
 
+  test("streaming boilerplate strip: frozen frequent-line set applied per micro-batch") {
+    // the frozen-set posture at 100 TB: the frequent-line set is computed
+    // ONCE on the historical corpus (one batch job), persisted, and every
+    // ingest micro-batch strips against it as a pure projection — no
+    // per-batch frequency recount, no stream-side shuffle
+    val src = java.nio.file.Files.createTempDirectory("bp_src").resolve("t").toString
+    val curated = java.nio.file.Files.createTempDirectory("bp_out").resolve("t").toString
+    val chrome = "SUBSCRIBE TO OUR NEWSLETTER NOW"
+    def doc(id: Long, body: String) =
+      s"""{"doc_id":$id,"text":"$chrome\\n$body"}"""
+    ScriptRunner.runToDF(
+      s"""set bpdata = '''${doc(1, "historic body one")}
+         |${doc(2, "historic body two")}
+         |${doc(3, "historic body three")}''';
+         |load jsonStr.`bpdata` as bp_hist_in;
+         |save overwrite bp_hist_in as vparquet.`$src`;
+         |load vparquet.`$src` as bp_hist;
+         |run bp_hist as BoilerplateClean.`` where mode="frequent" and minDocs="3"
+         |  as bp_frozen;
+         |select * from bp_frozen as bp_frozen;""".stripMargin, spark)
+    // new doc arrives AFTER the set was frozen; the stream replays all
+    val ctx = ScriptRunner.run(
+      s"""set bpdata2 = '''${doc(4, "fresh body four")}''';
+         |load jsonStr.`bpdata2` as bp_new;
+         |save append bp_new as vparquet.`$src`;
+         |set streamName = "bpstream";
+         |load vparquet.`$src` where startingVersion="0" as bp_feed;
+         |run bp_feed as BoilerplateClean.`` where mode="strip"
+         |  and frozenTable="bp_frozen" as bp_clean;
+         |save append bp_clean as upsertParquet.`$curated` where mode="append"
+         |  and idCols="doc_id" and checkpointLocation="${
+           java.nio.file.Files.createTempDirectory("ck_bp")}";""".stripMargin, spark)
+    val q = ctx.streams("bpstream")
+    try q.processAllAvailable() finally q.stop()
+    val out = ScriptRunner.runToDF(
+      s"""load vparquet.`$curated` as bp_back;
+         |select doc_id, text_clean, n_kept from bp_back order by doc_id as out;""".stripMargin,
+      spark).collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(out.forall(r => !r._2.contains(chrome) && r._3 == 1L),
+      out.mkString("; "))
+    assert(out.find(_._1 == 4L).get._2 == "fresh body four")
+  }
+
   test("streaming dedup-on-ingest: per-batch signature-store dedup, re-delivery yields zero") {
     // rolling ingestion never re-scans history: each micro-batch dedups
     // against the persistent MinHash signature store (within-batch exact +
