@@ -404,15 +404,24 @@ object CorpusMixET extends NoPathET {
   override def name = "CorpusMix"
   override def train(ctx: ScriptContext, df: DataFrame, path: String,
                      params: Map[String, String]): DataFrame = {
-    val weights = params.getOrElse("weights",
-      throw new IllegalArgumentException(
-        "CorpusMix requires weights=\"domain:w,domain:w\"")).split(",")
-      .map(_.trim).filter(_.nonEmpty).map { kv =>
-        val i = kv.lastIndexOf(':')
-        require(i > 0 && i < kv.length - 1,
-          s"CorpusMix weight '$kv' is not domain:weight")
-        kv.substring(0, i) -> kv.substring(i + 1).toDouble
-      }.toMap
+    // weightsTable="t" reads (domain, weight) rows from a session table —
+    // the output end of a computed mixture (DomainReweight/TemperatureMix
+    // rates); #domains-bounded collect, same posture as ClusterSample's
+    // centroidsTable. Inline weights="d:w,..." otherwise.
+    val weights = params.get("weightsTable") match {
+      case Some(tbl) =>
+        ctx.spark.table(tbl).select("domain", "weight")
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      case None => params.getOrElse("weights",
+        throw new IllegalArgumentException(
+          "CorpusMix requires weights=\"domain:w,domain:w\" or weightsTable=...")).split(",")
+        .map(_.trim).filter(_.nonEmpty).map { kv =>
+          val i = kv.lastIndexOf(':')
+          require(i > 0 && i < kv.length - 1,
+            s"CorpusMix weight '$kv' is not domain:weight")
+          kv.substring(0, i) -> kv.substring(i + 1).toDouble
+        }.toMap
+    }
     graft.operators.sampling.CorpusMix.mix(df,
       params.getOrElse("domainCol", "lang"), weights,
       params.getOrElse("idCol", "doc_id"),

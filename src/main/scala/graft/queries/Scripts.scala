@@ -740,6 +740,57 @@ object Scripts {
         |   (SELECT w FROM w WHERE idx = 1) * f.f_mwl +
         |   (SELECT w FROM w WHERE idx = 2) * f.f_distinct +
         |   (SELECT w FROM w WHERE idx = -1)))), 6) AS score
-        |FROM f ORDER BY doc_id""".stripMargin)
+        |FROM f ORDER BY doc_id""".stripMargin),
+
+    // ---- DoReMi weights -> resampled mixture, end-to-end through the
+    //      DSL: DomainReweight's weight table becomes per-doc copy rates
+    //      (targetRows * w_d / n_docs_d, 6 dp) and CorpusMix's
+    //      weightsTable param materializes the mixture with the
+    //      zero-shuffle deterministic Bernoulli-copies pass. The oracle
+    //      replays ALL three stages (KL weights, rate arithmetic, md5
+    //      draw) in one SQL chain. ----
+    QuerySpec.sql("s30_script_doremi_mix", (s, dir) => script(s,
+      s"""load parquet.`$dir/documents.parquet` as s30_docs;
+         |run s30_docs as DomainReweight.`` where domainCol="lang"
+         |  and textCol="text" and temperature="0.5" as s30_w;
+         |select w.domain, round(200.0 * w.weight / c.n_docs, 6) as weight
+         |from s30_w w join (select lang as domain, count(*) as n_docs
+         |                   from s30_docs group by lang) c
+         |on w.domain = c.domain as s30_rates;
+         |run s30_docs as CorpusMix.`` where weightsTable="s30_rates"
+         |  and domainCol="lang" and defaultWeight="0" as s30_mix;
+         |select lang, count(*) as n_out from s30_mix
+         |group by lang order by lang as s30_out;""".stripMargin),
+      """WITH tok AS (SELECT lang AS domain, UNNEST(STRING_SPLIT(text, ' ')) AS word
+        |            FROM documents),
+        |dt AS (SELECT domain, word, COUNT(*) AS cd FROM tok
+        |       WHERE word <> '' GROUP BY 1, 2),
+        |g AS (SELECT word, SUM(cd) AS c FROM dt GROUP BY 1),
+        |nd AS (SELECT domain, SUM(cd) AS n_d FROM dt GROUP BY 1),
+        |nt AS (SELECT SUM(cd) AS n FROM dt),
+        |ex AS (SELECT dt.domain, nd.n_d, nt.n,
+        |  ROUND(SUM(CAST(cd AS DOUBLE) *
+        |    LN((CAST(cd AS DOUBLE) / CAST(nd.n_d AS DOUBLE)) /
+        |       (CAST(g.c AS DOUBLE) / CAST(nt.n AS DOUBLE)))) /
+        |    CAST(nd.n_d AS DOUBLE), 4) AS excess
+        | FROM dt JOIN g USING (word) JOIN nd USING (domain) CROSS JOIN nt
+        | GROUP BY dt.domain, nd.n_d, nt.n),
+        |w AS (SELECT domain,
+        |  (CAST(n_d AS DOUBLE) / CAST(n AS DOUBLE)) * EXP(excess / 0.5) AS wraw
+        | FROM ex),
+        |sw AS (SELECT SUM(wraw) AS sw FROM w),
+        |dc AS (SELECT lang AS domain, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+        |rates AS (SELECT w.domain,
+        |  ROUND(200.0 * ROUND(wraw / sw.sw, 6) / dc.n_docs, 6) AS rate
+        | FROM w CROSS JOIN sw JOIN dc USING (domain)),
+        |u AS (SELECT doc_id, lang, rate,
+        |  CAST(CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(CAST(doc_id AS VARCHAR), ':', '42')), 1, 8))
+        |   AS UBIGINT) AS DOUBLE) / 4294967296.0 AS u
+        | FROM documents JOIN rates ON lang = domain),
+        |cp AS (SELECT doc_id, lang,
+        |  CAST(FLOOR(rate) + CASE WHEN u < rate - FLOOR(rate) THEN 1 ELSE 0 END AS BIGINT) AS copies
+        | FROM u)
+        |SELECT lang, CAST(SUM(copies) AS BIGINT) AS n_out FROM cp WHERE copies >= 1
+        |GROUP BY lang ORDER BY lang""".stripMargin)
   )
 }
