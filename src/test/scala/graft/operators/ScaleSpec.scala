@@ -260,6 +260,32 @@ class ScaleSpec extends AnyFunSuite {
     assert(rep.getAs[Int]("rep_pass") == 0)
   }
 
+  test("line-battery cost (boilerplate strip + C4) is near-linear in line count") {
+    import org.apache.spark.sql.functions._
+    // 20-line vs 200-line docs, same doc count: both operators are a
+    // single filter pass over the line array (strip probes a bounded
+    // boiler set per line; C4 checks per-line word count + regex), so
+    // cost must scale ~10x, not ~100x
+    def mkDocs(nLines: Int) = spark.range(2000).select(col("id").as("doc_id"),
+      concat_ws("\n", (0 until nLines).map(j =>
+        concat(lit("line body with several words marker "),
+          ((col("id") * 31 + j * 7) % 211).cast("string"), lit("."))): _*).as("text"))
+    val boiler = (0 until 200).map(i => s"boiler chrome line number $i")
+    def run(nLines: Int): Double = {
+      val t0 = System.nanoTime()
+      graft.operators.text.C4Rules.battery(
+          graft.operators.text.BoilerplateLines.strip(mkDocs(nLines), "text", boiler),
+          "text_clean")
+        .agg(sum(col("n_kept")), sum(when(col("c4_pass"), 1))).head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    run(20) // warm codegen/JIT out of the comparison
+    val t20 = run(20)
+    val t200 = run(200)
+    assert(t200 <= 30 * t20 + 1.0,
+      f"200-line docs $t200%.2fs vs 20-line $t20%.2fs — growth is super-linear")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     Seq("b_orders", "b_customer").foreach { t =>
       spark.sql(s"drop table if exists $t")
