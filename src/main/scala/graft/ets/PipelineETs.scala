@@ -99,8 +99,11 @@ object BoilerplateCleanET extends NoPathET {
         require(boiler.size <= maxBoiler,
           s"frozen set has ${boiler.size} lines > maxBoiler=$maxBoiler")
         BoilerplateLines.strip(df, textCol, boiler, sep)
+      // RefinedWeb intra-doc repetition correction: first occurrence of
+      // each line kept, order preserved — pure per-row expression
+      case "dedupDoc" => BoilerplateLines.dedupWithinDoc(df, textCol, sep)
       case other => throw new IllegalArgumentException(
-        s"BoilerplateClean mode must be clean|frequent|strip, got '$other'")
+        s"BoilerplateClean mode must be clean|frequent|strip|dedupDoc, got '$other'")
     }
   }
 }

@@ -86,6 +86,23 @@ object BoilerplateLines {
       textCol, boiler, sep)
   }
 
+  /** Within-document line dedup — RefinedWeb's intra-doc repetition
+    * correction (Penedo et al. 2023 §3.3): keep each line's FIRST
+    * occurrence inside the document, preserving order. A pure per-row
+    * expression (`array_distinct` preserves encounter order), zero
+    * shuffle, linear in document length; complements corpus-wide
+    * paragraph dedup (p25), which dedups ACROSS documents.
+    * Appends `<textCol>_dedup`, `n_lines`, `n_kept`.
+    */
+  def dedupWithinDoc(df: DataFrame, textCol: String,
+                     sep: String = "\n"): DataFrame = {
+    val lines = split(col(textCol), Pattern.quote(sep), -1)
+    val kept = array_distinct(lines)
+    df.withColumn("n_lines", size(lines).cast("long"))
+      .withColumn(textCol + "_dedup", array_join(kept, sep))
+      .withColumn("n_kept", size(kept).cast("long"))
+  }
+
   /** The per-row cleaning pass against an already-computed boilerplate
     * set (e.g. persisted from a previous corpus snapshot — the streaming
     * ingest path scores new docs against frozen boilerplate).

@@ -1673,7 +1673,40 @@ object Pipeline {
         | CAST(n_kept AS BIGINT) AS n_kept,
         | CAST(n_sentences AS BIGINT) AS n_sentences,
         | (n_sentences >= 3 AND NOT bad) AS c4_pass
-        |FROM f ORDER BY doc_id""".stripMargin)
+        |FROM f ORDER BY doc_id""".stripMargin),
+
+    // ---- within-document line dedup (RefinedWeb §3.3 intra-doc
+    //      repetition correction): keep each line's FIRST occurrence,
+    //      order preserved — a zero-shuffle array_distinct per row. The
+    //      oracle pins the first-occurrence ORDER explicitly
+    //      (ROW_NUMBER within doc), so a green hash also proves Spark's
+    //      array_distinct encounter-order contract. ----
+    QuerySpec.sql("p58_line_dedup_within_doc", (s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "documents").select($"doc_id",
+        concat_ws("\n", $"text", lit("REPEAT ME"), $"text", lit("REPEAT ME"),
+          concat(lit("unique tail "), $"lang")).as("text"))
+      graft.operators.text.BoilerplateLines.dedupWithinDoc(base, "text")
+        .select($"doc_id", md5($"text_dedup").as("h"), $"n_lines", $"n_kept")
+        .orderBy($"doc_id")
+    },
+      """WITH base AS (SELECT doc_id,
+        |  text || chr(10) || 'REPEAT ME' || chr(10) || text || chr(10) ||
+        |  'REPEAT ME' || chr(10) || 'unique tail ' || lang AS t2
+        | FROM documents),
+        |s AS (SELECT doc_id, STRING_SPLIT(t2, chr(10)) AS arr FROM base),
+        |px AS (SELECT doc_id, UNNEST(RANGE(1, LEN(arr) + 1)) AS p, arr FROM s),
+        |l AS (SELECT doc_id, p - 1 AS pos, arr[p] AS line FROM px),
+        |k AS (SELECT doc_id, pos, line,
+        |  ROW_NUMBER() OVER (PARTITION BY doc_id, line ORDER BY pos) AS rn
+        | FROM l),
+        |reb AS (SELECT doc_id, STRING_AGG(line, chr(10) ORDER BY pos) AS txt,
+        |        COUNT(*) AS n_kept
+        |        FROM k WHERE rn = 1 GROUP BY doc_id)
+        |SELECT s.doc_id, MD5(reb.txt) AS h,
+        | CAST(LEN(s.arr) AS BIGINT) AS n_lines,
+        | CAST(reb.n_kept AS BIGINT) AS n_kept
+        |FROM s JOIN reb USING (doc_id) ORDER BY s.doc_id""".stripMargin)
   )
 
   /** Fixed 4-doc corpus for the BPE entries' pinned oracles (expected

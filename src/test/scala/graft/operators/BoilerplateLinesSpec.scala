@@ -84,6 +84,21 @@ class BoilerplateLinesSpec extends AnyFunSuite {
     assert(out(1L) == "BBBBBB chrome\nbody 1")
   }
 
+  test("within-doc line dedup keeps first occurrences in order, zero shuffle") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a line\nb line\na line\nc line\nb line"),
+      (2L, "solo")
+    ).toDF("doc_id", "text")
+    val out = BoilerplateLines.dedupWithinDoc(df, "text")
+    val rows = out.select("doc_id", "text_dedup", "n_lines", "n_kept")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows(0) == ((1L, "a line\nb line\nc line", 5L, 3L)))
+    assert(rows(1) == ((2L, "solo", 1L, 1L)))
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("plan shape: cleaning pass adds no exchange; freq is one shuffle") {
     import spark.implicits._
     val df = Seq((1L, "a\nb"), (2L, "a\nc")).toDF("doc_id", "text")
