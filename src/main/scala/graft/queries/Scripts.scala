@@ -791,6 +791,64 @@ object Scripts {
         |  CAST(FLOOR(rate) + CASE WHEN u < rate - FLOOR(rate) THEN 1 ELSE 0 END AS BIGINT) AS copies
         | FROM u)
         |SELECT lang, CAST(SUM(copies) AS BIGINT) AS n_out FROM cp WHERE copies >= 1
-        |GROUP BY lang ORDER BY lang""".stripMargin)
+        |GROUP BY lang ORDER BY lang""".stripMargin),
+
+    // ---- the RefinedWeb line-pipeline flagship: corpus-frequency
+    //      boilerplate strip -> within-doc line dedup -> C4 battery,
+    //      end-to-end through the DSL with ONE oracle replaying all
+    //      three stages. Fixture: 5-line docs (shared header, doubled
+    //      body, doc-parity extra line, per-source footer); header +
+    //      footers fall to the frequency filter, the doubled body to
+    //      intra-doc dedup, and the C4 sentence floor separates docs by
+    //      parity. ----
+    QuerySpec.sql("s31_script_web_curate", (s, dir) => script(s,
+      s"""load parquet.`$dir/documents.parquet` as s31_docs;
+         |select doc_id, lang, concat_ws('\\n',
+         |  'SUBSCRIBE TO OUR NEWSLETTER TODAY',
+         |  concat(text, '.'), concat(text, '.'),
+         |  case when doc_id % 3 = 0
+         |    then concat('Extra sentence number ', doc_id, ' with enough words!')
+         |    else concat('no terminal punct filler ', doc_id) end,
+         |  concat('(c) 2026 ', source, ' all rights reserved')) as text
+         |from s31_docs as s31_base;
+         |run s31_base as BoilerplateClean.`` where minDocs="10" as s31_nb;
+         |select doc_id, lang, text_clean as text from s31_nb as s31_nb2;
+         |run s31_nb2 as BoilerplateClean.`` where mode="dedupDoc" as s31_dd;
+         |select doc_id, lang, text_dedup as text from s31_dd as s31_dd2;
+         |run s31_dd2 as C4Rules.`` where minSentences="2" as s31_c4;
+         |select lang, count(*) as n_docs,
+         |  sum(case when c4_pass then 1 else 0 end) as n_pass,
+         |  cast(sum(n_kept) as bigint) as lines_kept
+         |from s31_c4 group by lang order by lang as s31_out;""".stripMargin),
+      """WITH base AS (SELECT doc_id, lang,
+        |  'SUBSCRIBE TO OUR NEWSLETTER TODAY' || chr(10) ||
+        |  text || '.' || chr(10) || text || '.' || chr(10) ||
+        |  CASE WHEN doc_id % 3 = 0
+        |    THEN 'Extra sentence number ' || CAST(doc_id AS VARCHAR) || ' with enough words!'
+        |    ELSE 'no terminal punct filler ' || CAST(doc_id AS VARCHAR) END || chr(10) ||
+        |  '(c) 2026 ' || source || ' all rights reserved' AS t2
+        | FROM documents),
+        |s AS (SELECT doc_id, lang, STRING_SPLIT(t2, chr(10)) AS arr FROM base),
+        |px AS (SELECT doc_id, lang, UNNEST(RANGE(1, LEN(arr) + 1)) AS p, arr FROM s),
+        |lns AS (SELECT doc_id, lang, p - 1 AS pos, arr[p] AS line,
+        |        TRIM(arr[p]) AS k FROM px),
+        |freq AS (SELECT k, COUNT(DISTINCT doc_id) AS n_docs FROM lns GROUP BY k),
+        |boiler AS (SELECT k FROM freq WHERE n_docs >= 10 AND LEN(k) >= 6),
+        |k1 AS (SELECT doc_id, lang, pos, line FROM lns
+        |       WHERE k NOT IN (SELECT k FROM boiler)),
+        |k2 AS (SELECT doc_id, lang, pos, line,
+        |  ROW_NUMBER() OVER (PARTITION BY doc_id, line ORDER BY pos) AS rn
+        | FROM k1),
+        |d2 AS (SELECT doc_id, lang, pos, line FROM k2 WHERE rn = 1),
+        |c4k AS (SELECT doc_id, lang, line FROM d2
+        | WHERE LEN(LIST_FILTER(STRING_SPLIT(line, ' '), w -> w <> '')) >= 5
+        |   AND REGEXP_MATCHES(TRIM(line), '[.!?"]$')),
+        |per_doc AS (SELECT doc_id, ANY_VALUE(lang) AS lang, COUNT(*) AS kept,
+        |  SUM(LEN(REGEXP_EXTRACT_ALL(line, '[.!?]'))) AS n_s
+        | FROM c4k GROUP BY doc_id)
+        |SELECT lang, COUNT(*) AS n_docs,
+        | CAST(SUM(CASE WHEN n_s >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        | CAST(SUM(kept) AS BIGINT) AS lines_kept
+        |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin)
   )
 }
