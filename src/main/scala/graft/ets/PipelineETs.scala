@@ -39,7 +39,8 @@ object C4RulesET extends NoPathET {
       params.getOrElse("sep", "\n"),
       params.getOrElse("minWordsPerLine", "5").toInt,
       params.getOrElse("minSentences", "3").toInt,
-      params.get("badPhrases").map(_.split(",").toSeq)
+      params.get("badPhrases")
+        .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
         .getOrElse(graft.operators.text.C4Rules.BadPhrases),
       params.getOrElse("minParallelism", "0").toInt)
 }
@@ -94,10 +95,12 @@ object BoilerplateCleanET extends NoPathET {
       case "strip" =>
         val tbl = params.getOrElse("frozenTable", throw new IllegalArgumentException(
           "BoilerplateClean mode=strip requires frozenTable=... (a (line,...) table)"))
+        // limit BEFORE the collect so a mis-pointed corpus-sized table
+        // fails fast with the intended message, not a driver OOM
         val boiler = ctx.spark.table(tbl).select("line")
-          .collect().map(_.getString(0)).toSeq
+          .limit(maxBoiler + 1).collect().map(_.getString(0)).toSeq
         require(boiler.size <= maxBoiler,
-          s"frozen set has ${boiler.size} lines > maxBoiler=$maxBoiler")
+          s"frozen set exceeds maxBoiler=$maxBoiler lines")
         BoilerplateLines.strip(df, textCol, boiler, sep)
       // RefinedWeb intra-doc repetition correction: first occurrence of
       // each line kept, order preserved — pure per-row expression
@@ -413,8 +416,15 @@ object CorpusMixET extends NoPathET {
     // centroidsTable. Inline weights="d:w,..." otherwise.
     val weights = params.get("weightsTable") match {
       case Some(tbl) =>
-        ctx.spark.table(tbl).select("domain", "weight")
-          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        // explicit casts: a weights table built in SQL may type weight as
+        // DECIMAL (literals) or domain as non-string — fail on values, not
+        // with an opaque ClassCastException; cap the collect (#domains)
+        val rows = ctx.spark.table(tbl)
+          .select(col("domain").cast("string"), col("weight").cast("double"))
+          .limit(100001).collect()
+        require(rows.length <= 100000,
+          s"CorpusMix weightsTable '$tbl' exceeds 100k domains — not a weights table?")
+        rows.map(r => r.getString(0) -> r.getDouble(1)).toMap
       case None => params.getOrElse("weights",
         throw new IllegalArgumentException(
           "CorpusMix requires weights=\"domain:w,domain:w\" or weightsTable=...")).split(",")

@@ -43,6 +43,12 @@ object DomainReweight {
     * (domain, n_tokens, share 6dp, excess 4dp, weight 6dp), where
     * `excess` is KL(domain || corpus) in nats over whitespace unigrams
     * and `weight` is the normalized exponentiated-excess mixture weight.
+    *
+    * Null-domain contract (the PerplexityBuckets convention): rows with a
+    * null domain get NO weight row — the equi-join on `domain` drops them,
+    * exactly as the oracle's `JOIN ... USING (domain)` does — while their
+    * tokens still count toward the corpus totals. `coalesce(domain,'und')`
+    * upstream if unattributed docs should form their own domain.
     */
   def weights(df: DataFrame, domainCol: String, textCol: String,
               temperature: Double = 1.0): DataFrame = {

@@ -93,6 +93,13 @@ object BoilerplateLines {
     * shuffle, linear in document length; complements corpus-wide
     * paragraph dedup (p25), which dedups ACROSS documents.
     * Appends `<textCol>_dedup`, `n_lines`, `n_kept`.
+    *
+    * Line identity here is the EXACT line (whitespace-sensitive), unlike
+    * the frequency path above, which keys on `trim(line)` — trimming
+    * would force an O(lines²) first-occurrence scan where exact identity
+    * gets a linear `array_distinct`, and a kept line must be emitted
+    * verbatim anyway. Normalize whitespace upstream if trim-insensitive
+    * dedup is wanted.
     */
   def dedupWithinDoc(df: DataFrame, textCol: String,
                      sep: String = "\n"): DataFrame = {

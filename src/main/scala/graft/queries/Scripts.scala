@@ -843,11 +843,24 @@ object Scripts {
         |c4k AS (SELECT doc_id, lang, line FROM d2
         | WHERE LEN(LIST_FILTER(STRING_SPLIT(line, ' '), w -> w <> '')) >= 5
         |   AND REGEXP_MATCHES(TRIM(line), '[.!?"]$')),
-        |per_doc AS (SELECT doc_id, ANY_VALUE(lang) AS lang, COUNT(*) AS kept,
+        |kstats AS (SELECT doc_id, COUNT(*) AS kept,
         |  SUM(LEN(REGEXP_EXTRACT_ALL(line, '[.!?]'))) AS n_s
-        | FROM c4k GROUP BY doc_id)
+        | FROM c4k GROUP BY doc_id),
+        |-- bad-phrase predicate on the stage-3 INPUT (the deduped lines):
+        |-- neither phrase contains a newline, so per-line OR == contains
+        |-- on the rejoined text
+        |bads AS (SELECT doc_id,
+        |  MAX(CASE WHEN CONTAINS(LOWER(line), 'lorem ipsum')
+        |            OR CONTAINS(line, '{') THEN 1 ELSE 0 END) AS bad
+        | FROM d2 GROUP BY doc_id),
+        |-- LEFT JOIN from the full doc list: a doc keeping ZERO C4 lines
+        |-- still counts toward n_docs (the battery emits its row)
+        |per_doc AS (SELECT s.doc_id, s.lang,
+        |  COALESCE(k.kept, 0) AS kept, COALESCE(k.n_s, 0) AS n_s, b.bad
+        | FROM s LEFT JOIN kstats k ON s.doc_id = k.doc_id
+        |        JOIN bads b ON s.doc_id = b.doc_id)
         |SELECT lang, COUNT(*) AS n_docs,
-        | CAST(SUM(CASE WHEN n_s >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        | CAST(SUM(CASE WHEN n_s >= 2 AND bad = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
         | CAST(SUM(kept) AS BIGINT) AS lines_kept
         |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin)
   )

@@ -904,6 +904,19 @@ class PipelineETSpec extends AnyFunSuite {
     assert(freq.toSeq == Seq(("SHARED HEADER", 3L)))
   }
 
+  test("C4Rules DSL surface: padded badPhrases entries are trimmed, empty disables") {
+    val base =
+      """set c4d = '''{"doc_id":1,"text":"A proper sentence with a brace { inside it."}''';
+        |load jsonStr.`c4d` as c4t;""".stripMargin
+    def pass(params: String): Boolean = runDF(base +
+      s"""
+         |run c4t as C4Rules.`` where minSentences="1" $params as c4o;
+         |select c4_pass from c4o as out;""".stripMargin).head().getBoolean(0)
+    assert(!pass(""))                                    // default blocklist hits '{'
+    assert(!pass("""and badPhrases=" lorem ipsum , { """"))  // padded entries trimmed
+    assert(pass("""and badPhrases="""""))                // empty string disables cleanly
+  }
+
   test("CorpusMix fractional weight keeps E[copies] near w") {
     import spark.implicits._
     import org.apache.spark.sql.functions.lit
