@@ -70,6 +70,37 @@ object TextAnalysis {
       .withColumn("is_repetitive", col("dup_ngram_ratio") > maxRatio)
   }
 
+  /** Per-document word-distribution Shannon entropy — the lexical-
+    * diversity signal type-token ratio (p5) misses: "ab ab ab …" has
+    * TTR→0 but so does fluent prose at length, while entropy separates
+    * them (H = 1 bit vs ≈ log V). Standard gibberish/degenerate-text
+    * detector alongside the Gopher/C4 batteries.
+    *
+    * H = ln N − (Σ c·ln c)/N over per-doc word counts — ONE corpus
+    * explode into a (doc, word) count shuffle (map-side combine), one
+    * doc-key agg; both shuffles bounded, no driver state. `norm_entropy`
+    * divides by ln(n_types) (∈ [0,1], 1 = uniform over the doc's
+    * vocabulary; 0 when the doc has a single type). Entropies in nats,
+    * 4 dp (fp-associativity ~1e-12, far below the grain — the UnigramLm
+    * convention). Token-less documents are dropped (no distribution).
+    */
+  def wordEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = df
+      .select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("c"))
+    counts.groupBy(col(idCol))
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
+        (log(sum("c").cast("double")) -
+          sum(col("c").cast("double") * log(col("c").cast("double"))) /
+            sum("c").cast("double")).as("__h__"))
+      .select(col(idCol), col("n_tokens"), col("n_types"),
+        round(col("__h__"), 4).as("entropy"),
+        round(when(col("n_types") > 1,
+          col("__h__") / log(col("n_types").cast("double")))
+          .otherwise(lit(0.0)), 4).as("norm_entropy"))
+  }
+
   /** Predicted language by max stopword-profile hits; ties break by profile
     * order (alphabetical); all-zero → 'unknown'. Pure per-row Catalyst
     * expressions — no UDF, no shuffle, codegen-friendly.

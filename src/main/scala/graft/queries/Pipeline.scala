@@ -1706,7 +1706,31 @@ object Pipeline {
         |SELECT s.doc_id, MD5(reb.txt) AS h,
         | CAST(LEN(s.arr) AS BIGINT) AS n_lines,
         | CAST(reb.n_kept AS BIGINT) AS n_kept
-        |FROM s JOIN reb USING (doc_id) ORDER BY s.doc_id""".stripMargin)
+        |FROM s JOIN reb USING (doc_id) ORDER BY s.doc_id""".stripMargin),
+
+    // ---- per-doc word-distribution Shannon entropy (the lexical-
+    //      diversity signal TTR misses): H = ln N - (sum c ln c)/N over
+    //      per-doc word counts — one (doc,word) count shuffle with
+    //      map-side combine + one doc-key agg, no driver state. ----
+    QuerySpec.sql("p59_word_entropy", (s, dir) => {
+      import s.implicits._
+      graft.operators.text.TextAnalysis.wordEntropy(
+          t(s, dir, "documents"), "doc_id", "text")
+        .orderBy($"doc_id")
+    },
+      """WITH tok AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS word
+        |            FROM documents),
+        |c AS (SELECT doc_id, word, COUNT(*) AS c FROM tok
+        |      WHERE word <> '' GROUP BY 1, 2),
+        |h AS (SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_types,
+        |  LN(CAST(SUM(c) AS DOUBLE)) -
+        |    SUM(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE))) / CAST(SUM(c) AS DOUBLE) AS hh
+        | FROM c GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        | CAST(n_types AS BIGINT) AS n_types, ROUND(hh, 4) AS entropy,
+        | ROUND(CASE WHEN n_types > 1 THEN hh / LN(CAST(n_types AS DOUBLE))
+        |       ELSE 0.0 END, 4) AS norm_entropy
+        |FROM h ORDER BY doc_id""".stripMargin)
   )
 
   /** Fixed 4-doc corpus for the BPE entries' pinned oracles (expected

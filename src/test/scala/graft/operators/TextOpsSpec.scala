@@ -23,6 +23,25 @@ class TextOpsSpec extends AnyFunSuite {
     assert(TextDedup.banding(0.9, 96)._2 > TextDedup.banding(0.5, 96)._2)
   }
 
+  test("wordEntropy: uniform doc maximizes norm_entropy, repeated word zeroes it") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d"),        // uniform over 4 types -> H = ln 4, norm 1
+      (2L, "a a a a"),        // single type -> H = 0, norm 0 by contract
+      (3L, "a a a b"),        // skewed
+      (4L, "a  b")            // double space: empty token ignored
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.wordEntropy(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    assert(out(1L) == ((4L, 4L, r4(math.log(4)), 1.0)))
+    assert(out(2L) == ((4L, 1L, 0.0, 0.0)))
+    // H(3/4,1/4) = ln4 - (3 ln 3)/4
+    assert(out(3L)._3 == r4(math.log(4) - 3 * math.log(3) / 4))
+    assert(out(4L) == ((2L, 2L, r4(math.log(2)), 1.0)))
+  }
+
   test("minHashSelfJoinTuned finds the same pairs as the exact jaccard join") {
     import spark.implicits._
     val docs = Seq(
