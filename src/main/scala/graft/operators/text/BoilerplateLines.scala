@@ -116,9 +116,14 @@ object BoilerplateLines {
     */
   def strip(df: DataFrame, textCol: String, boiler: Seq[String],
             sep: String = "\n"): DataFrame = {
-    val boilerLit: Column = typedlit(boiler)
     val lines = split(col(textCol), Pattern.quote(sep), -1)
-    val kept = filter(lines, l => !array_contains(boilerLit, trim(l)))
+    // membership via isin, NOT array_contains over a literal array: the
+    // optimizer rewrites a >10-literal In to InSet (one hash probe per
+    // line), so the per-line cost is O(1) even at the maxBoiler=10k cap —
+    // an array_contains scan would be O(|boiler|) per line
+    val kept =
+      if (boiler.isEmpty) lines
+      else filter(lines, l => !trim(l).isin(boiler: _*))
     df.withColumn("n_lines", size(lines).cast("long"))
       .withColumn(textCol + "_clean", array_join(kept, sep))
       .withColumn("n_kept", size(kept).cast("long"))

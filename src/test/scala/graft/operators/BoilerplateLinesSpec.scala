@@ -109,4 +109,17 @@ class BoilerplateLinesSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(freqPlan.split("Exchange").length - 1 == 1, freqPlan)
   }
+
+  test("large boiler sets plan as an INSET hash probe, not a per-line scan") {
+    import spark.implicits._
+    val boiler = (0 until 50).map(i => s"chrome line $i")
+    // range-based input: a local Seq would be constant-folded into a
+    // LocalRelation and the probe would vanish from the optimized plan
+    val df = spark.range(1).select($"id".as("doc_id"),
+      org.apache.spark.sql.functions.lit("chrome line 7\nreal body").as("text"))
+    val out = BoilerplateLines.strip(df, "text", boiler)
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(plan.toUpperCase.contains("INSET"), plan)
+    assert(out.select("text_clean").head().getString(0) == "real body")
+  }
 }
