@@ -60,7 +60,7 @@ object C4Rules {
       .withColumn(textCol + "_c4", cleanText)
       .withColumn("n_kept", size(kept).cast("long"))
       .withColumn("n_sentences",
-        size(regexp_extract_all(col(textCol + "_c4"), lit("[.!?]"), lit(0))).cast("long"))
+        regexp_count(col(textCol + "_c4"), lit("[.!?]")).cast("long"))
       .withColumn("c4_pass",
         col("n_sentences") >= minSentences && !hasBad)
   }
