@@ -1025,6 +1025,12 @@ object BinaryMetaInPlaceET extends NoPathET {
     val withMeta = graft.operators.multimodal.Multimodal
       .withImageMeta(df, binaryCol)
     params.get("embed").map(_.toInt) match {
+      // embedBatch="64" routes through the batch-shaped featurizer (the
+      // mapInPandas execution shape a real encoder needs); values are
+      // identical to the scalar path by construction
+      case Some(dim) if params.contains("embedBatch") =>
+        graft.operators.multimodal.Multimodal.withEmbeddingBatched(
+          withMeta, binaryCol, dim, params("embedBatch").toInt)
       case Some(dim) => graft.operators.multimodal.Multimodal
         .withEmbedding(withMeta, binaryCol, dim)
       case None => withMeta

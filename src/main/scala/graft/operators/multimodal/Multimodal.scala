@@ -73,25 +73,30 @@ object Multimodal {
     // vision/audio encoder in production. The contract that matters at
     // scale (per-row, fixed dim, Array[Float] schema CosineSimilarity
     // consumes) is exercised for real.
-    spark.udf.register("mm_embed", (b: Array[Byte], dim: Int) => {
-      var h = 1125899906842597L
-      var i = 0
-      while (i < math.min(b.length, 1024)) { h = 31 * h + b(i); i += 1 }
-      var s = h | 1L
-      val out = new Array[Float](dim)
-      var norm = 0.0
-      var j = 0
-      while (j < dim) {
-        s ^= s << 13; s ^= s >>> 7; s ^= s << 17
-        val v = (s.toDouble / Long.MaxValue).toFloat
-        out(j) = v
-        norm += v.toDouble * v
-        j += 1
-      }
-      val inv = (1.0 / math.sqrt(norm)).toFloat
-      out.map(_ * inv)
-    })
+    spark.udf.register("mm_embed", (b: Array[Byte], dim: Int) => stubEmbed(b, dim))
     spark.conf.set("spark.graft.multimodal.registered", "true")
+  }
+
+  /** The STUB embedding function itself — shared by the `mm_embed` UDF and
+    * the batched featurizer so both paths produce identical vectors.
+    */
+  private[graft] def stubEmbed(b: Array[Byte], dim: Int): Array[Float] = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < math.min(b.length, 1024)) { h = 31 * h + b(i); i += 1 }
+    var s = h | 1L
+    val out = new Array[Float](dim)
+    var norm = 0.0
+    var j = 0
+    while (j < dim) {
+      s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+      val v = (s.toDouble / Long.MaxValue).toFloat
+      out(j) = v
+      norm += v.toDouble * v
+      j += 1
+    }
+    val inv = (1.0 / math.sqrt(norm)).toFloat
+    out.map(_ * inv)
   }
 
   /** Attach a STUB `embedding` column (see `mm_embed` notes): the bridge
@@ -100,6 +105,35 @@ object Multimodal {
   def withEmbedding(df: DataFrame, binaryCol: String = "content",
                     dim: Int = 64): DataFrame =
     df.withColumn("embedding", expr(s"mm_embed($binaryCol, $dim)"))
+
+  /** BATCH-shaped featurizer — the `mapInPandas`/`mapInArrow` execution
+    * shape a real encoder needs (model weights loaded once per partition,
+    * inference amortized over `batchSize` rows), expressed Scala-side as
+    * `mapPartitions` + grouped iterators. The per-batch setup hook is
+    * where a real codec/encoder session goes; the stub embeds each row
+    * with the SAME function as `mm_embed`, so the batched and scalar
+    * paths are value-identical (spec-pinned) and everything downstream
+    * (schema `Array[Float]`, CosineSimilarity, ANN) is exercised for
+    * real. Iterator-lazy: never materializes more than one batch.
+    */
+  def withEmbeddingBatched(df: DataFrame, binaryCol: String = "content",
+                           dim: Int = 64, batchSize: Int = 64): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    val schema = df.schema.add("embedding", ArrayType(FloatType, containsNull = false))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(binaryCol)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // >>> real impl: open codec / encoder session ONCE here, run one
+        // batched inference over `batch`, close. Stub: per-row embed.
+        batch.iterator.map { r =>
+          Row.fromSeq(r.toSeq :+ stubEmbed(r.getAs[Array[Byte]](idx), dim).toSeq)
+        }
+      }
+    }(enc)
+  }
 
   /** Attach a typed metadata struct to a binary column: format (sniffed),
     * width/height (STUB decode), size, content hash. Pure per-row work.

@@ -904,6 +904,28 @@ class PipelineETSpec extends AnyFunSuite {
     assert(freq.toSeq == Seq(("SHARED HEADER", 3L)))
   }
 
+  test("batched featurizer matches the scalar mm_embed path exactly") {
+    import spark.implicits._
+    import graft.operators.multimodal.Multimodal
+    Multimodal.register(spark)
+    val df = (1 to 150).map(i => (i.toLong, Array.fill[Byte](32)((i % 11).toByte)))
+      .toDF("id", "content")
+    def collectEmb(d: org.apache.spark.sql.DataFrame): Map[Long, Seq[Float]] =
+      d.select("id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val scalar = collectEmb(Multimodal.withEmbedding(df, "content", 16))
+    // batchSize=7 does not divide 150: the tail partial batch is exercised
+    val batched = collectEmb(Multimodal.withEmbeddingBatched(df, "content", 16, 7))
+    assert(batched == scalar)
+    assert(batched.values.forall(_.length == 16))
+    // and through the DSL surface
+    val viaDsl = runDF(
+      """select cast(1 as long) as id, cast('abc' as binary) as content as bmb_in;
+        |run bmb_in as BinaryMetaInPlace.`` where embed="8" and embedBatch="4" as bmb_out;
+        |select id, embedding from bmb_out as out;""".stripMargin)
+    assert(viaDsl.head().getSeq[Float](1).length == 8)
+  }
+
   test("C4Rules DSL surface: padded badPhrases entries are trimmed, empty disables") {
     val base =
       """set c4d = '''{"doc_id":1,"text":"A proper sentence with a brace { inside it."}''';
