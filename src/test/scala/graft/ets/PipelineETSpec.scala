@@ -926,6 +926,28 @@ class PipelineETSpec extends AnyFunSuite {
     assert(viaDsl.head().getSeq[Float](1).length == 8)
   }
 
+  test("video path composes in SQL: frame sample -> per-frame embed -> mean pool") {
+    import graft.operators.multimodal.Multimodal
+    Multimodal.register(spark)
+    // 4 evenly spaced 16-byte frames from a 128-byte blob, each embedded,
+    // mean-pooled to one clip vector — the temporal-pooling shape of a
+    // video encoder, entirely as composable SQL over the registered UDFs
+    val df = spark.sql(
+      """SELECT clip_id, aggregate(frames, array_repeat(0.0F, 8),
+        |  (acc, f) -> zip_with(acc, mm_embed(f, 8), (a, b) -> a + b),
+        |  acc -> transform(acc, x -> x / size(frames))) AS clip_vec,
+        |  size(frames) AS n_frames
+        |FROM (SELECT 1L AS clip_id,
+        |  mm_frame_sample(CAST(repeat('ab', 64) AS BINARY), 4, 16) AS frames)""".stripMargin)
+    val r = df.head()
+    assert(r.getInt(2) == 4)
+    // division promotes to double: the pooled clip vector is array<double>
+    val vec = r.getSeq[Double](1)
+    assert(vec.length == 8 && vec.exists(_ != 0.0))
+    // deterministic: same clip bytes -> same pooled vector
+    assert(df.head().getSeq[Double](1) == vec)
+  }
+
   test("C4Rules DSL surface: padded badPhrases entries are trimmed, empty disables") {
     val base =
       """set c4d = '''{"doc_id":1,"text":"A proper sentence with a brace { inside it."}''';
