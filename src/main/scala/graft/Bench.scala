@@ -15,6 +15,15 @@ package graft
   */
 object Bench {
 
+  /** Short ids of queries whose WORKLOAD changed this round: their
+    * prior-round warm time baselines a different computation, so the
+    * drift gate must not compare against it (same treatment as
+    * prior-round stalls — the key is dropped and the query runs ungated
+    * this round). r11: p51 went from the padded 32k-table encode to a
+    * real 4096-merge train+encode.
+    */
+  private val RedefinedQueries = Set("p51")
+
   /** JVM-health counters captured around each timed run, so a warm-time
     * regression can be attributed (GC pause? JIT recompilation storm? code
     * cache full?) instead of guessed at from the bare seconds — the r9
@@ -155,7 +164,8 @@ object Bench {
             .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSet
           """"([A-Za-z0-9_]+)":(-?[0-9][0-9.eE+-]*)""".r.findAllMatchIn(body)
             .map(m => m.group(1) -> m.group(2).toDouble)
-            .filterNot { case (k, _) => priorStalls.contains(k) }
+            .filterNot { case (k, _) =>
+              priorStalls.contains(k) || RedefinedQueries.contains(k) }
             .toMap
         }
       }.getOrElse(Map.empty)
@@ -268,9 +278,15 @@ object Bench {
     // ~1.3 KB total; the file copy below keeps full names.
     // isolated re-runs: stdout carries at most 8 (same budget rule as the
     // flag lists — short ids); the file copy below keeps all, full-named
-    val isolatedJson = isolated.take(8)
-      .map { case (n, v) => s""""${n.split("_").head}":${num(v)}""" }
-      .mkString("{", ",", "}")
+    val isolatedJson = {
+      val kept = isolated.take(8)
+        .map { case (n, v) => s""""${n.split("_").head}":${num(v)}""" }
+      // same overflow convention as the flag lists: an explicit marker, so
+      // a truncated stdout object can't read as "only 8 were re-measured"
+      val marker = if (isolated.size > 8)
+        Seq(s""""more":${isolated.size - 8}""") else Seq.empty
+      (kept ++ marker).mkString("{", ",", "}")
+    }
     val isolatedFullJson = isolated
       .map { case (n, v) => s""""$n":$v""" }.mkString("{", ",", "}")
     val json =

@@ -20,7 +20,10 @@ object BenchOne {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-      println(f"[benchone] $name #$i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      // ROOT locale: Bench's isolated-rerun parser regexes this line, and
+      // the f"" interpolator would print a comma decimal in e.g. de_DE
+      println(String.format(java.util.Locale.ROOT, "[benchone] %s #%d: %.3f s",
+        name, Int.box(i), Double.box((System.nanoTime() - t0) / 1e9)))
     }
     spark.stop()
   }

@@ -719,9 +719,14 @@ object ImportanceSelectET extends NoPathET {
       case "sample" => ImportanceSelect.gumbelSelect(df, target, idCol, textCol, k,
         params.getOrElse("seed", "42").toLong,
         params.getOrElse("temperature", "1.0").toDouble, buckets, alpha, portable, minPar)
-      case "score" => ImportanceSelect.score(df, idCol, textCol,
-        ImportanceSelect.fitLogRatios(target, df, textCol, buckets, alpha, portable),
-        buckets, portable, minPar)
+      case "score" =>
+        // hoist the hatch ABOVE the fit too (select/sample do this inside
+        // the operator): the fit's raw-side explode is the same
+        // single-split-bound projection the hatch exists for
+        val hatched = graft.operators.scale.Parallelism.ensure(df, minPar)
+        ImportanceSelect.score(hatched, idCol, textCol,
+          ImportanceSelect.fitLogRatios(target, hatched, textCol, buckets, alpha, portable),
+          buckets, portable)
       case other => throw new IllegalArgumentException(
         s"ImportanceSelect mode must be select|score|sample, got '$other'")
     }

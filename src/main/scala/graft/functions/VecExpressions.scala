@@ -448,10 +448,12 @@ private[functions] object NgramMass {
     * as empty strings (the callers feed `filter(split(text,' '), x -> x <>
     * '')`, which never yields nulls).
     */
-  def counts(arr: ArrayData, n: Int): java.util.HashMap[String, Array[Long]] = {
+  /** One UTF8String→String/char-count conversion of the word array,
+    * shared by every n the caller needs (the battery runs n=2..5 over
+    * the same prepared arrays).
+    */
+  def prep(arr: ArrayData): (Array[String], Array[Long]) = {
     val g = arr.numElements()
-    val m = new java.util.HashMap[String, Array[Long]]()
-    if (n <= 0 || g < n) return m
     val strs = new Array[String](g)
     val chars = new Array[Long](g)
     var i = 0
@@ -461,9 +463,17 @@ private[functions] object NgramMass {
       strs(i) = w.toString
       i += 1
     }
+    (strs, chars)
+  }
+
+  def countsFrom(strs: Array[String], chars: Array[Long],
+                 n: Int): java.util.HashMap[String, Array[Long]] = {
+    val g = strs.length
+    val m = new java.util.HashMap[String, Array[Long]]()
+    if (n <= 0 || g < n) return m
     val sb = new java.lang.StringBuilder
     val last = g - n
-    i = 0
+    var i = 0
     while (i <= last) {
       sb.setLength(0)
       var mass = 0L
@@ -480,6 +490,42 @@ private[functions] object NgramMass {
       i += 1
     }
     m
+  }
+
+  def counts(arr: ArrayData, n: Int): java.util.HashMap[String, Array[Long]] = {
+    val (strs, chars) = prep(arr)
+    countsFrom(strs, chars, n)
+  }
+
+  /** Max-count gram's total char mass (ties on count broken by larger
+    * count × mass) — the Gopher top-n-gram statistic.
+    */
+  def topMass(m: java.util.HashMap[String, Array[Long]]): Long = {
+    var bestCnt = 0L
+    var bestTotal = 0L
+    val it = m.values().iterator()
+    while (it.hasNext) {
+      val v = it.next()
+      val cnt = v(0)
+      val total = cnt * v(1)
+      if (cnt > bestCnt || (cnt == bestCnt && total > bestTotal)) {
+        bestCnt = cnt; bestTotal = total
+      }
+    }
+    bestTotal
+  }
+
+  /** Σ count × mass over grams occurring ≥ 2 times — the Gopher
+    * dup-n-gram statistic.
+    */
+  def dupMass(m: java.util.HashMap[String, Array[Long]]): Long = {
+    var acc = 0L
+    val it = m.values().iterator()
+    while (it.hasNext) {
+      val v = it.next()
+      if (v(0) >= 2L) acc += v(0) * v(1)
+    }
+    acc
   }
 }
 
@@ -503,21 +549,9 @@ case class NgramTopMass(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "ngram_top_mass"
 
-  override protected def nullSafeEval(wordsAny: Any, nAny: Any): Any = {
-    val m = NgramMass.counts(wordsAny.asInstanceOf[ArrayData], nAny.asInstanceOf[Int])
-    var bestCnt = 0L
-    var bestTotal = 0L
-    val it = m.values().iterator()
-    while (it.hasNext) {
-      val v = it.next()
-      val cnt = v(0)
-      val total = cnt * v(1)
-      if (cnt > bestCnt || (cnt == bestCnt && total > bestTotal)) {
-        bestCnt = cnt; bestTotal = total
-      }
-    }
-    bestTotal
-  }
+  override protected def nullSafeEval(wordsAny: Any, nAny: Any): Any =
+    NgramMass.topMass(
+      NgramMass.counts(wordsAny.asInstanceOf[ArrayData], nAny.asInstanceOf[Int]))
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): NgramTopMass =
     copy(left = l, right = r)
@@ -539,16 +573,9 @@ case class NgramDupMass(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "ngram_dup_mass"
 
-  override protected def nullSafeEval(wordsAny: Any, nAny: Any): Any = {
-    val m = NgramMass.counts(wordsAny.asInstanceOf[ArrayData], nAny.asInstanceOf[Int])
-    var acc = 0L
-    val it = m.values().iterator()
-    while (it.hasNext) {
-      val v = it.next()
-      if (v(0) >= 2L) acc += v(0) * v(1)
-    }
-    acc
-  }
+  override protected def nullSafeEval(wordsAny: Any, nAny: Any): Any =
+    NgramMass.dupMass(
+      NgramMass.counts(wordsAny.asInstanceOf[ArrayData], nAny.asInstanceOf[Int]))
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): NgramDupMass =
     copy(left = l, right = r)

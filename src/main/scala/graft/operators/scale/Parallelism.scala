@@ -21,8 +21,27 @@ object Parallelism {
 
   /** Repartition `df` to `min` partitions iff it currently has fewer;
     * `min <= 0` (the operators' default) disables the hatch entirely.
+    *
+    * The partition probe (`df.rdd.getNumPartitions`) is only free on a
+    * shuffle-free plan: under AQE it finalizes the physical plan, which
+    * MATERIALIZES any upstream shuffle stages — and the later action on
+    * the repartitioned frame would re-execute them. So when the plan
+    * already contains a shuffle-producing operator the hatch is a no-op
+    * by construction (the shuffle lands on `numShufflePartitions`
+    * partitions, which is the parallelism the hatch would provide) and
+    * the probe is skipped entirely. The single-input-split pathology this
+    * hatch exists for (r10: cpu≈wall on sub-maxPartitionBytes local
+    * files) only ever arises on scan-shaped plans.
     */
-  def ensure(df: DataFrame, min: Int): DataFrame =
-    if (min <= 0 || df.rdd.getNumPartitions >= min) df
+  def ensure(df: DataFrame, min: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def shuffles(p: LogicalPlan): Boolean = p.exists {
+      case _: Join | _: Aggregate | _: Window | _: Distinct | _: Sort |
+           _: RepartitionOperation | _: GlobalLimit | _: Deduplicate => true
+      case _ => false
+    }
+    if (min <= 0 || shuffles(df.queryExecution.optimizedPlan)) df
+    else if (df.rdd.getNumPartitions >= min) df
     else df.repartition(min)
+  }
 }

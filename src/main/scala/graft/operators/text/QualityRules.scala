@@ -124,6 +124,11 @@ object QualityRules {
                  maxTop4: Double = 0.16, maxDup5: Double = 0.15,
                  minParallelism: Int = 0): DataFrame = {
     val in = graft.operators.scale.Parallelism.ensure(df, minParallelism)
+    // NOTE (r11 measured): fusing the four calls into one struct-returning
+    // battery expression is NOT faster — the per-gram key building
+    // dominates, the array prep each call repeats is minor, and the
+    // struct adds boxing (like-for-like micro-bench: fused 0.33 s vs
+    // four-call 0.31 s on 2000×1000-word docs). Four scalar calls stay.
     def topFrac(n: Int): Column =
       when(col("__cm__") > 0,
         round(call_function("ngram_top_mass", col("__w__"), lit(n))
