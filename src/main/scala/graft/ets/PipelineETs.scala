@@ -20,7 +20,38 @@ object PipelineETs {
     IncrementalDedupET, DocChunkET, GroupCapET, CorpusShuffleET, ResampleET,
     CorpusStatsET, TokenBudgetET, SubstringDedupInPlaceET, ImportanceSelectET,
     ClusterSampleET, ShardExportET, GopherRulesET, PerplexityBucketsET,
-    TemperatureMixET, BoilerplateCleanET, DomainReweightET, C4RulesET)
+    TemperatureMixET, BoilerplateCleanET, DomainReweightET, C4RulesET,
+    UnigramTokenizerET)
+}
+
+/** `run docs as UnigramTokenizer.`` where mode="train" and vocabSize="64"
+  * [and textCol="text" and maxPieceLen="6" and iters="4"]` — train a
+  * SentencePiece-style unigram-LM vocabulary (see
+  * [[graft.operators.text.UnigramTokenizer]]); returns (piece, cnt,
+  * cost). `mode="encode" and vocabTable="v"` appends per-doc `n_pieces` /
+  * `enc_cost` by broadcast-vocab Viterbi — persist the trained vocab and
+  * everything downstream of it is SQL-replayable (the s32 oracle replays
+  * the Viterbi itself as a recursive-CTE shortest path).
+  */
+object UnigramTokenizerET extends NoPathET {
+  override def name = "UnigramTokenizer"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    import graft.operators.text.UnigramTokenizer
+    val textCol = params.getOrElse("textCol", "text")
+    val maxLen = params.getOrElse("maxPieceLen", "6").toInt
+    params.getOrElse("mode", "train") match {
+      case "train" => UnigramTokenizer.train(df, textCol,
+        params.getOrElse("vocabSize", "256").toInt, maxLen,
+        params.getOrElse("iters", "4").toInt)
+      case "encode" => UnigramTokenizer.withEncoding(df, textCol,
+        ctx.spark.table(params.getOrElse("vocabTable",
+          throw new IllegalArgumentException(
+            "UnigramTokenizer mode=encode requires vocabTable=..."))), maxLen)
+      case other => throw new IllegalArgumentException(
+        s"UnigramTokenizer mode must be train|encode, got '$other'")
+    }
+  }
 }
 
 /** `run docs as C4Rules.`` [where textCol="text" and sep="\n" and

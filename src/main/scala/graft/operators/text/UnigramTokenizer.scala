@@ -1,0 +1,164 @@
+package graft.operators.text
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** SentencePiece-style unigram-LM tokenizer (Kudo 2018, "Subword
+  * Regularization", §3) — the other standard subword family next to BPE
+  * ([[BpeTrain]]): a vocabulary of pieces with unigram log-probs, encoding
+  * by Viterbi (the max-probability segmentation), trained by EM over the
+  * word dictionary. This build uses the common deterministic hard-EM
+  * variant: each round Viterbi-segments every dictionary word under the
+  * current probabilities, re-counts piece usage, prunes to the target
+  * vocabulary (single characters are never pruned — segmentability
+  * guarantee), and re-normalizes.
+  *
+  * Scale posture mirrors the BPE trainer: piece statistics need only the
+  * UNIQUE-WORD dictionary (one `groupBy(word)` shuffle of the corpus),
+  * which is bounded and collected to the driver under `driverDictCap`;
+  * training cost is O(iters × dict-chars × maxPieceLen²) — seconds for
+  * realistic dictionaries. ENCODING is a per-row broadcast-vocab Viterbi,
+  * scan speed at 100 TB.
+  *
+  * Determinism contract (what the s32 oracle replays): piece costs are
+  * `-ln(count/total)` doubles; Viterbi accumulates cost left-to-right, so
+  * a given segmentation's cost is bitwise-identical in any engine that
+  * adds the same doubles in the same order — DuckDB replays the encode as
+  * a recursive-CTE path enumeration over the PERSISTED vocab and takes
+  * MIN(cost) (ties broken by fewer pieces), which equals the Viterbi DP
+  * by construction.
+  *
+  * No reference counterpart; beyond-reference LLM-pipeline surface per
+  * the builder prompt.
+  */
+object UnigramTokenizer {
+
+  /** (piece, count, cost) rows; `cost = -ln(count / total)` over the final
+    * vocabulary. Deterministic: all ties break on the piece string.
+    */
+  def train(df: DataFrame, textCol: String, vocabSize: Int,
+            maxPieceLen: Int = 6, iters: Int = 4,
+            seedCap: Int = 100000, driverDictCap: Int = 100000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dictDf = df.select(explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    require(dictDf.limit(driverDictCap + 1).count() <= driverDictCap,
+      s"word dictionary exceeds driverDictCap=$driverDictCap — raise the cap " +
+        "or pre-truncate the corpus (the trainer is driver-side like BpeTrain)")
+    val dict = dictDf.as[(String, Long)].collect().sortBy(_._1)
+    trainOnDict(dict, vocabSize, maxPieceLen, iters, seedCap)
+      .toSeq.toDF("piece", "cnt", "cost")
+  }
+
+  private[graft] def trainOnDict(dict: Array[(String, Long)], vocabSize: Int,
+                                 maxPieceLen: Int, iters: Int,
+                                 seedCap: Int): Array[(String, Long, Double)] = {
+    import scala.collection.mutable
+    require(vocabSize > 0 && maxPieceLen > 0 && iters >= 0)
+    // ---- seed: every substring up to maxPieceLen, count = Σ freq over
+    //      (overlapping) occurrences; all single chars ride along ----
+    val seed = mutable.HashMap.empty[String, Long]
+    for ((w, f) <- dict; i <- 0 until w.length;
+         j <- (i + 1) to math.min(i + maxPieceLen, w.length))
+      seed.updateWith(w.substring(i, j))(c => Some(c.getOrElse(0L) + f))
+    val chars: Set[String] = seed.keySet.filter(_.length == 1).toSet
+    def cap(m: Iterable[(String, Long)], k: Int): Array[(String, Long)] = {
+      val (cs, rest) = m.toArray.partition { case (p, _) => chars(p) }
+      cs ++ rest.sortBy { case (p, c) => (-c, p) }.take(math.max(0, k - cs.length))
+    }
+    var vocab: Array[(String, Long)] = cap(seed, math.max(seedCap, vocabSize))
+    // ---- hard-EM rounds: Viterbi under current costs, recount, prune ----
+    for (_ <- 1 to iters) {
+      val costs = toCosts(vocab)
+      val counts = mutable.HashMap.empty[String, Long]
+      for ((w, f) <- dict; p <- viterbi(w, costs, maxPieceLen))
+        counts.updateWith(p)(c => Some(c.getOrElse(0L) + f))
+      // unused single chars keep a floor count of 1 (never pruned, so the
+      // encoder can always fall back to characters)
+      chars.foreach(c => counts.updateWith(c)(v => Some(math.max(v.getOrElse(0L), 1L))))
+      vocab = cap(counts, vocabSize)
+    }
+    val costs = toCosts(vocab)
+    vocab.sortBy { case (p, c) => (-c, p) }
+      .map { case (p, c) => (p, c, costs(p)) }
+  }
+
+  /** piece → cost = −ln(count / total). */
+  private def toCosts(vocab: Array[(String, Long)]): Map[String, Double] = {
+    val total = vocab.map(_._2).sum.toDouble
+    vocab.map { case (p, c) => p -> -math.log(c / total) }.toMap
+  }
+
+  /** Min-cost segmentation: DP left-to-right, `best(j) = min over i of
+    * best(i) + cost(w[i..j))`, ties on cost broken by FEWER pieces then
+    * by the lexicographically smaller piece ending at j. Throws if some
+    * character is not in the vocabulary (train() guarantees coverage of
+    * every character it saw).
+    */
+  def viterbi(w: String, costs: Map[String, Double],
+              maxPieceLen: Int): Seq[String] = {
+    val n = w.length
+    if (n == 0) return Seq.empty
+    val best = Array.fill(n + 1)(Double.PositiveInfinity)
+    val bestNp = Array.fill(n + 1)(Int.MaxValue)
+    val back = Array.fill(n + 1)(-1) // start index of the piece ending at j
+    best(0) = 0.0; bestNp(0) = 0
+    var j = 1
+    while (j <= n) {
+      var i = math.max(0, j - maxPieceLen)
+      while (i < j) {
+        if (best(i) < Double.PositiveInfinity) {
+          costs.get(w.substring(i, j)).foreach { c =>
+            val cand = best(i) + c
+            val candNp = bestNp(i) + 1
+            // ties on cost break by fewer pieces, then by the
+            // lexicographically smaller piece ending at j (full determinism)
+            val take = cand < best(j) ||
+              (cand == best(j) && (candNp < bestNp(j) ||
+                (candNp == bestNp(j) && back(j) >= 0 &&
+                  w.substring(i, j) < w.substring(back(j), j))))
+            if (take) { best(j) = cand; bestNp(j) = candNp; back(j) = i }
+          }
+        }
+        i += 1
+      }
+      j += 1
+    }
+    require(best(n) < Double.PositiveInfinity,
+      s"unigram vocab cannot segment '$w' — character missing from vocabulary")
+    // walk back
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var pos = n
+    while (pos > 0) { out.prepend(w.substring(back(pos), pos)); pos = back(pos) }
+    out.toSeq
+  }
+
+  /** Appends `n_pieces` (long) and `enc_cost` (total Viterbi cost, 6 dp)
+    * per document: each whitespace word segmented independently, costs
+    * summed. Broadcast-vocab UDF — per-row, scan speed.
+    */
+  def withEncoding(df: DataFrame, textCol: String, vocab: DataFrame,
+                   maxPieceLen: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    val costs: Map[String, Double] = vocab.select("piece", "cost")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val bc = spark.sparkContext.broadcast(costs)
+    val enc = udf((text: String) => {
+      val words = text.split(" ").filter(_.nonEmpty)
+      var np = 0L
+      var cost = 0.0
+      for (w <- words) {
+        val pieces = viterbi(w, bc.value, maxPieceLen)
+        np += pieces.length
+        cost += pieces.map(bc.value).sum
+      }
+      (np, cost)
+    })
+    df.withColumn("__e__", enc(col(textCol)))
+      .withColumn("n_pieces", col("__e__._1"))
+      .withColumn("enc_cost", round(col("__e__._2"), 6))
+      .drop("__e__")
+  }
+}

@@ -862,6 +862,53 @@ object Scripts {
         |SELECT lang, COUNT(*) AS n_docs,
         | CAST(SUM(CASE WHEN n_s >= 2 AND bad = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
         | CAST(SUM(kept) AS BIGINT) AS lines_kept
-        |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin)
+        |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin),
+
+    // ---- SentencePiece-style unigram tokenizer through the DSL: hard-EM
+    //      train -> vocab persisted (the oracle boundary, s28 pattern) ->
+    //      broadcast-vocab Viterbi encode. The oracle replays the VITERBI
+    //      ITSELF: a recursive-CTE path enumeration over the saved
+    //      (piece, cost) table — MIN(cost) per word (ties by fewer
+    //      pieces) equals the DP because every enumerated path
+    //      accumulates the same doubles left-to-right. ----
+    QuerySpec.sql("s32_script_unigram_tokenizer", (s, dir) => script(s,
+      s"""set utdata = '''{"doc_id":1,"text":"the cat sat on the mat"}
+         |{"doc_id":2,"text":"the cats sat on the mats"}
+         |{"doc_id":3,"text":"a cat and a rat"}
+         |{"doc_id":4,"text":"the rats and the cats"}''';
+         |load jsonStr.`utdata` as s32_docs;
+         |run s32_docs as UnigramTokenizer.`` where mode="train"
+         |  and vocabSize="24" and maxPieceLen="4" and iters="3" as s32_vocab;
+         |save overwrite s32_vocab as parquet.`/tmp/graft_s32_vocab`;
+         |run s32_docs as UnigramTokenizer.`` where mode="encode"
+         |  and vocabTable="s32_vocab" and maxPieceLen="4" as s32_enc;
+         |select doc_id, n_pieces, enc_cost from s32_enc
+         |order by doc_id as s32_out;""".stripMargin),
+      """WITH RECURSIVE v AS (
+        | SELECT piece, cost FROM read_parquet('/tmp/graft_s32_vocab/*.parquet')),
+        |docs AS (SELECT * FROM (VALUES
+        |  (1, 'the cat sat on the mat'), (2, 'the cats sat on the mats'),
+        |  (3, 'a cat and a rat'), (4, 'the rats and the cats')) t(doc_id, text)),
+        |s AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS arr FROM docs),
+        |px AS (SELECT doc_id, UNNEST(RANGE(1, LEN(arr) + 1)) AS p, arr FROM s),
+        |words AS (SELECT doc_id, p AS wpos, arr[p] AS w, LEN(arr[p]) AS n
+        |          FROM px WHERE arr[p] <> ''),
+        |reach AS (
+        | SELECT doc_id, wpos, w, n, 0 AS pos, CAST(0 AS DOUBLE) AS c, 0 AS np
+        | FROM words
+        | UNION ALL
+        | SELECT r.doc_id, r.wpos, r.w, r.n, r.pos + LEN(v.piece),
+        |        r.c + v.cost, r.np + 1
+        | FROM reach r JOIN v ON v.piece = SUBSTR(r.w, r.pos + 1, LEN(v.piece))
+        | WHERE r.pos < r.n),
+        |done AS (SELECT doc_id, wpos, c, np FROM reach WHERE pos = n),
+        |mc AS (SELECT doc_id, wpos, MIN(c) AS mc FROM done GROUP BY 1, 2),
+        |bw AS (SELECT d.doc_id, d.wpos, d.c, MIN(d.np) AS np
+        |       FROM done d JOIN mc ON d.doc_id = mc.doc_id
+        |        AND d.wpos = mc.wpos AND d.c = mc.mc
+        |       GROUP BY d.doc_id, d.wpos, d.c)
+        |SELECT doc_id, CAST(SUM(np) AS BIGINT) AS n_pieces,
+        | ROUND(SUM(c), 6) AS enc_cost
+        |FROM bw GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   )
 }

@@ -133,7 +133,7 @@ class SurveyCoverageSpec extends AnyFunSuite {
       "CorpusSplit", "DocChunk", "GroupCap", "CorpusShuffle", "CorpusStats",
       "TokenBudget", "ImportanceSelect", "ClusterSample", "ShardExport",
       "GopherRules", "PerplexityBuckets", "TemperatureMix", "BoilerplateClean",
-      "DomainReweight", "C4Rules")
+      "DomainReweight", "C4Rules", "UnigramTokenizer")
     val missing = names.filter(n =>
       scala.util.Try(ETRegistry.lookup(n)).isFailure)
     assert(missing.isEmpty, s"ET registry missing: ${missing.mkString(", ")}")
@@ -182,7 +182,8 @@ class SurveyCoverageSpec extends AnyFunSuite {
       "s26_script_curate_select_shard",
       "s28_script_kmeans_oracled_quota",
       "s29_script_quality_classifier",
-      "s30_script_doremi_mix", "s31_script_web_curate"))
+      "s30_script_doremi_mix", "s31_script_web_curate",
+      "s32_script_unigram_tokenizer"))
     // rows-only entries: a seeded k-means|| fit and a 4096-round BPE train
     // are not SQL-replayable in DuckDB (their algorithms are oracle-pinned
     // elsewhere: p46/s25/s28 assignment+quota math, p6/p28/p31 encode

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.operators.text.UnigramTokenizer
+
+class UnigramTokenizerSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Brute-force reference: enumerate every segmentation, pick min cost,
+    * ties by fewer pieces (the metrics the oracle compares).
+    */
+  private def bruteBest(w: String, costs: Map[String, Double],
+                        maxLen: Int): (Double, Int) = {
+    def segs(s: String): Seq[Seq[String]] =
+      if (s.isEmpty) Seq(Seq.empty)
+      else for {
+        k <- 1 to math.min(maxLen, s.length)
+        head = s.substring(0, k)
+        if costs.contains(head)
+        rest <- segs(s.substring(k))
+      } yield head +: rest
+    val all = segs(w)
+    assert(all.nonEmpty, s"brute force: '$w' unsegmentable")
+    all.map(p => (p.foldLeft(0.0)((a, x) => a + costs(x)), p.length))
+      .minBy { case (c, np) => (c, np) }
+  }
+
+  test("viterbi matches brute-force min cost and piece count on random vocabs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 50) {
+      val alphabet = "abc"
+      val w = (1 to (3 + rnd.nextInt(6))).map(_ => alphabet(rnd.nextInt(3))).mkString
+      // random vocab: all chars + some random substrings, random costs
+      val pieces = (alphabet.map(_.toString) ++
+        (1 to 6).map { _ =>
+          val i = rnd.nextInt(w.length); val j = i + 1 + rnd.nextInt(math.min(3, w.length - i))
+          w.substring(i, j)
+        }).distinct
+      val costs = pieces.map(p => p -> (0.5 + rnd.nextDouble() * 3)).toMap
+      val got = UnigramTokenizer.viterbi(w, costs, 4)
+      val gotCost = got.foldLeft(0.0)((a, x) => a + costs(x))
+      val (wantCost, wantNp) = bruteBest(w, costs, 4)
+      assert(gotCost == wantCost && got.length == wantNp,
+        s"trial $trial '$w': got ($gotCost, ${got.length}) want ($wantCost, $wantNp)")
+      assert(got.mkString == w, "segmentation must reassemble the word")
+    }
+  }
+
+  test("training concentrates probability on frequent long pieces") {
+    import spark.implicits._
+    val docs = Seq.fill(50)((1L, "abab abab baba")).zipWithIndex
+      .map { case ((_, t), i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val vocab = UnigramTokenizer.train(docs, "text", vocabSize = 8,
+      maxPieceLen = 4, iters = 4)
+    val pieces = vocab.select("piece").collect().map(_.getString(0)).toSet
+    // the 4-char words themselves should be vocabulary pieces
+    assert(pieces.contains("abab") && pieces.contains("baba"), pieces)
+    // single chars never pruned
+    assert(pieces.contains("a") && pieces.contains("b"))
+    // and encoding the training words uses ONE piece each
+    val costs = vocab.collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(UnigramTokenizer.viterbi("abab", costs, 4) == Seq("abab"))
+  }
+
+  test("train is deterministic and respects vocabSize") {
+    import spark.implicits._
+    val docs = Seq((1L, "the cat sat on the mat"), (2L, "the cats sat"))
+      .toDF("doc_id", "text")
+    def run() = UnigramTokenizer.train(docs, "text", vocabSize = 20,
+        maxPieceLen = 4, iters = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val (a, b) = (run(), run())
+    assert(a == b)
+    val chars = a.map(_._1).filter(_.length == 1).toSet
+    assert(a.size <= math.max(20, chars.size))
+  }
+
+  test("withEncoding matches a driver-side viterbi of every word") {
+    import spark.implicits._
+    val docs = Seq((1L, "abab ba"), (2L, "aa bb ab")).toDF("doc_id", "text")
+    val vocab = UnigramTokenizer.train(docs, "text", vocabSize = 10,
+      maxPieceLen = 3, iters = 3)
+    val costs = vocab.collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val got = UnigramTokenizer.withEncoding(docs, "text", vocab, maxPieceLen = 3)
+      .select("doc_id", "n_pieces", "enc_cost").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    for ((id, text) <- Seq((1L, "abab ba"), (2L, "aa bb ab"))) {
+      val ws = text.split(" ")
+      val np = ws.map(w => UnigramTokenizer.viterbi(w, costs, 3).length.toLong).sum
+      val c = ws.map(w => UnigramTokenizer.viterbi(w, costs, 3)
+        .foldLeft(0.0)((a, x) => a + costs(x))).sum
+      assert(got(id) == ((np, math.rint(c * 1e6) / 1e6)), s"doc $id")
+    }
+  }
+
+  test("unsegmentable word (unseen character) fails loudly") {
+    val err = intercept[IllegalArgumentException](
+      UnigramTokenizer.viterbi("xyz", Map("a" -> 1.0), 4))
+    assert(err.getMessage.contains("cannot segment"))
+  }
+}
