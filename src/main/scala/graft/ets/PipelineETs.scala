@@ -25,11 +25,13 @@ object PipelineETs {
 }
 
 /** `run docs as UnigramTokenizer.`` where mode="train" and vocabSize="64"
-  * [and textCol="text" and maxPieceLen="6" and iters="4"]` — train a
+  * [and textCol="text" and maxPieceLen="6" and iters="4" and
+  * seedCap="100000" and driverDictCap="100000"]` — train a
   * SentencePiece-style unigram-LM vocabulary (see
   * [[graft.operators.text.UnigramTokenizer]]); returns (piece, cnt,
   * cost). `mode="encode" and vocabTable="v"` appends per-doc `n_pieces` /
-  * `enc_cost` by broadcast-vocab Viterbi — persist the trained vocab and
+  * `enc_cost` by broadcast-vocab Viterbi (piece-length bound derived from
+  * the vocab; unseen chars cost max+1) — persist the trained vocab and
   * everything downstream of it is SQL-replayable (the s32 oracle replays
   * the Viterbi itself as a recursive-CTE shortest path).
   */
@@ -39,15 +41,17 @@ object UnigramTokenizerET extends NoPathET {
                      params: Map[String, String]): DataFrame = {
     import graft.operators.text.UnigramTokenizer
     val textCol = params.getOrElse("textCol", "text")
-    val maxLen = params.getOrElse("maxPieceLen", "6").toInt
     params.getOrElse("mode", "train") match {
       case "train" => UnigramTokenizer.train(df, textCol,
-        params.getOrElse("vocabSize", "256").toInt, maxLen,
-        params.getOrElse("iters", "4").toInt)
+        params.getOrElse("vocabSize", "256").toInt,
+        params.getOrElse("maxPieceLen", "6").toInt,
+        params.getOrElse("iters", "4").toInt,
+        params.getOrElse("seedCap", "100000").toInt,
+        params.getOrElse("driverDictCap", "100000").toInt)
       case "encode" => UnigramTokenizer.withEncoding(df, textCol,
         ctx.spark.table(params.getOrElse("vocabTable",
           throw new IllegalArgumentException(
-            "UnigramTokenizer mode=encode requires vocabTable=..."))), maxLen)
+            "UnigramTokenizer mode=encode requires vocabTable=..."))))
       case other => throw new IllegalArgumentException(
         s"UnigramTokenizer mode must be train|encode, got '$other'")
     }

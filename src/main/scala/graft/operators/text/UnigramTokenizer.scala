@@ -1,6 +1,6 @@
 package graft.operators.text
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** SentencePiece-style unigram-LM tokenizer (Kudo 2018, "Subword
@@ -41,14 +41,18 @@ object UnigramTokenizer {
             seedCap: Int = 100000, driverDictCap: Int = 100000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val dictDf = df.select(explode(split(col(textCol), " ")).as("word"))
+    // ONE corpus scan: collect cap+1 rows and check the length driver-side
+    // (a separate count() would re-run the explode+groupBy shuffle)
+    val dict = df.select(explode(split(col(textCol), " ")).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("freq"))
-    require(dictDf.limit(driverDictCap + 1).count() <= driverDictCap,
+      .limit(driverDictCap + 1)
+      .as[(String, Long)].collect()
+    require(dict.length <= driverDictCap,
       s"word dictionary exceeds driverDictCap=$driverDictCap — raise the cap " +
-        "or pre-truncate the corpus (the trainer is driver-side like BpeTrain)")
-    val dict = dictDf.as[(String, Long)].collect().sortBy(_._1)
-    trainOnDict(dict, vocabSize, maxPieceLen, iters, seedCap)
+        "(UnigramTokenizer ET param driverDictCap=) or pre-aggregate the corpus; " +
+        "unlike BpeTrain there is no distributed EM fallback yet")
+    trainOnDict(dict.sortBy(_._1), vocabSize, maxPieceLen, iters, seedCap)
       .toSeq.toDF("piece", "cnt", "cost")
   }
 
@@ -80,6 +84,9 @@ object UnigramTokenizer {
       chars.foreach(c => counts.updateWith(c)(v => Some(math.max(v.getOrElse(0L), 1L))))
       vocab = cap(counts, vocabSize)
     }
+    // final prune unconditionally: with iters=0 the EM loop never runs and
+    // the seed (capped at max(seedCap, vocabSize)) would escape vocabSize
+    vocab = cap(vocab, vocabSize)
     val costs = toCosts(vocab)
     vocab.sortBy { case (p, c) => (-c, p) }
       .map { case (p, c) => (p, c, costs(p)) }
@@ -93,12 +100,16 @@ object UnigramTokenizer {
 
   /** Min-cost segmentation: DP left-to-right, `best(j) = min over i of
     * best(i) + cost(w[i..j))`, ties on cost broken by FEWER pieces then
-    * by the lexicographically smaller piece ending at j. Throws if some
-    * character is not in the vocabulary (train() guarantees coverage of
-    * every character it saw).
+    * by the lexicographically smaller piece ending at j.
+    *
+    * `oovCost = None` (train-time: the training corpus is covered by
+    * construction) throws if some character is not in the vocabulary.
+    * `oovCost = Some(c)` (encode-time over a NEW corpus) lets any unknown
+    * single character segment as its own piece at cost `c` — one strange
+    * document must not kill a 100 TB encode job.
     */
   def viterbi(w: String, costs: Map[String, Double],
-              maxPieceLen: Int): Seq[String] = {
+              maxPieceLen: Int, oovCost: Option[Double] = None): Seq[String] = {
     val n = w.length
     if (n == 0) return Seq.empty
     val best = Array.fill(n + 1)(Double.PositiveInfinity)
@@ -110,7 +121,10 @@ object UnigramTokenizer {
       var i = math.max(0, j - maxPieceLen)
       while (i < j) {
         if (best(i) < Double.PositiveInfinity) {
-          costs.get(w.substring(i, j)).foreach { c =>
+          val piece = w.substring(i, j)
+          val pieceCost = costs.get(piece)
+            .orElse(if (i == j - 1) oovCost else None) // unknown single char
+          pieceCost.foreach { c =>
             val cand = best(i) + c
             val candNp = bestNp(i) + 1
             // ties on cost break by fewer pieces, then by the
@@ -118,7 +132,7 @@ object UnigramTokenizer {
             val take = cand < best(j) ||
               (cand == best(j) && (candNp < bestNp(j) ||
                 (candNp == bestNp(j) && back(j) >= 0 &&
-                  w.substring(i, j) < w.substring(back(j), j))))
+                  piece < w.substring(back(j), j))))
             if (take) { best(j) = cand; bestNp(j) = candNp; back(j) = i }
           }
         }
@@ -137,25 +151,32 @@ object UnigramTokenizer {
 
   /** Appends `n_pieces` (long) and `enc_cost` (total Viterbi cost, 6 dp)
     * per document: each whitespace word segmented independently, costs
-    * summed. Broadcast-vocab UDF — per-row, scan speed.
+    * summed. Broadcast-vocab UDF — per-row, scan speed. Null text yields
+    * null outputs (the BpeTrain convention). The piece-length bound is
+    * DERIVED from the vocabulary (an independent parameter smaller than
+    * the longest trained piece would silently ignore those pieces), and
+    * characters unseen at train time segment as single pieces at
+    * `max(cost) + 1` — one strange document must not kill the job.
     */
-  def withEncoding(df: DataFrame, textCol: String, vocab: DataFrame,
-                   maxPieceLen: Int = 6): DataFrame = {
+  def withEncoding(df: DataFrame, textCol: String, vocab: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val costs: Map[String, Double] = vocab.select("piece", "cost")
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    require(costs.nonEmpty, "withEncoding: empty vocabulary")
+    val maxPieceLen = costs.keysIterator.map(_.length).max
+    val oov = costs.valuesIterator.max + 1.0
     val bc = spark.sparkContext.broadcast(costs)
-    val enc = udf((text: String) => {
-      val words = text.split(" ").filter(_.nonEmpty)
+    val enc = udf((text: String) => Option(text).map { t =>
+      val words = t.split(" ").filter(_.nonEmpty)
       var np = 0L
       var cost = 0.0
       for (w <- words) {
-        val pieces = viterbi(w, bc.value, maxPieceLen)
+        val pieces = viterbi(w, bc.value, maxPieceLen, oovCost = Some(oov))
         np += pieces.length
-        cost += pieces.map(bc.value).sum
+        cost += pieces.iterator.map(p => bc.value.getOrElse(p, oov)).sum
       }
       (np, cost)
-    })
+    }.orNull)
     df.withColumn("__e__", enc(col(textCol)))
       .withColumn("n_pieces", col("__e__._1"))
       .withColumn("enc_cost", round(col("__e__._2"), 6))

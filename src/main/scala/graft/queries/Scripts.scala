@@ -881,7 +881,7 @@ object Scripts {
          |  and vocabSize="24" and maxPieceLen="4" and iters="3" as s32_vocab;
          |save overwrite s32_vocab as parquet.`/tmp/graft_s32_vocab`;
          |run s32_docs as UnigramTokenizer.`` where mode="encode"
-         |  and vocabTable="s32_vocab" and maxPieceLen="4" as s32_enc;
+         |  and vocabTable="s32_vocab" as s32_enc;
          |select doc_id, n_pieces, enc_cost from s32_enc
          |order by doc_id as s32_out;""".stripMargin),
       """WITH RECURSIVE v AS (

@@ -82,7 +82,7 @@ class UnigramTokenizerSpec extends AnyFunSuite {
     val vocab = UnigramTokenizer.train(docs, "text", vocabSize = 10,
       maxPieceLen = 3, iters = 3)
     val costs = vocab.collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
-    val got = UnigramTokenizer.withEncoding(docs, "text", vocab, maxPieceLen = 3)
+    val got = UnigramTokenizer.withEncoding(docs, "text", vocab)
       .select("doc_id", "n_pieces", "enc_cost").collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     for ((id, text) <- Seq((1L, "abab ba"), (2L, "aa bb ab"))) {
@@ -94,9 +94,35 @@ class UnigramTokenizerSpec extends AnyFunSuite {
     }
   }
 
-  test("unsegmentable word (unseen character) fails loudly") {
+  test("unsegmentable word (unseen character) fails loudly in strict mode") {
     val err = intercept[IllegalArgumentException](
       UnigramTokenizer.viterbi("xyz", Map("a" -> 1.0), 4))
     assert(err.getMessage.contains("cannot segment"))
+  }
+
+  test("encode survives OOV characters and null text (one bad doc must not kill the job)") {
+    import spark.implicits._
+    val train = Seq((1L, "abab abab")).toDF("doc_id", "text")
+    val vocab = UnigramTokenizer.train(train, "text", vocabSize = 6,
+      maxPieceLen = 4, iters = 2)
+    val docs = Seq((1L, "abab"), (2L, "abXab"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = UnigramTokenizer.withEncoding(docs, "text", vocab)
+      .select("doc_id", "n_pieces").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out(1L) >= 1L)
+    assert(out(2L) >= 2L)  // the X segments as a single OOV piece
+    assert(out(3L) == -1L) // null text -> null outputs, row kept
+  }
+
+  test("iters=0 still prunes the seed vocabulary to vocabSize") {
+    import spark.implicits._
+    val docs = Seq((1L, "the cat sat on the mat and the rat sat too"))
+      .toDF("doc_id", "text")
+    val vocab = UnigramTokenizer.train(docs, "text", vocabSize = 12,
+      maxPieceLen = 4, iters = 0)
+    val pieces = vocab.collect().map(_.getString(0))
+    val chars = pieces.filter(_.length == 1).toSet
+    assert(pieces.length <= math.max(12, chars.size), pieces.mkString(","))
   }
 }
