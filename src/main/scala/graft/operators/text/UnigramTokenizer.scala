@@ -14,11 +14,14 @@ import org.apache.spark.sql.functions._
   * guarantee), and re-normalizes.
   *
   * Scale posture mirrors the BPE trainer: piece statistics need only the
-  * UNIQUE-WORD dictionary (one `groupBy(word)` shuffle of the corpus),
-  * which is bounded and collected to the driver under `driverDictCap`;
-  * training cost is O(iters × dict-chars × maxPieceLen²) — seconds for
-  * realistic dictionaries. ENCODING is a per-row broadcast-vocab Viterbi,
-  * scan speed at 100 TB.
+  * UNIQUE-WORD dictionary (one `groupBy(word)` shuffle of the corpus).
+  * At or under `driverDictCap` it is collected and the whole loop runs on
+  * the driver — O(iters × dict-chars × maxPieceLen²), seconds for
+  * realistic caps; past the cap [[trainDistributed]] runs the identical
+  * rounds with the dictionary kept distributed (broadcast-costs Viterbi
+  * map pass + explode/groupBy recount, driver-side prune on the
+  * vocab-bounded count table). ENCODING is a per-row broadcast-vocab
+  * Viterbi, scan speed at 100 TB.
   *
   * Determinism contract (what the s32 oracle replays): piece costs are
   * `-ln(count/total)` doubles; Viterbi accumulates cost left-to-right, so
@@ -35,25 +38,36 @@ object UnigramTokenizer {
 
   /** (piece, count, cost) rows; `cost = -ln(count / total)` over the final
     * vocabulary. Deterministic: all ties break on the piece string.
+    *
+    * Dictionaries at or under `driverDictCap` unique words take a driver
+    * fast path (the whole hard-EM loop runs on the collected
+    * word-frequency dict — zero Spark jobs per round). Past the cap — the
+    * 100 TB regime — [[trainDistributed]] runs the SAME deterministic
+    * rounds with the dictionary kept distributed; the two paths are
+    * pinned bit-identical in UnigramTokenizerSpec on a forced-low-cap
+    * fixture (counts are exact Long sums, so partitioning cannot perturb
+    * them; costs and Viterbi are then the same pure functions).
     */
   def train(df: DataFrame, textCol: String, vocabSize: Int,
             maxPieceLen: Int = 6, iters: Int = 4,
             seedCap: Int = 100000, driverDictCap: Int = 100000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    // ONE corpus scan: collect cap+1 rows and check the length driver-side
-    // (a separate count() would re-run the explode+groupBy shuffle)
     val dict = df.select(explode(split(col(textCol), " ")).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("freq"))
-      .limit(driverDictCap + 1)
-      .as[(String, Long)].collect()
-    require(dict.length <= driverDictCap,
-      s"word dictionary exceeds driverDictCap=$driverDictCap — raise the cap " +
-        "(UnigramTokenizer ET param driverDictCap=) or pre-aggregate the corpus; " +
-        "unlike BpeTrain there is no distributed EM fallback yet")
-    trainOnDict(dict.sortBy(_._1), vocabSize, maxPieceLen, iters, seedCap)
-      .toSeq.toDF("piece", "cnt", "cost")
+    // ONE corpus scan for the fast-path probe: collect cap+1 rows and
+    // check the length driver-side (a separate count() would re-run the
+    // explode+groupBy shuffle); only an over-cap dict pays a second scan,
+    // and that is the regime where the corpus dominates the dict anyway
+    val head =
+      if (driverDictCap > 0) dict.limit(driverDictCap + 1).as[(String, Long)].collect()
+      else Array.empty[(String, Long)]
+    val rows =
+      if (driverDictCap > 0 && head.length <= driverDictCap)
+        trainOnDict(head.sortBy(_._1), vocabSize, maxPieceLen, iters, seedCap)
+      else trainDistributed(dict, vocabSize, maxPieceLen, iters, seedCap)
+    rows.toSeq.toDF("piece", "cnt", "cost")
   }
 
   private[graft] def trainOnDict(dict: Array[(String, Long)], vocabSize: Int,
@@ -68,10 +82,8 @@ object UnigramTokenizer {
          j <- (i + 1) to math.min(i + maxPieceLen, w.length))
       seed.updateWith(w.substring(i, j))(c => Some(c.getOrElse(0L) + f))
     val chars: Set[String] = seed.keySet.filter(_.length == 1).toSet
-    def cap(m: Iterable[(String, Long)], k: Int): Array[(String, Long)] = {
-      val (cs, rest) = m.toArray.partition { case (p, _) => chars(p) }
-      cs ++ rest.sortBy { case (p, c) => (-c, p) }.take(math.max(0, k - cs.length))
-    }
+    def cap(m: Iterable[(String, Long)], k: Int): Array[(String, Long)] =
+      capVocab(m, k, chars)
     var vocab: Array[(String, Long)] = cap(seed, math.max(seedCap, vocabSize))
     // ---- hard-EM rounds: Viterbi under current costs, recount, prune ----
     for (_ <- 1 to iters) {
@@ -90,6 +102,89 @@ object UnigramTokenizer {
     val costs = toCosts(vocab)
     vocab.sortBy { case (p, c) => (-c, p) }
       .map { case (p, c) => (p, c, costs(p)) }
+  }
+
+  /** Prune to `k` pieces: every single character survives (segmentability
+    * guarantee), the rest keep the top `k - |chars|` slots by
+    * (count desc, piece asc) — fully deterministic.
+    */
+  private def capVocab(m: Iterable[(String, Long)], k: Int,
+                       chars: Set[String]): Array[(String, Long)] = {
+    val (cs, rest) = m.toArray.partition { case (p, _) => chars(p) }
+    cs ++ rest.sortBy { case (p, c) => (-c, p) }.take(math.max(0, k - cs.length))
+  }
+
+  /** Distributed hard-EM: the same deterministic rounds as [[trainOnDict]]
+    * with the word dictionary kept as a DataFrame — the over-`driverDictCap`
+    * path for corpora whose unique-word dictionary (~10⁷–10⁸ rows at
+    * 100 TB) cannot be collected. Mirrors [[BpeTrain]]'s split: per-word
+    * work is a broadcast-state map pass, statistics are
+    * explode+`groupBy(piece)` shuffles over the dictionary only, and the
+    * driver holds nothing bigger than the vocabulary.
+    *
+    *  - SEED: one explode of every ≤`maxPieceLen` substring occurrence →
+    *    `groupBy(piece).sum(freq)` (map-side combinable); the single-char
+    *    rows (alphabet-bounded) collect separately, the rest prune to
+    *    `max(seedCap, vocabSize)` via a deterministic
+    *    (cnt desc, piece asc) `orderBy+limit` — a TakeOrdered, not a
+    *    global sort.
+    *  - EM ROUND: broadcast the (vocab-bounded) cost map, Viterbi-segment
+    *    each word in a map pass, `explode(pieces)` +
+    *    `groupBy(piece).sum(freq)`; the recount table has at most |vocab|
+    *    rows, so the driver-side prune collects only vocabulary.
+    *
+    * Bit-identical to the driver path (spec-pinned): piece counts are
+    * exact Long sums (associative — partitioning cannot perturb them),
+    * costs are the same `-ln(count/total)` doubles, and [[viterbi]] is the
+    * same pure function on both sides.
+    */
+  private[graft] def trainDistributed(dict: DataFrame, vocabSize: Int,
+                                      maxPieceLen: Int, iters: Int,
+                                      seedCap: Int): Array[(String, Long, Double)] = {
+    val spark = dict.sparkSession
+    import spark.implicits._
+    require(vocabSize > 0 && maxPieceLen > 0 && iters >= 0)
+    val d = dict.select(col("word"), col("freq").cast("long").as("freq")).cache()
+    try {
+      val subs = udf((w: String) => {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < w.length) {
+          var j = i + 1
+          val jMax = math.min(i + maxPieceLen, w.length)
+          while (j <= jMax) { out += w.substring(i, j); j += 1 }
+          i += 1
+        }
+        out.toSeq
+      })
+      val seedCounts = d.select(explode(subs(col("word"))).as("piece"), col("freq"))
+        .groupBy("piece").agg(sum("freq").as("cnt"))
+      val charRows = seedCounts.where(length(col("piece")) === 1)
+        .as[(String, Long)].collect()
+      val chars: Set[String] = charRows.map(_._1).toSet
+      val k0 = math.max(seedCap, vocabSize)
+      val rest = seedCounts.where(length(col("piece")) > 1)
+        .orderBy(col("cnt").desc, col("piece"))
+        .limit(math.max(0, k0 - charRows.length))
+        .as[(String, Long)].collect()
+      var vocab: Array[(String, Long)] = charRows ++ rest
+      for (_ <- 1 to iters) {
+        val bc = spark.sparkContext.broadcast(toCosts(vocab))
+        val seg = udf((w: String) => viterbi(w, bc.value, maxPieceLen))
+        val counts = scala.collection.mutable.HashMap.from(
+          d.select(explode(seg(col("word"))).as("piece"), col("freq"))
+            .groupBy("piece").agg(sum("freq").as("cnt"))
+            .as[(String, Long)].collect())
+        bc.unpersist(false)
+        // unused single chars keep a floor count of 1, as on the driver path
+        chars.foreach(c => counts.updateWith(c)(v => Some(math.max(v.getOrElse(0L), 1L))))
+        vocab = capVocab(counts, vocabSize, chars)
+      }
+      vocab = capVocab(vocab, vocabSize, chars)
+      val costs = toCosts(vocab)
+      vocab.sortBy { case (p, c) => (-c, p) }
+        .map { case (p, c) => (p, c, costs(p)) }
+    } finally d.unpersist()
   }
 
   /** piece → cost = −ln(count / total). */

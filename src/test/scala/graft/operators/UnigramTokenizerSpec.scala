@@ -115,6 +115,27 @@ class UnigramTokenizerSpec extends AnyFunSuite {
     assert(out(3L) == -1L) // null text -> null outputs, row kept
   }
 
+  test("distributed trainer is bit-identical to the driver path (forced low cap)") {
+    import spark.implicits._
+    // realistic-ish corpus: repeated words with overlapping subwords, so
+    // the seed prune, the EM recount AND the char floor all exercise
+    val docs = Seq(
+      (1L, "the cat sat on the mat"), (2L, "the cats sat on the mats"),
+      (3L, "a cat and a rat ran"), (4L, "the rats and the cats ran"),
+      (5L, "matting and catting and ratting"), (6L, "on and on and on"))
+      .toDF("doc_id", "text")
+    def collectVocab(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    for ((vs, mpl, it, sc) <- Seq((24, 4, 3, 100000), (16, 3, 2, 30), (12, 5, 0, 100000))) {
+      // driverDictCap=0 disables the fast path entirely -> distributed rounds
+      val dist = collectVocab(UnigramTokenizer.train(docs, "text", vocabSize = vs,
+        maxPieceLen = mpl, iters = it, seedCap = sc, driverDictCap = 0))
+      val drv = collectVocab(UnigramTokenizer.train(docs, "text", vocabSize = vs,
+        maxPieceLen = mpl, iters = it, seedCap = sc))
+      assert(dist == drv, s"(vocabSize=$vs maxPieceLen=$mpl iters=$it seedCap=$sc)")
+    }
+  }
+
   test("iters=0 still prunes the seed vocabulary to vocabSize") {
     import spark.implicits._
     val docs = Seq((1L, "the cat sat on the mat and the rat sat too"))
