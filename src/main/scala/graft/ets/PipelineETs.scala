@@ -31,9 +31,11 @@ object PipelineETs {
   * [[graft.operators.text.UnigramTokenizer]]); returns (piece, cnt,
   * cost). `mode="encode" and vocabTable="v"` appends per-doc `n_pieces` /
   * `enc_cost` by broadcast-vocab Viterbi (piece-length bound derived from
-  * the vocab; unseen chars cost max+1) — persist the trained vocab and
-  * everything downstream of it is SQL-replayable (the s32 oracle replays
-  * the Viterbi itself as a recursive-CTE shortest path).
+  * the vocab; unseen chars cost max+1); `mode="tokenize"` additionally
+  * emits the piece sequence and rank ids (`pieces`/`piece_ids` — the
+  * SequencePack-consumable output) — persist the trained vocab and
+  * everything downstream of it is SQL-replayable (the s32/s33 oracles
+  * replay the Viterbi itself as a recursive-CTE shortest path).
   */
 object UnigramTokenizerET extends NoPathET {
   override def name = "UnigramTokenizer"
@@ -52,8 +54,12 @@ object UnigramTokenizerET extends NoPathET {
         ctx.spark.table(params.getOrElse("vocabTable",
           throw new IllegalArgumentException(
             "UnigramTokenizer mode=encode requires vocabTable=..."))))
+      case "tokenize" => UnigramTokenizer.withPieces(df, textCol,
+        ctx.spark.table(params.getOrElse("vocabTable",
+          throw new IllegalArgumentException(
+            "UnigramTokenizer mode=tokenize requires vocabTable=..."))))
       case other => throw new IllegalArgumentException(
-        s"UnigramTokenizer mode must be train|encode, got '$other'")
+        s"UnigramTokenizer mode must be train|encode|tokenize, got '$other'")
     }
   }
 }

@@ -277,4 +277,67 @@ object UnigramTokenizer {
       .withColumn("enc_cost", round(col("__e__._2"), 6))
       .drop("__e__")
   }
+
+  /** Deterministic piece→id mapping over a trained vocabulary: ids are
+    * assigned 0-based by (count desc, piece asc) — exactly [[train]]'s
+    * output row order — so an oracle recomputes them as a rank over the
+    * persisted (piece, cnt) table. The unigram analogue of
+    * [[BpeTrain.vocabOf]]'s id layout.
+    */
+  def vocabIds(vocab: DataFrame): Map[String, Long] =
+    vocab.select("piece", "cnt").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (p, c) => (-c, p) }
+      .zipWithIndex.map { case ((p, _), i) => p -> i.toLong }.toMap
+
+  /** Full tokenizer output — the columns [[SequencePack]]/TokenBudget and
+    * a training-data writer consume (the unigram counterpart of
+    * [[BpeTrain.withBpeTokenIds]]): appends `pieces array<string>` (every
+    * word's Viterbi segmentation, concatenated across words in order),
+    * `piece_ids array<long>` (via [[vocabIds]]; OOV pieces map to -1, the
+    * BPE convention), `n_pieces`, `enc_cost`. Null text yields null
+    * outputs. Broadcast-vocab per-row UDF — no shuffle, scan speed.
+    *
+    * Determinism of the PIECE SEQUENCE itself (what the s33 oracle
+    * replays): among all min-cost segmentations with minimal piece count,
+    * [[viterbi]] returns the reverse-lexicographic minimum — smallest
+    * last piece, then smallest second-to-last, and so on. (Costs are
+    * additive, so any optimal path's prefix to each of its cuts is itself
+    * optimal; the DP's per-position tie-break — smallest piece ending at
+    * j — therefore composes into exactly that global order.) An oracle
+    * enumerates candidate paths and picks MIN(cost), MIN(n_pieces),
+    * MIN(reversed piece list); spec-pinned against brute force on random
+    * vocabularies.
+    */
+  def withPieces(df: DataFrame, textCol: String, vocab: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val rows = vocab.select("piece", "cnt", "cost").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    require(rows.nonEmpty, "withPieces: empty vocabulary")
+    val costs: Map[String, Double] = rows.map { case (p, _, c) => p -> c }.toMap
+    val ids: Map[String, Long] = rows.map { case (p, c, _) => (p, c) }
+      .sortBy { case (p, c) => (-c, p) }
+      .zipWithIndex.map { case ((p, _), i) => p -> i.toLong }.toMap
+    val maxPieceLen = costs.keysIterator.map(_.length).max
+    val oov = costs.valuesIterator.max + 1.0
+    val bcC = spark.sparkContext.broadcast(costs)
+    val bcI = spark.sparkContext.broadcast(ids)
+    val enc = udf((text: String) => Option(text).map { t =>
+      val pieces = scala.collection.mutable.ArrayBuffer.empty[String]
+      var cost = 0.0
+      for (w <- t.split(" ") if w.nonEmpty) {
+        val ps = viterbi(w, bcC.value, maxPieceLen, oovCost = Some(oov))
+        pieces ++= ps
+        cost += ps.iterator.map(p => bcC.value.getOrElse(p, oov)).sum
+      }
+      (pieces.toSeq, pieces.map(p => bcI.value.getOrElse(p, -1L)).toSeq,
+        pieces.length.toLong, cost)
+    }.orNull)
+    df.withColumn("__t__", enc(col(textCol)))
+      .withColumn("pieces", col("__t__._1"))
+      .withColumn("piece_ids", col("__t__._2"))
+      .withColumn("n_pieces", col("__t__._3"))
+      .withColumn("enc_cost", round(col("__t__._4"), 6))
+      .drop("__t__")
+  }
 }

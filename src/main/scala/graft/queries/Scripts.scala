@@ -909,6 +909,122 @@ object Scripts {
         |       GROUP BY d.doc_id, d.wpos, d.c)
         |SELECT doc_id, CAST(SUM(np) AS BIGINT) AS n_pieces,
         | ROUND(SUM(c), 6) AS enc_cost
-        |FROM bw GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+        |FROM bw GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // ---- unigram tokenizer PIECE SEQUENCES (mode=tokenize): the output
+    //      that feeds SequencePack/TokenBudget — pieces + rank ids, here
+    //      exploded to scalars. The oracle replays the Viterbi PATH, not
+    //      just its metrics: candidate segmentations carry their piece
+    //      list through the recursive CTE and the winner is
+    //      MIN(cost, n_pieces, REVERSED path) — the order viterbi()'s
+    //      per-position tie-break composes into (spec-pinned against
+    //      brute force in UnigramTokenizerSpec). Ids replay as the
+    //      (cnt desc, piece) rank over the persisted vocab. ----
+    QuerySpec.sql("s33_script_unigram_pieces", (s, dir) => script(s,
+      s"""set utdata = '''{"doc_id":1,"text":"the cat sat on the mat"}
+         |{"doc_id":2,"text":"the cats sat on the mats"}
+         |{"doc_id":3,"text":"a cat and a rat"}
+         |{"doc_id":4,"text":"the rats and the cats"}''';
+         |load jsonStr.`utdata` as s33_docs;
+         |run s33_docs as UnigramTokenizer.`` where mode="train"
+         |  and vocabSize="24" and maxPieceLen="4" and iters="3" as s33_vocab;
+         |save overwrite s33_vocab as parquet.`/tmp/graft_s33_vocab`;
+         |run s33_docs as UnigramTokenizer.`` where mode="tokenize"
+         |  and vocabTable="s33_vocab" as s33_tok;
+         |select doc_id, pos, z.pieces as piece, z.piece_ids as piece_id
+         |from (select doc_id,
+         |        posexplode(arrays_zip(pieces, piece_ids)) as (pos, z)
+         |      from s33_tok)
+         |order by doc_id, pos as s33_out;""".stripMargin),
+      """WITH RECURSIVE v AS (
+        | SELECT piece, cost, cnt FROM read_parquet('/tmp/graft_s33_vocab/*.parquet')),
+        |ids AS (SELECT piece,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) - 1 AS BIGINT) AS pid
+        | FROM v),
+        |docs AS (SELECT * FROM (VALUES
+        |  (1, 'the cat sat on the mat'), (2, 'the cats sat on the mats'),
+        |  (3, 'a cat and a rat'), (4, 'the rats and the cats')) t(doc_id, text)),
+        |s AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS arr FROM docs),
+        |px AS (SELECT doc_id, UNNEST(RANGE(1, LEN(arr) + 1)) AS p, arr FROM s),
+        |words AS (SELECT doc_id, p AS wpos, arr[p] AS w, LEN(arr[p]) AS n
+        |          FROM px WHERE arr[p] <> ''),
+        |reach AS (
+        | SELECT doc_id, wpos, w, n, 0 AS pos, CAST(0 AS DOUBLE) AS c, 0 AS np,
+        |        CAST([] AS VARCHAR[]) AS path
+        | FROM words
+        | UNION ALL
+        | SELECT r.doc_id, r.wpos, r.w, r.n, r.pos + LEN(v.piece),
+        |        r.c + v.cost, r.np + 1, LIST_APPEND(r.path, v.piece)
+        | FROM reach r JOIN v ON v.piece = SUBSTR(r.w, r.pos + 1, LEN(v.piece))
+        | WHERE r.pos < r.n),
+        |done AS (SELECT doc_id, wpos, c, np, path FROM reach WHERE pos = n),
+        |best AS (SELECT doc_id, wpos, path,
+        |   ROW_NUMBER() OVER (PARTITION BY doc_id, wpos
+        |     ORDER BY c, np, LIST_REVERSE(path)) AS rk
+        | FROM done),
+        |flat AS (SELECT doc_id, wpos, UNNEST(path) AS piece,
+        |           GENERATE_SUBSCRIPTS(path, 1) AS ord
+        | FROM best WHERE rk = 1)
+        |SELECT f.doc_id,
+        | CAST(ROW_NUMBER() OVER (PARTITION BY f.doc_id ORDER BY f.wpos, f.ord) - 1
+        |   AS INT) AS pos,
+        | f.piece, ids.pid AS piece_id
+        |FROM flat f JOIN ids ON f.piece = ids.piece
+        |ORDER BY doc_id, pos""".stripMargin),
+
+    // ---- SequencePack over UNIGRAM tokens (the s20 pattern with a
+    //      TRAINED tokenizer's counts instead of whitespace counts):
+    //      tokenize -> n_pieces feeds the pack as tokenCol. The oracle
+    //      recomputes per-word optimal piece counts via the s32 CTE, sums
+    //      per doc, and replays the chunk layout as one ordered window.
+    QuerySpec.sql("s34_script_unigram_seqpack", (s, dir) => script(s,
+      s"""set utdata = '''{"doc_id":1,"text":"the cat sat on the mat"}
+         |{"doc_id":2,"text":"the cats sat on the mats"}
+         |{"doc_id":3,"text":"a cat and a rat"}
+         |{"doc_id":4,"text":"the rats and the cats"}''';
+         |load jsonStr.`utdata` as s34_docs;
+         |run s34_docs as UnigramTokenizer.`` where mode="train"
+         |  and vocabSize="24" and maxPieceLen="4" and iters="3" as s34_vocab;
+         |save overwrite s34_vocab as parquet.`/tmp/graft_s34_vocab`;
+         |run s34_docs as UnigramTokenizer.`` where mode="tokenize"
+         |  and vocabTable="s34_vocab" as s34_tok;
+         |run s34_tok as SequencePack.`` where idCol="doc_id"
+         |  and tokenCol="n_pieces" and seqLen="8" as s34_packed;
+         |select doc_id, n_tokens, tok_start, first_chunk, last_chunk,
+         |  offset_in_chunk from s34_packed order by doc_id as s34_out;""".stripMargin),
+      """WITH RECURSIVE v AS (
+        | SELECT piece, cost FROM read_parquet('/tmp/graft_s34_vocab/*.parquet')),
+        |docs AS (SELECT * FROM (VALUES
+        |  (1, 'the cat sat on the mat'), (2, 'the cats sat on the mats'),
+        |  (3, 'a cat and a rat'), (4, 'the rats and the cats')) t(doc_id, text)),
+        |s AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS arr FROM docs),
+        |px AS (SELECT doc_id, UNNEST(RANGE(1, LEN(arr) + 1)) AS p, arr FROM s),
+        |words AS (SELECT doc_id, p AS wpos, arr[p] AS w, LEN(arr[p]) AS n
+        |          FROM px WHERE arr[p] <> ''),
+        |reach AS (
+        | SELECT doc_id, wpos, w, n, 0 AS pos, CAST(0 AS DOUBLE) AS c, 0 AS np
+        | FROM words
+        | UNION ALL
+        | SELECT r.doc_id, r.wpos, r.w, r.n, r.pos + LEN(v.piece),
+        |        r.c + v.cost, r.np + 1
+        | FROM reach r JOIN v ON v.piece = SUBSTR(r.w, r.pos + 1, LEN(v.piece))
+        | WHERE r.pos < r.n),
+        |done AS (SELECT doc_id, wpos, c, np FROM reach WHERE pos = n),
+        |mc AS (SELECT doc_id, wpos, MIN(c) AS mc FROM done GROUP BY 1, 2),
+        |bw AS (SELECT d.doc_id, d.wpos, MIN(d.np) AS np
+        |       FROM done d JOIN mc ON d.doc_id = mc.doc_id
+        |        AND d.wpos = mc.wpos AND d.c = mc.mc
+        |       GROUP BY d.doc_id, d.wpos),
+        |toks AS (SELECT doc_id, CAST(SUM(np) AS BIGINT) AS n_tokens
+        |         FROM bw GROUP BY doc_id),
+        |c AS (SELECT doc_id, n_tokens,
+        |  CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS tok_end
+        | FROM toks WHERE n_tokens > 0)
+        |SELECT doc_id, n_tokens, tok_end - n_tokens AS tok_start,
+        | (tok_end - n_tokens) // 8 AS first_chunk,
+        | (tok_end - 1) // 8 AS last_chunk,
+        | (tok_end - n_tokens) % 8 AS offset_in_chunk
+        |FROM c ORDER BY doc_id""".stripMargin)
   )
 }

@@ -47,6 +47,69 @@ class UnigramTokenizerSpec extends AnyFunSuite {
     }
   }
 
+  test("viterbi path is the reverse-lexicographic min among optimal segmentations") {
+    // the property the s33 oracle's ORDER BY (cost, np, reversed path)
+    // selection replays — pinned against brute-force enumeration
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 80) {
+      val alphabet = "ab" // tiny alphabet maximizes tie frequency
+      val w = (1 to (3 + rnd.nextInt(6))).map(_ => alphabet(rnd.nextInt(2))).mkString
+      val pieces = (alphabet.map(_.toString) ++
+        (1 to 5).map { _ =>
+          val i = rnd.nextInt(w.length); val j = i + 1 + rnd.nextInt(math.min(3, w.length - i))
+          w.substring(i, j)
+        }).distinct
+      // coarse costs (multiples of 0.5) force frequent exact ties
+      val costs = pieces.map(p => p -> (0.5 * (1 + rnd.nextInt(4)))).toMap
+      def segs(s: String): Seq[List[String]] =
+        if (s.isEmpty) Seq(Nil)
+        else for {
+          k <- 1 to math.min(4, s.length)
+          head = s.substring(0, k)
+          if costs.contains(head)
+          rest <- segs(s.substring(k))
+        } yield head :: rest
+      implicit val seqOrd: Ordering[Seq[String]] =
+        Ordering.Implicits.seqOrdering[Seq, String]
+      val want = segs(w).minBy(p =>
+        (p.foldLeft(0.0)((a, x) => a + costs(x)), p.length, p.reverse: Seq[String]))(
+        Ordering.Tuple3(Ordering.Double.TotalOrdering, Ordering.Int, seqOrd))
+      val got = UnigramTokenizer.viterbi(w, costs, 4)
+      assert(got == want, s"trial $trial '$w': got $got want $want costs=$costs")
+    }
+  }
+
+  test("withPieces emits the viterbi path, rank ids, and the withEncoding metrics") {
+    import spark.implicits._
+    val docs = Seq((1L, "abab ba aa"), (2L, "aa bb ab"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val vocab = UnigramTokenizer.train(docs.where($"text".isNotNull), "text",
+      vocabSize = 10, maxPieceLen = 3, iters = 3)
+    val costs = vocab.collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val ids = UnigramTokenizer.vocabIds(vocab)
+    // ids are the (cnt desc, piece asc) rank — dense 0..|V|-1
+    assert(ids.values.toSeq.sorted == ids.values.toSeq.indices.map(_.toLong))
+    val out = UnigramTokenizer.withPieces(docs, "text", vocab)
+      .select("doc_id", "pieces", "piece_ids", "n_pieces", "enc_cost").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    for ((id, text) <- Seq((1L, "abab ba aa"), (2L, "aa bb ab"))) {
+      val wantPieces = text.split(" ").filter(_.nonEmpty).toSeq
+        .flatMap(w => UnigramTokenizer.viterbi(w, costs, 3))
+      val r = out(id)
+      assert(r.getSeq[String](1) == wantPieces, s"doc $id pieces")
+      assert(r.getSeq[Long](2) == wantPieces.map(ids), s"doc $id ids")
+      assert(r.getLong(3) == wantPieces.length.toLong)
+      val c = wantPieces.foldLeft(0.0)((a, x) => a + costs(x))
+      assert(r.getDouble(4) == math.rint(c * 1e6) / 1e6)
+    }
+    assert(out(3L).isNullAt(1) && out(3L).isNullAt(3)) // null text -> nulls
+    // OOV piece maps to id -1
+    val oov = UnigramTokenizer.withPieces(
+      Seq((9L, "aXa")).toDF("doc_id", "text"), "text", vocab)
+      .select("piece_ids").head().getSeq[Long](0)
+    assert(oov.contains(-1L), oov)
+  }
+
   test("training concentrates probability on frequent long pieces") {
     import spark.implicits._
     val docs = Seq.fill(50)((1L, "abab abab baba")).zipWithIndex
