@@ -465,6 +465,15 @@ object CorpusMixET extends NoPathET {
           .limit(100001).collect()
         require(rows.length <= 100000,
           s"CorpusMix weightsTable '$tbl' exceeds 100k domains — not a weights table?")
+        // duplicate domain rows would silently collapse via toMap with a
+        // collect-order-dependent winner — fail loud instead (the inline
+        // weights= syntax cannot even express the ambiguity)
+        val dups = rows.groupBy(_.getString(0)).collect {
+          case (d, rs) if rs.length > 1 => d
+        }
+        require(dups.isEmpty,
+          s"CorpusMix weightsTable '$tbl' has duplicate domain rows: " +
+            dups.toSeq.sorted.take(5).mkString(", "))
         rows.map(r => r.getString(0) -> r.getDouble(1)).toMap
       case None => params.getOrElse("weights",
         throw new IllegalArgumentException(

@@ -121,10 +121,14 @@ object Multimodal {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{ArrayType, FloatType}
     require(batchSize > 0, s"batchSize must be positive, got $batchSize")
-    val schema = df.schema.add("embedding", ArrayType(FloatType, containsNull = false))
+    // replace any pre-existing embedding column instead of schema.add-ing
+    // a duplicate field — matching the scalar path's withColumn semantics
+    // (the re-embed case; a duplicate would be ambiguous downstream)
+    val base = if (df.columns.contains("embedding")) df.drop("embedding") else df
+    val schema = base.schema.add("embedding", ArrayType(FloatType, containsNull = false))
     val enc = org.apache.spark.sql.Encoders.row(schema)
-    val idx = df.schema.fieldIndex(binaryCol)
-    df.mapPartitions { it =>
+    val idx = base.schema.fieldIndex(binaryCol)
+    base.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         // >>> real impl: open codec / encoder session ONCE here, run one
         // batched inference over `batch`, close. Stub: per-row embed.

@@ -27,6 +27,13 @@ import org.apache.spark.sql.functions._
   * [[graft.operators.text.UnigramLm]], so the p56 oracle replays the
   * full computation in DuckDB (fp-associativity differences sit ~1e-12,
   * far below the rounding grain; the normalization sums #domains values).
+  * One determinism assumption BEYOND fp-associativity slack: `exp` of
+  * the (already 4-dp-rounded) excess must agree bitwise between the JVM
+  * (`StrictMath.exp`-backed `Math.exp`) and DuckDB's libm — a 1-ulp libm
+  * difference could in principle flip the final 6-dp ROUND at an exact
+  * boundary. Held empirically across every round's oracle runs (the
+  * 4-dp argument rounding keeps inputs on a coarse grid); if a platform
+  * ever breaks it, round `wraw` once before the normalizing divide.
   *
   * No reference counterpart; beyond-reference LLM-pipeline surface per
   * the builder prompt. Feed the weights into

@@ -19,19 +19,30 @@ import org.apache.spark.sql.DataFrame
   */
 object Parallelism {
 
-  /** Repartition `df` to `min` partitions iff it currently has fewer;
-    * `min <= 0` (the operators' default) disables the hatch entirely.
+  /** Guarantee at least `min` partitions for the per-row stage the caller
+    * is about to add; `min <= 0` (the operators' default) disables the
+    * hatch entirely.
     *
-    * The partition probe (`df.rdd.getNumPartitions`) is only free on a
-    * shuffle-free plan: under AQE it finalizes the physical plan, which
-    * MATERIALIZES any upstream shuffle stages — and the later action on
-    * the repartitioned frame would re-execute them. So when the plan
-    * already contains a shuffle-producing operator the hatch is a no-op
-    * by construction (the shuffle lands on `numShufflePartitions`
-    * partitions, which is the parallelism the hatch would provide) and
-    * the probe is skipped entirely. The single-input-split pathology this
-    * hatch exists for (r10: cpu≈wall on sub-maxPartitionBytes local
-    * files) only ever arises on scan-shaped plans.
+    * Two regimes, because the cheap partition probe
+    * (`df.rdd.getNumPartitions`) is only free on a shuffle-free plan —
+    * under AQE it finalizes the physical plan, which MATERIALIZES any
+    * upstream shuffle stages, and the later action on the repartitioned
+    * frame would re-execute them:
+    *
+    *  - scan-shaped plan (no shuffle op): probe, and repartition only if
+    *    the scan underfills `min` — the single-input-split pathology this
+    *    hatch exists for (r10: cpu≈wall on sub-maxPartitionBytes local
+    *    files). When the scan already provides enough splits the plan
+    *    keeps its audited zero-shuffle shape.
+    *  - plan containing a shuffle: repartition unconditionally. A static
+    *    "the shuffle lands on numShufflePartitions" skip is unsound — AQE
+    *    can coalesce a small shuffle down to ONE partition, and the
+    *    caller's expensive per-row stage (e.g. a UDF encode after a
+    *    groupBy) would inherit it. The unprobed round-robin exchange is
+    *    the price of the guarantee; acceptable because the hatch is an
+    *    opt-in LOCAL-honesty knob (production callers leave `min = 0` —
+    *    input splits provide the parallelism at 100 TB), and an adjacent
+    *    caller-side repartition collapses with it (CollapseRepartition).
     */
   def ensure(df: DataFrame, min: Int): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical._
@@ -40,7 +51,8 @@ object Parallelism {
            _: RepartitionOperation | _: GlobalLimit | _: Deduplicate => true
       case _ => false
     }
-    if (min <= 0 || shuffles(df.queryExecution.optimizedPlan)) df
+    if (min <= 0) df
+    else if (shuffles(df.queryExecution.optimizedPlan)) df.repartition(min)
     else if (df.rdd.getNumPartitions >= min) df
     else df.repartition(min)
   }

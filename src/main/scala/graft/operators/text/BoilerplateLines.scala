@@ -15,11 +15,12 @@ import org.apache.spark.sql.functions._
   * Scale design (the naive plan — explode, anti-join the frequent-line
   * set, re-aggregate by doc — shuffles the full corpus three times):
   *
-  *  1. ONE explode+agg shuffle computes per-line document frequency.
-  *     Each doc contributes its DISTINCT trimmed lines
-  *     (`array_distinct` before the explode), so a plain `count(*)`
-  *     equals "number of documents containing this line" with map-side
-  *     partial aggregation intact — no `countDistinct` re-shuffle.
+  *  1. One explode+distinct-agg pass computes per-line document
+  *     frequency (COUNT(DISTINCT doc) — exact even when a document spans
+  *     multiple rows). Each doc-row contributes its DISTINCT trimmed
+  *     lines (`array_distinct` before the explode), so the distinct
+  *     aggregate's first phase dedups pairs that are already unique
+  *     per row — both phases map-side combinable.
   *  2. The boilerplate set is df-capped (`minDocs`, `minChars`) and by
   *     construction small — a line qualifies only by appearing in many
   *     docs, so there can be at most corpus_docs/minDocs of them — and a
@@ -42,15 +43,20 @@ import org.apache.spark.sql.functions._
   */
 object BoilerplateLines {
 
-  /** Document frequency per distinct trimmed line: (line, n_docs).
-    * One shuffle; map-side combine preserved via per-doc distinct.
+  /** Document frequency per distinct trimmed line: (line, n_docs) with
+    * n_docs = COUNT(DISTINCT doc) — correct even when a document spans
+    * multiple input rows (re-delivered or chunked input). Plans as the
+    * standard two-phase distinct aggregate — partial dedup keyed
+    * (line, doc), then the count keyed (line) — both phases map-side
+    * combinable, and the per-row `array_distinct` means the first phase's
+    * pairs are already unique within a row.
     */
   def lineDocFreq(df: DataFrame, idCol: String, textCol: String,
                   sep: String = "\n"): DataFrame = {
     val lines = split(col(textCol), Pattern.quote(sep), -1)
-    df.select(explode(array_distinct(transform(lines,
+    df.select(col(idCol), explode(array_distinct(transform(lines,
         l => trim(l)))).as("line"))
-      .groupBy("line").agg(count(lit(1)).as("n_docs"))
+      .groupBy("line").agg(countDistinct(col(idCol)).as("n_docs"))
   }
 
   /** The boilerplate set: lines with document frequency >= `minDocs` and

@@ -50,6 +50,21 @@ class BoilerplateLinesSpec extends AnyFunSuite {
     assert(out(1L) == "dup line\ndup line\nbody one")
   }
 
+  test("document frequency is COUNT(DISTINCT doc) when a doc spans multiple rows") {
+    import spark.implicits._
+    // doc 1 re-delivered as two rows (chunked/replayed input): "chrome"
+    // must count ONE document, not two rows — the documented contract and
+    // what the p55 oracle's COUNT(DISTINCT doc_id) computes
+    val df = Seq(
+      (1L, "chrome\nbody a"),
+      (1L, "chrome\nbody b"),
+      (2L, "chrome\nbody c")
+    ).toDF("doc_id", "text")
+    val freq = BoilerplateLines.lineDocFreq(df, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(freq("chrome") == 2L, freq)
+  }
+
   test("short lines are exempt and the trim key ignores edge whitespace") {
     import spark.implicits._
     val df = Seq(
@@ -99,27 +114,32 @@ class BoilerplateLinesSpec extends AnyFunSuite {
     assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
-  test("plan shape: cleaning pass adds no exchange; freq is one shuffle") {
+  test("plan shape: cleaning pass adds no exchange; freq is the two-phase distinct agg") {
     import spark.implicits._
     val df = Seq((1L, "a\nb"), (2L, "a\nc")).toDF("doc_id", "text")
     val cleaned = BoilerplateLines.strip(df, "text", Seq("shared chrome"))
     val plan = cleaned.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
+    // COUNT(DISTINCT doc) plans as two bounded exchanges — (line, doc)
+    // dedup then the (line) count — both with partial aggregation
     val freqPlan = BoilerplateLines.lineDocFreq(df, "doc_id", "text")
       .queryExecution.executedPlan.toString
-    assert(freqPlan.split("Exchange").length - 1 == 1, freqPlan)
+    assert(freqPlan.split("Exchange").length - 1 <= 2, freqPlan)
   }
 
-  test("large boiler sets plan as an INSET hash probe, not a per-line scan") {
+  test("maxBoiler-scale boiler sets plan as an INSET hash probe, not a per-line scan") {
     import spark.implicits._
-    val boiler = (0 until 50).map(i => s"chrome line $i")
+    // full maxBoiler default (10k literals): the In -> InSet rewrite must
+    // hold inside the HOF lambda at the size strip() actually runs with,
+    // protecting the O(1)-per-line membership claim from optimizer drift
+    val boiler = (0 until 10000).map(i => s"chrome line $i")
     // range-based input: a local Seq would be constant-folded into a
     // LocalRelation and the probe would vanish from the optimized plan
     val df = spark.range(1).select($"id".as("doc_id"),
       org.apache.spark.sql.functions.lit("chrome line 7\nreal body").as("text"))
     val out = BoilerplateLines.strip(df, "text", boiler)
     val plan = out.queryExecution.optimizedPlan.toString
-    assert(plan.toUpperCase.contains("INSET"), plan)
+    assert(plan.toUpperCase.contains("INSET"), plan.take(2000))
     assert(out.select("text_clean").head().getString(0) == "real body")
   }
 }

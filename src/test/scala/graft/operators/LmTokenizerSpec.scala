@@ -211,6 +211,29 @@ class LmTokenizerSpec extends AnyFunSuite {
       s"vocab too shallow: $totalTokens tokens over $totalChars chars")
   }
 
+  test("incremental trainer equals the recount reference on the real sf corpus") {
+    // the p51 bench entry trains through incrementalLearnMerges on the
+    // REAL documents table — rows-only in the oracle gate by design, so
+    // this pin keeps the bench from silently drifting off the oracled
+    // algorithm: on the same real-corpus dictionary the incremental
+    // trainer's merge list must equal the recount reference's (and the
+    // batched distributed path's) exactly, to production-ish depth
+    val docsDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    import org.apache.spark.sql.functions._
+    val dict = docsDf
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val collected = dict.collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val k = 256
+    val ref = BpeTrain.driverLearnMerges(collected, k)
+    val inc = BpeTrain.incrementalLearnMerges(collected, k)
+    assert(inc == ref, "incremental diverged from the recount reference on real text")
+    val dist = BpeTrain.distributedLearnMerges(dict, 32)._1
+    assert(inc.take(32) == dist, "distributed prefix diverged on real text")
+  }
+
   test("batching collapses non-interacting merges into few rounds") {
     val spark2 = spark
     import spark2.implicits._

@@ -254,6 +254,21 @@ class BenchSpec extends AnyFunSuite {
     assert(hatch.rdd.getNumPartitions == want, ph)
   }
 
+  test("minParallelism hatch guarantees the floor past a shuffle " +
+       "(AQE may coalesce a small shuffle to 1 partition)") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // a tiny groupBy output is exactly the case AQE coalesces hard; a
+    // per-row expensive stage downstream must still see >= min partitions
+    val agged = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+    val out = graft.operators.scale.Parallelism.ensure(agged, 8)
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("roundrobin"), p)
+    assert(out.rdd.getNumPartitions == 8)
+    // and min <= 0 stays a strict no-op (production contract)
+    assert(graft.operators.scale.Parallelism.ensure(agged, 0) eq agged)
+  }
+
   test("p49 Gumbel resampling is the p44 zero-shuffle score plus ONE top-k") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(s"$sf/documents.parquet")
