@@ -761,6 +761,74 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.find(_._1 == 4L).get._2 == "fresh body four")
   }
 
+  test("streaming web curation end-to-end: change feed -> strip -> dedupDoc -> C4 -> curated, exactly-once") {
+    // the s31 batch battery in micro-batch form: every stage after the
+    // frozen-set computation is a pure projection, so the whole curation
+    // chain rides the change feed with no stream-side shuffle; the keyed
+    // sink absorbs re-delivery (fresh-checkpoint replay => same table)
+    val src = java.nio.file.Files.createTempDirectory("wc_src").resolve("t").toString
+    val curated = java.nio.file.Files.createTempDirectory("wc_out").resolve("t").toString
+    val chrome = "SUBSCRIBE TO OUR NEWSLETTER NOW TODAY"
+    val good1 = "The quick brown fox jumps over the lazy dog."
+    val good2 = "Another good sentence with enough words here."
+    def doc(id: Long, lines: String*) =
+      s"""{"doc_id":$id,"text":"${(chrome +: lines).mkString("\\n")}"}"""
+    ScriptRunner.runToDF(
+      s"""set wcdata = '''${doc(1, good1, good1, good2)}
+         |${doc(2, "tiny bits")}
+         |${doc(3, "Curly braces { are code not prose always.")}''';
+         |load jsonStr.`wcdata` as wc_hist_in;
+         |save overwrite wc_hist_in as vparquet.`$src`;
+         |load vparquet.`$src` as wc_hist;
+         |run wc_hist as BoilerplateClean.`` where mode="frequent" and minDocs="3"
+         |  as wc_frozen;
+         |select * from wc_frozen as wc_frozen;""".stripMargin, spark)
+    // a fresh doc lands AFTER the freeze; the stream replays all commits
+    def runCuration(ck: String): Unit = {
+      val ctx = ScriptRunner.run(
+        s"""set streamName = "wcstream";
+           |load vparquet.`$src` where startingVersion="0" as wc_feed;
+           |run wc_feed as BoilerplateClean.`` where mode="strip"
+           |  and frozenTable="wc_frozen" as wc_nb;
+           |select doc_id, text_clean as text from wc_nb as wc_nb2;
+           |run wc_nb2 as BoilerplateClean.`` where mode="dedupDoc" as wc_dd;
+           |select doc_id, text_dedup as text from wc_dd as wc_dd2;
+           |run wc_dd2 as C4Rules.`` where minSentences="2" as wc_c4;
+           |save append wc_c4 as upsertParquet.`$curated` where mode="append"
+           |  and idCols="doc_id" and checkpointLocation="$ck";""".stripMargin, spark)
+      val q = ctx.streams("wcstream")
+      try q.processAllAvailable() finally q.stop()
+    }
+    runCuration(java.nio.file.Files.createTempDirectory("ck_wc").toString)
+    ScriptRunner.runToDF(
+      s"""set wcdata2 = '''${doc(4,
+             "Fresh streaming sentences arrive with plenty of words.",
+             "They also end with proper punctuation marks today.")}''';
+         |load jsonStr.`wcdata2` as wc_new;
+         |save append wc_new as vparquet.`$src`;""".stripMargin, spark)
+    runCuration(java.nio.file.Files.createTempDirectory("ck_wc2").toString)
+    def readBack(): Map[Long, (String, Long, Boolean)] = ScriptRunner.runToDF(
+      s"""load vparquet.`$curated` as wc_back;
+         |select doc_id, text_c4, n_kept, c4_pass from wc_back
+         |order by doc_id as out;""".stripMargin, spark)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    val out = readBack()
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    // doc 1: chrome stripped, duplicate line deduped, both sentences kept
+    assert(out(1L) == ((s"$good1\n$good2", 2L, true)), out(1L))
+    // doc 2: nothing survives the line rules -> C4 fail
+    assert(out(2L)._2 == 0L && !out(2L)._3, out(2L))
+    // doc 3: line survives but the blocked phrase kills the doc
+    assert(out(3L)._2 == 1L && !out(3L)._3, out(3L))
+    // doc 4 (post-freeze arrival): curated on the later run
+    assert(out(4L)._2 == 2L && out(4L)._3, out(4L))
+    assert(!out.values.exists(_._1.contains(chrome)), "chrome must be stripped")
+    // full re-delivery from a fresh checkpoint: keyed merge is idempotent
+    runCuration(java.nio.file.Files.createTempDirectory("ck_wc3").toString)
+    assert(readBack() == out, "re-delivery must be idempotent")
+  }
+
   test("streaming dedup-on-ingest: per-batch signature-store dedup, re-delivery yields zero") {
     // rolling ingestion never re-scans history: each micro-batch dedups
     // against the persistent MinHash signature store (within-batch exact +
