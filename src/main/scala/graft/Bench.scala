@@ -19,10 +19,9 @@ object Bench {
     * prior-round warm time baselines a different computation, so the
     * drift gate must not compare against it (same treatment as
     * prior-round stalls — the key is dropped and the query runs ungated
-    * this round). r11: p51 went from the padded 32k-table encode to a
-    * real 4096-merge train+encode.
+    * this round). r12: none (r11's p51 redefinition is now the baseline).
     */
-  private val RedefinedQueries = Set("p51")
+  private val RedefinedQueries = Set.empty[String]
 
   /** JVM-health counters captured around each timed run, so a warm-time
     * regression can be attributed (GC pause? JIT recompilation storm? code

@@ -16,6 +16,10 @@ object BenchOne {
     require(names.nonEmpty, "usage: BenchOne <query>... [reps]")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.getOrCreate()
+    // SPARK_GRAFT_BENCHONE_CLEAR=1 replicates the full sweep's per-run
+    // spark.catalog.clearCache() so harness-state interactions (the p46
+    // class of in-sweep inflation) are reproducible in isolation
+    val clear = sys.env.get("SPARK_GRAFT_BENCHONE_CLEAR").contains("1")
     for (name <- names; i <- 1 to reps) {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir)
@@ -24,6 +28,7 @@ object BenchOne {
       // the f"" interpolator would print a comma decimal in e.g. de_DE
       println(String.format(java.util.Locale.ROOT, "[benchone] %s #%d: %.3f s",
         name, Int.box(i), Double.box((System.nanoTime() - t0) / 1e9)))
+      if (clear) spark.catalog.clearCache()
     }
     spark.stop()
   }

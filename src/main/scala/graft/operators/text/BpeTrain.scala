@@ -364,6 +364,17 @@ object BpeTrain {
   */
 final class BpeCodec(mergeSeq: Seq[(String, String)]) extends Serializable {
   private val table: Array[(String, String)] = mergeSeq.toArray
+
+  /** Per-task word→encoding memo: corpora are Zipfian, so a bounded cache
+    * over the UNIQUE words a task sees eliminates nearly all repeat
+    * encode work (the same economics that let training run on the
+    * unique-word dictionary). `@transient lazy` — rebuilt empty in each
+    * deserialized task closure, so no cross-task sharing; capped so one
+    * adversarial high-cardinality partition cannot balloon executor
+    * memory. Pure memoization: output is identical with or without.
+    */
+  @transient private lazy val memo = new java.util.HashMap[String, Array[String]]()
+  private val memoCap = 1 << 16
   // pair -> ALL its ranks (duplicate pairs in a table are legal; the
   // sequential scan would apply whichever of them is reachable)
   private val ranksOf: java.util.HashMap[String, Array[Int]] = {
@@ -383,6 +394,14 @@ final class BpeCodec(mergeSeq: Seq[(String, String)]) extends Serializable {
   }
 
   def encodeWord(w: String): Array[String] = {
+    val hit = memo.get(w)
+    if (hit != null) return hit
+    val out = encodeUncached(w)
+    if (memo.size < memoCap) memo.put(w, out)
+    out
+  }
+
+  private def encodeUncached(w: String): Array[String] = {
     var syms: Array[String] = w.split("")
     if (syms.length < 2 || table.isEmpty) return syms
     val heap = new java.util.PriorityQueue[Integer]()

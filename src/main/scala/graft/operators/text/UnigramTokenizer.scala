@@ -260,15 +260,16 @@ object UnigramTokenizer {
     require(costs.nonEmpty, "withEncoding: empty vocabulary")
     val maxPieceLen = costs.keysIterator.map(_.length).max
     val oov = costs.valuesIterator.max + 1.0
-    val bc = spark.sparkContext.broadcast(costs)
+    val codec = new UnigramCodec(
+      spark.sparkContext.broadcast(costs), maxPieceLen, oov)
     val enc = udf((text: String) => Option(text).map { t =>
       val words = t.split(" ").filter(_.nonEmpty)
       var np = 0L
       var cost = 0.0
       for (w <- words) {
-        val pieces = viterbi(w, bc.value, maxPieceLen, oovCost = Some(oov))
+        val (pieces, c) = codec.segment(w)
         np += pieces.length
-        cost += pieces.iterator.map(p => bc.value.getOrElse(p, oov)).sum
+        cost += c
       }
       (np, cost)
     }.orNull)
@@ -320,15 +321,16 @@ object UnigramTokenizer {
       .zipWithIndex.map { case ((p, _), i) => p -> i.toLong }.toMap
     val maxPieceLen = costs.keysIterator.map(_.length).max
     val oov = costs.valuesIterator.max + 1.0
-    val bcC = spark.sparkContext.broadcast(costs)
+    val codec = new UnigramCodec(
+      spark.sparkContext.broadcast(costs), maxPieceLen, oov)
     val bcI = spark.sparkContext.broadcast(ids)
     val enc = udf((text: String) => Option(text).map { t =>
       val pieces = scala.collection.mutable.ArrayBuffer.empty[String]
       var cost = 0.0
       for (w <- t.split(" ") if w.nonEmpty) {
-        val ps = viterbi(w, bcC.value, maxPieceLen, oovCost = Some(oov))
+        val (ps, c) = codec.segment(w)
         pieces ++= ps
-        cost += ps.iterator.map(p => bcC.value.getOrElse(p, oov)).sum
+        cost += c
       }
       (pieces.toSeq, pieces.map(p => bcI.value.getOrElse(p, -1L)).toSeq,
         pieces.length.toLong, cost)
@@ -339,5 +341,32 @@ object UnigramTokenizer {
       .withColumn("n_pieces", col("__t__._3"))
       .withColumn("enc_cost", round(col("__t__._4"), 6))
       .drop("__t__")
+  }
+}
+
+/** Broadcast-vocab Viterbi segmenter with a per-task word→(pieces, cost)
+  * memo: corpora are Zipfian, so the bounded cache over the unique words a
+  * task sees eliminates nearly all repeat segmentation work — the same
+  * economics that let training run on the unique-word dictionary, applied
+  * to the encode path (mirrors [[BpeCodec]]'s memo next door).
+  * `@transient lazy` — rebuilt empty in each deserialized task closure, so
+  * no cross-task sharing; capped so one adversarial high-cardinality
+  * partition cannot balloon executor memory. Pure memoization: output is
+  * identical with or without.
+  */
+private[graft] final class UnigramCodec(
+    bc: org.apache.spark.broadcast.Broadcast[Map[String, Double]],
+    maxPieceLen: Int, oov: Double) extends Serializable {
+  @transient private lazy val memo =
+    new java.util.HashMap[String, (Seq[String], Double)]()
+  private val memoCap = 1 << 16
+
+  def segment(w: String): (Seq[String], Double) = {
+    val hit = memo.get(w)
+    if (hit != null) return hit
+    val ps = UnigramTokenizer.viterbi(w, bc.value, maxPieceLen, oovCost = Some(oov))
+    val out = (ps, ps.iterator.map(p => bc.value.getOrElse(p, oov)).sum)
+    if (memo.size < memoCap) memo.put(w, out)
+    out
   }
 }
