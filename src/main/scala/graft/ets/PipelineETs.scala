@@ -58,8 +58,14 @@ object UnigramTokenizerET extends NoPathET {
         ctx.spark.table(params.getOrElse("vocabTable",
           throw new IllegalArgumentException(
             "UnigramTokenizer mode=tokenize requires vocabTable=..."))))
+      case "nbest" => UnigramTokenizer.nbestTable(df,
+        params.getOrElse("idCol", "doc_id"), textCol,
+        ctx.spark.table(params.getOrElse("vocabTable",
+          throw new IllegalArgumentException(
+            "UnigramTokenizer mode=nbest requires vocabTable=..."))),
+        params.getOrElse("n", "5").toInt)
       case other => throw new IllegalArgumentException(
-        s"UnigramTokenizer mode must be train|encode|tokenize, got '$other'")
+        s"UnigramTokenizer mode must be train|encode|tokenize|nbest, got '$other'")
     }
   }
 }

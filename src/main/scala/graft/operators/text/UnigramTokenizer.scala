@@ -279,6 +279,113 @@ object UnigramTokenizer {
       .drop("__e__")
   }
 
+  /** Total order on candidate segmentations: (cost asc, piece count asc,
+    * reversed piece sequence lexicographic) — the order [[viterbi]]'s
+    * per-position tie-break composes into (see [[withPieces]]); rank 1
+    * under it IS the Viterbi path. Suffix-monotone (appending the same
+    * piece to two paths preserves their relative order: equal cost/np
+    * deltas, and the reversed sequences gain the same HEAD element), which
+    * is exactly the property that makes the n-best DP below exact.
+    */
+  private val segOrder: Ordering[(Double, Int, List[String])] =
+    new Ordering[(Double, Int, List[String])] {
+      def compare(a: (Double, Int, List[String]), b: (Double, Int, List[String])): Int = {
+        val c = java.lang.Double.compare(a._1, b._1)
+        if (c != 0) return c
+        val n = Integer.compare(a._2, b._2)
+        if (n != 0) return n
+        // reversed-path lexicographic; equal-np paths have equal length
+        var (x, y) = (a._3, b._3)
+        while (x.nonEmpty && y.nonEmpty) {
+          val h = x.head.compareTo(y.head)
+          if (h != 0) return h
+          x = x.tail; y = y.tail
+        }
+        Integer.compare(x.length, y.length)
+      }
+    }
+
+  /** N-best segmentations of one word — the enumeration substrate of
+    * SentencePiece's subword regularization (Kudo 2018 §4 samples from
+    * the n-best list): up to `k` segmentations in [[segOrder]] (so entry 1
+    * is exactly [[viterbi]]'s path), each as (total cost, pieces). The DP
+    * keeps the k best (cost, np, REVERSED path) candidates per position;
+    * exactness follows from suffix-monotonicity of the order. `oovCost`
+    * as in [[viterbi]]. Cost O(len × maxPieceLen × k log k) per word —
+    * per-row scan work.
+    */
+  def viterbiNBest(w: String, costs: Map[String, Double], maxPieceLen: Int,
+                   k: Int, oovCost: Option[Double] = None): Seq[(Double, Seq[String])] = {
+    require(k > 0, s"k must be positive, got $k")
+    val n = w.length
+    if (n == 0) return Seq((0.0, Seq.empty))
+    // best(j): up to k candidates (cost, np, pieces REVERSED — prepend is
+    // O(1) and segOrder compares reversed order anyway)
+    val best = Array.fill(n + 1)(List.empty[(Double, Int, List[String])])
+    best(0) = List((0.0, 0, Nil))
+    var j = 1
+    while (j <= n) {
+      val cands = scala.collection.mutable.ArrayBuffer.empty[(Double, Int, List[String])]
+      var i = math.max(0, j - maxPieceLen)
+      while (i < j) {
+        val piece = w.substring(i, j)
+        val pc = costs.get(piece).orElse(if (i == j - 1) oovCost else None)
+        pc.foreach { c =>
+          for ((bc, bnp, bp) <- best(i)) cands += ((bc + c, bnp + 1, piece :: bp))
+        }
+        i += 1
+      }
+      best(j) = cands.sorted(segOrder).take(k).toList
+      j += 1
+    }
+    require(best(n).nonEmpty,
+      s"unigram vocab cannot segment '$w' — character missing from vocabulary")
+    best(n).map { case (c, _, rev) => (c, rev.reverse) }
+  }
+
+  /** N-best table: one row per (doc, word occurrence, rank) —
+    * (idCol, wpos, word, rank, pieces, n_pieces, cost 6dp), with `wpos`
+    * the 1-based word position and `rank` 1-based in [[segOrder]] (rank 1
+    * = the Viterbi path). Null text contributes no rows. Per-row
+    * broadcast-vocab work (posexplode + UDF) — no shuffle, scan speed;
+    * per-task word memo as in [[UnigramCodec]]. A sampler draws from the
+    * ranked list downstream (softmax over -cost/alpha) — the enumeration
+    * itself stays deterministic and SQL-replayable (the s35 oracle ranks
+    * the same recursive-CTE path enumeration).
+    */
+  def nbestTable(df: DataFrame, idCol: String, textCol: String,
+                 vocab: DataFrame, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    val costs: Map[String, Double] = vocab.select("piece", "cost")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    require(costs.nonEmpty, "nbestTable: empty vocabulary")
+    val maxPieceLen = costs.keysIterator.map(_.length).max
+    val oov = costs.valuesIterator.max + 1.0
+    val bc = spark.sparkContext.broadcast(costs)
+    val nb = udf(new (String => Seq[(Double, Seq[String])]) with Serializable {
+      @transient private lazy val memo =
+        new java.util.HashMap[String, Seq[(Double, Seq[String])]]()
+      def apply(w: String): Seq[(Double, Seq[String])] = {
+        val hit = memo.get(w)
+        if (hit != null) return hit
+        val out = viterbiNBest(w, bc.value, maxPieceLen, k, oovCost = Some(oov))
+        if (memo.size < (1 << 16)) memo.put(w, out)
+        out
+      }
+    })
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        posexplode(filter(split(col(textCol), " "), w => w =!= ""))
+          .as(Seq("__wp__", "word")))
+      .select(col(idCol), (col("__wp__") + 1).as("wpos"), col("word"),
+        posexplode(nb(col("word"))).as(Seq("__rk__", "__s__")))
+      .select(col(idCol), col("wpos"), col("word"),
+        (col("__rk__") + 1).as("rank"),
+        col("__s__._2").as("pieces"),
+        size(col("__s__._2")).cast("long").as("n_pieces"),
+        round(col("__s__._1"), 6).as("cost"))
+  }
+
   /** Deterministic piece→id mapping over a trained vocabulary: ids are
     * assigned 0-based by (count desc, piece asc) — exactly [[train]]'s
     * output row order — so an oracle recomputes them as a rank over the

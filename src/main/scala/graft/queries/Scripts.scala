@@ -972,6 +972,55 @@ object Scripts {
         |FROM flat f JOIN ids ON f.piece = ids.piece
         |ORDER BY doc_id, pos""".stripMargin),
 
+    // ---- N-BEST unigram segmentations (the subword-regularization
+    //      enumeration substrate, Kudo 2018 §4): up to n segmentations
+    //      per word occurrence ranked by (cost, n_pieces, reversed
+    //      path) — rank 1 IS the Viterbi path. The oracle ranks the SAME
+    //      recursive-CTE path enumeration with ROW_NUMBER under the
+    //      identical order and keeps rn <= n. ----
+    QuerySpec.sql("s35_script_unigram_nbest", (s, dir) => script(s,
+      s"""set utdata = '''{"doc_id":1,"text":"the cat sat on the mat"}
+         |{"doc_id":2,"text":"the cats sat on the mats"}
+         |{"doc_id":3,"text":"a cat and a rat"}
+         |{"doc_id":4,"text":"the rats and the cats"}''';
+         |load jsonStr.`utdata` as s35_docs;
+         |run s35_docs as UnigramTokenizer.`` where mode="train"
+         |  and vocabSize="24" and maxPieceLen="4" and iters="3" as s35_vocab;
+         |save overwrite s35_vocab as parquet.`/tmp/graft_s35_vocab`;
+         |run s35_docs as UnigramTokenizer.`` where mode="nbest" and n="3"
+         |  and vocabTable="s35_vocab" as s35_nb;
+         |select doc_id, wpos, word, rank,
+         |  array_join(pieces, ' ') as seg, n_pieces, cost
+         |from s35_nb order by doc_id, wpos, rank as s35_out;""".stripMargin),
+      """WITH RECURSIVE v AS (
+        | SELECT piece, cost FROM read_parquet('/tmp/graft_s35_vocab/*.parquet')),
+        |docs AS (SELECT * FROM (VALUES
+        |  (1, 'the cat sat on the mat'), (2, 'the cats sat on the mats'),
+        |  (3, 'a cat and a rat'), (4, 'the rats and the cats')) t(doc_id, text)),
+        |s AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS arr FROM docs),
+        |px AS (SELECT doc_id, UNNEST(RANGE(1, LEN(arr) + 1)) AS p, arr FROM s),
+        |words AS (SELECT doc_id, p AS wpos, arr[p] AS w, LEN(arr[p]) AS n
+        |          FROM px WHERE arr[p] <> ''),
+        |reach AS (
+        | SELECT doc_id, wpos, w, n, 0 AS pos, CAST(0 AS DOUBLE) AS c, 0 AS np,
+        |        CAST([] AS VARCHAR[]) AS path
+        | FROM words
+        | UNION ALL
+        | SELECT r.doc_id, r.wpos, r.w, r.n, r.pos + LEN(v.piece),
+        |        r.c + v.cost, r.np + 1, LIST_APPEND(r.path, v.piece)
+        | FROM reach r JOIN v ON v.piece = SUBSTR(r.w, r.pos + 1, LEN(v.piece))
+        | WHERE r.pos < r.n),
+        |done AS (SELECT doc_id, wpos, w, c, np, path FROM reach WHERE pos = n),
+        |ranked AS (SELECT doc_id, wpos, w, c, np, path,
+        |   ROW_NUMBER() OVER (PARTITION BY doc_id, wpos
+        |     ORDER BY c, np, LIST_REVERSE(path)) AS rk
+        | FROM done)
+        |SELECT doc_id, CAST(wpos AS BIGINT) AS wpos, w AS word,
+        | CAST(rk AS INT) AS rank, ARRAY_TO_STRING(path, ' ') AS seg,
+        | CAST(np AS BIGINT) AS n_pieces, ROUND(c, 6) AS cost
+        |FROM ranked WHERE rk <= 3
+        |ORDER BY doc_id, wpos, rank""".stripMargin),
+
     // ---- SequencePack over UNIGRAM tokens (the s20 pattern with a
     //      TRAINED tokenizer's counts instead of whitespace counts):
     //      tokenize -> n_pieces feeds the pack as tokenCol. The oracle

@@ -79,6 +79,65 @@ class UnigramTokenizerSpec extends AnyFunSuite {
     }
   }
 
+  test("viterbiNBest matches brute-force enumeration under (cost, np, rev-path) order") {
+    val rnd = new scala.util.Random(21)
+    for (trial <- 1 to 60) {
+      val alphabet = "ab"
+      val w = (1 to (3 + rnd.nextInt(5))).map(_ => alphabet(rnd.nextInt(2))).mkString
+      val pieces = (alphabet.map(_.toString) ++
+        (1 to 5).map { _ =>
+          val i = rnd.nextInt(w.length); val j = i + 1 + rnd.nextInt(math.min(3, w.length - i))
+          w.substring(i, j)
+        }).distinct
+      val costs = pieces.map(p => p -> (0.5 * (1 + rnd.nextInt(4)))).toMap
+      def segs(s: String): Seq[List[String]] =
+        if (s.isEmpty) Seq(Nil)
+        else for {
+          kk <- 1 to math.min(4, s.length)
+          head = s.substring(0, kk)
+          if costs.contains(head)
+          rest <- segs(s.substring(kk))
+        } yield head :: rest
+      implicit val seqOrd: Ordering[Seq[String]] =
+        Ordering.Implicits.seqOrdering[Seq, String]
+      val want = segs(w)
+        .map(p => (p.foldLeft(0.0)((a, x) => a + costs(x)), p))
+        .sortBy { case (c, p) => (c, p.length, p.reverse: Seq[String]) }(
+          Ordering.Tuple3(Ordering.Double.TotalOrdering, Ordering.Int, seqOrd))
+        .take(3)
+        .map { case (c, p) => (c, p: Seq[String]) }
+      val got = UnigramTokenizer.viterbiNBest(w, costs, 4, 3)
+      assert(got == want, s"trial $trial '$w': got $got want $want costs=$costs")
+      // rank 1 is exactly the single-best viterbi path
+      assert(got.head._2 == UnigramTokenizer.viterbi(w, costs, 4))
+    }
+  }
+
+  test("nbestTable emits ranked rows per word occurrence") {
+    import spark.implicits._
+    val docs = Seq((1L, "abab aa"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val vocab = UnigramTokenizer.train(docs.where($"text".isNotNull), "text",
+      vocabSize = 10, maxPieceLen = 3, iters = 3)
+    val costs = vocab.collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val out = UnigramTokenizer.nbestTable(docs, "doc_id", "text", vocab, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getInt(3), r.getSeq[String](4), r.getLong(5), r.getDouble(6)))
+    assert(out.forall(_._1 == 1L), "null text contributes no rows")
+    assert(out.map(t => (t._2, t._3)).distinct.sorted.toSeq ==
+      Seq((1, "abab"), (2, "aa")))
+    for (((wpos, word), rows) <- out.groupBy(t => (t._2, t._3))) {
+      val want = UnigramTokenizer.viterbiNBest(word, costs, 3, 3,
+        oovCost = Some(costs.values.max + 1.0))
+      val got = rows.sortBy(_._4).toSeq
+        .map(t => (math.rint(t._7 * 1e6) / 1e6, t._5))
+      assert(got == want.map { case (c, p) => (math.rint(c * 1e6) / 1e6, p) },
+        s"word $word at $wpos")
+      assert(rows.map(_._4).sorted.toSeq == (1 to rows.length), "ranks 1-based dense")
+      assert(rows.forall(t => t._6 == t._5.length.toLong))
+    }
+  }
+
   test("withPieces emits the viterbi path, rank ids, and the withEncoding metrics") {
     import spark.implicits._
     val docs = Seq((1L, "abab ba aa"), (2L, "aa bb ab"), (3L, null.asInstanceOf[String]))
