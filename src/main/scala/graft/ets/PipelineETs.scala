@@ -33,9 +33,11 @@ object PipelineETs {
   * `enc_cost` by broadcast-vocab Viterbi (piece-length bound derived from
   * the vocab; unseen chars cost max+1); `mode="tokenize"` additionally
   * emits the piece sequence and rank ids (`pieces`/`piece_ids` — the
-  * SequencePack-consumable output) — persist the trained vocab and
-  * everything downstream of it is SQL-replayable (the s32/s33 oracles
-  * replay the Viterbi itself as a recursive-CTE shortest path).
+  * SequencePack-consumable output); `mode="nbest" and n="5"` emits the
+  * ranked top-n segmentations per word occurrence (the
+  * subword-regularization enumeration) — persist the trained vocab and
+  * everything downstream of it is SQL-replayable (the s32/s33/s35
+  * oracles replay the Viterbi itself as a recursive-CTE shortest path).
   */
 object UnigramTokenizerET extends NoPathET {
   override def name = "UnigramTokenizer"

@@ -244,10 +244,12 @@ object UnigramTokenizer {
     out.toSeq
   }
 
-  /** Appends `n_pieces` (long) and `enc_cost` (total Viterbi cost, 6 dp)
-    * per document: each whitespace word segmented independently, costs
-    * summed. Broadcast-vocab UDF — per-row, scan speed. Null text yields
-    * null outputs (the BpeTrain convention). The piece-length bound is
+  /** Appends `n_pieces` (long), `enc_cost` (total Viterbi cost, 6 dp) and
+    * `n_oov` (pieces outside the vocabulary — the encode-health signal a
+    * 100 TB job monitors for train/serve vocabulary drift) per document:
+    * each whitespace word segmented independently, costs summed.
+    * Broadcast-vocab UDF — per-row, scan speed. Null text yields null
+    * outputs (the BpeTrain convention). The piece-length bound is
     * DERIVED from the vocabulary (an independent parameter smaller than
     * the longest trained piece would silently ignore those pieces), and
     * characters unseen at train time segment as single pieces at
@@ -266,16 +268,19 @@ object UnigramTokenizer {
       val words = t.split(" ").filter(_.nonEmpty)
       var np = 0L
       var cost = 0.0
+      var noov = 0L
       for (w <- words) {
-        val (pieces, c) = codec.segment(w)
+        val (pieces, c, o) = codec.segment(w)
         np += pieces.length
         cost += c
+        noov += o
       }
-      (np, cost)
+      (np, cost, noov)
     }.orNull)
     df.withColumn("__e__", enc(col(textCol)))
       .withColumn("n_pieces", col("__e__._1"))
       .withColumn("enc_cost", round(col("__e__._2"), 6))
+      .withColumn("n_oov", col("__e__._3"))
       .drop("__e__")
   }
 
@@ -435,7 +440,7 @@ object UnigramTokenizer {
       val pieces = scala.collection.mutable.ArrayBuffer.empty[String]
       var cost = 0.0
       for (w <- t.split(" ") if w.nonEmpty) {
-        val (ps, c) = codec.segment(w)
+        val (ps, c, _) = codec.segment(w)
         pieces ++= ps
         cost += c
       }
@@ -465,14 +470,23 @@ private[graft] final class UnigramCodec(
     bc: org.apache.spark.broadcast.Broadcast[Map[String, Double]],
     maxPieceLen: Int, oov: Double) extends Serializable {
   @transient private lazy val memo =
-    new java.util.HashMap[String, (Seq[String], Double)]()
+    new java.util.HashMap[String, (Seq[String], Double, Int)]()
   private val memoCap = 1 << 16
 
-  def segment(w: String): (Seq[String], Double) = {
+  /** (pieces, total cost, OOV piece count) for one word. */
+  def segment(w: String): (Seq[String], Double, Int) = {
     val hit = memo.get(w)
     if (hit != null) return hit
     val ps = UnigramTokenizer.viterbi(w, bc.value, maxPieceLen, oovCost = Some(oov))
-    val out = (ps, ps.iterator.map(p => bc.value.getOrElse(p, oov)).sum)
+    var c = 0.0
+    var noov = 0
+    ps.foreach { p =>
+      bc.value.get(p) match {
+        case Some(pc) => c += pc
+        case None => c += oov; noov += 1
+      }
+    }
+    val out = (ps, c, noov)
     if (memo.size < memoCap) memo.put(w, out)
     out
   }

@@ -1021,6 +1021,68 @@ object Scripts {
         |FROM ranked WHERE rk <= 3
         |ORDER BY doc_id, wpos, rank""".stripMargin),
 
+    // ---- tokenizer EVALUATION analytics: per-language fertility
+    //      (pieces per word — the standard multilingual-tokenizer equity
+    //      metric) and compression (chars per piece). Pure SQL over the
+    //      tokenize output; the oracle recomputes optimal per-word piece
+    //      counts via the recursive CTE and aggregates identically. ----
+    QuerySpec.sql("s36_script_tokenizer_fertility", (s, dir) => script(s,
+      s"""set utdata = '''{"doc_id":1,"lang":"en","text":"the cat sat on the mat"}
+         |{"doc_id":2,"lang":"en","text":"the cats sat on the mats"}
+         |{"doc_id":3,"lang":"de","text":"die katze sass auf der matte"}
+         |{"doc_id":4,"lang":"de","text":"die katzen sassen auf den matten"}''';
+         |load jsonStr.`utdata` as s36_docs;
+         |run s36_docs as UnigramTokenizer.`` where mode="train"
+         |  and vocabSize="28" and maxPieceLen="4" and iters="3" as s36_vocab;
+         |save overwrite s36_vocab as parquet.`/tmp/graft_s36_vocab`;
+         |run s36_docs as UnigramTokenizer.`` where mode="tokenize"
+         |  and vocabTable="s36_vocab" as s36_tok;
+         |select lang,
+         |  cast(sum(n_pieces) as bigint) as n_pieces,
+         |  cast(sum(size(filter(split(text, ' '), w -> w != ''))) as bigint) as n_words,
+         |  cast(sum(length(replace(text, ' ', ''))) as bigint) as n_chars,
+         |  round(sum(n_pieces) / sum(size(filter(split(text, ' '), w -> w != ''))), 6)
+         |    as fertility,
+         |  round(sum(length(replace(text, ' ', ''))) / sum(n_pieces), 6)
+         |    as compression
+         |from s36_tok group by lang order by lang as s36_out;""".stripMargin),
+      """WITH RECURSIVE v AS (
+        | SELECT piece, cost FROM read_parquet('/tmp/graft_s36_vocab/*.parquet')),
+        |docs AS (SELECT * FROM (VALUES
+        |  (1, 'en', 'the cat sat on the mat'), (2, 'en', 'the cats sat on the mats'),
+        |  (3, 'de', 'die katze sass auf der matte'),
+        |  (4, 'de', 'die katzen sassen auf den matten')) t(doc_id, lang, text)),
+        |s AS (SELECT doc_id, lang, text, STRING_SPLIT(text, ' ') AS arr FROM docs),
+        |px AS (SELECT doc_id, UNNEST(RANGE(1, LEN(arr) + 1)) AS p, arr FROM s),
+        |words AS (SELECT doc_id, p AS wpos, arr[p] AS w, LEN(arr[p]) AS n
+        |          FROM px WHERE arr[p] <> ''),
+        |reach AS (
+        | SELECT doc_id, wpos, w, n, 0 AS pos, CAST(0 AS DOUBLE) AS c, 0 AS np
+        | FROM words
+        | UNION ALL
+        | SELECT r.doc_id, r.wpos, r.w, r.n, r.pos + LEN(v.piece),
+        |        r.c + v.cost, r.np + 1
+        | FROM reach r JOIN v ON v.piece = SUBSTR(r.w, r.pos + 1, LEN(v.piece))
+        | WHERE r.pos < r.n),
+        |done AS (SELECT doc_id, wpos, c, np FROM reach WHERE pos = n),
+        |mc AS (SELECT doc_id, wpos, MIN(c) AS mc FROM done GROUP BY 1, 2),
+        |bw AS (SELECT d.doc_id, d.wpos, MIN(d.np) AS np
+        |       FROM done d JOIN mc ON d.doc_id = mc.doc_id
+        |        AND d.wpos = mc.wpos AND d.c = mc.mc
+        |       GROUP BY d.doc_id, d.wpos),
+        |per_doc AS (SELECT doc_id, CAST(SUM(np) AS BIGINT) AS n_pieces
+        |            FROM bw GROUP BY doc_id),
+        |m AS (SELECT s.lang, p.n_pieces,
+        |  LEN(LIST_FILTER(s.arr, x -> x <> '')) AS n_words,
+        |  LENGTH(REPLACE(s.text, ' ', '')) AS n_chars
+        | FROM s JOIN per_doc p ON s.doc_id = p.doc_id)
+        |SELECT lang, CAST(SUM(n_pieces) AS BIGINT) AS n_pieces,
+        | CAST(SUM(n_words) AS BIGINT) AS n_words,
+        | CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+        | ROUND(CAST(SUM(n_pieces) AS DOUBLE) / SUM(n_words), 6) AS fertility,
+        | ROUND(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_pieces), 6) AS compression
+        |FROM m GROUP BY lang ORDER BY lang""".stripMargin),
+
     // ---- SequencePack over UNIGRAM tokens (the s20 pattern with a
     //      TRAINED tokenizer's counts instead of whitespace counts):
     //      tokenize -> n_pieces feeds the pack as tokenCol. The oracle

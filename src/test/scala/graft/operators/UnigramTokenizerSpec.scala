@@ -230,11 +230,26 @@ class UnigramTokenizerSpec extends AnyFunSuite {
     val docs = Seq((1L, "abab"), (2L, "abXab"), (3L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
     val out = UnigramTokenizer.withEncoding(docs, "text", vocab)
-      .select("doc_id", "n_pieces").collect()
-      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
-    assert(out(1L) >= 1L)
-    assert(out(2L) >= 2L)  // the X segments as a single OOV piece
-    assert(out(3L) == -1L) // null text -> null outputs, row kept
+      .select("doc_id", "n_pieces", "n_oov").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) (-1L, -1L) else (r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L)._1 >= 1L && out(1L)._2 == 0L)
+    assert(out(2L)._1 >= 2L && out(2L)._2 == 1L) // the X is ONE OOV piece
+    assert(out(3L) == ((-1L, -1L))) // null text -> null outputs, row kept
+  }
+
+  test("nbestTable and the encode pass plan with no exchange (pure per-row work)") {
+    import spark.implicits._
+    val docs = Seq((1L, "abab aa")).toDF("doc_id", "text")
+    val vocab = UnigramTokenizer.train(docs, "text", vocabSize = 8,
+      maxPieceLen = 3, iters = 2)
+    for (frame <- Seq(
+        UnigramTokenizer.withEncoding(docs, "text", vocab),
+        UnigramTokenizer.withPieces(docs, "text", vocab),
+        UnigramTokenizer.nbestTable(docs, "doc_id", "text", vocab, 3))) {
+      val p = frame.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), p)
+    }
   }
 
   test("distributed trainer is bit-identical to the driver path (forced low cap)") {

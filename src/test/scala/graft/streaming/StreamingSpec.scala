@@ -829,6 +829,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(readBack() == out, "re-delivery must be idempotent")
   }
 
+  test("streaming tokenize-on-ingest: frozen unigram vocab applied per micro-batch") {
+    // the tokenizer-serve posture: vocab trained ONCE on the historical
+    // corpus (one batch job), then every ingest micro-batch encodes
+    // against the frozen broadcast vocab as a pure projection — no
+    // stream-side shuffle, OOV surfaces as n_oov instead of failing
+    ScriptRunner.runToDF(
+      s"""set tokdata = '''{"doc_id":1,"text":"the cat sat on the mat"}
+         |{"doc_id":2,"text":"the cats sat on the mats"}''';
+         |load jsonStr.`tokdata` as tok_hist;
+         |run tok_hist as UnigramTokenizer.`` where mode="train"
+         |  and vocabSize="24" and maxPieceLen="4" and iters="3" as tok_vocab;
+         |select * from tok_vocab as tok_vocab;""".stripMargin, spark)
+    val ctx = ScriptRunner.run(
+      s"""set streamName = "tokstream";
+         |set tokdata2 = '''{"doc_id":3,"text":"the cat sat"}
+         |{"doc_id":4,"text":"the Zcat sat"}''';
+         |load jsonStr.`tokdata2` as tok_new;
+         |load mockStream.`tok_new` as tok_feed;
+         |run tok_feed as UnigramTokenizer.`` where mode="tokenize"
+         |  and vocabTable="tok_vocab" as tok_enc;
+         |save append tok_enc as memory.`` where mode="append"
+         |  and checkpointLocation="${java.nio.file.Files.createTempDirectory("ck_tok")}";""".stripMargin,
+      spark)
+    val q = ctx.streams("tokstream")
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("tokstream")
+      .select("doc_id", "pieces", "piece_ids", "n_pieces")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[String](1), r.getSeq[Long](2), r.getLong(3)))).toMap
+    assert(rows(3L)._1.mkString("") == "thecatsat")
+    assert(rows(3L)._2.forall(_ >= 0L), "all in-vocab ids")
+    // the unseen Z segments as an OOV piece with id -1; the job survives
+    assert(rows(4L)._2.contains(-1L), rows(4L).toString)
+    assert(rows.values.forall(t => t._3 == t._1.length.toLong))
+  }
+
   test("streaming dedup-on-ingest: per-batch signature-store dedup, re-delivery yields zero") {
     // rolling ingestion never re-scans history: each micro-batch dedups
     // against the persistent MinHash signature store (within-batch exact +
