@@ -66,8 +66,16 @@ object UnigramTokenizerET extends NoPathET {
           throw new IllegalArgumentException(
             "UnigramTokenizer mode=nbest requires vocabTable=..."))),
         params.getOrElse("n", "5").toInt)
+      case "sample" => UnigramTokenizer.sampledTable(df,
+        params.getOrElse("idCol", "doc_id"), textCol,
+        ctx.spark.table(params.getOrElse("vocabTable",
+          throw new IllegalArgumentException(
+            "UnigramTokenizer mode=sample requires vocabTable=..."))),
+        params.getOrElse("n", "5").toInt,
+        params.getOrElse("alpha", "0.5").toDouble,
+        params.getOrElse("seed", "42").toLong)
       case other => throw new IllegalArgumentException(
-        s"UnigramTokenizer mode must be train|encode|tokenize|nbest, got '$other'")
+        s"UnigramTokenizer mode must be train|encode|tokenize|nbest|sample, got '$other'")
     }
   }
 }

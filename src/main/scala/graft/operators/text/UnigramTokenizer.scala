@@ -391,6 +391,86 @@ object UnigramTokenizer {
         round(col("__s__._1"), 6).as("cost"))
   }
 
+  /** Seeded subword-regularization sampling (Kudo 2018 §4): ONE sampled
+    * segmentation per word occurrence, drawn from the [[viterbiNBest]]
+    * list with probability ∝ exp(−alpha·cost) — `alpha = 0` is uniform
+    * over the n-best, large alpha concentrates on the Viterbi path.
+    * Output (idCol, wpos, word, rank, pieces, n_pieces, cost): `rank` is
+    * the chosen candidate's position in the n-best order.
+    *
+    * Determinism contract (what the s37 oracle replays): the draw is the
+    * repo's portable uniform — `u = first 8 md5 hex chars of
+    * "<id>:<wpos>:<seed>" / 2^32` (ShardExport's formula, per OCCURRENCE
+    * so repeated words sample independently) — and the inverse-CDF walk
+    * uses weights `round(exp(−alpha·cost), 9)` cumulated in rank order,
+    * choosing the first rank whose running sum exceeds `u · total`.
+    * Every step is the same double arithmetic in the same order in any
+    * engine, so DuckDB replays the selection exactly (the exp/libm
+    * bitwise-agreement assumption documented in DomainReweight, held
+    * empirically across rounds). Per-row broadcast-vocab work with the
+    * n-best memo — no shuffle, scan speed.
+    */
+  def sampledTable(df: DataFrame, idCol: String, textCol: String,
+                   vocab: DataFrame, k: Int, alpha: Double,
+                   seed: Long): DataFrame = {
+    require(alpha >= 0, s"alpha must be >= 0, got $alpha")
+    val spark = df.sparkSession
+    val costs: Map[String, Double] = vocab.select("piece", "cost")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    require(costs.nonEmpty, "sampledTable: empty vocabulary")
+    val maxPieceLen = costs.keysIterator.map(_.length).max
+    val oov = costs.valuesIterator.max + 1.0
+    val bc = spark.sparkContext.broadcast(costs)
+    // u comes in as a COLUMN from the canonical codegen'd draw (one
+    // construction, one place — CorpusShuffle.draw); only the n-best walk
+    // runs in the UDF
+    val pick = udf(new ((Double, String) => (Int, Seq[String], Double))
+        with Serializable {
+      @transient private lazy val memo =
+        new java.util.HashMap[String, Seq[(Double, Seq[String])]]()
+      private def nbest(w: String): Seq[(Double, Seq[String])] = {
+        val hit = memo.get(w)
+        if (hit != null) return hit
+        val out = viterbiNBest(w, bc.value, maxPieceLen, k, oovCost = Some(oov))
+        if (memo.size < (1 << 16)) memo.put(w, out)
+        out
+      }
+      def apply(u: Double, w: String): (Int, Seq[String], Double) = {
+        val cands = nbest(w)
+        // inverse-CDF walk in rank order over rounded softmax weights
+        val ws = cands.map { case (c, _) => math.rint(math.exp(-alpha * c) * 1e9) / 1e9 }
+        val total = ws.sum
+        // all weights rounded to zero (alpha·minCost > ~21): degenerate
+        // distribution — take the Viterbi path, as the oracle's COALESCE does
+        if (total == 0.0) {
+          val (c, ps) = cands.head
+          return (1, ps, c)
+        }
+        val t = u * total
+        var cum = 0.0
+        var i = 0
+        while (i < ws.length - 1 && { cum += ws(i); cum <= t }) i += 1
+        val (c, ps) = cands(i)
+        (i + 1, ps, c)
+      }
+    })
+    val u = graft.operators.sampling.CorpusShuffle.draw(
+      concat_ws(":", col(idCol).cast("string"), col("wpos").cast("string")),
+      seed, plusHalf = false)
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        posexplode(filter(split(col(textCol), " "), w => w =!= ""))
+          .as(Seq("__wp__", "word")))
+      .select(col(idCol), (col("__wp__") + 1).as("wpos"), col("word"))
+      .select(col(idCol), col("wpos"), col("word"),
+        pick(u, col("word")).as("__s__"))
+      .select(col(idCol), col("wpos"), col("word"),
+        col("__s__._1").as("rank"),
+        col("__s__._2").as("pieces"),
+        size(col("__s__._2")).cast("long").as("n_pieces"),
+        round(col("__s__._3"), 6).as("cost"))
+  }
+
   /** Deterministic piece→id mapping over a trained vocabulary: ids are
     * assigned 0-based by (count desc, piece asc) — exactly [[train]]'s
     * output row order — so an oracle recomputes them as a rank over the

@@ -1021,6 +1021,69 @@ object Scripts {
         |FROM ranked WHERE rk <= 3
         |ORDER BY doc_id, wpos, rank""".stripMargin),
 
+    // ---- seeded SUBWORD-REGULARIZATION sampling (Kudo 2018 §4): one
+    //      segmentation per word occurrence drawn ∝ exp(-alpha·cost)
+    //      from the n-best list via the repo's portable md5 uniform
+    //      (per occurrence, so repeated words draw independently). The
+    //      oracle replays the ENTIRE draw: same ranked CTE, same rounded
+    //      softmax weights cumulated in rank order, same md5 u — the
+    //      chosen rank is deterministic cross-engine. ----
+    QuerySpec.sql("s37_script_unigram_sample", (s, dir) => script(s,
+      s"""set utdata = '''{"doc_id":1,"text":"the cat sat on the mat"}
+         |{"doc_id":2,"text":"the cats sat on the mats"}
+         |{"doc_id":3,"text":"a cat and a rat"}
+         |{"doc_id":4,"text":"the rats and the cats"}''';
+         |load jsonStr.`utdata` as s37_docs;
+         |run s37_docs as UnigramTokenizer.`` where mode="train"
+         |  and vocabSize="24" and maxPieceLen="4" and iters="3" as s37_vocab;
+         |save overwrite s37_vocab as parquet.`/tmp/graft_s37_vocab`;
+         |run s37_docs as UnigramTokenizer.`` where mode="sample" and n="3"
+         |  and alpha="0.5" and seed="7" and vocabTable="s37_vocab" as s37_samp;
+         |select doc_id, wpos, word, rank,
+         |  array_join(pieces, ' ') as seg, n_pieces, cost
+         |from s37_samp order by doc_id, wpos as s37_out;""".stripMargin),
+      """WITH RECURSIVE v AS (
+        | SELECT piece, cost FROM read_parquet('/tmp/graft_s37_vocab/*.parquet')),
+        |docs AS (SELECT * FROM (VALUES
+        |  (1, 'the cat sat on the mat'), (2, 'the cats sat on the mats'),
+        |  (3, 'a cat and a rat'), (4, 'the rats and the cats')) t(doc_id, text)),
+        |s AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS arr FROM docs),
+        |px AS (SELECT doc_id, UNNEST(RANGE(1, LEN(arr) + 1)) AS p, arr FROM s),
+        |words AS (SELECT doc_id, p AS wpos, arr[p] AS w, LEN(arr[p]) AS n
+        |          FROM px WHERE arr[p] <> ''),
+        |reach AS (
+        | SELECT doc_id, wpos, w, n, 0 AS pos, CAST(0 AS DOUBLE) AS c, 0 AS np,
+        |        CAST([] AS VARCHAR[]) AS path
+        | FROM words
+        | UNION ALL
+        | SELECT r.doc_id, r.wpos, r.w, r.n, r.pos + LEN(v.piece),
+        |        r.c + v.cost, r.np + 1, LIST_APPEND(r.path, v.piece)
+        | FROM reach r JOIN v ON v.piece = SUBSTR(r.w, r.pos + 1, LEN(v.piece))
+        | WHERE r.pos < r.n),
+        |done AS (SELECT doc_id, wpos, w, c, np, path FROM reach WHERE pos = n),
+        |ranked AS (SELECT doc_id, wpos, w, c, np, path,
+        |   ROW_NUMBER() OVER (PARTITION BY doc_id, wpos
+        |     ORDER BY c, np, LIST_REVERSE(path)) AS rk
+        | FROM done),
+        |nb AS (SELECT *, ROUND(EXP(-0.5 * c), 9) AS wt FROM ranked WHERE rk <= 3),
+        |cw AS (SELECT *,
+        |   SUM(wt) OVER (PARTITION BY doc_id, wpos ORDER BY rk
+        |     ROWS UNBOUNDED PRECEDING) AS cum,
+        |   SUM(wt) OVER (PARTITION BY doc_id, wpos) AS tot,
+        |   CAST(CAST(CONCAT('0x', SUBSTR(MD5(
+        |     CONCAT(CAST(doc_id AS VARCHAR), ':', CAST(wpos AS VARCHAR), ':', '7')),
+        |     1, 8)) AS UBIGINT) AS DOUBLE) / 4294967296.0 AS u
+        | FROM nb),
+        |pick AS (SELECT doc_id, wpos,
+        |   COALESCE(MIN(CASE WHEN cum > u * tot THEN rk END), 1) AS rk
+        | FROM cw GROUP BY doc_id, wpos)
+        |SELECT c2.doc_id, CAST(c2.wpos AS BIGINT) AS wpos, c2.w AS word,
+        | CAST(c2.rk AS INT) AS rank, ARRAY_TO_STRING(c2.path, ' ') AS seg,
+        | CAST(c2.np AS BIGINT) AS n_pieces, ROUND(c2.c, 6) AS cost
+        |FROM cw c2 JOIN pick ON c2.doc_id = pick.doc_id
+        | AND c2.wpos = pick.wpos AND c2.rk = pick.rk
+        |ORDER BY c2.doc_id, c2.wpos""".stripMargin),
+
     // ---- tokenizer EVALUATION analytics: per-language fertility
     //      (pieces per word — the standard multilingual-tokenizer equity
     //      metric) and compression (chars per piece). Pure SQL over the

@@ -185,7 +185,7 @@ class SurveyCoverageSpec extends AnyFunSuite {
       "s30_script_doremi_mix", "s31_script_web_curate",
       "s32_script_unigram_tokenizer", "s33_script_unigram_pieces",
       "s34_script_unigram_seqpack", "s35_script_unigram_nbest",
-      "s36_script_tokenizer_fertility"))
+      "s36_script_tokenizer_fertility", "s37_script_unigram_sample"))
     // rows-only entries: a seeded k-means|| fit and a 4096-round BPE train
     // are not SQL-replayable in DuckDB (their algorithms are oracle-pinned
     // elsewhere: p46/s25/s28 assignment+quota math, p6/p28/p31 encode

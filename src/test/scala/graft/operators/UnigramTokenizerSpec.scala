@@ -138,6 +138,34 @@ class UnigramTokenizerSpec extends AnyFunSuite {
     }
   }
 
+  test("sampledTable draws deterministically from the n-best by seeded inverse-CDF") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaaa aaaa aaaa aaaa"), (2L, "aaaa aaaa aaaa aaaa"))
+      .toDF("doc_id", "text")
+    val vocab = UnigramTokenizer.train(docs, "text", vocabSize = 8,
+      maxPieceLen = 3, iters = 3)
+    def run(alpha: Double, seed: Long) =
+      UnigramTokenizer.sampledTable(docs, "doc_id", "text", vocab, 3, alpha, seed)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(3),
+          r.getSeq[String](4))).sortBy(t => (t._1, t._2)).toSeq
+    // deterministic: same seed twice -> identical; rows reassemble the word
+    val a = run(0.0, 7L)
+    assert(a == run(0.0, 7L))
+    assert(a.forall(_._4.mkString("") == "aaaa"))
+    // alpha=0 is uniform over the n-best: with 8 occurrences and 3 ranks,
+    // some draw must leave rank 1 (P[all rank1] = (1/3)^8)
+    assert(a.map(_._3).distinct.length > 1, a.mkString(";"))
+    // sampled rank always carries that rank's n-best segmentation
+    val costs = vocab.collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val nb = UnigramTokenizer.viterbiNBest("aaaa", costs, 3, 3,
+      oovCost = Some(costs.values.max + 1.0))
+    assert(a.forall(t => t._4 == nb(t._3 - 1)._2))
+    // huge alpha concentrates on the Viterbi path (rank 1 everywhere)
+    assert(run(50.0, 7L).forall(_._3 == 1))
+    // different seeds give a different draw pattern somewhere
+    assert((1 to 20).exists(s => run(0.0, s.toLong) != a))
+  }
+
   test("withPieces emits the viterbi path, rank ids, and the withEncoding metrics") {
     import spark.implicits._
     val docs = Seq((1L, "abab ba aa"), (2L, "aa bb ab"), (3L, null.asInstanceOf[String]))
