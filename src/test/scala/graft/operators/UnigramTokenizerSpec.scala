@@ -301,6 +301,17 @@ class UnigramTokenizerSpec extends AnyFunSuite {
     }
   }
 
+  test("distributed trainer matches the driver path on the real sf corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def collectVocab(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val dist = collectVocab(UnigramTokenizer.train(docs, "text", vocabSize = 64,
+      maxPieceLen = 4, iters = 2, seedCap = 2000, driverDictCap = 0))
+    val drv = collectVocab(UnigramTokenizer.train(docs, "text", vocabSize = 64,
+      maxPieceLen = 4, iters = 2, seedCap = 2000))
+    assert(dist == drv)
+  }
+
   test("iters=0 still prunes the seed vocabulary to vocabSize") {
     import spark.implicits._
     val docs = Seq((1L, "the cat sat on the mat and the rat sat too"))
