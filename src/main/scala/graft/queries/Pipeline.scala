@@ -1730,7 +1730,45 @@ object Pipeline {
         | CAST(n_types AS BIGINT) AS n_types, ROUND(hh, 4) AS entropy,
         | ROUND(CASE WHEN n_types > 1 THEN hh / LN(CAST(n_types AS DOUBLE))
         |       ELSE 0.0 END, 4) AS norm_entropy
-        |FROM h ORDER BY doc_id""".stripMargin)
+        |FROM h ORDER BY doc_id""".stripMargin),
+
+    // ---- z-normalized subsequence similarity search over the events
+    //      series (the UCR-suite/matrix-profile query shape): top-10
+    //      windows most similar to a rising 8-step ramp across all user
+    //      series. Spark side = overlap-replicated chunking (every
+    //      length-m window lies in exactly one bounded (key, segment)
+    //      group) + TakeOrdered global top-k; the oracle replays the
+    //      identical fresh left-to-right window stats, flat-window
+    //      zero-vector rule, and 6dp-rounded ranking with DuckDB list
+    //      comprehensions. ----
+    QuerySpec.sql("p60_subseq_search", (s, dir) => {
+      graft.operators.temporal.SubsequenceSearch.topK(
+        t(s, dir, "events"), "user_id", "ts", "value",
+        (1 to 8).map(_.toDouble), k = 10, tieCol = Some("event_id"))
+    },
+      """WITH q AS (SELECT [CAST(x AS DOUBLE) FOR x IN [1,2,3,4,5,6,7,8]] AS qraw),
+        |qs AS (SELECT qraw, LIST_SUM(qraw) / 8 AS qmu,
+        |        LIST_SUM([x*x FOR x IN qraw]) / 8 AS qm2 FROM q),
+        |qn AS (SELECT [(x - qmu) / SQRT(qm2 - qmu*qmu) FOR x IN qraw] AS qn FROM qs),
+        |e AS (SELECT user_id, value AS v,
+        |   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS idx
+        | FROM events),
+        |a AS (SELECT user_id, LIST(v ORDER BY idx) AS arr FROM e GROUP BY user_id),
+        |w AS (SELECT user_id, UNNEST(RANGE(0, LEN(arr) - 8 + 1)) AS s,
+        |       arr FROM a WHERE LEN(arr) >= 8),
+        |st AS (SELECT user_id, s, arr[s+1:s+8] AS win FROM w),
+        |m1 AS (SELECT user_id, s, win, LIST_SUM(win) / 8 AS mu,
+        |        LIST_SUM([x*x FOR x IN win]) / 8 AS m2 FROM st),
+        |zs AS (SELECT user_id, s, CASE WHEN m2 - mu*mu <= 0
+        |         THEN [CAST(0 AS DOUBLE) FOR x IN win]
+        |         ELSE [(x - mu) / SQRT(m2 - mu*mu) FOR x IN win] END AS z
+        |       FROM m1),
+        |d AS (SELECT user_id, s,
+        |  ROUND(LIST_SUM([ (zs.z[i+1] - qn.qn[i+1]) * (zs.z[i+1] - qn.qn[i+1])
+        |                   FOR i IN RANGE(0, 8)]), 6) AS dist
+        | FROM zs CROSS JOIN qn)
+        |SELECT user_id, CAST(s AS BIGINT) AS start_idx, dist
+        |FROM d ORDER BY dist, user_id, start_idx LIMIT 10""".stripMargin)
   )
 
   /** Fixed 4-doc corpus for the BPE entries' pinned oracles (expected
