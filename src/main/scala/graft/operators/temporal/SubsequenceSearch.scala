@@ -59,11 +59,71 @@ object SubsequenceSearch {
     val m = query.length
     require(m >= 2, s"query must have at least 2 points, got $m")
     require(k > 0, s"k must be positive, got $k")
-    require(chunk >= m, s"chunk ($chunk) must be >= query length ($m)")
     val qn = znorm(query.toArray)
       .getOrElse(throw new IllegalArgumentException(
         "query is constant — z-normalized similarity is undefined for a flat query"))
 
+    val slide = udf(new ((Long, Seq[Row]) => Seq[(Long, Double)]) with Serializable {
+      def apply(seg: Long, pts: Seq[Row]): Seq[(Long, Double)] = {
+        val sorted = pts.map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toArray
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+        foreachWindowStart(sorted, seg, chunk, m) { (s, off) =>
+          out += ((s, windowDist(sorted, off, m, qn)))
+        }
+        out.toSeq
+      }
+    })
+    groupedPoints(df, keyCol, tsCol, valCol, tieCol, chunk, m)
+      .select(col(keyCol),
+        explode(slide(col("__seg__"), col("__pts__"))).as("__w__"))
+      .select(col(keyCol), col("__w__._1").as("start_idx"),
+        round(col("__w__._2"), 6).as("dist"))
+      .orderBy(col("dist"), col(keyCol), col("start_idx"))
+      .limit(k)
+  }
+
+  /** Every length-`m` window as a row: (keyCol, start_idx,
+    * window array<double> — Z-NORMALIZED, fresh left-to-right stats).
+    * Flat windows (σ² ≤ 0) are dropped — they have no direction. This is
+    * the bridge from time series into the [[graft.operators.similarity]]
+    * stack: cosine of z-normalized windows IS the Pearson correlation of
+    * the raw windows, so window rows feed `CosineSimilarity`/`AnnTopK`/
+    * LSH/IVF unchanged — motif discovery at 100 TB is "windows() → the
+    * existing blocked similarity self-join", with the usual
+    * matrix-profile exclusion zone (same key, |Δstart| < m) applied on
+    * the pair output. Same overlap-replicated chunking and bounds as
+    * [[topK]].
+    */
+  def windows(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+              m: Int, tieCol: Option[String] = None,
+              chunk: Int = 4096): DataFrame = {
+    require(m >= 2, s"window length must be at least 2, got $m")
+    val emit = udf(new ((Long, Seq[Row]) => Seq[(Long, Seq[Double])]) with Serializable {
+      def apply(seg: Long, pts: Seq[Row]): Seq[(Long, Seq[Double])] = {
+        val sorted = pts.map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toArray
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Double])]
+        foreachWindowStart(sorted, seg, chunk, m) { (s, off) =>
+          znorm(Array.tabulate(m)(i => sorted(off + i)._2))
+            .foreach(z => out += ((s, z.toSeq)))
+        }
+        out.toSeq
+      }
+    })
+    groupedPoints(df, keyCol, tsCol, valCol, tieCol, chunk, m)
+      .select(col(keyCol),
+        explode(emit(col("__seg__"), col("__pts__"))).as("__w__"))
+      .select(col(keyCol), col("__w__._1").as("start_idx"),
+        col("__w__._2").as("window"))
+  }
+
+  /** Steps 1–3 of the scale design: per-key dense positions, overlap
+    * replication, bounded (key, segment) groups — (keyCol, __seg__,
+    * __pts__ array<struct<idx,v>>).
+    */
+  private def groupedPoints(df: DataFrame, keyCol: String, tsCol: String,
+                            valCol: String, tieCol: Option[String],
+                            chunk: Int, m: Int): DataFrame = {
+    require(chunk >= m, s"chunk ($chunk) must be >= window length ($m)")
     val ord = col(tsCol) +: tieCol.map(col).toSeq
     val w = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
     val indexed = df
@@ -74,37 +134,27 @@ object SubsequenceSearch {
     // segment of a point, plus a copy to the previous segment for the
     // first m-1 in-segment positions (window overlap)
     val segOf = floor(col("__idx__") / chunk).cast("long")
-    val segs = indexed.withColumn("__seg__", explode(
-      when(pmod(col("__idx__"), lit(chunk.toLong)) <= (m - 2) && segOf > 0,
-        array(segOf, segOf - 1))
-        .otherwise(array(segOf))))
-
-    val slide = udf(new ((Long, Seq[Row]) => Seq[(Long, Double)]) with Serializable {
-      def apply(seg: Long, pts: Seq[Row]): Seq[(Long, Double)] = {
-        val sorted = pts.map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toArray
-        val base = sorted.head._1 // == seg * chunk except at series start
-        val lo = seg * chunk
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
-        // windows STARTING inside this segment and fully inside the group
-        var s = math.max(lo, base)
-        val maxStart = math.min((seg + 1) * chunk - 1, base + sorted.length - m)
-        while (s <= maxStart) {
-          val off = (s - base).toInt
-          out += ((s, windowDist(sorted, off, m, qn)))
-          s += 1
-        }
-        out.toSeq
-      }
-    })
-    segs
+    indexed.withColumn("__seg__", explode(
+        when(pmod(col("__idx__"), lit(chunk.toLong)) <= (m - 2) && segOf > 0,
+          array(segOf, segOf - 1))
+          .otherwise(array(segOf))))
       .groupBy(col(keyCol), col("__seg__"))
       .agg(collect_list(struct(col("__idx__"), col("__v__"))).as("__pts__"))
-      .select(col(keyCol),
-        explode(slide(col("__seg__"), col("__pts__"))).as("__w__"))
-      .select(col(keyCol), col("__w__._1").as("start_idx"),
-        round(col("__w__._2"), 6).as("dist"))
-      .orderBy(col("dist"), col(keyCol), col("start_idx"))
-      .limit(k)
+  }
+
+  /** Iterate the window starts owned by this (segment, group): starting
+    * inside the segment and fully contained in the group's contiguous
+    * index range.
+    */
+  private def foreachWindowStart(sorted: Array[(Long, Double)], seg: Long,
+                                 chunk: Int, m: Int)(f: (Long, Int) => Unit): Unit = {
+    val base = sorted.head._1 // == seg * chunk (idx is dense from 0)
+    var s = math.max(seg * chunk, base)
+    val maxStart = math.min((seg + 1) * chunk - 1, base + sorted.length - m)
+    while (s <= maxStart) {
+      f(s, (s - base).toInt)
+      s += 1
+    }
   }
 
   /** Fresh left-to-right z-normalization; None for a flat series. */

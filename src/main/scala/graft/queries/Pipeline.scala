@@ -1768,7 +1768,55 @@ object Pipeline {
         |                   FOR i IN RANGE(0, 8)]), 6) AS dist
         | FROM zs CROSS JOIN qn)
         |SELECT user_id, CAST(s AS BIGINT) AS start_idx, dist
-        |FROM d ORDER BY dist, user_id, start_idx LIMIT 10""".stripMargin)
+        |FROM d ORDER BY dist, user_id, start_idx LIMIT 10""".stripMargin),
+
+    // ---- MOTIF discovery (matrix-profile pair search): top-5 most
+    //      correlated window pairs with the standard exclusion zone
+    //      (same key, |Δstart| < m). windows() emits z-normalized
+    //      vectors, so cosine IS Pearson correlation and the pair search
+    //      is the existing similarity stack; this entry takes the exact
+    //      brute pair path on a restricted key set (the p7 convention —
+    //      at corpus scale the same windows feed the LSH/IVF-blocked
+    //      self-joins instead). ----
+    QuerySpec.sql("p61_motif_pairs", (s, dir) => {
+      import s.implicits._
+      val w = graft.operators.temporal.SubsequenceSearch.windows(
+        t(s, dir, "events").filter($"user_id" < 5), "user_id", "ts", "value",
+        m = 8, tieCol = Some("event_id"))
+      val a = w.select($"user_id".as("a_key"), $"start_idx".as("a_start"),
+        $"window".as("av"))
+      val b = w.select($"user_id".as("b_key"), $"start_idx".as("b_start"),
+        $"window".as("bv"))
+      a.join(b, $"a_key" < $"b_key" ||
+          ($"a_key" === $"b_key" && $"b_start" - $"a_start" >= 8))
+        .withColumn("corr", round(expr("arr_cosine(av, bv)"), 6))
+        .orderBy($"corr".desc, $"a_key", $"a_start", $"b_key", $"b_start")
+        .limit(5)
+        .select($"a_key", $"a_start", $"b_key", $"b_start", $"corr")
+    },
+      """WITH e AS (SELECT user_id, value AS v,
+        |   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS idx
+        | FROM events WHERE user_id < 5),
+        |a AS (SELECT user_id, LIST(v ORDER BY idx) AS arr FROM e GROUP BY user_id),
+        |w AS (SELECT user_id, UNNEST(RANGE(0, LEN(arr) - 8 + 1)) AS s,
+        |       arr FROM a WHERE LEN(arr) >= 8),
+        |st AS (SELECT user_id, s, arr[s+1:s+8] AS win FROM w),
+        |m1 AS (SELECT user_id, s, win, LIST_SUM(win) / 8 AS mu,
+        |        LIST_SUM([x*x FOR x IN win]) / 8 AS m2 FROM st),
+        |z AS (SELECT user_id AS key, s,
+        |        [(x - mu) / SQRT(m2 - mu*mu) FOR x IN win] AS z
+        |      FROM m1 WHERE m2 - mu*mu > 0),
+        |p AS (SELECT a.key AS a_key, a.s AS a_start,
+        |        b.key AS b_key, b.s AS b_start,
+        |  ROUND(LIST_INNER_PRODUCT(a.z, b.z) /
+        |    (SQRT(LIST_INNER_PRODUCT(a.z, a.z)) *
+        |     SQRT(LIST_INNER_PRODUCT(b.z, b.z))), 6) AS corr
+        | FROM z a JOIN z b ON a.key < b.key
+        |   OR (a.key = b.key AND b.s - a.s >= 8))
+        |SELECT a_key, CAST(a_start AS BIGINT) AS a_start,
+        | b_key, CAST(b_start AS BIGINT) AS b_start, corr
+        |FROM p ORDER BY corr DESC, a_key, a_start, b_key, b_start
+        |LIMIT 5""".stripMargin)
   )
 
   /** Fixed 4-doc corpus for the BPE entries' pinned oracles (expected

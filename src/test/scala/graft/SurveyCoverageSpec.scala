@@ -176,7 +176,7 @@ class SurveyCoverageSpec extends AnyFunSuite {
       "p49_dsir_gumbel", "p50_gopher_multilang", "p52_gopher_repetition",
       "p53_ccnet_buckets", "p54_temperature_mix", "p55_boilerplate_lines",
       "p56_domain_reweight", "p57_c4_rules", "p58_line_dedup_within_doc", "p59_word_entropy",
-      "p60_subseq_search",
+      "p60_subseq_search", "p61_motif_pairs",
       "s11_script_dedup", "s18_script_neardup_pipeline",
       "s19_script_clean_corpus", "s23_script_chunk_pipeline",
       "s24_script_substring_dedup", "s25_script_cluster_assign",

@@ -71,6 +71,26 @@ class SubsequenceSearchSpec extends AnyFunSuite {
     assert(err.getMessage.contains("constant"))
   }
 
+  test("windows() emits z-normalized slices, drops flat ones, chunk-invariant") {
+    val m = 4
+    def wantFor(rows: Seq[(Long, Seq[Double])]): Seq[(Long, Long, Seq[Double])] =
+      (for {
+        (key, vs) <- rows
+        s <- 0 to vs.length - m
+        z <- SubsequenceSearch.znorm(vs.slice(s, s + m).toArray)
+      } yield (key, s.toLong, z.toSeq)).sortBy(t => (t._1, t._2))
+    val want = wantFor(rowsFixture)
+    // key 2 starts 5,5,5,5 -> its s=0 window is flat and must be absent
+    assert(!want.exists(t => t._1 == 2L && t._2 == 0L))
+    for (chunk <- Seq(4, 6, 4096)) {
+      val got = SubsequenceSearch
+        .windows(fixture, "key", "ts", "v", m, tieCol = Some("eid"), chunk = chunk)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      assert(got == want, s"chunk=$chunk")
+    }
+  }
+
   test("plan: global top-k is TakeOrdered, never a full sort-limit") {
     val out = SubsequenceSearch
       .topK(fixture, "key", "ts", "v", Seq[Double](1, 2, 3, 4), 5, tieCol = Some("eid"))
