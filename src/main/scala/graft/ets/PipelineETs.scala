@@ -21,7 +21,40 @@ object PipelineETs {
     CorpusStatsET, TokenBudgetET, SubstringDedupInPlaceET, ImportanceSelectET,
     ClusterSampleET, ShardExportET, GopherRulesET, PerplexityBucketsET,
     TemperatureMixET, BoilerplateCleanET, DomainReweightET, C4RulesET,
-    UnigramTokenizerET)
+    UnigramTokenizerET, SubseqSearchET)
+}
+
+/** `run events as SubseqSearch.`` where query="1,2,3,4" and k="10" [and
+  * keyCol="user_id" and tsCol="ts" and valCol="value" and tieCol="event_id"
+  * and chunk="4096"]` — z-normalized subsequence similarity search (see
+  * [[graft.operators.temporal.SubsequenceSearch]]: overlap-replicated
+  * chunking, bounded groups, TakeOrdered global top-k). `mode="windows"
+  * and m="8"` emits every window as a z-normalized vector row instead —
+  * the bridge into the similarity stack (motif discovery).
+  */
+object SubseqSearchET extends NoPathET {
+  override def name = "SubseqSearch"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    import graft.operators.temporal.SubsequenceSearch
+    val keyCol = params.getOrElse("keyCol", "user_id")
+    val tsCol = params.getOrElse("tsCol", "ts")
+    val valCol = params.getOrElse("valCol", "value")
+    val tieCol = params.get("tieCol")
+    val chunk = params.getOrElse("chunk", "4096").toInt
+    params.getOrElse("mode", "topk") match {
+      case "topk" => SubsequenceSearch.topK(df, keyCol, tsCol, valCol,
+        params.getOrElse("query", throw new IllegalArgumentException(
+          "SubseqSearch mode=topk requires query=\"v1,v2,...\""))
+          .split(",").map(_.trim).filter(_.nonEmpty).map(_.toDouble).toSeq,
+        params.getOrElse("k", "10").toInt, tieCol, chunk)
+      case "windows" => SubsequenceSearch.windows(df, keyCol, tsCol, valCol,
+        params.getOrElse("m", throw new IllegalArgumentException(
+          "SubseqSearch mode=windows requires m=...")).toInt, tieCol, chunk)
+      case other => throw new IllegalArgumentException(
+        s"SubseqSearch mode must be topk|windows, got '$other'")
+    }
+  }
 }
 
 /** `run docs as UnigramTokenizer.`` where mode="train" and vocabSize="64"

@@ -133,7 +133,7 @@ class SurveyCoverageSpec extends AnyFunSuite {
       "CorpusSplit", "DocChunk", "GroupCap", "CorpusShuffle", "CorpusStats",
       "TokenBudget", "ImportanceSelect", "ClusterSample", "ShardExport",
       "GopherRules", "PerplexityBuckets", "TemperatureMix", "BoilerplateClean",
-      "DomainReweight", "C4Rules", "UnigramTokenizer")
+      "DomainReweight", "C4Rules", "UnigramTokenizer", "SubseqSearch")
     val missing = names.filter(n =>
       scala.util.Try(ETRegistry.lookup(n)).isFailure)
     assert(missing.isEmpty, s"ET registry missing: ${missing.mkString(", ")}")

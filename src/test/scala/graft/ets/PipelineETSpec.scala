@@ -970,4 +970,31 @@ class PipelineETSpec extends AnyFunSuite {
     val share = out.count().toDouble / 10000
     assert(math.abs(share - 0.5) < 0.03, s"share $share far from 0.5")
   }
+
+  test("SubseqSearch DSL surface: topk finds the planted ramp; windows emits vectors") {
+    val out = graft.dsl.ScriptRunner.runToDF(
+      """set ss = '''{"user_id":1,"ts":1,"event_id":1,"value":5.0}
+        |{"user_id":1,"ts":2,"event_id":2,"value":1.0}
+        |{"user_id":1,"ts":3,"event_id":3,"value":2.0}
+        |{"user_id":1,"ts":4,"event_id":4,"value":3.0}
+        |{"user_id":1,"ts":5,"event_id":5,"value":4.0}
+        |{"user_id":1,"ts":6,"event_id":6,"value":0.0}''';
+        |load jsonStr.`ss` as ss_events;
+        |run ss_events as SubseqSearch.`` where query="1,2,3,4" and k="2"
+        |  and tieCol="event_id" as ss_top;
+        |select * from ss_top as out;""".stripMargin, spark)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the planted exact ramp at start 1 wins with distance 0
+    assert(out.head == ((1L, 1L, 0.0)), out.mkString(";"))
+    val win = graft.dsl.ScriptRunner.runToDF(
+      """set sw = '''{"user_id":1,"ts":1,"event_id":1,"value":1.0}
+        |{"user_id":1,"ts":2,"event_id":2,"value":2.0}
+        |{"user_id":1,"ts":3,"event_id":3,"value":3.0}''';
+        |load jsonStr.`sw` as sw_events;
+        |run sw_events as SubseqSearch.`` where mode="windows" and m="2"
+        |  and tieCol="event_id" as sw_w;
+        |select * from sw_w as out;""".stripMargin, spark)
+      .collect()
+    assert(win.length == 2 && win.forall(_.getSeq[Double](2).length == 2))
+  }
 }
