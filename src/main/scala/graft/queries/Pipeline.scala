@@ -1816,7 +1816,46 @@ object Pipeline {
         |SELECT a_key, CAST(a_start AS BIGINT) AS a_start,
         | b_key, CAST(b_start AS BIGINT) AS b_start, corr
         |FROM p ORDER BY corr DESC, a_key, a_start, b_key, b_start
-        |LIMIT 5""".stripMargin)
+        |LIMIT 5""".stripMargin),
+
+    // ---- ordered funnel analysis (the windowFunnel/sequenceMatch OLAP
+    //      query): signup -> view -> click -> purchase, each step the
+    //      earliest event STRICTLY after the previous step's time and
+    //      within a 7-day window of step 1. One combinable min-agg per
+    //      step on the user key, no per-user event history; the oracle
+    //      replays the identical step-chained min logic. ----
+    QuerySpec.sql("p62_funnel", (s, dir) => {
+      import s.implicits._
+      graft.operators.temporal.Funnel.analyze(
+          t(s, dir, "events"), "user_id", "ts", "event_type",
+          Seq("signup", "view", "click", "purchase"),
+          maxSpanSeconds = 7L * 86400)
+        .select($"user_id", $"t1", $"t2", $"t3", $"t4", $"depth")
+        .orderBy($"user_id")
+    },
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT s1.user_id, s1.t1, MIN(e.ts) AS t2
+        | FROM s1 LEFT JOIN events e ON e.user_id = s1.user_id
+        |  AND e.event_type = 'view' AND e.ts > s1.t1
+        |  AND e.ts <= s1.t1 + INTERVAL 604800 SECOND
+        | GROUP BY s1.user_id, s1.t1),
+        |s3 AS (SELECT s2.user_id, s2.t1, s2.t2, MIN(e.ts) AS t3
+        | FROM s2 LEFT JOIN events e ON e.user_id = s2.user_id
+        |  AND e.event_type = 'click' AND e.ts > s2.t2
+        |  AND e.ts <= s2.t1 + INTERVAL 604800 SECOND
+        | GROUP BY s2.user_id, s2.t1, s2.t2),
+        |s4 AS (SELECT s3.user_id, s3.t1, s3.t2, s3.t3, MIN(e.ts) AS t4
+        | FROM s3 LEFT JOIN events e ON e.user_id = s3.user_id
+        |  AND e.event_type = 'purchase' AND e.ts > s3.t3
+        |  AND e.ts <= s3.t1 + INTERVAL 604800 SECOND
+        | GROUP BY s3.user_id, s3.t1, s3.t2, s3.t3)
+        |SELECT user_id, t1, t2, t3, t4,
+        | CAST((CASE WHEN t1 IS NULL THEN 0 ELSE 1 END +
+        |       CASE WHEN t2 IS NULL THEN 0 ELSE 1 END +
+        |       CASE WHEN t3 IS NULL THEN 0 ELSE 1 END +
+        |       CASE WHEN t4 IS NULL THEN 0 ELSE 1 END) AS INT) AS depth
+        |FROM s4 ORDER BY user_id""".stripMargin)
   )
 
   /** Fixed 4-doc corpus for the BPE entries' pinned oracles (expected
