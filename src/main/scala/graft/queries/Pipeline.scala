@@ -1855,7 +1855,48 @@ object Pipeline {
         |       CASE WHEN t2 IS NULL THEN 0 ELSE 1 END +
         |       CASE WHEN t3 IS NULL THEN 0 ELSE 1 END +
         |       CASE WHEN t4 IS NULL THEN 0 ELSE 1 END) AS INT) AS depth
-        |FROM s4 ORDER BY user_id""".stripMargin)
+        |FROM s4 ORDER BY user_id""".stripMargin),
+
+    // ---- classical seasonal decomposition of hourly event counts per
+    //      type, period 24 (the statsmodels seasonal_decompose query):
+    //      centered 2xMA trend + per-phase seasonal index + residual.
+    //      Integral-count arithmetic keeps every sum exact, so the
+    //      oracle replays the window algebra bit-identically; rounds
+    //      are 6dp belt-and-braces. ----
+    QuerySpec.sql("p63_seasonal_decompose", (s, dir) => {
+      import s.implicits._
+      val hourly = t(s, dir, "events")
+        .groupBy($"event_type",
+          expr("unix_micros(ts) div 3600000000").as("t"))
+        .count()
+      graft.operators.temporal.SeasonalDecompose
+        .decompose(hourly, "event_type", "t", "count", 24)
+        .select($"event_type", $"t", $"v",
+          round($"trend", 6).as("trend"), round($"seasonal", 6).as("seasonal"),
+          round($"resid", 6).as("resid"))
+        .orderBy($"event_type", $"t")
+    },
+      """WITH hourly AS (SELECT event_type,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS t,
+        |  COUNT(*) AS cnt FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, t, CAST(cnt AS DOUBLE) AS v,
+        |  SUM(CAST(cnt AS DOUBLE)) OVER (PARTITION BY event_type ORDER BY t
+        |    RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+        |  + SUM(CAST(cnt AS DOUBLE)) OVER (PARTITION BY event_type ORDER BY t
+        |    RANGE BETWEEN 11 PRECEDING AND 11 FOLLOWING) AS tn,
+        |  COUNT(*) OVER (PARTITION BY event_type ORDER BY t
+        |    RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS cw
+        | FROM hourly),
+        |d AS (SELECT event_type, t, v,
+        |  CASE WHEN cw = 25 THEN tn END AS tn, ((t % 24) + 24) % 24 AS ph
+        | FROM w),
+        |sd AS (SELECT event_type, t, v, tn / 48 AS trend,
+        |  AVG(48 * v - tn) OVER (PARTITION BY event_type, ph) / 48 AS seasonal
+        | FROM d)
+        |SELECT event_type, CAST(t AS BIGINT) AS t, v,
+        | ROUND(trend, 6) AS trend, ROUND(seasonal, 6) AS seasonal,
+        | ROUND(v - trend - seasonal, 6) AS resid
+        |FROM sd ORDER BY event_type, t""".stripMargin)
   )
 
   /** Fixed 4-doc corpus for the BPE entries' pinned oracles (expected
