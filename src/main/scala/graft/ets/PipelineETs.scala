@@ -21,7 +21,52 @@ object PipelineETs {
     CorpusStatsET, TokenBudgetET, SubstringDedupInPlaceET, ImportanceSelectET,
     ClusterSampleET, ShardExportET, GopherRulesET, PerplexityBucketsET,
     TemperatureMixET, BoilerplateCleanET, DomainReweightET, C4RulesET,
-    UnigramTokenizerET, SubseqSearchET)
+    UnigramTokenizerET, SubseqSearchET, FunnelET, SeasonalDecomposeET)
+}
+
+/** `run events as Funnel.`` where steps="signup,view,click,purchase"
+  * [and userCol="user_id" and tsCol="ts" and typeCol="event_type" and
+  * maxSpanSeconds="604800" and mode="users|summary"]` — ordered funnel
+  * analysis (see [[graft.operators.temporal.Funnel]]: one combinable
+  * min-agg per step, no per-user history). `mode="users"` (default)
+  * emits per-user step times + depth; `mode="summary"` the per-step
+  * conversion table.
+  */
+object FunnelET extends NoPathET {
+  override def name = "Funnel"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    import graft.operators.temporal.Funnel
+    val steps = params.getOrElse("steps", throw new IllegalArgumentException(
+      "Funnel requires steps=\"a,b,c\"")).split(",").map(_.trim)
+      .filter(_.nonEmpty).toSeq
+    val userCol = params.getOrElse("userCol", "user_id")
+    val tsCol = params.getOrElse("tsCol", "ts")
+    val typeCol = params.getOrElse("typeCol", "event_type")
+    val span = params.getOrElse("maxSpanSeconds", "0").toLong
+    params.getOrElse("mode", "users") match {
+      case "users" => Funnel.analyze(df, userCol, tsCol, typeCol, steps, span)
+      case "summary" => Funnel.summary(df, userCol, tsCol, typeCol, steps, span)
+      case other => throw new IllegalArgumentException(
+        s"Funnel mode must be users|summary, got '$other'")
+    }
+  }
+}
+
+/** `run hourly as SeasonalDecompose.`` where period="24" [and
+  * keyCol="k" and tCol="t" and valCol="v"]` — classical additive
+  * decomposition into trend/seasonal/resid over a per-key integer time
+  * index (see [[graft.operators.temporal.SeasonalDecompose]]).
+  */
+object SeasonalDecomposeET extends NoPathET {
+  override def name = "SeasonalDecompose"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame =
+    graft.operators.temporal.SeasonalDecompose.decompose(df,
+      params.getOrElse("keyCol", "k"), params.getOrElse("tCol", "t"),
+      params.getOrElse("valCol", "v"),
+      params.getOrElse("period", throw new IllegalArgumentException(
+        "SeasonalDecompose requires period=...")).toInt)
 }
 
 /** `run events as SubseqSearch.`` where query="1,2,3,4" and k="10" [and

@@ -133,7 +133,8 @@ class SurveyCoverageSpec extends AnyFunSuite {
       "CorpusSplit", "DocChunk", "GroupCap", "CorpusShuffle", "CorpusStats",
       "TokenBudget", "ImportanceSelect", "ClusterSample", "ShardExport",
       "GopherRules", "PerplexityBuckets", "TemperatureMix", "BoilerplateClean",
-      "DomainReweight", "C4Rules", "UnigramTokenizer", "SubseqSearch")
+      "DomainReweight", "C4Rules", "UnigramTokenizer", "SubseqSearch",
+      "Funnel", "SeasonalDecompose")
     val missing = names.filter(n =>
       scala.util.Try(ETRegistry.lookup(n)).isFailure)
     assert(missing.isEmpty, s"ET registry missing: ${missing.mkString(", ")}")

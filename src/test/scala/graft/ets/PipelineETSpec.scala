@@ -997,4 +997,35 @@ class PipelineETSpec extends AnyFunSuite {
       .collect()
     assert(win.length == 2 && win.forall(_.getSeq[Double](2).length == 2))
   }
+
+  test("Funnel DSL surface: users and summary modes") {
+    val script =
+      """set fe = '''{"user_id":1,"ts":"2026-01-01 00:00:01","event_type":"view"}
+        |{"user_id":1,"ts":"2026-01-01 00:00:02","event_type":"click"}
+        |{"user_id":2,"ts":"2026-01-01 00:00:03","event_type":"view"}''';
+        |load jsonStr.`fe` as fe_events;
+        |select user_id, cast(ts as timestamp) as ts, event_type
+        |  from fe_events as fe2;
+        |run fe2 as Funnel.`` where steps="view,click" and mode="%s" as fout;
+        |select * from fout as out;""".stripMargin
+    val users = graft.dsl.ScriptRunner.runToDF(script.format("users"), spark)
+      .collect().map(r => r.getLong(0) -> r.getInt(r.length - 1)).toMap
+    assert(users == Map(1L -> 2, 2L -> 1))
+    val summ = graft.dsl.ScriptRunner.runToDF(script.format("summary"), spark)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(summ == Seq(("view", 2L), ("click", 1L)))
+  }
+
+  test("SeasonalDecompose DSL surface: resid 0 on an exact trend+pattern series") {
+    val rows = (0 until 12).map(t =>
+      s"""{"k":"a","t":$t,"v":${10 + t + (if (t % 2 == 0) 3 else -3)}}""")
+      .mkString("\n")
+    val out = graft.dsl.ScriptRunner.runToDF(
+      s"""set sd = '''$rows''';
+         |load jsonStr.`sd` as sd_series;
+         |run sd_series as SeasonalDecompose.`` where period="2" as sdo;
+         |select t, resid from sdo where resid is not null as out;""".stripMargin,
+      spark).collect()
+    assert(out.nonEmpty && out.forall(_.getDouble(1) == 0.0), out.mkString(";"))
+  }
 }
