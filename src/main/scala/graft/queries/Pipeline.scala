@@ -1896,7 +1896,47 @@ object Pipeline {
         |SELECT event_type, CAST(t AS BIGINT) AS t, v,
         | ROUND(trend, 6) AS trend, ROUND(seasonal, 6) AS seasonal,
         | ROUND(v - trend - seasonal, 6) AS resid
-        |FROM sd ORDER BY event_type, t""".stripMargin)
+        |FROM sd ORDER BY event_type, t""".stripMargin),
+
+    // ---- cohort retention matrix over daily activity (the retention-
+    //      triangle query): cohort = first-active day, cell = distinct
+    //      cohort users active at day cohort+offset. Distinct
+    //      (user, day) pairs make the cell count a plain count(*). ----
+    QuerySpec.sql("p64_retention", (s, dir) => {
+      import s.implicits._
+      graft.operators.temporal.Retention.matrix(
+          t(s, dir, "events"), "user_id", "ts", 86400L)
+        .orderBy($"cohort", $"offset")
+    },
+      """WITH act AS (SELECT DISTINCT user_id AS u,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS per FROM events),
+        |c AS (SELECT u, per, MIN(per) OVER (PARTITION BY u) AS cohort FROM act),
+        |cells AS (SELECT cohort, per - cohort AS "offset",
+        |          COUNT(*) AS n_users FROM c GROUP BY 1, 2)
+        |SELECT cohort, "offset", n_users,
+        | ROUND(CAST(n_users AS DOUBLE) /
+        |   MAX(CASE WHEN "offset" = 0 THEN n_users END)
+        |     OVER (PARTITION BY cohort), 6) AS retention
+        |FROM cells ORDER BY cohort, "offset"""".stripMargin),
+
+    // ---- first-order event-transition matrix (P(next type | type)
+    //      clickstream flow): lead() over per-user order, |types|^2
+    //      aggregate, window-normalized rows. ----
+    QuerySpec.sql("p65_transitions", (s, dir) => {
+      import s.implicits._
+      graft.operators.temporal.Transitions.matrix(
+          t(s, dir, "events"), "user_id", "ts", "event_type",
+          tieCol = Some("event_id"))
+        .orderBy($"src", $"dst")
+    },
+      """WITH nxt AS (SELECT event_type AS src,
+        |  LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS dst FROM events),
+        |m AS (SELECT src, dst, COUNT(*) AS n FROM nxt
+        |      WHERE dst IS NOT NULL GROUP BY 1, 2)
+        |SELECT src, dst, n, ROUND(CAST(n AS DOUBLE) /
+        |  SUM(n) OVER (PARTITION BY src), 6) AS p
+        |FROM m ORDER BY src, dst""".stripMargin)
   )
 
   /** Fixed 4-doc corpus for the BPE entries' pinned oracles (expected
