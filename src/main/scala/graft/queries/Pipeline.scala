@@ -1936,8 +1936,59 @@ object Pipeline {
         |      WHERE dst IS NOT NULL GROUP BY 1, 2)
         |SELECT src, dst, n, ROUND(CAST(n AS DOUBLE) /
         |  SUM(n) OVER (PARTITION BY src), 6) AS p
-        |FROM m ORDER BY src, dst""".stripMargin)
+        |FROM m ORDER BY src, dst""".stripMargin),
+
+    // ---- fixed-point PageRank over the customer<->supplier trade
+    //      graph (who-bought-from-whom via lineitem x orders), 5 power
+    //      iterations. Integer fixed-point makes every iteration
+    //      bit-reproducible (no float-sum order dependence at 1000
+    //      executors), so the oracle unrolls the identical integer
+    //      algebra and the driver hash-checks exact longs. ----
+    QuerySpec.sql("p66_pagerank", (s, dir) => {
+      import s.implicits._
+      val cs = t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+        .join(t(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+          $"l_orderkey" === $"o_orderkey")
+        .select(concat(lit("c"), $"o_custkey").as("src"),
+          concat(lit("s"), $"l_suppkey").as("dst"))
+      val edges = cs.union(cs.select($"dst".as("src"), $"src".as("dst")))
+      graft.operators.graph.PageRank.run(edges, "src", "dst", iterations = 5)
+        .orderBy($"node")
+    }, pageRankOracleSql(5))
   )
+
+  /** Unrolled k-iteration integer PageRank replay (see
+    * [[graft.operators.graph.PageRank]] for the fixed-point algebra —
+    * `//` here floor-divides exactly like Spark's `div` on the positive
+    * longs involved).
+    */
+  private def pageRankOracleSql(k: Int): String = {
+    val iters = (1 to k).map { i =>
+      s"""dm$i AS (SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS dm
+         | FROM r${i - 1} JOIN sinks USING (node)),
+         |is$i AS (SELECT e.dst AS node,
+         |  CAST(SUM(r${i - 1}.r // deg.outdeg) AS BIGINT) AS insum
+         | FROM e JOIN deg USING (src) JOIN r${i - 1} ON r${i - 1}.node = e.src
+         | GROUP BY e.dst),
+         |r$i AS (SELECT n.node, (15 * 1000000000000 // (100 * p.n)) +
+         |  (85 * (COALESCE(i.insum, 0) + d.dm // p.n)) // 100 AS r
+         | FROM nodes n CROSS JOIN p CROSS JOIN dm$i d
+         | LEFT JOIN is$i i ON i.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cs AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+       |  's' || CAST(l_suppkey AS VARCHAR) AS dst
+       | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e AS (SELECT src, dst FROM cs UNION SELECT dst, src FROM cs),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |p AS (SELECT COUNT(*) AS n FROM nodes),
+       |deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+       |sinks AS (SELECT node FROM nodes EXCEPT SELECT src FROM e),
+       |r0 AS (SELECT node, 1000000000000 // p.n AS r FROM nodes, p),
+       |$iters
+       |SELECT node, CAST(r AS BIGINT) AS rank_fp,
+       | CAST(r AS DOUBLE) / 1000000000000 AS "rank"
+       |FROM r$k ORDER BY node""".stripMargin
+  }
 
   /** Fixed 4-doc corpus for the BPE entries' pinned oracles (expected
     * merges/token counts verified against an independent reference
