@@ -21,7 +21,48 @@ object PipelineETs {
     CorpusStatsET, TokenBudgetET, SubstringDedupInPlaceET, ImportanceSelectET,
     ClusterSampleET, ShardExportET, GopherRulesET, PerplexityBucketsET,
     TemperatureMixET, BoilerplateCleanET, DomainReweightET, C4RulesET,
-    UnigramTokenizerET, SubseqSearchET, FunnelET, SeasonalDecomposeET)
+    UnigramTokenizerET, SubseqSearchET, FunnelET, SeasonalDecomposeET,
+    RetentionET, TransitionsET, PageRankET)
+}
+
+/** `run events as Retention.`` where periodSec="86400" [and
+  * userCol="user_id" and tsCol="ts"]` — cohort retention matrix (see
+  * [[graft.operators.temporal.Retention]]).
+  */
+object RetentionET extends NoPathET {
+  override def name = "Retention"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame =
+    graft.operators.temporal.Retention.matrix(df,
+      params.getOrElse("userCol", "user_id"), params.getOrElse("tsCol", "ts"),
+      params.getOrElse("periodSec", "86400").toLong)
+}
+
+/** `run events as Transitions.`` where [userCol="user_id" and tsCol="ts"
+  * and typeCol="event_type" and tieCol="event_id"]` — first-order
+  * event-transition matrix (see
+  * [[graft.operators.temporal.Transitions]]).
+  */
+object TransitionsET extends NoPathET {
+  override def name = "Transitions"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame =
+    graft.operators.temporal.Transitions.matrix(df,
+      params.getOrElse("userCol", "user_id"), params.getOrElse("tsCol", "ts"),
+      params.getOrElse("typeCol", "event_type"), params.get("tieCol"))
+}
+
+/** `run edges as PageRank.`` where [srcCol="src" and dstCol="dst" and
+  * iterations="5"]` — integer fixed-point PageRank (see
+  * [[graft.operators.graph.PageRank]]).
+  */
+object PageRankET extends NoPathET {
+  override def name = "PageRank"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame =
+    graft.operators.graph.PageRank.run(df,
+      params.getOrElse("srcCol", "src"), params.getOrElse("dstCol", "dst"),
+      params.getOrElse("iterations", "5").toInt)
 }
 
 /** `run events as Funnel.`` where steps="signup,view,click,purchase"

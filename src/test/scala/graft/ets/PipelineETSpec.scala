@@ -1028,4 +1028,32 @@ class PipelineETSpec extends AnyFunSuite {
       spark).collect()
     assert(out.nonEmpty && out.forall(_.getDouble(1) == 0.0), out.mkString(";"))
   }
+
+  test("Retention/Transitions/PageRank DSL surfaces dispatch") {
+    val ret = graft.dsl.ScriptRunner.runToDF(
+      """set re = '''{"user_id":1,"ts":"2026-01-01 00:00:00"}
+        |{"user_id":1,"ts":"2026-01-02 00:00:00"}
+        |{"user_id":2,"ts":"2026-01-01 12:00:00"}''';
+        |load jsonStr.`re` as re_events;
+        |select user_id, cast(ts as timestamp) as ts from re_events as re2;
+        |run re2 as Retention.`` where periodSec="86400" as ro;
+        |select * from ro order by cohort, offset as out;""".stripMargin, spark)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(ret.toSeq == Seq((20454L, 0L, 2L), (20454L, 1L, 1L)), ret.mkString(";"))
+    val tr = graft.dsl.ScriptRunner.runToDF(
+      """set te = '''{"user_id":1,"ts":1,"event_type":"a"}
+        |{"user_id":1,"ts":2,"event_type":"b"}''';
+        |load jsonStr.`te` as te_events;
+        |run te_events as Transitions.`` as tro;
+        |select * from tro as out;""".stripMargin, spark).collect()
+    assert(tr.length == 1 && tr.head.getString(0) == "a" && tr.head.getString(1) == "b")
+    val pr = graft.dsl.ScriptRunner.runToDF(
+      """set pe = '''{"src":"a","dst":"b"}
+        |{"src":"b","dst":"a"}''';
+        |load jsonStr.`pe` as pe_edges;
+        |run pe_edges as PageRank.`` where iterations="2" as pro;
+        |select * from pro as out;""".stripMargin, spark)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pr == Map("a" -> 500000000000L, "b" -> 500000000000L), pr.toString)
+  }
 }
