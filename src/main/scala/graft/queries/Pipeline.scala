@@ -1954,8 +1954,96 @@ object Pipeline {
       val edges = cs.union(cs.select($"dst".as("src"), $"src".as("dst")))
       graft.operators.graph.PageRank.run(edges, "src", "dst", iterations = 5)
         .orderBy($"node")
-    }, pageRankOracleSql(5))
+    }, pageRankOracleSql(5)),
+
+    // ---- WordPiece greedy encode over the documents corpus (BERT's
+    //      tokenizer-apply; completes the BPE / Unigram / WordPiece
+    //      triad). 'q' is deliberately absent from the vocab so real
+    //      words ("query") exercise the all-or-nothing [UNK] rule. The
+    //      oracle replays the greedy longest-match loop itself with a
+    //      recursive CTE + LATERAL argmax over the same inline vocab;
+    //      per-doc md5 digests pin the full piece sequence. ----
+    QuerySpec.sql("p67_wordpiece", (s, dir) => {
+      import s.implicits._
+      val cleaned = t(s, dir, "documents")
+        .withColumn("txt", regexp_replace(lower($"text"), "[^a-z ]", ""))
+      graft.operators.text.WordPiece.withWordPieces(cleaned, "txt", wordPieceVocab)
+        .select($"doc_id",
+          md5(concat_ws(" ", $"wp_pieces")).as("h"),
+          size($"wp_pieces").cast("long").as("n_pieces"),
+          $"n_unk")
+        .orderBy($"doc_id")
+    }, wordPieceOracleSql)
   )
+
+  /** Demo WordPiece vocab for p67: all lowercase letters EXCEPT `q`
+    * (initial and `##`-continuation forms) plus common English/corpus
+    * digraphs and suffixes. Shared by the Spark entry and the oracle
+    * generator so both engines encode against the identical table.
+    */
+  // lazy: referenced while the `all` Seq above is still initializing
+  private lazy val wordPieceVocab: Seq[String] = {
+    val letters = "abcdefghijklmnoprstuvwxyz".map(_.toString)
+    val initials = letters ++ Seq("th", "he", "the", "in", "er", "an", "re",
+      "on", "at", "en", "nd", "es", "or", "te", "ed", "is", "it", "al", "ar",
+      "st", "to", "ng", "se", "ha", "as", "ou", "le", "ve", "co", "me", "de",
+      "ro", "ta", "sc", "jo", "ba", "fi", "sm", "sl", "ca", "cu", "fa", "pa",
+      "wi", "va")
+    val conts = letters.map("##" + _) ++ Seq("##ing", "##ed", "##er", "##es",
+      "##ion", "##an", "##ar", "##or", "##en", "##on", "##at", "##it", "##is",
+      "##le", "##re", "##th", "##nd", "##st", "##ow", "##umn", "##ess",
+      "##ble", "##ter", "##ue", "##ery", "##ge", "##ch", "##sh", "##ck",
+      "##mn", "##all", "##ast")
+    (initials ++ conts).distinct
+  }
+
+  /** Recursive-CTE replay of WordPiece greedy matching (see
+    * [[graft.operators.text.WordPiece]]): each step LEFT JOIN LATERALs
+    * the longest vocab piece matching the remaining suffix; a failed
+    * step emits [UNK] and the word-level BOOL_OR collapses the whole
+    * word, mirroring the all-or-nothing rule.
+    */
+  private def wordPieceOracleSql: String = {
+    val values = wordPieceVocab.map { p =>
+      if (p.startsWith("##")) s"('${p.substring(2)}', TRUE)"
+      else s"('$p', FALSE)"
+    }.mkString(", ")
+    s"""WITH RECURSIVE v(piece, cont) AS (SELECT * FROM (VALUES $values)),
+       |s AS (SELECT doc_id,
+       |  STRING_SPLIT(REGEXP_REPLACE(LOWER(text), '[^a-z ]', '', 'g'), ' ')
+       |    AS arr FROM documents),
+       |w AS (SELECT doc_id, UNNEST(RANGE(1, LEN(arr) + 1)) AS wpos, arr FROM s),
+       |ww AS (SELECT doc_id, wpos, arr[wpos] AS word FROM w
+       |       WHERE arr[wpos] <> ''),
+       |rec AS (
+       | SELECT doc_id, wpos, word AS rem, 0 AS ppos,
+       |        CAST(NULL AS VARCHAR) AS piece, FALSE AS started
+       | FROM ww
+       | UNION ALL
+       | SELECT r.doc_id, r.wpos,
+       |  CASE WHEN m.p IS NULL THEN '' ELSE SUBSTR(r.rem, LEN(m.p) + 1) END,
+       |  r.ppos + 1,
+       |  CASE WHEN m.p IS NULL THEN '[UNK]'
+       |       WHEN r.started THEN '##' || m.p ELSE m.p END,
+       |  TRUE
+       | FROM rec r LEFT JOIN LATERAL (
+       |   SELECT v.piece AS p FROM v
+       |   WHERE v.cont = r.started AND v.piece = SUBSTR(r.rem, 1, LEN(v.piece))
+       |   ORDER BY LEN(v.piece) DESC LIMIT 1) m ON TRUE
+       | WHERE r.rem <> ''),
+       |we AS (SELECT doc_id, wpos,
+       |  CASE WHEN BOOL_OR(piece = '[UNK]') THEN '[UNK]'
+       |       ELSE STRING_AGG(piece, ' ' ORDER BY ppos) END AS enc,
+       |  CASE WHEN BOOL_OR(piece = '[UNK]') THEN 1 ELSE COUNT(*) END AS np,
+       |  CASE WHEN BOOL_OR(piece = '[UNK]') THEN 1 ELSE 0 END AS unk
+       | FROM rec WHERE piece IS NOT NULL GROUP BY doc_id, wpos),
+       |agg AS (SELECT doc_id, MD5(STRING_AGG(enc, ' ' ORDER BY wpos)) AS h,
+       |  SUM(np) AS n_pieces, SUM(unk) AS n_unk FROM we GROUP BY doc_id)
+       |SELECT d.doc_id, COALESCE(agg.h, MD5('')) AS h,
+       | CAST(COALESCE(agg.n_pieces, 0) AS BIGINT) AS n_pieces,
+       | CAST(COALESCE(agg.n_unk, 0) AS BIGINT) AS n_unk
+       |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
 
   /** Unrolled k-iteration integer PageRank replay (see
     * [[graft.operators.graph.PageRank]] for the fixed-point algebra —
