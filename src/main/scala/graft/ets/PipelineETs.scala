@@ -22,7 +22,34 @@ object PipelineETs {
     ClusterSampleET, ShardExportET, GopherRulesET, PerplexityBucketsET,
     TemperatureMixET, BoilerplateCleanET, DomainReweightET, C4RulesET,
     UnigramTokenizerET, SubseqSearchET, FunnelET, SeasonalDecomposeET,
-    RetentionET, TransitionsET, PageRankET)
+    RetentionET, TransitionsET, PageRankET, WordPieceET)
+}
+
+/** `run docs as WordPiece.`` where vocab="a,##b,..." [and textCol="text"
+  * and unk="[UNK]"]` — WordPiece greedy longest-match encode (see
+  * [[graft.operators.text.WordPiece]]). `vocabTable="t"` reads the
+  * vocabulary from a session table's `piece` column instead (the output
+  * end of a trained vocab), capped like other model-state collects.
+  */
+object WordPieceET extends NoPathET {
+  override def name = "WordPiece"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    val vocab: Seq[String] = params.get("vocabTable") match {
+      case Some(tbl) =>
+        val rows = ctx.spark.table(tbl)
+          .select(col("piece").cast("string")).limit(1000001).collect()
+        require(rows.length <= 1000000,
+          s"WordPiece vocabTable '$tbl' exceeds 1M pieces — not a vocab table?")
+        rows.map(_.getString(0)).toSeq
+      case None => params.getOrElse("vocab", throw new IllegalArgumentException(
+        "WordPiece requires vocab=\"p1,p2,...\" or vocabTable=..."))
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    }
+    graft.operators.text.WordPiece.withWordPieces(df,
+      params.getOrElse("textCol", "text"), vocab,
+      params.getOrElse("unk", "[UNK]"))
+  }
 }
 
 /** `run events as Retention.`` where periodSec="86400" [and

@@ -134,7 +134,8 @@ class SurveyCoverageSpec extends AnyFunSuite {
       "TokenBudget", "ImportanceSelect", "ClusterSample", "ShardExport",
       "GopherRules", "PerplexityBuckets", "TemperatureMix", "BoilerplateClean",
       "DomainReweight", "C4Rules", "UnigramTokenizer", "SubseqSearch",
-      "Funnel", "SeasonalDecompose", "Retention", "Transitions", "PageRank")
+      "Funnel", "SeasonalDecompose", "Retention", "Transitions", "PageRank",
+      "WordPiece")
     val missing = names.filter(n =>
       scala.util.Try(ETRegistry.lookup(n)).isFailure)
     assert(missing.isEmpty, s"ET registry missing: ${missing.mkString(", ")}")

@@ -1056,4 +1056,25 @@ class PipelineETSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(pr == Map("a" -> 500000000000L, "b" -> 500000000000L), pr.toString)
   }
+
+  test("WordPiece DSL surface: inline vocab and vocabTable paths agree") {
+    val inline = graft.dsl.ScriptRunner.runToDF(
+      """set wp = '''{"doc_id":1,"text":"undo xq"}''';
+        |load jsonStr.`wp` as wp_docs;
+        |run wp_docs as WordPiece.`` where vocab="un,##do,x" as wo;
+        |select doc_id, wp_pieces, n_unk from wo as out;""".stripMargin, spark)
+      .collect()
+    assert(inline.head.getSeq[String](1) == Seq("un", "##do", "[UNK]"))
+    assert(inline.head.getLong(2) == 1L)
+    val viaTable = graft.dsl.ScriptRunner.runToDF(
+      """set vt = '''{"piece":"un"}
+        |{"piece":"##do"}
+        |{"piece":"x"}''';
+        |load jsonStr.`vt` as wp_vocab;
+        |set wp2 = '''{"doc_id":1,"text":"undo xq"}''';
+        |load jsonStr.`wp2` as wp_docs2;
+        |run wp_docs2 as WordPiece.`` where vocabTable="wp_vocab" as wo2;
+        |select wp_pieces from wo2 as out;""".stripMargin, spark).collect()
+    assert(viaTable.head.getSeq[String](0) == Seq("un", "##do", "[UNK]"))
+  }
 }
