@@ -1946,11 +1946,12 @@ object Pipeline {
     //      algebra and the driver hash-checks exact longs. ----
     QuerySpec.sql("p66_pagerank", (s, dir) => {
       import s.implicits._
+      // numeric vertex encoding (customer 2k, supplier 2k+1): long keys
+      // shuffle/join cheaper than 'c'||key strings at every scale
       val cs = t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
         .join(t(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
           $"l_orderkey" === $"o_orderkey")
-        .select(concat(lit("c"), $"o_custkey").as("src"),
-          concat(lit("s"), $"l_suppkey").as("dst"))
+        .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
       val edges = cs.union(cs.select($"dst".as("src"), $"src".as("dst")))
       graft.operators.graph.PageRank.run(edges, "src", "dst", iterations = 5)
         .orderBy($"node")
@@ -2063,8 +2064,8 @@ object Pipeline {
          | FROM nodes n CROSS JOIN p CROSS JOIN dm$i d
          | LEFT JOIN is$i i ON i.node = n.node)""".stripMargin
     }.mkString(",\n")
-    s"""WITH cs AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
-       |  's' || CAST(l_suppkey AS VARCHAR) AS dst
+    s"""WITH cs AS (SELECT DISTINCT 2 * o_custkey AS src,
+       |  2 * l_suppkey + 1 AS dst
        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
        |e AS (SELECT src, dst FROM cs UNION SELECT dst, src FROM cs),
        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
