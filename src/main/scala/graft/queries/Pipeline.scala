@@ -1974,7 +1974,50 @@ object Pipeline {
           size($"wp_pieces").cast("long").as("n_pieces"),
           $"n_unk")
         .orderBy($"doc_id")
-    }, wordPieceOracleSql)
+    }, wordPieceOracleSql),
+
+    // ---- market-basket pair rules over lineitem baskets (retail
+    //      affinity): apriori-pruned pair self-join, support/
+    //      confidence/lift from exact long counts (single divides →
+    //      bit-identical cross-engine; 6dp belt-and-braces). ----
+    QuerySpec.sql("p68_market_basket", (s, dir) => {
+      import s.implicits._
+      graft.operators.basket.MarketBasket.pairRules(
+          t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey"),
+          "l_orderkey", "l_partkey", minSupport = 2L)
+        .orderBy($"a", $"b")
+    },
+      """WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |nb AS (SELECT COUNT(DISTINCT b) AS nb FROM it),
+        |ic AS (SELECT i, COUNT(*) AS ni FROM it GROUP BY i),
+        |fq AS (SELECT i, ni FROM ic WHERE ni >= 2),
+        |fi AS (SELECT it.b, it.i FROM it JOIN fq ON fq.i = it.i),
+        |p AS (SELECT x.i AS a, y.i AS b_item, COUNT(*) AS n_ab
+        |      FROM fi x JOIN fi y ON x.b = y.b AND x.i < y.i
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT p.a, p.b_item AS b, p.n_ab, fa.ni AS n_a, fb.ni AS n_b,
+        | ROUND(CAST(p.n_ab AS DOUBLE) / nb.nb, 6) AS support,
+        | ROUND(CAST(p.n_ab AS DOUBLE) / fa.ni, 6) AS confidence,
+        | ROUND(CAST(p.n_ab * nb.nb AS DOUBLE) / (fa.ni * fb.ni), 6) AS lift
+        |FROM p JOIN fq fa ON fa.i = p.a JOIN fq fb ON fb.i = p.b_item
+        |CROSS JOIN nb ORDER BY a, b""".stripMargin),
+
+    // ---- top user-flow paths (the Sankey query): first-3 event types
+    //      per user, counted, top-25. row_number<=k BEFORE any per-user
+    //      collection — bounded state per user. ----
+    QuerySpec.sql("p69_top_paths", (s, dir) => {
+      graft.operators.temporal.Paths.top(
+        t(s, dir, "events"), "user_id", "ts", "event_type",
+        k = 3, topN = 25, tieCol = Some("event_id"))
+    },
+      """WITH r AS (SELECT user_id, event_type,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        | FROM events),
+        |p AS (SELECT user_id, STRING_AGG(event_type, '>' ORDER BY rn) AS path
+        |      FROM r WHERE rn <= 3 GROUP BY user_id),
+        |c AS (SELECT path, COUNT(*) AS n_users FROM p GROUP BY path)
+        |SELECT path, n_users FROM c
+        |ORDER BY n_users DESC, path LIMIT 25""".stripMargin)
   )
 
   /** Demo WordPiece vocab for p67: all lowercase letters EXCEPT `q`
