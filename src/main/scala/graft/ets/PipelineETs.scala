@@ -22,7 +22,37 @@ object PipelineETs {
     ClusterSampleET, ShardExportET, GopherRulesET, PerplexityBucketsET,
     TemperatureMixET, BoilerplateCleanET, DomainReweightET, C4RulesET,
     UnigramTokenizerET, SubseqSearchET, FunnelET, SeasonalDecomposeET,
-    RetentionET, TransitionsET, PageRankET, WordPieceET)
+    RetentionET, TransitionsET, PageRankET, WordPieceET, MarketBasketET,
+    PathsET)
+}
+
+/** `run basket_rows as MarketBasket.`` where minSupport="5" [and
+  * basketCol="order_id" and itemCol="item"]` — pair association rules
+  * (see [[graft.operators.basket.MarketBasket]]).
+  */
+object MarketBasketET extends NoPathET {
+  override def name = "MarketBasket"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame =
+    graft.operators.basket.MarketBasket.pairRules(df,
+      params.getOrElse("basketCol", "order_id"),
+      params.getOrElse("itemCol", "item"),
+      params.getOrElse("minSupport", "2").toLong)
+}
+
+/** `run events as Paths.`` where k="3" and topN="25" [and
+  * userCol/tsCol/typeCol/tieCol/sep]` — top first-k event paths (see
+  * [[graft.operators.temporal.Paths]]).
+  */
+object PathsET extends NoPathET {
+  override def name = "Paths"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame =
+    graft.operators.temporal.Paths.top(df,
+      params.getOrElse("userCol", "user_id"), params.getOrElse("tsCol", "ts"),
+      params.getOrElse("typeCol", "event_type"),
+      params.getOrElse("k", "3").toInt, params.getOrElse("topN", "25").toInt,
+      params.getOrElse("sep", ">"), params.get("tieCol"))
 }
 
 /** `run docs as WordPiece.`` where vocab="a,##b,..." [and textCol="text"

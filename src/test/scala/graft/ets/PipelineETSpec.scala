@@ -1077,4 +1077,23 @@ class PipelineETSpec extends AnyFunSuite {
         |select wp_pieces from wo2 as out;""".stripMargin, spark).collect()
     assert(viaTable.head.getSeq[String](0) == Seq("un", "##do", "[UNK]"))
   }
+
+  test("MarketBasket and Paths DSL surfaces dispatch") {
+    val mb = graft.dsl.ScriptRunner.runToDF(
+      """set mb = '''{"order_id":1,"item":1}
+        |{"order_id":1,"item":2}
+        |{"order_id":2,"item":1}
+        |{"order_id":2,"item":2}''';
+        |load jsonStr.`mb` as mb_rows;
+        |run mb_rows as MarketBasket.`` where minSupport="2" as mbo;
+        |select * from mbo as out;""".stripMargin, spark).collect()
+    assert(mb.length == 1 && mb.head.getLong(2) == 2L)
+    val pa = graft.dsl.ScriptRunner.runToDF(
+      """set pa = '''{"user_id":1,"ts":1,"event_type":"a"}
+        |{"user_id":1,"ts":2,"event_type":"b"}''';
+        |load jsonStr.`pa` as pa_rows;
+        |run pa_rows as Paths.`` where k="2" and topN="5" as pao;
+        |select * from pao as out;""".stripMargin, spark).collect()
+    assert(pa.length == 1 && pa.head.getString(0) == "a>b")
+  }
 }
