@@ -111,4 +111,58 @@ object Stateful {
       .transformWithState(new DistinctCountProcessor,
         TimeMode.None(), OutputMode.Update())
   }
+
+  case class FunnelProgress(user_id: Long, depth: Int, step_ts: Seq[Long])
+
+  /** Streaming ordered funnel — the micro-batch twin of
+    * [[graft.operators.temporal.Funnel.analyze]]: per-user step state
+    * advances when the NEXT step's event type arrives strictly after
+    * the previous step's time (ties never advance) and, with
+    * `maxSpanSeconds` set, within the window of step 1. Emits one
+    * updated (user, depth, step timestamps-in-micros) row per touched
+    * user per batch (Update mode).
+    *
+    * Parity contract: rows are processed in (ts, type) order WITHIN a
+    * batch, so for a stream that is in timestamp order ACROSS batches
+    * the final state equals the batch operator's min-chain exactly
+    * (asserted in StreamingSpec); a late-arriving earlier step-1 event
+    * cannot rewind already-advanced state — inherent to single-pass
+    * streaming, same trade-off as any funnel over a live stream.
+    *
+    * Scale shape: state per user is k timestamps (bounded by funnel
+    * length, NOT event volume); each batch touches only its own users.
+    */
+  def funnelProgress(df: DataFrame, userCol: String, tsCol: String,
+                     typeCol: String, steps: Seq[String],
+                     maxSpanSeconds: Long = 0L): Dataset[FunnelProgress] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.length == steps.length,
+      s"funnel steps must be distinct, got $steps")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val stepArr = steps.toIndexedSeq
+    val spanUs = maxSpanSeconds * 1000000L
+    df.select(col(userCol).cast("long"),
+        unix_micros(col(tsCol).cast("timestamp")), col(typeCol).cast("string"))
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull &&
+        col(typeCol).isNotNull)
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Seq[Long], FunnelProgress](GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[Seq[Long]]) =>
+          var times = state.getOption.getOrElse(Seq.empty[Long]).toVector
+          // deterministic in-batch order — the source of the in-order
+          // parity with the batch operator
+          for ((_, ts, et) <- rows.toSeq.sortBy(r => (r._2, r._3))) {
+            val d = times.length
+            if (d < stepArr.length && et == stepArr(d)) {
+              val afterPrev = d == 0 || ts > times(d - 1)
+              val inWindow = d == 0 || spanUs <= 0 || ts <= times.head + spanUs
+              if (afterPrev && inWindow) times = times :+ ts
+            }
+          }
+          state.update(times)
+          FunnelProgress(key, times.length, times)
+      }
+  }
 }

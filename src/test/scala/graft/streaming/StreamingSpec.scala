@@ -492,6 +492,40 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming funnel matches the batch operator on an in-order stream") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // same fixture shape as FunnelSpec, split mid-user across batches
+    val all = Seq(
+      (1L, ts(1), "view"), (1L, ts(2), "click"), (1L, ts(3), "purchase"),
+      (2L, ts(1), "click"), (2L, ts(2), "view"), (2L, ts(5), "click"),
+      (3L, ts(1), "view"), (5L, ts(3), "click"), (5L, ts(5), "view"),
+      (6L, ts(1), "view"), (6L, ts(1), "click"))
+    val (b1, b2) = all.splitAt(5)
+    val ms = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = Stateful.funnelProgress(
+        ms.toDF().toDF("user_id", "ts", "event_type"),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+      .writeStream.format("memory").queryName("sfun").outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ck_sfun").toString)
+      .start()
+    ms.addData(b1); q.processAllAvailable()
+    ms.addData(b2); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sfun").groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.max("depth").as("depth"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val batch = graft.operators.temporal.Funnel.analyze(
+        all.toDF("user_id", "ts", "event_type"),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getInt(r.length - 1)).toMap
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    assert(batch == Map(1L -> 3, 2L -> 2, 3L -> 1, 5L -> 1, 6L -> 1))
+  }
+
   test("statestore source reads a stopped query's state through the DSL") {
     // stateful agg -> checkpoint; then `load statestore.` introspects the
     // state (Spark 4 state reader through the registry's format fallback)
