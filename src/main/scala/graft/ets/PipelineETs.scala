@@ -23,7 +23,26 @@ object PipelineETs {
     TemperatureMixET, BoilerplateCleanET, DomainReweightET, C4RulesET,
     UnigramTokenizerET, SubseqSearchET, FunnelET, SeasonalDecomposeET,
     RetentionET, TransitionsET, PageRankET, WordPieceET, MarketBasketET,
-    PathsET)
+    PathsET, ProfileET)
+}
+
+/** `run tbl as Profile.`` [where cols="a,b,c" and exact="false"]` —
+  * one-scan column profiling (see
+  * [[graft.operators.profile.ColumnProfile]]); defaults to every
+  * column. `exact="false"` switches distinct counts to HLL (no Expand
+  * blowup — the 100 TB mode).
+  */
+object ProfileET extends NoPathET {
+  override def name = "Profile"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    val cols = params.get("cols") match {
+      case Some(cs) => cs.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      case None => df.columns.toSeq
+    }
+    graft.operators.profile.ColumnProfile.profile(df, cols,
+      exact = params.getOrElse("exact", "true").toBoolean)
+  }
 }
 
 /** `run basket_rows as MarketBasket.`` where minSupport="5" [and

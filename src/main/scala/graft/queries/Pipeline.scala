@@ -2017,7 +2017,37 @@ object Pipeline {
         |      FROM r WHERE rn <= 3 GROUP BY user_id),
         |c AS (SELECT path, COUNT(*) AS n_users FROM p GROUP BY path)
         |SELECT path, n_users FROM c
-        |ORDER BY n_users DESC, path LIMIT 25""".stripMargin)
+        |ORDER BY n_users DESC, path LIMIT 25""".stripMargin),
+
+    // ---- one-scan column profiling (the SUMMARIZE surface): 5 mixed
+    //      lineitem columns, one aggregate pass, unpivoted. Exact mode
+    //      so the oracle replays every count; extrema are order-free.
+    //      ----
+    QuerySpec.sql("p70_profile", (s, dir) => {
+      import s.implicits._
+      graft.operators.profile.ColumnProfile.profile(
+          t(s, dir, "lineitem"),
+          Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_linestatus",
+            "l_returnflag"))
+        .orderBy($"column")
+    }, {
+      def num(c: String) =
+        s"""SELECT '$c' AS "column", COUNT(*) AS n,
+           | CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           | COUNT(DISTINCT $c) AS n_distinct,
+           | CAST(MIN($c) AS DOUBLE) AS min_num, CAST(MAX($c) AS DOUBLE) AS max_num,
+           | CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+           |FROM lineitem""".stripMargin
+      def str(c: String) =
+        s"""SELECT '$c', COUNT(*),
+           | CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           | COUNT(DISTINCT $c),
+           | CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), MIN($c), MAX($c)
+           |FROM lineitem""".stripMargin
+      Seq(num("l_orderkey"), num("l_quantity"), num("l_extendedprice"),
+        str("l_linestatus"), str("l_returnflag"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    })
   )
 
   /** Demo WordPiece vocab for p67: all lowercase letters EXCEPT `q`

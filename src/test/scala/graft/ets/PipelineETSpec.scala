@@ -1096,4 +1096,15 @@ class PipelineETSpec extends AnyFunSuite {
         |select * from pao as out;""".stripMargin, spark).collect()
     assert(pa.length == 1 && pa.head.getString(0) == "a>b")
   }
+
+  test("Profile DSL surface: all columns by default") {
+    val out = graft.dsl.ScriptRunner.runToDF(
+      """set pf = '''{"a":1,"b":"x"}
+        |{"a":2,"b":"y"}''';
+        |load jsonStr.`pf` as pf_rows;
+        |run pf_rows as Profile.`` as pfo;
+        |select * from pfo order by column as out;""".stripMargin, spark)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(out == Map("a" -> ((2L, 2L)), "b" -> ((2L, 2L))))
+  }
 }
