@@ -23,7 +23,23 @@ object PipelineETs {
     TemperatureMixET, BoilerplateCleanET, DomainReweightET, C4RulesET,
     UnigramTokenizerET, SubseqSearchET, FunnelET, SeasonalDecomposeET,
     RetentionET, TransitionsET, PageRankET, WordPieceET, MarketBasketET,
-    PathsET, ProfileET)
+    PathsET, ProfileET, EwmaET)
+}
+
+/** `run series as Ewma.`` where alpha="0.5" [and keyCol="k" and
+  * tCol="t" and valCol="v" and chunk="4096"]` — segmented-scan
+  * exponential smoothing (see [[graft.operators.temporal.Ewma]]).
+  */
+object EwmaET extends NoPathET {
+  override def name = "Ewma"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame =
+    graft.operators.temporal.Ewma.smooth(df,
+      params.getOrElse("keyCol", "k"), params.getOrElse("tCol", "t"),
+      params.getOrElse("valCol", "v"),
+      params.getOrElse("alpha", throw new IllegalArgumentException(
+        "Ewma requires alpha=...")).toDouble,
+      params.getOrElse("chunk", "4096").toInt)
 }
 
 /** `run tbl as Profile.`` [where cols="a,b,c" and exact="false"]` —

@@ -2047,7 +2047,37 @@ object Pipeline {
       Seq(num("l_orderkey"), num("l_quantity"), num("l_extendedprice"),
         str("l_linestatus"), str("l_returnflag"))
         .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
-    })
+    }),
+
+    // ---- distributed EWMA over hourly event counts (segmented-scan
+    //      linear recurrence — see Ewma scaladoc). alpha = 0.5 keeps
+    //      every value dyadic-exact, so the chunked two-phase algebra
+    //      equals the plain sequential recurrence BIT-FOR-BIT and the
+    //      oracle replays it as a straight recursive CTE — a genuinely
+    //      independent evaluation path agreeing exactly. ----
+    QuerySpec.sql("p71_ewma", (s, dir) => {
+      import s.implicits._
+      val hourly = t(s, dir, "events")
+        .groupBy($"event_type",
+          expr("unix_micros(ts) div 3600000000").as("t"))
+        .count()
+      graft.operators.temporal.Ewma
+        .smooth(hourly, "event_type", "t", "count", alpha = 0.5, chunk = 256)
+        .select($"k".as("event_type"), $"t", $"x", round($"s", 6).as("s"))
+        .orderBy($"event_type", $"t")
+    },
+      """WITH RECURSIVE hourly AS (SELECT event_type AS k,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS t,
+        |  CAST(COUNT(*) AS DOUBLE) AS x FROM events GROUP BY 1, 2),
+        |r AS (SELECT k, t, x,
+        |  ROW_NUMBER() OVER (PARTITION BY k ORDER BY t) - 1 AS idx FROM hourly),
+        |rec AS (
+        | SELECT k, t, x, idx, x AS s FROM r WHERE idx = 0
+        | UNION ALL
+        | SELECT r.k, r.t, r.x, r.idx, 0.5 * r.x + 0.5 * rec.s
+        | FROM rec JOIN r ON r.k = rec.k AND r.idx = rec.idx + 1)
+        |SELECT k AS event_type, CAST(t AS BIGINT) AS t, x, ROUND(s, 6) AS s
+        |FROM rec ORDER BY event_type, t""".stripMargin)
   )
 
   /** Demo WordPiece vocab for p67: all lowercase letters EXCEPT `q`

@@ -1107,4 +1107,15 @@ class PipelineETSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
     assert(out == Map("a" -> ((2L, 2L)), "b" -> ((2L, 2L))))
   }
+
+  test("Ewma DSL surface dispatches the segmented scan") {
+    val out = graft.dsl.ScriptRunner.runToDF(
+      """set ew = '''{"k":"a","t":0,"v":4.0}
+        |{"k":"a","t":1,"v":8.0}''';
+        |load jsonStr.`ew` as ew_rows;
+        |run ew_rows as Ewma.`` where alpha="0.5" as ewo;
+        |select t, s from ewo order by t as out;""".stripMargin, spark)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(out.toSeq == Seq(0L -> 4.0, 1L -> 6.0))
+  }
 }
