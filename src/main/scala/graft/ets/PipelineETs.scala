@@ -22,7 +22,7 @@ object PipelineETs {
     ClusterSampleET, ShardExportET, GopherRulesET, PerplexityBucketsET,
     TemperatureMixET, BoilerplateCleanET, DomainReweightET, C4RulesET,
     UnigramTokenizerET, SubseqSearchET, FunnelET, SeasonalDecomposeET,
-    RetentionET, TransitionsET, PageRankET, WordPieceET, MarketBasketET,
+    RetentionET, TransitionsET, PageRankFixedET, WordPieceET, MarketBasketET,
     PathsET, ProfileET, EwmaET)
 }
 
@@ -144,12 +144,13 @@ object TransitionsET extends NoPathET {
       params.getOrElse("typeCol", "event_type"), params.get("tieCol"))
 }
 
-/** `run edges as PageRank.`` where [srcCol="src" and dstCol="dst" and
-  * iterations="5"]` — integer fixed-point PageRank (see
-  * [[graft.operators.graph.PageRank]]).
+/** `run edges as PageRankFixed.`` where [srcCol="src" and dstCol="dst"
+  * and iterations="5"]` — integer fixed-point PageRank (see
+  * [[graft.operators.graph.PageRank]]; bit-reproducible, unlike the
+  * reference-compat GraphX `PageRank` ET next door in MlETs).
   */
-object PageRankET extends NoPathET {
-  override def name = "PageRank"
+object PageRankFixedET extends NoPathET {
+  override def name = "PageRankFixed"
   override def train(ctx: ScriptContext, df: DataFrame, path: String,
                      params: Map[String, String]): DataFrame =
     graft.operators.graph.PageRank.run(df,

@@ -134,7 +134,7 @@ class SurveyCoverageSpec extends AnyFunSuite {
       "TokenBudget", "ImportanceSelect", "ClusterSample", "ShardExport",
       "GopherRules", "PerplexityBuckets", "TemperatureMix", "BoilerplateClean",
       "DomainReweight", "C4Rules", "UnigramTokenizer", "SubseqSearch",
-      "Funnel", "SeasonalDecompose", "Retention", "Transitions", "PageRank",
+      "Funnel", "SeasonalDecompose", "Retention", "Transitions", "PageRankFixed",
       "WordPiece", "MarketBasket", "Paths", "Profile", "Ewma")
     val missing = names.filter(n =>
       scala.util.Try(ETRegistry.lookup(n)).isFailure)

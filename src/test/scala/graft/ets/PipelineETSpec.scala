@@ -1051,7 +1051,7 @@ class PipelineETSpec extends AnyFunSuite {
       """set pe = '''{"src":"a","dst":"b"}
         |{"src":"b","dst":"a"}''';
         |load jsonStr.`pe` as pe_edges;
-        |run pe_edges as PageRank.`` where iterations="2" as pro;
+        |run pe_edges as PageRankFixed.`` where iterations="2" as pro;
         |select * from pro as out;""".stripMargin, spark)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(pr == Map("a" -> 500000000000L, "b" -> 500000000000L), pr.toString)
