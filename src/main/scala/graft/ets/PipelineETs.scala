@@ -23,7 +23,19 @@ object PipelineETs {
     TemperatureMixET, BoilerplateCleanET, DomainReweightET, C4RulesET,
     UnigramTokenizerET, SubseqSearchET, FunnelET, SeasonalDecomposeET,
     RetentionET, TransitionsET, PageRankFixedET, WordPieceET, MarketBasketET,
-    PathsET, ProfileET, EwmaET)
+    PathsET, ProfileET, EwmaET, TrianglesET)
+}
+
+/** `run edges as Triangles.`` [where srcCol="src" and dstCol="dst"]` —
+  * degree-oriented triangle census (see
+  * [[graft.operators.graph.Triangles]]).
+  */
+object TrianglesET extends NoPathET {
+  override def name = "Triangles"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame =
+    graft.operators.graph.Triangles.perNode(df,
+      params.getOrElse("srcCol", "src"), params.getOrElse("dstCol", "dst"))
 }
 
 /** `run series as Ewma.`` where alpha="0.5" [and keyCol="k" and

@@ -2077,7 +2077,49 @@ object Pipeline {
         | SELECT r.k, r.t, r.x, r.idx, 0.5 * r.x + 0.5 * rec.s
         | FROM rec JOIN r ON r.k = rec.k AND r.idx = rec.idx + 1)
         |SELECT k AS event_type, CAST(t AS BIGINT) AS t, x, ROUND(s, 6) AS s
-        |FROM rec ORDER BY event_type, t""".stripMargin)
+        |FROM rec ORDER BY event_type, t""".stripMargin),
+
+    // ---- triangle census of the part co-occurrence graph (frequent
+    //      pairs as edges): degree-ordered orientation bounds wedge
+    //      fan-out at O(sqrt(m)) — the hub-node skew killer. All-int
+    //      algebra; the oracle replays the same orientation. ----
+    QuerySpec.sql("p72_triangles", (s, dir) => {
+      import s.implicits._
+      val edges = graft.operators.basket.MarketBasket.pairRules(
+          t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey"),
+          "l_orderkey", "l_partkey", minSupport = 2L)
+        .select($"a", $"b")
+      graft.operators.graph.Triangles.perNode(edges, "a", "b")
+        .orderBy($"node")
+    },
+      """WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS i FROM lineitem),
+        |pr AS (SELECT x.i AS a, y.i AS b FROM it x
+        |       JOIN it y ON x.bk = y.bk AND x.i < y.i
+        |       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |e AS (SELECT a AS u, b AS v FROM pr),
+        |deg AS (SELECT node, COUNT(*) AS degree FROM
+        |  (SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY node),
+        |o AS (SELECT
+        |  CASE WHEN du.degree < dv.degree OR (du.degree = dv.degree AND e.u < e.v)
+        |       THEN e.u ELSE e.v END AS s,
+        |  CASE WHEN du.degree < dv.degree OR (du.degree = dv.degree AND e.u < e.v)
+        |       THEN e.v ELSE e.u END AS d,
+        |  CASE WHEN du.degree < dv.degree OR (du.degree = dv.degree AND e.u < e.v)
+        |       THEN dv.degree ELSE du.degree END AS dd
+        | FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v),
+        |w AS (SELECT o1.s, o1.d AS d1, o2.d AS d2 FROM o o1 JOIN o o2
+        |      ON o1.s = o2.s AND (o1.dd < o2.dd OR (o1.dd = o2.dd AND o1.d < o2.d))),
+        |tri AS (SELECT w.s, w.d1, w.d2 FROM w
+        |        JOIN o ON o.s = w.d1 AND o.d = w.d2),
+        |corners AS (SELECT s AS node FROM tri UNION ALL
+        |            SELECT d1 FROM tri UNION ALL SELECT d2 FROM tri),
+        |tc AS (SELECT node, COUNT(*) AS n_tri FROM corners GROUP BY node)
+        |SELECT deg.node, deg.degree,
+        | CAST(COALESCE(tc.n_tri, 0) AS BIGINT) AS n_tri,
+        | ROUND(CASE WHEN deg.degree < 2 THEN 0.0
+        |   ELSE CAST(COALESCE(tc.n_tri, 0) * 2 AS DOUBLE) /
+        |        (deg.degree * (deg.degree - 1)) END, 6) AS clustering
+        |FROM deg LEFT JOIN tc USING (node) ORDER BY node""".stripMargin)
   )
 
   /** Demo WordPiece vocab for p67: all lowercase letters EXCEPT `q`

@@ -135,7 +135,7 @@ class SurveyCoverageSpec extends AnyFunSuite {
       "GopherRules", "PerplexityBuckets", "TemperatureMix", "BoilerplateClean",
       "DomainReweight", "C4Rules", "UnigramTokenizer", "SubseqSearch",
       "Funnel", "SeasonalDecompose", "Retention", "Transitions", "PageRankFixed",
-      "WordPiece", "MarketBasket", "Paths", "Profile", "Ewma")
+      "WordPiece", "MarketBasket", "Paths", "Profile", "Ewma", "Triangles")
     val missing = names.filter(n =>
       scala.util.Try(ETRegistry.lookup(n)).isFailure)
     assert(missing.isEmpty, s"ET registry missing: ${missing.mkString(", ")}")

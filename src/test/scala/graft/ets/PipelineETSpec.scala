@@ -1118,4 +1118,16 @@ class PipelineETSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(1))
     assert(out.toSeq == Seq(0L -> 4.0, 1L -> 6.0))
   }
+
+  test("Triangles DSL surface dispatches the census") {
+    val out = graft.dsl.ScriptRunner.runToDF(
+      """set tg = '''{"src":1,"dst":2}
+        |{"src":2,"dst":3}
+        |{"src":1,"dst":3}''';
+        |load jsonStr.`tg` as tg_edges;
+        |run tg_edges as Triangles.`` as tgo;
+        |select node, n_tri from tgo order by node as out;""".stripMargin, spark)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.toSeq == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
 }
