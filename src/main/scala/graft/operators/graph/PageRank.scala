@@ -51,10 +51,14 @@ object PageRank {
     * scale; encode typed vertices as disjoint ranges, e.g. 2k / 2k+1).
     */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
-          iterations: Int = 5, unit: Long = 1000000000000L): DataFrame = {
+          iterations: Int = 5, unit: Long = 1000000000000L,
+          edgesDistinct: Boolean = false): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct()
+    val sel = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // edgesDistinct: callers that can prove uniqueness (e.g. a distinct
+    // pair set unioned with its reverse over disjoint id ranges) skip an
+    // input-sized shuffle here
+    val e = (if (edgesDistinct) sel else sel.distinct())
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()

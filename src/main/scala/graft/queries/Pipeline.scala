@@ -1952,8 +1952,12 @@ object Pipeline {
         .join(t(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
           $"l_orderkey" === $"o_orderkey")
         .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
+        .distinct()
+      // even/odd vertex ranges are disjoint, so distinct ∪ reverse is
+      // already duplicate-free — skip run()'s input-sized distinct
       val edges = cs.union(cs.select($"dst".as("src"), $"src".as("dst")))
-      graft.operators.graph.PageRank.run(edges, "src", "dst", iterations = 5)
+      graft.operators.graph.PageRank.run(edges, "src", "dst", iterations = 5,
+          edgesDistinct = true)
         .orderBy($"node")
     }, pageRankOracleSql(5)),
 

@@ -7,7 +7,7 @@ import graft.TestSpark
 class ProfileProfile extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  test("profile p70 at sf0.1") {
+  ignore("profile p70 at sf0.1") {
     def t[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
       println(f"[prof] $label%-16s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
