@@ -23,7 +23,20 @@ object PipelineETs {
     TemperatureMixET, BoilerplateCleanET, DomainReweightET, C4RulesET,
     UnigramTokenizerET, SubseqSearchET, FunnelET, SeasonalDecomposeET,
     RetentionET, TransitionsET, PageRankFixedET, WordPieceET, MarketBasketET,
-    PathsET, ProfileET, EwmaET, TrianglesET)
+    PathsET, ProfileET, EwmaET, TrianglesET, LabelPropagationET)
+}
+
+/** `run edges as LabelPropagation.`` [where srcCol="src" and
+  * dstCol="dst" and iterations="5"]` — deterministic synchronous LPA
+  * communities (see [[graft.operators.graph.LabelPropagation]]).
+  */
+object LabelPropagationET extends NoPathET {
+  override def name = "LabelPropagation"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame =
+    graft.operators.graph.LabelPropagation.run(df,
+      params.getOrElse("srcCol", "src"), params.getOrElse("dstCol", "dst"),
+      params.getOrElse("iterations", "5").toInt)
 }
 
 /** `run edges as Triangles.`` [where srcCol="src" and dstCol="dst"]` —

@@ -2123,8 +2123,48 @@ object Pipeline {
         | ROUND(CASE WHEN deg.degree < 2 THEN 0.0
         |   ELSE CAST(COALESCE(tc.n_tri, 0) * 2 AS DOUBLE) /
         |        (deg.degree * (deg.degree - 1)) END, 6) AS clustering
-        |FROM deg LEFT JOIN tc USING (node) ORDER BY node""".stripMargin)
+        |FROM deg LEFT JOIN tc USING (node) ORDER BY node""".stripMargin),
+
+    // ---- deterministic label-propagation communities over the part
+    //      co-occurrence graph, 5 synchronous rounds (smallest-label
+    //      tie-break — the reproducible variant; integer argmax via
+    //      max(struct(cnt, -label)), no windows). Oracle unrolls the
+    //      identical rounds. ----
+    QuerySpec.sql("p73_communities", (s, dir) => {
+      import s.implicits._
+      val edges = graft.operators.basket.MarketBasket.pairRules(
+          t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey"),
+          "l_orderkey", "l_partkey", minSupport = 2L)
+        .select($"a", $"b")
+      graft.operators.graph.LabelPropagation.run(edges, "a", "b", iterations = 5)
+        .orderBy($"node")
+    }, lpaOracleSql(5))
   )
+
+  /** Unrolled k-round synchronous LPA replay (see
+    * [[graft.operators.graph.LabelPropagation]]); edges are the same
+    * frequent part pairs as p72's census.
+    */
+  private def lpaOracleSql(k: Int): String = {
+    val iters = (1 to k).map { i =>
+      s"""vt$i AS (SELECT e.v AS n, l.label, COUNT(*) AS cnt
+         | FROM e JOIN l${i - 1} l ON l.node = e.u GROUP BY 1, 2),
+         |w$i AS (SELECT n, label AS lab FROM (
+         |   SELECT n, label, ROW_NUMBER() OVER (PARTITION BY n
+         |     ORDER BY cnt DESC, label) AS rn FROM vt$i) WHERE rn = 1),
+         |l$i AS (SELECT nd.node, COALESCE(w$i.lab, nd.node) AS label
+         | FROM nodes nd LEFT JOIN w$i ON w$i.n = nd.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS i FROM lineitem),
+       |pr AS (SELECT x.i AS a, y.i AS b FROM it x
+       |       JOIN it y ON x.bk = y.bk AND x.i < y.i
+       |       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |e AS (SELECT a AS u, b AS v FROM pr UNION SELECT b, a FROM pr),
+       |nodes AS (SELECT DISTINCT u AS node FROM e),
+       |l0 AS (SELECT node, node AS label FROM nodes),
+       |$iters
+       |SELECT node, label FROM l$k ORDER BY node""".stripMargin
+  }
 
   /** Demo WordPiece vocab for p67: all lowercase letters EXCEPT `q`
     * (initial and `##`-continuation forms) plus common English/corpus

@@ -135,7 +135,8 @@ class SurveyCoverageSpec extends AnyFunSuite {
       "GopherRules", "PerplexityBuckets", "TemperatureMix", "BoilerplateClean",
       "DomainReweight", "C4Rules", "UnigramTokenizer", "SubseqSearch",
       "Funnel", "SeasonalDecompose", "Retention", "Transitions", "PageRankFixed",
-      "WordPiece", "MarketBasket", "Paths", "Profile", "Ewma", "Triangles")
+      "WordPiece", "MarketBasket", "Paths", "Profile", "Ewma", "Triangles",
+      "LabelPropagation")
     val missing = names.filter(n =>
       scala.util.Try(ETRegistry.lookup(n)).isFailure)
     assert(missing.isEmpty, s"ET registry missing: ${missing.mkString(", ")}")

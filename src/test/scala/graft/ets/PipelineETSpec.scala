@@ -1130,4 +1130,15 @@ class PipelineETSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(out.toSeq == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
+
+  test("LabelPropagation DSL surface dispatches") {
+    val out = graft.dsl.ScriptRunner.runToDF(
+      """set lp = '''{"src":1,"dst":2}
+        |{"src":2,"dst":3}''';
+        |load jsonStr.`lp` as lp_edges;
+        |run lp_edges as LabelPropagation.`` where iterations="1" as lpo;
+        |select node, label from lpo order by node as out;""".stripMargin, spark)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L, 2L -> 1L, 3L -> 2L))
+  }
 }
