@@ -23,7 +23,25 @@ object PipelineETs {
     TemperatureMixET, BoilerplateCleanET, DomainReweightET, C4RulesET,
     UnigramTokenizerET, SubseqSearchET, FunnelET, SeasonalDecomposeET,
     RetentionET, TransitionsET, PageRankFixedET, WordPieceET, MarketBasketET,
-    PathsET, ProfileET, EwmaET, TrianglesET, LabelPropagationET)
+    PathsET, ProfileET, EwmaET, TrianglesET, LabelPropagationET, HoltET)
+}
+
+/** `run series as Holt.`` where alpha="0.5" and beta="0.25" [and
+  * keyCol/tCol/valCol/chunk]` — Holt linear-trend smoothing as a
+  * 2x2-matrix segmented scan (see [[graft.operators.temporal.Holt]]).
+  */
+object HoltET extends NoPathET {
+  override def name = "Holt"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame =
+    graft.operators.temporal.Holt.smooth(df,
+      params.getOrElse("keyCol", "k"), params.getOrElse("tCol", "t"),
+      params.getOrElse("valCol", "v"),
+      params.getOrElse("alpha", throw new IllegalArgumentException(
+        "Holt requires alpha=...")).toDouble,
+      params.getOrElse("beta", throw new IllegalArgumentException(
+        "Holt requires beta=...")).toDouble,
+      params.getOrElse("chunk", "4096").toInt)
 }
 
 /** `run edges as LabelPropagation.`` [where srcCol="src" and

@@ -2138,7 +2138,80 @@ object Pipeline {
         .select($"a", $"b")
       graft.operators.graph.LabelPropagation.run(edges, "a", "b", iterations = 5)
         .orderBy($"node")
-    }, lpaOracleSql(5))
+    }, lpaOracleSql(5)),
+
+    // ---- Holt linear-trend smoothing over hourly event counts (the
+    //      2x2-matrix segmented scan — see Holt scaladoc). The oracle
+    //      replays the TWO-PHASE algebra itself (within-chunk
+    //      recursion for the zero-carry trajectory + accumulated
+    //      matrix, carry recursion over chunk summaries, final patch)
+    //      with the identical IEEE op order, so values match bit for
+    //      bit even where A-powers round. ----
+    QuerySpec.sql("p74_holt", (s, dir) => {
+      import s.implicits._
+      val hourly = t(s, dir, "events")
+        .groupBy($"event_type",
+          expr("unix_micros(ts) div 3600000000").as("t"))
+        .count()
+      graft.operators.temporal.Holt
+        .smooth(hourly, "event_type", "t", "count",
+          alpha = 0.5, beta = 0.25, chunk = 256)
+        .select($"k".as("event_type"), $"t", $"x",
+          round($"l", 6).as("l"), round($"b", 6).as("b"),
+          round($"f1", 6).as("f1"))
+        .orderBy($"event_type", $"t")
+    },
+      """WITH RECURSIVE hourly AS (SELECT event_type AS k,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS t,
+        |  CAST(COUNT(*) AS DOUBLE) AS x FROM events GROUP BY 1, 2),
+        |r0 AS (SELECT k, t, x,
+        |  ROW_NUMBER() OVER (PARTITION BY k ORDER BY t) - 1 AS idx FROM hourly),
+        |rr AS (SELECT k, t, x, idx, idx // 256 AS cid, idx % 256 AS pos FROM r0),
+        |rec AS (
+        | SELECT k, cid, pos, x,
+        |  CASE WHEN cid = 0 THEN x
+        |       ELSE 0.5 * x + 0.5 * (0.0 + 0.0) END AS lh,
+        |  CASE WHEN cid = 0 THEN 0.0
+        |       ELSE 0.25 * ((0.5 * x + 0.5 * (0.0 + 0.0)) - 0.0) + 0.75 * 0.0
+        |       END AS bh,
+        |  CAST(CASE WHEN cid = 0 THEN 0.0 ELSE 0.5 END AS DOUBLE) AS p11,
+        |  CAST(CASE WHEN cid = 0 THEN 0.0 ELSE 0.5 END AS DOUBLE) AS p12,
+        |  CAST(CASE WHEN cid = 0 THEN 0.0 ELSE -0.125 END AS DOUBLE) AS p21,
+        |  CAST(CASE WHEN cid = 0 THEN 0.0 ELSE 0.875 END AS DOUBLE) AS p22
+        | FROM rr WHERE pos = 0
+        | UNION ALL
+        | SELECT n.k, n.cid, n.pos, n.x,
+        |  0.5 * n.x + 0.5 * (rec.lh + rec.bh),
+        |  0.25 * ((0.5 * n.x + 0.5 * (rec.lh + rec.bh)) - rec.lh)
+        |    + 0.75 * rec.bh,
+        |  0.5 * rec.p11 + 0.5 * rec.p21,
+        |  0.5 * rec.p12 + 0.5 * rec.p22,
+        |  -0.125 * rec.p11 + 0.875 * rec.p21,
+        |  -0.125 * rec.p12 + 0.875 * rec.p22
+        | FROM rec JOIN rr n ON n.k = rec.k AND n.cid = rec.cid
+        |   AND n.pos = rec.pos + 1),
+        |ends AS (SELECT k, cid, lh AS lend, bh AS bend,
+        |  p11 AS e11, p12 AS e12, p21 AS e21, p22 AS e22 FROM (
+        |   SELECT rec.*, ROW_NUMBER() OVER (PARTITION BY k, cid
+        |     ORDER BY pos DESC) AS rn FROM rec) WHERE rn = 1),
+        |car AS (
+        | SELECT k, CAST(0 AS BIGINT) AS cid, CAST(0.0 AS DOUBLE) AS cl,
+        |  CAST(0.0 AS DOUBLE) AS cb
+        | FROM (SELECT DISTINCT k FROM rr)
+        | UNION ALL
+        | SELECT e.k, e.cid + 1,
+        |  e.lend + e.e11 * car.cl + e.e12 * car.cb,
+        |  e.bend + e.e21 * car.cl + e.e22 * car.cb
+        | FROM car JOIN ends e ON e.k = car.k AND e.cid = car.cid),
+        |fin AS (SELECT rr.k, rr.t, rr.x,
+        |  rec.lh + rec.p11 * car.cl + rec.p12 * car.cb AS l,
+        |  rec.bh + rec.p21 * car.cl + rec.p22 * car.cb AS b
+        | FROM rr JOIN rec ON rec.k = rr.k AND rec.cid = rr.cid
+        |   AND rec.pos = rr.pos
+        | JOIN car ON car.k = rr.k AND car.cid = rr.cid)
+        |SELECT k AS event_type, CAST(t AS BIGINT) AS t, x,
+        | ROUND(l, 6) AS l, ROUND(b, 6) AS b, ROUND(l + b, 6) AS f1
+        |FROM fin ORDER BY event_type, t""".stripMargin)
   )
 
   /** Unrolled k-round synchronous LPA replay (see

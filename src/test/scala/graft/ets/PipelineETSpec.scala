@@ -1141,4 +1141,16 @@ class PipelineETSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(1L -> 2L, 2L -> 1L, 3L -> 2L))
   }
+
+  test("Holt DSL surface dispatches the 2x2 segmented scan") {
+    val out = graft.dsl.ScriptRunner.runToDF(
+      """set ho = '''{"k":"a","t":0,"v":10.0}
+        |{"k":"a","t":1,"v":12.0}''';
+        |load jsonStr.`ho` as ho_rows;
+        |run ho_rows as Holt.`` where alpha="0.5" and beta="0.5" as hoo;
+        |select t, l, b from hoo order by t as out;""".stripMargin, spark)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    // l1=10,b1=0; l2=0.5*12+0.5*10=11, b2=0.5*(11-10)+0.5*0=0.5
+    assert(out.toSeq == Seq((0L, 10.0, 0.0), (1L, 11.0, 0.5)))
+  }
 }
