@@ -2211,7 +2211,45 @@ object Pipeline {
         | JOIN car ON car.k = rr.k AND car.cid = rr.cid)
         |SELECT k AS event_type, CAST(t AS BIGINT) AS t, x,
         | ROUND(l, 6) AS l, ROUND(b, 6) AS b, ROUND(l + b, 6) AS f1
-        |FROM fin ORDER BY event_type, t""".stripMargin)
+        |FROM fin ORDER BY event_type, t""".stripMargin),
+
+    // ---- last-touch marketing attribution: each purchase credits the
+    //      latest view/click touch within 3 days, else 'direct'. The
+    //      Spark side composes the shuffle-once AsOfJoin operator; the
+    //      oracle uses DuckDB's NATIVE ASOF JOIN — two independent
+    //      as-of implementations agreeing. ----
+    QuerySpec.sql("p75_attribution", (s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val conv = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"value")
+      val touch = ev.filter($"event_type".isin("view", "click"))
+        .select($"user_id", $"ts", $"event_type")
+      val att = graft.operators.temporal.AsOfJoin
+        .join(conv, touch, Seq("user_id"), "ts", "ts", Seq("event_type", "ts"))
+        .withColumn("channel",
+          when($"asof_ts" >= $"ts" - expr("INTERVAL 3 DAYS"), $"asof_event_type")
+            .otherwise(lit("direct")))
+        .select($"user_id", $"ts", $"channel")
+      conv.join(att, Seq("user_id", "ts"), "left")
+        .withColumn("channel", coalesce($"channel", lit("direct")))
+        .groupBy($"channel")
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast("decimal(18,2)")).cast("double").as("sum_v"))
+        .orderBy($"channel")
+    },
+      """WITH conv AS (SELECT user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |touch AS (SELECT user_id, ts, event_type FROM events
+        |  WHERE event_type IN ('view', 'click')),
+        |att AS (SELECT c.user_id, c.ts, c.value,
+        |  CASE WHEN t.ts >= c.ts - INTERVAL 3 DAY THEN t.event_type
+        |       ELSE 'direct' END AS channel
+        | FROM conv c ASOF LEFT JOIN touch t
+        |   ON c.user_id = t.user_id AND t.ts <= c.ts)
+        |SELECT COALESCE(channel, 'direct') AS channel, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM att GROUP BY 1 ORDER BY channel""".stripMargin)
   )
 
   /** Unrolled k-round synchronous LPA replay (see
