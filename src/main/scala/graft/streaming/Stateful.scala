@@ -112,6 +112,56 @@ object Stateful {
         TimeMode.None(), OutputMode.Update())
   }
 
+  case class Anomaly(key: Long, ts: Long, value: Double, mean: Double,
+                     std: Double, zscore: Double)
+
+  /** Streaming anomaly detection — per-key exponentially-weighted mean
+    * and variance (the EW Welford update: diff = x−μ, incr = α·diff,
+    * μ += incr, σ² = (1−α)(σ² + diff·incr)), emitting a row ONLY when a
+    * point deviates more than `k` EW standard deviations after a
+    * `warmup`-point burn-in (Append mode — the alert stream shape).
+    * State per key is three numbers, independent of stream length;
+    * rows are processed in (ts, value) order within a batch for
+    * determinism. The anomalous point still updates the state (spikes
+    * inflate the variance and self-dampen — standard EWMA-control-chart
+    * behavior).
+    */
+  def ewmaAnomalies(df: DataFrame, keyCol: String, tsCol: String,
+                    valCol: String, alpha: Double, k: Double,
+                    warmup: Int = 5): Dataset[Anomaly] = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    require(k > 0 && warmup >= 1, "k must be positive, warmup >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("long"),
+        unix_micros(col(tsCol).cast("timestamp")), col(valCol).cast("double"))
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(valCol).isNotNull)
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Double, Double, Long), Anomaly](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[(Double, Double, Long)]) =>
+          var (mean, vr, n) = state.getOption.getOrElse((0.0, 0.0, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Anomaly]
+          for ((_, ts, x) <- rows.toSeq.sortBy(r => (r._2, r._3))) {
+            if (n == 0L) { mean = x; vr = 0.0 }
+            else {
+              val diff = x - mean
+              val std = math.sqrt(vr)
+              if (n >= warmup && std > 0 && math.abs(diff) > k * std)
+                out += Anomaly(key, ts, x, mean, std, diff / std)
+              val incr = alpha * diff
+              mean += incr
+              vr = (1 - alpha) * (vr + diff * incr)
+            }
+            n += 1
+          }
+          state.update((mean, vr, n))
+          out.iterator
+      }
+  }
+
   case class FunnelProgress(user_id: Long, depth: Int, step_ts: Seq[Long])
 
   /** Streaming ordered funnel — the micro-batch twin of

@@ -526,6 +526,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == Map(1L -> 3, 2L -> 2, 3L -> 1, 5L -> 1, 6L -> 1))
   }
 
+  test("streaming EWMA anomaly detector flags the spike and only the spike") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val ms = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val q = Stateful.ewmaAnomalies(
+        ms.toDF().toDF("k", "ts", "v"), "k", "ts", "v",
+        alpha = 0.3, k = 4.0, warmup = 5)
+      .writeStream.format("memory").queryName("anom").outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ck_anom").toString)
+      .start()
+    // noisy-but-stable warmup across two batches, then a spike
+    val base = (1 to 12).map(i =>
+      (1L, ts(i), 10.0 + (if (i % 2 == 0) 0.5 else -0.5)))
+    ms.addData(base.take(6)); q.processAllAvailable()
+    ms.addData(base.drop(6) :+ ((1L, ts(13), 50.0)) :+ ((1L, ts(14), 10.0)))
+    q.processAllAvailable()
+    q.stop()
+    val alerts = spark.table("anom").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(5)))
+    assert(alerts.length == 1, s"expected one alert, got ${alerts.mkString(";")}")
+    val (ats, av, az) = alerts.head
+    assert(ats == 13L * 1000000L && av == 50.0 && az > 4.0)
+  }
+
   test("statestore source reads a stopped query's state through the DSL") {
     // stateful agg -> checkpoint; then `load statestore.` introspects the
     // state (Spark 4 state reader through the registry's format fallback)
