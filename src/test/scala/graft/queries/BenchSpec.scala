@@ -296,4 +296,42 @@ class BenchSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("HashAggregate"), p)
   }
+
+  test("analytics-layer joins are equi only: no cartesian, no nested-loop") {
+    for (q <- Seq("p62_funnel", "p64_retention", "p65_transitions",
+        "p68_market_basket", "p72_triangles", "p75_attribution")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      // the ONE legitimate nested-loop shape is the 1-row-aggregate scalar
+      // broadcast (crossJoin(broadcast(agg)) — e.g. market basket's N);
+      // anything else nested-loop is a blowup bug
+      val bnlj = "BroadcastNestedLoopJoin"
+      val stray = p.linesIterator.filter(_.contains(bnlj))
+        .filterNot(_.contains("BuildRight, Cross"))
+      assert(stray.isEmpty, s"$q stray nested-loop:\n$p")
+    }
+  }
+
+  test("analytics-layer windows are key-partitioned, never global") {
+    // seasonal/EWMA/transitions/paths all window per key; a SinglePartition
+    // exchange would mean the global-window trap
+    for (q <- Seq("p63_seasonal_decompose", "p65_transitions", "p71_ewma",
+        "p69_top_paths")) {
+      val p = plan(q)
+      assert(!p.contains("SinglePartition"), s"$q:\n$p")
+    }
+  }
+
+  test("p70 exact profile: the Expand aggregation stays hash-based") {
+    // string extrema live in a separate Expand-free SortAggregate pass;
+    // the Expand subtree itself must aggregate by hash (a SortAggregate
+    // over W+1 input copies was the measured 8s regression shape)
+    val p = plan("p70_profile")
+    assert(p.contains("Expand"), p)
+    // tree prints top-down: any SortAggregate ABOVE the Expand would
+    // appear before it
+    val upToExpand = p.substring(0, p.indexOf("Expand"))
+    assert(!upToExpand.contains("SortAggregate"),
+      s"SortAggregate above Expand:\n$p")
+  }
 }
