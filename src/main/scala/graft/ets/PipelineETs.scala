@@ -23,7 +23,21 @@ object PipelineETs {
     TemperatureMixET, BoilerplateCleanET, DomainReweightET, C4RulesET,
     UnigramTokenizerET, SubseqSearchET, FunnelET, SeasonalDecomposeET,
     RetentionET, TransitionsET, PageRankFixedET, WordPieceET, MarketBasketET,
-    PathsET, ProfileET, EwmaET, TrianglesET, LabelPropagationET, HoltET)
+    PathsET, ProfileET, EwmaET, TrianglesET, LabelPropagationET, HoltET,
+    TwapET)
+}
+
+/** `run samples as Twap.`` [where keyCol="k" and tsCol="ts" and
+  * valCol="v" and tieCol="event_id"]` — time-weighted average over
+  * irregular samples (see [[graft.operators.temporal.Twap]]).
+  */
+object TwapET extends NoPathET {
+  override def name = "Twap"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame =
+    graft.operators.temporal.Twap.compute(df,
+      params.getOrElse("keyCol", "k"), params.getOrElse("tsCol", "ts"),
+      params.getOrElse("valCol", "v"), params.get("tieCol"))
 }
 
 /** `run series as Holt.`` where alpha="0.5" and beta="0.25" [and

@@ -2249,7 +2249,35 @@ object Pipeline {
         |   ON c.user_id = t.user_id AND t.ts <= c.ts)
         |SELECT COALESCE(channel, 'direct') AS channel, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
-        |FROM att GROUP BY 1 ORDER BY channel""".stripMargin)
+        |FROM att GROUP BY 1 ORDER BY channel""".stripMargin),
+
+    // ---- time-weighted average of event values per type (TWAP /
+    //      duty-cycle over irregular samples): step interpolation with
+    //      EXACT decimal·micros weights — order-independent, replayed
+    //      digit-for-digit; one divide at the end. ----
+    QuerySpec.sql("p76_twap", (s, dir) => {
+      import s.implicits._
+      graft.operators.temporal.Twap.compute(
+          t(s, dir, "events"), "event_type", "ts", "value",
+          tieCol = Some("event_id"))
+        .withColumnRenamed("k", "event_type")
+        .orderBy($"event_type")
+    },
+      """WITH o AS (SELECT event_type, value, event_id,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS tu,
+        |  LEAD(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+        |    PARTITION BY event_type ORDER BY epoch_us(CAST(ts AS TIMESTAMP)),
+        |    event_id) AS nxt
+        | FROM events),
+        |a AS (SELECT event_type, COUNT(*) AS n_samples,
+        |  SUM(CAST(value AS DECIMAL(12,2)) * CAST(nxt - tu AS DECIMAL(20,0)))
+        |    AS wsum,
+        |  MAX(tu) - MIN(tu) AS span
+        | FROM o GROUP BY 1)
+        |SELECT event_type, n_samples,
+        | CASE WHEN span > 0 THEN ROUND(CAST(wsum AS DOUBLE) / span, 6) END
+        |   AS twap
+        |FROM a ORDER BY event_type""".stripMargin)
   )
 
   /** Unrolled k-round synchronous LPA replay (see

@@ -1153,4 +1153,15 @@ class PipelineETSpec extends AnyFunSuite {
     // l1=10,b1=0; l2=0.5*12+0.5*10=11, b2=0.5*(11-10)+0.5*0=0.5
     assert(out.toSeq == Seq((0L, 10.0, 0.0), (1L, 11.0, 0.5)))
   }
+
+  test("Twap DSL surface dispatches") {
+    val out = graft.dsl.ScriptRunner.runToDF(
+      """set tw = '''{"k":1,"ts":"2026-01-01 00:00:00","v":4.0}
+        |{"k":1,"ts":"2026-01-01 00:00:10","v":8.0}''';
+        |load jsonStr.`tw` as tw_rows;
+        |select k, cast(ts as timestamp) as ts, v from tw_rows as tw2;
+        |run tw2 as Twap.`` as two;
+        |select twap from two as out;""".stripMargin, spark).collect()
+    assert(out.head.getDouble(0) == 4.0) // v=4 held the whole span
+  }
 }
