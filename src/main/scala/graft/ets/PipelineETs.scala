@@ -24,7 +24,20 @@ object PipelineETs {
     UnigramTokenizerET, SubseqSearchET, FunnelET, SeasonalDecomposeET,
     RetentionET, TransitionsET, PageRankFixedET, WordPieceET, MarketBasketET,
     PathsET, ProfileET, EwmaET, TrianglesET, LabelPropagationET, HoltET,
-    TwapET)
+    TwapET, RobustOutliersET)
+}
+
+/** `run rows as RobustOutliers.`` [where keyCol="k" and valCol="v" and
+  * threshold="3.5"]` — modified-z-score outlier screen (see
+  * [[graft.operators.profile.RobustOutliers]]).
+  */
+object RobustOutliersET extends NoPathET {
+  override def name = "RobustOutliers"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame =
+    graft.operators.profile.RobustOutliers.summary(df,
+      params.getOrElse("keyCol", "k"), params.getOrElse("valCol", "v"),
+      params.getOrElse("threshold", "3.5").toDouble)
 }
 
 /** `run samples as Twap.`` [where keyCol="k" and tsCol="ts" and

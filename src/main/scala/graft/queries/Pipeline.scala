@@ -2277,7 +2277,34 @@ object Pipeline {
         |SELECT event_type, n_samples,
         | CASE WHEN span > 0 THEN ROUND(CAST(wsum AS DOUBLE) / span, 6) END
         |   AS twap
-        |FROM a ORDER BY event_type""".stripMargin)
+        |FROM a ORDER BY event_type""".stripMargin),
+
+    // ---- robust per-type outlier screen (modified z-score, Iglewicz-
+    //      Hoaglin): two-level exact medians, bit-identical lerp on
+    //      2-dec money doubles, so even the threshold comparisons
+    //      replay exactly. ----
+    QuerySpec.sql("p77_robust_outliers", (s, dir) => {
+      import s.implicits._
+      graft.operators.profile.RobustOutliers.summary(
+          t(s, dir, "events"), "event_type", "value")
+        .withColumnRenamed("k", "event_type")
+        .orderBy($"event_type")
+    },
+      """WITH b AS (SELECT event_type AS k, value AS v FROM events
+        |           WHERE value IS NOT NULL),
+        |m AS (SELECT k, QUANTILE_CONT(v, 0.5) AS med FROM b GROUP BY k),
+        |d AS (SELECT b.k, b.v, m.med, ABS(b.v - m.med) AS ad
+        |      FROM b JOIN m USING (k)),
+        |st AS (SELECT k, COUNT(*) AS n, MAX(med) AS med,
+        |       QUANTILE_CONT(ad, 0.5) AS mad FROM d GROUP BY k),
+        |o AS (SELECT d.k, COUNT(*) AS n_outliers FROM d JOIN st USING (k)
+        |      WHERE st.mad > 0
+        |        AND ABS(0.6745 * (d.v - d.med) / st.mad) > 3.5
+        |      GROUP BY d.k)
+        |SELECT st.k AS event_type, CAST(st.n AS BIGINT) AS n,
+        | ROUND(st.med, 6) AS med, ROUND(st.mad, 6) AS mad,
+        | CAST(COALESCE(o.n_outliers, 0) AS BIGINT) AS n_outliers
+        |FROM st LEFT JOIN o ON o.k = st.k ORDER BY event_type""".stripMargin)
   )
 
   /** Unrolled k-round synchronous LPA replay (see

@@ -1164,4 +1164,16 @@ class PipelineETSpec extends AnyFunSuite {
         |select twap from two as out;""".stripMargin, spark).collect()
     assert(out.head.getDouble(0) == 4.0) // v=4 held the whole span
   }
+
+  test("RobustOutliers DSL surface dispatches") {
+    val rows = (Seq.fill(8)(10.0) :+ 500.0).zipWithIndex
+      .map { case (v, i) => s"""{"k":"a","v":$v,"i":$i}""" }.mkString("\n")
+    val out = graft.dsl.ScriptRunner.runToDF(
+      s"""set ro = '''$rows''';
+         |load jsonStr.`ro` as ro_rows;
+         |run ro_rows as RobustOutliers.`` as roo;
+         |select n_outliers from roo as out;""".stripMargin, spark).collect()
+    // MAD = 0 (8 identical values) -> degenerate, nothing flagged
+    assert(out.head.getLong(0) == 0L)
+  }
 }
