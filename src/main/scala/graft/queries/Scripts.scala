@@ -1199,6 +1199,88 @@ object Scripts {
         | (tok_end - n_tokens) // 8 AS first_chunk,
         | (tok_end - 1) // 8 AS last_chunk,
         | (tok_end - n_tokens) % 8 AS offset_in_chunk
-        |FROM c ORDER BY doc_id""".stripMargin)
+        |FROM c ORDER BY doc_id""".stripMargin),
+
+    // ---- product-analytics flagship: funnel + retention + transition
+    //      matrix over the SAME events load, all through the DSL, one
+    //      three-section output; the oracle replays all three operator
+    //      algebras (p62/p64/p65's) in one statement. ----
+    QuerySpec.sql("s38_script_product_analytics", (s, dir) => script(s,
+      s"""load parquet.`$dir/events.parquet` as s38_raw;
+         |select user_id, cast(ts as timestamp) as ts, event_type, event_id
+         |from s38_raw as s38_events;
+         |run s38_events as Funnel.`` where steps="signup,view,click,purchase"
+         |  and maxSpanSeconds="604800" as s38_fun;
+         |run s38_events as Retention.`` where periodSec="86400" as s38_ret;
+         |run s38_events as Transitions.`` where tieCol="event_id" as s38_tra;
+         |select k, cast(sum(case when depth >= k then 1 else 0 end) as bigint)
+         |    as n
+         |  from s38_fun lateral view explode(array(1, 2, 3, 4)) tk as k
+         |  group by k as s38_fk;
+         |select 'funnel' as section, cast(k as string) as a, '' as b, n,
+         |  round(n / max(case when k = 1 then n end) over (), 6) as ratio
+         |  from s38_fk as s38_f2;
+         |select 'retention' as section, cast(cohort as string) as a,
+         |  cast(`offset` as string) as b, n_users as n, retention as ratio
+         |  from s38_ret as s38_r2;
+         |select 'transitions' as section, src as a, dst as b, n, p as ratio
+         |  from s38_tra as s38_t2;
+         |select * from (select * from s38_f2 union all select * from s38_r2
+         |  union all select * from s38_t2)
+         |order by section, a, b as s38_out;""".stripMargin),
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT s1.user_id, s1.t1, MIN(e.ts) AS t2
+        | FROM s1 LEFT JOIN events e ON e.user_id = s1.user_id
+        |  AND e.event_type = 'view' AND e.ts > s1.t1
+        |  AND e.ts <= s1.t1 + INTERVAL 604800 SECOND
+        | GROUP BY s1.user_id, s1.t1),
+        |s3 AS (SELECT s2.user_id, s2.t1, s2.t2, MIN(e.ts) AS t3
+        | FROM s2 LEFT JOIN events e ON e.user_id = s2.user_id
+        |  AND e.event_type = 'click' AND e.ts > s2.t2
+        |  AND e.ts <= s2.t1 + INTERVAL 604800 SECOND
+        | GROUP BY s2.user_id, s2.t1, s2.t2),
+        |s4 AS (SELECT s3.user_id, s3.t1, s3.t2, s3.t3, MIN(e.ts) AS t4
+        | FROM s3 LEFT JOIN events e ON e.user_id = s3.user_id
+        |  AND e.event_type = 'purchase' AND e.ts > s3.t3
+        |  AND e.ts <= s3.t1 + INTERVAL 604800 SECOND
+        | GROUP BY s3.user_id, s3.t1, s3.t2, s3.t3),
+        |dep AS (SELECT user_id,
+        |  (CASE WHEN t1 IS NULL THEN 0 ELSE 1 END +
+        |   CASE WHEN t2 IS NULL THEN 0 ELSE 1 END +
+        |   CASE WHEN t3 IS NULL THEN 0 ELSE 1 END +
+        |   CASE WHEN t4 IS NULL THEN 0 ELSE 1 END) AS depth FROM s4),
+        |fk AS (SELECT t.k,
+        |  CAST(SUM(CASE WHEN dep.depth >= t.k THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n
+        | FROM dep CROSS JOIN (VALUES (1), (2), (3), (4)) t(k) GROUP BY t.k),
+        |fsec AS (SELECT 'funnel' AS section, CAST(k AS VARCHAR) AS a,
+        |  '' AS b, n,
+        |  ROUND(n / MAX(CASE WHEN k = 1 THEN n END) OVER (), 6) AS ratio
+        | FROM fk),
+        |act AS (SELECT DISTINCT user_id AS u,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS per FROM events),
+        |coh AS (SELECT u, per, MIN(per) OVER (PARTITION BY u) AS cohort
+        |        FROM act),
+        |cells AS (SELECT cohort, per - cohort AS off, COUNT(*) AS n_users
+        |          FROM coh GROUP BY 1, 2),
+        |rsec AS (SELECT 'retention' AS section, CAST(cohort AS VARCHAR) AS a,
+        |  CAST(off AS VARCHAR) AS b, n_users AS n,
+        |  ROUND(CAST(n_users AS DOUBLE) /
+        |    MAX(CASE WHEN off = 0 THEN n_users END)
+        |      OVER (PARTITION BY cohort), 6) AS ratio
+        | FROM cells),
+        |nxt AS (SELECT event_type AS src,
+        |  LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS dst FROM events),
+        |tm AS (SELECT src, dst, COUNT(*) AS n FROM nxt
+        |       WHERE dst IS NOT NULL GROUP BY 1, 2),
+        |tsec AS (SELECT 'transitions' AS section, src AS a, dst AS b, n,
+        |  ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY src), 6)
+        |    AS ratio FROM tm)
+        |SELECT section, a, b, CAST(n AS BIGINT) AS n, ratio FROM (
+        | SELECT * FROM fsec UNION ALL SELECT * FROM rsec
+        | UNION ALL SELECT * FROM tsec)
+        |ORDER BY section, a, b""".stripMargin)
   )
 }
