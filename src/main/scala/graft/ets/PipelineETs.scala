@@ -24,7 +24,41 @@ object PipelineETs {
     UnigramTokenizerET, SubseqSearchET, FunnelET, SeasonalDecomposeET,
     RetentionET, TransitionsET, PageRankFixedET, WordPieceET, MarketBasketET,
     PathsET, ProfileET, EwmaET, TrianglesET, LabelPropagationET, HoltET,
-    TwapET, RobustOutliersET)
+    TwapET, RobustOutliersET, StreamFunnelET, StreamAnomalyET)
+}
+
+/** `run stream as StreamFunnel.`` where steps="a,b,c" [and userCol/
+  * tsCol/typeCol/maxSpanSeconds]` — per-user streaming funnel state
+  * (see [[graft.streaming.Stateful.funnelProgress]]); Update-mode
+  * output, one row per touched user per micro-batch.
+  */
+object StreamFunnelET extends NoPathET {
+  override def name = "StreamFunnel"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame =
+    graft.streaming.Stateful.funnelProgress(df,
+      params.getOrElse("userCol", "user_id"), params.getOrElse("tsCol", "ts"),
+      params.getOrElse("typeCol", "event_type"),
+      params.getOrElse("steps", throw new IllegalArgumentException(
+        "StreamFunnel requires steps=\"a,b,c\"")).split(",").map(_.trim)
+        .filter(_.nonEmpty).toSeq,
+      params.getOrElse("maxSpanSeconds", "0").toLong).toDF()
+}
+
+/** `run stream as StreamAnomaly.`` where alpha="0.3" and k="4" [and
+  * keyCol/tsCol/valCol/warmup]` — streaming EWMA anomaly alerts (see
+  * [[graft.streaming.Stateful.ewmaAnomalies]]); Append-mode alert rows.
+  */
+object StreamAnomalyET extends NoPathET {
+  override def name = "StreamAnomaly"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame =
+    graft.streaming.Stateful.ewmaAnomalies(df,
+      params.getOrElse("keyCol", "user_id"), params.getOrElse("tsCol", "ts"),
+      params.getOrElse("valCol", "value"),
+      params.getOrElse("alpha", "0.3").toDouble,
+      params.getOrElse("k", "4.0").toDouble,
+      params.getOrElse("warmup", "5").toInt).toDF()
 }
 
 /** `run rows as RobustOutliers.`` [where keyCol="k" and valCol="v" and

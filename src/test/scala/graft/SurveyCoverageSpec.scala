@@ -136,7 +136,8 @@ class SurveyCoverageSpec extends AnyFunSuite {
       "DomainReweight", "C4Rules", "UnigramTokenizer", "SubseqSearch",
       "Funnel", "SeasonalDecompose", "Retention", "Transitions", "PageRankFixed",
       "WordPiece", "MarketBasket", "Paths", "Profile", "Ewma", "Triangles",
-      "LabelPropagation", "Holt", "Twap", "RobustOutliers")
+      "LabelPropagation", "Holt", "Twap", "RobustOutliers", "StreamFunnel",
+      "StreamAnomaly")
     val missing = names.filter(n =>
       scala.util.Try(ETRegistry.lookup(n)).isFailure)
     assert(missing.isEmpty, s"ET registry missing: ${missing.mkString(", ")}")

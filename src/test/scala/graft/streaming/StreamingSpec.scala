@@ -553,6 +553,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(ats == 13L * 1000000L && av == 50.0 && az > 4.0)
   }
 
+  test("StreamAnomaly DSL surface emits alert rows through the script runner") {
+    val rows = ((1 to 8).map(i =>
+      s"""{"user_id":1,"ts":"2026-01-01 00:00:0$i","v":${if (i % 2 == 0) 10.5 else 9.5}}""") :+
+      s"""{"user_id":1,"ts":"2026-01-01 00:00:09","v":99.0}""").mkString("\n")
+    val ctx = ScriptRunner.run(
+      s"""set streamName = "sa1";
+         |set sadata = '''$rows''';
+         |load jsonStr.`sadata` as sa_batch;
+         |select user_id, cast(ts as timestamp) as ts, v as value
+         |from sa_batch as sa_b2;
+         |load mockStream.`sa_b2` as sa_stream;
+         |run sa_stream as StreamAnomaly.`` where alpha="0.3" and k="4"
+         |  and warmup="5" as sa_al;
+         |save append sa_al as memory.`` where mode="append"
+         |  and checkpointLocation="${java.nio.file.Files.createTempDirectory("ck_sa")}"
+         |  and duration="0";""".stripMargin, spark)
+    val q = ctx.streams("sa1")
+    q.processAllAvailable()
+    q.stop()
+    val alerts = spark.table("sa1").collect()
+    assert(alerts.length == 1 && alerts.head.getDouble(2) == 99.0,
+      alerts.mkString(";"))
+  }
+
   test("statestore source reads a stopped query's state through the DSL") {
     // stateful agg -> checkpoint; then `load statestore.` introspects the
     // state (Spark 4 state reader through the registry's format fallback)
