@@ -577,6 +577,30 @@ class StreamingSpec extends AnyFunSuite {
       alerts.mkString(";"))
   }
 
+  test("StreamFunnel DSL surface tracks per-user steps in update mode") {
+    val rows = Seq(
+      """{"user_id":1,"ts":"2026-01-01 00:00:01","event_type":"view"}""",
+      """{"user_id":1,"ts":"2026-01-01 00:00:02","event_type":"click"}""",
+      """{"user_id":2,"ts":"2026-01-01 00:00:03","event_type":"view"}""").mkString("\n")
+    val ctx = ScriptRunner.run(
+      s"""set streamName = "sfdsl";
+         |set sfdata = '''$rows''';
+         |load jsonStr.`sfdata` as sf_batch;
+         |select user_id, cast(ts as timestamp) as ts, event_type
+         |from sf_batch as sf_b2;
+         |load mockStream.`sf_b2` as sf_stream;
+         |run sf_stream as StreamFunnel.`` where steps="view,click" as sf_fun;
+         |save append sf_fun as memory.`` where mode="update"
+         |  and checkpointLocation="${java.nio.file.Files.createTempDirectory("ck_sfd")}"
+         |  and duration="0";""".stripMargin, spark)
+    val q = ctx.streams("sfdsl")
+    q.processAllAvailable()
+    q.stop()
+    val depths = spark.table("sfdsl").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(depths == Map(1L -> 2, 2L -> 1), depths.toString)
+  }
+
   test("statestore source reads a stopped query's state through the DSL") {
     // stateful agg -> checkpoint; then `load statestore.` introspects the
     // state (Spark 4 state reader through the registry's format fallback)
