@@ -24,7 +24,26 @@ object PipelineETs {
     UnigramTokenizerET, SubseqSearchET, FunnelET, SeasonalDecomposeET,
     RetentionET, TransitionsET, PageRankFixedET, WordPieceET, MarketBasketET,
     PathsET, ProfileET, EwmaET, TrianglesET, LabelPropagationET, HoltET,
-    TwapET, RobustOutliersET, StreamFunnelET, StreamAnomalyET)
+    TwapET, RobustOutliersET, StreamFunnelET, StreamAnomalyET, HistogramET)
+}
+
+/** `run rows as Histogram.`` where valCol="v" and nBuckets="20" [and
+  * mode="width|depth"]` — distributed binning (see
+  * [[graft.operators.profile.Histogram]]).
+  */
+object HistogramET extends NoPathET {
+  override def name = "Histogram"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    val c = params.getOrElse("valCol", "v")
+    val n = params.getOrElse("nBuckets", "10").toInt
+    params.getOrElse("mode", "width") match {
+      case "width" => graft.operators.profile.Histogram.equiWidth(df, c, n)
+      case "depth" => graft.operators.profile.Histogram.equiDepth(df, c, n)
+      case other => throw new IllegalArgumentException(
+        s"Histogram mode must be width|depth, got '$other'")
+    }
+  }
 }
 
 /** `run stream as StreamFunnel.`` where steps="a,b,c" [and userCol/

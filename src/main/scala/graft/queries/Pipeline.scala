@@ -2304,7 +2304,55 @@ object Pipeline {
         |SELECT st.k AS event_type, CAST(st.n AS BIGINT) AS n,
         | ROUND(st.med, 6) AS med, ROUND(st.mad, 6) AS mad,
         | CAST(COALESCE(o.n_outliers, 0) AS BIGINT) AS n_outliers
-        |FROM st LEFT JOIN o ON o.k = st.k ORDER BY event_type""".stripMargin)
+        |FROM st LEFT JOIN o ON o.k = st.k ORDER BY event_type""".stripMargin),
+
+    // ---- equi-width histogram of extended price (the binning
+    //      surface): one min/max broadcast + scan-speed floor bin;
+    //      identical IEEE division per row → bit-replayable. ----
+    QuerySpec.sql("p78_hist_width", (s, dir) => {
+      import s.implicits._
+      graft.operators.profile.Histogram.equiWidth(
+          t(s, dir, "lineitem"), "l_extendedprice", 20)
+        .orderBy($"bucket")
+    },
+      """WITH b AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+        |           WHERE l_extendedprice IS NOT NULL),
+        |mm AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM b),
+        |w AS (SELECT b.v, mm.mn, mm.mx,
+        |  CASE WHEN mm.mx = mm.mn THEN 0
+        |       ELSE LEAST(CAST(FLOOR((b.v - mm.mn) / ((mm.mx - mm.mn) / 20))
+        |                   AS INT), 19) END AS bucket
+        | FROM b CROSS JOIN mm)
+        |SELECT bucket,
+        | ROUND(MAX(mn) + bucket * ((MAX(mx) - MAX(mn)) / 20), 6) AS lo,
+        | ROUND(MAX(mn) + (bucket + 1) * ((MAX(mx) - MAX(mn)) / 20), 6) AS hi,
+        | COUNT(*) AS n
+        |FROM w GROUP BY bucket ORDER BY bucket""".stripMargin),
+
+    // ---- equi-depth histogram WITHOUT ntile (the PerplexityBuckets
+    //      two-phase cutoff technique generalized): value-grain
+    //      histogram + integer-ceiling thresholds + ties-by-value
+    //      bucketing. ----
+    QuerySpec.sql("p79_hist_depth", (s, dir) => {
+      import s.implicits._
+      graft.operators.profile.Histogram.equiDepth(
+          t(s, dir, "lineitem"), "l_extendedprice", 8)
+        .orderBy($"bucket")
+    },
+      """WITH b AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+        |           WHERE l_extendedprice IS NOT NULL),
+        |h AS (SELECT v, COUNT(*) AS cnt FROM b GROUP BY v),
+        |c AS (SELECT v, cnt, SUM(cnt) OVER (ORDER BY v) AS cum FROM h),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM h),
+        |th AS (SELECT j, (n * j + 7) // 8 AS t FROM tot
+        |       CROSS JOIN (SELECT UNNEST(RANGE(1, 8)) AS j)),
+        |cut AS (SELECT j, MIN(v) AS c FROM th JOIN c ON c.cum >= th.t
+        |        GROUP BY j),
+        |vb AS (SELECT h.v, h.cnt,
+        |  (SELECT COUNT(*) FROM cut WHERE cut.c < h.v) AS bucket FROM h)
+        |SELECT CAST(bucket AS INT) AS bucket, ROUND(MIN(v), 6) AS lo,
+        | ROUND(MAX(v), 6) AS hi, CAST(SUM(cnt) AS BIGINT) AS n
+        |FROM vb GROUP BY bucket ORDER BY bucket""".stripMargin)
   )
 
   /** Unrolled k-round synchronous LPA replay (see

@@ -1176,4 +1176,16 @@ class PipelineETSpec extends AnyFunSuite {
     // MAD = 0 (8 identical values) -> degenerate, nothing flagged
     assert(out.head.getLong(0) == 0L)
   }
+
+  test("Histogram DSL surface: width and depth modes") {
+    val rows = (1 to 8).map(i => s"""{"v":$i.0}""").mkString("\n")
+    def run(mode: String) = graft.dsl.ScriptRunner.runToDF(
+      s"""set hg = '''$rows''';
+         |load jsonStr.`hg` as hg_rows;
+         |run hg_rows as Histogram.`` where nBuckets="2" and mode="$mode" as hgo;
+         |select bucket, n from hgo order by bucket as out;""".stripMargin, spark)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(run("width") == Map(0 -> 4L, 1 -> 4L))
+    assert(run("depth") == Map(0 -> 4L, 1 -> 4L))
+  }
 }
