@@ -24,7 +24,24 @@ object PipelineETs {
     UnigramTokenizerET, SubseqSearchET, FunnelET, SeasonalDecomposeET,
     RetentionET, TransitionsET, PageRankFixedET, WordPieceET, MarketBasketET,
     PathsET, ProfileET, EwmaET, TrianglesET, LabelPropagationET, HoltET,
-    TwapET, RobustOutliersET, StreamFunnelET, StreamAnomalyET, HistogramET)
+    TwapET, RobustOutliersET, StreamFunnelET, StreamAnomalyET, HistogramET,
+    Scd2ET)
+}
+
+/** `run log as Scd2.`` where attrCols="tier,status" [and keyCol/tsCol/
+  * tieCol]` — SCD Type-2 dimension build (see
+  * [[graft.operators.temporal.Scd2]]).
+  */
+object Scd2ET extends NoPathET {
+  override def name = "Scd2"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame =
+    graft.operators.temporal.Scd2.build(df,
+      params.getOrElse("keyCol", "user_id"), params.getOrElse("tsCol", "ts"),
+      params.getOrElse("attrCols", throw new IllegalArgumentException(
+        "Scd2 requires attrCols=\"a,b\"")).split(",").map(_.trim)
+        .filter(_.nonEmpty).toSeq,
+      params.get("tieCol"))
 }
 
 /** `run rows as Histogram.`` where valCol="v" and nBuckets="20" [and

@@ -2352,7 +2352,37 @@ object Pipeline {
         |  (SELECT COUNT(*) FROM cut WHERE cut.c < h.v) AS bucket FROM h)
         |SELECT CAST(bucket AS INT) AS bucket, ROUND(MIN(v), 6) AS lo,
         | ROUND(MAX(v), 6) AS hi, CAST(SUM(cnt) AS BIGINT) AS n
-        |FROM vb GROUP BY bucket ORDER BY bucket""".stripMargin)
+        |FROM vb GROUP BY bucket ORDER BY bucket""".stripMargin),
+
+    // ---- SCD Type-2 dimension build from the event log: per-user
+    //      state runs of the last event type, effective-dated with
+    //      versions; duplicate re-assertions collapse. Two windows on
+    //      one key — the oracle replays both. ----
+    QuerySpec.sql("p80_scd2", (s, dir) => {
+      import s.implicits._
+      graft.operators.temporal.Scd2.build(
+          t(s, dir, "events").select($"user_id", $"ts", $"event_type",
+            $"event_id"),
+          "user_id", "ts", Seq("event_type"), tieCol = Some("event_id"))
+        .orderBy($"user_id", $"version")
+    },
+      """WITH o AS (SELECT user_id, ts, event_type,
+        |  LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS prev,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS rn
+        | FROM events),
+        |k AS (SELECT user_id, ts, event_type FROM o
+        |      WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
+        |v AS (SELECT user_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS INT)
+        |    AS version,
+        |  event_type, ts AS valid_from,
+        |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+        | FROM k)
+        |SELECT user_id, version, event_type, valid_from, valid_to,
+        | valid_to IS NULL AS is_current
+        |FROM v ORDER BY user_id, version""".stripMargin)
   )
 
   /** Unrolled k-round synchronous LPA replay (see

@@ -1188,4 +1188,17 @@ class PipelineETSpec extends AnyFunSuite {
     assert(run("width") == Map(0 -> 4L, 1 -> 4L))
     assert(run("depth") == Map(0 -> 4L, 1 -> 4L))
   }
+
+  test("Scd2 DSL surface dispatches") {
+    val out = graft.dsl.ScriptRunner.runToDF(
+      """set sc = '''{"user_id":1,"ts":"2026-01-01 00:00:01","tier":"a"}
+        |{"user_id":1,"ts":"2026-01-01 00:00:02","tier":"a"}
+        |{"user_id":1,"ts":"2026-01-01 00:00:03","tier":"b"}''';
+        |load jsonStr.`sc` as sc_rows;
+        |select user_id, cast(ts as timestamp) as ts, tier from sc_rows as sc2;
+        |run sc2 as Scd2.`` where attrCols="tier" as sco;
+        |select version, tier, is_current from sco order by version as out;""".stripMargin,
+      spark).collect().map(r => (r.getInt(0), r.getString(1), r.getBoolean(2)))
+    assert(out.toSeq == Seq((1, "a", false), (2, "b", true)))
+  }
 }
