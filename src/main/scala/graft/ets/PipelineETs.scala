@@ -25,7 +25,21 @@ object PipelineETs {
     RetentionET, TransitionsET, PageRankFixedET, WordPieceET, MarketBasketET,
     PathsET, ProfileET, EwmaET, TrianglesET, LabelPropagationET, HoltET,
     TwapET, RobustOutliersET, StreamFunnelET, StreamAnomalyET, HistogramET,
-    Scd2ET)
+    Scd2ET, AcfET)
+}
+
+/** `run series as Acf.`` where maxLag="30" [and keyCol/tCol/valCol]` —
+  * per-key autocorrelation / periodicity scan (see
+  * [[graft.operators.temporal.Autocorrelation]]).
+  */
+object AcfET extends NoPathET {
+  override def name = "Acf"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame =
+    graft.operators.temporal.Autocorrelation.acf(df,
+      params.getOrElse("keyCol", "k"), params.getOrElse("tCol", "t"),
+      params.getOrElse("valCol", "v"),
+      params.getOrElse("maxLag", "30").toInt)
 }
 
 /** `run log as Scd2.`` where attrCols="tier,status" [and keyCol/tsCol/

@@ -2382,7 +2382,42 @@ object Pipeline {
         | FROM k)
         |SELECT user_id, version, event_type, valid_from, valid_to,
         | valid_to IS NULL AS is_current
-        |FROM v ORDER BY user_id, version""".stripMargin)
+        |FROM v ORDER BY user_id, version""".stripMargin),
+
+    // ---- autocorrelation periodicity scan of hourly event counts
+    //      (lags 1..30; a daily-seasonal generator peaks at 24):
+    //      exact five-sum Pearson over integral counts — even the
+    //      sqrt is a single correctly-rounded op, bit-replayable. ----
+    QuerySpec.sql("p81_acf", (s, dir) => {
+      import s.implicits._
+      val hourly = t(s, dir, "events")
+        .groupBy($"event_type",
+          expr("unix_micros(ts) div 3600000000").as("t"))
+        .count()
+      graft.operators.temporal.Autocorrelation
+        .acf(hourly, "event_type", "t", "count", maxLag = 30)
+        .withColumnRenamed("k", "event_type")
+        .orderBy($"event_type", $"lag")
+    },
+      """WITH hourly AS (SELECT event_type AS k,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS t,
+        |  CAST(COUNT(*) AS DOUBLE) AS v FROM events GROUP BY 1, 2),
+        |pr AS (SELECT h.k, lg.lag, h.t + lg.lag AS t2, h.v AS x
+        |       FROM hourly h CROSS JOIN
+        |         (SELECT UNNEST(RANGE(1, 31)) AS lag) lg),
+        |pairs AS (SELECT pr.k, pr.lag, pr.x, h2.v AS y
+        |          FROM pr JOIN hourly h2 ON h2.k = pr.k AND h2.t = pr.t2),
+        |agg AS (SELECT k, lag, COUNT(*) AS n_pairs,
+        |  SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+        |  SUM(x * x) AS sxx, SUM(y * y) AS syy
+        | FROM pairs GROUP BY 1, 2)
+        |SELECT k AS event_type, CAST(lag AS INT) AS lag, n_pairs,
+        | CASE WHEN (n_pairs * sxx - sx * sx) > 0
+        |       AND (n_pairs * syy - sy * sy) > 0
+        |      THEN ROUND((n_pairs * sxy - sx * sy) /
+        |        SQRT((n_pairs * sxx - sx * sx) * (n_pairs * syy - sy * sy)), 6)
+        | END AS r
+        |FROM agg ORDER BY event_type, lag""".stripMargin)
   )
 
   /** Unrolled k-round synchronous LPA replay (see

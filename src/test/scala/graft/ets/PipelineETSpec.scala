@@ -1201,4 +1201,16 @@ class PipelineETSpec extends AnyFunSuite {
       spark).collect().map(r => (r.getInt(0), r.getString(1), r.getBoolean(2)))
     assert(out.toSeq == Seq((1, "a", false), (2, "b", true)))
   }
+
+  test("Acf DSL surface dispatches") {
+    val rows = (0 until 12).map(t =>
+      s"""{"k":"a","t":$t,"v":${if (t % 2 == 0) 9.0 else 1.0}}""").mkString("\n")
+    val out = graft.dsl.ScriptRunner.runToDF(
+      s"""set ac = '''$rows''';
+         |load jsonStr.`ac` as ac_rows;
+         |run ac_rows as Acf.`` where maxLag="2" as aco;
+         |select lag, r from aco order by lag as out;""".stripMargin, spark)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1))
+    assert(out.toSeq == Seq(1 -> -1.0, 2 -> 1.0))
+  }
 }
