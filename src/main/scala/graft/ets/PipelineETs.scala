@@ -29,17 +29,26 @@ object PipelineETs {
 }
 
 /** `run series as Acf.`` where maxLag="30" [and keyCol/tCol/valCol]` —
-  * per-key autocorrelation / periodicity scan (see
+  * per-key autocorrelation / periodicity scan; `otherTable="b"` [and
+  * `otherValCol`] switches to CROSS-correlation against that session
+  * table over lags −maxLag..maxLag (see
   * [[graft.operators.temporal.Autocorrelation]]).
   */
 object AcfET extends NoPathET {
   override def name = "Acf"
   override def train(ctx: ScriptContext, df: DataFrame, path: String,
-                     params: Map[String, String]): DataFrame =
-    graft.operators.temporal.Autocorrelation.acf(df,
-      params.getOrElse("keyCol", "k"), params.getOrElse("tCol", "t"),
-      params.getOrElse("valCol", "v"),
-      params.getOrElse("maxLag", "30").toInt)
+                     params: Map[String, String]): DataFrame = {
+    val tCol = params.getOrElse("tCol", "t")
+    val valCol = params.getOrElse("valCol", "v")
+    val maxLag = params.getOrElse("maxLag", "30").toInt
+    params.get("otherTable") match {
+      case Some(tbl) => graft.operators.temporal.Autocorrelation.ccf(
+        df, ctx.spark.table(tbl), tCol, valCol,
+        params.getOrElse("otherValCol", valCol), maxLag)
+      case None => graft.operators.temporal.Autocorrelation.acf(df,
+        params.getOrElse("keyCol", "k"), tCol, valCol, maxLag)
+    }
+  }
 }
 
 /** `run log as Scd2.`` where attrCols="tier,status" [and keyCol/tsCol/

@@ -27,6 +27,25 @@ import org.apache.spark.sql.functions._
   */
 object Autocorrelation {
 
+  /** Cross-correlation of two series over the same integer index —
+    * the lead/lag detector ("does A lead B by k steps?"): for lag ∈
+    * [−maxLag, maxLag], r(lag) = corr(A_t, B_{t+lag}) over overlapping
+    * pairs; a peak at positive lag means A LEADS B. Same exact-integer
+    * five-sum discipline and join shape as [[acf]].
+    */
+  def ccf(a: DataFrame, b: DataFrame, tCol: String, valColA: String,
+          valColB: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    val av = a.select(col(tCol).cast("long").as("t"),
+      col(valColA).cast("double").as("x"))
+    val bv = b.select(col(tCol).cast("long").as("t2"),
+      col(valColB).cast("double").as("y"))
+    val probes = av
+      .withColumn("lag", explode(sequence(lit(-maxLag), lit(maxLag))))
+      .select(col("lag"), (col("t") + col("lag")).as("t2"), col("x"))
+    pearsonByLag(probes.join(bv, Seq("t2")))
+  }
+
   /** (key, lag, n_pairs, r): r null when either side of a lag's overlap
     * is constant (zero variance).
     */
@@ -42,18 +61,25 @@ object Autocorrelation {
     val pairs = probes.join(
       base.select(col("k"), col("t").as("t2"), col("v").as("y")),
       Seq("k", "t2"))
-    pairs.groupBy(col("k"), col("lag"))
+    pearsonByLag(pairs, Seq("k"))
+  }
+
+  /** Shared five-sum Pearson per (groupCols..., lag) over (x, y) pairs. */
+  private def pearsonByLag(pairs: DataFrame,
+                           groupCols: Seq[String] = Nil): DataFrame = {
+    val keys = groupCols.map(col) :+ col("lag")
+    pairs.groupBy(keys: _*)
       .agg(count(lit(1)).as("n_pairs"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"),
         sum(col("y") * col("y")).as("syy"))
-      .select(col("k"), col("lag"), col("n_pairs"),
+      .select((keys :+ col("n_pairs") :+
         when((col("n_pairs") * col("sxx") - col("sx") * col("sx")) > 0 &&
           (col("n_pairs") * col("syy") - col("sy") * col("sy")) > 0,
           round((col("n_pairs") * col("sxy") - col("sx") * col("sy")) /
             sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx")) *
               (col("n_pairs") * col("syy") - col("sy") * col("sy"))), 6))
-          .as("r"))
+          .as("r")): _*)
   }
 }

@@ -2417,7 +2417,43 @@ object Pipeline {
         |      THEN ROUND((n_pairs * sxy - sx * sy) /
         |        SQRT((n_pairs * sxx - sx * sx) * (n_pairs * syy - sy * sy)), 6)
         | END AS r
-        |FROM agg ORDER BY event_type, lag""".stripMargin)
+        |FROM agg ORDER BY event_type, lag""".stripMargin),
+
+    // ---- cross-correlation: does VIEW traffic lead PURCHASE traffic?
+    //      r(lag) = corr(view_t, purchase_{t+lag}), lags -6..6; same
+    //      exact five-sum algebra as p81. ----
+    QuerySpec.sql("p82_ccf", (s, dir) => {
+      import s.implicits._
+      def hourly(et: String) = t(s, dir, "events")
+        .filter($"event_type" === et)
+        .groupBy(expr("unix_micros(ts) div 3600000000").as("t"))
+        .count()
+      graft.operators.temporal.Autocorrelation
+        .ccf(hourly("view"), hourly("purchase"), "t", "count", "count",
+          maxLag = 6)
+        .orderBy($"lag")
+    },
+      """WITH va AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS t,
+        |  CAST(COUNT(*) AS DOUBLE) AS x FROM events
+        | WHERE event_type = 'view' GROUP BY 1),
+        |pb AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS t2,
+        |  CAST(COUNT(*) AS DOUBLE) AS y FROM events
+        | WHERE event_type = 'purchase' GROUP BY 1),
+        |pr AS (SELECT lg.lag, va.t + lg.lag AS t2, va.x FROM va
+        |       CROSS JOIN (SELECT UNNEST(RANGE(-6, 7)) AS lag) lg),
+        |pairs AS (SELECT pr.lag, pr.x, pb.y FROM pr
+        |          JOIN pb ON pb.t2 = pr.t2),
+        |agg AS (SELECT lag, COUNT(*) AS n_pairs,
+        |  SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+        |  SUM(x * x) AS sxx, SUM(y * y) AS syy
+        | FROM pairs GROUP BY 1)
+        |SELECT CAST(lag AS INT) AS lag, n_pairs,
+        | CASE WHEN (n_pairs * sxx - sx * sx) > 0
+        |       AND (n_pairs * syy - sy * sy) > 0
+        |      THEN ROUND((n_pairs * sxy - sx * sy) /
+        |        SQRT((n_pairs * sxx - sx * sx) * (n_pairs * syy - sy * sy)), 6)
+        | END AS r
+        |FROM agg ORDER BY lag""".stripMargin)
   )
 
   /** Unrolled k-round synchronous LPA replay (see

@@ -28,6 +28,18 @@ class AutocorrelationSpec extends AnyFunSuite {
     assert(out == Set((1, 2L)))
   }
 
+  test("ccf: a shifted copy peaks at its shift, sign convention A-leads-B") {
+    import spark.implicits._
+    // B is A delayed by 3 steps -> corr(A_t, B_{t+3}) = 1 at lag +3
+    val a = (0 until 30).map(t => (t.toLong, ((t * 7) % 5 + 1).toDouble)).toDF("t", "x")
+    val b = (0 until 30).map(t =>
+      (t.toLong, if (t >= 3) (((t - 3) * 7) % 5 + 1).toDouble else 0.0)).toDF("t", "y")
+    val out = Autocorrelation.ccf(a, b, "t", "x", "y", maxLag = 5)
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(out(3) == 1.0, out.toString)
+    assert(out.filterKeys(_ != 3).values.forall(_ < 1.0))
+  }
+
   test("constant overlap yields null r, not NaN") {
     import spark.implicits._
     val df = (0 until 10).map(t => ("a", t.toLong, 5.0)).toDF("k", "t", "v")
