@@ -81,7 +81,10 @@ object Funnel {
     val spark = df.sparkSession
     import spark.implicits._
     val aggs = steps.indices.map(i =>
-      sum(when(col(s"t${i + 1}").isNotNull, 1L).otherwise(0L)).as(s"n${i + 1}"))
+      // coalesce: an EMPTY funnel (no step-1 users at all) aggregates to
+      // null sums, which must read as 0 rather than NPE
+      coalesce(sum(when(col(s"t${i + 1}").isNotNull, 1L).otherwise(0L)), lit(0L))
+        .as(s"n${i + 1}"))
     val counts = per.agg(aggs.head, aggs.tail: _*).head()
     val n1 = math.max(counts.getLong(0), 1L)
     steps.indices.map { i =>

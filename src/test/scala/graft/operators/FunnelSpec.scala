@@ -48,6 +48,15 @@ class FunnelSpec extends AnyFunSuite {
     assert(row(2L).getTimestamp(2) == ts(5)) // earliest click after it
   }
 
+  test("summary of an empty funnel is all zeros, not an NPE") {
+    import spark.implicits._
+    val df = Seq((1L, ts(1), "unrelated")).toDF("user_id", "ts", "event_type")
+    val out = Funnel.summary(df, "user_id", "ts", "event_type",
+        Seq("view", "click")).collect()
+    assert(out.map(r => (r.getString(1), r.getLong(2))).toSeq ==
+      Seq(("view", 0L), ("click", 0L)))
+  }
+
   test("summary reports per-step users and conversion off step 1") {
     val out = Funnel.summary(fixture, "user_id", "ts", "event_type",
         Seq("view", "click", "purchase"))
