@@ -64,6 +64,7 @@ object PageRank {
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
     val n = nodes.count()
+    require(n > 0, "PageRank over an empty edge set (no nodes)")
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     // edge+degree table is iteration-invariant: persist it partitioned on
     // src so each iteration's rank join reuses one exchange

@@ -72,7 +72,11 @@ object Histogram {
       .join(cum, cum("cum") >= col("t"))
       .groupBy(col("j")).agg(min(col("v")).as("c"))
       .orderBy(col("j")).collect().map(_.getDouble(1))
-    val cutArr: Column = array(cuts.map(lit(_)).toIndexedSeq: _*)
+    // empty input -> no cutoffs; a bare array() literal is NullType and
+    // breaks the lambda's comparison, so type the empty case explicitly
+    val cutArr: Column =
+      if (cuts.isEmpty) array().cast("array<double>")
+      else array(cuts.map(lit(_)).toIndexedSeq: _*)
     h.withColumn("bucket", size(filter(cutArr, c => c < col("v"))))
       .groupBy(col("bucket"))
       .agg(round(min(col("v")), 6).as("lo"), round(max(col("v")), 6).as("hi"),

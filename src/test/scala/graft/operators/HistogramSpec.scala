@@ -38,6 +38,13 @@ class HistogramSpec extends AnyFunSuite {
     assert(out2 == Map(0 -> 12L), s"by-value ties must not split: $out2")
   }
 
+  test("empty input yields empty histograms, not analysis errors") {
+    import spark.implicits._
+    val empty = Seq.empty[Double].toDF("v")
+    assert(Histogram.equiWidth(empty, "v", 4).collect().isEmpty)
+    assert(Histogram.equiDepth(empty, "v", 4).collect().isEmpty)
+  }
+
   test("equi-depth on a uniform column yields near-equal buckets") {
     import spark.implicits._
     val df = (1 to 1000).map(_.toDouble).toDF("v")
