@@ -25,7 +25,21 @@ object PipelineETs {
     RetentionET, TransitionsET, PageRankFixedET, WordPieceET, MarketBasketET,
     PathsET, ProfileET, EwmaET, TrianglesET, LabelPropagationET, HoltET,
     TwapET, RobustOutliersET, StreamFunnelET, StreamAnomalyET, HistogramET,
-    Scd2ET, AcfET)
+    Scd2ET, AcfET, AbTestET)
+}
+
+/** `run rows as AbTest.`` where a="A" and b="B" [and
+  * variantCol="variant" and successCol="converted"]` — pooled
+  * two-proportion z readout (see [[graft.operators.stats.AbTest]]).
+  */
+object AbTestET extends NoPathET {
+  override def name = "AbTest"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame =
+    graft.operators.stats.AbTest.zTest(df,
+      params.getOrElse("variantCol", "variant"),
+      params.getOrElse("successCol", "converted"),
+      params.getOrElse("a", "A"), params.getOrElse("b", "B"))
 }
 
 /** `run series as Acf.`` where maxLag="30" [and keyCol/tCol/valCol]` —

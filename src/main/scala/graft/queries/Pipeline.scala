@@ -2453,7 +2453,45 @@ object Pipeline {
         |      THEN ROUND((n_pairs * sxy - sx * sy) /
         |        SQRT((n_pairs * sxx - sx * sx) * (n_pairs * syy - sy * sy)), 6)
         | END AS r
-        |FROM agg ORDER BY lag""".stripMargin)
+        |FROM agg ORDER BY lag""".stripMargin),
+
+    // ---- A/B readout: did even-id users (A) purchase more than odd
+    //      (B)? Per-user conversion -> pooled two-proportion z on exact
+    //      counts; z not p-value (erf libm varies — the threshold is
+    //      the decision anyway). ----
+    QuerySpec.sql("p83_abtest", (s, dir) => {
+      import s.implicits._
+      val users = t(s, dir, "events")
+        .groupBy($"user_id")
+        .agg(max(when($"event_type" === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+        .select(when(pmod($"user_id", lit(2)) === 0, "A").otherwise("B")
+          .as("variant"), $"converted")
+      graft.operators.stats.AbTest.zTest(users, "variant", "converted", "A", "B")
+    },
+      """WITH u AS (SELECT user_id,
+        |  MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        | FROM events GROUP BY user_id),
+        |v AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END
+        |        AS variant, conv FROM u),
+        |a AS (SELECT variant, COUNT(*) AS n, CAST(SUM(conv) AS BIGINT) AS k
+        |      FROM v GROUP BY variant),
+        |w AS (SELECT
+        |  COALESCE(MAX(CASE WHEN variant = 'A' THEN n END), 0) AS n_a,
+        |  COALESCE(MAX(CASE WHEN variant = 'A' THEN k END), 0) AS k_a,
+        |  COALESCE(MAX(CASE WHEN variant = 'B' THEN n END), 0) AS n_b,
+        |  COALESCE(MAX(CASE WHEN variant = 'B' THEN k END), 0) AS k_b
+        | FROM a),
+        |p AS (SELECT n_a, k_a, n_b, k_b,
+        |  CAST(k_a AS DOUBLE) / n_a AS pa, CAST(k_b AS DOUBLE) / n_b AS pb,
+        |  CAST(k_a + k_b AS DOUBLE) / (n_a + n_b) AS pp FROM w)
+        |SELECT n_a, k_a, n_b, k_b,
+        | ROUND(pa, 6) AS p_a, ROUND(pb, 6) AS p_b,
+        | ROUND(pa - pb, 6) AS diff,
+        | CASE WHEN n_a > 0 AND n_b > 0 AND pp > 0 AND pp < 1
+        |      THEN ROUND((pa - pb) / SQRT(pp * (1.0 - pp) *
+        |        (1.0 / n_a + 1.0 / n_b)), 6) END AS z
+        |FROM p""".stripMargin)
   )
 
   /** Unrolled k-round synchronous LPA replay (see

@@ -1213,4 +1213,18 @@ class PipelineETSpec extends AnyFunSuite {
       .collect().map(r => r.getInt(0) -> r.getDouble(1))
     assert(out.toSeq == Seq(1 -> -1.0, 2 -> 1.0))
   }
+
+  test("AbTest DSL surface dispatches") {
+    val rows = (Seq.fill(3)(("A", true)) ++ Seq.fill(1)(("A", false)) ++
+      Seq.fill(1)(("B", true)) ++ Seq.fill(3)(("B", false)))
+      .map { case (v, c) => s"""{"variant":"$v","converted":$c}""" }.mkString("\n")
+    val out = graft.dsl.ScriptRunner.runToDF(
+      s"""set ab = '''$rows''';
+         |load jsonStr.`ab` as ab_rows;
+         |run ab_rows as AbTest.`` as abo;
+         |select n_a, k_a, n_b, k_b from abo as out;""".stripMargin, spark)
+      .collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2), out.getLong(3)) ==
+      ((4L, 3L, 4L, 1L)))
+  }
 }
