@@ -2,8 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState,
-  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TTLConfig,
+  TimeMode, TimerValues, ValueState}
 
 /** Custom stateful streaming operators over `KeyValueGroupedDataset`
   * (SURVEY §2.7 "stateful ops": the reference exposes only what Spark SQL
@@ -110,6 +111,82 @@ object Stateful {
       .groupByKey(_._1)
       .transformWithState(new DistinctCountProcessor,
         TimeMode.None(), OutputMode.Update())
+  }
+
+  case class SessionOut(key: Long, session_start: Long, session_end: Long,
+                        n_events: Long)
+
+  /** Timer-finalized streaming sessionization via `transformWithState`
+    * + EVENT-TIME TIMERS — the capability `session_window` aggregation
+    * cannot express: emit one COMPLETED-session row per (key, session)
+    * exactly when the watermark passes last_event + gap, with
+    * arbitrary per-session state (here start/end/count; extend the
+    * tuple for custom session payloads). An in-batch gap closes the
+    * old session immediately (both sessions may emit from one batch);
+    * otherwise the registered timer fires on watermark advance —
+    * `handleExpiredTimer` is the session flush. State per key is one
+    * tuple + one timer, Append mode.
+    */
+  class SessionProcessor(gapMs: Long)
+    extends StatefulProcessor[Long, (Long, java.sql.Timestamp), SessionOut] {
+    @transient private var st: ValueState[(Long, Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long)]("sess",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+          Encoders.scalaLong), TTLConfig.NONE)
+    override def handleInputRows(key: Long,
+                                 rows: Iterator[(Long, java.sql.Timestamp)],
+                                 timerValues: TimerValues): Iterator[SessionOut] = {
+      var out = List.empty[SessionOut]
+      var cur = if (st.exists()) Some(st.get()) else None
+      for (ts <- rows.map(_._2.getTime).toSeq.sorted) {
+        cur = cur match {
+          case Some((s, l, c)) if ts - l <= gapMs =>
+            getHandle.deleteTimer(l + gapMs)
+            getHandle.registerTimer(ts + gapMs)
+            Some((s, math.max(l, ts), c + 1))
+          case Some((s, l, c)) => // in-batch gap: close the old session now
+            out ::= SessionOut(key, s, l, c)
+            getHandle.deleteTimer(l + gapMs)
+            getHandle.registerTimer(ts + gapMs)
+            Some((ts, ts, 1L))
+          case None =>
+            getHandle.registerTimer(ts + gapMs)
+            Some((ts, ts, 1L))
+        }
+      }
+      cur.foreach(st.update)
+      out.reverse.iterator
+    }
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+                                    expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionOut] = {
+      if (st.exists()) {
+        val (s, l, c) = st.get()
+        if (l + gapMs <= expiredTimerInfo.getExpiryTimeInMs) {
+          st.clear()
+          return Iterator.single(SessionOut(key, s, l, c))
+        }
+      }
+      Iterator.empty
+    }
+  }
+
+  /** Completed sessions as an Append stream (see [[SessionProcessor]]).
+    * Input must carry a WATERMARK on `tsCol` (event-time timers fire
+    * against it); RocksDB state store required as for
+    * [[distinctCounts]].
+    */
+  def sessions(df: DataFrame, keyCol: String, tsCol: String,
+               gapSec: Long): Dataset[SessionOut] = {
+    require(gapSec > 0, "gapSec must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("long"), col(tsCol).cast("timestamp"))
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionProcessor(gapSec * 1000L),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   case class Anomaly(key: Long, ts: Long, value: Double, mean: Double,

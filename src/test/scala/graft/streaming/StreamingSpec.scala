@@ -492,6 +492,42 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("timer-finalized sessions flush when the watermark passes the gap") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+      val ms = MemoryStream[(Long, java.sql.Timestamp)]
+      val q = graft.streaming.Stateful.sessions(
+          ms.toDF().toDF("k", "ts").withWatermark("ts", "0 seconds"),
+          "k", "ts", gapSec = 10)
+        .writeStream.format("memory").queryName("sess").outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ck_sess").toString)
+        .start()
+      ms.addData((1L, ts(1)), (1L, ts(2)))       // session 1: 1..2
+      q.processAllAvailable()
+      ms.addData((1L, ts(100)))                  // watermark -> 100; gap passed
+      q.processAllAvailable()
+      ms.addData((2L, ts(300)))                  // watermark -> 300; flush user 1's 2nd
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("sess").collect()
+        .map(r => (r.getLong(0), r.getLong(1) / 1000, r.getLong(2) / 1000, r.getLong(3)))
+        .toSet
+      assert(got.contains((1L, 1L, 2L, 2L)), s"first session missing: $got")
+      assert(got.contains((1L, 100L, 100L, 1L)), s"second session missing: $got")
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   test("streaming funnel matches the batch operator on an in-order stream") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
