@@ -25,7 +25,21 @@ object PipelineETs {
     RetentionET, TransitionsET, PageRankFixedET, WordPieceET, MarketBasketET,
     PathsET, ProfileET, EwmaET, TrianglesET, LabelPropagationET, HoltET,
     TwapET, RobustOutliersET, StreamFunnelET, StreamAnomalyET, HistogramET,
-    Scd2ET, AcfET, AbTestET)
+    Scd2ET, AcfET, AbTestET, StreamSessionsET)
+}
+
+/** `run stream as StreamSessions.`` where gapSec="1800" [and
+  * keyCol/tsCol]` — timer-finalized streaming sessionization (see
+  * [[graft.streaming.Stateful.sessions]]); needs a watermark on the
+  * input and the RocksDB state store provider.
+  */
+object StreamSessionsET extends NoPathET {
+  override def name = "StreamSessions"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame =
+    graft.streaming.Stateful.sessions(df,
+      params.getOrElse("keyCol", "user_id"), params.getOrElse("tsCol", "ts"),
+      params.getOrElse("gapSec", "1800").toLong).toDF()
 }
 
 /** `run rows as AbTest.`` where a="A" and b="B" [and

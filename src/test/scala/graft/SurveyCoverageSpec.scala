@@ -137,7 +137,8 @@ class SurveyCoverageSpec extends AnyFunSuite {
       "Funnel", "SeasonalDecompose", "Retention", "Transitions", "PageRankFixed",
       "WordPiece", "MarketBasket", "Paths", "Profile", "Ewma", "Triangles",
       "LabelPropagation", "Holt", "Twap", "RobustOutliers", "StreamFunnel",
-      "StreamAnomaly", "Histogram", "Scd2", "Acf", "AbTest")
+      "StreamAnomaly", "Histogram", "Scd2", "Acf", "AbTest",
+      "StreamSessions")
     val missing = names.filter(n =>
       scala.util.Try(ETRegistry.lookup(n)).isFailure)
     assert(missing.isEmpty, s"ET registry missing: ${missing.mkString(", ")}")

@@ -528,6 +528,43 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("StreamSessions DSL surface: watermark ET chains into timer sessions") {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rows = Seq(
+        """{"user_id":1,"ts":"2026-01-01 00:00:01"}""",
+        """{"user_id":1,"ts":"2026-01-01 00:00:02"}""",
+        """{"user_id":1,"ts":"2026-01-01 01:00:00"}""",
+        """{"user_id":2,"ts":"2026-01-01 09:00:00"}""").mkString("\n")
+      val ctx = ScriptRunner.run(
+        s"""set streamName = "ssd";
+           |set ssdata = '''$rows''';
+           |load jsonStr.`ssdata` as ss_batch;
+           |select user_id, cast(ts as timestamp) as ts from ss_batch as ss_b2;
+           |load mockStream.`ss_b2` as ss_stream;
+           |run ss_stream as WaterMarkInPlace.`` where eventTimeCol="ts"
+           |  and delayThreshold="0 seconds" as ss_wm;
+           |run ss_wm as StreamSessions.`` where gapSec="10" as ss_sess;
+           |save append ss_sess as memory.`` where mode="append"
+           |  and checkpointLocation="${java.nio.file.Files.createTempDirectory("ck_ssd")}"
+           |  and duration="0";""".stripMargin, spark)
+      val q = ctx.streams("ssd")
+      q.processAllAvailable()
+      q.stop()
+      // single batch: only the IN-BATCH gap closure emits (1..2s session);
+      // later sessions await watermark advance in subsequent batches
+      val got = spark.table("ssd").collect()
+        .map(r => (r.getLong(0), r.getLong(3))).toSet
+      assert(got.contains((1L, 2L)), s"in-batch closed session missing: $got")
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   test("streaming funnel matches the batch operator on an in-order stream") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
