@@ -741,22 +741,41 @@ object BigramLmET extends NoPathET {
   */
 object BpeTrainET extends ET {
   override def name = "BpeTrain"
+  /** `byteLevel="true"`: GPT-2-style byte pre-tokenization — the text
+    * maps word-by-word through the closed 256-char byte alphabet
+    * BEFORE training, and the saved vocab seeds ALL 256 base symbols
+    * (not just corpus-observed chars), so encode can never emit -1:
+    * no-OOV by construction (see
+    * [[graft.operators.text.ByteLevel]]).
+    */
   override def train(ctx: ScriptContext, df: DataFrame, path: String,
                      params: Map[String, String]): DataFrame = {
     import ctx.spark.implicits._
     val textCol = params.getOrElse("textCol", "text")
-    val merges = graft.operators.text.BpeTrain.learnMerges(df,
-      textCol, params.getOrElse("numMerges", "1000").toInt)
+    val byteLevel = params.getOrElse("byteLevel", "false").toBoolean
+    val (tdf, tcol) =
+      if (byteLevel) (graft.operators.text.ByteLevel
+        .withByteText(df, textCol, "__bl__"), "__bl__")
+      else (df, textCol)
+    val merges = graft.operators.text.BpeTrain.learnMerges(tdf,
+      tcol, params.getOrElse("numMerges", "1000").toInt)
     if (path.nonEmpty) {
       merges.write.mode("overwrite").parquet(path + "/data")
       // vocab = alphabet + merge outputs, id-ordered — saved with the
       // model so `predict ... output="ids"` maps symbols without the
-      // training corpus
+      // training corpus; byte-level seeds the FULL 256-symbol alphabet
       val mergeSeq = merges.orderBy("rank").collect()
         .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
-      graft.operators.text.BpeTrain.vocabOf(df, textCol, mergeSeq)
-        .toDF("id", "token").repartition(1)
+      val vocab =
+        if (byteLevel)
+          (graft.operators.text.ByteLevel.fullAlphabet ++
+            mergeSeq.map { case (l, r) => l + r }).zipWithIndex
+            .map { case (t, i) => (i.toLong, t) }
+        else graft.operators.text.BpeTrain.vocabOf(tdf, tcol, mergeSeq)
+      vocab.toDF("id", "token").repartition(1)
         .write.mode("overwrite").parquet(path + "/vocab")
+      ctx.spark.createDataFrame(Seq(Tuple1(byteLevel))).toDF("byte_level")
+        .repartition(1).write.mode("overwrite").parquet(path + "/meta")
     }
     merges
   }
@@ -767,14 +786,22 @@ object BpeTrainET extends ET {
     * symbols → -1). The merge/vocab tables are vocabulary-sized — the
     * k-row collects are the model load, not a data collect.
     */
-  override def batchPredict(ctx: ScriptContext, df: DataFrame, path: String,
+  override def batchPredict(ctx: ScriptContext, df0: DataFrame, path: String,
                             params: Map[String, String]): DataFrame = {
     require(path.nonEmpty, "predict ... as BpeTrain.`path` needs the trained merge dir")
     val merges = ctx.spark.read.parquet(path + "/data")
       .orderBy("rank").collect()
       .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
-    val textCol = params.getOrElse("textCol", "text")
-    params.getOrElse("output", "count") match {
+    // a byte-level model recorded itself in /meta: apply the same byte
+    // pre-tokenization at encode time (absent meta = legacy char model)
+    val byteLevel = scala.util.Try(ctx.spark.read.parquet(path + "/meta")
+      .collect().head.getBoolean(0)).getOrElse(false)
+    val rawTextCol = params.getOrElse("textCol", "text")
+    val (df, textCol) =
+      if (byteLevel) (graft.operators.text.ByteLevel
+        .withByteText(df0, rawTextCol, "__bl__"), "__bl__")
+      else (df0, rawTextCol)
+    val out = params.getOrElse("output", "count") match {
       case "count" =>
         graft.operators.text.BpeTrain.withBpeTokenCount(df, textCol, merges,
           params.getOrElse("outputCol", "n_bpe_tokens"))
@@ -786,6 +813,7 @@ object BpeTrainET extends ET {
       case other => throw new IllegalArgumentException(
         s"BpeTrain predict output must be count|ids, got '$other'")
     }
+    if (byteLevel) out.drop("__bl__") else out
   }
 }
 
