@@ -1281,6 +1281,67 @@ object Scripts {
         |SELECT section, a, b, CAST(n AS BIGINT) AS n, ratio FROM (
         | SELECT * FROM fsec UNION ALL SELECT * FROM rsec
         | UNION ALL SELECT * FROM tsec)
-        |ORDER BY section, a, b""".stripMargin)
+        |ORDER BY section, a, b""".stripMargin),
+
+    // ---- data-quality report flagship: one-scan column profile +
+    //      robust outlier screen + price histogram through the DSL,
+    //      one three-section output; the oracle replays all three
+    //      operator algebras (p70/p77/p78's). ----
+    QuerySpec.sql("s39_script_quality_report", (s, dir) => script(s,
+      s"""load parquet.`$dir/lineitem.parquet` as s39_li;
+         |load parquet.`$dir/events.parquet` as s39_ev;
+         |run s39_li as Profile.``
+         |  where cols="l_orderkey,l_quantity,l_extendedprice" as s39_prof;
+         |run s39_ev as RobustOutliers.`` where keyCol="event_type"
+         |  and valCol="value" as s39_out;
+         |run s39_li as Histogram.`` where valCol="l_extendedprice"
+         |  and nBuckets="10" and mode="width" as s39_hist;
+         |select 'profile' as section, `column` as a,
+         |  n_distinct as n, max_num as x from s39_prof as s39_p2;
+         |select 'outliers' as section, k as a, n_outliers as n,
+         |  mad as x from s39_out as s39_o2;
+         |select 'hist' as section, cast(bucket as string) as a, n,
+         |  hi as x from s39_hist as s39_h2;
+         |select * from (select * from s39_p2 union all select * from s39_o2
+         |  union all select * from s39_h2)
+         |order by section, a as s39_rep;""".stripMargin),
+      """WITH prof AS (
+        | SELECT 'l_orderkey' AS a, COUNT(DISTINCT l_orderkey) AS n,
+        |  CAST(MAX(l_orderkey) AS DOUBLE) AS x FROM lineitem
+        | UNION ALL
+        | SELECT 'l_quantity', COUNT(DISTINCT l_quantity),
+        |  CAST(MAX(l_quantity) AS DOUBLE) FROM lineitem
+        | UNION ALL
+        | SELECT 'l_extendedprice', COUNT(DISTINCT l_extendedprice),
+        |  CAST(MAX(l_extendedprice) AS DOUBLE) FROM lineitem),
+        |b AS (SELECT event_type AS k, value AS v FROM events
+        |      WHERE value IS NOT NULL),
+        |m AS (SELECT k, QUANTILE_CONT(v, 0.5) AS med FROM b GROUP BY k),
+        |d AS (SELECT b.k, b.v, m.med, ABS(b.v - m.med) AS ad
+        |      FROM b JOIN m USING (k)),
+        |st AS (SELECT k, MAX(med) AS med, QUANTILE_CONT(ad, 0.5) AS mad
+        |       FROM d GROUP BY k),
+        |ou AS (SELECT d.k, COUNT(*) AS n_out FROM d JOIN st USING (k)
+        |      WHERE st.mad > 0
+        |        AND ABS(0.6745 * (d.v - d.med) / st.mad) > 3.5
+        |      GROUP BY d.k),
+        |osec AS (SELECT st.k AS a, COALESCE(ou.n_out, 0) AS n,
+        |  ROUND(st.mad, 6) AS x FROM st LEFT JOIN ou ON ou.k = st.k),
+        |hv AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+        |       WHERE l_extendedprice IS NOT NULL),
+        |mm AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM hv),
+        |hw AS (SELECT hv.v, mm.mn, mm.mx,
+        |  CASE WHEN mm.mx = mm.mn THEN 0
+        |       ELSE LEAST(CAST(FLOOR((hv.v - mm.mn) / ((mm.mx - mm.mn) / 10))
+        |                   AS INT), 9) END AS bucket
+        | FROM hv CROSS JOIN mm),
+        |hsec AS (SELECT CAST(bucket AS VARCHAR) AS a, COUNT(*) AS n,
+        |  ROUND(MAX(mn) + (bucket + 1) * ((MAX(mx) - MAX(mn)) / 10), 6) AS x
+        | FROM hw GROUP BY bucket)
+        |SELECT section, a, CAST(n AS BIGINT) AS n, x FROM (
+        | SELECT 'profile' AS section, a, n, x FROM prof
+        | UNION ALL SELECT 'outliers', a, n, x FROM osec
+        | UNION ALL SELECT 'hist', a, n, x FROM hsec)
+        |ORDER BY section, a""".stripMargin)
   )
 }
