@@ -299,7 +299,8 @@ class BenchSpec extends AnyFunSuite {
 
   test("analytics-layer joins are equi only: no cartesian, no nested-loop") {
     for (q <- Seq("p62_funnel", "p64_retention", "p65_transitions",
-        "p68_market_basket", "p72_triangles", "p75_attribution")) {
+        "p68_market_basket", "p72_triangles", "p75_attribution",
+        "p77_robust_outliers", "p81_acf", "p82_ccf")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q:\n$p")
       // the ONE legitimate nested-loop shape is the 1-row-aggregate scalar
@@ -316,7 +317,7 @@ class BenchSpec extends AnyFunSuite {
     // seasonal/EWMA/transitions/paths all window per key; a SinglePartition
     // exchange would mean the global-window trap
     for (q <- Seq("p63_seasonal_decompose", "p65_transitions", "p71_ewma",
-        "p69_top_paths")) {
+        "p69_top_paths", "p76_twap", "p80_scd2", "p81_acf")) {
       val p = plan(q)
       assert(!p.contains("SinglePartition"), s"$q:\n$p")
     }
