@@ -2491,7 +2491,63 @@ object Pipeline {
         | CASE WHEN n_a > 0 AND n_b > 0 AND pp > 0 AND pp < 1
         |      THEN ROUND((pa - pb) / SQRT(pp * (1.0 - pp) *
         |        (1.0 / n_a + 1.0 / n_b)), 6) END AS z
-        |FROM p""".stripMargin)
+        |FROM p""".stripMargin),
+
+    // ---- funnel time-to-convert: p50/p90 seconds between adjacent
+    //      funnel steps (completes the p62 family). Percentiles lerp
+    //      over exact integral micros — engine-identical. ----
+    QuerySpec.sql("p84_funnel_timing", (s, dir) => {
+      import s.implicits._
+      val per = graft.operators.temporal.Funnel.analyze(
+        t(s, dir, "events"), "user_id", "ts", "event_type",
+        Seq("signup", "view", "click", "purchase"),
+        maxSpanSeconds = 7L * 86400)
+      val pairs = per.select(explode(array(
+          struct(lit("1_signup_view").as("step_pair"),
+            (unix_micros($"t2") - unix_micros($"t1")).as("d")),
+          struct(lit("2_view_click").as("step_pair"),
+            (unix_micros($"t3") - unix_micros($"t2")).as("d")),
+          struct(lit("3_click_purchase").as("step_pair"),
+            (unix_micros($"t4") - unix_micros($"t3")).as("d")))).as("p"))
+        .select($"p.*").filter($"d".isNotNull)
+      pairs.groupBy($"step_pair")
+        .agg(count(lit(1)).as("n"),
+          expr("percentile(d, array(0.5, 0.9))").as("pcts"))
+        .select($"step_pair", $"n",
+          round(element_at($"pcts", 1) / 1e6, 6).as("p50_s"),
+          round(element_at($"pcts", 2) / 1e6, 6).as("p90_s"))
+        .orderBy($"step_pair")
+    },
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT s1.user_id, s1.t1, MIN(e.ts) AS t2
+        | FROM s1 LEFT JOIN events e ON e.user_id = s1.user_id
+        |  AND e.event_type = 'view' AND e.ts > s1.t1
+        |  AND e.ts <= s1.t1 + INTERVAL 604800 SECOND
+        | GROUP BY s1.user_id, s1.t1),
+        |s3 AS (SELECT s2.user_id, s2.t1, s2.t2, MIN(e.ts) AS t3
+        | FROM s2 LEFT JOIN events e ON e.user_id = s2.user_id
+        |  AND e.event_type = 'click' AND e.ts > s2.t2
+        |  AND e.ts <= s2.t1 + INTERVAL 604800 SECOND
+        | GROUP BY s2.user_id, s2.t1, s2.t2),
+        |s4 AS (SELECT s3.user_id, s3.t1, s3.t2, s3.t3, MIN(e.ts) AS t4
+        | FROM s3 LEFT JOIN events e ON e.user_id = s3.user_id
+        |  AND e.event_type = 'purchase' AND e.ts > s3.t3
+        |  AND e.ts <= s3.t1 + INTERVAL 604800 SECOND
+        | GROUP BY s3.user_id, s3.t1, s3.t2, s3.t3),
+        |pairs AS (
+        | SELECT '1_signup_view' AS step_pair,
+        |  epoch_us(t2) - epoch_us(t1) AS d FROM s4 WHERE t2 IS NOT NULL
+        | UNION ALL
+        | SELECT '2_view_click', epoch_us(t3) - epoch_us(t2) FROM s4
+        |  WHERE t3 IS NOT NULL
+        | UNION ALL
+        | SELECT '3_click_purchase', epoch_us(t4) - epoch_us(t3) FROM s4
+        |  WHERE t4 IS NOT NULL)
+        |SELECT step_pair, COUNT(*) AS n,
+        | ROUND(QUANTILE_CONT(d, 0.5) / 1e6, 6) AS p50_s,
+        | ROUND(QUANTILE_CONT(d, 0.9) / 1e6, 6) AS p90_s
+        |FROM pairs GROUP BY step_pair ORDER BY step_pair""".stripMargin)
   )
 
   /** Unrolled k-round synchronous LPA replay (see
