@@ -182,6 +182,14 @@ class SurveyCoverageSpec extends AnyFunSuite {
       "p53_ccnet_buckets", "p54_temperature_mix", "p55_boilerplate_lines",
       "p56_domain_reweight", "p57_c4_rules", "p58_line_dedup_within_doc", "p59_word_entropy",
       "p60_subseq_search", "p61_motif_pairs",
+      // classic-analytics layer (events/graph/quality, round 12)
+      "p62_funnel", "p63_seasonal_decompose", "p64_retention",
+      "p65_transitions", "p66_pagerank", "p67_wordpiece",
+      "p68_market_basket", "p69_top_paths", "p70_profile", "p71_ewma",
+      "p72_triangles", "p73_communities", "p74_holt", "p75_attribution",
+      "p76_twap", "p77_robust_outliers", "p78_hist_width",
+      "p79_hist_depth", "p80_scd2", "p81_acf", "p82_ccf", "p83_abtest",
+      "p84_funnel_timing",
       "s11_script_dedup", "s18_script_neardup_pipeline",
       "s19_script_clean_corpus", "s23_script_chunk_pipeline",
       "s24_script_substring_dedup", "s25_script_cluster_assign",
@@ -191,7 +199,8 @@ class SurveyCoverageSpec extends AnyFunSuite {
       "s30_script_doremi_mix", "s31_script_web_curate",
       "s32_script_unigram_tokenizer", "s33_script_unigram_pieces",
       "s34_script_unigram_seqpack", "s35_script_unigram_nbest",
-      "s36_script_tokenizer_fertility", "s37_script_unigram_sample"))
+      "s36_script_tokenizer_fertility", "s37_script_unigram_sample",
+      "s38_script_product_analytics", "s39_script_quality_report"))
     // rows-only entries: a seeded k-means|| fit and a 4096-round BPE train
     // are not SQL-replayable in DuckDB (their algorithms are oracle-pinned
     // elsewhere: p46/s25/s28 assignment+quota math, p6/p28/p31 encode
