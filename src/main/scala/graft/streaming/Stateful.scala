@@ -142,9 +142,18 @@ object Stateful {
       for (ts <- rows.map(_._2.getTime).toSeq.sorted) {
         cur = cur match {
           case Some((s, l, c)) if ts - l <= gapMs =>
-            getHandle.deleteTimer(l + gapMs)
-            getHandle.registerTimer(ts + gapMs)
-            Some((s, math.max(l, ts), c + 1))
+            // Late (out-of-order) events may arrive with ts < l, or even
+            // ts < s, yet still fall within the gap. The timer must track
+            // the session END max(l, ts) — re-registering at a bare
+            // ts + gapMs would fire early, fail handleExpiredTimer's
+            // `end + gap <= expiry` guard, and strand the session with no
+            // timer at all. Only touch the timer when the end advances.
+            val nl = math.max(l, ts)
+            if (nl > l) {
+              getHandle.deleteTimer(l + gapMs)
+              getHandle.registerTimer(nl + gapMs)
+            }
+            Some((math.min(s, ts), nl, c + 1))
           case Some((s, l, c)) => // in-batch gap: close the old session now
             out ::= SessionOut(key, s, l, c)
             getHandle.deleteTimer(l + gapMs)

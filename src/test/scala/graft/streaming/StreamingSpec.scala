@@ -528,6 +528,46 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("timer sessions survive a within-gap LATE event across batches") {
+    // A late event above the watermark but earlier than the recorded
+    // session end (even earlier than the recorded START) must not
+    // strand the session: the timer stays at end+gap, and session_start
+    // reflects the earliest observed event.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+      val ms = MemoryStream[(Long, java.sql.Timestamp)]
+      val q = graft.streaming.Stateful.sessions(
+          ms.toDF().toDF("k", "ts").withWatermark("ts", "30 seconds"),
+          "k", "ts", gapSec = 10)
+        .writeStream.format("memory").queryName("sess_late").outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ck_sess_late").toString)
+        .start()
+      ms.addData((1L, ts(40)))   // session opens: [40, 40], wm -> 10
+      q.processAllAvailable()
+      ms.addData((1L, ts(35)))   // LATE within gap (40-35=5 <= 10), above wm
+      q.processAllAvailable()
+      ms.addData((2L, ts(100)))  // wm -> 70; key 1's timer at 50 must fire
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("sess_late").collect()
+        .map(r => (r.getLong(0), r.getLong(1) / 1000, r.getLong(2) / 1000, r.getLong(3)))
+        .toSet
+      assert(got.contains((1L, 35L, 40L, 2L)),
+        s"late-extended session must flush with earliest start: $got")
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   test("StreamSessions DSL surface: watermark ET chains into timer sessions") {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(providerKey)
