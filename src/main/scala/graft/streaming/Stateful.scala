@@ -3,8 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
-  GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TTLConfig,
-  TimeMode, TimerValues, ValueState}
+  GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor,
+  TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Custom stateful streaming operators over `KeyValueGroupedDataset`
   * (SURVEY §2.7 "stateful ops": the reference exposes only what Spark SQL
@@ -121,62 +121,69 @@ object Stateful {
     * cannot express: emit one COMPLETED-session row per (key, session)
     * exactly when the watermark passes last_event + gap, with
     * arbitrary per-session state (here start/end/count; extend the
-    * tuple for custom session payloads). An in-batch gap closes the
-    * old session immediately (both sessions may emit from one batch);
-    * otherwise the registered timer fires on watermark advance —
-    * `handleExpiredTimer` is the session flush. State per key is one
-    * tuple + one timer, Append mode.
+    * tuple for custom session payloads).
+    *
+    * Semantics match batch gap-sessionization exactly (q35: an event
+    * merges into a session iff it lies within `gap` of the session's
+    * interval, inclusive on both sides): state per key is the LIST of
+    * still-open sessions, each with its own timer at end+gap, and input
+    * rows are interval-merged against that list. Holding a list — not a
+    * single open session — is what makes out-of-order input correct: a
+    * late event above the watermark but more than `gap` BEFORE the
+    * current session's start opens its own earlier session (the old
+    * single-slot design wrongly merged it, dragging session_start
+    * arbitrarily far back), and a still-later event within gap of THAT
+    * session merges into it rather than being stranded. Every emission
+    * happens in `handleExpiredTimer` once the watermark passes end+gap,
+    * so no session can close while an above-watermark event could still
+    * legally join it: streamed output == batch sessionization for any
+    * arrival order the watermark admits. State per key is bounded by
+    * (watermark delay / gap) + 1 open sessions, independent of stream
+    * length. Append mode.
     */
   class SessionProcessor(gapMs: Long)
     extends StatefulProcessor[Long, (Long, java.sql.Timestamp), SessionOut] {
-    @transient private var st: ValueState[(Long, Long, Long)] = _
+    @transient private var st: ListState[(Long, Long, Long)] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      st = getHandle.getValueState[(Long, Long, Long)]("sess",
+      st = getHandle.getListState[(Long, Long, Long)]("sess",
         Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
           Encoders.scalaLong), TTLConfig.NONE)
     override def handleInputRows(key: Long,
                                  rows: Iterator[(Long, java.sql.Timestamp)],
                                  timerValues: TimerValues): Iterator[SessionOut] = {
-      var out = List.empty[SessionOut]
-      var cur = if (st.exists()) Some(st.get()) else None
-      for (ts <- rows.map(_._2.getTime).toSeq.sorted) {
-        cur = cur match {
-          case Some((s, l, c)) if ts - l <= gapMs =>
-            // Late (out-of-order) events may arrive with ts < l, or even
-            // ts < s, yet still fall within the gap. The timer must track
-            // the session END max(l, ts) — re-registering at a bare
-            // ts + gapMs would fire early, fail handleExpiredTimer's
-            // `end + gap <= expiry` guard, and strand the session with no
-            // timer at all. Only touch the timer when the end advances.
-            val nl = math.max(l, ts)
-            if (nl > l) {
-              getHandle.deleteTimer(l + gapMs)
-              getHandle.registerTimer(nl + gapMs)
-            }
-            Some((math.min(s, ts), nl, c + 1))
-          case Some((s, l, c)) => // in-batch gap: close the old session now
-            out ::= SessionOut(key, s, l, c)
-            getHandle.deleteTimer(l + gapMs)
-            getHandle.registerTimer(ts + gapMs)
-            Some((ts, ts, 1L))
-          case None =>
-            getHandle.registerTimer(ts + gapMs)
-            Some((ts, ts, 1L))
-        }
+      val events = rows.map(_._2.getTime).toSeq
+      if (events.isEmpty) return Iterator.empty
+      val stored = st.get().toSeq
+      // interval-merge the open sessions with the new events (sorted by
+      // start; a point event is the interval [ts, ts])
+      val items = (stored ++ events.map(ts => (ts, ts, 1L)))
+        .sortBy(t => (t._1, t._2))
+      val merged = List.newBuilder[(Long, Long, Long)]
+      var cur: (Long, Long, Long) = items.head
+      for (it <- items.tail) {
+        if (it._1 <= cur._2 + gapMs)
+          cur = (cur._1, math.max(cur._2, it._2), cur._3 + it._3)
+        else { merged += cur; cur = it }
       }
-      cur.foreach(st.update)
-      out.reverse.iterator
+      merged += cur
+      val next = merged.result()
+      // timer diff: one timer per open session at end+gap; a merge that
+      // advances a session's end moves its timer, untouched ends keep
+      // theirs (re-registering an identical timer would be a no-op churn)
+      val oldT = stored.map(_._2 + gapMs).toSet
+      val newT = next.map(_._2 + gapMs).toSet
+      (oldT diff newT).foreach(getHandle.deleteTimer)
+      (newT diff oldT).foreach(getHandle.registerTimer)
+      st.put(next.toArray)
+      Iterator.empty
     }
     override def handleExpiredTimer(key: Long, timerValues: TimerValues,
                                     expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionOut] = {
-      if (st.exists()) {
-        val (s, l, c) = st.get()
-        if (l + gapMs <= expiredTimerInfo.getExpiryTimeInMs) {
-          st.clear()
-          return Iterator.single(SessionOut(key, s, l, c))
-        }
-      }
-      Iterator.empty
+      val expiry = expiredTimerInfo.getExpiryTimeInMs
+      val (done, live) = st.get().toSeq.partition(_._2 + gapMs <= expiry)
+      if (live.isEmpty) st.clear() else if (done.nonEmpty) st.put(live.toArray)
+      done.sortBy(_._1)
+        .map { case (s, l, c) => SessionOut(key, s, l, c) }.iterator
     }
   }
 

@@ -568,6 +568,132 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("timer sessions: late event older than start-gap opens its OWN earlier session") {
+    // Session-window semantics: a late event above the watermark but more
+    // than `gap` BEFORE the open session's start must NOT merge into it
+    // (the old single-slot guard `ts - l <= gap` was vacuously true for
+    // any late event and dragged session_start arbitrarily far back).
+    // It opens a separate earlier session — and a still-later event
+    // within gap of THAT session merges into it, not the newer one.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+      val ms = MemoryStream[(Long, java.sql.Timestamp)]
+      val q = graft.streaming.Stateful.sessions(
+          ms.toDF().toDF("k", "ts").withWatermark("ts", "30 seconds"),
+          "k", "ts", gapSec = 10)
+        .writeStream.format("memory").queryName("sess_earlier").outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ck_sess_earlier").toString)
+        .start()
+      ms.addData((1L, ts(40)))   // session opens [40, 40]; wm -> 10
+      q.processAllAvailable()
+      ms.addData((1L, ts(15)))   // LATE, above wm=10, but 40-15 > gap: own session
+      q.processAllAvailable()
+      ms.addData((1L, ts(20)))   // late again; within gap of the EARLIER session
+      q.processAllAvailable()
+      ms.addData((2L, ts(100)))  // wm -> 70: flush both of key 1's sessions
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("sess_earlier").collect()
+        .map(r => (r.getLong(0), r.getLong(1) / 1000, r.getLong(2) / 1000, r.getLong(3)))
+        .toSet
+      assert(got.contains((1L, 15L, 20L, 2L)),
+        s"earlier session [15,20] with 2 events must flush separately: $got")
+      assert(got.contains((1L, 40L, 40L, 1L)),
+        s"original session [40,40] must stay un-merged: $got")
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
+  test("property: streamed timer sessions equal batch sessionization (random lateness + batching)") {
+    // ScalaCheck over random event sets, random within-watermark lateness
+    // (arrival order = ts + jitter, jitter < watermark delay, which
+    // guarantees nothing is ever dropped), and random batch cut points.
+    // For every generated scenario, the flushed session rows must equal
+    // the batch gap-sessionization of the same events (q35 semantics:
+    // merge iff within `gap`, inclusive).
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    implicit val sql = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val gapSec = 10L
+    def batchSessions(evs: Seq[(Long, Long)]): Set[(Long, Long, Long, Long)] =
+      evs.groupBy(_._1).flatMap { case (k, es) =>
+        val sess = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long)]
+        for (t <- es.map(_._2).sorted) {
+          if (sess.nonEmpty && t - sess.last._2 <= gapSec) {
+            val (s, _, c) = sess.remove(sess.length - 1); sess += ((s, t, c + 1))
+          } else sess += ((t, t, 1L))
+        }
+        sess.map { case (s, l, c) => (k, s, l, c) }
+      }.toSet
+    val genCase = for {
+      n    <- Gen.choose(5, 40)
+      evs  <- Gen.listOfN(n, for {
+                k  <- Gen.choose(1L, 3L)
+                // ts >= 1: an event at ts == 0 equals the INITIAL watermark
+                // and Spark's late-record filter drops ts <= wm rows; every
+                // later arrival has ts strictly above the wm by construction
+                t  <- Gen.choose(1L, 180L)
+                j  <- Gen.choose(0L, 29L) // strictly < 30s delay: never dropped
+              } yield (k, t, t + j))
+      cuts <- Gen.listOf(Gen.choose(0, n))
+    } yield (evs, cuts)
+    val trial = new java.util.concurrent.atomic.AtomicInteger(0)
+    try {
+      val prop = Prop.forAll(genCase) { case (evs, cuts) =>
+        def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+        val arrival = evs.sortBy(e => (e._3, e._2, e._1))
+        val bounds = (cuts.toSet + 0 + arrival.length).toSeq.sorted
+        val batches = bounds.zip(bounds.tail)
+          .map { case (a, b) => arrival.slice(a, b) }.filter(_.nonEmpty)
+        val qn = s"sess_prop_${trial.incrementAndGet()}"
+        val ms = MemoryStream[(Long, java.sql.Timestamp)]
+        val q = graft.streaming.Stateful.sessions(
+            ms.toDF().toDF("k", "ts").withWatermark("ts", "30 seconds"),
+            "k", "ts", gapSec = gapSec)
+          .writeStream.format("memory").queryName(qn).outputMode("append")
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory(qn).toString)
+          .start()
+        batches.foreach { b =>
+          ms.addData(b.map(e => (e._1, ts(e._2))): _*)
+          q.processAllAvailable()
+        }
+        // sentinel pushes wm past every end+gap so all sessions flush
+        ms.addData((999L, ts(400L)))
+        q.processAllAvailable()
+        q.stop()
+        val got = spark.table(qn).collect()
+          .map(r => (r.getLong(0), r.getLong(1) / 1000, r.getLong(2) / 1000, r.getLong(3)))
+          .filter(_._1 != 999L).toSet
+        val want = batchSessions(evs.map(e => (e._1, e._2)))
+        if (got != want)
+          println(s"MISMATCH evs=$evs cuts=$cuts got=$got want=$want")
+        got == want
+      }
+      val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10)
+        .withWorkers(1), prop)
+      assert(r.passed, r.status.toString)
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   test("StreamSessions DSL surface: watermark ET chains into timer sessions") {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(providerKey)
