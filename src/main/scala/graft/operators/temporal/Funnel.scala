@@ -89,7 +89,9 @@ object Funnel {
     val n1 = math.max(counts.getLong(0), 1L)
     steps.indices.map { i =>
       val n = counts.getLong(i)
-      (i + 1, steps(i), n, math.rint(n.toDouble / n1 * 1e6) / 1e6)
+      // half-up, not rint: same cross-engine rounding discipline as the
+      // unigram sampler (DuckDB ROUND is half-away; ratios are >= 0)
+      (i + 1, steps(i), n, math.floor(n.toDouble / n1 * 1e6 + 0.5) / 1e6)
     }.toDF("step", "name", "n_users", "conversion")
   }
 }

@@ -410,6 +410,17 @@ object UnigramTokenizer {
     * empirically across rounds). Per-row broadcast-vocab work with the
     * n-best memo — no shuffle, scan speed.
     */
+  /** Half-UP rounding to 9 decimals for the sampling weights. DuckDB's
+    * `ROUND(x, 9)` is half-AWAY-from-zero; the weights are nonnegative,
+    * so half-up is the identical rule — whereas `math.rint` is IEEE
+    * half-to-EVEN and ranks the two candidates differently at an exact
+    * midpoint, breaking the bit-exact cross-engine draw replay the s37
+    * oracle contract requires. Weights are ≤ 1 (costs ≥ 0), so the
+    * `x*1e9 + 0.5` sum is exact integer territory, no overflow.
+    */
+  private[graft] def roundHalfUp9(x: Double): Double =
+    math.floor(x * 1e9 + 0.5) / 1e9
+
   def sampledTable(df: DataFrame, idCol: String, textCol: String,
                    vocab: DataFrame, k: Int, alpha: Double,
                    seed: Long): DataFrame = {
@@ -438,7 +449,7 @@ object UnigramTokenizer {
       def apply(u: Double, w: String): (Int, Seq[String], Double) = {
         val cands = nbest(w)
         // inverse-CDF walk in rank order over rounded softmax weights
-        val ws = cands.map { case (c, _) => math.rint(math.exp(-alpha * c) * 1e9) / 1e9 }
+        val ws = cands.map { case (c, _) => roundHalfUp9(math.exp(-alpha * c)) }
         val total = ws.sum
         // all weights rounded to zero (alpha·minCost > ~21): degenerate
         // distribution — take the Viterbi path, as the oracle's COALESCE does

@@ -166,6 +166,28 @@ class UnigramTokenizerSpec extends AnyFunSuite {
     assert((1 to 20).exists(s => run(0.0, s.toLong) != a))
   }
 
+  test("roundHalfUp9 matches DuckDB ROUND at forced midpoints (half-away, not half-even)") {
+    // exp(-alpha*cost)*1e9 can land on an exact .5 midpoint; DuckDB's
+    // ROUND(x, 9) is half-away-from-zero there while math.rint is
+    // half-to-even — the two engines would rank the candidates
+    // differently and the bit-exact s37 draw replay would break.
+    // 2.5e-9 * 1e9 == 2.5 exactly in IEEE doubles (checked below), so
+    // these are genuine midpoints, not near-misses.
+    for ((w, up) <- Seq(0.5e-9 -> 1.0, 2.5e-9 -> 3.0, 3.5e-9 -> 4.0,
+                        1234567.5e-9 -> 1234568.0)) {
+      assert(w * 1e9 == math.floor(w * 1e9) + 0.5, s"$w must be a true midpoint")
+      assert(UnigramTokenizer.roundHalfUp9(w) * 1e9 == up,
+        s"roundHalfUp9($w) must round UP like DuckDB ROUND")
+    }
+    // rint would disagree on the even-neighbor midpoints — the exact bug
+    assert(math.rint(2.5) == 2.0 && math.rint(0.5) == 0.0,
+      "sanity: rint is half-even, which is why it was wrong here")
+    // off-midpoint values agree with plain rounding
+    for (x <- Seq(0.0, 1.0, 0.123456789123, 3.7e-10, 0.999999999499))
+      assert(UnigramTokenizer.roundHalfUp9(x) == math.rint(x * 1e9) / 1e9 ||
+        x * 1e9 == math.floor(x * 1e9) + 0.5)
+  }
+
   test("withPieces emits the viterbi path, rank ids, and the withEncoding metrics") {
     import spark.implicits._
     val docs = Seq((1L, "abab ba aa"), (2L, "aa bb ab"), (3L, null.asInstanceOf[String]))
