@@ -320,6 +320,26 @@ object BpeTrain {
     tokens.zipWithIndex.map { case (t, i) => (i.toLong, t) }
   }
 
+  /** Encode each row's text to its space-joined BPE PIECE string (words
+    * greedily merged in rank order, per-word piece arrays concatenated in
+    * word order) — the compact cross-engine verification surface: equal
+    * piece strings ⟺ equal full encodings, and a single `md5` of the
+    * string hash-compares the entire segmentation. UDF path via
+    * [[BpeCodec]] (cost independent of merge-table size); no shuffle,
+    * scan speed.
+    */
+  def withBpePieces(df: DataFrame, textCol: String,
+                    merges: Seq[(String, String)],
+                    outCol: String = "bpe_pieces"): DataFrame = {
+    val codec = new BpeCodec(merges)
+    val enc = F.udf { (text: String) =>
+      Option(text).map(t =>
+        t.split(" ").iterator.filter(_.nonEmpty)
+          .flatMap(codec.encodeWord).mkString(" "))
+    }
+    df.withColumn(outCol, enc(col(textCol)))
+  }
+
   /** Encode each row's text to BPE token IDS (words greedily merged in
     * rank order, symbols mapped through `vocab`, word encodings
     * concatenated in order). Symbols outside the vocabulary — characters

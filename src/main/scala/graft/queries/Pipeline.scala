@@ -1399,22 +1399,71 @@ object Pipeline {
     //      the r10 version padded -- the pads proved table-size
     //      independence but exercised no real merge depth). Every merge
     //      is learned from and re-applied to this corpus: 100% of the
-    //      table is reachable and applied depth ~ word length. Encode
-    //      parity is p6/p28/p31; trainer parity is LmTokenizerSpec. No
-    //      oracle: replaying 4096 merge rounds in SQL is out of scope;
-    //      rows-only check. ----
-    QuerySpec.noOracle("p51_bpe_encode_4k", (s, dir) => {
+    //      table is reachable and applied depth ~ word length. Trainer
+    //      parity is LmTokenizerSpec (incremental vs recount). The
+    //      4096-merge train + full-corpus encode stay as the (eager)
+    //      bench payload; the ORACLED surface is the s32 technique: the
+    //      learned merges are saved to parquet, and DuckDB independently
+    //      REPLAYS the encoder over a 50-doc sample through the first
+    //      512 ranks — one recursive-CTE step per rank, each applying
+    //      REPLACE('{l}{r}' -> '{lr}') on a token-bracketed string.
+    //      Bracketing makes REPLACE's leftmost-non-overlapping scan
+    //      exactly the codec's single greedy left-to-right pass (a '}{'
+    //      occurs only at token boundaries, '|' separates words so no
+    //      merge crosses them), so an md5 of the piece string verifies
+    //      every segmentation decision bit-for-bit. ----
+    QuerySpec.sql("p51_bpe_encode_4k", (s, dir) => {
       import s.implicits._
       val cust = t(s, dir, "customer")
-        .select(concat_ws(" ", $"c_name", $"c_acctbal".cast("string")).as("text"))
-      val learned = graft.operators.text.BpeTrain
+        .select($"c_custkey".cast("long").as("doc_id"),
+          concat_ws(" ", $"c_name", $"c_acctbal".cast("string")).as("text"))
+      val mergesDf = graft.operators.text.BpeTrain
         .learnMerges(cust, "text", 4096)
-        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      mergesDf.coalesce(1).write.mode("overwrite")
+        .parquet("/tmp/graft_p51_merges")
+      val learned = mergesDf.orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      // bench payload: encode the WHOLE corpus through all 4096 merges
+      // (eager — the timing the entry exists to measure)
       graft.operators.text.BpeTrain
         .withBpeTokenCount(cust, "text", learned)
-        .agg(count(lit(1)).as("n_docs"),
-          sum($"n_bpe_tokens").as("total_tokens"))
-    }),
+        .agg(sum($"n_bpe_tokens")).head()
+      // oracled surface: 50-doc sample through the first 512 ranks
+      graft.operators.text.BpeTrain
+        .withBpePieces(cust.filter($"doc_id" <= 50), "text", learned.take(512))
+        .select($"doc_id", md5($"bpe_pieces").as("h"),
+          size(split($"bpe_pieces", " ")).cast("long").as("n_pieces"))
+        .orderBy($"doc_id")
+    },
+      """WITH RECURSIVE m AS (
+        | SELECT rank, "left" AS l, "right" AS r
+        | FROM read_parquet('/tmp/graft_p51_merges/*.parquet') WHERE rank <= 512),
+        |mx AS (SELECT MAX(rank) AS mr FROM m),
+        |docs AS (
+        | SELECT CAST(c_custkey AS BIGINT) AS doc_id,
+        |  c_name || ' ' || CAST(c_acctbal AS VARCHAR) AS text
+        | FROM customer WHERE c_custkey <= 50),
+        |init AS (
+        | SELECT doc_id,
+        |  ARRAY_TO_STRING(LIST_TRANSFORM(
+        |    LIST_FILTER(STRING_SPLIT(text, ' '), w -> w <> ''),
+        |    w -> REGEXP_REPLACE(w, '(.)', '{\1}', 'g')), '|') AS s
+        | FROM docs),
+        |enc AS (
+        | SELECT doc_id, s, 0 AS r FROM init
+        | UNION ALL
+        | SELECT e.doc_id,
+        |  REPLACE(e.s, '{' || m.l || '}{' || m.r || '}', '{' || m.l || m.r || '}'),
+        |  e.r + 1
+        | FROM enc e JOIN m ON m.rank = e.r + 1),
+        |fin AS (
+        | SELECT doc_id,
+        |  SUBSTR(REPLACE(REPLACE(s, '}|{', ' '), '}{', ' '), 2,
+        |    LENGTH(REPLACE(REPLACE(s, '}|{', ' '), '}{', ' ')) - 2) AS pieces
+        | FROM enc, mx WHERE enc.r = mx.mr)
+        |SELECT doc_id, MD5(pieces) AS h,
+        | CAST(LEN(STRING_SPLIT(pieces, ' ')) AS BIGINT) AS n_pieces
+        |FROM fin ORDER BY doc_id""".stripMargin),
 
     // ---- Gopher repetition battery (Rae et al. 2021 A1.2, the p48
     //      doc-shape battery's sibling): char mass of the most frequent

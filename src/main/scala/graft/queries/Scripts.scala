@@ -632,13 +632,15 @@ object Scripts {
     // ---- real-centroid-fit → cluster-balanced sampling, end-to-end
     //      through the DSL: train spark.ml KMeans on the embeddings, feed
     //      the fitted model's clusterCenters straight into ClusterSample
-    //      (centroidsModel param), quota per cluster, histogram out. No
-    //      DuckDB oracle — a seeded k-means|| fit is not SQL-replayable —
-    //      so the driver records the rows-only check here; the exact
-    //      per-cluster histogram invariants (k clusters, counts ≤ m,
-    //      run-to-run determinism) are pinned by ClusterSampleSpec, and
-    //      the assignment math itself is oracle-green via p46/s25. ----
-    QuerySpec.noOracle("s27_script_kmeans_cluster_sample", (s, dir) => script(s,
+    //      (the MODEL-DIRECT centroidsModel + mode="central" path — the
+    //      coverage s28's centroidsTable variant does not touch), quota
+    //      per cluster, histogram out. Oracled since r14 by the s28
+    //      technique: the script ALSO exports the model's centroids to
+    //      parquet, and DuckDB replays assignment + quota + histogram
+    //      from that export — the compared surface runs off the model
+    //      directly, so the compare proves model-direct ≡ exported-
+    //      centroid assignment on top of the arithmetic itself. ----
+    QuerySpec.sql("s27_script_kmeans_cluster_sample", (s, dir) => script(s,
       s"""load parquet.`$dir/embeddings.parquet` as s27_embs;
          |select vec_id, embedding,
          |  vec_dense(to_array_double(embedding)) as features
@@ -646,10 +648,31 @@ object Scripts {
          |train s27_feat as KMeans.`/tmp/graft_s27_km` where k="8"
          |  and seed="7" and maxIter="5" as s27_ts;
          |run s27_embs as ClusterSample.`` where
+         |  centroidsModel="/tmp/graft_s27_km" and mode="centroids" as s27_cents;
+         |save overwrite s27_cents as parquet.`/tmp/graft_s27_cents`;
+         |run s27_embs as ClusterSample.`` where
          |  centroidsModel="/tmp/graft_s27_km" and mode="central" and m="40"
          |  as s27_bal;
          |select cluster, count(*) as n, round(min(sim), 4) as min_sim
-         |from s27_bal group by cluster order by cluster as s27_out;""".stripMargin)),
+         |from s27_bal group by cluster order by cluster as s27_out;""".stripMargin),
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT cid, CAST(cv AS DOUBLE[]) AS cv
+        |      FROM read_parquet('/tmp/graft_s27_cents/*.parquet')),
+        |a AS (SELECT e.vec_id, c.cid,
+        |  ROUND(LIST_INNER_PRODUCT(e.v, c.cv) /
+        |    (SQRT(LIST_INNER_PRODUCT(e.v, e.v)) * SQRT(LIST_INNER_PRODUCT(c.cv, c.cv))), 6) AS s,
+        |  ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |    ORDER BY ROUND(LIST_INNER_PRODUCT(e.v, c.cv) /
+        |      (SQRT(LIST_INNER_PRODUCT(e.v, e.v)) * SQRT(LIST_INNER_PRODUCT(c.cv, c.cv))), 6) DESC,
+        |      c.cid) AS rn
+        | FROM e CROSS JOIN c),
+        |asg AS (SELECT vec_id, cid, s FROM a WHERE rn = 1),
+        |q AS (SELECT vec_id, cid, s,
+        |  ROW_NUMBER() OVER (PARTITION BY cid ORDER BY s DESC, vec_id) AS qr
+        | FROM asg)
+        |SELECT CAST(cid AS INTEGER) AS cluster, COUNT(*) AS n,
+        | ROUND(MIN(s), 4) AS min_sim
+        |FROM q WHERE qr <= 40 GROUP BY cid ORDER BY cluster""".stripMargin),
 
     // ---- s27 with the ORACLE BOUNDARY moved to the fitted centroids:
     //      the seeded k-means|| fit itself is not SQL-replayable (the r10

@@ -201,13 +201,12 @@ class SurveyCoverageSpec extends AnyFunSuite {
       "s34_script_unigram_seqpack", "s35_script_unigram_nbest",
       "s36_script_tokenizer_fertility", "s37_script_unigram_sample",
       "s38_script_product_analytics", "s39_script_quality_report"))
-    // rows-only entries: a seeded k-means|| fit and a 4096-round BPE train
-    // are not SQL-replayable in DuckDB (their algorithms are oracle-pinned
-    // elsewhere: p46/s25/s28 assignment+quota math, p6/p28/p31 encode
-    // parity + LmTokenizerSpec trainer equality; s28 moves the oracle
-    // boundary to the persisted centroids and hash-compares everything
-    // downstream of the fit)
+    // formerly rows-only, oracled in r14 by moving the oracle boundary to
+    // a persisted artifact: s27 exports the fitted centroids (the s28
+    // technique, while its compared surface still runs the model-direct
+    // path), and p51 exports the learned merge table so DuckDB replays
+    // the encoder through the first 512 ranks by recursive-CTE REPLACE
     assertQueries(Seq("s27_script_kmeans_cluster_sample", "p51_bpe_encode_4k"),
-      withOracle = false)
+      withOracle = true)
   }
 }

@@ -58,10 +58,11 @@ class ClusterSampleSpec extends AnyFunSuite {
   }
 
   test("KMeans fit → ClusterSample through the DSL (s27): invariants + determinism") {
-    // a seeded k-means|| fit is not DuckDB-replayable, so s27 carries no
-    // SQL oracle — its correctness contract lives here: the fitted model's
-    // k centroids drive the assignment, every cluster's quota holds, the
-    // selection is a subset of the corpus, and a re-run is identical
+    // the seeded k-means|| fit itself is not DuckDB-replayable (s27's
+    // oracle boundary sits at the exported centroids); the fit-side
+    // invariants live here: the fitted model's k centroids drive the
+    // assignment, every cluster's quota holds, the selection is a subset
+    // of the corpus, and a re-run is identical
     def runOnce(): Map[Int, Long] = graft.dsl.ScriptRunner.runToDF(
       s"""load parquet.`/root/testdata/sf0.001/embeddings.parquet` as ck_embs;
          |select vec_id, embedding,
