@@ -907,22 +907,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("ssj").count() == spark.table("ev8_b").count())
   }
 
-  test("streamJDBC sink wires foreachBatch to the jdbc writer (fails on missing driver, not on wiring)") {
-    val ctx = ScriptRunner.run(
-      s"""set streamName = "sj1";
-         |load parquet.`$sf/region.parquet` as rj;
-         |load mockStream.`rj` as rjs;
-         |save append rjs as streamJDBC.`` where mode="append"
-         |  and url="jdbc:nosuchdb://nowhere/db" and dbtable="t"
-         |  and checkpointLocation="${java.nio.file.Files.createTempDirectory("ck_sj")}";""".stripMargin,
-      spark)
-    val q = ctx.streams("sj1")
-    val e = intercept[Exception] { q.processAllAvailable() }
-    q.stop()
-    // the failure is the absent driver INSIDE the batch write — the sink
-    // contract and option plumbing resolved correctly
-    assert(e.getMessage.toLowerCase.contains("jdbc") ||
-      Option(e.getCause).exists(_.getMessage.toLowerCase.contains("driver")), e.getMessage)
+  test("streamJDBC sink end-to-end on embedded Derby: keyed upsert absorbs full re-delivery") {
+    // upgraded from the r13 wiring-only test (which could only prove the
+    // failure happened inside the batch write): the foreach sink now
+    // drives a REAL database. Re-running the whole stream with a fresh
+    // checkpoint replays every batch — foreachBatch is at-least-once —
+    // and the idCol upsert (Derby: the update-then-insert fallback) must
+    // absorb it; the PRIMARY KEY proves no duplicate insert slipped by.
+    val dbDir = java.nio.file.Files.createTempDirectory("graft_derby_stream").toFile
+    dbDir.delete()
+    val url = s"jdbc:derby:${dbDir.getAbsolutePath};create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try conn.createStatement().executeUpdate(
+      """CREATE TABLE ST ("k" BIGINT PRIMARY KEY, "v" VARCHAR(32))""")
+    finally conn.close()
+    def runStream(ck: String): Unit = {
+      val ctx = ScriptRunner.run(
+        s"""set streamName = "sjd";
+           |set sjdata = '''{"k":1,"v":"a"}
+           |{"k":2,"v":"b"}
+           |{"k":3,"v":"c"}''';
+           |load jsonStr.`sjdata` as sj_batch;
+           |load mockStream.`sj_batch` as sj_stream;
+           |save append sj_stream as streamJDBC.`` where mode="append"
+           |  and url="$url" and dbtable="ST" and idCol="k"
+           |  and checkpointLocation="$ck";""".stripMargin, spark)
+      val q = ctx.streams("sjd")
+      try q.processAllAvailable() finally q.stop()
+    }
+    def readBack(): Seq[(Long, String)] = {
+      val c = java.sql.DriverManager.getConnection(url)
+      try {
+        val rs = c.createStatement()
+          .executeQuery("""SELECT "k", "v" FROM ST ORDER BY "k"""")
+        val out = scala.collection.mutable.ListBuffer.empty[(Long, String)]
+        while (rs.next()) out += ((rs.getLong(1), rs.getString(2)))
+        out.toSeq
+      } finally c.close()
+    }
+    runStream(java.nio.file.Files.createTempDirectory("ck_sjd").toString)
+    assert(readBack() == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // fresh checkpoint => the source replays everything; same table after
+    runStream(java.nio.file.Files.createTempDirectory("ck_sjd2").toString)
+    assert(readBack() == Seq((1L, "a"), (2L, "b"), (3L, "c")),
+      "re-delivered batch must upsert, not duplicate")
   }
 
   test("rate source loads as a streaming frame") {
