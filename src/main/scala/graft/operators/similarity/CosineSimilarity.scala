@@ -518,4 +518,43 @@ object CosineSimilarity {
       .filter(col("sim") >= threshold)
       .select(col("a_id"), col("b_id"), col("sim"))
   }
+
+  /** SemDeDup-style APPROXIMATE near-dup self-join (Abbas et al. 2023):
+    * exact cosine pairs WITHIN each k-means cell only — pairs across cell
+    * boundaries are deliberately forfeited, so recall is governed by how
+    * cleanly the corpus clusters. This is the embedding near-dup operator
+    * that actually scales: per-cell work is (n/nlist)², so with
+    * `nlist ∝ n` (constant cell size) total cost is LINEAR in the corpus
+    * — ScaleSweep measures it — whereas [[ivfSelfJoin]]'s full-recall
+    * tile gate (exact by contract, for the p8 oracle) degrades toward
+    * all-pairs whenever cell radii exceed the threshold angle (low
+    * thresholds, loose clusters, isotropic data). One shuffle of
+    * (id, cell, vec) per side on the cell key; assignment is
+    * [[graft.operators.sampling.ClusterSample.assign]]'s codegen'd
+    * rounded-6 argmax (s28-proven SQL-replayable), centroids the shared
+    * bounded driver fit or `centroidsPath` (the pay-the-clustering-once
+    * 100 TB path; p86 uses it as the oracle boundary).
+    */
+  def cellSelfJoin(df: DataFrame, idCol: String, vecCol: String,
+                   threshold: Double, nlist: Int = 16, seed: Long = 42L,
+                   centroidsPath: Option[String] = None): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    if (vecs.isEmpty) return exactSelfJoin(df, idCol, vecCol, threshold)
+    val centers = fitOrLoadCentroids(vecs, "v", nlist, seed, centroidsPath)
+    val centDf = centers.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cid", "cv")
+    val assigned = graft.operators.sampling.ClusterSample
+      .assign(vecs, "id", "v", centDf, "cid", "cv")
+      .select(col("id"), col("v"), col("cluster").as("cell"))
+    val a = assigned.select(col("cell"), col("id").as("a_id"), col("v").as("av"))
+    val b = assigned.select(col("cell"), col("id").as("b_id"), col("v").as("bv"))
+    a.join(b, Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("sim", round(cosine(col("av"), col("bv")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("a_id"), col("b_id"), col("sim"))
+  }
 }

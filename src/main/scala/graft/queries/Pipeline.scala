@@ -2596,7 +2596,73 @@ object Pipeline {
         |SELECT step_pair, COUNT(*) AS n,
         | ROUND(QUANTILE_CONT(d, 0.5) / 1e6, 6) AS p50_s,
         | ROUND(QUANTILE_CONT(d, 0.9) / 1e6, 6) AS p90_s
-        |FROM pairs GROUP BY step_pair ORDER BY step_pair""".stripMargin)
+        |FROM pairs GROUP BY step_pair ORDER BY step_pair""".stripMargin),
+
+    // ---- p21 through the Bloom-prefilter path: a broadcast Bloom filter
+    //      of the eval shingles drops non-candidate train shingles at
+    //      scan speed, then the exact confirm join removes every false
+    //      positive — the mode for eval SUITES past exact-broadcast size
+    //      (~1B shingles ≈ 100 GB of strings but ~1.2 GB of filter at 1%
+    //      fpp), where the shuffle is contamination volume +
+    //      fpp·|train shingles| instead of the corpus. Same oracle SQL as
+    //      p21: identical output is the operator's contract. ----
+    QuerySpec.sql("p85_decontaminate_bloom", (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      graft.operators.dedup.Decontaminate.overlapBloom(
+          docs.filter($"doc_id" % 20 =!= 0), docs.filter($"doc_id" % 20 === 0),
+          "doc_id", "text", n = 8, fpp = 0.01)
+        .orderBy($"doc_id")
+    },
+      """WITH sh AS (
+        | SELECT doc_id, LIST_DISTINCT(ngrams) AS shingles FROM (
+        |  SELECT doc_id,
+        |   [ARRAY_TO_STRING(w[i:i+7], ' ') FOR i IN RANGE(1, LEN(w) - 6)] AS ngrams
+        |  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents)
+        |  WHERE LEN(w) >= 8) t),
+        |ev AS (SELECT DISTINCT UNNEST(shingles) AS s FROM sh WHERE doc_id % 20 = 0),
+        |tr AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh WHERE doc_id % 20 != 0)
+        |SELECT tr.doc_id, COUNT(*) AS n_overlap FROM tr JOIN ev USING (s)
+        |GROUP BY tr.doc_id HAVING COUNT(*) >= 1 ORDER BY doc_id""".stripMargin),
+
+    // ---- SemDeDup-style within-cell near-dup pairs (Abbas et al. 2023):
+    //      the APPROXIMATE embedding-dedup posture that stays linear at
+    //      100 TB (nlist ∝ corpus keeps per-cell pair work constant;
+    //      cross-cell pairs are forfeited by design — contrast p8, whose
+    //      exact tile gate the oracle compares at full recall). Oracle
+    //      boundary = the persisted cell centroids (the s28 technique):
+    //      DuckDB replays the rounded-argmax assignment and the
+    //      within-cell pair join from the saved parquet. ----
+    QuerySpec.sql("p86_semdedup_cells", (s, dir) => {
+      import s.implicits._
+      val path = "/tmp/graft_p86_cents"
+      // fresh fit per run: a stale file would still compare equal (both
+      // engines read the same parquet) but would pin old geometry
+      val hp = new org.apache.hadoop.fs.Path(path)
+      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(hp)) fs.delete(hp, true)
+      CosineSimilarity.cellSelfJoin(t(s, dir, "embeddings"), "vec_id", "embedding",
+          0.45, nlist = 16, centroidsPath = Some(path))
+        .orderBy($"a_id", $"b_id")
+    },
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE embedding IS NOT NULL),
+        |c AS (SELECT cell, CAST(center AS DOUBLE[]) AS cv
+        |      FROM read_parquet('/tmp/graft_p86_cents/*.parquet')),
+        |a AS (SELECT e.vec_id, c.cell, e.v,
+        |  ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |    ORDER BY ROUND(LIST_INNER_PRODUCT(e.v, c.cv) /
+        |      (SQRT(LIST_INNER_PRODUCT(e.v, e.v)) * SQRT(LIST_INNER_PRODUCT(c.cv, c.cv))), 6) DESC,
+        |      c.cell) AS rn
+        | FROM e CROSS JOIN c),
+        |asg AS (SELECT vec_id, cell, v FROM a WHERE rn = 1)
+        |SELECT x.vec_id AS a_id, y.vec_id AS b_id,
+        | ROUND(LIST_INNER_PRODUCT(x.v, y.v) /
+        |   (SQRT(LIST_INNER_PRODUCT(x.v, x.v)) * SQRT(LIST_INNER_PRODUCT(y.v, y.v))), 6) AS sim
+        |FROM asg x JOIN asg y ON x.cell = y.cell AND x.vec_id < y.vec_id
+        |WHERE ROUND(LIST_INNER_PRODUCT(x.v, y.v) /
+        |   (SQRT(LIST_INNER_PRODUCT(x.v, x.v)) * SQRT(LIST_INNER_PRODUCT(y.v, y.v))), 6) >= 0.45
+        |ORDER BY a_id, b_id""".stripMargin)
   )
 
   /** Unrolled k-round synchronous LPA replay (see

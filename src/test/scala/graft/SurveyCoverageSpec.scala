@@ -189,7 +189,7 @@ class SurveyCoverageSpec extends AnyFunSuite {
       "p72_triangles", "p73_communities", "p74_holt", "p75_attribution",
       "p76_twap", "p77_robust_outliers", "p78_hist_width",
       "p79_hist_depth", "p80_scd2", "p81_acf", "p82_ccf", "p83_abtest",
-      "p84_funnel_timing",
+      "p84_funnel_timing", "p85_decontaminate_bloom", "p86_semdedup_cells",
       "s11_script_dedup", "s18_script_neardup_pipeline",
       "s19_script_clean_corpus", "s23_script_chunk_pipeline",
       "s24_script_substring_dedup", "s25_script_cluster_assign",

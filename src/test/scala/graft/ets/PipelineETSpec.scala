@@ -78,6 +78,26 @@ class PipelineETSpec extends AnyFunSuite {
     assert(ivf.nonEmpty)
   }
 
+  test("SimilarityJoin cells (SemDeDup within-cell) is an exact-sim SUBSET; nlist=1 is exact") {
+    val exact = runDF(
+      s"""load parquet.`$sf/embeddings.parquet` as embs_sc;
+         |run embs_sc as SimilarityJoin.`` where method="exact" and threshold="0.45" as sce;
+         |select a_id, b_id, sim from sce order by a_id, b_id as out;""".stripMargin).collect().toSeq
+    val cells = runDF(
+      s"""run embs_sc as SimilarityJoin.`` where method="cells" and threshold="0.45"
+         |  and nlist="8" as scc;
+         |select a_id, b_id, sim from scc order by a_id, b_id as out;""".stripMargin).collect().toSeq
+    // approximate by design: every emitted pair is a true pair with the
+    // exact path's sim; only cross-cell pairs may be missing
+    assert(cells.nonEmpty && cells.toSet.subsetOf(exact.toSet))
+    // one cell == no forfeited pairs: identical to exact
+    val one = runDF(
+      s"""run embs_sc as SimilarityJoin.`` where method="cells" and threshold="0.45"
+         |  and nlist="1" as sc1;
+         |select a_id, b_id, sim from sc1 order by a_id, b_id as out;""".stripMargin).collect().toSeq
+    assert(one == exact)
+  }
+
   test("ivfSelfJoin on an empty corpus returns an empty typed frame") {
     import graft.operators.similarity.CosineSimilarity
     val empty = spark.emptyDataFrame
@@ -552,6 +572,19 @@ class PipelineETSpec extends AnyFunSuite {
         |run trn_t as Decontaminate.`` where evalTable="ev_t" as cleaned;
         |select doc_id from cleaned as out;""".stripMargin)
     assert(df.collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("Decontaminate ET bloom mode flags through the BF prefilter path") {
+    val df = runDF(
+      """set trnb = '''{"doc_id":1,"text":"alpha beta gamma delta epsilon zeta eta theta"}
+        |{"doc_id":2,"text":"one two three four five six seven eight"}''';
+        |set evb = '''{"doc_id":10,"text":"xx alpha beta gamma delta epsilon zeta eta theta yy"}''';
+        |load jsonStr.`trnb` as trnb_t;
+        |load jsonStr.`evb` as evb_t;
+        |run trnb_t as Decontaminate.`` where evalTable="evb_t" and mode="bloom"
+        |  and fpp="0.05" as flagged_b;
+        |select doc_id, n_overlap from flagged_b as out;""".stripMargin)
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 1L)))
   }
 
   test("RepetitionInPlace and PiiScrubInPlace ETs append their columns") {

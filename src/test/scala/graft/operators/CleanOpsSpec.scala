@@ -32,6 +32,23 @@ class CleanOpsSpec extends AnyFunSuite {
     assert(flagged(1L) == 1L) // exactly one shared distinct 4-gram
   }
 
+  test("bloom prefilter mode returns exactly the overlap output (false positives confirmed away)") {
+    val train = docs(
+      1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "one two three four five six",
+      3L -> "alpha beta gamma delta other words")
+    val eval = docs(10L -> "prefix alpha beta gamma delta suffix")
+    val exact = Decontaminate.overlap(train, eval, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a sloppy 30% fpp filter admits plenty of false candidates; the
+    // confirm join must strip them all — output identical to exact mode
+    val bloom = Decontaminate.overlapBloom(train, eval, "doc_id", "text",
+        n = 4, fpp = 0.3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bloom == exact)
+    assert(bloom.keySet == Set(1L, 3L))
+  }
+
   test("containment scores each (train, eval) pair by |∩|/|eval|") {
     // eval doc 10 has 3 distinct 4-grams: "q1 q2 q3 q4", "q2 q3 q4 q5",
     // "q3 q4 q5 q6". Train doc 1 embeds the full question (3/3); doc 2
