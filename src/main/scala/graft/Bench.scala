@@ -19,9 +19,11 @@ object Bench {
     * prior-round warm time baselines a different computation, so the
     * drift gate must not compare against it (same treatment as
     * prior-round stalls — the key is dropped and the query runs ungated
-    * this round). r12: none (r11's p51 redefinition is now the baseline).
+    * this round). r14: p51 additionally persists its merge table and
+    * encodes a 512-rank oracle sample; s27 additionally exports the
+    * fitted centroids (its new oracle boundary).
     */
-  private val RedefinedQueries = Set.empty[String]
+  private val RedefinedQueries = Set("p51", "s27")
 
   /** JVM-health counters captured around each timed run, so a warm-time
     * regression can be attributed (GC pause? JIT recompilation storm? code
