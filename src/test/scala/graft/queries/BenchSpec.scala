@@ -69,6 +69,28 @@ class BenchSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), p)
   }
 
+  test("p85 bloom decontamination: BF prefilter sits on the corpus side BEFORE the confirm join") {
+    val p = plan("p85_decontaminate_bloom")
+    // the scan-speed prefilter is a plain Filter over the exploded corpus
+    // shingles (a UDF over the broadcast BF), then an equi confirm join.
+    // At fixture scale AQE broadcasts the tiny eval side — fine; what the
+    // mode guarantees is the EQUI join shape (never cartesian), so at
+    // real scale the planner is free to shuffle both post-BF slivers
+    assert(p.contains("Filter"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("p86 semdedup cells: within-cell pairs plan as ONE equi-join on the cell key") {
+    val p = plan("p86_semdedup_cells")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
   test("p11 minhash banding joins on an equi band key") {
     val p = plan("p11_minhash_lsh")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
