@@ -38,8 +38,8 @@ object Components {
       try return driverUnionFind(edges) finally edges.unpersist()
     }
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).cache()
-    var cached = labels // the frame actually persisted (labels may be a projection of it)
+      .withColumn("label", col("id")).localCheckpoint(true)
+    var ckpt = labels // the frame holding the current checkpoint's blocks
     try {
       var changed = 1L
       var iter = 0
@@ -52,28 +52,34 @@ object Components {
         val propagated = labels.join(nbrMin, Seq("id"), "left")
           .select(col("id"), col("label").as("prev"),
             least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-        // pointer doubling: follow the label one more hop
+        // pointer doubling: follow the label one more hop.
+        // localCheckpoint, NOT cache: the doubling join references
+        // `propagated` TWICE, so with cache() the logical plan TREE
+        // doubles every round even though execution reuses the cached
+        // blocks — past ~12 rounds the plan string Spark renders per job
+        // submission is exponential and the DRIVER OOMs building explain
+        // text, long before any data pressure (found by
+        // DedupPropertySpec's random-graph cross-check; PageRank uses the
+        // same per-iteration truncation for the same reason)
         val next = propagated.as("x")
           .join(propagated.select(col("id").as("label"), col("label").as("ll")).as("y"),
             Seq("label"), "left")
           .select(col("id"), col("prev"),
             least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
-          .cache()
+          .localCheckpoint(true)
         changed = next.filter(col("label") =!= col("prev")).count()
-        cached.unpersist()
-        cached = next
+        ckpt.unpersist(false)
+        ckpt = next
         labels = next.select(col("id"), col("label"))
         iter += 1
       }
       require(changed == 0, "component labeling did not converge in 25 doubling rounds")
       // Cache (and materialize) the id/label projection itself before
-      // releasing the loop's working frame, so the caller's .unpersist() on
-      // the returned DataFrame actually frees the storage — returning a
-      // projection of `cached` would make that unpersist a silent no-op and
-      // pin the extra `prev` column until clearCache.
+      // releasing the loop's checkpoint blocks, so the caller's
+      // .unpersist() on the returned DataFrame actually frees the storage.
       val out = labels.cache()
-      out.count() // materialize: the loop lineage is about to lose its cache
-      cached.unpersist()
+      out.count() // materialize before the final checkpoint is released
+      ckpt.unpersist(false)
       out
     } finally edges.unpersist()
   }
