@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.TestSpark
+
+/** ScalaCheck cross-checks of the graph operators against naive
+  * single-threaded references on random graphs — the distributed
+  * formulations (oriented wedge counting, integer fixed-point power
+  * iteration, max-struct vote argmax) are exactly the places where a
+  * re-formulation bug would survive a single pinned fixture.
+  */
+class GraphPropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def check(prop: Prop, n: Int): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n)
+      .withWorkers(1), prop)
+    assert(r.passed, r.status.toString)
+  }
+
+  private val genGraph: Gen[Seq[(Long, Long)]] = for {
+    n     <- Gen.choose(3, 20)
+    m     <- Gen.choose(2, 40)
+    edges <- Gen.listOfN(m, for {
+               a <- Gen.choose(0L, n.toLong)
+               b <- Gen.choose(0L, n.toLong)
+             } yield (a, b))
+  } yield edges.filter(e => e._1 != e._2).distinct
+
+  test("property: triangle census equals naive per-node triangle counting") {
+    import spark.implicits._
+    check(Prop.forAll(genGraph) { edges =>
+      edges.isEmpty || {
+        val got = graft.operators.graph.Triangles
+          .perNode(edges.toDF("src", "dst"), "src", "dst")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3))).toSet
+        // naive: undirected simple graph, count triangles per node
+        val und = edges.map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+          .filter(e => e._1 != e._2).distinct
+        val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+          .withDefaultValue(Set.empty)
+        und.foreach { case (a, b) =>
+          adj(a) = adj(a) + b; adj(b) = adj(b) + a
+        }
+        val want = adj.keys.map { v =>
+          val nb = adj(v).toSeq
+          val tri = (for { i <- nb.indices; j <- i + 1 until nb.length
+                           if adj(nb(i)).contains(nb(j)) } yield 1).size.toLong
+          val deg = nb.size.toLong
+          val c = if (deg < 2) 0.0
+            else BigDecimal(2.0 * tri / (deg * (deg - 1)))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (v, deg, tri, c)
+        }.toSet
+        if (got != want) println(s"TRI MISMATCH edges=$und got=$got want=$want")
+        got == want
+      }
+    }, n = 6)
+  }
+
+  test("property: label propagation equals naive synchronous LPA with the (cnt, min-label) tie rule") {
+    import spark.implicits._
+    val iters = 3
+    check(Prop.forAll(genGraph) { edges =>
+      edges.isEmpty || {
+        val got = graft.operators.graph.LabelPropagation
+          .run(edges.toDF("src", "dst"), "src", "dst", iterations = iters)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        val e0 = edges.filter(e => e._1 != e._2)
+        val und = (e0 ++ e0.map(_.swap)).distinct
+        val in = und.groupBy(_._2).map { case (v, es) => v -> es.map(_._1) }
+        val nodes = und.map(_._1).distinct
+        var labels = nodes.map(v => v -> v).toMap
+        for (_ <- 1 to iters) {
+          labels = nodes.map { v =>
+            val votes = in.getOrElse(v, Seq.empty).map(labels)
+              .groupBy(identity).map { case (l, o) => (l, o.size) }
+            if (votes.isEmpty) v -> labels(v)
+            else v -> votes.toSeq.maxBy { case (l, c) => (c, -l) }._1
+          }.toMap
+        }
+        if (got != labels) println(s"LPA MISMATCH edges=$und got=$got want=$labels")
+        got == labels
+      }
+    }, n = 6)
+  }
+
+  test("property: integer fixed-point PageRank equals a naive Long replay") {
+    import spark.implicits._
+    val iters = 3
+    val unit = 1000000000000L
+    check(Prop.forAll(genGraph) { edges =>
+      edges.isEmpty || {
+        val got = graft.operators.graph.PageRank
+          .run(edges.toDF("src", "dst"), "src", "dst", iterations = iters)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        val e = edges.distinct // directed, deduped — run() does the same
+        val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+        val n = nodes.size.toLong
+        val outdeg = e.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+        val inEdges = e.groupBy(_._2).map { case (d, es) => d -> es.map(_._1) }
+        val sinks = nodes.filterNot(outdeg.contains)
+        val base = (15L * unit) / (100L * n)
+        var r = nodes.map(v => v -> unit / n).toMap
+        for (_ <- 1 to iters) {
+          val dm = sinks.map(r).sum
+          r = nodes.map { v =>
+            val insum = inEdges.getOrElse(v, Seq.empty)
+              .map(u => r(u) / outdeg(u)).sum
+            v -> (base + (85L * (insum + dm / n)) / 100L)
+          }.toMap
+        }
+        if (got != r) println(s"PR MISMATCH edges=$e got=$got want=$r")
+        got == r
+      }
+    }, n = 5)
+  }
+}
