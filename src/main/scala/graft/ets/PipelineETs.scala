@@ -25,7 +25,24 @@ object PipelineETs {
     RetentionET, TransitionsET, PageRankFixedET, WordPieceET, MarketBasketET,
     PathsET, ProfileET, EwmaET, TrianglesET, LabelPropagationET, HoltET,
     TwapET, RobustOutliersET, StreamFunnelET, StreamAnomalyET, HistogramET,
-    Scd2ET, AcfET, AbTestET, StreamSessionsET)
+    Scd2ET, AcfET, AbTestET, StreamSessionsET, StreamHeavyHittersET)
+}
+
+/** `run stream as StreamHeavyHitters.`` where capacity="16" [and
+  * keyCol/valueCol]` — per-key Misra-Gries frequent-items sketch over an
+  * unbounded stream (see [[graft.streaming.Stateful.heavyHitters]]):
+  * bounded state, Update-mode emission of the current sketch, the
+  * `count_min ≤ true ≤ count_min + max_err` guarantee. RocksDB state
+  * store required.
+  */
+object StreamHeavyHittersET extends NoPathET {
+  override def name = "StreamHeavyHitters"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame =
+    graft.streaming.Stateful.heavyHitters(df,
+      params.getOrElse("keyCol", "user_id"),
+      params.getOrElse("valueCol", "event_type"),
+      params.getOrElse("capacity", "16").toInt).toDF()
 }
 
 /** `run stream as StreamSessions.`` where gapSec="1800" [and

@@ -205,6 +205,82 @@ object Stateful {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  case class HeavyHit(key: Long, value: String, count_min: Long,
+                      max_err: Long)
+
+  /** Streaming heavy hitters per key — the Misra-Gries frequent-items
+    * sketch as a `transformWithState` processor: per key, a counter map
+    * BOUNDED at `capacity` entries regardless of stream length or value
+    * cardinality. A value outside a full map triggers the classic
+    * all-counters decrement (zeros evicted); `max_err` accumulates the
+    * decrement total, giving the standard guarantee per emitted row:
+    * `count_min ≤ true_count ≤ count_min + max_err`, with
+    * `max_err ≤ N/(capacity+1)` — so any value with true frequency above
+    * N/(capacity+1) is guaranteed PRESENT in the sketch. When distinct
+    * values per key never exceed `capacity`, counts are exact
+    * (`max_err = 0`) — the spec's cross-batch equality case.
+    *
+    * Emission: one row per sketch entry per TOUCHED key per batch
+    * (Update mode — the live "current top values" shape). Values are
+    * processed in row order within a batch; the sketch's membership is
+    * order-sensitive at eviction boundaries (inherent to MG), its
+    * guarantee is not. State per key is ≤ capacity (value, count) pairs
+    * plus one long, independent of stream length — the 100 TB posture
+    * for "top domains / top tokens right now" over unbounded streams.
+    */
+  class HeavyHittersProcessor(capacity: Int)
+    extends StatefulProcessor[Long, (Long, String), HeavyHit] {
+    @transient private var counts: MapState[String, Long] = _
+    @transient private var err: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      counts = getHandle.getMapState[String, Long]("mg",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+      err = getHandle.getValueState[Long]("err", Encoders.scalaLong,
+        TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+                                 timerValues: TimerValues): Iterator[HeavyHit] = {
+      // work on a driver-side copy of the ≤capacity-entry map: the MG
+      // decrement touches every counter, and read-modify-write through
+      // the store per event would be O(capacity) store calls per row
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      counts.iterator().foreach { case (k2, c) => m(k2) = c }
+      var e = if (err.exists()) err.get() else 0L
+      for ((_, v) <- rows) {
+        if (m.contains(v)) m(v) += 1L
+        else if (m.size < capacity) m(v) = 1L
+        else {
+          // decrement all; evict zeros (amortized O(1) per input row)
+          e += 1L
+          val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+          for ((k2, c) <- m) { if (c == 1L) dead += k2 else m(k2) = c - 1L }
+          dead.foreach(m.remove)
+        }
+      }
+      counts.clear()
+      m.foreach { case (v, c) => counts.updateValue(v, c) }
+      err.update(e)
+      m.iterator.map { case (v, c) => HeavyHit(key, v, c, e) }
+    }
+  }
+
+  /** Current per-key heavy-hitter sketches as an Update stream (see
+    * [[HeavyHittersProcessor]]); RocksDB state store required as for
+    * [[distinctCounts]].
+    */
+  def heavyHitters(df: DataFrame, keyCol: String, valueCol: String,
+                   capacity: Int): Dataset[HeavyHit] = {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("long"), col(valueCol).cast("string"))
+      .filter(col(keyCol).isNotNull && col(valueCol).isNotNull)
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new HeavyHittersProcessor(capacity),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   case class Anomaly(key: Long, ts: Long, value: Double, mean: Double,
                      std: Double, zscore: Double)
 

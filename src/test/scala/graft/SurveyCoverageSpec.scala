@@ -138,7 +138,7 @@ class SurveyCoverageSpec extends AnyFunSuite {
       "WordPiece", "MarketBasket", "Paths", "Profile", "Ewma", "Triangles",
       "LabelPropagation", "Holt", "Twap", "RobustOutliers", "StreamFunnel",
       "StreamAnomaly", "Histogram", "Scd2", "Acf", "AbTest",
-      "StreamSessions")
+      "StreamSessions", "StreamHeavyHitters")
     val missing = names.filter(n =>
       scala.util.Try(ETRegistry.lookup(n)).isFailure)
     assert(missing.isEmpty, s"ET registry missing: ${missing.mkString(", ")}")

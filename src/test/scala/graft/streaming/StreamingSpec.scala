@@ -694,6 +694,90 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming heavy hitters: exact under capacity, MG guarantee over it") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[(Long, String)]
+      val q = graft.streaming.Stateful.heavyHitters(
+          ms.toDF().toDF("k", "v"), "k", "v", capacity = 3)
+        .writeStream.format("memory").queryName("hh").outputMode("update")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ck_hh").toString)
+        .start()
+      // key 1: 3 distinct values across two batches -> EXACT counts
+      ms.addData((1L, "a"), (1L, "a"), (1L, "b"))
+      q.processAllAvailable()
+      ms.addData((1L, "a"), (1L, "b"), (1L, "c"))
+      q.processAllAvailable()
+      // key 2: 5 distinct over capacity 3; "hot" has frequency 6 of 10
+      // total -> guaranteed present with count_min >= 6 - max_err
+      ms.addData((2L, "hot"), (2L, "hot"), (2L, "x1"), (2L, "hot"), (2L, "x2"))
+      q.processAllAvailable()
+      // Update-mode memory sink accumulates rows — an EVICTED value's old
+      // row never gets overwritten, so "latest per value" misreads the
+      // sketch. The current sketch per key is exactly the rows the FINAL
+      // batch emits: slice by the pre-batch row count.
+      val before = spark.table("hh").count().toInt
+      ms.addData((2L, "hot"), (2L, "x3"), (2L, "hot"), (2L, "x4"), (2L, "hot"))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("hh").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      val k1rows = rows.filter(_._1 == 1L)
+      val k1 = k1rows.zipWithIndex.groupBy(_._1._2)
+        .map { case (_, vs) => val t = vs.maxBy(_._2)._1; t._2 -> (t._3, t._4) }
+      assert(k1 == Map("a" -> (3L, 0L), "b" -> (2L, 0L), "c" -> (1L, 0L)),
+        s"under capacity the sketch is exact: $k1")
+      val k2 = rows.drop(before).filter(_._1 == 2L)
+        .map(t => t._2 -> (t._3, t._4)).toMap
+      assert(k2.contains("hot"), s"frequency 6/10 > N/(cap+1)=2.5 must survive: $k2")
+      val (cm, me) = k2("hot")
+      assert(cm <= 6L && cm + me >= 6L,
+        s"count_min <= true <= count_min + max_err violated: cm=$cm err=$me")
+      assert(k2.size <= 3, s"state bounded by capacity: $k2")
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
+  test("StreamHeavyHitters DSL surface chains from mockStream") {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rows = Seq(
+        """{"user_id":1,"event_type":"view"}""",
+        """{"user_id":1,"event_type":"view"}""",
+        """{"user_id":1,"event_type":"click"}""").mkString("\n")
+      val ctx = ScriptRunner.run(
+        s"""set streamName = "hhd";
+           |set hhdata = '''$rows''';
+           |load jsonStr.`hhdata` as hh_batch;
+           |load mockStream.`hh_batch` as hh_stream;
+           |run hh_stream as StreamHeavyHitters.`` where capacity="4" as hh_top;
+           |save append hh_top as memory.`` where mode="update"
+           |  and checkpointLocation="${java.nio.file.Files.createTempDirectory("ck_hhd")}"
+           |  and duration="0";""".stripMargin, spark)
+      val q = ctx.streams("hhd")
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("hhd").collect()
+        .map(r => (r.getString(1), r.getLong(2))).toSet
+      assert(got == Set(("view", 2L), ("click", 1L)), s"got $got")
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   test("StreamSessions DSL surface: watermark ET chains into timer sessions") {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(providerKey)
