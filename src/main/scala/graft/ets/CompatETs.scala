@@ -36,7 +36,7 @@ object VParquetCommandET extends NoPathET {
     val args = params.getOrElse("parameters", "").trim.split("\\s+").filter(_.nonEmpty)
     require(args.nonEmpty,
       "usage: !vtable history <path> | !vtable compact <path> <targetFileSizeMB> " +
-        "| !vtable vacuum <path> <retainVersions>")
+        "| !vtable vacuum <path> <retainVersions> | !vtable restore <path> <version>")
     args(0) match {
       case "history" =>
         require(args.length == 2, "usage: !vtable history <path>")
@@ -62,8 +62,15 @@ object VParquetCommandET extends NoPathET {
           ctx.resolvePath(args(1)), args(2).toInt,
           zorderBy = args(3).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         UtilityETs.oneRowTable(ctx.spark, "zordered_version" -> v.toString)
+      case "restore" =>
+        // RESTORE TABLE ... TO VERSION AS OF analog: new head = the
+        // target version's snapshot, by reference (manifest-only commit)
+        require(args.length == 3, "usage: !vtable restore <path> <version>")
+        val v = graft.sources.VParquet
+          .restore(ctx.spark, ctx.resolvePath(args(1)), args(2).toLong)
+        UtilityETs.oneRowTable(ctx.spark, "restored_to_version" -> v.toString)
       case other => throw new IllegalArgumentException(
-        s"!vtable supports history|compact|vacuum|zorder, got '$other'")
+        s"!vtable supports history|compact|vacuum|zorder|restore, got '$other'")
     }
   }
 }

@@ -715,6 +715,43 @@ object VParquet {
     * orphans from commits that crashed before claiming a manifest).
     * Returns (#manifests dropped, #data files deleted).
     */
+  /** RESTORE the table head to the state of `version` — the Delta
+    * `RESTORE TABLE ... TO VERSION AS OF` analog as a pure MANIFEST
+    * commit: the new head references the target version's data files
+    * unchanged (zero data movement, O(files) metadata at any table
+    * size), every intermediate version stays time-travelable, and the
+    * txn re-delivery ledger carries forward from the CURRENT head (a
+    * restore rolls back data, not exactly-once markers — a re-delivered
+    * batch absorbed before the restore must stay absorbed after it).
+    * The change feed shows nothing for the restore commit, consistent
+    * with compact: only ADDED files emit changes, and a restore adds
+    * none. Fails loudly if the target's files were removed out-of-band
+    * (a retained manifest's files are never vacuumed, so this guard is
+    * defense against manual deletion). Returns the new head version;
+    * restoring to the current head is a no-op returning it.
+    */
+  def restore(spark: SparkSession, table: String, version: Long): Long = {
+    val f = fs(spark, table)
+    val head = latestVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"vparquet: $table has no committed versions"))
+    require(version >= 0 && version <= head,
+      s"vparquet: cannot restore $table to version $version (head is $head)")
+    if (version == head) return head
+    val target = readManifest(spark, table, version) // loud if vacuumed away
+    val missing = target.files.filterNot(e => f.exists(new Path(table + "/" + e.path)))
+    require(missing.isEmpty,
+      s"vparquet: cannot restore $table to version $version — ${missing.size} of its " +
+        s"data files no longer exist (first: ${missing.headOption.map(_.path).getOrElse("")})")
+    val hm = readManifest(spark, table, head)
+    val seen = nextTxnSeen(spark, table, Some(hm), None, None)
+    val v = head + 1
+    writeManifest(spark, table, Manifest(v, "restore",
+      System.currentTimeMillis(), target.numBuckets, target.files,
+      target.keyCols, schemaJson = target.schemaJson,
+      txnSeen = seen._1, txnSeenOk = seen._2))
+    v
+  }
+
   def vacuum(spark: SparkSession, table: String, retainVersions: Int): (Int, Int) = {
     require(retainVersions >= 1, "vparquet vacuum must retain >= 1 version")
     val f = fs(spark, table)

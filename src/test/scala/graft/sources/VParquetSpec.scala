@@ -28,6 +28,41 @@ class VParquetSpec extends AnyFunSuite {
     assert(v0.collect().map(_.getInt(0)).toSeq == Seq(1))
   }
 
+  test("restore rolls the head back to an old version by reference; time travel keeps everything") {
+    val t = tmp("vp_restore")
+    runDF(s"""select 1 as k, 'a' as v as vr_in;
+             |save overwrite vr_in as vparquet.`$t`;""".stripMargin)
+    runDF(s"""select 2 as k, 'b' as v as vr_in2;
+             |save append vr_in2 as vparquet.`$t`;""".stripMargin)
+    runDF(s"""select 3 as k, 'c' as v as vr_in3;
+             |save append vr_in3 as vparquet.`$t`;""".stripMargin)
+    // restore to v0 -> new head (v3) shows only v0's content
+    val r = runDF(s"""!vtable restore $t 0;""")
+    assert(r.collect().head.getAs[String]("restored_to_version") == "3")
+    val cur = runDF(s"load vparquet.`$t` as vr_cur; select k from vr_cur order by k as out;")
+    assert(cur.collect().map(_.getInt(0)).toSeq == Seq(1), "head == v0 snapshot")
+    // intermediate versions stay time-travelable after the restore
+    val v2 = runDF(s"""load vparquet.`$t` where versionAsOf="2" as vr_v2;
+                      |select k from vr_v2 order by k as out;""".stripMargin)
+    assert(v2.collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    // the restore commit is pure metadata: it references v0's FILES
+    val m0 = graft.sources.VParquet.readManifest(spark, t, 0L)
+    val m3 = graft.sources.VParquet.readManifest(spark, t, 3L)
+    assert(m3.op == "restore" && m3.files.map(_.path) == m0.files.map(_.path),
+      "restore must carry the target's files by reference, not rewrite")
+    // appending after a restore continues history from the restored state
+    runDF(s"""select 9 as k, 'z' as v as vr_in4;
+             |save append vr_in4 as vparquet.`$t`;""".stripMargin)
+    val after = runDF(s"load vparquet.`$t` as vr_a; select k from vr_a order by k as out;")
+    assert(after.collect().map(_.getInt(0)).toSeq == Seq(1, 9))
+    // restoring past the vacuum horizon fails loudly (manifest is gone)
+    runDF(s"""!vtable vacuum $t 2;""")
+    val e = intercept[Exception] {
+      graft.sources.VParquet.restore(spark, t, 0L)
+    }
+    assert(e.getMessage != null)
+  }
+
   test("keyed merge upserts; bucketed merge rewrites only touched buckets") {
     val t = tmp("vp_merge")
     import spark.implicits._
