@@ -487,6 +487,27 @@ class PipelineETSpec extends AnyFunSuite {
       "byte-identical media pair found, unrelated media not paired")
   }
 
+  test("mm_resize: deterministic stub thumbnail, size governed by target dims") {
+    val df = spark.sql(
+      "select mm_resize(cast('payload-bytes-here' as binary), 16, 8) as t1, " +
+        "mm_resize(cast('payload-bytes-here' as binary), 16, 8) as t2, " +
+        "mm_resize(cast('payload-bytes-here' as binary), 64, 64) as big, " +
+        "mm_resize(cast('different-content' as binary), 16, 8) as other")
+    val r = df.head()
+    val (t1, t2) = (r.getAs[Array[Byte]](0), r.getAs[Array[Byte]](1))
+    assert(t1.sameElements(t2), "identical input + dims must resize identically")
+    // 8-byte (w,h) header, big-endian
+    assert(((t1(0) & 0xff) << 24 | (t1(1) & 0xff) << 16 |
+      (t1(2) & 0xff) << 8 | (t1(3) & 0xff)) == 16)
+    assert(((t1(4) & 0xff) << 24 | (t1(5) & 0xff) << 16 |
+      (t1(6) & 0xff) << 8 | (t1(7) & 0xff)) == 8)
+    assert(t1.length == 8 + math.max(1, 16 * 8 / 64))
+    assert(r.getAs[Array[Byte]](2).length == 8 + 64 * 64 / 64,
+      "output volume must scale with the TARGET dims")
+    assert(!r.getAs[Array[Byte]](3).sameElements(t1),
+      "different content must thumbnail differently")
+  }
+
   test("mm_frame_sample slices deterministically") {
     val df = spark.sql(
       "select mm_frame_sample(cast('0123456789abcdef' as binary), 4, 4) as frames")
