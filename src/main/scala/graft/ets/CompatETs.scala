@@ -69,8 +69,16 @@ object VParquetCommandET extends NoPathET {
         val v = graft.sources.VParquet
           .restore(ctx.spark, ctx.resolvePath(args(1)), args(2).toLong)
         UtilityETs.oneRowTable(ctx.spark, "restored_to_version" -> v.toString)
+      case "clone" =>
+        // SHALLOW CLONE analog: dst v0 references src's files absolutely
+        require(args.length == 3 || args.length == 4,
+          "usage: !vtable clone <src> <dst> [version]")
+        graft.sources.VParquet.shallowClone(ctx.spark,
+          ctx.resolvePath(args(1)), ctx.resolvePath(args(2)),
+          if (args.length == 4) Some(args(3).toLong) else None)
+        UtilityETs.oneRowTable(ctx.spark, "cloned_to" -> args(2))
       case other => throw new IllegalArgumentException(
-        s"!vtable supports history|compact|vacuum|zorder|restore, got '$other'")
+        s"!vtable supports history|compact|vacuum|zorder|restore|clone, got '$other'")
     }
   }
 }

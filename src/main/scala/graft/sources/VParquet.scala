@@ -280,8 +280,16 @@ object VParquet {
     entries.toSeq
   }
 
+  /** Resolve a manifest entry's path against its table dir. Entries are
+    * normally table-relative; a [[shallowClone]] records ABSOLUTE source
+    * paths (leading '/'), which resolve as-is — one rule shared by every
+    * reader (snapshot, change feed, skipping index, compact, vacuum).
+    */
+  private[sources] def entryPath(table: String, p: String): String =
+    if (p.startsWith("/")) p else table + "/" + p
+
   private def absFiles(table: String, files: Seq[FileEntry]): Seq[String] =
-    files.map(f => table + "/" + f.path)
+    files.map(f => entryPath(table, f.path))
 
   /** Recorded in the manifest so readers plan without touching any file.
     * Nullable-widened: parquet reads always surface nullable columns.
@@ -512,7 +520,7 @@ object VParquet {
     lazy val f = fs(spark, table)
     def sizeOf(e: FileEntry): Long =
       if (e.size > 0) e.size
-      else f.getFileStatus(new Path(table + "/" + e.path)).getLen
+      else f.getFileStatus(new Path(entryPath(table, e.path))).getLen
 
     val newManifestFiles: Seq[FileEntry] =
       if (m.numBuckets > 0) {
@@ -738,7 +746,7 @@ object VParquet {
       s"vparquet: cannot restore $table to version $version (head is $head)")
     if (version == head) return head
     val target = readManifest(spark, table, version) // loud if vacuumed away
-    val missing = target.files.filterNot(e => f.exists(new Path(table + "/" + e.path)))
+    val missing = target.files.filterNot(e => f.exists(new Path(entryPath(table, e.path))))
     require(missing.isEmpty,
       s"vparquet: cannot restore $table to version $version — ${missing.size} of its " +
         s"data files no longer exist (first: ${missing.headOption.map(_.path).getOrElse("")})")
@@ -752,6 +760,41 @@ object VParquet {
     v
   }
 
+  /** SHALLOW CLONE: create `dst` as a zero-copy snapshot of `src` at
+    * `versionAsOf` (default head) — Delta's `CREATE TABLE ... SHALLOW
+    * CLONE` analog: dst's v0 manifest records the source data files by
+    * ABSOLUTE path, so the clone costs O(files) metadata at any table
+    * size and then evolves independently (appends/merges write local
+    * files; a later `compact` folds the absolute refs into local files,
+    * which is also how a clone is re-materialized into a standalone
+    * copy). Hazard shared with Delta: vacuuming the SOURCE can delete
+    * files a clone still references — vacuum only protects files under
+    * its own table dir. Returns dst's version (0).
+    */
+  def shallowClone(spark: SparkSession, src: String, dst: String,
+                   versionAsOf: Option[Long] = None): Long = {
+    val f = fs(spark, src)
+    val head = latestVersion(spark, src).getOrElse(
+      throw new IllegalArgumentException(s"vparquet: $src has no committed versions"))
+    val v = versionAsOf.getOrElse(head)
+    require(v >= 0 && v <= head,
+      s"vparquet: cannot clone $src at version $v (head is $head)")
+    require(latestVersion(spark, dst).isEmpty,
+      s"vparquet: clone target $dst already has committed versions")
+    val m = readManifest(spark, src, v)
+    val absolute = m.files.map { e =>
+      val abs = f.makeQualified(new Path(entryPath(src, e.path))).toUri.getPath
+      e.copy(path = abs)
+    }
+    // a fresh table carries NO txn ledger: the clone is a new writer
+    // surface, and inheriting the source's re-delivery markers would
+    // silently drop the first batches of a stream re-pointed at the clone
+    writeManifest(spark, dst, Manifest(0L, "clone",
+      System.currentTimeMillis(), m.numBuckets, absolute, m.keyCols,
+      schemaJson = m.schemaJson, txnSeenOk = true))
+    0L
+  }
+
   def vacuum(spark: SparkSession, table: String, retainVersions: Int): (Int, Int) = {
     require(retainVersions >= 1, "vparquet vacuum must retain >= 1 version")
     val f = fs(spark, table)
@@ -759,7 +802,7 @@ object VParquet {
     require(all.nonEmpty, s"vparquet: $table has no committed versions")
     val (drop, keep) = all.splitAt(math.max(0, all.size - retainVersions))
     val referenced = keep.flatMap(v => readManifest(spark, table, v).files)
-      .map(e => f.makeQualified(new Path(table + "/" + e.path)).toString).toSet
+      .map(e => f.makeQualified(new Path(entryPath(table, e.path))).toString).toSet
     var deleted = 0
     val dataDir = new Path(table + "/data")
     if (f.exists(dataDir)) {

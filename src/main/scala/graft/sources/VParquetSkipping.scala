@@ -285,7 +285,7 @@ final class VParquetFileIndex(spark: SparkSession, table: String,
   private val entries: Seq[(VParquet.FileEntry, FileStatus)] = {
     lazy val f = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     manifest.files.map { e =>
-      val p = new Path(table + "/" + e.path)
+      val p = new Path(VParquet.entryPath(table, e.path))
       val st =
         if (e.size > 0) new FileStatus(e.size, false, 1, 128L * 1024 * 1024, manifest.ts, p)
         else f.getFileStatus(p)
@@ -325,7 +325,7 @@ object VParquetScan {
   def scan(spark: SparkSession, table: String, m: VParquet.Manifest): DataFrame = {
     val schema: StructType = m.schemaJson.map(j =>
       DataType.fromJson(j).asInstanceOf[StructType]).getOrElse {
-      spark.read.parquet(m.files.map(e => table + "/" + e.path): _*).schema
+      spark.read.parquet(m.files.map(e => VParquet.entryPath(table, e.path)): _*).schema
     }
     val index = new VParquetFileIndex(spark, table, m, schema)
     val relation = HadoopFsRelation(index, new StructType(), schema, None,

@@ -71,7 +71,7 @@ object VParquetChangeSource {
           s"vparquet stream: $table has no committed versions yet — create the " +
             "table first, or pass schema=\"...\""))
       val m = VParquet.readManifest(spark, table, v)
-      spark.read.parquet(m.files.map(f => table + "/" + f.path): _*).schema
+      spark.read.parquet(m.files.map(f => VParquet.entryPath(table, f.path)): _*).schema
     }
     require(!base.fieldNames.contains("_commit_version"),
       "vparquet stream: the table already has a `_commit_version` column")
@@ -139,7 +139,8 @@ final class VParquetChangeSource(sqlContext: SQLContext, table: String,
           if (v == 0) Set.empty[String]
           else try VParquet.readManifest(spark, table, v - 1).files.map(_.path).toSet
           catch { case _: java.io.FileNotFoundException => Set.empty[String] }
-        val added = (files -- prevFiles).toSeq.sorted.map(p => table + "/" + p)
+        val added = (files -- prevFiles).toSeq.sorted
+          .map(p => VParquet.entryPath(table, p))
         if (added.isEmpty) None
         else Some(spark.read.schema(StructType(schema.dropRight(1)))
           .parquet(added: _*)

@@ -63,6 +63,47 @@ class VParquetSpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  test("shallow clone: zero-copy snapshot that evolves independently; compact re-materializes") {
+    val src = tmp("vp_clone_src")
+    val dst = tmp("vp_clone_dst")
+    runDF(s"""select 1 as k, 'a' as v as vc_in;
+             |save overwrite vc_in as vparquet.`$src`;""".stripMargin)
+    runDF(s"""select 2 as k, 'b' as v as vc_in2;
+             |save append vc_in2 as vparquet.`$src`;""".stripMargin)
+    runDF(s"""!vtable clone $src $dst;""")
+    // clone reads back the source head, by reference (absolute paths)
+    val got = runDF(s"load vparquet.`$dst` as vc_c; select k from vc_c order by k as out;")
+    assert(got.collect().map(_.getInt(0)).toSeq == Seq(1, 2))
+    val m0 = graft.sources.VParquet.readManifest(spark, dst, 0L)
+    assert(m0.op == "clone" && m0.files.forall(_.path.startsWith("/")),
+      "clone entries must be absolute source refs")
+    // appends to the clone do NOT touch the source
+    runDF(s"""select 3 as k, 'c' as v as vc_in3;
+             |save append vc_in3 as vparquet.`$dst`;""".stripMargin)
+    val srcAfter = runDF(s"load vparquet.`$src` as vc_s; select k from vc_s order by k as out;")
+    assert(srcAfter.collect().map(_.getInt(0)).toSeq == Seq(1, 2), "source unchanged")
+    val dstAfter = runDF(s"load vparquet.`$dst` as vc_d; select k from vc_d order by k as out;")
+    assert(dstAfter.collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    // compact folds the absolute refs into LOCAL files (re-materialization)
+    runDF(s"""!vtable compact $dst 128;""")
+    val head = graft.sources.VParquet.latestVersion(spark, dst).get
+    val mh = graft.sources.VParquet.readManifest(spark, dst, head)
+    assert(mh.files.forall(!_.path.startsWith("/")),
+      s"compacted clone must be standalone, got ${mh.files.map(_.path)}")
+    val dstFinal = runDF(s"load vparquet.`$dst` as vc_f; select k from vc_f order by k as out;")
+    assert(dstFinal.collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    // cloning at an explicit earlier version
+    val dst0 = tmp("vp_clone_v0")
+    runDF(s"""!vtable clone $src $dst0 0;""")
+    val v0 = runDF(s"load vparquet.`$dst0` as vc_0; select k from vc_0 order by k as out;")
+    assert(v0.collect().map(_.getInt(0)).toSeq == Seq(1))
+    // a clone target with history is refused
+    val e = intercept[Exception] {
+      graft.sources.VParquet.shallowClone(spark, src, dst)
+    }
+    assert(e.getMessage.contains("already has committed versions"))
+  }
+
   test("keyed merge upserts; bucketed merge rewrites only touched buckets") {
     val t = tmp("vp_merge")
     import spark.implicits._
