@@ -25,7 +25,66 @@ object PipelineETs {
     RetentionET, TransitionsET, PageRankFixedET, WordPieceET, MarketBasketET,
     PathsET, ProfileET, EwmaET, TrianglesET, LabelPropagationET, HoltET,
     TwapET, RobustOutliersET, StreamFunnelET, StreamAnomalyET, HistogramET,
-    Scd2ET, AcfET, AbTestET, StreamSessionsET, StreamHeavyHittersET)
+    Scd2ET, AcfET, AbTestET, StreamSessionsET, StreamHeavyHittersET, Bm25ET,
+    MmrRerankET)
+}
+
+/** `run cands as MmrRerank.`` where vectorTable="embs" and k="5" [and
+  * lambda="0.7" ...]` — greedy Maximal-Marginal-Relevance diversity
+  * re-rank of per-query candidate lists (see
+  * [[graft.operators.similarity.Mmr]]); the input table carries
+  * (qIdCol, idCol, relCol), vectors come from `vectorTable`.
+  */
+object MmrRerankET extends NoPathET {
+  override def name = "MmrRerank"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame =
+    graft.operators.similarity.Mmr.rerank(df,
+      ctx.spark.table(params.getOrElse("vectorTable",
+        throw new IllegalArgumentException("MmrRerank requires vectorTable"))),
+      params.getOrElse("qIdCol", "qid"),
+      params.getOrElse("idCol", "doc_id"),
+      params.getOrElse("relCol", "rel"),
+      params.getOrElse("vecIdCol", "vec_id"),
+      params.getOrElse("vecCol", "embedding"),
+      params.getOrElse("k", "10").toInt,
+      params.getOrElse("lambda", "0.7").toDouble)
+}
+
+/** `run docs as Bm25.`` where queryTable="q" [and k="10" and k1="1.2" and
+  * b="0.75"]` — Okapi BM25 lexical top-k retrieval (see
+  * [[graft.operators.text.Bm25]]). `mode="rrf"` instead fuses ranked
+  * lists by reciprocal-rank fusion: `lists="t1,t2"` names registered
+  * tables carrying (qidCol, rank, idCol); the input table is ignored.
+  */
+object Bm25ET extends NoPathET {
+  override def name = "Bm25"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    import graft.operators.text.Bm25
+    val idCol = params.getOrElse("idCol", "doc_id")
+    val qidCol = params.getOrElse("qIdCol", "qid")
+    val k = params.getOrElse("k", "10").toInt
+    params.getOrElse("mode", "topk") match {
+      case "topk" =>
+        val queries = ctx.spark.table(params.getOrElse("queryTable",
+          throw new IllegalArgumentException("Bm25 requires queryTable")))
+        Bm25.topK(df, queries, idCol,
+          params.getOrElse("textCol", "text"), qidCol,
+          params.getOrElse("qTextCol", "qtext"), k,
+          params.getOrElse("k1", "1.2").toDouble,
+          params.getOrElse("b", "0.75").toDouble)
+      case "rrf" =>
+        val lists = params.getOrElse("lists",
+          throw new IllegalArgumentException("Bm25 mode=rrf requires lists"))
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          .map(ctx.spark.table)
+        Bm25.rrfFuse(lists, qidCol, idCol, k,
+          params.getOrElse("c", "60").toInt)
+      case other => throw new IllegalArgumentException(
+        s"Bm25 mode must be topk|rrf, got '$other'")
+    }
+  }
 }
 
 /** `run stream as StreamHeavyHitters.`` where capacity="16" [and

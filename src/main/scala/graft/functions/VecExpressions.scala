@@ -97,13 +97,20 @@ case class ArrDot(left: Expression, right: Expression)
     acc
   }
 
+  // locals get freshNames: the same expression twice in one codegen stage
+  // (common once `sim` feeds both a projection and an aggregate) must not
+  // redeclare `i`/`n` — Janino rejects it and the WHOLE stage silently
+  // falls back to interpreted eval
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      int n = Math.min($a.numElements(), $b.numElements());
-      double acc = 0.0;
-      for (int i = 0; i < n; i++) { acc += $a.getDouble(i) * $b.getDouble(i); }
-      ${ev.value} = acc;
-    """)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+      int $n = Math.min($a.numElements(), $b.numElements());
+      double $acc = 0.0;
+      for (int $i = 0; $i < $n; $i++) { $acc += $a.getDouble($i) * $b.getDouble($i); }
+      ${ev.value} = $acc;
+    """})
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrDot =
     copy(left = l, right = r)
@@ -130,16 +137,22 @@ case class ArrCosine(left: Expression, right: Expression)
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  // freshName'd locals — see ArrDot.doGenCode for why
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      int n = Math.min($a.numElements(), $b.numElements());
-      double dot = 0.0, na = 0.0, nb = 0.0;
-      for (int i = 0; i < n; i++) {
-        double xv = $a.getDouble(i); double yv = $b.getDouble(i);
-        dot += xv * yv; na += xv * xv; nb += yv * yv;
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb"); val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+      int $n = Math.min($a.numElements(), $b.numElements());
+      double $dot = 0.0, $na = 0.0, $nb = 0.0;
+      for (int $i = 0; $i < $n; $i++) {
+        double $xv = $a.getDouble($i); double $yv = $b.getDouble($i);
+        $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
       }
-      ${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
-    """)
+      ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+    """})
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrCosine =
     copy(left = l, right = r)
@@ -160,13 +173,17 @@ case class ArrNorm(child: Expression)
     math.sqrt(acc)
   }
 
+  // freshName'd locals — see ArrDot.doGenCode for why
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a => s"""
-      int n = $a.numElements();
-      double acc = 0.0;
-      for (int i = 0; i < n; i++) { double v = $a.getDouble(i); acc += v * v; }
-      ${ev.value} = java.lang.Math.sqrt(acc);
-    """)
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc"); val v = ctx.freshName("v")
+      s"""
+      int $n = $a.numElements();
+      double $acc = 0.0;
+      for (int $i = 0; $i < $n; $i++) { double $v = $a.getDouble($i); $acc += $v * $v; }
+      ${ev.value} = java.lang.Math.sqrt($acc);
+    """})
 
   override protected def withNewChildInternal(c: Expression): ArrNorm = copy(child = c)
 }

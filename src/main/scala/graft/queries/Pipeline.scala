@@ -2662,8 +2662,203 @@ object Pipeline {
         |FROM asg x JOIN asg y ON x.cell = y.cell AND x.vec_id < y.vec_id
         |WHERE ROUND(LIST_INNER_PRODUCT(x.v, y.v) /
         |   (SQRT(LIST_INNER_PRODUCT(x.v, x.v)) * SQRT(LIST_INNER_PRODUCT(y.v, y.v))), 6) >= 0.45
-        |ORDER BY a_id, b_id""".stripMargin)
+        |ORDER BY a_id, b_id""".stripMargin),
+
+    // ---- Okapi BM25 lexical retrieval (graft.operators.text.Bm25): the
+    //      sparse half of a RAG retrieval stack. Queries = first 8 tokens
+    //      of docs 0-4; the oracle replays the postings build, the
+    //      Robertson idf, and the per-(q,doc) sum at the same 6-dp grain.
+    //      No reference counterpart — training-data-pipeline extension. ----
+    QuerySpec.sql("p87_bm25_topk", (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val q = docs.filter($"doc_id" < 5).select($"doc_id".as("qid"),
+        array_join(slice(expr("filter(split(lower(text), ' '), x -> x <> '')"), 1, 8), " ").as("qtext"))
+      graft.operators.text.Bm25.topK(docs, q, "doc_id", "text", "qid", "qtext",
+          k = 10)
+        .orderBy($"qid", $"rank")
+    },
+      """WITH d AS (SELECT doc_id,
+        |  LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |ne AS (SELECT doc_id, toks, LEN(toks) AS dl FROM d WHERE LEN(toks) > 0),
+        |stats AS (SELECT COUNT(*) AS n_docs,
+        |  CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM ne),
+        |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
+        |  SELECT doc_id, dl, UNNEST(toks) AS term FROM ne) GROUP BY doc_id, dl, term),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |qt AS (SELECT doc_id AS qid, UNNEST(LIST_DISTINCT(toks[1:8])) AS term
+        |  FROM d WHERE doc_id < 5),
+        |scored AS (SELECT qt.qid, tf.doc_id,
+        |  ROUND(SUM(
+        |    LN(1.0 + (CAST(stats.n_docs - dfreq.df AS DOUBLE) + 0.5) /
+        |              (CAST(dfreq.df AS DOUBLE) + 0.5)) *
+        |    (CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE)) /
+        |    (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+        |      (CAST(0.25 AS DOUBLE) +
+        |       CAST(0.75 AS DOUBLE) * CAST(tf.dl AS DOUBLE) / stats.avgdl))), 6) AS score,
+        |  COUNT(*) AS n_hit
+        |  FROM qt JOIN tf USING (term) JOIN dfreq USING (term) CROSS JOIN stats
+        |  GROUP BY qt.qid, tf.doc_id),
+        |ranked AS (SELECT qid, doc_id, score, n_hit,
+        |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+        |  FROM scored)
+        |SELECT qid, rank, doc_id, score, n_hit FROM ranked WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin),
+
+    // ---- hybrid retrieval: reciprocal-rank fusion of the BM25 top-20
+    //      (documents) with the dense cosine top-20 (embeddings, same ids)
+    //      — rank-only fusion needs no score calibration (Bm25.rrfFuse).
+    //      Both input lists and the fusion replay in the oracle. ----
+    QuerySpec.sql("p88_hybrid_rrf", (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val q = docs.filter($"doc_id" < 5).select($"doc_id".as("qid"),
+        array_join(slice(expr("filter(split(lower(text), ' '), x -> x <> '')"), 1, 8), " ").as("qtext"))
+      val lex = graft.operators.text.Bm25.topK(docs, q, "doc_id", "text",
+          "qid", "qtext", k = 20)
+        .select($"qid", $"rank", $"doc_id")
+      val e = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+      val qe = e.filter($"vec_id" < 5).select($"vec_id".as("qid"), $"embedding".as("qv"))
+      val dense = CosineSimilarity.annTopK(e, qe, "vec_id", "embedding", "qid", "qv", 20)
+        .select($"qid", $"nrank".as("rank"), $"neighbor".as("doc_id"))
+      graft.operators.text.Bm25.rrfFuse(Seq(lex, dense), "qid", "doc_id", k = 10)
+        .orderBy($"qid", $"rank")
+    },
+      """WITH d AS (SELECT doc_id,
+        |  LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |ne AS (SELECT doc_id, toks, LEN(toks) AS dl FROM d WHERE LEN(toks) > 0),
+        |stats AS (SELECT COUNT(*) AS n_docs,
+        |  CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM ne),
+        |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
+        |  SELECT doc_id, dl, UNNEST(toks) AS term FROM ne) GROUP BY doc_id, dl, term),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |qt AS (SELECT doc_id AS qid, UNNEST(LIST_DISTINCT(toks[1:8])) AS term
+        |  FROM d WHERE doc_id < 5),
+        |scored AS (SELECT qt.qid, tf.doc_id,
+        |  ROUND(SUM(
+        |    LN(1.0 + (CAST(stats.n_docs - dfreq.df AS DOUBLE) + 0.5) /
+        |              (CAST(dfreq.df AS DOUBLE) + 0.5)) *
+        |    (CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE)) /
+        |    (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+        |      (CAST(0.25 AS DOUBLE) +
+        |       CAST(0.75 AS DOUBLE) * CAST(tf.dl AS DOUBLE) / stats.avgdl))), 6) AS score,
+        |  COUNT(*) AS n_hit
+        |  FROM qt JOIN tf USING (term) JOIN dfreq USING (term) CROSS JOIN stats
+        |  GROUP BY qt.qid, tf.doc_id),
+        |lex AS (SELECT qid, doc_id, rank FROM (SELECT qid, doc_id,
+        |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+        |  FROM scored) WHERE rank <= 20),
+        |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |qe AS (SELECT vec_id AS qid, v AS qv FROM emb WHERE vec_id < 5),
+        |den AS (SELECT qid, doc_id, rank FROM (
+        |  SELECT qe.qid, emb.vec_id AS doc_id,
+        |   ROW_NUMBER() OVER (PARTITION BY qe.qid
+        |     ORDER BY ROUND(LIST_INNER_PRODUCT(qe.qv, emb.v) /
+        |       (SQRT(LIST_INNER_PRODUCT(qe.qv, qe.qv)) * SQRT(LIST_INNER_PRODUCT(emb.v, emb.v))), 6) DESC,
+        |       emb.vec_id) AS rank
+        |  FROM qe JOIN emb ON emb.vec_id <> qe.qid) WHERE rank <= 20),
+        |fused AS (SELECT COALESCE(l.qid, r.qid) AS qid,
+        |  COALESCE(l.doc_id, r.doc_id) AS doc_id,
+        |  ROUND(COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60 AS DOUBLE) + l.rank), 0.0) +
+        |        COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60 AS DOUBLE) + r.rank), 0.0), 6) AS rrf,
+        |  (CASE WHEN l.rank IS NULL THEN 0 ELSE 1 END +
+        |   CASE WHEN r.rank IS NULL THEN 0 ELSE 1 END) AS n_lists
+        |  FROM lex l FULL OUTER JOIN den r
+        |    ON l.qid = r.qid AND l.doc_id = r.doc_id)
+        |SELECT qid, rank, doc_id, rrf, n_lists FROM (SELECT qid, doc_id, rrf, n_lists,
+        |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS rank
+        |  FROM fused) WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin),
+
+    // ---- MMR diversified re-rank (graft.operators.similarity.Mmr): greedy
+    //      λ·rel − (1−λ)·max-sim-to-selected over the BM25 top-20, vectors
+    //      from the embeddings table (ids align). The oracle unrolls the 5
+    //      greedy rounds (lpaOracleSql's pattern) — each round an argmax
+    //      over candidates not yet selected. ----
+    QuerySpec.sql("p89_mmr_rerank", (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val q = docs.filter($"doc_id" < 5).select($"doc_id".as("qid"),
+        array_join(slice(expr("filter(split(lower(text), ' '), x -> x <> '')"), 1, 8), " ").as("qtext"))
+      val cand = graft.operators.text.Bm25.topK(docs, q, "doc_id", "text",
+          "qid", "qtext", k = 20)
+        .select($"qid", $"doc_id", $"score".as("rel"))
+      val vecs = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+      graft.operators.similarity.Mmr.rerank(cand, vecs, "qid", "doc_id", "rel",
+          "vec_id", "embedding", k = 5, lambda = 0.7)
+        .orderBy($"qid", $"rank")
+    }, mmrOracleSql(5))
   )
+
+  /** Unrolled k-round greedy MMR replay (see
+    * [[graft.operators.similarity.Mmr]]): candidates are p87's BM25
+    * top-20, vectors come from the embeddings table; each round joins the
+    * not-yet-selected candidates against the selected set for the max-sim
+    * penalty, then picks the per-query argmax by (mmr DESC, doc_id). The
+    * (1−λ) factor is spelled `1.0 − 0.7` so the double matches Spark's
+    * `lit(1.0 - lambda)` bit-exactly.
+    */
+  private def mmrOracleSql(k: Int): String = {
+    val cos = (a: String, b: String) =>
+      s"""ROUND(LIST_INNER_PRODUCT($a, $b) /
+         |    (SQRT(LIST_INNER_PRODUCT($a, $a)) * SQRT(LIST_INNER_PRODUCT($b, $b))), 6)""".stripMargin
+    val pick = (i: Int, src: String) =>
+      s"""pk$i AS (SELECT qid, doc_id, rel, v, mmr, $i AS rank FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY mmr DESC, doc_id) AS rn FROM $src) WHERE rn = 1)""".stripMargin
+    val steps = (2 to k).map { i =>
+      s"""ms$i AS (SELECT c.qid, c.doc_id, MAX(${cos("c.v", "s.v")}) AS ms
+         |  FROM base c JOIN sel${i - 1} s ON s.qid = c.qid
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} x
+         |    WHERE x.qid = c.qid AND x.doc_id = c.doc_id)
+         |  GROUP BY c.qid, c.doc_id),
+         |sc$i AS (SELECT m.qid, m.doc_id, c.rel, c.v,
+         |  ROUND(CAST(0.7 AS DOUBLE) * c.rel -
+         |        (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * m.ms, 6) AS mmr
+         |  FROM ms$i m JOIN base c ON c.qid = m.qid AND c.doc_id = m.doc_id),
+         |${pick(i, s"sc$i")},
+         |sel$i AS (SELECT qid, doc_id, rel, v, mmr, rank FROM sel${i - 1}
+         |  UNION ALL SELECT qid, doc_id, rel, v, mmr, rank FROM pk$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d AS (SELECT doc_id,
+       |  LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |ne AS (SELECT doc_id, toks, LEN(toks) AS dl FROM d WHERE LEN(toks) > 0),
+       |stats AS (SELECT COUNT(*) AS n_docs,
+       |  CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM ne),
+       |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
+       |  SELECT doc_id, dl, UNNEST(toks) AS term FROM ne) GROUP BY doc_id, dl, term),
+       |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |qt AS (SELECT doc_id AS qid, UNNEST(LIST_DISTINCT(toks[1:8])) AS term
+       |  FROM d WHERE doc_id < 5),
+       |scored AS (SELECT qt.qid, tf.doc_id,
+       |  ROUND(SUM(
+       |    LN(1.0 + (CAST(stats.n_docs - dfreq.df AS DOUBLE) + 0.5) /
+       |              (CAST(dfreq.df AS DOUBLE) + 0.5)) *
+       |    (CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE)) /
+       |    (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+       |      (CAST(0.25 AS DOUBLE) +
+       |       CAST(0.75 AS DOUBLE) * CAST(tf.dl AS DOUBLE) / stats.avgdl))), 6) AS score
+       |  FROM qt JOIN tf USING (term) JOIN dfreq USING (term) CROSS JOIN stats
+       |  GROUP BY qt.qid, tf.doc_id),
+       |lex AS (SELECT qid, doc_id, score FROM (SELECT qid, doc_id, score,
+       |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+       |  FROM scored) WHERE rank <= 20),
+       |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |base AS (SELECT l.qid, l.doc_id, l.score AS rel, emb.v
+       |  FROM lex l JOIN emb ON emb.vec_id = l.doc_id),
+       |sc1 AS (SELECT qid, doc_id, rel, v,
+       |  ROUND(CAST(0.7 AS DOUBLE) * rel -
+       |        (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * CAST(0.0 AS DOUBLE), 6) AS mmr
+       |  FROM base),
+       |${pick(1, "sc1")},
+       |sel1 AS (SELECT qid, doc_id, rel, v, mmr, rank FROM pk1),
+       |$steps
+       |SELECT qid, rank, doc_id, rel, mmr FROM sel$k
+       |ORDER BY qid, rank""".stripMargin
+  }
 
   /** Unrolled k-round synchronous LPA replay (see
     * [[graft.operators.graph.LabelPropagation]]); edges are the same

@@ -365,6 +365,46 @@ class PipelineETSpec extends AnyFunSuite {
     assert(rows.length == 12) // 3 queries x 4 neighbors
   }
 
+  test("Bm25: DSL top-k retrieval and rrf fusion of two ranked lists") {
+    val df = runDF(
+      s"""load parquet.`$sf/documents.parquet` as bdocs;
+         |select doc_id as qid, text as qtext from bdocs where doc_id < 2 as bq;
+         |run bdocs as Bm25.`` where queryTable="bq" and k="5" as lex;
+         |select qid, rank, doc_id from lex as lexr;
+         |run bdocs as Bm25.`` where mode="rrf" and lists="lexr,lexr" and k="5" as fused;
+         |select * from fused as out;""".stripMargin)
+    val rows = df.collect()
+    assert(rows.length == 10) // 2 queries x 5
+    // self-fusion: every doc appears in both (identical) lists
+    assert(rows.forall(_.getAs[Int]("n_lists") == 2))
+    // querying a doc's own text must place the doc in its own top-5 (not
+    // necessarily first: BM25 length normalization can favor a shorter doc
+    // that repeats the same high-idf terms — true of this tiny-vocab corpus)
+    val lex = spark.table("lexr").collect()
+    assert(Seq(0L, 1L).forall(q => lex.exists(r =>
+      r.getAs[Long]("qid") == q && r.getAs[Long]("doc_id") == q)))
+  }
+
+  test("MmrRerank: DSL retrieval stack bm25 -> mmr, ranks 1..k per query") {
+    val df = runDF(
+      s"""load parquet.`$sf/documents.parquet` as mdocs;
+         |load parquet.`$sf/embeddings.parquet` as membs;
+         |select doc_id as qid, text as qtext from mdocs where doc_id < 2 as mq;
+         |run mdocs as Bm25.`` where queryTable="mq" and k="10" as mlex;
+         |select qid, doc_id, score as rel from mlex as mcand;
+         |run mcand as MmrRerank.`` where vectorTable="membs" and k="4" as out;""".stripMargin)
+    val rows = df.collect()
+    assert(rows.length == 8) // 2 queries x 4 picks
+    val ranks = rows.groupBy(_.getAs[Long]("qid"))
+      .map { case (_, rs) => rs.map(_.getAs[Int]("rank")).sorted.toSeq }
+    assert(ranks.forall(_ == Seq(1, 2, 3, 4)))
+    // the first pick has an empty selected set: its mmr is exactly λ·rel
+    // (later picks can score above λ·rel when every selected sim is negative)
+    assert(rows.filter(_.getAs[Int]("rank") == 1).forall(r =>
+      r.getAs[Double]("mmr") ==
+        math.round(0.7 * r.getAs[Double]("rel") * 1e6) / 1e6))
+  }
+
   test("AnnTopK pq: full re-rank coverage equals exact; codes are m bytes") {
     import graft.operators.similarity.ProductQuantization
     val embs = spark.read.parquet(s"$sf/embeddings.parquet")

@@ -97,6 +97,22 @@ class BenchSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), p)
   }
 
+  test("p87 bm25: query terms broadcast against the postings — no cartesian") {
+    val p = plan("p87_bm25_topk")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p) // qt and dfq probe sides
+    // the only nested-loop join allowed is the broadcast Cross of the
+    // 1-row (n_docs, avgdl) stats aggregate
+    assert(p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      .forall(_.contains("Cross")), p)
+  }
+
+  test("p89 mmr: every greedy round joins on the query id — no cartesian") {
+    val p = plan("p89_mmr_rerank")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("arr_cosine participates in whole-stage codegen") {
     val df = spark.range(3).selectExpr(
       "arr_cosine(array(cast(id as double), 2.0d), array(2.0d, 3.0d)) as c")
@@ -104,6 +120,29 @@ class BenchSpec extends AnyFunSuite {
     // the `*(n)` prefix marks a WholeStageCodegen span containing the Project
     assert("\\*\\(\\d+\\) Project \\[arr_cosine".r.findFirstIn(p).isDefined, p)
     assert(math.abs(df.collect()(1).getDouble(0) - 0.99227) < 1e-4)
+  }
+
+  test("the same native expression TWICE in one stage still compiles (fresh locals)") {
+    // regression: fixed-name codegen locals (int i, double acc, ...) made a
+    // second instance of arr_cosine/arr_dot/arr_norm in the same
+    // WholeStageCodegen fail Janino compilation ("Redefinition of local
+    // variable") and silently drop the whole stage to interpreted eval
+    val df = spark.range(3).selectExpr(
+      "arr_cosine(array(cast(id as double), 2.0d), array(2.0d, 3.0d)) as c1",
+      "arr_cosine(array(3.0d, cast(id as double)), array(1.0d, 1.0d)) as c2",
+      "arr_dot(array(cast(id as double)), array(2.0d)) + arr_dot(array(1.0d), array(4.0d)) as d",
+      "arr_norm(array(cast(id as double))) + arr_norm(array(3.0d, 4.0d)) as n")
+    val p = df.queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\) Project \\[arr_cosine".r.findFirstIn(p).isDefined, p)
+    // fallback=false turns a silent interpreted downgrade into a hard error
+    val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val r = df.collect()(1)
+      assert(math.abs(r.getDouble(0) - 0.99227) < 1e-4)
+      assert(math.abs(r.getDouble(2) - (2.0 + 4.0)) < 1e-12)
+      assert(math.abs(r.getDouble(3) - (1.0 + 5.0)) < 1e-12)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 
   test("scripted star join produces the same physical shape as the DF version") {
