@@ -2800,7 +2800,7 @@ object Pipeline {
     * (1−λ) factor is spelled `1.0 − 0.7` so the double matches Spark's
     * `lit(1.0 - lambda)` bit-exactly.
     */
-  private def mmrOracleSql(k: Int): String = {
+  private[queries] def mmrOracleSql(k: Int): String = {
     val cos = (a: String, b: String) =>
       s"""ROUND(LIST_INNER_PRODUCT($a, $b) /
          |    (SQRT(LIST_INNER_PRODUCT($a, $a)) * SQRT(LIST_INNER_PRODUCT($b, $b))), 6)""".stripMargin

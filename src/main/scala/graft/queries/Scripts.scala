@@ -1365,6 +1365,23 @@ object Scripts {
         | SELECT 'profile' AS section, a, n, x FROM prof
         | UNION ALL SELECT 'outliers', a, n, x FROM osec
         | UNION ALL SELECT 'hist', a, n, x FROM hsec)
-        |ORDER BY section, a""".stripMargin)
+        |ORDER BY section, a""".stripMargin),
+
+    // ---- s40: the retrieval stack THROUGH THE DSL — BM25 candidates
+    //      chained into MMR diversity re-ranking in one script; the oracle
+    //      replays both stages (Pipeline.mmrOracleSql: postings → Okapi
+    //      scores → top-20 → 5 unrolled greedy rounds). ----
+    QuerySpec.sql("s40_script_retrieval", (s, dir) => script(s,
+      s"""load parquet.`$dir/documents.parquet` as s40_docs;
+         |load parquet.`$dir/embeddings.parquet` as s40_embs;
+         |select doc_id as qid,
+         |  array_join(slice(filter(split(lower(text), ' '), x -> x != ''), 1, 8), ' ')
+         |  as qtext from s40_docs where doc_id < 5 as s40_q;
+         |run s40_docs as Bm25.`` where queryTable="s40_q" and k="20" as s40_lex;
+         |select qid, doc_id, score as rel from s40_lex as s40_cand;
+         |run s40_cand as MmrRerank.`` where vectorTable="s40_embs" and k="5" as s40_mmr;
+         |select qid, rank, doc_id, rel, mmr from s40_mmr
+         |  order by qid, rank as s40_out;""".stripMargin),
+      Pipeline.mmrOracleSql(5))
   )
 }
