@@ -26,7 +26,21 @@ object PipelineETs {
     PathsET, ProfileET, EwmaET, TrianglesET, LabelPropagationET, HoltET,
     TwapET, RobustOutliersET, StreamFunnelET, StreamAnomalyET, HistogramET,
     Scd2ET, AcfET, AbTestET, StreamSessionsET, StreamHeavyHittersET, Bm25ET,
-    MmrRerankET)
+    MmrRerankET, TextNormalizeInPlaceET)
+}
+
+/** `run docs as TextNormalizeInPlace.`` [where textCol="text" and
+  * lowercase="true"]` — unicode NFC + whitespace/control normalization in
+  * place, with `n_chars_raw`/`n_chars_norm` audit columns (see
+  * [[graft.operators.text.TextNormalize]]).
+  */
+object TextNormalizeInPlaceET extends NoPathET {
+  override def name = "TextNormalizeInPlace"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame =
+    graft.operators.text.TextNormalize.normalize(df,
+      params.getOrElse("textCol", "text"),
+      params.getOrElse("lowercase", "false").toBoolean)
 }
 
 /** `run cands as MmrRerank.`` where vectorTable="embs" and k="5" [and

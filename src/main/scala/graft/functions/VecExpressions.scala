@@ -63,6 +63,9 @@ object VecExpressions {
     ext.injectFunction((FunctionIdentifier("ngram_dup_mass"),
       info("ngram_dup_mass", "ngram_dup_mass(words, n) - summed char mass of duplicated word n-grams"),
       (cs: Seq[Expression]) => NgramDupMass(cs(0), cs(1))))
+    ext.injectFunction((FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize", "nfc_normalize(str) - Unicode NFC canonical composition (same name/semantics as DuckDB's)"),
+      (cs: Seq[Expression]) => NfcNormalize(cs(0))))
   }
 
   /** Callers cast inputs to array<double> explicitly; reject anything else
@@ -596,4 +599,38 @@ case class NgramDupMass(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): NgramDupMass =
     copy(left = l, right = r)
+}
+
+/** Unicode NFC canonical composition of a string column — the first step
+  * of any text-normalization pipeline (decomposed "e"+U+0301 sequences
+  * from different crawls must compare equal before any dedup/quality
+  * pass). Named and behaving like DuckDB's `nfc_normalize`, so oracles
+  * replay it verbatim. Per-row, no shuffle; codegen emits one static
+  * `java.text.Normalizer` call. The common all-ASCII row short-circuits
+  * inside `Normalizer.normalize` itself (quick-check pass), so the cost
+  * at 100 TB is one scan over the bytes.
+  */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with Serializable {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nfc_normalize requires string, got $other")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override protected def nullSafeEval(s: Any): Any =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      s.asInstanceOf[UTF8String].toString, java.text.Normalizer.Form.NFC))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+        java.text.Normalizer.normalize($c.toString(),
+          java.text.Normalizer.Form.NFC));
+    """)
+
+  override protected def withNewChildInternal(c: Expression): NfcNormalize =
+    copy(child = c)
 }

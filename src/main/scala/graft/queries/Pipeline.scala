@@ -2789,7 +2789,38 @@ object Pipeline {
       graft.operators.similarity.Mmr.rerank(cand, vecs, "qid", "doc_id", "rel",
           "vec_id", "embedding", k = 5, lambda = 0.7)
         .orderBy($"qid", $"rank")
-    }, mmrOracleSql(5))
+    }, mmrOracleSql(5)),
+
+    // ---- unicode + whitespace text normalization (operators.text
+    //      .TextNormalize): NFC composition (native nfc_normalize, the
+    //      DuckDB-compatible expression), whitespace-control unification,
+    //      Cc/Cf strip, space collapse, trim. The fixture text is plain
+    //      ASCII, so the entry DECORATES it with decomposed accents, a
+    //      tab, a bell and a zero-width joiner — both engines build the
+    //      identical decorated input and replay the same regex pipeline. ----
+    QuerySpec.sql("p90_text_normalize", (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").filter($"doc_id" < 200)
+      val deco = docs.select($"doc_id",
+        concat(lit("Cafe\u0301\t "), $"text",
+          lit(" \u0007 x\u200dy  ")).as("text"))
+      graft.operators.text.TextNormalize.normalize(deco, "text")
+        .select($"doc_id", $"text", $"n_chars_raw", $"n_chars_norm")
+        .orderBy($"doc_id")
+    },
+      """WITH deco AS (SELECT doc_id,
+        |  'Cafe' || chr(769) || chr(9) || ' ' || text ||
+        |  ' ' || chr(7) || ' x' || chr(8205) || 'y  ' AS text
+        |  FROM documents WHERE doc_id < 200),
+        |n AS (SELECT doc_id, text AS raw,
+        |  TRIM(regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(nfc_normalize(text), '[\t\n\r\f\x0B]', ' ', 'g'),
+        |      '[\p{Cc}\p{Cf}]', '', 'g'),
+        |    ' {2,}', ' ', 'g')) AS norm FROM deco)
+        |SELECT doc_id, norm AS text, LEN(raw) AS n_chars_raw,
+        |  LEN(norm) AS n_chars_norm
+        |FROM n ORDER BY doc_id""".stripMargin)
   )
 
   /** Unrolled k-round greedy MMR replay (see

@@ -385,6 +385,17 @@ class PipelineETSpec extends AnyFunSuite {
       r.getAs[Long]("qid") == q && r.getAs[Long]("doc_id") == q)))
   }
 
+  test("TextNormalizeInPlace: NFC + whitespace cleanup through the DSL") {
+    val df = runDF(
+      """set tn = '''{"doc_id":1,"text":" a  b   c "}''';
+        |load jsonStr.`tn` as tnt;
+        |run tnt as TextNormalizeInPlace.`` as out;""".stripMargin)
+    val r = df.collect()(0)
+    assert(r.getAs[String]("text") == "a b c")
+    assert(r.getAs[Int]("n_chars_raw") == 10)
+    assert(r.getAs[Int]("n_chars_norm") == 5)
+  }
+
   test("MmrRerank: DSL retrieval stack bm25 -> mmr, ranks 1..k per query") {
     val df = runDF(
       s"""load parquet.`$sf/documents.parquet` as mdocs;
