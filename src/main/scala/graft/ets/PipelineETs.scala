@@ -26,7 +26,19 @@ object PipelineETs {
     PathsET, ProfileET, EwmaET, TrianglesET, LabelPropagationET, HoltET,
     TwapET, RobustOutliersET, StreamFunnelET, StreamAnomalyET, HistogramET,
     Scd2ET, AcfET, AbTestET, StreamSessionsET, StreamHeavyHittersET, Bm25ET,
-    MmrRerankET, TextNormalizeInPlaceET)
+    MmrRerankET, TextNormalizeInPlaceET, UrlCanonicalizeInPlaceET)
+}
+
+/** `run pages as UrlCanonicalizeInPlace.`` [where urlCol="url"]` — adds
+  * `url_canon`/`host`/`domain` for URL-level dedup and per-domain caps
+  * (see [[graft.operators.text.UrlOps]]).
+  */
+object UrlCanonicalizeInPlaceET extends NoPathET {
+  override def name = "UrlCanonicalizeInPlace"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame =
+    graft.operators.text.UrlOps.canonicalize(df,
+      params.getOrElse("urlCol", "url"))
 }
 
 /** `run docs as TextNormalizeInPlace.`` [where textCol="text" and

@@ -2820,7 +2820,56 @@ object Pipeline {
         |    ' {2,}', ' ', 'g')) AS norm FROM deco)
         |SELECT doc_id, norm AS text, LEN(raw) AS n_chars_raw,
         |  LEN(norm) AS n_chars_norm
-        |FROM n ORDER BY doc_id""".stripMargin)
+        |FROM n ORDER BY doc_id""".stripMargin),
+
+    // ---- URL canonicalization (operators.text.UrlOps): the fixture has
+    //      no URL column, so both engines synthesize the same two crawl
+    //      spellings (uppercase host + default port + tracking params +
+    //      fragment vs plain) and replay the identical regex pipeline. ----
+    QuerySpec.sql("p91_url_canonicalize", (s, dir) => {
+      import s.implicits._
+      val urls = t(s, dir, "documents").filter($"doc_id" < 300)
+        .select($"doc_id", when($"doc_id" % 2 === 0,
+          concat(lit("HTTPS://WWW.Example"), $"doc_id" % 20,
+            lit(".COM:443/Path/"), $"doc_id",
+            lit("/?utm_source=x&b=2&a=1&gclid=g#frag")))
+        .otherwise(concat(lit("http://www.Site"), $"doc_id" % 20,
+          lit(".org:80/Page/"), $"doc_id", lit("#x"))).as("url"))
+      graft.operators.text.UrlOps.canonicalize(urls, "url")
+        .select($"doc_id", $"url_canon", $"host", $"domain")
+        .orderBy($"doc_id")
+    },
+      """WITH u AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN
+        |    'HTTPS://WWW.Example' || (doc_id % 20) || '.COM:443/Path/' || doc_id ||
+        |      '/?utm_source=x&b=2&a=1&gclid=g#frag'
+        |  ELSE
+        |    'http://www.Site' || (doc_id % 20) || '.org:80/Page/' || doc_id || '#x'
+        |  END AS url
+        |  FROM documents WHERE doc_id < 300),
+        |s1 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS nofrag FROM u),
+        |s2 AS (SELECT doc_id, nofrag,
+        |  LOWER(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |  regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM s1),
+        |s3 AS (SELECT *, LOWER(regexp_extract(rest, '^([^/?]*)', 1)) AS hostport,
+        |  regexp_replace(rest, '^[^/?]*', '') AS pathq FROM s2),
+        |s4 AS (SELECT *, regexp_replace(hostport, '^www\.', '') AS host0 FROM s3),
+        |s5 AS (SELECT *, CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+        |                      WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+        |                      ELSE host0 END AS host FROM s4),
+        |s6 AS (SELECT *, regexp_extract(pathq, '^([^?]*)', 1) AS path,
+        |  regexp_extract(pathq, '\?(.*)', 1) AS query FROM s5),
+        |s7 AS (SELECT *,
+        |  CASE WHEN path = '/' THEN '' ELSE regexp_replace(path, '/$', '') END AS pathn,
+        |  COALESCE(array_to_string(list_sort(list_filter(string_split(query, '&'),
+        |    x -> x <> '' AND NOT regexp_matches(x, '^(utm_|gclid=|fbclid=|ref=|msclkid=)'))),
+        |    '&'), '') AS sq
+        |  FROM s6)
+        |SELECT doc_id,
+        |  scheme || '://' || host || pathn ||
+        |    CASE WHEN sq = '' THEN '' ELSE '?' || sq END AS url_canon,
+        |  host, regexp_extract(host, '([^.:]+\.[^.:]+)$', 1) AS domain
+        |FROM s7 ORDER BY doc_id""".stripMargin)
   )
 
   /** Unrolled k-round greedy MMR replay (see
