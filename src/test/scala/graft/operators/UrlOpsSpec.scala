@@ -46,4 +46,38 @@ class UrlOpsSpec extends AnyFunSuite {
     val b = canon("https://site.com/a?a=1&b=2")._1
     assert(a == b && a == "https://site.com/a?a=1&b=2")
   }
+
+  test("property: canonicalization is idempotent and spelling-invariant (seeded 200)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    def randUrl(): (String, String) = {
+      val scheme = Seq("http", "https")(rnd.nextInt(2))
+      val host = Seq("alpha", "beta", "gamma")(rnd.nextInt(3)) +
+        rnd.nextInt(50) + ".example" + (if (rnd.nextBoolean()) ".com" else ".org")
+      val path = (0 until rnd.nextInt(3)).map(_ =>
+        Seq("A", "b", "Cc", "d9")(rnd.nextInt(4))).mkString("/", "/", "")
+      val keep = (0 until rnd.nextInt(3)).map(i => s"k$i=${rnd.nextInt(9)}")
+      val canonQ = keep.sorted.mkString("&")
+      val canonical = s"$scheme://$host${if (path == "/") "" else path}" +
+        (if (canonQ.isEmpty) "" else s"?$canonQ")
+      // a messy crawl spelling of the SAME page
+      val port = if (scheme == "http") ":80" else ":443"
+      val track = Seq("utm_source=z", "gclid=1", "fbclid=2")(rnd.nextInt(3))
+      val q = rnd.shuffle(keep :+ track).mkString("&")
+      val messy = s"${scheme.toUpperCase}://WWW.${host.toUpperCase}$port" +
+        s"$path${if (path.endsWith("/")) "" else "/"}?$q#frag"
+      (canonical, messy)
+    }
+    val pairs = Seq.fill(200)(randUrl())
+    val df = pairs.toDF("expected", "url")
+    val out = UrlOps.canonicalize(df, "url")
+      .withColumn("recanon", UrlOps.canonicalCol(org.apache.spark.sql.functions.col("url_canon")))
+      .collect()
+    out.foreach { r =>
+      assert(r.getAs[String]("url_canon") == r.getAs[String]("expected"),
+        s"messy=${r.getAs[String]("url")}")
+      assert(r.getAs[String]("recanon") == r.getAs[String]("url_canon"),
+        s"not idempotent: ${r.getAs[String]("url_canon")}")
+    }
+  }
 }
