@@ -26,7 +26,31 @@ object PipelineETs {
     PathsET, ProfileET, EwmaET, TrianglesET, LabelPropagationET, HoltET,
     TwapET, RobustOutliersET, StreamFunnelET, StreamAnomalyET, HistogramET,
     Scd2ET, AcfET, AbTestET, StreamSessionsET, StreamHeavyHittersET, Bm25ET,
-    MmrRerankET, TextNormalizeInPlaceET, UrlCanonicalizeInPlaceET)
+    MmrRerankET, TextNormalizeInPlaceET, UrlCanonicalizeInPlaceET, CusumET)
+}
+
+/** `run events as Cusum.`` where target="50" and slack="15" and
+  * threshold="500" [and keyCol/tsCol/idCol/valCol and mode="alarms"]` —
+  * two-sided CUSUM drift detection in exact decimal arithmetic (see
+  * [[graft.operators.temporal.Cusum]]).
+  */
+object CusumET extends NoPathET {
+  override def name = "Cusum"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    val f = if (params.getOrElse("mode", "detect") == "alarms")
+      graft.operators.temporal.Cusum.alarms _
+    else graft.operators.temporal.Cusum.detect _
+    f(df, params.getOrElse("keyCol", "event_type"),
+      params.getOrElse("tsCol", "ts"),
+      params.getOrElse("idCol", "event_id"),
+      params.getOrElse("valCol", "value"),
+      params.getOrElse("target",
+        throw new IllegalArgumentException("Cusum requires target")).toDouble,
+      params.getOrElse("slack", "0").toDouble,
+      params.getOrElse("threshold",
+        throw new IllegalArgumentException("Cusum requires threshold")).toDouble)
+  }
 }
 
 /** `run pages as UrlCanonicalizeInPlace.`` [where urlCol="url"]` — adds

@@ -2869,7 +2869,34 @@ object Pipeline {
         |  scheme || '://' || host || pathn ||
         |    CASE WHEN sq = '' THEN '' ELSE '?' || sq END AS url_canon,
         |  host, regexp_extract(host, '([^.:]+\.[^.:]+)$', 1) AS domain
-        |FROM s7 ORDER BY doc_id""".stripMargin)
+        |FROM s7 ORDER BY doc_id""".stripMargin),
+
+    // ---- two-sided CUSUM drift detection (operators.temporal.Cusum):
+    //      prefix-sum/running-min closed form over DECIMAL(18,2) — exact,
+    //      order-free arithmetic, so the oracle replays it with plain
+    //      window functions and every s-curve value hash-matches. ----
+    QuerySpec.sql("p92_cusum_drift", (s, dir) => {
+      import s.implicits._
+      graft.operators.temporal.Cusum.detect(
+          t(s, dir, "events").filter($"event_type" === "error"),
+          "event_type", "ts", "event_id", "value",
+          target = 50.0, slack = 15.0, threshold = 500.0)
+        .select($"event_id", $"x", $"s_pos", $"s_neg", $"alarm")
+        .orderBy($"event_id")
+    },
+      """WITH e AS (SELECT event_id, ts, CAST(value AS DECIMAL(18,2)) AS x,
+        |  value AS v FROM events WHERE event_type = 'error'),
+        |s AS (SELECT event_id, ts, v,
+        |  SUM(x - CAST(65.0 AS DECIMAL(18,2))) OVER w AS sp,
+        |  SUM(CAST(35.0 AS DECIMAL(18,2)) - x) OVER w AS sn
+        |  FROM e WINDOW w AS (ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)),
+        |m AS (SELECT event_id, v,
+        |  CAST(sp - LEAST(CAST(0 AS DECIMAL(18,2)), MIN(sp) OVER w2) AS DOUBLE) AS s_pos,
+        |  CAST(sn - LEAST(CAST(0 AS DECIMAL(18,2)), MIN(sn) OVER w2) AS DOUBLE) AS s_neg
+        |  FROM s WINDOW w2 AS (ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING))
+        |SELECT event_id, v AS x, s_pos, s_neg,
+        |  (s_pos > 500.0 OR s_neg > 500.0) AS alarm
+        |FROM m ORDER BY event_id""".stripMargin)
   )
 
   /** Unrolled k-round greedy MMR replay (see

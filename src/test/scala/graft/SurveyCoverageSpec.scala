@@ -139,7 +139,7 @@ class SurveyCoverageSpec extends AnyFunSuite {
       "LabelPropagation", "Holt", "Twap", "RobustOutliers", "StreamFunnel",
       "StreamAnomaly", "Histogram", "Scd2", "Acf", "AbTest",
       "StreamSessions", "StreamHeavyHitters", "Bm25", "MmrRerank",
-      "TextNormalizeInPlace", "UrlCanonicalizeInPlace")
+      "TextNormalizeInPlace", "UrlCanonicalizeInPlace", "Cusum")
     val missing = names.filter(n =>
       scala.util.Try(ETRegistry.lookup(n)).isFailure)
     assert(missing.isEmpty, s"ET registry missing: ${missing.mkString(", ")}")
@@ -191,7 +191,7 @@ class SurveyCoverageSpec extends AnyFunSuite {
       "p76_twap", "p77_robust_outliers", "p78_hist_width",
       "p79_hist_depth", "p80_scd2", "p81_acf", "p82_ccf", "p83_abtest",
       "p84_funnel_timing", "p85_decontaminate_bloom", "p86_semdedup_cells",
-      "p87_bm25_topk", "p88_hybrid_rrf", "p89_mmr_rerank", "p90_text_normalize", "p91_url_canonicalize",
+      "p87_bm25_topk", "p88_hybrid_rrf", "p89_mmr_rerank", "p90_text_normalize", "p91_url_canonicalize", "p92_cusum_drift",
       "s11_script_dedup", "s18_script_neardup_pipeline",
       "s19_script_clean_corpus", "s23_script_chunk_pipeline",
       "s24_script_substring_dedup", "s25_script_cluster_assign",
