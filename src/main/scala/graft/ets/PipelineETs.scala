@@ -26,7 +26,28 @@ object PipelineETs {
     PathsET, ProfileET, EwmaET, TrianglesET, LabelPropagationET, HoltET,
     TwapET, RobustOutliersET, StreamFunnelET, StreamAnomalyET, HistogramET,
     Scd2ET, AcfET, AbTestET, StreamSessionsET, StreamHeavyHittersET, Bm25ET,
-    MmrRerankET, TextNormalizeInPlaceET, UrlCanonicalizeInPlaceET, CusumET)
+    MmrRerankET, TextNormalizeInPlaceET, UrlCanonicalizeInPlaceET, CusumET,
+    StreamCusumET)
+}
+
+/** `run stream as StreamCusum.`` where target="50" and slack="15" and
+  * threshold="500" [and keyCol/tsCol/valCol]` — streaming two-sided
+  * CUSUM drift alarms (see [[graft.streaming.Stateful.cusumAlarms]]);
+  * per-key state is two doubles, Append-mode alert stream.
+  */
+object StreamCusumET extends NoPathET {
+  override def name = "StreamCusum"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame =
+    graft.streaming.Stateful.cusumAlarms(df,
+      params.getOrElse("keyCol", "event_type"),
+      params.getOrElse("tsCol", "ts"),
+      params.getOrElse("valCol", "value"),
+      params.getOrElse("target",
+        throw new IllegalArgumentException("StreamCusum requires target")).toDouble,
+      params.getOrElse("slack", "0").toDouble,
+      params.getOrElse("threshold",
+        throw new IllegalArgumentException("StreamCusum requires threshold")).toDouble).toDF()
 }
 
 /** `run events as Cusum.`` where target="50" and slack="15" and

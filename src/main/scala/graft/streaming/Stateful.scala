@@ -331,6 +331,52 @@ object Stateful {
       }
   }
 
+  case class CusumAlarm(key: String, ts: Long, value: Double,
+                        s_pos: Double, s_neg: Double)
+
+  /** Streaming two-sided CUSUM drift monitor — the live twin of the
+    * batch [[graft.operators.temporal.Cusum]] detector: per-key state is
+    * just (s⁺, s⁻) updated by the textbook recurrences
+    * s⁺ = max(0, s⁺ + x − μ − κ), s⁻ = max(0, s⁻ + μ − κ − x); a row is
+    * emitted whenever either side sits above `threshold` (Append mode —
+    * the alert stream shape). Unlike [[ewmaAnomalies]] this fires on
+    * small PERSISTENT shifts, not single spikes.
+    *
+    * Parity contract: rows are processed in (ts, value) order within a
+    * batch, so for an in-timestamp-order stream the alarm set equals the
+    * batch operator's (the batch closed form computes in exact decimal;
+    * the streaming recurrence in double — ~1e-12 apart on 2-dec data,
+    * which only matters for a point sitting exactly on the threshold).
+    * State per key is two numbers, independent of stream length.
+    */
+  def cusumAlarms(df: DataFrame, keyCol: String, tsCol: String,
+                  valCol: String, target: Double, slack: Double,
+                  threshold: Double): Dataset[CusumAlarm] = {
+    require(slack >= 0 && threshold > 0, "slack >= 0, threshold > 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string"),
+        unix_micros(col(tsCol).cast("timestamp")), col(valCol).cast("double"))
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(valCol).isNotNull)
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Double, Double), CusumAlarm](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[(Double, Double)]) =>
+          var (sp, sn) = state.getOption.getOrElse((0.0, 0.0))
+          val out = scala.collection.mutable.ArrayBuffer.empty[CusumAlarm]
+          for ((_, ts, x) <- rows.toSeq.sortBy(r => (r._2, r._3))) {
+            sp = math.max(0.0, sp + (x - target - slack))
+            sn = math.max(0.0, sn + (target - slack - x))
+            if (sp > threshold || sn > threshold)
+              out += CusumAlarm(key, ts, x, sp, sn)
+          }
+          state.update((sp, sn))
+          out.iterator
+      }
+  }
+
   case class FunnelProgress(user_id: Long, depth: Int, step_ts: Seq[Long])
 
   /** Streaming ordered funnel — the micro-batch twin of

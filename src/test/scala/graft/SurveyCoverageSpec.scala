@@ -139,7 +139,7 @@ class SurveyCoverageSpec extends AnyFunSuite {
       "LabelPropagation", "Holt", "Twap", "RobustOutliers", "StreamFunnel",
       "StreamAnomaly", "Histogram", "Scd2", "Acf", "AbTest",
       "StreamSessions", "StreamHeavyHitters", "Bm25", "MmrRerank",
-      "TextNormalizeInPlace", "UrlCanonicalizeInPlace", "Cusum")
+      "TextNormalizeInPlace", "UrlCanonicalizeInPlace", "Cusum", "StreamCusum")
     val missing = names.filter(n =>
       scala.util.Try(ETRegistry.lookup(n)).isFailure)
     assert(missing.isEmpty, s"ET registry missing: ${missing.mkString(", ")}")

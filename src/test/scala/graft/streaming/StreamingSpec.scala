@@ -876,6 +876,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(ats == 13L * 1000000L && av == 50.0 && az > 4.0)
   }
 
+  test("streaming CUSUM alarms equal the batch closed form across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val ms = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val q = Stateful.cusumAlarms(
+        ms.toDF().toDF("k", "ts", "v"), "k", "ts", "v",
+        target = 10.0, slack = 1.0, threshold = 5.0)
+      .writeStream.format("memory").queryName("scusum").outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ck_scusum").toString)
+      .start()
+    // stable around the target, then a small persistent +3 drift that
+    // no single point would flag — split across two batches so the
+    // (s+, s-) state must survive the batch boundary
+    val rows = (1 to 6).map(i => ("a", ts(i), if (i % 2 == 0) 10.5 else 9.5)) ++
+      (7 to 12).map(i => ("a", ts(i), 13.0))
+    ms.addData(rows.take(8)); q.processAllAvailable()
+    ms.addData(rows.drop(8)); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("scusum").collect()
+      .map(r => (r.getLong(1), r.getDouble(2),
+        math.round(r.getDouble(3) * 100) / 100.0)).sortBy(_._1).toSeq
+    val batch = graft.operators.temporal.Cusum.alarms(
+        rows.toDF("k", "ts", "v"), "k", "ts", "ts", "v",
+        target = 10.0, slack = 1.0, threshold = 5.0)
+      .collect().map(r => (r.getAs[java.sql.Timestamp]("ts"),
+        r.getAs[Double]("x"), r.getAs[Double]("s_pos"))).sortBy(_._1.getTime)
+      .map(t => (t._1.getTime * 1000L, t._2, t._3)).toSeq
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    assert(streamed.nonEmpty && streamed.forall(_._2 == 13.0))
+  }
+
   test("StreamAnomaly DSL surface emits alert rows through the script runner") {
     val rows = ((1 to 8).map(i =>
       s"""{"user_id":1,"ts":"2026-01-01 00:00:0$i","v":${if (i % 2 == 0) 10.5 else 9.5}}""") :+
