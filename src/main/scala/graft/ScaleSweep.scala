@@ -152,6 +152,11 @@ object ScaleSweep {
         Tables.load(s, dir, "embeddings"), "vec_id", "embedding", 0.45,
         nlist = 16 * m)
     }),
+    // BM25 retrieval: postings build is the linear one-shuffle index pass;
+    // a FIXED query set probes it, so probe cost grows only with the
+    // query terms' posting lists (∝ m). Queries live in the original copy
+    // (blow-up re-keys other copies to +1e7·c, so doc_id < 5 stays 5).
+    "bm25_retrieval" -> SparkEntry.queries("p87_bm25_topk"),
   )
 
   def main(args: Array[String]): Unit = {
@@ -167,7 +172,11 @@ object ScaleSweep {
       }
       m -> d
     }
-    val rows = cases(1).map(_._1).map { name =>
+    // optional 2nd arg: comma-separated case names — time just those
+    // (for vetting a newly added case without re-running the whole sweep)
+    val only = args.drop(1).headOption.map(_.split(",").toSet)
+    val rows = cases(1).map(_._1)
+      .filter(n => only.forall(_.contains(n))).map { name =>
       val times = dirs.map { case (m, d) =>
         // shuffle partitions scale with volume (as a real cluster adds
         // executors with data): a fixed 32 at 50× crosses the single-JVM

@@ -27,7 +27,48 @@ object PipelineETs {
     TwapET, RobustOutliersET, StreamFunnelET, StreamAnomalyET, HistogramET,
     Scd2ET, AcfET, AbTestET, StreamSessionsET, StreamHeavyHittersET, Bm25ET,
     MmrRerankET, TextNormalizeInPlaceET, UrlCanonicalizeInPlaceET, CusumET,
-    StreamCusumET)
+    StreamCusumET, Bm25IndexET)
+}
+
+/** `run batch as Bm25Index.`/idx` [where mode="ingest" and idCol/textCol
+  * and txn="3" and txnAppId="app"]` — append a batch to the persistent
+  * incremental BM25 index (see [[graft.operators.text.Bm25Index]]);
+  * `mode="query"` treats the input table as queries (qIdCol/qTextCol/k)
+  * and serves top-k from the index with term-range file pruning;
+  * `mode="maintain"` runs the segment merge (zorder-compact + vacuum).
+  */
+object Bm25IndexET extends ET {
+  override def name = "Bm25Index"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    require(path.nonEmpty, "Bm25Index requires the index path")
+    import graft.operators.text.Bm25Index
+    params.getOrElse("mode", "ingest") match {
+      case "ingest" =>
+        val v = Bm25Index.ingest(df,
+          params.getOrElse("idCol", "doc_id"),
+          params.getOrElse("textCol", "text"), path,
+          params.get("txn").map(_.toLong), params.get("txnAppId"),
+          params.getOrElse("maintainEvery", "16").toInt,
+          params.getOrElse("retainVersions", "8").toInt)
+        import ctx.spark.implicits._
+        Seq((path, v)).toDF("index", "postings_version")
+      case "query" =>
+        Bm25Index.topK(ctx.spark, path, df,
+          params.getOrElse("qIdCol", "qid"),
+          params.getOrElse("qTextCol", "qtext"),
+          params.getOrElse("k", "10").toInt,
+          params.getOrElse("k1", "1.2").toDouble,
+          params.getOrElse("b", "0.75").toDouble)
+      case "maintain" =>
+        Bm25Index.maintain(ctx.spark, path,
+          params.getOrElse("retainVersions", "8").toInt)
+        import ctx.spark.implicits._
+        Seq(path).toDF("index")
+      case other => throw new IllegalArgumentException(
+        s"Bm25Index mode must be ingest|query|maintain, got '$other'")
+    }
+  }
 }
 
 /** `run stream as StreamCusum.`` where target="50" and slack="15" and

@@ -2678,33 +2678,7 @@ object Pipeline {
           k = 10)
         .orderBy($"qid", $"rank")
     },
-      """WITH d AS (SELECT doc_id,
-        |  LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> x <> '') AS toks
-        |  FROM documents),
-        |ne AS (SELECT doc_id, toks, LEN(toks) AS dl FROM d WHERE LEN(toks) > 0),
-        |stats AS (SELECT COUNT(*) AS n_docs,
-        |  CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM ne),
-        |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
-        |  SELECT doc_id, dl, UNNEST(toks) AS term FROM ne) GROUP BY doc_id, dl, term),
-        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-        |qt AS (SELECT doc_id AS qid, UNNEST(LIST_DISTINCT(toks[1:8])) AS term
-        |  FROM d WHERE doc_id < 5),
-        |scored AS (SELECT qt.qid, tf.doc_id,
-        |  ROUND(SUM(
-        |    LN(1.0 + (CAST(stats.n_docs - dfreq.df AS DOUBLE) + 0.5) /
-        |              (CAST(dfreq.df AS DOUBLE) + 0.5)) *
-        |    (CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE)) /
-        |    (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
-        |      (CAST(0.25 AS DOUBLE) +
-        |       CAST(0.75 AS DOUBLE) * CAST(tf.dl AS DOUBLE) / stats.avgdl))), 6) AS score,
-        |  COUNT(*) AS n_hit
-        |  FROM qt JOIN tf USING (term) JOIN dfreq USING (term) CROSS JOIN stats
-        |  GROUP BY qt.qid, tf.doc_id),
-        |ranked AS (SELECT qid, doc_id, score, n_hit,
-        |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
-        |  FROM scored)
-        |SELECT qid, rank, doc_id, score, n_hit FROM ranked WHERE rank <= 10
-        |ORDER BY qid, rank""".stripMargin),
+      bm25OracleSql),
 
     // ---- hybrid retrieval: reciprocal-rank fusion of the BM25 top-20
     //      (documents) with the dense cosine top-20 (embeddings, same ids)
@@ -2898,6 +2872,38 @@ object Pipeline {
         |  (s_pos > 500.0 OR s_neg > 500.0) AS alarm
         |FROM m ORDER BY event_id""".stripMargin)
   )
+
+  /** One-shot BM25 replay (p87's oracle) — shared with s41, whose
+    * two-batch incremental index must serve byte-identical results. */
+  // lazy: referenced while the `all` Seq above is still initializing
+  private[queries] lazy val bm25OracleSql: String =
+    """WITH d AS (SELECT doc_id,
+        |  LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |ne AS (SELECT doc_id, toks, LEN(toks) AS dl FROM d WHERE LEN(toks) > 0),
+        |stats AS (SELECT COUNT(*) AS n_docs,
+        |  CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM ne),
+        |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
+        |  SELECT doc_id, dl, UNNEST(toks) AS term FROM ne) GROUP BY doc_id, dl, term),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |qt AS (SELECT doc_id AS qid, UNNEST(LIST_DISTINCT(toks[1:8])) AS term
+        |  FROM d WHERE doc_id < 5),
+        |scored AS (SELECT qt.qid, tf.doc_id,
+        |  ROUND(SUM(
+        |    LN(1.0 + (CAST(stats.n_docs - dfreq.df AS DOUBLE) + 0.5) /
+        |              (CAST(dfreq.df AS DOUBLE) + 0.5)) *
+        |    (CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE)) /
+        |    (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+        |      (CAST(0.25 AS DOUBLE) +
+        |       CAST(0.75 AS DOUBLE) * CAST(tf.dl AS DOUBLE) / stats.avgdl))), 6) AS score,
+        |  COUNT(*) AS n_hit
+        |  FROM qt JOIN tf USING (term) JOIN dfreq USING (term) CROSS JOIN stats
+        |  GROUP BY qt.qid, tf.doc_id),
+        |ranked AS (SELECT qid, doc_id, score, n_hit,
+        |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+        |  FROM scored)
+        |SELECT qid, rank, doc_id, score, n_hit FROM ranked WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin
 
   /** Unrolled k-round greedy MMR replay (see
     * [[graft.operators.similarity.Mmr]]): candidates are p87's BM25

@@ -1382,6 +1382,29 @@ object Scripts {
          |run s40_cand as MmrRerank.`` where vectorTable="s40_embs" and k="5" as s40_mmr;
          |select qid, rank, doc_id, rel, mmr from s40_mmr
          |  order by qid, rank as s40_out;""".stripMargin),
-      Pipeline.mmrOracleSql(5))
+      Pipeline.mmrOracleSql(5)),
+
+    // ---- s41: the INCREMENTAL BM25 index through the DSL — the corpus
+    //      arrives in two batches, the persistent index serves the same
+    //      top-k as a one-shot build, so the oracle is p87's one-shot
+    //      replay verbatim. The index is rebuilt fresh per run. ----
+    QuerySpec.sql("s41_script_incremental_index", (s, dir) => {
+      val path = "/tmp/graft_s41_index"
+      val hp = new org.apache.hadoop.fs.Path(path)
+      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(hp)) fs.delete(hp, true)
+      script(s,
+        s"""load parquet.`$dir/documents.parquet` as s41_docs;
+           |select * from s41_docs where doc_id % 2 = 0 as s41_b1;
+           |select * from s41_docs where doc_id % 2 = 1 as s41_b2;
+           |run s41_b1 as Bm25Index.`$path` where txn="0" and txnAppId="s41" as s41_v1;
+           |run s41_b2 as Bm25Index.`$path` where txn="1" and txnAppId="s41" as s41_v2;
+           |select doc_id as qid,
+           |  array_join(slice(filter(split(lower(text), ' '), x -> x != ''), 1, 8), ' ')
+           |  as qtext from s41_docs where doc_id < 5 as s41_q;
+           |run s41_q as Bm25Index.`$path` where mode="query" and k="10" as s41_hits;
+           |select qid, rank, doc_id, score, n_hit from s41_hits
+           |  order by qid, rank as s41_out;""".stripMargin)
+    }, Pipeline.bm25OracleSql)
   )
 }

@@ -139,7 +139,7 @@ class SurveyCoverageSpec extends AnyFunSuite {
       "LabelPropagation", "Holt", "Twap", "RobustOutliers", "StreamFunnel",
       "StreamAnomaly", "Histogram", "Scd2", "Acf", "AbTest",
       "StreamSessions", "StreamHeavyHitters", "Bm25", "MmrRerank",
-      "TextNormalizeInPlace", "UrlCanonicalizeInPlace", "Cusum", "StreamCusum")
+      "TextNormalizeInPlace", "UrlCanonicalizeInPlace", "Cusum", "StreamCusum", "Bm25Index")
     val missing = names.filter(n =>
       scala.util.Try(ETRegistry.lookup(n)).isFailure)
     assert(missing.isEmpty, s"ET registry missing: ${missing.mkString(", ")}")
@@ -203,7 +203,7 @@ class SurveyCoverageSpec extends AnyFunSuite {
       "s34_script_unigram_seqpack", "s35_script_unigram_nbest",
       "s36_script_tokenizer_fertility", "s37_script_unigram_sample",
       "s38_script_product_analytics", "s39_script_quality_report",
-      "s40_script_retrieval"))
+      "s40_script_retrieval", "s41_script_incremental_index"))
     // formerly rows-only, oracled in r14 by moving the oracle boundary to
     // a persisted artifact: s27 exports the fitted centroids (the s28
     // technique, while its compared surface still runs the model-direct
