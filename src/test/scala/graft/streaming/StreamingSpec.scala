@@ -1138,6 +1138,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(out("lang") == ((3L, 2L)))
   }
 
+  test("index-on-ingest: streaming Bm25Index stays exactly-once under full re-delivery") {
+    // the streaming face of the incremental retrieval index: each
+    // micro-batch appends postings + stats under a (txnAppId, batchId)
+    // marker, so at-least-once foreachBatch redelivery — including a
+    // fresh-checkpoint FULL replay — cannot double-count a document
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.{Dataset, Row}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("bm25_stream")
+      .toString + "/idx"
+    def ingestRun(data: Seq[Seq[(Long, String)]]): Unit = {
+      val in = MemoryStream[(Long, String)]
+      val q = in.toDF().toDF("doc_id", "text").writeStream
+        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+          graft.operators.text.Bm25Index.ingest(batch.toDF(), "doc_id", "text",
+            idx, txn = Some(batchId), txnAppId = Some("bm25stream"))
+          ()
+        }
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ck_bm25s").toString)
+        .start()
+      data.foreach { b => in.addData(b); q.processAllAvailable() }
+      q.stop()
+    }
+    val b1 = Seq((1L, "apple banana"), (2L, "banana cherry"))
+    val b2 = Seq((3L, "apple apple date"))
+    ingestRun(Seq(b1, b2))
+    val queries = Seq((1L, "apple")).toDF("qid", "qtext")
+    def hits() = graft.operators.text.Bm25Index
+      .topK(spark, idx, queries, "qid", "qtext", k = 10)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+      .sortBy(_._1).toSeq
+    val first = hits()
+    assert(first.map(_._1) == Seq(1L, 3L), s"apple lives in docs 1 and 3: $first")
+    // fresh checkpoint => Structured Streaming replays batches 0..1 from
+    // scratch; the per-table txn ledger must absorb every one of them
+    ingestRun(Seq(b1, b2))
+    assert(hits() == first, "full re-delivery must not change one score bit")
+  }
+
   test("chunk-on-ingest: DocChunk generator composes with a stream") {
     // chunking is a per-row GENERATE (posexplode of a computed array):
     // legal on an unbounded frame with no watermark/state, so the 100 TB
