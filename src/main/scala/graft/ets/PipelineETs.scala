@@ -1702,8 +1702,13 @@ object AnnTopKET extends NoPathET {
           modelPath = params.get("modelPath"))
         ProductQuantization.topK(df, queries, idCol, vecCol, qId, qVec, k, model,
           rerank = params.getOrElse("rerank", "64").toInt)
+      case "sign" =>
+        // 1-bit sign sketch + exact re-rank (see SignHash): the smallest
+        // index memory on the quantization ladder, dims <= 64
+        graft.operators.similarity.SignHash.topK(df, queries, idCol, vecCol,
+          qId, qVec, k, rerank = params.getOrElse("rerank", "32").toInt)
       case other => throw new IllegalArgumentException(
-        s"AnnTopK method must be brute|ivf|pq, got '$other'")
+        s"AnnTopK method must be brute|ivf|pq|sign, got '$other'")
     }
   }
 }

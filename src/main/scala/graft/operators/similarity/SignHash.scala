@@ -1,0 +1,77 @@
+package graft.operators.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** 1-bit sign quantization + Hamming-space retrieval — the memory
+  * endpoint of the quantization ladder (float32 → int8 [p18] → PQ bytes
+  * [p32] → ONE BIT per dimension): a 64-dim embedding collapses to two
+  * 32-bit words, a 256× cut vs float32, and candidate generation becomes
+  * XOR + popcount — integer ops a scan does at memory bandwidth. The
+  * standard two-stage shape (Charikar 2002 sign-random-projection without
+  * the projection — embeddings are already dense and zero-centered):
+  * Hamming top-`rerank` candidates, then exact cosine re-rank of that
+  * bounded set, same contract as the PQ path.
+  *
+  * Packing is per-row codegen (`aggregate` over a constant 32-bit
+  * sequence — CASE-guarded element access, ANSI-safe for dims < 64);
+  * sign bits go into two BIGINT halves rather than one word so neither
+  * engine touches the BIGINT sign bit (a `1L << 63` OR would overflow
+  * DuckDB's HUGEINT sum replay). Hamming distances are integers, so
+  * ranking is exactly reproducible — ties break by id; only the final
+  * re-rank touches floats, rounded to the house 6 dp.
+  *
+  * At 100 TB: the corpus-side signature table is 16 bytes + id per
+  * vector and never shuffles (queries broadcast, as [[CosineSimilarity
+  * .annTopK]]); per-query cost is one popcount scan + an exact re-rank
+  * of `rerank` vectors. Supports dims ≤ 64 (one word pair); wider
+  * embeddings should PQ instead — the sign sketch's resolution decays
+  * past that anyway.
+  *
+  * No reference counterpart; builder-prompt similarity extension.
+  */
+object SignHash {
+
+  /** Packed sign bits of dims [lo, lo+32) as a non-negative BIGINT. */
+  private def word(vecCol: String, lo: Int): Column = expr(
+    s"""aggregate(sequence(0, 31), 0L, (acc, b) ->
+       |  acc + (CASE WHEN b + $lo < size($vecCol)
+       |    THEN CASE WHEN element_at($vecCol, b + $lo + 1) > 0D
+       |      THEN shiftleft(1L, b) ELSE 0L END
+       |    ELSE 0L END))""".stripMargin)
+
+  /** Adds `w0`/`w1` (the two 32-bit sign words) next to `vecCol`. */
+  def signPack(df: DataFrame, vecCol: String): DataFrame = {
+    val v = s"CAST($vecCol AS ARRAY<DOUBLE>)"
+    df.withColumn("__sv__", expr(v))
+      .withColumn("w0", word("__sv__", 0))
+      .withColumn("w1", word("__sv__", 32))
+      .drop("__sv__")
+  }
+
+  /** Two-stage search: Hamming top-`rerank` candidates per query, exact
+    * cosine re-rank to top-`k`. Output: (qid, nrank, neighbor, ham, sim).
+    */
+  def topK(corpus: DataFrame, queries: DataFrame, idCol: String,
+           vecCol: String, qIdCol: String, qVecCol: String,
+           k: Int = 10, rerank: Int = 32): DataFrame = {
+    require(k > 0 && rerank >= k, "need rerank >= k > 0")
+    val c = signPack(corpus, vecCol)
+    val q = signPack(queries, qVecCol)
+      .withColumnRenamed("w0", "q0").withColumnRenamed("w1", "q1")
+    val cand = c.join(broadcast(q), col(idCol) =!= col(qIdCol))
+      .withColumn("ham", expr("bit_count(w0 ^ q0) + bit_count(w1 ^ q1)").cast("int"))
+      .withColumn("__hrank__", row_number().over(
+        Window.partitionBy(col(qIdCol)).orderBy(col("ham"), col(idCol))))
+      .filter(col("__hrank__") <= rerank)
+    cand
+      .withColumn("sim", round(call_function("arr_cosine",
+        col(qVecCol).cast("array<double>"), col(vecCol).cast("array<double>")), 6))
+      .withColumn("nrank", row_number().over(
+        Window.partitionBy(col(qIdCol)).orderBy(col("sim").desc, col(idCol))))
+      .filter(col("nrank") <= k)
+      .select(col(qIdCol).as("qid"), col("nrank"), col(idCol).as("neighbor"),
+        col("ham"), col("sim"))
+  }
+}

@@ -2870,7 +2870,95 @@ object Pipeline {
         |  FROM s WINDOW w2 AS (ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING))
         |SELECT event_id, v AS x, s_pos, s_neg,
         |  (s_pos > 500.0 OR s_neg > 500.0) AS alarm
-        |FROM m ORDER BY event_id""".stripMargin)
+        |FROM m ORDER BY event_id""".stripMargin),
+
+    // ---- 1-bit sign-quantized Hamming ANN (similarity.SignHash): the
+    //      memory endpoint of the quantization ladder — two 32-bit sign
+    //      words per vector, XOR+popcount candidates, exact cosine
+    //      re-rank. Integer hamming ranks are exactly reproducible; the
+    //      oracle replays packing, candidate cut, and re-rank. ----
+    QuerySpec.sql("p93_sign_ann", (s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+      val q = e.filter($"vec_id" < 8).select($"vec_id".as("qid"), $"embedding".as("qv"))
+      graft.operators.similarity.SignHash.topK(e, q, "vec_id", "embedding",
+          "qid", "qv", k = 5, rerank = 32)
+        .orderBy($"qid", $"nrank")
+    },
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sig AS (SELECT vec_id, v,
+        |  CAST(list_sum(list_transform(range(0, 32), b ->
+        |    CASE WHEN b + 1 <= LEN(v) AND v[b + 1] > 0
+        |      THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS w0,
+        |  CAST(list_sum(list_transform(range(0, 32), b ->
+        |    CASE WHEN b + 33 <= LEN(v) AND v[b + 33] > 0
+        |      THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS w1
+        |  FROM e),
+        |q AS (SELECT vec_id AS qid, v AS qv, w0 AS q0, w1 AS q1
+        |  FROM sig WHERE vec_id < 8),
+        |cand AS (SELECT qid, neighbor, ham, qv, v FROM (
+        |  SELECT q.qid, s.vec_id AS neighbor,
+        |    CAST(bit_count(xor(q.q0, s.w0)) + bit_count(xor(q.q1, s.w1)) AS INT) AS ham,
+        |    q.qv, s.v,
+        |    ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+        |      CAST(bit_count(xor(q.q0, s.w0)) + bit_count(xor(q.q1, s.w1)) AS INT),
+        |      s.vec_id) AS hrank
+        |  FROM q JOIN sig s ON s.vec_id <> q.qid) WHERE hrank <= 32)
+        |SELECT qid, nrank, neighbor, ham, sim FROM (
+        |  SELECT qid, neighbor, ham,
+        |    ROUND(LIST_INNER_PRODUCT(qv, v) /
+        |      (SQRT(LIST_INNER_PRODUCT(qv, qv)) * SQRT(LIST_INNER_PRODUCT(v, v))), 6) AS sim,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+        |      ROUND(LIST_INNER_PRODUCT(qv, v) /
+        |        (SQRT(LIST_INNER_PRODUCT(qv, qv)) * SQRT(LIST_INNER_PRODUCT(v, v))), 6) DESC,
+        |      neighbor) AS nrank
+        |  FROM cand) WHERE nrank <= 5
+        |ORDER BY qid, nrank""".stripMargin),
+
+    // ---- matryoshka truncation audit: cosine top-5 on the FIRST 16 DIMS
+    //      vs the full 64 — per-query overlap counts quantify what MRL-
+    //      style prefix truncation costs on THIS corpus before anyone
+    //      ships the cheaper index. Pure composition of existing ops. ----
+    QuerySpec.sql("p94_matryoshka_audit", (s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val full = e.select($"vec_id", $"v")
+      val trunc = e.select($"vec_id", slice($"v", 1, 16).as("v"))
+      def top5(c: org.apache.spark.sql.DataFrame) = {
+        val q = c.filter($"vec_id" < 8).select($"vec_id".as("qid"), $"v".as("qv"))
+        CosineSimilarity.annTopK(c, q, "vec_id", "v", "qid", "qv", 5)
+      }
+      val f = top5(full).select($"qid", $"neighbor", $"nrank".as("frank"))
+      val tr = top5(trunc).select($"qid", $"neighbor", $"nrank".as("trank"))
+      f.join(tr, Seq("qid", "neighbor"), "left")
+        .groupBy($"qid")
+        .agg(count($"trank").as("n_overlap"),
+          max(when($"frank" === 1 && $"trank" === 1, 1).otherwise(0)).as("top1_kept"))
+        .orderBy($"qid")
+    },
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |tr AS (SELECT vec_id, v[1:16] AS v FROM e),
+        |qf AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+        |qt AS (SELECT vec_id AS qid, v AS qv FROM tr WHERE vec_id < 8),
+        |ft AS (SELECT qid, neighbor, frank FROM (
+        |  SELECT qf.qid, e.vec_id AS neighbor,
+        |    ROW_NUMBER() OVER (PARTITION BY qf.qid ORDER BY
+        |      ROUND(LIST_INNER_PRODUCT(qf.qv, e.v) /
+        |        (SQRT(LIST_INNER_PRODUCT(qf.qv, qf.qv)) * SQRT(LIST_INNER_PRODUCT(e.v, e.v))), 6) DESC,
+        |      e.vec_id) AS frank
+        |  FROM qf JOIN e ON e.vec_id <> qf.qid) WHERE frank <= 5),
+        |tt AS (SELECT qid, neighbor, trank FROM (
+        |  SELECT qt.qid, tr.vec_id AS neighbor,
+        |    ROW_NUMBER() OVER (PARTITION BY qt.qid ORDER BY
+        |      ROUND(LIST_INNER_PRODUCT(qt.qv, tr.v) /
+        |        (SQRT(LIST_INNER_PRODUCT(qt.qv, qt.qv)) * SQRT(LIST_INNER_PRODUCT(tr.v, tr.v))), 6) DESC,
+        |      tr.vec_id) AS trank
+        |  FROM qt JOIN tr ON tr.vec_id <> qt.qid) WHERE trank <= 5)
+        |SELECT ft.qid, COUNT(tt.trank) AS n_overlap,
+        |  MAX(CASE WHEN ft.frank = 1 AND tt.trank = 1 THEN 1 ELSE 0 END) AS top1_kept
+        |FROM ft LEFT JOIN tt ON tt.qid = ft.qid AND tt.neighbor = ft.neighbor
+        |GROUP BY ft.qid ORDER BY ft.qid""".stripMargin)
   )
 
   /** One-shot BM25 replay (p87's oracle) — shared with s41, whose
