@@ -1332,8 +1332,10 @@ object DocChunkET extends NoPathET {
         df, textCol, size, overlap, idCol, outCol)
       case "tokens" => graft.operators.text.DocChunk.chunkByTokens(
         df, textCol, size, overlap, idCol, outCol)
+      case "sentences" => graft.operators.text.DocChunk.chunkBySentences(
+        df, params.getOrElse("docIdCol", "doc_id"), textCol, size, idCol, outCol)
       case other => throw new IllegalArgumentException(
-        s"DocChunk unit must be chars|tokens, got '$other'")
+        s"DocChunk unit must be chars|tokens|sentences, got '$other'")
     }
   }
 }

@@ -69,4 +69,51 @@ object DocChunk {
     df.filter(col(textCol).isNotNull && array_size(words) > 0)
       .select(keep :+ posexplode(chunks).as(Seq(idCol, outCol)): _*)
   }
+
+  /** Sentence-boundary chunking — the RAG-prep mode: sentences never
+    * split mid-way (a retrieval chunk that starts mid-sentence embeds
+    * noise), grouped into chunks of ~`targetChars` by LENGTH-QUANTIZED
+    * assignment: sentence s joins chunk `floor(charsBefore(s) /
+    * targetChars)` where charsBefore counts prior sentences + joining
+    * spaces. That rule is deterministic and ORDER-FREE (each sentence's
+    * chunk depends only on its prefix length, not on greedy fill state),
+    * which is what makes it exactly replayable in SQL and stable under
+    * any partitioning; chunks end within one sentence of the target
+    * rather than exactly at it — the standard trade dressed as a
+    * contract, not a bug.
+    *
+    * Sentence segmentation is `regexp_extract_all` on `[^.!?]+[.!?]*`
+    * (segments between terminal-punctuation runs, lookbehind-free so
+    * Java regex and RE2 oracles agree), trimmed, empties dropped.
+    *
+    * Plan shape: extract/explode are per-row; the prefix-length window
+    * and the chunk re-assembly group BOTH key on the document id, so the
+    * whole mode costs ONE doc-keyed shuffle (the window's sort) at any
+    * corpus size — chunk texts ride the shuffle, never whole documents.
+    * Unlike the windowing modes this drops non-key passthrough columns
+    * (re-join on `docIdCol` to recover them).
+    */
+  def chunkBySentences(df: DataFrame, docIdCol: String, textCol: String,
+                       targetChars: Int, idCol: String = "chunk_id",
+                       outCol: String = "chunk"): DataFrame = {
+    require(targetChars > 0, "targetChars must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val sents = filter(transform(
+        regexp_extract_all(col(textCol), lit("[^.!?]+[.!?]*"), lit(0)),
+        s => trim(s)), s => length(s) > 0)
+    val w = Window.partitionBy(col(docIdCol)).orderBy(col("sidx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.filter(col(textCol).isNotNull)
+      .select(col(docIdCol), posexplode(sents).as(Seq("sidx", "sent")))
+      .withColumn("__cume__", sum(length(col("sent")) + 1).over(w))
+      // `div`, never `/` + cast: integer division is the cross-engine-
+      // deterministic floor on non-negative prefixes (house recipe)
+      .withColumn(idCol,
+        expr(s"(__cume__ - length(sent) - 1) div $targetChars"))
+      .groupBy(col(docIdCol), col(idCol))
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("sidx"), col("sent")))),
+          x => x.getField("sent")), " ").as(outCol),
+        count(lit(1)).as("n_sentences"))
+  }
 }

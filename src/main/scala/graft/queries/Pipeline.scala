@@ -2958,7 +2958,39 @@ object Pipeline {
         |SELECT ft.qid, COUNT(tt.trank) AS n_overlap,
         |  MAX(CASE WHEN ft.frank = 1 AND tt.trank = 1 THEN 1 ELSE 0 END) AS top1_kept
         |FROM ft LEFT JOIN tt ON tt.qid = ft.qid AND tt.neighbor = ft.neighbor
-        |GROUP BY ft.qid ORDER BY ft.qid""".stripMargin)
+        |GROUP BY ft.qid ORDER BY ft.qid""".stripMargin),
+
+    // ---- sentence-boundary RAG chunking (DocChunk.chunkBySentences):
+    //      sentences never split, chunk = length-quantized assignment —
+    //      deterministic and order-free, so it replays in SQL. Fixture
+    //      text has no punctuation, so both engines inject the same
+    //      terminal marks first. ----
+    QuerySpec.sql("p95_sentence_chunks", (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").filter($"doc_id" < 100)
+        .select($"doc_id", expr(
+          "replace(replace(text, 'table', 'table.'), 'value', 'value!')").as("text"))
+      graft.operators.text.DocChunk.chunkBySentences(docs, "doc_id", "text", 60)
+        .orderBy($"doc_id", $"chunk_id")
+    },
+      """WITH d AS (SELECT doc_id,
+        |  replace(replace(text, 'table', 'table.'), 'value', 'value!') AS text
+        |  FROM documents WHERE doc_id < 100),
+        |sl AS (SELECT doc_id,
+        |  list_filter(list_transform(regexp_extract_all(text, '[^.!?]+[.!?]*'),
+        |    x -> trim(x)), x -> x <> '') AS sents FROM d),
+        |sen AS (SELECT doc_id, u.s.sidx AS sidx, u.s.sent AS sent FROM (
+        |  SELECT doc_id, UNNEST(list_transform(sents, (x, i) ->
+        |    {'sidx': i - 1, 'sent': x})) AS s FROM sl) u),
+        |c AS (SELECT doc_id, sidx, sent,
+        |  SUM(LEN(sent) + 1) OVER (PARTITION BY doc_id ORDER BY sidx
+        |    ROWS UNBOUNDED PRECEDING) AS cume FROM sen),
+        |a AS (SELECT doc_id,
+        |  CAST((cume - LEN(sent) - 1) // 60 AS BIGINT) AS chunk_id,
+        |  sidx, sent FROM c)
+        |SELECT doc_id, chunk_id, string_agg(sent, ' ' ORDER BY sidx) AS chunk,
+        |  COUNT(*) AS n_sentences
+        |FROM a GROUP BY doc_id, chunk_id ORDER BY doc_id, chunk_id""".stripMargin)
   )
 
   /** One-shot BM25 replay (p87's oracle) — shared with s41, whose
