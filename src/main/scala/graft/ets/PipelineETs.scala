@@ -27,7 +27,24 @@ object PipelineETs {
     TwapET, RobustOutliersET, StreamFunnelET, StreamAnomalyET, HistogramET,
     Scd2ET, AcfET, AbTestET, StreamSessionsET, StreamHeavyHittersET, Bm25ET,
     MmrRerankET, TextNormalizeInPlaceET, UrlCanonicalizeInPlaceET, CusumET,
-    StreamCusumET, Bm25IndexET)
+    StreamCusumET, Bm25IndexET, RetrievalEvalET)
+}
+
+/** `run ranked as RetrievalEval.`` where qrelsTable="judgments" and
+  * k="10" [and qIdCol/idCol/rankCol]` — precision/recall@k, MRR, binary
+  * nDCG per query (see [[graft.operators.text.RetrievalMetrics]]).
+  */
+object RetrievalEvalET extends NoPathET {
+  override def name = "RetrievalEval"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame =
+    graft.operators.text.RetrievalMetrics.evaluate(df,
+      ctx.spark.table(params.getOrElse("qrelsTable",
+        throw new IllegalArgumentException("RetrievalEval requires qrelsTable"))),
+      params.getOrElse("qIdCol", "qid"),
+      params.getOrElse("idCol", "doc_id"),
+      params.getOrElse("rankCol", "rank"),
+      params.getOrElse("k", "10").toInt)
 }
 
 /** `run batch as Bm25Index.`/idx` [where mode="ingest" and idCol/textCol

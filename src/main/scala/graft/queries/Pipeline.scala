@@ -2990,7 +2990,52 @@ object Pipeline {
         |  sidx, sent FROM c)
         |SELECT doc_id, chunk_id, string_agg(sent, ' ' ORDER BY sidx) AS chunk,
         |  COUNT(*) AS n_sentences
-        |FROM a GROUP BY doc_id, chunk_id ORDER BY doc_id, chunk_id""".stripMargin)
+        |FROM a GROUP BY doc_id, chunk_id ORDER BY doc_id, chunk_id""".stripMargin),
+
+    // ---- retrieval evaluation (text.RetrievalMetrics): precision/recall
+    //      @10, MRR, binary nDCG of the dense ANN run against label-match
+    //      qrels (embeddings.label as the relevance judgment). The oracle
+    //      replays run, qrels, and every metric at the same 6-dp grain. ----
+    QuerySpec.sql("p96_retrieval_eval", (s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"), $"label")
+      val q = e.filter($"vec_id" < 8)
+        .select($"vec_id".as("qid"), $"v".as("qv"), $"label".as("qlabel"))
+      val run = CosineSimilarity.annTopK(e, q.select($"qid", $"qv"),
+          "vec_id", "v", "qid", "qv", 10)
+        .select($"qid", $"nrank".as("rank"), $"neighbor")
+      val qrels = q.select($"qid", $"qlabel")
+        .join(e.select($"vec_id".as("neighbor"), $"label"),
+          $"label" === $"qlabel" && $"neighbor" =!= $"qid")
+        .select($"qid", $"neighbor")
+      graft.operators.text.RetrievalMetrics
+        .evaluate(run, qrels, "qid", "neighbor", "rank", 10)
+        .orderBy($"qid")
+    },
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv, label AS qlabel FROM e WHERE vec_id < 8),
+        |run AS (SELECT qid, neighbor, rank FROM (
+        |  SELECT q.qid, e.vec_id AS neighbor,
+        |    ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+        |      ROUND(LIST_INNER_PRODUCT(q.qv, e.v) /
+        |        (SQRT(LIST_INNER_PRODUCT(q.qv, q.qv)) * SQRT(LIST_INNER_PRODUCT(e.v, e.v))), 6) DESC,
+        |      e.vec_id) AS rank
+        |  FROM q JOIN e ON e.vec_id <> q.qid) WHERE rank <= 10),
+        |qrels AS (SELECT q.qid, e.vec_id AS neighbor FROM q
+        |  JOIN e ON e.label = q.qlabel AND e.vec_id <> q.qid),
+        |nrel AS (SELECT qid, COUNT(*) AS n_rel FROM qrels GROUP BY qid),
+        |hits AS (SELECT r.qid, COUNT(*) AS n_hit, MIN(r.rank) AS first_hit,
+        |  SUM(CAST(1.0 AS DOUBLE) / log2(r.rank + 1)) AS dcg
+        |  FROM run r JOIN qrels USING (qid, neighbor) GROUP BY r.qid)
+        |SELECT n.qid, n.n_rel, COALESCE(h.n_hit, 0) AS n_hit,
+        |  ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / 10, 6) AS precision,
+        |  ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / n.n_rel, 6) AS recall,
+        |  ROUND(COALESCE(CAST(1.0 AS DOUBLE) / h.first_hit, CAST(0.0 AS DOUBLE)), 6) AS mrr,
+        |  ROUND(COALESCE(h.dcg, CAST(0.0 AS DOUBLE)) /
+        |    list_sum(list_transform(range(1, LEAST(10, n.n_rel) + 1),
+        |      i -> CAST(1.0 AS DOUBLE) / log2(i + 1))), 6) AS ndcg
+        |FROM nrel n LEFT JOIN hits h ON h.qid = n.qid ORDER BY n.qid""".stripMargin)
   )
 
   /** One-shot BM25 replay (p87's oracle) — shared with s41, whose
