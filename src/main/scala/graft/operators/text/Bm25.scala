@@ -118,6 +118,57 @@ object Bm25 {
       queries, idCol, qidCol, qtextCol, k, k1, b)
   }
 
+  /** Pseudo-relevance-feedback query expansion (RM3-lite): run BM25,
+    * treat the top `fbDocs` per query as relevant, score their terms by
+    * `Σ tf · idf` (6-dp, the corpus-wide Robertson idf), and append the
+    * top `fbTerms` terms the query does not already contain — ties by
+    * term. Returns (qidCol, qtextCol) with the EXPANDED query text, ready
+    * for a second [[topK]] round — the classic two-pass recall lift with
+    * zero models.
+    *
+    * Plan shape: the feedback set is (#queries · fbDocs) rows; its join
+    * back to the postings is doc-keyed and tiny on the probe side, term
+    * scoring aggregates (#queries · fbDocs · doc-length) rows — all
+    * bounded by the query batch, never the corpus.
+    */
+  def expandQueries(corpus: DataFrame, queries: DataFrame,
+                    idCol: String, textCol: String,
+                    qidCol: String, qtextCol: String,
+                    fbDocs: Int = 5, fbTerms: Int = 3,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(fbDocs > 0 && fbTerms > 0, "fbDocs and fbTerms must be positive")
+    val post = postings(corpus, idCol, textCol)
+    val dfreq = docFreq(post)
+    val stats = corpusStats(corpus, textCol)
+    val fb = topKFromIndex(post, dfreq, stats, queries, idCol,
+        qidCol, qtextCol, fbDocs, k1, b)
+      .select(col(qidCol), col(idCol))
+    val qt = queries
+      .select(col(qidCol), explode(array_distinct(toks(qtextCol))).as("term"))
+    val idf = log(lit(1.0) + (col("n_docs").cast("double") - col("df") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5)))
+    val scored = fb.join(post, Seq(idCol))
+      .groupBy(col(qidCol), col("term")).agg(sum(col("tf")).as("__tf__"))
+      .join(dfreq, "term").crossJoin(broadcast(stats))
+      .withColumn("__w__", F.round(col("__tf__").cast("double") * idf, 6))
+      // drop terms the query already has
+      .join(qt.withColumn("__has__", lit(1)), Seq(qidCol, "term"), "left")
+      .filter(col("__has__").isNull)
+    val top = scored
+      .withColumn("__rn__", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(qidCol))
+          .orderBy(col("__w__").desc, col("term"))))
+      .filter(col("__rn__") <= fbTerms)
+      .groupBy(col(qidCol))
+      .agg(array_join(array_sort(collect_list(col("term"))), " ").as("__exp__"))
+    queries.select(col(qidCol), col(qtextCol))
+      .join(top, Seq(qidCol), "left")
+      .select(col(qidCol),
+        when(col("__exp__").isNull, col(qtextCol))
+          .otherwise(concat(col(qtextCol), lit(" "), col("__exp__")))
+          .as(qtextCol))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) of ranked lists:
     * `rrf(q, d) = Σ_lists 1/(c + rank)` over the lists where d appears.
     * Input frames carry (qid, rank, id); the fusion is a full outer join

@@ -3035,7 +3035,76 @@ object Pipeline {
         |  ROUND(COALESCE(h.dcg, CAST(0.0 AS DOUBLE)) /
         |    list_sum(list_transform(range(1, LEAST(10, n.n_rel) + 1),
         |      i -> CAST(1.0 AS DOUBLE) / log2(i + 1))), 6) AS ndcg
-        |FROM nrel n LEFT JOIN hits h ON h.qid = n.qid ORDER BY n.qid""".stripMargin)
+        |FROM nrel n LEFT JOIN hits h ON h.qid = n.qid ORDER BY n.qid""".stripMargin),
+
+    // ---- pseudo-relevance-feedback query expansion (RM3-lite,
+    //      Bm25.expandQueries): round-1 BM25 top-5 per query feed tf·idf
+    //      term scoring, top-3 unseen terms append to the query, round 2
+    //      re-scores. The oracle replays both rounds and the expansion
+    //      selection at the same 6-dp grain. ----
+    QuerySpec.sql("p97_query_expansion", (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val q = docs.filter($"doc_id" < 5).select($"doc_id".as("qid"),
+        array_join(slice(expr("filter(split(lower(text), ' '), x -> x <> '')"), 1, 8), " ").as("qtext"))
+      val expanded = graft.operators.text.Bm25.expandQueries(docs, q,
+        "doc_id", "text", "qid", "qtext", fbDocs = 5, fbTerms = 3)
+      graft.operators.text.Bm25.topK(docs, expanded, "doc_id", "text",
+          "qid", "qtext", k = 10)
+        .orderBy($"qid", $"rank")
+    },
+      """WITH d AS (SELECT doc_id,
+        |  LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |ne AS (SELECT doc_id, toks, LEN(toks) AS dl FROM d WHERE LEN(toks) > 0),
+        |stats AS (SELECT COUNT(*) AS n_docs,
+        |  CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM ne),
+        |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
+        |  SELECT doc_id, dl, UNNEST(toks) AS term FROM ne) GROUP BY doc_id, dl, term),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |qt0 AS (SELECT doc_id AS qid, UNNEST(LIST_DISTINCT(toks[1:8])) AS term
+        |  FROM d WHERE doc_id < 5),
+        |sc1 AS (SELECT qt0.qid, tf.doc_id,
+        |  ROUND(SUM(
+        |    LN(1.0 + (CAST(stats.n_docs - dfreq.df AS DOUBLE) + 0.5) /
+        |              (CAST(dfreq.df AS DOUBLE) + 0.5)) *
+        |    (CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE)) /
+        |    (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+        |      (CAST(0.25 AS DOUBLE) +
+        |       CAST(0.75 AS DOUBLE) * CAST(tf.dl AS DOUBLE) / stats.avgdl))), 6) AS score
+        |  FROM qt0 JOIN tf USING (term) JOIN dfreq USING (term) CROSS JOIN stats
+        |  GROUP BY qt0.qid, tf.doc_id),
+        |fb AS (SELECT qid, doc_id FROM (SELECT qid, doc_id,
+        |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+        |  FROM sc1) WHERE rank <= 5),
+        |ts AS (SELECT f.qid, tf.term, SUM(tf.tf) AS tfs
+        |  FROM fb f JOIN tf ON tf.doc_id = f.doc_id GROUP BY f.qid, tf.term),
+        |tw AS (SELECT ts.qid, ts.term,
+        |  ROUND(CAST(ts.tfs AS DOUBLE) *
+        |    LN(1.0 + (CAST(stats.n_docs - dfreq.df AS DOUBLE) + 0.5) /
+        |              (CAST(dfreq.df AS DOUBLE) + 0.5)), 6) AS w
+        |  FROM ts JOIN dfreq USING (term) CROSS JOIN stats
+        |  WHERE NOT EXISTS (SELECT 1 FROM qt0
+        |    WHERE qt0.qid = ts.qid AND qt0.term = ts.term)),
+        |exp3 AS (SELECT qid, term FROM (SELECT qid, term,
+        |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY w DESC, term) AS rn FROM tw)
+        |  WHERE rn <= 3),
+        |qt AS (SELECT qid, term FROM qt0 UNION SELECT qid, term FROM exp3),
+        |scored AS (SELECT qt.qid, tf.doc_id,
+        |  ROUND(SUM(
+        |    LN(1.0 + (CAST(stats.n_docs - dfreq.df AS DOUBLE) + 0.5) /
+        |              (CAST(dfreq.df AS DOUBLE) + 0.5)) *
+        |    (CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE)) /
+        |    (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+        |      (CAST(0.25 AS DOUBLE) +
+        |       CAST(0.75 AS DOUBLE) * CAST(tf.dl AS DOUBLE) / stats.avgdl))), 6) AS score,
+        |  COUNT(*) AS n_hit
+        |  FROM qt JOIN tf USING (term) JOIN dfreq USING (term) CROSS JOIN stats
+        |  GROUP BY qt.qid, tf.doc_id)
+        |SELECT qid, rank, doc_id, score, n_hit FROM (SELECT qid, doc_id, score, n_hit,
+        |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+        |  FROM scored) WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin)
   )
 
   /** One-shot BM25 replay (p87's oracle) — shared with s41, whose

@@ -79,6 +79,18 @@ class Bm25Spec extends AnyFunSuite {
       viaIndex.collect().toSeq.sortBy(_.getInt(1)))
   }
 
+  test("expandQueries appends feedback terms the query lacks; no-match stays") {
+    import spark.implicits._
+    val q = Seq((1L, "apple"), (2L, "zebra")).toDF("qid", "qtext")
+    // fbDocs=1: "apple"'s top doc is doc 0 ("apple banana apple") — the
+    // only new term there is "banana"
+    val out = Bm25.expandQueries(corpus, q, "doc_id", "text", "qid", "qtext",
+        fbDocs = 1, fbTerms = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "apple banana")
+    assert(out(2L) == "zebra")
+  }
+
   test("rrfFuse: full-outer union of lists, 1/(c+rank) sums, ties by id") {
     import spark.implicits._
     val a = Seq((1L, 1, 10L), (1L, 2, 20L)).toDF("qid", "rank", "doc_id")
