@@ -91,6 +91,48 @@ class Bm25Spec extends AnyFunSuite {
     assert(out(2L) == "zebra")
   }
 
+  test("property: operator equals a naive in-memory BM25 on a seeded corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val vocab = Vector("ant", "bee", "cat", "dog", "eel", "fox", "gnu", "hen")
+    val docs = (0 until 40).map(i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.length)))
+        .mkString(" ")))
+    val queries = (0 until 6).map(i =>
+      (100L + i, Seq.fill(1 + rnd.nextInt(3))(vocab(rnd.nextInt(vocab.length)))
+        .mkString(" ")))
+    // naive reference: direct formula over in-memory maps
+    val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    val n = docs.size.toDouble
+    val avgdl = toks.values.map(_.size).sum.toDouble / n
+    val dfm = toks.values.flatMap(_.distinct).groupBy(identity).view
+      .mapValues(_.size).toMap
+    def naive(q: String): Seq[(Long, Double)] = {
+      val terms = q.split(" ").distinct.toSeq
+      toks.toSeq.map { case (id, ws) =>
+        val dl = ws.size.toDouble
+        val s = terms.map { t =>
+          val tf = ws.count(_ == t).toDouble
+          if (tf == 0) 0.0
+          else math.log(1 + (n - dfm(t) + 0.5) / (dfm(t) + 0.5)) *
+            tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        }.sum
+        id -> math.round(s * 1e6) / 1e6
+      }.filter(_._2 > 0).sortBy { case (id, s) => (-s, id) }.take(10)
+    }
+    val got = Bm25.topK(docs.toDF("doc_id", "text"),
+        queries.toDF("qid", "qtext"), "doc_id", "text", "qid", "qtext", k = 10)
+      .collect().groupBy(_.getAs[Long]("qid")).view.mapValues(
+        _.sortBy(_.getAs[Int]("rank"))
+          .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSeq)
+      .toMap
+    queries.foreach { case (qid, qtext) =>
+      val exp = naive(qtext)
+      assert(got.getOrElse(qid, Seq.empty) == exp,
+        s"qid=$qid q='$qtext'\ngot=${got.get(qid)}\nexp=$exp")
+    }
+  }
+
   test("rrfFuse: full-outer union of lists, 1/(c+rank) sums, ties by id") {
     import spark.implicits._
     val a = Seq((1L, 1, 10L), (1L, 2, 20L)).toDF("qid", "rank", "doc_id")

@@ -1179,6 +1179,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(hits() == first, "full re-delivery must not change one score bit")
   }
 
+  test("StreamCusum DSL surface emits drift alarms through the script runner") {
+    val rows = ((1 to 6).map(i =>
+      s"""{"k":"a","ts":"2026-01-01 00:00:0$i","v":${if (i % 2 == 0) 10.5 else 9.5}}""") ++
+      (7 to 9).map(i =>
+        s"""{"k":"a","ts":"2026-01-01 00:00:0$i","v":14.0}""")).mkString("\n")
+    val ctx = ScriptRunner.run(
+      s"""set streamName = "scu1";
+         |set scudata = '''$rows''';
+         |load jsonStr.`scudata` as scu_batch;
+         |select k, cast(ts as timestamp) as ts, v as value from scu_batch as scu_b2;
+         |load mockStream.`scu_b2` as scu_stream;
+         |run scu_stream as StreamCusum.`` where keyCol="k" and target="10"
+         |  and slack="1" and threshold="5" as scu_al;
+         |save append scu_al as memory.`` where mode="append"
+         |  and checkpointLocation="${java.nio.file.Files.createTempDirectory("ck_scu")}"
+         |  and duration="0";""".stripMargin, spark)
+    val q = ctx.streams("scu1")
+    q.processAllAvailable()
+    q.stop()
+    // +3 drift from t=7: s+ = 3, 6, 9 -> alarms at t=8 and t=9
+    val alerts = spark.table("scu1").collect()
+      .map(r => (r.getLong(1) / 1000000L, r.getDouble(3))).sorted
+    assert(alerts.toSeq.map(_._2) == Seq(6.0, 9.0), alerts.mkString(";"))
+  }
+
   test("chunk-on-ingest: DocChunk generator composes with a stream") {
     // chunking is a per-row GENERATE (posexplode of a computed array):
     // legal on an unbounded frame with no watermark/state, so the 100 TB
