@@ -27,7 +27,26 @@ object PipelineETs {
     TwapET, RobustOutliersET, StreamFunnelET, StreamAnomalyET, HistogramET,
     Scd2ET, AcfET, AbTestET, StreamSessionsET, StreamHeavyHittersET, Bm25ET,
     MmrRerankET, TextNormalizeInPlaceET, UrlCanonicalizeInPlaceET, CusumET,
-    StreamCusumET, Bm25IndexET, RetrievalEvalET)
+    StreamCusumET, Bm25IndexET, RetrievalEvalET, AttributionET)
+}
+
+/** `run events as Attribution.`` where touchTypes="view,click" and
+  * convType="purchase" [and lookbackDays="3" and userCol/tsCol/typeCol/
+  * valueCol]` — linear / position / time-decay multi-touch conversion
+  * attribution in one pass (see [[graft.operators.temporal.Attribution]]).
+  */
+object AttributionET extends NoPathET {
+  override def name = "Attribution"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame =
+    graft.operators.temporal.Attribution.multiTouch(df,
+      params.getOrElse("userCol", "user_id"),
+      params.getOrElse("tsCol", "ts"),
+      params.getOrElse("typeCol", "event_type"),
+      params.getOrElse("valueCol", "value"),
+      params.getOrElse("touchTypes", "view,click").split(",").map(_.trim).toSeq,
+      params.getOrElse("convType", "purchase"),
+      params.getOrElse("lookbackDays", "3").toInt)
 }
 
 /** `run ranked as RetrievalEval.`` where qrelsTable="judgments" and

@@ -3104,7 +3104,53 @@ object Pipeline {
         |SELECT qid, rank, doc_id, score, n_hit FROM (SELECT qid, doc_id, score, n_hit,
         |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
         |  FROM scored) WHERE rank <= 10
-        |ORDER BY qid, rank""".stripMargin)
+        |ORDER BY qid, rank""".stripMargin),
+
+    // ---- multi-touch attribution (temporal.Attribution): linear /
+    //      position (40/20/40) / hyperbolic time-decay credit models in
+    //      one pass; per-touch credits round to 6 dp and every total
+    //      aggregates in exact integer units, so the oracle replays the
+    //      channel totals digit-for-digit. ----
+    QuerySpec.sql("p98_multi_touch_attribution", (s, dir) => {
+      graft.operators.temporal.Attribution.multiTouch(
+        t(s, dir, "events"), "user_id", "ts", "event_type", "value",
+        Seq("view", "click"), "purchase", lookbackDays = 3)
+    },
+      """WITH conv AS (SELECT user_id AS u, ts AS cts,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |touch AS (SELECT user_id AS u, ts AS tts, event_type AS channel FROM events
+        |  WHERE event_type IN ('view', 'click')),
+        |j AS (SELECT c.u, c.cts, c.cents, t.tts, t.channel FROM conv c JOIN touch t
+        |  ON t.u = c.u AND t.tts <= c.cts AND t.tts >= c.cts - INTERVAL 3 DAY),
+        |b AS (SELECT *, COUNT(*) OVER wc AS n,
+        |  ROW_NUMBER() OVER (PARTITION BY u, cts ORDER BY tts, channel) AS rn,
+        |  CAST(FLOOR(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) +
+        |    CAST(epoch_us(cts) - epoch_us(tts) AS DOUBLE) / 3.6e9) * 1e9 + 0.5) AS BIGINT) AS w9
+        |  FROM j WINDOW wc AS (PARTITION BY u, cts)),
+        |b2 AS (SELECT *, SUM(w9) OVER (PARTITION BY u, cts) AS sw9 FROM b),
+        |cr AS (SELECT channel, cents,
+        |  ROUND(CAST(1.0 AS DOUBLE) / n, 6) AS lin,
+        |  CASE WHEN n = 1 THEN CAST(1.0 AS DOUBLE) WHEN n = 2 THEN CAST(0.5 AS DOUBLE)
+        |       WHEN rn = 1 OR rn = n THEN CAST(0.4 AS DOUBLE)
+        |       ELSE ROUND(CAST(0.2 AS DOUBLE) / (n - 2), 6) END AS pos,
+        |  ROUND(CAST(w9 AS DOUBLE) / CAST(sw9 AS DOUBLE), 6) AS dec FROM b2),
+        |tm AS (
+        |  SELECT 'linear' AS model, channel, CAST(ROUND(lin * 1e6) AS BIGINT) AS cm,
+        |    CAST(ROUND(lin * 1e6) AS BIGINT) * cents AS vm FROM cr
+        |  UNION ALL SELECT 'position', channel, CAST(ROUND(pos * 1e6) AS BIGINT),
+        |    CAST(ROUND(pos * 1e6) AS BIGINT) * cents FROM cr
+        |  UNION ALL SELECT 'decay', channel, CAST(ROUND(dec * 1e6) AS BIGINT),
+        |    CAST(ROUND(dec * 1e6) AS BIGINT) * cents FROM cr),
+        |dr AS (SELECT m.model, 'direct' AS channel, CAST(1000000 AS BIGINT) AS cm,
+        |  CAST(1000000 AS BIGINT) * c.cents AS vm
+        |  FROM conv c CROSS JOIN (VALUES ('linear'), ('position'), ('decay')) m(model)
+        |  WHERE NOT EXISTS (SELECT 1 FROM j WHERE j.u = c.u AND j.cts = c.cts)),
+        |au AS (SELECT * FROM tm UNION ALL SELECT * FROM dr)
+        |SELECT model, channel,
+        |  CAST(CAST(SUM(cm) AS BIGINT) AS DOUBLE) / 1e6 AS n_credit,
+        |  CAST(CAST(SUM(vm) AS BIGINT) AS DOUBLE) / 1e8 AS value_credit
+        |FROM au GROUP BY model, channel ORDER BY model, channel""".stripMargin)
   )
 
   /** One-shot BM25 replay (p87's oracle) — shared with s41, whose
