@@ -27,7 +27,20 @@ object PipelineETs {
     TwapET, RobustOutliersET, StreamFunnelET, StreamAnomalyET, HistogramET,
     Scd2ET, AcfET, AbTestET, StreamSessionsET, StreamHeavyHittersET, Bm25ET,
     MmrRerankET, TextNormalizeInPlaceET, UrlCanonicalizeInPlaceET, CusumET,
-    StreamCusumET, Bm25IndexET, RetrievalEvalET, AttributionET)
+    StreamCusumET, Bm25IndexET, RetrievalEvalET, AttributionET, SurvivalET)
+}
+
+/** `run subjects as Survival.`` [where durCol="dur" and eventCol="event"]`
+  * — Kaplan-Meier product-limit survival curve over right-censored
+  * durations (see [[graft.operators.temporal.Survival]]).
+  */
+object SurvivalET extends NoPathET {
+  override def name = "Survival"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame =
+    graft.operators.temporal.Survival.kaplanMeier(df,
+      params.getOrElse("durCol", "dur"),
+      params.getOrElse("eventCol", "event"))
 }
 
 /** `run events as Attribution.`` where touchTypes="view,click" and

@@ -3150,7 +3150,58 @@ object Pipeline {
         |SELECT model, channel,
         |  CAST(CAST(SUM(cm) AS BIGINT) AS DOUBLE) / 1e6 AS n_credit,
         |  CAST(CAST(SUM(vm) AS BIGINT) AS DOUBLE) / 1e8 AS value_credit
-        |FROM au GROUP BY model, channel ORDER BY model, channel""".stripMargin)
+        |FROM au GROUP BY model, channel ORDER BY model, channel""".stripMargin),
+
+    // ---- Kaplan-Meier signup->purchase conversion-lag curve with right
+    //      censoring (temporal.Survival): subjects who never purchased
+    //      are censored at their last observed event, not dropped. The
+    //      oracle replays the duration build and the product-limit fold
+    //      (exp of the ordered ln sum, 6 dp; n=d terminal guard). ----
+    QuerySpec.sql("p99_survival_km", (s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val su = ev.filter($"event_type" === "signup")
+        .groupBy($"user_id").agg(min($"ts").as("sts"))
+      val pu = ev.filter($"event_type" === "purchase")
+        .join(su, "user_id").filter($"ts" >= $"sts")
+        .groupBy($"user_id").agg(min($"ts").as("pts"))
+      val la = ev.groupBy($"user_id").agg(max($"ts").as("lts"))
+      val subj = su.join(pu, Seq("user_id"), "left").join(la, "user_id")
+        .select($"user_id",
+          when($"pts".isNotNull,
+            expr("(unix_micros(pts) - unix_micros(sts)) div 3600000000"))
+            .otherwise(expr("(unix_micros(lts) - unix_micros(sts)) div 3600000000"))
+            .as("dur_h"),
+          when($"pts".isNotNull, 1).otherwise(0).as("event"))
+      graft.operators.temporal.Survival.kaplanMeier(subj, "dur_h", "event")
+    },
+      """WITH su AS (SELECT user_id, MIN(ts) AS sts FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |pu AS (SELECT e.user_id, MIN(e.ts) AS pts FROM events e
+        |  JOIN su ON su.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= su.sts GROUP BY e.user_id),
+        |la AS (SELECT user_id, MAX(ts) AS lts FROM events GROUP BY user_id),
+        |subj AS (SELECT su.user_id,
+        |  CASE WHEN pu.pts IS NOT NULL
+        |       THEN (epoch_us(pu.pts) - epoch_us(su.sts)) // 3600000000
+        |       ELSE (epoch_us(la.lts) - epoch_us(su.sts)) // 3600000000 END AS dur_h,
+        |  CASE WHEN pu.pts IS NOT NULL THEN 1 ELSE 0 END AS event
+        |  FROM su LEFT JOIN pu ON pu.user_id = su.user_id
+        |  JOIN la ON la.user_id = su.user_id),
+        |pd AS (SELECT dur_h, COUNT(*) AS m, SUM(event) AS d FROM subj GROUP BY dur_h),
+        |r AS (SELECT dur_h, d,
+        |  SUM(m) OVER (ORDER BY dur_h DESC ROWS UNBOUNDED PRECEDING) AS n_risk FROM pd),
+        |e2 AS (SELECT dur_h, CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS d
+        |  FROM r WHERE d > 0),
+        |s AS (SELECT dur_h, n_risk, d,
+        |  MAX(CASE WHEN n_risk = d THEN 1 ELSE 0 END) OVER w AS dead,
+        |  SUM(LN(CASE WHEN n_risk = d THEN CAST(1.0 AS DOUBLE)
+        |       ELSE CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE) END)) OVER w AS lsum
+        |  FROM e2 WINDOW w AS (ORDER BY dur_h ROWS UNBOUNDED PRECEDING))
+        |SELECT dur_h, n_risk, d,
+        |  CASE WHEN dead = 1 THEN CAST(0.0 AS DOUBLE)
+        |       ELSE ROUND(EXP(lsum), 6) END AS survival
+        |FROM s ORDER BY dur_h""".stripMargin)
   )
 
   /** One-shot BM25 replay (p87's oracle) — shared with s41, whose
