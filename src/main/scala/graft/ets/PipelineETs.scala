@@ -287,10 +287,20 @@ object AbTestET extends NoPathET {
   override def name = "AbTest"
   override def train(ctx: ScriptContext, df: DataFrame, path: String,
                      params: Map[String, String]): DataFrame =
-    graft.operators.stats.AbTest.zTest(df,
-      params.getOrElse("variantCol", "variant"),
-      params.getOrElse("successCol", "converted"),
-      params.getOrElse("a", "A"), params.getOrElse("b", "B"))
+    params.getOrElse("mode", "ztest") match {
+      case "ztest" => graft.operators.stats.AbTest.zTest(df,
+        params.getOrElse("variantCol", "variant"),
+        params.getOrElse("successCol", "converted"),
+        params.getOrElse("a", "A"), params.getOrElse("b", "B"))
+      // mode="cuped": per-unit metric + pre-experiment covariate ->
+      // variance-reduced per-variant means (Deng et al. 2013)
+      case "cuped" => graft.operators.stats.AbTest.cuped(df,
+        params.getOrElse("variantCol", "variant"),
+        params.getOrElse("metricCol", "y"),
+        params.getOrElse("covCol", "x"))
+      case other => throw new IllegalArgumentException(
+        s"AbTest mode must be ztest|cuped, got '$other'")
+    }
 }
 
 /** `run series as Acf.`` where maxLag="30" [and keyCol/tCol/valCol]` —

@@ -3201,7 +3201,59 @@ object Pipeline {
         |SELECT dur_h, n_risk, d,
         |  CASE WHEN dead = 1 THEN CAST(0.0 AS DOUBLE)
         |       ELSE ROUND(EXP(lsum), 6) END AS survival
-        |FROM s ORDER BY dur_h""".stripMargin)
+        |FROM s ORDER BY dur_h""".stripMargin),
+
+    // ---- CUPED variance reduction (stats.AbTest.cuped): per-user
+    //      purchase revenue adjusted by pre-metric view/click activity,
+    //      variant = user parity. All five moment sums are exact cents
+    //      integers, so theta, rho2 and the adjusted means replay
+    //      digit-for-digit. ----
+    QuerySpec.sql("p100_cuped", (s, dir) => {
+      import s.implicits._
+      val z = lit(0).cast("decimal(18,2)")
+      val units = t(s, dir, "events").groupBy($"user_id")
+        .agg(
+          sum(when($"event_type" === "purchase",
+            $"value".cast("decimal(18,2)")).otherwise(z)).as("y"),
+          sum(when($"event_type".isin("view", "click"),
+            $"value".cast("decimal(18,2)")).otherwise(z)).as("x"))
+        .withColumn("variant",
+          when($"user_id" % 2 === 0, "A").otherwise("B"))
+      graft.operators.stats.AbTest.cuped(units, "variant", "y", "x")
+    },
+      """WITH units AS (SELECT user_id,
+        |  SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS y,
+        |  SUM(CASE WHEN event_type IN ('view', 'click')
+        |      THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS x,
+        |  CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+        |  FROM events GROUP BY user_id),
+        |b AS (SELECT variant,
+        |  CAST(CAST(y AS DECIMAL(18,2)) * 100 AS HUGEINT) AS yc,
+        |  CAST(CAST(x AS DECIMAL(18,2)) * 100 AS HUGEINT) AS xc FROM units),
+        |p AS (SELECT COUNT(*) AS n, SUM(xc) AS sx, SUM(yc) AS sy,
+        |  SUM(xc * xc) AS sxx, SUM(xc * yc) AS sxy, SUM(yc * yc) AS syy FROM b),
+        |pp AS (SELECT n,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+        |  CAST(sx AS DOUBLE) /
+        |    (CAST(100.0 AS DOUBLE) * CAST(n AS DOUBLE)) AS mean_x_pooled,
+        |  (CAST(n * sxy - sx * sy AS DOUBLE) /
+        |     CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |  (CAST(n * sxy - sx * sy AS DOUBLE) /
+        |     CAST(n * syy - sy * sy AS DOUBLE)) AS rho2 FROM p),
+        |v AS (SELECT variant, COUNT(*) AS n_v, SUM(yc) AS syv, SUM(xc) AS sxv
+        |  FROM b GROUP BY variant)
+        |SELECT v.variant, v.n_v AS n,
+        |  ROUND(CAST(v.syv AS DOUBLE) /
+        |    (CAST(100.0 AS DOUBLE) * CAST(v.n_v AS DOUBLE)), 6) AS mean_y,
+        |  ROUND(CAST(v.syv AS DOUBLE) /
+        |      (CAST(100.0 AS DOUBLE) * CAST(v.n_v AS DOUBLE)) -
+        |    pp.theta * (CAST(v.sxv AS DOUBLE) /
+        |      (CAST(100.0 AS DOUBLE) * CAST(v.n_v AS DOUBLE)) - pp.mean_x_pooled),
+        |    6) AS mean_y_cuped,
+        |  ROUND(pp.theta, 6) AS theta, ROUND(pp.rho2, 6) AS rho2
+        |FROM v CROSS JOIN pp ORDER BY v.variant""".stripMargin)
   )
 
   /** One-shot BM25 replay (p87's oracle) — shared with s41, whose
