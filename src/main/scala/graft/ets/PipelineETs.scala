@@ -27,7 +27,35 @@ object PipelineETs {
     TwapET, RobustOutliersET, StreamFunnelET, StreamAnomalyET, HistogramET,
     Scd2ET, AcfET, AbTestET, StreamSessionsET, StreamHeavyHittersET, Bm25ET,
     MmrRerankET, TextNormalizeInPlaceET, UrlCanonicalizeInPlaceET, CusumET,
-    StreamCusumET, Bm25IndexET, RetrievalEvalET, AttributionET, SurvivalET)
+    StreamCusumET, Bm25IndexET, RetrievalEvalET, AttributionET, SurvivalET,
+    DistDriftET)
+}
+
+/** `run rows as DistDrift.`` where a="view" and b="purchase" [and
+  * sideCol/valueCol and measure="psi"|"ks"|"psiBuckets" and nBuckets]` —
+  * distribution drift between two samples (see
+  * [[graft.operators.stats.DistDrift]]).
+  */
+object DistDriftET extends NoPathET {
+  override def name = "DistDrift"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    val sideCol = params.getOrElse("sideCol", "event_type")
+    val valueCol = params.getOrElse("valueCol", "value")
+    val a = params.getOrElse("a",
+      throw new IllegalArgumentException("DistDrift requires a"))
+    val b = params.getOrElse("b",
+      throw new IllegalArgumentException("DistDrift requires b"))
+    val nb = params.getOrElse("nBuckets", "10").toInt
+    params.getOrElse("measure", "psi") match {
+      case "psi" => graft.operators.stats.DistDrift.psi(df, sideCol, valueCol, a, b, nb)
+      case "psiBuckets" =>
+        graft.operators.stats.DistDrift.psiBuckets(df, sideCol, valueCol, a, b, nb)
+      case "ks" => graft.operators.stats.DistDrift.ks(df, sideCol, valueCol, a, b)
+      case other => throw new IllegalArgumentException(
+        s"DistDrift measure must be psi|psiBuckets|ks, got '$other'")
+    }
+  }
 }
 
 /** `run subjects as Survival.`` [where durCol="dur" and eventCol="event"]`

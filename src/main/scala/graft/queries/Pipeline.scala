@@ -3253,7 +3253,52 @@ object Pipeline {
         |      (CAST(100.0 AS DOUBLE) * CAST(v.n_v AS DOUBLE)) - pp.mean_x_pooled),
         |    6) AS mean_y_cuped,
         |  ROUND(pp.theta, 6) AS theta, ROUND(pp.rho2, 6) AS rho2
-        |FROM v CROSS JOIN pp ORDER BY v.variant""".stripMargin)
+        |FROM v CROSS JOIN pp ORDER BY v.variant""".stripMargin),
+
+    // ---- distribution drift (stats.DistDrift): PSI over exact-cents
+    //      equal-width buckets (add-one smoothed) and the EXACT two-sample
+    //      KS statistic (integer ECDF gaps, one division at the end),
+    //      comparing view vs purchase value distributions. ----
+    QuerySpec.sql("p101_psi_drift", (s, dir) => {
+      graft.operators.stats.DistDrift.psi(
+        t(s, dir, "events"), "event_type", "value", "view", "purchase")
+    },
+      """WITH v AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc,
+        |  CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS ia,
+        |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ib
+        |  FROM events WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL),
+        |mm AS (SELECT MIN(vc) AS lo, MAX(vc) AS hi,
+        |  CAST(SUM(ia) AS BIGINT) AS n_a, CAST(SUM(ib) AS BIGINT) AS n_b FROM v),
+        |b AS (SELECT CAST((v.vc - mm.lo) * 10 // (mm.hi - mm.lo + 1) AS BIGINT) AS bucket,
+        |  v.ia, v.ib, mm.n_a, mm.n_b FROM v CROSS JOIN mm),
+        |g AS (SELECT bucket, CAST(SUM(ia) AS BIGINT) AS c_a, CAST(SUM(ib) AS BIGINT) AS c_b,
+        |  MAX(n_a) AS n_a, MAX(n_b) AS n_b FROM b GROUP BY bucket),
+        |tm AS (SELECT *,
+        |  CAST(c_a + 1 AS DOUBLE) / CAST(n_a + 10 AS DOUBLE) AS p,
+        |  CAST(c_b + 1 AS DOUBLE) / CAST(n_b + 10 AS DOUBLE) AS q FROM g)
+        |SELECT MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+        |  ROUND(SUM(ROUND((p - q) * LN(p / q), 9)), 6) AS psi FROM tm""".stripMargin),
+
+    QuerySpec.sql("p102_ks_drift", (s, dir) => {
+      graft.operators.stats.DistDrift.ks(
+        t(s, dir, "events"), "event_type", "value", "view", "purchase")
+    },
+      """WITH v AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc,
+        |  CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS ia,
+        |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ib
+        |  FROM events WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL),
+        |p AS (SELECT vc, CAST(SUM(ia) AS BIGINT) AS ca, CAST(SUM(ib) AS BIGINT) AS cb
+        |  FROM v GROUP BY vc),
+        |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b FROM p),
+        |c AS (SELECT vc,
+        |  CAST(SUM(ca) OVER w AS BIGINT) AS cumA, CAST(SUM(cb) OVER w AS BIGINT) AS cumB
+        |  FROM p WINDOW w AS (ORDER BY vc ROWS UNBOUNDED PRECEDING)),
+        |g AS (SELECT t.n_a, t.n_b,
+        |  ABS(c.cumA * t.n_b - c.cumB * t.n_a) AS gap FROM c CROSS JOIN t)
+        |SELECT n_a, n_b, CAST(MAX(gap) AS BIGINT) AS d_num,
+        |  ROUND(CAST(CAST(MAX(gap) AS BIGINT) AS DOUBLE) /
+        |    CAST(n_a * n_b AS DOUBLE), 6) AS d
+        |FROM g GROUP BY n_a, n_b""".stripMargin)
   )
 
   /** One-shot BM25 replay (p87's oracle) — shared with s41, whose
