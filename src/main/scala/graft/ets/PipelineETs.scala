@@ -28,7 +28,22 @@ object PipelineETs {
     Scd2ET, AcfET, AbTestET, StreamSessionsET, StreamHeavyHittersET, Bm25ET,
     MmrRerankET, TextNormalizeInPlaceET, UrlCanonicalizeInPlaceET, CusumET,
     StreamCusumET, Bm25IndexET, RetrievalEvalET, AttributionET, SurvivalET,
-    DistDriftET)
+    DistDriftET, SnippetsInPlaceET)
+}
+
+/** `run hits as SnippetsInPlace.`` [where textCol="text" and
+  * qtermsCol="qterms" and window="8" and stride="4"]` — query-biased
+  * best-window snippet per row (see [[graft.operators.text.Snippets]]).
+  */
+object SnippetsInPlaceET extends NoPathET {
+  override def name = "SnippetsInPlace"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame =
+    graft.operators.text.Snippets.bestWindow(df,
+      params.getOrElse("textCol", "text"),
+      params.getOrElse("qtermsCol", "qterms"),
+      params.getOrElse("window", "8").toInt,
+      params.getOrElse("stride", "4").toInt)
 }
 
 /** `run rows as DistDrift.`` where a="view" and b="purchase" [and

@@ -3298,7 +3298,67 @@ object Pipeline {
         |SELECT n_a, n_b, CAST(MAX(gap) AS BIGINT) AS d_num,
         |  ROUND(CAST(CAST(MAX(gap) AS BIGINT) AS DOUBLE) /
         |    CAST(n_a * n_b AS DOUBLE), 6) AS d
-        |FROM g GROUP BY n_a, n_b""".stripMargin)
+        |FROM g GROUP BY n_a, n_b""".stripMargin),
+
+    // ---- query-biased snippets (text.Snippets): the display stage of
+    //      the retrieval stack — per (query, BM25 hit) the 8-token window
+    //      with the most query-term occurrences, earliest on ties
+    //      (array_max + first array_position: the argmax formulation both
+    //      engines agree on). ----
+    QuerySpec.sql("p103_snippets", (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val q = docs.filter($"doc_id" < 5).select($"doc_id".as("qid"),
+        array_join(slice(expr("filter(split(lower(text), ' '), x -> x <> '')"), 1, 8), " ").as("qtext"))
+      val hits = graft.operators.text.Bm25.topK(docs, q, "doc_id", "text",
+          "qid", "qtext", k = 5)
+        .select($"qid", $"rank", $"doc_id")
+      val withText = hits
+        .join(docs.select($"doc_id", $"text"), "doc_id")
+        .join(q.select($"qid",
+          expr("array_distinct(filter(split(lower(qtext), ' '), x -> x <> ''))")
+            .as("qterms")), "qid")
+      graft.operators.text.Snippets.bestWindow(withText, "text", "qterms",
+          window = 8, stride = 4)
+        .select($"qid", $"rank", $"doc_id", $"snippet", $"n_hits")
+        .orderBy($"qid", $"rank")
+    },
+      """WITH d AS (SELECT doc_id,
+        |  LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |ne AS (SELECT doc_id, toks, LEN(toks) AS dl FROM d WHERE LEN(toks) > 0),
+        |stats AS (SELECT COUNT(*) AS n_docs,
+        |  CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM ne),
+        |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
+        |  SELECT doc_id, dl, UNNEST(toks) AS term FROM ne) GROUP BY doc_id, dl, term),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |qt AS (SELECT doc_id AS qid, UNNEST(LIST_DISTINCT(toks[1:8])) AS term
+        |  FROM d WHERE doc_id < 5),
+        |scored AS (SELECT qt.qid, tf.doc_id,
+        |  ROUND(SUM(
+        |    LN(1.0 + (CAST(stats.n_docs - dfreq.df AS DOUBLE) + 0.5) /
+        |              (CAST(dfreq.df AS DOUBLE) + 0.5)) *
+        |    (CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE)) /
+        |    (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+        |      (CAST(0.25 AS DOUBLE) +
+        |       CAST(0.75 AS DOUBLE) * CAST(tf.dl AS DOUBLE) / stats.avgdl))), 6) AS score
+        |  FROM qt JOIN tf USING (term) JOIN dfreq USING (term) CROSS JOIN stats
+        |  GROUP BY qt.qid, tf.doc_id),
+        |hits AS (SELECT qid, doc_id, rank FROM (SELECT qid, doc_id,
+        |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+        |  FROM scored) WHERE rank <= 5),
+        |ql AS (SELECT qid, list(term) AS qts FROM qt GROUP BY qid),
+        |hw AS (SELECT h.qid, h.rank, h.doc_id, d.toks,
+        |  list_transform(range(0, GREATEST(LEN(d.toks) - 1, 0) + 1, 4),
+        |    s -> LEN(list_filter(d.toks[s + 1 : s + 8],
+        |      t -> list_contains(ql.qts, t)))) AS hl
+        |  FROM hits h JOIN d ON d.doc_id = h.doc_id JOIN ql ON ql.qid = h.qid),
+        |b AS (SELECT qid, rank, doc_id, toks,
+        |  CAST(COALESCE(list_max(hl), 0) AS INT) AS n_hits,
+        |  (list_position(hl, list_max(hl)) - 1) * 4 AS bs FROM hw)
+        |SELECT qid, rank, doc_id,
+        |  array_to_string(toks[bs + 1 : bs + 8], ' ') AS snippet, n_hits
+        |FROM b ORDER BY qid, rank""".stripMargin)
   )
 
   /** One-shot BM25 replay (p87's oracle) — shared with s41, whose
