@@ -1405,6 +1405,75 @@ object Scripts {
            |run s41_q as Bm25Index.`$path` where mode="query" and k="10" as s41_hits;
            |select qid, rank, doc_id, score, n_hit from s41_hits
            |  order by qid, rank as s41_out;""".stripMargin)
-    }, Pipeline.bm25OracleSql)
+    }, Pipeline.bm25OracleSql),
+
+    // ---- s42: DATA-DRIFT REPORT through the DSL — streaming-grade CUSUM
+    //      alarms (batch closed form), PSI and exact KS between two value
+    //      distributions, one script, one unioned readout; the oracle
+    //      replays all three sections. ----
+    QuerySpec.sql("s42_script_drift_report", (s, dir) => script(s,
+      s"""load parquet.`$dir/events.parquet` as s42_ev;
+         |select event_type, event_id, cast(ts as timestamp) as ts, value
+         |  from s42_ev as s42_e2;
+         |run s42_e2 as Cusum.`` where target="50" and slack="15"
+         |  and threshold="500" and mode="alarms" as s42_cu;
+         |run s42_e2 as DistDrift.`` where a="view" and b="purchase"
+         |  and measure="psi" as s42_psi;
+         |run s42_e2 as DistDrift.`` where a="view" and b="purchase"
+         |  and measure="ks" as s42_ks;
+         |select 'cusum_alarms' as section, cast(count(*) as double) as x1,
+         |  cast(0.0 as double) as x2 from s42_cu as s42_a;
+         |select 'psi' as section, psi as x1, cast(n_a as double) as x2
+         |  from s42_psi as s42_b;
+         |select 'ks' as section, d as x1, cast(d_num as double) as x2
+         |  from s42_ks as s42_c;
+         |select * from (select * from s42_a union all select * from s42_b
+         |  union all select * from s42_c) order by section as s42_out;""".stripMargin),
+      """WITH e AS (SELECT event_type, event_id, ts,
+        |  CAST(value AS DECIMAL(18,2)) AS x, value AS v FROM events),
+        |cs AS (SELECT event_type, event_id, ts, v,
+        |  SUM(x - CAST(65.0 AS DECIMAL(18,2))) OVER w AS sp,
+        |  SUM(CAST(35.0 AS DECIMAL(18,2)) - x) OVER w AS sn
+        |  FROM e WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING)),
+        |cm AS (SELECT event_type, event_id,
+        |  CAST(sp - LEAST(CAST(0 AS DECIMAL(18,2)), MIN(sp) OVER w2) AS DOUBLE) AS s_pos,
+        |  CAST(sn - LEAST(CAST(0 AS DECIMAL(18,2)), MIN(sn) OVER w2) AS DOUBLE) AS s_neg
+        |  FROM cs WINDOW w2 AS (PARTITION BY event_type ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING)),
+        |cu AS (SELECT CAST(COUNT(*) AS DOUBLE) AS x1, CAST(0.0 AS DOUBLE) AS x2
+        |  FROM cm WHERE s_pos > 500.0 OR s_neg > 500.0),
+        |dv AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc,
+        |  CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS ia,
+        |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ib
+        |  FROM events WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL),
+        |mm AS (SELECT MIN(vc) AS lo, MAX(vc) AS hi,
+        |  CAST(SUM(ia) AS BIGINT) AS n_a, CAST(SUM(ib) AS BIGINT) AS n_b FROM dv),
+        |bk AS (SELECT CAST((dv.vc - mm.lo) * 10 // (mm.hi - mm.lo + 1) AS BIGINT) AS bucket,
+        |  dv.ia, dv.ib, mm.n_a, mm.n_b FROM dv CROSS JOIN mm),
+        |gb AS (SELECT bucket, CAST(SUM(ia) AS BIGINT) AS c_a, CAST(SUM(ib) AS BIGINT) AS c_b,
+        |  MAX(n_a) AS n_a, MAX(n_b) AS n_b FROM bk GROUP BY bucket),
+        |tmb AS (SELECT *,
+        |  CAST(c_a + 1 AS DOUBLE) / CAST(n_a + 10 AS DOUBLE) AS p,
+        |  CAST(c_b + 1 AS DOUBLE) / CAST(n_b + 10 AS DOUBLE) AS q FROM gb),
+        |ps AS (SELECT ROUND(SUM(ROUND((p - q) * LN(p / q), 9)), 6) AS x1,
+        |  CAST(MAX(n_a) AS DOUBLE) AS x2 FROM tmb),
+        |pv AS (SELECT vc, CAST(SUM(ia) AS BIGINT) AS ca, CAST(SUM(ib) AS BIGINT) AS cb
+        |  FROM dv GROUP BY vc),
+        |tt AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b FROM pv),
+        |cc AS (SELECT vc,
+        |  CAST(SUM(ca) OVER w AS BIGINT) AS cumA, CAST(SUM(cb) OVER w AS BIGINT) AS cumB
+        |  FROM pv WINDOW w AS (ORDER BY vc ROWS UNBOUNDED PRECEDING)),
+        |gg AS (SELECT tt.n_a, tt.n_b,
+        |  ABS(cc.cumA * tt.n_b - cc.cumB * tt.n_a) AS gap FROM cc CROSS JOIN tt),
+        |kk AS (SELECT ROUND(CAST(CAST(MAX(gap) AS BIGINT) AS DOUBLE) /
+        |    CAST(n_a * n_b AS DOUBLE), 6) AS x1,
+        |  CAST(CAST(MAX(gap) AS BIGINT) AS DOUBLE) AS x2
+        |  FROM gg GROUP BY n_a, n_b)
+        |SELECT section, x1, x2 FROM (
+        |  SELECT 'cusum_alarms' AS section, x1, x2 FROM cu
+        |  UNION ALL SELECT 'ks', x1, x2 FROM kk
+        |  UNION ALL SELECT 'psi', x1, x2 FROM ps)
+        |ORDER BY section""".stripMargin)
   )
 }
