@@ -113,6 +113,26 @@ class BenchSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("p98 attribution: conv x touch is a user-keyed join, never cartesian") {
+    val p = plan("p98_multi_touch_attribution")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop joins allowed are broadcasts of 1-row/models
+    // dims (stats, the 3-row model axis)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("p102 ks: one value-axis aggregation, no cartesian") {
+    val p = plan("p102_ks_drift")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("p99 survival: the cohort reduces on the duration axis before windows") {
+    val p = plan("p99_survival_km")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashAggregate"), p) // per-duration counts pre-window
+  }
+
   test("arr_cosine participates in whole-stage codegen") {
     val df = spark.range(3).selectExpr(
       "arr_cosine(array(cast(id as double), 2.0d), array(2.0d, 3.0d)) as c")
