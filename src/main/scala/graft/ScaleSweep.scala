@@ -110,6 +110,14 @@ object ScaleSweep {
       off("o_orderkey").as("o_orderkey"), off("o_custkey").as("o_custkey"),
       $"o_orderstatus", $"o_totalprice", $"o_orderdate",
       $"o_orderpriority", $"__copy"), "orders")
+
+    // events: re-keyed ids/users, SAME time axis — copies densify the
+    // stream (more users, more events per wall-clock window), which is
+    // exactly how an event stream grows in production
+    write(cp("events").select(
+      off("event_id").as("event_id"), $"ts",
+      off("user_id").as("user_id"), $"event_type", $"value", $"props",
+      $"__copy"), "events")
   }
 
   private def force(df: DataFrame): Unit =
@@ -157,6 +165,16 @@ object ScaleSweep {
     // query terms' posting lists (∝ m). Queries live in the original copy
     // (blow-up re-keys other copies to +1e7·c, so doc_id < 5 stays 5).
     "bm25_retrieval" -> SparkEntry.queries("p87_bm25_topk"),
+    // user-keyed lookback join + conversion windows: users multiply, the
+    // per-user event density is unchanged, so work is ∝ users
+    "p98_attribution" -> SparkEntry.queries("p98_multi_touch_attribution"),
+    // per-key ordered scan: 5 keys grow m× longer — the honest cost is the
+    // per-key window sort, n log n in the key length
+    "p92_cusum" -> SparkEntry.queries("p92_cusum_drift"),
+    // doc-keyed sentence windows: pure per-doc work, docs multiply
+    "p95_sentence_chunks" -> SparkEntry.queries("p95_sentence_chunks"),
+    // cohort reduces to the duration axis before any window
+    "p99_survival" -> SparkEntry.queries("p99_survival_km"),
   )
 
   def main(args: Array[String]): Unit = {
