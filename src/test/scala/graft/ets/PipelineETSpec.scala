@@ -396,6 +396,58 @@ class PipelineETSpec extends AnyFunSuite {
     assert(r.getAs[Int]("n_chars_norm") == 5)
   }
 
+  test("Attribution + Survival: analytics ETs through the DSL") {
+    val df = runDF(
+      """set at = '''{"user_id":1,"ts":"2026-01-01 00:00:00","event_type":"view","value":0}
+        |{"user_id":1,"ts":"2026-01-01 01:00:00","event_type":"purchase","value":10.0}
+        |{"user_id":2,"ts":"2026-01-02 00:00:00","event_type":"purchase","value":5.0}''';
+        |load jsonStr.`at` as att;
+        |select user_id, cast(ts as timestamp) as ts, event_type, value from att as at2;
+        |run at2 as Attribution.`` as out;""".stripMargin)
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1)) ->
+      (r.getDouble(2), r.getDouble(3))).toMap
+    // one touched conversion (full credit to view) + one direct
+    Seq("linear", "position", "decay").foreach { m =>
+      assert(rows((m, "view")) == ((1.0, 10.0)), m)
+      assert(rows((m, "direct")) == ((1.0, 5.0)), m)
+    }
+    val surv = runDF(
+      """set sv = '''{"dur":2,"event":1}
+        |{"dur":2,"event":1}
+        |{"dur":3,"event":0}
+        |{"dur":4,"event":1}
+        |{"dur":5,"event":0}''';
+        |load jsonStr.`sv` as svt;
+        |run svt as Survival.`` as out2;""".stripMargin)
+    val sm = surv.collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(sm == Map(2L -> 0.6, 4L -> 0.3))
+  }
+
+  test("SnippetsInPlace + RetrievalEval through the DSL") {
+    val df = runDF(
+      s"""load parquet.`$sf/documents.parquet` as sndocs;
+         |select doc_id as qid, text as qtext from sndocs where doc_id < 2 as snq;
+         |run sndocs as Bm25.`` where queryTable="snq" and k="5" as snlex;
+         |select l.qid, l.rank, l.doc_id, d.text,
+         |  array_distinct(filter(split(lower(q.qtext), ' '), x -> x != ''))
+         |  as qterms
+         |from snlex l join sndocs d on d.doc_id = l.doc_id
+         |  join snq q on q.qid = l.qid as sncand;
+         |run sncand as SnippetsInPlace.`` as snout;
+         |select qid, rank, doc_id, snippet, n_hits from snout as out;""".stripMargin)
+    val rows = df.collect()
+    assert(rows.length == 10)
+    assert(rows.forall(_.getAs[Int]("n_hits") > 0))
+    // RetrievalEval over the same run: judge each query relevant to itself
+    val eval = runDF(
+      """select qid, qid as doc_id from snq as snqrels;
+        |run snout as RetrievalEval.`` where qrelsTable="snqrels" and k="5" as out3;""".stripMargin)
+    val em = eval.collect().map(r => r.getAs[Long]("qid") ->
+      r.getAs[Long]("n_hit")).toMap
+    assert(em.keySet == Set(0L, 1L))
+    assert(em.values.forall(_ == 1L)) // the self doc is in its own top-5
+  }
+
   test("MmrRerank: DSL retrieval stack bm25 -> mmr, ranks 1..k per query") {
     val df = runDF(
       s"""load parquet.`$sf/documents.parquet` as mdocs;
