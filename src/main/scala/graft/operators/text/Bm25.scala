@@ -136,10 +136,21 @@ object Bm25 {
                     qidCol: String, qtextCol: String,
                     fbDocs: Int = 5, fbTerms: Int = 3,
                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(fbDocs > 0 && fbTerms > 0, "fbDocs and fbTerms must be positive")
     val post = postings(corpus, idCol, textCol)
-    val dfreq = docFreq(post)
-    val stats = corpusStats(corpus, textCol)
+    expandQueriesFromIndex(post, docFreq(post), corpusStats(corpus, textCol),
+      queries, idCol, qidCol, qtextCol, fbDocs, fbTerms, k1, b)
+  }
+
+  /** [[expandQueries]] against a prebuilt index — the form that lets a
+    * two-round pipeline (expand, then re-score) build the postings ONCE
+    * and share them between both rounds.
+    */
+  def expandQueriesFromIndex(post: DataFrame, dfreq: DataFrame,
+                             stats: DataFrame, queries: DataFrame,
+                             idCol: String, qidCol: String, qtextCol: String,
+                             fbDocs: Int = 5, fbTerms: Int = 3,
+                             k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(fbDocs > 0 && fbTerms > 0, "fbDocs and fbTerms must be positive")
     val fb = topKFromIndex(post, dfreq, stats, queries, idCol,
         qidCol, qtextCol, fbDocs, k1, b)
       .select(col(qidCol), col(idCol))

@@ -3047,10 +3047,16 @@ object Pipeline {
       val docs = t(s, dir, "documents")
       val q = docs.filter($"doc_id" < 5).select($"doc_id".as("qid"),
         array_join(slice(expr("filter(split(lower(text), ' '), x -> x <> '')"), 1, 8), " ").as("qtext"))
-      val expanded = graft.operators.text.Bm25.expandQueries(docs, q,
-        "doc_id", "text", "qid", "qtext", fbDocs = 5, fbTerms = 3)
-      graft.operators.text.Bm25.topK(docs, expanded, "doc_id", "text",
-          "qid", "qtext", k = 10)
+      // build the index ONCE and share it between the feedback round and
+      // the final scoring round (identical subtrees also let Spark's
+      // ReuseExchange serve both from one shuffle)
+      val B = graft.operators.text.Bm25
+      val post = B.postings(docs, "doc_id", "text")
+      val dfq = B.docFreq(post)
+      val st = B.corpusStats(docs, "text")
+      val expanded = B.expandQueriesFromIndex(post, dfq, st, q,
+        "doc_id", "qid", "qtext", fbDocs = 5, fbTerms = 3)
+      B.topKFromIndex(post, dfq, st, expanded, "doc_id", "qid", "qtext", k = 10)
         .orderBy($"qid", $"rank")
     },
       """WITH d AS (SELECT doc_id,
