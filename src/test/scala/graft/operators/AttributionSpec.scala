@@ -37,6 +37,24 @@ class AttributionSpec extends AnyFunSuite {
     }
   }
 
+  test("conservation: every model's credits sum to the conversion count") {
+    import spark.implicits._
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select($"user_id", $"ts".cast("timestamp").as("ts"), $"event_type", $"value")
+    val nConv = ev.filter($"event_type" === "purchase").count().toDouble
+    val out = Attribution.multiTouch(ev, "user_id", "ts", "event_type",
+        "value", Seq("view", "click"), "purchase")
+      .groupBy("model")
+      .agg(org.apache.spark.sql.functions.sum($"n_credit").as("total"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out.keySet == Set("linear", "position", "decay"))
+    // per-touch credits are 6-dp rounded, so each conversion's credits sum
+    // to 1 within n_touches * 5e-7
+    out.foreach { case (m, t) =>
+      assert(math.abs(t - nConv) < nConv * 0.001 + 1.0, s"$m: $t vs $nConv")
+    }
+  }
+
   test("lookback excludes stale touches; n=2 position splits 50/50") {
     import spark.implicits._
     val ev = Seq(
