@@ -53,8 +53,11 @@ object UrlOps {
     val params = filter(split(query, "&"),
       x => x =!= "" && !x.rlike(trackingRe))
     val sortedQ = array_join(array_sort(params), "&")
-    concat(scheme, lit("://"), host, pathNorm,
-      when(sortedQ === "", lit("")).otherwise(concat(lit("?"), sortedQ)))
+    // a scheme-less string is not a URL: only the fragment strip applies
+    // (deterministic pass-through beats inventing a "://host" form)
+    when(scheme === "", noFrag).otherwise(
+      concat(scheme, lit("://"), host, pathNorm,
+        when(sortedQ === "", lit("")).otherwise(concat(lit("?"), sortedQ))))
   }
 
   /** Canonical host (lowercased, no www., no default port). */

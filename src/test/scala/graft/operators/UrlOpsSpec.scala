@@ -37,6 +37,11 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(canon("https://e.com/p?Z=9&flag")._1 == "https://e.com/p?Z=9&flag")
   }
 
+  test("scheme-less strings pass through with only the fragment stripped") {
+    assert(canon("www.example.com/x?a=1#f")._1 == "www.example.com/x?a=1")
+    assert(canon("not a url at all")._1 == "not a url at all")
+  }
+
   test("domain is the last two host labels; deep subdomains collapse") {
     assert(canon("https://a.b.news.example.co/x")._3 == "example.co")
   }
