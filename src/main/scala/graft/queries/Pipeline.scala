@@ -3364,7 +3364,47 @@ object Pipeline {
         |  (list_position(hl, list_max(hl)) - 1) * 4 AS bs FROM hw)
         |SELECT qid, rank, doc_id,
         |  array_to_string(toks[bs + 1 : bs + 8], ' ') AS snippet, n_hits
-        |FROM b ORDER BY qid, rank""".stripMargin)
+        |FROM b ORDER BY qid, rank""".stripMargin),
+
+    // ---- corpus diversity: distinct-1 / distinct-2 ratios per language
+    //      (the standard text-generation diversity measures, here as a
+    //      training-corpus health check — a slice whose distinct-2 drops
+    //      is templated/boilerplate text). Exact counts, one shuffle per
+    //      n-gram order; bigrams reuse BigramLm's per-row zip_with. ----
+    QuerySpec.sql("p104_distinct_ngrams", (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val toksE = expr("filter(split(lower(text), ' '), x -> x <> '')")
+      val u = docs.select($"lang", explode(toksE).as("w"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_uni"), countDistinct($"w").as("d_uni"))
+      val lowered = docs.select($"lang", lower($"text").as("text"))
+      val b = graft.operators.text.BigramLm.bigrams(lowered, "lang", "text")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_bi"),
+          countDistinct(concat_ws(" ", $"w1", $"w2")).as("d_bi"))
+      u.join(b, "lang")
+        .select($"lang", $"n_uni", $"d_uni",
+          round($"d_uni".cast("double") / $"n_uni", 6).as("distinct1"),
+          $"n_bi", $"d_bi",
+          round($"d_bi".cast("double") / $"n_bi", 6).as("distinct2"))
+        .orderBy($"lang")
+    },
+      """WITH d AS (SELECT lang,
+        |  LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |uni AS (SELECT lang, UNNEST(toks) AS w FROM d),
+        |u AS (SELECT lang, COUNT(*) AS n_uni, COUNT(DISTINCT w) AS d_uni
+        |  FROM uni GROUP BY lang),
+        |bi AS (SELECT lang, w1 || ' ' || w2 AS bg FROM (
+        |  SELECT lang, UNNEST(toks[1:LEN(toks)-1]) AS w1,
+        |    UNNEST(toks[2:LEN(toks)]) AS w2 FROM d WHERE LEN(toks) >= 2)),
+        |b AS (SELECT lang, COUNT(*) AS n_bi, COUNT(DISTINCT bg) AS d_bi
+        |  FROM bi GROUP BY lang)
+        |SELECT u.lang, u.n_uni, u.d_uni,
+        |  ROUND(CAST(u.d_uni AS DOUBLE) / u.n_uni, 6) AS distinct1,
+        |  b.n_bi, b.d_bi, ROUND(CAST(b.d_bi AS DOUBLE) / b.n_bi, 6) AS distinct2
+        |FROM u JOIN b ON b.lang = u.lang ORDER BY u.lang""".stripMargin)
   )
 
   /** One-shot BM25 replay (p87's oracle) — shared with s41, whose

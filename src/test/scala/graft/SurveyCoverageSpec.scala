@@ -196,7 +196,7 @@ class SurveyCoverageSpec extends AnyFunSuite {
       "p87_bm25_topk", "p88_hybrid_rrf", "p89_mmr_rerank", "p90_text_normalize", "p91_url_canonicalize", "p92_cusum_drift",
       "p93_sign_ann", "p94_matryoshka_audit", "p95_sentence_chunks",
       "p96_retrieval_eval", "p97_query_expansion", "p98_multi_touch_attribution", "p99_survival_km", "p100_cuped",
-      "p101_psi_drift", "p102_ks_drift", "p103_snippets",
+      "p101_psi_drift", "p102_ks_drift", "p103_snippets", "p104_distinct_ngrams",
       "s11_script_dedup", "s18_script_neardup_pipeline",
       "s19_script_clean_corpus", "s23_script_chunk_pipeline",
       "s24_script_substring_dedup", "s25_script_cluster_assign",
