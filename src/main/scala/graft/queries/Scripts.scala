@@ -1474,6 +1474,76 @@ object Scripts {
         |  SELECT 'cusum_alarms' AS section, x1, x2 FROM cu
         |  UNION ALL SELECT 'ks', x1, x2 FROM kk
         |  UNION ALL SELECT 'psi', x1, x2 FROM ps)
-        |ORDER BY section""".stripMargin)
+        |ORDER BY section""".stripMargin),
+
+    // ---- s43: RAG CORPUS PREP end-to-end through the DSL — unicode
+    //      normalization -> sentence-boundary chunking -> chunk-level
+    //      BM25 retrieval, one script; the oracle replays every stage
+    //      (p90's normalizer, p95's chunker, p87's scorer over chunks). ----
+    QuerySpec.sql("s43_script_rag_prep", (s, dir) => script(s,
+      s"""load parquet.`$dir/documents.parquet` as s43_docs;
+         |run s43_docs as TextNormalizeInPlace.`` as s43_norm;
+         |select doc_id,
+         |  replace(replace(text, 'table', 'table.'), 'value', 'value!') as text
+         |  from s43_norm as s43_punct;
+         |run s43_punct as DocChunk.`` where unit="sentences" and size="60" as s43_chunks;
+         |select doc_id * 1000 + chunk_id as cid, chunk as text
+         |  from s43_chunks as s43_corpus;
+         |select doc_id as qid,
+         |  array_join(slice(filter(split(lower(text), ' '), x -> x != ''), 1, 8), ' ')
+         |  as qtext from s43_docs where doc_id < 5 as s43_q;
+         |run s43_corpus as Bm25.`` where queryTable="s43_q" and k="10"
+         |  and idCol="cid" as s43_hits;
+         |select qid, rank, cid, score, n_hit from s43_hits
+         |  order by qid, rank as s43_out;""".stripMargin),
+      """WITH nrm AS (SELECT doc_id,
+        |  TRIM(regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(nfc_normalize(text), '[\t\n\r\f\x0B]', ' ', 'g'),
+        |      '[\p{Cc}\p{Cf}]', '', 'g'),
+        |    ' {2,}', ' ', 'g')) AS text FROM documents),
+        |pz AS (SELECT doc_id,
+        |  replace(replace(text, 'table', 'table.'), 'value', 'value!') AS text FROM nrm),
+        |sl AS (SELECT doc_id,
+        |  list_filter(list_transform(regexp_extract_all(text, '[^.!?]+[.!?]*'),
+        |    x -> trim(x)), x -> x <> '') AS sents FROM pz),
+        |sen AS (SELECT doc_id, u.s.sidx AS sidx, u.s.sent AS sent FROM (
+        |  SELECT doc_id, UNNEST(list_transform(sents, (x, i) ->
+        |    {'sidx': i - 1, 'sent': x})) AS s FROM sl) u),
+        |c AS (SELECT doc_id, sidx, sent,
+        |  SUM(LEN(sent) + 1) OVER (PARTITION BY doc_id ORDER BY sidx
+        |    ROWS UNBOUNDED PRECEDING) AS cume FROM sen),
+        |a AS (SELECT doc_id,
+        |  CAST((cume - LEN(sent) - 1) // 60 AS BIGINT) AS chunk_id, sidx, sent FROM c),
+        |ch AS (SELECT doc_id * 1000 + chunk_id AS cid,
+        |  string_agg(sent, ' ' ORDER BY sidx) AS text
+        |  FROM a GROUP BY doc_id, chunk_id),
+        |d2 AS (SELECT cid,
+        |  LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> x <> '') AS toks FROM ch),
+        |ne AS (SELECT cid, toks, LEN(toks) AS dl FROM d2 WHERE LEN(toks) > 0),
+        |stats AS (SELECT COUNT(*) AS n_docs,
+        |  CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM ne),
+        |tf AS (SELECT cid, dl, term, COUNT(*) AS tf FROM (
+        |  SELECT cid, dl, UNNEST(toks) AS term FROM ne) GROUP BY cid, dl, term),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |qd AS (SELECT doc_id,
+        |  LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> x <> '') AS toks
+        |  FROM documents WHERE doc_id < 5),
+        |qt AS (SELECT doc_id AS qid, UNNEST(LIST_DISTINCT(toks[1:8])) AS term FROM qd),
+        |scored AS (SELECT qt.qid, tf.cid,
+        |  ROUND(SUM(
+        |    LN(1.0 + (CAST(stats.n_docs - dfreq.df AS DOUBLE) + 0.5) /
+        |              (CAST(dfreq.df AS DOUBLE) + 0.5)) *
+        |    (CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE)) /
+        |    (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+        |      (CAST(0.25 AS DOUBLE) +
+        |       CAST(0.75 AS DOUBLE) * CAST(tf.dl AS DOUBLE) / stats.avgdl))), 6) AS score,
+        |  COUNT(*) AS n_hit
+        |  FROM qt JOIN tf USING (term) JOIN dfreq USING (term) CROSS JOIN stats
+        |  GROUP BY qt.qid, tf.cid)
+        |SELECT qid, rank, cid, score, n_hit FROM (SELECT qid, cid, score, n_hit,
+        |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rank
+        |  FROM scored) WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin)
   )
 }

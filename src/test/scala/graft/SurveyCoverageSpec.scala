@@ -209,7 +209,7 @@ class SurveyCoverageSpec extends AnyFunSuite {
       "s36_script_tokenizer_fertility", "s37_script_unigram_sample",
       "s38_script_product_analytics", "s39_script_quality_report",
       "s40_script_retrieval", "s41_script_incremental_index",
-      "s42_script_drift_report"))
+      "s42_script_drift_report", "s43_script_rag_prep"))
     // formerly rows-only, oracled in r14 by moving the oracle boundary to
     // a persisted artifact: s27 exports the fitted centroids (the s28
     // technique, while its compared surface still runs the model-direct
