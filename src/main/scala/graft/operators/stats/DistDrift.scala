@@ -58,8 +58,10 @@ object DistDrift {
       .groupBy(col("n_a"), col("n_b"))
       .agg(max(col("gap")).as("d_num"))
       .select(col("n_a"), col("n_b"), col("d_num"),
-        round(col("d_num").cast("double") /
-          (col("n_a") * col("n_b")).cast("double"), 6).as("d"))
+        // an empty side has no ECDF: d is null, not a 0/0 NaN
+        when(col("n_a") > 0 && col("n_b") > 0,
+          round(col("d_num").cast("double") /
+            (col("n_a") * col("n_b")).cast("double"), 6)).as("d"))
   }
 
   /** PSI over equal-width buckets of the pooled range, add-one smoothed.

@@ -26,6 +26,13 @@ class DistDriftSpec extends AnyFunSuite {
       .collect()(0).getAs[Double]("d") == 1.0)
   }
 
+  test("ks: a missing side yields a null statistic, never a 0/0 NaN") {
+    val m = DistDrift.ks(side(Seq(1, 2), Seq.empty), "side", "v", "a", "b")
+      .collect()(0)
+    assert(m.getAs[Long]("n_b") == 0L)
+    assert(m.isNullAt(m.fieldIndex("d")))
+  }
+
   test("psi: zero for identical distributions, large for disjoint ones") {
     val same = Seq.tabulate(100)(i => (i % 10).toDouble + 1)
     assert(DistDrift.psi(side(same, same), "side", "v", "a", "b")
