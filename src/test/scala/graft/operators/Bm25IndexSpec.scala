@@ -42,6 +42,14 @@ class Bm25IndexSpec extends AnyFunSuite {
     assert(sortedRows(fromIndex) == sortedRows(oneShot))
   }
 
+  test("a term-less query set returns an empty result, not an error") {
+    import spark.implicits._
+    val path = tmp()
+    Bm25Index.ingest(docs(0 until 10, words), "doc_id", "text", path)
+    val empty = Seq((1L, "   ")).toDF("qid", "qtext")
+    assert(Bm25Index.topK(spark, path, empty, "qid", "qtext").isEmpty)
+  }
+
   test("re-delivered batch is skipped; a half-landed batch heals on retry") {
     val path = tmp()
     Bm25Index.ingest(docs(0 until 30, words), "doc_id", "text", path,
