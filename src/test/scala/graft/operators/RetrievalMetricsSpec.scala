@@ -38,6 +38,40 @@ class RetrievalMetricsSpec extends AnyFunSuite {
     assert(out(0).getAs[Double]("recall") == 0.0)
   }
 
+  test("property: operator equals a naive reference on seeded random runs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val k = 5
+    // 8 queries, each with a random ranked list and random judgments
+    val run = (0 until 8).flatMap { q =>
+      val docs = rnd.shuffle((0 until 30).toList).take(10)
+      docs.zipWithIndex.map { case (d, i) => (q.toLong, i + 1, d.toLong) }
+    }
+    val qrels = (0 until 8).flatMap { q =>
+      rnd.shuffle((0 until 30).toList).take(1 + rnd.nextInt(6))
+        .map(d => (q.toLong, d.toLong))
+    }
+    def naive(q: Long): (Long, Long, Double, Double, Double, Double) = {
+      val rel = qrels.filter(_._1 == q).map(_._2).toSet
+      val top = run.filter(r => r._1 == q && r._2 <= k)
+      val hits = top.filter(r => rel(r._3))
+      val dcg = hits.map(h => 1.0 / log2(h._2 + 1.0)).sum
+      val idcg = (1 to math.min(k, rel.size)).map(i => 1.0 / log2(i + 1.0)).sum
+      val mrr = hits.map(_._2).minOption.map(1.0 / _).getOrElse(0.0)
+      (rel.size.toLong, hits.size.toLong, r6(hits.size.toDouble / k),
+        r6(hits.size.toDouble / rel.size), r6(mrr), r6(dcg / idcg))
+    }
+    val got = RetrievalMetrics.evaluate(run.toDF("qid", "rank", "doc_id"),
+        qrels.toDF("qid", "doc_id"), "qid", "doc_id", "rank", k)
+      .collect().map(r => r.getAs[Long]("qid") ->
+        (r.getAs[Long]("n_rel"), r.getAs[Long]("n_hit"),
+          r.getAs[Double]("precision"), r.getAs[Double]("recall"),
+          r.getAs[Double]("mrr"), r.getAs[Double]("ndcg"))).toMap
+    (0L until 8L).foreach { q =>
+      assert(got(q) == naive(q), s"qid=$q got=${got(q)} exp=${naive(q)}")
+    }
+  }
+
   test("rank cutoff excludes deep hits; idcg caps at k") {
     import spark.implicits._
     // 5 relevant docs but k=2: perfect top-2 must score ndcg 1.0
