@@ -72,9 +72,15 @@ object UrlOps {
       .otherwise(host0)
   }
 
-  /** Last-two-label registrable-domain approximation of the canonical host. */
+  /** Last-two-label registrable-domain approximation of the canonical host.
+    * The canonical host keeps NON-default ports (`site.com:8080`), so the
+    * port is stripped here before the end-anchored label match — otherwise
+    * the `:` blocks the match and every ported host groups under `''` in
+    * downstream per-domain caps.
+    */
   def domainCol(c: Column): Column =
-    regexp_extract(hostCol(c), "([^.:]+\\.[^.:]+)$", 1)
+    regexp_extract(regexp_replace(hostCol(c), ":\\d+$", ""),
+      "([^.:]+\\.[^.:]+)$", 1)
 
   /** Adds `url_canon`, `host`, `domain` next to `urlCol`; all other
     * columns pass through. Null URLs yield null outputs.

@@ -2803,22 +2803,28 @@ object Pipeline {
     QuerySpec.sql("p91_url_canonicalize", (s, dir) => {
       import s.implicits._
       val urls = t(s, dir, "documents").filter($"doc_id" < 300)
-        .select($"doc_id", when($"doc_id" % 2 === 0,
+        .select($"doc_id", when($"doc_id" % 3 === 0,
           concat(lit("HTTPS://WWW.Example"), $"doc_id" % 20,
             lit(".COM:443/Path/"), $"doc_id",
             lit("/?utm_source=x&b=2&a=1&gclid=g#frag")))
-        .otherwise(concat(lit("http://www.Site"), $"doc_id" % 20,
-          lit(".org:80/Page/"), $"doc_id", lit("#x"))).as("url"))
+        .when($"doc_id" % 3 === 1,
+          concat(lit("http://www.Site"), $"doc_id" % 20,
+            lit(".org:80/Page/"), $"doc_id", lit("#x")))
+        // non-default port: kept in the canonical host, stripped for domain
+        .otherwise(concat(lit("https://Blog"), $"doc_id" % 20,
+          lit(".net:8080/p/"), $"doc_id", lit("?a=1"))).as("url"))
       graft.operators.text.UrlOps.canonicalize(urls, "url")
         .select($"doc_id", $"url_canon", $"host", $"domain")
         .orderBy($"doc_id")
     },
       """WITH u AS (SELECT doc_id,
-        |  CASE WHEN doc_id % 2 = 0 THEN
+        |  CASE WHEN doc_id % 3 = 0 THEN
         |    'HTTPS://WWW.Example' || (doc_id % 20) || '.COM:443/Path/' || doc_id ||
         |      '/?utm_source=x&b=2&a=1&gclid=g#frag'
-        |  ELSE
+        |  WHEN doc_id % 3 = 1 THEN
         |    'http://www.Site' || (doc_id % 20) || '.org:80/Page/' || doc_id || '#x'
+        |  ELSE
+        |    'https://Blog' || (doc_id % 20) || '.net:8080/p/' || doc_id || '?a=1'
         |  END AS url
         |  FROM documents WHERE doc_id < 300),
         |s1 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS nofrag FROM u),
@@ -2842,7 +2848,8 @@ object Pipeline {
         |SELECT doc_id,
         |  scheme || '://' || host || pathn ||
         |    CASE WHEN sq = '' THEN '' ELSE '?' || sq END AS url_canon,
-        |  host, regexp_extract(host, '([^.:]+\.[^.:]+)$', 1) AS domain
+        |  host, regexp_extract(regexp_replace(host, ':\d+$', ''),
+        |    '([^.:]+\.[^.:]+)$', 1) AS domain
         |FROM s7 ORDER BY doc_id""".stripMargin),
 
     // ---- two-sided CUSUM drift detection (operators.temporal.Cusum):

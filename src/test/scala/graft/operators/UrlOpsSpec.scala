@@ -46,6 +46,16 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(canon("https://a.b.news.example.co/x")._3 == "example.co")
   }
 
+  test("a retained non-default port never leaks into the domain") {
+    // the canonical host keeps :8080, but per-domain grouping must not
+    // collapse every ported host under '' (ADVICE r14)
+    assert(canon("https://shop.example.com:8080/x") ==
+      (("https://shop.example.com:8080/x", "shop.example.com:8080",
+        "example.com")))
+    // default port on a non-http(s) scheme also stays in host, not domain
+    assert(canon("ftp://files.example.org:21/pub")._3 == "example.org")
+  }
+
   test("the two crawl spellings of one page canonicalize identically") {
     val a = canon("HTTPS://WWW.Site.COM:443/a/?utm_source=x&b=2&a=1")._1
     val b = canon("https://site.com/a?a=1&b=2")._1
