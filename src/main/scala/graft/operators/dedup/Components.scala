@@ -68,7 +68,7 @@ object Components {
             least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
           .localCheckpoint(true)
         changed = next.filter(col("label") =!= col("prev")).count()
-        ckpt.unpersist(false)
+        graft.LoopFrames.release(ckpt) // RDD-level: Dataset.unpersist no-ops on checkpoints
         ckpt = next
         labels = next.select(col("id"), col("label"))
         iter += 1
@@ -79,7 +79,7 @@ object Components {
       // .unpersist() on the returned DataFrame actually frees the storage.
       val out = labels.cache()
       out.count() // materialize before the final checkpoint is released
-      ckpt.unpersist(false)
+      graft.LoopFrames.release(ckpt)
       out
     } finally edges.unpersist()
   }

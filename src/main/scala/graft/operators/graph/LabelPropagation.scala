@@ -47,12 +47,18 @@ object LabelPropagation {
       val winner = votes.groupBy(col("n"))
         .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("w"))
         .select(col("n"), (-col("w.nl")).as("newLabel"))
+      val prev = labels
       labels = nodes
         .join(winner, nodes("node") === winner("n"), "left")
         .select(col("node"),
           coalesce(col("newLabel"), col("node")).as("label"))
         .localCheckpoint(true)
+      // RDD-level release: Dataset.unpersist no-ops on checkpoint blocks
+      graft.LoopFrames.release(prev)
     }
+    // labels is an eager checkpoint — free the iteration-invariant frames
+    e.unpersist(false)
+    graft.LoopFrames.release(nodes)
     labels
   }
 }

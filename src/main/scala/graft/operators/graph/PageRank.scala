@@ -92,8 +92,15 @@ object PageRank {
           (lit(base) + expr(s"(85 * (coalesce(insum, 0L) + dm div ${n}L)) div 100"))
             .as("r"))
         .localCheckpoint(true) // eager: materialize + truncate lineage
-      prev.unpersist(false)
+      // RDD-level release: Dataset.unpersist no-ops on checkpoint blocks
+      graft.LoopFrames.release(prev)
     }
+    // the result is the final eager checkpoint — the iteration-invariant
+    // frames can be freed now rather than waiting on the ContextCleaner
+    e.unpersist(false)
+    edgesDeg.unpersist(false)
+    graft.LoopFrames.release(nodes)
+    graft.LoopFrames.release(sinks)
     ranks.select(col("node"), col("r").as("rank_fp"),
       (col("r").cast("double") / unit.toDouble).as("rank"))
   }

@@ -88,9 +88,16 @@ object Mmr {
       val prev = selected
       selected =
         (if (prev == null) pick else prev.unionByName(pick)).localCheckpoint(true)
-      if (prev != null) prev.unpersist(false)
+      // release the RDD-level blocks, not Dataset.unpersist: a
+      // localCheckpoint never registers with the CacheManager, so
+      // unpersist on the frame is a silent no-op and k rounds would
+      // stack k checkpointed block sets (ADVICE r14)
+      if (prev != null) graft.LoopFrames.release(prev)
       round += 1
     }
-    selected.select(col(qidCol), col("rank"), col(idCol), col(relCol), col("mmr"))
+    val out = selected
+      .select(col(qidCol), col("rank"), col(idCol), col(relCol), col("mmr"))
+    graft.LoopFrames.release(cand)
+    out
   }
 }
