@@ -42,17 +42,26 @@ object Attribution {
                  lookbackDays: Int = 3): DataFrame = {
     require(touchTypes.nonEmpty && lookbackDays > 0,
       "need touch types and a positive lookback")
+    // per-conversion surrogate: two conversions by one user at the SAME
+    // timestamp must keep separate credit windows — keyed on (u, cts)
+    // alone they'd share one partition, n would double-count and each
+    // conversion's credits would sum to ~0.5 (ADVICE r14). row_number
+    // over (cts, cents) is deterministic up to full-duplicate rows,
+    // which are symmetric anyway.
     val conv = events.filter(col(typeCol) === convType)
       .select(col(userCol).as("u"), col(tsCol).as("cts"),
         (col(valueCol).cast("decimal(18,2)") * 100).cast("bigint").as("cents"))
+      .withColumn("cid", row_number().over(
+        Window.partitionBy(col("u")).orderBy(col("cts"), col("cents"))))
     val touch = events.filter(col(typeCol).isin(touchTypes: _*))
       .select(col(userCol).as("u"), col(tsCol).as("tts"),
         col(typeCol).as("channel"))
     val joined = conv.join(touch,
       conv("u") === touch("u") && col("tts") <= col("cts") &&
         col("tts") >= col("cts") - expr(s"INTERVAL $lookbackDays DAYS"))
-      .select(conv("u"), col("cts"), col("cents"), col("tts"), col("channel"))
-    val wC = Window.partitionBy(col("u"), col("cts"))
+      .select(conv("u"), col("cid"), col("cts"), col("cents"), col("tts"),
+        col("channel"))
+    val wC = Window.partitionBy(col("u"), col("cid"))
     val wO = wC.orderBy(col("tts"), col("channel"))
     val base = joined
       .withColumn("n", count(lit(1)).over(wC))
@@ -82,8 +91,8 @@ object Attribution {
     // conversions with no in-window touch: 'direct', full credit per model
     import events.sparkSession.implicits._
     val direct = conv
-      .join(joined.select(col("u"), col("cts")).distinct(),
-        Seq("u", "cts"), "left_anti")
+      .join(joined.select(col("u"), col("cid")).distinct(),
+        Seq("u", "cid"), "left_anti")
       .crossJoin(models.toDF("model"))
       .select(col("model"), lit("direct").as("channel"),
         lit(1000000L).as("cm"), (lit(1000000L) * col("cents")).as("vm"))

@@ -55,6 +55,29 @@ class AttributionSpec extends AnyFunSuite {
     }
   }
 
+  test("two conversions at the same (user, ts) keep separate credit windows") {
+    import spark.implicits._
+    // one touch, then TWO purchases at the identical timestamp: merged
+    // windows would double n and each conversion's credits would sum to
+    // ~0.5 (ADVICE r14); with the per-conversion surrogate each credits
+    // 1.0 and the model totals conserve to 2
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "view", 0.0),
+      (1L, ts("2024-01-01 02:00:00"), "purchase", 10.0),
+      (1L, ts("2024-01-01 02:00:00"), "purchase", 20.0)
+    ).toDF("user_id", "ts", "event_type", "value")
+    val out = Attribution.multiTouch(ev, "user_id", "ts", "event_type",
+        "value", Seq("view", "click"), "purchase")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    Seq("linear", "position", "decay").foreach { m =>
+      // n=1 per conversion in every model: 2.0 conversions credited, and
+      // credited revenue is the full 10 + 20
+      assert(out((m, "view")) == ((2.0, 30.0)), m)
+      assert(!out.contains((m, "direct")), m)
+    }
+  }
+
   test("lookback excludes stale touches; n=2 position splits 50/50") {
     import spark.implicits._
     val ev = Seq(
