@@ -1808,9 +1808,11 @@ object AnnTopKET extends NoPathET {
           rerank = params.getOrElse("rerank", "64").toInt)
       case "sign" =>
         // 1-bit sign sketch + exact re-rank (see SignHash): the smallest
-        // index memory on the quantization ladder, dims <= 64
+        // index memory on the quantization ladder; dims sizes the sketch
+        // (ceil(dims/32) words — wider embeddings pack fully)
         graft.operators.similarity.SignHash.topK(df, queries, idCol, vecCol,
-          qId, qVec, k, rerank = params.getOrElse("rerank", "32").toInt)
+          qId, qVec, k, rerank = params.getOrElse("rerank", "32").toInt,
+          dims = params.getOrElse("dims", "64").toInt)
       case other => throw new IllegalArgumentException(
         s"AnnTopK method must be brute|ivf|pq|sign, got '$other'")
     }

@@ -37,6 +37,34 @@ class SignHashSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1, 20L, 1, 0.5), (2, 10L, 2, 0.0)))
   }
 
+  test("dims > 64 pack fully: differences past dim 64 reach the sketch") {
+    import spark.implicits._
+    // identical on dims 0..63, opposite signs on dims 64..95 — the
+    // pre-r15 two-word sketch saw ham = 0 here (silent prefix; ADVICE r14)
+    val a = Array.tabulate(96)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val b = a.clone(); (64 until 96).foreach(i => b(i) = -a(i))
+    val df = Seq((1L, a), (2L, b)).toDF("id", "v")
+    val packed = SignHash.signPack(df, "v", dims = 96).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("w0"), r.getAs[Long]("w1"), r.getAs[Long]("w2"))).toMap
+    assert(packed(1L)._1 == packed(2L)._1 && packed(1L)._2 == packed(2L)._2)
+    assert(packed(1L)._3 != packed(2L)._3, "w2 must capture dims 64..95")
+    val corpus = Seq((10L, a)).toDF("vec_id", "embedding")
+    val q = Seq((1L, b)).toDF("qid", "qv")
+    val out = SignHash.topK(corpus, q, "vec_id", "embedding", "qid", "qv",
+      k = 1, rerank = 1, dims = 96).collect()(0)
+    assert(out.getAs[Int]("ham") == 32, "all 32 signs on dims 64..95 flip")
+  }
+
+  test("the dims bound is explicit: packing ignores elements past dims") {
+    import spark.implicits._
+    val df = Seq((1L, Array.fill(96)(1.0f))).toDF("id", "v")
+    // dims=40: w1 covers bits 32..39 only, even though the vector goes on
+    val r = SignHash.signPack(df, "v", dims = 40).collect()(0)
+    assert(r.getAs[Long]("w0") == 0xFFFFFFFFL && r.getAs[Long]("w1") == 0xFFL)
+    assertThrows[IllegalArgumentException](SignHash.signPack(df, "v", dims = 0))
+  }
+
   test("rerank bound caps candidates before the cosine stage") {
     import spark.implicits._
     val corpus = (0 until 20).map { i =>
