@@ -282,11 +282,19 @@ object VParquet {
 
   /** Resolve a manifest entry's path against its table dir. Entries are
     * normally table-relative; a [[shallowClone]] records ABSOLUTE source
-    * paths (leading '/'), which resolve as-is — one rule shared by every
-    * reader (snapshot, change feed, skipping index, compact, vacuum).
+    * paths — fully-qualified URIs (`file:/...`, `s3a://bucket/...`) since
+    * r15, bare leading-'/' strings from older clones — which resolve
+    * as-is: one rule shared by every reader (snapshot, change feed,
+    * skipping index, compact, vacuum). A scheme-qualified entry keeps its
+    * filesystem, so a clone read from a different default FS still
+    * resolves against the right one (ADVICE r14: `.toUri.getPath` used to
+    * drop the scheme/authority and the entry re-resolved against the
+    * table's FS).
     */
+  private val schemePrefixRe = "^[A-Za-z][A-Za-z0-9+.-]*:".r
   private[sources] def entryPath(table: String, p: String): String =
-    if (p.startsWith("/")) p else table + "/" + p
+    if (p.startsWith("/") || schemePrefixRe.findFirstIn(p).isDefined) p
+    else table + "/" + p
 
   private def absFiles(table: String, files: Seq[FileEntry]): Seq[String] =
     files.map(f => entryPath(table, f.path))
@@ -781,9 +789,20 @@ object VParquet {
       s"vparquet: cannot clone $src at version $v (head is $head)")
     require(latestVersion(spark, dst).isEmpty,
       s"vparquet: clone target $dst already has committed versions")
+    // metadata ops on the clone (restore existence checks, vacuum's
+    // referenced-set scan) run through the DST table's FileSystem handle,
+    // so a cross-FS clone would throw "Wrong FS" on first touch — fail
+    // loudly at clone time instead
+    val dstFs = fs(spark, dst)
+    require(f.getUri == dstFs.getUri,
+      s"vparquet: shallow clone requires src and dst on one FileSystem " +
+        s"(got ${f.getUri} vs ${dstFs.getUri}); materialize with save/compact instead")
     val m = readManifest(spark, src, v)
     val absolute = m.files.map { e =>
-      val abs = f.makeQualified(new Path(entryPath(src, e.path))).toUri.getPath
+      // FULLY-QUALIFIED URI (scheme + authority + path): `.toUri.getPath`
+      // would drop the scheme, and a clone of an s3a://-backed table would
+      // re-resolve its entries against the default FS (ADVICE r14)
+      val abs = f.makeQualified(new Path(entryPath(src, e.path))).toString
       e.copy(path = abs)
     }
     // a fresh table carries NO txn ledger: the clone is a new writer

@@ -75,8 +75,16 @@ class VParquetSpec extends AnyFunSuite {
     val got = runDF(s"load vparquet.`$dst` as vc_c; select k from vc_c order by k as out;")
     assert(got.collect().map(_.getInt(0)).toSeq == Seq(1, 2))
     val m0 = graft.sources.VParquet.readManifest(spark, dst, 0L)
-    assert(m0.op == "clone" && m0.files.forall(_.path.startsWith("/")),
-      "clone entries must be absolute source refs")
+    // FULLY-QUALIFIED refs: the scheme must survive (ADVICE r14 — a bare
+    // '/'-path would re-resolve against whatever FS the reader defaults to)
+    assert(m0.op == "clone" && m0.files.forall(_.path.startsWith("file:/")),
+      s"clone entries must be fully-qualified source URIs, got ${m0.files.map(_.path)}")
+    // all three entry spellings resolve: table-relative, legacy bare-'/'
+    // absolute (pre-r15 clones), and scheme-qualified URIs
+    assert(VParquet.entryPath("/tab", "data/x.parquet") == "/tab/data/x.parquet")
+    assert(VParquet.entryPath("/tab", "/abs/y.parquet") == "/abs/y.parquet")
+    assert(VParquet.entryPath("/tab", "file:/abs/z.parquet") == "file:/abs/z.parquet")
+    assert(VParquet.entryPath("/tab", "s3a://bkt/k.parquet") == "s3a://bkt/k.parquet")
     // appends to the clone do NOT touch the source
     runDF(s"""select 3 as k, 'c' as v as vc_in3;
              |save append vc_in3 as vparquet.`$dst`;""".stripMargin)
@@ -88,8 +96,8 @@ class VParquetSpec extends AnyFunSuite {
     runDF(s"""!vtable compact $dst 128;""")
     val head = graft.sources.VParquet.latestVersion(spark, dst).get
     val mh = graft.sources.VParquet.readManifest(spark, dst, head)
-    assert(mh.files.forall(!_.path.startsWith("/")),
-      s"compacted clone must be standalone, got ${mh.files.map(_.path)}")
+    assert(mh.files.forall(p => !p.path.startsWith("/") && !p.path.contains(":")),
+      s"compacted clone must be standalone (table-relative entries), got ${mh.files.map(_.path)}")
     val dstFinal = runDF(s"load vparquet.`$dst` as vc_f; select k from vc_f order by k as out;")
     assert(dstFinal.collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3))
     // cloning at an explicit earlier version
