@@ -28,7 +28,7 @@ object PipelineETs {
     Scd2ET, AcfET, AbTestET, StreamSessionsET, StreamHeavyHittersET, Bm25ET,
     MmrRerankET, TextNormalizeInPlaceET, UrlCanonicalizeInPlaceET, CusumET,
     StreamCusumET, Bm25IndexET, RetrievalEvalET, AttributionET, SurvivalET,
-    DistDriftET, SnippetsInPlaceET)
+    DistDriftET, SnippetsInPlaceET, FuzzyLinkageET)
 }
 
 /** `run hits as SnippetsInPlace.`` [where textCol="text" and
@@ -1845,5 +1845,30 @@ object BinaryMetaInPlaceET extends NoPathET {
         .withEmbedding(withMeta, binaryCol, dim)
       case None => withMeta
     }
+  }
+}
+
+/** `run dirty as FuzzyLinkage.`` where rightTable="clean" and
+  * leftIdCol="id" and leftStrCol="name" [and rightIdCol/rightStrCol,
+  * maxDist="2", q="3", maxGramFreq="0"]` — q-gram-blocked exact
+  * edit-distance record linkage (see [[graft.operators.text
+  * .EditLinkage]]). Self-linkage: point rightTable at the input's own
+  * view name and filter `l_id < r_id` downstream.
+  */
+object FuzzyLinkageET extends NoPathET {
+  override def name = "FuzzyLinkage"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    val right = ctx.spark.table(params.getOrElse("rightTable",
+      throw new IllegalArgumentException("FuzzyLinkage requires rightTable")))
+    val lId = params.getOrElse("leftIdCol", "id")
+    val lStr = params.getOrElse("leftStrCol", "name")
+    graft.operators.text.EditLinkage.fuzzyJoin(
+      df, lId, lStr, right,
+      params.getOrElse("rightIdCol", lId),
+      params.getOrElse("rightStrCol", lStr),
+      maxDist = params.getOrElse("maxDist", "2").toInt,
+      q = params.getOrElse("q", "3").toInt,
+      maxGramFreq = params.getOrElse("maxGramFreq", "0").toLong)
   }
 }

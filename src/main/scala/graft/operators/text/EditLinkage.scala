@@ -1,0 +1,88 @@
+package graft.operators.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fuzzy record linkage by exact edit distance with q-gram blocking —
+  * the entity-resolution primitive the dedup stack lacked: MinHash/
+  * Jaccard ([[graft.operators.dedup.TextDedup]]) match on shared token
+  * sets and miss single-character typos in short strings (a transposed
+  * digit changes one shingle out of three), while edit distance is the
+  * right grain for names, SKUs, and identifiers.
+  *
+  * Shape (q-gram count filtering, Gravano et al. VLDB 2001): each side
+  * explodes into its distinct character q-grams → inverted-index
+  * equi-join on the gram (plus a length-band prune: `ed ≥ |len(s) −
+  * len(t)|`, so bands farther than `maxDist` apart cannot match) →
+  * distinct candidate pairs → exact `levenshtein` filter. Spark's
+  * 3-arg `levenshtein(l, r, threshold)` early-exits the DP past the
+  * threshold, so the verify cost per pair is O(maxDist·len), not
+  * O(len²).
+  *
+  * Completeness: two strings within edit distance d share at least
+  * `max(|s|,|t|) − q + 1 − d·q` q-grams, strictly positive whenever
+  * `min(|s|,|t|) ≥ q·(d+1)` — under that bound the join has ZERO false
+  * negatives (each edit destroys at most q grams). Shorter strings can
+  * slip through with zero shared grams; callers linking very short keys
+  * should lower `q` (the bound scales as q·(d+1)).
+  * `maxGramFreq` caps the inverted index's hottest grams
+  * (the p9 skew guard: a gram shared by f strings contributes f² candidate
+  * pairs): capped grams lose their pairs unless another sub-cap gram
+  * also covers them — an explicit recall trade documented at the call
+  * site, OFF by default (0 = no cap).
+  *
+  * At 100 TB: everything is equi-joins and hash aggregations on the gram
+  * / id keys — no cartesian, no windows; the inverted index is linear in
+  * total string length and the candidate set is bounded by gram
+  * co-occurrence (capped under skew). Determinism: levenshtein is
+  * integer; output is exact.
+  *
+  * No reference counterpart; training-data/entity-resolution extension.
+  */
+object EditLinkage {
+
+  /** All pairs (leftId, rightId, left_str, right_str, dist) with
+    * levenshtein(left_str, right_str) <= maxDist that share at least one
+    * character q-gram (see completeness bound above). Self-linkage:
+    * pass the same frame twice and filter `leftId < rightId` after.
+    */
+  def fuzzyJoin(left: DataFrame, lId: String, lStr: String,
+                right: DataFrame, rId: String, rStr: String,
+                maxDist: Int, q: Int = 3, maxGramFreq: Long = 0L): DataFrame = {
+    require(maxDist >= 0, "maxDist must be >= 0")
+    require(q >= 1, "q must be >= 1")
+
+    // per-side gram column names: self-linkage passes one frame twice,
+    // and a shared name would make the join condition self-ambiguous
+    def grams(df: DataFrame, id: String, str: String, idAs: String,
+              strAs: String, lenAs: String, gramAs: String): DataFrame =
+      df.select(col(id).as(idAs), col(str).as(strAs))
+        .where(col(strAs).isNotNull && length(col(strAs)) >= q)
+        .withColumn(lenAs, length(col(strAs)))
+        .withColumn(gramAs, explode(array_distinct(expr(
+          s"transform(sequence(1, $lenAs - ${q - 1}), i -> substring($strAs, i, $q))"))))
+
+    val lg = grams(left, lId, lStr, "l_id", "l_str", "l_len", "l_gram")
+    val rg0 = grams(right, rId, rStr, "r_id", "r_str", "r_len", "r_gram")
+    val rg =
+      if (maxGramFreq <= 0L) rg0
+      else {
+        // drop the hottest grams on the index side (f strings -> f^2
+        // candidate pairs); exact count, so the cut is deterministic
+        val hot = rg0.groupBy(col("r_gram"))
+          .agg(count(lit(1)).as("__f__")).where(col("__f__") > maxGramFreq)
+          .select(col("r_gram"))
+        rg0.join(hot, Seq("r_gram"), "left_anti")
+      }
+    val cand = lg.join(rg,
+        col("l_gram") === col("r_gram") &&
+          abs(col("l_len") - col("r_len")) <= maxDist)
+      .select(col("l_id"), col("l_str"), col("r_id"), col("r_str"))
+      .distinct()
+    cand
+      .withColumn("dist",
+        expr(s"levenshtein(l_str, r_str, $maxDist)").cast("int"))
+      .where(col("dist") >= 0 && col("dist") <= maxDist)
+      .select(col("l_id"), col("r_id"), col("l_str"), col("r_str"), col("dist"))
+  }
+}

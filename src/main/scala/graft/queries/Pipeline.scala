@@ -3130,18 +3130,20 @@ object Pipeline {
         Seq("view", "click"), "purchase", lookbackDays = 3)
     },
       """WITH conv AS (SELECT user_id AS u, ts AS cts,
-        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY ts, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cid
         |  FROM events WHERE event_type = 'purchase'),
         |touch AS (SELECT user_id AS u, ts AS tts, event_type AS channel FROM events
         |  WHERE event_type IN ('view', 'click')),
-        |j AS (SELECT c.u, c.cts, c.cents, t.tts, t.channel FROM conv c JOIN touch t
+        |j AS (SELECT c.u, c.cid, c.cts, c.cents, t.tts, t.channel FROM conv c JOIN touch t
         |  ON t.u = c.u AND t.tts <= c.cts AND t.tts >= c.cts - INTERVAL 3 DAY),
         |b AS (SELECT *, COUNT(*) OVER wc AS n,
-        |  ROW_NUMBER() OVER (PARTITION BY u, cts ORDER BY tts, channel) AS rn,
+        |  ROW_NUMBER() OVER (PARTITION BY u, cid ORDER BY tts, channel) AS rn,
         |  CAST(FLOOR(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) +
         |    CAST(epoch_us(cts) - epoch_us(tts) AS DOUBLE) / 3.6e9) * 1e9 + 0.5) AS BIGINT) AS w9
-        |  FROM j WINDOW wc AS (PARTITION BY u, cts)),
-        |b2 AS (SELECT *, SUM(w9) OVER (PARTITION BY u, cts) AS sw9 FROM b),
+        |  FROM j WINDOW wc AS (PARTITION BY u, cid)),
+        |b2 AS (SELECT *, SUM(w9) OVER (PARTITION BY u, cid) AS sw9 FROM b),
         |cr AS (SELECT channel, cents,
         |  ROUND(CAST(1.0 AS DOUBLE) / n, 6) AS lin,
         |  CASE WHEN n = 1 THEN CAST(1.0 AS DOUBLE) WHEN n = 2 THEN CAST(0.5 AS DOUBLE)
@@ -3158,7 +3160,7 @@ object Pipeline {
         |dr AS (SELECT m.model, 'direct' AS channel, CAST(1000000 AS BIGINT) AS cm,
         |  CAST(1000000 AS BIGINT) * c.cents AS vm
         |  FROM conv c CROSS JOIN (VALUES ('linear'), ('position'), ('decay')) m(model)
-        |  WHERE NOT EXISTS (SELECT 1 FROM j WHERE j.u = c.u AND j.cts = c.cts)),
+        |  WHERE NOT EXISTS (SELECT 1 FROM j WHERE j.u = c.u AND j.cid = c.cid)),
         |au AS (SELECT * FROM tm UNION ALL SELECT * FROM dr)
         |SELECT model, channel,
         |  CAST(CAST(SUM(cm) AS BIGINT) AS DOUBLE) / 1e6 AS n_credit,
@@ -3411,7 +3413,69 @@ object Pipeline {
         |SELECT u.lang, u.n_uni, u.d_uni,
         |  ROUND(CAST(u.d_uni AS DOUBLE) / u.n_uni, 6) AS distinct1,
         |  b.n_bi, b.d_bi, ROUND(CAST(b.d_bi AS DOUBLE) / b.n_bi, 6) AS distinct2
-        |FROM u JOIN b ON b.lang = u.lang ORDER BY u.lang""".stripMargin)
+        |FROM u JOIN b ON b.lang = u.lang ORDER BY u.lang""".stripMargin),
+
+    // ---- fuzzy record linkage (text.EditLinkage): q-gram-blocked exact
+    //      edit-distance join. The fixture has no dirty-name column, so
+    //      both engines synthesize the same two registries (clean names
+    //      from the customer key, a typo'd copy with shifted ids) and
+    //      replay the identical gram-block + levenshtein pipeline.
+    //      Integer distances -> hash-exact. ----
+    QuerySpec.sql("p105_fuzzy_linkage", (s, dir) => {
+      import s.implicits._
+      val nameExpr =
+        """concat(
+          |  CASE CAST((c_custkey * 7) % 8 AS INT)
+          |    WHEN 0 THEN 'amber' WHEN 1 THEN 'birch' WHEN 2 THEN 'cedar'
+          |    WHEN 3 THEN 'delta' WHEN 4 THEN 'ember' WHEN 5 THEN 'fjord'
+          |    WHEN 6 THEN 'grove' ELSE 'haven' END, ' ',
+          |  CASE CAST((c_custkey div 8) % 8 AS INT)
+          |    WHEN 0 THEN 'mill' WHEN 1 THEN 'ford' WHEN 2 THEN 'gate'
+          |    WHEN 3 THEN 'field' WHEN 4 THEN 'stone' WHEN 5 THEN 'brook'
+          |    WHEN 6 THEN 'ridge' ELSE 'marsh' END, ' ',
+          |  CAST(c_custkey % 500 AS STRING))""".stripMargin
+      val clean = t(s, dir, "customer").filter($"c_custkey" < 800)
+        .select($"c_custkey".as("rid"), expr(nameExpr).as("rs"))
+      val dirty = clean.select(($"rid" + 100000L).as("lid"),
+        expr("""CASE CAST(rid % 4 AS INT)
+          | WHEN 1 THEN concat(substring(rs, 1, 3), substring(rs, 5))
+          | WHEN 2 THEN concat(substring(rs, 1, 1), 'x', substring(rs, 3))
+          | WHEN 3 THEN concat(substring(rs, 1, 5), 'q', substring(rs, 6))
+          | ELSE rs END""".stripMargin).as("ls"))
+      graft.operators.text.EditLinkage.fuzzyJoin(
+          dirty, "lid", "ls", clean, "rid", "rs", maxDist = 2)
+        .orderBy($"l_id", $"r_id")
+    },
+      """WITH cl AS (SELECT c_custkey AS rid,
+        |  CASE CAST((c_custkey * 7) % 8 AS INT)
+        |    WHEN 0 THEN 'amber' WHEN 1 THEN 'birch' WHEN 2 THEN 'cedar'
+        |    WHEN 3 THEN 'delta' WHEN 4 THEN 'ember' WHEN 5 THEN 'fjord'
+        |    WHEN 6 THEN 'grove' ELSE 'haven' END || ' ' ||
+        |  CASE CAST((c_custkey // 8) % 8 AS INT)
+        |    WHEN 0 THEN 'mill' WHEN 1 THEN 'ford' WHEN 2 THEN 'gate'
+        |    WHEN 3 THEN 'field' WHEN 4 THEN 'stone' WHEN 5 THEN 'brook'
+        |    WHEN 6 THEN 'ridge' ELSE 'marsh' END || ' ' ||
+        |  CAST(c_custkey % 500 AS VARCHAR) AS rs
+        |  FROM customer WHERE c_custkey < 800),
+        |di AS (SELECT rid + 100000 AS lid,
+        |  CASE CAST(rid % 4 AS INT)
+        |    WHEN 1 THEN substr(rs, 1, 3) || substr(rs, 5)
+        |    WHEN 2 THEN substr(rs, 1, 1) || 'x' || substr(rs, 3)
+        |    WHEN 3 THEN substr(rs, 1, 5) || 'q' || substr(rs, 6)
+        |    ELSE rs END AS ls
+        |  FROM cl),
+        |lg AS (SELECT lid, ls, LEN(ls) AS llen,
+        |  UNNEST(list_distinct(list_transform(range(1, LEN(ls) - 1),
+        |    i -> substr(ls, CAST(i AS INT), 3)))) AS gram FROM di),
+        |rg AS (SELECT rid, rs, LEN(rs) AS rlen,
+        |  UNNEST(list_distinct(list_transform(range(1, LEN(rs) - 1),
+        |    i -> substr(rs, CAST(i AS INT), 3)))) AS gram FROM cl),
+        |cand AS (SELECT DISTINCT lid, rid, ls, rs FROM lg JOIN rg USING (gram)
+        |  WHERE abs(llen - rlen) <= 2)
+        |SELECT lid AS l_id, rid AS r_id, ls AS l_str, rs AS r_str,
+        |  CAST(levenshtein(ls, rs) AS INT) AS dist
+        |FROM cand WHERE levenshtein(ls, rs) <= 2
+        |ORDER BY l_id, r_id""".stripMargin)
   )
 
   /** One-shot BM25 replay (p87's oracle) — shared with s41, whose

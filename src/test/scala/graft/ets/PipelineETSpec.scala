@@ -396,6 +396,21 @@ class PipelineETSpec extends AnyFunSuite {
     assert(r.getAs[Int]("n_chars_norm") == 5)
   }
 
+  test("FuzzyLinkage links typo'd names to the clean registry via the DSL") {
+    val df = runDF(
+      """set fzc = '''{"id":1,"name":"golden retriever"}
+        |{"id":2,"name":"border collie"}''';
+        |set fzd = '''{"id":10,"name":"goldn retriever"}
+        |{"id":20,"name":"pomeranian"}''';
+        |load jsonStr.`fzc` as fz_clean;
+        |load jsonStr.`fzd` as fz_dirty;
+        |run fz_dirty as FuzzyLinkage.`` where rightTable="fz_clean"
+        |  and leftIdCol="id" and leftStrCol="name" and maxDist="2" as fzout;
+        |select l_id, r_id, dist from fzout order by l_id as out;""".stripMargin)
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq ==
+      Seq((10L, 1L, 1)))
+  }
+
   test("Attribution + Survival: analytics ETs through the DSL") {
     val df = runDF(
       """set at = '''{"user_id":1,"ts":"2026-01-01 00:00:00","event_type":"view","value":0}
