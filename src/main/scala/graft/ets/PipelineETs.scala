@@ -28,7 +28,7 @@ object PipelineETs {
     Scd2ET, AcfET, AbTestET, StreamSessionsET, StreamHeavyHittersET, Bm25ET,
     MmrRerankET, TextNormalizeInPlaceET, UrlCanonicalizeInPlaceET, CusumET,
     StreamCusumET, Bm25IndexET, RetrievalEvalET, AttributionET, SurvivalET,
-    DistDriftET, SnippetsInPlaceET, FuzzyLinkageET)
+    DistDriftET, SnippetsInPlaceET, FuzzyLinkageET, KCoreET)
 }
 
 /** `run hits as SnippetsInPlace.`` [where textCol="text" and
@@ -1871,4 +1871,18 @@ object FuzzyLinkageET extends NoPathET {
       q = params.getOrElse("q", "3").toInt,
       maxGramFreq = params.getOrElse("maxGramFreq", "0").toLong)
   }
+}
+
+/** `run edges as KCore.`` where srcCol="a" and dstCol="b" and k="3"
+  * [and maxIter="30"]` — k-core membership + within-core degrees by
+  * synchronous peeling (see [[graft.operators.graph.KCore]]).
+  */
+object KCoreET extends NoPathET {
+  override def name = "KCore"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame =
+    graft.operators.graph.KCore.run(df,
+      params.getOrElse("srcCol", "a"), params.getOrElse("dstCol", "b"),
+      k = params.getOrElse("k", "2").toInt,
+      maxIter = params.getOrElse("maxIter", "30").toInt)
 }

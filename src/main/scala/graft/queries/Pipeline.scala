@@ -3475,7 +3475,23 @@ object Pipeline {
         |SELECT lid AS l_id, rid AS r_id, ls AS l_str, rs AS r_str,
         |  CAST(levenshtein(ls, rs) AS INT) AS dist
         |FROM cand WHERE levenshtein(ls, rs) <= 2
-        |ORDER BY l_id, r_id""".stripMargin)
+        |ORDER BY l_id, r_id""".stripMargin),
+
+    // ---- k-core decomposition (graph.KCore): synchronous peeling to the
+    //      unique fixpoint over the same frequent-co-purchase graph as
+    //      p72/p73. Pure integer set/degree arithmetic, so the oracle
+    //      unrolls the identical peel rounds (the set converges in 11
+    //      rounds at sf0.01; 14 unrolled rounds replay the fixpoint
+    //      since extra rounds are idempotent). ----
+    QuerySpec.sql("p106_kcore", (s, dir) => {
+      import s.implicits._
+      val edges = graft.operators.basket.MarketBasket.pairRules(
+          t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey"),
+          "l_orderkey", "l_partkey", minSupport = 2L)
+        .select($"a", $"b")
+      graft.operators.graph.KCore.run(edges, "a", "b", k = 3)
+        .orderBy($"node")
+    }, kcoreOracleSql(3, 14))
   )
 
   /** One-shot BM25 replay (p87's oracle) — shared with s41, whose
@@ -3601,6 +3617,32 @@ object Pipeline {
        |l0 AS (SELECT node, node AS label FROM nodes),
        |$iters
        |SELECT node, label FROM l$k ORDER BY node""".stripMargin
+  }
+
+  /** Unrolled peel replay for p106 (see [[graft.operators.graph.KCore]]);
+    * edges are the same frequent part pairs as p72/p73. `rounds` must be
+    * >= the data's peel depth + 1 — past the fixpoint every extra round
+    * recomputes the same set, so a safe margin costs nothing but oracle
+    * time.
+    */
+  private def kcoreOracleSql(k: Int, rounds: Int): String = {
+    // MATERIALIZED is load-bearing: each round references the previous
+    // round TWICE, and DuckDB inlines plain CTEs — 14 rounds would
+    // expand to 2^14 scans of the base table (observed as an fd blowup)
+    val iters = (1 to rounds).map { i =>
+      s"""a$i AS MATERIALIZED (SELECT e.u AS node, COUNT(*) AS deg
+         | FROM e JOIN a${i - 1} x ON x.node = e.u
+         |        JOIN a${i - 1} y ON y.node = e.v
+         | GROUP BY e.u HAVING COUNT(*) >= $k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS i FROM lineitem),
+       |pr AS (SELECT x.i AS a, y.i AS b FROM it x
+       |       JOIN it y ON x.bk = y.bk AND x.i < y.i
+       |       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |e AS MATERIALIZED (SELECT a AS u, b AS v FROM pr UNION SELECT b, a FROM pr),
+       |a0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM e),
+       |$iters
+       |SELECT node, CAST(deg AS BIGINT) AS deg FROM a$rounds ORDER BY node""".stripMargin
   }
 
   /** Demo WordPiece vocab for p67: all lowercase letters EXCEPT `q`

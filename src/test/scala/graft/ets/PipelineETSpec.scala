@@ -411,6 +411,19 @@ class PipelineETSpec extends AnyFunSuite {
       Seq((10L, 1L, 1)))
   }
 
+  test("KCore peels the tail off a triangle through the DSL") {
+    val df = runDF(
+      """set kce = '''{"a":1,"b":2}
+        |{"a":2,"b":3}
+        |{"a":1,"b":3}
+        |{"a":3,"b":4}''';
+        |load jsonStr.`kce` as kc_edges;
+        |run kc_edges as KCore.`` where srcCol="a" and dstCol="b" and k="2" as kcout;
+        |select node, deg from kcout order by node as out;""".stripMargin)
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+  }
+
   test("Attribution + Survival: analytics ETs through the DSL") {
     val df = runDF(
       """set at = '''{"user_id":1,"ts":"2026-01-01 00:00:00","event_type":"view","value":0}

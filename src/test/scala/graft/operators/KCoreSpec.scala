@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.operators.graph.KCore
+
+class KCoreSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def core(edges: Seq[(Long, Long)], k: Int, maxIter: Int = 30) = {
+    import spark.implicits._
+    KCore.run(edges.toDF("s", "d"), "s", "d", k, maxIter)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("triangle with a tail: the tail peels, the triangle is the 2-core") {
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    assert(core(e, k = 2) == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    assert(core(e, k = 3).isEmpty) // a triangle is not a 3-core
+  }
+
+  test("peeling cascades: a path graph dissolves layer by layer") {
+    // endpoints strip each round; 5 nodes need 2 peel rounds + fixpoint
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(core(path, k = 2).isEmpty)
+    // the full path IS the 1-core
+    assert(core(path, k = 1).keySet == Set(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("clique degrees come back as within-core degrees") {
+    val clique = for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)
+    assert(core(clique, k = 4) == (1L to 5L).map(_ -> 4L).toMap)
+    // attach a pendant to node 1: core unchanged, and node 1's deg stays
+    // 4 (the pendant is outside the core, so it must not count)
+    assert(core(clique :+ ((1L, 99L)), k = 4) == (1L to 5L).map(_ -> 4L).toMap)
+  }
+
+  test("direction and duplicate edges do not matter; self-loops drop") {
+    val e = Seq((2L, 1L), (1L, 2L), (3L, 2L), (3L, 1L), (1L, 1L), (3L, 3L))
+    assert(core(e, k = 2) == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("maxIter too low fails loudly instead of returning a half-peel") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L))
+    val ex = intercept[IllegalStateException](core(path, k = 2, maxIter = 1))
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
+  test("agrees with a naive driver peel on a seeded random graph") {
+    val rnd = new scala.util.Random(99)
+    val edges = Seq.fill(120)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(p => p._1 != p._2).distinct
+    def naive(k: Int): Map[Long, Long] = {
+      var adj = edges.flatMap(p => Seq(p, p.swap)).distinct
+      var deg = adj.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+      var changed = true
+      while (changed) {
+        val dead = deg.filter(_._2 < k).keySet
+        changed = dead.nonEmpty
+        adj = adj.filter(p => !dead(p._1) && !dead(p._2))
+        deg = adj.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+      }
+      deg
+    }
+    for (k <- Seq(2, 3, 4)) assert(core(edges, k) == naive(k), s"k=$k")
+  }
+}
