@@ -28,7 +28,7 @@ object PipelineETs {
     Scd2ET, AcfET, AbTestET, StreamSessionsET, StreamHeavyHittersET, Bm25ET,
     MmrRerankET, TextNormalizeInPlaceET, UrlCanonicalizeInPlaceET, CusumET,
     StreamCusumET, Bm25IndexET, RetrievalEvalET, AttributionET, SurvivalET,
-    DistDriftET, SnippetsInPlaceET, FuzzyLinkageET, KCoreET)
+    DistDriftET, SnippetsInPlaceET, FuzzyLinkageET, KCoreET, BfsHopsET)
 }
 
 /** `run hits as SnippetsInPlace.`` [where textCol="text" and
@@ -1885,4 +1885,23 @@ object KCoreET extends NoPathET {
       params.getOrElse("srcCol", "a"), params.getOrElse("dstCol", "b"),
       k = params.getOrElse("k", "2").toInt,
       maxIter = params.getOrElse("maxIter", "30").toInt)
+}
+
+/** `run edges as BfsHops.`` where srcCol="a" and dstCol="b" and
+  * seedTable="seeds" and seedCol="node" and maxHops="4"
+  * [and undirected="true"]` — multi-source BFS hop distances (see
+  * [[graft.operators.graph.Bfs]]).
+  */
+object BfsHopsET extends NoPathET {
+  override def name = "BfsHops"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    val seeds = ctx.spark.table(params.getOrElse("seedTable",
+      throw new IllegalArgumentException("BfsHops requires seedTable")))
+    graft.operators.graph.Bfs.hopDistance(df,
+      params.getOrElse("srcCol", "a"), params.getOrElse("dstCol", "b"),
+      seeds, params.getOrElse("seedCol", "node"),
+      maxHops = params.getOrElse("maxHops", "6").toInt,
+      undirected = params.getOrElse("undirected", "false").toBoolean)
+  }
 }

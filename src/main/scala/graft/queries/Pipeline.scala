@@ -3491,7 +3491,38 @@ object Pipeline {
         .select($"a", $"b")
       graft.operators.graph.KCore.run(edges, "a", "b", k = 3)
         .orderBy($"node")
-    }, kcoreOracleSql(3, 14))
+    }, kcoreOracleSql(3, 14)),
+
+    // ---- multi-source BFS hop distance (graph.Bfs): min hops from the
+    //      seed set over the undirected co-purchase graph, truncated at
+    //      4 hops. Integer levels; the oracle's bounded recursive walk
+    //      (UNION-distinct, so it terminates on cycles) takes MIN(d) per
+    //      node, which equals the BFS level. ----
+    QuerySpec.sql("p107_bfs_hops", (s, dir) => {
+      import s.implicits._
+      val edges = graft.operators.basket.MarketBasket.pairRules(
+          t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey"),
+          "l_orderkey", "l_partkey", minSupport = 2L)
+        .select($"a", $"b")
+      val seeds = edges.select($"a".as("n")).union(edges.select($"b".as("n")))
+        .distinct().filter($"n" % 97 === 0)
+      graft.operators.graph.Bfs.hopDistance(edges, "a", "b",
+          seeds, "n", maxHops = 4, undirected = true)
+        .orderBy($"node")
+    },
+      """WITH RECURSIVE
+        |it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS i FROM lineitem),
+        |pr AS (SELECT x.i AS a, y.i AS b FROM it x
+        |       JOIN it y ON x.bk = y.bk AND x.i < y.i
+        |       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |e AS MATERIALIZED (SELECT a AS u, b AS v FROM pr UNION SELECT b, a FROM pr),
+        |seeds AS (SELECT DISTINCT u AS node FROM e WHERE u % 97 = 0),
+        |walk(node, d) AS (
+        |  SELECT node, 0 FROM seeds
+        |  UNION
+        |  SELECT e.v, w.d + 1 FROM walk w JOIN e ON e.u = w.node WHERE w.d < 4)
+        |SELECT node, CAST(MIN(d) AS INT) AS dist FROM walk
+        |GROUP BY node ORDER BY node""".stripMargin)
   )
 
   /** One-shot BM25 replay (p87's oracle) — shared with s41, whose

@@ -424,6 +424,21 @@ class PipelineETSpec extends AnyFunSuite {
       Seq((1L, 2L), (2L, 2L), (3L, 2L)))
   }
 
+  test("BfsHops reports min hop distances from a seed table via the DSL") {
+    val df = runDF(
+      """set bfe = '''{"a":1,"b":2}
+        |{"a":2,"b":3}
+        |{"a":3,"b":4}''';
+        |set bfs = '''{"node":1}''';
+        |load jsonStr.`bfe` as bf_edges;
+        |load jsonStr.`bfs` as bf_seeds;
+        |run bf_edges as BfsHops.`` where srcCol="a" and dstCol="b"
+        |  and seedTable="bf_seeds" and maxHops="2" as bfout;
+        |select node, dist from bfout order by node as out;""".stripMargin)
+    assert(df.collect().map(r => (r.getLong(0), r.getInt(1))).toSeq ==
+      Seq((1L, 0), (2L, 1), (3L, 2)))
+  }
+
   test("Attribution + Survival: analytics ETs through the DSL") {
     val df = runDF(
       """set at = '''{"user_id":1,"ts":"2026-01-01 00:00:00","event_type":"view","value":0}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.operators.graph.Bfs
+
+class BfsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def bfs(edges: Seq[(Long, Long)], seeds: Seq[Long], maxHops: Int,
+                  undirected: Boolean = false) = {
+    import spark.implicits._
+    Bfs.hopDistance(edges.toDF("s", "d"), "s", "d",
+        seeds.toDF("seed"), "seed", maxHops, undirected)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+  }
+
+  test("single-source levels on a small dag") {
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (5L, 6L))
+    assert(bfs(e, Seq(1L), maxHops = 10) ==
+      Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2))
+  }
+
+  test("multi-source takes the minimum over seeds") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(bfs(chain, Seq(1L, 4L), maxHops = 10) ==
+      Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 0, 5L -> 1))
+  }
+
+  test("maxHops truncates; hop 0 is just the seed set") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    assert(bfs(chain, Seq(1L), maxHops = 2) == Map(1L -> 0, 2L -> 1, 3L -> 2))
+    assert(bfs(chain, Seq(1L), maxHops = 0) == Map(1L -> 0))
+  }
+
+  test("direction matters unless undirected; cycles settle at first visit") {
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    assert(bfs(cyc, Seq(2L), maxHops = 10) == Map(2L -> 0, 3L -> 1, 1L -> 2))
+    assert(bfs(Seq((2L, 1L)), Seq(1L), maxHops = 5) == Map(1L -> 0))
+    assert(bfs(Seq((2L, 1L)), Seq(1L), maxHops = 5, undirected = true) ==
+      Map(1L -> 0, 2L -> 1))
+  }
+
+  test("a seed outside the edge table still reports dist 0") {
+    assert(bfs(Seq((1L, 2L)), Seq(42L), maxHops = 3) == Map(42L -> 0))
+  }
+
+  test("agrees with a naive driver bfs on a seeded random graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(150)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val seeds = Seq(0L, 7L, 13L)
+    def naive(maxHops: Int): Map[Long, Int] = {
+      val adj = edges.groupBy(_._1).map { case (u, es) => u -> es.map(_._2) }
+      var dist = seeds.map(_ -> 0).toMap
+      var frontier = seeds.toSet
+      for (h <- 1 to maxHops if frontier.nonEmpty) {
+        val next = frontier.flatMap(u => adj.getOrElse(u, Nil))
+          .filterNot(dist.contains)
+        dist = dist ++ next.map(_ -> h)
+        frontier = next
+      }
+      dist
+    }
+    for (h <- Seq(1, 3, 8)) assert(bfs(edges, seeds, h) == naive(h), s"h=$h")
+  }
+}
