@@ -28,7 +28,7 @@ object PipelineETs {
     Scd2ET, AcfET, AbTestET, StreamSessionsET, StreamHeavyHittersET, Bm25ET,
     MmrRerankET, TextNormalizeInPlaceET, UrlCanonicalizeInPlaceET, CusumET,
     StreamCusumET, Bm25IndexET, RetrievalEvalET, AttributionET, SurvivalET,
-    DistDriftET, SnippetsInPlaceET, FuzzyLinkageET, KCoreET, BfsHopsET)
+    DistDriftET, SnippetsInPlaceET, FuzzyLinkageET, KCoreET, BfsHopsET, TrustRankET)
 }
 
 /** `run hits as SnippetsInPlace.`` [where textCol="text" and
@@ -1903,5 +1903,23 @@ object BfsHopsET extends NoPathET {
       seeds, params.getOrElse("seedCol", "node"),
       maxHops = params.getOrElse("maxHops", "6").toInt,
       undirected = params.getOrElse("undirected", "false").toBoolean)
+  }
+}
+
+/** `run edges as TrustRank.`` where srcCol="src" and dstCol="dst" and
+  * seedTable="trusted" and seedCol="node" [and iterations="5"]` —
+  * personalized PageRank from a trusted seed set in exact fixed-point
+  * (see [[graft.operators.graph.TrustRank]]).
+  */
+object TrustRankET extends NoPathET {
+  override def name = "TrustRank"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    val seeds = ctx.spark.table(params.getOrElse("seedTable",
+      throw new IllegalArgumentException("TrustRank requires seedTable")))
+    graft.operators.graph.TrustRank.run(df,
+      params.getOrElse("srcCol", "src"), params.getOrElse("dstCol", "dst"),
+      seeds, params.getOrElse("seedCol", "node"),
+      iterations = params.getOrElse("iterations", "5").toInt)
   }
 }

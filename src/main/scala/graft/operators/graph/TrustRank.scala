@@ -1,0 +1,97 @@
+package graft.operators.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Personalized PageRank in integer fixed-point — the TrustRank shape
+  * (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004): the random surfer
+  * teleports to a trusted SEED set instead of everywhere, so rank flows
+  * outward from the seeds along links and a page's score measures how
+  * reachable it is from trust. The standard web-curation screen next to
+  * hop distance ([[Bfs]]): low trust + high in-degree = link-farm
+  * signature.
+  *
+  * Same exact-arithmetic contract as [[PageRank]] (which see, for why
+  * floats are banned here): all mass in units of `unit`, floor division,
+  * so every iteration is order-independent and bit-reproducible at any
+  * executor count, and a SQL unroll replays it digit-for-digit.
+  * Recurrence (S = #seeds, dm = rank mass parked on sinks):
+  *
+  *   r'(v) = [v∈S]·(15·U div (100·S))
+  *         + 85·( inSum(v) + [v∈S]·(dm div S) ) div 100
+  *
+  * — teleport AND dangling mass both go to seeds only, per the
+  * personalized random-surfer model; r0 = U div S on seeds, 0 elsewhere.
+  *
+  * Scale shape: identical to PageRank — K iterations = K edge shuffles
+  * against a src-partitioned persisted edge table, rank frames
+  * `localCheckpoint`ed per round and released at the RDD level
+  * ([[graft.LoopFrames]]). The seed count is one driver-side count on
+  * the (small, caller-curated) seed set.
+  *
+  * No reference counterpart; graph/web-curation extension per the
+  * builder prompt.
+  */
+object TrustRank {
+
+  /** Output: (node, trust_fp long — exact fixed-point; trust double =
+    * trust_fp/unit). Directed edges as given; seeds are deduplicated,
+    * and seeds absent from the graph still receive teleport mass (they
+    * are part of the node set).
+    */
+  def run(edges: DataFrame, srcCol: String, dstCol: String,
+          seeds: DataFrame, seedCol: String,
+          iterations: Int = 5, unit: Long = 1000000000000L,
+          edgesDistinct: Boolean = false): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val sel = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = (if (edgesDistinct) sel else sel.distinct())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val seedSet = seeds.select(col(seedCol).as("node")).distinct()
+      .localCheckpoint(true)
+    val s = seedSet.count()
+    require(s > 0, "TrustRank needs a non-empty seed set")
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).union(seedSet.toDF("node"))
+      .distinct().localCheckpoint(true)
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val edgesDeg = e.join(outdeg, "src")
+      .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    val base = (15L * unit) / (100L * s)
+    val sinks = nodes.join(outdeg, nodes("node") === outdeg("src"), "left_anti")
+      .localCheckpoint(true)
+    var ranks = nodes
+      .join(seedSet.withColumn("__s__", lit(1)), Seq("node"), "left")
+      .select(col("node"),
+        when(col("__s__").isNotNull, lit(unit / s)).otherwise(lit(0L)).as("r"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val dangling = ranks.join(sinks, "node", "left_semi")
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dm"))
+      val inSum = edgesDeg
+        .join(ranks, edgesDeg("src") === ranks("node"))
+        .select(col("dst"), expr("r div outdeg").as("share"))
+        .groupBy(col("dst")).agg(sum(col("share")).as("insum"))
+      val prev = ranks
+      ranks = nodes
+        .join(inSum, nodes("node") === inSum("dst"), "left")
+        .join(seedSet.withColumn("__s__", lit(1)), Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"),
+          (when(col("__s__").isNotNull, lit(base)).otherwise(lit(0L)) +
+            expr(s"(85 * (coalesce(insum, 0L) + " +
+              s"CASE WHEN __s__ IS NOT NULL THEN dm div ${s}L ELSE 0L END)) div 100"))
+            .as("r"))
+        .localCheckpoint(true)
+      graft.LoopFrames.release(prev)
+    }
+    e.unpersist(false)
+    edgesDeg.unpersist(false)
+    graft.LoopFrames.release(nodes)
+    graft.LoopFrames.release(sinks)
+    graft.LoopFrames.release(seedSet)
+    ranks.select(col("node"), col("r").as("trust_fp"),
+      (col("r").cast("double") / unit.toDouble).as("trust"))
+  }
+}

@@ -3522,7 +3522,26 @@ object Pipeline {
         |  UNION
         |  SELECT e.v, w.d + 1 FROM walk w JOIN e ON e.u = w.node WHERE w.d < 4)
         |SELECT node, CAST(MIN(d) AS INT) AS dist FROM walk
-        |GROUP BY node ORDER BY node""".stripMargin)
+        |GROUP BY node ORDER BY node""".stripMargin),
+
+    // ---- personalized PageRank / TrustRank (graph.TrustRank): teleport
+    //      and dangling mass go to a trusted SEED set only, same integer
+    //      fixed-point contract as p66 — the oracle unrolls the identical
+    //      algebra with the seed-gated teleport term. ----
+    QuerySpec.sql("p108_trustrank", (s, dir) => {
+      import s.implicits._
+      val cs = t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+        .join(t(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+          $"l_orderkey" === $"o_orderkey")
+        .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
+        .distinct()
+      val edges = cs.union(cs.select($"dst".as("src"), $"src".as("dst")))
+      // trusted seeds: every ~101st customer (node = 2*custkey, so % 202)
+      val seeds = cs.select($"src".as("n")).distinct().filter($"n" % 202 === 0)
+      graft.operators.graph.TrustRank.run(edges, "src", "dst", seeds, "n",
+          iterations = 5, edgesDistinct = true)
+        .orderBy($"node")
+    }, trustRankOracleSql(5))
   )
 
   /** One-shot BM25 replay (p87's oracle) — shared with s41, whose
@@ -3674,6 +3693,45 @@ object Pipeline {
        |a0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM e),
        |$iters
        |SELECT node, CAST(deg AS BIGINT) AS deg FROM a$rounds ORDER BY node""".stripMargin
+  }
+
+  /** Unrolled personalized-PageRank replay for p108 (see
+    * [[graft.operators.graph.TrustRank]]): p66's integer algebra with the
+    * teleport and dangling terms gated on seed membership.
+    */
+  private def trustRankOracleSql(k: Int): String = {
+    val iters = (1 to k).map { i =>
+      s"""dm$i AS (SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS dm
+         | FROM r${i - 1} JOIN sinks USING (node)),
+         |is$i AS (SELECT e.dst AS node,
+         |  CAST(SUM(r${i - 1}.r // deg.outdeg) AS BIGINT) AS insum
+         | FROM e JOIN deg USING (src) JOIN r${i - 1} ON r${i - 1}.node = e.src
+         | GROUP BY e.dst),
+         |r$i AS (SELECT n.node,
+         |  CASE WHEN sd.node IS NOT NULL
+         |    THEN 15 * 1000000000000 // (100 * p.s) ELSE 0 END +
+         |  (85 * (COALESCE(i.insum, 0) + CASE WHEN sd.node IS NOT NULL
+         |    THEN d.dm // p.s ELSE 0 END)) // 100 AS r
+         | FROM nodes n LEFT JOIN seedset sd ON sd.node = n.node
+         | CROSS JOIN p CROSS JOIN dm$i d
+         | LEFT JOIN is$i i ON i.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cs AS (SELECT DISTINCT 2 * o_custkey AS src,
+       |  2 * l_suppkey + 1 AS dst
+       | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e AS (SELECT src, dst FROM cs UNION SELECT dst, src FROM cs),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |seedset AS (SELECT DISTINCT src AS node FROM cs WHERE src % 202 = 0),
+       |p AS (SELECT COUNT(*) AS s FROM seedset),
+       |deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+       |sinks AS (SELECT node FROM nodes EXCEPT SELECT src FROM e),
+       |r0 AS (SELECT n.node, CASE WHEN sd.node IS NOT NULL
+       |  THEN 1000000000000 // p.s ELSE 0 END AS r
+       | FROM nodes n LEFT JOIN seedset sd ON sd.node = n.node CROSS JOIN p),
+       |$iters
+       |SELECT node, CAST(r AS BIGINT) AS trust_fp,
+       | CAST(r AS DOUBLE) / 1000000000000 AS trust
+       |FROM r$k ORDER BY node""".stripMargin
   }
 
   /** Demo WordPiece vocab for p67: all lowercase letters EXCEPT `q`

@@ -439,6 +439,19 @@ class PipelineETSpec extends AnyFunSuite {
       Seq((1L, 0), (2L, 1), (3L, 2)))
   }
 
+  test("TrustRank ranks from a seed table via the DSL") {
+    val df = runDF(
+      """set tre = '''{"src":1,"dst":2}
+        |{"src":2,"dst":3}''';
+        |set trs = '''{"node":1}''';
+        |load jsonStr.`tre` as tr_edges;
+        |load jsonStr.`trs` as tr_seeds;
+        |run tr_edges as TrustRank.`` where seedTable="tr_seeds" and iterations="3" as trout;
+        |select node, trust_fp from trout order by node as out;""".stripMargin)
+    val t = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t(1L) > t(2L) && t(2L) > t(3L) && t(3L) > 0L)
+  }
+
   test("Attribution + Survival: analytics ETs through the DSL") {
     val df = runDF(
       """set at = '''{"user_id":1,"ts":"2026-01-01 00:00:00","event_type":"view","value":0}
