@@ -28,6 +28,7 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .withExtensions(graft.functions.VecExpressions.inject)
+      .withExtensions(graft.functions.StringExpressions.inject)
       // metadata-only COUNT/MIN/MAX over vparquet snapshots (answers from
       // manifest stats, no scan — see graft.plans.MetadataOnlyAgg)
       .withExtensions(graft.plans.MetadataOnlyAgg.inject)

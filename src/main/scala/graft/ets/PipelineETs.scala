@@ -1863,13 +1863,24 @@ object FuzzyLinkageET extends NoPathET {
       throw new IllegalArgumentException("FuzzyLinkage requires rightTable")))
     val lId = params.getOrElse("leftIdCol", "id")
     val lStr = params.getOrElse("leftStrCol", "name")
-    graft.operators.text.EditLinkage.fuzzyJoin(
-      df, lId, lStr, right,
-      params.getOrElse("rightIdCol", lId),
-      params.getOrElse("rightStrCol", lStr),
-      maxDist = params.getOrElse("maxDist", "2").toInt,
-      q = params.getOrElse("q", "3").toInt,
-      maxGramFreq = params.getOrElse("maxGramFreq", "0").toLong)
+    val rId = params.getOrElse("rightIdCol", lId)
+    val rStr = params.getOrElse("rightStrCol", lStr)
+    val q = params.getOrElse("q", "3").toInt
+    val cap = params.getOrElse("maxGramFreq", "0").toLong
+    params.getOrElse("mode", "edit") match {
+      case "edit" => graft.operators.text.EditLinkage.fuzzyJoin(
+        df, lId, lStr, right, rId, rStr,
+        maxDist = params.getOrElse("maxDist", "2").toInt,
+        q = q, maxGramFreq = cap)
+      // best Jaro-Winkler match per left record (mode="jw")
+      case "jw" => graft.operators.text.EditLinkage.jwBestMatch(
+        df, lId, lStr, right, rId, rStr,
+        minSim = params.getOrElse("minSim", "0.9").toDouble,
+        q = q, bandSlack = params.getOrElse("bandSlack", "8").toInt,
+        maxGramFreq = cap)
+      case other => throw new IllegalArgumentException(
+        s"FuzzyLinkage mode must be edit|jw, got '$other'")
+    }
   }
 }
 

@@ -50,8 +50,51 @@ object EditLinkage {
                 right: DataFrame, rId: String, rStr: String,
                 maxDist: Int, q: Int = 3, maxGramFreq: Long = 0L): DataFrame = {
     require(maxDist >= 0, "maxDist must be >= 0")
-    require(q >= 1, "q must be >= 1")
+    val cand = fuzzyCandidates(left, lId, lStr, right, rId, rStr,
+      maxDist, q, maxGramFreq)
+    cand
+      .withColumn("dist",
+        expr(s"levenshtein(l_str, r_str, $maxDist)").cast("int"))
+      .where(col("dist") >= 0 && col("dist") <= maxDist)
+      .select(col("l_id"), col("r_id"), col("l_str"), col("r_str"), col("dist"))
+  }
 
+  /** Best fuzzy match per LEFT record under Jaro-Winkler similarity
+    * ([[graft.functions.JaroWinklerSim]] — bit-compatible with DuckDB's
+    * `jaro_winkler_similarity`, so the p109 oracle replays scoring
+    * verbatim): q-gram blocking with a generous length band (JW has no
+    * edit-distance length bound, so the band is `bandSlack` rather than
+    * a distance), then the top match per left id at `minSim` or better,
+    * ties broken by right id. Same scale shape as [[fuzzyJoin]]; the
+    * argmax is one window keyed by the left id.
+    */
+  def jwBestMatch(left: DataFrame, lId: String, lStr: String,
+                  right: DataFrame, rId: String, rStr: String,
+                  minSim: Double, q: Int = 3, bandSlack: Int = 8,
+                  maxGramFreq: Long = 0L): DataFrame = {
+    require(minSim >= 0.0 && minSim <= 1.0, "minSim must be in [0,1]")
+    val pairs = fuzzyCandidates(left, lId, lStr, right, rId, rStr,
+      bandSlack, q, maxGramFreq)
+    import org.apache.spark.sql.expressions.Window
+    pairs
+      .withColumn("sim", round(
+        call_function("jaro_winkler_similarity", col("l_str"), col("r_str")), 6))
+      .where(col("sim") >= minSim)
+      .withColumn("__rn__", row_number().over(
+        Window.partitionBy(col("l_id"))
+          .orderBy(col("sim").desc, col("r_id"))))
+      .where(col("__rn__") === 1)
+      .select(col("l_id"), col("r_id"), col("l_str"), col("r_str"), col("sim"))
+  }
+
+  /** Shared blocking stage: distinct candidate pairs that share a q-gram
+    * within a length band of `slack`.
+    */
+  private def fuzzyCandidates(left: DataFrame, lId: String, lStr: String,
+                              right: DataFrame, rId: String, rStr: String,
+                              slack: Int, q: Int,
+                              maxGramFreq: Long): DataFrame = {
+    require(q >= 1, "q must be >= 1")
     // per-side gram column names: self-linkage passes one frame twice,
     // and a shared name would make the join condition self-ambiguous
     def grams(df: DataFrame, id: String, str: String, idAs: String,
@@ -61,28 +104,20 @@ object EditLinkage {
         .withColumn(lenAs, length(col(strAs)))
         .withColumn(gramAs, explode(array_distinct(expr(
           s"transform(sequence(1, $lenAs - ${q - 1}), i -> substring($strAs, i, $q))"))))
-
     val lg = grams(left, lId, lStr, "l_id", "l_str", "l_len", "l_gram")
     val rg0 = grams(right, rId, rStr, "r_id", "r_str", "r_len", "r_gram")
     val rg =
       if (maxGramFreq <= 0L) rg0
       else {
-        // drop the hottest grams on the index side (f strings -> f^2
-        // candidate pairs); exact count, so the cut is deterministic
         val hot = rg0.groupBy(col("r_gram"))
           .agg(count(lit(1)).as("__f__")).where(col("__f__") > maxGramFreq)
           .select(col("r_gram"))
         rg0.join(hot, Seq("r_gram"), "left_anti")
       }
-    val cand = lg.join(rg,
+    lg.join(rg,
         col("l_gram") === col("r_gram") &&
-          abs(col("l_len") - col("r_len")) <= maxDist)
+          abs(col("l_len") - col("r_len")) <= slack)
       .select(col("l_id"), col("l_str"), col("r_id"), col("r_str"))
       .distinct()
-    cand
-      .withColumn("dist",
-        expr(s"levenshtein(l_str, r_str, $maxDist)").cast("int"))
-      .where(col("dist") >= 0 && col("dist") <= maxDist)
-      .select(col("l_id"), col("r_id"), col("l_str"), col("r_str"), col("dist"))
   }
 }

@@ -3541,7 +3541,72 @@ object Pipeline {
       graft.operators.graph.TrustRank.run(edges, "src", "dst", seeds, "n",
           iterations = 5, edgesDistinct = true)
         .orderBy($"node")
-    }, trustRankOracleSql(5))
+    }, trustRankOracleSql(5)),
+
+    // ---- Jaro-Winkler best match (EditLinkage.jwBestMatch over the
+    //      native JaroWinklerSim expression): p105's registries scored by
+    //      similarity instead of edit distance. The expression is pinned
+    //      bit-compatible with DuckDB's jaro_winkler_similarity
+    //      (StringExpressionsSpec; 12000-pair cross-check), so the oracle
+    //      calls the engine's own function by the same name. ----
+    QuerySpec.sql("p109_jw_best_match", (s, dir) => {
+      import s.implicits._
+      val nameExpr =
+        """concat(
+          |  CASE CAST((c_custkey * 7) % 8 AS INT)
+          |    WHEN 0 THEN 'amber' WHEN 1 THEN 'birch' WHEN 2 THEN 'cedar'
+          |    WHEN 3 THEN 'delta' WHEN 4 THEN 'ember' WHEN 5 THEN 'fjord'
+          |    WHEN 6 THEN 'grove' ELSE 'haven' END, ' ',
+          |  CASE CAST((c_custkey div 8) % 8 AS INT)
+          |    WHEN 0 THEN 'mill' WHEN 1 THEN 'ford' WHEN 2 THEN 'gate'
+          |    WHEN 3 THEN 'field' WHEN 4 THEN 'stone' WHEN 5 THEN 'brook'
+          |    WHEN 6 THEN 'ridge' ELSE 'marsh' END, ' ',
+          |  CAST(c_custkey % 500 AS STRING))""".stripMargin
+      val clean = t(s, dir, "customer").filter($"c_custkey" < 800)
+        .select($"c_custkey".as("rid"), expr(nameExpr).as("rs"))
+      val dirty = clean.select(($"rid" + 100000L).as("lid"),
+        expr("""CASE CAST(rid % 4 AS INT)
+          | WHEN 1 THEN concat(substring(rs, 1, 3), substring(rs, 5))
+          | WHEN 2 THEN concat(substring(rs, 1, 1), 'x', substring(rs, 3))
+          | WHEN 3 THEN concat(substring(rs, 1, 5), 'q', substring(rs, 6))
+          | ELSE rs END""".stripMargin).as("ls"))
+      graft.operators.text.EditLinkage.jwBestMatch(
+          dirty, "lid", "ls", clean, "rid", "rs", minSim = 0.85)
+        .orderBy($"l_id")
+    },
+      """WITH cl AS (SELECT c_custkey AS rid,
+        |  CASE CAST((c_custkey * 7) % 8 AS INT)
+        |    WHEN 0 THEN 'amber' WHEN 1 THEN 'birch' WHEN 2 THEN 'cedar'
+        |    WHEN 3 THEN 'delta' WHEN 4 THEN 'ember' WHEN 5 THEN 'fjord'
+        |    WHEN 6 THEN 'grove' ELSE 'haven' END || ' ' ||
+        |  CASE CAST((c_custkey // 8) % 8 AS INT)
+        |    WHEN 0 THEN 'mill' WHEN 1 THEN 'ford' WHEN 2 THEN 'gate'
+        |    WHEN 3 THEN 'field' WHEN 4 THEN 'stone' WHEN 5 THEN 'brook'
+        |    WHEN 6 THEN 'ridge' ELSE 'marsh' END || ' ' ||
+        |  CAST(c_custkey % 500 AS VARCHAR) AS rs
+        |  FROM customer WHERE c_custkey < 800),
+        |di AS (SELECT rid + 100000 AS lid,
+        |  CASE CAST(rid % 4 AS INT)
+        |    WHEN 1 THEN substr(rs, 1, 3) || substr(rs, 5)
+        |    WHEN 2 THEN substr(rs, 1, 1) || 'x' || substr(rs, 3)
+        |    WHEN 3 THEN substr(rs, 1, 5) || 'q' || substr(rs, 6)
+        |    ELSE rs END AS ls
+        |  FROM cl),
+        |lg AS (SELECT lid, ls, LEN(ls) AS llen,
+        |  UNNEST(list_distinct(list_transform(range(1, LEN(ls) - 1),
+        |    i -> substr(ls, CAST(i AS INT), 3)))) AS gram FROM di),
+        |rg AS (SELECT rid, rs, LEN(rs) AS rlen,
+        |  UNNEST(list_distinct(list_transform(range(1, LEN(rs) - 1),
+        |    i -> substr(rs, CAST(i AS INT), 3)))) AS gram FROM cl),
+        |cand AS (SELECT DISTINCT lid, rid, ls, rs FROM lg JOIN rg USING (gram)
+        |  WHERE abs(llen - rlen) <= 8),
+        |sc AS (SELECT lid, rid, ls, rs,
+        |  ROUND(jaro_winkler_similarity(ls, rs), 6) AS sim FROM cand)
+        |SELECT lid AS l_id, rid AS r_id, ls AS l_str, rs AS r_str, sim
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lid
+        |        ORDER BY sim DESC, rid) AS rn
+        |      FROM sc WHERE sim >= CAST(0.85 AS DOUBLE))
+        |WHERE rn = 1 ORDER BY l_id""".stripMargin)
   )
 
   /** One-shot BM25 replay (p87's oracle) — shared with s41, whose
