@@ -175,6 +175,45 @@ object ScaleSweep {
     "p95_sentence_chunks" -> SparkEntry.queries("p95_sentence_chunks"),
     // cohort reduces to the duration axis before any window
     "p99_survival" -> SparkEntry.queries("p99_survival_km"),
+    // disjoint graph copies: peel rounds / frontier joins / rank
+    // iterations all work on m× edges with unchanged per-copy structure
+    "p106_kcore" -> SparkEntry.queries("p106_kcore"),
+    "p107_bfs_hops" -> SparkEntry.queries("p107_bfs_hops"),
+    "p108_trustrank" -> SparkEntry.queries("p108_trustrank"),
+    // fuzzy linkage in its production-linear shape: a GROWING dirty feed
+    // matched against a BOUNDED master catalog, so candidates per dirty
+    // record are capped by the catalog's block sizes and total work is
+    // ∝ the feed. (The p105/p109 entries' registry-vs-registry shape on
+    // a low-entropy synthetic name space is quadratic BY CONSTRUCTION —
+    // both sides share 64 word combos — and would measure the generator;
+    // the honest scale contract for blocking-based linkage is bounded
+    // blocks, here via the fixed catalog.)
+    "jw_linkage_vs_catalog" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      def nameExpr(key: String) =
+        s"""concat(
+           |  CASE CAST(($key * 7) % 8 AS INT)
+           |    WHEN 0 THEN 'amber' WHEN 1 THEN 'birch' WHEN 2 THEN 'cedar'
+           |    WHEN 3 THEN 'delta' WHEN 4 THEN 'ember' WHEN 5 THEN 'fjord'
+           |    WHEN 6 THEN 'grove' ELSE 'haven' END, ' ',
+           |  CASE CAST(($key div 8) % 8 AS INT)
+           |    WHEN 0 THEN 'mill' WHEN 1 THEN 'ford' WHEN 2 THEN 'gate'
+           |    WHEN 3 THEN 'field' WHEN 4 THEN 'stone' WHEN 5 THEN 'brook'
+           |    WHEN 6 THEN 'ridge' ELSE 'marsh' END, ' ',
+           |  CAST($key % 500 AS STRING))""".stripMargin
+      val catalog = s.range(800).select($"id".as("rid"),
+        expr(nameExpr("id")).as("rs"))
+      val dirty = Tables.load(s, dir, "customer")
+        .select($"c_custkey".as("lid"),
+          expr(s"""CASE CAST(c_custkey % 4 AS INT)
+            | WHEN 1 THEN concat(substring(${nameExpr("(c_custkey % 800)")}, 1, 3),
+            |               substring(${nameExpr("(c_custkey % 800)")}, 5))
+            | WHEN 2 THEN concat('x', substring(${nameExpr("(c_custkey % 800)")}, 2))
+            | ELSE ${nameExpr("(c_custkey % 800)")} END""".stripMargin).as("ls"))
+      graft.operators.text.EditLinkage.jwBestMatch(
+        dirty, "lid", "ls", catalog, "rid", "rs", minSim = 0.85)
+        .groupBy().agg(count(lit(1)).as("n_matched"))
+    }),
   )
 
   def main(args: Array[String]): Unit = {

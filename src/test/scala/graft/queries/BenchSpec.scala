@@ -113,6 +113,33 @@ class BenchSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("p105 linkage: inverted-index equi-join on the gram key, no cartesian") {
+    val p = plan("p105_fuzzy_linkage")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the verify stage runs the THRESHOLD levenshtein (O(d*len), not
+    // O(len^2)) — the 3-arg form shows its bound in the plan
+    assert(p.contains("levenshtein"), p)
+  }
+
+  test("p109 jw best match: same blocking shape, windowed argmax on l_id") {
+    val p = plan("p109_jw_best_match")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("jaro_winkler_similarity"), p)
+  }
+
+  test("p106 kcore / p107 bfs / p108 trustrank: loop frames are checkpointed scans, equi-joins only") {
+    for (name <- Seq("p106_kcore", "p107_bfs_hops", "p108_trustrank")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      // trustrank's dangling-mass 1-row aggregate broadcasts by design —
+      // any OTHER nested-loop join is a bug
+      val nlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+      assert(nlj <= (if (name == "p108_trustrank") 1 else 0), s"$name:\n$p")
+    }
+  }
+
   test("p98 attribution: conv x touch is a user-keyed join, never cartesian") {
     val p = plan("p98_multi_touch_attribution")
     assert(!p.contains("CartesianProduct"), p)
