@@ -28,7 +28,7 @@ object PipelineETs {
     Scd2ET, AcfET, AbTestET, StreamSessionsET, StreamHeavyHittersET, Bm25ET,
     MmrRerankET, TextNormalizeInPlaceET, UrlCanonicalizeInPlaceET, CusumET,
     StreamCusumET, Bm25IndexET, RetrievalEvalET, AttributionET, SurvivalET,
-    DistDriftET, SnippetsInPlaceET, FuzzyLinkageET, KCoreET, BfsHopsET, TrustRankET)
+    DistDriftET, SnippetsInPlaceET, FuzzyLinkageET, KCoreET, BfsHopsET, TrustRankET, EntityResolveET)
 }
 
 /** `run hits as SnippetsInPlace.`` [where textCol="text" and
@@ -1933,4 +1933,20 @@ object TrustRankET extends NoPathET {
       seeds, params.getOrElse("seedCol", "node"),
       iterations = params.getOrElse("iterations", "5").toInt)
   }
+}
+
+/** `run registry as EntityResolve.`` where idCol="id" and strCol="name"
+  * and maxDist="2" [and q="3" and maxGramFreq="0"]` — fuzzy self-linkage
+  * -> connected components -> min-id golden record (see
+  * [[graft.operators.text.EntityResolve]]).
+  */
+object EntityResolveET extends NoPathET {
+  override def name = "EntityResolve"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame =
+    graft.operators.text.EntityResolve.resolve(df,
+      params.getOrElse("idCol", "id"), params.getOrElse("strCol", "name"),
+      maxDist = params.getOrElse("maxDist", "2").toInt,
+      q = params.getOrElse("q", "3").toInt,
+      maxGramFreq = params.getOrElse("maxGramFreq", "0").toLong)
 }

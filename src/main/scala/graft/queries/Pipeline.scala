@@ -3606,7 +3606,80 @@ object Pipeline {
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lid
         |        ORDER BY sim DESC, rid) AS rn
         |      FROM sc WHERE sim >= CAST(0.85 AS DOUBLE))
-        |WHERE rn = 1 ORDER BY l_id""".stripMargin)
+        |WHERE rn = 1 ORDER BY l_id""".stripMargin),
+
+    // ---- entity resolution (text.EntityResolve): fuzzy SELF-linkage on
+    //      the combined registry -> connected components -> min-id golden
+    //      record. Transitive chains (A≈B≈C with A,C > maxDist apart)
+    //      cluster correctly — the part pairwise linkage can't do. The
+    //      oracle replays blocking + levenshtein + a recursive closure
+    //      (p43's reach pattern) + the same survivorship rule. ----
+    QuerySpec.sql("p110_entity_resolution", (s, dir) => {
+      import s.implicits._
+      val nameExpr =
+        """concat(
+          |  CASE CAST((c_custkey * 7) % 8 AS INT)
+          |    WHEN 0 THEN 'amber' WHEN 1 THEN 'birch' WHEN 2 THEN 'cedar'
+          |    WHEN 3 THEN 'delta' WHEN 4 THEN 'ember' WHEN 5 THEN 'fjord'
+          |    WHEN 6 THEN 'grove' ELSE 'haven' END, ' ',
+          |  CASE CAST((c_custkey div 8) % 8 AS INT)
+          |    WHEN 0 THEN 'mill' WHEN 1 THEN 'ford' WHEN 2 THEN 'gate'
+          |    WHEN 3 THEN 'field' WHEN 4 THEN 'stone' WHEN 5 THEN 'brook'
+          |    WHEN 6 THEN 'ridge' ELSE 'marsh' END, ' ',
+          |  CAST(c_custkey % 500 AS STRING))""".stripMargin
+      val clean = t(s, dir, "customer").filter($"c_custkey" < 800)
+        .select($"c_custkey".as("id"), expr(nameExpr).as("s"))
+      val dirty = clean.select(($"id" + 100000L).as("id"),
+        expr("""CASE CAST(id % 4 AS INT)
+          | WHEN 1 THEN concat(substring(s, 1, 3), substring(s, 5))
+          | WHEN 2 THEN concat(substring(s, 1, 1), 'x', substring(s, 3))
+          | WHEN 3 THEN concat(substring(s, 1, 5), 'q', substring(s, 6))
+          | ELSE s END""".stripMargin).as("s"))
+      graft.operators.text.EntityResolve.resolve(
+          clean.unionByName(dirty), "id", "s", maxDist = 2)
+        .orderBy($"rec_id")
+    },
+      """WITH RECURSIVE cl AS (SELECT c_custkey AS id,
+        |  CASE CAST((c_custkey * 7) % 8 AS INT)
+        |    WHEN 0 THEN 'amber' WHEN 1 THEN 'birch' WHEN 2 THEN 'cedar'
+        |    WHEN 3 THEN 'delta' WHEN 4 THEN 'ember' WHEN 5 THEN 'fjord'
+        |    WHEN 6 THEN 'grove' ELSE 'haven' END || ' ' ||
+        |  CASE CAST((c_custkey // 8) % 8 AS INT)
+        |    WHEN 0 THEN 'mill' WHEN 1 THEN 'ford' WHEN 2 THEN 'gate'
+        |    WHEN 3 THEN 'field' WHEN 4 THEN 'stone' WHEN 5 THEN 'brook'
+        |    WHEN 6 THEN 'ridge' ELSE 'marsh' END || ' ' ||
+        |  CAST(c_custkey % 500 AS VARCHAR) AS s
+        |  FROM customer WHERE c_custkey < 800),
+        |reg AS MATERIALIZED (
+        |  SELECT id, s FROM cl
+        |  UNION ALL
+        |  SELECT id + 100000,
+        |    CASE CAST(id % 4 AS INT)
+        |      WHEN 1 THEN substr(s, 1, 3) || substr(s, 5)
+        |      WHEN 2 THEN substr(s, 1, 1) || 'x' || substr(s, 3)
+        |      WHEN 3 THEN substr(s, 1, 5) || 'q' || substr(s, 6)
+        |      ELSE s END
+        |  FROM cl),
+        |g AS MATERIALIZED (SELECT id, s, LEN(s) AS len,
+        |  UNNEST(list_distinct(list_transform(range(1, LEN(s) - 1),
+        |    i -> substr(s, CAST(i AS INT), 3)))) AS gram FROM reg),
+        |cand AS (SELECT DISTINCT a.id AS aid, a.s AS asp, b.id AS bid, b.s AS bs
+        |  FROM g a JOIN g b ON a.gram = b.gram
+        |  WHERE a.id < b.id AND abs(a.len - b.len) <= 2),
+        |p AS MATERIALIZED (SELECT aid, bid FROM cand WHERE levenshtein(asp, bs) <= 2),
+        |edges AS MATERIALIZED (SELECT aid AS s, bid AS d FROM p
+        |  UNION SELECT bid, aid FROM p),
+        |reach(s, d) AS (
+        |  SELECT s, d FROM edges
+        |  UNION
+        |  SELECT r.s, e2.d FROM reach r JOIN edges e2 ON r.d = e2.s),
+        |comp AS (SELECT s AS id, LEAST(s, MIN(d)) AS ent FROM reach GROUP BY s),
+        |withent AS (SELECT r.id AS rec_id, r.s AS rec_str,
+        |  COALESCE(c.ent, r.id) AS entity
+        |  FROM reg r LEFT JOIN comp c ON c.id = r.id)
+        |SELECT w.rec_id, w.rec_str, w.entity, b.s AS canon_str
+        |FROM withent w JOIN reg b ON b.id = w.entity
+        |ORDER BY w.rec_id""".stripMargin)
   )
 
   /** One-shot BM25 replay (p87's oracle) — shared with s41, whose

@@ -452,6 +452,19 @@ class PipelineETSpec extends AnyFunSuite {
     assert(t(1L) > t(2L) && t(2L) > t(3L) && t(3L) > 0L)
   }
 
+  test("EntityResolve clusters a transitive chain through the DSL") {
+    val df = runDF(
+      """set erg = '''{"id":1,"name":"golden retriever"}
+        |{"id":2,"name":"goldan retriever"}
+        |{"id":3,"name":"goldan retriefer"}''';
+        |load jsonStr.`erg` as er_reg;
+        |run er_reg as EntityResolve.`` where maxDist="1" as erout;
+        |select rec_id, entity, canon_str from erout order by rec_id as out;""".stripMargin)
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq ==
+      Seq((1L, 1L, "golden retriever"), (2L, 1L, "golden retriever"),
+        (3L, 1L, "golden retriever")))
+  }
+
   test("Attribution + Survival: analytics ETs through the DSL") {
     val df = runDF(
       """set at = '''{"user_id":1,"ts":"2026-01-01 00:00:00","event_type":"view","value":0}
