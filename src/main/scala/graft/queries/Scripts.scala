@@ -1544,6 +1544,79 @@ object Scripts {
         |SELECT qid, rank, cid, score, n_hit FROM (SELECT qid, cid, score, n_hit,
         |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rank
         |  FROM scored) WHERE rank <= 10
-        |ORDER BY qid, rank""".stripMargin)
+        |ORDER BY qid, rank""".stripMargin),
+
+    // ---- s44: MASTER-DATA / ER FLAGSHIP — synthesize a clean registry
+    //      and its typo'd feed in-script, EntityResolve them, and report
+    //      per-entity golden records with member counts; the oracle
+    //      replays registry synthesis, blocking + levenshtein, the
+    //      recursive closure, survivorship, and the rollup. ----
+    QuerySpec.sql("s44_script_entity_resolution", (s, dir) => script(s,
+      s"""load parquet.`$dir/customer.parquet` as s44_cust;
+         |select c_custkey as id, concat(
+         |  CASE CAST((c_custkey * 7) % 8 AS INT)
+         |    WHEN 0 THEN 'amber' WHEN 1 THEN 'birch' WHEN 2 THEN 'cedar'
+         |    WHEN 3 THEN 'delta' WHEN 4 THEN 'ember' WHEN 5 THEN 'fjord'
+         |    WHEN 6 THEN 'grove' ELSE 'haven' END, ' ',
+         |  CASE CAST((c_custkey div 8) % 8 AS INT)
+         |    WHEN 0 THEN 'mill' WHEN 1 THEN 'ford' WHEN 2 THEN 'gate'
+         |    WHEN 3 THEN 'field' WHEN 4 THEN 'stone' WHEN 5 THEN 'brook'
+         |    WHEN 6 THEN 'ridge' ELSE 'marsh' END, ' ',
+         |  CAST(c_custkey % 500 AS STRING)) as name
+         |  from s44_cust where c_custkey < 800 as s44_clean;
+         |select id + 100000 as id, CASE CAST(id % 4 AS INT)
+         |  WHEN 1 THEN concat(substring(name, 1, 3), substring(name, 5))
+         |  WHEN 2 THEN concat(substring(name, 1, 1), 'x', substring(name, 3))
+         |  WHEN 3 THEN concat(substring(name, 1, 5), 'q', substring(name, 6))
+         |  ELSE name END as name from s44_clean as s44_dirty;
+         |select * from s44_clean union all select * from s44_dirty as s44_reg;
+         |run s44_reg as EntityResolve.`` where idCol="id" and strCol="name"
+         |  and maxDist="2" as s44_ent;
+         |select entity, canon_str, count(*) as n_members,
+         |  sum(case when rec_id >= 100000 then 1 else 0 end) as n_feed
+         |  from s44_ent group by entity, canon_str
+         |  order by entity as s44_out;""".stripMargin),
+      """WITH RECURSIVE cl AS (SELECT c_custkey AS id,
+        |  CASE CAST((c_custkey * 7) % 8 AS INT)
+        |    WHEN 0 THEN 'amber' WHEN 1 THEN 'birch' WHEN 2 THEN 'cedar'
+        |    WHEN 3 THEN 'delta' WHEN 4 THEN 'ember' WHEN 5 THEN 'fjord'
+        |    WHEN 6 THEN 'grove' ELSE 'haven' END || ' ' ||
+        |  CASE CAST((c_custkey // 8) % 8 AS INT)
+        |    WHEN 0 THEN 'mill' WHEN 1 THEN 'ford' WHEN 2 THEN 'gate'
+        |    WHEN 3 THEN 'field' WHEN 4 THEN 'stone' WHEN 5 THEN 'brook'
+        |    WHEN 6 THEN 'ridge' ELSE 'marsh' END || ' ' ||
+        |  CAST(c_custkey % 500 AS VARCHAR) AS s
+        |  FROM customer WHERE c_custkey < 800),
+        |reg AS MATERIALIZED (
+        |  SELECT id, s FROM cl
+        |  UNION ALL
+        |  SELECT id + 100000,
+        |    CASE CAST(id % 4 AS INT)
+        |      WHEN 1 THEN substr(s, 1, 3) || substr(s, 5)
+        |      WHEN 2 THEN substr(s, 1, 1) || 'x' || substr(s, 3)
+        |      WHEN 3 THEN substr(s, 1, 5) || 'q' || substr(s, 6)
+        |      ELSE s END
+        |  FROM cl),
+        |g AS MATERIALIZED (SELECT id, s, LEN(s) AS len,
+        |  UNNEST(list_distinct(list_transform(range(1, LEN(s) - 1),
+        |    i -> substr(s, CAST(i AS INT), 3)))) AS gram FROM reg),
+        |cand AS (SELECT DISTINCT a.id AS aid, a.s AS asp, b.id AS bid, b.s AS bs
+        |  FROM g a JOIN g b ON a.gram = b.gram
+        |  WHERE a.id < b.id AND abs(a.len - b.len) <= 2),
+        |p AS MATERIALIZED (SELECT aid, bid FROM cand WHERE levenshtein(asp, bs) <= 2),
+        |edges AS MATERIALIZED (SELECT aid AS s, bid AS d FROM p
+        |  UNION SELECT bid, aid FROM p),
+        |reach(s, d) AS (
+        |  SELECT s, d FROM edges
+        |  UNION
+        |  SELECT r.s, e2.d FROM reach r JOIN edges e2 ON r.d = e2.s),
+        |comp AS (SELECT s AS id, LEAST(s, MIN(d)) AS ent FROM reach GROUP BY s),
+        |withent AS (SELECT r.id AS rec_id, COALESCE(c.ent, r.id) AS entity
+        |  FROM reg r LEFT JOIN comp c ON c.id = r.id)
+        |SELECT w.entity, b.s AS canon_str,
+        |  CAST(COUNT(*) AS BIGINT) AS n_members,
+        |  CAST(SUM(CASE WHEN w.rec_id >= 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_feed
+        |FROM withent w JOIN reg b ON b.id = w.entity
+        |GROUP BY w.entity, b.s ORDER BY w.entity""".stripMargin)
   )
 }
