@@ -444,6 +444,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(fin(2L) == (2L, 2))
   }
 
+  test("streaming fuzzy linkage: per-batch blocking join against a static catalog") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    // the production ingest shape the ScaleSweep case measures: a growing
+    // dirty feed matched per micro-batch against a bounded master catalog.
+    // foreachBatch runs the BATCH operator verbatim (fuzzyJoin's candidate
+    // distinct must not become cross-batch stream state)
+    val catalog = Seq((1L, "golden retriever"), (2L, "border collie"))
+      .toDF("id", "name")
+    val ms = MemoryStream[(Long, String)]
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Int)]()
+    val q = ms.toDF().toDF("id", "name").writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ck_fl").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val m = graft.operators.text.EditLinkage.fuzzyJoin(
+          batch, "id", "name", catalog, "id", "name", maxDist = 2)
+        out.synchronized {
+          out ++= m.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4)))
+        }
+        ()
+      }.start()
+    ms.addData((10L, "goldn retriever"), (30L, "pomeranian"))
+    q.processAllAvailable()
+    ms.addData((20L, "bordr colliex"))
+    q.processAllAvailable()
+    q.stop()
+    // streamed per-batch results == one batch run over the whole feed
+    val all = Seq((10L, "goldn retriever"), (30L, "pomeranian"),
+      (20L, "bordr colliex")).toDF("id", "name")
+    val batchRun = graft.operators.text.EditLinkage.fuzzyJoin(
+        all, "id", "name", catalog, "id", "name", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
+    assert(out.toSet == batchRun && batchRun == Set((10L, 1L, 1), (20L, 2L, 2)))
+  }
+
   test("flatMapGroupsWithState threshold alerts emit 0..n rows per key per batch") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
