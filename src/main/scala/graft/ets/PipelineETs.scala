@@ -28,7 +28,8 @@ object PipelineETs {
     Scd2ET, AcfET, AbTestET, StreamSessionsET, StreamHeavyHittersET, Bm25ET,
     MmrRerankET, TextNormalizeInPlaceET, UrlCanonicalizeInPlaceET, CusumET,
     StreamCusumET, Bm25IndexET, RetrievalEvalET, AttributionET, SurvivalET,
-    DistDriftET, SnippetsInPlaceET, FuzzyLinkageET, KCoreET, BfsHopsET, TrustRankET, EntityResolveET)
+    DistDriftET, SnippetsInPlaceET, FuzzyLinkageET, KCoreET, BfsHopsET, TrustRankET, EntityResolveET,
+    BlocklistET)
 }
 
 /** `run hits as SnippetsInPlace.`` [where textCol="text" and
@@ -1949,4 +1950,22 @@ object EntityResolveET extends NoPathET {
       maxDist = params.getOrElse("maxDist", "2").toInt,
       q = params.getOrElse("q", "3").toInt,
       maxGramFreq = params.getOrElse("maxGramFreq", "0").toLong)
+}
+
+/** `run docs as Blocklist.`` where termTable="banned" [and idCol="doc_id"
+  * and textCol="text" and termCol="term" and maxFrac="0.05"]` —
+  * table-driven banned-term screen (see
+  * [[graft.operators.text.QualityRules.blocklist]]).
+  */
+object BlocklistET extends NoPathET {
+  override def name = "Blocklist"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    val terms = ctx.spark.table(params.getOrElse("termTable",
+      throw new IllegalArgumentException("Blocklist requires termTable")))
+    graft.operators.text.QualityRules.blocklist(df,
+      params.getOrElse("idCol", "doc_id"), params.getOrElse("textCol", "text"),
+      terms, params.getOrElse("termCol", "term"),
+      maxFrac = params.getOrElse("maxFrac", "0.05").toDouble)
+  }
 }

@@ -165,4 +165,43 @@ object QualityRules {
       .filter(col("gopher_pass") === 1)
       .drop("n_words", "mean_word_len", "symbol_ratio", "digit_ratio",
         "n_stop_hits", "gopher_pass")
+
+  /** Blocklist screen — the Dolma/C4 banned-term rule: score every doc by
+    * its blocklisted-token mass and flag above a fraction threshold. The
+    * list is a TABLE (curation teams maintain thousands of terms and ship
+    * updates without code), so scoring is explode → inner equi-join on
+    * the term → per-doc re-aggregation: the join drops every clean token
+    * BEFORE the shuffle, so the doc-keyed aggregation moves only the HIT
+    * tokens — at 100 TB that is a shuffle proportional to violations, not
+    * corpus, and the blocklist side broadcasts. Tokens lowercase and
+    * strip edge punctuation before matching ("Spark," hits "spark");
+    * hit_frac rounds to 6 dp before the flag comparison so pass/fail is
+    * identical cross-engine.
+    *
+    * @return df + (n_tokens, n_hits, n_terms distinct matched,
+    *         hit_frac, blocked)
+    */
+  def blocklist(df: DataFrame, idCol: String, textCol: String,
+                terms: DataFrame, termCol: String,
+                maxFrac: Double = 0.05): DataFrame = {
+    require(maxFrac >= 0.0, "maxFrac must be >= 0")
+    val toks = df.select(col(idCol).as("__bid__"),
+        explode(expr(s"filter(transform(split(lower($textCol), ' '), " +
+          "w -> regexp_replace(w, '^[^a-z0-9]+|[^a-z0-9]+$', '')), " +
+          "w -> w != '')")).as("__tok__"))
+    val nTok = toks.groupBy(col("__bid__")).agg(count(lit(1)).as("n_tokens"))
+    val bl = terms.select(lower(col(termCol)).as("__tok__")).distinct()
+    val hits = toks.join(broadcast(bl), "__tok__")
+      .groupBy(col("__bid__"))
+      .agg(count(lit(1)).as("n_hits"),
+        countDistinct(col("__tok__")).as("n_terms"))
+    df.join(nTok.withColumnRenamed("__bid__", idCol), Seq(idCol), "left")
+      .join(hits.withColumnRenamed("__bid__", idCol), Seq(idCol), "left")
+      .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("n_terms", coalesce(col("n_terms"), lit(0L)))
+      .withColumn("hit_frac", when(col("n_tokens") === 0, lit(0.0))
+        .otherwise(round(col("n_hits").cast("double") / col("n_tokens"), 6)))
+      .withColumn("blocked", col("hit_frac") > maxFrac)
+  }
 }

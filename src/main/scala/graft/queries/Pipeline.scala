@@ -3679,7 +3679,48 @@ object Pipeline {
         |  FROM reg r LEFT JOIN comp c ON c.id = r.id)
         |SELECT w.rec_id, w.rec_str, w.entity, b.s AS canon_str
         |FROM withent w JOIN reg b ON b.id = w.entity
-        |ORDER BY w.rec_id""".stripMargin)
+        |ORDER BY w.rec_id""".stripMargin),
+
+    // ---- blocklist screen (QualityRules.blocklist): the Dolma/C4
+    //      banned-term rule as a TABLE-driven join — explode hits only
+    //      into the doc-keyed re-agg (shuffle ∝ violations, list side
+    //      broadcast). The oracle replays tokenization, matching, and
+    //      the 6-dp flag threshold. ----
+    QuerySpec.sql("p111_blocklist", (s, dir) => {
+      import s.implicits._
+      val bl = Seq("spark", "vector", "stream").toDF("term")
+      graft.operators.text.QualityRules.blocklist(
+          t(s, dir, "documents"), "doc_id", "text", bl, "term", maxFrac = 0.05)
+        .select($"doc_id", $"n_tokens", $"n_hits", $"n_terms",
+          $"hit_frac", $"blocked")
+        .orderBy($"doc_id")
+    },
+      """WITH d AS (SELECT doc_id,
+        |  list_filter(list_transform(string_split(lower(text), ' '),
+        |    w -> regexp_replace(w, '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g')),
+        |    w -> w <> '') AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, UNNEST(toks) AS tok FROM d),
+        |nt AS (SELECT doc_id, COUNT(*) AS n_tokens FROM tok GROUP BY doc_id),
+        |bl AS (SELECT * FROM (VALUES ('spark'), ('vector'), ('stream')) b(term)),
+        |hits AS (SELECT doc_id, COUNT(*) AS n_hits,
+        |  COUNT(DISTINCT tok) AS n_terms
+        |  FROM tok JOIN bl ON bl.term = tok.tok GROUP BY doc_id),
+        |j AS (SELECT dd.doc_id,
+        |  COALESCE(nt.n_tokens, 0) AS n_tokens,
+        |  COALESCE(hits.n_hits, 0) AS n_hits,
+        |  COALESCE(hits.n_terms, 0) AS n_terms
+        |  FROM documents dd
+        |  LEFT JOIN nt ON nt.doc_id = dd.doc_id
+        |  LEFT JOIN hits ON hits.doc_id = dd.doc_id)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(n_hits AS BIGINT) AS n_hits, CAST(n_terms AS BIGINT) AS n_terms,
+        |  CASE WHEN n_tokens = 0 THEN CAST(0.0 AS DOUBLE)
+        |       ELSE ROUND(CAST(n_hits AS DOUBLE) / n_tokens, 6) END AS hit_frac,
+        |  (CASE WHEN n_tokens = 0 THEN CAST(0.0 AS DOUBLE)
+        |        ELSE ROUND(CAST(n_hits AS DOUBLE) / n_tokens, 6) END
+        |   > CAST(0.05 AS DOUBLE)) AS blocked
+        |FROM j ORDER BY doc_id""".stripMargin)
   )
 
   /** One-shot BM25 replay (p87's oracle) — shared with s41, whose

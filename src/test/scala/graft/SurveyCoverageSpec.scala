@@ -141,7 +141,8 @@ class SurveyCoverageSpec extends AnyFunSuite {
       "StreamSessions", "StreamHeavyHitters", "Bm25", "MmrRerank",
       "TextNormalizeInPlace", "UrlCanonicalizeInPlace", "Cusum", "StreamCusum", "Bm25Index",
       "RetrievalEval", "Attribution", "Survival", "DistDrift",
-      "SnippetsInPlace", "FuzzyLinkage", "KCore", "BfsHops", "TrustRank", "EntityResolve")
+      "SnippetsInPlace", "FuzzyLinkage", "KCore", "BfsHops", "TrustRank", "EntityResolve",
+      "Blocklist")
     val missing = names.filter(n =>
       scala.util.Try(ETRegistry.lookup(n)).isFailure)
     assert(missing.isEmpty, s"ET registry missing: ${missing.mkString(", ")}")

@@ -465,6 +465,19 @@ class PipelineETSpec extends AnyFunSuite {
         (3L, 1L, "golden retriever")))
   }
 
+  test("Blocklist screens docs against a term table via the DSL") {
+    val df = runDF(
+      """set bld = '''{"doc_id":1,"text":"spark spark spark"}
+        |{"doc_id":2,"text":"perfectly clean text"}''';
+        |set blt = '''{"term":"spark"}''';
+        |load jsonStr.`bld` as bl_docs;
+        |load jsonStr.`blt` as bl_terms;
+        |run bl_docs as Blocklist.`` where termTable="bl_terms" as blout;
+        |select doc_id, n_hits, blocked from blout order by doc_id as out;""".stripMargin)
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq ==
+      Seq((1L, 3L, true), (2L, 0L, false)))
+  }
+
   test("Attribution + Survival: analytics ETs through the DSL") {
     val df = runDF(
       """set at = '''{"user_id":1,"ts":"2026-01-01 00:00:00","event_type":"view","value":0}

@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.TestSpark
 import graft.operators.dedup.Decontaminate
-import graft.operators.text.{PiiScrub, TextAnalysis}
+import graft.operators.text.{PiiScrub, QualityRules, TextAnalysis}
 
 /** Corpus-cleaning operators: decontamination, repetition filter, PII
   * scrub (the p21–p23 CORRECTNESS entries cover the oracle parity; these
@@ -100,6 +100,27 @@ class CleanOpsSpec extends AnyFunSuite {
     // doc 2: two distinct duplicated 5-grams, mass 2*5+2*5=20 over cm=11,
     // capped at 1.0
     assert(out(1)._1 == 2L && out(1)._3 == 1.0 && out(1)._4 == 0, s"got ${out(1)}")
+  }
+
+  test("blocklist screen: hit mass, punctuation-stripped matching, flag threshold") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the Spark, engine runs spark jobs fast"),   // 2 hits / 7 tokens
+      (2L, "clean prose with nothing banned at all"),   // 0 hits
+      (3L, "SPARK! spark spark"),                       // 3 / 3 -> blocked
+      (4L, "")                                          // empty: 0 tokens
+    ).toDF("doc_id", "text")
+    val bl = Seq("spark", "vector").toDF("term")
+    val out = QualityRules.blocklist(docs, "doc_id", "text", bl, "term",
+        maxFrac = 0.3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_hits"),
+          r.getAs[Long]("n_terms"), r.getAs[Double]("hit_frac"),
+          r.getAs[Boolean]("blocked")))).toMap
+    assert(out(1L) == ((7L, 2L, 1L, 0.285714, false)))
+    assert(out(2L) == ((7L, 0L, 0L, 0.0, false)))
+    assert(out(3L) == ((3L, 3L, 1L, 1.0, true)))
+    assert(out(4L) == ((0L, 0L, 0L, 0.0, false)))
   }
 
   test("decontaminate clean drops flagged docs and keeps the rest intact") {
