@@ -29,7 +29,7 @@ object PipelineETs {
     MmrRerankET, TextNormalizeInPlaceET, UrlCanonicalizeInPlaceET, CusumET,
     StreamCusumET, Bm25IndexET, RetrievalEvalET, AttributionET, SurvivalET,
     DistDriftET, SnippetsInPlaceET, FuzzyLinkageET, KCoreET, BfsHopsET, TrustRankET, EntityResolveET,
-    BlocklistET)
+    BlocklistET, AsOfJoinET)
 }
 
 /** `run hits as SnippetsInPlace.`` [where textCol="text" and
@@ -1967,5 +1967,30 @@ object BlocklistET extends NoPathET {
       params.getOrElse("idCol", "doc_id"), params.getOrElse("textCol", "text"),
       terms, params.getOrElse("termCol", "term"),
       maxFrac = params.getOrElse("maxFrac", "0.05").toDouble)
+  }
+}
+
+/** `run left as AsOfJoin.`` where rightTable="quotes" and keyCols="k" and
+  * leftTime="t" and rightTime="t" and payload="px,qty"
+  * [and direction="backward|forward|nearest" and tolerance="INTERVAL 1 DAY"]`
+  * — as-of join with pandas merge_asof's parameter set (see
+  * [[graft.operators.temporal.AsOfJoin]]).
+  */
+object AsOfJoinET extends NoPathET {
+  override def name = "AsOfJoin"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    val right = ctx.spark.table(params.getOrElse("rightTable",
+      throw new IllegalArgumentException("AsOfJoin requires rightTable")))
+    graft.operators.temporal.AsOfJoin.join(df, right,
+      params.getOrElse("keyCols",
+        throw new IllegalArgumentException("AsOfJoin requires keyCols"))
+        .split(",").map(_.trim).toSeq,
+      params.getOrElse("leftTime", "ts"), params.getOrElse("rightTime", "ts"),
+      params.getOrElse("payload",
+        throw new IllegalArgumentException("AsOfJoin requires payload"))
+        .split(",").map(_.trim).toSeq,
+      direction = params.getOrElse("direction", "backward"),
+      tolerance = params.get("tolerance"))
   }
 }

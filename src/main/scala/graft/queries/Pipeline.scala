@@ -3720,7 +3720,40 @@ object Pipeline {
         |  (CASE WHEN n_tokens = 0 THEN CAST(0.0 AS DOUBLE)
         |        ELSE ROUND(CAST(n_hits AS DOUBLE) / n_tokens, 6) END
         |   > CAST(0.05 AS DOUBLE)) AS blocked
-        |FROM j ORDER BY doc_id""".stripMargin)
+        |FROM j ORDER BY doc_id""".stripMargin),
+
+    // ---- as-of join, NEAREST direction with tolerance (temporal
+    //      .AsOfJoin — pandas merge_asof parity): each purchase matches
+    //      the closest view within 1 day, ties backward. The Spark plan
+    //      is the union+two-windows formulation (one key exchange); the
+    //      oracle states the SEMANTICS directly as correlated min/max
+    //      subqueries — two independent formulations agreeing, like
+    //      p75's backward case against DuckDB's native ASOF. ----
+    QuerySpec.sql("p112_asof_nearest", (s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val pu = ev.filter($"event_type" === "purchase").select($"user_id", $"ts")
+      val vw = ev.filter($"event_type" === "view").select($"user_id", $"ts")
+      graft.operators.temporal.AsOfJoin.join(pu, vw, Seq("user_id"),
+          "ts", "ts", Seq("ts"),
+          direction = "nearest", tolerance = Some("INTERVAL 1 DAY"))
+        .orderBy($"user_id", $"ts", $"asof_ts")
+    },
+      """WITH pu AS (SELECT user_id AS u, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |vw AS (SELECT user_id AS u, ts FROM events WHERE event_type = 'view'),
+        |m AS (SELECT u, ts,
+        |  (SELECT MAX(v.ts) FROM vw v WHERE v.u = pu.u AND v.ts <= pu.ts
+        |     AND v.ts >= pu.ts - INTERVAL 1 DAY) AS bt,
+        |  (SELECT MIN(v.ts) FROM vw v WHERE v.u = pu.u AND v.ts >= pu.ts
+        |     AND v.ts <= pu.ts + INTERVAL 1 DAY) AS ft
+        |  FROM pu)
+        |SELECT u AS user_id, ts, CASE
+        |  WHEN bt IS NOT NULL AND ft IS NOT NULL THEN
+        |    CASE WHEN (ts - bt) <= (ft - ts) THEN bt ELSE ft END
+        |  WHEN bt IS NOT NULL THEN bt ELSE ft END AS asof_ts
+        |FROM m WHERE bt IS NOT NULL OR ft IS NOT NULL
+        |ORDER BY user_id, ts, asof_ts""".stripMargin)
   )
 
   /** One-shot BM25 replay (p87's oracle) — shared with s41, whose

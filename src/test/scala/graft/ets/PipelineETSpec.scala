@@ -478,6 +478,21 @@ class PipelineETSpec extends AnyFunSuite {
       Seq((1L, 3L, true), (2L, 0L, false)))
   }
 
+  test("AsOfJoin ET: nearest direction with tolerance through the DSL") {
+    val df = runDF(
+      """set aol = '''{"id":1,"k":"u","t":13}''';
+        |set aor = '''{"k":"u","t":8,"px":1.0}
+        |{"k":"u","t":16,"px":2.0}''';
+        |load jsonStr.`aol` as ao_left;
+        |load jsonStr.`aor` as ao_right;
+        |run ao_left as AsOfJoin.`` where rightTable="ao_right" and keyCols="k"
+        |  and leftTime="t" and rightTime="t" and payload="px"
+        |  and direction="nearest" and tolerance="5" as aoout;
+        |select id, asof_px from aoout as out;""".stripMargin)
+    assert(df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((1L, 2.0))) // gap 5 vs 3: forward wins
+  }
+
   test("Attribution + Survival: analytics ETs through the DSL") {
     val df = runDF(
       """set at = '''{"user_id":1,"ts":"2026-01-01 00:00:00","event_type":"view","value":0}

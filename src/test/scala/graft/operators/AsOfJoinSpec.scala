@@ -27,6 +27,73 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out.length == 1 && out.head.getString(3) == "exact")
   }
 
+  test("forward direction picks the earliest right row at or after t") {
+    import spark.implicits._
+    val left = Seq((1L, "u", 10L), (2L, "u", 16L), (3L, "u", 99L))
+      .toDF("id", "k", "t")
+    val right = Seq(("u", 8L, "r8"), ("u", 15L, "r15"), ("u", 16L, "r16"))
+      .toDF("k", "t", "payload")
+    val out = AsOfJoin.join(left, right, Seq("k"), "t", "t", Seq("payload"),
+        direction = "forward")
+      .select("id", "asof_payload").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // id 2: exact-time right matches inclusively; id 3: nothing after 99
+    assert(out == Map(1L -> "r15", 2L -> "r16"))
+  }
+
+  test("nearest picks the smaller gap and breaks ties backward") {
+    import spark.implicits._
+    val left = Seq((1L, "u", 10L), (2L, "u", 13L), (3L, "u", 14L))
+      .toDF("id", "k", "t")
+    val right = Seq(("u", 8L, "b"), ("u", 16L, "f")).toDF("k", "t", "payload")
+    val out = AsOfJoin.join(left, right, Seq("k"), "t", "t", Seq("payload"),
+        direction = "nearest")
+      .select("id", "asof_payload").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // t=10: gaps 2 vs 6 -> b; t=13: gap 5 vs 3 -> f; t=14: 6 vs 2 -> f
+    assert(out == Map(1L -> "b", 2L -> "f", 3L -> "f"))
+    // equidistant: t=12 -> backward wins the tie
+    val tie = AsOfJoin.join(Seq((9L, "u", 12L)).toDF("id", "k", "t"),
+        right, Seq("k"), "t", "t", Seq("payload"), direction = "nearest")
+      .collect()
+    assert(tie.head.getString(3) == "b")
+  }
+
+  test("tolerance bounds the gap in every direction (numeric axis)") {
+    import spark.implicits._
+    val left = Seq((1L, "u", 10L)).toDF("id", "k", "t")
+    val right = Seq(("u", 6L, "b"), ("u", 17L, "f")).toDF("k", "t", "payload")
+    def run(dir: String, tol: String) =
+      AsOfJoin.join(left, right, Seq("k"), "t", "t", Seq("payload"),
+        direction = dir, tolerance = Some(tol))
+        .collect().map(_.getString(3)).toSeq
+    assert(run("backward", "4") == Seq("b"))
+    assert(run("backward", "3") == Seq())     // gap 4 > 3: dropped
+    assert(run("forward", "7") == Seq("f"))
+    assert(run("forward", "6") == Seq())
+    assert(run("nearest", "7") == Seq("b"))   // both in range: 4 < 7
+    assert(run("nearest", "3") == Seq())      // neither in range
+    // nearest with only the far side in tolerance takes it
+    assert(run("nearest", "4") == Seq("b"))
+    val onlyF = AsOfJoin.join(Seq((1L, "u", 16L)).toDF("id", "k", "t"),
+        right, Seq("k"), "t", "t", Seq("payload"),
+        direction = "nearest", tolerance = Some("1"))
+      .collect().map(_.getString(3)).toSeq
+    assert(onlyF == Seq("f"))
+  }
+
+  test("tolerance works in timestamp algebra via INTERVAL expressions") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq((1L, "u", ts("2024-01-03 00:00:00"))).toDF("id", "k", "t")
+    val right = Seq(("u", ts("2024-01-01 00:00:00"), "old")).toDF("k", "t", "payload")
+    def run(tol: String) =
+      AsOfJoin.join(left, right, Seq("k"), "t", "t", Seq("payload"),
+        tolerance = Some(tol)).count()
+    assert(run("INTERVAL 3 DAYS") == 1L)
+    assert(run("INTERVAL 1 DAY") == 0L)
+  }
+
   test("range join matches the BETWEEN predicate and avoids nested loops") {
     import spark.implicits._
     import graft.operators.temporal.RangeJoin
