@@ -78,6 +78,24 @@ class TrustRankSpec extends AnyFunSuite {
     }
   }
 
+  test("seeding EVERY node degenerates to PageRank bit-for-bit") {
+    // with seeds = all nodes, the teleport term is 15U/(100N) everywhere
+    // and dangling mass spreads dm/N — exactly PageRank's recurrence, so
+    // the two independent implementations must agree on every long
+    import spark.implicits._
+    val rnd = new scala.util.Random(31337)
+    val edges = Seq.fill(150)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val eDf = edges.toDF("s", "d")
+    val allNodes = edges.flatMap(p => Seq(p._1, p._2)).distinct.toDF("n")
+    val tr = TrustRank.run(eDf, "s", "d", allNodes, "n", iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pr = graft.operators.graph.PageRank.run(eDf, "s", "d", iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tr == pr, (tr.keySet ++ pr.keySet)
+      .filter(k => tr.get(k) != pr.get(k)).take(5).toString)
+  }
+
   test("seeds absent from the edge set are still ranked") {
     val t = run(Seq((1L, 2L)), Seq(7L), iters = 2)
     assert(t.contains(7L) && t(7L) > 0L && t(1L) == 0L)

@@ -140,6 +140,18 @@ class BenchSpec extends AnyFunSuite {
     }
   }
 
+  test("p112 nearest as-of: one key exchange + windows, no pair blowup") {
+    val p = plan("p112_asof_nearest")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Window"), p)
+    // the two directions must NOT re-shuffle: exactly one exchange
+    // hash-partitioned on the join key feeds both window sorts
+    val keyExchanges = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(user_id"))
+    assert(keyExchanges == 1, p)
+  }
+
   test("p98 attribution: conv x touch is a user-keyed join, never cartesian") {
     val p = plan("p98_multi_touch_attribution")
     assert(!p.contains("CartesianProduct"), p)
