@@ -29,7 +29,7 @@ object PipelineETs {
     MmrRerankET, TextNormalizeInPlaceET, UrlCanonicalizeInPlaceET, CusumET,
     StreamCusumET, Bm25IndexET, RetrievalEvalET, AttributionET, SurvivalET,
     DistDriftET, SnippetsInPlaceET, FuzzyLinkageET, KCoreET, BfsHopsET, TrustRankET, EntityResolveET,
-    BlocklistET, AsOfJoinET)
+    BlocklistET, AsOfJoinET, RandomProjectionET)
 }
 
 /** `run hits as SnippetsInPlace.`` [where textCol="text" and
@@ -1993,4 +1993,23 @@ object AsOfJoinET extends NoPathET {
       direction = params.getOrElse("direction", "backward"),
       tolerance = params.get("tolerance"))
   }
+}
+
+/** `run embs as RandomProjection.`` where vecCol="embedding" and
+  * inDim="64" and outDim="16" [and outCol="proj" and seed="7"]` —
+  * deterministic Achlioptas ±1/√k JL reduction (see
+  * [[graft.operators.similarity.RandomProjection]]).
+  */
+object RandomProjectionET extends NoPathET {
+  override def name = "RandomProjection"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame =
+    graft.operators.similarity.RandomProjection.project(df,
+      params.getOrElse("vecCol", "embedding"),
+      params.getOrElse("outCol", "proj"),
+      inDim = params.getOrElse("inDim",
+        throw new IllegalArgumentException("RandomProjection requires inDim")).toInt,
+      outDim = params.getOrElse("outDim",
+        throw new IllegalArgumentException("RandomProjection requires outDim")).toInt,
+      seed = params.getOrElse("seed", "7").toLong)
 }

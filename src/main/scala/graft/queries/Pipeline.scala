@@ -3753,7 +3753,38 @@ object Pipeline {
         |    CASE WHEN (ts - bt) <= (ft - ts) THEN bt ELSE ft END
         |  WHEN bt IS NOT NULL THEN bt ELSE ft END AS asof_ts
         |FROM m WHERE bt IS NOT NULL OR ft IS NOT NULL
-        |ORDER BY user_id, ts, asof_ts""".stripMargin)
+        |ORDER BY user_id, ts, asof_ts""".stripMargin),
+
+    // ---- deterministic sparse random projection (similarity
+    //      .RandomProjection): Achlioptas ±1/√k JL reduction 64->16 with
+    //      the md5-parity sign matrix both engines derive independently.
+    //      The oracle rebuilds R from the same hash rule and replays each
+    //      dot as an ascending-index list_reduce fold — bit-identical to
+    //      arr_dot's loop before the 6-dp round. ----
+    QuerySpec.sql("p113_random_projection", (s, dir) => {
+      import s.implicits._
+      graft.operators.similarity.RandomProjection.project(
+          t(s, dir, "embeddings"), "embedding", "proj",
+          inDim = 64, outDim = 16, seed = 7)
+        .select($"vec_id", posexplode($"proj").as(Seq("j", "yj")))
+        .orderBy($"vec_id", $"j")
+    },
+      """WITH sg AS (SELECT j, i,
+        |  CASE WHEN CAST(CONCAT('0x', SUBSTR(MD5(
+        |      'rp:7:' || CAST(j AS VARCHAR) || ':' || CAST(i AS VARCHAR)),
+        |      1, 1)) AS UBIGINT) % 2 = 0
+        |    THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS s
+        |  FROM range(0, 16) t1(j) CROSS JOIN range(0, 64) t2(i)),
+        |sr AS (SELECT j, list(s ORDER BY i) AS srow FROM sg GROUP BY j),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE LEN(embedding) >= 64)
+        |SELECT vec_id, CAST(j AS INT) AS j,
+        |  -- + 0.0 normalizes a possible -0.0 (Spark's BigDecimal round
+        |  -- never emits one; exact no-op for every other value)
+        |  ROUND(list_reduce(list_transform(v[1:64], (x, idx) -> x * srow[idx]),
+        |    (a, b) -> a + b) / SQRT(CAST(16 AS DOUBLE)), 6) + CAST(0.0 AS DOUBLE) AS yj
+        |FROM e CROSS JOIN sr
+        |ORDER BY vec_id, j""".stripMargin)
   )
 
   /** One-shot BM25 replay (p87's oracle) — shared with s41, whose

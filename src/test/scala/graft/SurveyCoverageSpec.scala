@@ -142,7 +142,7 @@ class SurveyCoverageSpec extends AnyFunSuite {
       "TextNormalizeInPlace", "UrlCanonicalizeInPlace", "Cusum", "StreamCusum", "Bm25Index",
       "RetrievalEval", "Attribution", "Survival", "DistDrift",
       "SnippetsInPlace", "FuzzyLinkage", "KCore", "BfsHops", "TrustRank", "EntityResolve",
-      "Blocklist", "AsOfJoin")
+      "Blocklist", "AsOfJoin", "RandomProjection")
     val missing = names.filter(n =>
       scala.util.Try(ETRegistry.lookup(n)).isFailure)
     assert(missing.isEmpty, s"ET registry missing: ${missing.mkString(", ")}")

@@ -493,6 +493,14 @@ class PipelineETSpec extends AnyFunSuite {
       Seq((1L, 2.0))) // gap 5 vs 3: forward wins
   }
 
+  test("RandomProjection reduces fixture embeddings 64->8 via the DSL") {
+    val df = runDF(
+      s"""load parquet.`$sf/embeddings.parquet` as rp_embs;
+         |run rp_embs as RandomProjection.`` where inDim="64" and outDim="8" as rpout;
+         |select vec_id, size(proj) as k from rpout order by vec_id limit 3 as out;""".stripMargin)
+    assert(df.collect().map(r => r.getInt(1)).forall(_ == 8))
+  }
+
   test("Attribution + Survival: analytics ETs through the DSL") {
     val df = runDF(
       """set at = '''{"user_id":1,"ts":"2026-01-01 00:00:00","event_type":"view","value":0}
