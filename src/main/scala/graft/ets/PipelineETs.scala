@@ -635,9 +635,16 @@ object PageRankFixedET extends NoPathET {
   override def name = "PageRankFixed"
   override def train(ctx: ScriptContext, df: DataFrame, path: String,
                      params: Map[String, String]): DataFrame =
-    graft.operators.graph.PageRank.run(df,
-      params.getOrElse("srcCol", "src"), params.getOrElse("dstCol", "dst"),
-      params.getOrElse("iterations", "5").toInt)
+    params.get("weightCol") match {
+      // weightCol switches to the weighted variant (shares split by
+      // integer edge weight; see PageRank.runWeighted)
+      case Some(w) => graft.operators.graph.PageRank.runWeighted(df,
+        params.getOrElse("srcCol", "src"), params.getOrElse("dstCol", "dst"),
+        w, params.getOrElse("iterations", "5").toInt)
+      case None => graft.operators.graph.PageRank.run(df,
+        params.getOrElse("srcCol", "src"), params.getOrElse("dstCol", "dst"),
+        params.getOrElse("iterations", "5").toInt)
+    }
 }
 
 /** `run events as Funnel.`` where steps="signup,view,click,purchase"

@@ -104,4 +104,68 @@ object PageRank {
     ranks.select(col("node"), col("r").as("rank_fp"),
       (col("r").cast("double") / unit.toDouble).as("rank"))
   }
+
+  /** Weighted PageRank: a node's rank splits across its out-edges in
+    * proportion to integer edge weights instead of uniformly —
+    * share(u→v) = ⌊r(u)·w/sw(u)⌋ (sw = u's weight total; duplicate
+    * (src,dst) rows ADD their weights, multigraph semantics; rows with
+    * w ≤ 0 are dropped). Same exact fixed-point contract as [[run]]:
+    * the share is computed by the overflow-safe split
+    * `w·(r div sw) + ((r mod sw)·w) div sw`, which equals
+    * ⌊r·w/sw⌋ identically (so an oracle may compute the product form in
+    * wide integers) while every intermediate stays ≤ max(r, sw²) —
+    * guarded by requiring sw ≤ √Long.Max (≈3.04e9 weight mass per node;
+    * rescale weights if a node exceeds it). Constant weights degenerate
+    * to [[run]] bit-for-bit (⌊rc/cd⌋ = ⌊r/d⌋), which the spec pins.
+    */
+  def runWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+                  weightCol: String, iterations: Int = 5,
+                  unit: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val sel = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("w") > 0)
+    val e = sel.groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    require(n > 0, "PageRank over an empty edge set (no nodes)")
+    val swt = e.groupBy(col("src")).agg(sum(col("w")).as("sw"))
+    val maxSw = swt.agg(max(col("sw"))).collect()(0).getLong(0)
+    require(maxSw <= 3037000499L, // floor(sqrt(Long.MaxValue))
+      s"weighted PageRank: a node carries weight mass $maxSw > sqrt(Long.Max) " +
+        "— rescale weights (the exact share split would overflow)")
+    val edgesW = e.join(swt, "src")
+      .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    val base = (15L * unit) / (100L * n)
+    val sinks = nodes.join(swt, nodes("node") === swt("src"), "left_anti")
+      .localCheckpoint(true)
+    var ranks = nodes.withColumn("r", lit(unit / n)).localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val dangling = ranks.join(sinks, "node", "left_semi")
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dm"))
+      val inSum = edgesW
+        .join(ranks, edgesW("src") === ranks("node"))
+        .select(col("dst"),
+          expr("w * (r div sw) + ((r % sw) * w) div sw").as("share"))
+        .groupBy(col("dst")).agg(sum(col("share")).as("insum"))
+      val prev = ranks
+      ranks = nodes
+        .join(inSum, nodes("node") === inSum("dst"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"),
+          (lit(base) + expr(s"(85 * (coalesce(insum, 0L) + dm div ${n}L)) div 100"))
+            .as("r"))
+        .localCheckpoint(true)
+      graft.LoopFrames.release(prev)
+    }
+    e.unpersist(false)
+    edgesW.unpersist(false)
+    graft.LoopFrames.release(nodes)
+    graft.LoopFrames.release(sinks)
+    ranks.select(col("node"), col("r").as("rank_fp"),
+      (col("r").cast("double") / unit.toDouble).as("rank"))
+  }
 }

@@ -3784,7 +3784,25 @@ object Pipeline {
         |  ROUND(list_reduce(list_transform(v[1:64], (x, idx) -> x * srow[idx]),
         |    (a, b) -> a + b) / SQRT(CAST(16 AS DOUBLE)), 6) + CAST(0.0 AS DOUBLE) AS yj
         |FROM e CROSS JOIN sr
-        |ORDER BY vec_id, j""".stripMargin)
+        |ORDER BY vec_id, j""".stripMargin),
+
+    // ---- weighted PageRank (graph.PageRank.runWeighted): rank splits
+    //      across out-edges by co-purchase support counts. The exact
+    //      share split w·(r div sw) + ((r mod sw)·w) div sw equals
+    //      ⌊r·w/sw⌋ identically, so the oracle unrolls the product form
+    //      in HUGEINT — two formulations of the same integer. ----
+    QuerySpec.sql("p114_weighted_pagerank", (s, dir) => {
+      import s.implicits._
+      val edges = graft.operators.basket.MarketBasket.pairRules(
+          t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey"),
+          "l_orderkey", "l_partkey", minSupport = 2L)
+        .select($"a", $"b", $"n_ab")
+      val both = edges.unionByName(
+        edges.select($"b".as("a"), $"a".as("b"), $"n_ab"))
+      graft.operators.graph.PageRank.runWeighted(both, "a", "b", "n_ab",
+          iterations = 5)
+        .orderBy($"node")
+    }, weightedPageRankOracleSql(5))
   )
 
   /** One-shot BM25 replay (p87's oracle) — shared with s41, whose
@@ -3974,6 +3992,41 @@ object Pipeline {
        |$iters
        |SELECT node, CAST(r AS BIGINT) AS trust_fp,
        | CAST(r AS DOUBLE) / 1000000000000 AS trust
+       |FROM r$k ORDER BY node""".stripMargin
+  }
+
+  /** Unrolled weighted-PageRank replay for p114: p66's algebra with the
+    * uniform 1/outdeg share replaced by ⌊r·w/sw⌋ (HUGEINT product form —
+    * equal to the operator's overflow-safe split by the floor identity).
+    * Edges/weights are the frequent co-purchase pairs with their support
+    * counts, mirrored both directions.
+    */
+  private def weightedPageRankOracleSql(k: Int): String = {
+    val iters = (1 to k).map { i =>
+      s"""dm$i AS (SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS dm
+         | FROM r${i - 1} JOIN sinks USING (node)),
+         |is$i AS (SELECT e.v AS node,
+         |  CAST(SUM((CAST(r${i - 1}.r AS HUGEINT) * e.w) // sw.sw) AS BIGINT) AS insum
+         | FROM e JOIN sw USING (u) JOIN r${i - 1} ON r${i - 1}.node = e.u
+         | GROUP BY e.v),
+         |r$i AS (SELECT n.node, (15 * 1000000000000 // (100 * p.n)) +
+         |  (85 * (COALESCE(i.insum, 0) + d.dm // p.n)) // 100 AS r
+         | FROM nodes n CROSS JOIN p CROSS JOIN dm$i d
+         | LEFT JOIN is$i i ON i.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS i FROM lineitem),
+       |pr AS (SELECT x.i AS a, y.i AS b, CAST(COUNT(*) AS BIGINT) AS w FROM it x
+       |       JOIN it y ON x.bk = y.bk AND x.i < y.i
+       |       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |e AS (SELECT a AS u, b AS v, w FROM pr UNION ALL SELECT b, a, w FROM pr),
+       |nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+       |p AS (SELECT COUNT(*) AS n FROM nodes),
+       |sw AS (SELECT u, CAST(SUM(w) AS BIGINT) AS sw FROM e GROUP BY u),
+       |sinks AS (SELECT node FROM nodes EXCEPT SELECT u FROM e),
+       |r0 AS (SELECT node, 1000000000000 // p.n AS r FROM nodes, p),
+       |$iters
+       |SELECT node, CAST(r AS BIGINT) AS rank_fp,
+       | CAST(r AS DOUBLE) / 1000000000000 AS "rank"
        |FROM r$k ORDER BY node""".stripMargin
   }
 
