@@ -46,7 +46,9 @@ object Bfs {
              else e0)
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      var settled = seeds.select(col(seedCol).as("node")).distinct()
+      // a null seed is not a node: drop it rather than emit (null, 0)
+      var settled = seeds.select(col(seedCol).as("node"))
+        .where(col("node").isNotNull).distinct()
         .withColumn("dist", lit(0)).localCheckpoint(true)
       var frontier = settled
       var hop = 0

@@ -48,7 +48,10 @@ object TrustRank {
     val sel = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val e = (if (edgesDistinct) sel else sel.distinct())
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val seedSet = seeds.select(col(seedCol).as("node")).distinct()
+    // null seeds are meaningless (they'd mint a null NODE via the union
+    // below and silently soak teleport mass) — drop, don't propagate
+    val seedSet = seeds.select(col(seedCol).as("node"))
+      .where(col("node").isNotNull).distinct()
       .localCheckpoint(true)
     val s = seedSet.count()
     require(s > 0, "TrustRank needs a non-empty seed set")

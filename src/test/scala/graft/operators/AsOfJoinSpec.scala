@@ -94,6 +94,47 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(run("INTERVAL 1 DAY") == 0L)
   }
 
+  test("every direction/tolerance agrees with a naive reference on seeded data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(2026)
+    for (trial <- 1 to 5) {
+      val keys = Seq("a", "b", "c")
+      val left = Seq.tabulate(25)(i =>
+        (i.toLong, keys(rnd.nextInt(3)), rnd.nextInt(50).toLong))
+      val right = Seq.tabulate(20)(i =>
+        (keys(rnd.nextInt(3)), rnd.nextInt(50).toLong, s"p$i"))
+      val lDf = left.toDF("id", "k", "t")
+      val rDf = right.toDF("k", "t", "payload")
+      for (dir <- Seq("backward", "forward", "nearest");
+           tol <- Seq(None, Some("7"))) {
+        val got = AsOfJoin.join(lDf, rDf, Seq("k"), "t", "t", Seq("t"),
+            direction = dir, tolerance = tol)
+          .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+        val bound = tol.map(_.toLong).getOrElse(Long.MaxValue)
+        val want = left.flatMap { case (id, k, t) =>
+          val cand = right.filter(_._1 == k).map(_._2)
+          val b = cand.filter(rt => rt <= t && t - rt <= bound)
+            .sorted.lastOption
+          val f = cand.filter(rt => rt >= t && rt - t <= bound)
+            .sorted.headOption
+          val m = dir match {
+            case "backward" => b
+            case "forward" => f
+            case "nearest" => (b, f) match {
+              case (Some(x), Some(y)) =>
+                Some(if (t - x <= y - t) x else y) // tie -> backward
+              case (x, y) => x.orElse(y)
+            }
+          }
+          m.map(id -> _)
+        }.toMap
+        assert(got == want, s"trial=$trial dir=$dir tol=$tol " +
+          s"diff=${(got.keySet ++ want.keySet)
+            .filter(k2 => got.get(k2) != want.get(k2)).take(5)}")
+      }
+    }
+  }
+
   test("range join matches the BETWEEN predicate and avoids nested loops") {
     import spark.implicits._
     import graft.operators.temporal.RangeJoin

@@ -45,6 +45,14 @@ class BfsSpec extends AnyFunSuite {
     assert(bfs(Seq((1L, 2L)), Seq(42L), maxHops = 3) == Map(42L -> 0))
   }
 
+  test("null seeds drop instead of minting a null node") {
+    import spark.implicits._
+    val out = Bfs.hopDistance(Seq((1L, 2L)).toDF("s", "d"), "s", "d",
+        Seq(Some(1L), None).toDF("seed"), "seed", maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(1L -> 0, 2L -> 1))
+  }
+
   test("agrees with a naive driver bfs on a seeded random graph") {
     val rnd = new scala.util.Random(7)
     val edges = Seq.fill(150)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))

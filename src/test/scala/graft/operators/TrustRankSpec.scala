@@ -100,4 +100,15 @@ class TrustRankSpec extends AnyFunSuite {
     val t = run(Seq((1L, 2L)), Seq(7L), iters = 2)
     assert(t.contains(7L) && t(7L) > 0L && t(1L) == 0L)
   }
+
+  test("null seeds drop instead of soaking teleport mass into a null node") {
+    import spark.implicits._
+    val out = TrustRank.run(Seq((1L, 2L)).toDF("s", "d"), "s", "d",
+        Seq(Some(1L), None).toDF("n"), "n", iterations = 2)
+      .collect()
+    assert(out.forall(!_.isNullAt(0)))
+    // one real seed: identical to the single-seed run
+    val single = run(Seq((1L, 2L)), Seq(1L), iters = 2)
+    assert(out.map(r => r.getLong(0) -> r.getLong(1)).toMap == single)
+  }
 }
