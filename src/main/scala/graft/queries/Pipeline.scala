@@ -3962,13 +3962,13 @@ object Pipeline {
     */
   private def trustRankOracleSql(k: Int): String = {
     val iters = (1 to k).map { i =>
-      s"""dm$i AS (SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS dm
+      s"""dm$i AS MATERIALIZED (SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS dm
          | FROM r${i - 1} JOIN sinks USING (node)),
-         |is$i AS (SELECT e.dst AS node,
+         |is$i AS MATERIALIZED (SELECT e.dst AS node,
          |  CAST(SUM(r${i - 1}.r // deg.outdeg) AS BIGINT) AS insum
          | FROM e JOIN deg USING (src) JOIN r${i - 1} ON r${i - 1}.node = e.src
          | GROUP BY e.dst),
-         |r$i AS (SELECT n.node,
+         |r$i AS MATERIALIZED (SELECT n.node,
          |  CASE WHEN sd.node IS NOT NULL
          |    THEN 15 * 1000000000000 // (100 * p.s) ELSE 0 END +
          |  (85 * (COALESCE(i.insum, 0) + CASE WHEN sd.node IS NOT NULL
@@ -3977,16 +3977,17 @@ object Pipeline {
          | CROSS JOIN p CROSS JOIN dm$i d
          | LEFT JOIN is$i i ON i.node = n.node)""".stripMargin
     }.mkString(",\n")
-    s"""WITH cs AS (SELECT DISTINCT 2 * o_custkey AS src,
+    // MATERIALIZED: see the p114 helper for the inlining blowup
+    s"""WITH cs AS MATERIALIZED (SELECT DISTINCT 2 * o_custkey AS src,
        |  2 * l_suppkey + 1 AS dst
        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-       |e AS (SELECT src, dst FROM cs UNION SELECT dst, src FROM cs),
-       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-       |seedset AS (SELECT DISTINCT src AS node FROM cs WHERE src % 202 = 0),
+       |e AS MATERIALIZED (SELECT src, dst FROM cs UNION SELECT dst, src FROM cs),
+       |nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |seedset AS MATERIALIZED (SELECT DISTINCT src AS node FROM cs WHERE src % 202 = 0),
        |p AS (SELECT COUNT(*) AS s FROM seedset),
-       |deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
-       |sinks AS (SELECT node FROM nodes EXCEPT SELECT src FROM e),
-       |r0 AS (SELECT n.node, CASE WHEN sd.node IS NOT NULL
+       |deg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+       |sinks AS MATERIALIZED (SELECT node FROM nodes EXCEPT SELECT src FROM e),
+       |r0 AS MATERIALIZED (SELECT n.node, CASE WHEN sd.node IS NOT NULL
        |  THEN 1000000000000 // p.s ELSE 0 END AS r
        | FROM nodes n LEFT JOIN seedset sd ON sd.node = n.node CROSS JOIN p),
        |$iters
@@ -4002,28 +4003,32 @@ object Pipeline {
     * counts, mirrored both directions.
     */
   private def weightedPageRankOracleSql(k: Int): String = {
+    // MATERIALIZED throughout: each round references the previous one
+    // twice (dm + insum), and DuckDB's plain-CTE inlining re-expands the
+    // WHOLE prefix per reference — 2^k copies of the basket self-join
+    // (observed: temp-spill ENOSPC at sf0.1). Same lesson as kcore.
     val iters = (1 to k).map { i =>
-      s"""dm$i AS (SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS dm
+      s"""dm$i AS MATERIALIZED (SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS dm
          | FROM r${i - 1} JOIN sinks USING (node)),
-         |is$i AS (SELECT e.v AS node,
+         |is$i AS MATERIALIZED (SELECT e.v AS node,
          |  CAST(SUM((CAST(r${i - 1}.r AS HUGEINT) * e.w) // sw.sw) AS BIGINT) AS insum
          | FROM e JOIN sw USING (u) JOIN r${i - 1} ON r${i - 1}.node = e.u
          | GROUP BY e.v),
-         |r$i AS (SELECT n.node, (15 * 1000000000000 // (100 * p.n)) +
+         |r$i AS MATERIALIZED (SELECT n.node, (15 * 1000000000000 // (100 * p.n)) +
          |  (85 * (COALESCE(i.insum, 0) + d.dm // p.n)) // 100 AS r
          | FROM nodes n CROSS JOIN p CROSS JOIN dm$i d
          | LEFT JOIN is$i i ON i.node = n.node)""".stripMargin
     }.mkString(",\n")
     s"""WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS i FROM lineitem),
-       |pr AS (SELECT x.i AS a, y.i AS b, CAST(COUNT(*) AS BIGINT) AS w FROM it x
+       |pr AS MATERIALIZED (SELECT x.i AS a, y.i AS b, CAST(COUNT(*) AS BIGINT) AS w FROM it x
        |       JOIN it y ON x.bk = y.bk AND x.i < y.i
        |       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-       |e AS (SELECT a AS u, b AS v, w FROM pr UNION ALL SELECT b, a, w FROM pr),
-       |nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+       |e AS MATERIALIZED (SELECT a AS u, b AS v, w FROM pr UNION ALL SELECT b, a, w FROM pr),
+       |nodes AS MATERIALIZED (SELECT u AS node FROM e UNION SELECT v FROM e),
        |p AS (SELECT COUNT(*) AS n FROM nodes),
-       |sw AS (SELECT u, CAST(SUM(w) AS BIGINT) AS sw FROM e GROUP BY u),
-       |sinks AS (SELECT node FROM nodes EXCEPT SELECT u FROM e),
-       |r0 AS (SELECT node, 1000000000000 // p.n AS r FROM nodes, p),
+       |sw AS MATERIALIZED (SELECT u, CAST(SUM(w) AS BIGINT) AS sw FROM e GROUP BY u),
+       |sinks AS MATERIALIZED (SELECT node FROM nodes EXCEPT SELECT u FROM e),
+       |r0 AS MATERIALIZED (SELECT node, 1000000000000 // p.n AS r FROM nodes, p),
        |$iters
        |SELECT node, CAST(r AS BIGINT) AS rank_fp,
        | CAST(r AS DOUBLE) / 1000000000000 AS "rank"
@@ -4106,26 +4111,28 @@ object Pipeline {
     */
   private def pageRankOracleSql(k: Int): String = {
     val iters = (1 to k).map { i =>
-      s"""dm$i AS (SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS dm
+      s"""dm$i AS MATERIALIZED (SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS dm
          | FROM r${i - 1} JOIN sinks USING (node)),
-         |is$i AS (SELECT e.dst AS node,
+         |is$i AS MATERIALIZED (SELECT e.dst AS node,
          |  CAST(SUM(r${i - 1}.r // deg.outdeg) AS BIGINT) AS insum
          | FROM e JOIN deg USING (src) JOIN r${i - 1} ON r${i - 1}.node = e.src
          | GROUP BY e.dst),
-         |r$i AS (SELECT n.node, (15 * 1000000000000 // (100 * p.n)) +
+         |r$i AS MATERIALIZED (SELECT n.node, (15 * 1000000000000 // (100 * p.n)) +
          |  (85 * (COALESCE(i.insum, 0) + d.dm // p.n)) // 100 AS r
          | FROM nodes n CROSS JOIN p CROSS JOIN dm$i d
          | LEFT JOIN is$i i ON i.node = n.node)""".stripMargin
     }.mkString(",\n")
-    s"""WITH cs AS (SELECT DISTINCT 2 * o_custkey AS src,
+    // MATERIALIZED: each round references r{i-1} twice; see the p114
+    // helper for the inlining blowup this prevents
+    s"""WITH cs AS MATERIALIZED (SELECT DISTINCT 2 * o_custkey AS src,
        |  2 * l_suppkey + 1 AS dst
        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-       |e AS (SELECT src, dst FROM cs UNION SELECT dst, src FROM cs),
-       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |e AS MATERIALIZED (SELECT src, dst FROM cs UNION SELECT dst, src FROM cs),
+       |nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
        |p AS (SELECT COUNT(*) AS n FROM nodes),
-       |deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
-       |sinks AS (SELECT node FROM nodes EXCEPT SELECT src FROM e),
-       |r0 AS (SELECT node, 1000000000000 // p.n AS r FROM nodes, p),
+       |deg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+       |sinks AS MATERIALIZED (SELECT node FROM nodes EXCEPT SELECT src FROM e),
+       |r0 AS MATERIALIZED (SELECT node, 1000000000000 // p.n AS r FROM nodes, p),
        |$iters
        |SELECT node, CAST(r AS BIGINT) AS rank_fp,
        | CAST(r AS DOUBLE) / 1000000000000 AS "rank"
