@@ -140,6 +140,34 @@ class BenchSpec extends AnyFunSuite {
     }
   }
 
+  test("p111 blocklist: term side broadcasts; no cartesian") {
+    val p = plan("p111_blocklist")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("p113 random projection: per-row codegen'd dots, zero exchange before the explode") {
+    val p = plan("p113_random_projection")
+    assert(p.contains("arr_dot"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // scan -> project(16 dots) -> posexplode: nothing shuffles until the
+    // driver-side orderBy the entry adds for the dump
+    val beforeSort = p.split("Sort").head
+    assert(!beforeSort.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("p110 / p114: linkage closure and weighted rank stay equi-join shaped") {
+    for (name <- Seq("p110_entity_resolution", "p114_weighted_pagerank")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      // p114's 1-row dangling aggregate broadcasts by design (as p66)
+      val nlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+      assert(nlj <= (if (name == "p114_weighted_pagerank") 1 else 0),
+        s"$name:\n$p")
+    }
+  }
+
   test("p112 nearest as-of: one key exchange + windows, no pair blowup") {
     val p = plan("p112_asof_nearest")
     assert(!p.contains("CartesianProduct"), p)
