@@ -180,6 +180,7 @@ object ScaleSweep {
     "p106_kcore" -> SparkEntry.queries("p106_kcore"),
     "p107_bfs_hops" -> SparkEntry.queries("p107_bfs_hops"),
     "p108_trustrank" -> SparkEntry.queries("p108_trustrank"),
+    "p114_weighted_pagerank" -> SparkEntry.queries("p114_weighted_pagerank"),
     // fuzzy linkage in its production-linear shape: a GROWING dirty feed
     // matched against a BOUNDED master catalog, so candidates per dirty
     // record are capped by the catalog's block sizes and total work is
