@@ -34,4 +34,28 @@ object LoopFrames {
       case lr: LogicalRDD => lr.rdd.unpersist(false)
       case _ => ()
     }
+
+  /** Eager localCheckpoint that DROPS the origin plan's preserved
+    * constraints/stats. Spark's checkpoint keeps them on the LogicalRDD,
+    * and `Union.rewriteConstraints` over two such frames can throw
+    * "key not found: <attr>" when a preserved constraint references an
+    * attribute its rewrite map doesn't cover (hit by Bfs's
+    * settled ∪ layer union under a DSL view stack, round 15). Constraints
+    * only feed InferFiltersFromConstraints — dropping them on a
+    * materialized loop frame costs nothing and makes checkpoint unions
+    * safe. Use this variant wherever a loop UNIONS checkpointed frames.
+    */
+  def checkpoint(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ck = df.localCheckpoint(true)
+    ck.queryExecution.logical match {
+      case lr: LogicalRDD =>
+        // the second (curried) parameter list carries (session,
+        // originStats, originConstraints) — rebuild with both dropped
+        org.apache.spark.sql.graftshim.PlanShim.ofRows(ck.sparkSession,
+          lr.copy()(ck.sparkSession
+            .asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+            None, None))
+      case _ => ck
+    }
+  }
 }

@@ -47,18 +47,22 @@ object Bfs {
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
     try {
       // a null seed is not a node: drop it rather than emit (null, 0)
-      var settled = seeds.select(col(seedCol).as("node"))
-        .where(col("node").isNotNull).distinct()
-        .withColumn("dist", lit(0)).localCheckpoint(true)
+      // LoopFrames.checkpoint, not plain localCheckpoint: settled and
+      // layer get UNIONED each hop, and preserved origin constraints on
+      // checkpointed frames can crash Union.rewriteConstraints
+      var settled = graft.LoopFrames.checkpoint(
+        seeds.select(col(seedCol).as("node"))
+          .where(col("node").isNotNull).distinct()
+          .withColumn("dist", lit(0)))
       var frontier = settled
       var hop = 0
       while (hop < maxHops) {
         hop += 1
-        val layer = e.join(frontier.select(col("node").as("u")), "u")
-          .select(col("v").as("node")).distinct()
-          .join(settled.select(col("node")), Seq("node"), "left_anti")
-          .withColumn("dist", lit(hop))
-          .localCheckpoint(true)
+        val layer = graft.LoopFrames.checkpoint(
+          e.join(frontier.select(col("node").as("u")), "u")
+            .select(col("v").as("node")).distinct()
+            .join(settled.select(col("node")), Seq("node"), "left_anti")
+            .withColumn("dist", lit(hop)))
         if (layer.isEmpty) {
           graft.LoopFrames.release(layer)
           if (frontier ne settled) graft.LoopFrames.release(frontier)
@@ -66,7 +70,7 @@ object Bfs {
         }
         val prevSettled = settled
         val prevFrontier = frontier
-        settled = prevSettled.unionByName(layer).localCheckpoint(true)
+        settled = graft.LoopFrames.checkpoint(prevSettled.unionByName(layer))
         frontier = layer
         graft.LoopFrames.release(prevSettled)
         if (prevFrontier ne prevSettled) graft.LoopFrames.release(prevFrontier)

@@ -50,9 +50,10 @@ object TrustRank {
       .persist(StorageLevel.MEMORY_AND_DISK)
     // null seeds are meaningless (they'd mint a null NODE via the union
     // below and silently soak teleport mass) — drop, don't propagate
-    val seedSet = seeds.select(col(seedCol).as("node"))
-      .where(col("node").isNotNull).distinct()
-      .localCheckpoint(true)
+    // constraint-free checkpoint: seedSet feeds the nodes UNION below
+    val seedSet = graft.LoopFrames.checkpoint(
+      seeds.select(col(seedCol).as("node"))
+        .where(col("node").isNotNull).distinct())
     val s = seedSet.count()
     require(s > 0, "TrustRank needs a non-empty seed set")
     val nodes = e.select(col("src").as("node"))

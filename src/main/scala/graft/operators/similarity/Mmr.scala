@@ -56,7 +56,7 @@ object Mmr {
       .join(vectors.select(col(vecIdCol).as(idCol), col(vecCol).as("__v__")), idCol)
       .select(col(qidCol), col(idCol), col(relCol),
         col("__v__").cast("array<double>").as("__v__"))
-      .localCheckpoint(true)
+      .localCheckpoint(true) // never unioned: the plain checkpoint is fine
 
     val simToSel = F.round(
       call_function("arr_cosine", col("__v__"), col("__sv__")), 6)
@@ -86,8 +86,8 @@ object Mmr {
         .select(col(qidCol), col("rank"), col(idCol), col(relCol),
           col("mmr"), col("__v__"))
       val prev = selected
-      selected =
-        (if (prev == null) pick else prev.unionByName(pick)).localCheckpoint(true)
+      selected = graft.LoopFrames.checkpoint(
+        if (prev == null) pick else prev.unionByName(pick))
       // release the RDD-level blocks, not Dataset.unpersist: a
       // localCheckpoint never registers with the CacheManager, so
       // unpersist on the frame is a silent no-op and k rounds would

@@ -1617,6 +1617,94 @@ object Scripts {
         |  CAST(COUNT(*) AS BIGINT) AS n_members,
         |  CAST(SUM(CASE WHEN w.rec_id >= 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_feed
         |FROM withent w JOIN reg b ON b.id = w.entity
-        |GROUP BY w.entity, b.s ORDER BY w.entity""".stripMargin)
+        |GROUP BY w.entity, b.s ORDER BY w.entity""".stripMargin),
+
+    // ---- s45: GRAPH-TRUST FLAGSHIP — the round-15 graph tier composed
+    //      in ONE DSL script over one co-purchase graph: k-core screen +
+    //      TrustRank from a seed set + BFS hop distance, joined into a
+    //      per-node trust report (the link-farm triage shape: low trust
+    //      + high core degree + far-from-seeds = suspicious). One oracle
+    //      replays all three fixpoints off shared base CTEs. ----
+    QuerySpec.sql("s45_script_graph_trust", (s, dir) => script(s,
+      s"""load parquet.`$dir/lineitem.parquet` as s45_li;
+         |select distinct l_orderkey as bk, l_partkey as i from s45_li as s45_it;
+         |select x.i as a, y.i as b from s45_it x join s45_it y
+         |  on x.bk = y.bk and x.i != y.i
+         |  group by x.i, y.i having count(*) >= 2 as s45_e;
+         |select distinct a as node from s45_e as s45_nodes;
+         |select node as n from s45_nodes where node % 97 = 0 as s45_seeds;
+         |run s45_e as KCore.`` where srcCol="a" and dstCol="b" and k="3" as s45_core;
+         |run s45_e as TrustRank.`` where srcCol="a" and dstCol="b"
+         |  and seedTable="s45_seeds" and seedCol="n" and iterations="3" as s45_trust;
+         |run s45_e as BfsHops.`` where srcCol="a" and dstCol="b"
+         |  and seedTable="s45_seeds" and seedCol="n" and maxHops="3" as s45_bfs;
+         |select t.node, t.trust_fp, c.deg as core_deg, b.dist
+         |  from s45_trust t
+         |  left join s45_core c on c.node = t.node
+         |  left join s45_bfs b on b.node = t.node
+         |  order by t.node as s45_out;""".stripMargin),
+      s45OracleSql)
   )
+
+  /** One replay of the s45 script's three graph fixpoints off shared
+    * base CTEs: k-core peel (14 unrolled idempotent rounds, MATERIALIZED
+    * — see kcore p106), TrustRank's seed-gated integer algebra (3
+    * rounds; the both-directions graph has NO sinks, but the dangling
+    * term rides along for fidelity), and the bounded BFS walk
+    * (UNION-distinct, MIN(d) = level).
+    */
+  private lazy val s45OracleSql: String = {
+    val peel = (1 to 14).map { i =>
+      s"""a$i AS MATERIALIZED (SELECT e.u AS node, COUNT(*) AS deg
+         | FROM e JOIN a${i - 1} x ON x.node = e.u
+         |        JOIN a${i - 1} y ON y.node = e.v
+         | GROUP BY e.u HAVING COUNT(*) >= 3)""".stripMargin
+    }.mkString(",\n")
+    val rank = (1 to 3).map { i =>
+      s"""dm$i AS MATERIALIZED (SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS dm
+         | FROM r${i - 1} JOIN sinks ON sinks.node = r${i - 1}.node),
+         |is$i AS MATERIALIZED (SELECT e.v AS node,
+         |  CAST(SUM(r${i - 1}.r // deg.outdeg) AS BIGINT) AS insum
+         | FROM e JOIN deg ON deg.u = e.u JOIN r${i - 1} ON r${i - 1}.node = e.u
+         | GROUP BY e.v),
+         |r$i AS MATERIALIZED (SELECT n.node,
+         |  CASE WHEN sd.node IS NOT NULL
+         |    THEN 15 * 1000000000000 // (100 * p.s) ELSE 0 END +
+         |  (85 * (COALESCE(i.insum, 0) + CASE WHEN sd.node IS NOT NULL
+         |    THEN d.dm // p.s ELSE 0 END)) // 100 AS r
+         | FROM nodes n LEFT JOIN seedset sd ON sd.node = n.node
+         | CROSS JOIN p CROSS JOIN dm$i d
+         | LEFT JOIN is$i i ON i.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE
+       |it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS i FROM lineitem),
+       |e AS MATERIALIZED (SELECT x.i AS u, y.i AS v FROM it x
+       |       JOIN it y ON x.bk = y.bk AND x.i <> y.i
+       |       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |nodes AS MATERIALIZED (SELECT DISTINCT u AS node FROM e),
+       |seedset AS MATERIALIZED (SELECT node FROM nodes WHERE node % 97 = 0),
+       |p AS (SELECT COUNT(*) AS s FROM seedset),
+       |a0 AS MATERIALIZED (SELECT node FROM nodes),
+       |$peel,
+       |deg AS MATERIALIZED (SELECT u, COUNT(*) AS outdeg FROM e GROUP BY u),
+       |-- NOT IN, not EXCEPT: under WITH RECURSIVE DuckDB rejects any
+       |-- set operation other than UNION [ALL] in a CTE body
+       |sinks AS MATERIALIZED (SELECT node FROM nodes
+       |  WHERE node NOT IN (SELECT u FROM e)),
+       |r0 AS MATERIALIZED (SELECT n.node, CASE WHEN sd.node IS NOT NULL
+       |  THEN 1000000000000 // p.s ELSE 0 END AS r
+       | FROM nodes n LEFT JOIN seedset sd ON sd.node = n.node CROSS JOIN p),
+       |$rank,
+       |walk(node, d) AS (
+       |  SELECT node, 0 FROM seedset
+       |  UNION
+       |  SELECT e.v, w.d + 1 FROM walk w JOIN e ON e.u = w.node WHERE w.d < 3),
+       |bf AS (SELECT node, CAST(MIN(d) AS INT) AS dist FROM walk GROUP BY node)
+       |SELECT r3.node, CAST(r3.r AS BIGINT) AS trust_fp,
+       |  CAST(a14.deg AS BIGINT) AS core_deg, bf.dist
+       |FROM r3
+       |LEFT JOIN a14 ON a14.node = r3.node
+       |LEFT JOIN bf ON bf.node = r3.node
+       |ORDER BY r3.node""".stripMargin
+  }
 }
