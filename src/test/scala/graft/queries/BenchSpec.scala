@@ -168,6 +168,13 @@ class BenchSpec extends AnyFunSuite {
     }
   }
 
+  test("s45 graph-trust report: three fixpoints join without a cartesian") {
+    val p = plan("s45_script_graph_trust")
+    assert(!p.contains("CartesianProduct"), p)
+    // trustrank's 1-row dangling broadcast is the only nested loop allowed
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1, p)
+  }
+
   test("p112 nearest as-of: one key exchange + windows, no pair blowup") {
     val p = plan("p112_asof_nearest")
     assert(!p.contains("CartesianProduct"), p)
