@@ -3786,6 +3786,71 @@ object Pipeline {
         |FROM e CROSS JOIN sr
         |ORDER BY vec_id, j""".stripMargin),
 
+    // ---- random-projection recall audit: cosine top-5 on the 16-dim
+    //      RP projection vs the full 64 dims — p94's matryoshka audit
+    //      with JL reduction as the compressor, quantifying what the
+    //      projection costs in neighbor recall. On the RANDOM fixture
+    //      the answer is "almost everything" (pairwise cosines are
+    //      near-uniform, so top-5 lists are barely separated and any 4x
+    //      compression reshuffles them) — the point of the audit is to
+    //      MEASURE that before trusting a projected index, which is
+    //      exactly what it reports. The oracle rebuilds the sign matrix
+    //      (p113's CTEs), assembles the projected lists, and replays
+    //      both rankings. ----
+    QuerySpec.sql("p115_rp_recall_audit", (s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val full = e.select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val proj = graft.operators.similarity.RandomProjection.project(
+          e, "embedding", "proj", inDim = 64, outDim = 16, seed = 7)
+        .select($"vec_id", $"proj".as("v"))
+      def top5(c: org.apache.spark.sql.DataFrame) = {
+        val q = c.filter($"vec_id" < 8).select($"vec_id".as("qid"), $"v".as("qv"))
+        CosineSimilarity.annTopK(c, q, "vec_id", "v", "qid", "qv", 5)
+      }
+      val f = top5(full).select($"qid", $"neighbor", $"nrank".as("frank"))
+      val pr = top5(proj).select($"qid", $"neighbor", $"nrank".as("prank"))
+      f.join(pr, Seq("qid", "neighbor"), "left")
+        .groupBy($"qid")
+        .agg(count($"prank").as("n_overlap"),
+          max(when($"frank" === 1 && $"prank" === 1, 1).otherwise(0)).as("top1_kept"))
+        .orderBy($"qid")
+    },
+      """WITH sg AS (SELECT j, i,
+        |  CASE WHEN CAST(CONCAT('0x', SUBSTR(MD5(
+        |      'rp:7:' || CAST(j AS VARCHAR) || ':' || CAST(i AS VARCHAR)),
+        |      1, 1)) AS UBIGINT) % 2 = 0
+        |    THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS s
+        |  FROM range(0, 16) t1(j) CROSS JOIN range(0, 64) t2(i)),
+        |sr AS (SELECT j, list(s ORDER BY i) AS srow FROM sg GROUP BY j),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE LEN(embedding) >= 64),
+        |y AS (SELECT vec_id, j,
+        |  ROUND(list_reduce(list_transform(v[1:64], (x, idx) -> x * srow[idx]),
+        |    (a, b) -> a + b) / SQRT(CAST(16 AS DOUBLE)), 6) + CAST(0.0 AS DOUBLE) AS yj
+        |  FROM e CROSS JOIN sr),
+        |pv AS (SELECT vec_id, list(yj ORDER BY j) AS v FROM y GROUP BY vec_id),
+        |qf AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+        |qp AS (SELECT vec_id AS qid, v AS qv FROM pv WHERE vec_id < 8),
+        |ft AS (SELECT qid, neighbor, frank FROM (
+        |  SELECT qf.qid, e.vec_id AS neighbor,
+        |    ROW_NUMBER() OVER (PARTITION BY qf.qid ORDER BY
+        |      ROUND(LIST_INNER_PRODUCT(qf.qv, e.v) /
+        |        (SQRT(LIST_INNER_PRODUCT(qf.qv, qf.qv)) * SQRT(LIST_INNER_PRODUCT(e.v, e.v))), 6) DESC,
+        |      e.vec_id) AS frank
+        |  FROM qf JOIN e ON e.vec_id <> qf.qid) WHERE frank <= 5),
+        |pt AS (SELECT qid, neighbor, prank FROM (
+        |  SELECT qp.qid, pv.vec_id AS neighbor,
+        |    ROW_NUMBER() OVER (PARTITION BY qp.qid ORDER BY
+        |      ROUND(LIST_INNER_PRODUCT(qp.qv, pv.v) /
+        |        (SQRT(LIST_INNER_PRODUCT(qp.qv, qp.qv)) * SQRT(LIST_INNER_PRODUCT(pv.v, pv.v))), 6) DESC,
+        |      pv.vec_id) AS prank
+        |  FROM qp JOIN pv ON pv.vec_id <> qp.qid) WHERE prank <= 5)
+        |SELECT ft.qid, COUNT(pt.prank) AS n_overlap,
+        |  MAX(CASE WHEN ft.frank = 1 AND pt.prank = 1 THEN 1 ELSE 0 END) AS top1_kept
+        |FROM ft LEFT JOIN pt ON pt.qid = ft.qid AND pt.neighbor = ft.neighbor
+        |GROUP BY ft.qid ORDER BY ft.qid""".stripMargin),
+
     // ---- weighted PageRank (graph.PageRank.runWeighted): rank splits
     //      across out-edges by co-purchase support counts. The exact
     //      share split w·(r div sw) + ((r mod sw)·w) div sw equals
