@@ -36,25 +36,35 @@ object LoopFrames {
     }
 
   /** Eager localCheckpoint that DROPS the origin plan's preserved
-    * constraints/stats. Spark's checkpoint keeps them on the LogicalRDD,
+    * constraints. Spark's checkpoint keeps them on the LogicalRDD,
     * and `Union.rewriteConstraints` over two such frames can throw
     * "key not found: <attr>" when a preserved constraint references an
     * attribute its rewrite map doesn't cover (hit by Bfs's
     * settled ∪ layer union under a DSL view stack, round 15). Constraints
     * only feed InferFiltersFromConstraints — dropping them on a
     * materialized loop frame costs nothing and makes checkpoint unions
-    * safe. Use this variant wherever a loop UNIONS checkpointed frames.
+    * safe. originStats are KEPT (ADVICE r15: dropping them too made every
+    * checkpointed frame report defaultSizeInBytes = Long.MaxValue, so the
+    * static planner could never broadcast a small loop frame — e.g.
+    * TrustRank's seed set shuffle-joined twice per round unless AQE
+    * rescued it). Use this variant wherever a loop UNIONS checkpointed
+    * frames.
     */
   def checkpoint(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val ck = df.localCheckpoint(true)
     ck.queryExecution.logical match {
       case lr: LogicalRDD =>
         // the second (curried) parameter list carries (session,
-        // originStats, originConstraints) — rebuild with both dropped
+        // originStats, originConstraints) — keep stats, drop constraints.
+        // LogicalRDD.originStats is private, so recompute it exactly as
+        // Dataset.localCheckpoint did: the origin plan's optimized stats
+        // (already derived once by the checkpoint itself, so this is a
+        // cached lookup, not a second optimization pass).
+        val originStats = Some(df.queryExecution.optimizedPlan.stats)
         org.apache.spark.sql.graftshim.PlanShim.ofRows(ck.sparkSession,
           lr.copy()(ck.sparkSession
             .asInstanceOf[org.apache.spark.sql.classic.SparkSession],
-            None, None))
+            originStats, None))
       case _ => ck
     }
   }

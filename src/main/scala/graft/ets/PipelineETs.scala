@@ -1744,7 +1744,8 @@ object DedupET extends NoPathET {
         keepSurvivors(df, idCol, params)(
           CosineSimilarity.ivfSelfJoin(df, idCol, vecCol, threshold,
             nlist = params.getOrElse("nlist", "16").toInt,
-            centroidsPath = params.get("centroids").orElse(params.get("centroidsPath")))
+            centroidsPath = params.get("centroids").orElse(params.get("centroidsPath")),
+            fit = params.getOrElse("fit", "auto"))
             .select(col("a_id"), col("b_id")))
       case other => throw new IllegalArgumentException(
         s"Dedup method must be exact|fingerprint|minhash|simhash|embedding, got '$other'")
@@ -1772,12 +1773,17 @@ object SimilarityJoinET extends NoPathET {
       case "exact" => CosineSimilarity.exactSelfJoin(df, idCol, vecCol, threshold)
       case "ivf" => CosineSimilarity.ivfSelfJoin(df, idCol, vecCol, threshold,
         nlist = params.getOrElse("nlist", "16").toInt,
-        centroidsPath = params.get("centroidsPath"))
+        centroidsPath = params.get("centroidsPath"),
+        fit = params.getOrElse("fit", "auto"))
       // SemDeDup posture: within-cell pairs only — linear at nlist ∝ n,
-      // bounded recall (see CosineSimilarity.cellSelfJoin)
+      // bounded recall (see CosineSimilarity.cellSelfJoin). fit=
+      // driver|distributed|auto picks the centroid-fit strategy (auto:
+      // distributed spark.ml KMeans past 64 cells — the nlist ∝ corpus
+      // scale path)
       case "cells" => CosineSimilarity.cellSelfJoin(df, idCol, vecCol, threshold,
         nlist = params.getOrElse("nlist", "16").toInt,
-        centroidsPath = params.get("centroidsPath"))
+        centroidsPath = params.get("centroidsPath"),
+        fit = params.getOrElse("fit", "auto"))
       case other => throw new IllegalArgumentException(
         s"SimilarityJoin method must be lsh|exact|ivf|cells, got '$other'")
     }

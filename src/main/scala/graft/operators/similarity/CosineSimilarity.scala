@@ -122,11 +122,12 @@ object CosineSimilarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
               qIdCol: String, qVecCol: String, k: Int,
               nlist: Int = 64, nprobe: Int = 8, seed: Long = 42L,
-              centroidsPath: Option[String] = None): DataFrame = {
+              centroidsPath: Option[String] = None,
+              fit: String = "auto"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // centroidsPath amortizes the clustering scan across query batches:
     // build once, save; later calls load nlist rows instead of re-fitting
-    val centers = fitOrLoadCentroids(corpus, vecCol, nlist, seed, centroidsPath)
+    val centers = fitOrLoadCentroids(corpus, vecCol, nlist, seed, centroidsPath, fit)
     val bcCenters = corpus.sparkSession.sparkContext.broadcast(centers)
     // nearest-center (Euclidean, matching the KMeans objective) assignment
     val assignUdf = udf { (v: Seq[Double]) =>
@@ -330,16 +331,30 @@ object CosineSimilarity {
     else math.acos(math.max(-1.0, math.min(1.0, dot / denom)))
   }
 
-  /** Load KMeans cell centers from `centroidsPath` if present, else fit on a
-    * (bounded) sample of the corpus and save them there when a path is
-    * given — so a 100 TB corpus pays the clustering scan ONCE across query
-    * batches / pipeline runs. ANY centers are correctness-neutral for
-    * [[ivfSelfJoin]] (the radius bound adapts); they only change pruning
-    * power, so a sample fit is safe.
+  /** Load KMeans cell centers from `centroidsPath` if present, else fit and
+    * save them there when a path is given — so a 100 TB corpus pays the
+    * clustering scan ONCE across query batches / pipeline runs. ANY
+    * centers are correctness-neutral for [[ivfSelfJoin]] (the radius bound
+    * adapts); they only change pruning power.
+    *
+    * Fit strategy (`fit`): `"driver"` = seeded Lloyd's on a bounded ≤4000
+    * row sample (cheapest for small nlist — no spark.ml pipeline
+    * overhead); `"distributed"` = `spark.ml` KMeans over the FULL corpus
+    * (k-means|| init, every Lloyd round a distributed pass); `"auto"`
+    * (default) picks distributed once `nlist > 64`. The auto cutover is
+    * the VERDICT-r15 fix: nlist scales with the corpus (constant cell
+    * size ⇒ nlist ∝ n), so the driver fit's O(sample·nlist·dim·iters)
+    * serial term was the one driver-side cost that GREW with corpus size
+    * — at 100 TB (nlist in the tens of thousands) the fit must be a
+    * distributed job, and past ~64 cells it already beats the driver
+    * loop on wall-clock. Downstream is fit-agnostic: both paths persist /
+    * return plain `(cell, center)` rows and the oracle boundary is the
+    * persisted parquet, so swapping fits cannot change any replay
+    * (pinned by CosineSimilaritySpec "distributed fit").
     */
   private[graft] def fitOrLoadCentroids(
       df: DataFrame, vecCol: String, nlist: Int, seed: Long,
-      centroidsPath: Option[String]): Array[Array[Double]] = {
+      centroidsPath: Option[String], fit: String = "auto"): Array[Array[Double]] = {
     val spark = df.sparkSession
     centroidsPath.filter { p =>
       val path = new org.apache.hadoop.fs.Path(p)
@@ -351,15 +366,26 @@ object CosineSimilarity {
         spark.read.parquet(p).orderBy("cell")
           .collect().map(_.getSeq[Double](1).toArray)
       case None =>
-        // seeded Lloyd's over a bounded driver-side sample (≤4000 rows,
-        // one randomized scan to collect): centers only steer PRUNING —
-        // correctness never depends on them — so a driver mini-fit beats
-        // paying spark.ml pipeline overhead per call by ~1s at every scale
-        val sample = df.filter(col(vecCol).isNotNull)
-          .select(col(vecCol).cast("array<double>").as("__arr__"))
-          .orderBy(rand(seed)).limit(4000)
-          .collect().map(_.getSeq[Double](0).toArray)
-        val centers = lloyd(sample, nlist, seed, iters = 8)
+        val useDistributed = fit match {
+          case "distributed" => true
+          case "driver" => false
+          case "auto" => nlist > 64
+          case other => throw new IllegalArgumentException(
+            s"centroid fit must be driver|distributed|auto, got '$other'")
+        }
+        val centers =
+          if (useDistributed) fitDistributed(df, vecCol, nlist, seed)
+          else {
+            // seeded Lloyd's over a bounded driver-side sample (≤4000 rows,
+            // one randomized scan to collect): centers only steer PRUNING —
+            // correctness never depends on them — so for small nlist a
+            // driver mini-fit beats spark.ml pipeline overhead by ~1s
+            val sample = df.filter(col(vecCol).isNotNull)
+              .select(col(vecCol).cast("array<double>").as("__arr__"))
+              .orderBy(rand(seed)).limit(4000)
+              .collect().map(_.getSeq[Double](0).toArray)
+            lloyd(sample, nlist, seed, iters = 8)
+          }
         centroidsPath.foreach { p =>
           import spark.implicits._
           centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
@@ -367,6 +393,27 @@ object CosineSimilarity {
         }
         centers
     }
+  }
+
+  /** Distributed KMeans fit over the full corpus (`spark.ml`, k-means||
+    * init, 8 Lloyd rounds to match [[lloyd]]). Each round is one
+    * map-reduce over the corpus — no driver term grows with nlist, which
+    * is what makes nlist ∝ corpus viable at 100 TB. k is capped at the
+    * corpus row count (spark.ml rejects k > n); center count may come
+    * back < k when clusters collapse, which every consumer tolerates
+    * (they iterate `centers.length`).
+    */
+  private[graft] def fitDistributed(df: DataFrame, vecCol: String,
+                                    nlist: Int, seed: Long): Array[Array[Double]] = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val feat = df.filter(col(vecCol).isNotNull)
+      .select(array_to_vector(col(vecCol).cast("array<double>")).as("__features__"))
+    val kk = math.min(nlist.toLong, feat.count()).toInt
+    require(kk >= 1, "fitDistributed: empty corpus")
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(kk).setSeed(seed).setMaxIter(8)
+      .setFeaturesCol("__features__").setPredictionCol("__pred__")
+    km.fit(feat).clusterCenters.map(_.toArray)
   }
 
   /** Seeded Lloyd's iterations on an in-memory sample. Deterministic;
@@ -446,7 +493,8 @@ object CosineSimilarity {
     */
   def ivfSelfJoin(df: DataFrame, idCol: String, vecCol: String, threshold: Double,
                   nlist: Int = 16, seed: Long = 42L,
-                  centroidsPath: Option[String] = None): DataFrame = {
+                  centroidsPath: Option[String] = None,
+                  fit: String = "auto"): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     // null embeddings can match nothing (exact path: arr_cosine yields null
@@ -456,7 +504,7 @@ object CosineSimilarity {
     val vecs = df.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
     if (vecs.isEmpty) return exactSelfJoin(df, idCol, vecCol, threshold)
-    val centers = fitOrLoadCentroids(vecs, "v", nlist, seed, centroidsPath)
+    val centers = fitOrLoadCentroids(vecs, "v", nlist, seed, centroidsPath, fit)
     val bcCenters = spark.sparkContext.broadcast(centers)
 
     // nearest cell by ANGLE (consistent with the radius metric) + the angle
@@ -531,19 +579,22 @@ object CosineSimilarity {
     * thresholds, loose clusters, isotropic data). One shuffle of
     * (id, cell, vec) per side on the cell key; assignment is
     * [[graft.operators.sampling.ClusterSample.assign]]'s codegen'd
-    * rounded-6 argmax (s28-proven SQL-replayable), centroids the shared
-    * bounded driver fit or `centroidsPath` (the pay-the-clustering-once
-    * 100 TB path; p86 uses it as the oracle boundary).
+    * rounded-6 argmax (s28-proven SQL-replayable), centroids from
+    * [[fitOrLoadCentroids]] (auto: distributed `spark.ml` KMeans past 64
+    * cells — the fit itself stays distributed as nlist grows with the
+    * corpus) or `centroidsPath` (the pay-the-clustering-once 100 TB
+    * path; p86 uses it as the oracle boundary).
     */
   def cellSelfJoin(df: DataFrame, idCol: String, vecCol: String,
                    threshold: Double, nlist: Int = 16, seed: Long = 42L,
-                   centroidsPath: Option[String] = None): DataFrame = {
+                   centroidsPath: Option[String] = None,
+                   fit: String = "auto"): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val vecs = df.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
     if (vecs.isEmpty) return exactSelfJoin(df, idCol, vecCol, threshold)
-    val centers = fitOrLoadCentroids(vecs, "v", nlist, seed, centroidsPath)
+    val centers = fitOrLoadCentroids(vecs, "v", nlist, seed, centroidsPath, fit)
     val centDf = centers.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cid", "cv")
     val assigned = graft.operators.sampling.ClusterSample

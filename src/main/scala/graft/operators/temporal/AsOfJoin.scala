@@ -25,7 +25,13 @@ import org.apache.spark.sql.functions._
   *
   * Tie rule: a right row at exactly t matches in every direction
   * (inclusive), same as DuckDB/pandas ASOF semantics — right rows sort
-  * before left rows on equal timestamps. `tolerance` is a SQL
+  * before left rows on equal timestamps. When several right rows share
+  * the same (key, rightTime) the carried payload is the struct-wise
+  * MAXIMUM of the tied payloads (the payload struct is a tertiary sort
+  * key in both window orderings, so the pick is identical across runs,
+  * executor counts, and directions — ADVICE r15: without it the tie was
+  * partition-order-dependent). Consequence: payload columns must be
+  * orderable types (no maps). `tolerance` is a SQL
   * expression compared against the time gap in the time column's own
   * algebra (`INTERVAL` syntax for timestamps, a numeric literal for
   * numeric time axes); the gap is inclusive (`<= tolerance`).
@@ -74,8 +80,12 @@ object AsOfJoin {
 
     def running(desc: Boolean): (Column, Column) = {
       val ord = if (desc) col("__t__").desc else col("__t__").asc
+      // tertiary key __rp__ makes the pick among right rows tied on
+      // (key, time) unique: last() then always carries the max payload
+      // struct (left rows have a null __rp__, which cannot reorder them
+      // relative to right rows — __side__ already separates the sides)
       val w = Window.partitionBy(keyExprs: _*)
-        .orderBy(ord, col("__side__"))
+        .orderBy(ord, col("__side__"), col("__rp__"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       (last(col("__rp__"), ignoreNulls = true).over(w),
         if (needTime) last(col("__rt__"), ignoreNulls = true).over(w)

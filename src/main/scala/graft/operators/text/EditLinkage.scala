@@ -25,11 +25,14 @@ import org.apache.spark.sql.functions._
   * negatives (each edit destroys at most q grams). Shorter strings can
   * slip through with zero shared grams; callers linking very short keys
   * should lower `q` (the bound scales as q·(d+1)).
-  * `maxGramFreq` caps the inverted index's hottest grams
+  * `maxGramFreq` caps the inverted index's hottest grams ON BOTH SIDES
   * (the p9 skew guard: a gram shared by f strings contributes f² candidate
-  * pairs): capped grams lose their pairs unless another sub-cap gram
-  * also covers them — an explicit recall trade documented at the call
-  * site, OFF by default (0 = no cap).
+  * pairs; capping each side independently bounds the per-gram pair count
+  * at cap², regardless of which side carries the skew): capped grams lose
+  * their pairs unless another sub-cap gram also covers them — an explicit
+  * recall trade documented at the call site, OFF by default (0 = no cap).
+  * Measured recall of the cap on the p105 fixture: see
+  * `EditLinkageSpec` "maxGramFreq recall table".
   *
   * At 100 TB: everything is equi-joins and hash aggregations on the gram
   * / id keys — no cartesian, no windows; the inverted index is linear in
@@ -104,16 +107,19 @@ object EditLinkage {
         .withColumn(lenAs, length(col(strAs)))
         .withColumn(gramAs, explode(array_distinct(expr(
           s"transform(sequence(1, $lenAs - ${q - 1}), i -> substring($strAs, i, $q))"))))
-    val lg = grams(left, lId, lStr, "l_id", "l_str", "l_len", "l_gram")
-    val rg0 = grams(right, rId, rStr, "r_id", "r_str", "r_len", "r_gram")
-    val rg =
-      if (maxGramFreq <= 0L) rg0
+    // cap each side's inverted index independently: a hot gram on EITHER
+    // side would otherwise join up to f_hot rows per opposite row (ADVICE
+    // r15 — a right-only cap leaves f_left × cap pairs under left skew)
+    def capHot(g: DataFrame, gramAs: String): DataFrame =
+      if (maxGramFreq <= 0L) g
       else {
-        val hot = rg0.groupBy(col("r_gram"))
+        val hot = g.groupBy(col(gramAs))
           .agg(count(lit(1)).as("__f__")).where(col("__f__") > maxGramFreq)
-          .select(col("r_gram"))
-        rg0.join(hot, Seq("r_gram"), "left_anti")
+          .select(col(gramAs))
+        g.join(hot, Seq(gramAs), "left_anti")
       }
+    val lg = capHot(grams(left, lId, lStr, "l_id", "l_str", "l_len", "l_gram"), "l_gram")
+    val rg = capHot(grams(right, rId, rStr, "r_id", "r_str", "r_len", "r_gram"), "r_gram")
     lg.join(rg,
         col("l_gram") === col("r_gram") &&
           abs(col("l_len") - col("r_len")) <= slack)

@@ -291,10 +291,27 @@ object VParquet {
     * drop the scheme/authority and the entry re-resolved against the
     * table's FS).
     */
-  private val schemePrefixRe = "^[A-Za-z][A-Za-z0-9+.-]*:".r
   private[sources] def entryPath(table: String, p: String): String =
-    if (p.startsWith("/") || schemePrefixRe.findFirstIn(p).isDefined) p
+    if (p.startsWith("/") || isSchemeQualified(p)) p
     else table + "/" + p
+
+  /** True only for genuinely scheme-qualified filesystem URIs. A bare
+    * relative name whose FIRST segment happens to contain a colon
+    * (`part:0.parquet`) must stay table-relative (ADVICE r15: a prefix
+    * regex alone treated it as absolute) — so the colon must precede the
+    * first '/', java.net.URI must parse a scheme out of it, AND the URI
+    * must be hierarchical (`file:/x`, `s3a://b/x`): `part:0.parquet`
+    * parses as an OPAQUE absolute URI, which no filesystem scheme is.
+    */
+  private def isSchemeQualified(p: String): Boolean = {
+    val colon = p.indexOf(':')
+    val slash = p.indexOf('/')
+    colon > 0 && (slash < 0 || colon < slash) &&
+      (try {
+        val u = new java.net.URI(p)
+        u.isAbsolute && !u.isOpaque && u.getScheme != null
+      } catch { case _: java.net.URISyntaxException => false })
+  }
 
   private def absFiles(table: String, files: Seq[FileEntry]): Seq[String] =
     files.map(f => entryPath(table, f.path))

@@ -127,6 +127,43 @@ class PipelineETSpec extends AnyFunSuite {
     assert(topk.count() == 9)
   }
 
+  test("distributed fit: valid centers; persisted-centers boundary is fit-agnostic") {
+    import graft.operators.similarity.CosineSimilarity
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val dim = embs.selectExpr("size(embedding)").head().getInt(0)
+    // spark.ml KMeans fit: ≤ k centers, right dimensionality
+    val centers = CosineSimilarity.fitDistributed(
+      embs.selectExpr("cast(embedding as array<double>) as v"), "v", 8, 42L)
+    assert(centers.nonEmpty && centers.length <= 8)
+    assert(centers.forall(_.length == dim))
+    // the oracle/determinism boundary is the PERSISTED centers: cellSelfJoin
+    // fit="distributed" persists them, and a second run reads the parquet —
+    // identical output regardless of which fit produced the file (the
+    // `fit` arg of the reload run is irrelevant by construction, pinned
+    // here with the opposite value)
+    val path = Files.createTempDirectory("graft_dcent").toString + "/centroids"
+    val first = CosineSimilarity.cellSelfJoin(embs, "vec_id", "embedding", 0.45,
+      nlist = 8, centroidsPath = Some(path), fit = "distributed")
+      .orderBy("a_id", "b_id").collect().toSeq
+    val reload = CosineSimilarity.cellSelfJoin(embs, "vec_id", "embedding", 0.45,
+      nlist = 8, centroidsPath = Some(path), fit = "driver")
+      .orderBy("a_id", "b_id").collect().toSeq
+    assert(first == reload)
+    // subset-of-exact still holds under the distributed fit (any centers
+    // are semantics-preserving for SemDeDup: only the forfeited cross-cell
+    // pair set moves)
+    val exact = CosineSimilarity.exactSelfJoin(embs, "vec_id", "embedding", 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(first.nonEmpty &&
+      first.map(r => (r.getLong(0), r.getLong(1))).toSet.subsetOf(exact))
+    // auto cutover: >64 cells routes to the distributed fit (k capped at
+    // corpus size, so tiny fixtures still fit)
+    val auto = CosineSimilarity.cellSelfJoin(embs, "vec_id", "embedding", 0.45,
+      nlist = 65, fit = "auto")
+    assert(auto.columns.toSeq == Seq("a_id", "b_id", "sim"))
+    assert(auto.collect().map(r => (r.getLong(0), r.getLong(1))).toSet.subsetOf(exact))
+  }
+
   test("BpeTrain train -> predict round-trips merges through the model path") {
     val model = Files.createTempDirectory("bpe_model").toString
     val df = runDF(
