@@ -46,6 +46,22 @@ class KCoreSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("did not converge"))
   }
 
+  test("adversarial deep peel: a long path strips one layer per round (O(n) depth)") {
+    // 2-core of a bare path is empty, reached only after ~n/2 peel rounds
+    // (each round removes just the two current endpoints) — the worst
+    // case for the delta-peel loop's round count, and the case where its
+    // per-round cost advantage matters: the frontier is 2 nodes, so each
+    // round must NOT re-aggregate the whole surviving path
+    val n = 41
+    val path = (1L until n).map(i => (i, i + 1))
+    assert(core(path, k = 2, maxIter = n).isEmpty)
+    // clique welded onto the path's end survives with within-core degrees
+    // intact after the full path has peeled away through it
+    val clique = for (i <- 100L to 104L; j <- (i + 1) to 104L) yield (i, j)
+    val welded = path ++ clique :+ ((n.toLong, 100L))
+    assert(core(welded, k = 4, maxIter = n) == (100L to 104L).map(_ -> 4L).toMap)
+  }
+
   test("agrees with a naive driver peel on a seeded random graph") {
     val rnd = new scala.util.Random(99)
     val edges = Seq.fill(120)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
