@@ -29,7 +29,7 @@ object PipelineETs {
     MmrRerankET, TextNormalizeInPlaceET, UrlCanonicalizeInPlaceET, CusumET,
     StreamCusumET, Bm25IndexET, RetrievalEvalET, AttributionET, SurvivalET,
     DistDriftET, SnippetsInPlaceET, FuzzyLinkageET, KCoreET, BfsHopsET, TrustRankET, EntityResolveET,
-    BlocklistET, AsOfJoinET, RandomProjectionET)
+    BlocklistET, AsOfJoinET, RandomProjectionET, CooccurEdgesET, SsspET)
 }
 
 /** `run hits as SnippetsInPlace.`` [where textCol="text" and
@@ -1947,6 +1947,42 @@ object TrustRankET extends NoPathET {
       seeds, params.getOrElse("seedCol", "node"),
       iterations = params.getOrElse("iterations", "5").toInt)
   }
+}
+
+/** `run edges as Sssp.`` where srcCol="a" and dstCol="b" and
+  * weightCol="w" and seedTable="seeds" and seedCol="node"
+  * [and maxIter="30" and undirected="false"]` — multi-source weighted
+  * shortest paths in exact integer arithmetic (see
+  * [[graft.operators.graph.Sssp]]).
+  */
+object SsspET extends NoPathET {
+  override def name = "Sssp"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    val seeds = ctx.spark.table(params.getOrElse("seedTable",
+      throw new IllegalArgumentException("Sssp requires seedTable")))
+    graft.operators.graph.Sssp.run(df,
+      params.getOrElse("srcCol", "a"), params.getOrElse("dstCol", "b"),
+      params.getOrElse("weightCol", "w"),
+      seeds, params.getOrElse("seedCol", "node"),
+      maxIter = params.getOrElse("maxIter", "30").toInt,
+      undirected = params.getOrElse("undirected", "false").toBoolean)
+  }
+}
+
+/** `run memberships as CooccurEdges.`` where basketCol="bk" and
+  * itemCol="i" [and minCount="1" and maxBasketSize="0"]` — weighted
+  * co-occurrence edges with a deterministic hot-basket truncation cap
+  * (see [[graft.operators.graph.CooccurEdges]]).
+  */
+object CooccurEdgesET extends NoPathET {
+  override def name = "CooccurEdges"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame =
+    graft.operators.graph.CooccurEdges.edges(df,
+      params.getOrElse("basketCol", "bk"), params.getOrElse("itemCol", "i"),
+      minCount = params.getOrElse("minCount", "1").toLong,
+      maxBasketSize = params.getOrElse("maxBasketSize", "0").toInt)
 }
 
 /** `run registry as EntityResolve.`` where idCol="id" and strCol="name"

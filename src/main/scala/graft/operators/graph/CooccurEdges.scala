@@ -1,0 +1,80 @@
+package graft.operators.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Co-occurrence edge builder: (basket, item) membership rows → weighted
+  * item×item edges, `weight` = number of shared baskets. The standard
+  * "co-purchase / co-view / co-citation graph" constructor feeding the
+  * graph tier (k-core, TrustRank, PageRank, communities) — s45 builds
+  * its co-purchase graph through this operator.
+  *
+  * THE quadratic hazard (VERDICT r15: the last unguarded item×item
+  * self-join reachable from the DSL): a basket of n items contributes
+  * n·(n−1) pairs, so one hot basket — a bot account, a crawler session,
+  * a catalog-wide order — can dominate the whole shuffle (10⁶ items →
+  * 10¹² pairs from a single key). `maxBasketSize` is the guard, same
+  * posture as n-gram Jaccard's `maxDocFreq` cap (p9): baskets with more
+  * distinct items are TRUNCATED to their `maxBasketSize` smallest items
+  * (ordered by the item column), bounding per-basket pair work at cap².
+  * The truncation is deterministic (order by item value, not arrival)
+  * so output stays hash-exact and SQL-replayable (the p116 oracle
+  * replays it as a `ROW_NUMBER() ... <= cap` prune). Explicit recall
+  * trade: pairs whose only shared baskets were truncated away lose
+  * weight or disappear — 0 disables the cap.
+  *
+  * Scale shape (100 TB): membership dedup is one hash aggregation; the
+  * self-join is an EQUI-join on the basket key (no cartesian — the pair
+  * blowup is per-basket and capped); the edge aggregation is a second
+  * hash agg with map-side partial combine. Only rows of OVERSIZE baskets
+  * pay the truncation window (everything else passes through without a
+  * sort), so the cap costs nothing on well-behaved data.
+  *
+  * Determinism: pure integer counting over a deterministic membership
+  * set — hash-exact at any executor count.
+  *
+  * No reference counterpart; graph-analytics extension per the builder
+  * prompt.
+  */
+object CooccurEdges {
+
+  /** Weighted co-occurrence edges. Both orientations are emitted
+    * ((a,b) and (b,a), like an undirected adjacency list); self-pairs
+    * are excluded; membership rows are deduplicated, so `weight` counts
+    * DISTINCT shared baskets.
+    *
+    * @param maxBasketSize 0 = no cap; > 0 truncates each larger basket
+    *                      to its `maxBasketSize` smallest items
+    * @param minCount      drop edges with weight below this (support
+    *                      threshold — prunes the long co-occurrence tail
+    *                      before it ships to a graph fixpoint)
+    * @return (a, b, weight)
+    */
+  def edges(df: DataFrame, basketCol: String, itemCol: String,
+            minCount: Long = 1L, maxBasketSize: Int = 0): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    val it = df.select(col(basketCol).as("bk"), col(itemCol).as("i"))
+      .filter(col("bk").isNotNull && col("i").isNotNull)
+      .distinct()
+    val capped =
+      if (maxBasketSize <= 0) it
+      else {
+        val over = it.groupBy("bk").agg(count(lit(1)).as("__n__"))
+          .filter(col("__n__") > maxBasketSize).select("bk")
+        // pass-through for in-cap baskets; only oversize baskets' rows
+        // enter the per-basket truncation window
+        val small = it.join(over, Seq("bk"), "left_anti")
+        val trimmed = it.join(over, Seq("bk"), "left_semi")
+          .withColumn("__rn__",
+            row_number().over(Window.partitionBy(col("bk")).orderBy(col("i"))))
+          .filter(col("__rn__") <= maxBasketSize).drop("__rn__")
+        small.unionByName(trimmed)
+      }
+    val x = capped.select(col("bk"), col("i").as("a"))
+    val y = capped.select(col("bk"), col("i").as("b"))
+    x.join(y, Seq("bk")).filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("weight"))
+      .filter(col("weight") >= minCount)
+  }
+}

@@ -3867,8 +3867,77 @@ object Pipeline {
       graft.operators.graph.PageRank.runWeighted(both, "a", "b", "n_ab",
           iterations = 5)
         .orderBy($"node")
-    }, weightedPageRankOracleSql(5))
+    }, weightedPageRankOracleSql(5)),
+
+    // ---- guarded co-occurrence edges (graph.CooccurEdges): the
+    //      co-purchase graph constructor with the hot-basket truncation
+    //      cap ACTIVE (maxBasketSize=4 bites on TPC-H's 5–7-item
+    //      orders), so the oracle replays the deterministic smallest-4
+    //      prune, the per-basket equi-self-join, and the support filter.
+    //      This is the promoted form of s45's former inline item×item
+    //      join — the last unguarded quadratic surface (VERDICT r15). ----
+    QuerySpec.sql("p116_cooccur_edges", (s, dir) => {
+      import s.implicits._
+      graft.operators.graph.CooccurEdges.edges(
+          t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey"),
+          "l_orderkey", "l_partkey", minCount = 2L, maxBasketSize = 4)
+        .orderBy($"a", $"b")
+    },
+      """WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS i
+        |  FROM lineitem),
+        |capped AS (SELECT bk, i FROM (
+        |  SELECT bk, i, ROW_NUMBER() OVER (PARTITION BY bk ORDER BY i) AS rn
+        |  FROM it) WHERE rn <= 4)
+        |SELECT x.i AS a, y.i AS b, CAST(COUNT(*) AS BIGINT) AS weight
+        |FROM capped x JOIN capped y ON x.bk = y.bk AND x.i <> y.i
+        |GROUP BY x.i, y.i HAVING COUNT(*) >= 2
+        |ORDER BY a, b""".stripMargin),
+
+    // ---- multi-source weighted shortest paths (graph.Sssp): frontier
+    //      Bellman-Ford in exact integer min/plus over the part↔supplier
+    //      bipartite graph (weights from the line number, suppliers
+    //      offset into a disjoint id space), seeds = every 100th part.
+    //      Dense bipartite + weights in [1,5] bounds shortest paths at
+    //      ≤10 edges, so 12 unrolled min-merge rounds replay the unique
+    //      fixpoint (p106's unroll-with-margin pattern: rounds past
+    //      convergence are idempotent; MATERIALIZED — each round CTE is
+    //      referenced twice). ----
+    QuerySpec.sql("p117_sssp", (s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val edges = li.select($"l_partkey".as("a"),
+        ($"l_suppkey" + 10000000L).as("b"),
+        (($"l_linenumber" % 5) + 1).cast("long").as("w"))
+      val seeds = li.select($"l_partkey".as("node"))
+        .filter($"node" % 100 === 0).distinct()
+      graft.operators.graph.Sssp.run(edges, "a", "b", "w", seeds, "node",
+          maxIter = 12, undirected = true)
+        .orderBy($"node")
+    }, ssspOracleSql(12))
   )
+
+  /** Unrolled Bellman-Ford min-merge replay for p117: d_i = per-node MIN
+    * over (d_{i-1} pass-through ∪ one relaxation of every edge leaving a
+    * d_{i-1} node). Rounds past the fixpoint are idempotent, so a fixed
+    * unroll count with margin replays the operator's converged output.
+    */
+  private def ssspOracleSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT node, MIN(d) AS d FROM (
+         |  SELECT node, d FROM d${i - 1}
+         |  UNION ALL
+         |  SELECT e.v AS node, p.d + e.w AS d
+         |  FROM d${i - 1} p JOIN e ON e.u = p.node) GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT l_partkey AS u, l_suppkey + 10000000 AS v,
+       |  CAST((l_linenumber % 5) + 1 AS BIGINT) AS w FROM lineitem),
+       |e AS MATERIALIZED (SELECT DISTINCT u, v, w FROM (
+       |  SELECT u, v, w FROM e0 UNION ALL SELECT v AS u, u AS v, w FROM e0)),
+       |d0 AS MATERIALIZED (SELECT DISTINCT l_partkey AS node,
+       |  CAST(0 AS BIGINT) AS d FROM lineitem WHERE l_partkey % 100 = 0),
+       |$steps
+       |SELECT node, CAST(d AS BIGINT) AS dist FROM d$rounds ORDER BY node""".stripMargin
+  }
 
   /** One-shot BM25 replay (p87's oracle) — shared with s41, whose
     * two-batch incremental index must serve byte-identical results. */

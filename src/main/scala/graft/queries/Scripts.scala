@@ -1628,9 +1628,8 @@ object Scripts {
     QuerySpec.sql("s45_script_graph_trust", (s, dir) => script(s,
       s"""load parquet.`$dir/lineitem.parquet` as s45_li;
          |select distinct l_orderkey as bk, l_partkey as i from s45_li as s45_it;
-         |select x.i as a, y.i as b from s45_it x join s45_it y
-         |  on x.bk = y.bk and x.i != y.i
-         |  group by x.i, y.i having count(*) >= 2 as s45_e;
+         |run s45_it as CooccurEdges.`` where basketCol="bk" and itemCol="i"
+         |  and minCount="2" as s45_e;
          |select distinct a as node from s45_e as s45_nodes;
          |select node as n from s45_nodes where node % 97 = 0 as s45_seeds;
          |run s45_e as KCore.`` where srcCol="a" and dstCol="b" and k="3" as s45_core;

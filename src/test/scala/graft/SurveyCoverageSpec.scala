@@ -142,7 +142,7 @@ class SurveyCoverageSpec extends AnyFunSuite {
       "TextNormalizeInPlace", "UrlCanonicalizeInPlace", "Cusum", "StreamCusum", "Bm25Index",
       "RetrievalEval", "Attribution", "Survival", "DistDrift",
       "SnippetsInPlace", "FuzzyLinkage", "KCore", "BfsHops", "TrustRank", "EntityResolve",
-      "Blocklist", "AsOfJoin", "RandomProjection")
+      "Blocklist", "AsOfJoin", "RandomProjection", "CooccurEdges", "Sssp")
     val missing = names.filter(n =>
       scala.util.Try(ETRegistry.lookup(n)).isFailure)
     assert(missing.isEmpty, s"ET registry missing: ${missing.mkString(", ")}")
@@ -198,6 +198,12 @@ class SurveyCoverageSpec extends AnyFunSuite {
       "p93_sign_ann", "p94_matryoshka_audit", "p95_sentence_chunks",
       "p96_retrieval_eval", "p97_query_expansion", "p98_multi_touch_attribution", "p99_survival_km", "p100_cuped",
       "p101_psi_drift", "p102_ks_drift", "p103_snippets", "p104_distinct_ngrams",
+      // entity-resolution + graph-trust tier (round 15) and its round-16
+      // widening (guarded co-occurrence, weighted shortest paths)
+      "p105_fuzzy_linkage", "p106_kcore", "p107_bfs_hops", "p108_trustrank",
+      "p109_jw_best_match", "p110_entity_resolution", "p111_blocklist",
+      "p112_asof_nearest", "p113_random_projection", "p114_weighted_pagerank",
+      "p115_rp_recall_audit", "p116_cooccur_edges", "p117_sssp",
       "s11_script_dedup", "s18_script_neardup_pipeline",
       "s19_script_clean_corpus", "s23_script_chunk_pipeline",
       "s24_script_substring_dedup", "s25_script_cluster_assign",

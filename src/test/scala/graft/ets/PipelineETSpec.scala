@@ -489,6 +489,43 @@ class PipelineETSpec extends AnyFunSuite {
     assert(t(1L) > t(2L) && t(2L) > t(3L) && t(3L) > 0L)
   }
 
+  test("CooccurEdges builds capped weighted edges through the DSL") {
+    val df = runDF(
+      """set cob = '''{"bk":1,"i":10}
+        |{"bk":1,"i":20}
+        |{"bk":2,"i":10}
+        |{"bk":2,"i":20}
+        |{"bk":2,"i":30}''';
+        |load jsonStr.`cob` as co_items;
+        |run co_items as CooccurEdges.`` where basketCol="bk" and itemCol="i"
+        |  and minCount="2" as coout;
+        |select a, b, weight from coout order by a, b as out;""".stripMargin)
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((10L, 20L, 2L), (20L, 10L, 2L)))
+    // the cap drops basket 2 down to {10, 20}: same surviving edge set
+    val capped = runDF(
+      """run co_items as CooccurEdges.`` where basketCol="bk" and itemCol="i"
+        |  and maxBasketSize="2" as cocap;
+        |select a, b, weight from cocap order by a, b as out;""".stripMargin)
+    assert(capped.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((10L, 20L, 2L), (20L, 10L, 2L)))
+  }
+
+  test("Sssp reports weighted distances from a seed table via the DSL") {
+    val df = runDF(
+      """set sse = '''{"a":1,"b":3,"w":10}
+        |{"a":1,"b":2,"w":1}
+        |{"a":2,"b":3,"w":2}''';
+        |set sss = '''{"node":1}''';
+        |load jsonStr.`sse` as ss_edges;
+        |load jsonStr.`sss` as ss_seeds;
+        |run ss_edges as Sssp.`` where srcCol="a" and dstCol="b" and weightCol="w"
+        |  and seedTable="ss_seeds" as ssout;
+        |select node, dist from ssout order by node as out;""".stripMargin)
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 0L), (2L, 1L), (3L, 3L)))
+  }
+
   test("EntityResolve clusters a transitive chain through the DSL") {
     val df = runDF(
       """set erg = '''{"id":1,"name":"golden retriever"}

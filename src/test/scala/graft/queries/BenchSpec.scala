@@ -175,6 +175,38 @@ class BenchSpec extends AnyFunSuite {
     assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1, p)
   }
 
+  test("p116 co-occurrence: basket equi-self-join, truncation window only on oversize baskets") {
+    val p = plan("p116_cooccur_edges")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // pair generation is an equi-join on the basket key + hash aggs
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("Window"), p) // the cap's per-basket row_number prune
+  }
+
+  test("p117 sssp: returned frame is a bare checkpoint scan; round shape is equi-join + min agg") {
+    // the loop returns a checkpointed frame, so the query's own plan must
+    // be nothing but the RDD scan + the dump's sort — no recompute tail
+    val p = plan("p117_sssp")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"), p)
+    // the per-round relaxation plan (what actually runs maxIter times):
+    // equi-join on the frontier key feeding a partial-then-final min agg
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_partkey".as("u"), ($"l_suppkey" + 10000000L).as("v"),
+        (($"l_linenumber" % 5) + 1).cast("long").as("w"))
+    val frontier = e.select($"u".as("node")).distinct().withColumn("dist", lit(0L))
+    val round = e.join(frontier.select($"node".as("u"), $"dist"), "u")
+      .select($"v".as("node"), ($"dist" + $"w").as("nd"))
+      .groupBy("node").agg(min($"nd").as("nd"))
+    val rp = round.queryExecution.executedPlan.toString
+    assert(!rp.contains("CartesianProduct") && !rp.contains("BroadcastNestedLoopJoin"), rp)
+    assert(rp.contains("HashAggregate") && rp.toLowerCase.contains("partial"), rp)
+  }
+
   test("p112 nearest as-of: one key exchange + windows, no pair blowup") {
     val p = plan("p112_asof_nearest")
     assert(!p.contains("CartesianProduct"), p)
