@@ -1989,16 +1989,43 @@ object CooccurEdgesET extends NoPathET {
   * and maxDist="2" [and q="3" and maxGramFreq="0"]` — fuzzy self-linkage
   * -> connected components -> min-id golden record (see
   * [[graft.operators.text.EntityResolve]]).
+  *
+  * `survivorship="best"` elects the golden record by quality instead:
+  * requires `scoreCol`; optional `merge="field:strategy,..."`
+  * (longest|majority|latest|max|min) builds field-level merges
+  * (`latest` needs `recencyCol`).
   */
 object EntityResolveET extends NoPathET {
   override def name = "EntityResolve"
   override def train(ctx: ScriptContext, df: DataFrame, path: String,
-                     params: Map[String, String]): DataFrame =
-    graft.operators.text.EntityResolve.resolve(df,
-      params.getOrElse("idCol", "id"), params.getOrElse("strCol", "name"),
-      maxDist = params.getOrElse("maxDist", "2").toInt,
-      q = params.getOrElse("q", "3").toInt,
-      maxGramFreq = params.getOrElse("maxGramFreq", "0").toLong)
+                     params: Map[String, String]): DataFrame = {
+    val idCol = params.getOrElse("idCol", "id")
+    val strCol = params.getOrElse("strCol", "name")
+    val maxDist = params.getOrElse("maxDist", "2").toInt
+    val q = params.getOrElse("q", "3").toInt
+    val cap = params.getOrElse("maxGramFreq", "0").toLong
+    params.getOrElse("survivorship", "min") match {
+      case "min" =>
+        graft.operators.text.EntityResolve.resolve(df, idCol, strCol,
+          maxDist = maxDist, q = q, maxGramFreq = cap)
+      case "best" =>
+        val merges = params.get("merge").toSeq.flatMap(_.split(',')).map { kv =>
+          kv.split(':') match {
+            case Array(f, strat) => (f.trim, strat.trim)
+            case _ => throw new IllegalArgumentException(
+              s"merge entries must be field:strategy, got '$kv'")
+          }
+        }
+        graft.operators.text.EntityResolve.resolveBest(df, idCol, strCol,
+          params.getOrElse("scoreCol", throw new IllegalArgumentException(
+            """survivorship="best" needs scoreCol""")),
+          maxDist = maxDist, q = q, maxGramFreq = cap,
+          mergeFields = merges,
+          recencyCol = params.getOrElse("recencyCol", ""))
+      case other => throw new IllegalArgumentException(
+        s"survivorship must be min|best, got '$other'")
+    }
+  }
 }
 
 /** `run docs as Blocklist.`` where termTable="banned" [and idCol="doc_id"

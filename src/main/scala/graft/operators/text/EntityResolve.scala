@@ -12,12 +12,19 @@ import org.apache.spark.sql.functions._
   * A≈B and B≈C must land A, B, C in ONE entity even when A and C are
   * more than `maxDist` apart.
   *
-  * Canonical choice: the component's MIN id — which is exactly the
-  * component label the min-label propagation already computes, so
-  * survivorship costs one join back to the registry, not an argmax
-  * window. (Callers wanting quality-based survivorship compose
-  * `DedupET.keepComponentBest`-style scoring on top of the `entity`
-  * column.)
+  * Canonical choice, two modes:
+  *  - [[resolve]] — the component's MIN id, which is exactly the
+  *    component label the min-label propagation already computes, so
+  *    survivorship costs one join back to the registry, not an argmax
+  *    window. The cheap default when any member is an acceptable canon.
+  *  - [[resolveBest]] — real MDM survivorship (VERDICT r15 #4): elect
+  *    the member with the HIGHEST quality score (ties → smallest id),
+  *    and optionally build the golden record field-by-field with
+  *    per-field merge strategies — `longest` (longest non-null string),
+  *    `majority` (most frequent non-null value), `latest` (value at the
+  *    max recency timestamp), `max`/`min` — each a deterministic
+  *    argmax with a pinned tie rule (larger value wins), so the whole
+  *    election replays in SQL (the p118 oracle).
   *
   * Scale shape: inherits fuzzyJoin's inverted-index blocking (linear
   * index, bounded candidates, skew cap) and Components' two-regime
@@ -51,5 +58,99 @@ object EntityResolve {
       .join(reg.select(col("rec_id").as("entity"), col("rec_str").as("canon_str")),
         Seq("entity"))
       .select(col("rec_id"), col("rec_str"), col("entity"), col("canon_str"))
+  }
+
+  /** Quality-based survivorship: every registry row labeled with its
+    * entity (min-id component label, same clustering as [[resolve]]),
+    * plus the elected golden record — the member with the max
+    * `scoreCol` (ties → smallest id) — and optional field-level merges.
+    *
+    * `mergeFields` maps field → strategy:
+    *  - `longest`:  non-null value with the greatest string length
+    *                (ties → larger value, binary collation)
+    *  - `majority`: most frequent non-null value (ties → larger value)
+    *  - `latest`:   non-null value on the row with the max `recencyCol`
+    *                (ties → larger value); requires `recencyCol`
+    *  - `max`/`min`: plain extrema of non-null values
+    * Merged columns come back as `<field>_merged`. Every strategy is an
+    * argmax over a struct with a total tie order, so output is
+    * hash-exact at any executor count and SQL-replayable.
+    *
+    * Scale shape: clustering as [[resolve]]; the election is one
+    * entity-keyed window and the merges one or two entity-keyed hash
+    * aggregations (majority pre-aggregates per (entity, value)) — all
+    * shuffles on the entity key, no windows over the whole registry.
+    *
+    * @return (rec_id, rec_str, entity, canon_id, canon_str
+    *         [, <field>_merged...])
+    */
+  def resolveBest(registry: DataFrame, idCol: String, strCol: String,
+                  scoreCol: String, maxDist: Int, q: Int = 3,
+                  maxGramFreq: Long = 0L,
+                  mergeFields: Seq[(String, String)] = Nil,
+                  recencyCol: String = ""): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = EditLinkage.fuzzyJoin(registry, idCol, strCol,
+        registry, idCol, strCol, maxDist, q, maxGramFreq)
+      .where(col("l_id") < col("r_id"))
+      .select(col("l_id").as("a_id"), col("r_id").as("b_id"))
+    val labels = graft.operators.dedup.Components.labels(pairs)
+    val extraCols = (mergeFields.map(_._1) ++
+      (if (recencyCol.nonEmpty) Seq(recencyCol) else Nil)).distinct
+      .filterNot(c => c == idCol || c == strCol || c == scoreCol)
+    val reg = registry.select(
+      (Seq(col(idCol).as("rec_id"), col(strCol).as("rec_str"),
+        col(scoreCol).as("__score__")) ++ extraCols.map(col)): _*)
+    val withEntity = reg
+      .join(labels.select(col("id").as("rec_id"), col("label")), Seq("rec_id"), "left")
+      .withColumn("entity", coalesce(col("label"), col("rec_id")))
+      .drop("label")
+    // election: one entity-keyed window, max score, ties to smallest id
+    val canon = withEntity
+      .withColumn("__rn__", row_number().over(Window.partitionBy(col("entity"))
+        .orderBy(col("__score__").desc, col("rec_id"))))
+      .filter(col("__rn__") === 1)
+      .select(col("entity"), col("rec_id").as("canon_id"),
+        col("rec_str").as("canon_str"))
+    // field merges: the simple strategies share ONE entity-keyed agg;
+    // each majority field adds its own (entity, value) pre-agg
+    val simple = mergeFields.filter(_._2 != "majority")
+    val simpleExprs = simple.map { case (f, strat) =>
+      val v = col(f)
+      (strat match {
+        case "longest" =>
+          max(when(v.isNotNull, struct(length(v).as("k"), v.as("v")))).getField("v")
+        case "latest" =>
+          require(recencyCol.nonEmpty, "latest merge requires recencyCol")
+          max(when(v.isNotNull && col(recencyCol).isNotNull,
+            struct(col(recencyCol).as("k"), v.as("v")))).getField("v")
+        case "max" => max(v)
+        case "min" => min(v)
+        case other => throw new IllegalArgumentException(
+          s"merge strategy must be longest|majority|latest|max|min, got '$other'")
+      }).as(s"${f}_merged")
+    }
+    val merged0 =
+      if (simpleExprs.isEmpty) canon
+      else canon.join(
+        withEntity.groupBy(col("entity"))
+          .agg(simpleExprs.head, simpleExprs.tail: _*),
+        Seq("entity"), "left")
+    val mergedAll = mergeFields.filter(_._2 == "majority").foldLeft(merged0) {
+      case (acc, (f, _)) =>
+        val mv = withEntity.filter(col(f).isNotNull)
+          .groupBy(col("entity"), col(f).as("__v__"))
+          .agg(count(lit(1)).as("__n__"))
+          .groupBy(col("entity"))
+          .agg(max(struct(col("__n__").as("k"), col("__v__").as("v")))
+            .getField("v").as(s"${f}_merged"))
+        acc.join(mv, Seq("entity"), "left")
+    }
+    withEntity
+      .select(col("rec_id"), col("rec_str"), col("entity"))
+      .join(mergedAll, Seq("entity"))
+      .select((Seq(col("rec_id"), col("rec_str"), col("entity"),
+        col("canon_id"), col("canon_str")) ++
+        mergeFields.map { case (f, _) => col(s"${f}_merged") }): _*)
   }
 }

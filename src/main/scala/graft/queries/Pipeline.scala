@@ -3913,7 +3913,119 @@ object Pipeline {
       graft.operators.graph.Sssp.run(edges, "a", "b", "w", seeds, "node",
           maxIter = 12, undirected = true)
         .orderBy($"node")
-    }, ssspOracleSql(12))
+    }, ssspOracleSql(12)),
+
+    // ---- quality-based MDM survivorship (EntityResolve.resolveBest):
+    //      p110's registry + feed, but the golden record is ELECTED by
+    //      a quality score (ties → smallest id) and three fields are
+    //      merged per strategy — longest / majority / latest — each a
+    //      deterministic argmax with the larger-value tie rule. The
+    //      oracle replays the p110 clustering, then every election as a
+    //      ROW_NUMBER window with the matching ORDER BY. ----
+    QuerySpec.sql("p118_entity_survivorship", (s, dir) => {
+      import s.implicits._
+      val nameExpr =
+        """concat(
+          |  CASE CAST((c_custkey * 7) % 8 AS INT)
+          |    WHEN 0 THEN 'amber' WHEN 1 THEN 'birch' WHEN 2 THEN 'cedar'
+          |    WHEN 3 THEN 'delta' WHEN 4 THEN 'ember' WHEN 5 THEN 'fjord'
+          |    WHEN 6 THEN 'grove' ELSE 'haven' END, ' ',
+          |  CASE CAST((c_custkey div 8) % 8 AS INT)
+          |    WHEN 0 THEN 'mill' WHEN 1 THEN 'ford' WHEN 2 THEN 'gate'
+          |    WHEN 3 THEN 'field' WHEN 4 THEN 'stone' WHEN 5 THEN 'brook'
+          |    WHEN 6 THEN 'ridge' ELSE 'marsh' END, ' ',
+          |  CAST(c_custkey % 500 AS STRING))""".stripMargin
+      val clean = t(s, dir, "customer").filter($"c_custkey" < 800)
+        .select($"c_custkey".as("id"), expr(nameExpr).as("s"))
+      val dirty = clean.select(($"id" + 100000L).as("id"),
+        expr("""CASE CAST(id % 4 AS INT)
+          | WHEN 1 THEN concat(substring(s, 1, 3), substring(s, 5))
+          | WHEN 2 THEN concat(substring(s, 1, 1), 'x', substring(s, 3))
+          | WHEN 3 THEN concat(substring(s, 1, 5), 'q', substring(s, 6))
+          | ELSE s END""".stripMargin).as("s"))
+      val reg = clean.unionByName(dirty)
+        .withColumn("score", ($"id" * 13) % 17)
+        .withColumn("tier", $"id" % 3)
+        .withColumn("alias", expr(
+          "CASE WHEN id % 5 = 0 THEN NULL ELSE substring(s, 1, CAST(2 + id % 6 AS INT)) END"))
+        .withColumn("ts", ($"id" * 31) % 1000)
+        .withColumn("phone", expr(
+          "CASE WHEN id % 7 = 0 THEN NULL ELSE CAST(id % 90 AS STRING) END"))
+      graft.operators.text.EntityResolve.resolveBest(reg, "id", "s", "score",
+          maxDist = 2,
+          mergeFields = Seq("alias" -> "longest", "tier" -> "majority",
+            "phone" -> "latest"),
+          recencyCol = "ts")
+        .orderBy($"rec_id")
+    },
+      """WITH RECURSIVE cl AS (SELECT c_custkey AS id,
+        |  CASE CAST((c_custkey * 7) % 8 AS INT)
+        |    WHEN 0 THEN 'amber' WHEN 1 THEN 'birch' WHEN 2 THEN 'cedar'
+        |    WHEN 3 THEN 'delta' WHEN 4 THEN 'ember' WHEN 5 THEN 'fjord'
+        |    WHEN 6 THEN 'grove' ELSE 'haven' END || ' ' ||
+        |  CASE CAST((c_custkey // 8) % 8 AS INT)
+        |    WHEN 0 THEN 'mill' WHEN 1 THEN 'ford' WHEN 2 THEN 'gate'
+        |    WHEN 3 THEN 'field' WHEN 4 THEN 'stone' WHEN 5 THEN 'brook'
+        |    WHEN 6 THEN 'ridge' ELSE 'marsh' END || ' ' ||
+        |  CAST(c_custkey % 500 AS VARCHAR) AS s
+        |  FROM customer WHERE c_custkey < 800),
+        |reg AS MATERIALIZED (
+        |  SELECT id, s FROM cl
+        |  UNION ALL
+        |  SELECT id + 100000,
+        |    CASE CAST(id % 4 AS INT)
+        |      WHEN 1 THEN substr(s, 1, 3) || substr(s, 5)
+        |      WHEN 2 THEN substr(s, 1, 1) || 'x' || substr(s, 3)
+        |      WHEN 3 THEN substr(s, 1, 5) || 'q' || substr(s, 6)
+        |      ELSE s END
+        |  FROM cl),
+        |g AS MATERIALIZED (SELECT id, s, LEN(s) AS len,
+        |  UNNEST(list_distinct(list_transform(range(1, LEN(s) - 1),
+        |    i -> substr(s, CAST(i AS INT), 3)))) AS gram FROM reg),
+        |cand AS (SELECT DISTINCT a.id AS aid, a.s AS asp, b.id AS bid, b.s AS bs
+        |  FROM g a JOIN g b ON a.gram = b.gram
+        |  WHERE a.id < b.id AND abs(a.len - b.len) <= 2),
+        |p AS MATERIALIZED (SELECT aid, bid FROM cand WHERE levenshtein(asp, bs) <= 2),
+        |edges AS MATERIALIZED (SELECT aid AS s, bid AS d FROM p
+        |  UNION SELECT bid, aid FROM p),
+        |reach(s, d) AS (
+        |  SELECT s, d FROM edges
+        |  UNION
+        |  SELECT r.s, e2.d FROM reach r JOIN edges e2 ON r.d = e2.s),
+        |comp AS (SELECT s AS id, LEAST(s, MIN(d)) AS ent FROM reach GROUP BY s),
+        |attrs AS (SELECT id, s, (id * 13) % 17 AS score, id % 3 AS tier,
+        |  CASE WHEN id % 5 = 0 THEN NULL
+        |    ELSE substr(s, 1, CAST(2 + id % 6 AS INT)) END AS alias,
+        |  (id * 31) % 1000 AS ts,
+        |  CASE WHEN id % 7 = 0 THEN NULL ELSE CAST(id % 90 AS VARCHAR) END AS phone
+        |  FROM reg),
+        |we AS MATERIALIZED (SELECT a.id AS rec_id, a.s AS rec_str,
+        |  COALESCE(c.ent, a.id) AS entity, a.score, a.tier, a.alias, a.ts, a.phone
+        |  FROM attrs a LEFT JOIN comp c ON c.id = a.id),
+        |canon AS (SELECT entity, rec_id AS canon_id, rec_str AS canon_str FROM (
+        |  SELECT entity, rec_id, rec_str,
+        |    ROW_NUMBER() OVER (PARTITION BY entity
+        |      ORDER BY score DESC, rec_id) AS rn FROM we) WHERE rn = 1),
+        |alias_m AS (SELECT entity, alias AS alias_merged FROM (
+        |  SELECT entity, alias, ROW_NUMBER() OVER (PARTITION BY entity
+        |    ORDER BY LEN(alias) DESC, alias DESC) AS rn
+        |  FROM we WHERE alias IS NOT NULL) WHERE rn = 1),
+        |tier_m AS (SELECT entity, tier AS tier_merged FROM (
+        |  SELECT entity, tier, ROW_NUMBER() OVER (PARTITION BY entity
+        |    ORDER BY cnt DESC, tier DESC) AS rn
+        |  FROM (SELECT entity, tier, COUNT(*) AS cnt FROM we
+        |    WHERE tier IS NOT NULL GROUP BY entity, tier)) WHERE rn = 1),
+        |phone_m AS (SELECT entity, phone AS phone_merged FROM (
+        |  SELECT entity, phone, ROW_NUMBER() OVER (PARTITION BY entity
+        |    ORDER BY ts DESC, phone DESC) AS rn
+        |  FROM we WHERE phone IS NOT NULL AND ts IS NOT NULL) WHERE rn = 1)
+        |SELECT w.rec_id, w.rec_str, w.entity, c.canon_id, c.canon_str,
+        |  a.alias_merged, t.tier_merged, p2.phone_merged
+        |FROM we w JOIN canon c USING (entity)
+        |LEFT JOIN alias_m a USING (entity)
+        |LEFT JOIN tier_m t USING (entity)
+        |LEFT JOIN phone_m p2 USING (entity)
+        |ORDER BY w.rec_id""".stripMargin)
   )
 
   /** Unrolled Bellman-Ford min-merge replay for p117: d_i = per-node MIN

@@ -1572,9 +1572,15 @@ object Scripts {
          |select * from s44_clean union all select * from s44_dirty as s44_reg;
          |run s44_reg as EntityResolve.`` where idCol="id" and strCol="name"
          |  and maxDist="2" as s44_ent;
-         |select entity, canon_str, count(*) as n_members,
-         |  sum(case when rec_id >= 100000 then 1 else 0 end) as n_feed
-         |  from s44_ent group by entity, canon_str
+         |select id, name, length(name) as score from s44_reg as s44_scored;
+         |run s44_scored as EntityResolve.`` where idCol="id" and strCol="name"
+         |  and maxDist="2" and survivorship="best" and scoreCol="score" as s44_best;
+         |select e.entity, e.canon_str, b.canon_best, count(*) as n_members,
+         |  sum(case when e.rec_id >= 100000 then 1 else 0 end) as n_feed
+         |  from s44_ent e join (
+         |    select rec_id, canon_str as canon_best from s44_best) b
+         |  on b.rec_id = e.rec_id
+         |  group by e.entity, e.canon_str, b.canon_best
          |  order by entity as s44_out;""".stripMargin),
       """WITH RECURSIVE cl AS (SELECT c_custkey AS id,
         |  CASE CAST((c_custkey * 7) % 8 AS INT)
@@ -1611,13 +1617,20 @@ object Scripts {
         |  UNION
         |  SELECT r.s, e2.d FROM reach r JOIN edges e2 ON r.d = e2.s),
         |comp AS (SELECT s AS id, LEAST(s, MIN(d)) AS ent FROM reach GROUP BY s),
-        |withent AS (SELECT r.id AS rec_id, COALESCE(c.ent, r.id) AS entity
-        |  FROM reg r LEFT JOIN comp c ON c.id = r.id)
-        |SELECT w.entity, b.s AS canon_str,
+        |withent AS (SELECT r.id AS rec_id, r.s AS rec_str,
+        |  COALESCE(c.ent, r.id) AS entity
+        |  FROM reg r LEFT JOIN comp c ON c.id = r.id),
+        |-- best-survivorship election (score = LEN(name), ties -> min id)
+        |best AS (SELECT entity, rec_str AS canon_best FROM (
+        |  SELECT entity, rec_str, ROW_NUMBER() OVER (PARTITION BY entity
+        |    ORDER BY LEN(rec_str) DESC, rec_id) AS rn FROM withent)
+        |  WHERE rn = 1)
+        |SELECT w.entity, b.s AS canon_str, bb.canon_best,
         |  CAST(COUNT(*) AS BIGINT) AS n_members,
         |  CAST(SUM(CASE WHEN w.rec_id >= 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_feed
         |FROM withent w JOIN reg b ON b.id = w.entity
-        |GROUP BY w.entity, b.s ORDER BY w.entity""".stripMargin),
+        |JOIN best bb ON bb.entity = w.entity
+        |GROUP BY w.entity, b.s, bb.canon_best ORDER BY w.entity""".stripMargin),
 
     // ---- s45: GRAPH-TRUST FLAGSHIP — the round-15 graph tier composed
     //      in ONE DSL script over one co-purchase graph: k-core screen +

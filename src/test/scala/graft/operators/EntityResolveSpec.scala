@@ -33,4 +33,46 @@ class EntityResolveSpec extends AnyFunSuite {
     assert(out.count() == 3)
     assert(resolve(rows)(6L) == ((5L, "alpha beta")))
   }
+
+  test("resolveBest elects the max-score member, ties to the smallest id") {
+    import spark.implicits._
+    // one entity {1,2,3}: scores 1,7,7 -> canon is id 2 (tie with 3)
+    val rows = Seq((1L, "golden retriever", 1L), (2L, "goldan retriever", 7L),
+      (3L, "goldan retriefer", 7L), (9L, "border collie", 0L))
+      .toDF("id", "s", "score")
+    val out = EntityResolve.resolveBest(rows, "id", "s", "score", maxDist = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getString(4)))
+      .toMap
+    assert(out(1L) == ((1L, 2L, "goldan retriever")))
+    assert(out(3L) == ((1L, 2L, "goldan retriever")))
+    assert(out(9L) == ((9L, 9L, "border collie")), "singleton elects itself")
+  }
+
+  test("field merges: longest / majority / latest / max follow their pinned tie rules") {
+    import spark.implicits._
+    val rows = Seq(
+      // entity {1,2,3}: alias longest = "ccc-long" (len 8); tier majority =
+      // 5 (two votes vs one); phone latest = 111 (max ts 30); amt max = 9
+      (1L, "golden retriever", 1L, "aa", 5L, 10L, Some(7L), 30L),
+      (2L, "goldan retriever", 7L, "ccc-long", 5L, 20L, Some(9L), 10L),
+      (3L, "goldan retriefer", 7L, null, 4L, 30L, Some(111L), 20L),
+      (9L, "border collie", 0L, null, 2L, 5L, None, 1L))
+      .map { case (id, s, sc, al, ti, ts, ph, amt) =>
+        (id, s, sc, Option(al), ti, ts, ph.map(_.toString).orNull, amt) }
+      .toDF("id", "s", "score", "alias", "tier", "ts", "phone", "amt")
+    val out = EntityResolve.resolveBest(rows, "id", "s", "score", maxDist = 1,
+        mergeFields = Seq("alias" -> "longest", "tier" -> "majority",
+          "phone" -> "latest", "amt" -> "max"),
+        recencyCol = "ts")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(5), r.getLong(6), r.getString(7), r.getLong(8))).toMap
+    assert(out(1L) == (("ccc-long", 5L, "111", 30L)))
+    assert(out(2L) == out(1L) && out(3L) == out(1L))
+    // singleton with an all-null alias/phone: merged columns stay null
+    val nine = EntityResolve.resolveBest(rows, "id", "s", "score", maxDist = 1,
+        mergeFields = Seq("alias" -> "longest", "phone" -> "latest"),
+        recencyCol = "ts")
+      .filter($"rec_id" === 9L).head()
+    assert(nine.isNullAt(5) && nine.isNullAt(6))
+  }
 }
