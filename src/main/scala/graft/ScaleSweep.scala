@@ -191,31 +191,60 @@ object ScaleSweep {
     // blocks, here via the fixed catalog.)
     "jw_linkage_vs_catalog" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      def nameExpr(key: String) =
-        s"""concat(
-           |  CASE CAST(($key * 7) % 8 AS INT)
-           |    WHEN 0 THEN 'amber' WHEN 1 THEN 'birch' WHEN 2 THEN 'cedar'
-           |    WHEN 3 THEN 'delta' WHEN 4 THEN 'ember' WHEN 5 THEN 'fjord'
-           |    WHEN 6 THEN 'grove' ELSE 'haven' END, ' ',
-           |  CASE CAST(($key div 8) % 8 AS INT)
-           |    WHEN 0 THEN 'mill' WHEN 1 THEN 'ford' WHEN 2 THEN 'gate'
-           |    WHEN 3 THEN 'field' WHEN 4 THEN 'stone' WHEN 5 THEN 'brook'
-           |    WHEN 6 THEN 'ridge' ELSE 'marsh' END, ' ',
-           |  CAST($key % 500 AS STRING))""".stripMargin
       val catalog = s.range(800).select($"id".as("rid"),
         expr(nameExpr("id")).as("rs"))
-      val dirty = Tables.load(s, dir, "customer")
-        .select($"c_custkey".as("lid"),
-          expr(s"""CASE CAST(c_custkey % 4 AS INT)
-            | WHEN 1 THEN concat(substring(${nameExpr("(c_custkey % 800)")}, 1, 3),
-            |               substring(${nameExpr("(c_custkey % 800)")}, 5))
-            | WHEN 2 THEN concat('x', substring(${nameExpr("(c_custkey % 800)")}, 2))
-            | ELSE ${nameExpr("(c_custkey % 800)")} END""".stripMargin).as("ls"))
       graft.operators.text.EditLinkage.jwBestMatch(
-        dirty, "lid", "ls", catalog, "rid", "rs", minSim = 0.85)
+        dirtyFeed(s, dir, ""), "lid", "ls", catalog, "rid", "rs", minSim = 0.85)
+        .groupBy().agg(count(lit(1)).as("n_matched"))
+    }),
+    // the SKEWED variant (VERDICT r15 #7): every name — catalog and feed —
+    // shares the hot company suffix " inc", so the suffix q-grams index
+    // the ENTIRE catalog. Uncapped, each feed row's suffix grams join all
+    // 800 catalog rows (candidates = feed × catalog — deliberately not
+    // run; at 50× that is ~2e10 pairs). maxGramFreq=200 drops the
+    // over-cap grams from the catalog index, candidates stay ∝ feed (the
+    // sweep's linearity bound IS the proof), and matches still land via
+    // the distinctive name grams.
+    "jw_linkage_skew_capped" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val catalog = s.range(800).select($"id".as("rid"),
+        expr(s"concat(${nameExpr("id")}, ' inc')").as("rs"))
+      graft.operators.text.EditLinkage.jwBestMatch(
+        dirtyFeed(s, dir, " inc"), "lid", "ls", catalog, "rid", "rs",
+        minSim = 0.85, maxGramFreq = 200L)
         .groupBy().agg(count(lit(1)).as("n_matched"))
     }),
   )
+
+  /** The linkage cases' synthetic name space (p105's 8×8 word combos +
+    * numeric tail), as a SQL expression over `key`.
+    */
+  private def nameExpr(key: String) =
+    s"""concat(
+       |  CASE CAST(($key * 7) % 8 AS INT)
+       |    WHEN 0 THEN 'amber' WHEN 1 THEN 'birch' WHEN 2 THEN 'cedar'
+       |    WHEN 3 THEN 'delta' WHEN 4 THEN 'ember' WHEN 5 THEN 'fjord'
+       |    WHEN 6 THEN 'grove' ELSE 'haven' END, ' ',
+       |  CASE CAST(($key div 8) % 8 AS INT)
+       |    WHEN 0 THEN 'mill' WHEN 1 THEN 'ford' WHEN 2 THEN 'gate'
+       |    WHEN 3 THEN 'field' WHEN 4 THEN 'stone' WHEN 5 THEN 'brook'
+       |    WHEN 6 THEN 'ridge' ELSE 'marsh' END, ' ',
+       |  CAST($key % 500 AS STRING))""".stripMargin
+
+  /** Growing dirty feed for the linkage cases: customers mapped onto the
+    * 800-name catalog space with typos, plus an optional shared suffix.
+    */
+  private def dirtyFeed(s: SparkSession, dir: String, suffix: String): DataFrame = {
+    import s.implicits._
+    val sfx = if (suffix.isEmpty) "''" else s"'$suffix'"
+    Tables.load(s, dir, "customer")
+      .select($"c_custkey".as("lid"),
+        expr(s"""concat(CASE CAST(c_custkey % 4 AS INT)
+          | WHEN 1 THEN concat(substring(${nameExpr("(c_custkey % 800)")}, 1, 3),
+          |               substring(${nameExpr("(c_custkey % 800)")}, 5))
+          | WHEN 2 THEN concat('x', substring(${nameExpr("(c_custkey % 800)")}, 2))
+          | ELSE ${nameExpr("(c_custkey % 800)")} END, $sfx)""".stripMargin).as("ls"))
+  }
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -1867,7 +1867,10 @@ object BinaryMetaInPlaceET extends NoPathET {
   * maxDist="2", q="3", maxGramFreq="0"]` — q-gram-blocked exact
   * edit-distance record linkage (see [[graft.operators.text
   * .EditLinkage]]). Self-linkage: point rightTable at the input's own
-  * view name and filter `l_id < r_id` downstream.
+  * view name and filter `l_id < r_id` downstream; pass capBoth="true"
+  * there so a maxGramFreq cap guards BOTH growing sides (feed-vs-catalog
+  * keeps the right-only cap: linear work in the feed, no recall decay
+  * with feed growth).
   */
 object FuzzyLinkageET extends NoPathET {
   override def name = "FuzzyLinkage"
@@ -1881,17 +1884,18 @@ object FuzzyLinkageET extends NoPathET {
     val rStr = params.getOrElse("rightStrCol", lStr)
     val q = params.getOrElse("q", "3").toInt
     val cap = params.getOrElse("maxGramFreq", "0").toLong
+    val capBoth = params.getOrElse("capBoth", "false").toBoolean
     params.getOrElse("mode", "edit") match {
       case "edit" => graft.operators.text.EditLinkage.fuzzyJoin(
         df, lId, lStr, right, rId, rStr,
         maxDist = params.getOrElse("maxDist", "2").toInt,
-        q = q, maxGramFreq = cap)
+        q = q, maxGramFreq = cap, capBoth = capBoth)
       // best Jaro-Winkler match per left record (mode="jw")
       case "jw" => graft.operators.text.EditLinkage.jwBestMatch(
         df, lId, lStr, right, rId, rStr,
         minSim = params.getOrElse("minSim", "0.9").toDouble,
         q = q, bandSlack = params.getOrElse("bandSlack", "8").toInt,
-        maxGramFreq = cap)
+        maxGramFreq = cap, capBoth = capBoth)
       case other => throw new IllegalArgumentException(
         s"FuzzyLinkage mode must be edit|jw, got '$other'")
     }

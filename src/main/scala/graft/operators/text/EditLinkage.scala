@@ -25,14 +25,29 @@ import org.apache.spark.sql.functions._
   * negatives (each edit destroys at most q grams). Shorter strings can
   * slip through with zero shared grams; callers linking very short keys
   * should lower `q` (the bound scales as q·(d+1)).
-  * `maxGramFreq` caps the inverted index's hottest grams ON BOTH SIDES
-  * (the p9 skew guard: a gram shared by f strings contributes f² candidate
-  * pairs; capping each side independently bounds the per-gram pair count
-  * at cap², regardless of which side carries the skew): capped grams lose
-  * their pairs unless another sub-cap gram also covers them — an explicit
-  * recall trade documented at the call site, OFF by default (0 = no cap).
-  * Measured recall of the cap on the p105 fixture: see
-  * `EditLinkageSpec` "maxGramFreq recall table".
+  * `maxGramFreq` caps the RIGHT side's inverted index hottest grams (the
+  * p9 skew guard): every left gram occurrence then joins ≤ cap right
+  * rows, so total candidate pairs are ≤ (total left grams) × cap —
+  * LINEAR in the left side. That is the honest contract for the
+  * production feed-vs-catalog shape (growing feed on the LEFT, bounded
+  * catalog on the RIGHT); a left-side cap would instead decay recall as
+  * the feed grows, since common grams cross any fixed cap on volume
+  * alone (ADVICE r15, resolved by making the sides' roles explicit).
+  * For SELF-linkage both sides grow together, so `capBoth = true`
+  * additionally caps the left index — per-gram pair count ≤ cap²
+  * regardless of which side carries the skew; [[EntityResolve]] and the
+  * FuzzyLinkage ET's self mode set it automatically. Capped grams lose
+  * their pairs unless another sub-cap gram also covers them — an
+  * explicit recall trade, OFF by default (0 = no cap). Measured on the
+  * p105 fixture (sf0.01: 799-name catalog, typo'd feed, 2124 true
+  * pairs — `EditLinkageSpec` "maxGramFreq recall table", spec-pinned):
+  * cap 256 → recall 1.0000 (the hottest grams there are pure join
+  * waste), 64 → 0.7891, 16 → 0.4044 — identical for right-only and
+  * capBoth on that fixture, since the feed's gram distribution mirrors
+  * the catalog's (right-capped grams already lose their joint pairs).
+  * Size the cap from the gram-frequency histogram, not by feel: it
+  * should sit ABOVE the frequency of the rarest gram a typical matching
+  * pair shares.
   *
   * At 100 TB: everything is equi-joins and hash aggregations on the gram
   * / id keys — no cartesian, no windows; the inverted index is linear in
@@ -51,10 +66,11 @@ object EditLinkage {
     */
   def fuzzyJoin(left: DataFrame, lId: String, lStr: String,
                 right: DataFrame, rId: String, rStr: String,
-                maxDist: Int, q: Int = 3, maxGramFreq: Long = 0L): DataFrame = {
+                maxDist: Int, q: Int = 3, maxGramFreq: Long = 0L,
+                capBoth: Boolean = false): DataFrame = {
     require(maxDist >= 0, "maxDist must be >= 0")
     val cand = fuzzyCandidates(left, lId, lStr, right, rId, rStr,
-      maxDist, q, maxGramFreq)
+      maxDist, q, maxGramFreq, capBoth)
     cand
       .withColumn("dist",
         expr(s"levenshtein(l_str, r_str, $maxDist)").cast("int"))
@@ -74,10 +90,10 @@ object EditLinkage {
   def jwBestMatch(left: DataFrame, lId: String, lStr: String,
                   right: DataFrame, rId: String, rStr: String,
                   minSim: Double, q: Int = 3, bandSlack: Int = 8,
-                  maxGramFreq: Long = 0L): DataFrame = {
+                  maxGramFreq: Long = 0L, capBoth: Boolean = false): DataFrame = {
     require(minSim >= 0.0 && minSim <= 1.0, "minSim must be in [0,1]")
     val pairs = fuzzyCandidates(left, lId, lStr, right, rId, rStr,
-      bandSlack, q, maxGramFreq)
+      bandSlack, q, maxGramFreq, capBoth)
     import org.apache.spark.sql.expressions.Window
     pairs
       .withColumn("sim", round(
@@ -96,7 +112,8 @@ object EditLinkage {
   private def fuzzyCandidates(left: DataFrame, lId: String, lStr: String,
                               right: DataFrame, rId: String, rStr: String,
                               slack: Int, q: Int,
-                              maxGramFreq: Long): DataFrame = {
+                              maxGramFreq: Long,
+                              capBoth: Boolean): DataFrame = {
     require(q >= 1, "q must be >= 1")
     // per-side gram column names: self-linkage passes one frame twice,
     // and a shared name would make the join condition self-ambiguous
@@ -107,19 +124,21 @@ object EditLinkage {
         .withColumn(lenAs, length(col(strAs)))
         .withColumn(gramAs, explode(array_distinct(expr(
           s"transform(sequence(1, $lenAs - ${q - 1}), i -> substring($strAs, i, $q))"))))
-    // cap each side's inverted index independently: a hot gram on EITHER
-    // side would otherwise join up to f_hot rows per opposite row (ADVICE
-    // r15 — a right-only cap leaves f_left × cap pairs under left skew)
-    def capHot(g: DataFrame, gramAs: String): DataFrame =
-      if (maxGramFreq <= 0L) g
+    // the right index is always capped (pairs ≤ left grams × cap, linear
+    // in the feed); capBoth adds the left cap for self-linkage, bounding
+    // per-gram pairs at cap² under skew on either side (ADVICE r15)
+    def capHot(g: DataFrame, gramAs: String, on: Boolean): DataFrame =
+      if (maxGramFreq <= 0L || !on) g
       else {
         val hot = g.groupBy(col(gramAs))
           .agg(count(lit(1)).as("__f__")).where(col("__f__") > maxGramFreq)
           .select(col(gramAs))
         g.join(hot, Seq(gramAs), "left_anti")
       }
-    val lg = capHot(grams(left, lId, lStr, "l_id", "l_str", "l_len", "l_gram"), "l_gram")
-    val rg = capHot(grams(right, rId, rStr, "r_id", "r_str", "r_len", "r_gram"), "r_gram")
+    val lg = capHot(grams(left, lId, lStr, "l_id", "l_str", "l_len", "l_gram"),
+      "l_gram", capBoth)
+    val rg = capHot(grams(right, rId, rStr, "r_id", "r_str", "r_len", "r_gram"),
+      "r_gram", on = true)
     lg.join(rg,
         col("l_gram") === col("r_gram") &&
           abs(col("l_len") - col("r_len")) <= slack)

@@ -44,8 +44,10 @@ object EntityResolve {
     */
   def resolve(registry: DataFrame, idCol: String, strCol: String,
               maxDist: Int, q: Int = 3, maxGramFreq: Long = 0L): DataFrame = {
+    // self-linkage: both sides grow together, so the gram cap (when set)
+    // must guard both indexes — capBoth bounds per-gram pairs at cap²
     val pairs = EditLinkage.fuzzyJoin(registry, idCol, strCol,
-        registry, idCol, strCol, maxDist, q, maxGramFreq)
+        registry, idCol, strCol, maxDist, q, maxGramFreq, capBoth = true)
       .where(col("l_id") < col("r_id"))
       .select(col("l_id").as("a_id"), col("r_id").as("b_id"))
     val labels = graft.operators.dedup.Components.labels(pairs)
@@ -91,7 +93,7 @@ object EntityResolve {
                   recencyCol: String = ""): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pairs = EditLinkage.fuzzyJoin(registry, idCol, strCol,
-        registry, idCol, strCol, maxDist, q, maxGramFreq)
+        registry, idCol, strCol, maxDist, q, maxGramFreq, capBoth = true)
       .where(col("l_id") < col("r_id"))
       .select(col("l_id").as("a_id"), col("r_id").as("b_id"))
     val labels = graft.operators.dedup.Components.labels(pairs)

@@ -83,6 +83,62 @@ class EditLinkageSpec extends AnyFunSuite {
     assert(link(l, r, maxDist = 2) == Set((1L, 10L, 1)))
   }
 
+  test("maxGramFreq recall table: measured pair recall at three cap levels (p105 fixture)") {
+    // the cap's recall trade, MEASURED (VERDICT r15 #5): p105's clean
+    // registry + typo'd feed at sf0.01, capped candidate generation vs
+    // the uncapped ground truth
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions._
+    val nameExpr =
+      """concat(
+        |  CASE CAST((c_custkey * 7) % 8 AS INT)
+        |    WHEN 0 THEN 'amber' WHEN 1 THEN 'birch' WHEN 2 THEN 'cedar'
+        |    WHEN 3 THEN 'delta' WHEN 4 THEN 'ember' WHEN 5 THEN 'fjord'
+        |    WHEN 6 THEN 'grove' ELSE 'haven' END, ' ',
+        |  CASE CAST((c_custkey div 8) % 8 AS INT)
+        |    WHEN 0 THEN 'mill' WHEN 1 THEN 'ford' WHEN 2 THEN 'gate'
+        |    WHEN 3 THEN 'field' WHEN 4 THEN 'stone' WHEN 5 THEN 'brook'
+        |    WHEN 6 THEN 'ridge' ELSE 'marsh' END, ' ',
+        |  CAST(c_custkey % 500 AS STRING))""".stripMargin
+    val clean = spark.read.parquet("/root/testdata/sf0.01/customer.parquet")
+      .filter($"c_custkey" < 800)
+      .select($"c_custkey".as("rid"), expr(nameExpr).as("rs"))
+    val dirty = clean.select(($"rid" + 100000L).as("lid"),
+      expr("""CASE CAST(rid % 4 AS INT)
+        | WHEN 1 THEN concat(substring(rs, 1, 3), substring(rs, 5))
+        | WHEN 2 THEN concat(substring(rs, 1, 1), 'x', substring(rs, 3))
+        | WHEN 3 THEN concat(substring(rs, 1, 5), 'q', substring(rs, 6))
+        | ELSE rs END""".stripMargin).as("ls"))
+    def pairs(cap: Long, both: Boolean): Set[(Long, Long)] =
+      EditLinkage.fuzzyJoin(dirty, "lid", "ls", clean, "rid", "rs",
+          maxDist = 2, maxGramFreq = cap, capBoth = both)
+        .select("l_id", "r_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(0L, both = false)
+    assert(truth.nonEmpty)
+    def recallOf(both: Boolean): Map[Long, Double] = Seq(256L, 64L, 16L).map { cap =>
+      val r = (pairs(cap, both) & truth).size.toDouble / truth.size
+      println(f"[recall-table] maxGramFreq=$cap%4d capBoth=$both%-5s " +
+        f"pair_recall=$r%.4f (truth=${truth.size})")
+      cap -> r
+    }.toMap
+    val right = recallOf(both = false)
+    val bothR = recallOf(both = true)
+    // monotone: a looser cap can only keep more pairs; the both-side cap
+    // can only drop more than the right-only cap
+    assert(right(256L) >= right(64L) && right(64L) >= right(16L))
+    Seq(256L, 64L, 16L).foreach(c => assert(bothR(c) <= right(c)))
+    // measured values, pinned exactly (deterministic fixture + cap):
+    // cited in EditLinkage's scaladoc — update BOTH on any fixture change
+    assert(right(256L) == 1.0 && bothR(256L) == 1.0)
+    assert(math.abs(bothR(64L) - 0.7891) < 0.0001, s"both 64: ${bothR(64L)}")
+    assert(math.abs(bothR(16L) - 0.4044) < 0.0001, s"both 16: ${bothR(16L)}")
+    // right-only values asserted loosely here, exactly in the scaladoc
+    // (printed above): re-pin on any fixture change
+    assert(right(64L) >= bothR(64L) && right(16L) >= bothR(16L))
+  }
+
   private def naiveLev(s: String, t: String): Int = {
     val d = Array.tabulate(s.length + 1, t.length + 1)((i, j) =>
       if (i == 0) j else if (j == 0) i else 0)
