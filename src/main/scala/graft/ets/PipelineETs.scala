@@ -1997,7 +1997,9 @@ object CooccurEdgesET extends NoPathET {
   * `survivorship="best"` elects the golden record by quality instead:
   * requires `scoreCol`; optional `merge="field:strategy,..."`
   * (longest|majority|latest|max|min) builds field-level merges
-  * (`latest` needs `recencyCol`).
+  * (`latest` needs `recencyCol`). With `entityCol` set, the input is
+  * treated as ALREADY labeled and only the election/merge runs — the
+  * re-scoring iteration path that skips the expensive matching stage.
   */
 object EntityResolveET extends NoPathET {
   override def name = "EntityResolve"
@@ -2020,12 +2022,19 @@ object EntityResolveET extends NoPathET {
               s"merge entries must be field:strategy, got '$kv'")
           }
         }
-        graft.operators.text.EntityResolve.resolveBest(df, idCol, strCol,
-          params.getOrElse("scoreCol", throw new IllegalArgumentException(
-            """survivorship="best" needs scoreCol""")),
-          maxDist = maxDist, q = q, maxGramFreq = cap,
-          mergeFields = merges,
-          recencyCol = params.getOrElse("recencyCol", ""))
+        val score = params.getOrElse("scoreCol", throw new IllegalArgumentException(
+          """survivorship="best" needs scoreCol"""))
+        params.get("entityCol") match {
+          case Some(ent) =>
+            graft.operators.text.EntityResolve.electGolden(df, idCol, strCol,
+              score, ent, mergeFields = merges,
+              recencyCol = params.getOrElse("recencyCol", ""))
+          case None =>
+            graft.operators.text.EntityResolve.resolveBest(df, idCol, strCol,
+              score, maxDist = maxDist, q = q, maxGramFreq = cap,
+              mergeFields = merges,
+              recencyCol = params.getOrElse("recencyCol", ""))
+        }
       case other => throw new IllegalArgumentException(
         s"survivorship must be min|best, got '$other'")
     }

@@ -23,14 +23,21 @@ import org.apache.spark.storage.StorageLevel
   * rounds. Per-round cost is one join of the persisted edge table
   * against the (typically broadcast-small) frontier plus a
   * frontier-incident aggregation and a node-sized degree merge — NOT a
-  * shuffle of all surviving edges. The alive frame is
-  * `localCheckpoint`ed per round with RDD-level release of the previous
-  * frame ([[graft.LoopFrames]], house rule for iterative loops). Rounds
-  * are bounded by the peel depth (how many "onion layers" sit below the
-  * core) — `maxIter` fails loudly rather than looping (adversarial
-  * deep-peel graphs — a bare path peels O(n) layers — are spec-pinned);
-  * at 100 TB swap localCheckpoint for reliable checkpoints and the loop
-  * shape is unchanged.
+  * shuffle of all surviving edges. The one cost the frontier join still
+  * pays is SCANNING the persisted edge table (stale edges of peeled
+  * nodes ride along harmlessly — a peeled node never re-enters the
+  * frontier), so once the cumulative peel has removed half the nodes
+  * alive at the last compaction, the loop COMPACTS the edge table to
+  * the surviving endpoints (two semi-joins, re-persist, old blocks
+  * freed): deep peels that strip most of the graph scan a geometrically
+  * shrinking table instead of the original one forever. The alive frame
+  * is `localCheckpoint`ed per round with RDD-level release of the
+  * previous frame ([[graft.LoopFrames]], house rule for iterative
+  * loops). Rounds are bounded by the peel depth (how many "onion
+  * layers" sit below the core) — `maxIter` fails loudly rather than
+  * looping (adversarial deep-peel graphs — a bare path peels O(n)
+  * layers — are spec-pinned); at 100 TB swap localCheckpoint for
+  * reliable checkpoints and the loop shape is unchanged.
   *
   * Determinism: pure integer set/degree arithmetic — the fixpoint is
   * unique (peeling order cannot change it), so output is hash-exact at
@@ -55,7 +62,7 @@ object KCore {
     require(maxIter >= 1, "maxIter must be >= 1")
     val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .filter(col("u") =!= col("v"))
-    val e = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+    var e = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
     try {
       // full-degree aggregation happens exactly ONCE; every later round
@@ -63,13 +70,16 @@ object KCore {
       // within the current alive set)
       var alive = e.groupBy(col("u").as("node"))
         .agg(count(lit(1)).as("deg")).localCheckpoint(true)
+      var nodesAtCompact = alive.count()
+      var peeledSince = 0L
       var iter = 0
       while (iter < maxIter) {
         // frontier = nodes falling below k under the CURRENT alive set;
-        // derived from the checkpointed alive frame, so the two uses
-        // below (count + decrement join) re-run only a cheap filter
+        // derived from the checkpointed alive frame, so the uses below
+        // (count + decrement join) re-run only a cheap filter
         val peeled = alive.filter(col("deg") < k)
-        if (peeled.isEmpty) {
+        val nPeeled = peeled.count()
+        if (nPeeled == 0L) {
           // fixpoint: nobody peels, so `deg` is the within-core degree
           return alive
         }
@@ -86,6 +96,25 @@ object KCore {
         graft.LoopFrames.release(alive)
         alive = next
         iter += 1
+        // compact the edge table once half the nodes alive at the last
+        // compaction have peeled: stale edges are harmless (a peeled
+        // node never re-enters the frontier) but scanning them is not
+        // free, and a deep peel would otherwise scan the ORIGINAL table
+        // every round. Cost = one old-style round (two semi-joins +
+        // re-persist); the table then shrinks geometrically.
+        peeledSince += nPeeled
+        if (peeledSince * 2 >= nodesAtCompact) {
+          val compacted = e
+            .join(alive.select(col("node").as("u")), "u")
+            .join(alive.select(col("node").as("v")), "v")
+            .select(col("u"), col("v"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          compacted.count() // materialize before dropping the old blocks
+          e.unpersist(false)
+          e = compacted
+          nodesAtCompact = math.max(1L, nodesAtCompact - peeledSince)
+          peeledSince = 0L
+        }
       }
       // the alive count is monotone decreasing, so non-convergence in
       // maxIter rounds means the peel is still stripping layers — a bound

@@ -91,22 +91,42 @@ object EntityResolve {
                   maxGramFreq: Long = 0L,
                   mergeFields: Seq[(String, String)] = Nil,
                   recencyCol: String = ""): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val pairs = EditLinkage.fuzzyJoin(registry, idCol, strCol,
         registry, idCol, strCol, maxDist, q, maxGramFreq, capBoth = true)
       .where(col("l_id") < col("r_id"))
       .select(col("l_id").as("a_id"), col("r_id").as("b_id"))
     val labels = graft.operators.dedup.Components.labels(pairs)
+    // project down BEFORE the label join so stray registry columns named
+    // `label`/`__entity__` cannot collide
+    val needed = (Seq(idCol, strCol, scoreCol) ++ mergeFields.map(_._1) ++
+      (if (recencyCol.nonEmpty) Seq(recencyCol) else Nil)).distinct
+    val labeled = registry.select(needed.map(col): _*)
+      .join(labels.select(col("id").as(idCol), col("label")), Seq(idCol), "left")
+      .withColumn("__entity__", coalesce(col("label"), col(idCol)))
+      .drop("label")
+    electGolden(labeled, idCol, strCol, scoreCol, "__entity__",
+      mergeFields, recencyCol)
+  }
+
+  /** The survivorship half of [[resolveBest]] on an ALREADY-labeled
+    * registry (`entityCol` carries the entity id): elect + merge without
+    * re-running linkage and components. The matching stage is the
+    * expensive half of ER, and re-election is the common iteration —
+    * new scoring rules, new merge strategies — so the split matters
+    * operationally (s44 re-elects from its first resolve's labels).
+    */
+  def electGolden(labeled: DataFrame, idCol: String, strCol: String,
+                  scoreCol: String, entityCol: String,
+                  mergeFields: Seq[(String, String)] = Nil,
+                  recencyCol: String = ""): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val extraCols = (mergeFields.map(_._1) ++
       (if (recencyCol.nonEmpty) Seq(recencyCol) else Nil)).distinct
       .filterNot(c => c == idCol || c == strCol || c == scoreCol)
-    val reg = registry.select(
+    val withEntity = labeled.select(
       (Seq(col(idCol).as("rec_id"), col(strCol).as("rec_str"),
-        col(scoreCol).as("__score__")) ++ extraCols.map(col)): _*)
-    val withEntity = reg
-      .join(labels.select(col("id").as("rec_id"), col("label")), Seq("rec_id"), "left")
-      .withColumn("entity", coalesce(col("label"), col("rec_id")))
-      .drop("label")
+        col(scoreCol).as("__score__"), col(entityCol).as("entity")) ++
+        extraCols.map(col)): _*)
     // election: one entity-keyed window, max score, ties to smallest id
     val canon = withEntity
       .withColumn("__rn__", row_number().over(Window.partitionBy(col("entity"))

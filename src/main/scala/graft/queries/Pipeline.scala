@@ -4025,7 +4025,73 @@ object Pipeline {
         |LEFT JOIN alias_m a USING (entity)
         |LEFT JOIN tier_m t USING (entity)
         |LEFT JOIN phone_m p2 USING (entity)
-        |ORDER BY w.rec_id""".stripMargin)
+        |ORDER BY w.rec_id""".stripMargin),
+
+    // ---- capped fuzzy linkage (EditLinkage maxGramFreq): p105's feed vs
+    //      catalog with the RIGHT-index gram cap ACTIVE (64 — the recall
+    //      table's middle row), proving the cap itself is replayable:
+    //      the oracle computes catalog gram frequencies, anti-joins the
+    //      over-cap grams out of the inverted index, and runs the same
+    //      blocking + verify. Every emitted pair is a true pair; the
+    //      forfeited ones are exactly the spec-pinned 1 − 0.7891. ----
+    QuerySpec.sql("p119_fuzzy_linkage_capped", (s, dir) => {
+      import s.implicits._
+      val nameExpr =
+        """concat(
+          |  CASE CAST((c_custkey * 7) % 8 AS INT)
+          |    WHEN 0 THEN 'amber' WHEN 1 THEN 'birch' WHEN 2 THEN 'cedar'
+          |    WHEN 3 THEN 'delta' WHEN 4 THEN 'ember' WHEN 5 THEN 'fjord'
+          |    WHEN 6 THEN 'grove' ELSE 'haven' END, ' ',
+          |  CASE CAST((c_custkey div 8) % 8 AS INT)
+          |    WHEN 0 THEN 'mill' WHEN 1 THEN 'ford' WHEN 2 THEN 'gate'
+          |    WHEN 3 THEN 'field' WHEN 4 THEN 'stone' WHEN 5 THEN 'brook'
+          |    WHEN 6 THEN 'ridge' ELSE 'marsh' END, ' ',
+          |  CAST(c_custkey % 500 AS STRING))""".stripMargin
+      val clean = t(s, dir, "customer").filter($"c_custkey" < 800)
+        .select($"c_custkey".as("rid"), expr(nameExpr).as("rs"))
+      val dirty = clean.select(($"rid" + 100000L).as("lid"),
+        expr("""CASE CAST(rid % 4 AS INT)
+          | WHEN 1 THEN concat(substring(rs, 1, 3), substring(rs, 5))
+          | WHEN 2 THEN concat(substring(rs, 1, 1), 'x', substring(rs, 3))
+          | WHEN 3 THEN concat(substring(rs, 1, 5), 'q', substring(rs, 6))
+          | ELSE rs END""".stripMargin).as("ls"))
+      graft.operators.text.EditLinkage.fuzzyJoin(
+          dirty, "lid", "ls", clean, "rid", "rs", maxDist = 2,
+          maxGramFreq = 64L)
+        .orderBy($"l_id", $"r_id")
+    },
+      """WITH cl AS (SELECT c_custkey AS rid,
+        |  CASE CAST((c_custkey * 7) % 8 AS INT)
+        |    WHEN 0 THEN 'amber' WHEN 1 THEN 'birch' WHEN 2 THEN 'cedar'
+        |    WHEN 3 THEN 'delta' WHEN 4 THEN 'ember' WHEN 5 THEN 'fjord'
+        |    WHEN 6 THEN 'grove' ELSE 'haven' END || ' ' ||
+        |  CASE CAST((c_custkey // 8) % 8 AS INT)
+        |    WHEN 0 THEN 'mill' WHEN 1 THEN 'ford' WHEN 2 THEN 'gate'
+        |    WHEN 3 THEN 'field' WHEN 4 THEN 'stone' WHEN 5 THEN 'brook'
+        |    WHEN 6 THEN 'ridge' ELSE 'marsh' END || ' ' ||
+        |  CAST(c_custkey % 500 AS VARCHAR) AS rs
+        |  FROM customer WHERE c_custkey < 800),
+        |di AS (SELECT rid + 100000 AS lid,
+        |  CASE CAST(rid % 4 AS INT)
+        |    WHEN 1 THEN substr(rs, 1, 3) || substr(rs, 5)
+        |    WHEN 2 THEN substr(rs, 1, 1) || 'x' || substr(rs, 3)
+        |    WHEN 3 THEN substr(rs, 1, 5) || 'q' || substr(rs, 6)
+        |    ELSE rs END AS ls
+        |  FROM cl),
+        |lg AS (SELECT lid, ls, LEN(ls) AS llen,
+        |  UNNEST(list_distinct(list_transform(range(1, LEN(ls) - 1),
+        |    i -> substr(ls, CAST(i AS INT), 3)))) AS gram FROM di),
+        |rg0 AS (SELECT rid, rs, LEN(rs) AS rlen,
+        |  UNNEST(list_distinct(list_transform(range(1, LEN(rs) - 1),
+        |    i -> substr(rs, CAST(i AS INT), 3)))) AS gram FROM cl),
+        |hot AS (SELECT gram FROM rg0 GROUP BY gram HAVING COUNT(*) > 64),
+        |rg AS (SELECT * FROM rg0 WHERE gram NOT IN (SELECT gram FROM hot)),
+        |cand AS (SELECT DISTINCT lid, rid, ls, rs FROM lg JOIN rg USING (gram)
+        |  WHERE abs(llen - rlen) <= 2)
+        |SELECT lid AS l_id, rid AS r_id, ls AS l_str, rs AS r_str,
+        |  CAST(levenshtein(ls, rs) AS INT) AS dist
+        |FROM cand WHERE levenshtein(ls, rs) <= 2
+        |ORDER BY l_id, r_id""".stripMargin)
   )
 
   /** Unrolled Bellman-Ford min-merge replay for p117: d_i = per-node MIN

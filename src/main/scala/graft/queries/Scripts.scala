@@ -1572,9 +1572,11 @@ object Scripts {
          |select * from s44_clean union all select * from s44_dirty as s44_reg;
          |run s44_reg as EntityResolve.`` where idCol="id" and strCol="name"
          |  and maxDist="2" as s44_ent;
-         |select id, name, length(name) as score from s44_reg as s44_scored;
+         |select rec_id as id, rec_str as name, entity,
+         |  length(rec_str) as score from s44_ent as s44_scored;
          |run s44_scored as EntityResolve.`` where idCol="id" and strCol="name"
-         |  and maxDist="2" and survivorship="best" and scoreCol="score" as s44_best;
+         |  and survivorship="best" and scoreCol="score"
+         |  and entityCol="entity" as s44_best;
          |select e.entity, e.canon_str, b.canon_best, count(*) as n_members,
          |  sum(case when e.rec_id >= 100000 then 1 else 0 end) as n_feed
          |  from s44_ent e join (

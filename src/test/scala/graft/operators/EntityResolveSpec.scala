@@ -48,6 +48,22 @@ class EntityResolveSpec extends AnyFunSuite {
     assert(out(9L) == ((9L, 9L, "border collie")), "singleton elects itself")
   }
 
+  test("electGolden on pre-labeled rows == resolveBest end-to-end (re-election path)") {
+    import spark.implicits._
+    val rows = Seq((1L, "golden retriever", 1L), (2L, "goldan retriever", 7L),
+      (3L, "goldan retriefer", 7L), (9L, "border collie", 0L))
+      .toDF("id", "s", "score")
+    val full = EntityResolve.resolveBest(rows, "id", "s", "score", maxDist = 1)
+      .orderBy("rec_id").collect().toSeq
+    // feed the labels from a plain resolve back through electGolden only
+    val labeled = EntityResolve.resolve(rows, "id", "s", maxDist = 1)
+      .select($"rec_id".as("id"), $"rec_str".as("s"), $"entity")
+      .join(rows.select($"id", $"score"), Seq("id"))
+    val reElect = EntityResolve.electGolden(labeled, "id", "s", "score", "entity")
+      .orderBy("rec_id").collect().toSeq
+    assert(reElect == full)
+  }
+
   test("field merges: longest / majority / latest / max follow their pinned tie rules") {
     import spark.implicits._
     val rows = Seq(
