@@ -181,6 +181,12 @@ object ScaleSweep {
     "p107_bfs_hops" -> SparkEntry.queries("p107_bfs_hops"),
     "p108_trustrank" -> SparkEntry.queries("p108_trustrank"),
     "p114_weighted_pagerank" -> SparkEntry.queries("p114_weighted_pagerank"),
+    // r16 graph additions, verbatim: blow-up copies re-key lineitem so
+    // the part↔supplier graph (sssp) and the order baskets (cooccur)
+    // grow in disjoint components with unchanged per-copy structure;
+    // sssp seeds stay in every copy (the key stride is ≡ 0 mod 100)
+    "p117_sssp" -> SparkEntry.queries("p117_sssp"),
+    "p116_cooccur_edges" -> SparkEntry.queries("p116_cooccur_edges"),
     // fuzzy linkage in its production-linear shape: a GROWING dirty feed
     // matched against a BOUNDED master catalog, so candidates per dirty
     // record are capped by the catalog's block sizes and total work is

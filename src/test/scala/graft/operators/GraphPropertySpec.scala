@@ -118,4 +118,53 @@ class GraphPropertySpec extends AnyFunSuite {
       }
     }, n = 5)
   }
+
+  test("property: Sssp with unit weights equals Bfs hop distance (degeneration)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    check(Prop.forAll(genGraph) { edges =>
+      edges.isEmpty || {
+        val e = edges.toDF("src", "dst")
+        val seeds = Seq(edges.head._1).toDF("node")
+        val hops = graft.operators.graph.Bfs
+          .hopDistance(e, "src", "dst", seeds, "node",
+            maxHops = 30, undirected = true)
+          .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+        val dist = graft.operators.graph.Sssp
+          .run(e.withColumn("w", lit(1L)), "src", "dst", "w", seeds, "node",
+            maxIter = 32, undirected = true)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        if (dist != hops) println(s"SSSP/BFS MISMATCH edges=$edges got=$dist want=$hops")
+        dist == hops
+      }
+    }, n = 5)
+  }
+
+  test("property: k-core peel (delta + compaction) equals naive peel under deep blow-ups") {
+    import spark.implicits._
+    // paths welded to cliques force multiple compactions AND a deep peel
+    val gen = for {
+      len <- Gen.choose(6, 24)
+      k   <- Gen.choose(2, 4)
+    } yield (len, k)
+    check(Prop.forAll(gen) { case (len, k) =>
+      val path = (1L until len.toLong).map(i => (i, i + 1))
+      val clique = for (i <- 100L to 105L; j <- (i + 1) to 105L) yield (i, j)
+      val edges = path ++ clique :+ ((len.toLong, 100L))
+      val got = graft.operators.graph.KCore
+        .run(edges.toDF("s", "d"), "s", "d", k, maxIter = len + 5)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      var adj = edges.flatMap(p => Seq(p, p.swap)).distinct
+      var deg = adj.groupBy(_._1).map { case (n2, es) => n2 -> es.size.toLong }
+      var changed = true
+      while (changed) {
+        val dead = deg.filter(_._2 < k).keySet
+        changed = dead.nonEmpty
+        adj = adj.filter(p => !dead(p._1) && !dead(p._2))
+        deg = adj.groupBy(_._1).map { case (n2, es) => n2 -> es.size.toLong }
+      }
+      if (got != deg) println(s"KCORE MISMATCH len=$len k=$k got=$got want=$deg")
+      got == deg
+    }, n = 6)
+  }
 }

@@ -207,6 +207,14 @@ class BenchSpec extends AnyFunSuite {
     assert(rp.contains("HashAggregate") && rp.toLowerCase.contains("partial"), rp)
   }
 
+  test("p118 survivorship: election + merges are entity-keyed windows/aggs, no cartesian") {
+    val p = plan("p118_entity_survivorship")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Window"), p)       // the canon election
+    assert(p.contains("HashAggregate"), p) // the merge aggregations
+  }
+
   test("p112 nearest as-of: one key exchange + windows, no pair blowup") {
     val p = plan("p112_asof_nearest")
     assert(!p.contains("CartesianProduct"), p)
