@@ -29,7 +29,8 @@ object PipelineETs {
     MmrRerankET, TextNormalizeInPlaceET, UrlCanonicalizeInPlaceET, CusumET,
     StreamCusumET, Bm25IndexET, RetrievalEvalET, AttributionET, SurvivalET,
     DistDriftET, SnippetsInPlaceET, FuzzyLinkageET, KCoreET, BfsHopsET, TrustRankET, EntityResolveET,
-    BlocklistET, AsOfJoinET, RandomProjectionET, CooccurEdgesET, SsspET)
+    BlocklistET, AsOfJoinET, RandomProjectionET, CooccurEdgesET, SsspET,
+    CorenessET)
 }
 
 /** `run hits as SnippetsInPlace.`` [where textCol="text" and
@@ -1914,6 +1915,20 @@ object KCoreET extends NoPathET {
       params.getOrElse("srcCol", "a"), params.getOrElse("dstCol", "b"),
       k = params.getOrElse("k", "2").toInt,
       maxIter = params.getOrElse("maxIter", "30").toInt)
+}
+
+/** `run edges as Coreness.`` where srcCol="a" and dstCol="b" and
+  * maxK="8" [and maxIterPerLevel="50"]` — full k-core decomposition
+  * clamped at maxK (see [[graft.operators.graph.KCore.coreness]]).
+  */
+object CorenessET extends NoPathET {
+  override def name = "Coreness"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame =
+    graft.operators.graph.KCore.coreness(df,
+      params.getOrElse("srcCol", "a"), params.getOrElse("dstCol", "b"),
+      maxK = params.getOrElse("maxK", "8").toInt,
+      maxIterPerLevel = params.getOrElse("maxIterPerLevel", "50").toInt)
 }
 
 /** `run edges as BfsHops.`` where srcCol="a" and dstCol="b" and

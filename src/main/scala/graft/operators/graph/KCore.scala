@@ -123,4 +123,85 @@ object KCore {
         s"k-core peel did not converge in $maxIter rounds (alive=${alive.count()})")
     } finally e.unpersist(false)
   }
+
+  /** Full k-core DECOMPOSITION, clamped at `maxK`: per-node core number
+    * (`coreness(v)` = max k with v in the k-core; survivors of the
+    * maxK-peel report `maxK`, meaning "≥ maxK"). The classic degeneracy
+    * screen — one number per node instead of one membership query per k.
+    *
+    * One CONTINUOUS delta-peel: the maintained `deg` invariant (degree
+    * within the current alive set) carries across levels, so raising k
+    * needs no re-aggregation — the level-k peel starts exactly where
+    * level k−1's fixpoint left off, and nodes peeled while targeting the
+    * k-core get coreness k−1 (Batagelj–Zaveršnik's order, level-
+    * synchronous). Total cost = Σ per-level peel rounds, each round
+    * frontier-incident work with the same compaction as [[run]]; the
+    * accumulated result is a lazy union of small per-round checkpoints
+    * (each materialized BEFORE its parent alive frame is released).
+    *
+    * Determinism: same unique-fixpoint argument as [[run]] applied per
+    * level — hash-exact anywhere, SQL-replayable as chained unrolled
+    * peels (the p120 oracle).
+    */
+  def coreness(edges: DataFrame, srcCol: String, dstCol: String, maxK: Int,
+               maxIterPerLevel: Int = 50): DataFrame = {
+    require(maxK >= 1, "maxK must be >= 1")
+    require(maxIterPerLevel >= 1, "maxIterPerLevel must be >= 1")
+    val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .filter(col("u") =!= col("v"))
+    var e = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var alive = e.groupBy(col("u").as("node"))
+        .agg(count(lit(1)).as("deg")).localCheckpoint(true)
+      var nodesAtCompact = alive.count()
+      var peeledSince = 0L
+      var result: Option[DataFrame] = None
+      var k = 1
+      while (k <= maxK && nodesAtCompact - peeledSince > 0) {
+        var iter = 0
+        var converged = false
+        while (!converged) {
+          val peeled = alive.filter(col("deg") < k)
+          val nPeeled = peeled.count()
+          if (nPeeled == 0L) converged = true
+          else {
+            iter += 1
+            if (iter > maxIterPerLevel) throw new IllegalStateException(
+              s"coreness peel at level $k did not converge in $maxIterPerLevel rounds")
+            // materialize the level slice BEFORE releasing its parent
+            val lvl = graft.LoopFrames.checkpoint(
+              peeled.select(col("node")).withColumn("coreness", lit((k - 1).toLong)))
+            result = Some(result.map(_.unionByName(lvl)).getOrElse(lvl))
+            val dec = e.join(peeled.select(col("node").as("u")), "u")
+              .groupBy(col("v").as("node")).agg(count(lit(1)).as("__dec__"))
+            val next = alive.filter(col("deg") >= k)
+              .join(dec, Seq("node"), "left")
+              .select(col("node"),
+                (col("deg") - coalesce(col("__dec__"), lit(0L))).as("deg"))
+              .localCheckpoint(true)
+            graft.LoopFrames.release(alive)
+            alive = next
+            peeledSince += nPeeled
+            if (peeledSince * 2 >= nodesAtCompact) {
+              val compacted = e
+                .join(alive.select(col("node").as("u")), "u")
+                .join(alive.select(col("node").as("v")), "v")
+                .select(col("u"), col("v"))
+                .persist(StorageLevel.MEMORY_AND_DISK)
+              compacted.count()
+              e.unpersist(false)
+              e = compacted
+              nodesAtCompact = math.max(1L, nodesAtCompact - peeledSince)
+              peeledSince = 0L
+            }
+          }
+        }
+        k += 1
+      }
+      val survivors = alive.select(col("node"))
+        .withColumn("coreness", lit(maxK.toLong))
+      result.map(_.unionByName(survivors)).getOrElse(survivors)
+    } finally e.unpersist(false)
+  }
 }

@@ -4091,8 +4091,60 @@ object Pipeline {
         |SELECT lid AS l_id, rid AS r_id, ls AS l_str, rs AS r_str,
         |  CAST(levenshtein(ls, rs) AS INT) AS dist
         |FROM cand WHERE levenshtein(ls, rs) <= 2
-        |ORDER BY l_id, r_id""".stripMargin)
+        |ORDER BY l_id, r_id""".stripMargin),
+
+    // ---- full k-core decomposition (KCore.coreness): per-node core
+    //      number over the p106 co-purchase graph, clamped at 4. One
+    //      continuous delta-peel whose maintained degrees carry across
+    //      levels; the oracle chains four unrolled recompute-peels
+    //      (16 idempotent-margin rounds each, MATERIALIZED) and slices
+    //      coreness k−1 as "in level k−1's fixpoint but not level k's". ----
+    QuerySpec.sql("p120_coreness", (s, dir) => {
+      import s.implicits._
+      val edges = graft.operators.basket.MarketBasket.pairRules(
+          t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey"),
+          "l_orderkey", "l_partkey", minSupport = 2L)
+        .select($"a", $"b")
+      graft.operators.graph.KCore.coreness(edges, "a", "b", maxK = 4)
+        .orderBy($"node")
+    }, corenessOracleSql(4, 16))
   )
+
+  /** Chained unrolled-peel replay for p120: level k peels from level
+    * k−1's fixpoint with HAVING deg >= k (p106's round shape), rounds
+    * past each fixpoint idempotent; coreness slices are set differences
+    * between consecutive fixpoints, survivors clamp at maxK.
+    */
+  private def corenessOracleSql(maxK: Int, rounds: Int): String = {
+    val levels = (1 to maxK).map { k =>
+      val start = if (k == 1) "a0" else s"c${k - 1}_$rounds"
+      val iters = (1 to rounds).map { i =>
+        s"""c${k}_$i AS MATERIALIZED (SELECT e.u AS node
+           | FROM e JOIN c${k}_${i - 1} x ON x.node = e.u
+           |        JOIN c${k}_${i - 1} y ON y.node = e.v
+           | GROUP BY e.u HAVING COUNT(*) >= $k)""".stripMargin
+      }.mkString(",\n")
+      s"""c${k}_0 AS MATERIALIZED (SELECT node FROM $start),
+         |$iters""".stripMargin
+    }.mkString(",\n")
+    val slices = (1 to maxK).map { k =>
+      val prev = if (k == 1) "a0" else s"c${k - 1}_$rounds"
+      s"""SELECT node, CAST(${k - 1} AS BIGINT) AS coreness FROM $prev
+         |WHERE node NOT IN (SELECT node FROM c${k}_$rounds)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS i FROM lineitem),
+       |pr AS (SELECT x.i AS a, y.i AS b FROM it x
+       |       JOIN it y ON x.bk = y.bk AND x.i < y.i
+       |       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |e AS MATERIALIZED (SELECT a AS u, b AS v FROM pr UNION SELECT b, a FROM pr),
+       |a0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM e),
+       |$levels
+       |SELECT node, coreness FROM (
+       |$slices
+       |UNION ALL
+       |SELECT node, CAST($maxK AS BIGINT) AS coreness FROM c${maxK}_$rounds
+       |) ORDER BY node""".stripMargin
+  }
 
   /** Unrolled Bellman-Ford min-merge replay for p117: d_i = per-node MIN
     * over (d_{i-1} pass-through ∪ one relaxation of every edge leaving a

@@ -461,6 +461,19 @@ class PipelineETSpec extends AnyFunSuite {
       Seq((1L, 2L), (2L, 2L), (3L, 2L)))
   }
 
+  test("Coreness decomposes a triangle-with-tail through the DSL") {
+    val df = runDF(
+      """set cre = '''{"a":1,"b":2}
+        |{"a":2,"b":3}
+        |{"a":1,"b":3}
+        |{"a":3,"b":4}''';
+        |load jsonStr.`cre` as cr_edges;
+        |run cr_edges as Coreness.`` where srcCol="a" and dstCol="b" and maxK="4" as crout;
+        |select node, coreness from crout order by node as out;""".stripMargin)
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L), (2L, 2L), (3L, 2L), (4L, 1L)))
+  }
+
   test("BfsHops reports min hop distances from a seed table via the DSL") {
     val df = runDF(
       """set bfe = '''{"a":1,"b":2}

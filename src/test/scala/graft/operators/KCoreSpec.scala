@@ -62,6 +62,45 @@ class KCoreSpec extends AnyFunSuite {
     assert(core(welded, k = 4, maxIter = n) == (100L to 104L).map(_ -> 4L).toMap)
   }
 
+  private def coreness(edges: Seq[(Long, Long)], maxK: Int): Map[Long, Long] = {
+    import spark.implicits._
+    KCore.coreness(edges.toDF("s", "d"), "s", "d", maxK)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("coreness: path=1, triangle=2, clique=4, clamp at maxK") {
+    // triangle (1,2,3) with tail 3-4-5; K5 on 100..104 welded at 4
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    assert(coreness(tri, maxK = 5) ==
+      Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 1L, 5L -> 1L))
+    val k5 = for (i <- 100L to 104L; j <- (i + 1) to 104L) yield (i, j)
+    val welded = tri ++ k5 :+ ((4L, 100L))
+    val c = coreness(welded, maxK = 6)
+    assert((100L to 104L).forall(c(_) == 4L))
+    // node 4 bridges the tail and the clique (neighbors 3, 5, 100): it
+    // survives the 2-peel (degree 2 after node 5 goes) but not the 3-peel
+    assert(c(1L) == 2L && c(4L) == 2L && c(5L) == 1L)
+    // clamp: maxK=2 reports the K5 members as ">= 2"
+    val clamped = coreness(welded, maxK = 2)
+    assert((100L to 104L).forall(clamped(_) == 2L))
+    assert(clamped(5L) == 1L)
+  }
+
+  test("coreness agrees with iterated run() memberships on a seeded random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val edges = Seq.fill(140)((rnd.nextInt(28).toLong, rnd.nextInt(28).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val maxK = 6
+    val c = coreness(edges, maxK)
+    // coreness(v) >= k  <=>  v in the k-core, for every k up to the clamp
+    for (k <- 1 to maxK) {
+      val members = KCore.run(edges.toDF("s", "d"), "s", "d", k)
+        .collect().map(_.getLong(0)).toSet
+      assert(c.filter(_._2 >= k).keySet == members, s"k=$k")
+    }
+  }
+
   test("agrees with a naive driver peel on a seeded random graph") {
     val rnd = new scala.util.Random(99)
     val edges = Seq.fill(120)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
