@@ -60,4 +60,40 @@ class LoopFramesSpec extends AnyFunSuite {
     LoopFrames.release(out) // and the final frame itself releases cleanly
     assert((persisted -- before).isEmpty)
   }
+
+  test("checkpoint keeps origin stats (broadcastable) while dropping constraints") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.broadcast
+    // ADVICE r15: dropping originStats with the constraints made every
+    // checkpointed frame report defaultSizeInBytes = Long.MaxValue, so
+    // the STATIC planner could never broadcast a small loop frame
+    val small = LoopFrames.checkpoint((1 to 50).toDF("node"))
+    val stats = small.queryExecution.optimizedPlan.stats
+    assert(stats.sizeInBytes < Long.MaxValue,
+      s"checkpointed frame must keep a real size estimate, got ${stats.sizeInBytes}")
+    // and the static planner actually broadcasts it against a big side,
+    // with AQE off so only plan-time stats can make the decision
+    val big = spark.range(0, 200000).toDF("node")
+    withSQLConf("spark.sql.adaptive.enabled" -> "false") {
+      val p = big.join(small, "node").queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"),
+        s"static planner must broadcast the checkpointed small side:\n$p")
+    }
+    // the constraint half of the contract still holds: unions of two
+    // checkpointed frames plan without Union.rewriteConstraints throwing
+    val u = small.unionByName(LoopFrames.checkpoint((51 to 60).toDF("node")))
+    assert(u.count() == 60)
+    LoopFrames.release(small)
+    LoopFrames.release(u)
+  }
+
+  private def withSQLConf(kv: (String, String))(f: => Unit): Unit = {
+    val spark2 = spark
+    val prev = scala.util.Try(spark2.conf.get(kv._1)).toOption
+    spark2.conf.set(kv._1, kv._2)
+    try f finally prev match {
+      case Some(v) => spark2.conf.set(kv._1, v)
+      case None => spark2.conf.unset(kv._1)
+    }
+  }
 }
