@@ -1657,8 +1657,86 @@ object Scripts {
          |  left join s45_core c on c.node = t.node
          |  left join s45_bfs b on b.node = t.node
          |  order by t.node as s45_out;""".stripMargin),
-      s45OracleSql)
+      s45OracleSql),
+
+    // ---- s46: GRAPH-GEOMETRY FLAGSHIP (round 16) — the new graph tier
+    //      composed in ONE DSL script: CooccurEdges builds the weighted
+    //      co-purchase graph, Coreness assigns per-node core numbers
+    //      (clamped 4), and Sssp measures weighted proximity to a seed
+    //      set where strong ties are SHORT (w = 11 − min(weight, 10)).
+    //      One oracle replays the pair build, four chained peels, and
+    //      the unrolled min-merge rounds off shared base CTEs. ----
+    QuerySpec.sql("s46_script_graph_geometry", (s, dir) => script(s,
+      s"""load parquet.`$dir/lineitem.parquet` as s46_li;
+         |select distinct l_orderkey as bk, l_partkey as i from s46_li as s46_it;
+         |run s46_it as CooccurEdges.`` where basketCol="bk" and itemCol="i"
+         |  and minCount="2" as s46_e;
+         |run s46_e as Coreness.`` where srcCol="a" and dstCol="b" and maxK="4" as s46_core;
+         |select a, b, 11 - least(weight, 10) as w from s46_e as s46_we;
+         |select distinct a as node from s46_e where a % 97 = 0 as s46_seeds;
+         |run s46_we as Sssp.`` where srcCol="a" and dstCol="b" and weightCol="w"
+         |  and seedTable="s46_seeds" and seedCol="node" and maxIter="25" as s46_d;
+         |select c.node, c.coreness, d.dist from s46_core c
+         |  left join s46_d d on d.node = c.node
+         |  order by c.node as s46_out;""".stripMargin),
+      s46OracleSql)
   )
+
+  /** One replay of the s46 script off shared base CTEs: the weighted
+    * co-occurrence pair build, four chained unrolled coreness peels
+    * (p120's pattern, 16 idempotent-margin rounds each), and 25 unrolled
+    * Bellman-Ford min-merge rounds (p117's pattern) over the
+    * strong-ties-short weights.
+    */
+  private lazy val s46OracleSql: String = {
+    val corRounds = 16
+    val levels = (1 to 4).map { k =>
+      val start = if (k == 1) "a0" else s"c${k - 1}_$corRounds"
+      val iters = (1 to corRounds).map { i =>
+        s"""c${k}_$i AS MATERIALIZED (SELECT e.u AS node
+           | FROM e JOIN c${k}_${i - 1} x ON x.node = e.u
+           |        JOIN c${k}_${i - 1} y ON y.node = e.v
+           | GROUP BY e.u HAVING COUNT(*) >= $k)""".stripMargin
+      }.mkString(",\n")
+      s"""c${k}_0 AS MATERIALIZED (SELECT node FROM $start),
+         |$iters""".stripMargin
+    }.mkString(",\n")
+    val slices = (1 to 4).map { k =>
+      val prev = if (k == 1) "a0" else s"c${k - 1}_$corRounds"
+      s"""SELECT node, CAST(${k - 1} AS BIGINT) AS coreness FROM $prev
+         |WHERE node NOT IN (SELECT node FROM c${k}_$corRounds)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val ssspRounds = 25
+    val steps = (1 to ssspRounds).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT node, MIN(d) AS d FROM (
+         |  SELECT node, d FROM d${i - 1}
+         |  UNION ALL
+         |  SELECT ew.v AS node, p.d + ew.w AS d
+         |  FROM d${i - 1} p JOIN ew ON ew.u = p.node) GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS i FROM lineitem),
+       |pr AS MATERIALIZED (SELECT x.i AS a, y.i AS b,
+       |  CAST(COUNT(*) AS BIGINT) AS cnt FROM it x
+       |  JOIN it y ON x.bk = y.bk AND x.i < y.i
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |e AS MATERIALIZED (SELECT a AS u, b AS v FROM pr UNION SELECT b, a FROM pr),
+       |ew AS MATERIALIZED (SELECT u, v,
+       |  CAST(11 - LEAST(cnt, 10) AS BIGINT) AS w FROM (
+       |  SELECT a AS u, b AS v, cnt FROM pr
+       |  UNION ALL SELECT b, a, cnt FROM pr)),
+       |a0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM e),
+       |d0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS d FROM a0
+       |  WHERE node % 97 = 0),
+       |$levels,
+       |$steps,
+       |cor AS (SELECT node, coreness FROM (
+       |$slices
+       |UNION ALL
+       |SELECT node, CAST(4 AS BIGINT) AS coreness FROM c4_$corRounds))
+       |SELECT cor.node, cor.coreness, CAST(dd.d AS BIGINT) AS dist
+       |FROM cor LEFT JOIN d$ssspRounds dd ON dd.node = cor.node
+       |ORDER BY cor.node""".stripMargin
+  }
 
   /** One replay of the s45 script's three graph fixpoints off shared
     * base CTEs: k-core peel (14 unrolled idempotent rounds, MATERIALIZED
