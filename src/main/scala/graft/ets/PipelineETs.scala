@@ -1990,18 +1990,24 @@ object SsspET extends NoPathET {
 }
 
 /** `run memberships as CooccurEdges.`` where basketCol="bk" and
-  * itemCol="i" [and minCount="1" and maxBasketSize="0"]` — weighted
-  * co-occurrence edges with a deterministic hot-basket truncation cap
+  * itemCol="i" [and minCount="1" and maxBasketSize="0" and pmi="false"]`
+  * — weighted co-occurrence edges with a deterministic hot-basket
+  * truncation cap; pmi="true" appends pointwise mutual information
   * (see [[graft.operators.graph.CooccurEdges]]).
   */
 object CooccurEdgesET extends NoPathET {
   override def name = "CooccurEdges"
   override def train(ctx: ScriptContext, df: DataFrame, path: String,
-                     params: Map[String, String]): DataFrame =
-    graft.operators.graph.CooccurEdges.edges(df,
-      params.getOrElse("basketCol", "bk"), params.getOrElse("itemCol", "i"),
-      minCount = params.getOrElse("minCount", "1").toLong,
-      maxBasketSize = params.getOrElse("maxBasketSize", "0").toInt)
+                     params: Map[String, String]): DataFrame = {
+    val bk = params.getOrElse("basketCol", "bk")
+    val i = params.getOrElse("itemCol", "i")
+    val minCount = params.getOrElse("minCount", "1").toLong
+    val cap = params.getOrElse("maxBasketSize", "0").toInt
+    if (params.getOrElse("pmi", "false").toBoolean)
+      graft.operators.graph.CooccurEdges.edgesWithPmi(df, bk, i, minCount, cap)
+    else
+      graft.operators.graph.CooccurEdges.edges(df, bk, i, minCount, cap)
+  }
 }
 
 /** `run registry as EntityResolve.`` where idCol="id" and strCol="name"

@@ -52,25 +52,63 @@ object CooccurEdges {
     * @return (a, b, weight)
     */
   def edges(df: DataFrame, basketCol: String, itemCol: String,
-            minCount: Long = 1L, maxBasketSize: Int = 0): DataFrame = {
-    require(minCount >= 1, "minCount must be >= 1")
+            minCount: Long = 1L, maxBasketSize: Int = 0): DataFrame =
+    pairCounts(cappedMemberships(df, basketCol, itemCol, maxBasketSize), minCount)
+
+  /** [[edges]] plus pointwise mutual information per edge:
+    * `pmi = ln(n_ab · N / (n_a · n_b))` over basket probabilities (N =
+    * distinct baskets, n_x = baskets containing x; all from the SAME
+    * capped membership set, so the cap's semantics stay consistent) —
+    * the classic association strength that separates "frequent because
+    * both items are popular" from genuine affinity, the standard edge
+    * weight for word/item co-occurrence graphs feeding embeddings or
+    * community detection. Rounded to 6 dp; the count algebra is exact
+    * integers and the single double expression replays verbatim in SQL
+    * (p121). Two extra hash aggregations (item counts, a 1-row basket
+    * total broadcast by the cross join) — no new shuffle shape.
+    *
+    * @return (a, b, weight, pmi)
+    */
+  def edgesWithPmi(df: DataFrame, basketCol: String, itemCol: String,
+                   minCount: Long = 1L, maxBasketSize: Int = 0): DataFrame = {
+    val m = cappedMemberships(df, basketCol, itemCol, maxBasketSize)
+    val pairs = pairCounts(m, minCount)
+    val itemN = m.groupBy(col("i")).agg(count(lit(1)).as("__ni__"))
+    val total = m.select(col("bk")).distinct()
+      .agg(count(lit(1)).as("__nb__"))
+    pairs
+      .join(itemN.select(col("i").as("a"), col("__ni__").as("__na__")), Seq("a"))
+      .join(itemN.select(col("i").as("b"), col("__ni__").as("__nb2__")), Seq("b"))
+      .crossJoin(broadcast(total))
+      .withColumn("pmi", round(log(
+        col("weight").cast("double") * col("__nb__").cast("double") /
+          (col("__na__").cast("double") * col("__nb2__").cast("double"))), 6))
+      .select(col("a"), col("b"), col("weight"), col("pmi"))
+  }
+
+  /** Deduplicated (bk, i) membership rows, hot baskets truncated. */
+  private def cappedMemberships(df: DataFrame, basketCol: String,
+                                itemCol: String, maxBasketSize: Int): DataFrame = {
     val it = df.select(col(basketCol).as("bk"), col(itemCol).as("i"))
       .filter(col("bk").isNotNull && col("i").isNotNull)
       .distinct()
-    val capped =
-      if (maxBasketSize <= 0) it
-      else {
-        val over = it.groupBy("bk").agg(count(lit(1)).as("__n__"))
-          .filter(col("__n__") > maxBasketSize).select("bk")
-        // pass-through for in-cap baskets; only oversize baskets' rows
-        // enter the per-basket truncation window
-        val small = it.join(over, Seq("bk"), "left_anti")
-        val trimmed = it.join(over, Seq("bk"), "left_semi")
-          .withColumn("__rn__",
-            row_number().over(Window.partitionBy(col("bk")).orderBy(col("i"))))
-          .filter(col("__rn__") <= maxBasketSize).drop("__rn__")
-        small.unionByName(trimmed)
-      }
+    if (maxBasketSize <= 0) it
+    else {
+      val over = it.groupBy("bk").agg(count(lit(1)).as("__n__"))
+        .filter(col("__n__") > maxBasketSize).select("bk")
+      // pass-through for in-cap baskets; only oversize baskets' rows
+      // enter the per-basket truncation window
+      val small = it.join(over, Seq("bk"), "left_anti")
+      val trimmed = it.join(over, Seq("bk"), "left_semi")
+        .withColumn("__rn__",
+          row_number().over(Window.partitionBy(col("bk")).orderBy(col("i"))))
+        .filter(col("__rn__") <= maxBasketSize).drop("__rn__")
+      small.unionByName(trimmed)
+    }
+  }
+
+  private def pairCounts(capped: DataFrame, minCount: Long): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
     val x = capped.select(col("bk"), col("i").as("a"))
     val y = capped.select(col("bk"), col("i").as("b"))
     x.join(y, Seq("bk")).filter(col("a") =!= col("b"))

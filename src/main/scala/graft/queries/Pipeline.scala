@@ -4107,7 +4107,39 @@ object Pipeline {
         .select($"a", $"b")
       graft.operators.graph.KCore.coreness(edges, "a", "b", maxK = 4)
         .orderBy($"node")
-    }, corenessOracleSql(4, 16))
+    }, corenessOracleSql(4, 16)),
+
+    // ---- PMI-weighted co-occurrence (CooccurEdges.edgesWithPmi): the
+    //      association strength that separates popular-by-coincidence
+    //      from genuine affinity — ln(n_ab·N / (n_a·n_b)) over basket
+    //      probabilities, all counts from the SAME capped membership
+    //      set as p116. Integer counts exact; the one double expression
+    //      (cast-mult-div-LN-round) replays verbatim. ----
+    QuerySpec.sql("p121_cooccur_pmi", (s, dir) => {
+      import s.implicits._
+      graft.operators.graph.CooccurEdges.edgesWithPmi(
+          t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey"),
+          "l_orderkey", "l_partkey", minCount = 2L, maxBasketSize = 4)
+        .orderBy($"a", $"b")
+    },
+      """WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS i
+        |  FROM lineitem),
+        |capped AS MATERIALIZED (SELECT bk, i FROM (
+        |  SELECT bk, i, ROW_NUMBER() OVER (PARTITION BY bk ORDER BY i) AS rn
+        |  FROM it) WHERE rn <= 4),
+        |pairs AS (SELECT x.i AS a, y.i AS b, CAST(COUNT(*) AS BIGINT) AS weight
+        |  FROM capped x JOIN capped y ON x.bk = y.bk AND x.i <> y.i
+        |  GROUP BY x.i, y.i HAVING COUNT(*) >= 2),
+        |ni AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n FROM capped GROUP BY i),
+        |tot AS (SELECT CAST(COUNT(DISTINCT bk) AS BIGINT) AS nb FROM capped)
+        |SELECT p.a, p.b, p.weight,
+        |  ROUND(LN(CAST(p.weight AS DOUBLE) * CAST(tot.nb AS DOUBLE) /
+        |    (CAST(na.n AS DOUBLE) * CAST(nbb.n AS DOUBLE))), 6) AS pmi
+        |FROM pairs p
+        |JOIN ni na ON na.i = p.a
+        |JOIN ni nbb ON nbb.i = p.b
+        |CROSS JOIN tot
+        |ORDER BY a, b""".stripMargin)
   )
 
   /** Chained unrolled-peel replay for p120: level k peels from level

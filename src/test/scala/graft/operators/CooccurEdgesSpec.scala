@@ -58,6 +58,24 @@ class CooccurEdgesSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("pmi: hand-computed basket probabilities, exact at 6 dp") {
+    import spark.implicits._
+    // N=4 baskets; n10=3, n20=3, n30=2; n(10,20)=2, n(10,30)=1, n(20,30)=1
+    val rows = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 30L), (4L, 20L), (4L, 30L))
+    val out = CooccurEdges.edgesWithPmi(rows.toDF("bk", "i"), "bk", "i")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out((10L, 20L)) == ((2L, -0.117783)))  // ln(2*4/(3*3))
+    assert(out((20L, 10L)) == ((2L, -0.117783)))  // symmetric
+    assert(out((10L, 30L)) == ((1L, -0.405465)))  // ln(1*4/(3*2))
+    assert(out((20L, 30L)) == ((1L, -0.405465)))
+    // weight column identical to the plain edges() output
+    val plain = CooccurEdges.edges(rows.toDF("bk", "i"), "bk", "i")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.view.mapValues(_._1).toMap == plain)
+  }
+
   test("matches the former inline SQL formulation (s45's uncapped shape)") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
