@@ -55,19 +55,20 @@ object CooccurEdges {
             minCount: Long = 1L, maxBasketSize: Int = 0): DataFrame =
     pairCounts(cappedMemberships(df, basketCol, itemCol, maxBasketSize), minCount)
 
-  /** [[edges]] plus pointwise mutual information per edge:
+  /** [[edges]] plus two association strengths per edge:
     * `pmi = ln(n_ab · N / (n_a · n_b))` over basket probabilities (N =
     * distinct baskets, n_x = baskets containing x; all from the SAME
     * capped membership set, so the cap's semantics stay consistent) —
-    * the classic association strength that separates "frequent because
-    * both items are popular" from genuine affinity, the standard edge
-    * weight for word/item co-occurrence graphs feeding embeddings or
-    * community detection. Rounded to 6 dp; the count algebra is exact
-    * integers and the single double expression replays verbatim in SQL
-    * (p121). Two extra hash aggregations (item counts, a 1-row basket
-    * total broadcast by the cross join) — no new shuffle shape.
+    * the classic signal that separates "frequent because both items are
+    * popular" from genuine affinity — and `jaccard = n_ab /
+    * (n_a + n_b − n_ab)`, the set-overlap weight item-item
+    * collaborative filtering uses. Both rounded to 6 dp; the count
+    * algebra is exact integers and each double expression replays
+    * verbatim in SQL (p121). Two extra hash aggregations (item counts,
+    * a 1-row basket total broadcast by the cross join) — no new shuffle
+    * shape.
     *
-    * @return (a, b, weight, pmi)
+    * @return (a, b, weight, pmi, jaccard)
     */
   def edgesWithPmi(df: DataFrame, basketCol: String, itemCol: String,
                    minCount: Long = 1L, maxBasketSize: Int = 0): DataFrame = {
@@ -83,7 +84,10 @@ object CooccurEdges {
       .withColumn("pmi", round(log(
         col("weight").cast("double") * col("__nb__").cast("double") /
           (col("__na__").cast("double") * col("__nb2__").cast("double"))), 6))
-      .select(col("a"), col("b"), col("weight"), col("pmi"))
+      .withColumn("jaccard", round(
+        col("weight").cast("double") /
+          (col("__na__") + col("__nb2__") - col("weight")).cast("double"), 6))
+      .select(col("a"), col("b"), col("weight"), col("pmi"), col("jaccard"))
   }
 
   /** Deduplicated (bk, i) membership rows, hot baskets truncated. */

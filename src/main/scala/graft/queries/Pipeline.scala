@@ -4134,7 +4134,9 @@ object Pipeline {
         |tot AS (SELECT CAST(COUNT(DISTINCT bk) AS BIGINT) AS nb FROM capped)
         |SELECT p.a, p.b, p.weight,
         |  ROUND(LN(CAST(p.weight AS DOUBLE) * CAST(tot.nb AS DOUBLE) /
-        |    (CAST(na.n AS DOUBLE) * CAST(nbb.n AS DOUBLE))), 6) AS pmi
+        |    (CAST(na.n AS DOUBLE) * CAST(nbb.n AS DOUBLE))), 6) AS pmi,
+        |  ROUND(CAST(p.weight AS DOUBLE) /
+        |    CAST(na.n + nbb.n - p.weight AS DOUBLE), 6) AS jaccard
         |FROM pairs p
         |JOIN ni na ON na.i = p.a
         |JOIN ni nbb ON nbb.i = p.b

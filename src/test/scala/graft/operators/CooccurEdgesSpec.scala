@@ -64,12 +64,12 @@ class CooccurEdgesSpec extends AnyFunSuite {
     val rows = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L),
       (3L, 10L), (3L, 30L), (4L, 20L), (4L, 30L))
     val out = CooccurEdges.edgesWithPmi(rows.toDF("bk", "i"), "bk", "i")
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
-      .toMap
-    assert(out((10L, 20L)) == ((2L, -0.117783)))  // ln(2*4/(3*3))
-    assert(out((20L, 10L)) == ((2L, -0.117783)))  // symmetric
-    assert(out((10L, 30L)) == ((1L, -0.405465)))  // ln(1*4/(3*2))
-    assert(out((20L, 30L)) == ((1L, -0.405465)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out((10L, 20L)) == ((2L, -0.117783, 0.5)))   // ln(2*4/9), 2/(3+3-2)
+    assert(out((20L, 10L)) == ((2L, -0.117783, 0.5)))   // symmetric
+    assert(out((10L, 30L)) == ((1L, -0.405465, 0.25)))  // ln(1*4/6), 1/(3+2-1)
+    assert(out((20L, 30L)) == ((1L, -0.405465, 0.25)))
     // weight column identical to the plain edges() output
     val plain = CooccurEdges.edges(rows.toDF("bk", "i"), "bk", "i")
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap

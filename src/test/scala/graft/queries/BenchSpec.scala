@@ -207,6 +207,14 @@ class BenchSpec extends AnyFunSuite {
     assert(rp.contains("HashAggregate") && rp.toLowerCase.contains("partial"), rp)
   }
 
+  test("p121 pmi edges: count joins are equi-joins; only the 1-row total broadcasts nested-loop") {
+    val p = plan("p121_cooccur_pmi")
+    assert(!p.contains("CartesianProduct"), p)
+    // the basket-total crossJoin(broadcast(1 row)) is the only nested loop
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1, p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("p118 survivorship: election + merges are entity-keyed windows/aggs, no cartesian") {
     val p = plan("p118_entity_survivorship")
     assert(!p.contains("CartesianProduct"), p)
