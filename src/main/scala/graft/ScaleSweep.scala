@@ -187,6 +187,10 @@ object ScaleSweep {
     // sssp seeds stay in every copy (the key stride is ≡ 0 mod 100)
     "p117_sssp" -> SparkEntry.queries("p117_sssp"),
     "p116_cooccur_edges" -> SparkEntry.queries("p116_cooccur_edges"),
+    // four chained peels over disjoint graph copies; compaction kicks in
+    // once half the alive nodes have peeled, so late levels scan a
+    // shrinking edge table
+    "p120_coreness" -> SparkEntry.queries("p120_coreness"),
     // fuzzy linkage in its production-linear shape: a GROWING dirty feed
     // matched against a BOUNDED master catalog, so candidates per dirty
     // record are capped by the catalog's block sizes and total work is

@@ -30,7 +30,7 @@ object PipelineETs {
     StreamCusumET, Bm25IndexET, RetrievalEvalET, AttributionET, SurvivalET,
     DistDriftET, SnippetsInPlaceET, FuzzyLinkageET, KCoreET, BfsHopsET, TrustRankET, EntityResolveET,
     BlocklistET, AsOfJoinET, RandomProjectionET, CooccurEdgesET, SsspET,
-    CorenessET)
+    CorenessET, StreamCooccurET)
 }
 
 /** `run hits as SnippetsInPlace.`` [where textCol="text" and
@@ -308,6 +308,20 @@ object StreamHeavyHittersET extends NoPathET {
       params.getOrElse("keyCol", "user_id"),
       params.getOrElse("valueCol", "event_type"),
       params.getOrElse("capacity", "16").toInt).toDF()
+}
+
+/** `run stream as StreamCooccur.`` [where basketCol="bk" and itemCol="i"
+  * and maxBasketSize="256"]` — incremental co-occurrence pair emission
+  * across micro-batches (see [[graft.streaming.Stateful.cooccurPairs]]);
+  * needs the RocksDB state store provider.
+  */
+object StreamCooccurET extends NoPathET {
+  override def name = "StreamCooccur"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame =
+    graft.streaming.Stateful.cooccurPairs(df,
+      params.getOrElse("basketCol", "bk"), params.getOrElse("itemCol", "i"),
+      maxBasketSize = params.getOrElse("maxBasketSize", "256").toInt).toDF()
 }
 
 /** `run stream as StreamSessions.`` where gapSec="1800" [and

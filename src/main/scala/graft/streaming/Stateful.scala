@@ -281,6 +281,65 @@ object Stateful {
         TimeMode.None(), OutputMode.Update())
   }
 
+  case class CooccurPair(a: Long, b: Long)
+
+  /** Streaming co-occurrence pair emission — the incremental half of
+    * [[graft.operators.graph.CooccurEdges]]: baskets ACCUMULATE across
+    * micro-batches (an order gathering lines, a session gathering page
+    * views), and each newly-seen item emits one pair per already-seen
+    * basket member, both orientations, exactly once per (basket, pair).
+    * Counting the appended pairs by (a, b) therefore reproduces the
+    * batch operator's weights for ANY chunking of the input — the
+    * batch-parity property the spec pins. Per-batch pair generation
+    * alone cannot do this (it misses pairs whose items arrived in
+    * different batches).
+    *
+    * `maxBasketSize` is the mandatory state/blowup guard (the batch
+    * cap's streaming edition): a basket stops absorbing items past the
+    * cap, so state per key and pairs per item are both ≤ cap. Streaming
+    * can't know the future, so truncation keeps FIRST-ARRIVAL items —
+    * unlike the batch operator's smallest-items rule — which makes the
+    * capped variant arrival-order-dependent by nature; the parity
+    * contract is for baskets within the cap. Append mode.
+    */
+  class CooccurProcessor(cap: Int)
+    extends StatefulProcessor[Long, (Long, Long), CooccurPair] {
+    @transient private var st: ListState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getListState[Long]("items", Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+                                 timerValues: TimerValues): Iterator[CooccurPair] = {
+      val have = scala.collection.mutable.LinkedHashSet(st.get().toSeq: _*)
+      val before = have.size
+      val out = List.newBuilder[CooccurPair]
+      // sorted intake: the emitted pair SET is order-free below the cap,
+      // and sorting makes the capped truncation deterministic per batch
+      for (item <- rows.map(_._2).toSeq.distinct.sorted
+           if !have.contains(item) && have.size < cap) {
+        for (s <- have) { out += CooccurPair(item, s); out += CooccurPair(s, item) }
+        have += item
+      }
+      if (have.size > before) st.put(have.toArray)
+      out.result().iterator
+    }
+  }
+
+  /** Co-occurrence pairs as an Append stream (see [[CooccurProcessor]]);
+    * RocksDB state store required as for [[distinctCounts]].
+    */
+  def cooccurPairs(df: DataFrame, basketCol: String, itemCol: String,
+                   maxBasketSize: Int = 256): Dataset[CooccurPair] = {
+    require(maxBasketSize >= 1, "maxBasketSize must be >= 1 (state bound)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(basketCol).cast("long"), col(itemCol).cast("long"))
+      .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new CooccurProcessor(maxBasketSize),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   case class Anomaly(key: Long, ts: Long, value: Double, mean: Double,
                      std: Double, zscore: Double)
 

@@ -529,6 +529,46 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming co-occurrence pairs match the batch operator over any chunking") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // baskets deliberately SPLIT across batches: per-batch pair
+      // generation would miss (10,30) in basket 1 and all of basket 2
+      val rows = Seq(
+        Seq((1L, 10L), (1L, 20L), (2L, 10L)),
+        Seq((1L, 30L), (2L, 20L), (1L, 10L)), // dup membership: no re-emit
+        Seq((2L, 30L), (3L, 40L)))
+      val ms = MemoryStream[(Long, Long)]
+      val q = graft.streaming.Stateful.cooccurPairs(
+          ms.toDF().toDF("bk", "i"), "bk", "i")
+        .writeStream.format("memory").queryName("cooc_s").outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ck_cooc").toString)
+        .start()
+      rows.foreach { chunk => ms.addData(chunk: _*); q.processAllAvailable() }
+      q.stop()
+      val streamed = spark.table("cooc_s").groupBy("a", "b")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("weight"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val batch = graft.operators.graph.CooccurEdges.edges(
+          rows.flatten.toDF("bk", "i"), "bk", "i")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+      // the cap bounds state and emission: basket 3 (singleton) emits none
+      assert(!streamed.keySet.exists(p => p._1 == 40L || p._2 == 40L))
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   test("timer-finalized sessions flush when the watermark passes the gap") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
