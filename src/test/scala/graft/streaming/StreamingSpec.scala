@@ -1035,6 +1035,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(depths == Map(1L -> 2, 2L -> 1), depths.toString)
   }
 
+  test("StreamCooccur DSL surface emits cross-batch pairs in append mode") {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rows = Seq(
+        """{"bk":1,"i":10}""", """{"bk":1,"i":20}""",
+        """{"bk":2,"i":10}""", """{"bk":2,"i":20}""",
+        """{"bk":1,"i":30}""").mkString("\n")
+      val ctx = ScriptRunner.run(
+        s"""set streamName = "scodsl";
+           |set scodata = '''$rows''';
+           |load jsonStr.`scodata` as sco_batch;
+           |load mockStream.`sco_batch` as sco_stream;
+           |run sco_stream as StreamCooccur.`` where basketCol="bk" and itemCol="i" as sco_pairs;
+           |save append sco_pairs as memory.`` where mode="append"
+           |  and checkpointLocation="${java.nio.file.Files.createTempDirectory("ck_scod")}"
+           |  and duration="0";""".stripMargin, spark)
+      val q = ctx.streams("scodsl")
+      q.processAllAvailable()
+      q.stop()
+      val weights = spark.table("scodsl").groupBy("a", "b")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("w"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(weights == Map((10L, 20L) -> 2L, (20L, 10L) -> 2L,
+        (10L, 30L) -> 1L, (30L, 10L) -> 1L, (20L, 30L) -> 1L, (30L, 20L) -> 1L),
+        weights.toString)
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   test("statestore source reads a stopped query's state through the DSL") {
     // stateful agg -> checkpoint; then `load statestore.` introspects the
     // state (Spark 4 state reader through the registry's format fallback)
