@@ -1747,6 +1747,21 @@ object DedupET extends NoPathET {
         keepSurvivors(df, idCol, params)(
           TextDedup.simHashSelfJoin(df.select(col(idCol), col(textCol)),
             idCol, textCol, maxHamming))
+      case "containment" =>
+        // asymmetric near-dup: a doc mostly CONTAINED in another is a
+        // duplicate even when Jaccard is tiny (quote/subset trap); pair
+        // on max-containment, then the usual component survivorship
+        // (keep="best" with scoreCol = a length column elects the
+        // superset document)
+        val threshold = params.getOrElse("threshold", "0.9").toDouble
+        val n = params.getOrElse("ngram", "3").toInt
+        val sh = TextDedup.shingles(df.select(col(idCol), col(textCol)), idCol, textCol, n)
+          .cache()
+        try keepSurvivors(df, idCol, params)(
+          TextDedup.containmentSelfJoin(sh, threshold,
+              maxDocFreq = params.getOrElse("maxDocFreq", "500").toInt)
+            .select(col("a_id"), col("b_id")))
+        finally sh.unpersist()
       case "embedding" =>
         // SemDeDup-style semantic dedup: exact radius-bound IVF-blocked
         // cosine self-join above `threshold`, then keep one doc per
@@ -1763,7 +1778,7 @@ object DedupET extends NoPathET {
             fit = params.getOrElse("fit", "auto"))
             .select(col("a_id"), col("b_id")))
       case other => throw new IllegalArgumentException(
-        s"Dedup method must be exact|fingerprint|minhash|simhash|embedding, got '$other'")
+        s"Dedup method must be exact|fingerprint|minhash|simhash|containment|embedding, got '$other'")
     }
   }
 }

@@ -72,6 +72,39 @@ object TextDedup {
       .select(col("a_id"), col("b_id"), col("n_common"), col("jaccard"))
   }
 
+  /** Exact n-gram CONTAINMENT self-join — the asymmetric near-dup signal
+    * Jaccard structurally misses: a short document quoted wholesale
+    * inside a much longer one has containment(short→long) ≈ 1 while
+    * Jaccard ≈ |short|/|long| ≈ 0 (the classic boilerplate-quote /
+    * doc-subset trap in training-data dedup; the fix is to screen on
+    * max-containment, not just symmetric overlap). Same single-shuffle
+    * posting-list formulation and df-cap as [[jaccardSelfJoin]]; emits
+    * both directions' containments per unordered pair and keeps pairs
+    * where EITHER is at or above `threshold`.
+    *
+    * @return (a_id, b_id, n_common, containment_a = n_common/|A|,
+    *         containment_b = n_common/|B|), rounded to 4 dp
+    */
+  def containmentSelfJoin(sh: DataFrame, threshold: Double,
+                          maxDocFreq: Int = 500): DataFrame = {
+    val counts = sh.select(col("doc_id"), size(col("shingles")).as("n_sh"))
+    val inv = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val postings = inv.groupBy(col("sh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) <= maxDocFreq && size(col("ds")) >= 2)
+    val pairs = pairCounts(postings, "n_common")
+    pairs
+      .join(counts.select(col("doc_id").as("a_id"), col("n_sh").as("a_n")), "a_id")
+      .join(counts.select(col("doc_id").as("b_id"), col("n_sh").as("b_n")), "b_id")
+      .withColumn("containment_a",
+        round(col("n_common").cast("double") / col("a_n"), 4))
+      .withColumn("containment_b",
+        round(col("n_common").cast("double") / col("b_n"), 4))
+      .filter(greatest(col("containment_a"), col("containment_b")) >= threshold)
+      .select(col("a_id"), col("b_id"), col("n_common"),
+        col("containment_a"), col("containment_b"))
+  }
+
   /** Pick `(bands, rowsPerBand)` for a target Jaccard threshold and hash
     * budget. The banding S-curve's inflection sits at `(1/b)^(1/r)`; among
     * factorizations with `b*r <= numHashes` (and most of the budget used)

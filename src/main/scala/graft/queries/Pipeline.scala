@@ -232,6 +232,41 @@ object Pipeline {
         |WHERE ROUND(CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common), 4) >= 0.8
         |ORDER BY a_id, b_id""".stripMargin),
 
+    // ---- asymmetric n-gram CONTAINMENT near-dup (TextDedup
+    //      .containmentSelfJoin): the quote/subset trap Jaccard misses —
+    //      a short doc wholly inside a long one has containment ≈ 1,
+    //      Jaccard ≈ |short|/|long|. Same posting-list + df-cap shape as
+    //      p9; the oracle mirrors p9's replay with the per-side
+    //      containment ratios and the max-containment filter. ----
+    QuerySpec.sql("p122_ngram_containment", (s, dir) => {
+      import s.implicits._
+      val sh = TextDedup.shingles(t(s, dir, "documents"), "doc_id", "text", 3)
+      TextDedup.containmentSelfJoin(sh, 0.7, maxDocFreq = 500)
+        .orderBy($"a_id", $"b_id")
+    },
+      """WITH sh AS (
+        | SELECT doc_id, LIST_DISTINCT(ngrams) AS shingles FROM (
+        |  SELECT doc_id,
+        |   [ARRAY_TO_STRING(w[i:i+2], ' ') FOR i IN RANGE(1, LEN(w) - 1)] AS ngrams
+        |  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents)
+        |  WHERE LEN(w) >= 3) t),
+        |counts AS (SELECT doc_id, LEN(shingles) AS n_sh FROM sh),
+        |inv0 AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+        |qualified AS (SELECT s FROM inv0 GROUP BY s HAVING COUNT(*) <= 500),
+        |inv AS (SELECT inv0.* FROM inv0 JOIN qualified USING (s)),
+        |pairs AS (
+        | SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS n_common
+        | FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id < y.doc_id
+        | GROUP BY 1, 2)
+        |SELECT a_id, b_id, n_common,
+        | ROUND(CAST(n_common AS DOUBLE) / ca.n_sh, 4) AS containment_a,
+        | ROUND(CAST(n_common AS DOUBLE) / cb.n_sh, 4) AS containment_b
+        |FROM pairs JOIN counts ca ON pairs.a_id = ca.doc_id
+        |JOIN counts cb ON pairs.b_id = cb.doc_id
+        |WHERE GREATEST(ROUND(CAST(n_common AS DOUBLE) / ca.n_sh, 4),
+        |               ROUND(CAST(n_common AS DOUBLE) / cb.n_sh, 4)) >= 0.7
+        |ORDER BY a_id, b_id""".stripMargin),
+
     // ---- per-source corpus profile (docs, langs, token volume) ----
     QuerySpec.sql("p10_corpus_profile", (s, dir) => {
       import s.implicits._

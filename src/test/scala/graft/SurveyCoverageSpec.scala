@@ -206,7 +206,8 @@ class SurveyCoverageSpec extends AnyFunSuite {
       "p112_asof_nearest", "p113_random_projection", "p114_weighted_pagerank",
       "p115_rp_recall_audit", "p116_cooccur_edges", "p117_sssp",
       "p118_entity_survivorship", "p119_fuzzy_linkage_capped",
-      "p120_coreness", "p121_cooccur_pmi", "s46_script_graph_geometry",
+      "p120_coreness", "p121_cooccur_pmi", "p122_ngram_containment",
+      "s46_script_graph_geometry",
       "s11_script_dedup", "s18_script_neardup_pipeline",
       "s19_script_clean_corpus", "s23_script_chunk_pipeline",
       "s24_script_substring_dedup", "s25_script_cluster_assign",

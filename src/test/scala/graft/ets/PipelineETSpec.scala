@@ -32,6 +32,27 @@ class PipelineETSpec extends AnyFunSuite {
     assert(df.collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
   }
 
+  test("Dedup containment drops a doc quoted inside a longer one (Jaccard misses it)") {
+    val docs =
+      """{"doc_id":1,"text":"w1 w2 w3 w4 w5","len":5}
+        |{"doc_id":2,"text":"w1 w2 w3 w4 w5 x1 x2 x3 x4 x5 x6 x7","len":12}
+        |{"doc_id":3,"text":"totally different content goes right here","len":6}""".stripMargin
+    // jaccard(1,2) = 3/10 = 0.3 — the minhash/jaccard path keeps both
+    val jac = runDF(
+      s"""set cdd = '''$docs''';
+         |load jsonStr.`cdd` as cddt;
+         |run cddt as Dedup.`` where method="minhash" and threshold="0.9" as cdj;
+         |select doc_id from cdj order by doc_id as out;""".stripMargin)
+    assert(jac.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // containment(1 in 2) = 1.0 >= 0.9: component {1,2}; keep="best" by
+    // len elects the SUPERSET document
+    val con = runDF(
+      s"""run cddt as Dedup.`` where method="containment" and threshold="0.9"
+         |  and keep="best" and scoreCol="len" as cdc;
+         |select doc_id from cdc order by doc_id as out;""".stripMargin)
+    assert(con.collect().map(_.getLong(0)).toSeq == Seq(2L, 3L))
+  }
+
   test("Dedup minhash drops near-duplicate documents") {
     val df = runDF(
       s"""load parquet.`$sf/documents.parquet` as docs_dd;
