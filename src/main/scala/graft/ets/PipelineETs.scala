@@ -30,7 +30,7 @@ object PipelineETs {
     StreamCusumET, Bm25IndexET, RetrievalEvalET, AttributionET, SurvivalET,
     DistDriftET, SnippetsInPlaceET, FuzzyLinkageET, KCoreET, BfsHopsET, TrustRankET, EntityResolveET,
     BlocklistET, AsOfJoinET, RandomProjectionET, CooccurEdgesET, SsspET,
-    CorenessET, StreamCooccurET)
+    CorenessET, StreamCooccurET, HarmonicCentralityET)
 }
 
 /** `run hits as SnippetsInPlace.`` [where textCol="text" and
@@ -1944,6 +1944,26 @@ object KCoreET extends NoPathET {
       params.getOrElse("srcCol", "a"), params.getOrElse("dstCol", "b"),
       k = params.getOrElse("k", "2").toInt,
       maxIter = params.getOrElse("maxIter", "30").toInt)
+}
+
+/** `run edges as HarmonicCentrality.`` where srcCol="a" and dstCol="b"
+  * and seedTable="seeds" and seedCol="node" and maxHops="4"
+  * [and undirected="true"]` — sampled harmonic centrality in exact
+  * integer fixed-point (see
+  * [[graft.operators.graph.Bfs.harmonicCentrality]]).
+  */
+object HarmonicCentralityET extends NoPathET {
+  override def name = "HarmonicCentrality"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    val seeds = ctx.spark.table(params.getOrElse("seedTable",
+      throw new IllegalArgumentException("HarmonicCentrality requires seedTable")))
+    graft.operators.graph.Bfs.harmonicCentrality(df,
+      params.getOrElse("srcCol", "a"), params.getOrElse("dstCol", "b"),
+      seeds, params.getOrElse("seedCol", "node"),
+      maxHops = params.getOrElse("maxHops", "6").toInt,
+      undirected = params.getOrElse("undirected", "false").toBoolean)
+  }
 }
 
 /** `run edges as Coreness.`` where srcCol="a" and dstCol="b" and

@@ -79,4 +79,75 @@ object Bfs {
       settled
     } finally e.unpersist(false)
   }
+
+  /** PER-SEED BFS distances — (seed, node, dist) for every seed and
+    * every node within `maxHops` of it: [[hopDistance]]'s loop with the
+    * seed label riding in the frontier key, so different seeds' waves
+    * expand independently in ONE fixpoint (state and shuffle are
+    * Σ per-seed reachability — size the seed SAMPLE accordingly; this
+    * is the bounded-radius, sampled-seed regime, not all-pairs).
+    */
+  def hopDistanceLabeled(edges: DataFrame, srcCol: String, dstCol: String,
+                         seeds: DataFrame, seedCol: String,
+                         maxHops: Int, undirected: Boolean = false): DataFrame = {
+    require(maxHops >= 0, "maxHops must be >= 0")
+    val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .filter(col("u") =!= col("v"))
+    val e = (if (undirected) e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+             else e0)
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var settled = graft.LoopFrames.checkpoint(
+        seeds.select(col(seedCol).as("seed"))
+          .where(col("seed").isNotNull).distinct()
+          .withColumn("node", col("seed"))
+          .withColumn("dist", lit(0)))
+      var frontier = settled
+      var hop = 0
+      while (hop < maxHops) {
+        hop += 1
+        val layer = graft.LoopFrames.checkpoint(
+          e.join(frontier.select(col("seed"), col("node").as("u")), "u")
+            .select(col("seed"), col("v").as("node")).distinct()
+            .join(settled.select(col("seed"), col("node")),
+              Seq("seed", "node"), "left_anti")
+            .withColumn("dist", lit(hop)))
+        if (layer.isEmpty) {
+          graft.LoopFrames.release(layer)
+          if (frontier ne settled) graft.LoopFrames.release(frontier)
+          return settled
+        }
+        val prevSettled = settled
+        val prevFrontier = frontier
+        settled = graft.LoopFrames.checkpoint(prevSettled.unionByName(layer))
+        frontier = layer
+        graft.LoopFrames.release(prevSettled)
+        if (prevFrontier ne prevSettled) graft.LoopFrames.release(prevFrontier)
+      }
+      if (frontier ne settled) graft.LoopFrames.release(frontier)
+      settled
+    } finally e.unpersist(false)
+  }
+
+  /** Sampled harmonic centrality in exact integer fixed-point:
+    * `harmonic_fp(v) = Σ_seeds (10¹² div dist(seed, v))` over seeds at
+    * positive distance, the bounded-radius estimate of Marchiori–
+    * Latora harmonic centrality from a seed SAMPLE (the practical
+    * regime at scale — exact closeness needs all-pairs). Integer
+    * floor-division keeps the sum order-free, so output is hash-exact
+    * at any executor count and the p123 oracle replays it as
+    * `SUM(10¹² // d)` over a bounded recursive walk. Nodes no sampled
+    * seed reaches are absent; a larger `maxHops` only ADDS far-seed
+    * terms (each ≤ 10¹²/maxHops).
+    */
+  def harmonicCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+                         seeds: DataFrame, seedCol: String,
+                         maxHops: Int, undirected: Boolean = false): DataFrame = {
+    val unit = 1000000000000L
+    hopDistanceLabeled(edges, srcCol, dstCol, seeds, seedCol, maxHops, undirected)
+      .filter(col("dist") > 0)
+      .groupBy(col("node"))
+      // `div`, never `/` — long / long is DOUBLE division in Spark SQL
+      .agg(sum(expr(s"${unit}L div cast(dist as bigint)")).as("harmonic_fp"))
+  }
 }

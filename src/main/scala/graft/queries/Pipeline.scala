@@ -3559,6 +3559,40 @@ object Pipeline {
         |SELECT node, CAST(MIN(d) AS INT) AS dist FROM walk
         |GROUP BY node ORDER BY node""".stripMargin),
 
+    // ---- sampled harmonic centrality (Bfs.harmonicCentrality): per-seed
+    //      BFS waves in one labeled fixpoint, then Σ (10¹² div dist) per
+    //      node — integer floor terms keep the sum order-free and
+    //      hash-exact; the oracle's bounded recursive walk carries the
+    //      seed label, takes MIN(d) per (seed, node), and replays the
+    //      same integer sum. Same graph and seed rule as p107. ----
+    QuerySpec.sql("p123_harmonic_centrality", (s, dir) => {
+      import s.implicits._
+      val edges = graft.operators.basket.MarketBasket.pairRules(
+          t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey"),
+          "l_orderkey", "l_partkey", minSupport = 2L)
+        .select($"a", $"b")
+      val seeds = edges.select($"a".as("n")).union(edges.select($"b".as("n")))
+        .distinct().filter($"n" % 97 === 0)
+      graft.operators.graph.Bfs.harmonicCentrality(edges, "a", "b",
+          seeds, "n", maxHops = 3, undirected = true)
+        .orderBy($"node")
+    },
+      """WITH RECURSIVE
+        |it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS i FROM lineitem),
+        |pr AS (SELECT x.i AS a, y.i AS b FROM it x
+        |       JOIN it y ON x.bk = y.bk AND x.i < y.i
+        |       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |e AS MATERIALIZED (SELECT a AS u, b AS v FROM pr UNION SELECT b, a FROM pr),
+        |seeds AS (SELECT DISTINCT u AS node FROM e WHERE u % 97 = 0),
+        |walk(seed, node, d) AS (
+        |  SELECT node, node, 0 FROM seeds
+        |  UNION
+        |  SELECT w.seed, e.v, w.d + 1 FROM walk w JOIN e ON e.u = w.node
+        |  WHERE w.d < 3),
+        |md AS (SELECT seed, node, MIN(d) AS d FROM walk GROUP BY seed, node)
+        |SELECT node, CAST(SUM(1000000000000 // d) AS BIGINT) AS harmonic_fp
+        |FROM md WHERE d > 0 GROUP BY node ORDER BY node""".stripMargin),
+
     // ---- personalized PageRank / TrustRank (graph.TrustRank): teleport
     //      and dangling mass go to a trusted SEED set only, same integer
     //      fixed-point contract as p66 — the oracle unrolls the identical

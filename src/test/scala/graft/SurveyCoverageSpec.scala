@@ -143,7 +143,7 @@ class SurveyCoverageSpec extends AnyFunSuite {
       "RetrievalEval", "Attribution", "Survival", "DistDrift",
       "SnippetsInPlace", "FuzzyLinkage", "KCore", "BfsHops", "TrustRank", "EntityResolve",
       "Blocklist", "AsOfJoin", "RandomProjection", "CooccurEdges", "Sssp",
-      "Coreness", "StreamCooccur")
+      "Coreness", "StreamCooccur", "HarmonicCentrality")
     val missing = names.filter(n =>
       scala.util.Try(ETRegistry.lookup(n)).isFailure)
     assert(missing.isEmpty, s"ET registry missing: ${missing.mkString(", ")}")
@@ -207,7 +207,7 @@ class SurveyCoverageSpec extends AnyFunSuite {
       "p115_rp_recall_audit", "p116_cooccur_edges", "p117_sssp",
       "p118_entity_survivorship", "p119_fuzzy_linkage_capped",
       "p120_coreness", "p121_cooccur_pmi", "p122_ngram_containment",
-      "s46_script_graph_geometry",
+      "p123_harmonic_centrality", "s46_script_graph_geometry",
       "s11_script_dedup", "s18_script_neardup_pipeline",
       "s19_script_clean_corpus", "s23_script_chunk_pipeline",
       "s24_script_substring_dedup", "s25_script_cluster_assign",

@@ -72,4 +72,25 @@ class BfsSpec extends AnyFunSuite {
     }
     for (h <- Seq(1, 3, 8)) assert(bfs(edges, seeds, h) == naive(h), s"h=$h")
   }
+
+  test("labeled BFS keeps per-seed waves separate; harmonic sums exact integer terms") {
+    import spark.implicits._
+    // chain 1-2-3-4 undirected, seeds {1, 4}: per-seed distances differ
+    // where multi-source hopDistance would collapse to the min
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val labeled = Bfs.hopDistanceLabeled(chain.toDF("s", "d"), "s", "d",
+        Seq(1L, 4L).toDF("seed"), "seed", maxHops = 5, undirected = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(labeled((1L, 3L)) == 2 && labeled((4L, 3L)) == 1)
+    assert(labeled((1L, 4L)) == 3 && labeled((4L, 1L)) == 3)
+    assert(labeled((1L, 1L)) == 0)
+    // harmonic_fp(2) = 1e12/1 (seed 1) + 1e12 div 2 (seed 4)
+    val h = Bfs.harmonicCentrality(chain.toDF("s", "d"), "s", "d",
+        Seq(1L, 4L).toDF("seed"), "seed", maxHops = 5, undirected = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(2L) == 1000000000000L + 500000000000L)
+    assert(h(3L) == 1500000000000L)
+    // seeds see only each OTHER (own distance 0 excluded): 1e12 div 3
+    assert(h(1L) == 333333333333L && h(4L) == 333333333333L)
+  }
 }
