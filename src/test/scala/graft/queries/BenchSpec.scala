@@ -207,6 +207,16 @@ class BenchSpec extends AnyFunSuite {
     assert(rp.contains("HashAggregate") && rp.toLowerCase.contains("partial"), rp)
   }
 
+  test("p122 containment: posting-list shape — no inverted-index self-join, no cartesian") {
+    val p = plan("p122_ngram_containment")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // pairs generate INSIDE each posting list (explode of in-list pairs),
+    // then hash aggregations — same audited shape as p9
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("Generate"), p)
+  }
+
   test("p121 pmi edges: count joins are equi-joins; only the 1-row total broadcasts nested-loop") {
     val p = plan("p121_cooccur_pmi")
     assert(!p.contains("CartesianProduct"), p)
