@@ -482,6 +482,24 @@ class PipelineETSpec extends AnyFunSuite {
       Seq((1L, 2L), (2L, 2L), (3L, 2L)))
   }
 
+  test("HarmonicCentrality sums integer fixed-point terms through the DSL") {
+    val df = runDF(
+      """set hce = '''{"a":1,"b":2}
+        |{"a":2,"b":3}
+        |{"a":3,"b":4}''';
+        |set hcs = '''{"node":1}
+        |{"node":4}''';
+        |load jsonStr.`hce` as hc_edges;
+        |load jsonStr.`hcs` as hc_seeds;
+        |run hc_edges as HarmonicCentrality.`` where srcCol="a" and dstCol="b"
+        |  and seedTable="hc_seeds" and maxHops="5" and undirected="true" as hcout;
+        |select node, harmonic_fp from hcout order by node as out;""".stripMargin)
+    val h = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // chain 1-2-3-4, seeds {1,4}: node 2 = 1e12/1 + 1e12 div 2
+    assert(h(2L) == 1500000000000L && h(3L) == 1500000000000L)
+    assert(h(1L) == 333333333333L && h(4L) == 333333333333L)
+  }
+
   test("Coreness decomposes a triangle-with-tail through the DSL") {
     val df = runDF(
       """set cre = '''{"a":1,"b":2}
