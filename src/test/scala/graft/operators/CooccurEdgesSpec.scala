@@ -76,6 +76,23 @@ class CooccurEdgesSpec extends AnyFunSuite {
     assert(out.view.mapValues(_._1).toMap == plain)
   }
 
+  test("property: capped weights are pointwise <= uncapped; equal once cap >= max basket") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      val rows = Seq.fill(200)((rnd.nextInt(15).toLong, rnd.nextInt(30).toLong))
+      val full = edges(rows)
+      val maxBasket = rows.distinct.groupBy(_._1).values.map(_.size).max
+      for (cap <- Seq(2, 4, 8)) {
+        val capped = edges(rows, cap = cap)
+        assert(capped.keySet.subsetOf(full.keySet), s"trial $trial cap $cap")
+        capped.foreach { case (k, w) =>
+          assert(w <= full(k), s"trial $trial cap $cap pair $k: $w > ${full(k)}")
+        }
+      }
+      assert(edges(rows, cap = maxBasket) == full, s"trial $trial")
+    }
+  }
+
   test("matches the former inline SQL formulation (s45's uncapped shape)") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
