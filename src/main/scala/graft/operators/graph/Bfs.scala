@@ -139,11 +139,26 @@ object Bfs {
     * `SUM(10¹² // d)` over a bounded recursive walk. Nodes no sampled
     * seed reaches are absent; a larger `maxHops` only ADDS far-seed
     * terms (each ≤ 10¹²/maxHops).
+    *
+    * CONTRACT BOUND (ADVICE r16): terms are ≤ 10¹² each and sum into a
+    * Long, so a node reachable from more than ~9.2 million seeds
+    * (Long.MaxValue / 10¹² ≈ 9.22e6) could overflow `harmonic_fp`. This
+    * operator is the SAMPLED-seed regime — seed samples are orders of
+    * magnitude below that — and the all-node regime belongs to the HLL
+    * neighborhood-function sketch ([[NeighborhoodFunction]]), not here;
+    * callers passing > 9e6 seeds are rejected up front rather than
+    * allowed to wrap silently.
     */
   def harmonicCentrality(edges: DataFrame, srcCol: String, dstCol: String,
                          seeds: DataFrame, seedCol: String,
                          maxHops: Int, undirected: Boolean = false): DataFrame = {
     val unit = 1000000000000L
+    val nSeeds = seeds.select(col(seedCol)).where(col(seedCol).isNotNull)
+      .distinct().count()
+    require(nSeeds <= Long.MaxValue / unit, // ~9.22e6
+      s"harmonicCentrality: $nSeeds seeds could overflow the Long " +
+        "fixed-point sum (bound ~9.2e6); sample the seeds, or use the " +
+        "HLL neighborhood sketch (NeighborhoodFunction) for all-node centrality")
     hopDistanceLabeled(edges, srcCol, dstCol, seeds, seedCol, maxHops, undirected)
       .filter(col("dist") > 0)
       .groupBy(col("node"))

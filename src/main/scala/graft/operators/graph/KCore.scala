@@ -70,7 +70,10 @@ object KCore {
       // within the current alive set)
       var alive = e.groupBy(col("u").as("node"))
         .agg(count(lit(1)).as("deg")).localCheckpoint(true)
-      var nodesAtCompact = alive.count()
+      // true alive-node count, maintained exactly (ADVICE r16: a clamped
+      // estimate let the loop keep paying counts after the graph emptied)
+      var aliveCount = alive.count()
+      var nodesAtCompact = aliveCount
       var peeledSince = 0L
       var iter = 0
       while (iter < maxIter) {
@@ -82,6 +85,13 @@ object KCore {
         if (nPeeled == 0L) {
           // fixpoint: nobody peels, so `deg` is the within-core degree
           return alive
+        }
+        if (nPeeled == aliveCount) {
+          // everything peels: the k-core is empty — skip the decrement
+          // join and return the (empty, correctly-schema'd) survivor set
+          val empty = alive.filter(col("deg") >= k).localCheckpoint(true)
+          graft.LoopFrames.release(alive)
+          return empty
         }
         // decrements: edges whose u endpoint just peeled, counted per v —
         // only frontier-incident edges are aggregated, and the frontier
@@ -102,6 +112,7 @@ object KCore {
         // free, and a deep peel would otherwise scan the ORIGINAL table
         // every round. Cost = one old-style round (two semi-joins +
         // re-persist); the table then shrinks geometrically.
+        aliveCount -= nPeeled
         peeledSince += nPeeled
         if (peeledSince * 2 >= nodesAtCompact) {
           val compacted = e
@@ -112,7 +123,7 @@ object KCore {
           compacted.count() // materialize before dropping the old blocks
           e.unpersist(false)
           e = compacted
-          nodesAtCompact = math.max(1L, nodesAtCompact - peeledSince)
+          nodesAtCompact = aliveCount
           peeledSince = 0L
         }
       }
@@ -124,10 +135,17 @@ object KCore {
     } finally e.unpersist(false)
   }
 
-  /** Full k-core DECOMPOSITION, clamped at `maxK`: per-node core number
-    * (`coreness(v)` = max k with v in the k-core; survivors of the
-    * maxK-peel report `maxK`, meaning "≥ maxK"). The classic degeneracy
-    * screen — one number per node instead of one membership query per k.
+  /** Full k-core DECOMPOSITION: per-node core number (`coreness(v)` =
+    * max k with v in the k-core). With `maxK > 0` the peel is CLAMPED:
+    * survivors of the maxK-peel report `maxK`, meaning "≥ maxK". With
+    * `maxK = 0` (r16-verdict ask) the peel RUNS TO EMPTY: every node
+    * gets its TRUE core number (the max level is the graph's degeneracy)
+    * with no ceiling to guess — levels advance one k at a time, so the
+    * extra cost over a clamped run is one cheap zero-peel convergence
+    * check per level between the clamp and the degeneracy, and the
+    * per-level `maxIterPerLevel` loud bound still applies to every
+    * level. The classic degeneracy screen — one number per node instead
+    * of one membership query per k.
     *
     * One CONTINUOUS delta-peel: the maintained `deg` invariant (degree
     * within the current alive set) carries across levels, so raising k
@@ -145,7 +163,7 @@ object KCore {
     */
   def coreness(edges: DataFrame, srcCol: String, dstCol: String, maxK: Int,
                maxIterPerLevel: Int = 50): DataFrame = {
-    require(maxK >= 1, "maxK must be >= 1")
+    require(maxK >= 0, "maxK must be >= 1, or 0 for run-to-empty (true coreness)")
     require(maxIterPerLevel >= 1, "maxIterPerLevel must be >= 1")
     val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .filter(col("u") =!= col("v"))
@@ -154,11 +172,15 @@ object KCore {
     try {
       var alive = e.groupBy(col("u").as("node"))
         .agg(count(lit(1)).as("deg")).localCheckpoint(true)
-      var nodesAtCompact = alive.count()
+      // true alive-node count, maintained exactly (ADVICE r16) — both the
+      // level-loop exit and the compaction baseline read it directly, so
+      // the peel never runs no-op levels over an empty alive frame
+      var aliveCount = alive.count()
+      var nodesAtCompact = aliveCount
       var peeledSince = 0L
       var result: Option[DataFrame] = None
       var k = 1
-      while (k <= maxK && nodesAtCompact - peeledSince > 0) {
+      while ((maxK == 0 || k <= maxK) && aliveCount > 0) {
         var iter = 0
         var converged = false
         while (!converged) {
@@ -182,8 +204,10 @@ object KCore {
               .localCheckpoint(true)
             graft.LoopFrames.release(alive)
             alive = next
+            aliveCount -= nPeeled
             peeledSince += nPeeled
-            if (peeledSince * 2 >= nodesAtCompact) {
+            if (aliveCount == 0) converged = true // level loop has nothing left
+            else if (peeledSince * 2 >= nodesAtCompact) {
               val compacted = e
                 .join(alive.select(col("node").as("u")), "u")
                 .join(alive.select(col("node").as("v")), "v")
@@ -192,13 +216,16 @@ object KCore {
               compacted.count()
               e.unpersist(false)
               e = compacted
-              nodesAtCompact = math.max(1L, nodesAtCompact - peeledSince)
+              nodesAtCompact = aliveCount
               peeledSince = 0L
             }
           }
         }
         k += 1
       }
+      // clamped run: survivors report maxK ("≥ maxK"); run-to-empty exits
+      // only at aliveCount == 0, so the survivor frame is empty and every
+      // node already carries its true core number in `result`
       val survivors = alive.select(col("node"))
         .withColumn("coreness", lit(maxK.toLong))
       result.map(_.unionByName(survivors)).getOrElse(survivors)

@@ -351,6 +351,21 @@ object CosineSimilarity {
     * return plain `(cell, center)` rows and the oracle boundary is the
     * persisted parquet, so swapping fits cannot change any replay
     * (pinned by CosineSimilaritySpec "distributed fit").
+    *
+    * REPRODUCIBILITY CAVEAT (ADVICE r16): without `centroidsPath`, BOTH
+    * fit paths produce centers that depend on the input's physical
+    * layout — the driver fit samples via `orderBy(rand(seed))` (rand is
+    * seeded PER PARTITION) and k-means|| init likewise — so
+    * [[cellSelfJoin]]/[[ivfTopK]] output can differ across executor
+    * counts / partition layouts (each run is internally deterministic
+    * and correct; the CELL ASSIGNMENT differs, and with it which
+    * candidate pairs are probed). Pass `centroidsPath` whenever
+    * determinism across cluster layouts matters: the first run stamps
+    * the centers and every later run — any layout — replays them
+    * bit-identically. `fit="auto"` also switches driver→distributed at
+    * nlist > 64, which changes (layout-dependent) centers vs. older
+    * versions for callers passing larger nlist; pin `fit` explicitly or,
+    * again, stamp via `centroidsPath`.
     */
   private[graft] def fitOrLoadCentroids(
       df: DataFrame, vecCol: String, nlist: Int, seed: Long,

@@ -49,6 +49,20 @@ object AsOfJoin {
            tolerance: Option[String] = None): DataFrame = {
     require(Set("backward", "forward", "nearest").contains(direction),
       s"as-of direction must be backward|forward|nearest, got '$direction'")
+    // the payload struct is a tie-break sort key (scaladoc), so every
+    // payload column must be an orderable type — validate up front with a
+    // named error instead of letting the window analysis throw an opaque
+    // AnalysisException on `__rp__` (ADVICE r16: map-typed payloads)
+    rightPayload.foreach { p =>
+      val dt = right.schema(p).dataType
+      if (!org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(dt))
+        throw new IllegalArgumentException(
+          s"as-of rightPayload column '$p' has non-orderable type " +
+            s"${dt.simpleString}: payload columns must be orderable for " +
+            "deterministic tie-breaking among right rows tied on (key, time) " +
+            "(maps, and structs containing maps, are not; wrap the map in " +
+            "map_entries(...) sorted, or drop it from the payload)")
+    }
     val keyExprs = keyCols.map(col)
     // equality-join semantics: NULL keys never match (the window grouping
     // would otherwise pair null-key rows with each other)

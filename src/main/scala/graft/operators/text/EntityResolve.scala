@@ -122,11 +122,22 @@ object EntityResolve {
     import org.apache.spark.sql.expressions.Window
     val extraCols = (mergeFields.map(_._1) ++
       (if (recencyCol.nonEmpty) Seq(recencyCol) else Nil)).distinct
-      .filterNot(c => c == idCol || c == strCol || c == scoreCol)
+      .filterNot(c => c == idCol || c == strCol || c == scoreCol || c == entityCol)
     val withEntity = labeled.select(
       (Seq(col(idCol).as("rec_id"), col(strCol).as("rec_str"),
         col(scoreCol).as("__score__"), col(entityCol).as("entity")) ++
         extraCols.map(col)): _*)
+    // mergeFields / recencyCol entries naming idCol/strCol/scoreCol/
+    // entityCol resolve against the RENAMED columns (ADVICE r16: they
+    // previously died with an unresolved-column AnalysisException) —
+    // e.g. merging the score itself with `max`, or `latest` keyed on the
+    // score, just works; output aliases keep the caller's field name.
+    def ref(c: String): org.apache.spark.sql.Column =
+      if (c == idCol) col("rec_id")
+      else if (c == strCol) col("rec_str")
+      else if (c == scoreCol) col("__score__")
+      else if (c == entityCol) col("entity")
+      else col(c)
     // election: one entity-keyed window, max score, ties to smallest id
     val canon = withEntity
       .withColumn("__rn__", row_number().over(Window.partitionBy(col("entity"))
@@ -138,14 +149,14 @@ object EntityResolve {
     // each majority field adds its own (entity, value) pre-agg
     val simple = mergeFields.filter(_._2 != "majority")
     val simpleExprs = simple.map { case (f, strat) =>
-      val v = col(f)
+      val v = ref(f)
       (strat match {
         case "longest" =>
           max(when(v.isNotNull, struct(length(v).as("k"), v.as("v")))).getField("v")
         case "latest" =>
           require(recencyCol.nonEmpty, "latest merge requires recencyCol")
-          max(when(v.isNotNull && col(recencyCol).isNotNull,
-            struct(col(recencyCol).as("k"), v.as("v")))).getField("v")
+          max(when(v.isNotNull && ref(recencyCol).isNotNull,
+            struct(ref(recencyCol).as("k"), v.as("v")))).getField("v")
         case "max" => max(v)
         case "min" => min(v)
         case other => throw new IllegalArgumentException(
@@ -160,8 +171,8 @@ object EntityResolve {
         Seq("entity"), "left")
     val mergedAll = mergeFields.filter(_._2 == "majority").foldLeft(merged0) {
       case (acc, (f, _)) =>
-        val mv = withEntity.filter(col(f).isNotNull)
-          .groupBy(col("entity"), col(f).as("__v__"))
+        val mv = withEntity.filter(ref(f).isNotNull)
+          .groupBy(col("entity"), ref(f).as("__v__"))
           .agg(count(lit(1)).as("__n__"))
           .groupBy(col("entity"))
           .agg(max(struct(col("__n__").as("k"), col("__v__").as("v")))

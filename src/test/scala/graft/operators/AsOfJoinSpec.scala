@@ -172,4 +172,23 @@ class AsOfJoinSpec extends AnyFunSuite {
     // no real right row at time <= 5 -> inner as-of drops the left row
     assert(out.count() == 0)
   }
+
+  test("non-orderable payload types are rejected up front with a named error") {
+    import spark.implicits._
+    val left = Seq((1L, "u", 5L)).toDF("id", "k", "t")
+    val right = Seq(("u", 3L, Map("a" -> 1)))
+      .toDF("k", "t", "attrs")
+    // the payload struct is a tie-break sort key; a map payload used to
+    // surface as an opaque AnalysisException on __rp__ (ADVICE r16)
+    val ex = intercept[IllegalArgumentException](
+      AsOfJoin.join(left, right, Seq("k"), "t", "t", Seq("attrs")))
+    assert(ex.getMessage.contains("attrs") &&
+      ex.getMessage.contains("non-orderable"), ex.getMessage)
+    // orderable payloads (structs without maps included) still pass
+    val ok = AsOfJoin.join(left,
+      right.withColumn("s",
+        org.apache.spark.sql.functions.struct($"t".as("x"))).drop("attrs"),
+      Seq("k"), "t", "t", Seq("s"))
+    assert(ok.count() == 1)
+  }
 }

@@ -91,4 +91,26 @@ class EntityResolveSpec extends AnyFunSuite {
       .filter($"rec_id" === 9L).head()
     assert(nine.isNullAt(5) && nine.isNullAt(6))
   }
+
+  test("mergeFields may name idCol/strCol/scoreCol themselves (ADVICE r16)") {
+    import spark.implicits._
+    val rows = Seq((1L, "golden retriever", 1L), (2L, "goldan retriever", 7L),
+      (3L, "goldan retriefer", 7L), (9L, "border collie", 0L))
+      .toDF("id", "s", "score")
+    // merging the score with max, the id with min, the string with longest
+    // previously died with an unresolved-column AnalysisException (the
+    // columns are renamed rec_id/rec_str/__score__ before the merge aggs)
+    val out = EntityResolve.resolveBest(rows, "id", "s", "score", maxDist = 1,
+        mergeFields = Seq("score" -> "max", "id" -> "min", "s" -> "longest"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(5), r.getLong(6), r.getString(7))).toMap
+    assert(out(1L) == ((7L, 1L, "golden retriever"))) // longest tie (all len 16) → larger value
+    assert(out(2L) == out(1L) && out(3L) == out(1L))
+    assert(out(9L) == ((0L, 9L, "border collie")))
+    // `latest` keyed on the score column resolves too
+    val latest = EntityResolve.resolveBest(rows, "id", "s", "score", maxDist = 1,
+        mergeFields = Seq("s" -> "latest"), recencyCol = "score")
+      .collect().map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(latest(1L) == "goldan retriever") // max score 7, tie → larger string
+  }
 }

@@ -86,6 +86,24 @@ class KCoreSpec extends AnyFunSuite {
     assert(clamped(5L) == 1L)
   }
 
+  test("coreness maxK=0 runs to empty: true core numbers with no ceiling guess") {
+    // deep graph where the true degeneracy (8, the K9) exceeds any
+    // "reasonable" clamp a user might guess from the path/triangle shell
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    val k9 = for (i <- 100L to 108L; j <- (i + 1) to 108L) yield (i, j)
+    val welded = tri ++ k9 :+ ((4L, 100L))
+    val full = coreness(welded, maxK = 0)
+    assert((100L to 108L).forall(full(_) == 8L)) // true degeneracy, not ">= clamp"
+    assert(full(1L) == 2L && full(4L) == 2L && full(5L) == 1L)
+    // run-to-empty == a clamp set above the degeneracy, on every node
+    assert(full == coreness(welded, maxK = 20))
+    // and the clamped run reports the K9 members as ">= 3"
+    assert(coreness(welded, maxK = 3).filter(_._2 == 3L).keySet ==
+      (100L to 108L).toSet)
+    // edgeless input: nothing alive, empty result either way
+    assert(coreness(Seq((7L, 7L)), maxK = 0).isEmpty)
+  }
+
   test("coreness agrees with iterated run() memberships on a seeded random graph") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
