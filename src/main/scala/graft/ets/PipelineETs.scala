@@ -30,7 +30,7 @@ object PipelineETs {
     StreamCusumET, Bm25IndexET, RetrievalEvalET, AttributionET, SurvivalET,
     DistDriftET, SnippetsInPlaceET, FuzzyLinkageET, KCoreET, BfsHopsET, TrustRankET, EntityResolveET,
     BlocklistET, AsOfJoinET, RandomProjectionET, CooccurEdgesET, SsspET,
-    CorenessET, StreamCooccurET, HarmonicCentralityET)
+    CorenessET, StreamCooccurET, HarmonicCentralityET, ImageDedupET)
 }
 
 /** `run hits as SnippetsInPlace.`` [where textCol="text" and
@@ -1865,10 +1865,12 @@ object AnnTopKET extends NoPathET {
 
 /** `run bins as BinaryMetaInPlace.`` [where binaryCol="content" and
   * embed="64"]` — attach the multimodal metadata struct (format sniff +
-  * stubbed decode); `embed=dim` also attaches the STUB `embedding`
-  * column, bridging binary media into the Dedup/AnnTopK/SimilarityJoin
-  * stack (identical bytes embed identically — exact-dup semantics are
-  * real even though the vector values are fake).
+  * REAL image header decode: true width/height for png/jpeg/bmp/gif,
+  * null for media with no JDK codec); `embed=dim` also attaches the
+  * `embedding` column — a real tiny-image descriptor for decodable
+  * images, the documented synthetic byte fallback otherwise, flagged
+  * per-row by `embedding_synthetic` — bridging binary media into the
+  * Dedup/AnnTopK/SimilarityJoin stack.
   */
 object BinaryMetaInPlaceET extends NoPathET {
   override def name = "BinaryMetaInPlace"
@@ -1888,6 +1890,40 @@ object BinaryMetaInPlaceET extends NoPathET {
       case Some(dim) => graft.operators.multimodal.Multimodal
         .withEmbedding(withMeta, binaryCol, dim)
       case None => withMeta
+    }
+  }
+}
+
+/** `run imgs as ImageDedup.`` [where idCol="path" and binaryCol="content"
+  * and maxHamming="6" and method="dhash|ahash" and mode="pairs|hashes"
+  * and maxChunkFreq="0" and hashCol="img_hash"]` — perceptual-hash image
+  * near-dedup over REAL JDK decode (see
+  * [[graft.operators.multimodal.ImageDedup]]): dHash/aHash per image,
+  * pigeonhole-banded Hamming equi-join, exact verify. `mode="hashes"`
+  * emits the (id, img_hash) stamp — the persisted oracle boundary p124
+  * replays from; `mode="pairs_from_hashes"` re-runs only the join half on
+  * an already-hashed table (idCol/hashCol name its columns).
+  */
+object ImageDedupET extends NoPathET {
+  override def name = "ImageDedup"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    val idCol = params.getOrElse("idCol", "path")
+    val binaryCol = params.getOrElse("binaryCol", "content")
+    val maxHamming = params.getOrElse("maxHamming", "6").toInt
+    val method = params.getOrElse("method", "dhash")
+    val maxChunkFreq = params.getOrElse("maxChunkFreq", "0").toLong
+    params.getOrElse("mode", "pairs") match {
+      case "pairs" => graft.operators.multimodal.ImageDedup.selfJoin(
+        df, idCol, binaryCol, maxHamming, method, maxChunkFreq)
+      case "hashes" => graft.operators.multimodal.ImageDedup.hashes(
+        df, idCol, binaryCol, method)
+      case "pairs_from_hashes" =>
+        graft.operators.multimodal.ImageDedup.selfJoinFromHashes(
+          df, idCol, params.getOrElse("hashCol", "img_hash"),
+          maxHamming, maxChunkFreq)
+      case other => throw new IllegalArgumentException(
+        s"ImageDedup mode must be pairs|hashes|pairs_from_hashes, got '$other'")
     }
   }
 }

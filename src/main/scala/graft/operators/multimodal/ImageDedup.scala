@@ -1,0 +1,121 @@
+package graft.operators.multimodal
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Perceptual-hash image near-dedup: 64-bit dHash/aHash per image
+  * ([[ImageCodec]] — real JDK decode), candidate pairs via pigeonhole
+  * banding, exact Hamming verify. The image analog of the SimHash text
+  * path ([[graft.operators.dedup.TextDedup.simHashSelfJoin]]) — same
+  * band-join scale shape, generalized to any Hamming radius.
+  *
+  * Banding: split the 64-bit hash into `maxHamming + 1` contiguous
+  * chunks; two hashes within Hamming distance `maxHamming` differ in at
+  * most `maxHamming` bits, so at least one chunk is bit-identical
+  * (pigeonhole) — candidates collide on an (chunk index, chunk value)
+  * equi-join, NEVER an all-pairs scan. At 100 TB the shuffle is
+  * |images| × (maxHamming+1) skinny rows keyed by chunk value; exact
+  * verify (`bit_count(a^b)`) touches only collided pairs. Recall within
+  * the radius is 100% by construction (no LSH miss probability).
+  *
+  * Determinism: hashes are exact integers ([[ImageCodec]] contract) and
+  * the join/filter are set operations — output is hash-exact at any
+  * executor count, and DuckDB replays banding + Hamming from a persisted
+  * (id, hash) table with the same shift/mask arithmetic (the p124
+  * oracle; arithmetic-vs-logical right shift is neutralized by the chunk
+  * mask).
+  *
+  * Skew note: a degenerate hash value shared by millions of images
+  * (e.g. flat single-color frames → dHash 0) would hot-spot its chunk
+  * buckets; `maxChunkFreq` drops chunk keys above the cap — loudly, via
+  * the returned pair set only (cap semantics documented: capped keys
+  * contribute no candidates; exact dups still pair through their other
+  * chunks unless ALL their chunks are capped).
+  */
+object ImageDedup {
+
+  /** (id, img_hash) for every decodable image; undecodable rows are
+    * DROPPED (documented — filter them via `mm_decode_image_meta` first
+    * if you need the reject list).
+    */
+  def hashes(df: DataFrame, idCol: String, binaryCol: String,
+             method: String = "dhash"): DataFrame = {
+    val hasher = method match {
+      case "dhash" => udf((b: Array[Byte]) => ImageCodec.dHash(b))
+      case "ahash" => udf((b: Array[Byte]) => ImageCodec.aHash(b))
+      case other => throw new IllegalArgumentException(
+        s"ImageDedup method must be dhash|ahash, got '$other'")
+    }
+    df.select(col(idCol).as("id"), hasher(col(binaryCol)).as("img_hash"))
+      .filter(col("img_hash").isNotNull)
+  }
+
+  /** Near-dup pairs (a_id, b_id, hamming) among images within
+    * `maxHamming` bits, end-to-end from binary columns.
+    */
+  def selfJoin(df: DataFrame, idCol: String, binaryCol: String,
+               maxHamming: Int = 6, method: String = "dhash",
+               maxChunkFreq: Long = 0L): DataFrame =
+    selfJoinFromHashes(hashes(df, idCol, binaryCol, method),
+      "id", "img_hash", maxHamming, maxChunkFreq)
+
+  /** The banded Hamming self-join on an already-hashed (id, hash) frame —
+    * the stage DuckDB replays from the persisted stamp. Ids must be
+    * distinct (one hash per image).
+    */
+  def selfJoinFromHashes(hashed: DataFrame, idCol: String, hashCol: String,
+                         maxHamming: Int = 6,
+                         maxChunkFreq: Long = 0L): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 31,
+      s"maxHamming must be in [0, 31], got $maxHamming (chunks need >= 2 bits)")
+    val n = maxHamming + 1
+    val base = 64 / n
+    // chunk i covers bits [i*base, (i+1)*base); the last chunk absorbs the
+    // remainder — widths are fixed by maxHamming alone, so the oracle can
+    // replay them from the same integer arithmetic
+    val chunkExprs = (0 until n).map { i =>
+      val start = i * base
+      val len = if (i == n - 1) 64 - start else base
+      val mask = if (len >= 64) -1L else (1L << len) - 1L
+      s"struct(cast($i as int) as chunk, shiftright(h, $start) & ${mask}L as ckey)"
+    }
+    val sigs = hashed.select(col(idCol).as("doc_id"), col(hashCol).as("h"))
+    val chunked0 = sigs.select(col("doc_id"), col("h"),
+      explode(expr(s"array(${chunkExprs.mkString(", ")})")).as("c"))
+      .select(col("doc_id"), col("h"),
+        col("c.chunk").as("chunk"), col("c.ckey").as("ckey"))
+    // optional hot-chunk cap (flat-image degeneracy): drop chunk keys
+    // whose posting list exceeds the cap — a frequency join on the skinny
+    // (chunk, ckey) key, same shape as the linkage gram caps
+    val chunked =
+      if (maxChunkFreq <= 0L) chunked0
+      else {
+        val hot = chunked0.groupBy(col("chunk"), col("ckey"))
+          .agg(count(lit(1)).as("__n__"))
+          .filter(col("__n__") > maxChunkFreq)
+          .select(col("chunk"), col("ckey"))
+        chunked0.join(hot, Seq("chunk", "ckey"), "left_anti")
+      }
+    chunked.as("x").join(chunked.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.ckey") === col("y.ckey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        col("x.h").as("a_h"), col("y.h").as("b_h"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("a_h").bitwiseXOR(col("b_h"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
+  /** Exact-duplicate image groups by content hash (byte-identical files)
+    * — the cheap first pass before perceptual dedup: group id = min id
+    * per MD5. Per-row hash + one skinny groupBy.
+    */
+  def exactGroups(df: DataFrame, idCol: String, binaryCol: String): DataFrame = {
+    val h = md5(col(binaryCol))
+    df.select(col(idCol).as("id"), h.as("content_hash"))
+      .withColumn("group_id",
+        min(col("id")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("content_hash"))))
+  }
+}

@@ -4210,7 +4210,89 @@ object Pipeline {
         |JOIN ni na ON na.i = p.a
         |JOIN ni nbb ON nbb.i = p.b
         |CROSS JOIN tot
-        |ORDER BY a, b""".stripMargin)
+        |ORDER BY a, b""".stripMargin),
+
+    // ---- REAL image metadata (r17 headline): deterministic generated
+    //      PNG/JPEG/BMP/GIF fixtures -> binaryFile -> header-only decode.
+    //      Width/height are REAL now (javax.imageio), so they enter the
+    //      oracle as the literal dims the fixture was written with; the
+    //      wav row pins the no-JDK-codec null path (as -1 sentinels —
+    //      nullable ints cross engines as NaN floats). ----
+    QuerySpec.sql("p125_image_meta", (s, dir) => {
+      import s.implicits._
+      import graft.operators.multimodal.{ImageGen, Multimodal}
+      val fixDir = java.nio.file.Paths.get("/tmp/graft_img_meta_fixture")
+      if (java.nio.file.Files.exists(fixDir))
+        org.apache.commons.io.FileUtils.deleteDirectory(fixDir.toFile)
+      java.nio.file.Files.createDirectories(fixDir)
+      def put(name: String, bytes: Array[Byte]): Unit =
+        java.nio.file.Files.write(fixDir.resolve(name), bytes)
+      put("a.png", ImageGen.png(40, 30, seed = 1))
+      put("b.jpg", ImageGen.jpeg(64, 48, seed = 2))
+      put("c.bmp", ImageGen.encode(ImageGen.pattern(20, 20, seed = 3), "bmp"))
+      put("d.gif", ImageGen.encode(ImageGen.pattern(16, 8, seed = 4), "gif"))
+      put("e.wav", "RIFF0000WAVE".getBytes ++ Array.fill[Byte](64)(1))
+      Multimodal.register(s)
+      Multimodal.withImageMeta(s.read.format("binaryFile").load(fixDir.toString))
+        .select(element_at(split($"path", "/"), -1).as("name"),
+          $"media_meta.format".as("fmt"),
+          coalesce($"media_meta.width", lit(-1)).as("w"),
+          coalesce($"media_meta.height", lit(-1)).as("h"))
+        .orderBy($"name")
+    },
+      """SELECT * FROM (VALUES
+        | ('a.png', 'png', 40, 30), ('b.jpg', 'jpeg', 64, 48),
+        | ('c.bmp', 'bmp', 20, 20), ('d.gif', 'gif', 16, 8),
+        | ('e.wav', 'wav', -1, -1))
+        | t(name, fmt, w, h) ORDER BY name""".stripMargin),
+
+    // ---- perceptual-hash image near-dedup (r17 headline): REAL decode ->
+    //      dHash -> pigeonhole-banded Hamming self-join. The decode has no
+    //      DuckDB counterpart, so the oracle boundary is the PERSISTED
+    //      (id, img_hash) stamp (the s28 pattern): the Spark surface
+    //      recomputes the join FROM the stamp, and DuckDB replays the
+    //      identical chunk/shift/mask banding + bit_count(xor) verify —
+    //      full rows+schema+hash compare over the whole join half.
+    //      maxHamming=7 -> 8 uniform 8-bit chunks. Fixture: two near-dup
+    //      groups (seeded pattern + pixel perturbations), one
+    //      byte-identical copy, two singletons. ----
+    QuerySpec.sql("p124_image_dedup", (s, dir) => {
+      import s.implicits._
+      import graft.operators.multimodal.{ImageDedup, ImageGen}
+      val fixDir = java.nio.file.Paths.get("/tmp/graft_img_dedup_fixture")
+      if (java.nio.file.Files.exists(fixDir))
+        org.apache.commons.io.FileUtils.deleteDirectory(fixDir.toFile)
+      java.nio.file.Files.createDirectories(fixDir)
+      def put(name: String, bytes: Array[Byte]): Unit =
+        java.nio.file.Files.write(fixDir.resolve(name), bytes)
+      val a = ImageGen.pattern(64, 48, seed = 100)
+      put("a1.png", ImageGen.encode(a, "png"))
+      put("a2.png", ImageGen.encode(a, "png")) // byte-identical: hamming 0
+      put("a3.png", ImageGen.encode(ImageGen.perturb(a, 2, seed = 7), "png"))
+      val b = ImageGen.pattern(80, 60, seed = 200)
+      put("b1.png", ImageGen.encode(b, "png"))
+      put("b2.png", ImageGen.encode(ImageGen.perturb(b, 3, seed = 8), "png"))
+      put("c.png", ImageGen.png(64, 48, seed = 300))
+      put("d.png", ImageGen.png(64, 48, seed = 411))
+      val hashes = ImageDedup.hashes(
+        s.read.format("binaryFile").load(fixDir.toString)
+          .select(element_at(split($"path", "/"), -1).as("name"), $"content"),
+        "name", "content")
+      hashes.write.mode("overwrite").parquet("/tmp/graft_img_hashes")
+      ImageDedup.selfJoinFromHashes(s.read.parquet("/tmp/graft_img_hashes"),
+          "id", "img_hash", maxHamming = 7)
+        .orderBy($"a_id", $"b_id")
+    },
+      """WITH hs AS (SELECT id, img_hash AS h
+        |  FROM read_parquet('/tmp/graft_img_hashes/*.parquet')),
+        |ck AS (SELECT id, h, i.i AS chunk, (h >> (i.i * 8)) & 255 AS ckey
+        |  FROM hs CROSS JOIN (SELECT UNNEST(RANGE(0, 8)) AS i) i),
+        |cand AS (SELECT DISTINCT x.id AS a_id, y.id AS b_id, x.h AS ah, y.h AS bh
+        |  FROM ck x JOIN ck y
+        |    ON x.chunk = y.chunk AND x.ckey = y.ckey AND x.id < y.id)
+        |SELECT a_id, b_id, CAST(BIT_COUNT(XOR(ah, bh)) AS INTEGER) AS hamming
+        |FROM cand WHERE BIT_COUNT(XOR(ah, bh)) <= 7
+        |ORDER BY a_id, b_id""".stripMargin)
   )
 
   /** Chained unrolled-peel replay for p120: level k peels from level

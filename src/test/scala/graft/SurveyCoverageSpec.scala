@@ -143,7 +143,7 @@ class SurveyCoverageSpec extends AnyFunSuite {
       "RetrievalEval", "Attribution", "Survival", "DistDrift",
       "SnippetsInPlace", "FuzzyLinkage", "KCore", "BfsHops", "TrustRank", "EntityResolve",
       "Blocklist", "AsOfJoin", "RandomProjection", "CooccurEdges", "Sssp",
-      "Coreness", "StreamCooccur", "HarmonicCentrality")
+      "Coreness", "StreamCooccur", "HarmonicCentrality", "ImageDedup")
     val missing = names.filter(n =>
       scala.util.Try(ETRegistry.lookup(n)).isFailure)
     assert(missing.isEmpty, s"ET registry missing: ${missing.mkString(", ")}")

@@ -782,25 +782,28 @@ class PipelineETSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall $recall too low vs exact")
   }
 
-  test("binaryFile load + BinaryMetaInPlace sniffs real magic bytes") {
+  test("binaryFile load + BinaryMetaInPlace sniffs magic bytes and decodes real dims") {
+    import graft.operators.multimodal.ImageGen
     val dir = Files.createTempDirectory("graft_bin")
-    Files.write(dir.resolve("a.png"),
-      Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10) ++ Array.fill[Byte](64)(7))
-    Files.write(dir.resolve("b.jpg"),
-      Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte) ++ Array.fill[Byte](64)(9))
+    Files.write(dir.resolve("a.png"), ImageGen.png(40, 30, seed = 1))
+    Files.write(dir.resolve("b.jpg"), ImageGen.jpeg(64, 48, seed = 2))
     Files.write(dir.resolve("c.wav"),
       "RIFF0000WAVE".getBytes ++ Array.fill[Byte](64)(1))
     val df = runDF(
       s"""load binaryFile.`$dir` as bins;
          |run bins as BinaryMetaInPlace.`` as meta;
          |select path, media_meta.format as fmt, media_meta.width as w,
-         |  media_meta.size_bytes as sz from meta order by path as out;""".stripMargin)
-    val fmts = df.collect().map(r => r.getString(0).split("/").last -> r.getString(1)).toMap
-    assert(fmts("a.png") == "png" && fmts("b.jpg") == "jpeg" && fmts("c.wav") == "wav")
-    assert(df.collect().forall(_.getInt(2) >= 64)) // stub dims are bounded
+         |  media_meta.height as ht, media_meta.size_bytes as sz
+         |from meta order by path as out;""".stripMargin)
+    val rows = df.collect().map(r => r.getString(0).split("/").last ->
+      (r.getString(1), if (r.isNullAt(2)) -1 else r.getInt(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3))).toMap
+    assert(rows("a.png") == (("png", 40, 30))) // REAL header dims
+    assert(rows("b.jpg") == (("jpeg", 64, 48)))
+    assert(rows("c.wav") == (("wav", -1, -1))) // no JDK codec -> null dims
   }
 
-  test("binary media -> stub embedding -> ANN dedup composes end-to-end") {
+  test("binary media -> synthetic-fallback embedding -> ANN dedup composes end-to-end") {
     val dir = Files.createTempDirectory("graft_bin_emb")
     val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10) ++
       Array.fill[Byte](64)(7)
@@ -821,25 +824,49 @@ class PipelineETSpec extends AnyFunSuite {
       "byte-identical media pair found, unrelated media not paired")
   }
 
-  test("mm_resize: deterministic stub thumbnail, size governed by target dims") {
-    val df = spark.sql(
-      "select mm_resize(cast('payload-bytes-here' as binary), 16, 8) as t1, " +
-        "mm_resize(cast('payload-bytes-here' as binary), 16, 8) as t2, " +
-        "mm_resize(cast('payload-bytes-here' as binary), 64, 64) as big, " +
-        "mm_resize(cast('different-content' as binary), 16, 8) as other")
+  test("mm_resize: real PNG thumbnail, deterministic, null for undecodable bytes") {
+    import graft.operators.multimodal.{ImageCodec, ImageGen}
+    graft.operators.multimodal.Multimodal.register(spark)
+    import spark.implicits._
+    val src = ImageGen.png(128, 96, seed = 11)
+    val df = Seq((1L, src)).toDF("id", "content").selectExpr(
+      "mm_resize(content, 16, 8) as t1",
+      "mm_resize(content, 16, 8) as t2",
+      "mm_resize(cast('payload-bytes-here' as binary), 16, 8) as bad")
     val r = df.head()
     val (t1, t2) = (r.getAs[Array[Byte]](0), r.getAs[Array[Byte]](1))
     assert(t1.sameElements(t2), "identical input + dims must resize identically")
-    // 8-byte (w,h) header, big-endian
-    assert(((t1(0) & 0xff) << 24 | (t1(1) & 0xff) << 16 |
-      (t1(2) & 0xff) << 8 | (t1(3) & 0xff)) == 16)
-    assert(((t1(4) & 0xff) << 24 | (t1(5) & 0xff) << 16 |
-      (t1(6) & 0xff) << 8 | (t1(7) & 0xff)) == 8)
-    assert(t1.length == 8 + math.max(1, 16 * 8 / 64))
-    assert(r.getAs[Array[Byte]](2).length == 8 + 64 * 64 / 64,
-      "output volume must scale with the TARGET dims")
-    assert(!r.getAs[Array[Byte]](3).sameElements(t1),
-      "different content must thumbnail differently")
+    // REAL thumbnail: a decodable PNG at exactly the target dims
+    val meta = ImageCodec.readMeta(t1)
+    assert(meta.contains(("png", 16, 8)))
+    assert(t1.length < src.length, "thumbnail volume shrinks to the target dims")
+    assert(r.isNullAt(2), "non-image bytes resize to null, not a fake bitmap")
+    // different content must thumbnail differently
+    val other = ImageCodec.resizePng(ImageGen.png(128, 96, seed = 12), 16, 8).get
+    assert(!other.sameElements(t1))
+  }
+
+  test("ImageDedup ET: DSL round-trip over real images") {
+    import graft.operators.multimodal.ImageGen
+    val dir = Files.createTempDirectory("graft_imgdedup")
+    val base = ImageGen.pattern(64, 48, seed = 55)
+    Files.write(dir.resolve("x1.png"), ImageGen.encode(base, "png"))
+    Files.write(dir.resolve("x2.png"),
+      ImageGen.encode(ImageGen.perturb(base, 2, seed = 9), "png"))
+    Files.write(dir.resolve("y.png"), ImageGen.png(64, 48, seed = 9999))
+    val df = runDF(
+      s"""load binaryFile.`$dir` as imgs;
+         |select element_at(split(path, '/'), -1) as name, content from imgs as named;
+         |run named as ImageDedup.`` where idCol="name" and maxHamming="8" as pairs;
+         |select a_id, b_id, hamming from pairs order by a_id, b_id as out;""".stripMargin)
+    val pairs = df.collect().map(r => (r.getString(0), r.getString(1)))
+    assert(pairs.toSeq == Seq(("x1.png", "x2.png")))
+    // hashes mode emits the persistable (id, img_hash) oracle stamp
+    val hdf = runDF(
+      s"""load binaryFile.`$dir` as imgs2;
+         |run imgs2 as ImageDedup.`` where mode="hashes" as hs;
+         |select count(*) as n from hs as out;""".stripMargin)
+    assert(hdf.head().getLong(0) == 3L)
   }
 
   test("mm_frame_sample slices deterministically") {
