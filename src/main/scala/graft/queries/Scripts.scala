@@ -1639,12 +1639,19 @@ object Scripts {
     //      TrustRank from a seed set + BFS hop distance, joined into a
     //      per-node trust report (the link-farm triage shape: low trust
     //      + high core degree + far-from-seeds = suspicious). One oracle
-    //      replays all three fixpoints off shared base CTEs. ----
+    //      replays all three fixpoints off shared base CTEs. The edge
+    //      view is `!cache`d (eager, script-lifetime — r16 verdict ask):
+    //      three fixpoint consumers otherwise each re-plan the
+    //      CooccurEdges build, ~3x the heaviest stage; this is the
+    //      pattern to copy whenever one derived table feeds multiple
+    //      `run` statements. Plan-asserted in BenchSpec (downstream
+    //      consumers read InMemoryTableScan). ----
     QuerySpec.sql("s45_script_graph_trust", (s, dir) => script(s,
       s"""load parquet.`$dir/lineitem.parquet` as s45_li;
          |select distinct l_orderkey as bk, l_partkey as i from s45_li as s45_it;
          |run s45_it as CooccurEdges.`` where basketCol="bk" and itemCol="i"
          |  and minCount="2" as s45_e;
+         |!cache s45_e;
          |select distinct a as node from s45_e as s45_nodes;
          |select node as n from s45_nodes where node % 97 = 0 as s45_seeds;
          |run s45_e as KCore.`` where srcCol="a" and dstCol="b" and k="3" as s45_core;
@@ -1665,12 +1672,14 @@ object Scripts {
     //      (clamped 4), and Sssp measures weighted proximity to a seed
     //      set where strong ties are SHORT (w = 11 − min(weight, 10)).
     //      One oracle replays the pair build, four chained peels, and
-    //      the unrolled min-merge rounds off shared base CTEs. ----
+    //      the unrolled min-merge rounds off shared base CTEs. The edge
+    //      view is `!cache`d — same multi-consumer pattern as s45. ----
     QuerySpec.sql("s46_script_graph_geometry", (s, dir) => script(s,
       s"""load parquet.`$dir/lineitem.parquet` as s46_li;
          |select distinct l_orderkey as bk, l_partkey as i from s46_li as s46_it;
          |run s46_it as CooccurEdges.`` where basketCol="bk" and itemCol="i"
          |  and minCount="2" as s46_e;
+         |!cache s46_e;
          |run s46_e as Coreness.`` where srcCol="a" and dstCol="b" and maxK="4" as s46_core;
          |select a, b, 11 - least(weight, 10) as w from s46_e as s46_we;
          |select distinct a as node from s46_e where a % 97 = 0 as s46_seeds;
