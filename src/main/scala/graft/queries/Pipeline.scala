@@ -4292,7 +4292,26 @@ object Pipeline {
         |    ON x.chunk = y.chunk AND x.ckey = y.ckey AND x.id < y.id)
         |SELECT a_id, b_id, CAST(BIT_COUNT(XOR(ah, bh)) AS INTEGER) AS hamming
         |FROM cand WHERE BIT_COUNT(XOR(ah, bh)) <= 7
-        |ORDER BY a_id, b_id""".stripMargin)
+        |ORDER BY a_id, b_id""".stripMargin),
+
+    // ---- coreness maxK=0 (run-to-empty, r16-verdict ask): TRUE per-node
+    //      core numbers with no clamp to guess — the operator must
+    //      terminate by itself when the graph empties. Same graph as
+    //      p120; the oracle unrolls chained peels to maxK=6, safely past
+    //      the graph's true degeneracy (3 at sf0.01, measured), so the
+    //      higher levels and the survivor slice are empty and the unroll
+    //      equals the unclamped decomposition exactly. The deep-graph
+    //      case (degeneracy 8 > any reasonable clamp) is spec-pinned in
+    //      KCoreSpec. ----
+    QuerySpec.sql("p126_coreness_degeneracy", (s, dir) => {
+      import s.implicits._
+      val edges = graft.operators.basket.MarketBasket.pairRules(
+          t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey"),
+          "l_orderkey", "l_partkey", minSupport = 2L)
+        .select($"a", $"b")
+      graft.operators.graph.KCore.coreness(edges, "a", "b", maxK = 0)
+        .orderBy($"node")
+    }, corenessOracleSql(6, 16))
   )
 
   /** Chained unrolled-peel replay for p120: level k peels from level
