@@ -30,7 +30,8 @@ object PipelineETs {
     StreamCusumET, Bm25IndexET, RetrievalEvalET, AttributionET, SurvivalET,
     DistDriftET, SnippetsInPlaceET, FuzzyLinkageET, KCoreET, BfsHopsET, TrustRankET, EntityResolveET,
     BlocklistET, AsOfJoinET, RandomProjectionET, CooccurEdgesET, SsspET,
-    CorenessET, StreamCooccurET, HarmonicCentralityET, ImageDedupET)
+    CorenessET, StreamCooccurET, HarmonicCentralityET, ImageDedupET,
+    NeighborhoodFunctionET)
 }
 
 /** `run hits as SnippetsInPlace.`` [where textCol="text" and
@@ -2006,6 +2007,33 @@ object HarmonicCentralityET extends NoPathET {
   * maxK="8" [and maxIterPerLevel="50"]` — full k-core decomposition
   * clamped at maxK (see [[graft.operators.graph.KCore.coreness]]).
   */
+/** `run edges as NeighborhoodFunction.`` [where srcCol="a" and dstCol="b"
+  * and maxHops="6" and lgK="12" and undirected="false" and
+  * mode="nf|centrality"]` — HyperBall-lite per-node neighborhood
+  * function / geometric centralities over HLL sketches (see
+  * [[graft.operators.graph.NeighborhoodFunction]]): the all-node
+  * closeness/harmonic regime with node-sized state. `mode="nf"` emits
+  * the (node, hop, nf_est) stamp — the persisted oracle boundary p127
+  * replays centralities from.
+  */
+object NeighborhoodFunctionET extends NoPathET {
+  override def name = "NeighborhoodFunction"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    val nf = graft.operators.graph.NeighborhoodFunction.run(df,
+      params.getOrElse("srcCol", "a"), params.getOrElse("dstCol", "b"),
+      maxHops = params.getOrElse("maxHops", "6").toInt,
+      lgK = params.getOrElse("lgK", "12").toInt,
+      undirected = params.getOrElse("undirected", "false").toBoolean)
+    params.getOrElse("mode", "centrality") match {
+      case "nf" => nf
+      case "centrality" => graft.operators.graph.NeighborhoodFunction.centrality(nf)
+      case other => throw new IllegalArgumentException(
+        s"NeighborhoodFunction mode must be nf|centrality, got '$other'")
+    }
+  }
+}
+
 object CorenessET extends NoPathET {
   override def name = "Coreness"
   override def train(ctx: ScriptContext, df: DataFrame, path: String,

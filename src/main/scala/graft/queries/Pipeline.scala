@@ -4311,7 +4311,39 @@ object Pipeline {
         .select($"a", $"b")
       graft.operators.graph.KCore.coreness(edges, "a", "b", maxK = 0)
         .orderBy($"node")
-    }, corenessOracleSql(6, 16))
+    }, corenessOracleSql(6, 16)),
+
+    // ---- HyperBall-lite neighborhood function -> geometric centralities
+    //      (r16-verdict ask #4): one HLL sketch per node merged along
+    //      edges — the ALL-NODE closeness/harmonic regime (p123's labeled
+    //      BFS is the sampled-seed regime). The sketch union is register-
+    //      wise max (order-free), so the BIGINT estimates are
+    //      deterministic and the persisted (node, hop, nf_est) stamp is a
+    //      full oracle boundary: DuckDB replays the delta/closeness/
+    //      harmonic integer arithmetic downstream of it (s28 pattern —
+    //      SQL can't run HLL, it CAN replay everything after it). ----
+    QuerySpec.sql("p127_neighborhood_function", (s, dir) => {
+      import s.implicits._
+      val edges = graft.operators.basket.MarketBasket.pairRules(
+          t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey"),
+          "l_orderkey", "l_partkey", minSupport = 2L)
+        .select($"a", $"b")
+      val nf = graft.operators.graph.NeighborhoodFunction.run(
+        edges, "a", "b", maxHops = 4, undirected = true)
+      nf.write.mode("overwrite").parquet("/tmp/graft_nf")
+      graft.operators.graph.NeighborhoodFunction.centrality(
+          s.read.parquet("/tmp/graft_nf"))
+        .orderBy($"node")
+    },
+      """WITH nf AS (SELECT node, hop, nf_est
+        |  FROM read_parquet('/tmp/graft_nf/*.parquet')),
+        |d AS (SELECT node, hop,
+        |  nf_est - COALESCE(LAG(nf_est) OVER (PARTITION BY node ORDER BY hop), 0) AS delta
+        | FROM nf)
+        |SELECT node, CAST(SUM(delta) AS BIGINT) AS reached,
+        | CAST(SUM(hop * delta) AS BIGINT) AS sum_dist,
+        | CAST(SUM((1000000 // hop) * delta) AS BIGINT) AS harmonic_fp
+        |FROM d WHERE hop > 0 GROUP BY node ORDER BY node""".stripMargin)
   )
 
   /** Chained unrolled-peel replay for p120: level k peels from level

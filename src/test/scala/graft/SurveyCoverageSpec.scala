@@ -143,7 +143,8 @@ class SurveyCoverageSpec extends AnyFunSuite {
       "RetrievalEval", "Attribution", "Survival", "DistDrift",
       "SnippetsInPlace", "FuzzyLinkage", "KCore", "BfsHops", "TrustRank", "EntityResolve",
       "Blocklist", "AsOfJoin", "RandomProjection", "CooccurEdges", "Sssp",
-      "Coreness", "StreamCooccur", "HarmonicCentrality", "ImageDedup")
+      "Coreness", "StreamCooccur", "HarmonicCentrality", "ImageDedup",
+      "NeighborhoodFunction")
     val missing = names.filter(n =>
       scala.util.Try(ETRegistry.lookup(n)).isFailure)
     assert(missing.isEmpty, s"ET registry missing: ${missing.mkString(", ")}")

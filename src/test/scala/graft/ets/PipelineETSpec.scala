@@ -500,6 +500,33 @@ class PipelineETSpec extends AnyFunSuite {
     assert(h(1L) == 333333333333L && h(4L) == 333333333333L)
   }
 
+  test("NeighborhoodFunction: HLL balls -> centralities through the DSL; maxK=0 coreness") {
+    val df = runDF(
+      """set nfe = '''{"a":1,"b":2}
+        |{"a":2,"b":3}
+        |{"a":1,"b":3}
+        |{"a":3,"b":4}''';
+        |load jsonStr.`nfe` as nf_edges;
+        |run nf_edges as NeighborhoodFunction.`` where srcCol="a" and dstCol="b"
+        |  and maxHops="5" and undirected="true" as nfout;
+        |select node, reached, sum_dist, harmonic_fp from nfout order by node as out;""".stripMargin)
+    val c = df.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(c(3L) == ((3L, 3L, 3000000L))) // coupon-exact on a 4-node graph
+    assert(c(4L) == ((3L, 5L, 2000000L)))
+    // Coreness maxK="0": run-to-empty true core numbers via the DSL
+    val cz = runDF(
+      """set cz = '''{"a":1,"b":2}
+        |{"a":2,"b":3}
+        |{"a":1,"b":3}
+        |{"a":3,"b":4}''';
+        |load jsonStr.`cz` as cz_edges;
+        |run cz_edges as Coreness.`` where srcCol="a" and dstCol="b" and maxK="0" as czout;
+        |select node, coreness from czout order by node as out;""".stripMargin)
+    assert(cz.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L), (2L, 2L), (3L, 2L), (4L, 1L)))
+  }
+
   test("Coreness decomposes a triangle-with-tail through the DSL") {
     val df = runDF(
       """set cre = '''{"a":1,"b":2}
