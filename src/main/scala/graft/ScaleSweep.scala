@@ -191,6 +191,34 @@ object ScaleSweep {
     // once half the alive nodes have peeled, so late levels scan a
     // shrinking edge table
     "p120_coreness" -> SparkEntry.queries("p120_coreness"),
+    // r17 additions (VERDICT r16 #6): the containment near-dup runs
+    // VERBATIM — copy-tagged words keep 3-gram shingles copy-local, so
+    // posting lists stay bounded and pair work ∝ docs; its maxDocFreq=500
+    // cap is the skew guard the sweep certifies (p9's lesson)
+    "p122_containment" -> SparkEntry.queries("p122_ngram_containment"),
+    // survivorship at scale, isolated from linkage (the p118 entry bounds
+    // its registry to 800 rows by construction): elect + merge on an
+    // ALREADY-labeled registry that grows with m — entities collect the
+    // m re-keyed copies of each base customer (id mod stride), so entity
+    // count stays fixed while members grow ∝ m; every shuffle is
+    // entity-keyed (election window + merge aggs), work ∝ rows
+    "p118_survivorship_elect" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val reg = Tables.load(s, dir, "customer").select(
+        $"c_custkey".as("id"),
+        concat_ws(" ", $"c_name", $"c_mktsegment").as("s"),
+        ($"c_acctbal" * 100).cast("long").as("score"),
+        $"c_mktsegment".as("seg"),
+        ($"c_custkey" % 10000000L).as("ent"))
+      graft.operators.text.EntityResolve.electGolden(reg, "id", "s", "score",
+          "ent", mergeFields = Seq("s" -> "longest", "seg" -> "majority",
+            "score" -> "max"))
+        .groupBy().agg(count(lit(1)).as("n_entities"))
+    }),
+    // HyperBall-lite sketches over disjoint graph copies: per-round cost
+    // is one edge shuffle + one node-keyed sketch union; state is
+    // node-sized (the operator's whole reason to exist at 100 TB)
+    "p127_neighborhood" -> SparkEntry.queries("p127_neighborhood_function"),
     // fuzzy linkage in its production-linear shape: a GROWING dirty feed
     // matched against a BOUNDED master catalog, so candidates per dirty
     // record are capped by the catalog's block sizes and total work is
