@@ -569,6 +569,96 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("property: capped streaming co-occurrence divergence is exactly the documented contract") {
+    // VERDICT r16 #8: the batch cap keeps SMALLEST items, the stream cap
+    // keeps FIRST-ARRIVAL (per-batch sorted) — pin the divergence so it
+    // cannot silently widen:
+    //  (1) the stream equals a driver-side simulation of the documented
+    //      cap semantics exactly (any basket mix, any chunking);
+    //  (2) every streamed pair exists in the UNCAPPED batch pair set
+    //      (subset relation for capped baskets);
+    //  (3) baskets within the cap emit their FULL pair set (equality).
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    implicit val sql = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val cap = 3
+    // driver-side simulation of CooccurProcessor's documented semantics:
+    // per batch, per basket: distinct new items in sorted order join the
+    // basket while it holds < cap members, each emitting both orientations
+    // against the members present at its arrival
+    def simulate(chunks: Seq[Seq[(Long, Long)]]): Map[(Long, Long), Long] = {
+      val state = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.LinkedHashSet[Long]]
+      val weights = scala.collection.mutable.Map.empty[(Long, Long), Long]
+      for (chunk <- chunks; (bk, items) <- chunk.groupBy(_._1).toSeq.sortBy(_._1)) {
+        val have = state.getOrElseUpdate(bk, scala.collection.mutable.LinkedHashSet.empty)
+        for (i <- items.map(_._2).distinct.sorted if !have.contains(i) && have.size < cap) {
+          for (s <- have) {
+            weights((i, s)) = weights.getOrElse((i, s), 0L) + 1L
+            weights((s, i)) = weights.getOrElse((s, i), 0L) + 1L
+          }
+          have += i
+        }
+      }
+      weights.toMap
+    }
+    val genCase = for {
+      nRows <- Gen.choose(3, 14)
+      rows <- Gen.listOfN(nRows, for {
+        bk <- Gen.choose(1L, 3L)
+        i <- Gen.choose(1L, 6L)
+      } yield (bk, i))
+      cut1 <- Gen.choose(0, nRows)
+      cut2 <- Gen.choose(0, nRows)
+    } yield (rows, math.min(cut1, cut2), math.max(cut1, cut2))
+    var trial = 0
+    try {
+      val prop = Prop.forAll(genCase) { case (rows, c1, c2) =>
+        trial += 1
+        val chunks = Seq(rows.take(c1), rows.slice(c1, c2), rows.drop(c2))
+          .filter(_.nonEmpty)
+        val ms = MemoryStream[(Long, Long)]
+        val q = graft.streaming.Stateful.cooccurPairs(
+            ms.toDF().toDF("bk", "i"), "bk", "i", maxBasketSize = cap)
+          .writeStream.format("memory").queryName(s"cooc_p$trial")
+          .outputMode("append")
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("ck_coocp").toString)
+          .start()
+        chunks.foreach { c => ms.addData(c: _*); q.processAllAvailable() }
+        q.stop()
+        val streamed = spark.table(s"cooc_p$trial").groupBy("a", "b")
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("w"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+        val sim = simulate(chunks)
+        // uncapped batch pair set + per-basket membership for (2)/(3)
+        val baskets = rows.groupBy(_._1).map { case (bk, xs) => bk -> xs.map(_._2).distinct }
+        val uncapped = baskets.values.flatMap(items =>
+          for (a <- items; b <- items if a != b) yield (a, b)).toSet
+        val inCapPairs = baskets.values.filter(_.size <= cap).flatMap(items =>
+          for (a <- items; b <- items if a != b) yield (a, b)).toSet
+        val okSim = streamed == sim
+        val okSubset = streamed.keySet.subsetOf(uncapped)
+        val okInCap = inCapPairs.subsetOf(streamed.keySet)
+        if (!(okSim && okSubset && okInCap))
+          println(s"MISMATCH rows=$rows cuts=($c1,$c2)\n streamed=$streamed\n sim=$sim\n" +
+            s" okSim=$okSim okSubset=$okSubset okInCap=$okInCap")
+        okSim && okSubset && okInCap
+      }
+      val r = SCTest.check(SCTest.Parameters.default
+        .withMinSuccessfulTests(6).withWorkers(1), prop)
+      assert(r.passed, r.status.toString)
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   test("timer-finalized sessions flush when the watermark passes the gap") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
