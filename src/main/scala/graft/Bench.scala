@@ -138,7 +138,7 @@ object Bench {
     // keys) and fail loud — into a "regressions" field plus a stderr line
     // with the run's GC/JIT deltas — on any query >2x its prior warm with
     // >0.5 s absolute growth (the floor keeps 0.1 s -> 0.25 s noise out).
-    val priorWarm: Map[String, Double] = {
+    val (priorWarm: Map[String, Double], priorIsolated: Map[String, Double]) = {
       val files = Option(new java.io.File(".").listFiles()).getOrElse(Array())
         .filter(_.getName.matches("BENCH_r\\d+\\.json"))
       files.sortBy(_.getName).lastOption.map { f =>
@@ -152,10 +152,14 @@ object Bench {
           .map(_.group(1)).getOrElse("")
         val thisSf = """sf([0-9.]+)""".r.findFirstMatchIn(sfDir)
           .map(_.group(1)).getOrElse("?")
-        if (priorSf != thisSf) Map.empty[String, Double]
+        if (priorSf != thisSf) (Map.empty[String, Double], Map.empty[String, Double])
         else {
-          val body = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt)
-            .map(_.group(1)).getOrElse("")
+          def objBody(field: String): String =
+            (s""""$field":\\{([^}]*)\\}""").r.findFirstMatchIn(txt)
+              .map(_.group(1)).getOrElse("")
+          def numMap(body: String): Map[String, Double] =
+            """"([A-Za-z0-9_]+)":(-?[0-9][0-9.eE+-]*)""".r.findAllMatchIn(body)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
           // a query that STALLED last round carries an inflated warm time —
           // baselining against it would blind the gate for exactly the
           // queries that were already sick, so those keys are dropped
@@ -163,28 +167,37 @@ object Bench {
           val priorStalls = """"stalls":\[([^\]]*)\]""".r.findFirstMatchIn(txt)
             .map(_.group(1)).getOrElse("")
             .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSet
-          """"([A-Za-z0-9_]+)":(-?[0-9][0-9.eE+-]*)""".r.findAllMatchIn(body)
-            .map(m => m.group(1) -> m.group(2).toDouble)
-            .filterNot { case (k, _) =>
-              priorStalls.contains(k) || RedefinedQueries.contains(k) }
-            .toMap
+          val warm = numMap(objBody("queries")).filterNot { case (k, _) =>
+            priorStalls.contains(k) || RedefinedQueries.contains(k) }
+          // prior round's fresh-JVM stamps: when an entry has one, it is
+          // the trustworthy baseline (r16 ask: compare iso-to-iso, not
+          // swept-to-swept, for the entries known to wobble with sweep
+          // position on identical code)
+          (warm, numMap(objBody("isolated")) - "more")
         }
-      }.getOrElse(Map.empty)
+      }.getOrElse((Map.empty[String, Double], Map.empty[String, Double]))
     }
-    val regressions = timed.collect {
+    // baseline for an entry: its prior ISOLATED stamp when one exists
+    // (fresh-JVM number, immune to sweep position), else the prior warm
+    def baseline(n: String): Option[Double] = {
+      val id = n.split("_").head
+      priorIsolated.get(id).orElse(priorWarm.get(id)).filter(_ > 0)
+    }
+    val prelimRegressions = timed.collect {
       case (n, (_, w: RunStats)) if w.time.exists { wv =>
-        priorWarm.get(n.split("_").head).exists(p => p > 0 && wv > 2 * p && wv - p > 0.5)
+        baseline(n).exists(p => wv > 2 * p && wv - p > 0.5)
       } => n
     }
-    regressions.foreach { n =>
-      val w = byName(n)._2
-      val p = priorWarm(n.split("_").head)
-      val wv = w.time.getOrElse(-1.0)
-      System.err.println(String.format(java.util.Locale.ROOT,
-        "[bench] REGRESSION %s: warm %.2fs vs prior-round %.2fs (%.1fx) gc=%dms jit=%dms codecache=%.0fMB cpu=%.1fs",
-        n, Double.box(wv), Double.box(p), Double.box(wv / p),
-        Long.box(w.gcMs), Long.box(w.jitMs), Double.box(w.ccMb), Double.box(w.cpuS)))
-    }
+    // wobble detector (r16 ask #3): same-code entries moving >1.5x in
+    // EITHER direction round-over-round are sweep-position noise suspects
+    // — stamp each with a fresh-JVM isolated run so next round's compare
+    // is isolated-to-isolated instead of noise-to-noise
+    val wobbles = timed.collect {
+      case (n, (_, w: RunStats)) if w.time.exists { wv =>
+        baseline(n).exists(p =>
+          (wv > 1.5 * p || wv < p / 1.5) && math.abs(wv - p) > 0.5)
+      } => n
+    }.filterNot(n => prelimRegressions.contains(n) || stalls.contains(n))
     System.err.println(String.format(java.util.Locale.ROOT,
       "[bench] jvm-health: gc_total=%dms jit_total=%dms codecache_used=%.0fMB",
       Long.box(gcMillis), Long.box(jitMillis), Double.box(codeCacheUsedMb)))
@@ -204,7 +217,7 @@ object Bench {
     val forced = sys.env.get("SPARK_GRAFT_BENCH_FORCE_ISOLATED")
       .map(_.split(",").toSeq.filter(SparkEntry.queries.contains))
       .getOrElse(Seq.empty)
-    val flagged = (stalls ++ regressions ++ forced).distinct.take(20)
+    val flagged = (stalls ++ prelimRegressions ++ forced ++ wobbles).distinct.take(20)
     val isolated: Seq[(String, Double)] = if (flagged.isEmpty) Seq.empty else {
       import scala.jdk.CollectionConverters._
       val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
@@ -239,6 +252,30 @@ object Bench {
         }
       }
     }
+    // final regression verdicts: a sweep flag is CONFIRMED only if the
+    // fresh-JVM isolated time also clears the gate — the sweep number is
+    // kept for transparency, but a regression that vanishes in isolation
+    // is sweep-position noise, not a plan cost (r10/r16 lessons)
+    val isoMap = isolated.toMap
+    val regressions = prelimRegressions.filter { n =>
+      baseline(n).forall { p =>
+        val v = isoMap.getOrElse(n, byName(n)._2.time.getOrElse(Double.MaxValue))
+        v > 2 * p && v - p > 0.5
+      }
+    }
+    (prelimRegressions ++ wobbles).distinct.foreach { n =>
+      val w = byName(n)._2
+      val p = baseline(n).getOrElse(-1.0)
+      val wv = w.time.getOrElse(-1.0)
+      val tag = if (regressions.contains(n)) "REGRESSION"
+        else if (prelimRegressions.contains(n)) "regression-cleared-isolated"
+        else "wobble-stamped"
+      System.err.println(String.format(java.util.Locale.ROOT,
+        "[bench] %s %s: warm %.2fs vs baseline %.2fs isolated %.2fs gc=%dms jit=%dms cpu=%.1fs",
+        tag, n, Double.box(wv), Double.box(p),
+        Double.box(isoMap.getOrElse(n, -1.0)),
+        Long.box(w.gcMs), Long.box(w.jitMs), Double.box(w.cpuS)))
+    }
     // explicit ROOT locale: the f"" interpolator is default-locale-dependent
     // and a comma-decimal locale would emit invalid JSON
     def num(v: Double): String =
@@ -267,6 +304,7 @@ object Bench {
     val stallsFullJson = stalls.map("\"" + _ + "\"").mkString("[", ",", "]")
     val regressionsJson = shortList(regressions)
     val regressionsFullJson = regressions.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val wobblesFullJson = wobbles.map("\"" + _ + "\"").mkString("[", ",", "]")
     val warmStats = timed.map { case (n, (_, w)) => n -> w }
     def statsMap(f: RunStats => String): String =
       warmStats.map { case (n, w) => s""""$n":${f(w)}""" }.mkString("{", ",", "}")
@@ -297,7 +335,7 @@ object Bench {
     // locale-independent), plus the cold sweep and the per-query JVM-health
     // deltas (GC/JIT ms inside each warm run, code-cache occupancy after it)
     val fileJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results, value = _.toString)},"cold":${fmt(cold, value = _.toString)},"failed":$failedJson,"stalls":$stallsFullJson,"regressions":$regressionsFullJson,"isolated":$isolatedFullJson,"gc_ms":${statsMap(_.gcMs.toString)},"jit_ms":${statsMap(_.jitMs.toString)},"codecache_mb":${statsMap(w => num(w.ccMb))},"cpu_s":${statsMap(w => num(w.cpuS))},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results, value = _.toString)},"cold":${fmt(cold, value = _.toString)},"failed":$failedJson,"stalls":$stallsFullJson,"regressions":$regressionsFullJson,"wobbles":$wobblesFullJson,"isolated":$isolatedFullJson,"gc_ms":${statsMap(_.gcMs.toString)},"jit_ms":${statsMap(_.jitMs.toString)},"codecache_mb":${statsMap(w => num(w.ccMb))},"cpu_s":${statsMap(w => num(w.cpuS))},"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_bench.json"),
       fileJson.getBytes("UTF-8"))
     // repo-root copy so the full per-query stats survive past /tmp (the
