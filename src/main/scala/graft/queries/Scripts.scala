@@ -1688,7 +1688,51 @@ object Scripts {
          |select c.node, c.coreness, d.dist from s46_core c
          |  left join s46_d d on d.node = c.node
          |  order by c.node as s46_out;""".stripMargin),
-      s46OracleSql)
+      s46OracleSql),
+
+    // ---- s47: IMAGE-DEDUP FLAGSHIP (round 17) — the real multimodal
+    //      tier end-to-end through the DSL: binaryFile ingestion of real
+    //      PNG images, ImageDedup mode="hashes" (JDK decode → dHash),
+    //      the stamp persisted via `save` (the oracle boundary), then
+    //      the banded Hamming join re-run FROM the stamp
+    //      (mode="pairs_from_hashes") — so DuckDB replays the entire
+    //      compared surface with the same chunk/shift/mask arithmetic
+    //      (p124's technique, here exercising the ET + save path). ----
+    QuerySpec.sql("s47_script_image_dedup", (s, dir) => {
+      import graft.operators.multimodal.ImageGen
+      val fixDir = java.nio.file.Paths.get("/tmp/graft_s47_fixture")
+      if (java.nio.file.Files.exists(fixDir))
+        org.apache.commons.io.FileUtils.deleteDirectory(fixDir.toFile)
+      java.nio.file.Files.createDirectories(fixDir)
+      def put(name: String, bytes: Array[Byte]): Unit =
+        java.nio.file.Files.write(fixDir.resolve(name), bytes)
+      val a = ImageGen.pattern(64, 48, seed = 500)
+      put("a1.png", ImageGen.encode(a, "png"))
+      put("a2.png", ImageGen.encode(ImageGen.perturb(a, 2, seed = 17), "png"))
+      put("b.png", ImageGen.png(64, 48, seed = 611))
+      put("c.png", ImageGen.png(80, 60, seed = 777))
+      script(s,
+        s"""load binaryFile.`$fixDir` as s47_bins;
+           |select element_at(split(path, '/'), -1) as name, content
+           |from s47_bins as s47_named;
+           |run s47_named as ImageDedup.`` where idCol="name" and mode="hashes"
+           |  as s47_hashes;
+           |save overwrite s47_hashes as parquet.`/tmp/graft_s47_hashes`;
+           |run s47_hashes as ImageDedup.`` where mode="pairs_from_hashes"
+           |  and idCol="id" and hashCol="img_hash" and maxHamming="7" as s47_pairs;
+           |select a_id, b_id, hamming from s47_pairs
+           |  order by a_id, b_id as s47_out;""".stripMargin)
+    },
+      """WITH hs AS (SELECT id, img_hash AS h
+        |  FROM read_parquet('/tmp/graft_s47_hashes/*.parquet')),
+        |ck AS (SELECT id, h, i.i AS chunk, (h >> (i.i * 8)) & 255 AS ckey
+        |  FROM hs CROSS JOIN (SELECT UNNEST(RANGE(0, 8)) AS i) i),
+        |cand AS (SELECT DISTINCT x.id AS a_id, y.id AS b_id, x.h AS ah, y.h AS bh
+        |  FROM ck x JOIN ck y
+        |    ON x.chunk = y.chunk AND x.ckey = y.ckey AND x.id < y.id)
+        |SELECT a_id, b_id, CAST(BIT_COUNT(XOR(ah, bh)) AS INTEGER) AS hamming
+        |FROM cand WHERE BIT_COUNT(XOR(ah, bh)) <= 7
+        |ORDER BY a_id, b_id""".stripMargin)
   )
 
   /** One replay of the s46 script off shared base CTEs: the weighted
