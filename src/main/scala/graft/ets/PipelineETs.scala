@@ -31,7 +31,7 @@ object PipelineETs {
     DistDriftET, SnippetsInPlaceET, FuzzyLinkageET, KCoreET, BfsHopsET, TrustRankET, EntityResolveET,
     BlocklistET, AsOfJoinET, RandomProjectionET, CooccurEdgesET, SsspET,
     CorenessET, StreamCooccurET, HarmonicCentralityET, ImageDedupET,
-    NeighborhoodFunctionET)
+    NeighborhoodFunctionET, AudioFeaturesET)
 }
 
 /** `run hits as SnippetsInPlace.`` [where textCol="text" and
@@ -1926,6 +1926,31 @@ object ImageDedupET extends NoPathET {
       case other => throw new IllegalArgumentException(
         s"ImageDedup mode must be pairs|hashes|pairs_from_hashes, got '$other'")
     }
+  }
+}
+
+/** `run clips as AudioFeatures.`` [where binaryCol="content" and
+  * hash="true"]` — REAL WAV/PCM decode on the bare JDK (see
+  * [[graft.operators.multimodal.AudioCodec]]): sample_rate / channels /
+  * bits / n_frames / duration_ms from the RIFF header, exact-integer
+  * rms / peak / zero_crossings from the PCM, and (hash="true") the
+  * 64-bit energy-envelope fingerprint `audio_hash` that feeds the same
+  * banded Hamming dedup as images. Non-WAV rows keep their columns null.
+  */
+object AudioFeaturesET extends NoPathET {
+  override def name = "AudioFeatures"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    graft.operators.multimodal.Multimodal.register(ctx.spark)
+    val b = params.getOrElse("binaryCol", "content")
+    val base = df
+      .withColumn("audio_meta", org.apache.spark.sql.functions.expr(s"mm_wav_meta($b)"))
+      .withColumn("audio_features",
+        org.apache.spark.sql.functions.expr(s"mm_audio_features($b)"))
+    if (params.getOrElse("hash", "false").toBoolean)
+      base.withColumn("audio_hash",
+        org.apache.spark.sql.functions.expr(s"mm_audio_hash($b)"))
+    else base
   }
 }
 

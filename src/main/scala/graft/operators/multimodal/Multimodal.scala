@@ -14,11 +14,14 @@ import org.apache.spark.sql.functions._
   * sampling, and — via [[ImageCodec]] on the bare JDK — image header
   * decode (true width/height), grayscale area-average thumbnailing
   * (`mm_resize` emits a real PNG), perceptual hashes (`mm_dhash` /
-  * `mm_ahash`), and a tiny-image embedding for decodable images. All
-  * per-row, partition-parallel, no driver collects.
+  * `mm_ahash`), and a tiny-image embedding for decodable images; via
+  * [[AudioCodec]], WAV/PCM header meta, integer DSP features
+  * (RMS/peak/zero-crossings), and an energy-envelope fingerprint that
+  * rides the same banded Hamming dedup as images. All per-row,
+  * partition-parallel, no driver collects.
   *
-  * SYNTHETIC FALLBACK (documented, not hidden): audio/video have no JDK
-  * codec, so `mm_embed` on bytes that no image reader accepts falls back
+  * SYNTHETIC FALLBACK (documented, not hidden): COMPRESSED audio/video
+  * (mp3/mp4) have no JDK codec, so `mm_embed` on bytes no codec accepts falls back
   * to [[Multimodal.syntheticByteEmbed]] — a content-seeded deterministic
   * vector whose only REAL property is that identical bytes embed
   * identically (exact-dup semantics). Rows carry `embedding_synthetic =
@@ -55,6 +58,16 @@ object Multimodal {
     // REAL perceptual hashes: null on undecodable bytes
     spark.udf.register("mm_dhash", (b: Array[Byte]) => ImageCodec.dHash(b))
     spark.udf.register("mm_ahash", (b: Array[Byte]) => ImageCodec.aHash(b))
+    // REAL audio decode (WAV/PCM, bare-JDK RIFF parser): header meta,
+    // integer DSP features, energy-envelope fingerprint — null for
+    // compressed audio (no JDK codec; see AudioCodec)
+    spark.udf.register("mm_wav_meta", (b: Array[Byte]) =>
+      AudioCodec.readMeta(b).map(m =>
+        (m.sampleRate, m.channels, m.bitsPerSample, m.nFrames, m.durationMs)))
+    spark.udf.register("mm_audio_features", (b: Array[Byte]) =>
+      AudioCodec.features(b).map(f =>
+        (f.durationMs, f.rms, f.peak, f.zeroCrossings)))
+    spark.udf.register("mm_audio_hash", (b: Array[Byte]) => AudioCodec.energyHash(b))
     // byte-level frame sampling: n evenly spaced fixed-size slices (real
     // partitioning/batching shape; a real impl would seek keyframes)
     spark.udf.register("mm_frame_sample", (b: Array[Byte], n: Int, frameSize: Int) => {

@@ -4343,7 +4343,97 @@ object Pipeline {
         |SELECT node, CAST(SUM(delta) AS BIGINT) AS reached,
         | CAST(SUM(hop * delta) AS BIGINT) AS sum_dist,
         | CAST(SUM((1000000 // hop) * delta) AS BIGINT) AS harmonic_fp
-        |FROM d WHERE hop > 0 GROUP BY node ORDER BY node""".stripMargin)
+        |FROM d WHERE hop > 0 GROUP BY node ORDER BY node""".stripMargin),
+
+    // ---- REAL audio metadata + exact-integer DSP features (r17): the
+    //      bare-JDK RIFF/PCM parser over deterministic generated WAVs;
+    //      every feature is hand-derivable integer arithmetic, so the
+    //      oracle is pure literals — square-wave RMS == amplitude
+    //      exactly, crossings counted from first principles, durations
+    //      from the header fields the generator wrote. The mp3-magic
+    //      row pins the no-JDK-codec null path (-1 sentinels). ----
+    QuerySpec.sql("p129_audio_meta", (s, dir) => {
+      import s.implicits._
+      import graft.operators.multimodal.{Multimodal, WavGen}
+      val fixDir = java.nio.file.Paths.get("/tmp/graft_audio_meta_fixture")
+      if (java.nio.file.Files.exists(fixDir))
+        org.apache.commons.io.FileUtils.deleteDirectory(fixDir.toFile)
+      java.nio.file.Files.createDirectories(fixDir)
+      def put(name: String, bytes: Array[Byte]): Unit =
+        java.nio.file.Files.write(fixDir.resolve(name), bytes)
+      put("square.wav", WavGen.square(8000, period = 8, amp = 1000))
+      put("tiny.wav", WavGen.wrap(Array(5, 5, -5, -5, 5, 5, -5, -5)))
+      put("silence.wav", WavGen.wrap(Array.fill(100)(0)))
+      put("song.mp3", "ID3xxxxxxxxxxxxxxxxxxxxx".getBytes)
+      Multimodal.register(s)
+      s.read.format("binaryFile").load(fixDir.toString)
+        .selectExpr("element_at(split(path, '/'), -1) as name",
+          "coalesce(mm_wav_meta(content)._1, -1) as sample_rate",
+          "coalesce(mm_wav_meta(content)._4, -1) as n_frames",
+          "coalesce(mm_audio_features(content)._1, -1L) as duration_ms",
+          "coalesce(mm_audio_features(content)._2, -1L) as rms",
+          "coalesce(mm_audio_features(content)._3, -1) as peak",
+          "coalesce(mm_audio_features(content)._4, -1L) as zero_crossings")
+        .orderBy($"name")
+    },
+      """SELECT * FROM (VALUES
+        | ('silence.wav', 8000, 100, CAST(12 AS BIGINT), CAST(0 AS BIGINT), 0, CAST(0 AS BIGINT)),
+        | ('song.mp3', -1, -1, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), -1, CAST(-1 AS BIGINT)),
+        | ('square.wav', 8000, 8000, CAST(1000 AS BIGINT), CAST(1000 AS BIGINT), 1000, CAST(1999 AS BIGINT)),
+        | ('tiny.wav', 8000, 8, CAST(1 AS BIGINT), CAST(5 AS BIGINT), 5, CAST(3 AS BIGINT)))
+        | t(name, sample_rate, n_frames, duration_ms, rms, peak, zero_crossings)
+        | ORDER BY name""".stripMargin),
+
+    // ---- audio near-dup via the energy-envelope fingerprint (r17):
+    //      real WAV decode -> 64-bit loudness-contour hash -> the SAME
+    //      modality-agnostic banded Hamming join as p124, oracled from
+    //      the persisted (id, hash) stamp. Amplitude-modulated sawtooth
+    //      clips: one byte-identical copy, one perturbed near-dup, two
+    //      distinct modulations. ----
+    QuerySpec.sql("p128_audio_dedup", (s, dir) => {
+      import s.implicits._
+      import graft.operators.multimodal.{AudioCodec, ImageDedup, WavGen}
+      val fixDir = java.nio.file.Paths.get("/tmp/graft_audio_dedup_fixture")
+      if (java.nio.file.Files.exists(fixDir))
+        org.apache.commons.io.FileUtils.deleteDirectory(fixDir.toFile)
+      java.nio.file.Files.createDirectories(fixDir)
+      def put(name: String, bytes: Array[Byte]): Unit =
+        java.nio.file.Files.write(fixDir.resolve(name), bytes)
+      def modulated(seed: Long): Array[Byte] = {
+        var st = seed
+        val pcm = Array.tabulate(8000) { i =>
+          if (i % 500 == 0) st = st * 6364136223846793005L + 1442695040888963407L
+          val amp = 2000 + math.abs(st % 12000L).toInt
+          (i % 100) * 2 * amp / 100 - amp
+        }
+        WavGen.wrap(pcm)
+      }
+      val x = modulated(4)
+      put("x.wav", x)
+      put("x_copy.wav", x)
+      put("x_tweak.wav", WavGen.perturb(x, 3, seed = 2))
+      put("y.wav", modulated(99))
+      put("z.wav", modulated(1234))
+      val hasher = udf((b: Array[Byte]) => AudioCodec.energyHash(b))
+      val hashes = s.read.format("binaryFile").load(fixDir.toString)
+        .select(element_at(split($"path", "/"), -1).as("id"),
+          hasher($"content").as("audio_hash"))
+        .filter($"audio_hash".isNotNull)
+      hashes.write.mode("overwrite").parquet("/tmp/graft_audio_hashes")
+      ImageDedup.selfJoinFromHashes(s.read.parquet("/tmp/graft_audio_hashes"),
+          "id", "audio_hash", maxHamming = 7)
+        .orderBy($"a_id", $"b_id")
+    },
+      """WITH hs AS (SELECT id, audio_hash AS h
+        |  FROM read_parquet('/tmp/graft_audio_hashes/*.parquet')),
+        |ck AS (SELECT id, h, i.i AS chunk, (h >> (i.i * 8)) & 255 AS ckey
+        |  FROM hs CROSS JOIN (SELECT UNNEST(RANGE(0, 8)) AS i) i),
+        |cand AS (SELECT DISTINCT x.id AS a_id, y.id AS b_id, x.h AS ah, y.h AS bh
+        |  FROM ck x JOIN ck y
+        |    ON x.chunk = y.chunk AND x.ckey = y.ckey AND x.id < y.id)
+        |SELECT a_id, b_id, CAST(BIT_COUNT(XOR(ah, bh)) AS INTEGER) AS hamming
+        |FROM cand WHERE BIT_COUNT(XOR(ah, bh)) <= 7
+        |ORDER BY a_id, b_id""".stripMargin)
   )
 
   /** Chained unrolled-peel replay for p120: level k peels from level

@@ -896,6 +896,26 @@ class PipelineETSpec extends AnyFunSuite {
     assert(hdf.head().getLong(0) == 3L)
   }
 
+  test("AudioFeatures ET: real WAV decode through the DSL") {
+    import graft.operators.multimodal.WavGen
+    val dir = Files.createTempDirectory("graft_audio")
+    Files.write(dir.resolve("sq.wav"), WavGen.square(8000, period = 8, amp = 700))
+    Files.write(dir.resolve("n.mp3"), "ID3xxxxxxxxxxxxx".getBytes)
+    val df = runDF(
+      s"""load binaryFile.`$dir` as clips;
+         |run clips as AudioFeatures.`` where hash="true" as feats;
+         |select element_at(split(path, '/'), -1) as name,
+         |  audio_meta._1 as rate, audio_features._2 as rms,
+         |  audio_features._4 as zc, audio_hash
+         |from feats order by name as out;""".stripMargin)
+    val rows = df.collect().map(r => r.getString(0) -> r).toMap
+    val sq = rows("sq.wav")
+    assert(sq.getInt(1) == 8000 && sq.getLong(2) == 700L && sq.getLong(3) == 1999L)
+    assert(sq.getLong(4) == 0L) // flat envelope -> zero fingerprint
+    val mp3 = rows("n.mp3")
+    assert(mp3.isNullAt(1) && mp3.isNullAt(2) && mp3.isNullAt(4))
+  }
+
   test("mm_frame_sample slices deterministically") {
     val df = spark.sql(
       "select mm_frame_sample(cast('0123456789abcdef' as binary), 4, 4) as frames")
