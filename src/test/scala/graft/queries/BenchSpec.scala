@@ -233,6 +233,41 @@ class BenchSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p) // the merge aggregations
   }
 
+  test("p124/p128 perceptual dedup: banded Hamming equi-join, no cartesian (both modalities)") {
+    for (name <- Seq("p124_image_dedup", "p128_audio_dedup")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name:\n$p")
+      // candidates collide on the (chunk, ckey) equi-key; exact verify is
+      // a per-row projection after the join
+      assert(p.contains("Generate") || p.contains("explode"), s"$name:\n$p")
+    }
+  }
+
+  test("p127 neighborhood centrality: stamp scan -> node-keyed window + agg, no recompute tail") {
+    val p = plan("p127_neighborhood_function")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the compared surface reads the persisted stamp, not the sketch loop
+    assert(p.contains("Scan parquet") || p.contains("FileScan"), p)
+    assert(p.contains("Window") && p.contains("HashAggregate"), p)
+    // and the per-round sketch-union aggregation keeps map-side partials
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_partkey".as("u"), $"l_suppkey".as("v"))
+    val sk = e.select($"u".as("node")).distinct()
+      .groupBy($"node").agg(expr("hll_sketch_agg(node, 12)").as("sketch"))
+    val round = e.join(sk.select($"node".as("v"), $"sketch"), "v")
+      .select($"u".as("node"), $"sketch")
+      .unionByName(sk.select($"node", $"sketch"))
+      .groupBy($"node").agg(expr("hll_union_agg(sketch, true)").as("sketch"))
+    val rp = round.queryExecution.executedPlan.toString
+    assert(!rp.contains("CartesianProduct"), rp)
+    assert(rp.toLowerCase.contains("partial_hll_union_agg") ||
+      rp.toLowerCase.contains("partial"), rp)
+  }
+
   test("p112 nearest as-of: one key exchange + windows, no pair blowup") {
     val p = plan("p112_asof_nearest")
     assert(!p.contains("CartesianProduct"), p)
