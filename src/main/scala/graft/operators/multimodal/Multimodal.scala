@@ -68,6 +68,11 @@ object Multimodal {
       AudioCodec.features(b).map(f =>
         (f.durationMs, f.rms, f.peak, f.zeroCrossings)))
     spark.udf.register("mm_audio_hash", (b: Array[Byte]) => AudioCodec.energyHash(b))
+    // REAL video container metadata (ISO BMFF box parse — no codec
+    // needed): brand, duration, presentation dims, track count
+    spark.udf.register("mm_mp4_meta", (b: Array[Byte]) =>
+      VideoMeta.readMeta(b).map(m =>
+        (m.majorBrand, m.durationMs, m.width, m.height, m.nTracks)))
     // byte-level frame sampling: n evenly spaced fixed-size slices (real
     // partitioning/batching shape; a real impl would seek keyframes)
     spark.udf.register("mm_frame_sample", (b: Array[Byte], n: Int, frameSize: Int) => {

@@ -4424,6 +4424,48 @@ object Pipeline {
           "id", "audio_hash", maxHamming = 7)
         .orderBy($"a_id", $"b_id")
     },
+      videoHammingOracle),
+
+    // ---- REAL video container metadata (ISO BMFF box parse, r17): no
+    //      codec needed for brand/duration/dims/track-count — literal
+    //      oracle over generated spec-conformant mp4 boxes; the wav row
+    //      pins the non-BMFF null path. ----
+    QuerySpec.sql("p130_video_meta", (s, dir) => {
+      import s.implicits._
+      import graft.operators.multimodal.{Mp4Gen, Multimodal, WavGen}
+      val fixDir = java.nio.file.Paths.get("/tmp/graft_video_meta_fixture")
+      if (java.nio.file.Files.exists(fixDir))
+        org.apache.commons.io.FileUtils.deleteDirectory(fixDir.toFile)
+      java.nio.file.Files.createDirectories(fixDir)
+      def put(name: String, bytes: Array[Byte]): Unit =
+        java.nio.file.Files.write(fixDir.resolve(name), bytes)
+      put("clip.mp4", Mp4Gen.mp4(timescale = 1000, durationTicks = 5000L, w = 640, h = 360))
+      put("short.mp4", Mp4Gen.mp4(timescale = 600, durationTicks = 1001L, w = 320, h = 240))
+      put("tone.wav", WavGen.square(800, period = 8, amp = 5))
+      Multimodal.register(s)
+      s.read.format("binaryFile").load(fixDir.toString)
+        .selectExpr("element_at(split(path, '/'), -1) as name",
+          "mm_sniff_format(content) as fmt",
+          "coalesce(mm_mp4_meta(content)._1, 'none') as brand",
+          "coalesce(mm_mp4_meta(content)._2, -1L) as duration_ms",
+          "coalesce(mm_mp4_meta(content)._3, -1) as w",
+          "coalesce(mm_mp4_meta(content)._4, -1) as h",
+          "coalesce(mm_mp4_meta(content)._5, -1) as n_tracks")
+        .orderBy($"name")
+    },
+      """SELECT * FROM (VALUES
+        | ('clip.mp4', 'mp4', 'isom', CAST(5000 AS BIGINT), 640, 360, 1),
+        | ('short.mp4', 'mp4', 'isom', CAST(1668 AS BIGINT), 320, 240, 1),
+        | ('tone.wav', 'wav', 'none', CAST(-1 AS BIGINT), -1, -1, -1))
+        | t(name, fmt, brand, duration_ms, w, h, n_tracks) ORDER BY name""".stripMargin)
+  )
+
+  /** Banded-Hamming replay for the audio stamp (identical arithmetic to
+    * the p124 image oracle, different stamp path).
+    */
+  // lazy: referenced from `specs` above its declaration (a plain val
+  // would still be null during the Seq's construction)
+  private lazy val videoHammingOracle: String =
       """WITH hs AS (SELECT id, audio_hash AS h
         |  FROM read_parquet('/tmp/graft_audio_hashes/*.parquet')),
         |ck AS (SELECT id, h, i.i AS chunk, (h >> (i.i * 8)) & 255 AS ckey
@@ -4433,8 +4475,7 @@ object Pipeline {
         |    ON x.chunk = y.chunk AND x.ckey = y.ckey AND x.id < y.id)
         |SELECT a_id, b_id, CAST(BIT_COUNT(XOR(ah, bh)) AS INTEGER) AS hamming
         |FROM cand WHERE BIT_COUNT(XOR(ah, bh)) <= 7
-        |ORDER BY a_id, b_id""".stripMargin)
-  )
+        |ORDER BY a_id, b_id""".stripMargin
 
   /** Chained unrolled-peel replay for p120: level k peels from level
     * k−1's fixpoint with HAVING deg >= k (p106's round shape), rounds

@@ -73,6 +73,26 @@ class AudioCodecSpec extends AnyFunSuite {
     assert(AudioCodec.energyHash(WavGen.wrap(Array.fill(64)(5))).isEmpty)
   }
 
+  test("mp4 container metadata parses real box structure; rejects non-BMFF") {
+    import graft.operators.multimodal.{Mp4Gen, Multimodal, VideoMeta}
+    val v = Mp4Gen.mp4(timescale = 1000, durationTicks = 5000L, w = 640, h = 360)
+    val m = VideoMeta.readMeta(v).get
+    assert(m.majorBrand == "isom" && m.durationMs == 5000L &&
+      m.width == 640 && m.height == 360 && m.nTracks == 1)
+    // sniffer and parser agree on the container
+    assert(Multimodal.sniffFormat(v) == "mp4")
+    // odd timescale: integer floor duration
+    assert(VideoMeta.readMeta(Mp4Gen.mp4(600, 1001L, 320, 240)).get
+      .durationMs == 1001L * 1000L / 600L)
+    assert(VideoMeta.readMeta(WavGen.square(100, 4, 5)).isEmpty)
+    assert(VideoMeta.readMeta("free text".getBytes).isEmpty)
+    // truncated after ftyp: the brand survives, the moov fields honestly
+    // report absent (-1 duration, 0 dims/tracks) — no exception
+    val trunc = VideoMeta.readMeta(v.take(20)).get
+    assert(trunc.majorBrand == "isom" && trunc.durationMs == -1L &&
+      trunc.width == 0 && trunc.nTracks == 0)
+  }
+
   test("audio near-dup rides the modality-agnostic banded Hamming join") {
     import spark.implicits._
     // fingerprints vary with AMPLITUDE MODULATION; build clips whose
