@@ -44,10 +44,97 @@ import org.apache.spark.storage.StorageLevel
   * any executor count, and a bounded SQL unroll of the same rounds
   * replays it (the p106 oracle).
   *
+  * LOCAL TAIL-FINISH (r17 — the dominant cost of a deep peel is not
+  * data, it is SCHEDULING: the last layers of the onion are a few
+  * thousand nodes paying dozens of full Spark rounds): whenever the
+  * remnant graph provably fits on the driver — the edge table was just
+  * counted at a compaction boundary (or at entry) and both edges and
+  * alive nodes are ≤ `localFinishEdges` — the loop collects the remnant
+  * (both-endpoint-alive by the compaction invariant, plus the alive
+  * node list so isolated survivors are not lost) and finishes the peel
+  * exactly with the O(E) Batagelj–Zaveršnik bucket algorithm. The
+  * fixpoint is unique, so the local finish is BIT-IDENTICAL to running
+  * the distributed rounds to the end — mid-level continuation holds
+  * because alive ⊇ every node of coreness ≥ k and the stragglers all
+  * have coreness k−1, so `max(local core number, k−1)` is exact. The
+  * collect is bounded BY CONSTRUCTION (only taken after counting ≤ the
+  * threshold; default 200k edges ≈ a few MB). Pass `localFinishEdges =
+  * 0` to force pure distributed peeling (the scale-sweep setting).
+  *
   * No reference counterpart; graph-analytics extension per the builder
   * prompt.
   */
 object KCore {
+
+  /** O(E) Batagelj–Zaveršnik core numbers on a CSR remnant: bin-sort by
+    * degree, repeatedly settle the min-degree vertex, decrement later
+    * neighbors. Returns the final degree array = core number per vertex.
+    */
+  private def bzCoreNumbers(n: Int, adjIdx: Array[Int], adj: Array[Int]): Array[Int] = {
+    val deg = new Array[Int](n)
+    var maxDeg = 0
+    var v = 0
+    while (v < n) {
+      deg(v) = adjIdx(v + 1) - adjIdx(v)
+      if (deg(v) > maxDeg) maxDeg = deg(v)
+      v += 1
+    }
+    val bin = new Array[Int](maxDeg + 2)
+    v = 0; while (v < n) { bin(deg(v)) += 1; v += 1 }
+    var start = 0
+    var d = 0
+    while (d <= maxDeg) { val c = bin(d); bin(d) = start; start += c; d += 1 }
+    val vert = new Array[Int](n)
+    val pos = new Array[Int](n)
+    v = 0
+    while (v < n) { pos(v) = bin(deg(v)); vert(pos(v)) = v; bin(deg(v)) += 1; v += 1 }
+    d = maxDeg; while (d >= 1) { bin(d) = bin(d - 1); d -= 1 }
+    if (maxDeg >= 0) bin(0) = 0
+    var i = 0
+    while (i < n) {
+      val u = vert(i)
+      var j = adjIdx(u)
+      while (j < adjIdx(u + 1)) {
+        val w = adj(j)
+        if (deg(w) > deg(u)) {
+          val dw = deg(w); val pw = pos(w)
+          val ps = bin(dw); val s = vert(ps)
+          if (s != w) { pos(w) = ps; vert(ps) = w; pos(s) = pw; vert(pw) = s }
+          bin(dw) += 1
+          deg(w) -= 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    deg
+  }
+
+  /** Collect a counted-small remnant into CSR form: (original node ids,
+    * adjIdx, adj). Edge endpoints not in the alive node list are skipped
+    * defensively (the compaction invariant makes them impossible, but a
+    * stale edge must never resurrect a peeled node).
+    */
+  private def collectRemnant(alive: DataFrame, e: DataFrame)
+  : (Array[Any], Array[Int], Array[Int]) = {
+    val nodes: Array[Any] = alive.select(col("node")).collect().map(_.get(0))
+    val n = nodes.length
+    val idx = new java.util.HashMap[Any, Integer](n * 2)
+    var i = 0
+    while (i < n) { idx.put(nodes(i), i); i += 1 }
+    val pairs = e.collect().flatMap { r =>
+      val ui = idx.get(r.get(0)); val vi = idx.get(r.get(1))
+      if (ui == null || vi == null) None else Some((ui.intValue, vi.intValue))
+    }
+    val deg0 = new Array[Int](n)
+    pairs.foreach { case (u, _) => deg0(u) += 1 }
+    val adjIdx = new Array[Int](n + 1)
+    i = 0; while (i < n) { adjIdx(i + 1) = adjIdx(i) + deg0(i); i += 1 }
+    val fill = java.util.Arrays.copyOf(adjIdx, n)
+    val adj = new Array[Int](pairs.length)
+    pairs.foreach { case (u, v) => adj(fill(u)) = v; fill(u) += 1 }
+    (nodes, adjIdx, adj)
+  }
 
   /** Nodes of the k-core with their within-core degrees.
     *
@@ -57,9 +144,10 @@ object KCore {
     * @return (node, deg) — deg counts distinct core neighbors
     */
   def run(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
-          maxIter: Int = 30): DataFrame = {
+          maxIter: Int = 30, localFinishEdges: Long = 200000L): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(maxIter >= 1, "maxIter must be >= 1")
+    val spark = edges.sparkSession
     val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .filter(col("u") =!= col("v"))
     var e = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
@@ -75,6 +163,28 @@ object KCore {
       var aliveCount = alive.count()
       var nodesAtCompact = aliveCount
       var peeledSince = 0L
+      // exact driver finish of a counted-small remnant (see object doc):
+      // k-core membership + within-core degrees from BZ core numbers
+      def finishLocally(): DataFrame = {
+        val (nodes, adjIdx, adj) = collectRemnant(alive, e)
+        val inCore = bzCoreNumbers(nodes.length, adjIdx, adj).map(_ >= k)
+        val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+        var i = 0
+        while (i < nodes.length) {
+          if (inCore(i)) {
+            var d = 0L
+            var j = adjIdx(i)
+            while (j < adjIdx(i + 1)) { if (inCore(adj(j))) d += 1L; j += 1 }
+            rows.add(org.apache.spark.sql.Row(nodes(i), d))
+          }
+          i += 1
+        }
+        val out = spark.createDataFrame(rows, alive.schema)
+        graft.LoopFrames.release(alive)
+        out
+      }
+      if (localFinishEdges > 0L && aliveCount <= localFinishEdges &&
+          e.count() <= localFinishEdges) return finishLocally()
       var iter = 0
       while (iter < maxIter) {
         // frontier = nodes falling below k under the CURRENT alive set;
@@ -120,11 +230,14 @@ object KCore {
             .join(alive.select(col("node").as("v")), "v")
             .select(col("u"), col("v"))
             .persist(StorageLevel.MEMORY_AND_DISK)
-          compacted.count() // materialize before dropping the old blocks
+          val eCount = compacted.count() // materialize before dropping the old blocks
           e.unpersist(false)
           e = compacted
           nodesAtCompact = aliveCount
           peeledSince = 0L
+          // remnant just counted ≤ threshold: finish exactly on the driver
+          if (localFinishEdges > 0L && eCount <= localFinishEdges &&
+              aliveCount <= localFinishEdges) return finishLocally()
         }
       }
       // the alive count is monotone decreasing, so non-convergence in
@@ -157,14 +270,29 @@ object KCore {
     * accumulated result is a lazy union of small per-round checkpoints
     * (each materialized BEFORE its parent alive frame is released).
     *
+    * MIN-DEGREE LEVEL JUMP (r17 — p126 run-to-empty paid one full
+    * convergence check per level between consecutive core values, the
+    * top bench outlier): when a level's fixpoint is reached, every alive
+    * node has degree ≥ m = min(deg) within the alive set, so the alive
+    * set itself witnesses the m-core — no alive node has coreness in
+    * [k−1, m−1] and levels k..m peel nothing. The loop therefore jumps
+    * k straight to m+1 (exact, not heuristic: the next peel is the
+    * min-degree nodes, which is Batagelj–Zaveršnik's order verbatim).
+    * Degree-sequence gaps — the normal case on power-law graphs, where
+    * the degeneracy can be 100+ with most levels empty — cost nothing;
+    * one node-sized aggregation per ROUND (min + frontier count in a
+    * single pass) replaces a count per round plus a count per level.
+    *
     * Determinism: same unique-fixpoint argument as [[run]] applied per
     * level — hash-exact anywhere, SQL-replayable as chained unrolled
     * peels (the p120 oracle).
     */
   def coreness(edges: DataFrame, srcCol: String, dstCol: String, maxK: Int,
-               maxIterPerLevel: Int = 50): DataFrame = {
+               maxIterPerLevel: Int = 50,
+               localFinishEdges: Long = 200000L): DataFrame = {
     require(maxK >= 0, "maxK must be >= 1, or 0 for run-to-empty (true coreness)")
     require(maxIterPerLevel >= 1, "maxIterPerLevel must be >= 1")
+    val spark = edges.sparkSession
     val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .filter(col("u") =!= col("v"))
     var e = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
@@ -180,48 +308,89 @@ object KCore {
       var peeledSince = 0L
       var result: Option[DataFrame] = None
       var k = 1
+      var iter = 0 // rounds spent at the current level
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        alive.schema("node"),
+        org.apache.spark.sql.types.StructField("coreness",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      // exact driver finish (see object doc): continuing the peel at level
+      // k over the remnant equals max(BZ core number within the remnant,
+      // k−1) — every straggler not in the remnant's k-core has coreness
+      // k−1 by the alive invariant; a clamped run caps at maxK
+      def finishLocally(): DataFrame = {
+        val (nodes, adjIdx, adj) = collectRemnant(alive, e)
+        val cs = bzCoreNumbers(nodes.length, adjIdx, adj)
+        val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+        var i = 0
+        while (i < nodes.length) {
+          var c = math.max(cs(i).toLong, (k - 1).toLong)
+          if (maxK > 0 && c > maxK) c = maxK.toLong
+          rows.add(org.apache.spark.sql.Row(nodes(i), c))
+          i += 1
+        }
+        val local = spark.createDataFrame(rows, outSchema)
+        graft.LoopFrames.release(alive)
+        result.map(_.unionByName(local)).getOrElse(local)
+      }
+      if (localFinishEdges > 0L && aliveCount <= localFinishEdges &&
+          e.count() <= localFinishEdges) return finishLocally()
       while ((maxK == 0 || k <= maxK) && aliveCount > 0) {
-        var iter = 0
-        var converged = false
-        while (!converged) {
-          val peeled = alive.filter(col("deg") < k)
-          val nPeeled = peeled.count()
-          if (nPeeled == 0L) converged = true
-          else {
-            iter += 1
-            if (iter > maxIterPerLevel) throw new IllegalStateException(
-              s"coreness peel at level $k did not converge in $maxIterPerLevel rounds")
-            // materialize the level slice BEFORE releasing its parent
-            val lvl = graft.LoopFrames.checkpoint(
-              peeled.select(col("node")).withColumn("coreness", lit((k - 1).toLong)))
-            result = Some(result.map(_.unionByName(lvl)).getOrElse(lvl))
-            val dec = e.join(peeled.select(col("node").as("u")), "u")
-              .groupBy(col("v").as("node")).agg(count(lit(1)).as("__dec__"))
-            val next = alive.filter(col("deg") >= k)
-              .join(dec, Seq("node"), "left")
-              .select(col("node"),
-                (col("deg") - coalesce(col("__dec__"), lit(0L))).as("deg"))
-              .localCheckpoint(true)
-            graft.LoopFrames.release(alive)
-            alive = next
-            aliveCount -= nPeeled
-            peeledSince += nPeeled
-            if (aliveCount == 0) converged = true // level loop has nothing left
-            else if (peeledSince * 2 >= nodesAtCompact) {
-              val compacted = e
-                .join(alive.select(col("node").as("u")), "u")
-                .join(alive.select(col("node").as("v")), "v")
-                .select(col("u"), col("v"))
-                .persist(StorageLevel.MEMORY_AND_DISK)
-              compacted.count()
-              e.unpersist(false)
-              e = compacted
-              nodesAtCompact = aliveCount
-              peeledSince = 0L
-            }
+        // ONE node-sized aggregation per round: min alive degree (for the
+        // level jump) + frontier size at the current level, one pass
+        val row = alive.agg(min(col("deg")).as("m"),
+          count(when(col("deg") < k, 1)).as("below")).head()
+        val minDeg = row.getLong(0)
+        var nPeeled = row.getLong(1)
+        if (nPeeled == 0L) {
+          // level fixpoint: every alive node has deg >= minDeg >= k within
+          // the alive set, which witnesses the minDeg-core — levels
+          // k..minDeg peel nothing, so JUMP (see scaladoc). A clamped run
+          // whose jump passes maxK exits via the while condition and the
+          // survivor slice below.
+          k = minDeg.toInt + 1
+          iter = 0
+          if (maxK == 0 || k <= maxK) {
+            // frontier size at the new level (= |deg == minDeg| > 0); paid
+            // once per DISTINCT core value, not per round
+            nPeeled = alive.filter(col("deg") < k).count()
           }
         }
-        k += 1
+        if (maxK == 0 || k <= maxK) {
+          iter += 1
+          if (iter > maxIterPerLevel) throw new IllegalStateException(
+            s"coreness peel at level $k did not converge in $maxIterPerLevel rounds")
+          val peeled = alive.filter(col("deg") < k)
+          // materialize the level slice BEFORE releasing its parent
+          val lvl = graft.LoopFrames.checkpoint(
+            peeled.select(col("node")).withColumn("coreness", lit((k - 1).toLong)))
+          result = Some(result.map(_.unionByName(lvl)).getOrElse(lvl))
+          val dec = e.join(peeled.select(col("node").as("u")), "u")
+            .groupBy(col("v").as("node")).agg(count(lit(1)).as("__dec__"))
+          val next = alive.filter(col("deg") >= k)
+            .join(dec, Seq("node"), "left")
+            .select(col("node"),
+              (col("deg") - coalesce(col("__dec__"), lit(0L))).as("deg"))
+            .localCheckpoint(true)
+          graft.LoopFrames.release(alive)
+          alive = next
+          aliveCount -= nPeeled
+          peeledSince += nPeeled
+          if (aliveCount > 0 && peeledSince * 2 >= nodesAtCompact) {
+            val compacted = e
+              .join(alive.select(col("node").as("u")), "u")
+              .join(alive.select(col("node").as("v")), "v")
+              .select(col("u"), col("v"))
+              .persist(StorageLevel.MEMORY_AND_DISK)
+            val eCount = compacted.count()
+            e.unpersist(false)
+            e = compacted
+            nodesAtCompact = aliveCount
+            peeledSince = 0L
+            // remnant just counted ≤ threshold: finish on the driver
+            if (localFinishEdges > 0L && eCount <= localFinishEdges &&
+                aliveCount <= localFinishEdges) return finishLocally()
+          }
+        }
       }
       // clamped run: survivors report maxK ("≥ maxK"); run-to-empty exits
       // only at aliveCount == 0, so the survivor frame is empty and every

@@ -7,9 +7,12 @@ import graft.operators.graph.KCore
 class KCoreSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  private def core(edges: Seq[(Long, Long)], k: Int, maxIter: Int = 30) = {
+  // localFinishEdges = 0 keeps these semantic pins on the DISTRIBUTED
+  // peel loop; the local tail-finish has its own three-way equality test
+  private def core(edges: Seq[(Long, Long)], k: Int, maxIter: Int = 30,
+                   localFinishEdges: Long = 0L) = {
     import spark.implicits._
-    KCore.run(edges.toDF("s", "d"), "s", "d", k, maxIter)
+    KCore.run(edges.toDF("s", "d"), "s", "d", k, maxIter, localFinishEdges)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
@@ -62,9 +65,11 @@ class KCoreSpec extends AnyFunSuite {
     assert(core(welded, k = 4, maxIter = n) == (100L to 104L).map(_ -> 4L).toMap)
   }
 
-  private def coreness(edges: Seq[(Long, Long)], maxK: Int): Map[Long, Long] = {
+  private def coreness(edges: Seq[(Long, Long)], maxK: Int,
+                       localFinishEdges: Long = 0L): Map[Long, Long] = {
     import spark.implicits._
-    KCore.coreness(edges.toDF("s", "d"), "s", "d", maxK)
+    KCore.coreness(edges.toDF("s", "d"), "s", "d", maxK,
+        localFinishEdges = localFinishEdges)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
@@ -136,5 +141,33 @@ class KCoreSpec extends AnyFunSuite {
       deg
     }
     for (k <- Seq(2, 3, 4)) assert(core(edges, k) == naive(k), s"k=$k")
+  }
+
+  test("local tail-finish is bit-identical to pure distributed peeling") {
+    // seeded random graph, deep enough to cascade through several levels;
+    // thresholds straddle the graph size so the finish triggers AT ENTRY
+    // (1e6: whole graph local), MID-PEEL (after a compaction boundary
+    // drops the remnant under the cap), and NEVER (0: pure distributed) —
+    // the unique-fixpoint argument says all paths must agree exactly
+    val rnd = new scala.util.Random(4242)
+    val edges = Seq.fill(300)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val pureFull = coreness(edges, maxK = 0, localFinishEdges = 0L)
+    for (t <- Seq(1000000L, 200L, 100L, 30L))
+      assert(coreness(edges, maxK = 0, localFinishEdges = t) == pureFull, s"t=$t")
+    val pureClamped = coreness(edges, maxK = 2, localFinishEdges = 0L)
+    for (t <- Seq(1000000L, 200L, 30L))
+      assert(coreness(edges, maxK = 2, localFinishEdges = t) == pureClamped, s"t=$t")
+    val pureCore = core(edges, k = 3, localFinishEdges = 0L)
+    for (t <- Seq(1000000L, 200L, 30L))
+      assert(core(edges, k = 3, localFinishEdges = t) == pureCore, s"t=$t")
+    // isolated stragglers: a star whose center holds every leaf alive —
+    // once the center peels nothing has edges, and remnant collection
+    // must still label the leaves (they ride the alive list, not the
+    // edge table)
+    val star = (2L to 12L).map(i => (1L, i))
+    val starPure = coreness(star, maxK = 0, localFinishEdges = 0L)
+    for (t <- Seq(1000000L, 8L))
+      assert(coreness(star, maxK = 0, localFinishEdges = t) == starPure, s"star t=$t")
   }
 }
