@@ -31,7 +31,7 @@ object PipelineETs {
     DistDriftET, SnippetsInPlaceET, FuzzyLinkageET, KCoreET, BfsHopsET, TrustRankET, EntityResolveET,
     BlocklistET, AsOfJoinET, RandomProjectionET, CooccurEdgesET, SsspET,
     CorenessET, StreamCooccurET, HarmonicCentralityET, ImageDedupET,
-    NeighborhoodFunctionET, AudioFeaturesET)
+    NeighborhoodFunctionET, AudioFeaturesET, VideoDedupET)
 }
 
 /** `run hits as SnippetsInPlace.`` [where textCol="text" and
@@ -1954,6 +1954,45 @@ object AudioFeaturesET extends NoPathET {
   }
 }
 
+/** `run clips as VideoDedup.`` [where idCol="path" and
+  * binaryCol="content" and maxFrames="16" and maxHamming="6" and
+  * minOverlap="0.5" and maxChunkFreq="0" and mode="pairs|frame_hashes|
+  * pairs_from_hashes"]` — video near-dup from REAL frame decode
+  * (MJPEG-AVI / animated GIF, see
+  * [[graft.operators.multimodal.VideoCodec]]): up to maxFrames evenly
+  * sampled frames per clip, a dHash per frame, banded Hamming FRAME join,
+  * bidirectional-containment score per video pair
+  * ([[graft.operators.multimodal.VideoDedup]]). `mode="frame_hashes"`
+  * emits the (id, frame_idx, frame_hash) stamp — the persisted oracle
+  * boundary p132 replays from; `mode="pairs_from_hashes"` re-runs only
+  * the join+score half on an already-hashed table.
+  */
+object VideoDedupET extends NoPathET {
+  override def name = "VideoDedup"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    val idCol = params.getOrElse("idCol", "path")
+    val binaryCol = params.getOrElse("binaryCol", "content")
+    val maxFrames = params.getOrElse("maxFrames", "16").toInt
+    val maxHamming = params.getOrElse("maxHamming", "6").toInt
+    val minOverlap = params.getOrElse("minOverlap", "0.5").toDouble
+    val maxChunkFreq = params.getOrElse("maxChunkFreq", "0").toLong
+    params.getOrElse("mode", "pairs") match {
+      case "pairs" => graft.operators.multimodal.VideoDedup.selfJoin(
+        df, idCol, binaryCol, maxFrames, maxHamming, minOverlap, maxChunkFreq)
+      case "frame_hashes" => graft.operators.multimodal.VideoDedup.frameHashes(
+        df, idCol, binaryCol, maxFrames)
+      case "pairs_from_hashes" =>
+        graft.operators.multimodal.VideoDedup.selfJoinFromHashes(
+          df, idCol, params.getOrElse("idxCol", "frame_idx"),
+          params.getOrElse("hashCol", "frame_hash"),
+          maxHamming, minOverlap, maxChunkFreq)
+      case other => throw new IllegalArgumentException(
+        s"VideoDedup mode must be pairs|frame_hashes|pairs_from_hashes, got '$other'")
+    }
+  }
+}
+
 /** `run dirty as FuzzyLinkage.`` where rightTable="clean" and
   * leftIdCol="id" and leftStrCol="name" [and rightIdCol/rightStrCol,
   * maxDist="2", q="3", maxGramFreq="0"]` — q-gram-blocked exact
@@ -1995,8 +2034,10 @@ object FuzzyLinkageET extends NoPathET {
 }
 
 /** `run edges as KCore.`` where srcCol="a" and dstCol="b" and k="3"
-  * [and maxIter="30"]` — k-core membership + within-core degrees by
-  * synchronous peeling (see [[graft.operators.graph.KCore]]).
+  * [and maxIter="30" and localFinishEdges="200000"]` — k-core membership
+  * + within-core degrees by synchronous peeling (see
+  * [[graft.operators.graph.KCore]]); localFinishEdges="0" forces pure
+  * distributed peeling with no driver tail-finish.
   */
 object KCoreET extends NoPathET {
   override def name = "KCore"
@@ -2005,7 +2046,8 @@ object KCoreET extends NoPathET {
     graft.operators.graph.KCore.run(df,
       params.getOrElse("srcCol", "a"), params.getOrElse("dstCol", "b"),
       k = params.getOrElse("k", "2").toInt,
-      maxIter = params.getOrElse("maxIter", "30").toInt)
+      maxIter = params.getOrElse("maxIter", "30").toInt,
+      localFinishEdges = params.getOrElse("localFinishEdges", "200000").toLong)
 }
 
 /** `run edges as HarmonicCentrality.`` where srcCol="a" and dstCol="b"
@@ -2029,8 +2071,10 @@ object HarmonicCentralityET extends NoPathET {
 }
 
 /** `run edges as Coreness.`` where srcCol="a" and dstCol="b" and
-  * maxK="8" [and maxIterPerLevel="50"]` — full k-core decomposition
-  * clamped at maxK (see [[graft.operators.graph.KCore.coreness]]).
+  * maxK="8" [and maxIterPerLevel="50" and localFinishEdges="200000"]` —
+  * full k-core decomposition clamped at maxK, or run-to-empty true core
+  * numbers with maxK="0" (see [[graft.operators.graph.KCore.coreness]]);
+  * localFinishEdges="0" forces pure distributed peeling.
   */
 /** `run edges as NeighborhoodFunction.`` [where srcCol="a" and dstCol="b"
   * and maxHops="6" and lgK="12" and undirected="false" and
@@ -2066,7 +2110,8 @@ object CorenessET extends NoPathET {
     graft.operators.graph.KCore.coreness(df,
       params.getOrElse("srcCol", "a"), params.getOrElse("dstCol", "b"),
       maxK = params.getOrElse("maxK", "8").toInt,
-      maxIterPerLevel = params.getOrElse("maxIterPerLevel", "50").toInt)
+      maxIterPerLevel = params.getOrElse("maxIterPerLevel", "50").toInt,
+      localFinishEdges = params.getOrElse("localFinishEdges", "200000").toLong)
 }
 
 /** `run edges as BfsHops.`` where srcCol="a" and dstCol="b" and

@@ -20,6 +20,11 @@ import org.apache.spark.sql.functions._
   * rides the same banded Hamming dedup as images. All per-row,
   * partition-parallel, no driver collects.
   *
+  * Video frames decode for REAL via [[VideoCodec]] where the JDK has the
+  * codec: MJPEG-in-AVI (one JPEG per movi chunk) and animated GIF —
+  * evenly-sampled frame hashes feed [[VideoDedup]]'s banded Hamming
+  * frame-set join; MP4 keeps container-level metadata ([[VideoMeta]]).
+  *
   * SYNTHETIC FALLBACK (documented, not hidden): COMPRESSED audio/video
   * (mp3/mp4) have no JDK codec, so `mm_embed` on bytes no codec accepts falls back
   * to [[Multimodal.syntheticByteEmbed]] — a content-seeded deterministic
@@ -73,6 +78,18 @@ object Multimodal {
     spark.udf.register("mm_mp4_meta", (b: Array[Byte]) =>
       VideoMeta.readMeta(b).map(m =>
         (m.majorBrand, m.durationMs, m.width, m.height, m.nTracks)))
+    // REAL video FRAME decode for MJPEG-AVI and animated GIF (VideoCodec):
+    // AVI header meta (literal fields), decodable-frame count, and
+    // per-sampled-frame perceptual hashes — null for containers whose
+    // codecs the JDK lacks (mp4/H.264 etc.; documented fallback)
+    spark.udf.register("mm_avi_meta", (b: Array[Byte]) =>
+      VideoCodec.readAviMeta(b).map(m =>
+        (m.handler, m.usPerFrame, m.totalFrames, m.width, m.height,
+          m.nStreams, m.durationMs)))
+    spark.udf.register("mm_video_frame_count",
+      (b: Array[Byte]) => VideoCodec.frameCount(b))
+    spark.udf.register("mm_video_frame_hashes",
+      (b: Array[Byte], n: Int) => VideoCodec.frameHashes(b, n))
     // byte-level frame sampling: n evenly spaced fixed-size slices (real
     // partitioning/batching shape; a real impl would seek keyframes)
     spark.udf.register("mm_frame_sample", (b: Array[Byte], n: Int, frameSize: Int) => {

@@ -1,0 +1,122 @@
+package graft.operators.multimodal
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Video near-duplicate detection from FRAME-HASH SETS: each video is
+  * fingerprinted by the perceptual hashes of up to `maxFrames` sampled
+  * frames ([[VideoCodec.frameHashes]] — real MJPEG-AVI / GIF decode), and
+  * two videos are near-duplicates when most of one's frames match a frame
+  * of the other within a Hamming radius. This catches re-muxed, trimmed,
+  * re-encoded, and frame-rate-changed copies that byte hashing misses —
+  * the standard screen before training on scraped video.
+  *
+  * Scale shape (the part that matters at 100 TB): frame hashes explode to
+  * skinny (id, frame_idx, hash) rows; candidate FRAME pairs come from the
+  * same pigeonhole band join as images ([[ImageDedup]] — split the 64-bit
+  * hash into maxHamming+1 chunks, equi-join on (chunk, value); two hashes
+  * within the radius MUST agree on one chunk), never an all-pairs scan;
+  * matched frames then aggregate per video pair. Static clips hash every
+  * frame alike — the `maxChunkFreq` cap bounds any hot hash bucket
+  * deterministically (documented drop, same semantics as the image path).
+  *
+  * Scoring: bidirectional containment — `overlap = greatest(matched_a /
+  * n_a, matched_b / n_b)` where matched_x counts DISTINCT frames of video
+  * x that found a partner within the radius. A 10-second excerpt of a
+  * long video scores 1.0 through its own side (the trim case symmetric
+  * Jaccard would dilute), and the score is bounded by 1 by construction.
+  * All-integer counts; the division is the final projection.
+  *
+  * Determinism: hashes are exact integers given a pixel grid and the
+  * join/aggregate are set operations — output is hash-exact at any
+  * executor count. The oracle boundary is the PERSISTED (id, frame_idx,
+  * hash) stamp: DuckDB replays banding, Hamming, and the pair aggregation
+  * from it (the p124/p128 pattern — SQL cannot decode JPEG, it CAN replay
+  * everything downstream of decode).
+  */
+object VideoDedup {
+
+  /** Exploded (id, frame_idx, frame_hash) fingerprints for every row
+    * whose bytes decode as MJPEG-AVI or GIF; undecodable rows are DROPPED
+    * (documented — project [[VideoCodec.frameCount]] first for the reject
+    * list).
+    */
+  def frameHashes(df: DataFrame, idCol: String, binaryCol: String,
+                  maxFrames: Int = 16): DataFrame = {
+    require(maxFrames >= 1, s"maxFrames must be positive, got $maxFrames")
+    val hasher = udf((b: Array[Byte]) => VideoCodec.frameHashes(b, maxFrames))
+    df.select(col(idCol).as("id"), hasher(col(binaryCol)).as("fh"))
+      .filter(col("fh").isNotNull)
+      .select(col("id"), explode(col("fh")).as("f"))
+      .select(col("id"), col("f._1").as("frame_idx"), col("f._2").as("frame_hash"))
+  }
+
+  /** Near-dup video pairs end-to-end from binary columns. */
+  def selfJoin(df: DataFrame, idCol: String, binaryCol: String,
+               maxFrames: Int = 16, maxHamming: Int = 6,
+               minOverlap: Double = 0.5, maxChunkFreq: Long = 0L): DataFrame =
+    selfJoinFromHashes(frameHashes(df, idCol, binaryCol, maxFrames),
+      "id", "frame_idx", "frame_hash", maxHamming, minOverlap, maxChunkFreq)
+
+  /** The banded Hamming frame join + per-pair aggregation on an already-
+    * hashed (id, frame_idx, hash) frame — the stage DuckDB replays from
+    * the persisted stamp. Returns (a_id, b_id, matched_a, matched_b,
+    * a_frames, b_frames, overlap) with `a_id < b_id`, filtered to
+    * `overlap >= minOverlap`.
+    */
+  def selfJoinFromHashes(hashed: DataFrame, idCol: String, idxCol: String,
+                         hashCol: String, maxHamming: Int = 6,
+                         minOverlap: Double = 0.5,
+                         maxChunkFreq: Long = 0L): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 31,
+      s"maxHamming must be in [0, 31], got $maxHamming")
+    require(minOverlap >= 0.0 && minOverlap <= 1.0,
+      s"minOverlap must be in [0, 1], got $minOverlap")
+    val n = maxHamming + 1
+    val base = 64 / n
+    val chunkExprs = (0 until n).map { i =>
+      val start = i * base
+      val len = if (i == n - 1) 64 - start else base
+      val mask = if (len >= 64) -1L else (1L << len) - 1L
+      s"struct(cast($i as int) as chunk, shiftright(h, $start) & ${mask}L as ckey)"
+    }
+    val sigs = hashed.select(col(idCol).as("vid"), col(idxCol).as("fi"),
+      col(hashCol).as("h"))
+    // per-video sampled-frame counts: the overlap denominator (skinny agg,
+    // broadcast-joined back onto the skinny pair table)
+    val counts = sigs.groupBy(col("vid"))
+      .agg(countDistinct(col("fi")).as("nf"))
+    val chunked0 = sigs.select(col("vid"), col("fi"), col("h"),
+      explode(expr(s"array(${chunkExprs.mkString(", ")})")).as("c"))
+      .select(col("vid"), col("fi"), col("h"),
+        col("c.chunk").as("chunk"), col("c.ckey").as("ckey"))
+    val chunked =
+      if (maxChunkFreq <= 0L) chunked0
+      else {
+        val hot = chunked0.groupBy(col("chunk"), col("ckey"))
+          .agg(count(lit(1)).as("__n__"))
+          .filter(col("__n__") > maxChunkFreq)
+          .select(col("chunk"), col("ckey"))
+        chunked0.join(hot, Seq("chunk", "ckey"), "left_anti")
+      }
+    val framePairs = chunked.as("x").join(chunked.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.ckey") === col("y.ckey") &&
+          col("x.vid") < col("y.vid"))
+      .select(col("x.vid").as("a_id"), col("y.vid").as("b_id"),
+        col("x.fi").as("a_fi"), col("y.fi").as("b_fi"),
+        col("x.h").as("a_h"), col("y.h").as("b_h"))
+      .distinct()
+      .filter(bit_count(col("a_h").bitwiseXOR(col("b_h"))) <= maxHamming)
+    framePairs.groupBy(col("a_id"), col("b_id"))
+      .agg(countDistinct(col("a_fi")).as("matched_a"),
+        countDistinct(col("b_fi")).as("matched_b"))
+      .join(counts.select(col("vid").as("a_id"), col("nf").as("a_frames")), "a_id")
+      .join(counts.select(col("vid").as("b_id"), col("nf").as("b_frames")), "b_id")
+      .withColumn("overlap", greatest(
+        col("matched_a").cast("double") / col("a_frames").cast("double"),
+        col("matched_b").cast("double") / col("b_frames").cast("double")))
+      .filter(col("overlap") >= minOverlap)
+      .select(col("a_id"), col("b_id"), col("matched_a"), col("matched_b"),
+        col("a_frames"), col("b_frames"), col("overlap"))
+  }
+}

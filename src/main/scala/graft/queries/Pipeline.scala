@@ -4457,7 +4457,112 @@ object Pipeline {
         | ('clip.mp4', 'mp4', 'isom', CAST(5000 AS BIGINT), 640, 360, 1),
         | ('short.mp4', 'mp4', 'isom', CAST(1668 AS BIGINT), 320, 240, 1),
         | ('tone.wav', 'wav', 'none', CAST(-1 AS BIGINT), -1, -1, -1))
-        | t(name, fmt, brand, duration_ms, w, h, n_tracks) ORDER BY name""".stripMargin)
+        | t(name, fmt, brand, duration_ms, w, h, n_tracks) ORDER BY name""".stripMargin),
+
+    // ---- REAL video FRAME decode, header tier (r17): MJPEG-AVI RIFF
+    //      headers are literal fields the generator wrote (handler,
+    //      µs/frame, frames, dims, streams, integer duration), and the
+    //      decodable-frame COUNT is real container walking — AVI movi
+    //      chunks / ImageIO GIF frame index. The wav row pins the
+    //      non-video null path. ----
+    QuerySpec.sql("p131_avi_meta", (s, dir) => {
+      import s.implicits._
+      import graft.operators.multimodal.{AviGen, GifGen, Multimodal, WavGen}
+      val fixDir = java.nio.file.Paths.get("/tmp/graft_avi_meta_fixture")
+      if (java.nio.file.Files.exists(fixDir))
+        org.apache.commons.io.FileUtils.deleteDirectory(fixDir.toFile)
+      java.nio.file.Files.createDirectories(fixDir)
+      def put(name: String, bytes: Array[Byte]): Unit =
+        java.nio.file.Files.write(fixDir.resolve(name), bytes)
+      put("clip.avi", AviGen.pattern(48, 36, nFrames = 8, seed = 10, usPerFrame = 40000))
+      put("slow.avi", AviGen.pattern(32, 24, nFrames = 3, seed = 20, usPerFrame = 100000))
+      put("anim.gif", GifGen.pattern(24, 16, nFrames = 5, seed = 30))
+      put("tone.wav", WavGen.square(800, period = 8, amp = 5))
+      Multimodal.register(s)
+      s.read.format("binaryFile").load(fixDir.toString)
+        .selectExpr("element_at(split(path, '/'), -1) as name",
+          "coalesce(mm_avi_meta(content)._1, 'none') as handler",
+          "coalesce(mm_avi_meta(content)._2, -1) as us_per_frame",
+          "coalesce(mm_avi_meta(content)._3, -1) as total_frames",
+          "coalesce(mm_avi_meta(content)._4, -1) as w",
+          "coalesce(mm_avi_meta(content)._5, -1) as h",
+          "coalesce(mm_avi_meta(content)._7, -1L) as duration_ms",
+          "coalesce(mm_video_frame_count(content), -1) as decodable_frames")
+        .orderBy($"name")
+    },
+      """SELECT * FROM (VALUES
+        | ('anim.gif', 'none', -1, -1, -1, -1, CAST(-1 AS BIGINT), 5),
+        | ('clip.avi', 'MJPG', 40000, 8, 48, 36, CAST(320 AS BIGINT), 8),
+        | ('slow.avi', 'MJPG', 100000, 3, 32, 24, CAST(300 AS BIGINT), 3),
+        | ('tone.wav', 'none', -1, -1, -1, -1, CAST(-1 AS BIGINT), -1))
+        | t(name, handler, us_per_frame, total_frames, w, h, duration_ms,
+        |   decodable_frames) ORDER BY name""".stripMargin),
+
+    // ---- REAL video near-dup from frame-hash sets (r17): MJPEG-AVI and
+    //      animated-GIF frames decode for real (VideoCodec), each sampled
+    //      frame gets a dHash, and videos pair through the banded Hamming
+    //      FRAME join + bidirectional-containment aggregation
+    //      (VideoDedup). Decode has no DuckDB counterpart, so the oracle
+    //      boundary is the PERSISTED (id, frame_idx, hash) stamp (p124
+    //      pattern): DuckDB replays banding, Hamming, the per-pair
+    //      distinct-frame counts, and the containment score. Fixture: an
+    //      8-frame clip, its perturbed re-encode, a 4-frame EXCERPT (the
+    //      trim case — containment 1.0 where Jaccard would dilute), a GIF
+    //      near-dup pair, and two unrelated clips. ----
+    QuerySpec.sql("p132_video_dedup", (s, dir) => {
+      import s.implicits._
+      import graft.operators.multimodal.{AviGen, GifGen, ImageGen, VideoDedup}
+      val fixDir = java.nio.file.Paths.get("/tmp/graft_video_dedup_fixture")
+      if (java.nio.file.Files.exists(fixDir))
+        org.apache.commons.io.FileUtils.deleteDirectory(fixDir.toFile)
+      java.nio.file.Files.createDirectories(fixDir)
+      def put(name: String, bytes: Array[Byte]): Unit =
+        java.nio.file.Files.write(fixDir.resolve(name), bytes)
+      val seeds = (0 until 8).map(i => 500L + i * 3)
+      val v1Frames = seeds.map(sd => ImageGen.pattern(48, 36, sd))
+      put("v1.avi", AviGen.aviFromJpegs(
+        v1Frames.map(ImageGen.encode(_, "jpg")), 48, 36))
+      put("v2.avi", AviGen.aviFromJpegs( // per-frame 2-pixel perturbation
+        v1Frames.map(f => ImageGen.encode(ImageGen.perturb(f, 2, seed = 9), "jpg")),
+        48, 36))
+      put("v3.avi", AviGen.aviFromJpegs( // 4-frame excerpt of v1 (trim case)
+        v1Frames.drop(4).map(ImageGen.encode(_, "jpg")), 48, 36))
+      put("g1.gif", GifGen.pattern(40, 30, nFrames = 6, seed = 700, step = 5))
+      put("g2.gif", GifGen.animated((0 until 6).map(i => // near-dup of g1
+        ImageGen.perturb(ImageGen.pattern(40, 30, 700L + i * 5), 2, seed = 11))))
+      put("x1.avi", AviGen.pattern(48, 36, nFrames = 8, seed = 9100, step = 7))
+      put("x2.avi", AviGen.pattern(48, 36, nFrames = 8, seed = 13400, step = 7))
+      val hashed = VideoDedup.frameHashes(
+        s.read.format("binaryFile").load(fixDir.toString)
+          .select(element_at(split($"path", "/"), -1).as("name"), $"content"),
+        "name", "content", maxFrames = 16)
+      hashed.write.mode("overwrite").parquet("/tmp/graft_video_hashes")
+      VideoDedup.selfJoinFromHashes(s.read.parquet("/tmp/graft_video_hashes"),
+          "id", "frame_idx", "frame_hash", maxHamming = 7, minOverlap = 0.5)
+        .withColumn("overlap", round($"overlap", 6))
+        .orderBy($"a_id", $"b_id")
+    },
+      """WITH hs AS (SELECT id, frame_idx AS fi, frame_hash AS h
+        |  FROM read_parquet('/tmp/graft_video_hashes/*.parquet')),
+        |nf AS (SELECT id, CAST(COUNT(DISTINCT fi) AS BIGINT) AS n FROM hs GROUP BY id),
+        |ck AS (SELECT id, fi, h, i.i AS chunk, (h >> (i.i * 8)) & 255 AS ckey
+        |  FROM hs CROSS JOIN (SELECT UNNEST(RANGE(0, 8)) AS i) i),
+        |cand AS (SELECT DISTINCT x.id AS a_id, y.id AS b_id, x.fi AS a_fi,
+        |    y.fi AS b_fi, x.h AS ah, y.h AS bh
+        |  FROM ck x JOIN ck y
+        |    ON x.chunk = y.chunk AND x.ckey = y.ckey AND x.id < y.id),
+        |m AS (SELECT a_id, b_id,
+        |    CAST(COUNT(DISTINCT a_fi) AS BIGINT) AS matched_a,
+        |    CAST(COUNT(DISTINCT b_fi) AS BIGINT) AS matched_b
+        |  FROM cand WHERE BIT_COUNT(XOR(ah, bh)) <= 7 GROUP BY a_id, b_id),
+        |sc AS (SELECT m.a_id, m.b_id, m.matched_a, m.matched_b,
+        |    na.n AS a_frames, nb.n AS b_frames,
+        |    GREATEST(CAST(m.matched_a AS DOUBLE) / CAST(na.n AS DOUBLE),
+        |             CAST(m.matched_b AS DOUBLE) / CAST(nb.n AS DOUBLE)) AS ov
+        |  FROM m JOIN nf na ON na.id = m.a_id JOIN nf nb ON nb.id = m.b_id)
+        |SELECT a_id, b_id, matched_a, matched_b, a_frames, b_frames,
+        |  ROUND(ov, 6) AS overlap
+        |FROM sc WHERE ov >= 0.5 ORDER BY a_id, b_id""".stripMargin)
   )
 
   /** Banded-Hamming replay for the audio stamp (identical arithmetic to
