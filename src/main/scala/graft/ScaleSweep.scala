@@ -176,8 +176,21 @@ object ScaleSweep {
     // cohort reduces to the duration axis before any window
     "p99_survival" -> SparkEntry.queries("p99_survival_km"),
     // disjoint graph copies: peel rounds / frontier joins / rank
-    // iterations all work on m× edges with unchanged per-copy structure
-    "p106_kcore" -> SparkEntry.queries("p106_kcore"),
+    // iterations all work on m× edges with unchanged per-copy structure.
+    // kcore/coreness run with localFinishEdges=0: the sweep certifies the
+    // DISTRIBUTED peel loop's linearity — with the default driver
+    // tail-finish the 1x run would finish locally while 50x ran
+    // distributed rounds, and the ratio would compare two different code
+    // paths (the local finish's exactness is spec-pinned separately)
+    "p106_kcore" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val edges = graft.operators.basket.MarketBasket.pairRules(
+          Tables.load(s, dir, "lineitem").select($"l_orderkey", $"l_partkey"),
+          "l_orderkey", "l_partkey", minSupport = 2L)
+        .select($"a", $"b")
+      graft.operators.graph.KCore.run(edges, "a", "b", k = 3,
+        localFinishEdges = 0L).orderBy($"node")
+    }),
     "p107_bfs_hops" -> SparkEntry.queries("p107_bfs_hops"),
     "p108_trustrank" -> SparkEntry.queries("p108_trustrank"),
     "p114_weighted_pagerank" -> SparkEntry.queries("p114_weighted_pagerank"),
@@ -189,8 +202,16 @@ object ScaleSweep {
     "p116_cooccur_edges" -> SparkEntry.queries("p116_cooccur_edges"),
     // four chained peels over disjoint graph copies; compaction kicks in
     // once half the alive nodes have peeled, so late levels scan a
-    // shrinking edge table
-    "p120_coreness" -> SparkEntry.queries("p120_coreness"),
+    // shrinking edge table (localFinishEdges=0: see p106_kcore note)
+    "p120_coreness" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val edges = graft.operators.basket.MarketBasket.pairRules(
+          Tables.load(s, dir, "lineitem").select($"l_orderkey", $"l_partkey"),
+          "l_orderkey", "l_partkey", minSupport = 2L)
+        .select($"a", $"b")
+      graft.operators.graph.KCore.coreness(edges, "a", "b", maxK = 4,
+        localFinishEdges = 0L).orderBy($"node")
+    }),
     // r17 additions (VERDICT r16 #6): the containment near-dup runs
     // VERBATIM — copy-tagged words keep 3-gram shingles copy-local, so
     // posting lists stay bounded and pair work ∝ docs; its maxDocFreq=500
