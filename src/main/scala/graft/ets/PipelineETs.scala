@@ -31,7 +31,7 @@ object PipelineETs {
     DistDriftET, SnippetsInPlaceET, FuzzyLinkageET, KCoreET, BfsHopsET, TrustRankET, EntityResolveET,
     BlocklistET, AsOfJoinET, RandomProjectionET, CooccurEdgesET, SsspET,
     CorenessET, StreamCooccurET, HarmonicCentralityET, ImageDedupET,
-    NeighborhoodFunctionET, AudioFeaturesET, VideoDedupET)
+    NeighborhoodFunctionET, AudioFeaturesET, VideoDedupET, VideoScenesET)
 }
 
 /** `run hits as SnippetsInPlace.`` [where textCol="text" and
@@ -1989,6 +1989,36 @@ object VideoDedupET extends NoPathET {
           maxHamming, minOverlap, maxChunkFreq)
       case other => throw new IllegalArgumentException(
         s"VideoDedup mode must be pairs|frame_hashes|pairs_from_hashes, got '$other'")
+    }
+  }
+}
+
+/** `run clips as VideoScenes.`` [where idCol="path" and
+  * binaryCol="content" and maxFrames="16" and cutThreshold="16" and
+  * mode="detect|from_hashes"]` — shot-cut detection from perceptual
+  * frame-hash deltas (see [[graft.operators.multimodal.VideoScenes]]):
+  * a frame whose dHash jumps more than cutThreshold Hamming bits from
+  * the previous sampled frame opens a new scene; one entity-keyed window
+  * pass. `mode="from_hashes"` replays on an already-hashed
+  * (idCol, idxCol, hashCol) stamp.
+  */
+object VideoScenesET extends NoPathET {
+  override def name = "VideoScenes"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame = {
+    val cutThreshold = params.getOrElse("cutThreshold", "16").toInt
+    params.getOrElse("mode", "detect") match {
+      case "detect" => graft.operators.multimodal.VideoScenes.detect(
+        df, params.getOrElse("idCol", "path"),
+        params.getOrElse("binaryCol", "content"),
+        maxFrames = params.getOrElse("maxFrames", "16").toInt,
+        cutThreshold = cutThreshold)
+      case "from_hashes" => graft.operators.multimodal.VideoScenes.fromHashes(
+        df, params.getOrElse("idCol", "id"),
+        params.getOrElse("idxCol", "frame_idx"),
+        params.getOrElse("hashCol", "frame_hash"), cutThreshold)
+      case other => throw new IllegalArgumentException(
+        s"VideoScenes mode must be detect|from_hashes, got '$other'")
     }
   }
 }

@@ -120,3 +120,55 @@ object VideoDedup {
         col("a_frames"), col("b_frames"), col("overlap"))
   }
 }
+
+/** Video SCENE (shot-cut) detection from the same frame-hash fingerprints
+  * [[VideoDedup]] uses: a cut is a frame whose perceptual hash jumps more
+  * than `cutThreshold` Hamming bits from the previous sampled frame —
+  * the classic hash-delta shot detector, here in exact integer form.
+  * Scene ids are the running count of cuts per video, so frame→scene
+  * assignment, scene counts, and scene lengths all fall out of one
+  * entity-keyed window pass (partitioned by video, ordered by frame
+  * index — no cross-video shuffle, the scale-safe window shape).
+  *
+  * Determinism: bit_count(xor) over exact hashes and an integer running
+  * sum — hash-exact anywhere; DuckDB replays LAG + BIT_COUNT + the
+  * windowed SUM from the persisted (id, frame_idx, hash) stamp (the p133
+  * oracle).
+  */
+object VideoScenes {
+
+  /** Per-frame scene assignment from an already-hashed (id, frame_idx,
+    * hash) frame: (id, frame_idx, hamming_prev, is_cut, scene_id).
+    * The first frame of each video has hamming_prev −1 and opens scene 0;
+    * each cut increments the video's scene id.
+    */
+  def fromHashes(hashed: DataFrame, idCol: String, idxCol: String,
+                 hashCol: String, cutThreshold: Int = 16): DataFrame = {
+    require(cutThreshold >= 0 && cutThreshold <= 64,
+      s"cutThreshold must be in [0, 64], got $cutThreshold")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("frame_idx"))
+    hashed.select(col(idCol).as("id"), col(idxCol).as("frame_idx"),
+        col(hashCol).as("h"))
+      .withColumn("__prev__", lag(col("h"), 1).over(w))
+      .withColumn("hamming_prev",
+        when(col("__prev__").isNull, lit(-1))
+          .otherwise(bit_count(col("h").bitwiseXOR(col("__prev__")))
+            .cast("int")))
+      .withColumn("is_cut", col("hamming_prev") > cutThreshold)
+      .withColumn("scene_id",
+        sum(when(col("is_cut"), 1L).otherwise(0L))
+          .over(w.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+      .select(col("id"), col("frame_idx"), col("hamming_prev"),
+        col("is_cut"), col("scene_id"))
+  }
+
+  /** End-to-end from binary columns (MJPEG-AVI / GIF — see
+    * [[VideoCodec.frameHashes]]); undecodable rows are dropped.
+    */
+  def detect(df: DataFrame, idCol: String, binaryCol: String,
+             maxFrames: Int = 16, cutThreshold: Int = 16): DataFrame =
+    fromHashes(VideoDedup.frameHashes(df, idCol, binaryCol, maxFrames),
+      "id", "frame_idx", "frame_hash", cutThreshold)
+}

@@ -4562,7 +4562,57 @@ object Pipeline {
         |  FROM m JOIN nf na ON na.id = m.a_id JOIN nf nb ON nb.id = m.b_id)
         |SELECT a_id, b_id, matched_a, matched_b, a_frames, b_frames,
         |  ROUND(ov, 6) AS overlap
-        |FROM sc WHERE ov >= 0.5 ORDER BY a_id, b_id""".stripMargin)
+        |FROM sc WHERE ov >= 0.5 ORDER BY a_id, b_id""".stripMargin),
+
+    // ---- REAL video scene detection (r17): shot cuts from perceptual
+    //      frame-hash deltas — within a static segment consecutive frames
+    //      hash identically (hamming 0), across a content change the
+    //      dHash jumps tens of bits, so `hamming_prev > threshold` is the
+    //      classic integer shot detector. Fixture: one clip with three
+    //      3-frame static segments (cuts at frames 3 and 6), one
+    //      single-segment clip, one GIF walking its seed every frame
+    //      (every frame a cut). Oracle replays LAG + BIT_COUNT + the
+    //      windowed running sum from the persisted stamp. ----
+    QuerySpec.sql("p133_video_scenes", (s, dir) => {
+      import s.implicits._
+      import graft.operators.multimodal.{AviGen, GifGen, ImageGen, VideoDedup, VideoScenes}
+      val fixDir = java.nio.file.Paths.get("/tmp/graft_video_scenes_fixture")
+      if (java.nio.file.Files.exists(fixDir))
+        org.apache.commons.io.FileUtils.deleteDirectory(fixDir.toFile)
+      java.nio.file.Files.createDirectories(fixDir)
+      def put(name: String, bytes: Array[Byte]): Unit =
+        java.nio.file.Files.write(fixDir.resolve(name), bytes)
+      // three static 3-frame segments: seeds AAA BBB CCC -> cuts at 3, 6
+      val segs = Seq(111L, 111L, 111L, 2345L, 2345L, 2345L, 67L, 67L, 67L)
+      put("cuts.avi", AviGen.aviFromJpegs(
+        segs.map(sd => ImageGen.jpeg(48, 36, sd)), 48, 36))
+      put("static.avi", AviGen.pattern(48, 36, nFrames = 5, seed = 40, step = 0))
+      put("walk.gif", GifGen.pattern(32, 24, nFrames = 4, seed = 800, step = 13))
+      val hashed = VideoDedup.frameHashes(
+        s.read.format("binaryFile").load(fixDir.toString)
+          .select(element_at(split($"path", "/"), -1).as("name"), $"content"),
+        "name", "content", maxFrames = 16)
+      hashed.write.mode("overwrite").parquet("/tmp/graft_scene_hashes")
+      VideoScenes.fromHashes(s.read.parquet("/tmp/graft_scene_hashes"),
+          "id", "frame_idx", "frame_hash", cutThreshold = 10)
+        .select($"id", $"frame_idx", $"hamming_prev",
+          $"is_cut".cast("int").as("is_cut"), $"scene_id")
+        .orderBy($"id", $"frame_idx")
+    },
+      """WITH hs AS (SELECT id, frame_idx AS fi, frame_hash AS h
+        |  FROM read_parquet('/tmp/graft_scene_hashes/*.parquet')),
+        |d AS (SELECT id, fi, h,
+        |    LAG(h) OVER (PARTITION BY id ORDER BY fi) AS ph FROM hs),
+        |c AS (SELECT id, fi,
+        |    CASE WHEN ph IS NULL THEN -1
+        |         ELSE CAST(BIT_COUNT(XOR(h, ph)) AS INTEGER) END AS hamming_prev
+        |  FROM d)
+        |SELECT id, fi AS frame_idx, hamming_prev,
+        |  CAST(hamming_prev > 10 AS INTEGER) AS is_cut,
+        |  CAST(SUM(CASE WHEN hamming_prev > 10 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY id ORDER BY fi
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS scene_id
+        |FROM c ORDER BY id, frame_idx""".stripMargin)
   )
 
   /** Banded-Hamming replay for the audio stamp (identical arithmetic to

@@ -94,6 +94,28 @@ class VideoCodecSpec extends AnyFunSuite {
     assert(pairs.keys.forall { case (a, b) => a < b })
   }
 
+  test("VideoScenes: hash-delta cuts segment a clip; static clip is one scene") {
+    import spark.implicits._
+    import graft.operators.multimodal.VideoScenes
+    // three static 3-frame segments: within a segment frames are
+    // byte-identical JPEGs (hamming 0), across segments the pattern
+    // changes -> cuts exactly at frames 3 and 6
+    val segs = Seq(111L, 111L, 111L, 2345L, 2345L, 2345L, 67L, 67L, 67L)
+    val cuts = AviGen.aviFromJpegs(segs.map(sd => ImageGen.jpeg(48, 36, sd)), 48, 36)
+    val static = AviGen.pattern(48, 36, nFrames = 5, seed = 40, step = 0)
+    val df = Seq(("cuts", cuts), ("static", static)).toDF("id", "content")
+    val scenes = VideoScenes.detect(df, "id", "content",
+        maxFrames = 16, cutThreshold = 10)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getInt(2), r.getBoolean(3), r.getLong(4))).toMap
+    assert((0 until 9).map(i => scenes(("cuts", i))._3) ==
+      Seq(0L, 0L, 0L, 1L, 1L, 1L, 2L, 2L, 2L))
+    assert(scenes(("cuts", 3))._2 && scenes(("cuts", 6))._2)
+    assert(scenes(("cuts", 0))._1 == -1) // first frame: no predecessor
+    assert(scenes(("cuts", 1))._1 == 0)  // identical bytes -> hamming 0
+    assert((0 until 5).forall(i => scenes(("static", i))._3 == 0L))
+  }
+
   test("VideoDedup hot-hash cap drops capped chunk keys deterministically") {
     import spark.implicits._
     // static clips: every frame of each clip hashes alike -> one hot hash

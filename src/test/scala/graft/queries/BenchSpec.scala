@@ -244,6 +244,23 @@ class BenchSpec extends AnyFunSuite {
     }
   }
 
+  test("p132/p133 video frames: banded Hamming frame join + video-keyed windows, no cartesian") {
+    // p132: candidate FRAME pairs collide on the (chunk, ckey) equi-key
+    // (the p124 shape with a frame axis); the containment score joins the
+    // skinny per-video counts back as equi-joins
+    val p132 = plan("p132_video_dedup")
+    assert(!p132.contains("CartesianProduct"), p132)
+    assert(!p132.contains("BroadcastNestedLoopJoin"), p132)
+    assert(p132.contains("Generate") || p132.contains("explode"), p132)
+    assert(p132.contains("HashAggregate"), p132)
+    // p133: one video-keyed window pass over the stamp — no join at all
+    val p133 = plan("p133_video_scenes")
+    assert(!p133.contains("CartesianProduct"), p133)
+    assert(!p133.contains("BroadcastNestedLoopJoin"), p133)
+    assert(!p133.contains("SortMergeJoin"), p133)
+    assert(p133.contains("Window"), p133)
+  }
+
   test("p127 neighborhood centrality: stamp scan -> node-keyed window + agg, no recompute tail") {
     val p = plan("p127_neighborhood_function")
     assert(!p.contains("CartesianProduct"), p)
