@@ -1903,7 +1903,11 @@ object BinaryMetaInPlaceET extends NoPathET {
   * pigeonhole-banded Hamming equi-join, exact verify. `mode="hashes"`
   * emits the (id, img_hash) stamp — the persisted oracle boundary p124
   * replays from; `mode="pairs_from_hashes"` re-runs only the join half on
-  * an already-hashed table (idCol/hashCol name its columns).
+  * an already-hashed table (idCol/hashCol name its columns);
+  * `mode="screen"` / `mode="screen_from_hashes"` run the feed-vs-catalog
+  * shape (the input is the feed, `catalogTable` names the persisted
+  * stamp, catalogIdCol/catalogHashCol its columns) — work linear in the
+  * feed, the catalog-side maxChunkFreq cap owns the skew guard.
   */
 object ImageDedupET extends NoPathET {
   override def name = "ImageDedup"
@@ -1923,8 +1927,26 @@ object ImageDedupET extends NoPathET {
         graft.operators.multimodal.ImageDedup.selfJoinFromHashes(
           df, idCol, params.getOrElse("hashCol", "img_hash"),
           maxHamming, maxChunkFreq)
+      // feed-vs-catalog screen (the production dedup shape): the input is
+      // the FEED (binary for "screen", already-hashed for
+      // "screen_from_hashes"), catalogTable names the persisted stamp
+      case m @ ("screen" | "screen_from_hashes") =>
+        val cat = ctx.spark.table(params.getOrElse("catalogTable",
+          throw new IllegalArgumentException(
+            "ImageDedup screen modes require catalogTable")))
+        val feedHashed =
+          if (m == "screen")
+            graft.operators.multimodal.ImageDedup.hashes(df, idCol, binaryCol, method)
+          else df.select(col(idCol).as("id"),
+            col(params.getOrElse("hashCol", "img_hash")).as("img_hash"))
+        graft.operators.multimodal.ImageDedup.joinAgainst(
+          feedHashed, "id", "img_hash",
+          cat, params.getOrElse("catalogIdCol", "id"),
+          params.getOrElse("catalogHashCol", "img_hash"),
+          maxHamming, maxChunkFreq)
       case other => throw new IllegalArgumentException(
-        s"ImageDedup mode must be pairs|hashes|pairs_from_hashes, got '$other'")
+        s"ImageDedup mode must be pairs|hashes|pairs_from_hashes|screen|" +
+          s"screen_from_hashes, got '$other'")
     }
   }
 }

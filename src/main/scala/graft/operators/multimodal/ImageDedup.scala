@@ -107,6 +107,59 @@ object ImageDedup {
       .select(col("a_id"), col("b_id"), col("hamming"))
   }
 
+  /** Feed-vs-catalog banded Hamming join — the PRODUCTION dedup shape: a
+    * growing feed of new media screened against a bounded corpus of
+    * already-ingested hashes (the persisted stamp), emitting
+    * (feed_id, catalog_id, hamming) for every feed row within the radius.
+    * Same pigeonhole banding as [[selfJoinFromHashes]] but across two
+    * tables, so work is linear in the FEED: each feed hash explodes to
+    * maxHamming+1 skinny rows that equi-join the catalog's chunk index —
+    * never a self-join of the union, never all-pairs. `maxChunkFreq`
+    * caps CATALOG-side posting lists (the bounded side owns the cap, the
+    * linkage-gram lesson: feed growth then never degrades recall).
+    * Modality-agnostic like the self-join (image dHash, audio energy
+    * hash, video frame hashes all fit).
+    */
+  def joinAgainst(feed: DataFrame, feedIdCol: String, feedHashCol: String,
+                  catalog: DataFrame, catalogIdCol: String, catalogHashCol: String,
+                  maxHamming: Int = 6, maxChunkFreq: Long = 0L): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 31,
+      s"maxHamming must be in [0, 31], got $maxHamming (chunks need >= 2 bits)")
+    val n = maxHamming + 1
+    val base = 64 / n
+    val chunkExprs = (0 until n).map { i =>
+      val start = i * base
+      val len = if (i == n - 1) 64 - start else base
+      val mask = if (len >= 64) -1L else (1L << len) - 1L
+      s"struct(cast($i as int) as chunk, shiftright(h, $start) & ${mask}L as ckey)"
+    }
+    def chunked(df: DataFrame, idCol: String, hashCol: String): DataFrame =
+      df.select(col(idCol).as("doc_id"), col(hashCol).as("h"))
+        .select(col("doc_id"), col("h"),
+          explode(expr(s"array(${chunkExprs.mkString(", ")})")).as("c"))
+        .select(col("doc_id"), col("h"),
+          col("c.chunk").as("chunk"), col("c.ckey").as("ckey"))
+    val feedC = chunked(feed, feedIdCol, feedHashCol)
+    val catC0 = chunked(catalog, catalogIdCol, catalogHashCol)
+    val catC =
+      if (maxChunkFreq <= 0L) catC0
+      else {
+        val hot = catC0.groupBy(col("chunk"), col("ckey"))
+          .agg(count(lit(1)).as("__n__"))
+          .filter(col("__n__") > maxChunkFreq)
+          .select(col("chunk"), col("ckey"))
+        catC0.join(hot, Seq("chunk", "ckey"), "left_anti")
+      }
+    feedC.as("x").join(catC.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.ckey") === col("y.ckey"))
+      .select(col("x.doc_id").as("feed_id"), col("y.doc_id").as("catalog_id"),
+        col("x.h").as("a_h"), col("y.h").as("b_h"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("a_h").bitwiseXOR(col("b_h"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("feed_id"), col("catalog_id"), col("hamming"))
+  }
+
   /** Exact-duplicate image groups by content hash (byte-identical files)
     * — the cheap first pass before perceptual dedup: group id = min id
     * per MD5. Per-row hash + one skinny groupBy.

@@ -4612,7 +4612,65 @@ object Pipeline {
         |  CAST(SUM(CASE WHEN hamming_prev > 10 THEN 1 ELSE 0 END)
         |    OVER (PARTITION BY id ORDER BY fi
         |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS scene_id
-        |FROM c ORDER BY id, frame_idx""".stripMargin)
+        |FROM c ORDER BY id, frame_idx""".stripMargin),
+
+    // ---- feed-vs-catalog perceptual screen (r17): the PRODUCTION dedup
+    //      shape — a new-media feed checked against the persisted hash
+    //      stamp of the already-ingested corpus (ImageDedup.joinAgainst):
+    //      banded Hamming across two tables, work linear in the feed,
+    //      catalog-side cap. Both stamps persist (the oracle boundary);
+    //      DuckDB replays the cross-table banding + Hamming verify.
+    //      Fixture: feed rows perturbed from catalog images (match), a
+    //      byte-identical re-ingest (hamming 0), fresh content (no rows).
+    //      ----
+    QuerySpec.sql("p134_image_screen", (s, dir) => {
+      import s.implicits._
+      import graft.operators.multimodal.{ImageDedup, ImageGen}
+      def gen(dirName: String, files: Seq[(String, Array[Byte])]): String = {
+        val d = java.nio.file.Paths.get(s"/tmp/$dirName")
+        if (java.nio.file.Files.exists(d))
+          org.apache.commons.io.FileUtils.deleteDirectory(d.toFile)
+        java.nio.file.Files.createDirectories(d)
+        files.foreach { case (n, b) => java.nio.file.Files.write(d.resolve(n), b) }
+        d.toString
+      }
+      val base1 = ImageGen.pattern(64, 48, seed = 3100)
+      val base2 = ImageGen.pattern(80, 60, seed = 3200)
+      val catDir = gen("graft_screen_catalog", Seq(
+        "c1.png" -> ImageGen.encode(base1, "png"),
+        "c2.png" -> ImageGen.encode(base2, "png"),
+        "c3.png" -> ImageGen.png(64, 48, seed = 3300)))
+      val feedDir = gen("graft_screen_feed", Seq(
+        "f1.png" -> ImageGen.encode(ImageGen.perturb(base1, 2, seed = 5), "png"),
+        "f2.png" -> ImageGen.encode(base2, "png"), // byte-identical re-ingest
+        "f3.png" -> ImageGen.png(96, 64, seed = 9901))) // fresh content
+      def hashed(d: String) = ImageDedup.hashes(
+        s.read.format("binaryFile").load(d)
+          .select(element_at(split($"path", "/"), -1).as("name"), $"content"),
+        "name", "content")
+      hashed(catDir).write.mode("overwrite").parquet("/tmp/graft_screen_cat_h")
+      hashed(feedDir).write.mode("overwrite").parquet("/tmp/graft_screen_feed_h")
+      ImageDedup.joinAgainst(
+          s.read.parquet("/tmp/graft_screen_feed_h"), "id", "img_hash",
+          s.read.parquet("/tmp/graft_screen_cat_h"), "id", "img_hash",
+          maxHamming = 7)
+        .orderBy($"feed_id", $"catalog_id")
+    },
+      """WITH fh AS (SELECT id, img_hash AS h
+        |  FROM read_parquet('/tmp/graft_screen_feed_h/*.parquet')),
+        |ch AS (SELECT id, img_hash AS h
+        |  FROM read_parquet('/tmp/graft_screen_cat_h/*.parquet')),
+        |fk AS (SELECT id, h, i.i AS chunk, (h >> (i.i * 8)) & 255 AS ckey
+        |  FROM fh CROSS JOIN (SELECT UNNEST(RANGE(0, 8)) AS i) i),
+        |ck AS (SELECT id, h, i.i AS chunk, (h >> (i.i * 8)) & 255 AS ckey
+        |  FROM ch CROSS JOIN (SELECT UNNEST(RANGE(0, 8)) AS i) i),
+        |cand AS (SELECT DISTINCT x.id AS feed_id, y.id AS catalog_id,
+        |    x.h AS ah, y.h AS bh
+        |  FROM fk x JOIN ck y ON x.chunk = y.chunk AND x.ckey = y.ckey)
+        |SELECT feed_id, catalog_id,
+        |  CAST(BIT_COUNT(XOR(ah, bh)) AS INTEGER) AS hamming
+        |FROM cand WHERE BIT_COUNT(XOR(ah, bh)) <= 7
+        |ORDER BY feed_id, catalog_id""".stripMargin)
   )
 
   /** Banded-Hamming replay for the audio stamp (identical arithmetic to

@@ -167,4 +167,30 @@ class ImageDedupSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(g == Map(1L -> 1L, 3L -> 1L, 2L -> 2L))
   }
+
+  test("joinAgainst: feed-vs-catalog pairs == cross pairs of a union self-join") {
+    import spark.implicits._
+    // seeded hash sets with planted near-collisions across the two sides
+    val rnd = new scala.util.Random(7311)
+    val cat = (0 until 40).map(i => (s"c$i", rnd.nextLong()))
+    val feed = (0 until 25).map { i =>
+      if (i % 3 == 0) (s"f$i", cat(i % 40)._2 ^ (1L << (i % 64))) // 1 bit off
+      else (s"f$i", rnd.nextLong())
+    }
+    val got = ImageDedup.joinAgainst(feed.toDF("id", "h"), "id", "h",
+        cat.toDF("id", "h"), "id", "h", maxHamming = 4)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    // reference: brute-force cross distances within the radius
+    val want = (for ((fi, fh) <- feed; (ci, ch) <- cat
+                     if java.lang.Long.bitCount(fh ^ ch) <= 4)
+      yield (fi, ci, java.lang.Long.bitCount(fh ^ ch))).toSet
+    assert(got == want) // pigeonhole recall is exact across tables too
+    assert(want.size >= 9, "fixture must plant cross matches")
+    // catalog-side cap: a hot catalog hash shared 12x is capped away
+    val hotCat = (0 until 12).map(i => (s"h$i", 42L))
+    val hotFeed = Seq(("f0", 42L))
+    val capped = ImageDedup.joinAgainst(hotFeed.toDF("id", "h"), "id", "h",
+      hotCat.toDF("id", "h"), "id", "h", maxHamming = 7, maxChunkFreq = 4L)
+    assert(capped.count() == 0)
+  }
 }
