@@ -31,7 +31,8 @@ object PipelineETs {
     DistDriftET, SnippetsInPlaceET, FuzzyLinkageET, KCoreET, BfsHopsET, TrustRankET, EntityResolveET,
     BlocklistET, AsOfJoinET, RandomProjectionET, CooccurEdgesET, SsspET,
     CorenessET, StreamCooccurET, HarmonicCentralityET, ImageDedupET,
-    NeighborhoodFunctionET, AudioFeaturesET, VideoDedupET, VideoScenesET)
+    NeighborhoodFunctionET, AudioFeaturesET, VideoDedupET, VideoScenesET,
+    StreamHammingScreenET)
 }
 
 /** `run hits as SnippetsInPlace.`` [where textCol="text" and
@@ -323,6 +324,24 @@ object StreamCooccurET extends NoPathET {
     graft.streaming.Stateful.cooccurPairs(df,
       params.getOrElse("basketCol", "bk"), params.getOrElse("itemCol", "i"),
       maxBasketSize = params.getOrElse("maxBasketSize", "256").toInt).toDF()
+}
+
+/** `run stream as StreamHammingScreen.`` [where idCol="id" and
+  * hashCol="h" and maxHamming="6" and maxBucketSize="256"]` — streaming
+  * perceptual near-dup screen across micro-batches (see
+  * [[graft.streaming.Stateful.hammingScreen]]): banded Hamming buckets
+  * with exactly-once min-chunk pair emission, batch-parity with
+  * ImageDedup's self-join when uncapped; needs the RocksDB state store
+  * provider.
+  */
+object StreamHammingScreenET extends NoPathET {
+  override def name = "StreamHammingScreen"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame =
+    graft.streaming.Stateful.hammingScreen(df,
+      params.getOrElse("idCol", "id"), params.getOrElse("hashCol", "h"),
+      maxHamming = params.getOrElse("maxHamming", "6").toInt,
+      maxBucketSize = params.getOrElse("maxBucketSize", "256").toInt).toDF()
 }
 
 /** `run stream as StreamSessions.`` where gapSec="1800" [and

@@ -340,6 +340,121 @@ object Stateful {
         TimeMode.None(), OutputMode.Append())
   }
 
+  case class HammingMatch(a_id: String, b_id: String, hamming: Int)
+
+  /** Streaming perceptual near-dup screen — the incremental half of
+    * [[graft.operators.multimodal.ImageDedup]]: a stream of
+    * (id, 64-bit hash) rows (image dHash, audio energy hash, video frame
+    * hash — modality-agnostic) is banded into `maxHamming + 1` pigeonhole
+    * chunk buckets; each bucket keeps the (id, hash) members it has seen
+    * and every arriving row is verified (exact `bitCount(xor)`) against
+    * the bucket's history, so near-duplicates are caught ACROSS
+    * micro-batches — the ingest-time "have we seen this image before"
+    * screen, with no re-scan of the corpus.
+    *
+    * Exactly-once pair emission without a global distinct (which Append
+    * streaming cannot do): two hashes within the radius share one or
+    * more chunks, and the pair is emitted only from their MINIMAL shared
+    * chunk index — computable locally from the two hashes, so any bucket
+    * can decide "mine or not mine" without coordination. Uncapped, the
+    * emitted pair SET therefore equals
+    * [[graft.operators.multimodal.ImageDedup.selfJoinFromHashes]] on the
+    * union of all batches, for ANY chunking of the input (the
+    * batch-parity property the spec pins), with `a_id < b_id`.
+    *
+    * `maxBucketSize` is the mandatory state guard (a degenerate hash —
+    * flat images — would otherwise grow one bucket without bound): a
+    * full bucket stops absorbing members (first-arrival kept, the
+    * [[CooccurProcessor]] rule), so a pair survives capping only if its
+    * minimal shared bucket held the earlier row — the capped contract is
+    * a SUBSET of the batch pairs, arrival-order-dependent by nature.
+    * Stored ids are idempotent under re-delivery; an id REJECTED by a
+    * full bucket is not remembered, so re-delivering it can re-emit its
+    * matches — when at-least-once delivery and caps coincide, dedup
+    * downstream by (a_id, b_id). Append mode; RocksDB state store
+    * recommended.
+    */
+  class HammingScreenProcessor(maxHamming: Int, cap: Int)
+    extends StatefulProcessor[(Int, Long), (Int, Long, String, Long), HammingMatch] {
+    private val n = maxHamming + 1
+    private val base = 64 / n
+    private def chunkOf(h: Long, i: Int): Long = {
+      val start = i * base
+      val len = if (i == n - 1) 64 - start else base
+      val mask = if (len >= 64) -1L else (1L << len) - 1L
+      (h >>> start) & mask
+    }
+    private def minSharedChunk(h1: Long, h2: Long): Int = {
+      var i = 0
+      while (i < n) {
+        if (chunkOf(h1, i) == chunkOf(h2, i)) return i
+        i += 1
+      }
+      -1
+    }
+    @transient private var st: ListState[(String, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getListState[(String, Long)]("members",
+        Encoders.tuple(Encoders.STRING, Encoders.scalaLong), TTLConfig.NONE)
+    override def handleInputRows(key: (Int, Long),
+                                 rows: Iterator[(Int, Long, String, Long)],
+                                 timerValues: TimerValues): Iterator[HammingMatch] = {
+      val have = scala.collection.mutable.LinkedHashMap(st.get().toSeq: _*)
+      val before = have.size
+      val out = List.newBuilder[HammingMatch]
+      // sorted intake: deterministic truncation within a batch (the
+      // emitted set is order-free below the cap)
+      for ((chunk, _, id, h) <- rows.toSeq.sortBy(r => (r._3, r._4))
+           if !have.contains(id)) {
+        for ((oid, oh) <- have if oid != id) {
+          val d = java.lang.Long.bitCount(h ^ oh)
+          if (d <= maxHamming && minSharedChunk(h, oh) == chunk) {
+            val (a, b) = if (id < oid) (id, oid) else (oid, id)
+            out += HammingMatch(a, b, d)
+          }
+        }
+        if (have.size < cap) have += (id -> h)
+      }
+      if (have.size > before) st.put(have.toArray)
+      out.result().iterator
+    }
+  }
+
+  /** Near-dup matches as an Append stream (see [[HammingScreenProcessor]]).
+    * Input: a streaming frame with an id column and a 64-bit hash column
+    * (produce hashes upstream with the `mm_dhash` / `mm_audio_hash` /
+    * `mm_video_frame_hashes` projections — per-row, stream-safe).
+    */
+  def hammingScreen(df: DataFrame, idCol: String, hashCol: String,
+                    maxHamming: Int = 6,
+                    maxBucketSize: Int = 256): Dataset[HammingMatch] = {
+    require(maxHamming >= 0 && maxHamming <= 31,
+      s"maxHamming must be in [0, 31], got $maxHamming")
+    require(maxBucketSize >= 1, "maxBucketSize must be >= 1 (state bound)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = maxHamming + 1
+    val base = 64 / n
+    // identical banding arithmetic to ImageDedup.selfJoinFromHashes —
+    // the batch-parity contract depends on it
+    val chunkExprs = (0 until n).map { i =>
+      val start = i * base
+      val len = if (i == n - 1) 64 - start else base
+      val mask = if (len >= 64) -1L else (1L << len) - 1L
+      s"struct(cast($i as int) as chunk, shiftright(h, $start) & ${mask}L as ckey)"
+    }
+    df.select(col(idCol).cast("string").as("id"), col(hashCol).cast("long").as("h"))
+      .filter(col("id").isNotNull && col("h").isNotNull)
+      .select(col("id"), col("h"),
+        explode(expr(s"array(${chunkExprs.mkString(", ")})")).as("c"))
+      .select(col("c.chunk").as("chunk"), col("c.ckey").as("ckey"),
+        col("id"), col("h"))
+      .as[(Int, Long, String, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .transformWithState(new HammingScreenProcessor(maxHamming, maxBucketSize),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   case class Anomaly(key: Long, ts: Long, value: Double, mean: Double,
                      std: Double, zscore: Double)
 

@@ -144,7 +144,8 @@ class SurveyCoverageSpec extends AnyFunSuite {
       "SnippetsInPlace", "FuzzyLinkage", "KCore", "BfsHops", "TrustRank", "EntityResolve",
       "Blocklist", "AsOfJoin", "RandomProjection", "CooccurEdges", "Sssp",
       "Coreness", "StreamCooccur", "HarmonicCentrality", "ImageDedup",
-      "NeighborhoodFunction", "AudioFeatures", "VideoDedup", "VideoScenes")
+      "NeighborhoodFunction", "AudioFeatures", "VideoDedup", "VideoScenes",
+      "StreamHammingScreen")
     val missing = names.filter(n =>
       scala.util.Try(ETRegistry.lookup(n)).isFailure)
     assert(missing.isEmpty, s"ET registry missing: ${missing.mkString(", ")}")

@@ -529,6 +529,97 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming Hamming screen matches the batch banded self-join over any chunking") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // seeded hashes with planted near-collisions; pairs split ACROSS
+      // batches so per-batch joining would miss them
+      val rnd = new scala.util.Random(9017)
+      val base = (0 until 12).map(i => (s"m$i", rnd.nextLong()))
+      val nearDups = Seq(
+        ("d0", base(0)._2 ^ 1L),                 // 1 bit off m0
+        ("d3", base(3)._2 ^ (1L << 40) ^ 2L),    // 2 bits off m3
+        ("d7", base(7)._2))                      // exact dup of m7
+      val all = base ++ nearDups
+      val chunks = Seq(all.take(5), all.slice(5, 12), all.drop(12))
+      val ms = MemoryStream[(String, Long)]
+      val q = Stateful.hammingScreen(ms.toDF().toDF("id", "h"), "id", "h",
+          maxHamming = 4)
+        .writeStream.format("memory").queryName("hscreen").outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ck_hs").toString)
+        .start()
+      chunks.foreach { c => ms.addData(c: _*); q.processAllAvailable() }
+      q.stop()
+      val streamed = spark.table("hscreen")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+      val batch = graft.operators.multimodal.ImageDedup.selfJoinFromHashes(
+          all.toDF("id", "h"), "id", "h", maxHamming = 4)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+      assert(streamed == batch, "exactly-once min-chunk emission == batch distinct")
+      assert(batch.size >= 3, "fixture must plant the three near-dups")
+      // exactly-once: no duplicate (a, b) rows even for the hamming-0 pair
+      // (which collides in EVERY chunk bucket)
+      val dup = spark.table("hscreen").groupBy("a_id", "b_id")
+        .count().filter($"count" > 1).count()
+      assert(dup == 0L)
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
+  test("streaming Hamming screen cap: full buckets stop absorbing; capped set is a subset") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // a degenerate flat-hash flood (all zeros) plus one late pair far
+      // from it: the flood fills its buckets at the cap, the late pair
+      // still matches through its own buckets
+      val flood = (0 until 10).map(i => (f"z$i%02d", 0L))
+      val pair = Seq(("p1", 0x5a5a5a5a5a5a5a5aL), ("p2", 0x5a5a5a5a5a5a5a5bL))
+      val ms = MemoryStream[(String, Long)]
+      val q = Stateful.hammingScreen(ms.toDF().toDF("id", "h"), "id", "h",
+          maxHamming = 4, maxBucketSize = 3)
+        .writeStream.format("memory").queryName("hscreen_cap").outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ck_hsc").toString)
+        .start()
+      ms.addData(flood: _*); q.processAllAvailable()
+      ms.addData(pair: _*); q.processAllAvailable()
+      q.stop()
+      val got = spark.table("hscreen_cap")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      // capped subset: only the first 3 flood members occupy the bucket,
+      // so flood pairs are capped at pairs among {z00,z01,z02}
+      val batch = graft.operators.multimodal.ImageDedup.selfJoinFromHashes(
+          (flood ++ pair).toDF("id", "h"), "id", "h", maxHamming = 4)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got.subsetOf(batch))
+      assert(got.contains(("p1", "p2")), "uncrowded buckets still match")
+      assert(got.contains(("z00", "z01")) && got.contains(("z00", "z02")))
+      // rows rejected by the full bucket are still SCREENED against the
+      // stored corpus (the whole point of an ingest screen)...
+      assert(got.contains(("z00", "z03")))
+      // ...but two post-cap rows can never pair with each other
+      assert(!got.exists { case (a, b) => a >= "z03" && b >= "z03" })
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   test("streaming co-occurrence pairs match the batch operator over any chunking") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -1154,6 +1245,38 @@ class StreamingSpec extends AnyFunSuite {
       assert(weights == Map((10L, 20L) -> 2L, (20L, 10L) -> 2L,
         (10L, 30L) -> 1L, (30L, 10L) -> 1L, (20L, 30L) -> 1L, (30L, 20L) -> 1L),
         weights.toString)
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
+  test("StreamHammingScreen DSL surface screens cross-batch near-dups in append mode") {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // m1/m2 one bit apart; x far from both — jsonStr longs round-trip
+      val rows = Seq(
+        """{"id":"m1","h":4096}""", """{"id":"x","h":-6148914691236517206}""",
+        """{"id":"m2","h":4097}""").mkString("\n")
+      val ctx = ScriptRunner.run(
+        s"""set streamName = "hsdsl";
+           |set hsdata = '''$rows''';
+           |load jsonStr.`hsdata` as hs_batch;
+           |load mockStream.`hs_batch` as hs_stream;
+           |run hs_stream as StreamHammingScreen.`` where idCol="id" and hashCol="h"
+           |  and maxHamming="4" as hs_pairs;
+           |save append hs_pairs as memory.`` where mode="append"
+           |  and checkpointLocation="${java.nio.file.Files.createTempDirectory("ck_hsd")}"
+           |  and duration="0";""".stripMargin, spark)
+      val q = ctx.streams("hsdsl")
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("hsdsl")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+      assert(got == Set(("m1", "m2", 1)), got.toString)
     } finally prev match {
       case Some(v) => spark.conf.set(providerKey, v)
       case None => spark.conf.unset(providerKey)
