@@ -111,6 +111,12 @@ object ScaleSweep {
       $"o_orderstatus", $"o_totalprice", $"o_orderdate",
       $"o_orderpriority", $"__copy"), "orders")
 
+    // part: re-keyed copies; xxhash64-derived signatures (p135) get
+    // fresh near-uniform values per copy since the key participates
+    write(cp("part").select(
+      off("p_partkey").as("p_partkey"), $"p_name", $"p_brand",
+      $"p_type", $"p_size", $"p_retailprice", $"__copy"), "part")
+
     // events: re-keyed ids/users, SAME time axis — copies densify the
     // stream (more users, more events per wall-clock window), which is
     // exactly how an event stream grows in production
@@ -240,6 +246,13 @@ object ScaleSweep {
     // is one edge shuffle + one node-keyed sketch union; state is
     // node-sized (the operator's whole reason to exist at 100 TB)
     "p127_neighborhood" -> SparkEntry.queries("p127_neighborhood_function"),
+    // two-chunk Hamming banding at scale (r17): signatures grow ∝ part
+    // rows (re-keyed copies get fresh xxhash64 values — near-uniform
+    // 64-bit), planted 3-bit-flip pairs grow ∝ rows too. The pair-combo
+    // key is ~21 bits wide, so buckets stay near-singleton at 50× where
+    // single-chunk 12-bit buckets would go quadratic (the birthday
+    // regime this banding exists for)
+    "p135_hamming_pairband" -> SparkEntry.queries("p135_hamming_pairband"),
     // fuzzy linkage in its production-linear shape: a GROWING dirty feed
     // matched against a BOUNDED master catalog, so candidates per dirty
     // record are capped by the catalog's block sizes and total work is

@@ -1937,15 +1937,17 @@ object ImageDedupET extends NoPathET {
     val maxHamming = params.getOrElse("maxHamming", "6").toInt
     val method = params.getOrElse("method", "dhash")
     val maxChunkFreq = params.getOrElse("maxChunkFreq", "0").toLong
+    // two-chunk banding for corpus-scale joins (see ImageDedup scaladoc)
+    val pairBands = params.getOrElse("pairBands", "false").toBoolean
     params.getOrElse("mode", "pairs") match {
       case "pairs" => graft.operators.multimodal.ImageDedup.selfJoin(
-        df, idCol, binaryCol, maxHamming, method, maxChunkFreq)
+        df, idCol, binaryCol, maxHamming, method, maxChunkFreq, pairBands)
       case "hashes" => graft.operators.multimodal.ImageDedup.hashes(
         df, idCol, binaryCol, method)
       case "pairs_from_hashes" =>
         graft.operators.multimodal.ImageDedup.selfJoinFromHashes(
           df, idCol, params.getOrElse("hashCol", "img_hash"),
-          maxHamming, maxChunkFreq)
+          maxHamming, maxChunkFreq, pairBands)
       // feed-vs-catalog screen (the production dedup shape): the input is
       // the FEED (binary for "screen", already-hashed for
       // "screen_from_hashes"), catalogTable names the persisted stamp
@@ -2018,16 +2020,18 @@ object VideoDedupET extends NoPathET {
     val maxHamming = params.getOrElse("maxHamming", "6").toInt
     val minOverlap = params.getOrElse("minOverlap", "0.5").toDouble
     val maxChunkFreq = params.getOrElse("maxChunkFreq", "0").toLong
+    val pairBands = params.getOrElse("pairBands", "false").toBoolean
     params.getOrElse("mode", "pairs") match {
       case "pairs" => graft.operators.multimodal.VideoDedup.selfJoin(
-        df, idCol, binaryCol, maxFrames, maxHamming, minOverlap, maxChunkFreq)
+        df, idCol, binaryCol, maxFrames, maxHamming, minOverlap, maxChunkFreq,
+        pairBands)
       case "frame_hashes" => graft.operators.multimodal.VideoDedup.frameHashes(
         df, idCol, binaryCol, maxFrames)
       case "pairs_from_hashes" =>
         graft.operators.multimodal.VideoDedup.selfJoinFromHashes(
           df, idCol, params.getOrElse("idxCol", "frame_idx"),
           params.getOrElse("hashCol", "frame_hash"),
-          maxHamming, minOverlap, maxChunkFreq)
+          maxHamming, minOverlap, maxChunkFreq, pairBands)
       case other => throw new IllegalArgumentException(
         s"VideoDedup mode must be pairs|frame_hashes|pairs_from_hashes, got '$other'")
     }

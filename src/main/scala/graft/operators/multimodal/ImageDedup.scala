@@ -55,50 +55,48 @@ object ImageDedup {
     */
   def selfJoin(df: DataFrame, idCol: String, binaryCol: String,
                maxHamming: Int = 6, method: String = "dhash",
-               maxChunkFreq: Long = 0L): DataFrame =
+               maxChunkFreq: Long = 0L, pairBands: Boolean = false): DataFrame =
     selfJoinFromHashes(hashes(df, idCol, binaryCol, method),
-      "id", "img_hash", maxHamming, maxChunkFreq)
+      "id", "img_hash", maxHamming, maxChunkFreq, pairBands)
 
   /** The banded Hamming self-join on an already-hashed (id, hash) frame —
     * the stage DuckDB replays from the persisted stamp. Ids must be
     * distinct (one hash per image).
+    *
+    * `pairBands = true` switches to TWO-CHUNK banding, the
+    * high-volume regime: with `maxHamming + 2` chunks, two hashes
+    * within the radius differ in at most `maxHamming` chunks, so they
+    * AGREE on at least two — the join key becomes an (i, j, ckey_i,
+    * ckey_j) chunk PAIR with double the bit width (multi-index hashing,
+    * Norouzi et al.). Same 100% recall by pigeonhole; candidate volume
+    * drops from n²/2^(64/(r+1)) to n²/2^(2·64/(r+2)) for a
+    * C(r+2, 2)/(r+1)-fold explode — at corpus scale (10⁸+ hashes, where
+    * single-chunk buckets of 8–12 bits go quadratic by the birthday
+    * bound) this is the difference between a linear shuffle and an
+    * all-pairs blowup. Single-chunk stays the default for small/medium
+    * corpora where the extra explode dominates.
     */
   def selfJoinFromHashes(hashed: DataFrame, idCol: String, hashCol: String,
                          maxHamming: Int = 6,
-                         maxChunkFreq: Long = 0L): DataFrame = {
+                         maxChunkFreq: Long = 0L,
+                         pairBands: Boolean = false): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 31,
       s"maxHamming must be in [0, 31], got $maxHamming (chunks need >= 2 bits)")
-    val n = maxHamming + 1
-    val base = 64 / n
-    // chunk i covers bits [i*base, (i+1)*base); the last chunk absorbs the
-    // remainder — widths are fixed by maxHamming alone, so the oracle can
-    // replay them from the same integer arithmetic
-    val chunkExprs = (0 until n).map { i =>
-      val start = i * base
-      val len = if (i == n - 1) 64 - start else base
-      val mask = if (len >= 64) -1L else (1L << len) - 1L
-      s"struct(cast($i as int) as chunk, shiftright(h, $start) & ${mask}L as ckey)"
-    }
     val sigs = hashed.select(col(idCol).as("doc_id"), col(hashCol).as("h"))
-    val chunked0 = sigs.select(col("doc_id"), col("h"),
-      explode(expr(s"array(${chunkExprs.mkString(", ")})")).as("c"))
-      .select(col("doc_id"), col("h"),
-        col("c.chunk").as("chunk"), col("c.ckey").as("ckey"))
-    // optional hot-chunk cap (flat-image degeneracy): drop chunk keys
-    // whose posting list exceeds the cap — a frequency join on the skinny
-    // (chunk, ckey) key, same shape as the linkage gram caps
-    val chunked =
-      if (maxChunkFreq <= 0L) chunked0
-      else {
-        val hot = chunked0.groupBy(col("chunk"), col("ckey"))
-          .agg(count(lit(1)).as("__n__"))
-          .filter(col("__n__") > maxChunkFreq)
-          .select(col("chunk"), col("ckey"))
-        chunked0.join(hot, Seq("chunk", "ckey"), "left_anti")
+    val verified =
+      if (!pairBands) {
+        val chunked = singleChunked(sigs, maxHamming, maxChunkFreq)
+        chunked.as("x").join(chunked.as("y"),
+          col("x.chunk") === col("y.chunk") && col("x.ckey") === col("y.ckey") &&
+            col("x.doc_id") < col("y.doc_id"))
+      } else {
+        val chunked = pairChunked(sigs, maxHamming, maxChunkFreq)
+        chunked.as("x").join(chunked.as("y"),
+          col("x.ci") === col("y.ci") && col("x.cj") === col("y.cj") &&
+            col("x.ki") === col("y.ki") && col("x.kj") === col("y.kj") &&
+            col("x.doc_id") < col("y.doc_id"))
       }
-    chunked.as("x").join(chunked.as("y"),
-        col("x.chunk") === col("y.chunk") && col("x.ckey") === col("y.ckey") &&
-          col("x.doc_id") < col("y.doc_id"))
+    verified
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
         col("x.h").as("a_h"), col("y.h").as("b_h"))
       .distinct()
@@ -106,6 +104,85 @@ object ImageDedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("hamming"))
   }
+
+  /** Explode a frame with a long column `hashCol` into single-chunk
+    * posting rows, preserving every input column and adding (chunk,
+    * ckey): chunk i covers bits [i·base, (i+1)·base), the last chunk
+    * absorbs the remainder — widths are fixed by maxHamming alone, so
+    * the oracle replays them from the same integer arithmetic. The
+    * optional hot-chunk cap (flat-image degeneracy) drops chunk keys
+    * whose posting list exceeds the cap — a frequency join on the skinny
+    * key, same shape as the linkage gram caps. Shared by the image,
+    * audio, and video band joins.
+    */
+  private[multimodal] def explodeSingleChunks(df: DataFrame, hashCol: String,
+                                              maxHamming: Int,
+                                              maxChunkFreq: Long): DataFrame = {
+    val n = maxHamming + 1
+    val base = 64 / n
+    val chunkExprs = (0 until n).map { i =>
+      val start = i * base
+      val len = if (i == n - 1) 64 - start else base
+      val mask = if (len >= 64) -1L else (1L << len) - 1L
+      s"struct(cast($i as int) as chunk, shiftright($hashCol, $start) & ${mask}L as ckey)"
+    }
+    val chunked0 = df
+      .withColumn("__c__", explode(expr(s"array(${chunkExprs.mkString(", ")})")))
+      .withColumn("chunk", col("__c__.chunk"))
+      .withColumn("ckey", col("__c__.ckey"))
+      .drop("__c__")
+    if (maxChunkFreq <= 0L) chunked0
+    else {
+      val hot = chunked0.groupBy(col("chunk"), col("ckey"))
+        .agg(count(lit(1)).as("__n__"))
+        .filter(col("__n__") > maxChunkFreq)
+        .select(col("chunk"), col("ckey"))
+      chunked0.join(hot, Seq("chunk", "ckey"), "left_anti")
+    }
+  }
+
+  /** Explode a frame with a long column `hashCol` into two-chunk posting
+    * rows (ci, cj, ki, kj), ci < cj over maxHamming + 2 chunks,
+    * preserving every input column (see [[selfJoinFromHashes]]'s
+    * pairBands doc). The cap applies per combination key.
+    */
+  private[multimodal] def explodePairChunks(df: DataFrame, hashCol: String,
+                                            maxHamming: Int,
+                                            maxChunkFreq: Long): DataFrame = {
+    val m = maxHamming + 2
+    require(64 / m >= 2, s"pairBands needs chunks >= 2 bits: maxHamming <= 30")
+    val base = 64 / m
+    def chunkSql(i: Int): String = {
+      val start = i * base
+      val len = if (i == m - 1) 64 - start else base
+      val mask = if (len >= 64) -1L else (1L << len) - 1L
+      s"shiftright($hashCol, $start) & ${mask}L"
+    }
+    val comboExprs = for (i <- 0 until m; j <- (i + 1) until m) yield
+      s"struct(cast($i as int) as ci, cast($j as int) as cj, " +
+        s"${chunkSql(i)} as ki, ${chunkSql(j)} as kj)"
+    val chunked0 = df
+      .withColumn("__c__", explode(expr(s"array(${comboExprs.mkString(", ")})")))
+      .withColumn("ci", col("__c__.ci")).withColumn("cj", col("__c__.cj"))
+      .withColumn("ki", col("__c__.ki")).withColumn("kj", col("__c__.kj"))
+      .drop("__c__")
+    if (maxChunkFreq <= 0L) chunked0
+    else {
+      val hot = chunked0.groupBy(col("ci"), col("cj"), col("ki"), col("kj"))
+        .agg(count(lit(1)).as("__n__"))
+        .filter(col("__n__") > maxChunkFreq)
+        .select(col("ci"), col("cj"), col("ki"), col("kj"))
+      chunked0.join(hot, Seq("ci", "cj", "ki", "kj"), "left_anti")
+    }
+  }
+
+  private def singleChunked(sigs: DataFrame, maxHamming: Int,
+                            maxChunkFreq: Long): DataFrame =
+    explodeSingleChunks(sigs, "h", maxHamming, maxChunkFreq)
+
+  private def pairChunked(sigs: DataFrame, maxHamming: Int,
+                          maxChunkFreq: Long): DataFrame =
+    explodePairChunks(sigs, "h", maxHamming, maxChunkFreq)
 
   /** Feed-vs-catalog banded Hamming join — the PRODUCTION dedup shape: a
     * growing feed of new media screened against a bounded corpus of

@@ -54,9 +54,11 @@ object VideoDedup {
   /** Near-dup video pairs end-to-end from binary columns. */
   def selfJoin(df: DataFrame, idCol: String, binaryCol: String,
                maxFrames: Int = 16, maxHamming: Int = 6,
-               minOverlap: Double = 0.5, maxChunkFreq: Long = 0L): DataFrame =
+               minOverlap: Double = 0.5, maxChunkFreq: Long = 0L,
+               pairBands: Boolean = false): DataFrame =
     selfJoinFromHashes(frameHashes(df, idCol, binaryCol, maxFrames),
-      "id", "frame_idx", "frame_hash", maxHamming, minOverlap, maxChunkFreq)
+      "id", "frame_idx", "frame_hash", maxHamming, minOverlap, maxChunkFreq,
+      pairBands)
 
   /** The banded Hamming frame join + per-pair aggregation on an already-
     * hashed (id, frame_idx, hash) frame — the stage DuckDB replays from
@@ -67,41 +69,37 @@ object VideoDedup {
   def selfJoinFromHashes(hashed: DataFrame, idCol: String, idxCol: String,
                          hashCol: String, maxHamming: Int = 6,
                          minOverlap: Double = 0.5,
-                         maxChunkFreq: Long = 0L): DataFrame = {
+                         maxChunkFreq: Long = 0L,
+                         pairBands: Boolean = false): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 31,
       s"maxHamming must be in [0, 31], got $maxHamming")
     require(minOverlap >= 0.0 && minOverlap <= 1.0,
       s"minOverlap must be in [0, 1], got $minOverlap")
-    val n = maxHamming + 1
-    val base = 64 / n
-    val chunkExprs = (0 until n).map { i =>
-      val start = i * base
-      val len = if (i == n - 1) 64 - start else base
-      val mask = if (len >= 64) -1L else (1L << len) - 1L
-      s"struct(cast($i as int) as chunk, shiftright(h, $start) & ${mask}L as ckey)"
-    }
     val sigs = hashed.select(col(idCol).as("vid"), col(idxCol).as("fi"),
       col(hashCol).as("h"))
     // per-video sampled-frame counts: the overlap denominator (skinny agg,
     // broadcast-joined back onto the skinny pair table)
     val counts = sigs.groupBy(col("vid"))
       .agg(countDistinct(col("fi")).as("nf"))
-    val chunked0 = sigs.select(col("vid"), col("fi"), col("h"),
-      explode(expr(s"array(${chunkExprs.mkString(", ")})")).as("c"))
-      .select(col("vid"), col("fi"), col("h"),
-        col("c.chunk").as("chunk"), col("c.ckey").as("ckey"))
-    val chunked =
-      if (maxChunkFreq <= 0L) chunked0
-      else {
-        val hot = chunked0.groupBy(col("chunk"), col("ckey"))
-          .agg(count(lit(1)).as("__n__"))
-          .filter(col("__n__") > maxChunkFreq)
-          .select(col("chunk"), col("ckey"))
-        chunked0.join(hot, Seq("chunk", "ckey"), "left_anti")
+    // shared banding helpers (ImageDedup): single-chunk by default,
+    // two-chunk combination keys for the corpus-scale regime — see
+    // ImageDedup.selfJoinFromHashes's pairBands doc
+    val candidates =
+      if (!pairBands) {
+        val chunked = ImageDedup.explodeSingleChunks(sigs, "h",
+          maxHamming, maxChunkFreq)
+        chunked.as("x").join(chunked.as("y"),
+          col("x.chunk") === col("y.chunk") && col("x.ckey") === col("y.ckey") &&
+            col("x.vid") < col("y.vid"))
+      } else {
+        val chunked = ImageDedup.explodePairChunks(sigs, "h",
+          maxHamming, maxChunkFreq)
+        chunked.as("x").join(chunked.as("y"),
+          col("x.ci") === col("y.ci") && col("x.cj") === col("y.cj") &&
+            col("x.ki") === col("y.ki") && col("x.kj") === col("y.kj") &&
+            col("x.vid") < col("y.vid"))
       }
-    val framePairs = chunked.as("x").join(chunked.as("y"),
-        col("x.chunk") === col("y.chunk") && col("x.ckey") === col("y.ckey") &&
-          col("x.vid") < col("y.vid"))
+    val framePairs = candidates
       .select(col("x.vid").as("a_id"), col("y.vid").as("b_id"),
         col("x.fi").as("a_fi"), col("y.fi").as("b_fi"),
         col("x.h").as("a_h"), col("y.h").as("b_h"))

@@ -4656,6 +4656,52 @@ object Pipeline {
           maxHamming = 7)
         .orderBy($"feed_id", $"catalog_id")
     },
+      p134ScreenOracleSql),
+
+    // ---- two-chunk (multi-index) Hamming banding (r17): the corpus-scale
+    //      regime — with maxHamming+2 chunks two in-radius hashes share at
+    //      least TWO chunks, so the join key is a chunk PAIR with double
+    //      the width: candidate volume n²/2^(2·64/(r+2)) instead of
+    //      n²/2^(64/(r+1)), the difference between linear shuffle and
+    //      birthday blowup at 10⁸+ hashes. Same 100% recall (pigeonhole;
+    //      spec-pinned equal to single-chunk AND brute force). Signatures
+    //      derive from part rows with planted 3-bit-flipped re-keys; the
+    //      persisted stamp is the oracle boundary, DuckDB replays the
+    //      combination join. ----
+    QuerySpec.sql("p135_hamming_pairband", (s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "part").select($"p_partkey".as("id"),
+        xxhash64($"p_name", $"p_partkey").as("h"))
+      val planted = base.filter($"id" % 8 === 0)
+        .select(($"id" + 10000000L).as("id"),
+          $"h".bitwiseXOR(lit(0x420000800L)).as("h")) // 3 bits flipped
+      base.unionByName(planted)
+        .write.mode("overwrite").parquet("/tmp/graft_pairband_hashes")
+      graft.operators.multimodal.ImageDedup.selfJoinFromHashes(
+          s.read.parquet("/tmp/graft_pairband_hashes"), "id", "h",
+          maxHamming = 4, pairBands = true)
+        .orderBy($"a_id", $"b_id")
+    },
+      """WITH hs AS (SELECT id, h
+        |  FROM read_parquet('/tmp/graft_pairband_hashes/*.parquet')),
+        |cmb AS (SELECT i.i AS ci, j.i AS cj
+        |  FROM (SELECT UNNEST(RANGE(0, 6)) AS i) i,
+        |       (SELECT UNNEST(RANGE(0, 6)) AS i) j WHERE i.i < j.i),
+        |ck AS (SELECT id, h, ci, cj,
+        |    (h >> (ci * 10)) & (CASE WHEN ci = 5 THEN 16383 ELSE 1023 END) AS ki,
+        |    (h >> (cj * 10)) & (CASE WHEN cj = 5 THEN 16383 ELSE 1023 END) AS kj
+        |  FROM hs CROSS JOIN cmb),
+        |cand AS (SELECT DISTINCT x.id AS a_id, y.id AS b_id, x.h AS ah, y.h AS bh
+        |  FROM ck x JOIN ck y ON x.ci = y.ci AND x.cj = y.cj
+        |    AND x.ki = y.ki AND x.kj = y.kj AND x.id < y.id)
+        |SELECT a_id, b_id, CAST(BIT_COUNT(XOR(ah, bh)) AS INTEGER) AS hamming
+        |FROM cand WHERE BIT_COUNT(XOR(ah, bh)) <= 4
+        |ORDER BY a_id, b_id""".stripMargin)
+  )
+
+  /** Cross-table banding replay for the p134 feed-vs-catalog screen. */
+  // lazy: referenced from `specs` above its declaration
+  private lazy val p134ScreenOracleSql: String =
       """WITH fh AS (SELECT id, img_hash AS h
         |  FROM read_parquet('/tmp/graft_screen_feed_h/*.parquet')),
         |ch AS (SELECT id, img_hash AS h
@@ -4670,8 +4716,7 @@ object Pipeline {
         |SELECT feed_id, catalog_id,
         |  CAST(BIT_COUNT(XOR(ah, bh)) AS INTEGER) AS hamming
         |FROM cand WHERE BIT_COUNT(XOR(ah, bh)) <= 7
-        |ORDER BY feed_id, catalog_id""".stripMargin)
-  )
+        |ORDER BY feed_id, catalog_id""".stripMargin
 
   /** Banded-Hamming replay for the audio stamp (identical arithmetic to
     * the p124 image oracle, different stamp path).

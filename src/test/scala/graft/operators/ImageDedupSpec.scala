@@ -168,6 +168,36 @@ class ImageDedupSpec extends AnyFunSuite {
     assert(g == Map(1L -> 1L, 3L -> 1L, 2L -> 2L))
   }
 
+  test("pairBands: two-chunk banding returns exactly the single-chunk pair set") {
+    import spark.implicits._
+    // seeded hashes with planted near-collisions at several radii; the
+    // pigeonhole argument says both bandings have 100% recall within the
+    // radius, so the verified pair sets must be IDENTICAL
+    val rnd = new scala.util.Random(5150)
+    val base = (0 until 60).map(i => (i.toLong, rnd.nextLong()))
+    val planted = (0 until 12).map { i =>
+      val (_, h) = base(i * 3)
+      val flips = (0 to i % 6).map(b => 1L << ((b * 11 + i) % 64))
+        .foldLeft(0L)(_ | _) // up to 6 bits flipped
+      (1000L + i, h ^ flips)
+    }
+    val df = (base ++ planted).toDF("id", "h")
+    for (r <- Seq(2, 4, 6)) {
+      val single = ImageDedup.selfJoinFromHashes(df, "id", "h", maxHamming = r)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+      val paired = ImageDedup.selfJoinFromHashes(df, "id", "h", maxHamming = r,
+          pairBands = true)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+      assert(paired == single, s"r=$r")
+      // brute-force ground truth
+      val all = base ++ planted
+      val brute = (for (a <- all; b <- all if a._1 < b._1;
+                        d = java.lang.Long.bitCount(a._2 ^ b._2) if d <= r)
+        yield (a._1, b._1, d)).toSet
+      assert(single == brute, s"r=$r vs brute force")
+    }
+  }
+
   test("joinAgainst: feed-vs-catalog pairs == cross pairs of a union self-join") {
     import spark.implicits._
     // seeded hash sets with planted near-collisions across the two sides

@@ -92,6 +92,12 @@ class VideoCodecSpec extends AnyFunSuite {
     assert(pairs((("g1", "g2"))) == 1.0, "gif near-dup pair")
     assert(pairs.values.forall(v => v >= 0.5 && v <= 1.0))
     assert(pairs.keys.forall { case (a, b) => a < b })
+    // two-chunk banding is a pure candidate-generation change: the
+    // verified pair table must be identical (pigeonhole recall)
+    val paired = VideoDedup.selfJoin(df, "id", "content",
+        maxFrames = 16, maxHamming = 7, minOverlap = 0.5, pairBands = true)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(6)).toMap
+    assert(paired == pairs)
   }
 
   test("VideoScenes: hash-delta cuts segment a clip; static clip is one scene") {
