@@ -2032,8 +2032,22 @@ object VideoDedupET extends NoPathET {
           df, idCol, params.getOrElse("idxCol", "frame_idx"),
           params.getOrElse("hashCol", "frame_hash"),
           maxHamming, minOverlap, maxChunkFreq, pairBands)
+      // feed-vs-catalog video screen: input is the FEED frame-hash table,
+      // catalogTable names the persisted corpus stamp
+      case "screen_from_hashes" =>
+        val cat = ctx.spark.table(params.getOrElse("catalogTable",
+          throw new IllegalArgumentException(
+            "VideoDedup screen_from_hashes requires catalogTable")))
+        graft.operators.multimodal.VideoScreen.screenFromHashes(
+          df, idCol, params.getOrElse("idxCol", "frame_idx"),
+          params.getOrElse("hashCol", "frame_hash"),
+          cat, params.getOrElse("catalogIdCol", "id"),
+          params.getOrElse("catalogIdxCol", "frame_idx"),
+          params.getOrElse("catalogHashCol", "frame_hash"),
+          maxHamming, minOverlap, maxChunkFreq)
       case other => throw new IllegalArgumentException(
-        s"VideoDedup mode must be pairs|frame_hashes|pairs_from_hashes, got '$other'")
+        s"VideoDedup mode must be pairs|frame_hashes|pairs_from_hashes|" +
+          s"screen_from_hashes, got '$other'")
     }
   }
 }

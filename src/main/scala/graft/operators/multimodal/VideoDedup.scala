@@ -119,6 +119,64 @@ object VideoDedup {
   }
 }
 
+object VideoScreen {
+
+  /** Feed-vs-catalog VIDEO screen — the production shape for video
+    * ingest: new clips' frame-hash sets banded against the persisted
+    * frame stamp of the ingested corpus ([[ImageDedup.joinAgainst]]'s
+    * table split with [[VideoDedup]]'s containment scoring). Returns
+    * (feed_id, catalog_id, matched_feed, matched_catalog, feed_frames,
+    * catalog_frames, overlap) with overlap = bidirectional containment,
+    * filtered to `>= minOverlap`. Work is linear in the feed (each feed
+    * frame explodes to maxHamming+1 chunk rows probing the catalog
+    * index); the catalog side owns the `maxChunkFreq` cap, so feed
+    * growth never degrades recall. The catalog frame counts come from
+    * the stamp itself — no re-decode of ingested media.
+    */
+  def screenFromHashes(feed: DataFrame, feedIdCol: String, feedIdxCol: String,
+                       feedHashCol: String,
+                       catalog: DataFrame, catIdCol: String, catIdxCol: String,
+                       catHashCol: String,
+                       maxHamming: Int = 6, minOverlap: Double = 0.5,
+                       maxChunkFreq: Long = 0L): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 31,
+      s"maxHamming must be in [0, 31], got $maxHamming")
+    require(minOverlap >= 0.0 && minOverlap <= 1.0,
+      s"minOverlap must be in [0, 1], got $minOverlap")
+    val fsigs = feed.select(col(feedIdCol).as("vid"), col(feedIdxCol).as("fi"),
+      col(feedHashCol).as("h"))
+    val csigs = catalog.select(col(catIdCol).as("vid"), col(catIdxCol).as("fi"),
+      col(catHashCol).as("h"))
+    val fCounts = fsigs.groupBy(col("vid")).agg(countDistinct(col("fi")).as("nf"))
+    val cCounts = csigs.groupBy(col("vid")).agg(countDistinct(col("fi")).as("nf"))
+    val fChunked = ImageDedup.explodeSingleChunks(fsigs, "h", maxHamming, 0L)
+    // the CATALOG (bounded side) owns the cap — linkage-gram discipline
+    val cChunked = ImageDedup.explodeSingleChunks(csigs, "h", maxHamming,
+      maxChunkFreq)
+    fChunked.as("x").join(cChunked.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.ckey") === col("y.ckey"))
+      .select(col("x.vid").as("feed_id"), col("y.vid").as("catalog_id"),
+        col("x.fi").as("f_fi"), col("y.fi").as("c_fi"),
+        col("x.h").as("a_h"), col("y.h").as("b_h"))
+      .distinct()
+      .filter(bit_count(col("a_h").bitwiseXOR(col("b_h"))) <= maxHamming)
+      .groupBy(col("feed_id"), col("catalog_id"))
+      .agg(countDistinct(col("f_fi")).as("matched_feed"),
+        countDistinct(col("c_fi")).as("matched_catalog"))
+      .join(fCounts.select(col("vid").as("feed_id"), col("nf").as("feed_frames")),
+        "feed_id")
+      .join(cCounts.select(col("vid").as("catalog_id"),
+        col("nf").as("catalog_frames")), "catalog_id")
+      .withColumn("overlap", greatest(
+        col("matched_feed").cast("double") / col("feed_frames").cast("double"),
+        col("matched_catalog").cast("double") / col("catalog_frames").cast("double")))
+      .filter(col("overlap") >= minOverlap)
+      .select(col("feed_id"), col("catalog_id"), col("matched_feed"),
+        col("matched_catalog"), col("feed_frames"), col("catalog_frames"),
+        col("overlap"))
+  }
+}
+
 /** Video SCENE (shot-cut) detection from the same frame-hash fingerprints
   * [[VideoDedup]] uses: a cut is a frame whose perceptual hash jumps more
   * than `cutThreshold` Hamming bits from the previous sampled frame —

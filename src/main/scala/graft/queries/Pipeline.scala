@@ -4696,7 +4696,75 @@ object Pipeline {
         |    AND x.ki = y.ki AND x.kj = y.kj AND x.id < y.id)
         |SELECT a_id, b_id, CAST(BIT_COUNT(XOR(ah, bh)) AS INTEGER) AS hamming
         |FROM cand WHERE BIT_COUNT(XOR(ah, bh)) <= 4
-        |ORDER BY a_id, b_id""".stripMargin)
+        |ORDER BY a_id, b_id""".stripMargin),
+
+    // ---- feed-vs-catalog VIDEO screen (r17): new clips' frame-hash sets
+    //      banded against the persisted corpus frame stamp, containment-
+    //      scored (VideoScreen) — the ingest gate for scraped video.
+    //      Fixture: a re-uploaded excerpt (contains at 1.0 through its
+    //      own side), a perturbed re-encode, fresh content (passes).
+    //      Both stamps persist; DuckDB replays the cross-table banding,
+    //      Hamming verify, distinct-frame counts, and containment. ----
+    QuerySpec.sql("p136_video_screen", (s, dir) => {
+      import s.implicits._
+      import graft.operators.multimodal.{AviGen, ImageGen, VideoDedup, VideoScreen}
+      def gen(dirName: String, files: Seq[(String, Array[Byte])]): String = {
+        val d = java.nio.file.Paths.get(s"/tmp/$dirName")
+        if (java.nio.file.Files.exists(d))
+          org.apache.commons.io.FileUtils.deleteDirectory(d.toFile)
+        java.nio.file.Files.createDirectories(d)
+        files.foreach { case (n, b) => java.nio.file.Files.write(d.resolve(n), b) }
+        d.toString
+      }
+      val frames = (0 until 8).map(i => ImageGen.pattern(48, 36, 1500L + i * 3))
+      val catDir = gen("graft_vscreen_catalog", Seq(
+        "c1.avi" -> AviGen.aviFromJpegs(frames.map(ImageGen.encode(_, "jpg")), 48, 36),
+        "c2.avi" -> AviGen.pattern(48, 36, nFrames = 6, seed = 8800, step = 5)))
+      val feedDir = gen("graft_vscreen_feed", Seq(
+        "f1.avi" -> AviGen.aviFromJpegs( // 4-frame excerpt re-upload
+          frames.drop(4).map(ImageGen.encode(_, "jpg")), 48, 36),
+        "f2.avi" -> AviGen.aviFromJpegs( // perturbed re-encode
+          frames.map(f => ImageGen.encode(ImageGen.perturb(f, 2, seed = 13), "jpg")),
+          48, 36),
+        "f3.avi" -> AviGen.pattern(48, 36, nFrames = 6, seed = 445566, step = 8)))
+      def hashed(d: String) = VideoDedup.frameHashes(
+        s.read.format("binaryFile").load(d)
+          .select(element_at(split($"path", "/"), -1).as("name"), $"content"),
+        "name", "content", maxFrames = 16)
+      hashed(catDir).write.mode("overwrite").parquet("/tmp/graft_vscreen_cat_h")
+      hashed(feedDir).write.mode("overwrite").parquet("/tmp/graft_vscreen_feed_h")
+      VideoScreen.screenFromHashes(
+          s.read.parquet("/tmp/graft_vscreen_feed_h"), "id", "frame_idx", "frame_hash",
+          s.read.parquet("/tmp/graft_vscreen_cat_h"), "id", "frame_idx", "frame_hash",
+          maxHamming = 7, minOverlap = 0.5)
+        .withColumn("overlap", round($"overlap", 6))
+        .orderBy($"feed_id", $"catalog_id")
+    },
+      """WITH fh AS (SELECT id, frame_idx AS fi, frame_hash AS h
+        |  FROM read_parquet('/tmp/graft_vscreen_feed_h/*.parquet')),
+        |ch AS (SELECT id, frame_idx AS fi, frame_hash AS h
+        |  FROM read_parquet('/tmp/graft_vscreen_cat_h/*.parquet')),
+        |fn AS (SELECT id, CAST(COUNT(DISTINCT fi) AS BIGINT) AS n FROM fh GROUP BY id),
+        |cn AS (SELECT id, CAST(COUNT(DISTINCT fi) AS BIGINT) AS n FROM ch GROUP BY id),
+        |fk AS (SELECT id, fi, h, i.i AS chunk, (h >> (i.i * 8)) & 255 AS ckey
+        |  FROM fh CROSS JOIN (SELECT UNNEST(RANGE(0, 8)) AS i) i),
+        |ck AS (SELECT id, fi, h, i.i AS chunk, (h >> (i.i * 8)) & 255 AS ckey
+        |  FROM ch CROSS JOIN (SELECT UNNEST(RANGE(0, 8)) AS i) i),
+        |cand AS (SELECT DISTINCT x.id AS feed_id, y.id AS catalog_id,
+        |    x.fi AS f_fi, y.fi AS c_fi, x.h AS ah, y.h AS bh
+        |  FROM fk x JOIN ck y ON x.chunk = y.chunk AND x.ckey = y.ckey),
+        |m AS (SELECT feed_id, catalog_id,
+        |    CAST(COUNT(DISTINCT f_fi) AS BIGINT) AS matched_feed,
+        |    CAST(COUNT(DISTINCT c_fi) AS BIGINT) AS matched_catalog
+        |  FROM cand WHERE BIT_COUNT(XOR(ah, bh)) <= 7 GROUP BY 1, 2),
+        |sc AS (SELECT m.feed_id, m.catalog_id, m.matched_feed, m.matched_catalog,
+        |    fn.n AS feed_frames, cn.n AS catalog_frames,
+        |    GREATEST(CAST(m.matched_feed AS DOUBLE) / CAST(fn.n AS DOUBLE),
+        |      CAST(m.matched_catalog AS DOUBLE) / CAST(cn.n AS DOUBLE)) AS ov
+        |  FROM m JOIN fn ON fn.id = m.feed_id JOIN cn ON cn.id = m.catalog_id)
+        |SELECT feed_id, catalog_id, matched_feed, matched_catalog,
+        |  feed_frames, catalog_frames, ROUND(ov, 6) AS overlap
+        |FROM sc WHERE ov >= 0.5 ORDER BY feed_id, catalog_id""".stripMargin)
   )
 
   /** Cross-table banding replay for the p134 feed-vs-catalog screen. */

@@ -122,6 +122,30 @@ class VideoCodecSpec extends AnyFunSuite {
     assert((0 until 5).forall(i => scenes(("static", i))._3 == 0L))
   }
 
+  test("VideoScreen: excerpt feed clip contains against the catalog at 1.0") {
+    import spark.implicits._
+    import graft.operators.multimodal.VideoScreen
+    val frames = (0 until 8).map(i => ImageGen.pattern(48, 36, 600L + i * 3))
+    val catalog = Seq(
+      ("cat1", AviGen.aviFromJpegs(frames.map(ImageGen.encode(_, "jpg")), 48, 36)),
+      ("cat2", AviGen.pattern(48, 36, nFrames = 6, seed = 7700, step = 5)))
+      .toDF("id", "content")
+    val feed = Seq(
+      ("new1", AviGen.aviFromJpegs( // 4-frame excerpt of cat1: a re-upload
+        frames.drop(4).map(ImageGen.encode(_, "jpg")), 48, 36)),
+      ("new2", AviGen.pattern(48, 36, nFrames = 6, seed = 991100, step = 8)))
+      .toDF("id", "content")
+    val catHashes = VideoDedup.frameHashes(catalog, "id", "content", maxFrames = 16)
+    val feedHashes = VideoDedup.frameHashes(feed, "id", "content", maxFrames = 16)
+    val hits = VideoScreen.screenFromHashes(
+        feedHashes, "id", "frame_idx", "frame_hash",
+        catHashes, "id", "frame_idx", "frame_hash",
+        maxHamming = 7, minOverlap = 0.5)
+      .collect().map(r => (r.getString(1), r.getString(0)) -> r.getDouble(6)).toMap
+    assert(hits((("cat1", "new1"))) == 1.0, "excerpt contains through its own side")
+    assert(!hits.keySet.exists(_._2 == "new2"), "fresh content passes the screen")
+  }
+
   test("VideoDedup hot-hash cap drops capped chunk keys deterministically") {
     import spark.implicits._
     // static clips: every frame of each clip hashes alike -> one hot hash
