@@ -90,6 +90,14 @@ object Multimodal {
       (b: Array[Byte]) => VideoCodec.frameCount(b))
     spark.udf.register("mm_video_frame_hashes",
       (b: Array[Byte], n: Int) => VideoCodec.frameHashes(b, n))
+    // REAL embedded metadata (ExifCodec): JPEG EXIF (make/model/
+    // orientation/timestamp/declared dims) and PNG tEXt key→value pairs
+    // — in-file provenance signals, null/empty when absent
+    spark.udf.register("mm_exif", (b: Array[Byte]) =>
+      ExifCodec.readExif(b).map(e =>
+        (e.make, e.model, e.orientation, e.dateTime, e.pixelX, e.pixelY)))
+    spark.udf.register("mm_png_text",
+      (b: Array[Byte]) => ExifCodec.readPngText(b))
     // byte-level frame sampling: n evenly spaced fixed-size slices (real
     // partitioning/batching shape; a real impl would seek keyframes)
     spark.udf.register("mm_frame_sample", (b: Array[Byte], n: Int, frameSize: Int) => {

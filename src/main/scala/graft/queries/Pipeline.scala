@@ -4764,7 +4764,48 @@ object Pipeline {
         |  FROM m JOIN fn ON fn.id = m.feed_id JOIN cn ON cn.id = m.catalog_id)
         |SELECT feed_id, catalog_id, matched_feed, matched_catalog,
         |  feed_frames, catalog_frames, ROUND(ov, 6) AS overlap
-        |FROM sc WHERE ov >= 0.5 ORDER BY feed_id, catalog_id""".stripMargin)
+        |FROM sc WHERE ov >= 0.5 ORDER BY feed_id, catalog_id""".stripMargin),
+
+    // ---- REAL embedded image metadata (r17): JPEG EXIF (APP1/TIFF —
+    //      make/model/orientation/timestamp/declared dims) and PNG tEXt
+    //      chunks, parsed by ExifCodec on the bare JDK. The generator
+    //      wrote the fields, so the oracle is pure literals; the plain
+    //      rows pin the no-metadata null paths. ----
+    QuerySpec.sql("p137_image_exif", (s, dir) => {
+      import s.implicits._
+      import graft.operators.multimodal.{ExifGen, ImageGen, Multimodal}
+      val fixDir = java.nio.file.Paths.get("/tmp/graft_exif_fixture")
+      if (java.nio.file.Files.exists(fixDir))
+        org.apache.commons.io.FileUtils.deleteDirectory(fixDir.toFile)
+      java.nio.file.Files.createDirectories(fixDir)
+      def put(name: String, bytes: Array[Byte]): Unit =
+        java.nio.file.Files.write(fixDir.resolve(name), bytes)
+      put("cam.jpg", ExifGen.jpegWithExif(ImageGen.jpeg(40, 30, seed = 1),
+        ExifGen.app1("Canon", "EOS-5", orientation = 6,
+          dateTime = "2023:07:14 10:30:00", w = 4000, h = 3000)))
+      put("plain.jpg", ImageGen.jpeg(40, 30, seed = 2))
+      put("gen.png", ExifGen.pngWithText(ImageGen.png(20, 10, seed = 3),
+        "Software", "graft-gen 1.0"))
+      put("plain.png", ImageGen.png(20, 10, seed = 4))
+      Multimodal.register(s)
+      s.read.format("binaryFile").load(fixDir.toString)
+        .selectExpr("element_at(split(path, '/'), -1) as name",
+          "coalesce(mm_exif(content)._1, 'none') as make",
+          "coalesce(mm_exif(content)._2, 'none') as model",
+          "coalesce(mm_exif(content)._3, -1) as orientation",
+          "coalesce(mm_exif(content)._4, 'none') as taken_at",
+          "coalesce(mm_exif(content)._5, -1) as exif_w",
+          "coalesce(mm_exif(content)._6, -1) as exif_h",
+          "coalesce(element_at(mm_png_text(content), 'Software'), 'none') as software")
+        .orderBy($"name")
+    },
+      """SELECT * FROM (VALUES
+        | ('cam.jpg', 'Canon', 'EOS-5', 6, '2023:07:14 10:30:00', 4000, 3000, 'none'),
+        | ('gen.png', 'none', 'none', -1, 'none', -1, -1, 'graft-gen 1.0'),
+        | ('plain.jpg', 'none', 'none', -1, 'none', -1, -1, 'none'),
+        | ('plain.png', 'none', 'none', -1, 'none', -1, -1, 'none'))
+        | t(name, make, model, orientation, taken_at, exif_w, exif_h, software)
+        |ORDER BY name""".stripMargin)
   )
 
   /** Cross-table banding replay for the p134 feed-vs-catalog screen. */
