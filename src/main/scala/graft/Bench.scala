@@ -139,63 +139,108 @@ object Bench {
     // with the run's GC/JIT deltas — on any query >2x its prior warm with
     // >0.5 s absolute growth (the floor keeps 0.1 s -> 0.25 s noise out).
     val (priorWarm: Map[String, Double], priorIsolated: Map[String, Double]) = {
-      val files = Option(new java.io.File(".").listFiles()).getOrElse(Array())
-        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
-      files.sortBy(_.getName).lastOption.map { f =>
-        // the driver's record nests this bench's stdout JSON escaped inside
-        // a "tail" string — unescape before matching; and only compare
-        // same-SF runs (a local sf0.001 smoke vs the official sf0.1 record
-        // would flag pure scale differences)
-        val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-          .replace("\\\"", "\"")
-        val priorSf = """"sf":\s*"?(?:.*?sf)?([0-9.]+)""".r.findFirstMatchIn(txt)
-          .map(_.group(1)).getOrElse("")
-        val thisSf = """sf([0-9.]+)""".r.findFirstMatchIn(sfDir)
-          .map(_.group(1)).getOrElse("?")
-        if (priorSf != thisSf) (Map.empty[String, Double], Map.empty[String, Double])
-        else {
-          def objBody(field: String): String =
-            (s""""$field":\\{([^}]*)\\}""").r.findFirstMatchIn(txt)
-              .map(_.group(1)).getOrElse("")
-          def numMap(body: String): Map[String, Double] =
-            """"([A-Za-z0-9_]+)":(-?[0-9][0-9.eE+-]*)""".r.findAllMatchIn(body)
-              .map(m => m.group(1) -> m.group(2).toDouble).toMap
-          // a query that STALLED last round carries an inflated warm time —
-          // baselining against it would blind the gate for exactly the
-          // queries that were already sick, so those keys are dropped
-          // (their this-round warm is then simply ungated, like a new query)
-          val priorStalls = """"stalls":\[([^\]]*)\]""".r.findFirstMatchIn(txt)
+      // primary source: the COMPLETE committed BENCH_full_latest.json from
+      // the previous round (long-name keys). The driver's BENCH_r{N}.json
+      // keeps only a truncated "tail" of this bench's stdout — the
+      // "queries":{ opener is usually cut off, which left this gate blind
+      // (r17 finding: zero wobble stamps ever fired from the record files)
+      // — so it is only the fallback, and only when its queries object
+      // survived the truncation.
+      def parse(f: java.io.File): Option[(Map[String, Double], Map[String, Double])] =
+        try {
+          // records nest this bench's stdout JSON escaped inside a "tail"
+          // string — unescape before matching; and only compare same-SF
+          // runs (a local sf0.001 smoke vs the official sf0.1 record would
+          // flag pure scale differences)
+          val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+            .replace("\\\"", "\"")
+          val priorSf = """"sf":\s*"?(?:.*?sf)?([0-9.]+)""".r.findFirstMatchIn(txt)
             .map(_.group(1)).getOrElse("")
-            .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSet
-          val warm = numMap(objBody("queries")).filterNot { case (k, _) =>
-            priorStalls.contains(k) || RedefinedQueries.contains(k) }
-          // prior round's fresh-JVM stamps: when an entry has one, it is
-          // the trustworthy baseline (r16 ask: compare iso-to-iso, not
-          // swept-to-swept, for the entries known to wobble with sweep
-          // position on identical code)
-          (warm, numMap(objBody("isolated")) - "more")
-        }
-      }.getOrElse((Map.empty[String, Double], Map.empty[String, Double]))
+          val thisSf = """sf([0-9.]+)""".r.findFirstMatchIn(sfDir)
+            .map(_.group(1)).getOrElse("?")
+          if (priorSf != thisSf) None
+          else {
+            def objBody(field: String): String =
+              (s""""$field":\\{([^}]*)\\}""").r.findFirstMatchIn(txt)
+                .map(_.group(1)).getOrElse("")
+            // keys normalize to the short id (p51_xxx -> p51): BENCH_full
+            // files carry long names, records short ones
+            def numMap(body: String): Map[String, Double] =
+              """"([A-Za-z0-9_]+)":(-?[0-9][0-9.eE+-]*)""".r.findAllMatchIn(body)
+                .map(m => m.group(1).split("_").head -> m.group(2).toDouble).toMap
+            val warm0 = numMap(objBody("queries"))
+            if (warm0.isEmpty) None
+            else {
+              // a query that STALLED last round carries an inflated warm
+              // time — baselining against it would blind the gate for
+              // exactly the queries that were already sick, so those keys
+              // are dropped (their this-round warm is then simply ungated,
+              // like a new query)
+              val priorStalls = """"stalls":\[([^\]]*)\]""".r.findFirstMatchIn(txt)
+                .map(_.group(1)).getOrElse("")
+                .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")
+                  .split("_").head).toSet
+              val warm = warm0.filterNot { case (k, _) =>
+                priorStalls.contains(k) || RedefinedQueries.contains(k) }
+              // prior round's fresh-JVM stamps: when an entry has one, it
+              // is the trustworthy baseline (r16 ask: compare iso-to-iso,
+              // not swept-to-swept, for the entries known to wobble with
+              // sweep position on identical code)
+              Some((warm, numMap(objBody("isolated")) - "more"))
+            }
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      val all = Option(new java.io.File(".").listFiles()).getOrElse(Array())
+      def latest(pattern: String): Seq[java.io.File] =
+        all.filter(_.getName.matches(pattern))
+          .sortBy(f => f.getName.replaceAll("\\D", "").toIntOption.getOrElse(0))
+          .lastOption.toSeq
+      // candidate order: working-tree latest (most recent same-code run),
+      // the last round's committed full stamp, the driver record tail
+      (Seq(new java.io.File("BENCH_full_latest.json")).filter(_.isFile) ++
+        latest("BENCH_full_r\\d+\\.json") ++ latest("BENCH_r\\d+\\.json"))
+        .view.flatMap(parse).headOption
+        .getOrElse((Map.empty[String, Double], Map.empty[String, Double]))
     }
-    // baseline for an entry: its prior ISOLATED stamp when one exists
-    // (fresh-JVM number, immune to sweep position), else the prior warm
-    def baseline(n: String): Option[Double] = {
-      val id = n.split("_").head
-      priorIsolated.get(id).orElse(priorWarm.get(id)).filter(_ > 0)
+    // swept-regime baseline: the prior round's SWEPT warm only — prior
+    // isolated stamps belong to the fork regime and are compared
+    // iso-to-iso in the final verdict (r17 fix: mixing regimes here made
+    // the gates fire on measurement-context differences, not plans)
+    def baseline(n: String): Option[Double] =
+      priorWarm.get(n.split("_").head).filter(_ > 0)
+    // GLOBAL drift normalization (r17 finding: a run measured every entry
+    // — including scalar-function trivials untouched for ten rounds — at
+    // a uniform median 1.32x of the r16 stamp; machine state, not plan
+    // cost). A plan regression is a RELATIVE outlier, so every gate below
+    // compares against baseline × the run's median drift ratio; the ratio
+    // is printed for transparency and a genuinely sick machine still
+    // surfaces through it.
+    val globalRatio: Double = {
+      val ratios = timed.flatMap { case (n, (_, w: RunStats)) =>
+        for (wv <- w.time.toOption; p <- baseline(n) if p > 0.2) yield wv / p
+      }.sorted
+      if (ratios.length < 20) 1.0 else ratios(ratios.length / 2)
     }
+    System.err.println(String.format(java.util.Locale.ROOT,
+      "[bench] global-drift: median warm/baseline ratio %.3f over %s entries",
+      Double.box(globalRatio), Int.box(priorWarm.size)))
     val prelimRegressions = timed.collect {
       case (n, (_, w: RunStats)) if w.time.exists { wv =>
-        baseline(n).exists(p => wv > 2 * p && wv - p > 0.5)
+        baseline(n).exists(p => wv > 2 * p * globalRatio &&
+          wv - p * globalRatio > 0.5)
       } => n
     }
     // wobble detector (r16 ask #3): same-code entries moving >1.5x in
-    // EITHER direction round-over-round are sweep-position noise suspects
-    // — stamp each with a fresh-JVM isolated run so next round's compare
-    // is isolated-to-isolated instead of noise-to-noise
+    // EITHER direction round-over-round (drift-normalized) are
+    // sweep-position noise suspects — stamp each with a fresh-JVM
+    // isolated run so next round's compare is isolated-to-isolated
+    // instead of noise-to-noise
     val wobbles = timed.collect {
       case (n, (_, w: RunStats)) if w.time.exists { wv =>
-        baseline(n).exists(p =>
-          (wv > 1.5 * p || wv < p / 1.5) && math.abs(wv - p) > 0.5)
+        baseline(n).exists { p0 =>
+          val p = p0 * globalRatio
+          (wv > 1.5 * p || wv < p / 1.5) && math.abs(wv - p) > 0.5
+        }
       } => n
     }.filterNot(n => prelimRegressions.contains(n) || stalls.contains(n))
     System.err.println(String.format(java.util.Locale.ROOT,
@@ -252,15 +297,49 @@ object Bench {
         }
       }
     }
-    // final regression verdicts: a sweep flag is CONFIRMED only if the
-    // fresh-JVM isolated time also clears the gate — the sweep number is
-    // kept for transparency, but a regression that vanishes in isolation
-    // is sweep-position noise, not a plan cost (r10/r16 lessons)
+    // final regression verdicts, LIKE against LIKE (r17 fix): when the
+    // prior round left a fresh-JVM isolated stamp, compare this round's
+    // isolated number against it (both fresh-JVM — no drift scaling, a
+    // fork shares none of the sweep's accumulated state); otherwise the
+    // prior number is a long-JVM swept warm, and a fresh-JVM fork is NOT
+    // comparable to it (iterative queries pay their whole codegen/JIT
+    // bill per fork — measured 2-5x the swept steady state on identical
+    // code), so the confirmation stays swept-vs-swept, drift-normalized.
+    // The isolated stamp is still recorded either way, so NEXT round
+    // compares iso-to-iso.
     val isoMap = isolated.toMap
+    // fork-regime drift: fresh-JVM forks drift with machine state too
+    // (r17 measured 2-5x on untouched trivial queries across one session
+    // — sustained-load frequency capping), so iso-to-iso compares against
+    // its OWN median ratio over the entries stamped in both rounds; with
+    // too few shared stamps the swept-regime ratio stands in
+    val isoRatio: Double = {
+      val ratios = isolated.flatMap { case (n, v) =>
+        priorIsolated.get(n.split("_").head).filter(_ > 0).map(v / _) }.sorted
+      if (ratios.length < 5) globalRatio else ratios(ratios.length / 2)
+    }
+    if (isolated.nonEmpty)
+      System.err.println(String.format(java.util.Locale.ROOT,
+        "[bench] fork-drift: median isolated ratio %.3f over %s shared stamps",
+        Double.box(isoRatio), Int.box(isolated.count(i =>
+          priorIsolated.contains(i._1.split("_").head)))))
     val regressions = prelimRegressions.filter { n =>
-      baseline(n).forall { p =>
-        val v = isoMap.getOrElse(n, byName(n)._2.time.getOrElse(Double.MaxValue))
-        v > 2 * p && v - p > 0.5
+      val id = n.split("_").head
+      priorIsolated.get(id).filter(_ > 0) match {
+        case Some(pIso) =>
+          val v = isoMap.getOrElse(n, byName(n)._2.time.getOrElse(Double.MaxValue))
+          v > 2 * pIso * isoRatio && v - pIso * isoRatio > 0.5
+        case None =>
+          // the fork can still CLEAR a flag (a fresh JVM beating the gate
+          // despite paying full codegen proves sweep-position noise — the
+          // r10 lesson); it just cannot CONFIRM one against a swept
+          // baseline it is not comparable to
+          val isoClears = isoMap.get(n).exists(v =>
+            baseline(n).exists(p => v <= 2 * p || v - p <= 0.5))
+          !isoClears && baseline(n).forall { p =>
+            val wv = byName(n)._2.time.getOrElse(Double.MaxValue)
+            wv > 2 * p * globalRatio && wv - p * globalRatio > 0.5
+          }
       }
     }
     (prelimRegressions ++ wobbles).distinct.foreach { n =>
