@@ -2008,7 +2008,12 @@ object AudioFeaturesET extends NoPathET {
   * ([[graft.operators.multimodal.VideoDedup]]). `mode="frame_hashes"`
   * emits the (id, frame_idx, frame_hash) stamp — the persisted oracle
   * boundary p132 replays from; `mode="pairs_from_hashes"` re-runs only
-  * the join+score half on an already-hashed table.
+  * the join+score half on an already-hashed table;
+  * `mode="screen_from_hashes"` runs the feed-vs-catalog ingest screen
+  * (input = feed hash table, `catalogTable` names the persisted corpus
+  * stamp — see [[graft.operators.multimodal.VideoScreen]]);
+  * `pairBands="true"` switches the self-join modes to two-chunk
+  * banding for corpus scale.
   */
 object VideoDedupET extends NoPathET {
   override def name = "VideoDedup"

@@ -896,6 +896,44 @@ class PipelineETSpec extends AnyFunSuite {
     assert(hdf.head().getLong(0) == 3L)
   }
 
+  test("ImageDedup ET screen mode: feed binaries vs a registered catalog stamp") {
+    import graft.operators.multimodal.ImageGen
+    val dir = Files.createTempDirectory("graft_imgscreen")
+    val base = ImageGen.pattern(64, 48, seed = 77)
+    Files.write(dir.resolve("f1.png"),
+      ImageGen.encode(ImageGen.perturb(base, 2, seed = 3), "png"))
+    Files.write(dir.resolve("f2.png"), ImageGen.png(64, 48, seed = 31415))
+    import spark.implicits._
+    graft.operators.multimodal.ImageDedup.hashes(
+        Seq(("c1", ImageGen.encode(base, "png"))).toDF("id", "content"),
+        "id", "content")
+      .createOrReplaceTempView("img_catalog")
+    val df = runDF(
+      s"""load binaryFile.`$dir` as feed;
+         |select element_at(split(path, '/'), -1) as name, content from feed as named;
+         |run named as ImageDedup.`` where mode="screen" and idCol="name"
+         |  and catalogTable="img_catalog" and maxHamming="8" as hits;
+         |select feed_id, catalog_id from hits order by feed_id as out;""".stripMargin)
+    assert(df.collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("f1.png", "c1")))
+  }
+
+  test("VideoScenes ET: shot cuts through the DSL") {
+    import graft.operators.multimodal.{AviGen, ImageGen}
+    val dir = Files.createTempDirectory("graft_vscenes")
+    // two static 2-frame segments: one cut at frame 2
+    val segs = Seq(5L, 5L, 9999L, 9999L)
+    Files.write(dir.resolve("c.avi"), AviGen.aviFromJpegs(
+      segs.map(sd => ImageGen.jpeg(48, 36, sd)), 48, 36))
+    val df = runDF(
+      s"""load binaryFile.`$dir` as clips;
+         |select element_at(split(path, '/'), -1) as name, content from clips as named;
+         |run named as VideoScenes.`` where idCol="name" and cutThreshold="10" as sc;
+         |select frame_idx, scene_id from sc order by frame_idx as out;""".stripMargin)
+    assert(df.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      Seq((0, 0L), (1, 0L), (2, 1L), (3, 1L)))
+  }
+
   test("AudioFeatures ET: real WAV decode through the DSL") {
     import graft.operators.multimodal.WavGen
     val dir = Files.createTempDirectory("graft_audio")
