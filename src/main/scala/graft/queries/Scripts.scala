@@ -1794,7 +1794,63 @@ object Scripts {
         |  FROM m JOIN nf na ON na.id = m.a_id JOIN nf nb ON nb.id = m.b_id)
         |SELECT a_id, b_id, matched_a, matched_b, a_frames, b_frames,
         |  ROUND(ov, 6) AS overlap
-        |FROM sc WHERE ov >= 0.5 ORDER BY a_id, b_id""".stripMargin)
+        |FROM sc WHERE ov >= 0.5 ORDER BY a_id, b_id""".stripMargin),
+
+    // ---- s49: STREAMING INGEST-SCREEN FLAGSHIP (round 17) — the
+    //      cross-batch perceptual near-dup screen end-to-end through the
+    //      DSL: a persisted (id, img_hash) stamp of real images replays
+    //      as a micro-batch stream (mockStream), StreamHammingScreen
+    //      catches pairs across batches in transformWithState, and the
+    //      appended memory table IS the compared surface. The oracle is
+    //      the BATCH banding replay over the same stamp — valid because
+    //      the uncapped streamed pair set provably equals the batch
+    //      self-join for any chunking (the exactly-once min-chunk
+    //      emission property, spec-pinned in StreamingSpec). ----
+    QuerySpec.sql("s49_script_stream_screen", (s, dir) => {
+      import s.implicits._
+      import graft.operators.multimodal.{ImageDedup, ImageGen}
+      val base = ImageGen.pattern(64, 48, seed = 4100)
+      val imgs = Seq(
+        ("a1", ImageGen.encode(base, "png")),
+        ("a2", ImageGen.encode(ImageGen.perturb(base, 2, seed = 6), "png")),
+        ("a3", ImageGen.encode(base, "png")), // byte-identical re-ingest
+        ("b", ImageGen.png(64, 48, seed = 4300)),
+        ("c", ImageGen.png(80, 60, seed = 4500))).toDF("id", "content")
+      ImageDedup.hashes(imgs, "id", "content")
+        .write.mode("overwrite").parquet("/tmp/graft_s49_hashes")
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(providerKey)
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val ctx = graft.dsl.ScriptRunner.run(
+          s"""set streamName = "s49q";
+             |load parquet.`/tmp/graft_s49_hashes` as s49_stamp;
+             |load mockStream.`s49_stamp` as s49_stream;
+             |run s49_stream as StreamHammingScreen.`` where idCol="id"
+             |  and hashCol="img_hash" and maxHamming="7" as s49_pairs;
+             |save append s49_pairs as memory.`` where mode="append"
+             |  and checkpointLocation="${java.nio.file.Files
+                  .createTempDirectory("ck_s49")}" and duration="0";""".stripMargin, s)
+        val q = ctx.streams("s49q")
+        q.processAllAvailable()
+        q.stop()
+        s.table("s49q").orderBy($"a_id", $"b_id")
+      } finally prev match {
+        case Some(v) => s.conf.set(providerKey, v)
+        case None => s.conf.unset(providerKey)
+      }
+    },
+      """WITH hs AS (SELECT id, img_hash AS h
+        |  FROM read_parquet('/tmp/graft_s49_hashes/*.parquet')),
+        |ck AS (SELECT id, h, i.i AS chunk, (h >> (i.i * 8)) & 255 AS ckey
+        |  FROM hs CROSS JOIN (SELECT UNNEST(RANGE(0, 8)) AS i) i),
+        |cand AS (SELECT DISTINCT x.id AS a_id, y.id AS b_id, x.h AS ah, y.h AS bh
+        |  FROM ck x JOIN ck y
+        |    ON x.chunk = y.chunk AND x.ckey = y.ckey AND x.id < y.id)
+        |SELECT a_id, b_id, CAST(BIT_COUNT(XOR(ah, bh)) AS INTEGER) AS hamming
+        |FROM cand WHERE BIT_COUNT(XOR(ah, bh)) <= 7
+        |ORDER BY a_id, b_id""".stripMargin)
   )
 
   /** One replay of the s46 script off shared base CTEs: the weighted
