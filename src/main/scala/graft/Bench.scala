@@ -19,11 +19,12 @@ object Bench {
     * prior-round warm time baselines a different computation, so the
     * drift gate must not compare against it (same treatment as
     * prior-round stalls — the key is dropped and the query runs ungated
-    * this round). r14: p51 additionally persists its merge table and
-    * encodes a 512-rank oracle sample; s27 additionally exports the
-    * fitted centroids (its new oracle boundary).
+    * this round). A redefined `q*`/`f*` entry is also removed from the
+    * [[BenchGate]] control population. r14: p51 additionally persists its
+    * merge table and encodes a 512-rank oracle sample; s27 additionally
+    * exports the fitted centroids (its new oracle boundary).
     */
-  private val RedefinedQueries = Set("p51", "s27")
+  private[graft] val RedefinedQueries = Set("p51", "s27")
 
   /** JVM-health counters captured around each timed run, so a warm-time
     * regression can be attributed (GC pause? JIT recompilation storm? code
@@ -195,10 +196,30 @@ object Bench {
         all.filter(_.getName.matches(pattern))
           .sortBy(f => f.getName.replaceAll("\\D", "").toIntOption.getOrElse(0))
           .lastOption.toSeq
-      // candidate order: working-tree latest (most recent same-code run),
-      // the last round's committed full stamp, the driver record tail
-      (Seq(new java.io.File("BENCH_full_latest.json")).filter(_.isFile) ++
-        latest("BENCH_full_r\\d+\\.json") ++ latest("BENCH_r\\d+\\.json"))
+      // HEAD's copy of BENCH_full_latest.json, materialized to a temp file.
+      // The WORKING-TREE copy is deliberately NOT a candidate: every bench
+      // run overwrites it (see the write below), so baselining on it made
+      // successive same-session runs re-baseline against their own output —
+      // a slow creep ratcheted in un-gated and the inflated number became
+      // next round's baseline (the r17 self-re-baselining defect,
+      // VERDICT r17 "What's wrong" #2).
+      def committedLatest(): Seq[java.io.File] = try {
+        val p = new ProcessBuilder("git", "show", "HEAD:BENCH_full_latest.json")
+          .redirectErrorStream(false).start()
+        val bytes = p.getInputStream.readAllBytes()
+        if (p.waitFor() == 0 && bytes.nonEmpty) {
+          val f = java.io.File.createTempFile("graft_bench_head_", ".json")
+          f.deleteOnExit()
+          java.nio.file.Files.write(f.toPath, bytes)
+          Seq(f)
+        } else Seq.empty
+      } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+      // candidate order — immutable sources only: the last committed
+      // per-round stamp (BENCH_full_r{N-1}.json, written once at the start
+      // of round N and never touched by a bench run), then HEAD's
+      // BENCH_full_latest.json, then the driver record tail
+      (latest("BENCH_full_r\\d+\\.json") ++ committedLatest() ++
+        latest("BENCH_r\\d+\\.json"))
         .view.flatMap(parse).headOption
         .getOrElse((Map.empty[String, Double], Map.empty[String, Double]))
     }
@@ -208,44 +229,119 @@ object Bench {
     // the gates fire on measurement-context differences, not plans)
     def baseline(n: String): Option[Double] =
       priorWarm.get(n.split("_").head).filter(_ > 0)
-    // GLOBAL drift normalization (r17 finding: a run measured every entry
-    // — including scalar-function trivials untouched for ten rounds — at
-    // a uniform median 1.32x of the r16 stamp; machine state, not plan
-    // cost). A plan regression is a RELATIVE outlier, so every gate below
-    // compares against baseline × the run's median drift ratio; the ratio
-    // is printed for transparency and a genuinely sick machine still
-    // surfaces through it.
-    val globalRatio: Double = {
-      val ratios = timed.flatMap { case (n, (_, w: RunStats)) =>
-        for (wv <- w.time.toOption; p <- baseline(n) if p > 0.2) yield wv / p
-      }.sorted
-      if (ratios.length < 20) 1.0 else ratios(ratios.length / 2)
+    // Drift normalization + regression/wobble gates live in BenchGate (pure,
+    // unit-tested). r18 change: the normalizer is the median ratio over the
+    // PINNED q/f CONTROL SET only, not over all entries — a shared-helper
+    // code regression moves the p/s operators but cannot move the
+    // ten-rounds-unchanged relational/scalar trivials, so it now fires the
+    // gate instead of being absorbed into "machine drift" (VERDICT r17
+    // "What's wrong" #3 / ADVICE r17 #2). A control ratio outside
+    // [0.4, 2.5] raises drift_alarm in the record.
+    val warmOk: Seq[(String, Double)] = timed.collect {
+      case (n, (_, w: RunStats)) if w.time.isRight => n -> w.time.toOption.get
     }
+    val gate = BenchGate.evaluate(warmOk, priorWarm)
+    val globalRatio = gate.globalRatio
     System.err.println(String.format(java.util.Locale.ROOT,
-      "[bench] global-drift: median warm/baseline ratio %.3f over %s entries",
-      Double.box(globalRatio), Int.box(priorWarm.size)))
-    val prelimRegressions = timed.collect {
-      case (n, (_, w: RunStats)) if w.time.exists { wv =>
-        baseline(n).exists(p => wv > 2 * p * globalRatio &&
-          wv - p * globalRatio > 0.5)
-      } => n
-    }
+      "[bench] global-drift: control-set median warm/baseline ratio %.3f over %s controls (baseline entries %s)%s",
+      Double.box(globalRatio), Int.box(gate.controlCount),
+      Int.box(priorWarm.size),
+      if (gate.driftAlarm) " DRIFT-ALARM: ratio outside sanity bounds, box too sick for normalized gating" else ""))
+    val prelimRegressions = gate.regressions
     // wobble detector (r16 ask #3): same-code entries moving >1.5x in
     // EITHER direction round-over-round (drift-normalized) are
     // sweep-position noise suspects — stamp each with a fresh-JVM
     // isolated run so next round's compare is isolated-to-isolated
     // instead of noise-to-noise
-    val wobbles = timed.collect {
-      case (n, (_, w: RunStats)) if w.time.exists { wv =>
-        baseline(n).exists { p0 =>
-          val p = p0 * globalRatio
-          (wv > 1.5 * p || wv < p / 1.5) && math.abs(wv - p) > 0.5
-        }
-      } => n
-    }.filterNot(n => prelimRegressions.contains(n) || stalls.contains(n))
+    val wobbles = gate.wobbles.filterNot(stalls.contains)
     System.err.println(String.format(java.util.Locale.ROOT,
       "[bench] jvm-health: gc_total=%dms jit_total=%dms codecache_used=%.0fMB",
       Long.box(gcMillis), Long.box(jitMillis), Double.box(codeCacheUsedMb)))
+
+    // ------------------------------------------------------------------
+    // Emit the SWEPT record BEFORE any isolated fork re-run (r17: the forks
+    // blew the driver's time budget on a frequency-capped box and the
+    // ENTIRE official record was lost — BENCH_r17.json rc=124/parsed:null).
+    // stdout carries the swept record now and an amended record after the
+    // forks; the driver's ~1.9KB stdout tail keeps the amended one when the
+    // forks finish and the swept one when the run is killed mid-fork. The
+    // file copies are likewise written twice. A "phase" field at the TAIL
+    // of each JSON (where truncation cannot reach it) says which one a
+    // record is.
+    // ------------------------------------------------------------------
+    // explicit ROOT locale: the f"" interpolator is default-locale-dependent
+    // and a comma-decimal locale would emit invalid JSON
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def fmt(rs: Seq[(String, Either[String, Double])],
+            key: String => String = identity,
+            value: Double => String = num): String = rs.map {
+      case (k, Right(v)) => s""""${key(k)}":${value(v)}"""
+      case (k, Left(_))  => s""""${key(k)}":-1"""
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, Right(v)) => v }.sum
+    // stdout lists are CAPPED at 8 entries (+"…N" marker): the driver tail
+    // keeps only the LAST ~1.9 KB of stdout, and a sick sweep with dozens
+    // of stall/regression entries must not truncate the JSON head — the
+    // r04/r05 parsed:null failure mode — exactly when the gate matters.
+    // The file copy keeps the full lists.
+    def shortList(ns: Seq[String]): String = {
+      val ids = ns.map(_.split("_").head)
+      // ASCII marker only: the driver's tail capture mangles multi-byte
+      // chars (BENCH_r10 recorded the old ellipsis as "?12")
+      val kept = if (ids.size <= 8) ids else ids.take(8) :+ s"+${ids.size - 8}more"
+      kept.map("\"" + _ + "\"").mkString("[", ",", "]")
+    }
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val stallsJson = shortList(stalls)
+    val stallsFullJson = stalls.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val wobblesFullJson = wobbles.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val warmStats = timed.map { case (n, (_, w)) => n -> w }
+    def statsMap(f: RunStats => String): String =
+      warmStats.map { case (n, w) => s""""$n":${f(w)}""" }.mkString("{", ",", "}")
+    // The driver tail-captures the LAST ~2000 chars of stdout (measured from
+    // BENCH_r05), and sbt appends its own ~80-char "[success]" line, so each
+    // stdout JSON must stay well under ~1.9 KB or it loses its head and the
+    // judge sees "parsed": null (r04, r05 both hit this). stdout keys use the
+    // unique short ids (q1/p8/s16/f3: the prefix before the first '_');
+    // the file copy keeps full names.
+    def stdoutRecord(regs: Seq[String], isolated: Seq[(String, Double)],
+                     phase: String): String = {
+      // isolated re-runs: stdout carries at most 8 (same budget rule as the
+      // flag lists); an explicit overflow marker, so a truncated stdout
+      // object can't read as "only 8 were re-measured"
+      val keptIso = isolated.take(8)
+        .map { case (n, v) => s""""${n.split("_").head}":${num(v)}""" }
+      val marker = if (isolated.size > 8)
+        Seq(s""""more":${isolated.size - 8}""") else Seq.empty
+      val isoJson = (keptIso ++ marker).mkString("{", ",", "}")
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${fmt(results, key = _.split("_").head)},"failed":$failedJson,"stalls":$stallsJson,"regressions":${shortList(regs)},"isolated":$isoJson,"sf":"$sfDir","drift":${num(globalRatio)},"drift_alarm":${gate.driftAlarm},"phase":"$phase"}"""
+    }
+    // file copy: full query names, full precision (Double.toString is
+    // locale-independent), plus the cold sweep and the per-query JVM-health
+    // deltas (GC/JIT ms inside each warm run, code-cache occupancy after it)
+    def fileRecord(regs: Seq[String], isolated: Seq[(String, Double)],
+                   phase: String): String = {
+      val regsFull = regs.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val isoFull = isolated
+        .map { case (n, v) => s""""$n":$v""" }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results, value = _.toString)},"cold":${fmt(cold, value = _.toString)},"failed":$failedJson,"stalls":$stallsFullJson,"regressions":$regsFull,"wobbles":$wobblesFullJson,"isolated":$isoFull,"gc_ms":${statsMap(_.gcMs.toString)},"jit_ms":${statsMap(_.jitMs.toString)},"codecache_mb":${statsMap(w => num(w.ccMb))},"cpu_s":${statsMap(w => num(w.cpuS))},"sf":"$sfDir","drift":${num(globalRatio)},"drift_controls":${gate.controlCount},"drift_alarm":${gate.driftAlarm},"phase":"$phase"}"""
+    }
+    def writeRecordFiles(content: String): Unit = {
+      java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_bench.json"),
+        content.getBytes("UTF-8"))
+      // repo-root copy so the full per-query stats survive past /tmp (the
+      // judge reads BENCH_full_latest.json next to BENCH_r{N}.json); best
+      // effort — a read-only cwd must not fail the bench. The regression
+      // gate never reads this working-tree file (it baselines on committed
+      // stamps only — see the candidate order above).
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_full_latest.json"),
+        content.getBytes("UTF-8"))
+      catch { case _: Throwable => () }
+    }
+    println(stdoutRecord(prelimRegressions, Seq.empty, "swept"))
+    writeRecordFiles(fileRecord(prelimRegressions, Seq.empty, "swept"))
 
     // Sweep-state recovery (the r10 lesson): a stall/regression flag means
     // THIS JVM was sick around that run — 20 unchanged r10 queries swept
@@ -254,22 +350,31 @@ object Bench {
     // trustworthy re-measurement is a FRESH JVM. Fork BenchOne (same
     // classpath/JVM args — run/fork:=true makes java.class.path the real
     // app classpath) per flagged query and record the isolated warm time
-    // alongside the swept number, which is kept for transparency. Bounded:
-    // ≤20 re-runs, ≤10 min each; a failed re-run falls back to the swept
-    // number only.
+    // alongside the swept number, which is kept for transparency. Bounded
+    // by a TOTAL budget (r17: 20 forks x <=10 min each blew the driver's
+    // round budget and forfeited the record): at most 6 forks AND at most
+    // 15 minutes of total fork wall-clock; a skipped or failed re-run falls
+    // back to the swept number only.
     // test hook: force queries through the isolated path without a real
     // stall (comma-separated names), so the fork mechanics stay verifiable
     val forced = sys.env.get("SPARK_GRAFT_BENCH_FORCE_ISOLATED")
       .map(_.split(",").toSeq.filter(SparkEntry.queries.contains))
       .getOrElse(Seq.empty)
-    val flagged = (stalls ++ prelimRegressions ++ forced ++ wobbles).distinct.take(20)
+    // priority order inside the cap: stalls and regressions are the
+    // gate-significant flags; wobble stamps are best-effort
+    val flagged = (stalls ++ prelimRegressions ++ forced ++ wobbles).distinct.take(6)
+    val forkDeadlineNs = System.nanoTime() + 15L * 60 * 1000000000L
     val isolated: Seq[(String, Double)] = if (flagged.isEmpty) Seq.empty else {
       import scala.jdk.CollectionConverters._
       val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
         .getInputArguments.asScala.toSeq
       val cp = System.getProperty("java.class.path")
       flagged.flatMap { n =>
-        try {
+        val remainingMs = (forkDeadlineNs - System.nanoTime()) / 1000000L
+        if (remainingMs < 30000L) {
+          System.err.println(s"[bench] isolated $n: skipped, total fork budget exhausted")
+          None
+        } else try {
           val outF = java.io.File.createTempFile("graft_benchone_", ".log")
           val pb = new ProcessBuilder(
             (Seq("java") ++ jvmArgs ++ Seq("-cp", cp, "graft.BenchOne", n, "3")).asJava)
@@ -277,7 +382,8 @@ object Bench {
           pb.redirectErrorStream(true)
           pb.redirectOutput(outF)
           val p = pb.start()
-          val done = p.waitFor(10, java.util.concurrent.TimeUnit.MINUTES)
+          val done = p.waitFor(math.min(10L * 60 * 1000, remainingMs),
+            java.util.concurrent.TimeUnit.MILLISECONDS)
           if (!done) { p.destroyForcibly(); System.err.println(s"[bench] isolated $n: timeout"); None }
           else {
             val out = new String(java.nio.file.Files.readAllBytes(outF.toPath), "UTF-8")
@@ -355,75 +461,11 @@ object Bench {
         Double.box(isoMap.getOrElse(n, -1.0)),
         Long.box(w.gcMs), Long.box(w.jitMs), Double.box(w.cpuS)))
     }
-    // explicit ROOT locale: the f"" interpolator is default-locale-dependent
-    // and a comma-decimal locale would emit invalid JSON
-    def num(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def fmt(rs: Seq[(String, Either[String, Double])],
-            key: String => String = identity,
-            value: Double => String = num): String = rs.map {
-      case (k, Right(v)) => s""""${key(k)}":${value(v)}"""
-      case (k, Left(_))  => s""""${key(k)}":-1"""
-    }.mkString("{", ",", "}")
-    val total = results.collect { case (_, Right(v)) => v }.sum
-    // stdout lists are CAPPED at 8 entries (+"…N" marker): the driver tail
-    // keeps only the LAST ~1.9 KB of stdout, and a sick sweep with dozens
-    // of stall/regression entries must not truncate the JSON head — the
-    // r04/r05 parsed:null failure mode — exactly when the gate matters.
-    // The file copy below keeps the full lists.
-    def shortList(ns: Seq[String]): String = {
-      val ids = ns.map(_.split("_").head)
-      // ASCII marker only: the driver's tail capture mangles multi-byte
-      // chars (BENCH_r10 recorded the old ellipsis as "?12")
-      val kept = if (ids.size <= 8) ids else ids.take(8) :+ s"+${ids.size - 8}more"
-      kept.map("\"" + _ + "\"").mkString("[", ",", "]")
-    }
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val stallsJson = shortList(stalls)
-    val stallsFullJson = stalls.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val regressionsJson = shortList(regressions)
-    val regressionsFullJson = regressions.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val wobblesFullJson = wobbles.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val warmStats = timed.map { case (n, (_, w)) => n -> w }
-    def statsMap(f: RunStats => String): String =
-      warmStats.map { case (n, w) => s""""$n":${f(w)}""" }.mkString("{", ",", "}")
-    // The driver tail-captures the LAST 2000 chars of stdout (measured from
-    // BENCH_r05), and sbt appends its own ~80-char "[success]" line, so the
-    // stdout JSON must stay well under ~1.9 KB or it loses its head and the
-    // judge sees "parsed": null (r04, r05 both hit this). Full names at 3
-    // decimals is ~2.9 KB for 90 queries — too long — so stdout keys use the
-    // unique short ids (q1/p8/s16/f3: the prefix before the first '_'),
-    // ~1.3 KB total; the file copy below keeps full names.
-    // isolated re-runs: stdout carries at most 8 (same budget rule as the
-    // flag lists — short ids); the file copy below keeps all, full-named
-    val isolatedJson = {
-      val kept = isolated.take(8)
-        .map { case (n, v) => s""""${n.split("_").head}":${num(v)}""" }
-      // same overflow convention as the flag lists: an explicit marker, so
-      // a truncated stdout object can't read as "only 8 were re-measured"
-      val marker = if (isolated.size > 8)
-        Seq(s""""more":${isolated.size - 8}""") else Seq.empty
-      (kept ++ marker).mkString("{", ",", "}")
-    }
-    val isolatedFullJson = isolated
-      .map { case (n, v) => s""""$n":$v""" }.mkString("{", ",", "}")
-    val json =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${fmt(results, key = _.split("_").head)},"failed":$failedJson,"stalls":$stallsJson,"regressions":$regressionsJson,"isolated":$isolatedJson,"sf":"$sfDir"}"""
-    println(json)
-    // file copy: full query names, full precision (Double.toString is
-    // locale-independent), plus the cold sweep and the per-query JVM-health
-    // deltas (GC/JIT ms inside each warm run, code-cache occupancy after it)
-    val fileJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results, value = _.toString)},"cold":${fmt(cold, value = _.toString)},"failed":$failedJson,"stalls":$stallsFullJson,"regressions":$regressionsFullJson,"wobbles":$wobblesFullJson,"isolated":$isolatedFullJson,"gc_ms":${statsMap(_.gcMs.toString)},"jit_ms":${statsMap(_.jitMs.toString)},"codecache_mb":${statsMap(w => num(w.ccMb))},"cpu_s":${statsMap(w => num(w.cpuS))},"sf":"$sfDir"}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_bench.json"),
-      fileJson.getBytes("UTF-8"))
-    // repo-root copy so the full per-query stats survive past /tmp (the
-    // judge reads BENCH_full_latest.json next to BENCH_r{N}.json); best
-    // effort — a read-only cwd must not fail the bench
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_full_latest.json"),
-      fileJson.getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    // amended record: final (fork-confirmed/cleared) regression verdicts
+    // plus the isolated stamps, stdout + file. Printed last so the driver's
+    // stdout tail prefers it over the swept record when the forks complete.
+    println(stdoutRecord(regressions, isolated, "amended"))
+    writeRecordFiles(fileRecord(regressions, isolated, "amended"))
     spark.stop()
   }
 }

@@ -1,0 +1,94 @@
+package graft
+
+/** Pure cross-round drift/regression gate, factored out of [[Bench]] so its
+  * behavior is unit-testable without a Spark session (r17 verdict ask #1d:
+  * "a synthetic +3x slowdown injected into one operator on a drifting box is
+  * caught by the gate in a test").
+  *
+  * Two r17 gate defects are fixed here:
+  *
+  *  1. '''Control-set drift normalization.''' The old gate normalized by the
+  *     median warm/baseline ratio over ALL entries, so a code change that
+  *     slowed most operators uniformly (a shared-helper regression in
+  *     GraftSession/Tables/LoopFrames) was indistinguishable from machine
+  *     drift and fired no gate. The normalizer now comes ONLY from a pinned
+  *     control population — the `q*`/`f*` relational/scalar trivials, pure
+  *     Spark SQL untouched for 10+ rounds — which drifts with the machine
+  *     but cannot drift with operator code. A shared-helper regression moves
+  *     the p/s entries but not the q/f controls, so it now surfaces as a
+  *     broad regression list instead of being normalized away.
+  *  2. '''Drift-ratio sanity alarm''' (ADVICE r17): a control-set ratio
+  *     outside [0.4, 2.5] means the box (or the harness itself) is too sick
+  *     for normalized gating to mean anything — the verdict record carries
+  *     an explicit `drift_alarm` instead of silently scaling baselines by a
+  *     wild factor.
+  *
+  * The thresholds are unchanged from r14-r17: a regression is warm > 2x the
+  * drift-scaled baseline AND >0.5 s absolute growth; a wobble is >1.5x in
+  * either direction with >0.5 s absolute movement.
+  */
+object BenchGate {
+
+  /** Short ids in the pinned control population: `q1..q45` relational and
+    * `f1..f17` scalar-function entries. They are recognized by shape
+    * (`^[qf]\d+$`) so new q/f entries join the controls automatically; an
+    * entry whose WORKLOAD is redefined must be listed in
+    * [[Bench.RedefinedQueries]], which removes it from both the baselines
+    * and the controls.
+    */
+  def isControl(shortId: String): Boolean =
+    shortId.length >= 2 && (shortId(0) == 'q' || shortId(0) == 'f') &&
+      shortId.drop(1).forall(_.isDigit)
+
+  /** Sanity bounds for the control-drift ratio (ADVICE r17). */
+  val DriftAlarmLow = 0.4
+  val DriftAlarmHigh = 2.5
+
+  /** Minimum control entries with a usable baseline before the measured
+    * ratio is trusted over 1.0. 62 q/f entries exist; requiring 8 keeps the
+    * gate alive on partial baselines without letting 2-3 noisy points set
+    * the normalizer.
+    */
+  val MinControls = 8
+
+  final case class Verdict(globalRatio: Double,
+                           controlCount: Int,
+                           driftAlarm: Boolean,
+                           regressions: Seq[String],
+                           wobbles: Seq[String])
+
+  /** Evaluate the swept warm times against a prior-round baseline.
+    *
+    * @param warm     this round's warm seconds, keyed by FULL query name
+    *                 (`p114_weighted_pagerank`); failed queries absent
+    * @param baseline prior-round warm seconds keyed by SHORT id (`p114`),
+    *                 already filtered of prior stalls/redefined entries
+    */
+  def evaluate(warm: Seq[(String, Double)],
+               baseline: Map[String, Double]): Verdict = {
+    def base(n: String): Option[Double] =
+      baseline.get(n.split("_").head).filter(_ > 0)
+    val controlRatios = warm.flatMap { case (n, wv) =>
+      val id = n.split("_").head
+      // the >0.2 s floor keeps sub-noise-floor controls (0.05 s -> 0.12 s is
+      // scheduler jitter, not drift) from setting the normalizer
+      if (isControl(id)) base(n).filter(_ > 0.2).map(wv / _) else None
+    }.sorted
+    val ratio =
+      if (controlRatios.length < MinControls) 1.0
+      else controlRatios(controlRatios.length / 2)
+    val alarm = controlRatios.length >= MinControls &&
+      (ratio < DriftAlarmLow || ratio > DriftAlarmHigh)
+    val regressions = warm.collect {
+      case (n, wv) if base(n).exists(p =>
+        wv > 2 * p * ratio && wv - p * ratio > 0.5) => n
+    }
+    val wobbles = warm.collect {
+      case (n, wv) if base(n).exists { p0 =>
+        val p = p0 * ratio
+        (wv > 1.5 * p || wv < p / 1.5) && math.abs(wv - p) > 0.5
+      } => n
+    }.filterNot(regressions.contains)
+    Verdict(ratio, controlRatios.length, alarm, regressions, wobbles)
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit tests for the pure cross-round bench gate (r17 verdict ask #1d).
+  * No Spark session needed — the gate is arithmetic over (name, seconds)
+  * pairs, which is exactly why it was factored out of Bench.main.
+  */
+class BenchGateSpec extends AnyFunSuite {
+
+  // 12 controls (q/f trivials) + 3 operators, baselines keyed by short id
+  private val controls: Seq[String] =
+    (1 to 8).map(i => s"q${i}_rel") ++ (1 to 4).map(i => s"f${i}_fn")
+  private val baseline: Map[String, Double] =
+    (controls.map(_.split("_").head -> 1.0) ++
+      Seq("p10" -> 4.0, "p11" -> 2.0, "s5" -> 3.0)).toMap
+
+  /** Warm times at a uniform machine-drift multiple; per-operator code
+    * regressions multiply ON TOP of the drift (a real plan regression rides
+    * whatever the box is doing).
+    */
+  private def warmAt(controlX: Double, opX: Map[String, Double]): Seq[(String, Double)] =
+    controls.map(n => n -> controlX * baseline(n.split("_").head)) ++
+      Seq("p10_graph" -> opX.getOrElse("p10", 1.0) * controlX * 4.0,
+          "p11_dedup" -> opX.getOrElse("p11", 1.0) * controlX * 2.0,
+          "s5_script" -> opX.getOrElse("s5", 1.0) * controlX * 3.0)
+
+  test("synthetic 3x slowdown on one operator is caught through 1.5x machine drift") {
+    // the r17 'done =' criterion: box drifts 1.5x uniformly (controls all
+    // move), one operator additionally regresses to 3x its baseline
+    val v = BenchGate.evaluate(warmAt(1.5, Map("p10" -> 3.0)), baseline)
+    assert(math.abs(v.globalRatio - 1.5) < 1e-9)
+    assert(!v.driftAlarm)
+    assert(v.regressions == Seq("p10_graph"))
+  }
+
+  test("uniform machine drift alone fires nothing") {
+    val v = BenchGate.evaluate(warmAt(1.8, Map.empty), baseline)
+    assert(math.abs(v.globalRatio - 1.8) < 1e-9)
+    assert(v.regressions.isEmpty && v.wobbles.isEmpty)
+  }
+
+  test("shared-helper regression (operators slow, controls flat) is NOT normalized away") {
+    // the r17 blind spot: a change to shared infrastructure slows every
+    // operator ~2.5x but cannot touch the pinned q/f controls — the old
+    // all-entries median would have absorbed it when operators outnumber
+    // controls; the control-set normalizer keeps ratio at 1.0 and flags all
+    val v = BenchGate.evaluate(warmAt(1.0, Map("p10" -> 2.5, "p11" -> 2.5, "s5" -> 2.5)), baseline)
+    assert(math.abs(v.globalRatio - 1.0) < 1e-9)
+    assert(v.regressions.toSet == Set("p10_graph", "p11_dedup", "s5_script"))
+  }
+
+  test("control drift outside sanity bounds raises the alarm (ADVICE r17)") {
+    val hot = BenchGate.evaluate(warmAt(3.0, Map.empty), baseline)
+    assert(hot.driftAlarm && math.abs(hot.globalRatio - 3.0) < 1e-9)
+    val cold = BenchGate.evaluate(warmAt(0.3, Map.empty), baseline)
+    assert(cold.driftAlarm)
+    assert(BenchGate.evaluate(warmAt(2.4, Map.empty), baseline).driftAlarm === false)
+  }
+
+  test("too few usable controls falls back to ratio 1.0, no alarm") {
+    val few = Seq("q1_rel" -> 5.0, "p10_graph" -> 9.0)
+    val v = BenchGate.evaluate(few, Map("q1" -> 1.0, "p10" -> 4.0))
+    assert(v.globalRatio == 1.0 && v.controlCount == 1 && !v.driftAlarm)
+    // with ratio pinned at 1.0 genuine growth still gates — including the
+    // control's own 5x (controls are normalizer inputs, not gate-exempt)
+    assert(v.regressions == Seq("q1_rel", "p10_graph"))
+  }
+
+  test("sub-floor controls cannot set the normalizer") {
+    // controls under 0.2 s baseline are scheduler jitter, not drift signal
+    val tiny = (1 to 10).map(i => s"q${i}_x" -> 0.45) ++ Seq("p10_g" -> 4.2)
+    val base = (1 to 10).map(i => s"q$i" -> 0.15).toMap + ("p10" -> 4.0)
+    val v = BenchGate.evaluate(tiny, base)
+    assert(v.controlCount == 0 && v.globalRatio == 1.0)
+  }
+
+  test("wobble detector: >1.5x either direction, >0.5s absolute, not already a regression") {
+    val v = BenchGate.evaluate(warmAt(1.0, Map("p10" -> 1.8, "p11" -> 0.5)), baseline)
+    assert(v.regressions.isEmpty)
+    assert(v.wobbles.toSet == Set("p10_graph", "p11_dedup"))
+  }
+
+  test("absolute 0.5s floor keeps small-entry noise out of both gates") {
+    val v = BenchGate.evaluate(
+      Seq("p20_small" -> 0.3) ++ warmAt(1.0, Map.empty),
+      baseline + ("p20" -> 0.1))
+    assert(!v.regressions.contains("p20_small") && !v.wobbles.contains("p20_small"))
+  }
+
+  test("control-id shape: q/f + digits only") {
+    assert(BenchGate.isControl("q1") && BenchGate.isControl("f17"))
+    assert(!BenchGate.isControl("p114") && !BenchGate.isControl("s49") &&
+      !BenchGate.isControl("q") && !BenchGate.isControl("q1a"))
+  }
+}
