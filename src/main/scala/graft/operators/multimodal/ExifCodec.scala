@@ -100,11 +100,19 @@ object ExifCodec {
         tag match {
           case 0x010f if tpe == 2 => make = ascii(vf, n)
           case 0x0110 if tpe == 2 => model = ascii(vf, n)
-          case 0x0112 if tpe == 3 => orientation = r16(vf)
+          // r16/r32 return -1 on out-of-bounds reads (a truncated sub-IFD);
+          // a negative value must stay "absent" (field left at 0) or the
+          // sentinel is reported as present metadata AND defeats the
+          // all-fields-empty => None guard below (ADVICE r17)
+          case 0x0112 if tpe == 3 => orientation = math.max(0, r16(vf))
           case 0x0132 if tpe == 2 => dateTime = ascii(vf, n)
           case 0x9003 if tpe == 2 && dateTime.isEmpty => dateTime = ascii(vf, n)
-          case 0xa002 => px = (if (tpe == 3) r16(vf).toLong else r32(vf)).toInt
-          case 0xa003 => py = (if (tpe == 3) r16(vf).toLong else r32(vf)).toInt
+          case 0xa002 =>
+            val v = if (tpe == 3) r16(vf).toLong else r32(vf)
+            if (v > 0) px = v.toInt
+          case 0xa003 =>
+            val v = if (tpe == 3) r16(vf).toLong else r32(vf)
+            if (v > 0) py = v.toInt
           case 0x8769 if tpe == 4 => parseIfd(r32(vf).toInt, depth + 1)
           case _ => ()
         }

@@ -4672,8 +4672,13 @@ object Pipeline {
       import s.implicits._
       val base = t(s, dir, "part").select($"p_partkey".as("id"),
         xxhash64($"p_name", $"p_partkey").as("h"))
+      // planted re-keys live in a NEGATED id namespace: an additive offset
+      // collided with ScaleSweep.Stride re-keying (copy c's planted id ==
+      // copy c+1's base id), violating selfJoinFromHashes' distinct-id
+      // precondition during the sweep (ADVICE r17); -id can never equal a
+      // positive re-keyed id at any copy count
       val planted = base.filter($"id" % 8 === 0)
-        .select(($"id" + 10000000L).as("id"),
+        .select((-$"id").as("id"),
           $"h".bitwiseXOR(lit(0x420000800L)).as("h")) // 3 bits flipped
       base.unionByName(planted)
         .write.mode("overwrite").parquet("/tmp/graft_pairband_hashes")
@@ -4805,6 +4810,69 @@ object Pipeline {
         | ('plain.jpg', 'none', 'none', -1, 'none', -1, -1, 'none'),
         | ('plain.png', 'none', 'none', -1, 'none', -1, -1, 'none'))
         | t(name, make, model, orientation, taken_at, exif_w, exif_h, software)
+        |ORDER BY name""".stripMargin),
+
+    // ---- FOREIGN-ENCODER media fixtures (r18, VERDICT ask #5): every
+    //      other media entry reads bytes the repo's OWN generators wrote,
+    //      so codec and generator could share a wrong assumption and
+    //      never notice (and JDK encode→decode shares one implementation).
+    //      These checked-in files were produced by EXTERNAL encoders — a
+    //      real NIKON COOLPIX P4 camera JPEG with full EXIF (ships in
+    //      Apache Spark's data/mllib/images), a second camera JPEG with
+    //      orientation-only EXIF, libpng's canonical pngtest.png (tEXt +
+    //      zTXt chunks), CPython's pluck-pcm{8,16,24}.wav stereo test
+    //      clips, and two libxslt GIFs (GIF87a and GIF89a, global color
+    //      tables) — and the expected literals below were pinned with
+    //      INDEPENDENT struct-level Python walks of the same bytes
+    //      (TIFF/RIFF/PNG-chunk/GIF-descriptor parsers sharing no code
+    //      with the Scala codecs). The 24-bit WAV and the zTXt-only keys
+    //      pin the documented graceful-absence paths. ----
+    QuerySpec.sql("p138_foreign_media", (s, dir) => {
+      import s.implicits._
+      import graft.operators.multimodal.Multimodal
+      val src = Seq("src/test/resources/foreign", "../src/test/resources/foreign")
+        .map(java.nio.file.Paths.get(_))
+        .find(java.nio.file.Files.isDirectory(_))
+        .getOrElse(sys.error("foreign fixture dir not found under cwd"))
+      val fixDir = java.nio.file.Paths.get("/tmp/graft_foreign_fixture")
+      if (java.nio.file.Files.exists(fixDir))
+        org.apache.commons.io.FileUtils.deleteDirectory(fixDir.toFile)
+      java.nio.file.Files.createDirectories(fixDir)
+      java.nio.file.Files.list(src).forEach { p =>
+        java.nio.file.Files.copy(p, fixDir.resolve(p.getFileName.toString)); () }
+      Multimodal.register(s)
+      s.read.format("binaryFile").load(fixDir.toString)
+        .selectExpr(
+          "element_at(split(path, '/'), -1) as name",
+          "mm_sniff_format(content) as fmt",
+          "coalesce(mm_decode_image_meta(content)._2, -1) as width",
+          "coalesce(mm_decode_image_meta(content)._3, -1) as height",
+          "coalesce(mm_exif(content)._1, 'none') as make",
+          "coalesce(mm_exif(content)._2, 'none') as model",
+          "coalesce(mm_exif(content)._3, -1) as orientation",
+          "coalesce(mm_exif(content)._4, 'none') as taken_at",
+          "coalesce(mm_exif(content)._5, -1) as exif_w",
+          "coalesce(mm_exif(content)._6, -1) as exif_h",
+          "coalesce(element_at(mm_png_text(content), 'Title'), 'none') as png_title",
+          "coalesce(mm_wav_meta(content)._1, -1) as wav_rate",
+          "coalesce(mm_wav_meta(content)._2, -1) as wav_channels",
+          "coalesce(mm_wav_meta(content)._3, -1) as wav_bits",
+          "coalesce(mm_wav_meta(content)._4, -1) as wav_frames",
+          "coalesce(mm_video_frame_count(content), -1) as frames")
+        .orderBy($"name")
+    },
+      """SELECT * FROM (VALUES
+        | ('kitten_dp153539.jpg', 'jpeg', 300, 296, '', '', 1, '', 0, 0, 'none', -1, -1, -1, -1, -1),
+        | ('libxslt_logo.gif', 'gif', 180, 68, 'none', 'none', -1, 'none', -1, -1, 'none', -1, -1, -1, -1, 1),
+        | ('nikon_coolpix_p4.jpg', 'jpeg', 300, 215, 'NIKON', 'COOLPIX P4', 1, '2007:10:15 11:38:01', 471, 337, 'none', -1, -1, -1, -1, -1),
+        | ('pluck-pcm16.wav', 'wav', -1, -1, 'none', 'none', -1, 'none', -1, -1, 'none', 11025, 2, 16, 3307, -1),
+        | ('pluck-pcm24.wav', 'wav', -1, -1, 'none', 'none', -1, 'none', -1, -1, 'none', -1, -1, -1, -1, -1),
+        | ('pluck-pcm8.wav', 'wav', -1, -1, 'none', 'none', -1, 'none', -1, -1, 'none', 11025, 2, 8, 3307, -1),
+        | ('pngtest.png', 'png', 91, 69, 'none', 'none', -1, 'none', -1, -1, 'PNG', -1, -1, -1, -1, -1),
+        | ('xslt_processing.gif', 'gif', 648, 521, 'none', 'none', -1, 'none', -1, -1, 'none', -1, -1, -1, -1, 1))
+        | t(name, fmt, width, height, make, model, orientation, taken_at,
+        |   exif_w, exif_h, png_title, wav_rate, wav_channels, wav_bits,
+        |   wav_frames, frames)
         |ORDER BY name""".stripMargin)
   )
 

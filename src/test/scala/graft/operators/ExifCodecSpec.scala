@@ -45,6 +45,31 @@ class ExifCodecSpec extends AnyFunSuite {
     assert(ExifCodec.readExif(Array.empty[Byte]).isEmpty)
   }
 
+  test("EXIF: truncated pixel-dimension entry reads as absent, not the -1 sentinel") {
+    // ADVICE r17: r16/r32 return -1 on out-of-bounds reads, and 0xa002/0xa003
+    // assigned it straight to pixelX/pixelY — a truncated sub-IFD reported
+    // Exif(..., -1, -1) as PRESENT metadata and defeated the all-empty guard.
+    // MM TIFF with one PixelXDimension (LONG) entry whose 4-byte value field
+    // is cut off 2 bytes early: must parse as "no metadata" (None), never -1.
+    val bb = java.nio.ByteBuffer.allocate(20)
+    bb.put('M'.toByte).put('M'.toByte).putShort(42).putInt(8)
+    bb.putShort(1)                                  // 1 entry
+    bb.putShort(0xa002.toShort).putShort(4).putInt(1)
+    bb.putShort(0x0f00.toShort)                     // value field truncated: 2 of 4 bytes
+    val app1 = "Exif\u0000\u0000".getBytes("US-ASCII") ++ bb.array()
+    val jpeg = ExifGen.jpegWithExif(ImageGen.jpeg(8, 8, seed = 3), app1)
+    assert(ExifCodec.readExif(jpeg).isEmpty)
+    // same cut on a SHORT-typed entry (r16 path)
+    val bs = java.nio.ByteBuffer.allocate(19)
+    bs.put('M'.toByte).put('M'.toByte).putShort(42).putInt(8)
+    bs.putShort(1)
+    bs.putShort(0xa003.toShort).putShort(3).putInt(1)
+    bs.put(0x0f.toByte)                             // 1 of 2 value bytes
+    val app1s = "Exif\u0000\u0000".getBytes("US-ASCII") ++ bs.array()
+    assert(ExifCodec.readExif(
+      ExifGen.jpegWithExif(ImageGen.jpeg(8, 8, seed = 4), app1s)).isEmpty)
+  }
+
   test("PNG tEXt round-trip: chunks read back; PNG stays decodable; non-PNG empty") {
     val png = ImageGen.png(20, 10, seed = 9)
     val tagged = ExifGen.pngWithText(
