@@ -253,6 +253,72 @@ object ScaleSweep {
     // single-chunk 12-bit buckets would go quadratic (the birthday
     // regime this banding exists for)
     "p135_hamming_pairband" -> SparkEntry.queries("p135_hamming_pairband"),
+    // r18 multimodal-join cases (VERDICT r17 #3): the p124/p132/p134 base
+    // entries decode a handful of tiny generated files, so their JOINS had
+    // no scale measurement. Hash stamps here are synthesized ∝ table rows
+    // (decode is per-row scan work; the join is the scale object), with
+    // ~0.5% FLAT-IMAGE rows (dHash 0 — the real-world degeneracy: blank
+    // frames, solid-color images) forming the hot bucket that
+    // maxChunkFreq=64 must own at every scale (the cap binds from 1×:
+    // 1/211 of sf0.1 part ≈ 95 > 64, so all three scales run the same
+    // code path). Planted near-dups (negated-id namespace, ≤2-bit flips)
+    // grow ∝ rows, so pair output is linear by construction and the sweep
+    // times the banding, not the generator.
+    "image_dedup_selfjoin_skew" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val hs = Tables.load(s, dir, "part").select($"p_partkey".as("id"),
+        when($"p_partkey" % 211 === 0, 0L)
+          .otherwise(xxhash64($"p_name", $"p_partkey")).as("h"))
+      val planted = hs.filter($"id" % 8 === 0 && $"h" =!= 0L)
+        .select((-$"id").as("id"), $"h".bitwiseXOR(lit(0x0000000801L)).as("h"))
+      graft.operators.multimodal.ImageDedup.selfJoinFromHashes(
+          hs.unionByName(planted), "id", "h",
+          maxHamming = 4, maxChunkFreq = 64L, pairBands = true)
+        .groupBy().agg(count(lit(1)).as("n_pairs"))
+    }),
+    // frame-set containment join (p132 shape): 4 sampled frames per
+    // video, videos ∝ part rows; planted trimmed excerpts keep 3 of 4
+    // frames with a 1-bit flip each (containment 1.0 on the excerpt
+    // side). Two-chunk banding: 4M frame rows at 50× would go
+    // birthday-quadratic in single-chunk 12-bit buckets
+    "video_frameset_dedup" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val frames = Tables.load(s, dir, "part")
+        .select($"p_partkey".as("vid"),
+          explode(sequence(lit(0), lit(3))).as("fi"))
+        .select($"vid", $"fi",
+          when($"vid" % 211 === 0, 0L) // flat frames: every frame of ~0.5% of videos
+            .otherwise(xxhash64($"vid", $"fi")).as("h"))
+      val planted = frames.filter($"vid" % 16 === 0 && $"fi" < 3 && $"h" =!= 0L)
+        .select((-$"vid").as("vid"), $"fi", $"h".bitwiseXOR(lit(4L)).as("h"))
+      graft.operators.multimodal.VideoDedup.selfJoinFromHashes(
+          frames.unionByName(planted), "vid", "fi", "h",
+          maxHamming = 4, minOverlap = 0.5, maxChunkFreq = 64L,
+          pairBands = true)
+        .groupBy().agg(count(lit(1)).as("n_pairs"))
+    }),
+    // feed-vs-catalog ingest screen (p134 shape, the production-linear
+    // split): a BOUNDED 50k-hash catalog probed by a feed that grows ∝
+    // part rows — every 8th feed row is a 2-bit perturbation of a catalog
+    // hash (real matches ∝ feed), the rest fresh; catalog-side
+    // maxChunkFreq owns the flat-image bucket (250 catalog flats > 64 →
+    // dropped at every scale). Work is feed rows × (maxHamming+1) probes
+    // of the catalog chunk index — never a self-join of the union
+    "image_screen_vs_catalog" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val catalog = s.range(50000).select($"id".as("cid"),
+        when($"id" % 200 === 0, 0L).otherwise(xxhash64($"id")).as("h"))
+      val feed = Tables.load(s, dir, "part").select(
+        $"p_partkey".as("fid"),
+        when($"p_partkey" % 211 === 0, 0L)
+          .otherwise(when($"p_partkey" % 8 === 0,
+              xxhash64($"p_partkey" % 50000).bitwiseXOR(lit(0x0000000801L)))
+            .otherwise(xxhash64($"p_name", $"p_partkey", lit(1)))).as("h"))
+      graft.operators.multimodal.ImageDedup.joinAgainst(
+          feed, "fid", "h", catalog, "cid", "h",
+          maxHamming = 6, maxChunkFreq = 64L)
+        .groupBy().agg(count(lit(1)).as("n_pairs"))
+    }),
     // fuzzy linkage in its production-linear shape: a GROWING dirty feed
     // matched against a BOUNDED master catalog, so candidates per dirty
     // record are capped by the catalog's block sizes and total work is
