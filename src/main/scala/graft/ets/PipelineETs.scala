@@ -32,7 +32,7 @@ object PipelineETs {
     BlocklistET, AsOfJoinET, RandomProjectionET, CooccurEdgesET, SsspET,
     CorenessET, StreamCooccurET, HarmonicCentralityET, ImageDedupET,
     NeighborhoodFunctionET, AudioFeaturesET, VideoDedupET, VideoScenesET,
-    StreamHammingScreenET)
+    StreamHammingScreenET, StreamVideoScreenET)
 }
 
 /** `run hits as SnippetsInPlace.`` [where textCol="text" and
@@ -333,6 +333,14 @@ object StreamCooccurET extends NoPathET {
   * with exactly-once min-chunk pair emission, batch-parity with
   * ImageDedup's self-join when uncapped; needs the RocksDB state store
   * provider.
+  *
+  * Delivery caveat (ADVICE r17): stored ids are idempotent under
+  * re-delivery, but an id REJECTED by a full `maxBucketSize` bucket is
+  * not remembered — if the SOURCE re-delivers such a row (at-least-once
+  * upstream, e.g. duplicate Kafka produces), its matches re-emit. When
+  * caps can bind and the upstream is at-least-once, dedup the output
+  * downstream by `(a_id, b_id)` (a `dropDuplicates` or the sink's
+  * upsert key).
   */
 object StreamHammingScreenET extends NoPathET {
   override def name = "StreamHammingScreen"
@@ -341,6 +349,32 @@ object StreamHammingScreenET extends NoPathET {
     graft.streaming.Stateful.hammingScreen(df,
       params.getOrElse("idCol", "id"), params.getOrElse("hashCol", "h"),
       maxHamming = params.getOrElse("maxHamming", "6").toInt,
+      maxBucketSize = params.getOrElse("maxBucketSize", "256").toInt).toDF()
+}
+
+/** `run stream as StreamVideoScreen.`` [where idCol="id" and
+  * framesCol="frames" and maxHamming="6" and minOverlap="0.5" and
+  * maxBucketSize="256"]` — streaming VIDEO ingest screen (see
+  * [[graft.streaming.Stateful.videoScreen]]): frame-set containment
+  * near-dup across micro-batches. Input rows carry a whole video each:
+  * `framesCol` is an `array<struct<frame_idx int, hash long>>` — field
+  * names are free, the two struct fields are read BY POSITION — e.g.
+  * the `mm_video_frame_hashes` projection. A video pair is
+  * appended ONCE, in the batch where bidirectional containment first
+  * reaches `minOverlap`; uncapped, the emitted pair set equals the
+  * batch VideoDedup self-join for any chunking. Needs the RocksDB
+  * state store provider. Same delivery caveat as StreamHammingScreen:
+  * when `maxBucketSize` binds and the upstream is at-least-once, dedup
+  * downstream by `(a_id, b_id)`.
+  */
+object StreamVideoScreenET extends NoPathET {
+  override def name = "StreamVideoScreen"
+  override def train(ctx: ScriptContext, df: DataFrame, path: String,
+                     params: Map[String, String]): DataFrame =
+    graft.streaming.Stateful.videoScreen(df,
+      params.getOrElse("idCol", "id"), params.getOrElse("framesCol", "frames"),
+      maxHamming = params.getOrElse("maxHamming", "6").toInt,
+      minOverlap = params.getOrElse("minOverlap", "0.5").toDouble,
       maxBucketSize = params.getOrElse("maxBucketSize", "256").toInt).toDF()
 }
 

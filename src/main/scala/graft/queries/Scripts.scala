@@ -1850,7 +1850,97 @@ object Scripts {
         |    ON x.chunk = y.chunk AND x.ckey = y.ckey AND x.id < y.id)
         |SELECT a_id, b_id, CAST(BIT_COUNT(XOR(ah, bh)) AS INTEGER) AS hamming
         |FROM cand WHERE BIT_COUNT(XOR(ah, bh)) <= 7
-        |ORDER BY a_id, b_id""".stripMargin)
+        |ORDER BY a_id, b_id""".stripMargin),
+
+    // ---- s50: STREAMING VIDEO SCREEN (round 18, r17 verdict ask #8) —
+    //      frame-set containment near-dup across micro-batches through
+    //      the DSL: real MJPEG-AVI/GIF media hashed by the REAL frame
+    //      decoder (s48's corpus), the exploded (id, frame_idx, hash)
+    //      stamp persisted as the oracle boundary, the same stamp
+    //      re-shaped to whole-video rows and replayed as a 2-rows-per-
+    //      batch stream, StreamVideoScreen's two chained
+    //      transformWithState stages emitting each qualifying pair ONCE
+    //      at containment crossing. Compared surface: (pair, frame
+    //      totals) — the at-crossing matched counts depend on chunking
+    //      by design, the pair SET does not (the monotone-crossing
+    //      parity pinned in StreamingSpec), so DuckDB replays the batch
+    //      containment join from the stamp. ----
+    QuerySpec.sql("s50_script_stream_video_screen", (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      import graft.operators.multimodal.{AviGen, GifGen, ImageGen, VideoDedup}
+      val fixDir = java.nio.file.Paths.get("/tmp/graft_s50_fixture")
+      if (java.nio.file.Files.exists(fixDir))
+        org.apache.commons.io.FileUtils.deleteDirectory(fixDir.toFile)
+      java.nio.file.Files.createDirectories(fixDir)
+      def put(name: String, bytes: Array[Byte]): Unit =
+        java.nio.file.Files.write(fixDir.resolve(name), bytes)
+      val frames = (0 until 6).map(i => ImageGen.pattern(48, 36, 5100L + i * 4))
+      put("v1.avi", AviGen.aviFromJpegs(frames.map(ImageGen.encode(_, "jpg")), 48, 36))
+      put("v2.avi", AviGen.aviFromJpegs( // near-dup re-encode
+        frames.map(f => ImageGen.encode(ImageGen.perturb(f, 2, seed = 23), "jpg")),
+        48, 36))
+      put("v3.avi", AviGen.aviFromJpegs( // trimmed excerpt
+        frames.drop(3).map(ImageGen.encode(_, "jpg")), 48, 36))
+      put("g1.gif", GifGen.pattern(32, 24, nFrames = 5, seed = 5300, step = 9))
+      put("x.avi", AviGen.pattern(48, 36, nFrames = 6, seed = 40427, step = 6))
+      val bins = s.read.format("binaryFile").load(fixDir.toString)
+        .select(element_at(split($"path", "/"), -1).as("name"), $"content")
+      VideoDedup.frameHashes(bins, "name", "content", maxFrames = 16)
+        .write.mode("overwrite").parquet("/tmp/graft_s50_frames")
+      // whole-video rows for the stream, derived from the SAME stamp
+      s.read.parquet("/tmp/graft_s50_frames")
+        .groupBy($"id")
+        .agg(sort_array(collect_list(struct($"frame_idx", $"frame_hash")))
+          .as("frames"))
+        .write.mode("overwrite").parquet("/tmp/graft_s50_videos")
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(providerKey)
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val ctx = graft.dsl.ScriptRunner.run(
+          s"""set streamName = "s50q";
+             |load parquet.`/tmp/graft_s50_videos` as s50_stamp;
+             |load mockStream.`s50_stamp` where stepSize="2" as s50_stream;
+             |run s50_stream as StreamVideoScreen.`` where idCol="id"
+             |  and framesCol="frames" and maxHamming="7"
+             |  and minOverlap="0.5" as s50_pairs;
+             |save append s50_pairs as memory.`` where mode="append"
+             |  and checkpointLocation="${java.nio.file.Files
+                  .createTempDirectory("ck_s50")}" and duration="0";""".stripMargin, s)
+        val q = ctx.streams("s50q")
+        q.processAllAvailable()
+        q.stop()
+        s.table("s50q")
+          .select($"a_id", $"b_id", $"a_frames".cast("long").as("a_frames"),
+            $"b_frames".cast("long").as("b_frames"))
+          .orderBy($"a_id", $"b_id")
+      } finally prev match {
+        case Some(v) => s.conf.set(providerKey, v)
+        case None => s.conf.unset(providerKey)
+      }
+    },
+      """WITH hs AS (SELECT id, frame_idx AS fi, frame_hash AS h
+        |  FROM read_parquet('/tmp/graft_s50_frames/*.parquet')),
+        |nf AS (SELECT id, CAST(COUNT(DISTINCT fi) AS BIGINT) AS n FROM hs GROUP BY id),
+        |ck AS (SELECT id, fi, h, i.i AS chunk, (h >> (i.i * 8)) & 255 AS ckey
+        |  FROM hs CROSS JOIN (SELECT UNNEST(RANGE(0, 8)) AS i) i),
+        |cand AS (SELECT DISTINCT x.id AS a_id, y.id AS b_id, x.fi AS a_fi,
+        |    y.fi AS b_fi, x.h AS ah, y.h AS bh
+        |  FROM ck x JOIN ck y
+        |    ON x.chunk = y.chunk AND x.ckey = y.ckey AND x.id < y.id),
+        |m AS (SELECT a_id, b_id,
+        |    CAST(COUNT(DISTINCT a_fi) AS BIGINT) AS matched_a,
+        |    CAST(COUNT(DISTINCT b_fi) AS BIGINT) AS matched_b
+        |  FROM cand WHERE BIT_COUNT(XOR(ah, bh)) <= 7 GROUP BY a_id, b_id),
+        |sc AS (SELECT m.a_id, m.b_id,
+        |    na.n AS a_frames, nb.n AS b_frames,
+        |    GREATEST(CAST(m.matched_a AS DOUBLE) / CAST(na.n AS DOUBLE),
+        |             CAST(m.matched_b AS DOUBLE) / CAST(nb.n AS DOUBLE)) AS ov
+        |  FROM m JOIN nf na ON na.id = m.a_id JOIN nf nb ON nb.id = m.b_id)
+        |SELECT a_id, b_id, a_frames, b_frames
+        |FROM sc WHERE ov >= 0.5 ORDER BY a_id, b_id""".stripMargin)
   )
 
   /** One replay of the s46 script off shared base CTEs: the weighted

@@ -455,6 +455,179 @@ object Stateful {
         TimeMode.None(), OutputMode.Append())
   }
 
+  case class VideoFrameMatch(a_id: String, b_id: String, a_fi: Int, b_fi: Int,
+                             a_nf: Int, b_nf: Int)
+  case class VideoScreenMatch(a_id: String, b_id: String,
+                              matched_a: Int, matched_b: Int,
+                              a_frames: Int, b_frames: Int, overlap: Double)
+
+  /** Bucket stage of the streaming VIDEO screen: keyed by (chunk, ckey)
+    * like [[HammingScreenProcessor]], but members are FRAMES —
+    * (video_id, frame_idx, hash, video_frame_count) — and the emitted
+    * unit is a frame MATCH. The same min-shared-chunk rule makes each
+    * frame pair emit exactly once across all buckets and batches; the
+    * per-video frame count rides along so the pair stage never needs a
+    * side lookup (the "small extension of the HammingScreenProcessor
+    * state" the r17 verdict sketched). `cap` bounds members per bucket
+    * (first-arrival kept) — the capped match set is a subset of the
+    * uncapped one, arrival-order-dependent like every capped screen.
+    */
+  class VideoScreenBucketProcessor(maxHamming: Int, cap: Int)
+    extends StatefulProcessor[(Int, Long),
+      (Int, Long, String, Int, Long, Int), VideoFrameMatch] {
+    private val n = maxHamming + 1
+    private val base = 64 / n
+    private def chunkOf(h: Long, i: Int): Long = {
+      val start = i * base
+      val len = if (i == n - 1) 64 - start else base
+      val mask = if (len >= 64) -1L else (1L << len) - 1L
+      (h >>> start) & mask
+    }
+    private def minSharedChunk(h1: Long, h2: Long): Int = {
+      var i = 0
+      while (i < n) {
+        if (chunkOf(h1, i) == chunkOf(h2, i)) return i
+        i += 1
+      }
+      -1
+    }
+    @transient private var st: ListState[(String, Int, Long, Int)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getListState[(String, Int, Long, Int)]("frames",
+        Encoders.tuple(Encoders.STRING, Encoders.scalaInt,
+          Encoders.scalaLong, Encoders.scalaInt), TTLConfig.NONE)
+    override def handleInputRows(key: (Int, Long),
+                                 rows: Iterator[(Int, Long, String, Int, Long, Int)],
+                                 timerValues: TimerValues): Iterator[VideoFrameMatch] = {
+      // LinkedHashMap keyed by (vid, fi): idempotent under re-delivery of
+      // stored members, deterministic intake order within a batch
+      val have = scala.collection.mutable.LinkedHashMap(
+        st.get().map(m => (m._1, m._2) -> m).toSeq: _*)
+      val before = have.size
+      val out = List.newBuilder[VideoFrameMatch]
+      for ((chunk, _, vid, fi, h, nf) <- rows.toSeq.sortBy(r => (r._3, r._4, r._5))
+           if !have.contains((vid, fi))) {
+        for (((ovid, ofi), (_, _, oh, onf)) <- have if ovid != vid) {
+          val d = java.lang.Long.bitCount(h ^ oh)
+          if (d <= maxHamming && minSharedChunk(h, oh) == chunk) {
+            if (vid < ovid) out += VideoFrameMatch(vid, ovid, fi, ofi, nf, onf)
+            else out += VideoFrameMatch(ovid, vid, ofi, fi, onf, nf)
+          }
+        }
+        if (have.size < cap) have += ((vid, fi) -> ((vid, fi, h, nf)))
+      }
+      if (have.size > before) st.put(have.values.toArray)
+      out.result().iterator
+    }
+  }
+
+  /** Pair stage of the streaming video screen: keyed by (a_id, b_id),
+    * accumulating the distinct matched frame pairs and emitting the pair
+    * ONCE, in the micro-batch where bidirectional containment first
+    * crosses `minOverlap`. Matched counts only grow and the frame totals
+    * are fixed, so the emitted pair SET equals the batch
+    * [[graft.operators.multimodal.VideoDedup.selfJoinFromHashes]] pair
+    * set on the union of all batches (the monotone-crossing argument;
+    * spec-pinned) — the REPORTED counts are the at-crossing values, a
+    * lower bound on the batch job's final counts by construction.
+    * Exactly-once: a batch that only re-delivers already-stored frame
+    * matches leaves overlapBefore == overlapAfter and emits nothing.
+    */
+  class VideoScreenPairProcessor(minOverlap: Double)
+    extends StatefulProcessor[(String, String),
+      VideoFrameMatch, VideoScreenMatch] {
+    @transient private var st: ListState[(Int, Int, Int, Int)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getListState[(Int, Int, Int, Int)]("matches",
+        Encoders.tuple(Encoders.scalaInt, Encoders.scalaInt,
+          Encoders.scalaInt, Encoders.scalaInt), TTLConfig.NONE)
+    private def overlap(ms: Iterable[(Int, Int, Int, Int)]): Double =
+      if (ms.isEmpty) 0.0
+      else {
+        val (_, _, aNf, bNf) = ms.head
+        math.max(ms.map(_._1).toSet.size.toDouble / math.max(aNf, 1),
+          ms.map(_._2).toSet.size.toDouble / math.max(bNf, 1))
+      }
+    override def handleInputRows(key: (String, String),
+                                 rows: Iterator[VideoFrameMatch],
+                                 timerValues: TimerValues): Iterator[VideoScreenMatch] = {
+      val have = scala.collection.mutable.LinkedHashSet(st.get().toSeq: _*)
+      val before = have.size
+      val crossedBefore = before > 0 && overlap(have) >= minOverlap
+      rows.foreach(m => have += ((m.a_fi, m.b_fi, m.a_nf, m.b_nf)))
+      if (have.size > before) st.put(have.toArray)
+      val ovAfter = overlap(have)
+      if (!crossedBefore && have.nonEmpty && ovAfter >= minOverlap) {
+        val (_, _, aNf, bNf) = have.head
+        Iterator.single(VideoScreenMatch(key._1, key._2,
+          have.map(_._1).toSet.size, have.map(_._2).toSet.size,
+          aNf, bNf, ovAfter))
+      } else Iterator.empty
+    }
+  }
+
+  /** Streaming VIDEO ingest screen — frame-set containment near-dup
+    * across micro-batches (the streaming edition of
+    * [[graft.operators.multimodal.VideoScreen]]; r17 verdict ask #8).
+    * Input: one row per VIDEO with an id column and a frame-hash column
+    * of `array<struct<frame_idx int, hash long>>` — exactly the
+    * `mm_video_frame_hashes` projection, so a video's whole sampled
+    * frame set arrives atomically and its frame count is `size(frames)`
+    * (no partial-video state problem). Frames band into (chunk, ckey)
+    * buckets; [[VideoScreenBucketProcessor]] emits each in-radius frame
+    * pair exactly once (min-shared-chunk rule), and
+    * [[VideoScreenPairProcessor]] emits a video pair the first time
+    * bidirectional containment reaches `minOverlap` — two chained
+    * transformWithState stages, both append-mode (Spark's
+    * multi-stateful-operator support). Uncapped, the emitted pair set
+    * equals the batch frame-set self-join for any chunking of the
+    * input; `maxBucketSize` bounds per-bucket state and makes the
+    * emitted set a subset (the shared cap contract). Same at-least-once
+    * caveat as [[hammingScreen]]: when caps bind AND the upstream
+    * redelivers a REJECTED frame, dedup downstream by (a_id, b_id).
+    */
+  def videoScreen(df: DataFrame, idCol: String, framesCol: String,
+                  maxHamming: Int = 6, minOverlap: Double = 0.5,
+                  maxBucketSize: Int = 256): Dataset[VideoScreenMatch] = {
+    require(maxHamming >= 0 && maxHamming <= 31,
+      s"maxHamming must be in [0, 31], got $maxHamming")
+    require(minOverlap >= 0.0 && minOverlap <= 1.0,
+      s"minOverlap must be in [0, 1], got $minOverlap")
+    require(maxBucketSize >= 1, "maxBucketSize must be >= 1 (state bound)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = maxHamming + 1
+    val base = 64 / n
+    val chunkExprs = (0 until n).map { i =>
+      val start = i * base
+      val len = if (i == n - 1) 64 - start else base
+      val mask = if (len >= 64) -1L else (1L << len) - 1L
+      s"struct(cast($i as int) as chunk, shiftright(h, $start) & ${mask}L as ckey)"
+    }
+    df.select(col(idCol).cast("string").as("id"), col(framesCol).as("fr"))
+      .filter(col("id").isNotNull && col("fr").isNotNull && size(col("fr")) > 0)
+      .select(col("id"), size(col("fr")).as("nf"), explode(col("fr")).as("f"))
+      // POSITIONAL struct-field access (star-expand + rename): the
+      // projection's field names vary — mm_video_frame_hashes yields
+      // (_1, _2), a collect_list(struct(idx, hash)) stamp carries its
+      // column names — the contract is (frame_idx, hash) BY POSITION
+      .select(col("id"), col("nf"), col("f.*"))
+      .toDF("id", "nf", "fi", "h")
+      .select(col("id"), col("nf"),
+        col("fi").cast("int").as("fi"), col("h").cast("long").as("h"))
+      .select(col("id"), col("nf"), col("fi"), col("h"),
+        explode(expr(s"array(${chunkExprs.mkString(", ")})")).as("c"))
+      .select(col("c.chunk").as("chunk"), col("c.ckey").as("ckey"),
+        col("id"), col("fi"), col("h"), col("nf"))
+      .as[(Int, Long, String, Int, Long, Int)]
+      .groupByKey(r => (r._1, r._2))
+      .transformWithState(new VideoScreenBucketProcessor(maxHamming, maxBucketSize),
+        TimeMode.None(), OutputMode.Append())
+      .groupByKey(m => (m.a_id, m.b_id))
+      .transformWithState(new VideoScreenPairProcessor(minOverlap),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   case class Anomaly(key: Long, ts: Long, value: Double, mean: Double,
                      std: Double, zscore: Double)
 

@@ -145,7 +145,7 @@ class SurveyCoverageSpec extends AnyFunSuite {
       "Blocklist", "AsOfJoin", "RandomProjection", "CooccurEdges", "Sssp",
       "Coreness", "StreamCooccur", "HarmonicCentrality", "ImageDedup",
       "NeighborhoodFunction", "AudioFeatures", "VideoDedup", "VideoScenes",
-      "StreamHammingScreen")
+      "StreamHammingScreen", "StreamVideoScreen")
     val missing = names.filter(n =>
       scala.util.Try(ETRegistry.lookup(n)).isFailure)
     assert(missing.isEmpty, s"ET registry missing: ${missing.mkString(", ")}")

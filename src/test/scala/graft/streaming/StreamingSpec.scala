@@ -620,6 +620,67 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming video screen: emitted pair set matches the batch frame-set self-join over any chunking") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // videos = 4-frame hash sets; near-dup pairs split ACROSS batches:
+      //  - w0 is v0 with every frame 1 bit off (containment 1.0);
+      //  - w1 is a 2-frame trimmed excerpt of v1 (containment 1.0 on the
+      //    excerpt side — the bidirectional-max rule);
+      //  - w2 shares only 1 of 4 frames with v2 (0.25 < minOverlap: no pair)
+      val rnd = new scala.util.Random(7103)
+      val vids = (0 until 5).map(i => s"v$i" -> (0 until 4).map(f => (f, rnd.nextLong())))
+      val byId = vids.toMap
+      val extra = Seq(
+        "w0" -> byId("v0").map { case (f, h) => (f, h ^ (1L << (f * 7))) },
+        "w1" -> byId("v1").take(2),
+        "w2" -> (byId("v2").take(1) ++ (1 until 4).map(f => (f, rnd.nextLong()))))
+      val all = vids ++ extra
+      val chunks = Seq(all.take(3), all.slice(3, 6), all.drop(6))
+      val ms = MemoryStream[(String, Seq[(Int, Long)])]
+      val q = Stateful.videoScreen(ms.toDF().toDF("id", "frames"),
+          "id", "frames", maxHamming = 4, minOverlap = 0.5)
+        .writeStream.format("memory").queryName("vscreen").outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ck_vs").toString)
+        .start()
+      chunks.foreach { c => ms.addData(c: _*); q.processAllAvailable() }
+      q.stop()
+      val streamed = spark.table("vscreen")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      val exploded = all.flatMap { case (id, fr) =>
+        fr.map { case (f, h) => (id, f, h) } }.toDF("id", "fi", "h")
+      val batch = graft.operators.multimodal.VideoDedup.selfJoinFromHashes(
+          exploded, "id", "fi", "h", maxHamming = 4, minOverlap = 0.5)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(streamed == batch,
+        "pair-set parity: threshold crossing is monotone, so the emitted " +
+          "set equals the batch containment join")
+      assert(batch.contains(("v0", "w0")) && batch.contains(("v1", "w1")),
+        "fixture must plant the full near-dup and the trimmed excerpt")
+      assert(!batch.exists(p => p._1 == "v2" && p._2 == "w2"),
+        "sub-threshold overlap must not pair")
+      // append-once: no duplicate (a, b) rows across batches
+      val dup = spark.table("vscreen").groupBy("a_id", "b_id")
+        .count().filter($"count" > 1).count()
+      assert(dup == 0L)
+      // at-crossing counts are consistent lower bounds: matched <= frames
+      spark.table("vscreen").collect().foreach { r =>
+        assert(r.getInt(2) <= r.getInt(4) && r.getInt(3) <= r.getInt(5))
+        assert(r.getDouble(6) >= 0.5)
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   test("streaming co-occurrence pairs match the batch operator over any chunking") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
