@@ -83,15 +83,23 @@ object ImageDedup {
     require(maxHamming >= 0 && maxHamming <= 31,
       s"maxHamming must be in [0, 31], got $maxHamming (chunks need >= 2 bits)")
     val sigs = hashed.select(col(idCol).as("doc_id"), col(hashCol).as("h"))
+    // merge hint: BOTH sides of the candidate join are the corpus-sized
+    // posting table, so broadcasting is never right — but Catalyst's
+    // sizeInBytes for an explode keeps the CHILD's estimate (the
+    // (maxHamming+1)-way or C(n,2)-way blow-up is invisible), and a
+    // skinny projected lineage can fall under the auto-broadcast
+    // threshold: the 50x scale sweep observed a 9 GiB broadcast build
+    // attempt (hard failure at spark.sql.maxBroadcastTableBytes) on
+    // exactly this join. Sort-merge is the plan a 100 TB corpus needs.
     val verified =
       if (!pairBands) {
         val chunked = singleChunked(sigs, maxHamming, maxChunkFreq)
-        chunked.as("x").join(chunked.as("y"),
+        chunked.hint("merge").as("x").join(chunked.as("y"),
           col("x.chunk") === col("y.chunk") && col("x.ckey") === col("y.ckey") &&
             col("x.doc_id") < col("y.doc_id"))
       } else {
         val chunked = pairChunked(sigs, maxHamming, maxChunkFreq)
-        chunked.as("x").join(chunked.as("y"),
+        chunked.hint("merge").as("x").join(chunked.as("y"),
           col("x.ci") === col("y.ci") && col("x.cj") === col("y.cj") &&
             col("x.ki") === col("y.ki") && col("x.kj") === col("y.kj") &&
             col("x.doc_id") < col("y.doc_id"))

@@ -84,17 +84,21 @@ object VideoDedup {
     // shared banding helpers (ImageDedup): single-chunk by default,
     // two-chunk combination keys for the corpus-scale regime — see
     // ImageDedup.selfJoinFromHashes's pairBands doc
+    // merge hint: same rationale as ImageDedup.selfJoinFromHashes — the
+    // frame posting table is corpus-sized on BOTH sides and explode's
+    // sizeInBytes underestimate can auto-broadcast it (the 50x sweep hit
+    // a 9 GiB broadcast build on this very join); sort-merge always
     val candidates =
       if (!pairBands) {
         val chunked = ImageDedup.explodeSingleChunks(sigs, "h",
           maxHamming, maxChunkFreq)
-        chunked.as("x").join(chunked.as("y"),
+        chunked.hint("merge").as("x").join(chunked.as("y"),
           col("x.chunk") === col("y.chunk") && col("x.ckey") === col("y.ckey") &&
             col("x.vid") < col("y.vid"))
       } else {
         val chunked = ImageDedup.explodePairChunks(sigs, "h",
           maxHamming, maxChunkFreq)
-        chunked.as("x").join(chunked.as("y"),
+        chunked.hint("merge").as("x").join(chunked.as("y"),
           col("x.ci") === col("y.ci") && col("x.cj") === col("y.cj") &&
             col("x.ki") === col("y.ki") && col("x.kj") === col("y.kj") &&
             col("x.vid") < col("y.vid"))
