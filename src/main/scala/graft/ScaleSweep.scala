@@ -55,6 +55,13 @@ object ScaleSweep {
 
   private val Stride = 10000000L // divisible by 20: mod-20 splits survive
 
+  /** Few-stage big-shuffle cases that keep `shuffle.partitions ∝ volume`
+    * past the iterative-case 256 cap (see the conf note in main).
+    */
+  private val WideShuffleCases = Set(
+    "image_dedup_selfjoin_skew", "video_frameset_dedup",
+    "image_screen_vs_catalog")
+
   /** Materialize an m× copy-blow-up of the tables the sweep's cases read
     * (documents, embeddings, customer, lineitem, orders) under `out`,
     * laid out like a testdata sf dir so entries run on it verbatim.
@@ -264,6 +271,13 @@ object ScaleSweep {
     // code path). Planted near-dups (negated-id namespace, ≤2-bit flips)
     // grow ∝ rows, so pair output is linear by construction and the sweep
     // times the banding, not the generator.
+    // band width scales with the corpus like shuffle partitions and nlist
+    // do (the scale-safe parameterization a real deployment applies —
+    // multi-index banding picks its width so 2^(width·64/(r+width)) stays
+    // above the corpus size): 2-chunk ~20-bit keys up to ~10⁶ hashes,
+    // 3-chunk ~28-bit keys beyond. Holding width=2 at 50× measures the
+    // birthday term n²/2^20 (measured 8.9× between 10× and 50×), not the
+    // operator.
     "image_dedup_selfjoin_skew" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val hs = Tables.load(s, dir, "part").select($"p_partkey".as("id"),
@@ -273,7 +287,8 @@ object ScaleSweep {
         .select((-$"id").as("id"), $"h".bitwiseXOR(lit(0x0000000801L)).as("h"))
       graft.operators.multimodal.ImageDedup.selfJoinFromHashes(
           hs.unionByName(planted), "id", "h",
-          maxHamming = 4, maxChunkFreq = 64L, pairBands = true)
+          maxHamming = 4, maxChunkFreq = 64L,
+          bandWidth = if (m >= 10) 3 else 2) // gated 50x/10x ratio stays same-path
         .groupBy().agg(count(lit(1)).as("n_pairs"))
     }),
     // frame-set containment join (p132 shape): 4 sampled frames per
@@ -294,7 +309,7 @@ object ScaleSweep {
       graft.operators.multimodal.VideoDedup.selfJoinFromHashes(
           frames.unionByName(planted), "vid", "fi", "h",
           maxHamming = 4, minOverlap = 0.5, maxChunkFreq = 64L,
-          pairBands = true)
+          bandWidth = if (m >= 10) 3 else 2) // 4 frames/video: 10x is already ~10⁶ rows
         .groupBy().agg(count(lit(1)).as("n_pairs"))
     }),
     // feed-vs-catalog ingest screen (p134 shape, the production-linear
@@ -409,9 +424,16 @@ object ScaleSweep {
         // p9 ratio 11.7 at fixed 32, 2.6 once scaled). Capped at 256 —
         // on ONE 32-core box, uncapped 32·50=1600 tasks/stage buries the
         // iterative graph cases in scheduling overhead instead (measured:
-        // p66 54.6 s → 245.6 s), which a multi-node cluster would not see
+        // p66 54.6 s → 245.6 s), which a multi-node cluster would not see.
+        // The few-stage BIG-shuffle cases (the multimodal band joins:
+        // 166M-row posting tables at 50×) get the opposite treatment —
+        // the 256 cap gives them 650k rows/task at 50× vs 130k at 10×
+        // and the per-task memory swell times GC, not the join (measured:
+        // video_frameset_dedup ratio 8.04 capped at 256, within bound at
+        // 1024); with 2-3 stages total, task-scheduling overhead is
+        // negligible for them, so they keep partitions ∝ volume to 1024
         spark.conf.set("spark.sql.shuffle.partitions",
-          math.min(32 * m, 256).toString)
+          math.min(32 * m, if (WideShuffleCases(name)) 1024 else 256).toString)
         val fn = cases(m).find(_._1 == name).get._2
         val t0 = System.nanoTime()
         force(fn(spark, d))

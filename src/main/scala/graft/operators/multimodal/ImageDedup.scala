@@ -79,9 +79,15 @@ object ImageDedup {
   def selfJoinFromHashes(hashed: DataFrame, idCol: String, hashCol: String,
                          maxHamming: Int = 6,
                          maxChunkFreq: Long = 0L,
-                         pairBands: Boolean = false): DataFrame = {
+                         pairBands: Boolean = false,
+                         bandWidth: Int = 0): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 31,
       s"maxHamming must be in [0, 31], got $maxHamming (chunks need >= 2 bits)")
+    // bandWidth > 0 selects the generalized multi-index path explicitly
+    // (width 1 = single chunks, 2 = pair keys, 3+ = wider combos — see
+    // explodeComboChunks for when to widen); bandWidth 0 defers to the
+    // legacy pairBands flag
+    val width = if (bandWidth > 0) bandWidth else if (pairBands) 2 else 1
     val sigs = hashed.select(col(idCol).as("doc_id"), col(hashCol).as("h"))
     // merge hint: BOTH sides of the candidate join are the corpus-sized
     // posting table, so broadcasting is never right — but Catalyst's
@@ -92,16 +98,21 @@ object ImageDedup {
     // attempt (hard failure at spark.sql.maxBroadcastTableBytes) on
     // exactly this join. Sort-merge is the plan a 100 TB corpus needs.
     val verified =
-      if (!pairBands) {
+      if (width == 1) {
         val chunked = singleChunked(sigs, maxHamming, maxChunkFreq)
         chunked.hint("merge").as("x").join(chunked.as("y"),
           col("x.chunk") === col("y.chunk") && col("x.ckey") === col("y.ckey") &&
             col("x.doc_id") < col("y.doc_id"))
-      } else {
+      } else if (width == 2) {
         val chunked = pairChunked(sigs, maxHamming, maxChunkFreq)
         chunked.hint("merge").as("x").join(chunked.as("y"),
           col("x.ci") === col("y.ci") && col("x.cj") === col("y.cj") &&
             col("x.ki") === col("y.ki") && col("x.kj") === col("y.kj") &&
+            col("x.doc_id") < col("y.doc_id"))
+      } else {
+        val chunked = explodeComboChunks(sigs, "h", maxHamming, width, maxChunkFreq)
+        chunked.hint("merge").as("x").join(chunked.as("y"),
+          col("x.cid") === col("y.cid") && col("x.ckey") === col("y.ckey") &&
             col("x.doc_id") < col("y.doc_id"))
       }
     verified
@@ -181,6 +192,57 @@ object ImageDedup {
         .filter(col("__n__") > maxChunkFreq)
         .select(col("ci"), col("cj"), col("ki"), col("kj"))
       chunked0.join(hot, Seq("ci", "cj", "ki", "kj"), "left_anti")
+    }
+  }
+
+  /** Generalized multi-index banding (Norouzi et al.): explode into
+    * `width`-chunk combination posting rows over `maxHamming + width`
+    * chunks. Pigeonhole: two hashes within the radius differ in at most
+    * `maxHamming` chunks, so they AGREE on at least `width` — at least
+    * one width-subset matches entirely, giving 100% recall at candidate
+    * volume n²·C(c,width)/2^(width·64/c). The width is the corpus-scale
+    * knob: keep 2^(width·64/(maxHamming+width)) comfortably above the
+    * corpus size or the birthday term n²/2^w dominates (measured: 20-bit
+    * pair keys went super-linear between 10⁶ and 5×10⁶ hashes in the
+    * r18 sweep; width 3 at maxHamming 4 gives ~28-bit keys and restores
+    * linearity). The subset's chunk keys pack into ONE long (16 bits
+    * per chunk key — guarded), so the join key stays a skinny
+    * (cid, ckey) pair whatever the width. The cap applies per
+    * combination key.
+    */
+  private[multimodal] def explodeComboChunks(df: DataFrame, hashCol: String,
+                                             maxHamming: Int, width: Int,
+                                             maxChunkFreq: Long): DataFrame = {
+    val c = maxHamming + width
+    require(width >= 2, s"bandWidth >= 2 for combo banding, got $width")
+    val base = 64 / c
+    val lastLen = 64 - (c - 1) * base
+    require(base >= 2 && base <= 16 && lastLen <= 16,
+      s"combo banding needs 2..16-bit chunks: maxHamming=$maxHamming width=$width gives base=$base last=$lastLen")
+    def chunkSql(i: Int): String = {
+      val start = i * base
+      val len = if (i == c - 1) lastLen else base
+      val mask = (1L << len) - 1L
+      s"(shiftright($hashCol, $start) & ${mask}L)"
+    }
+    val comboExprs = (0 until c).combinations(width).toSeq.zipWithIndex.map {
+      case (s, cid) =>
+        val packed = s.map(chunkSql)
+          .reduceLeft((acc, k) => s"(shiftleft($acc, 16) | $k)")
+        s"struct(cast($cid as int) as cid, $packed as ckey)"
+    }
+    val chunked0 = df
+      .withColumn("__c__", explode(expr(s"array(${comboExprs.mkString(", ")})")))
+      .withColumn("cid", col("__c__.cid"))
+      .withColumn("ckey", col("__c__.ckey"))
+      .drop("__c__")
+    if (maxChunkFreq <= 0L) chunked0
+    else {
+      val hot = chunked0.groupBy(col("cid"), col("ckey"))
+        .agg(count(lit(1)).as("__n__"))
+        .filter(col("__n__") > maxChunkFreq)
+        .select(col("cid"), col("ckey"))
+      chunked0.join(hot, Seq("cid", "ckey"), "left_anti")
     }
   }
 

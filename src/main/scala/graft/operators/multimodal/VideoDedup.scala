@@ -70,9 +70,13 @@ object VideoDedup {
                          hashCol: String, maxHamming: Int = 6,
                          minOverlap: Double = 0.5,
                          maxChunkFreq: Long = 0L,
-                         pairBands: Boolean = false): DataFrame = {
+                         pairBands: Boolean = false,
+                         bandWidth: Int = 0): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 31,
       s"maxHamming must be in [0, 31], got $maxHamming")
+    // see ImageDedup.selfJoinFromHashes: bandWidth > 0 selects the
+    // generalized multi-index path; 0 defers to the pairBands flag
+    val width = if (bandWidth > 0) bandWidth else if (pairBands) 2 else 1
     require(minOverlap >= 0.0 && minOverlap <= 1.0,
       s"minOverlap must be in [0, 1], got $minOverlap")
     val sigs = hashed.select(col(idCol).as("vid"), col(idxCol).as("fi"),
@@ -89,25 +93,35 @@ object VideoDedup {
     // sizeInBytes underestimate can auto-broadcast it (the 50x sweep hit
     // a 9 GiB broadcast build on this very join); sort-merge always
     val candidates =
-      if (!pairBands) {
+      if (width == 1) {
         val chunked = ImageDedup.explodeSingleChunks(sigs, "h",
           maxHamming, maxChunkFreq)
         chunked.hint("merge").as("x").join(chunked.as("y"),
           col("x.chunk") === col("y.chunk") && col("x.ckey") === col("y.ckey") &&
             col("x.vid") < col("y.vid"))
-      } else {
+      } else if (width == 2) {
         val chunked = ImageDedup.explodePairChunks(sigs, "h",
           maxHamming, maxChunkFreq)
         chunked.hint("merge").as("x").join(chunked.as("y"),
           col("x.ci") === col("y.ci") && col("x.cj") === col("y.cj") &&
             col("x.ki") === col("y.ki") && col("x.kj") === col("y.kj") &&
             col("x.vid") < col("y.vid"))
+      } else {
+        val chunked = ImageDedup.explodeComboChunks(sigs, "h",
+          maxHamming, width, maxChunkFreq)
+        chunked.hint("merge").as("x").join(chunked.as("y"),
+          col("x.cid") === col("y.cid") && col("x.ckey") === col("y.ckey") &&
+            col("x.vid") < col("y.vid"))
       }
+    // no distinct() on the candidate frame pairs: the per-pair
+    // countDistinct aggregation below already dedups multi-band hits, and
+    // an explicit distinct is a redundant FULL shuffle of the candidate
+    // set ahead of it (measured on the 50x sweep: one full exchange of a
+    // multi-million-row table for nothing)
     val framePairs = candidates
       .select(col("x.vid").as("a_id"), col("y.vid").as("b_id"),
         col("x.fi").as("a_fi"), col("y.fi").as("b_fi"),
         col("x.h").as("a_h"), col("y.h").as("b_h"))
-      .distinct()
       .filter(bit_count(col("a_h").bitwiseXOR(col("b_h"))) <= maxHamming)
     framePairs.groupBy(col("a_id"), col("b_id"))
       .agg(countDistinct(col("a_fi")).as("matched_a"),
@@ -162,7 +176,7 @@ object VideoScreen {
       .select(col("x.vid").as("feed_id"), col("y.vid").as("catalog_id"),
         col("x.fi").as("f_fi"), col("y.fi").as("c_fi"),
         col("x.h").as("a_h"), col("y.h").as("b_h"))
-      .distinct()
+      // no distinct: the countDistinct aggregation dedups multi-band hits
       .filter(bit_count(col("a_h").bitwiseXOR(col("b_h"))) <= maxHamming)
       .groupBy(col("feed_id"), col("catalog_id"))
       .agg(countDistinct(col("f_fi")).as("matched_feed"),

@@ -4873,7 +4873,50 @@ object Pipeline {
         | t(name, fmt, width, height, make, model, orientation, taken_at,
         |   exif_w, exif_h, png_title, wav_rate, wav_channels, wav_bits,
         |   wav_frames, frames)
-        |ORDER BY name""".stripMargin)
+        |ORDER BY name""".stripMargin),
+
+    // ---- generalized multi-index Hamming banding (r18): width-3 combos
+    //      over maxHamming+3 chunks — the regime past two-chunk banding
+    //      (the r18 sweep measured 20-bit pair keys going birthday-
+    //      super-linear between 10⁶ and 5×10⁶ hashes; 3-chunk ~28-bit
+    //      keys restore linearity). Same 100% recall by pigeonhole
+    //      (differ in ≤4 of 7 chunks ⇒ agree on ≥3 ⇒ some triple matches
+    //      entirely); DuckDB replays the triple-combination join from
+    //      the persisted stamp with the same 9/10-bit chunk arithmetic.
+    //      Spark packs the triple into one long join key — an
+    //      implementation detail the oracle needn't mirror. ----
+    QuerySpec.sql("p139_hamming_comboband", (s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "part").select($"p_partkey".as("id"),
+        xxhash64($"p_name", $"p_partkey", lit(3)).as("h"))
+      val planted = base.filter($"id" % 8 === 0)
+        .select((-$"id").as("id"),
+          $"h".bitwiseXOR(lit(0x420000800L)).as("h")) // 3 bits flipped
+      base.unionByName(planted)
+        .write.mode("overwrite").parquet("/tmp/graft_comboband_hashes")
+      graft.operators.multimodal.ImageDedup.selfJoinFromHashes(
+          s.read.parquet("/tmp/graft_comboband_hashes"), "id", "h",
+          maxHamming = 4, bandWidth = 3)
+        .orderBy($"a_id", $"b_id")
+    },
+      """WITH hs AS (SELECT id, h
+        |  FROM read_parquet('/tmp/graft_comboband_hashes/*.parquet')),
+        |cmb AS (SELECT a.i AS c1, b.i AS c2, c.i AS c3
+        |  FROM (SELECT UNNEST(RANGE(0, 7)) AS i) a,
+        |       (SELECT UNNEST(RANGE(0, 7)) AS i) b,
+        |       (SELECT UNNEST(RANGE(0, 7)) AS i) c
+        |  WHERE a.i < b.i AND b.i < c.i),
+        |kk AS (SELECT id, h, c1, c2, c3,
+        |    (h >> (c1 * 9)) & (CASE WHEN c1 = 6 THEN 1023 ELSE 511 END) AS k1,
+        |    (h >> (c2 * 9)) & (CASE WHEN c2 = 6 THEN 1023 ELSE 511 END) AS k2,
+        |    (h >> (c3 * 9)) & (CASE WHEN c3 = 6 THEN 1023 ELSE 511 END) AS k3
+        |  FROM hs CROSS JOIN cmb),
+        |cand AS (SELECT DISTINCT x.id AS a_id, y.id AS b_id, x.h AS ah, y.h AS bh
+        |  FROM kk x JOIN kk y ON x.c1 = y.c1 AND x.c2 = y.c2 AND x.c3 = y.c3
+        |    AND x.k1 = y.k1 AND x.k2 = y.k2 AND x.k3 = y.k3 AND x.id < y.id)
+        |SELECT a_id, b_id, CAST(BIT_COUNT(XOR(ah, bh)) AS INTEGER) AS hamming
+        |FROM cand WHERE BIT_COUNT(XOR(ah, bh)) <= 4
+        |ORDER BY a_id, b_id""".stripMargin)
   )
 
   /** Cross-table banding replay for the p134 feed-vs-catalog screen. */

@@ -189,6 +189,16 @@ class ImageDedupSpec extends AnyFunSuite {
           pairBands = true)
         .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
       assert(paired == single, s"r=$r")
+      // generalized multi-index banding (r18): width-3 and width-4 combos
+      // must return the identical pair set — the pigeonhole holds for any
+      // width (differ in <= r of r+w chunks => agree on >= w => some
+      // w-subset matches entirely)
+      for (w <- Seq(3, 4)) {
+        val combo = ImageDedup.selfJoinFromHashes(df, "id", "h", maxHamming = r,
+            bandWidth = w)
+          .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+        assert(combo == single, s"r=$r width=$w")
+      }
       // brute-force ground truth
       val all = base ++ planted
       val brute = (for (a <- all; b <- all if a._1 < b._1;

@@ -62,6 +62,12 @@ class ScreenCapPropertySpec extends AnyFunSuite {
     for (i <- 0 until n; j <- i + 1 until n)
       yield (i, j, chunkKey(h, i, n), chunkKey(h, j, n))
   }
+  private def comboKeys(h: Long, maxH: Int, w: Int): Seq[(Int, Seq[Long])] = {
+    val n = maxH + w
+    (0 until n).combinations(w).toSeq.zipWithIndex.map { case (s, cid) =>
+      cid -> s.map(chunkKey(h, _, n))
+    }
+  }
   private def maxBucket[K](keys: Seq[K]): Int =
     if (keys.isEmpty) 0 else keys.groupBy(identity).values.map(_.size).max
 
@@ -82,15 +88,18 @@ class ScreenCapPropertySpec extends AnyFunSuite {
     check(Prop.forAll(genCorpus) { case (hashes, cap, maxH) =>
       val df = hashes.zipWithIndex.map { case (h, i) => (i.toLong, h) }
         .toDF("id", "h")
-      Seq(false, true).forall { pair =>
+      // widths 1 (single), 2 (pair), 3 (generalized combo) share the contract
+      Seq(1, 2, 3).forall { w =>
         def run(c: Long) = ImageDedup.selfJoinFromHashes(df, "id", "h",
-            maxHamming = maxH, maxChunkFreq = c, pairBands = pair)
+            maxHamming = maxH, maxChunkFreq = c, bandWidth = w)
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
         val capped = run(cap.toLong)
         val uncapped = run(0L)
-        val occ =
-          if (pair) maxBucket(hashes.flatMap(pairKeys(_, maxH)))
-          else maxBucket(hashes.flatMap(singleKeys(_, maxH)))
+        val occ = w match {
+          case 1 => maxBucket(hashes.flatMap(singleKeys(_, maxH)))
+          case 2 => maxBucket(hashes.flatMap(pairKeys(_, maxH)))
+          case _ => maxBucket(hashes.flatMap(comboKeys(_, maxH, w)))
+        }
         capped.subsetOf(uncapped) &&
           (occ > cap || capped == uncapped)
       }
