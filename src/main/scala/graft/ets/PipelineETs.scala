@@ -327,7 +327,8 @@ object StreamCooccurET extends NoPathET {
 }
 
 /** `run stream as StreamHammingScreen.`` [where idCol="id" and
-  * hashCol="h" and maxHamming="6" and maxBucketSize="256"]` — streaming
+  * hashCol="h" and maxHamming="6" and maxBucketSize="256" and
+  * bandWidth="1"]` — streaming
   * perceptual near-dup screen across micro-batches (see
   * [[graft.streaming.Stateful.hammingScreen]]): banded Hamming buckets
   * with exactly-once min-chunk pair emission, batch-parity with
@@ -349,12 +350,13 @@ object StreamHammingScreenET extends NoPathET {
     graft.streaming.Stateful.hammingScreen(df,
       params.getOrElse("idCol", "id"), params.getOrElse("hashCol", "h"),
       maxHamming = params.getOrElse("maxHamming", "6").toInt,
-      maxBucketSize = params.getOrElse("maxBucketSize", "256").toInt).toDF()
+      maxBucketSize = params.getOrElse("maxBucketSize", "256").toInt,
+      bandWidth = params.getOrElse("bandWidth", "1").toInt).toDF()
 }
 
 /** `run stream as StreamVideoScreen.`` [where idCol="id" and
   * framesCol="frames" and maxHamming="6" and minOverlap="0.5" and
-  * maxBucketSize="256"]` — streaming VIDEO ingest screen (see
+  * maxBucketSize="256" and bandWidth="1"]` — streaming VIDEO ingest screen (see
   * [[graft.streaming.Stateful.videoScreen]]): frame-set containment
   * near-dup across micro-batches. Input rows carry a whole video each:
   * `framesCol` is an `array<struct<frame_idx int, hash long>>` — field
@@ -375,7 +377,8 @@ object StreamVideoScreenET extends NoPathET {
       params.getOrElse("idCol", "id"), params.getOrElse("framesCol", "frames"),
       maxHamming = params.getOrElse("maxHamming", "6").toInt,
       minOverlap = params.getOrElse("minOverlap", "0.5").toDouble,
-      maxBucketSize = params.getOrElse("maxBucketSize", "256").toInt).toDF()
+      maxBucketSize = params.getOrElse("maxBucketSize", "256").toInt,
+      bandWidth = params.getOrElse("bandWidth", "1").toInt).toDF()
 }
 
 /** `run stream as StreamSessions.`` where gapSec="1800" [and

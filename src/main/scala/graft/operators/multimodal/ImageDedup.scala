@@ -269,9 +269,32 @@ object ImageDedup {
     */
   def joinAgainst(feed: DataFrame, feedIdCol: String, feedHashCol: String,
                   catalog: DataFrame, catalogIdCol: String, catalogHashCol: String,
-                  maxHamming: Int = 6, maxChunkFreq: Long = 0L): DataFrame = {
+                  maxHamming: Int = 6, maxChunkFreq: Long = 0L,
+                  bandWidth: Int = 1): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 31,
       s"maxHamming must be in [0, 31], got $maxHamming (chunks need >= 2 bits)")
+    require(bandWidth >= 1, s"bandWidth must be >= 1, got $bandWidth")
+    // bandWidth > 1: generalized multi-index probing (explodeComboChunks)
+    // — at a 10⁸-hash catalog, single-chunk 8-12-bit posting lists hold
+    // catalog/2^bits entries and every feed probe pays that amplification;
+    // wider combo keys keep posting lists near-singleton. Work stays
+    // linear in the feed either way; width is the catalog-scale knob.
+    if (bandWidth > 1) {
+      val feedC = explodeComboChunks(
+        feed.select(col(feedIdCol).as("doc_id"), col(feedHashCol).as("h")),
+        "h", maxHamming, bandWidth, 0L)
+      val catC = explodeComboChunks(
+        catalog.select(col(catalogIdCol).as("doc_id"), col(catalogHashCol).as("h")),
+        "h", maxHamming, bandWidth, maxChunkFreq) // bounded side owns the cap
+      return feedC.as("x").join(catC.as("y"),
+          col("x.cid") === col("y.cid") && col("x.ckey") === col("y.ckey"))
+        .select(col("x.doc_id").as("feed_id"), col("y.doc_id").as("catalog_id"),
+          col("x.h").as("a_h"), col("y.h").as("b_h"))
+        .distinct()
+        .withColumn("hamming", bit_count(col("a_h").bitwiseXOR(col("b_h"))))
+        .filter(col("hamming") <= maxHamming)
+        .select(col("feed_id"), col("catalog_id"), col("hamming"))
+    }
     val n = maxHamming + 1
     val base = 64 / n
     val chunkExprs = (0 until n).map { i =>

@@ -156,21 +156,28 @@ object VideoScreen {
                        catalog: DataFrame, catIdCol: String, catIdxCol: String,
                        catHashCol: String,
                        maxHamming: Int = 6, minOverlap: Double = 0.5,
-                       maxChunkFreq: Long = 0L): DataFrame = {
+                       maxChunkFreq: Long = 0L,
+                       bandWidth: Int = 1): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 31,
       s"maxHamming must be in [0, 31], got $maxHamming")
     require(minOverlap >= 0.0 && minOverlap <= 1.0,
       s"minOverlap must be in [0, 1], got $minOverlap")
+    require(bandWidth >= 1, s"bandWidth must be >= 1, got $bandWidth")
     val fsigs = feed.select(col(feedIdCol).as("vid"), col(feedIdxCol).as("fi"),
       col(feedHashCol).as("h"))
     val csigs = catalog.select(col(catIdCol).as("vid"), col(catIdxCol).as("fi"),
       col(catHashCol).as("h"))
     val fCounts = fsigs.groupBy(col("vid")).agg(countDistinct(col("fi")).as("nf"))
     val cCounts = csigs.groupBy(col("vid")).agg(countDistinct(col("fi")).as("nf"))
-    val fChunked = ImageDedup.explodeSingleChunks(fsigs, "h", maxHamming, 0L)
+    // bandWidth is the catalog-scale knob (see ImageDedup.joinAgainst):
+    // wider combo keys keep the catalog's posting lists near-singleton
+    def chunked(sigs: DataFrame, cap: Long): DataFrame =
+      if (bandWidth == 1) ImageDedup.explodeSingleChunks(sigs, "h", maxHamming, cap)
+      else ImageDedup.explodeComboChunks(sigs, "h", maxHamming, bandWidth, cap)
+        .withColumnRenamed("cid", "chunk")
+    val fChunked = chunked(fsigs, 0L)
     // the CATALOG (bounded side) owns the cap — linkage-gram discipline
-    val cChunked = ImageDedup.explodeSingleChunks(csigs, "h", maxHamming,
-      maxChunkFreq)
+    val cChunked = chunked(csigs, maxChunkFreq)
     fChunked.as("x").join(cChunked.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.ckey") === col("y.ckey"))
       .select(col("x.vid").as("feed_id"), col("y.vid").as("catalog_id"),

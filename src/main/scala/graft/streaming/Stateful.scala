@@ -374,24 +374,73 @@ object Stateful {
     * downstream by (a_id, b_id). Append mode; RocksDB state store
     * recommended.
     */
-  class HammingScreenProcessor(maxHamming: Int, cap: Int)
-    extends StatefulProcessor[(Int, Long), (Int, Long, String, Long), HammingMatch] {
-    private val n = maxHamming + 1
-    private val base = 64 / n
-    private def chunkOf(h: Long, i: Int): Long = {
+  /** Shared multi-index banding arithmetic for the streaming screens —
+    * the same chunk/combination layout as
+    * [[graft.operators.multimodal.ImageDedup.explodeComboChunks]] (and,
+    * at width 1, as the batch single-chunk banding), so the streamed
+    * pair sets stay batch-parity at ANY width. Combos are in
+    * lexicographic `combinations` order: the cid a SQL-side banding
+    * select assigns is the index this object assigns, which is what the
+    * exactly-once min-shared-combo emission rule keys on.
+    */
+  private[streaming] object HammingBands {
+    def chunkOf(h: Long, i: Int, c: Int): Long = {
+      val base = 64 / c
       val start = i * base
-      val len = if (i == n - 1) 64 - start else base
+      val len = if (i == c - 1) 64 - start else base
       val mask = if (len >= 64) -1L else (1L << len) - 1L
       (h >>> start) & mask
     }
-    private def minSharedChunk(h1: Long, h2: Long): Int = {
+    def combos(maxHamming: Int, width: Int): Array[Array[Int]] =
+      (0 until (maxHamming + width)).combinations(width).map(_.toArray).toArray
+    /** Index of the lexicographically first combination whose chunks all
+      * agree, or -1 (for width 1 this is exactly min-shared-chunk).
+      */
+    def minSharedCombo(h1: Long, h2: Long, cs: Array[Array[Int]], c: Int): Int = {
       var i = 0
-      while (i < n) {
-        if (chunkOf(h1, i) == chunkOf(h2, i)) return i
+      while (i < cs.length) {
+        val s = cs(i)
+        var j = 0
+        var all = true
+        while (all && j < s.length) {
+          all = chunkOf(h1, s(j), c) == chunkOf(h2, s(j), c)
+          j += 1
+        }
+        if (all) return i
         i += 1
       }
       -1
     }
+    /** SQL struct expressions `(chunk = cid, ckey = packed keys)` for the
+      * banding select over a long column; width >= 2 packs each 16-bit-
+      * guarded chunk key into one long (ImageDedup's packing).
+      */
+    def comboSelectExprs(hashCol: String, maxHamming: Int, width: Int): Seq[String] = {
+      val c = maxHamming + width
+      val base = 64 / c
+      val lastLen = 64 - (c - 1) * base
+      require(width == 1 || (base >= 2 && base <= 16 && lastLen <= 16),
+        s"combo banding needs 2..16-bit chunks: maxHamming=$maxHamming width=$width gives base=$base last=$lastLen")
+      def chunkSql(i: Int): String = {
+        val start = i * base
+        val len = if (i == c - 1) lastLen else base
+        val mask = if (len >= 64) -1L else (1L << len) - 1L
+        s"(shiftright($hashCol, $start) & ${mask}L)"
+      }
+      combos(maxHamming, width).zipWithIndex.map { case (s, cid) =>
+        val packed = s.map(chunkSql).toSeq
+          .reduceLeft((acc, k) => s"(shiftleft($acc, 16) | $k)")
+        s"struct(cast($cid as int) as chunk, $packed as ckey)"
+      }.toSeq
+    }
+  }
+
+  class HammingScreenProcessor(maxHamming: Int, cap: Int, bandWidth: Int = 1)
+    extends StatefulProcessor[(Int, Long), (Int, Long, String, Long), HammingMatch] {
+    private val c = maxHamming + bandWidth
+    private val combos = HammingBands.combos(maxHamming, bandWidth)
+    private def minSharedChunk(h1: Long, h2: Long): Int =
+      HammingBands.minSharedCombo(h1, h2, combos, c)
     @transient private var st: ListState[(String, Long)] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       st = getHandle.getListState[(String, Long)]("members",
@@ -427,22 +476,21 @@ object Stateful {
     */
   def hammingScreen(df: DataFrame, idCol: String, hashCol: String,
                     maxHamming: Int = 6,
-                    maxBucketSize: Int = 256): Dataset[HammingMatch] = {
+                    maxBucketSize: Int = 256,
+                    bandWidth: Int = 1): Dataset[HammingMatch] = {
     require(maxHamming >= 0 && maxHamming <= 31,
       s"maxHamming must be in [0, 31], got $maxHamming")
     require(maxBucketSize >= 1, "maxBucketSize must be >= 1 (state bound)")
+    require(bandWidth >= 1, s"bandWidth must be >= 1, got $bandWidth")
     val spark = df.sparkSession
     import spark.implicits._
-    val n = maxHamming + 1
-    val base = 64 / n
-    // identical banding arithmetic to ImageDedup.selfJoinFromHashes —
-    // the batch-parity contract depends on it
-    val chunkExprs = (0 until n).map { i =>
-      val start = i * base
-      val len = if (i == n - 1) 64 - start else base
-      val mask = if (len >= 64) -1L else (1L << len) - 1L
-      s"struct(cast($i as int) as chunk, shiftright(h, $start) & ${mask}L as ckey)"
-    }
+    // identical banding arithmetic to ImageDedup.selfJoinFromHashes /
+    // explodeComboChunks — the batch-parity contract depends on it.
+    // bandWidth is the corpus-scale knob exactly as in the batch join:
+    // at width 1 the state buckets grow ∝ corpus/2^(64/(maxHamming+1)),
+    // so a large ingest corpus needs wider combo keys or the cap binds
+    // and recall degrades
+    val chunkExprs = HammingBands.comboSelectExprs("h", maxHamming, bandWidth)
     df.select(col(idCol).cast("string").as("id"), col(hashCol).cast("long").as("h"))
       .filter(col("id").isNotNull && col("h").isNotNull)
       .select(col("id"), col("h"),
@@ -451,7 +499,8 @@ object Stateful {
         col("id"), col("h"))
       .as[(Int, Long, String, Long)]
       .groupByKey(r => (r._1, r._2))
-      .transformWithState(new HammingScreenProcessor(maxHamming, maxBucketSize),
+      .transformWithState(
+        new HammingScreenProcessor(maxHamming, maxBucketSize, bandWidth),
         TimeMode.None(), OutputMode.Append())
   }
 
@@ -472,25 +521,13 @@ object Stateful {
     * (first-arrival kept) — the capped match set is a subset of the
     * uncapped one, arrival-order-dependent like every capped screen.
     */
-  class VideoScreenBucketProcessor(maxHamming: Int, cap: Int)
+  class VideoScreenBucketProcessor(maxHamming: Int, cap: Int, bandWidth: Int = 1)
     extends StatefulProcessor[(Int, Long),
       (Int, Long, String, Int, Long, Int), VideoFrameMatch] {
-    private val n = maxHamming + 1
-    private val base = 64 / n
-    private def chunkOf(h: Long, i: Int): Long = {
-      val start = i * base
-      val len = if (i == n - 1) 64 - start else base
-      val mask = if (len >= 64) -1L else (1L << len) - 1L
-      (h >>> start) & mask
-    }
-    private def minSharedChunk(h1: Long, h2: Long): Int = {
-      var i = 0
-      while (i < n) {
-        if (chunkOf(h1, i) == chunkOf(h2, i)) return i
-        i += 1
-      }
-      -1
-    }
+    private val c = maxHamming + bandWidth
+    private val combos = HammingBands.combos(maxHamming, bandWidth)
+    private def minSharedChunk(h1: Long, h2: Long): Int =
+      HammingBands.minSharedCombo(h1, h2, combos, c)
     @transient private var st: ListState[(String, Int, Long, Int)] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       st = getHandle.getListState[(String, Int, Long, Int)]("frames",
@@ -588,22 +625,17 @@ object Stateful {
     */
   def videoScreen(df: DataFrame, idCol: String, framesCol: String,
                   maxHamming: Int = 6, minOverlap: Double = 0.5,
-                  maxBucketSize: Int = 256): Dataset[VideoScreenMatch] = {
+                  maxBucketSize: Int = 256,
+                  bandWidth: Int = 1): Dataset[VideoScreenMatch] = {
     require(maxHamming >= 0 && maxHamming <= 31,
       s"maxHamming must be in [0, 31], got $maxHamming")
     require(minOverlap >= 0.0 && minOverlap <= 1.0,
       s"minOverlap must be in [0, 1], got $minOverlap")
     require(maxBucketSize >= 1, "maxBucketSize must be >= 1 (state bound)")
+    require(bandWidth >= 1, s"bandWidth must be >= 1, got $bandWidth")
     val spark = df.sparkSession
     import spark.implicits._
-    val n = maxHamming + 1
-    val base = 64 / n
-    val chunkExprs = (0 until n).map { i =>
-      val start = i * base
-      val len = if (i == n - 1) 64 - start else base
-      val mask = if (len >= 64) -1L else (1L << len) - 1L
-      s"struct(cast($i as int) as chunk, shiftright(h, $start) & ${mask}L as ckey)"
-    }
+    val chunkExprs = HammingBands.comboSelectExprs("h", maxHamming, bandWidth)
     df.select(col(idCol).cast("string").as("id"), col(framesCol).as("fr"))
       .filter(col("id").isNotNull && col("fr").isNotNull && size(col("fr")) > 0)
       .select(col("id"), size(col("fr")).as("nf"), explode(col("fr")).as("f"))
@@ -621,7 +653,8 @@ object Stateful {
         col("id"), col("fi"), col("h"), col("nf"))
       .as[(Int, Long, String, Int, Long, Int)]
       .groupByKey(r => (r._1, r._2))
-      .transformWithState(new VideoScreenBucketProcessor(maxHamming, maxBucketSize),
+      .transformWithState(
+        new VideoScreenBucketProcessor(maxHamming, maxBucketSize, bandWidth),
         TimeMode.None(), OutputMode.Append())
       .groupByKey(m => (m.a_id, m.b_id))
       .transformWithState(new VideoScreenPairProcessor(minOverlap),

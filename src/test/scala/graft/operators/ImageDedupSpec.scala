@@ -226,11 +226,24 @@ class ImageDedupSpec extends AnyFunSuite {
       yield (fi, ci, java.lang.Long.bitCount(fh ^ ch))).toSet
     assert(got == want) // pigeonhole recall is exact across tables too
     assert(want.size >= 9, "fixture must plant cross matches")
+    // generalized widths (r18): the catalog-scale knob must not change
+    // the result set (pigeonhole recall is exact at any width)
+    for (w <- Seq(2, 3)) {
+      val combo = ImageDedup.joinAgainst(feed.toDF("id", "h"), "id", "h",
+          cat.toDF("id", "h"), "id", "h", maxHamming = 4, bandWidth = w)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+      assert(combo == want, s"width=$w")
+    }
     // catalog-side cap: a hot catalog hash shared 12x is capped away
     val hotCat = (0 until 12).map(i => (s"h$i", 42L))
     val hotFeed = Seq(("f0", 42L))
     val capped = ImageDedup.joinAgainst(hotFeed.toDF("id", "h"), "id", "h",
       hotCat.toDF("id", "h"), "id", "h", maxHamming = 7, maxChunkFreq = 4L)
     assert(capped.count() == 0)
+    // ...at any width (identical hashes share every combo key)
+    val cappedW = ImageDedup.joinAgainst(hotFeed.toDF("id", "h"), "id", "h",
+      hotCat.toDF("id", "h"), "id", "h", maxHamming = 7, maxChunkFreq = 4L,
+      bandWidth = 3)
+    assert(cappedW.count() == 0)
   }
 }

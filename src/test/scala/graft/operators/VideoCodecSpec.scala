@@ -144,6 +144,13 @@ class VideoCodecSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(1), r.getString(0)) -> r.getDouble(6)).toMap
     assert(hits((("cat1", "new1"))) == 1.0, "excerpt contains through its own side")
     assert(!hits.keySet.exists(_._2 == "new2"), "fresh content passes the screen")
+    // generalized band width must not change the screen result (r18)
+    val hitsW = VideoScreen.screenFromHashes(
+        feedHashes, "id", "frame_idx", "frame_hash",
+        catHashes, "id", "frame_idx", "frame_hash",
+        maxHamming = 7, minOverlap = 0.5, bandWidth = 3)
+      .collect().map(r => (r.getString(1), r.getString(0)) -> r.getDouble(6)).toMap
+    assert(hitsW == hits, "width-3 screen == single-chunk screen")
   }
 
   test("VideoDedup hot-hash cap drops capped chunk keys deterministically") {

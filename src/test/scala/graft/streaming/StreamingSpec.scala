@@ -569,6 +569,23 @@ class StreamingSpec extends AnyFunSuite {
       val dup = spark.table("hscreen").groupBy("a_id", "b_id")
         .count().filter($"count" > 1).count()
       assert(dup == 0L)
+      // generalized band width (r18): the corpus-scale knob must keep the
+      // streamed set identical (pigeonhole + min-shared-COMBO emission)
+      val ms3 = MemoryStream[(String, Long)]
+      val q3 = Stateful.hammingScreen(ms3.toDF().toDF("id", "h"), "id", "h",
+          maxHamming = 4, bandWidth = 3)
+        .writeStream.format("memory").queryName("hscreen_w3").outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ck_hs3").toString)
+        .start()
+      chunks.foreach { c => ms3.addData(c: _*); q3.processAllAvailable() }
+      q3.stop()
+      val streamed3 = spark.table("hscreen_w3")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+      assert(streamed3 == batch, "width-3 streamed set == batch set")
+      val dup3 = spark.table("hscreen_w3").groupBy("a_id", "b_id")
+        .count().filter($"count" > 1).count()
+      assert(dup3 == 0L)
     } finally prev match {
       case Some(v) => spark.conf.set(providerKey, v)
       case None => spark.conf.unset(providerKey)
