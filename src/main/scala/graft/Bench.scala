@@ -360,9 +360,17 @@ object Bench {
     val forced = sys.env.get("SPARK_GRAFT_BENCH_FORCE_ISOLATED")
       .map(_.split(",").toSeq.filter(SparkEntry.queries.contains))
       .getOrElse(Seq.empty)
-    // priority order inside the cap: stalls and regressions are the
-    // gate-significant flags; wobble stamps are best-effort
-    val flagged = (stalls ++ prelimRegressions ++ forced ++ wobbles).distinct.take(6)
+    // priority order inside the cap: stalls first, then regressions by
+    // DESCENDING normalized severity (r18 lesson: an unsorted prelim list
+    // let the 6-fork budget starve exactly the two largest flags, which
+    // then stayed confirmed without the fresh-JVM evidence that cleared
+    // their smaller siblings); wobble stamps are best-effort
+    val prelimBySeverity = prelimRegressions.sortBy { n =>
+      val sev = for (p <- baseline(n); wv <- byName(n)._2.time.toOption)
+        yield wv / (p * globalRatio)
+      -sev.getOrElse(0.0)
+    }
+    val flagged = (stalls ++ prelimBySeverity ++ forced ++ wobbles).distinct.take(6)
     val forkDeadlineNs = System.nanoTime() + 15L * 60 * 1000000000L
     val isolated: Seq[(String, Double)] = if (flagged.isEmpty) Seq.empty else {
       import scala.jdk.CollectionConverters._
@@ -439,9 +447,15 @@ object Bench {
           // the fork can still CLEAR a flag (a fresh JVM beating the gate
           // despite paying full codegen proves sweep-position noise — the
           // r10 lesson); it just cannot CONFIRM one against a swept
-          // baseline it is not comparable to
+          // baseline it is not comparable to. The clear thresholds scale
+          // by the fork-regime drift ratio exactly like the confirm rule
+          // above (r18 lesson: on a 1.79x-degraded box the UNSCALED rule
+          // let fresh-JVM runs of ten-rounds-unchanged trivials miss
+          // clearing by hundredths of a second, confirming five false
+          // regressions)
           val isoClears = isoMap.get(n).exists(v =>
-            baseline(n).exists(p => v <= 2 * p || v - p <= 0.5))
+            baseline(n).exists(p =>
+              v <= 2 * p * isoRatio || v - p * isoRatio <= 0.5))
           !isoClears && baseline(n).forall { p =>
             val wv = byName(n)._2.time.getOrElse(Double.MaxValue)
             wv > 2 * p * globalRatio && wv - p * globalRatio > 0.5
