@@ -23,9 +23,12 @@ package graft
   *     an explicit `drift_alarm` instead of silently scaling baselines by a
   *     wild factor.
   *
-  * The thresholds are unchanged from r14-r17: a regression is warm > 2x the
-  * drift-scaled baseline AND >0.5 s absolute growth; a wobble is >1.5x in
-  * either direction with >0.5 s absolute movement.
+  * Thresholds: a regression is warm > 2x the drift-scaled baseline AND
+  * >0.5 s absolute growth; a wobble is > band-x in either direction with
+  * >0.5 s absolute movement, where band = max(1.5, control-ratio q75/q25)
+  * — the band widens exactly as much as the box's own unchanged controls
+  * dispersed (r19, VERDICT r18 ask #8). On drift alarm the gate scales by
+  * 1.0, not the wild measured ratio (r19, ADVICE r18).
   */
 object BenchGate {
 
@@ -74,21 +77,40 @@ object BenchGate {
       // scheduler jitter, not drift) from setting the normalizer
       if (isControl(id)) base(n).filter(_ > 0.2).map(wv / _) else None
     }.sorted
-    val ratio =
+    val measuredRatio =
       if (controlRatios.length < MinControls) 1.0
       else controlRatios(controlRatios.length / 2)
     val alarm = controlRatios.length >= MinControls &&
-      (ratio < DriftAlarmLow || ratio > DriftAlarmHigh)
+      (measuredRatio < DriftAlarmLow || measuredRatio > DriftAlarmHigh)
+    // On alarm the measured ratio is REPORTED but not USED: scaling
+    // baselines by a wild factor normalizes away real regressions of the
+    // same magnitude (a "3x-sick box" that is actually a 3x shared-helper
+    // regression would flag nothing). Gating falls back to ratio 1.0 so
+    // the flags err toward over-reporting; the alarm bit tells the reader
+    // every flag needs fresh-JVM adjudication (ADVICE r18).
+    val ratio = if (alarm) 1.0 else measuredRatio
     val regressions = warm.collect {
       case (n, wv) if base(n).exists(p =>
         wv > 2 * p * ratio && wv - p * ratio > 0.5) => n
     }
+    // The wobble band widens with CONTROL-SET DISPERSION, not just its
+    // median: on a sick box the q75/q25 spread of the control ratios grows
+    // (r18: 26 wobbles at 1.35x drift vs 14 on a quiet box — pure
+    // dispersion, same code), and a fixed 1.5x band then stamps sweep
+    // noise. The band is max(1.5, q75/q25 of the control ratios), so a
+    // quiet box keeps the 1.5x sensitivity and a noisy one widens exactly
+    // as much as its own unchanged controls moved (VERDICT r18 ask #8).
+    val band = if (controlRatios.length < MinControls) 1.5 else {
+      val q25 = controlRatios(controlRatios.length / 4)
+      val q75 = controlRatios(3 * controlRatios.length / 4)
+      math.max(1.5, if (q25 > 0) q75 / q25 else 1.5)
+    }
     val wobbles = warm.collect {
       case (n, wv) if base(n).exists { p0 =>
         val p = p0 * ratio
-        (wv > 1.5 * p || wv < p / 1.5) && math.abs(wv - p) > 0.5
+        (wv > band * p || wv < p / band) && math.abs(wv - p) > 0.5
       } => n
     }.filterNot(regressions.contains)
-    Verdict(ratio, controlRatios.length, alarm, regressions, wobbles)
+    Verdict(measuredRatio, controlRatios.length, alarm, regressions, wobbles)
   }
 }

@@ -25,9 +25,42 @@ import org.apache.spark.sql.execution.LogicalRDD
   */
 object LoopFrames {
 
-  /** Free the localCheckpoint blocks behind `df` (blocking=false). Call
+  /** Session conf key: when set (to a writable directory — HDFS/S3 on a
+    * real cluster, any tempdir locally), loop frames materialize as
+    * RELIABLE checkpoints under it instead of executor-local ones.
+    * localCheckpoint truncates lineage, so on a cluster an executor loss
+    * mid-loop kills the job (the blocks cannot be recomputed); reliable
+    * checkpoints survive executor loss at the cost of a filesystem write
+    * per round. The default stays local — single-JVM runs (tests, the
+    * bench) cannot lose an executor and the write would be pure overhead.
+    * This conf is the "swap at 100 TB" switch the r18 verdict asked to
+    * make real (ask #4).
+    */
+  val CheckpointDirKey = "graft.checkpoint.dir"
+
+  private val lastDir = new java.util.concurrent.atomic.AtomicReference[String]()
+
+  /** Eagerly materialize a loop frame and truncate its lineage:
+    * `localCheckpoint(true)` by default, a reliable `checkpoint(true)`
+    * when [[CheckpointDirKey]] is set. Loop operators call this (usually
+    * via `.transform(LoopFrames.materialize)`) instead of
+    * `localCheckpoint` directly.
+    */
+  def materialize(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.sparkSession.conf.getOption(CheckpointDirKey).filter(_.nonEmpty) match {
+      case None => df.localCheckpoint(true)
+      case Some(dir) =>
+        val sc = df.sparkSession.sparkContext
+        if (lastDir.getAndSet(dir) != dir) sc.setCheckpointDir(dir)
+        df.checkpoint(true)
+    }
+
+  /** Free the materialized blocks behind `df` (blocking=false). Call
     * when a loop replaces its previous round's frame; do NOT call on the
-    * frame being returned to the caller.
+    * frame being returned to the caller. Reliable-checkpoint FILES are
+    * not deleted here (Spark's ContextCleaner owns them under
+    * `spark.cleaner.referenceTracking.cleanCheckpoints`; otherwise they
+    * live until the app ends) — this releases the block-manager copies.
     */
   def release(df: Dataset[_]): Unit =
     df.queryExecution.logical.foreach {
@@ -51,7 +84,7 @@ object LoopFrames {
     * frames.
     */
   def checkpoint(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val ck = df.localCheckpoint(true)
+    val ck = materialize(df)
     ck.queryExecution.logical match {
       case lr: LogicalRDD =>
         // the second (curried) parameter list carries (session,

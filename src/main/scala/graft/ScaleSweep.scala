@@ -334,6 +334,30 @@ object ScaleSweep {
           maxHamming = 6, maxChunkFreq = 64L)
         .groupBy().agg(count(lit(1)).as("n_pairs"))
     }),
+    // r19 additions (VERDICT r18 #6): the as-of/range theta-join family —
+    // the one §2.3 shape not yet swept. q33 runs VERBATIM: blow-up
+    // re-keys user_id so users multiply with unchanged per-user event
+    // density, and AsOfJoin plans as union + user-keyed ordered window —
+    // one shuffle, per-key n log n, work ∝ events (never a per-key
+    // cartesian or BNLJ)
+    "q33_asof_join" -> SparkEntry.queries("q33_asof_join"),
+    // q34's shape with the band dim inlined (bands are a FIXED dim — the
+    // production posture; the blow-up dirs carry no nation copy): points
+    // grow ∝ orders, bands constant, and RangeJoin bins both sides into
+    // an equi-join so candidates are ∝ points × (span/binWidth) — the
+    // bare BETWEEN theta-join would plan as BroadcastNestedLoopJoin and
+    // scan bands × points
+    "q34_range_join_points" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val bands = s.range(10).select($"id".as("band_id"),
+        ($"id" * 40000.0).as("lo"), ($"id" * 40000.0 + 60000.0).as("hi"))
+      val pts = Tables.load(s, dir, "orders")
+        .select($"o_orderkey", $"o_totalprice")
+      graft.operators.temporal.RangeJoin
+        .join(pts, "o_totalprice", bands, "lo", "hi", binWidth = 20000.0)
+        .groupBy($"band_id")
+        .agg(count(lit(1)).as("n_orders"))
+    }),
     // fuzzy linkage in its production-linear shape: a GROWING dirty feed
     // matched against a BOUNDED master catalog, so candidates per dirty
     // record are capped by the catalog's block sizes and total work is

@@ -38,7 +38,7 @@ object Components {
       try return driverUnionFind(edges) finally edges.unpersist()
     }
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint(true)
+      .withColumn("label", col("id")).transform(graft.LoopFrames.materialize)
     var ckpt = labels // the frame holding the current checkpoint's blocks
     try {
       var changed = 1L
@@ -66,7 +66,7 @@ object Components {
             Seq("label"), "left")
           .select(col("id"), col("prev"),
             least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
-          .localCheckpoint(true)
+          .transform(graft.LoopFrames.materialize)
         changed = next.filter(col("label") =!= col("prev")).count()
         graft.LoopFrames.release(ckpt) // RDD-level: Dataset.unpersist no-ops on checkpoints
         ckpt = next

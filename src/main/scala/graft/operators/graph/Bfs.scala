@@ -17,8 +17,8 @@ import org.apache.spark.storage.StorageLevel
   * RDD-level release of the previous round ([[graft.LoopFrames]]);
   * iterations are bounded by `maxHops`, and the loop exits early the
   * moment a frontier comes back empty. At 100 TB each hop costs one
-  * frontier-sized shuffle — the canonical distributed BFS shape; swap
-  * localCheckpoint for reliable checkpoints on a real cluster.
+  * frontier-sized shuffle — the canonical distributed BFS shape; set
+  * `graft.checkpoint.dir` for reliable checkpoints on a real cluster.
   *
   * Determinism: hop counts are integers and the settled set per level is
   * a set union — order-free, hash-exact at any executor count; a

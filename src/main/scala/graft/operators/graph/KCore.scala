@@ -36,8 +36,9 @@ import org.apache.spark.storage.StorageLevel
   * loops). Rounds are bounded by the peel depth (how many "onion
   * layers" sit below the core) — `maxIter` fails loudly rather than
   * looping (adversarial deep-peel graphs — a bare path peels O(n)
-  * layers — are spec-pinned); at 100 TB swap localCheckpoint for
-  * reliable checkpoints and the loop shape is unchanged.
+  * layers — are spec-pinned); at 100 TB set `graft.checkpoint.dir`
+  * to route loop frames to reliable checkpoints
+  * ([[graft.LoopFrames.materialize]]) — the loop shape is unchanged.
   *
   * Determinism: pure integer set/degree arithmetic — the fixpoint is
   * unique (peeling order cannot change it), so output is hash-exact at
@@ -157,7 +158,7 @@ object KCore {
       // maintains `deg` by frontier decrements (invariant: deg = degree
       // within the current alive set)
       var alive = e.groupBy(col("u").as("node"))
-        .agg(count(lit(1)).as("deg")).localCheckpoint(true)
+        .agg(count(lit(1)).as("deg")).transform(graft.LoopFrames.materialize)
       // true alive-node count, maintained exactly (ADVICE r16: a clamped
       // estimate let the loop keep paying counts after the graph emptied)
       var aliveCount = alive.count()
@@ -199,7 +200,7 @@ object KCore {
         if (nPeeled == aliveCount) {
           // everything peels: the k-core is empty — skip the decrement
           // join and return the (empty, correctly-schema'd) survivor set
-          val empty = alive.filter(col("deg") >= k).localCheckpoint(true)
+          val empty = alive.filter(col("deg") >= k).transform(graft.LoopFrames.materialize)
           graft.LoopFrames.release(alive)
           return empty
         }
@@ -212,7 +213,7 @@ object KCore {
           .join(dec, Seq("node"), "left")
           .select(col("node"),
             (col("deg") - coalesce(col("__dec__"), lit(0L))).as("deg"))
-          .localCheckpoint(true)
+          .transform(graft.LoopFrames.materialize)
         graft.LoopFrames.release(alive)
         alive = next
         iter += 1
@@ -299,7 +300,7 @@ object KCore {
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
     try {
       var alive = e.groupBy(col("u").as("node"))
-        .agg(count(lit(1)).as("deg")).localCheckpoint(true)
+        .agg(count(lit(1)).as("deg")).transform(graft.LoopFrames.materialize)
       // true alive-node count, maintained exactly (ADVICE r16) — both the
       // level-loop exit and the compaction baseline read it directly, so
       // the peel never runs no-op levels over an empty alive frame
@@ -370,7 +371,7 @@ object KCore {
             .join(dec, Seq("node"), "left")
             .select(col("node"),
               (col("deg") - coalesce(col("__dec__"), lit(0L))).as("deg"))
-            .localCheckpoint(true)
+            .transform(graft.LoopFrames.materialize)
           graft.LoopFrames.release(alive)
           alive = next
           aliveCount -= nPeeled

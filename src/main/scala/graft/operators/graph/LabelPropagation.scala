@@ -38,8 +38,8 @@ object LabelPropagation {
       col(dstCol).cast("long").as("v")).filter(col("u") =!= col("v"))
     val e = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("u").as("node")).distinct().localCheckpoint(true)
-    var labels = nodes.withColumn("label", col("node")).localCheckpoint(true)
+    val nodes = e.select(col("u").as("node")).distinct().transform(graft.LoopFrames.materialize)
+    var labels = nodes.withColumn("label", col("node")).transform(graft.LoopFrames.materialize)
     for (_ <- 1 to iterations) {
       val votes = e.join(labels, e("u") === labels("node"))
         .groupBy(col("v").as("n"), col("label"))
@@ -52,7 +52,7 @@ object LabelPropagation {
         .join(winner, nodes("node") === winner("n"), "left")
         .select(col("node"),
           coalesce(col("newLabel"), col("node")).as("label"))
-        .localCheckpoint(true)
+        .transform(graft.LoopFrames.materialize)
       // RDD-level release: Dataset.unpersist no-ops on checkpoint blocks
       graft.LoopFrames.release(prev)
     }

@@ -32,9 +32,9 @@ import org.apache.spark.storage.StorageLevel
   * persist() the plan tree still NESTS k levels of lineage, so
   * analysis/AQE-replan cost grows with k and dominates past a few
   * iterations (measured 3.4→4.8 s/iter growth at sf0.1; constant
-  * ~0.5 s after truncation). On a real cluster swap localCheckpoint
-  * for reliable `checkpoint` if executor loss matters — the algorithm
-  * is oblivious. Dangling mass is a 1-row aggregate broadcast back
+  * ~0.5 s after truncation). On a real cluster set
+  * `graft.checkpoint.dir` to route loop frames to reliable checkpoints
+  * if executor loss matters — the algorithm is oblivious. Dangling mass is a 1-row aggregate broadcast back
   * in-plan (no driver round-trip beyond job scheduling).
   *
   * No reference counterpart; classic-OLAP/graph extension per the
@@ -62,7 +62,7 @@ object PageRank {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
+      .transform(graft.LoopFrames.materialize)
     val n = nodes.count()
     require(n > 0, "PageRank over an empty edge set (no nodes)")
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
@@ -73,8 +73,8 @@ object PageRank {
     val base = (15L * unit) / (100L * n)
     // iteration-invariant sink set (nodes with no out-edges)
     val sinks = nodes.join(outdeg, nodes("node") === outdeg("src"), "left_anti")
-      .localCheckpoint(true)
-    var ranks = nodes.withColumn("r", lit(unit / n)).localCheckpoint(true)
+      .transform(graft.LoopFrames.materialize)
+    var ranks = nodes.withColumn("r", lit(unit / n)).transform(graft.LoopFrames.materialize)
     for (_ <- 1 to iterations) {
       val dangling = ranks.join(sinks, "node", "left_semi")
         .agg(coalesce(sum(col("r")), lit(0L)).as("dm"))
@@ -91,7 +91,7 @@ object PageRank {
         .select(col("node"),
           (lit(base) + expr(s"(85 * (coalesce(insum, 0L) + dm div ${n}L)) div 100"))
             .as("r"))
-        .localCheckpoint(true) // eager: materialize + truncate lineage
+        .transform(graft.LoopFrames.materialize) // eager: materialize + truncate lineage
       // RDD-level release: Dataset.unpersist no-ops on checkpoint blocks
       graft.LoopFrames.release(prev)
     }
@@ -129,7 +129,7 @@ object PageRank {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
+      .transform(graft.LoopFrames.materialize)
     val n = nodes.count()
     require(n > 0, "PageRank over an empty edge set (no nodes)")
     val swt = e.groupBy(col("src")).agg(sum(col("w")).as("sw"))
@@ -141,8 +141,8 @@ object PageRank {
       .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
     val base = (15L * unit) / (100L * n)
     val sinks = nodes.join(swt, nodes("node") === swt("src"), "left_anti")
-      .localCheckpoint(true)
-    var ranks = nodes.withColumn("r", lit(unit / n)).localCheckpoint(true)
+      .transform(graft.LoopFrames.materialize)
+    var ranks = nodes.withColumn("r", lit(unit / n)).transform(graft.LoopFrames.materialize)
     for (_ <- 1 to iterations) {
       val dangling = ranks.join(sinks, "node", "left_semi")
         .agg(coalesce(sum(col("r")), lit(0L)).as("dm"))
@@ -158,7 +158,7 @@ object PageRank {
         .select(col("node"),
           (lit(base) + expr(s"(85 * (coalesce(insum, 0L) + dm div ${n}L)) div 100"))
             .as("r"))
-        .localCheckpoint(true)
+        .transform(graft.LoopFrames.materialize)
       graft.LoopFrames.release(prev)
     }
     e.unpersist(false)

@@ -29,9 +29,9 @@ import org.apache.spark.storage.StorageLevel
   *
   * At 100 TB: per-round cost is one equi-join of the persisted edge
   * table against the (shrinking, typically broadcast-small) frontier
-  * plus a node-keyed min aggregation — no windows, no cartesian; swap
-  * localCheckpoint for reliable checkpoints on a real cluster and the
-  * loop shape is unchanged.
+  * plus a node-keyed min aggregation — no windows, no cartesian; set
+  * `graft.checkpoint.dir` for reliable checkpoints on a real cluster
+  * and the loop shape is unchanged.
   *
   * Determinism: pure integer min/plus algebra — the fixpoint is unique
   * regardless of relaxation order, so output is hash-exact at any

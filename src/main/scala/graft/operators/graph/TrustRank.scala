@@ -58,18 +58,18 @@ object TrustRank {
     require(s > 0, "TrustRank needs a non-empty seed set")
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).union(seedSet.toDF("node"))
-      .distinct().localCheckpoint(true)
+      .distinct().transform(graft.LoopFrames.materialize)
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val edgesDeg = e.join(outdeg, "src")
       .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
     val base = (15L * unit) / (100L * s)
     val sinks = nodes.join(outdeg, nodes("node") === outdeg("src"), "left_anti")
-      .localCheckpoint(true)
+      .transform(graft.LoopFrames.materialize)
     var ranks = nodes
       .join(seedSet.withColumn("__s__", lit(1)), Seq("node"), "left")
       .select(col("node"),
         when(col("__s__").isNotNull, lit(unit / s)).otherwise(lit(0L)).as("r"))
-      .localCheckpoint(true)
+      .transform(graft.LoopFrames.materialize)
     for (_ <- 1 to iterations) {
       val dangling = ranks.join(sinks, "node", "left_semi")
         .agg(coalesce(sum(col("r")), lit(0L)).as("dm"))
@@ -87,7 +87,7 @@ object TrustRank {
             expr(s"(85 * (coalesce(insum, 0L) + " +
               s"CASE WHEN __s__ IS NOT NULL THEN dm div ${s}L ELSE 0L END)) div 100"))
             .as("r"))
-        .localCheckpoint(true)
+        .transform(graft.LoopFrames.materialize)
       graft.LoopFrames.release(prev)
     }
     e.unpersist(false)

@@ -217,18 +217,25 @@ object ImageDedup {
     require(width >= 2, s"bandWidth >= 2 for combo banding, got $width")
     val base = 64 / c
     val lastLen = 64 - (c - 1) * base
-    require(base >= 2 && base <= 16 && lastLen <= 16,
-      s"combo banding needs 2..16-bit chunks: maxHamming=$maxHamming width=$width gives base=$base last=$lastLen")
+    require(base >= 2,
+      s"combo banding needs >=2-bit chunks: maxHamming=$maxHamming width=$width gives base=$base")
+    def chunkLen(i: Int): Int = if (i == c - 1) lastLen else base
     def chunkSql(i: Int): String = {
       val start = i * base
-      val len = if (i == c - 1) lastLen else base
-      val mask = (1L << len) - 1L
+      val mask = (1L << chunkLen(i)) - 1L
       s"(shiftright($hashCol, $start) & ${mask}L)"
     }
+    // Pack by each chunk's ACTUAL bit width (not a fixed 16-bit slot): the
+    // selected chunks are a subset of a 64-bit partition, so their widths
+    // sum to <= 64 and the packed key never sheds leading chunks — the r18
+    // fixed-slot packing silently collided distinct combos at width >= 5,
+    // exactly the regime the width knob exists for (ADVICE r18).
     val comboExprs = (0 until c).combinations(width).toSeq.zipWithIndex.map {
       case (s, cid) =>
-        val packed = s.map(chunkSql)
-          .reduceLeft((acc, k) => s"(shiftleft($acc, 16) | $k)")
+        val packed = s.map(i => (chunkSql(i), chunkLen(i)))
+          .reduceLeft[(String, Int)] { case ((acc, _), (k, len)) =>
+            (s"(shiftleft($acc, $len) | $k)", len)
+          }._1
         s"struct(cast($cid as int) as cid, $packed as ckey)"
     }
     val chunked0 = df

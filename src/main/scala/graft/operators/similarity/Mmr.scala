@@ -56,7 +56,7 @@ object Mmr {
       .join(vectors.select(col(vecIdCol).as(idCol), col(vecCol).as("__v__")), idCol)
       .select(col(qidCol), col(idCol), col(relCol),
         col("__v__").cast("array<double>").as("__v__"))
-      .localCheckpoint(true) // never unioned: the plain checkpoint is fine
+      .transform(graft.LoopFrames.materialize) // never unioned: the plain checkpoint is fine
 
     val simToSel = F.round(
       call_function("arr_cosine", col("__v__"), col("__sv__")), 6)

@@ -254,7 +254,7 @@ object BpeTrain {
           // the logical plan, so analysis cost would grow O(rounds²) over a
           // long training run even though execution reads the cache
           if (rounds % 16 == 0) {
-            next = next.localCheckpoint(true)
+            next = graft.LoopFrames.materialize(next)
             cur.unpersist()
           } else {
             next = next.cache()

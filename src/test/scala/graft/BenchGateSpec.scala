@@ -58,6 +58,30 @@ class BenchGateSpec extends AnyFunSuite {
     assert(BenchGate.evaluate(warmAt(2.4, Map.empty), baseline).driftAlarm === false)
   }
 
+  test("on alarm the gate scales by 1.0, not the wild ratio (ADVICE r18)") {
+    // a uniform 3x move could be a sick box OR a 3x everything-regression;
+    // an alarmed record must over-report (flag the moved entries) rather
+    // than normalize them away with the 3x it just declared meaningless
+    val v = BenchGate.evaluate(warmAt(3.0, Map.empty), baseline)
+    assert(v.driftAlarm)
+    assert(v.regressions.nonEmpty)
+    assert(v.regressions.contains("p10_graph"))
+  }
+
+  test("wobble band widens with control-set dispersion (VERDICT r18 #8)") {
+    // 7 controls at 1.0x, 5 at 2.0x: median ratio 1.0, q75/q25 band = 2.0.
+    // An operator at 1.8x moved LESS than the box's own control spread, so
+    // it is not stamped; on a quiet box (uniform controls) 1.8x still is.
+    val spread = controls.take(7).map(n => n -> baseline(n.split("_").head)) ++
+      controls.drop(7).map(n => n -> 2.0 * baseline(n.split("_").head)) ++
+      Seq("p10_graph" -> 1.8 * 4.0)
+    val v = BenchGate.evaluate(spread, baseline)
+    assert(math.abs(v.globalRatio - 1.0) < 1e-9 && !v.driftAlarm)
+    assert(!v.wobbles.contains("p10_graph"))
+    val quiet = BenchGate.evaluate(warmAt(1.0, Map("p10" -> 1.8)), baseline)
+    assert(quiet.wobbles.contains("p10_graph"))
+  }
+
   test("too few usable controls falls back to ratio 1.0, no alarm") {
     val few = Seq("q1_rel" -> 5.0, "p10_graph" -> 9.0)
     val v = BenchGate.evaluate(few, Map("q1" -> 1.0, "p10" -> 4.0))

@@ -193,7 +193,12 @@ class ImageDedupSpec extends AnyFunSuite {
       // must return the identical pair set — the pigeonhole holds for any
       // width (differ in <= r of r+w chunks => agree on >= w => some
       // w-subset matches entirely)
-      for (w <- Seq(3, 4)) {
+      // width 5 exercises the actual-bit-width combo-key packing (r19,
+      // ADVICE r18: the old fixed 16-bit slots shifted the leading chunk
+      // keys out of the long at width >= 5, silently colliding combos —
+      // recall survived but posting lists blew up); r=6 w=5 gives c=11
+      // chunks of 5/6/14 bits whose 5-subsets pack to <= 64 bits exactly
+      for (w <- Seq(3, 4, 5)) {
         val combo = ImageDedup.selfJoinFromHashes(df, "id", "h", maxHamming = r,
             bandWidth = w)
           .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet

@@ -170,4 +170,26 @@ class KCoreSpec extends AnyFunSuite {
     for (t <- Seq(1000000L, 8L))
       assert(coreness(star, maxK = 0, localFinishEdges = t) == starPure, s"star t=$t")
   }
+
+  test("graft.checkpoint.dir routes loop frames to reliable checkpoints, identical output") {
+    // the r18 verdict ask #4: the "swap localCheckpoint for reliable
+    // checkpoints at 100 TB" claim is now a conf — a peel run with it set
+    // must produce the same fixpoint (unique, so bit-identical maps) while
+    // actually writing checkpoint data under the directory
+    val rnd = new scala.util.Random(1919)
+    val edges = Seq.fill(200)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val local = core(edges, k = 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ck").toString
+    spark.conf.set(graft.LoopFrames.CheckpointDirKey, dir)
+    try {
+      val reliable = core(edges, k = 3)
+      assert(reliable == local)
+      // the switch really engaged: checkpoint files landed under dir
+      def anyFile(p: java.io.File): Boolean =
+        p.isFile || Option(p.listFiles()).exists(_.exists(anyFile))
+      assert(anyFile(new java.io.File(dir)),
+        "no checkpoint data written — the conf did not route")
+    } finally spark.conf.unset(graft.LoopFrames.CheckpointDirKey)
+  }
 }
