@@ -78,15 +78,15 @@ object Bench {
     val startNs = System.nanoTime()
     // Wall-clock budget for the WHOLE bench (sweep + forks + final print),
     // in seconds. The driver kills the run at an unknown wall clock (r17/r18
-    // both died rc=124 mid-run and the official record was lost); r16's
-    // full run passed at 619 s sbt-total, so 660 s of in-main budget plus
-    // sbt startup stays under any plausible driver limit while still
-    // fitting a full two-pass sweep on a healthy box. When the budget runs
-    // short the sweep degrades (single-run mode, then skip) instead of
-    // being killed mid-flight — a complete-but-coarser record always beats
-    // a dead one.
+    // both died rc=124 mid-run); r16's full two-pass sweep passed at 619 s
+    // sbt-total (~560 s in-main, quiet box), so 780 s of in-main budget
+    // fits the full sweep with fork headroom while staying under any
+    // plausible driver limit once sbt startup (~60 s) is added. When the
+    // budget runs short the sweep degrades (single-run mode, then skip)
+    // instead of being killed mid-flight — and even a kill now leaves a
+    // parseable record, because a compact partial prints every ~60 s.
     val budgetSec = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SEC")
-      .flatMap(_.toIntOption).getOrElse(660)
+      .flatMap(_.toIntOption).getOrElse(780)
     val deadlineNs = startNs + budgetSec * 1000000000L
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.getOrCreate()

@@ -85,6 +85,7 @@ object ETRegistry {
   register(IteratorCommandET)
   PipelineETs.all.foreach(register)
   CompatETs.all.foreach(register)
+  register(PythonTransformET)
   register(new UnavailableET("KafkaCommand", "the spark-sql-kafka connector jar"))
   register(new UnavailableET("DeltaCommand", "the delta-spark jar"))
   register(new UnavailableET("SendMessage", "an SMTP gateway (network egress)"))

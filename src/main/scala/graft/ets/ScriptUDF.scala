@@ -27,7 +27,9 @@ import org.apache.spark.sql.types.DataType
   * (the Spark-4 replacement for the reference's deprecated
   * UserDefinedAggregateFunction contract). Encoders referenced by a UDAF
   * must be Spark-standard (Encoders.scalaLong etc.), not toolbox-defined
-  * case classes. Python/Jython script UDFs are out of scope.
+  * case classes. `lang="python"` runs the function in a real CPython
+  * subprocess (no Jython; see [[PythonUdf]]) — row-at-a-time compat path;
+  * the vectorized table path is [[PythonTransformET]].
   */
 object ScriptUDFET extends ET {
   override def name = "ScriptUDF"
@@ -53,10 +55,22 @@ object ScriptUDFET extends ET {
   override def predict(spark: SparkSession, model: Any, udfName: String,
                        params: Map[String, String]): UserDefinedFunction = {
     val (code, p) = model.asInstanceOf[(String, Map[String, String])]
-    p.get("lang").filter(_ != "scala").foreach { l =>
-      throw new UnsupportedOperationException(
-        s"ScriptUDF lang=\"$l\" is not supported in this build (the reference's " +
-          "python path needs a Jython jar); use lang=\"scala\"")
+    p.get("lang").filter(_ != "scala").foreach {
+      case "python" =>
+        // CPython subprocess with a JSON-line protocol (the reference runs
+        // this on Jython; see PythonUdf scaladoc — per-row IPC, so the
+        // vectorized table path is PythonTransform). dataType is required:
+        // there is no driver-side probe to infer the return type from.
+        PythonUdf.ensurePython3()
+        val dt = p.getOrElse("dataType", throw new IllegalArgumentException(
+          """ScriptUDF lang="python" requires dataType="<ddl type>" (e.g. dataType="long")"""))
+        return cache.computeIfAbsent(s"py|$dt|${p.getOrElse("methodName", "apply")}|$code",
+          _ => PythonUdf.build(code, p.getOrElse("methodName", "apply"),
+            org.apache.spark.sql.types.DataType.fromDDL(dt),
+            p.getOrElse("python", "python3"), udfName))
+      case l =>
+        throw new UnsupportedOperationException(
+          s"ScriptUDF lang=\"$l\" is not supported; use lang=\"scala\" or lang=\"python\"")
     }
     val udfType = p.getOrElse("udfType", "udf")
     val methodName = p.getOrElse("methodName", "apply")

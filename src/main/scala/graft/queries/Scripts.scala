@@ -1940,7 +1940,40 @@ object Scripts {
         |             CAST(m.matched_b AS DOUBLE) / CAST(nb.n AS DOUBLE)) AS ov
         |  FROM m JOIN nf na ON na.id = m.a_id JOIN nf nb ON nb.id = m.b_id)
         |SELECT a_id, b_id, a_frames, b_frames
-        |FROM sc WHERE ov >= 0.5 ORDER BY a_id, b_id""".stripMargin)
+        |FROM sc WHERE ov >= 0.5 ORDER BY a_id, b_id""".stripMargin),
+
+    // ---- PythonTransform through the DSL (r19): the Arrow-IPC subprocess
+    //      bridge (graftshim.ArrowBridge) runs REAL CPython per partition;
+    //      the transform is deterministic string/length arithmetic DuckDB
+    //      replays exactly. split on a single space mirrors STRING_SPLIT;
+    //      utf8_length and LENGTH both count codepoints. Requires python3
+    //      + pyarrow on the host (present in the driver environment; the
+    //      ET throws an actionable error where absent). ----
+    QuerySpec.sql("s51_script_python_transform", (s, dir) => {
+      graft.dsl.ScriptRunner.runToDF(
+        s"""load parquet.`$dir/documents.parquet` as s51_docs;
+           |select doc_id, text, lang from s51_docs where doc_id % 7 = 0 as s51_in;
+           |run s51_in as PythonTransform.`` where
+           |schema="doc_id bigint, lang string, n_chars int, first_tok string"
+           |and code='''
+           |import pyarrow as pa
+           |import pyarrow.compute as pc
+           |def transform(t):
+           |    txt = t.column("text")
+           |    toks = pc.split_pattern(pc.utf8_trim(txt, " "), " ")
+           |    return pa.table({
+           |        "doc_id": t.column("doc_id"),
+           |        "lang": pc.utf8_upper(t.column("lang")),
+           |        "n_chars": pc.cast(pc.utf8_length(txt), pa.int32()),
+           |        "first_tok": pc.list_element(toks, 0),
+           |    })
+           |''' as s51_out;
+           |select * from s51_out order by doc_id as s51_final;""".stripMargin, s)
+    },
+      """SELECT doc_id, UPPER(lang) AS lang,
+        |  CAST(LENGTH(text) AS INT) AS n_chars,
+        |  STRING_SPLIT(TRIM(text), ' ')[1] AS first_tok
+        |FROM documents WHERE doc_id % 7 = 0 ORDER BY doc_id""".stripMargin)
   )
 
   /** One replay of the s46 script off shared base CTEs: the weighted

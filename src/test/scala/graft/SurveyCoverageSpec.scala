@@ -118,6 +118,8 @@ class SurveyCoverageSpec extends AnyFunSuite {
       "ExplainCommand", "TableCompaction", "VParquetCommand", "ModelCommand",
       // jar/egress-gated slots (resolve to actionable errors)
       "KafkaCommand", "DeltaCommand", "EventCallback",
+      // python family (r19): Arrow-IPC subprocess bridge, env-gated
+      "PythonTransform",
       // ML estimators + in-place wrappers
       "NaiveBayes", "RandomForest", "GBTs", "GBTRegressor", "LSVM",
       "LogisticRegressor", "LinearRegressionExt", "KMeans", "LDA", "ALS",
