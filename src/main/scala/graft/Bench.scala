@@ -20,7 +20,7 @@ package graft
   * cannot displace the record from the tail, a partial record is printed
   * every ~60 s during the sweep, and the whole run (sweep, forks, final
   * prints) is budgeted against `SPARK_GRAFT_BENCH_BUDGET_SEC` (default
-  * 660 s) — degrading to single-run mode and then skipping, rather than
+  * 1050 s) — degrading to single-run mode and then skipping, rather than
   * dying with no record (the r12-r18 parsed:null failure).
   */
 object Bench {
@@ -77,16 +77,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val startNs = System.nanoTime()
     // Wall-clock budget for the WHOLE bench (sweep + forks + final print),
-    // in seconds. The driver kills the run at an unknown wall clock (r17/r18
-    // both died rc=124 mid-run); r16's full two-pass sweep passed at 619 s
-    // sbt-total (~560 s in-main, quiet box), so 780 s of in-main budget
-    // fits the full sweep with fork headroom while staying under any
-    // plausible driver limit once sbt startup (~60 s) is added. When the
-    // budget runs short the sweep degrades (single-run mode, then skip)
-    // instead of being killed mid-flight — and even a kill now leaves a
-    // parseable record, because a compact partial prints every ~60 s.
+    // in seconds. The driver kills the run at an unknown wall clock (known
+    // bounds: r16 passed at 619 s sbt-total; r17/r18 died rc=124 on runs
+    // that exceeded ~25 min). A full two-pass sweep needs ~600 s in-main
+    // on a quiet box and ~850-900 s at r18's drift, so 1050 s fits it with
+    // fork headroom. If the driver's limit is tighter and kills us, the
+    // ~60 s partial prints still leave a parseable record in the stdout
+    // tail — a killed-but-recorded full-quality sweep beats a guaranteed
+    // single-run-degraded one. When the budget runs short the sweep
+    // degrades (single-run mode, then skip) instead of dying recordless.
     val budgetSec = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SEC")
-      .flatMap(_.toIntOption).getOrElse(780)
+      .flatMap(_.toIntOption).getOrElse(1050)
     val deadlineNs = startNs + budgetSec * 1000000000L
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.getOrCreate()
@@ -188,86 +189,6 @@ object Bench {
     // runs — bounded, documented, and only triggered on the implausible
     // case (observed: the same query's warm time ranging 2 s..31 s across
     // sweeps while every isolated run is fast).
-    // Budget control inside the sweep: 90 s of the global budget is
-    // reserved for the fork phase + final prints. When the running
-    // per-query average projects the two-pass sweep past the sweep
-    // deadline, remaining queries fall back to ONE run each (reported as
-    // warm — slightly cold-biased but honest, and flagged via the
-    // "single" cold marker + the record's "single" count); at the
-    // deadline itself remaining queries are skipped outright (listed, and
-    // simply absent from next round's baselines — same treatment as a new
-    // query). A partial compact record is printed every ~60 s so even a
-    // driver kill mid-sweep leaves a parseable record in the stdout tail.
-    val names = SparkEntry.queries.keys.toSeq.sorted
-    val sweepDeadlineNs = deadlineNs - 90L * 1000000000L
-    val sweepStartNs = System.nanoTime()
-    val timedBuf = scala.collection.mutable.ArrayBuffer
-      .empty[(String, (Either[String, Double], RunStats))]
-    val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
-    var singleRun = false
-    var lastPartialNs = sweepStartNs
-    for ((n, i) <- names.zipWithIndex) {
-      val nowNs = System.nanoTime()
-      val secsLeft = (sweepDeadlineNs - nowNs) / 1e9
-      if (secsLeft <= 0) skipped += n
-      else {
-        if (!singleRun && timedBuf.nonEmpty) {
-          val avg = (nowNs - sweepStartNs) / 1e9 / timedBuf.size
-          if (avg * (names.size - i) > secsLeft) {
-            singleRun = true
-            System.err.println(String.format(java.util.Locale.ROOT,
-              "[bench] budget: switching to single-run mode at %d/%d (%.0f s of sweep budget left)",
-              Int.box(i), Int.box(names.size), Double.box(secsLeft)))
-          }
-        }
-        val entry: (Either[String, Double], RunStats) =
-          if (singleRun) (Left("single"), runOnce(n))
-          else {
-            val c = runOnce(n)
-            val w1 = runOnce(n)
-            val w: RunStats = (c.time, w1.time) match {
-              case (Right(cv), Right(wv)) if wv > 3 * cv && wv > 2.0 =>
-                val w2 = runOnce(n)
-                w2.time match {
-                  case Right(v2) if v2 < wv => w2
-                  case _ => w1
-                }
-              case _ => w1
-            }
-            (c.time, w)
-          }
-        timedBuf += n -> entry
-      }
-      if (System.nanoTime() - lastPartialNs > 60L * 1000000000L) {
-        lastPartialNs = System.nanoTime()
-        println(compactRecord(
-          timedBuf.toSeq.map { case (nn, (_, w)) => nn -> w.time },
-          Seq.empty, Seq.empty, Seq.empty, skipped.size, 1.0, alarm = false,
-          phase = s"partial:${timedBuf.size}/${names.size}"))
-      }
-    }
-    if (skipped.nonEmpty)
-      System.err.println(s"[bench] budget: skipped ${skipped.size} queries: " +
-        skipped.take(12).mkString(",") + (if (skipped.size > 12) ",..." else ""))
-    val timed: Seq[(String, (Either[String, Double], RunStats))] = timedBuf.toSeq
-    val cold = timed.map { case (n, (c, _)) => n -> c }
-    val results = timed.map { case (n, (_, w)) => n -> w.time }
-    val failed = results.collect { case (n, Left(_)) => n }
-    // loud stall accounting: a warm time still >3x its own cold (and >2 s)
-    // AFTER the retry is a harness-health signal, not a plan cost — surface
-    // the list instead of letting a silent retry mask a sick sweep
-    val stalls = timed.collect {
-      case (n, (Right(cv), (w: RunStats))) if w.time.exists(wv => wv > 3 * cv && wv > 2.0) => n
-    }
-    val byName = timed.toMap
-    stalls.foreach { n =>
-      val (c, w) = byName(n)
-      System.err.println(String.format(java.util.Locale.ROOT,
-        "[bench] STALL retained: %s cold=%.2fs warm=%.2fs gc=%dms jit=%dms cpu=%.1fs",
-        n, Double.box(c.getOrElse(-1.0)), Double.box(w.time.getOrElse(-1.0)),
-        Long.box(w.gcMs), Long.box(w.jitMs), Double.box(w.cpuS)))
-    }
-
     // cross-round drift gate: compare each warm time against the PREVIOUS
     // round's official record (BENCH_r*.json in the repo root, short-id
     // keys) and fail loud — into a "regressions" field plus a stderr line
@@ -357,6 +278,116 @@ object Bench {
         .view.flatMap(parse).headOption
         .getOrElse((Map.empty[String, Double], Map.empty[String, Double]))
     }
+
+    // Budget control inside the sweep: 90 s of the global budget is
+    // reserved for the fork phase + final prints. When the running
+    // per-query average projects the two-pass sweep past the sweep
+    // deadline, remaining queries fall back to ONE run each (reported as
+    // warm — slightly cold-biased but honest, and flagged via the
+    // "single" cold marker + the record's "single" count); at the
+    // deadline itself remaining queries are skipped outright (listed, and
+    // simply absent from next round's baselines — same treatment as a new
+    // query). A partial compact record is printed every ~60 s so even a
+    // driver kill mid-sweep leaves a parseable record in the stdout tail.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val sweepDeadlineNs = deadlineNs - 90L * 1000000000L
+    val sweepStartNs = System.nanoTime()
+    // Projection weights: prior-round warm seconds per query. A flat
+    // running-average projection is structurally biased by the sweep's
+    // alphabetical cost distribution — the expensive graph block (p10x-
+    // p12x) runs early, so extrapolating its mean over the cheap tail
+    // projected a ~600 s sweep as 1100 s and degraded a healthy run (the
+    // r19 second official attempt flipped to single-run at 50/252).
+    // Weighting remaining work by each query's OWN prior cost (new
+    // queries get the median) makes the projection distribution-aware;
+    // the observed/prior ratio absorbs machine drift and the cold-run
+    // multiple. Minimum sample still applies (early entries are pure JIT).
+    val priorCost: String => Double = {
+      val med = {
+        val vs = priorWarm.values.toSeq.sorted
+        if (vs.isEmpty) 1.0 else vs(vs.length / 2)
+      }
+      n => priorWarm.getOrElse(n.split("_").head, med).max(0.05)
+    }
+    val timedBuf = scala.collection.mutable.ArrayBuffer
+      .empty[(String, (Either[String, Double], RunStats))]
+    val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
+    var singleRun = false
+    var lastPartialNs = sweepStartNs
+    var donePrior = 0.0
+    val totalPrior = names.map(priorCost).sum
+    var remainingPrior = totalPrior
+    for ((n, i) <- names.zipWithIndex) {
+      val nowNs = System.nanoTime()
+      val secsLeft = (sweepDeadlineNs - nowNs) / 1e9
+      remainingPrior -= priorCost(n)
+      if (secsLeft <= 0) skipped += n
+      else {
+        // sample gate by prior MASS, not query count: the alphabetical head
+        // is 20+ trivial f-entries whose observed time is pure fresh-JVM
+        // JIT — at 15-query samples they set an observed/prior ratio of
+        // ~3x and degraded a healthy run (third r19 attempt, 21/252).
+        // 10% of total prior mass means the heavy early block has started
+        // amortizing the JIT bill before any projection is trusted.
+        if (!singleRun && donePrior >= 0.1 * totalPrior) {
+          val ratio = (nowNs - sweepStartNs) / 1e9 / donePrior
+          if (remainingPrior * ratio > secsLeft) {
+            singleRun = true
+            System.err.println(String.format(java.util.Locale.ROOT,
+              "[bench] budget: switching to single-run mode at %d/%d (%.0f s left, projected %.0f s at observed/prior ratio %.2f)",
+              Int.box(i), Int.box(names.size), Double.box(secsLeft),
+              Double.box(remainingPrior * ratio), Double.box(ratio)))
+          }
+        }
+        val entry: (Either[String, Double], RunStats) =
+          if (singleRun) (Left("single"), runOnce(n))
+          else {
+            val c = runOnce(n)
+            val w1 = runOnce(n)
+            val w: RunStats = (c.time, w1.time) match {
+              case (Right(cv), Right(wv)) if wv > 3 * cv && wv > 2.0 =>
+                val w2 = runOnce(n)
+                w2.time match {
+                  case Right(v2) if v2 < wv => w2
+                  case _ => w1
+                }
+              case _ => w1
+            }
+            (c.time, w)
+          }
+        timedBuf += n -> entry
+        donePrior += priorCost(n)
+      }
+      if (System.nanoTime() - lastPartialNs > 60L * 1000000000L) {
+        lastPartialNs = System.nanoTime()
+        println(compactRecord(
+          timedBuf.toSeq.map { case (nn, (_, w)) => nn -> w.time },
+          Seq.empty, Seq.empty, Seq.empty, skipped.size, 1.0, alarm = false,
+          phase = s"partial:${timedBuf.size}/${names.size}"))
+      }
+    }
+    if (skipped.nonEmpty)
+      System.err.println(s"[bench] budget: skipped ${skipped.size} queries: " +
+        skipped.take(12).mkString(",") + (if (skipped.size > 12) ",..." else ""))
+    val timed: Seq[(String, (Either[String, Double], RunStats))] = timedBuf.toSeq
+    val cold = timed.map { case (n, (c, _)) => n -> c }
+    val results = timed.map { case (n, (_, w)) => n -> w.time }
+    val failed = results.collect { case (n, Left(_)) => n }
+    // loud stall accounting: a warm time still >3x its own cold (and >2 s)
+    // AFTER the retry is a harness-health signal, not a plan cost — surface
+    // the list instead of letting a silent retry mask a sick sweep
+    val stalls = timed.collect {
+      case (n, (Right(cv), (w: RunStats))) if w.time.exists(wv => wv > 3 * cv && wv > 2.0) => n
+    }
+    val byName = timed.toMap
+    stalls.foreach { n =>
+      val (c, w) = byName(n)
+      System.err.println(String.format(java.util.Locale.ROOT,
+        "[bench] STALL retained: %s cold=%.2fs warm=%.2fs gc=%dms jit=%dms cpu=%.1fs",
+        n, Double.box(c.getOrElse(-1.0)), Double.box(w.time.getOrElse(-1.0)),
+        Long.box(w.gcMs), Long.box(w.jitMs), Double.box(w.cpuS)))
+    }
+
     // swept-regime baseline: the prior round's SWEPT warm only — prior
     // isolated stamps belong to the fork regime and are compared
     // iso-to-iso in the final verdict (r17 fix: mixing regimes here made
