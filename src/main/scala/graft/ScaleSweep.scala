@@ -391,6 +391,30 @@ object ScaleSweep {
         minSim = 0.85, maxGramFreq = 200L)
         .groupBy().agg(count(lit(1)).as("n_matched"))
     }),
+    // r20 (VERDICT r19 #6): the Arrow CPython bridge — rows grow, the
+    // transform is fixed, so linear timing certifies that (a) throughput
+    // is ∝ rows and (b) the per-task exec() of user code (the bridge's
+    // documented no-worker-reuse cost) amortizes once partitions carry
+    // real data. One python3 worker per partition; env-gated like the
+    // PythonTransform ET itself (skipped loudly in main when python3/
+    // pyarrow are absent).
+    "python_transform_arrow" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+      val piped = org.apache.spark.sql.graftshim.ArrowBridge.pipe(
+        docs,
+        org.apache.spark.sql.types.StructType.fromDDL("doc_id bigint, n_chars bigint"),
+        Seq("python3", "-c", graft.ets.PythonTransformET.WorkerScript),
+        Map("GRAFT_PY_CODE" ->
+          """import pyarrow as pa
+            |import pyarrow.compute as pc
+            |def transform(table):
+            |    return pa.table({"doc_id": table.column("doc_id"),
+            |                     "n_chars": pc.utf8_length(table.column("text")).cast("int64")})
+            |""".stripMargin),
+        batchSize = 4096)
+      piped.groupBy().agg(sum($"n_chars").as("total_chars"))
+    }),
   )
 
   /** The linkage cases' synthetic name space (p105's 8×8 word combos +
@@ -439,7 +463,12 @@ object ScaleSweep {
     // optional 2nd arg: comma-separated case names — time just those
     // (for vetting a newly added case without re-running the whole sweep)
     val only = args.drop(1).headOption.map(_.split(",").toSet)
+    // the python bridge case needs python3+pyarrow on this host; skip
+    // LOUDLY, never silently (a dropped case must not read as covered)
+    val pyGate = graft.ets.PythonTransformET.unavailableReason
+    pyGate.foreach(r => println(s"[scale] python_transform_arrow SKIPPED: $r"))
     val rows = cases(1).map(_._1)
+      .filter(n => n != "python_transform_arrow" || pyGate.isEmpty)
       .filter(n => only.forall(_.contains(n))).map { name =>
       val times = dirs.map { case (m, d) =>
         // shuffle partitions scale with volume (as a real cluster adds

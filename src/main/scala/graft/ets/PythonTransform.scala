@@ -50,7 +50,7 @@ object PythonTransformET extends NoPathET {
     * Frames are 4-byte big-endian length-prefixed self-contained Arrow
     * IPC streams in both directions — [[ArrowBridge]]'s protocol.
     */
-  private[ets] val WorkerScript: String =
+  private[graft] val WorkerScript: String =
     """import sys, os, struct, io
       |import pyarrow as pa
       |src = sys.stdin.buffer; dst = sys.stdout.buffer
@@ -108,8 +108,14 @@ object PythonTransformET extends NoPathET {
     val batchSize = params.get("batchSize").map(_.toInt).getOrElse(4096)
     require(batchSize > 0, "batchSize must be positive")
     val python = params.getOrElse("python", "python3")
+    // inactivity bound for the worker (seconds): a user transform that
+    // blocks forever is killed and reported with its stderr instead of
+    // holding the Spark task until an external kill (VERDICT r19 #4)
+    val timeoutSec = params.get("timeout").map(_.toInt).getOrElse(600)
+    require(timeoutSec > 0, "timeout must be positive seconds")
     org.apache.spark.sql.graftshim.ArrowBridge.pipe(
       df, outSchema, Seq(python, "-c", WorkerScript),
-      Map("GRAFT_PY_CODE" -> code, "GRAFT_PY_METHOD" -> method), batchSize)
+      Map("GRAFT_PY_CODE" -> code, "GRAFT_PY_METHOD" -> method), batchSize,
+      timeoutSec)
   }
 }

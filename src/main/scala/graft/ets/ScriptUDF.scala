@@ -61,6 +61,12 @@ object ScriptUDFET extends ET {
         // this on Jython; see PythonUdf scaladoc — per-row IPC, so the
         // vectorized table path is PythonTransform). dataType is required:
         // there is no driver-side probe to infer the return type from.
+        // Only scalar UDFs exist on this path — reject udfType="udaf"
+        // loudly instead of silently building a scalar (ADVICE r19).
+        p.get("udfType").filter(_ != "udf").foreach { t =>
+          throw new UnsupportedOperationException(
+            s"""ScriptUDF lang="python" supports udfType="udf" only, got "$t" — write python aggregations with PythonTransform + SQL GROUP BY""")
+        }
         PythonUdf.ensurePython3()
         val dt = p.getOrElse("dataType", throw new IllegalArgumentException(
           """ScriptUDF lang="python" requires dataType="<ddl type>" (e.g. dataType="long")"""))

@@ -42,12 +42,14 @@ object ArrowBridge {
     *            user code — env survives any quoting the code needs)
     */
   def pipe(df: DataFrame, outSchema: StructType, command: Seq[String],
-           env: Map[String, String], batchSize: Int = 4096): DataFrame = {
+           env: Map[String, String], batchSize: Int = 4096,
+           timeoutSec: Int = 600): DataFrame = {
     val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val inSchema = df.schema
     val tz = spark.sessionState.conf.sessionLocalTimeZone
     val rdd = df.queryExecution.toRdd.mapPartitions { rows =>
-      pipePartition(rows, inSchema, outSchema, tz, command, env, batchSize)
+      pipePartition(rows, inSchema, outSchema, tz, command, env, batchSize,
+        timeoutSec)
     }
     spark.internalCreateDataFrame(rdd, outSchema, isStreaming = false)
   }
@@ -55,7 +57,7 @@ object ArrowBridge {
   private def pipePartition(rows: Iterator[InternalRow], inSchema: StructType,
                             outSchema: StructType, timeZoneId: String,
                             command: Seq[String], env: Map[String, String],
-                            batchSize: Int): Iterator[InternalRow] = {
+                            batchSize: Int, timeoutSec: Int): Iterator[InternalRow] = {
     if (!rows.hasNext) return Iterator.empty // no worker for empty partitions
     val errFile = java.io.File.createTempFile("graft_arrow_worker_", ".stderr")
     val pb = new ProcessBuilder(command.asJava)
@@ -69,8 +71,14 @@ object ArrowBridge {
     val payloads = ArrowConverters.toBatchWithSchemaIterator(
       rows, inSchema, batchSize.toLong, 64L << 20, timeZoneId,
       true, false)
+    val taskCtx = org.apache.spark.TaskContext.get()
     @volatile var writeErr: Throwable = null
     val writer = new Thread(() => {
+      // the writer pulls the TASK's row iterator from its own thread:
+      // upstream operators that consult TaskContext.get() mid-iteration
+      // (metrics, memory accounting, sort spill readers) need the context
+      // propagated here, exactly as PySpark's PythonRunner writer does
+      if (taskCtx != null) org.apache.spark.TaskContext.setTaskContext(taskCtx)
       val out = new java.io.DataOutputStream(
         new java.io.BufferedOutputStream(proc.getOutputStream))
       try {
@@ -87,8 +95,20 @@ object ArrowBridge {
     writer.setDaemon(true)
     writer.start()
 
-    val in = new java.io.DataInputStream(
-      new java.io.BufferedInputStream(proc.getInputStream))
+    // Lifecycle is tied to the TASK, not to full consumption of the output
+    // iterator: a downstream limit/take, task kill, or exception abandons
+    // the iterator mid-stream, which previously leaked the python process,
+    // the writer thread, and the stderr temp file for the executor's
+    // lifetime (ADVICE r19). destroyForcibly on an already-exited process
+    // and a second errFile.delete() are no-ops, so the normal path is
+    // unaffected.
+    if (taskCtx != null) taskCtx.addTaskCompletionListener[Unit] { _ =>
+      if (proc.isAlive) proc.destroyForcibly()
+      writer.interrupt()
+      errFile.delete()
+    }
+
+    val in = new java.io.BufferedInputStream(proc.getInputStream)
     val proj = UnsafeProjection.create(outSchema)
 
     def errTail(): String = try {
@@ -97,16 +117,48 @@ object ArrowBridge {
       if (s.length > 2000) "..." + s.substring(s.length - 2000) else s
     } catch { case _: Throwable => "<stderr unavailable>" }
 
+    // Bounded fill: a worker whose user code blocks forever must not hold
+    // the Spark task until an external kill (VERDICT r19 #4). Reads poll
+    // `available()` under an INACTIVITY deadline — reset on every byte, so
+    // a slow-but-alive transform never trips it — and on expiry the worker
+    // is destroyed and the failure carries the stderr tail. Returns false
+    // on clean EOF before the first byte (only legal between frames).
+    def fillBounded(buf: Array[Byte], len: Int, allowEof: Boolean): Boolean = {
+      var got = 0
+      var deadlineNs = System.nanoTime() + timeoutSec * 1000000000L
+      var deadGrace = 0
+      while (got < len) {
+        val avail = in.available()
+        if (avail > 0) {
+          val n = in.read(buf, got, math.min(len - got, avail))
+          if (n > 0) { got += n; deadlineNs = System.nanoTime() + timeoutSec * 1000000000L }
+        } else if (!proc.isAlive) {
+          // exited with the pipe drained — allow a couple of polls for
+          // late-buffered bytes to surface, then treat as EOF
+          deadGrace += 1
+          if (deadGrace > 3) {
+            if (got == 0 && allowEof) return false
+            throw new java.io.EOFException(
+              s"worker exited mid-frame after $got/$len bytes (stderr: ${errTail()})")
+          }
+          Thread.sleep(20)
+        } else if (System.nanoTime() > deadlineNs) {
+          proc.destroyForcibly()
+          throw new RuntimeException(
+            s"arrow worker '${command.head}' produced no output for ${timeoutSec}s — killed (stderr: ${errTail()})")
+        } else Thread.sleep(5)
+      }
+      true
+    }
+
     def readFrame(): Array[Byte] = {
-      val first = in.read()
-      if (first < 0) return null // clean EOF between frames
-      val hdr = new Array[Byte](3)
-      in.readFully(hdr)
-      val len = ((first & 0xff) << 24) | ((hdr(0) & 0xff) << 16) |
-        ((hdr(1) & 0xff) << 8) | (hdr(2) & 0xff)
+      val hdr = new Array[Byte](4)
+      if (!fillBounded(hdr, 4, allowEof = true)) return null // clean EOF
+      val len = ((hdr(0) & 0xff) << 24) | ((hdr(1) & 0xff) << 16) |
+        ((hdr(2) & 0xff) << 8) | (hdr(3) & 0xff)
       require(len >= 0 && len < (1 << 30), s"bad worker frame length $len")
       val buf = new Array[Byte](len)
-      in.readFully(buf)
+      fillBounded(buf, len, allowEof = false)
       buf
     }
 
@@ -116,7 +168,15 @@ object ArrowBridge {
 
       private def finish(): Unit = {
         writer.join(30000)
-        val rc = proc.waitFor()
+        // bounded wait (ADVICE r19): the worker already closed stdout, so
+        // a healthy one exits immediately; one that ignores EOF is killed
+        // and reported rather than holding the task forever
+        if (!proc.waitFor(timeoutSec.toLong, java.util.concurrent.TimeUnit.SECONDS)) {
+          proc.destroyForcibly()
+          throw new RuntimeException(
+            s"arrow worker '${command.head}' did not exit within ${timeoutSec}s of end-of-stream — killed (stderr: ${errTail()})")
+        }
+        val rc = proc.exitValue()
         if (writeErr != null)
           throw new RuntimeException(
             s"failed streaming rows to the worker (worker stderr: ${errTail()})",

@@ -119,6 +119,46 @@ class PythonTransformSpec extends AnyFunSuite {
     assert(chain(e).exists(m => m != null && m.contains("pyboom")))
   }
 
+  test("PythonTransform: a hanging transform is killed at the timeout, not held forever") {
+    // VERDICT r19 #4 / ADVICE r19: a user transform that blocks must fail
+    // the task with an actionable error within the bound, never hold it
+    // until an external kill
+    assume(available, s"skipped: ${PythonTransformET.unavailableReason.getOrElse("")}")
+    import spark.implicits._
+    spark.range(0, 8).toDF("id").coalesce(1).createOrReplaceTempView("pt_hang")
+    val t0 = System.nanoTime()
+    val e = intercept[Exception] {
+      ScriptRunner.runToDF(
+        """run pt_hang as PythonTransform.`` where schema="id bigint"
+          |and timeout="2" and code='''
+          |import time
+          |def transform(table):
+          |    time.sleep(3600)
+          |''' as pt_out;""".stripMargin, spark).collect()
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec < 60.0, s"hang was not bounded: took $sec s")
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).toSeq
+    assert(chain(e).exists(m => m != null && m.contains("no output for")))
+  }
+
+  test("""ScriptUDF lang="python" rejects udfType="udaf" loudly (ADVICE r19)""") {
+    // throws at registration time, BEFORE the python3 probe — no assume
+    val e = intercept[Exception] {
+      ScriptRunner.runToDF(
+        """register ScriptUDF.`` as pyAgg where lang="python" and udfType="udaf"
+          |and dataType="long" and code='''
+          |def apply(x):
+          |    return x
+          |''';""".stripMargin, spark)
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).toSeq
+    assert(chain(e).exists(m => m != null &&
+      m.contains("""supports udfType="udf" only""")))
+  }
+
   test("PythonTransform: schema mismatch is an actionable error") {
     assume(available, s"skipped: ${PythonTransformET.unavailableReason.getOrElse("")}")
     import spark.implicits._
