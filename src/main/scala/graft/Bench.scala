@@ -22,6 +22,13 @@ package graft
   * prints) is budgeted against `SPARK_GRAFT_BENCH_BUDGET_SEC` (default
   * 1050 s) — degrading to single-run mode and then skipping, rather than
   * dying with no record (the r12-r18 parsed:null failure).
+  *
+  * Coverage under degradation (r20): the sweep runs CHEAPEST-FIRST by
+  * prior-round cost, so a budget kill sacrifices the few most expensive
+  * entries, never the bulk of the inventory (the r19 official record swept
+  * alphabetically and skipped 132/252 — every q* and s*). Every record also
+  * carries an `env` block (load average, core MHz, other-PID cores) so a
+  * blown-up entry is attributable to box state from the record alone.
   */
 object Bench {
 
@@ -30,13 +37,12 @@ object Bench {
     * drift gate must not compare against it (same treatment as
     * prior-round stalls — the key is dropped and the query runs ungated
     * this round). A redefined `q*`/`f*` entry is also removed from the
-    * [[BenchGate]] control population. r14: p51 additionally persists its
-    * merge table and encodes a 512-rank oracle sample; s27 additionally
-    * exports the fitted centroids (its new oracle boundary). r19: p97 now
-    * pins its BM25 index (postings/docFreq/stats) instead of relying on
-    * ReuseExchange across the two scoring rounds.
+    * [[BenchGate]] control population. r20: empty — no workloads changed
+    * this round, and the r19 baseline snapshot (BENCH_full_r19.json)
+    * already measures the r19 redefinitions (p51/s27/p97) on their new
+    * workloads.
     */
-  private[graft] val RedefinedQueries = Set("p51", "s27", "p97")
+  private[graft] val RedefinedQueries = Set.empty[String]
 
   /** JVM-health counters captured around each timed run, so a warm-time
     * regression can be attributed (GC pause? JIT recompilation storm? code
@@ -72,7 +78,56 @@ object Bench {
 
   final case class RunStats(time: Either[String, Double],
                             gcMs: Long, jitMs: Long, ccMb: Double,
-                            cpuS: Double)
+                            cpuS: Double, load1: Double)
+
+  /** /proc-based box-state sample (VERDICT r19 ask #4): the official record
+    * has been sick (rc=124 or 20-70x pathological entries) five rounds
+    * running on runs whose same-code rested-box twins were clean, and
+    * nothing in the record could attribute the difference. Each record now
+    * carries load average, mean core frequency, and other-PID CPU
+    * consumption measured over the sweep itself, so the next blowup is
+    * attributable (outside load / frequency capping / genuinely slow plan)
+    * from the record alone. All reads are best-effort: a non-Linux box
+    * yields -1 sentinels, never a throw.
+    */
+  final case class EnvSample(load1: Double, mhz: Double,
+                             totBusyJf: Long, selfJf: Long, ns: Long)
+  private def readProc(p: String): String =
+    try new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(p)), "UTF-8")
+    catch { case scala.util.control.NonFatal(_) => "" }
+  private[graft] def envSample(): EnvSample = {
+    val load1 = readProc("/proc/loadavg").split(" ").headOption
+      .flatMap(_.toDoubleOption).getOrElse(-1.0)
+    val mhzs = readProc("/proc/cpuinfo").linesIterator
+      .filter(_.startsWith("cpu MHz"))
+      .flatMap(_.split(":").lastOption.flatMap(_.trim.toDoubleOption)).toSeq
+    val mhz = if (mhzs.isEmpty) -1.0 else mhzs.sum / mhzs.size
+    // busy = user+nice+system+irq+softirq+steal (idle/iowait excluded)
+    val cpu = readProc("/proc/stat").linesIterator.find(_.startsWith("cpu "))
+      .map(_.trim.split("\\s+").drop(1).flatMap(_.toLongOption))
+      .getOrElse(Array.empty[Long])
+    val busy = if (cpu.length >= 8) cpu(0) + cpu(1) + cpu(2) + cpu(5) + cpu(6) + cpu(7) else -1L
+    // /proc/self/stat: fields after the ')'-terminated comm start at state
+    // (field 3), so utime/stime (fields 14/15) sit at offsets 11/12
+    val selfTxt = readProc("/proc/self/stat")
+    val self = {
+      val i = selfTxt.lastIndexOf(')')
+      if (i < 0 || i + 2 >= selfTxt.length) -1L
+      else {
+        val f = selfTxt.substring(i + 2).split(" ")
+        if (f.length > 12) f(11).toLongOption.getOrElse(0L) + f(12).toLongOption.getOrElse(0L)
+        else -1L
+      }
+    }
+    EnvSample(load1, mhz, busy, self, System.nanoTime())
+  }
+  /** Other-PID CPU cores consumed between two samples (USER_HZ=100). */
+  private def otherCores(a: EnvSample, b: EnvSample): Double = {
+    val sec = (b.ns - a.ns) / 1e9
+    if (a.totBusyJf < 0 || b.totBusyJf < 0 || a.selfJf < 0 || sec <= 0) -1.0
+    else ((b.totBusyJf - a.totBusyJf) - (b.selfJf - a.selfJf)) / (100.0 * sec)
+  }
 
   def main(args: Array[String]): Unit = {
     val startNs = System.nanoTime()
@@ -110,7 +165,9 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           Left(e.getClass.getSimpleName)
       } finally spark.catalog.clearCache() // not timed; see scaladoc
-      RunStats(r, gcMillis - g0, jitMillis - j0, codeCacheUsedMb, cpuSec - c0)
+      RunStats(r, gcMillis - g0, jitMillis - j0, codeCacheUsedMb, cpuSec - c0,
+        readProc("/proc/loadavg").split(" ").headOption
+          .flatMap(_.toDoubleOption).getOrElse(-1.0))
     }
 
     // ------------------------------------------------------------------
@@ -140,13 +197,19 @@ object Bench {
       val kept = if (ids.size <= 8) ids else ids.take(8) :+ s"+${ids.size - 8}more"
       kept.map("\"" + _ + "\"").mkString("[", ",", "]")
     }
+    val envStart = envSample()
     def compactRecord(rs: Seq[(String, Either[String, Double])],
                       stallsL: Seq[String], regsL: Seq[String],
                       isolated: Seq[(String, Double)], nSkipped: Int,
-                      drift: Double, alarm: Boolean, phase: String): String = {
+                      drift: Double, alarm: Boolean, cdrift: Option[Double],
+                      phase: String): String = {
       val done = rs.collect { case (n, Right(v)) => n -> v }
       val total = done.map(_._2).sum
       val failedL = rs.collect { case (n, Left(_)) => n }
+      // ~45-byte box-state block (VERDICT r19 ask #4): current 1-min load,
+      // mean core MHz, and other-PID cores burned since sweep start
+      val envNow = envSample()
+      val envJson = s"""{"ld":${num(envNow.load1)},"mhz":${envNow.mhz.round},"oc":${num(otherCores(envStart, envNow))}}"""
       val isoJson = {
         val kept = isolated.take(8)
           .map { case (n, v) => s""""${n.split("_").head}":${num(v)}""" }
@@ -154,7 +217,7 @@ object Bench {
           Seq(s""""more":${isolated.size - 8}""") else Seq.empty
         (kept ++ marker).mkString("{", ",", "}")
       }
-      val head = s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir","nq":${done.size},"skipped":$nSkipped,"failed":${shortList(failedL)},"stalls":${shortList(stallsL)},"regressions":${shortList(regsL)},"isolated":$isoJson,"drift":${num(drift)},"drift_alarm":$alarm,"phase":"$phase","queries":{"""
+      val head = s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir","nq":${done.size},"skipped":$nSkipped,"failed":${shortList(failedL)},"stalls":${shortList(stallsL)},"regressions":${shortList(regsL)},"isolated":$isoJson,"drift":${num(drift)},"drift_alarm":$alarm,"cdrift":${cdrift.map(num).getOrElse("null")},"env":$envJson,"phase":"$phase","queries":{"""
       // slowest-first: the headline entries the verdict table reads are by
       // construction the expensive ones, so they always make the cut
       val entries = done.sortBy(-_._2)
@@ -289,13 +352,9 @@ object Bench {
     // simply absent from next round's baselines — same treatment as a new
     // query). A partial compact record is printed every ~60 s so even a
     // driver kill mid-sweep leaves a parseable record in the stdout tail.
-    val names = SparkEntry.queries.keys.toSeq.sorted
-    val sweepDeadlineNs = deadlineNs - 90L * 1000000000L
-    val sweepStartNs = System.nanoTime()
     // Projection weights: prior-round warm seconds per query. A flat
     // running-average projection is structurally biased by the sweep's
-    // alphabetical cost distribution — the expensive graph block (p10x-
-    // p12x) runs early, so extrapolating its mean over the cheap tail
+    // cost distribution, so extrapolating one block's mean over the rest
     // projected a ~600 s sweep as 1100 s and degraded a healthy run (the
     // r19 second official attempt flipped to single-run at 50/252).
     // Weighting remaining work by each query's OWN prior cost (new
@@ -309,6 +368,22 @@ object Bench {
       }
       n => priorWarm.getOrElse(n.split("_").head, med).max(0.05)
     }
+    // Sweep order: CHEAPEST FIRST by prior-round cost, name tie-break
+    // (r20, VERDICT r19 ask #1). The old alphabetical order meant budget
+    // degradation killed the alphabetical tail — which is the ENTIRE
+    // q*/s* relational inventory: the r19 official record skipped 132 of
+    // 252 queries and had no fresh timing for any q* or s* entry, i.e. a
+    // grading signal that preferentially dropped the reference-parity
+    // half. Cheapest-first makes degradation sacrifice the most expensive
+    // few entries instead: covering 240+ of 252 costs only the cheap ~80%
+    // of the mass, and the skipped tail is exactly the entries that
+    // already carry fresh-JVM isolated stamps. Side effect on the
+    // projection gate below: the JIT-heavy cheap head inflates the
+    // observed/prior ratio somewhat more than the old order did, which
+    // errs toward single-run mode — the coverage-preserving direction.
+    val names = SparkEntry.queries.keys.toSeq.sortBy(n => (priorCost(n), n))
+    val sweepDeadlineNs = deadlineNs - 90L * 1000000000L
+    val sweepStartNs = System.nanoTime()
     val timedBuf = scala.collection.mutable.ArrayBuffer
       .empty[(String, (Either[String, Double], RunStats))]
     val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -363,7 +438,7 @@ object Bench {
         println(compactRecord(
           timedBuf.toSeq.map { case (nn, (_, w)) => nn -> w.time },
           Seq.empty, Seq.empty, Seq.empty, skipped.size, 1.0, alarm = false,
-          phase = s"partial:${timedBuf.size}/${names.size}"))
+          cdrift = None, phase = s"partial:${timedBuf.size}/${names.size}"))
       }
     }
     if (skipped.nonEmpty)
@@ -407,10 +482,18 @@ object Bench {
     }
     val gate = BenchGate.evaluate(warmOk, priorWarm)
     val globalRatio = gate.globalRatio
+    // ALL baseline-scaling below uses gatingRatio (1.0 on alarm), never the
+    // measured ratio — a drift alarm means the measured number is exactly
+    // the thing that cannot be trusted to normalize with (ADVICE r19 #2;
+    // previously the fork-phase confirm/clear math still scaled by the wild
+    // measured ratio, partially undoing BenchGate's alarm fallback).
+    val gatingRatio = gate.gatingRatio
     System.err.println(String.format(java.util.Locale.ROOT,
-      "[bench] global-drift: control-set median warm/baseline ratio %.3f over %s controls (baseline entries %s)%s",
+      "[bench] global-drift: control-set median warm/baseline ratio %.3f over %s controls (baseline entries %s); canary ratio %s over %s canaries%s",
       Double.box(globalRatio), Int.box(gate.controlCount),
       Int.box(priorWarm.size),
+      gate.canaryRatio.map(v => String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))).getOrElse("n/a"),
+      Int.box(gate.canaryCount),
       if (gate.driftAlarm) " DRIFT-ALARM: ratio outside sanity bounds, box too sick for normalized gating" else ""))
     val prelimRegressions = gate.regressions
     // wobble detector (r16 ask #3): same-code entries moving >1.5x in
@@ -456,12 +539,16 @@ object Bench {
       val regsFull = regs.map("\"" + _ + "\"").mkString("[", ",", "]")
       val isoFull = isolated
         .map { case (n, v) => s""""$n":$v""" }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results, _.toString)},"cold":${fmt(cold, _.toString)},"failed":$failedJson,"stalls":$stallsFullJson,"regressions":$regsFull,"wobbles":$wobblesFullJson,"skipped":$skippedFullJson,"isolated":$isoFull,"gc_ms":${statsMap(_.gcMs.toString)},"jit_ms":${statsMap(_.jitMs.toString)},"codecache_mb":${statsMap(w => num(w.ccMb))},"cpu_s":${statsMap(w => num(w.cpuS))},"sf":"$sfDir","drift":${num(globalRatio)},"drift_controls":${gate.controlCount},"drift_alarm":${gate.driftAlarm},"phase":"$phase"}"""
+      // per-query load1 + the start/now env pair: the same-record
+      // attribution data VERDICT r19 ask #4 calls for
+      val envNow = envSample()
+      val envFull = s"""{"load1_start":${num(envStart.load1)},"load1_now":${num(envNow.load1)},"mhz_start":${envStart.mhz.round},"mhz_now":${envNow.mhz.round},"other_cores":${num(otherCores(envStart, envNow))}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results, _.toString)},"cold":${fmt(cold, _.toString)},"failed":$failedJson,"stalls":$stallsFullJson,"regressions":$regsFull,"wobbles":$wobblesFullJson,"skipped":$skippedFullJson,"isolated":$isoFull,"gc_ms":${statsMap(_.gcMs.toString)},"jit_ms":${statsMap(_.jitMs.toString)},"codecache_mb":${statsMap(w => num(w.ccMb))},"cpu_s":${statsMap(w => num(w.cpuS))},"load1":${statsMap(w => num(w.load1))},"env":$envFull,"sf":"$sfDir","drift":${num(globalRatio)},"drift_controls":${gate.controlCount},"drift_alarm":${gate.driftAlarm},"cdrift":${gate.canaryRatio.map(num).getOrElse("null")},"cdrift_canaries":${gate.canaryCount},"phase":"$phase"}"""
     }
     def stdoutRecord(regs: Seq[String], isolated: Seq[(String, Double)],
                      phase: String): String =
       compactRecord(results, stalls, regs, isolated, skipped.size,
-        globalRatio, gate.driftAlarm, phase)
+        globalRatio, gate.driftAlarm, gate.canaryRatio, phase)
     def writeRecordFiles(content: String): Unit = {
       java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_bench.json"),
         content.getBytes("UTF-8"))
@@ -502,14 +589,17 @@ object Bench {
     // their smaller siblings); wobble stamps are best-effort
     val prelimBySeverity = prelimRegressions.sortBy { n =>
       val sev = for (p <- baseline(n); wv <- byName(n)._2.time.toOption)
-        yield wv / (p * globalRatio)
+        yield wv / (p * gatingRatio)
       -sev.getOrElse(0.0)
     }
     // always-stamp set: entries the verdict asked for a standing fresh-JVM
     // iso stamp on (so next round's gate can compare iso-to-iso even when
-    // the swept number doesn't flag) — lowest fork priority after real flags
-    val stampAlways = Seq("s26_script_curate_select_shard",
-      "p97_query_expansion").filter(SparkEntry.queries.contains)
+    // the swept number doesn't flag) — lowest fork priority after real
+    // flags. r20: the three entries that blew up 20-70x on the r19 official
+    // record with no committed adjudication (VERDICT r19 ask #2) — the
+    // stamp makes the NEXT record self-adjudicating for them.
+    val stampAlways = Seq("p12_cosine_lsh", "p44_dsir_select",
+      "p123_harmonic_centrality").filter(SparkEntry.queries.contains)
     val flagged =
       (stalls ++ prelimBySeverity ++ forced ++ wobbles ++ stampAlways)
         .distinct.take(6)
@@ -579,7 +669,7 @@ object Bench {
     val isoRatio: Double = {
       val ratios = isolated.flatMap { case (n, v) =>
         priorIsolated.get(n.split("_").head).filter(_ > 0).map(v / _) }.sorted
-      if (ratios.length < 5) globalRatio else ratios(ratios.length / 2)
+      if (ratios.length < 5) gatingRatio else ratios(ratios.length / 2)
     }
     if (isolated.nonEmpty)
       System.err.println(String.format(java.util.Locale.ROOT,
@@ -607,7 +697,7 @@ object Bench {
               v <= 2 * p * isoRatio || v - p * isoRatio <= 0.5))
           !isoClears && baseline(n).forall { p =>
             val wv = byName(n)._2.time.getOrElse(Double.MaxValue)
-            wv > 2 * p * globalRatio && wv - p * globalRatio > 0.5
+            wv > 2 * p * gatingRatio && wv - p * gatingRatio > 0.5
           }
       }
     }

@@ -43,6 +43,19 @@ object BenchGate {
     shortId.length >= 2 && (shortId(0) == 'q' || shortId(0) == 'f') &&
       shortId.drop(1).forall(_.isDigit)
 
+  /** Mid-weight shuffle-bound canary ids (r20, VERDICT r19 ask #3). The
+    * q/f scan controls are sub-second and scan-bound, so they read 1.0x on
+    * a box whose sustained-parallel-shuffle throughput has degraded 2-3x —
+    * the exact dimension the heavy iterative entries drift along (README
+    * r19 measurement notes). q46/q47 are pinned pure-SQL shuffle workloads
+    * (multiplied high-cardinality hash agg / multiplied sort-merge join,
+    * ~2-5 s at sf0.1, code never to change) whose median ratio is reported
+    * separately as `canaryRatio`. They are EXCLUDED from the scan-control
+    * normalizer so the two dimensions stay independently measurable: flat
+    * scan controls + moved canaries = throughput drift, not code.
+    */
+  val CanaryIds: Set[String] = Set("q46", "q47")
+
   /** Sanity bounds for the control-drift ratio (ADVICE r17). */
   val DriftAlarmLow = 0.4
   val DriftAlarmHigh = 2.5
@@ -54,11 +67,26 @@ object BenchGate {
     */
   val MinControls = 8
 
+  /** @param globalRatio  MEASURED control-set median ratio (reporting)
+    * @param gatingRatio  the ratio the gates actually scale baselines by:
+    *                     1.0 on drift alarm, else `globalRatio`. Callers
+    *                     doing their own confirm/clear math (Bench's
+    *                     fork-phase verdicts) MUST use this one — scaling
+    *                     by the wild measured ratio after the alarm declared
+    *                     it meaningless re-normalizes real regressions away
+    *                     (ADVICE r19 #2).
+    * @param canaryRatio  median warm/baseline ratio over the shuffle-bound
+    *                     [[CanaryIds]]; None until the canaries have a
+    *                     committed baseline. Reported, not used for gating.
+    */
   final case class Verdict(globalRatio: Double,
                            controlCount: Int,
                            driftAlarm: Boolean,
                            regressions: Seq[String],
-                           wobbles: Seq[String])
+                           wobbles: Seq[String],
+                           gatingRatio: Double,
+                           canaryRatio: Option[Double],
+                           canaryCount: Int)
 
   /** Evaluate the swept warm times against a prior-round baseline.
     *
@@ -74,9 +102,18 @@ object BenchGate {
     val controlRatios = warm.flatMap { case (n, wv) =>
       val id = n.split("_").head
       // the >0.2 s floor keeps sub-noise-floor controls (0.05 s -> 0.12 s is
-      // scheduler jitter, not drift) from setting the normalizer
-      if (isControl(id)) base(n).filter(_ > 0.2).map(wv / _) else None
+      // scheduler jitter, not drift) from setting the normalizer; canaries
+      // are the throughput dimension, kept out of the scan normalizer
+      if (isControl(id) && !CanaryIds(id)) base(n).filter(_ > 0.2).map(wv / _)
+      else None
     }.sorted
+    val canaryRatios = warm.flatMap { case (n, wv) =>
+      val id = n.split("_").head
+      if (CanaryIds(id)) base(n).filter(_ > 0.2).map(wv / _) else None
+    }.sorted
+    val canaryRatio =
+      if (canaryRatios.isEmpty) None
+      else Some(canaryRatios(canaryRatios.length / 2))
     val measuredRatio =
       if (controlRatios.length < MinControls) 1.0
       else controlRatios(controlRatios.length / 2)
@@ -111,6 +148,8 @@ object BenchGate {
         (wv > band * p || wv < p / band) && math.abs(wv - p) > 0.5
       } => n
     }.filterNot(regressions.contains)
-    Verdict(measuredRatio, controlRatios.length, alarm, regressions, wobbles)
+    Verdict(measuredRatio, controlRatios.length, alarm, regressions, wobbles,
+      gatingRatio = ratio, canaryRatio = canaryRatio,
+      canaryCount = canaryRatios.length)
   }
 }

@@ -833,7 +833,74 @@ object Rel {
         |   SQRT((ss - CAST(c AS DOUBLE) * (s / CAST(c AS DOUBLE)) * (s / CAST(c AS DOUBLE)))
         |     / (CAST(c AS DOUBLE) - 1))
         | END AS z_score
-        |FROM win ORDER BY event_type, bucket_us""".stripMargin)
+        |FROM win ORDER BY event_type, bucket_us""".stripMargin),
+
+    // ---- BENCH CANARIES (r20) — mid-weight SHUFFLE-BOUND workloads for
+    //      BenchGate's throughput-drift canary set (BenchGate.CanaryIds).
+    //      The q/f scan controls are sub-second and read 1.0x on a box
+    //      whose sustained-parallel-shuffle throughput degraded 2-3x; these
+    //      two are sized (~2-5 s at sf0.1) and shaped (wide exchange, no
+    //      broadcast) so that dimension moves them. Their CODE MUST NEVER
+    //      CHANGE — a pinned canary only measures the box if the plan is
+    //      identical round over round. ----
+    // q46: 8x-multiplied lineitem into a ~4.8M-group hash agg. Grouping on
+    // (l_orderkey, l_linenumber, k) defeats map-side combine almost
+    // entirely, so nearly every input row crosses the exchange; the outer
+    // re-agg shrinks the result to 8 rows for the oracle.
+    QuerySpec.sql("q46_canary_shuffle", (s, dir) => {
+      import s.implicits._
+      val m = s.range(8).select($"id".as("k"))
+      t(s, dir, "lineitem")
+        .crossJoin(m)
+        .groupBy($"l_orderkey", $"l_linenumber", $"k")
+        .agg(sum($"l_extendedprice".cast("decimal(18,2)")).as("grp_price"),
+          count(lit(1)).as("grp_n"))
+        .groupBy($"k")
+        .agg(count(lit(1)).as("n_groups"),
+          sum($"grp_n").as("n_rows"),
+          sum($"grp_price").cast("double").as("price_total"))
+        .orderBy($"k")
+    },
+      """WITH m AS (SELECT UNNEST(RANGE(8)) AS k),
+        |g AS (SELECT l_orderkey, l_linenumber, k,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS grp_price,
+        |  COUNT(*) AS grp_n
+        | FROM lineitem CROSS JOIN m GROUP BY 1, 2, 3)
+        |SELECT k, COUNT(*) AS n_groups,
+        | CAST(SUM(grp_n) AS BIGINT) AS n_rows,
+        | CAST(SUM(grp_price) AS DOUBLE) AS price_total
+        |FROM g GROUP BY k ORDER BY k""".stripMargin),
+
+    // q47: 4x-multiplied lineitem |><| 4x-multiplied orders on a composite
+    // key, sort-merge FORCED by hint (a broadcast would make it scan-bound
+    // and defeat the canary's purpose), plus an exact COUNT(DISTINCT) for a
+    // second full exchange.
+    QuerySpec.sql("q47_canary_join", (s, dir) => {
+      import s.implicits._
+      val l = t(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+        .crossJoin(s.range(4).select($"id".as("k")))
+      val o = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey")
+        .crossJoin(s.range(4).select($"id".as("k2")))
+      l.join(o.hint("merge"),
+          $"l_orderkey" === $"o_orderkey" && $"k" === $"k2")
+        .groupBy($"k")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast("decimal(18,4)"))
+            .cast("double").as("revenue"),
+          countDistinct($"o_custkey").as("n_cust"))
+        .orderBy($"k")
+    },
+      """WITH m AS (SELECT UNNEST(RANGE(4)) AS k),
+        |l AS (SELECT l_orderkey, l_extendedprice, l_discount, k
+        |  FROM lineitem CROSS JOIN m),
+        |o AS (SELECT o_orderkey, o_custkey, k AS k2 FROM orders CROSS JOIN m)
+        |SELECT k, COUNT(*) AS n_pairs,
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        | COUNT(DISTINCT o_custkey) AS n_cust
+        |FROM l JOIN o ON l.l_orderkey = o.o_orderkey AND l.k = o.k2
+        |GROUP BY k ORDER BY k""".stripMargin)
   )
 
   /** Shared Spark/DuckDB text for q41 (dialect-identical). */

@@ -117,4 +117,55 @@ class BenchGateSpec extends AnyFunSuite {
     assert(!BenchGate.isControl("p114") && !BenchGate.isControl("s49") &&
       !BenchGate.isControl("q") && !BenchGate.isControl("q1a"))
   }
+
+  // ---- r20: shuffle-bound canary dimension (VERDICT r19 ask #3) ----
+
+  private val canaryBase = baseline ++ Map("q46" -> 3.0, "q47" -> 4.0)
+  private def withCanaries(canaryX: Double, controlX: Double = 1.0) =
+    warmAt(controlX, Map.empty) ++
+      Seq("q46_canary_shuffle" -> canaryX * 3.0,
+          "q47_canary_join" -> canaryX * 4.0)
+
+  test("heavy-only slowdown with flat scan controls moves the canary ratio") {
+    // the r19 blind spot: sustained-parallel-throughput degradation slowed
+    // every heavy shuffle-bound entry 2-3x while the sub-second scan
+    // controls read 1.0x, so the drift gate could neither exonerate nor
+    // convict. The canaries now measure that dimension directly.
+    val v = BenchGate.evaluate(withCanaries(canaryX = 2.5), canaryBase)
+    assert(math.abs(v.globalRatio - 1.0) < 1e-9 && !v.driftAlarm)
+    assert(v.canaryCount == 2)
+    assert(math.abs(v.canaryRatio.get - 2.5) < 1e-9)
+    // and at gating ratio 1.0 the moved canaries themselves flag
+    assert(v.regressions.toSet ==
+      Set("q46_canary_shuffle", "q47_canary_join"))
+  }
+
+  test("canaries are excluded from the scan-control normalizer") {
+    // two canaries at 3x must not drag the scan-drift median: the two
+    // dimensions stay independently measurable
+    val v = BenchGate.evaluate(withCanaries(canaryX = 3.0), canaryBase)
+    assert(math.abs(v.globalRatio - 1.0) < 1e-9)
+    assert(v.controlCount == 12) // the q/f trivials only, no q46/q47
+  }
+
+  test("quiet canaries read ~1.0 and fire nothing") {
+    val v = BenchGate.evaluate(withCanaries(canaryX = 1.0), canaryBase)
+    assert(math.abs(v.canaryRatio.get - 1.0) < 1e-9)
+    assert(v.regressions.isEmpty && v.wobbles.isEmpty)
+  }
+
+  test("no canary baseline yet -> canaryRatio None, nothing else changes") {
+    val v = BenchGate.evaluate(withCanaries(canaryX = 1.0), baseline)
+    assert(v.canaryRatio.isEmpty && v.canaryCount == 0)
+  }
+
+  // ---- r20: gatingRatio threading (ADVICE r19 #2) ----
+
+  test("gatingRatio is 1.0 on alarm, the measured ratio otherwise") {
+    val quiet = BenchGate.evaluate(warmAt(1.8, Map.empty), baseline)
+    assert(!quiet.driftAlarm && math.abs(quiet.gatingRatio - 1.8) < 1e-9)
+    val sick = BenchGate.evaluate(warmAt(3.0, Map.empty), baseline)
+    assert(sick.driftAlarm && sick.gatingRatio == 1.0 &&
+      math.abs(sick.globalRatio - 3.0) < 1e-9)
+  }
 }
