@@ -205,10 +205,12 @@ object ImageDedup {
     * corpus size or the birthday term n²/2^w dominates (measured: 20-bit
     * pair keys went super-linear between 10⁶ and 5×10⁶ hashes in the
     * r18 sweep; width 3 at maxHamming 4 gives ~28-bit keys and restores
-    * linearity). The subset's chunk keys pack into ONE long (16 bits
-    * per chunk key — guarded), so the join key stays a skinny
-    * (cid, ckey) pair whatever the width. The cap applies per
-    * combination key.
+    * linearity). The subset's chunk keys pack into ONE long at each
+    * chunk's ACTUAL bit width — the chunks partition 64 bits, so any
+    * subset's widths sum to <= 64 and the packed key is collision-free
+    * at every width (r19 fix; see the packing comment below). The join
+    * key stays a skinny (cid, ckey) pair whatever the width. The cap
+    * applies per combination key.
     */
   private[multimodal] def explodeComboChunks(df: DataFrame, hashCol: String,
                                              maxHamming: Int, width: Int,
