@@ -201,8 +201,8 @@ object Bench {
     def compactRecord(rs: Seq[(String, Either[String, Double])],
                       stallsL: Seq[String], regsL: Seq[String],
                       isolated: Seq[(String, Double)], nSkipped: Int,
-                      drift: Double, alarm: Boolean, cdrift: Option[Double],
-                      phase: String): String = {
+                      nSingle: Int, drift: Double, alarm: Boolean,
+                      cdrift: Option[Double], phase: String): String = {
       val done = rs.collect { case (n, Right(v)) => n -> v }
       val total = done.map(_._2).sum
       val failedL = rs.collect { case (n, Left(_)) => n }
@@ -217,7 +217,7 @@ object Bench {
           Seq(s""""more":${isolated.size - 8}""") else Seq.empty
         (kept ++ marker).mkString("{", ",", "}")
       }
-      val head = s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir","nq":${done.size},"skipped":$nSkipped,"failed":${shortList(failedL)},"stalls":${shortList(stallsL)},"regressions":${shortList(regsL)},"isolated":$isoJson,"drift":${num(drift)},"drift_alarm":$alarm,"cdrift":${cdrift.map(num).getOrElse("null")},"env":$envJson,"phase":"$phase","queries":{"""
+      val head = s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir","nq":${done.size},"skipped":$nSkipped,"single":$nSingle,"failed":${shortList(failedL)},"stalls":${shortList(stallsL)},"regressions":${shortList(regsL)},"isolated":$isoJson,"drift":${num(drift)},"drift_alarm":$alarm,"cdrift":${cdrift.map(num).getOrElse("null")},"env":$envJson,"phase":"$phase","queries":{"""
       // slowest-first: the headline entries the verdict table reads are by
       // construction the expensive ones, so they always make the cut
       val entries = done.sortBy(-_._2)
@@ -299,8 +299,14 @@ object Bench {
                 .map(_.group(1)).getOrElse("")
                 .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")
                   .split("_").head).toSet
+              // a cold of exactly -1 marks a budget-degraded single-run
+              // entry (or a failed cold) — its "warm" is a cold-regime
+              // number and would mis-baseline the swept gate (r20)
+              val priorSingles = numMap(objBody("cold"))
+                .collect { case (k, v) if v == -1.0 => k }.toSet
               val warm = warm0.filterNot { case (k, _) =>
-                priorStalls.contains(k) || RedefinedQueries.contains(k) }
+                priorStalls.contains(k) || RedefinedQueries.contains(k) ||
+                  priorSingles.contains(k) }
               // prior round's fresh-JVM stamps: when an entry has one, it
               // is the trustworthy baseline (r16 ask: compare iso-to-iso,
               // not swept-to-swept, for the entries known to wobble with
@@ -392,28 +398,59 @@ object Bench {
     var donePrior = 0.0
     val totalPrior = names.map(priorCost).sum
     var remainingPrior = totalPrior
+    // running least-squares accumulators over (prior_i, observed_i seconds)
+    // for the projection fit above; only two-run observations feed it
+    var lsqN = 0
+    var lsqSx = 0.0; var lsqSy = 0.0; var lsqSxx = 0.0; var lsqSxy = 0.0
     for ((n, i) <- names.zipWithIndex) {
       val nowNs = System.nanoTime()
       val secsLeft = (sweepDeadlineNs - nowNs) / 1e9
       remainingPrior -= priorCost(n)
       if (secsLeft <= 0) skipped += n
       else {
-        // sample gate by prior MASS, not query count: the alphabetical head
-        // is 20+ trivial f-entries whose observed time is pure fresh-JVM
-        // JIT — at 15-query samples they set an observed/prior ratio of
-        // ~3x and degraded a healthy run (third r19 attempt, 21/252).
-        // 10% of total prior mass means the heavy early block has started
-        // amortizing the JIT bill before any projection is trusted.
+        // sample gate by prior MASS, not query count: the sweep head's
+        // observed time is fresh-JVM-JIT-dominated — at 15-query samples it
+        // set an observed/prior ratio of ~3x and degraded a healthy run
+        // (third r19 attempt, 21/252). 10% of total prior mass means the
+        // JIT bill has started amortizing before any projection is trusted.
+        //
+        // Projection model (r20): observed_i ≈ a + b·prior_i by running
+        // least squares, NOT a single observed/prior mass ratio. Under
+        // cheapest-first ordering the flat ratio is structurally wrong:
+        // a 0.3 s query costs ~1.5-2.5 s observed (two runs + per-query
+        // fixed overhead + codegen), a 10 s query ~2.2x — the mass ratio
+        // over the cheap head read 5.26 and flipped a healthy 254-query
+        // run to single-run mode at 112/254 (first r20 full run). The
+        // intercept `a` absorbs the per-query fixed cost, the slope `b`
+        // the marginal cost, so the heavy tail projects at ~b·prior
+        // instead of ~5x prior. Degenerate fits (no prior spread) fall
+        // back to the flat ratio.
         if (!singleRun && donePrior >= 0.1 * totalPrior) {
-          val ratio = (nowNs - sweepStartNs) / 1e9 / donePrior
-          if (remainingPrior * ratio > secsLeft) {
+          val n = lsqN.toDouble
+          val flat = (nowNs - sweepStartNs) / 1e9 / donePrior
+          val varP = lsqSxx - lsqSx * lsqSx / n
+          val (a, b) =
+            if (n < 8 || varP <= 1e-9) (0.0, flat)
+            else {
+              val slope = (lsqSxy - lsqSx * lsqSy / n) / varP
+              val icept = (lsqSy - slope * lsqSx) / n
+              // a negative fit component means the sample is still too
+              // JIT-skewed to trust shape-wise; keep the flat ratio's
+              // conservatism rather than extrapolating nonsense
+              if (slope <= 0 || icept < 0) (0.0, flat) else (icept, slope)
+            }
+          val remainingN = names.size - i - 1
+          val projected = a * remainingN + b * remainingPrior
+          if (projected > secsLeft) {
             singleRun = true
             System.err.println(String.format(java.util.Locale.ROOT,
-              "[bench] budget: switching to single-run mode at %d/%d (%.0f s left, projected %.0f s at observed/prior ratio %.2f)",
+              "[bench] budget: switching to single-run mode at %d/%d (%.0f s left, projected %.0f s; fit a=%.2f b=%.2f flat=%.2f)",
               Int.box(i), Int.box(names.size), Double.box(secsLeft),
-              Double.box(remainingPrior * ratio), Double.box(ratio)))
+              Double.box(projected), Double.box(a), Double.box(b),
+              Double.box(flat)))
           }
         }
+        val qStartNs = System.nanoTime()
         val entry: (Either[String, Double], RunStats) =
           if (singleRun) (Left("single"), runOnce(n))
           else {
@@ -432,12 +469,19 @@ object Bench {
           }
         timedBuf += n -> entry
         donePrior += priorCost(n)
+        if (!singleRun) {
+          val obs = (System.nanoTime() - qStartNs) / 1e9
+          val p = priorCost(n)
+          lsqN += 1; lsqSx += p; lsqSy += obs
+          lsqSxx += p * p; lsqSxy += p * obs
+        }
       }
       if (System.nanoTime() - lastPartialNs > 60L * 1000000000L) {
         lastPartialNs = System.nanoTime()
         println(compactRecord(
           timedBuf.toSeq.map { case (nn, (_, w)) => nn -> w.time },
-          Seq.empty, Seq.empty, Seq.empty, skipped.size, 1.0, alarm = false,
+          Seq.empty, Seq.empty, Seq.empty, skipped.size,
+          timedBuf.count(_._2._1 == Left("single")), 1.0, alarm = false,
           cdrift = None, phase = s"partial:${timedBuf.size}/${names.size}"))
       }
     }
@@ -477,8 +521,21 @@ object Bench {
     // gate instead of being absorbed into "machine drift" (VERDICT r17
     // "What's wrong" #3 / ADVICE r17 #2). A control ratio outside
     // [0.4, 2.5] raises drift_alarm in the record.
+    // single-run entries (budget-degraded) report their FIRST run — cold
+    // regime, fresh codegen — as the headline time. Comparing that against
+    // a swept-warm baseline is a regime mismatch: the first r20 full run
+    // flagged ~30 "regressions" that were nothing but the 2-5x cold
+    // multiple on the 142 entries past the degradation point. Singles are
+    // therefore excluded from gating (regressions/wobbles/drift); their
+    // times still ship in the record (cold:-1 marks them) and the
+    // baseline parser drops them on the NEXT round's read for the same
+    // reason.
+    val singles: Set[String] = timed.collect {
+      case (n, (Left("single"), _)) => n
+    }.toSet
     val warmOk: Seq[(String, Double)] = timed.collect {
-      case (n, (_, w: RunStats)) if w.time.isRight => n -> w.time.toOption.get
+      case (n, (_, w: RunStats))
+        if w.time.isRight && !singles.contains(n) => n -> w.time.toOption.get
     }
     val gate = BenchGate.evaluate(warmOk, priorWarm)
     val globalRatio = gate.globalRatio
@@ -543,12 +600,12 @@ object Bench {
       // attribution data VERDICT r19 ask #4 calls for
       val envNow = envSample()
       val envFull = s"""{"load1_start":${num(envStart.load1)},"load1_now":${num(envNow.load1)},"mhz_start":${envStart.mhz.round},"mhz_now":${envNow.mhz.round},"other_cores":${num(otherCores(envStart, envNow))}}"""
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results, _.toString)},"cold":${fmt(cold, _.toString)},"failed":$failedJson,"stalls":$stallsFullJson,"regressions":$regsFull,"wobbles":$wobblesFullJson,"skipped":$skippedFullJson,"isolated":$isoFull,"gc_ms":${statsMap(_.gcMs.toString)},"jit_ms":${statsMap(_.jitMs.toString)},"codecache_mb":${statsMap(w => num(w.ccMb))},"cpu_s":${statsMap(w => num(w.cpuS))},"load1":${statsMap(w => num(w.load1))},"env":$envFull,"sf":"$sfDir","drift":${num(globalRatio)},"drift_controls":${gate.controlCount},"drift_alarm":${gate.driftAlarm},"cdrift":${gate.canaryRatio.map(num).getOrElse("null")},"cdrift_canaries":${gate.canaryCount},"phase":"$phase"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","single_n":${singles.size},"queries":${fmt(results, _.toString)},"cold":${fmt(cold, _.toString)},"failed":$failedJson,"stalls":$stallsFullJson,"regressions":$regsFull,"wobbles":$wobblesFullJson,"skipped":$skippedFullJson,"isolated":$isoFull,"gc_ms":${statsMap(_.gcMs.toString)},"jit_ms":${statsMap(_.jitMs.toString)},"codecache_mb":${statsMap(w => num(w.ccMb))},"cpu_s":${statsMap(w => num(w.cpuS))},"load1":${statsMap(w => num(w.load1))},"env":$envFull,"sf":"$sfDir","drift":${num(globalRatio)},"drift_controls":${gate.controlCount},"drift_alarm":${gate.driftAlarm},"cdrift":${gate.canaryRatio.map(num).getOrElse("null")},"cdrift_canaries":${gate.canaryCount},"phase":"$phase"}"""
     }
     def stdoutRecord(regs: Seq[String], isolated: Seq[(String, Double)],
                      phase: String): String =
       compactRecord(results, stalls, regs, isolated, skipped.size,
-        globalRatio, gate.driftAlarm, gate.canaryRatio, phase)
+        singles.size, globalRatio, gate.driftAlarm, gate.canaryRatio, phase)
     def writeRecordFiles(content: String): Unit = {
       java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_bench.json"),
         content.getBytes("UTF-8"))
@@ -600,8 +657,12 @@ object Bench {
     // stamp makes the NEXT record self-adjudicating for them.
     val stampAlways = Seq("p12_cosine_lsh", "p44_dsir_select",
       "p123_harmonic_centrality").filter(SparkEntry.queries.contains)
+    // stampAlways outranks regressions in the fork queue this round: the
+    // r19 verdict's #2 ask IS the standing stamps for p12/p44/p123, and
+    // in both r19 official attempts the regression list consumed the cap
+    // before the stamp entries were reached
     val flagged =
-      (stalls ++ prelimBySeverity ++ forced ++ wobbles ++ stampAlways)
+      (stalls ++ stampAlways ++ prelimBySeverity ++ forced ++ wobbles)
         .distinct.take(6)
     // fork budget: 15 min of fork wall-clock, but never past the global
     // deadline minus a 30 s reserve for the amended record prints (the

@@ -28,6 +28,13 @@ import graft.dsl.ScriptContext
   * Availability is probed once per JVM (`python3 -c "import pyarrow"`);
   * without it the ET throws an actionable error naming the missing piece
   * (the registry-slot convention for environment-gated capabilities).
+  *
+  * Fork-per-task overhead, measured (ScaleSweep `python_transform_arrow`,
+  * r20): the worker spawn + pyarrow import costs ~0.3-0.5 s per
+  * partition; at 1x (small partitions) it dominates the stage, by 10x
+  * rows it has amortized (t10/t1 = 2.33), and the 10x->50x ratio is
+  * sub-linear (0.55, read-bound). Overhead is O(partitions), not
+  * O(rows) — repartition tiny inputs before piping.
   */
 object PythonTransformET extends NoPathET {
   override def name = "PythonTransform"

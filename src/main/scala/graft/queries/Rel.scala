@@ -843,13 +843,15 @@ object Rel {
     //      broadcast) so that dimension moves them. Their CODE MUST NEVER
     //      CHANGE — a pinned canary only measures the box if the plan is
     //      identical round over round. ----
-    // q46: 8x-multiplied lineitem into a ~4.8M-group hash agg. Grouping on
-    // (l_orderkey, l_linenumber, k) defeats map-side combine almost
-    // entirely, so nearly every input row crosses the exchange; the outer
-    // re-agg shrinks the result to 8 rows for the oracle.
+    // q46: 4x-multiplied lineitem into a ~2.4M-group hash agg (at sf0.1).
+    // Grouping on (l_orderkey, l_linenumber, k) defeats map-side combine
+    // almost entirely, so nearly every input row crosses the exchange; the
+    // outer re-agg shrinks the result to 4 rows for the oracle. (First cut
+    // used 8 copies — 12.6 s swept put it in the expensive tail rather
+    // than mid-weight; 4 copies lands ~5-6 s.)
     QuerySpec.sql("q46_canary_shuffle", (s, dir) => {
       import s.implicits._
-      val m = s.range(8).select($"id".as("k"))
+      val m = s.range(4).select($"id".as("k"))
       t(s, dir, "lineitem")
         .crossJoin(m)
         .groupBy($"l_orderkey", $"l_linenumber", $"k")
@@ -861,7 +863,7 @@ object Rel {
           sum($"grp_price").cast("double").as("price_total"))
         .orderBy($"k")
     },
-      """WITH m AS (SELECT UNNEST(RANGE(8)) AS k),
+      """WITH m AS (SELECT UNNEST(RANGE(4)) AS k),
         |g AS (SELECT l_orderkey, l_linenumber, k,
         |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS grp_price,
         |  COUNT(*) AS grp_n
