@@ -68,6 +68,58 @@ object LoopFrames {
       case _ => ()
     }
 
+  /** Session conf key: maximum ROW COUNT of a counted-small loop frame
+    * (ranks, labels, frontiers, peel sets) that the iterative graph
+    * operators may BROADCAST into their per-round edge join instead of
+    * shuffle-joining (r20 optimization round, guide §3.1: the node-sized
+    * side of every loop round is orders of magnitude smaller than the
+    * edge table — broadcasting it removes the per-round exchange+sort of
+    * the edge side entirely). The join strategy cannot change any result
+    * (all loop arithmetic is order-independent integer algebra), only the
+    * plan. Default 1,000,000 rows (~tens of MB built; well under the 8 GB
+    * / 512M-row broadcast cap); raise it on big-memory clusters, set 0 to
+    * disable and always shuffle — e.g. when node frames at your scale
+    * exceed executor memory. Every use is gated on an ACTUAL count the
+    * operator already computed, never on an estimate.
+    */
+  val BroadcastNodesKey = "graft.graph.broadcastNodes"
+
+  /** True when a loop frame of `rows` rows (an actual count the caller
+    * holds, never an estimate) is within the [[BroadcastNodesKey]] limit.
+    * `rows < 0` means "unknown" and never broadcasts.
+    */
+  def broadcastable(spark: org.apache.spark.sql.SparkSession, rows: Long): Boolean = {
+    val limit = spark.conf.getOption(BroadcastNodesKey)
+      .flatMap(_.toLongOption).getOrElse(1000000L)
+    rows >= 0 && limit > 0 && rows <= limit
+  }
+
+  /** Broadcast-hint `df` when [[broadcastable]] holds for `rows`;
+    * otherwise return it unchanged (shuffle join).
+    */
+  def maybeBroadcast(df: org.apache.spark.sql.DataFrame, rows: Long): org.apache.spark.sql.DataFrame =
+    if (broadcastable(df.sparkSession, rows))
+      org.apache.spark.sql.functions.broadcast(df)
+    else df
+
+  /** Session conf key: byte budget for broadcasting FAT loop frames (rows
+    * carrying sketches/arrays rather than a couple of longs), gated on a
+    * worst-case byte bound the caller computes from counted rows × a
+    * per-row size bound. Default 128 MB — comfortably inside executor
+    * memory anywhere; 0 disables.
+    */
+  val BroadcastBytesKey = "graft.graph.broadcastBytes"
+
+  /** True when a loop frame whose worst-case size is `bytes` (counted
+    * rows × per-row bound, never an estimate) fits the
+    * [[BroadcastBytesKey]] budget.
+    */
+  def broadcastableBytes(spark: org.apache.spark.sql.SparkSession, bytes: Long): Boolean = {
+    val limit = spark.conf.getOption(BroadcastBytesKey)
+      .flatMap(_.toLongOption).getOrElse(134217728L)
+    bytes >= 0 && limit > 0 && bytes <= limit
+  }
+
   /** Eager localCheckpoint that DROPS the origin plan's preserved
     * constraints. Spark's checkpoint keeps them on the LogicalRDD,
     * and `Union.rewriteConstraints` over two such frames can throw

@@ -16,13 +16,15 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: the APRIORI PRUNE does the heavy lifting — items below
   * `minSupport` on their own cannot form a frequent pair, so they are
-  * dropped BEFORE the self-join (one broadcastable frequent-item table;
-  * on a retail-shaped corpus this removes the long tail that dominates
-  * row count). The pair generation is a basket-keyed self-join, cost
-  * Σ k_i² over PRUNED basket sizes — bounded by the frequent-item
-  * count per basket, never |items|². One (a, b) aggregation with
-  * map-side combine after. N rides in-plan as a broadcast 1-row
-  * aggregate (no driver action).
+  * dropped BEFORE pair generation (one broadcastable frequent-item
+  * table; on a retail-shaped corpus this removes the long tail that
+  * dominates row count). Pair generation (r20) collects each basket's
+  * pruned items in ONE basket-keyed aggregation and streams ordered
+  * pairs from a nested explode — no self-join, no second shuffle of the
+  * membership table; cost stays Σ k_i² over PRUNED basket sizes,
+  * bounded by the frequent-item count per basket, never |items|². One
+  * (a, b) aggregation with map-side combine after. N rides in-plan as a
+  * broadcast 1-row aggregate (no driver action).
   *
   * No reference counterpart; classic-OLAP extension per the builder
   * prompt.
@@ -42,9 +44,18 @@ object MarketBasket {
     // apriori prune: an item below minSupport can't be in a frequent pair
     val frequent = itemCnt.filter(col("ni") >= minSupport)
     val fi = items.join(broadcast(frequent.select(col("i"))), "i")
-    val pairs = fi.select(col("b"), col("i").as("a"))
-      .join(fi.select(col("b").as("b2"), col("i").as("bb")),
-        col("b") === col("b2") && col("a") < col("bb"))
+    // r20 (guide §2.3/§2.4): collect each basket's pruned items into one
+    // array (a single basket-keyed aggregation) and stream ordered pairs
+    // out of a nested explode — replaces the basket-keyed SELF-JOIN,
+    // whose both sides re-shuffled the pruned membership table. The pair
+    // multiset is identical (fi is distinct per (b, i), so the array has
+    // no duplicates; a < bb filters the same ordered pairs the old join
+    // condition did). Nested explode keeps per-row memory O(basket).
+    val pairs = fi.groupBy(col("b"))
+      .agg(collect_list(col("i")).as("__items__"))
+      .select(explode(col("__items__")).as("a"), col("__items__").as("__is__"))
+      .select(col("a"), explode(col("__is__")).as("bb"))
+      .filter(col("a") < col("bb"))
       .groupBy(col("a"), col("bb").as("b_item"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minSupport)

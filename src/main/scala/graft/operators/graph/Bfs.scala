@@ -10,13 +10,16 @@ import org.apache.spark.storage.StorageLevel
   * queries, and bounded-neighborhood feature extraction.
   *
   * Level-synchronous frontier expansion: hop h joins the frontier
-  * against the edge table (one equi-join shuffle on the node key),
-  * anti-joins the already-settled set (BFS settles a node at its first
-  * visit — that IS its min distance), and appends the new layer. The
-  * settled and frontier frames are `localCheckpoint`ed per hop with
-  * RDD-level release of the previous round ([[graft.LoopFrames]]);
-  * iterations are bounded by `maxHops`, and the loop exits early the
-  * moment a frontier comes back empty. At 100 TB each hop costs one
+  * against the edge table (broadcast when the counted frontier fits
+  * `graft.graph.broadcastNodes` — the common case, and then the persisted
+  * edge table is never re-shuffled; an equi-join shuffle on the node key
+  * otherwise), anti-joins the already-settled set (BFS settles a node at
+  * its first visit — that IS its min distance), and appends the new
+  * layer. Each LAYER is `localCheckpoint`ed once and the settled set
+  * accumulates as a lazy union of those materialized layers (re-
+  * materializing the whole settled set per hop copied rows that never
+  * change); iterations are bounded by `maxHops`, and the loop exits early
+  * the moment a frontier comes back empty. At 100 TB each hop costs one
   * frontier-sized shuffle — the canonical distributed BFS shape; set
   * `graft.checkpoint.dir` for reliable checkpoints on a real cluster.
   *
@@ -50,32 +53,38 @@ object Bfs {
       // LoopFrames.checkpoint, not plain localCheckpoint: settled and
       // layer get UNIONED each hop, and preserved origin constraints on
       // checkpointed frames can crash Union.rewriteConstraints
-      var settled = graft.LoopFrames.checkpoint(
+      val seed0 = graft.LoopFrames.checkpoint(
         seeds.select(col(seedCol).as("node"))
           .where(col("node").isNotNull).distinct()
           .withColumn("dist", lit(0)))
-      var frontier = settled
+      // settled accumulates as a LAZY UNION of the per-hop materialized
+      // layers (r20): re-materializing the whole settled set every hop was
+      // an O(settled) copy per round for rows that never change. Counted
+      // frontier/settled sizes gate BROADCAST of the per-hop join sides
+      // (guide §3.1) so the persisted edge table is never re-shuffled.
+      var settled = seed0.toDF()
+      var settledCount = seed0.count()
+      var frontier = seed0.toDF()
+      var frontierCount = settledCount
       var hop = 0
-      while (hop < maxHops) {
+      while (hop < maxHops && frontierCount > 0) {
         hop += 1
+        val fr = graft.LoopFrames.maybeBroadcast(
+          frontier.select(col("node").as("u")), frontierCount)
+        val st = graft.LoopFrames.maybeBroadcast(
+          settled.select(col("node")), settledCount)
         val layer = graft.LoopFrames.checkpoint(
-          e.join(frontier.select(col("node").as("u")), "u")
+          e.join(fr, "u")
             .select(col("v").as("node")).distinct()
-            .join(settled.select(col("node")), Seq("node"), "left_anti")
+            .join(st, Seq("node"), "left_anti")
             .withColumn("dist", lit(hop)))
-        if (layer.isEmpty) {
-          graft.LoopFrames.release(layer)
-          if (frontier ne settled) graft.LoopFrames.release(frontier)
-          return settled
-        }
-        val prevSettled = settled
-        val prevFrontier = frontier
-        settled = graft.LoopFrames.checkpoint(prevSettled.unionByName(layer))
+        val layerCount = layer.count()
+        if (layerCount == 0L) graft.LoopFrames.release(layer)
+        else settled = settled.unionByName(layer)
+        settledCount += layerCount
         frontier = layer
-        graft.LoopFrames.release(prevSettled)
-        if (prevFrontier ne prevSettled) graft.LoopFrames.release(prevFrontier)
+        frontierCount = layerCount
       }
-      if (frontier ne settled) graft.LoopFrames.release(frontier)
       settled
     } finally e.unpersist(false)
   }
@@ -97,34 +106,37 @@ object Bfs {
              else e0)
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      var settled = graft.LoopFrames.checkpoint(
+      val seed0 = graft.LoopFrames.checkpoint(
         seeds.select(col(seedCol).as("seed"))
           .where(col("seed").isNotNull).distinct()
           .withColumn("node", col("seed"))
           .withColumn("dist", lit(0)))
-      var frontier = settled
+      // same lazy-union + counted-broadcast regime as [[hopDistance]];
+      // here the frontier/settled rows are (seed, node) pairs, so the
+      // broadcast gate bounds Σ per-seed reachability, not node count
+      var settled = seed0.toDF()
+      var settledCount = seed0.count()
+      var frontier = seed0.toDF()
+      var frontierCount = settledCount
       var hop = 0
-      while (hop < maxHops) {
+      while (hop < maxHops && frontierCount > 0) {
         hop += 1
+        val fr = graft.LoopFrames.maybeBroadcast(
+          frontier.select(col("seed"), col("node").as("u")), frontierCount)
+        val st = graft.LoopFrames.maybeBroadcast(
+          settled.select(col("seed"), col("node")), settledCount)
         val layer = graft.LoopFrames.checkpoint(
-          e.join(frontier.select(col("seed"), col("node").as("u")), "u")
+          e.join(fr, "u")
             .select(col("seed"), col("v").as("node")).distinct()
-            .join(settled.select(col("seed"), col("node")),
-              Seq("seed", "node"), "left_anti")
+            .join(st, Seq("seed", "node"), "left_anti")
             .withColumn("dist", lit(hop)))
-        if (layer.isEmpty) {
-          graft.LoopFrames.release(layer)
-          if (frontier ne settled) graft.LoopFrames.release(frontier)
-          return settled
-        }
-        val prevSettled = settled
-        val prevFrontier = frontier
-        settled = graft.LoopFrames.checkpoint(prevSettled.unionByName(layer))
+        val layerCount = layer.count()
+        if (layerCount == 0L) graft.LoopFrames.release(layer)
+        else settled = settled.unionByName(layer)
+        settledCount += layerCount
         frontier = layer
-        graft.LoopFrames.release(prevSettled)
-        if (prevFrontier ne prevSettled) graft.LoopFrames.release(prevFrontier)
+        frontierCount = layerCount
       }
-      if (frontier ne settled) graft.LoopFrames.release(frontier)
       settled
     } finally e.unpersist(false)
   }

@@ -1,7 +1,6 @@
 package graft.operators.graph
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Co-occurrence edge builder: (basket, item) membership rows → weighted
@@ -24,12 +23,13 @@ import org.apache.spark.sql.functions._
   * trade: pairs whose only shared baskets were truncated away lose
   * weight or disappear — 0 disables the cap.
   *
-  * Scale shape (100 TB): membership dedup is one hash aggregation; the
-  * self-join is an EQUI-join on the basket key (no cartesian — the pair
-  * blowup is per-basket and capped); the edge aggregation is a second
-  * hash agg with map-side partial combine. Only rows of OVERSIZE baskets
-  * pay the truncation window (everything else passes through without a
-  * sort), so the cap costs nothing on well-behaved data.
+  * Scale shape (100 TB): ONE basket-keyed aggregation collects each
+  * basket's deduplicated, sorted, capped item array (r20 — this replaces
+  * the old dedup shuffle + oversize scan + truncation window + basket-
+  * keyed self-join); pairs then stream out of a nested explode with no
+  * join and no second membership shuffle, and the edge aggregation is a
+  * hash agg with map-side partial combine. The pair blowup stays
+  * per-basket and capped — no cartesian.
   *
   * Determinism: pure integer counting over a deterministic membership
   * set — hash-exact at any executor count.
@@ -53,7 +53,7 @@ object CooccurEdges {
     */
   def edges(df: DataFrame, basketCol: String, itemCol: String,
             minCount: Long = 1L, maxBasketSize: Int = 0): DataFrame =
-    pairCounts(cappedMemberships(df, basketCol, itemCol, maxBasketSize), minCount)
+    pairCounts(basketArrays(df, basketCol, itemCol, maxBasketSize), minCount)
 
   /** [[edges]] plus two association strengths per edge:
     * `pmi = ln(n_ab · N / (n_a · n_b))` over basket probabilities (N =
@@ -72,11 +72,14 @@ object CooccurEdges {
     */
   def edgesWithPmi(df: DataFrame, basketCol: String, itemCol: String,
                    minCount: Long = 1L, maxBasketSize: Int = 0): DataFrame = {
-    val m = cappedMemberships(df, basketCol, itemCol, maxBasketSize)
-    val pairs = pairCounts(m, minCount)
-    val itemN = m.groupBy(col("i")).agg(count(lit(1)).as("__ni__"))
-    val total = m.select(col("bk")).distinct()
-      .agg(count(lit(1)).as("__nb__"))
+    val ba = basketArrays(df, basketCol, itemCol, maxBasketSize)
+    val pairs = pairCounts(ba, minCount)
+    // memberships replayed from the basket arrays: one explode instead of
+    // a second dedup shuffle; one basket = one array row, so the basket
+    // total is a plain row count
+    val itemN = ba.select(explode(col("items")).as("i"))
+      .groupBy(col("i")).agg(count(lit(1)).as("__ni__"))
+    val total = ba.agg(count(lit(1)).as("__nb__"))
     pairs
       .join(itemN.select(col("i").as("a"), col("__ni__").as("__na__")), Seq("a"))
       .join(itemN.select(col("i").as("b"), col("__ni__").as("__nb2__")), Seq("b"))
@@ -90,32 +93,37 @@ object CooccurEdges {
       .select(col("a"), col("b"), col("weight"), col("pmi"), col("jaccard"))
   }
 
-  /** Deduplicated (bk, i) membership rows, hot baskets truncated. */
-  private def cappedMemberships(df: DataFrame, basketCol: String,
-                                itemCol: String, maxBasketSize: Int): DataFrame = {
-    val it = df.select(col(basketCol).as("bk"), col(itemCol).as("i"))
+  /** One sorted item array per basket, deduplicated, hot baskets
+    * truncated to their `maxBasketSize` smallest items. r20 rewrite
+    * (guide §2.3/§2.4): `collect_set` + `sort_array` + `slice` in ONE
+    * basket-keyed aggregation replaces the old dedup shuffle + oversize
+    * scan + anti/semi joins + per-basket `row_number` window + union —
+    * and downstream, the basket-keyed SELF-JOIN becomes a nested explode
+    * of the array (no join, no second shuffle of the memberships). The
+    * item set, truncation rule (smallest by item value, deterministic)
+    * and the resulting pair multiset are identical. Per-basket memory is
+    * O(basket) for the set buffer (same order as the old sort window's
+    * run); the quadratic pair-count hazard is unchanged and still capped
+    * by `maxBasketSize`.
+    */
+  private def basketArrays(df: DataFrame, basketCol: String,
+                           itemCol: String, maxBasketSize: Int): DataFrame = {
+    val ba = df.select(col(basketCol).as("bk"), col(itemCol).as("i"))
       .filter(col("bk").isNotNull && col("i").isNotNull)
-      .distinct()
-    if (maxBasketSize <= 0) it
-    else {
-      val over = it.groupBy("bk").agg(count(lit(1)).as("__n__"))
-        .filter(col("__n__") > maxBasketSize).select("bk")
-      // pass-through for in-cap baskets; only oversize baskets' rows
-      // enter the per-basket truncation window
-      val small = it.join(over, Seq("bk"), "left_anti")
-      val trimmed = it.join(over, Seq("bk"), "left_semi")
-        .withColumn("__rn__",
-          row_number().over(Window.partitionBy(col("bk")).orderBy(col("i"))))
-        .filter(col("__rn__") <= maxBasketSize).drop("__rn__")
-      small.unionByName(trimmed)
-    }
+      .groupBy(col("bk"))
+      .agg(sort_array(collect_set(col("i"))).as("items"))
+    if (maxBasketSize <= 0) ba
+    else ba.select(col("bk"), slice(col("items"), 1, maxBasketSize).as("items"))
   }
 
-  private def pairCounts(capped: DataFrame, minCount: Long): DataFrame = {
+  private def pairCounts(ba: DataFrame, minCount: Long): DataFrame = {
     require(minCount >= 1, "minCount must be >= 1")
-    val x = capped.select(col("bk"), col("i").as("a"))
-    val y = capped.select(col("bk"), col("i").as("b"))
-    x.join(y, Seq("bk")).filter(col("a") =!= col("b"))
+    // nested explode, not transform+flatten: two streaming generators keep
+    // per-row memory O(basket) even on an uncapped hot basket, where a
+    // flattened pair array would allocate O(basket²) at once
+    ba.select(explode(col("items")).as("a"), col("items").as("__is__"))
+      .select(col("a"), explode(col("__is__")).as("b"))
+      .filter(col("a") =!= col("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("weight"))
       .filter(col("weight") >= minCount)
   }

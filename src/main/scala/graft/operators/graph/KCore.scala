@@ -207,7 +207,10 @@ object KCore {
         // decrements: edges whose u endpoint just peeled, counted per v —
         // only frontier-incident edges are aggregated, and the frontier
         // side is broadcast-small on real graphs
-        val dec = e.join(peeled.select(col("node").as("u")), "u")
+        // broadcast the counted-small frontier into the edge join (r20,
+        // guide §3.1): the persisted edge table is never re-shuffled
+        val dec = e.join(graft.LoopFrames.maybeBroadcast(
+            peeled.select(col("node").as("u")), nPeeled), "u")
           .groupBy(col("v").as("node")).agg(count(lit(1)).as("__dec__"))
         val next = alive.filter(col("deg") >= k)
           .join(dec, Seq("node"), "left")
@@ -227,8 +230,10 @@ object KCore {
         peeledSince += nPeeled
         if (peeledSince * 2 >= nodesAtCompact) {
           val compacted = e
-            .join(alive.select(col("node").as("u")), "u")
-            .join(alive.select(col("node").as("v")), "v")
+            .join(graft.LoopFrames.maybeBroadcast(
+              alive.select(col("node").as("u")), aliveCount), "u")
+            .join(graft.LoopFrames.maybeBroadcast(
+              alive.select(col("node").as("v")), aliveCount), "v")
             .select(col("u"), col("v"))
             .persist(StorageLevel.MEMORY_AND_DISK)
           val eCount = compacted.count() // materialize before dropping the old blocks
@@ -365,7 +370,9 @@ object KCore {
           val lvl = graft.LoopFrames.checkpoint(
             peeled.select(col("node")).withColumn("coreness", lit((k - 1).toLong)))
           result = Some(result.map(_.unionByName(lvl)).getOrElse(lvl))
-          val dec = e.join(peeled.select(col("node").as("u")), "u")
+          // broadcast the counted-small frontier into the edge join (r20)
+          val dec = e.join(graft.LoopFrames.maybeBroadcast(
+              peeled.select(col("node").as("u")), nPeeled), "u")
             .groupBy(col("v").as("node")).agg(count(lit(1)).as("__dec__"))
           val next = alive.filter(col("deg") >= k)
             .join(dec, Seq("node"), "left")
@@ -378,8 +385,10 @@ object KCore {
           peeledSince += nPeeled
           if (aliveCount > 0 && peeledSince * 2 >= nodesAtCompact) {
             val compacted = e
-              .join(alive.select(col("node").as("u")), "u")
-              .join(alive.select(col("node").as("v")), "v")
+              .join(graft.LoopFrames.maybeBroadcast(
+                alive.select(col("node").as("u")), aliveCount), "u")
+              .join(graft.LoopFrames.maybeBroadcast(
+                alive.select(col("node").as("v")), aliveCount), "v")
               .select(col("u"), col("v"))
               .persist(StorageLevel.MEMORY_AND_DISK)
             val eCount = compacted.count()

@@ -39,9 +39,15 @@ object LabelPropagation {
     val e = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("u").as("node")).distinct().transform(graft.LoopFrames.materialize)
+    // counted-small node set → broadcast the label frame into each round's
+    // edge join (r20, guide §3.1): the persisted edge table is never
+    // re-exchanged/re-sorted per round; the vote counts are unchanged by
+    // join strategy. Gated on graft.graph.broadcastNodes.
+    val bcast = graft.LoopFrames.broadcastable(e.sparkSession, nodes.count())
     var labels = nodes.withColumn("label", col("node")).transform(graft.LoopFrames.materialize)
     for (_ <- 1 to iterations) {
-      val votes = e.join(labels, e("u") === labels("node"))
+      val lb = if (bcast) broadcast(labels) else labels
+      val votes = e.join(lb, e("u") === lb("node"))
         .groupBy(col("v").as("n"), col("label"))
         .agg(count(lit(1)).as("cnt"))
       val winner = votes.groupBy(col("n"))

@@ -22,11 +22,16 @@ import org.apache.spark.storage.StorageLevel
   * the LOST mass is simply not re-injected (ranks sum to slightly
   * under U), which keeps every value a pure function of the graph.
   *
-  * Scale shape: the edge table is joined once per iteration on src
-  * (pre-partitioned + persisted, so every iteration reuses the same
-  * exchange) and aggregated once on dst with map-side combine; ranks
-  * and degrees are node-sized. K iterations = K edge-shuffles, the
-  * canonical distributed PageRank cost. Each iteration's rank table is
+  * Scale shape: the edge table is joined once per iteration on src and
+  * aggregated once on dst with map-side combine; ranks and degrees are
+  * node-sized. TWO JOIN REGIMES (r20, guide §3.1): when the counted node
+  * set fits `graft.graph.broadcastNodes` (default 1M rows) the rank frame
+  * is BROADCAST into the edge join — the persisted edge table is never
+  * re-exchanged or re-sorted, and each iteration's only shuffle is the
+  * node-sized partial-aggregated (dst, share) map output. Above the
+  * limit, the classic shape: edges pre-partitioned on src + persisted so
+  * every iteration reuses one exchange; K iterations = K edge-shuffles,
+  * the canonical distributed PageRank cost. Each iteration's rank table is
   * `localCheckpoint`ed: ranks_k is read three times building
   * ranks_{k+1} (dangling, inSum, next input), and under plain
   * persist() the plan tree still NESTS k levels of lineage, so
@@ -65,32 +70,47 @@ object PageRank {
       .transform(graft.LoopFrames.materialize)
     val n = nodes.count()
     require(n > 0, "PageRank over an empty edge set (no nodes)")
+    // counted-small node set → broadcast the rank frame into each round's
+    // edge join (guide §3.1): the per-round exchange+sort of the edge
+    // table disappears; join strategy cannot change the exact integer
+    // results. Gated on the ACTUAL node count vs graft.graph.broadcastNodes.
+    val bcast = graft.LoopFrames.broadcastable(e.sparkSession, n)
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    // edge+degree table is iteration-invariant: persist it partitioned on
-    // src so each iteration's rank join reuses one exchange
-    val edgesDeg = e.join(outdeg, "src")
-      .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    // edge+degree table is iteration-invariant. Broadcast regime: build it
+    // with a broadcast join (no exchange at all — e's persisted layout is
+    // reused) since no iteration needs src partitioning any more. Shuffle
+    // regime (huge node sets): persist it partitioned on src so each
+    // iteration's rank join reuses one exchange.
+    val edgesDeg = (if (bcast) e.join(broadcast(outdeg), "src")
+                    else e.join(outdeg, "src").repartition(col("src")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val base = (15L * unit) / (100L * n)
-    // iteration-invariant sink set (nodes with no out-edges)
+    // iteration-invariant sink set (nodes with no out-edges); when it is
+    // EMPTY (every undirected graph) dm is identically 0, so the per-round
+    // dangling aggregation job is skipped outright — same exact algebra
     val sinks = nodes.join(outdeg, nodes("node") === outdeg("src"), "left_anti")
       .transform(graft.LoopFrames.materialize)
+    val haveSinks = !sinks.isEmpty
     var ranks = nodes.withColumn("r", lit(unit / n)).transform(graft.LoopFrames.materialize)
     for (_ <- 1 to iterations) {
-      val dangling = ranks.join(sinks, "node", "left_semi")
-        .agg(coalesce(sum(col("r")), lit(0L)).as("dm"))
+      val rk = if (bcast) broadcast(ranks) else ranks
       val inSum = edgesDeg
-        .join(ranks, edgesDeg("src") === ranks("node"))
+        .join(rk, edgesDeg("src") === rk("node"))
         // integral `div`, NOT double `/`+cast: a quotient one ulp under an
         // integer would round up in double and truncate to the wrong floor
         .select(col("dst"), expr("r div outdeg").as("share"))
         .groupBy(col("dst")).agg(sum(col("share")).as("insum"))
       val prev = ranks
-      ranks = nodes
-        .join(inSum, nodes("node") === inSum("dst"), "left")
-        .crossJoin(broadcast(dangling))
-        .select(col("node"),
-          (lit(base) + expr(s"(85 * (coalesce(insum, 0L) + dm div ${n}L)) div 100"))
-            .as("r"))
+      val merged = nodes.join(inSum, nodes("node") === inSum("dst"), "left")
+      ranks = (if (haveSinks) {
+          val dangling = ranks.join(sinks, "node", "left_semi")
+            .agg(coalesce(sum(col("r")), lit(0L)).as("dm"))
+          merged.crossJoin(broadcast(dangling))
+            .select(col("node"),
+              (lit(base) + expr(s"(85 * (coalesce(insum, 0L) + dm div ${n}L)) div 100"))
+                .as("r"))
+        } else merged.select(col("node"),
+          (lit(base) + expr("(85 * coalesce(insum, 0L)) div 100")).as("r")))
         .transform(graft.LoopFrames.materialize) // eager: materialize + truncate lineage
       // RDD-level release: Dataset.unpersist no-ops on checkpoint blocks
       graft.LoopFrames.release(prev)
@@ -137,27 +157,34 @@ object PageRank {
     require(maxSw <= 3037000499L, // floor(sqrt(Long.MaxValue))
       s"weighted PageRank: a node carries weight mass $maxSw > sqrt(Long.Max) " +
         "— rescale weights (the exact share split would overflow)")
-    val edgesW = e.join(swt, "src")
-      .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    // same broadcast/sink-skip regime as [[run]] (which see)
+    val bcast = graft.LoopFrames.broadcastable(e.sparkSession, n)
+    val edgesW = (if (bcast) e.join(broadcast(swt), "src")
+                  else e.join(swt, "src").repartition(col("src")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val base = (15L * unit) / (100L * n)
     val sinks = nodes.join(swt, nodes("node") === swt("src"), "left_anti")
       .transform(graft.LoopFrames.materialize)
+    val haveSinks = !sinks.isEmpty
     var ranks = nodes.withColumn("r", lit(unit / n)).transform(graft.LoopFrames.materialize)
     for (_ <- 1 to iterations) {
-      val dangling = ranks.join(sinks, "node", "left_semi")
-        .agg(coalesce(sum(col("r")), lit(0L)).as("dm"))
+      val rk = if (bcast) broadcast(ranks) else ranks
       val inSum = edgesW
-        .join(ranks, edgesW("src") === ranks("node"))
+        .join(rk, edgesW("src") === rk("node"))
         .select(col("dst"),
           expr("w * (r div sw) + ((r % sw) * w) div sw").as("share"))
         .groupBy(col("dst")).agg(sum(col("share")).as("insum"))
       val prev = ranks
-      ranks = nodes
-        .join(inSum, nodes("node") === inSum("dst"), "left")
-        .crossJoin(broadcast(dangling))
-        .select(col("node"),
-          (lit(base) + expr(s"(85 * (coalesce(insum, 0L) + dm div ${n}L)) div 100"))
-            .as("r"))
+      val merged = nodes.join(inSum, nodes("node") === inSum("dst"), "left")
+      ranks = (if (haveSinks) {
+          val dangling = ranks.join(sinks, "node", "left_semi")
+            .agg(coalesce(sum(col("r")), lit(0L)).as("dm"))
+          merged.crossJoin(broadcast(dangling))
+            .select(col("node"),
+              (lit(base) + expr(s"(85 * (coalesce(insum, 0L) + dm div ${n}L)) div 100"))
+                .as("r"))
+        } else merged.select(col("node"),
+          (lit(base) + expr("(85 * coalesce(insum, 0L)) div 100")).as("r")))
         .transform(graft.LoopFrames.materialize)
       graft.LoopFrames.release(prev)
     }

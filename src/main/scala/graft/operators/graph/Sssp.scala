@@ -73,13 +73,17 @@ object Sssp {
           .where(col("node").isNotNull).distinct()
           .withColumn("dist", lit(0L)))
       var frontier = dist
+      var frontierCount = dist.count()
       var iter = 0
       while (iter < maxIter) {
         iter += 1
-        // relax only edges leaving last round's improved nodes; parallel
+        // relax only edges leaving last round's improved nodes (broadcast
+        // into the edge join when the counted frontier is small — guide
+        // §3.1, the persisted edge table then never re-shuffles); parallel
         // edges and multiple frontier parents collapse in one min agg
         val cand = e
-          .join(frontier.select(col("node").as("u"), col("dist")), "u")
+          .join(graft.LoopFrames.maybeBroadcast(
+            frontier.select(col("node").as("u"), col("dist")), frontierCount), "u")
           .select(col("v").as("node"), (col("dist") + col("w")).as("nd"))
           .groupBy("node").agg(min(col("nd")).as("nd"))
         val improved = graft.LoopFrames.checkpoint(
@@ -87,7 +91,8 @@ object Sssp {
               Seq("node"), "left")
             .filter(col("__old__").isNull || col("nd") < col("__old__"))
             .select(col("node"), col("nd").as("dist")))
-        if (improved.isEmpty) {
+        val improvedCount = improved.count()
+        if (improvedCount == 0L) {
           graft.LoopFrames.release(improved)
           if (frontier ne dist) graft.LoopFrames.release(frontier)
           return dist
@@ -95,9 +100,12 @@ object Sssp {
         val prevDist = dist
         val prevFrontier = frontier
         dist = graft.LoopFrames.checkpoint(
-          prevDist.join(improved.select(col("node")), Seq("node"), "left_anti")
+          prevDist.join(graft.LoopFrames.maybeBroadcast(
+              improved.select(col("node")), improvedCount),
+              Seq("node"), "left_anti")
             .unionByName(improved))
         frontier = improved
+        frontierCount = improvedCount
         graft.LoopFrames.release(prevDist)
         if (prevFrontier ne prevDist) graft.LoopFrames.release(prevFrontier)
       }

@@ -56,13 +56,21 @@ object Triangles {
           .otherwise(col("du")).as("dd"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // wedges (s; d1 < d2 in orientation order) — fan-out bounded by the
-    // oriented out-degree, i.e. O(sqrt(m)) per node
-    val wedges = oriented.select(col("s"), col("d").as("d1"), col("dd").as("dd1"))
-      .join(oriented.select(col("s").as("s2"), col("d").as("d2"), col("dd").as("dd2")),
-        col("s") === col("s2") &&
-          (col("dd1") < col("dd2") ||
-            (col("dd1") === col("dd2") && col("d1") < col("d2"))))
-      .select(col("s"), col("d1"), col("d2"))
+    // oriented out-degree, i.e. O(sqrt(m)) per node. r20 (guide §2.3/§2.4):
+    // adjacency-list formulation — ONE source-keyed aggregation collects
+    // each node's oriented out-neighbors sorted by (deg, id), and ordered
+    // pairs stream out of a posexplode+slice generator pair — replacing
+    // the self-join that shuffled the oriented table twice. The (dd, d)
+    // struct sort equals the old join's orientation-order condition, so
+    // the wedge multiset is identical; nested generators keep per-row
+    // memory O(out-degree), never O(out-degree²).
+    val wedges = oriented.groupBy(col("s"))
+      .agg(sort_array(collect_list(struct(col("dd"), col("d")))).as("__ws__"))
+      .select(col("s"), col("__ws__"),
+        posexplode(col("__ws__")).as(Seq("__i__", "__w1__")))
+      .select(col("s"), col("__w1__.d").as("d1"),
+        explode(expr("slice(__ws__, __i__ + 2, size(__ws__))")).as("__w2__"))
+      .select(col("s"), col("d1"), col("__w2__.d").as("d2"))
     val tris = wedges.join(oriented.select(col("s").as("d1"), col("d").as("d2")),
       Seq("d1", "d2"))
     val perCorner = tris

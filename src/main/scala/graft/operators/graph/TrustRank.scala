@@ -56,37 +56,52 @@ object TrustRank {
         .where(col("node").isNotNull).distinct())
     val s = seedSet.count()
     require(s > 0, "TrustRank needs a non-empty seed set")
+    // the per-node seed indicator is iteration-invariant: materialize it
+    // ONCE on the node set (r20 — the loop previously re-joined seedSet
+    // every round, twice the per-round join count for the same values)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).union(seedSet.toDF("node"))
-      .distinct().transform(graft.LoopFrames.materialize)
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val edgesDeg = e.join(outdeg, "src")
-      .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
-    val base = (15L * unit) / (100L * s)
-    val sinks = nodes.join(outdeg, nodes("node") === outdeg("src"), "left_anti")
+      .distinct()
+      .join(seedSet.withColumn("__seed__", lit(1)), Seq("node"), "left")
+      .select(col("node"), col("__seed__").isNotNull.as("is_seed"))
       .transform(graft.LoopFrames.materialize)
+    val n = nodes.count()
+    // counted-small node set → broadcast the rank frame into each round's
+    // edge join; same regime + justification as [[PageRank.run]]
+    val bcast = graft.LoopFrames.broadcastable(e.sparkSession, n)
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val edgesDeg = (if (bcast) e.join(broadcast(outdeg), "src")
+                    else e.join(outdeg, "src").repartition(col("src")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val base = (15L * unit) / (100L * s)
+    val sinks = nodes.select(col("node"))
+      .join(outdeg, nodes("node") === outdeg("src"), "left_anti")
+      .transform(graft.LoopFrames.materialize)
+    val haveSinks = !sinks.isEmpty
     var ranks = nodes
-      .join(seedSet.withColumn("__s__", lit(1)), Seq("node"), "left")
       .select(col("node"),
-        when(col("__s__").isNotNull, lit(unit / s)).otherwise(lit(0L)).as("r"))
+        when(col("is_seed"), lit(unit / s)).otherwise(lit(0L)).as("r"))
       .transform(graft.LoopFrames.materialize)
     for (_ <- 1 to iterations) {
-      val dangling = ranks.join(sinks, "node", "left_semi")
-        .agg(coalesce(sum(col("r")), lit(0L)).as("dm"))
+      val rk = if (bcast) broadcast(ranks) else ranks
       val inSum = edgesDeg
-        .join(ranks, edgesDeg("src") === ranks("node"))
+        .join(rk, edgesDeg("src") === rk("node"))
         .select(col("dst"), expr("r div outdeg").as("share"))
         .groupBy(col("dst")).agg(sum(col("share")).as("insum"))
       val prev = ranks
-      ranks = nodes
-        .join(inSum, nodes("node") === inSum("dst"), "left")
-        .join(seedSet.withColumn("__s__", lit(1)), Seq("node"), "left")
-        .crossJoin(broadcast(dangling))
-        .select(col("node"),
-          (when(col("__s__").isNotNull, lit(base)).otherwise(lit(0L)) +
-            expr(s"(85 * (coalesce(insum, 0L) + " +
-              s"CASE WHEN __s__ IS NOT NULL THEN dm div ${s}L ELSE 0L END)) div 100"))
-            .as("r"))
+      val merged = nodes.join(inSum, nodes("node") === inSum("dst"), "left")
+      ranks = (if (haveSinks) {
+          val dangling = ranks.join(sinks, "node", "left_semi")
+            .agg(coalesce(sum(col("r")), lit(0L)).as("dm"))
+          merged.crossJoin(broadcast(dangling))
+            .select(col("node"),
+              (when(col("is_seed"), lit(base)).otherwise(lit(0L)) +
+                expr(s"(85 * (coalesce(insum, 0L) + " +
+                  s"CASE WHEN is_seed THEN dm div ${s}L ELSE 0L END)) div 100"))
+                .as("r"))
+        } else merged.select(col("node"),
+          (when(col("is_seed"), lit(base)).otherwise(lit(0L)) +
+            expr("(85 * coalesce(insum, 0L)) div 100")).as("r")))
         .transform(graft.LoopFrames.materialize)
       graft.LoopFrames.release(prev)
     }

@@ -175,13 +175,18 @@ class BenchSpec extends AnyFunSuite {
     assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1, p)
   }
 
-  test("p116 co-occurrence: basket equi-self-join, truncation window only on oversize baskets") {
+  test("p116 co-occurrence: adjacency-array pair explode — no self-join, no window") {
     val p = plan("p116_cooccur_edges")
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
-    // pair generation is an equi-join on the basket key + hash aggs
+    // r20 shape: ONE basket-keyed collect_set aggregation, pairs stream
+    // out of nested explode generators; the old basket-keyed SELF-JOIN
+    // (2 membership shuffles) and the cap's row_number window are gone
+    assert(p.contains("collect_set"), p)
+    assert(p.linesIterator.count(_.contains("Generate explode")) >= 2, p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin"), p)
     assert(p.contains("HashAggregate"), p)
-    assert(p.contains("Window"), p) // the cap's per-basket row_number prune
   }
 
   test("p117 sssp: returned frame is a bare checkpoint scan; round shape is equi-join + min agg") {
