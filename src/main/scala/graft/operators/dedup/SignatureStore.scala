@@ -106,7 +106,13 @@ object SignatureStore {
       if (update) {
         val newRows = sigs.join(
           vsStore.select(col(idCol).as("doc_id")), Seq("doc_id"), "left_semi")
-        val v = VParquet.write(newRows, storePath, overwrite = false)
+        // REBALANCE before the append (guide §6): output file count must
+        // follow the BATCH SIZE (AQE sizes the partitions), not whatever
+        // partitioning the signature computation ran at — a hatched or
+        // wide upstream otherwise leaves one tiny file per partition per
+        // ingest and the store's file tail outgrows the compaction cadence
+        val v = VParquet.write(newRows.hint("rebalance"), storePath,
+          overwrite = false)
         // cadence maintenance: fold the per-batch file tail back down and
         // drop vacuumable history so posting reads stay bounded; the
         // compact lands as version v+1, so the next trigger is N appends out

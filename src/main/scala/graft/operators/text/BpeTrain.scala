@@ -65,7 +65,10 @@ object BpeTrain {
                   driverDictCap: Int = 100000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val dict = df.select(explode(split(col(textCol), " ")).as("word"))
+    // auto-hatch (r20): the word explode feeding the dictionary is the
+    // heavy per-row head pass — see Parallelism.auto (no-op at scale)
+    val dict = graft.operators.scale.Parallelism.auto(df)
+      .select(explode(split(col(textCol), " ")).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("freq"))
     val merges =
@@ -122,35 +125,61 @@ object BpeTrain {
   private[graft] def incrementalLearnMerges(dict: Array[(String, Long)],
                                             numMerges: Int): Seq[(Int, String, String, Long)] = {
     import scala.collection.mutable
-    val syms = dict.map { case (w, f) => (mutable.ArrayBuffer(w.split(""): _*), f) }
-    val counts = mutable.HashMap.empty[(String, String), Long]
-    val occ = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
-    // ordered by (count desc, l asc, r asc): head IS the reference argmax
-    val ord: Ordering[(Long, String, String)] =
-      Ordering.by[(Long, String, String), (Long, String, String)] {
-        case (c, l, r) => (-c, l, r)
+    // INTEGER SYMBOL IDS (r20): the hot loop previously keyed HashMaps and
+    // a TreeSet on (String, String) tuples — every bump paid tuple
+    // allocation, string hashing, and on tree ops string comparisons, and
+    // every merge apply re-concatenated l + r. Interning each distinct
+    // symbol string once and keying pairs as a packed Long keeps the loop
+    // in primitive-ish land; tree ties still compare the SYMBOL STRINGS,
+    // so the selection order — max count, ties lexicographic on
+    // (left, right) — is unchanged (pinned vs the recount reference
+    // trainer in LmTokenizerSpec).
+    val symStr = mutable.ArrayBuffer.empty[String]
+    val symId = mutable.HashMap.empty[String, Int]
+    def intern(s: String): Int =
+      symId.getOrElseUpdate(s, { symStr += s; symStr.length - 1 })
+    def pk(l: Int, r: Int): Long = (l.toLong << 32) | (r.toLong & 0xffffffffL)
+    val syms = dict.map { case (w, f) =>
+      (mutable.ArrayBuffer(w.split("").map(intern).toIndexedSeq: _*), f)
+    }
+    val counts = new java.util.HashMap[Long, Long]()
+    val occ = new java.util.HashMap[Long, mutable.HashSet[Int]]()
+    // ordered by (count desc, left asc, right asc) — string order on ties
+    val ord: Ordering[(Long, Int, Int)] = new Ordering[(Long, Int, Int)] {
+      def compare(a: (Long, Int, Int), b: (Long, Int, Int)): Int = {
+        if (a._1 != b._1) return java.lang.Long.compare(b._1, a._1)
+        val cl = symStr(a._2).compareTo(symStr(b._2))
+        if (cl != 0) return cl
+        symStr(a._3).compareTo(symStr(b._3))
       }
-    val tree = mutable.TreeSet.empty[(Long, String, String)](ord)
-    def bump(p: (String, String), delta: Long, wid: Int): Unit = {
-      val before = counts.getOrElse(p, 0L)
-      if (before > 0) tree.remove((before, p._1, p._2))
+    }
+    val tree = mutable.TreeSet.empty[(Long, Int, Int)](ord)
+    def bump(l: Int, r: Int, delta: Long, wid: Int): Unit = {
+      val key = pk(l, r)
+      val before = counts.getOrDefault(key, 0L)
+      if (before > 0) tree.remove((before, l, r))
       val after = before + delta
       if (after > 0) {
-        counts(p) = after
-        tree.add((after, p._1, p._2))
-      } else counts.remove(p)
-      if (delta > 0 && wid >= 0)
-        occ.getOrElseUpdate(p, mutable.HashSet.empty) += wid
+        counts.put(key, after)
+        tree.add((after, l, r))
+      } else counts.remove(key)
+      if (delta > 0 && wid >= 0) {
+        var set = occ.get(key)
+        if (set == null) { set = mutable.HashSet.empty[Int]; occ.put(key, set) }
+        set += wid
+      }
     }
     for (((s, f), wid) <- syms.zipWithIndex; i <- 0 until s.length - 1)
-      bump((s(i), s(i + 1)), f, wid)
+      bump(s(i), s(i + 1), f, wid)
     val merges = mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     while (merges.length < numMerges && tree.nonEmpty) {
       val (cnt, l, r) = tree.head
-      merges += ((merges.length + 1, l, r, cnt))
+      merges += ((merges.length + 1, symStr(l), symStr(r), cnt))
+      val lr = intern(symStr(l) + symStr(r))
       // touch only the words that (ever) contained the pair; the index is
       // stale-tolerant — a word that no longer has the adjacency is skipped
-      val ids = occ.remove((l, r)).map(_.toArray).getOrElse(Array.empty)
+      val idsSet = occ.remove(pk(l, r))
+      val ids = if (idsSet == null) Array.empty[Int] else idsSet.toArray
       for (wid <- ids) {
         val (s, f) = syms(wid)
         var has = false
@@ -158,21 +187,21 @@ object BpeTrain {
         while (!has && i < s.length - 1) { has = s(i) == l && s(i + 1) == r; i += 1 }
         if (has) {
           i = 0
-          while (i < s.length - 1) { bump((s(i), s(i + 1)), -f, -1); i += 1 }
-          val out = mutable.ArrayBuffer.empty[String]
+          while (i < s.length - 1) { bump(s(i), s(i + 1), -f, -1); i += 1 }
+          val out = mutable.ArrayBuffer.empty[Int]
           for (x <- s) {
-            if (out.nonEmpty && out.last == l && x == r) out(out.length - 1) = l + r
+            if (out.nonEmpty && out.last == l && x == r) out(out.length - 1) = lr
             else out += x
           }
           s.clear(); s ++= out
           i = 0
-          while (i < s.length - 1) { bump((s(i), s(i + 1)), f, wid); i += 1 }
+          while (i < s.length - 1) { bump(s(i), s(i + 1), f, wid); i += 1 }
         }
       }
       // greedy replacement leaves no (l, r) adjacency anywhere, so the
       // selected pair's count is now fully drained by construction
-      assert(!counts.contains((l, r)),
-        s"incremental BPE invariant broken: ($l, $r) count survived its merge")
+      assert(!counts.containsKey(pk(l, r)),
+        s"incremental BPE invariant broken: (${symStr(l)}, ${symStr(r)}) count survived its merge")
     }
     merges.toSeq
   }
@@ -283,9 +312,12 @@ object BpeTrain {
     * the (driver-side, vocabulary-sized) merge table — same output,
     * asserted in LmTokenizerSpec. Either way: no shuffle, scan speed.
     */
-  def withBpeTokenCount(df: DataFrame, textCol: String,
+  def withBpeTokenCount(df0: DataFrame, textCol: String,
                         merges: Seq[(String, String)],
-                        outCol: String = "n_bpe_tokens"): DataFrame =
+                        outCol: String = "n_bpe_tokens"): DataFrame = {
+    // auto-hatch (r20): the encode is a CPU-heavy per-row pass (see
+    // Parallelism.auto — no-op at scale, parallelizes single-split inputs)
+    val df = graft.operators.scale.Parallelism.auto(df0)
     if (merges.size <= hofMergeCap) {
       def encodeWord(w: Column): Column =
         merges.foldLeft(charsOf(w)) { case (syms, (l, r)) => applyMerge(syms, l, r) }
@@ -305,6 +337,7 @@ object BpeTrain {
       }
       df.withColumn(outCol, enc(col(textCol)))
     }
+  }
 
   /** Vocabulary induced by a training run: base alphabet (every distinct
     * character of the corpus' words, sorted) gets ids 0..|A|-1, then each
@@ -328,9 +361,10 @@ object BpeTrain {
     * [[BpeCodec]] (cost independent of merge-table size); no shuffle,
     * scan speed.
     */
-  def withBpePieces(df: DataFrame, textCol: String,
+  def withBpePieces(df0: DataFrame, textCol: String,
                     merges: Seq[(String, String)],
                     outCol: String = "bpe_pieces"): DataFrame = {
+    val df = graft.operators.scale.Parallelism.auto(df0)
     val codec = new BpeCodec(merges)
     val enc = F.udf { (text: String) =>
       Option(text).map(t =>
@@ -347,9 +381,10 @@ object BpeTrain {
     * silently dropped. Always the UDF path: the vocab map is driver-side
     * model state either way. No shuffle; scan speed.
     */
-  def withBpeTokenIds(df: DataFrame, textCol: String,
+  def withBpeTokenIds(df0: DataFrame, textCol: String,
                       merges: Seq[(String, String)], vocab: Map[String, Long],
                       outCol: String = "bpe_ids"): DataFrame = {
+    val df = graft.operators.scale.Parallelism.auto(df0)
     val codec = new BpeCodec(merges)
     val enc = F.udf { (text: String) =>
       Option(text).map { t =>

@@ -66,6 +66,23 @@ class EditLinkageSpec extends AnyFunSuite {
     assert(got == want, s"missing=${want -- got} extra=${got -- want}")
   }
 
+  test("count filter keeps repeat-gram true pairs (distinct-gram bound, r20)") {
+    // repeated grams are the risky case for the distinct-gram count-filter
+    // bound (|D(s)| << |s| − q + 1): verify against the naive cross product
+    val reps = Seq((1L, "abababababab"), (2L, "xyxyxyxyxyxy"),
+      (3L, "aaaaaaabbbbb"), (4L, "ababababab"))
+    val dirt = Seq((11L, "abababababaZ"), // 1 sub at the tail
+      (12L, "xyxyxyxyxy"),                // 2 deletions
+      (13L, "aaaaaabbbbb"),               // 1 deletion
+      (14L, "babababab"))                 // 1 front deletion, repeat-heavy
+    val got = link(dirt, reps, maxDist = 2)
+    val want = (for {
+      (ai, as) <- dirt; (bi, bs) <- reps
+      d = naiveLev(as, bs) if d <= 2
+    } yield (ai, bi, d)).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+  }
+
   test("strings shorter than q never index (and never throw)") {
     val a = Seq((1L, "ab"), (2L, "abcd"))
     val b = Seq((3L, "ab"), (4L, "abcd"))
