@@ -28,12 +28,7 @@ object TextDedup {
     */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
     val quoted = "`" + textCol.replace("`", "``") + "`"
-    // auto-hatch (r20): shingling is the heavy per-row pass at the head of
-    // every dedup/decontamination pipeline — on a single-split local input
-    // it otherwise runs on one core (no-op whenever the scan already
-    // provides default parallelism, i.e. always at production scale)
-    graft.operators.scale.Parallelism.auto(df)
-      .select(col(idCol).as("doc_id"),
+    df.select(col(idCol).as("doc_id"),
         expr(s"word_shingles($quoted, $n)").as("shingles"))
       .filter(size(col("shingles")) >= 1)
   }

@@ -95,10 +95,7 @@ object ImportanceSelect {
                    portable: Boolean = false): Array[Double] = {
     def counts(df: DataFrame): Array[Long] = {
       val arr = new Array[Long](buckets)
-      // auto-hatch (r20): the fit's n-gram explode is the same CPU-bound
-      // head pass as score's — see Parallelism.auto (no-op at scale)
-      bucketCounts(graft.operators.scale.Parallelism.auto(df),
-          textCol, buckets, portable).collect()
+      bucketCounts(df, textCol, buckets, portable).collect()
         .foreach(r => arr(r.getInt(0)) = r.getLong(1))
       arr
     }
@@ -130,13 +127,7 @@ object ImportanceSelect {
     require(logRatios.length == buckets,
       s"logRatios has ${logRatios.length} entries, expected $buckets")
     val lr = typedlit(logRatios) // ONE ArrayType Literal — codegen-safe
-    // minParallelism > 0: the explicit hatch; otherwise the scale-adaptive
-    // auto-hatch (r20 — no-op whenever the scan already provides default
-    // parallelism, i.e. always at production scale; fires on single-split
-    // or 1-partition-cache local inputs, where this CPU-bound n-gram pass
-    // otherwise runs on one core)
-    graft.operators.scale.Parallelism.auto(
-        graft.operators.scale.Parallelism.ensure(raw, minParallelism))
+    graft.operators.scale.Parallelism.ensure(raw, minParallelism)
       .select(col(idCol), ngramsExpr(textCol).as("__ngs__"))
       .filter(size(col("__ngs__")) > 0)
       .select(

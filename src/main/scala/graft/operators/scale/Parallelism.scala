@@ -45,7 +45,11 @@ object Parallelism {
     *    caller-side repartition collapses with it (CollapseRepartition).
     */
   def ensure(df: DataFrame, min: Int): DataFrame = {
-    if (min <= 0) df
+    // streaming frames: `.rdd`/optimizedPlan probes are illegal at analysis
+    // time on a streaming source ("must be executed with
+    // writeStream.start()"), and micro-batch sizing is the trigger's job —
+    // the hatch is a batch-local concept, so it is a strict no-op here
+    if (min <= 0 || df.isStreaming) df
     else if (shuffles(df.queryExecution.optimizedPlan)) df.repartition(min)
     else if (df.rdd.getNumPartitions >= min) df
     else df.repartition(min)
@@ -60,31 +64,4 @@ object Parallelism {
     }
   }
 
-  /** Scale-adaptive variant of [[ensure]] for operators whose FIRST stage
-    * is a heavy per-row pass (shingling, tokenizer encodes, n-gram
-    * hashing): when the input plan is scan-shaped AND the scan underfills
-    * the session's default parallelism, round-robin the rows out once;
-    * otherwise a strict no-op. At production scale input splits provide
-    * the parallelism (a 100 TB read is tens of thousands of splits), so
-    * this never fires there — it exists for the single-split regime
-    * (one sub-`maxPartitionBytes` file, or a ONE-row-group parquet file
-    * that no `maxPartitionBytes`/`minPartitionNum` setting can split),
-    * where the heavy pass otherwise runs on one core of the whole box
-    * (r20 measured: s26's document passes were five consecutive 1-task
-    * stages, ~5.6 s of a 9 s query). Plans already containing a shuffle
-    * are left alone — AQE sizes those stages, and an unconditional
-    * exchange would add cost at every scale. Disable outright with
-    * `graft.scan.autoParallelism=false`. Pure repartition: row sets,
-    * and therefore results, are unchanged.
-    */
-  def auto(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    val on = spark.conf.getOption("graft.scan.autoParallelism")
-      .forall(_.toBoolean)
-    val min = spark.sparkContext.defaultParallelism
-    if (!on || min <= 1) df
-    else if (shuffles(df.queryExecution.optimizedPlan)) df
-    else if (df.rdd.getNumPartitions >= min) df
-    else df.repartition(min)
-  }
 }

@@ -65,10 +65,7 @@ object BpeTrain {
                   driverDictCap: Int = 100000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    // auto-hatch (r20): the word explode feeding the dictionary is the
-    // heavy per-row head pass — see Parallelism.auto (no-op at scale)
-    val dict = graft.operators.scale.Parallelism.auto(df)
-      .select(explode(split(col(textCol), " ")).as("word"))
+    val dict = df.select(explode(split(col(textCol), " ")).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("freq"))
     val merges =
@@ -312,12 +309,9 @@ object BpeTrain {
     * the (driver-side, vocabulary-sized) merge table — same output,
     * asserted in LmTokenizerSpec. Either way: no shuffle, scan speed.
     */
-  def withBpeTokenCount(df0: DataFrame, textCol: String,
+  def withBpeTokenCount(df: DataFrame, textCol: String,
                         merges: Seq[(String, String)],
-                        outCol: String = "n_bpe_tokens"): DataFrame = {
-    // auto-hatch (r20): the encode is a CPU-heavy per-row pass (see
-    // Parallelism.auto — no-op at scale, parallelizes single-split inputs)
-    val df = graft.operators.scale.Parallelism.auto(df0)
+                        outCol: String = "n_bpe_tokens"): DataFrame =
     if (merges.size <= hofMergeCap) {
       def encodeWord(w: Column): Column =
         merges.foldLeft(charsOf(w)) { case (syms, (l, r)) => applyMerge(syms, l, r) }
@@ -337,7 +331,6 @@ object BpeTrain {
       }
       df.withColumn(outCol, enc(col(textCol)))
     }
-  }
 
   /** Vocabulary induced by a training run: base alphabet (every distinct
     * character of the corpus' words, sorted) gets ids 0..|A|-1, then each
@@ -361,10 +354,9 @@ object BpeTrain {
     * [[BpeCodec]] (cost independent of merge-table size); no shuffle,
     * scan speed.
     */
-  def withBpePieces(df0: DataFrame, textCol: String,
+  def withBpePieces(df: DataFrame, textCol: String,
                     merges: Seq[(String, String)],
                     outCol: String = "bpe_pieces"): DataFrame = {
-    val df = graft.operators.scale.Parallelism.auto(df0)
     val codec = new BpeCodec(merges)
     val enc = F.udf { (text: String) =>
       Option(text).map(t =>
@@ -381,10 +373,9 @@ object BpeTrain {
     * silently dropped. Always the UDF path: the vocab map is driver-side
     * model state either way. No shuffle; scan speed.
     */
-  def withBpeTokenIds(df0: DataFrame, textCol: String,
+  def withBpeTokenIds(df: DataFrame, textCol: String,
                       merges: Seq[(String, String)], vocab: Map[String, Long],
                       outCol: String = "bpe_ids"): DataFrame = {
-    val df = graft.operators.scale.Parallelism.auto(df0)
     val codec = new BpeCodec(merges)
     val enc = F.udf { (text: String) =>
       Option(text).map { t =>

@@ -53,9 +53,7 @@ object UnigramTokenizer {
             seedCap: Int = 100000, driverDictCap: Int = 100000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    // auto-hatch (r20): heavy per-row head pass — see Parallelism.auto
-    val dict = graft.operators.scale.Parallelism.auto(df)
-      .select(explode(split(col(textCol), " ")).as("word"))
+    val dict = df.select(explode(split(col(textCol), " ")).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("freq"))
     // ONE corpus scan for the fast-path probe: collect cap+1 rows and
@@ -257,9 +255,7 @@ object UnigramTokenizer {
     * characters unseen at train time segment as single pieces at
     * `max(cost) + 1` — one strange document must not kill the job.
     */
-  def withEncoding(df0: DataFrame, textCol: String, vocab: DataFrame): DataFrame = {
-    // auto-hatch (r20): CPU-heavy per-row Viterbi encode — Parallelism.auto
-    val df = graft.operators.scale.Parallelism.auto(df0)
+  def withEncoding(df: DataFrame, textCol: String, vocab: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val costs: Map[String, Double] = vocab.select("piece", "cost")
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
@@ -362,10 +358,8 @@ object UnigramTokenizer {
     * itself stays deterministic and SQL-replayable (the s35 oracle ranks
     * the same recursive-CTE path enumeration).
     */
-  def nbestTable(df0: DataFrame, idCol: String, textCol: String,
+  def nbestTable(df: DataFrame, idCol: String, textCol: String,
                  vocab: DataFrame, k: Int): DataFrame = {
-    // auto-hatch (r20): per-row n-best lattice enumeration is CPU-heavy
-    val df = graft.operators.scale.Parallelism.auto(df0)
     val spark = df.sparkSession
     val costs: Map[String, Double] = vocab.select("piece", "cost")
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
@@ -519,9 +513,7 @@ object UnigramTokenizer {
     * MIN(reversed piece list); spec-pinned against brute force on random
     * vocabularies.
     */
-  def withPieces(df0: DataFrame, textCol: String, vocab: DataFrame): DataFrame = {
-    // auto-hatch (r20): CPU-heavy per-row Viterbi encode — Parallelism.auto
-    val df = graft.operators.scale.Parallelism.auto(df0)
+  def withPieces(df: DataFrame, textCol: String, vocab: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val rows = vocab.select("piece", "cnt", "cost").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))

@@ -29,11 +29,9 @@ object WordPiece {
     * (array&lt;string&gt;) plus `n_unk` (long) — words that failed to
     * encode. Null text → null columns.
     */
-  def withWordPieces(df0: DataFrame, textCol: String, vocab: Seq[String],
+  def withWordPieces(df: DataFrame, textCol: String, vocab: Seq[String],
                      unk: String = "[UNK]",
                      outCol: String = "wp_pieces"): DataFrame = {
-    // auto-hatch (r20): CPU-heavy per-row encode — see Parallelism.auto
-    val df = graft.operators.scale.Parallelism.auto(df0)
     val enc = new WordPieceEncoder(vocab, unk)
     val encodeUdf = udf { (text: String) =>
       Option(text).map { t =>

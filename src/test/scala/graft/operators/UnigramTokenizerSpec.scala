@@ -293,24 +293,17 @@ class UnigramTokenizerSpec extends AnyFunSuite {
     val docs = Seq((1L, "abab aa")).toDF("doc_id", "text")
     val vocab = UnigramTokenizer.train(docs, "text", vocabSize = 8,
       maxPieceLen = 3, iters = 2)
-    // with the auto-hatch disabled the encode passes must stay pure
-    // per-row plans (the audited zero-shuffle shape)
-    spark.conf.set("graft.scan.autoParallelism", "false")
-    try {
-      for (frame <- Seq(
-          UnigramTokenizer.withEncoding(docs, "text", vocab),
-          UnigramTokenizer.withPieces(docs, "text", vocab),
-          UnigramTokenizer.nbestTable(docs, "doc_id", "text", vocab, 3))) {
-        val p = frame.queryExecution.executedPlan.toString
-        assert(!p.contains("Exchange"), p)
-      }
-    } finally spark.conf.unset("graft.scan.autoParallelism")
-    // hatch enabled (default): an underfilled local input gains AT MOST one
-    // round-robin fan-out below the per-row work — never a key exchange
-    val p = UnigramTokenizer.withEncoding(docs, "text", vocab)
-      .queryExecution.executedPlan.toString
-    assert(!p.contains("hashpartitioning"), p)
-    assert(p.linesIterator.count(_.contains("Exchange")) <= 1, p)
+    // the encode passes are pure per-row plans (the audited zero-shuffle
+    // shape; the r20 auto-hatch that injected a round-robin exchange here
+    // was reverted in r21 — it crashed streaming frames and regressed the
+    // warm bench on exactly these paths)
+    for (frame <- Seq(
+        UnigramTokenizer.withEncoding(docs, "text", vocab),
+        UnigramTokenizer.withPieces(docs, "text", vocab),
+        UnigramTokenizer.nbestTable(docs, "doc_id", "text", vocab, 3))) {
+      val p = frame.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), p)
+    }
   }
 
   test("distributed trainer is bit-identical to the driver path (forced low cap)") {
