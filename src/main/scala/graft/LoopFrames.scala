@@ -102,24 +102,6 @@ object LoopFrames {
       org.apache.spark.sql.functions.broadcast(df)
     else df
 
-  /** Session conf key: byte budget for broadcasting FAT loop frames (rows
-    * carrying sketches/arrays rather than a couple of longs), gated on a
-    * worst-case byte bound the caller computes from counted rows × a
-    * per-row size bound. Default 128 MB — comfortably inside executor
-    * memory anywhere; 0 disables.
-    */
-  val BroadcastBytesKey = "graft.graph.broadcastBytes"
-
-  /** True when a loop frame whose worst-case size is `bytes` (counted
-    * rows × per-row bound, never an estimate) fits the
-    * [[BroadcastBytesKey]] budget.
-    */
-  def broadcastableBytes(spark: org.apache.spark.sql.SparkSession, bytes: Long): Boolean = {
-    val limit = spark.conf.getOption(BroadcastBytesKey)
-      .flatMap(_.toLongOption).getOrElse(134217728L)
-    bytes >= 0 && limit > 0 && bytes <= limit
-  }
-
   /** Eager localCheckpoint that DROPS the origin plan's preserved
     * constraints. Spark's checkpoint keeps them on the LogicalRDD,
     * and `Union.rewriteConstraints` over two such frames can throw

@@ -66,13 +66,28 @@ object Bfs {
       var settledCount = seed0.count()
       var frontier = seed0.toDF()
       var frontierCount = settledCount
+      // undirected two-layer invariant (r21, ADVICE r20): across an
+      // undirected edge |dist(u) - dist(w)| <= 1, so a neighbor of the
+      // hop-(h-1) frontier that is already settled can only live in
+      // layers h-1 or h-2. The anti-join side is then TWO materialized
+      // layers instead of the whole settled union — per-hop broadcast
+      // build and plan size stay constant as hops grow. Directed graphs
+      // lack the invariant (a far-forward edge can point at an early
+      // layer) and keep the full settled side.
+      var prevLayer = frontier
+      var prevCount = frontierCount
       var hop = 0
       while (hop < maxHops && frontierCount > 0) {
         hop += 1
         val fr = graft.LoopFrames.maybeBroadcast(
           frontier.select(col("node").as("u")), frontierCount)
-        val st = graft.LoopFrames.maybeBroadcast(
-          settled.select(col("node")), settledCount)
+        val (anti, antiCount) =
+          if (undirected && hop > 1)
+            (frontier.select(col("node"))
+               .unionByName(prevLayer.select(col("node"))),
+             frontierCount + prevCount)
+          else (settled.select(col("node")), settledCount)
+        val st = graft.LoopFrames.maybeBroadcast(anti, antiCount)
         val layer = graft.LoopFrames.checkpoint(
           e.join(fr, "u")
             .select(col("v").as("node")).distinct()
@@ -82,6 +97,8 @@ object Bfs {
         if (layerCount == 0L) graft.LoopFrames.release(layer)
         else settled = settled.unionByName(layer)
         settledCount += layerCount
+        prevLayer = frontier
+        prevCount = frontierCount
         frontier = layer
         frontierCount = layerCount
       }
@@ -118,13 +135,22 @@ object Bfs {
       var settledCount = seed0.count()
       var frontier = seed0.toDF()
       var frontierCount = settledCount
+      // same undirected two-layer anti-join invariant as [[hopDistance]],
+      // holding independently within each seed's wave
+      var prevLayer = frontier
+      var prevCount = frontierCount
       var hop = 0
       while (hop < maxHops && frontierCount > 0) {
         hop += 1
         val fr = graft.LoopFrames.maybeBroadcast(
           frontier.select(col("seed"), col("node").as("u")), frontierCount)
-        val st = graft.LoopFrames.maybeBroadcast(
-          settled.select(col("seed"), col("node")), settledCount)
+        val (anti, antiCount) =
+          if (undirected && hop > 1)
+            (frontier.select(col("seed"), col("node"))
+               .unionByName(prevLayer.select(col("seed"), col("node"))),
+             frontierCount + prevCount)
+          else (settled.select(col("seed"), col("node")), settledCount)
+        val st = graft.LoopFrames.maybeBroadcast(anti, antiCount)
         val layer = graft.LoopFrames.checkpoint(
           e.join(fr, "u")
             .select(col("seed"), col("v").as("node")).distinct()
@@ -134,6 +160,8 @@ object Bfs {
         if (layerCount == 0L) graft.LoopFrames.release(layer)
         else settled = settled.unionByName(layer)
         settledCount += layerCount
+        prevLayer = frontier
+        prevCount = frontierCount
         frontier = layer
         frontierCount = layerCount
       }

@@ -105,6 +105,16 @@ object CooccurEdges {
     * O(basket) for the set buffer (same order as the old sort window's
     * run); the quadratic pair-count hazard is unchanged and still capped
     * by `maxBasketSize`.
+    *
+    * UNCAPPED CONTRACT (ADVICE r20): with `maxBasketSize <= 0` the
+    * hottest basket's item set is materialized in ONE aggregation buffer
+    * — the pre-r20 membership self-join streamed/spilled that key group
+    * instead, so the uncapped degradation mode moved from "slow quadratic
+    * output" to "executor memory must hold the largest basket". At any
+    * scale where a single basket's distinct-item set could challenge
+    * executor memory (bot carts, crawler sessions), pass a cap — that is
+    * the operator's documented posture for 100 TB anyway (the quadratic
+    * pair hazard bites at cap² long before the buffer does).
     */
   private def basketArrays(df: DataFrame, basketCol: String,
                            itemCol: String, maxBasketSize: Int): DataFrame = {

@@ -43,6 +43,18 @@ import org.apache.spark.storage.StorageLevel
   */
 object NeighborhoodFunction {
 
+  /** Session conf key: maximum in-degree up to which the per-hop sketch
+    * routing uses the pre-grouped adjacency-ARRAY join (one array row per
+    * node; the join then moves one sketch per NODE instead of one per
+    * edge, and the per-edge replication happens in a pipelined explode
+    * after the join). A celebrity node above the cap would concentrate
+    * its whole in-neighbor list in one aggregation buffer/row, so past it
+    * the operator falls back to the classic per-edge join (streamed,
+    * never holds a neighborhood in memory). Default 4M entries (~32 MB
+    * array); 0 disables the array formulation outright.
+    */
+  val AdjacencyMaxDegreeKey = "graft.graph.adjMaxDegree"
+
   /** Per-node per-hop ball-size estimates: (node, hop, nf_est) for hop
     * 0..maxHops (hop 0 = 1, the node itself; directed balls follow
     * src→dst as given, `undirected` mirrors first). Early-exits when a
@@ -52,6 +64,7 @@ object NeighborhoodFunction {
           maxHops: Int, lgK: Int = 12, undirected: Boolean = false): DataFrame = {
     require(maxHops >= 0, "maxHops must be >= 0")
     require(lgK >= 4 && lgK <= 21, s"lgK must be in [4, 21], got $lgK")
+    val spark = edges.sparkSession
     val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .filter(col("u") =!= col("v"))
     val e = (if (undirected) e0.union(e0.select(col("v").as("u"), col("u").as("v")))
@@ -60,6 +73,32 @@ object NeighborhoodFunction {
     try {
       val nodes = e.select(col("u").as("node"))
         .union(e.select(col("v").as("node"))).distinct()
+      // In-neighbor adjacency, grouped once outside the loop: the per-hop
+      // join then carries ONE sketch per node (not one per edge) across
+      // the exchange, and both join sides are node-keyed aggregates that
+      // share hash partitioning — the per-edge replication moves into a
+      // pipelined explode feeding the union agg's map-side partials
+      // (guide §2.3 "shuffle keys and metadata instead of payloads",
+      // §2.4 shared exchanges). Gated on the ACTUAL max in-degree so a
+      // 100 TB celebrity node cannot balloon one aggregation buffer; past
+      // the cap the classic streamed per-edge join runs instead. Both
+      // formulations feed hll_union_agg the identical contribution
+      // multiset (e is distinct), and the union is register-wise max
+      // (order-free), so the sketches — and the estimates — are
+      // bit-identical either way.
+      val degCap = spark.conf.getOption(AdjacencyMaxDegreeKey)
+        .flatMap(_.toLongOption).getOrElse(4000000L)
+      val adjacency: Option[DataFrame] =
+        if (degCap <= 0) None
+        else {
+          val adj = e.groupBy(col("v"))
+            .agg(collect_list(col("u")).as("us"), count(lit(1)).as("__deg__"))
+          val a = graft.LoopFrames.checkpoint(adj)
+          val degRow = a.agg(max(col("__deg__"))).head
+          val maxDeg = if (degRow.isNullAt(0)) 0L else degRow.getLong(0)
+          if (maxDeg <= degCap) Some(a.select(col("v"), col("us")))
+          else { graft.LoopFrames.release(a); None }
+        }
       // ball state at hop 0: each node's sketch holds just itself
       var sk = graft.LoopFrames.checkpoint(
         nodes.groupBy(col("node"))
@@ -67,37 +106,50 @@ object NeighborhoodFunction {
       def estimates(s: DataFrame, hop: Int): DataFrame =
         s.select(col("node"), lit(hop).as("hop"),
           expr("hll_sketch_estimate(sketch)").as("nf_est"))
-      var prevEst = graft.LoopFrames.checkpoint(estimates(sk, 0))
-      var result = prevEst
+      def estSum(est: DataFrame): java.math.BigDecimal = {
+        val r = est.agg(sum(col("nf_est").cast("decimal(38,0)"))).head
+        if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+      }
+      var result = graft.LoopFrames.checkpoint(estimates(sk, 0))
+      var prevSum = estSum(result)
       var hop = 0
       var converged = false
       while (hop < maxHops && !converged) {
         hop += 1
-        // B_t(v) = B_{t-1}(v) ∪ ⋃_{v→w} B_{t-1}(w): ship each node's
-        // sketch to its in-neighbors (one edge shuffle), union per node
-        // (map-side partial union via the aggregate)
-        val contrib = e.join(sk.select(col("node").as("v"), col("sketch")), "v")
-          .select(col("u").as("node"), col("sketch"))
+        // B_t(v) = B_{t-1}(v) ∪ ⋃_{v→w} B_{t-1}(w): route each node's
+        // sketch to its in-neighbors, union per node (map-side partial
+        // union via the aggregate)
+        val contrib = adjacency match {
+          case Some(adj) =>
+            adj.join(sk.select(col("node").as("v"), col("sketch")), "v")
+              .select(explode(col("us")).as("node"), col("sketch"))
+          case None =>
+            e.join(sk.select(col("node").as("v"), col("sketch")), "v")
+              .select(col("u").as("node"), col("sketch"))
+        }
         val merged = graft.LoopFrames.checkpoint(
           sk.select(col("node"), col("sketch")).unionByName(contrib)
             .groupBy(col("node"))
             .agg(expr(s"hll_union_agg(sketch, true)").as("sketch")))
         val est = graft.LoopFrames.checkpoint(estimates(merged, hop))
-        val nChanged = est.select(col("node"), col("nf_est"))
-          .join(prevEst.select(col("node"), col("nf_est").as("__p__")), "node")
-          .filter(col("nf_est") =!= col("__p__")).count()
+        // convergence: estimates are monotone per node across hops (the
+        // union only grows registers — scaladoc contract above), so the
+        // TOTAL is unchanged iff every estimate is unchanged. One tiny
+        // global agg replaces the former per-hop est⋈prevEst join+count.
+        val curSum = estSum(est)
         graft.LoopFrames.release(sk)
         sk = merged
-        if (nChanged == 0L) {
+        if (curSum.compareTo(prevSum) == 0) {
           // flat round: drop the duplicate slice and stop
           graft.LoopFrames.release(est)
           converged = true
         } else {
           result = result.unionByName(est)
-          prevEst = est
+          prevSum = curSum
         }
       }
       graft.LoopFrames.release(sk)
+      adjacency.foreach(graft.LoopFrames.release)
       result
     } finally e.unpersist(false)
   }

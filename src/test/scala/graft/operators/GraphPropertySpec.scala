@@ -61,6 +61,36 @@ class GraphPropertySpec extends AnyFunSuite {
     }, n = 6)
   }
 
+  test("broadcast gate: shuffle regime (broadcastNodes=0) is bit-identical to the broadcast regime") {
+    // the 100 TB fallback path (r21, VERDICT r20 ask #10): every counted-
+    // small loop frame that normally broadcasts must produce the same
+    // rows when the gate forces the classic shuffle join, or the fallback
+    // rots unexercised. PageRank covers the per-round edge join; Bfs
+    // (undirected) additionally covers the two-layer anti-join side.
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val edges = Seq.fill(200)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val seeds = (0L to 39L by 5).toDF("n")
+    def both[A](run: => Seq[A]): (Seq[A], Seq[A]) = {
+      val bc = run
+      spark.conf.set(graft.LoopFrames.BroadcastNodesKey, "0")
+      try { (bc, run) } finally spark.conf.unset(graft.LoopFrames.BroadcastNodesKey)
+    }
+    val (prB, prS) = both {
+      graft.operators.graph.PageRank.run(edges.toDF("s", "d"), "s", "d",
+          iterations = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    }
+    assert(prB == prS)
+    val (bfB, bfS) = both {
+      graft.operators.graph.Bfs.hopDistance(edges.toDF("s", "d"), "s", "d",
+          seeds, "n", maxHops = 5, undirected = true)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq.sorted
+    }
+    assert(bfB == bfS)
+  }
+
   test("property: label propagation equals naive synchronous LPA with the (cnt, min-label) tie rule") {
     import spark.implicits._
     val iters = 3

@@ -72,6 +72,26 @@ class NeighborhoodFunctionSpec extends AnyFunSuite {
     assert(c(1L) == ((3L, 4L, 2000000L + 500000L)))
   }
 
+  test("adjacency-array routing and the per-edge join fallback are bit-identical") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(150)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(p => p._1 != p._2).distinct
+    def runWith(adjCap: String): Seq[(Long, Int, Long)] = {
+      spark.conf.set(NeighborhoodFunction.AdjacencyMaxDegreeKey, adjCap)
+      try NeighborhoodFunction.run(edges.toDF("s", "d"), "s", "d",
+          maxHops = 6, undirected = true)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+      finally spark.conf.unset(NeighborhoodFunction.AdjacencyMaxDegreeKey)
+    }
+    val viaArrays = runWith("4000000") // default regime: arrays active
+    val viaEdges = runWith("0")        // fallback: classic per-edge join
+    assert(viaArrays == viaEdges)
+    // same rows under a cap the max in-degree EXCEEDS (gate falls back)
+    val viaGate = runWith("1")
+    assert(viaGate == viaEdges)
+  }
+
   test("sketch centrality matches exact harmonic (scaled) on a seeded random graph") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
