@@ -403,6 +403,19 @@ object Bench {
     // observed/prior ratio somewhat more than the old order did, which
     // errs toward single-run mode — the coverage-preserving direction.
     val names = SparkEntry.queries.keys.toSeq.sortBy(n => (priorCost(n), n))
+    // Scaling anchors (r21, VERDICT r20 ask #8): the core-count scaling
+    // table is only meaningful over swept-warm↔swept-warm pairs, and under
+    // cheapest-first ordering budget pressure degrades exactly the heavy
+    // tail the scaling question is about. These six — the two oracled
+    // canaries, the two heaviest relational entries, and two heavy graph
+    // loops — are exempt from single-run degradation (never from the
+    // deadline skip), so any record that reaches them carries a two-run
+    // warm time at both core counts. Worst case ~1 min of extra sweep time
+    // in an already-degraded run; sweep ORDER is untouched, so every other
+    // entry's warm regime stays comparable with prior rounds.
+    val scalingAnchors: Set[String] = Set(
+      "q46_canary_shuffle", "q47_canary_join", "q1_agg", "q38_recursive_cte",
+      "p66_pagerank", "p127_neighborhood_function")
     val sweepDeadlineNs = deadlineNs - 90L * 1000000000L
     val sweepStartNs = System.nanoTime()
     val timedBuf = scala.collection.mutable.ArrayBuffer
@@ -467,7 +480,7 @@ object Bench {
         }
         val qStartNs = System.nanoTime()
         val entry: (Either[String, Double], RunStats) =
-          if (singleRun) (Left("single"), runOnce(n))
+          if (singleRun && !scalingAnchors(n)) (Left("single"), runOnce(n))
           else {
             val c = runOnce(n)
             val w1 = runOnce(n)

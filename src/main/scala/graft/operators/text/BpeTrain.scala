@@ -65,15 +65,21 @@ object BpeTrain {
                   driverDictCap: Int = 100000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // cache: the cap probe and the collect (or the distributed trainer's
+    // round-0 projection) otherwise each re-run the explode+groupBy corpus
+    // pass — at 100 TB that is a second full scan for a row-count check
     val dict = df.select(explode(split(col(textCol), " ")).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("freq"))
-    val merges =
-      if (driverDictCap > 0 && dict.limit(driverDictCap + 1).count() <= driverDictCap)
-        incrementalLearnMerges(
-          dict.as[(String, Long)].collect(), numMerges)
-      else distributedLearnMerges(dict, numMerges)._1
-    merges.toDF("rank", "left", "right", "pair_count")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val merges =
+        if (driverDictCap > 0 && dict.limit(driverDictCap + 1).count() <= driverDictCap)
+          incrementalLearnMerges(
+            dict.as[(String, Long)].collect(), numMerges)
+        else distributedLearnMerges(dict, numMerges)._1
+      merges.toDF("rank", "left", "right", "pair_count")
+    } finally dict.unpersist(false)
   }
 
   /** REFERENCE implementation (spec oracle only — the production driver
