@@ -30,6 +30,22 @@ object Pipeline {
   private val p97DfqCache = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
   private val p97StCache = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
 
+  // derived-graph caches (r21): queries whose edge table is an expensive
+  // DERIVED build (basket-pair aggregation / join+distinct) and feeds more
+  // than one consumer (the operator's internal persist, the seed
+  // derivation, a reverse union) otherwise recompute the whole build per
+  // consumer — StageProf showed p123 running the 600k-row pair build FOUR
+  // times. Same pattern and rationale as p97's pinned BM25 index: the
+  // persist is inside the timed query (rebuilt every run; the bench clears
+  // caches between runs), and CacheScope keeps repeat invocations from
+  // accreting copies. The honest 100 TB story too: a reusable derived
+  // graph is materialized once, not re-derived per consumer.
+  private val p66CsCache = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+  private val p107EdgeCache = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+  private val p108CsCache = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+  private val p114EdgeCache = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+  private val p123EdgeCache = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ---- exact dedup: hash-groupBy on content digest; one shuffle on the
@@ -2044,6 +2060,10 @@ object Pipeline {
           $"l_orderkey" === $"o_orderkey")
         .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
         .distinct()
+        // pinned: the reverse union reads the join+distinct twice
+        // (cache-register comment above)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      CacheScope.pin(cs, p66CsCache)
       // even/odd vertex ranges are disjoint, so distinct ∪ reverse is
       // already duplicate-free — skip run()'s input-sized distinct
       val edges = cs.union(cs.select($"dst".as("src"), $"src".as("dst")))
@@ -3553,10 +3573,16 @@ object Pipeline {
     //      node, which equals the BFS level. ----
     QuerySpec.sql("p107_bfs_hops", (s, dir) => {
       import s.implicits._
+      // pin the derived pair graph: it feeds the seed derivation (twice)
+      // plus Bfs's internal edge build — unpinned, each consumer re-runs
+      // the whole 600k-row basket-pair aggregation (see the cache-register
+      // comment above)
       val edges = graft.operators.basket.MarketBasket.pairRules(
           t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey"),
           "l_orderkey", "l_partkey", minSupport = 2L)
         .select($"a", $"b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      CacheScope.pin(edges, p107EdgeCache)
       val seeds = edges.select($"a".as("n")).union(edges.select($"b".as("n")))
         .distinct().filter($"n" % 97 === 0)
       graft.operators.graph.Bfs.hopDistance(edges, "a", "b",
@@ -3585,10 +3611,15 @@ object Pipeline {
     //      same integer sum. Same graph and seed rule as p107. ----
     QuerySpec.sql("p123_harmonic_centrality", (s, dir) => {
       import s.implicits._
+      // pin the derived pair graph: seed derivation (twice) + the seed
+      // overflow-guard count + Bfs's internal edge build = FOUR re-runs of
+      // the 600k-row basket-pair aggregation unpinned (StageProf r21)
       val edges = graft.operators.basket.MarketBasket.pairRules(
           t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey"),
           "l_orderkey", "l_partkey", minSupport = 2L)
         .select($"a", $"b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      CacheScope.pin(edges, p123EdgeCache)
       val seeds = edges.select($"a".as("n")).union(edges.select($"b".as("n")))
         .distinct().filter($"n" % 97 === 0)
       graft.operators.graph.Bfs.harmonicCentrality(edges, "a", "b",
@@ -3617,11 +3648,16 @@ object Pipeline {
     //      algebra with the seed-gated teleport term. ----
     QuerySpec.sql("p108_trustrank", (s, dir) => {
       import s.implicits._
+      // pin the derived bipartite arc set: the reverse union reads it
+      // twice and the seed derivation a third time (cache-register
+      // comment above)
       val cs = t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
         .join(t(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
           $"l_orderkey" === $"o_orderkey")
         .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
         .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      CacheScope.pin(cs, p108CsCache)
       val edges = cs.union(cs.select($"dst".as("src"), $"src".as("dst")))
       // trusted seeds: every ~101st customer (node = 2*custkey, so % 202)
       val seeds = cs.select($"src".as("n")).distinct().filter($"n" % 202 === 0)
@@ -3945,10 +3981,16 @@ object Pipeline {
     //      in HUGEINT — two formulations of the same integer. ----
     QuerySpec.sql("p114_weighted_pagerank", (s, dir) => {
       import s.implicits._
+      // pin the derived weighted pair graph: the reverse union otherwise
+      // embeds TWO copies of the basket-pair build in one plan, and AQE
+      // re-optimizes the subtrees independently so ReuseExchange cannot be
+      // relied on to serve them from one shuffle (the p97 lesson)
       val edges = graft.operators.basket.MarketBasket.pairRules(
           t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey"),
           "l_orderkey", "l_partkey", minSupport = 2L)
         .select($"a", $"b", $"n_ab")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      CacheScope.pin(edges, p114EdgeCache)
       val both = edges.unionByName(
         edges.select($"b".as("a"), $"a".as("b"), $"n_ab"))
       graft.operators.graph.PageRank.runWeighted(both, "a", "b", "n_ab",
