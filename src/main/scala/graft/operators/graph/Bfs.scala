@@ -45,7 +45,7 @@ object Bfs {
     require(maxHops >= 0, "maxHops must be >= 0")
     val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .filter(col("u") =!= col("v"))
-    val e = (if (undirected) e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+    val e = (if (undirected) EdgeMirror.mirror(e0)
              else e0)
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
     try {
@@ -119,7 +119,7 @@ object Bfs {
     require(maxHops >= 0, "maxHops must be >= 0")
     val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .filter(col("u") =!= col("v"))
-    val e = (if (undirected) e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+    val e = (if (undirected) EdgeMirror.mirror(e0)
              else e0)
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
     try {

@@ -151,7 +151,7 @@ object KCore {
     val spark = edges.sparkSession
     val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .filter(col("u") =!= col("v"))
-    var e = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+    var e = EdgeMirror.mirror(e0)
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
     try {
       // full-degree aggregation happens exactly ONCE; every later round
@@ -301,7 +301,7 @@ object KCore {
     val spark = edges.sparkSession
     val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .filter(col("u") =!= col("v"))
-    var e = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+    var e = EdgeMirror.mirror(e0)
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
     try {
       var alive = e.groupBy(col("u").as("node"))

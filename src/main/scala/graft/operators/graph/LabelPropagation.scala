@@ -36,7 +36,7 @@ object LabelPropagation {
     require(iterations >= 1, "iterations must be >= 1")
     val e0 = edges.select(col(srcCol).cast("long").as("u"),
       col(dstCol).cast("long").as("v")).filter(col("u") =!= col("v"))
-    val e = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+    val e = graft.operators.graph.EdgeMirror.mirror(e0)
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("u").as("node")).distinct().transform(graft.LoopFrames.materialize)
     // counted-small node set → broadcast the label frame into each round's

@@ -67,7 +67,7 @@ object NeighborhoodFunction {
     val spark = edges.sparkSession
     val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .filter(col("u") =!= col("v"))
-    val e = (if (undirected) e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+    val e = (if (undirected) EdgeMirror.mirror(e0)
              else e0)
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
     try {

@@ -58,7 +58,7 @@ object Sssp {
     val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"),
         col(weightCol).cast("long").as("w"))
       .filter(col("u") =!= col("v") && col("w").isNotNull)
-    val e = (if (undirected) e0.union(e0.select(col("v").as("u"), col("u").as("v"), col("w")))
+    val e = (if (undirected) EdgeMirror.mirror(e0, extra = Seq("w"))
              else e0)
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
     try {
