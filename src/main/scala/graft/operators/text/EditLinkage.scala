@@ -74,7 +74,14 @@ object EditLinkage {
     cand
       .withColumn("dist",
         expr(s"levenshtein(l_str, r_str, $maxDist)").cast("int"))
-      .where(col("dist") >= 0 && col("dist") <= maxDist)
+      // threshold levenshtein returns -1 whenever the distance exceeds
+      // maxDist, so `dist >= 0` alone IS the <= maxDist filter. Keeping a
+      // second `dist <= maxDist` conjunct doubled the levenshtein work:
+      // the optimizer pushes this predicate into the gram-collision JOIN
+      // CONDITION with each `dist` reference inlined as its own
+      // levenshtein call — p118's hot stage evaluated the threshold DP
+      // twice per collision row (StageProf r21)
+      .where(col("dist") >= 0)
       .select(col("l_id"), col("r_id"), col("l_str"), col("r_str"), col("dist"))
   }
 
